@@ -1,0 +1,295 @@
+package graft.analysis
+
+/** Offset-preserving token.
+  *
+  * Mirrors the information Lucene attaches to a token that the reference
+  * engine relies on (term text + char offsets + position):
+  * reference `phrases.clj:103-108` (offsets + term vectors stored).
+  *
+  * @param term  analyzed term text (filters rewrite this, never offsets)
+  * @param begin char offset into the original text, inclusive
+  * @param end   char offset, exclusive (text.substring(begin, end) is the
+  *              ORIGINAL surface form, not `term`)
+  * @param pos   token position (0-based, consecutive)
+  */
+final case class Token(term: String, begin: Int, end: Int, pos: Int)
+
+/** Analysis configuration after three-way defaulting.
+  * Reference: `text_analysis.clj:101-108` (`default-conf` + `Conf`).
+  */
+final case class AnalysisConf(
+    tokenizer: String,
+    caseSensitive: Boolean,
+    asciiFold: Boolean,
+    stem: Boolean,
+    stemmer: String) {
+
+  /** Canonical field name for this config — the key under which a document
+    * is tokenized once and shared by all dictionary entries with the same
+    * config. Reference: `text_analysis.clj:84-96` + golden values in
+    * `text_analysis_test.clj:5-22`.
+    */
+  lazy val fieldName: String = {
+    val tk = s"$tokenizer-tokenizer"
+    val filters = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (!caseSensitive) filters += "lowercased"
+    if (asciiFold) filters += "ascii-folded"
+    if (stem) filters += s"stemmed-$stemmer"
+    if (filters.nonEmpty) s"text.$tk.${filters.sorted.mkString("-")}"
+    else s"text.$tk"
+  }
+}
+
+object AnalysisConf {
+  val DefaultTokenizer = "standard"
+  val DefaultStemmer = "english"
+
+  /** `default-conf` of the reference (`text_analysis.clj:101-106`). */
+  val default: AnalysisConf =
+    AnalysisConf(DefaultTokenizer, caseSensitive = true, asciiFold = false,
+      stem = false, stemmer = DefaultStemmer)
+
+  /** Three-way merge: entry-level > highlighter-level > defaults, per key;
+    * None means "inherit". Reference: `text_analysis.clj:110-126`.
+    */
+  def resolve(
+      tokenizer: Option[String], caseSensitive: Option[Boolean],
+      asciiFold: Option[Boolean], stem: Option[Boolean],
+      stemmer: Option[String],
+      optsTokenizer: Option[String], optsCaseSensitive: Option[Boolean],
+      optsAsciiFold: Option[Boolean], optsStem: Option[Boolean],
+      optsStemmer: Option[String]): AnalysisConf =
+    AnalysisConf(
+      tokenizer.orElse(optsTokenizer).getOrElse(DefaultTokenizer),
+      caseSensitive.orElse(optsCaseSensitive).getOrElse(true),
+      asciiFold.orElse(optsAsciiFold).getOrElse(false),
+      stem.orElse(optsStem).getOrElse(false),
+      stemmer.orElse(optsStemmer).getOrElse(DefaultStemmer))
+}
+
+/** Native tokenizers replacing the Lucene ones used by the reference
+  * (`text_analysis.clj:51-63`). All preserve character offsets.
+  */
+object Tokenizers {
+
+  /** Dispatch like the reference `tokenizer` fn: unknown names fall back
+    * to standard (`text_analysis.clj:60-63`).
+    */
+  def tokenize(name: String, text: String): Array[Token] = name match {
+    case "keyword"            => keyword(text)
+    case "letter"             => letter(text)
+    case "classic"            => standardLike(text, classic = true)
+    case "strict"             => strict(text)
+    case "unicode-whitespace" => whitespace(text, unicode = true)
+    case "whitespace"         => whitespace(text, unicode = false)
+    case _                    => standardLike(text, classic = false)
+  }
+
+  /** Whole input = one token (Lucene KeywordTokenizer). */
+  def keyword(text: String): Array[Token] =
+    if (text.isEmpty) Array.empty
+    else Array(Token(text, 0, text.length, 0))
+
+  /** Runs of Character.isLetter (Lucene LetterTokenizer). */
+  def letter(text: String): Array[Token] =
+    runs(text, c => Character.isLetter(c))
+
+  /** Split on whitespace (Lucene WhitespaceTokenizer uses
+    * Character.isWhitespace; the Unicode variant also treats the
+    * White_Space-property-only chars NBSP etc. as separators).
+    */
+  def whitespace(text: String, unicode: Boolean): Array[Token] = {
+    def isWs(c: Char): Boolean =
+      Character.isWhitespace(c) ||
+        (unicode && (c == ' ' || c == ' ' || c == ' ' || c == ''))
+    runs(text, c => !isWs(c))
+  }
+
+  /** PatternTokenizer with the reference's "strict" separator pattern
+    * `[^a-zA-Z0-9{}\[\]()<>#+=@&']+` (`text_analysis.clj:57`): tokens are
+    * maximal runs of the allowed characters.
+    */
+  def strict(text: String): Array[Token] = {
+    def allowed(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') ||
+        "{}[]()<>#+=@&'".indexOf(c.toInt) >= 0
+    runs(text, allowed)
+  }
+
+  /** Approximation of Lucene's UAX#29 StandardTokenizer: maximal runs of
+    * letters/digits/marks/underscore, with mid-token joiners kept when
+    * surrounded by alphanumerics — apostrophes and '.'/':' between
+    * letters, '.'/',' between digits. Close enough for the reference's
+    * pinned behaviors: "test-test" → [test, test], "don't" → [don't],
+    * trailing punctuation dropped. `classic = true` additionally keeps
+    * hyphens when a digit is adjacent (ClassicTokenizer rule).
+    */
+  def standardLike(text: String, classic: Boolean): Array[Token] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Token]
+    val n = text.length
+    var i = 0
+    var pos = 0
+    def isTokChar(c: Char): Boolean =
+      Character.isLetterOrDigit(c) || Character.getType(c) == Character.NON_SPACING_MARK || c == '_'
+    def isLetterish(c: Char): Boolean = Character.isLetter(c)
+    while (i < n) {
+      if (isTokChar(text.charAt(i))) {
+        val start = i
+        var j = i
+        var continue = true
+        while (continue) {
+          while (j < n && isTokChar(text.charAt(j))) j += 1
+          continue = false
+          if (j < n && j + 1 < n && isTokChar(text.charAt(j + 1))) {
+            val sep = text.charAt(j)
+            val prev = text.charAt(j - 1)
+            val next = text.charAt(j + 1)
+            val joins =
+              ((sep == '\'' || sep == '’') && isLetterish(prev) && isLetterish(next)) ||
+                ((sep == '.' || sep == ':') && isLetterish(prev) && isLetterish(next)) ||
+                ((sep == '.' || sep == ',') && Character.isDigit(prev) && Character.isDigit(next)) ||
+                (classic && sep == '-' &&
+                  (Character.isDigit(prev) || Character.isDigit(next)))
+            if (joins) { j += 1; continue = true }
+          }
+        }
+        out += Token(text.substring(start, j), start, j, pos)
+        pos += 1
+        i = j
+      } else i += 1
+    }
+    out.toArray
+  }
+
+  private def runs(text: String, keep: Char => Boolean): Array[Token] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Token]
+    var i = 0
+    var pos = 0
+    val n = text.length
+    while (i < n) {
+      if (keep(text.charAt(i))) {
+        val start = i
+        while (i < n && keep(text.charAt(i))) i += 1
+        out += Token(text.substring(start, i), start, i, pos)
+        pos += 1
+      } else i += 1
+    }
+    out.toArray
+  }
+}
+
+/** Token filters replacing the Lucene filter chain
+  * (`text_analysis.clj:65-82`). Filters rewrite `term` only; offsets are
+  * untouched so annotations always report original document substrings.
+  */
+object Filters {
+
+  /** Codepoint-wise lowercase (Lucene LowerCaseFilter semantics). */
+  def lowercase(s: String): String = {
+    var i = 0
+    val n = s.length
+    var changed = false
+    while (i < n && !changed) { if (Character.isUpperCase(s.charAt(i)) || Character.isTitleCase(s.charAt(i))) changed = true else i += 1 }
+    if (!changed) s
+    else {
+      val sb = new java.lang.StringBuilder(n)
+      var j = 0
+      while (j < n) {
+        val cp = s.codePointAt(j)
+        sb.appendCodePoint(Character.toLowerCase(cp))
+        j += Character.charCount(cp)
+      }
+      sb.toString
+    }
+  }
+
+  /** ASCII folding (Lucene ASCIIFoldingFilter): NFD-decompose, strip
+    * combining marks, plus the special Latin mappings NFD can't reach.
+    */
+  def asciiFold(s: String): String = {
+    var ascii = true
+    var i = 0
+    while (i < s.length && ascii) { if (s.charAt(i) >= 0x80) ascii = false else i += 1 }
+    if (ascii) return s
+    val nfd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var j = 0
+    while (j < nfd.length) {
+      val c = nfd.charAt(j)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) {
+        if (c < 0x80) sb.append(c)
+        else c match {
+          case 'Æ' => sb.append("AE"); case 'æ' => sb.append("ae")
+          case 'Ø' => sb.append('O');  case 'ø' => sb.append('o')
+          case 'Þ' => sb.append("TH"); case 'þ' => sb.append("th")
+          case 'Ð' => sb.append('D');  case 'ð' => sb.append('d')
+          case 'ß' => sb.append("ss")
+          case 'Œ' => sb.append("OE"); case 'œ' => sb.append("oe")
+          case 'Ł' => sb.append('L');  case 'ł' => sb.append('l')
+          case 'Đ' => sb.append('D');  case 'đ' => sb.append('d')
+          case 'ı' => sb.append('i');  case 'İ' => sb.append('I')
+          case other => sb.append(other)
+        }
+      }
+      j += 1
+    }
+    sb.toString
+  }
+
+  /** ClassicFilter quirk: the reference applies a ClassicFilter when the
+    * chain is "bare" (case-sensitive, no fold, no stem) —
+    * `text_analysis.clj:78-80`. For non-classic tokenizers its only
+    * observable effect is stripping trailing possessive "'s"; acronym
+    * dot-stripping applies only to ClassicTokenizer acronym tokens.
+    * Observed: bare whitespace chain keeps "tests." intact
+    * (`text_analysis_test.clj:41-46`).
+    */
+  def classicFilter(term: String, tokenizerName: String): String = {
+    var t = term
+    if (t.length >= 2 && (t.endsWith("'s") || t.endsWith("’s")))
+      t = t.substring(0, t.length - 2)
+    if (tokenizerName == "classic" && isAcronym(t)) t = t.replace(".", "")
+    t
+  }
+
+  private def isAcronym(t: String): Boolean =
+    t.length >= 3 && t.indexOf('.') >= 0 &&
+      t.forall(c => Character.isLetter(c) || c == '.') &&
+      !t.contains("..") && t.count(_ == '.') >= 1 &&
+      t.split('.').forall(p => p.length == 1)
+}
+
+/** The full analyzer: tokenizer → lowercase? → asciifold? → stem? with the
+  * reference's bare-chain ClassicFilter quirk. Reference:
+  * `text_analysis.clj:65-82`.
+  */
+object Analyzer {
+
+  def analyze(conf: AnalysisConf, text: String): Array[Token] = {
+    val raw = Tokenizers.tokenize(conf.tokenizer, text)
+    val bareChain = conf.caseSensitive && !conf.asciiFold && !conf.stem
+    if (raw.isEmpty) return raw
+    val stemmer: String => String =
+      if (conf.stem) Stemmers.forName(conf.stemmer).stem _ else identity
+    var i = 0
+    val out = new Array[Token](raw.length)
+    while (i < raw.length) {
+      val t = raw(i)
+      var term = t.term
+      if (!conf.caseSensitive) term = Filters.lowercase(term)
+      if (conf.asciiFold) term = Filters.asciiFold(term)
+      if (conf.stem) term = stemmer(term)
+      else if (bareChain) term = Filters.classicFilter(term, conf.tokenizer)
+      out(i) = if (term eq t.term) t else t.copy(term = term)
+      i += 1
+    }
+    out
+  }
+
+  /** Analyze into term strings only — used on dictionary phrases at
+    * compile time (`text_analysis.clj:136-148`, `phrases.clj:142-144`).
+    */
+  def terms(conf: AnalysisConf, text: String): Array[String] =
+    analyze(conf, text).map(_.term)
+}

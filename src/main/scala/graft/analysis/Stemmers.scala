@@ -1,0 +1,279 @@
+package graft.analysis
+
+/** Native Snowball-family stemmers.
+  *
+  * The reference delegates to the 26 org.tartarus.snowball stemmers
+  * (`text_analysis.clj:15-49`). Lucene's jars in this build do not ship
+  * Snowball, so the algorithms are re-implemented from the published
+  * Snowball specifications (snowballstem.org):
+  *  - english: full Porter2 implementation (also used for :porter).
+  *  - lithuanian: the declension-suffix subset of the Snowball Lithuanian
+  *    algorithm (covers the reference's pinned test cases).
+  *  - all other language keywords resolve to the identity stemmer; they
+  *    keep their own analysis field name (so entries with different
+  *    stemmers never cross-match, same as the reference) but do not
+  *    rewrite terms. Documented accuracy limitation.
+  * Unknown/absent stemmer names fall back to english
+  * (`text_analysis.clj:46-49`).
+  */
+trait Stemmer extends Serializable { def stem(word: String): String }
+
+object IdentityStemmer extends Stemmer { def stem(w: String): String = w }
+
+object Stemmers {
+  val snowballNames: Set[String] = Set(
+    "arabic", "armenian", "basque", "catalan", "danish", "dutch", "english",
+    "estonian", "finnish", "french", "german", "german2", "hungarian",
+    "irish", "italian", "kp", "lithuanian", "lovins", "norwegian", "porter",
+    "portuguese", "romanian", "russian", "spanish", "swedish", "turkish")
+
+  def forName(name: String): Stemmer = name match {
+    case "english" | "porter" => EnglishStemmer
+    case "lithuanian"         => LithuanianStemmer
+    case n if snowballNames.contains(n) => IdentityStemmer
+    case _                    => EnglishStemmer // reference defaults unknowns to English
+  }
+}
+
+/** Porter2 ("english") stemmer, implemented from the published algorithm
+  * at snowballstem.org/algorithms/english/stemmer.html. Operates on the
+  * term as-is: like Snowball, only lowercase a,e,i,o,u,y count as vowels,
+  * so uppercase input is effectively left alone (matching the reference's
+  * behavior of stemming case-sensitive tokens verbatim).
+  */
+object EnglishStemmer extends Stemmer {
+
+  private val exceptions1: Map[String, String] = Map(
+    "skis" -> "ski", "skies" -> "sky", "dying" -> "die", "lying" -> "lie",
+    "tying" -> "tie", "idly" -> "idl", "gently" -> "gentl", "ugly" -> "ugli",
+    "early" -> "earli", "only" -> "onli", "singly" -> "singl",
+    "sky" -> "sky", "news" -> "news", "howe" -> "howe", "atlas" -> "atlas",
+    "cosmos" -> "cosmos", "bias" -> "bias", "andes" -> "andes")
+
+  private val exceptions2: Set[String] = Set(
+    "inning", "outing", "canning", "herring", "earring",
+    "proceed", "exceed", "succeed")
+
+  private val doubles = Set("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+  private val liEnding = "cdeghkmnrt"
+
+  @inline private def isVowel(c: Char): Boolean =
+    c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u' || c == 'y'
+
+  def stem(input: String): String = {
+    var w = input
+    if (w.startsWith("'")) w = w.substring(1)
+    if (w.length <= 2) return w
+    exceptions1.get(w).foreach(r => return r)
+
+    // mark consonant-y as Y
+    {
+      val cs = w.toCharArray
+      if (cs(0) == 'y') cs(0) = 'Y'
+      var i = 1
+      while (i < cs.length) {
+        if (cs(i) == 'y' && isVowel(cs(i - 1))) cs(i) = 'Y'
+        i += 1
+      }
+      w = new String(cs)
+    }
+
+    var r1 =
+      if (w.startsWith("gener")) 5
+      else if (w.startsWith("commun")) 6
+      else if (w.startsWith("arsen")) 5
+      else regionAfterVC(w, 0)
+    var r2 = regionAfterVC(w, r1)
+
+    // Step 0: trailing ', 's, 's'
+    if (w.endsWith("'s'")) w = w.dropRight(3)
+    else if (w.endsWith("'s")) w = w.dropRight(2)
+    else if (w.endsWith("'")) w = w.dropRight(1)
+
+    // Step 1a
+    if (w.endsWith("sses")) w = w.dropRight(2)
+    else if (w.endsWith("ied") || w.endsWith("ies"))
+      w = if (w.length - 3 > 1) w.dropRight(2) else w.dropRight(1)
+    else if (w.endsWith("ss") || w.endsWith("us")) ()
+    else if (w.endsWith("s")) {
+      // delete if the preceding part contains a vowel not immediately before the s
+      var hasV = false
+      var i = 0
+      while (i < w.length - 2) { if (isVowel(w.charAt(i))) hasV = true; i += 1 }
+      if (hasV) w = w.dropRight(1)
+    }
+
+    if (exceptions2.contains(w)) return finish(w)
+
+    // Step 1b
+    if (w.endsWith("eedly")) { if (w.length - 5 >= r1) w = w.dropRight(3) }
+    else if (w.endsWith("eed")) { if (w.length - 3 >= r1) w = w.dropRight(1) }
+    else {
+      val suf =
+        if (w.endsWith("ingly")) "ingly" else if (w.endsWith("edly")) "edly"
+        else if (w.endsWith("ing")) "ing" else if (w.endsWith("ed")) "ed"
+        else null
+      if (suf != null) {
+        val stemPart = w.dropRight(suf.length)
+        if (stemPart.exists(isVowel)) {
+          w = stemPart
+          if (w.endsWith("at") || w.endsWith("bl") || w.endsWith("iz")) w = w + "e"
+          else if (w.length >= 2 && doubles.contains(w.takeRight(2))) w = w.dropRight(1)
+          else if (r1 >= w.length && endsShortSyllable(w)) w = w + "e"
+        }
+      }
+    }
+
+    // Step 1c
+    if (w.length > 2) {
+      val last = w.charAt(w.length - 1)
+      if ((last == 'y' || last == 'Y') && !isVowel(w.charAt(w.length - 2)))
+        w = w.dropRight(1) + "i"
+    }
+
+    // Step 2 (longest suffix, in R1)
+    val step2: List[(String, String)] = List(
+      "ization" -> "ize", "ational" -> "ate", "fulness" -> "ful",
+      "ousness" -> "ous", "iveness" -> "ive", "tional" -> "tion",
+      "biliti" -> "ble", "lessli" -> "less", "entli" -> "ent",
+      "ation" -> "ate", "alism" -> "al", "aliti" -> "al", "ousli" -> "ous",
+      "fulli" -> "ful", "enci" -> "ence", "anci" -> "ance", "abli" -> "able",
+      "izer" -> "ize", "ator" -> "ate", "alli" -> "al", "bli" -> "ble")
+    var done2 = false
+    for ((s, r) <- step2 if !done2) {
+      if (w.endsWith(s)) {
+        done2 = true
+        if (w.length - s.length >= r1) w = w.dropRight(s.length) + r
+      }
+    }
+    if (!done2) {
+      if (w.endsWith("ogi")) {
+        done2 = true
+        if (w.length - 3 >= r1 && w.length >= 4 && w.charAt(w.length - 4) == 'l')
+          w = w.dropRight(1)
+      } else if (w.endsWith("li")) {
+        if (w.length - 2 >= r1 && w.length >= 3 && liEnding.indexOf(w.charAt(w.length - 3)) >= 0)
+          w = w.dropRight(2)
+      }
+    }
+
+    // Step 3 (in R1)
+    if (w.endsWith("ational")) { if (w.length - 7 >= r1) w = w.dropRight(7) + "ate" }
+    else if (w.endsWith("tional")) { if (w.length - 6 >= r1) w = w.dropRight(6) + "tion" }
+    else if (w.endsWith("alize")) { if (w.length - 5 >= r1) w = w.dropRight(3) }
+    else if (w.endsWith("icate") || w.endsWith("iciti")) { if (w.length - 5 >= r1) w = w.dropRight(3) }
+    else if (w.endsWith("ical")) { if (w.length - 4 >= r1) w = w.dropRight(2) }
+    else if (w.endsWith("ative")) { if (w.length - 5 >= r2) w = w.dropRight(5) }
+    else if (w.endsWith("ful")) { if (w.length - 3 >= r1) w = w.dropRight(3) }
+    else if (w.endsWith("ness")) { if (w.length - 4 >= r1) w = w.dropRight(4) }
+
+    // Step 4 (in R2)
+    val step4 = List("ement", "ance", "ence", "able", "ible", "ment", "ent",
+      "ant", "ism", "ate", "iti", "ous", "ive", "ize", "al", "er", "ic")
+    var done4 = false
+    if (w.endsWith("ion")) {
+      // handled below with s/t condition; but only if no longer suffix matches first
+      // "ement"/"ment"/"ent" end in "ent" not "ion", so check order is safe:
+    }
+    for (s <- step4 if !done4) {
+      if (w.endsWith(s)) {
+        done4 = true
+        if (w.length - s.length >= r2) w = w.dropRight(s.length)
+      }
+    }
+    if (!done4 && w.endsWith("ion")) {
+      if (w.length - 3 >= r2 && w.length >= 4 &&
+        (w.charAt(w.length - 4) == 's' || w.charAt(w.length - 4) == 't'))
+        w = w.dropRight(3)
+    }
+
+    // Step 5
+    if (w.endsWith("e")) {
+      val pos = w.length - 1
+      if (pos >= r2) w = w.dropRight(1)
+      else if (pos >= r1 && !endsShortSyllable(w.dropRight(1))) w = w.dropRight(1)
+    } else if (w.endsWith("l")) {
+      if (w.length - 1 >= r2 && w.length >= 2 && w.charAt(w.length - 2) == 'l')
+        w = w.dropRight(1)
+    }
+
+    finish(w)
+  }
+
+  private def finish(w: String): String =
+    if (w.indexOf('Y') >= 0) w.replace('Y', 'y') else w
+
+  /** Region start after the first vowel-followed-by-non-vowel at/after `from`. */
+  private def regionAfterVC(w: String, from: Int): Int = {
+    var i = from
+    val n = w.length
+    while (i < n && !isVowel(w.charAt(i))) i += 1
+    while (i < n && isVowel(w.charAt(i))) i += 1
+    if (i < n) i + 1 else n
+  }
+
+  /** Word ends with a short syllable. */
+  private def endsShortSyllable(w: String): Boolean = {
+    val n = w.length
+    if (n == 2) isVowel(w.charAt(0)) && !isVowel(w.charAt(1))
+    else if (n >= 3) {
+      val c = w.charAt(n - 1)
+      !isVowel(w.charAt(n - 3)) && isVowel(w.charAt(n - 2)) &&
+        !isVowel(c) && c != 'w' && c != 'x' && c != 'Y'
+    } else false
+  }
+}
+
+/** Lithuanian declension-suffix stemmer — the step-1 noun/adjective ending
+  * removal of the Snowball Lithuanian algorithm, which is what the
+  * reference's pinned tests exercise ("Kaunas"/"Kauno" → "Kaun",
+  * "Sabonis"/"Saboniai" → "Sabon"; `phrases_test.clj:198-213,236-242`).
+  */
+object LithuanianStemmer extends Stemmer {
+
+  // longest-match-first list of common declension endings
+  private val endings: Array[String] = Array(
+    "iuose", "iams", "iais", "omis", "umis", "imis", "ėmis", "uose", "uosna",
+    "osna", "iems", "ioms", "iose", "ams", "ais", "oms", "ėms", "ims", "ums",
+    "ose", "yse", "uje", "yje", "ame", "iame", "iai", "ias", "ios", "ius",
+    "ių", "as", "is", "ys", "us", "ia", "io", "iu", "ai", "ei", "ui", "uo",
+    "ės", "os", "ė", "o", "u", "i", "y", "a", "e", "ų", "į", "ą", "ę", "s"
+  ).sortBy(-_.length)
+
+  private val vowels = "aeiouyąęėįųūAEIOUYĄĘĖĮŲŪ"
+
+  @inline private def isVowel(c: Char): Boolean = vowels.indexOf(c.toInt) >= 0
+
+  def stem(word: String): String = {
+    // R1: after the first non-vowel following a vowel
+    var i = 0
+    val n = word.length
+    while (i < n && !isVowel(word.charAt(i))) i += 1
+    while (i < n && isVowel(word.charAt(i))) i += 1
+    val r1 = if (i < n) i + 1 else n
+    var w = word
+    var matched = false
+    var k = 0
+    while (!matched && k < endings.length) {
+      val e = endings(k)
+      if (w.length - e.length >= r1 && w.length - e.length >= 2 && endsWithLt(w, e)) {
+        w = w.substring(0, w.length - e.length)
+        matched = true
+      }
+      k += 1
+    }
+    w
+  }
+
+  // case-respecting endsWith but tolerant of uppercase stems ("Kaunas")
+  @inline private def endsWithLt(w: String, e: String): Boolean = {
+    if (w.length < e.length) return false
+    var i = 0
+    while (i < e.length) {
+      val wc = Character.toLowerCase(w.charAt(w.length - e.length + i))
+      if (wc != e.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+}

@@ -1,0 +1,253 @@
+package graft.engine
+
+import graft.analysis.{AnalysisConf, Analyzer, Token}
+import graft.dict.{Annotation, DictionaryEntry, HighlighterOpts}
+
+import scala.collection.mutable
+
+/** A compiled stored query.
+  *
+  * The reference compiles each dictionary entry into either a Lucene
+  * MultiPhraseQuery or a SpanNearQuery (`phrases.clj:160-204`). We compile
+  * into this ADT-ish struct and match natively.
+  *
+  * @param idx       stable index (used for deterministic iteration)
+  * @param queryId   entry id or dictionary index as string (`phrases.clj:165`)
+  * @param fieldIdx  index into CompiledDictionary.fieldConfs
+  * @param terms     analyzed phrase terms
+  * @param span      true → SpanNear semantics + the reference's begin/end
+  *                  pairing reconstruction; false → MultiPhrase semantics
+  * @param ordered   span order flag (`phrases.clj:173-176`)
+  * @param slop      normalized slop (clamped to [0, MaxInt], `phrases.clj:167`)
+  * @param fuzzy     per-term fuzzy matching (`phrases.clj:179-183`)
+  * @param fuzziness max edit distance (default 1)
+  * @param metadata  entry meta + "_type" (+ "_in-order" for span queries)
+  */
+final case class CompiledQuery(
+    idx: Int,
+    queryId: String,
+    fieldIdx: Int,
+    terms: Array[String],
+    span: Boolean,
+    ordered: Boolean,
+    slop: Int,
+    fuzzy: Boolean,
+    fuzziness: Int,
+    metadata: Map[String, String]) extends Serializable
+
+/** Driver-compiled, broadcast-able dictionary: the Spark-native equivalent
+  * of the reference's in-memory Lucene Monitor (`monitor.clj:27-32,64-71`).
+  *
+  * Scale design: one instance per dictionary version, broadcast once;
+  * matching is partition-local and stateless. The `anchor` index is the
+  * presearcher (`README.md:183-184`): every non-fuzzy query is indexed
+  * under exactly ONE of its terms (all phrase terms are required, so a doc
+  * lacking the anchor term cannot match). Per document we union candidate
+  * query ids over the doc's distinct terms and run only those — per-doc
+  * cost stays ~constant as the dictionary grows.
+  */
+final class CompiledDictionary(
+    val queries: Array[CompiledQuery],
+    val fieldConfs: Array[AnalysisConf],
+    val anchor: Array[java.util.HashMap[String, Array[Int]]], // per fieldIdx: term -> query idxs
+    val alwaysCheck: Array[Int], // fuzzy queries: no exact anchor term
+    val typeName: String) extends Serializable {
+
+  /** Annotate one document. Blank text short-circuits
+    * (`phrases.clj:228-230`).
+    */
+  def matchDoc(text: String): Seq[Annotation] = {
+    if (text == null || text.trim.isEmpty) return Nil
+    val fields = new Array[FieldTokens](fieldConfs.length)
+    var f = 0
+    while (f < fieldConfs.length) {
+      fields(f) = FieldTokens(Analyzer.analyze(fieldConfs(f), text))
+      f += 1
+    }
+    // presearch: candidate query set
+    val cand = new java.util.BitSet(queries.length)
+    f = 0
+    while (f < fieldConfs.length) {
+      val idx = anchor(f)
+      if (!idx.isEmpty) {
+        val it = fields(f).positions.keySet().iterator()
+        while (it.hasNext) {
+          val hit = idx.get(it.next())
+          if (hit != null) { var i = 0; while (i < hit.length) { cand.set(hit(i)); i += 1 } }
+        }
+      }
+      f += 1
+    }
+    { var i = 0; while (i < alwaysCheck.length) { cand.set(alwaysCheck(i)); i += 1 } }
+
+    val out = mutable.ArrayBuffer.empty[Annotation]
+    var q = cand.nextSetBit(0)
+    while (q >= 0) {
+      Matcher.matchQuery(queries(q), fields(queries(q).fieldIdx), text, typeName, out)
+      q = cand.nextSetBit(q + 1)
+    }
+    out.map(PostProcess.apply).toSeq
+  }
+
+  def matchDocMerged(text: String, merge: Boolean): Seq[Annotation] = {
+    val anns = matchDoc(text)
+    if (merge) AnnotationMerger.mergeSameType(anns) else anns
+  }
+}
+
+/** Per-field tokenization of one document: tokens + term→positions map.
+  * Positions are consecutive 0..n-1 so `tokens(pos)` resolves offsets.
+  */
+final case class FieldTokens(tokens: Array[Token]) {
+  val positions: java.util.HashMap[String, Array[Int]] = {
+    val tmp = new java.util.HashMap[String, mutable.ArrayBuilder.ofInt]()
+    var i = 0
+    while (i < tokens.length) {
+      var b = tmp.get(tokens(i).term)
+      if (b == null) { b = new mutable.ArrayBuilder.ofInt; tmp.put(tokens(i).term, b) }
+      b += i
+      i += 1
+    }
+    val out = new java.util.HashMap[String, Array[Int]](tmp.size())
+    tmp.forEach((k, v) => out.put(k, v.result()))
+    out
+  }
+}
+
+object Compiler {
+
+  private def log(msg: String): Unit = System.err.println(s"[graft] $msg")
+
+  def resolveConf(e: DictionaryEntry, o: HighlighterOpts): AnalysisConf =
+    AnalysisConf.resolve(
+      e.tokenizer, e.caseSensitive, e.asciiFold, e.stem, e.stemmer,
+      o.tokenizer, o.caseSensitive, o.asciiFold, o.stem, o.stemmer)
+
+  /** Synonym expansion: each synonym becomes its own hidden entry cloning
+    * the parent's analysis opts, with meta marking it for id-remapping in
+    * post-process (`phrases.clj:125-140`). Note the reference copies slop
+    * and tokenizer but NOT in-order?/fuzzy? (they are not schema-record
+    * fields) — replicated.
+    */
+  def prepareSynonyms(parentQueryId: String, e: DictionaryEntry): Seq[DictionaryEntry] =
+    e.synonyms.zipWithIndex.map { case (syn, i) =>
+      DictionaryEntry(
+        text = syn,
+        entryType = e.entryType,
+        id = Some(s"syn:$parentQueryId:$i"),
+        synonyms = Nil,
+        caseSensitive = e.caseSensitive,
+        asciiFold = e.asciiFold,
+        stem = e.stem,
+        stemmer = e.stemmer,
+        slop = e.slop,
+        tokenizer = e.tokenizer,
+        meta = e.meta ++ Map("synonym?" -> "true", "query-id" -> parentQueryId))
+    }
+
+  /** Compile one entry into a query, or None when it yields no tokens
+    * (`phrases.clj:204`) or has unusable fuzziness (Lucene FuzzyQuery
+    * caps maxEdits at 2; the reference's per-query register fallback drops
+    * such entries — `monitor.clj:34-46`).
+    */
+  def compileEntry(
+      e: DictionaryEntry, opts: HighlighterOpts, defaultId: String,
+      fieldIdxOf: AnalysisConf => Int, idx: Int): Option[CompiledQuery] = {
+    val conf = resolveConf(e, opts)
+    val terms = Analyzer.terms(conf, e.text)
+    if (terms.isEmpty) {
+      log(s"Discarding the dictionary entry because no tokens: '${e.text}'")
+      return None
+    }
+    // slop / in-order inherit from highlighter opts only when absent on the
+    // entry (`phrases.clj:146-158`)
+    val slop = e.slop.orElse(opts.slop)
+    val inOrder = e.inOrder.orElse(opts.inOrder)
+    val fuzzy = e.fuzzy.contains(true)
+    val fuzziness = e.fuzziness.getOrElse(1)
+    if (fuzzy && (fuzziness > 2 || fuzziness < 0)) {
+      log(s"Discarding entry '${e.text}': fuzziness $fuzziness not in [0,2]")
+      return None
+    }
+    val queryId = e.id.getOrElse(defaultId)
+    val baseMeta = e.entryType.fold(e.meta)(t => e.meta + ("_type" -> t))
+    val normalizedSlop: Int =
+      slop.map(s => math.max(0L, math.min(s, Int.MaxValue.toLong)).toInt).getOrElse(0)
+    val spanPath = (slop.exists(_ > 0) && inOrder.contains(true) && terms.length > 1) || fuzzy
+    if (spanPath) {
+      val ordered =
+        if (inOrder.contains(true)) true
+        else if (inOrder.isEmpty && fuzzy) true
+        else false
+      Some(CompiledQuery(idx, queryId, fieldIdxOf(conf), terms, span = true,
+        ordered = ordered, slop = normalizedSlop, fuzzy = fuzzy,
+        fuzziness = fuzziness, metadata = baseMeta + ("_in-order" -> "true")))
+    } else {
+      Some(CompiledQuery(idx, queryId, fieldIdxOf(conf), terms, span = false,
+        ordered = false, slop = normalizedSlop, fuzzy = false, fuzziness = 0,
+        metadata = baseMeta))
+    }
+  }
+
+  /** Compile the whole dictionary (dedup of analysis configs =
+    * `monitor.clj:48-59`; per-entry + synonym expansion =
+    * `phrases.clj:206-215`; presearcher = §4.1 of SURVEY).
+    */
+  def compile(dictionary: Seq[DictionaryEntry], opts: HighlighterOpts): CompiledDictionary = {
+    val dict0 =
+      if (opts.optimizeDictionary) graft.dict.Optimizer.optimize(dictionary)
+      else dictionary
+    if (opts.validateDictionary) {
+      val errs = graft.dict.Validator.validate(dict0)
+      require(errs.isEmpty, s"Invalid dictionary: ${errs.mkString("; ")}")
+    }
+    val fieldConfs = mutable.ArrayBuffer.empty[AnalysisConf]
+    val fieldIdx = mutable.HashMap.empty[AnalysisConf, Int]
+    def fieldIdxOf(c: AnalysisConf): Int =
+      fieldIdx.getOrElseUpdate(c, { fieldConfs += c; fieldConfs.length - 1 })
+
+    val queries = mutable.ArrayBuffer.empty[CompiledQuery]
+    dict0.zipWithIndex.foreach { case (e, i) =>
+      val parentId = e.id.getOrElse(i.toString)
+      val all = e +: prepareSynonyms(parentId, e)
+      all.foreach { entry =>
+        compileEntry(entry, opts, i.toString, fieldIdxOf, queries.length)
+          .foreach(queries += _)
+      }
+    }
+
+    // presearcher: index each non-fuzzy query under its rarest term
+    val df = mutable.HashMap.empty[(Int, String), Int].withDefaultValue(0)
+    queries.foreach(q => q.terms.distinct.foreach(t => df((q.fieldIdx, t)) += 1))
+    val anchor = Array.fill(fieldConfs.length)(new java.util.HashMap[String, mutable.ArrayBuilder.ofInt]())
+    val alwaysCheck = new mutable.ArrayBuilder.ofInt
+    queries.foreach { q =>
+      if (q.fuzzy) alwaysCheck += q.idx
+      else {
+        val best = q.terms.minBy(t => (df((q.fieldIdx, t)), -t.length))
+        var b = anchor(q.fieldIdx).get(best)
+        if (b == null) { b = new mutable.ArrayBuilder.ofInt; anchor(q.fieldIdx).put(best, b) }
+        b += q.idx
+      }
+    }
+    val anchorFinal = anchor.map { m =>
+      val out = new java.util.HashMap[String, Array[Int]](m.size())
+      m.forEach((k, v) => out.put(k, v.result()))
+      out
+    }
+    val typeName = opts.typeName.filter(_.trim.nonEmpty).getOrElse("PHRASE")
+    new CompiledDictionary(queries.toArray, fieldConfs.toArray, anchorFinal,
+      alwaysCheck.result(), typeName)
+  }
+}
+
+/** Synonym id remap + "_type" strip (`phrases.clj:217-226`). */
+object PostProcess {
+  def apply(a: Annotation): Annotation = {
+    var r = a
+    if (r.meta.get("synonym?").contains("true"))
+      r.meta.get("query-id").foreach(pid => r = r.copy(dictEntryId = pid))
+    if (r.meta.contains("_type")) r = r.copy(meta = r.meta - "_type")
+    r
+  }
+}

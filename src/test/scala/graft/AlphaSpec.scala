@@ -1,0 +1,49 @@
+package graft
+
+import graft.dict.{DictionaryEntry => DE, HighlighterOpts => HO}
+import graft.engine.LuceneAlpha.AlphaAnnotator
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Port of `lucene_alpha_test.clj` + grammar-subset checks. */
+class AlphaSpec extends AnyFunSuite {
+
+  test("AND query (lucene_alpha_test.clj:6-16)") {
+    val ann = new AlphaAnnotator(Seq(DE("this AND that", id = Some("1"))))
+    val a1 = ann.annotate("this that")
+    assert(a1.size == 1)
+    assert(a1.head.dictEntryId == "1")
+    assert(a1.head.annType == "QUERY")
+    assert(a1.head.text == "this AND that")
+    assert(ann.annotate("this only").isEmpty)
+  }
+
+  test("regex query (lucene_alpha_test.clj:18-28)") {
+    val ann = new AlphaAnnotator(Seq(DE("/.*\\d*.*/", id = Some("1"))))
+    assert(ann.annotate("this that 42").nonEmpty)
+  }
+
+  test("OR default, NOT, parens, quoted phrase") {
+    val ann = new AlphaAnnotator(Seq(DE("alpha beta", id = Some("or"))))
+    assert(ann.annotate("has alpha only").size == 1)
+    assert(ann.annotate("nothing here").isEmpty)
+
+    val ann2 = new AlphaAnnotator(Seq(DE("alpha AND NOT beta", id = Some("n"))))
+    assert(ann2.annotate("alpha gamma").size == 1)
+    assert(ann2.annotate("alpha beta").isEmpty)
+
+    val ann3 = new AlphaAnnotator(Seq(DE("(alpha OR beta) AND gamma", id = Some("p"))))
+    assert(ann3.annotate("beta gamma").size == 1)
+    assert(ann3.annotate("beta delta").isEmpty)
+
+    val ann4 = new AlphaAnnotator(Seq(DE("\"big data\"", id = Some("q"))))
+    assert(ann4.annotate("the big data world").size == 1)
+    assert(ann4.annotate("big blue data").isEmpty)
+  }
+
+  test("type from entry, blank guard") {
+    val ann = new AlphaAnnotator(Seq(DE("x", id = Some("1"), entryType = Some("T"))),
+      HO(typeName = Some("QQ")))
+    assert(ann.annotate("x y").head.annType == "T")
+    assert(ann.annotate("  ").isEmpty)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.analysis._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests ported from `text_analysis_test.clj`. */
+class AnalysisSpec extends AnyFunSuite {
+
+  private def conf(
+      tokenizer: Option[String] = None, cs: Option[Boolean] = None,
+      fold: Option[Boolean] = None, stem: Option[Boolean] = None,
+      stemmer: Option[String] = None,
+      oTokenizer: Option[String] = None): AnalysisConf =
+    AnalysisConf.resolve(tokenizer, cs, fold, stem, stemmer,
+      oTokenizer, None, None, None, None)
+
+  test("field name construction (text_analysis_test.clj:5-22)") {
+    assert(conf().fieldName == "text.standard-tokenizer")
+    assert(conf(cs = Some(true)).fieldName == "text.standard-tokenizer")
+    assert(conf(cs = Some(false)).fieldName == "text.standard-tokenizer.lowercased")
+    assert(conf(fold = Some(true)).fieldName == "text.standard-tokenizer.ascii-folded")
+    assert(conf(stem = Some(true)).fieldName == "text.standard-tokenizer.stemmed-english")
+    assert(conf(stem = Some(true), stemmer = Some("lithuanian")).fieldName ==
+      "text.standard-tokenizer.stemmed-lithuanian")
+    assert(conf(fold = Some(true), cs = Some(false), stem = Some(true),
+      stemmer = Some("lithuanian")).fieldName ==
+      "text.standard-tokenizer.ascii-folded-lowercased-stemmed-lithuanian")
+  }
+
+  test("token streams (text_analysis_test.clj:24-46)") {
+    val txt = "These are tests."
+    def terms(c: AnalysisConf) = Analyzer.terms(c, txt).toSeq
+    assert(terms(conf(cs = Some(true))) == Seq("These", "are", "tests"))
+    assert(terms(conf(cs = Some(false))) == Seq("these", "are", "tests"))
+    assert(terms(conf(cs = Some(false), fold = Some(true))) == Seq("these", "are", "tests"))
+    assert(terms(conf(cs = Some(false), fold = Some(true), stem = Some(true))) ==
+      Seq("these", "are", "test"))
+    // "surprising but correct": whitespace tokenizer keeps the dot; the
+    // stemmer leaves "tests." alone
+    assert(terms(conf(cs = Some(false), fold = Some(true), stem = Some(true),
+      oTokenizer = Some("whitespace"))) == Seq("these", "are", "tests."))
+  }
+
+  test("standard tokenizer offsets and splitting") {
+    val toks = Tokenizers.standardLike("before annotated test-test.", classic = false)
+    assert(toks.map(_.term).toSeq == Seq("before", "annotated", "test", "test"))
+    val t2 = toks(2)
+    assert("before annotated test-test.".substring(t2.begin, t2.end) == "test")
+    // apostrophes join letters
+    assert(Tokenizers.standardLike("don't stop", classic = false).map(_.term).toSeq ==
+      Seq("don't", "stop"))
+    // interior dots join letters (hostnames), trailing dot dropped
+    assert(Tokenizers.standardLike("visit example.com.", classic = false).map(_.term).toSeq ==
+      Seq("visit", "example.com"))
+    // digits keep . and ,
+    assert(Tokenizers.standardLike("pi is 3.14", classic = false).map(_.term).toSeq ==
+      Seq("pi", "is", "3.14"))
+  }
+
+  test("whitespace / letter / keyword / strict tokenizers") {
+    assert(Tokenizers.whitespace("a  b\tc", unicode = false).map(_.term).toSeq == Seq("a", "b", "c"))
+    assert(Tokenizers.letter("ab1cd").map(_.term).toSeq == Seq("ab", "cd"))
+    assert(Tokenizers.keyword("a b").map(_.term).toSeq == Seq("a b"))
+    assert(Tokenizers.keyword("a b").head.end == 3)
+    assert(Tokenizers.strict("[URGENT!] (now)").map(_.term).toSeq == Seq("[URGENT", "]", "(now)"))
+  }
+
+  test("filters") {
+    assert(Filters.lowercase("TeSt") == "test")
+    assert(Filters.asciiFold("wörd") == "word")
+    assert(Filters.asciiFold("schön") == "schon")
+    assert(Filters.asciiFold("Straße") == "Strasse")
+    assert(Filters.asciiFold("ascii") == "ascii")
+  }
+
+  test("english stemmer (Porter2)") {
+    val cases = Map(
+      "tests" -> "test", "dogs" -> "dog", "plays" -> "play",
+      "phrases" -> "phrase", "phrase" -> "phrase",
+      "running" -> "run", "easily" -> "easili", "national" -> "nation",
+      "nationalization" -> "nation", "caresses" -> "caress",
+      "ties" -> "tie", "cries" -> "cri", "hopping" -> "hop",
+      "hoped" -> "hope", "sky" -> "sky", "news" -> "news",
+      "tests." -> "tests.")
+    cases.foreach { case (in, want) =>
+      assert(EnglishStemmer.stem(in) == want, s"stem($in)")
+    }
+  }
+
+  test("lithuanian stemmer subset") {
+    assert(LithuanianStemmer.stem("Kaunas") == LithuanianStemmer.stem("Kauno"))
+    assert(LithuanianStemmer.stem("kauno") == "kaun")
+    assert(LithuanianStemmer.stem("Sabonis") == LithuanianStemmer.stem("Saboniai"))
+  }
+}
