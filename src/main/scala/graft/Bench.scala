@@ -1,24 +1,83 @@
 package graft
+
+import graft.dict.{DictionaryEntry => DE}
+import graft.spark.SparkHighlighter
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main. Headline: documents/second annotating the `documents`
+  * table against a 5k-entry dictionary (the reference's published
+  * baseline workload shape: large dictionary, few-percent match rate —
+  * `README.md:161-214`, BASELINE.md). Plus wall-times for the heavier
+  * pipeline operators. Prints ONE JSON line.
+  */
 object Bench {
+
+  /** Deterministic 5k-entry dictionary: 250 vocab bigrams that really
+    * occur in the corpus (~5% of entries match, like city names in news)
+    * + 4750 synthetic phrases that never match (prunes via presearcher).
+    */
+  private def benchDict(): Seq[DE] = {
+    val vocab = Seq("the", "fast", "key", "order", "sort", "table", "scan",
+      "merge", "part", "window", "small", "hash", "join", "batch", "stream",
+      "spark", "dup", "group", "query", "row", "data", "slow", "filter",
+      "customer", "line", "value", "agg", "column", "big", "vector")
+    val matching = (for {
+      (a, i) <- vocab.zipWithIndex
+      (b, j) <- vocab.zipWithIndex
+      if i != j
+    } yield s"$a $b").take(250)
+    val synthetic = (0 until 4750).map(i => s"city$i центр$i")
+    (matching ++ synthetic).zipWithIndex.map { case (text, i) =>
+      DE(text, id = Some(s"e$i"))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // headline: 5k-dict annotation throughput over the documents table
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+    val nDocs = docs.count()
+    val hl = SparkHighlighter(benchDict())
+    // JIT/codegen warmup on a slice
+    hl.annotateExploded(docs.limit(200), "text").count()
+    var annCount = 0L
+    val annotateSec = time {
+      annCount = hl.annotateExploded(docs, "text").count()
+    }
+    val docsPerSec = nDocs / annotateSec
+
+    // heavier pipeline operators (sec each)
+    val opQueries = Seq("q_dedup_minhash", "q_dedup_exact", "q_knn_brute",
+      "q1_agg", "q_events_window", "q_ann_counts", "q_dedup_simhash",
+      "q_langid")
+    val results = scala.collection.mutable.LinkedHashMap[String, Double](
+      "annotate_5k_dict" -> annotateSec)
+    opQueries.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        results(name) = time { fn(spark, sfDir).count() }
+      }
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":$nDocs,"annotations":$annCount,"docs_per_sec":$docsPerSec%.0f}""")
     spark.stop()
   }
 }

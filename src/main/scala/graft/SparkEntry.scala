@@ -1,13 +1,417 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.dict.{DictionaryEntry => DE, HighlighterOpts => HO, Optimizer, Readers}
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.spark.{SparkAlphaAnnotator, SparkHighlighter}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one entry per operator family from SURVEY.md §2 plus
+  * the training-data pipeline operators. Every SQL-expressible query has a
+  * DuckDB oracle in [[SparkEntry.oracleSql]] with IDENTICAL column names
+  * and deterministic ordering; offset/slop/merge semantics that ANSI SQL
+  * cannot express are pinned by the ScalaTest suites instead and exposed
+  * here as rows-only checks.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+    * default — read it as raw nanos and convert with integral division
+    * (a double division would lose precision at 1.7e18 ns).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(t(dir, "events"))
+      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+  }
+
+  // ---------------------------------------------------------------- dicts
+
+  /** Flagship dictionary exercising each analysis feature: exact word,
+    * exact phrase, case-insensitive, ascii-fold, stemming, synonyms, and a
+    * fuzzy phrase. Ids sort deterministically.
+    */
+  private val annDict: Seq[DE] = Seq(
+    DE("hash", id = Some("w_hash")),
+    DE("hash join", id = Some("p_hashjoin")),
+    DE("SPARK", id = Some("ci_spark"), caseSensitive = Some(false)),
+    DE("hásh", id = Some("af_hash"), asciiFold = Some(true)),
+    DE("scans", id = Some("st_scans"), stem = Some(true)),
+    DE("stream", id = Some("syn_stream"), synonyms = Seq("batch")),
+    DE("hash jion", id = Some("f_hashjoin"), fuzzy = Some(true), fuzziness = Some(1)))
+
+  private def highlighter(dict: Seq[DE], opts: HO = HO()): SparkHighlighter =
+    SparkHighlighter(dict, opts)
+
+  // ------------------------------------------------------------- flagship
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qAnnCounts(spark, "/root/testdata/sf0.001")
+
+  // -------------------------------------------------------------- queries
+
+  private def qAnnCounts(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    highlighter(annDict).annotateExploded(docs, "text")
+      .groupBy(col("dict_entry_id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy(col("dict_entry_id"))
+  }
+
+  private def qAnnOffsets(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    highlighter(Seq(DE("hash join", id = Some("hj")), DE("vector", id = Some("v"))))
+      .annotateExploded(docs, "text")
+      .select(col("doc_id"), col("dict_entry_id"), col("matched_text"),
+        col("begin_offset").cast("long").as("begin_offset"),
+        col("end_offset").cast("long").as("end_offset"))
+      .orderBy(col("doc_id"), col("begin_offset"), col("dict_entry_id"))
+  }
+
+  private def qAnnInorder(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val dict = Seq(
+      DE("group query", id = Some("io1"), slop = Some(1), inOrder = Some(true)),
+      DE("sort merge", id = Some("io2"), slop = Some(2), inOrder = Some(true)))
+    highlighter(dict).annotateExploded(docs, "text")
+      .groupBy(col("dict_entry_id")).agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("dict_entry_id"))
+  }
+
+  private def qAnnSlop(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val dict = Seq(
+      DE("hash merge", id = Some("s1"), slop = Some(1)),
+      DE("join hash", id = Some("s2"), slop = Some(2)))
+    highlighter(dict).annotateExploded(docs, "text")
+      .groupBy(col("dict_entry_id")).agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("dict_entry_id"))
+  }
+
+  private def qAnnMerge(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val dict = Seq(
+      DE("hash join", id = Some("m1")), DE("join", id = Some("m2")),
+      DE("hash", id = Some("m3")))
+    new SparkHighlighter(dict, HO(), mergeAnnotations = true)
+      .annotateExploded(docs, "text")
+      .groupBy(col("dict_entry_id")).agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("dict_entry_id"))
+  }
+
+  private def qAlphaBool(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val dict = Seq(
+      DE("hash AND join", id = Some("b1")),
+      DE("dup AND NOT stream", id = Some("b2")),
+      DE("\"table scan\"", id = Some("b3")))
+    new SparkAlphaAnnotator(dict).annotateExploded(docs, "text")
+      .select(col("doc_id"), col("dict_entry_id"))
+      .orderBy(col("doc_id"), col("dict_entry_id"))
+  }
+
+  private def qDictRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val entries = Readers.readCsv(s, "src/test/resources/dict.csv")
+    entries.map(e => (e.text, e.id.getOrElse(""), e.synonyms.size.toLong,
+      e.caseSensitive.getOrElse(true), e.asciiFold.getOrElse(false),
+      e.meta.size.toLong))
+      .toDF("text", "id", "n_synonyms", "case_sensitive", "ascii_fold", "n_meta")
+  }
+
+  /** Dictionary dedup (§2.5) driven from table data so the oracle can see
+    * the same input: entries = part names (duplicated texts), optimizer
+    * merges per [text, caseSensitive, asciiFold] keeping the first id.
+    */
+  private def qDictOptimize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parts = s.read.parquet(t(dir, "part"))
+      .filter(col("p_partkey") < 200)
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey"))
+      .collect()
+    val dict = parts.toIndexedSeq.map(r => DE(r.getString(1), id = Some(r.getLong(0).toString)))
+    val counts = dict.groupBy(_.text).map { case (txt, es) => txt -> es.size.toLong }
+    Optimizer.optimize(dict)
+      .map(e => (e.text, e.id.getOrElse(""), counts(e.text)))
+      .toDF("text", "keep_id", "n_merged")
+      .orderBy(col("text"))
+  }
+
+  // relational analytics around annotation streams
+
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(t(dir, "lineitem"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(14,2)")).cast("double").as("sum_base_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private def qJoinTopn(s: SparkSession, dir: String): DataFrame = {
+    val customer = s.read.parquet(t(dir, "customer"))
+    val orders = s.read.parquet(t(dir, "orders"))
+    val joined = orders.join(broadcast(customer),
+      orders("o_custkey") === customer("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    joined.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("c_mktsegment"), col("rnk"), col("o_orderkey"))
+      .orderBy(col("c_mktsegment"), col("rnk"))
+  }
+
+  private def qEventsWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  // training-data pipeline: dedup
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(s.read.parquet(t(dir, "documents")), "text", "doc_id")
+      .orderBy(col("text_md5"))
+
+  private def qDedupJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(s.read.parquet(t(dir, "documents")),
+        "text", "doc_id", n = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(s.read.parquet(t(dir, "documents")),
+        "text", "doc_id", n = 3, numPerms = 64, bands = 16, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(s.read.parquet(t(dir, "documents")),
+        "text", "doc_id", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def qEmbedDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairs(s.read.parquet(t(dir, "embeddings")),
+        "embedding", "vec_id", dim = 64, threshold = 0.9)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 3).as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  // training-data pipeline: similarity search
+
+  private def qKnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(t(dir, "embeddings"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), "embedding",
+        "vec_id", q, k = 10)
+      .select(col("id"), col("rank").cast("long").as("rank"),
+        round(col("cosine"), 3).as("cosine"))
+      .orderBy(col("rank"))
+  }
+
+  private def qKnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(t(dir, "embeddings"))
+    Similarity.knnJoin(emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id", k = 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def qKnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(t(dir, "embeddings"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    Similarity.lshTopK(emb.filter(col("vec_id") =!= 0), "embedding", "vec_id",
+        q, k = 10, dim = 64, nPlanes = 16, probeHamming = 4)
+      .select(col("id"), col("rank").cast("long").as("rank"))
+      .orderBy(col("rank"))
+  }
+
+  // training-data pipeline: text analysis
+
+  private def qLangid(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  private def qQuality(s: SparkSession, dir: String): DataFrame =
+    TextStats.quality(s.read.parquet(t(dir, "documents")), "text", "doc_id")
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_stopwords").cast("long").as("n_stopwords"),
+        col("mean_tok_len"), col("quality_bucket"))
+      .orderBy(col("doc_id"))
+
+  private def qTokens(s: SparkSession, dir: String): DataFrame =
+    TextStats.tokenCounts(events(s, dir)
+        .filter(col("event_id") < 2000), "props", "event_id")
+      .select(col("event_id"), col("ws_tokens").cast("long").as("ws_tokens"),
+        col("bpe_tokens").cast("long").as("bpe_tokens"))
+      .orderBy(col("event_id"))
+
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesize(
+      s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 100), "text", "doc_id")
+    Multimodal.extractFeatures(media)
+      .select(col("media_id"), col("kind"), col("n_bytes").cast("long").as("n_bytes"),
+        round(element_at(col("features"), 1).cast("double"), 3).as("f0"))
+      .orderBy(col("media_id"))
+  }
+
+  // -------------------------------------------------------------- surface
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_counts" -> (qAnnCounts _),
+    "q_ann_offsets" -> (qAnnOffsets _),
+    "q_ann_inorder" -> (qAnnInorder _),
+    "q_ann_slop" -> (qAnnSlop _),
+    "q_ann_merge" -> (qAnnMerge _),
+    "q_alpha_bool" -> (qAlphaBool _),
+    "q_dict_read" -> (qDictRead _),
+    "q_dict_optimize" -> (qDictOptimize _),
+    "q1_agg" -> (q1Agg _),
+    "q_join_topn" -> (qJoinTopn _),
+    "q_events_window" -> (qEventsWindow _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_embed_dedup" -> (qEmbedDedup _),
+    "q_knn_brute" -> (qKnnBrute _),
+    "q_knn_join" -> (qKnnJoin _),
+    "q_knn_lsh" -> (qKnnLsh _),
+    "q_langid" -> (qLangid _),
+    "q_quality" -> (qQuality _),
+    "q_tokens" -> (qTokens _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_multimodal" -> (qMultimodal _))
+
+  /** DuckDB oracles. Column names and ordering match the Spark results
+    * exactly; aggregates are cast to fixed types (BIGINT / DOUBLE via
+    * DECIMAL) so both engines produce bit-identical values.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_ann_counts" ->
+      """SELECT * FROM (
+        |  SELECT 'af_hash' AS dict_entry_id, CAST(sum(len(regexp_extract_all(text, '\bhash\b'))) AS BIGINT) AS n_matches FROM documents
+        |  UNION ALL SELECT 'ci_spark', CAST(sum(len(regexp_extract_all(lower(text), '\bspark\b'))) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'f_hashjoin', CAST(sum(len(regexp_extract_all(text, '\bhash join\b'))) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'p_hashjoin', CAST(sum(len(regexp_extract_all(text, '\bhash join\b'))) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'st_scans', CAST(sum(len(regexp_extract_all(text, '\bscan\b'))) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'syn_stream', CAST(sum(len(regexp_extract_all(text, '\bstream\b')) + len(regexp_extract_all(text, '\bbatch\b'))) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'w_hash', CAST(sum(len(regexp_extract_all(text, '\bhash\b'))) AS BIGINT) FROM documents
+        |) WHERE n_matches > 0 ORDER BY dict_entry_id""".stripMargin,
+    "q_alpha_bool" ->
+      """SELECT * FROM (
+        |  SELECT doc_id, 'b1' AS dict_entry_id FROM documents WHERE regexp_matches(text, '\bhash\b') AND regexp_matches(text, '\bjoin\b')
+        |  UNION ALL SELECT doc_id, 'b2' FROM documents WHERE regexp_matches(text, '\bdup\b') AND NOT regexp_matches(text, '\bstream\b')
+        |  UNION ALL SELECT doc_id, 'b3' FROM documents WHERE regexp_matches(text, '\btable scan\b')
+        |) ORDER BY doc_id, dict_entry_id""".stripMargin,
+    "q_dict_optimize" ->
+      """SELECT p_name AS text, CAST(min(p_partkey) AS VARCHAR) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_merged
+        |FROM part WHERE p_partkey < 200 GROUP BY p_name ORDER BY text""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_topn" ->
+      """SELECT c_mktsegment, rnk, o_orderkey FROM (
+        |  SELECT c.c_mktsegment,
+        |         CAST(row_number() OVER (PARTITION BY c.c_mktsegment ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS BIGINT) AS rnk,
+        |         o.o_orderkey
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |) WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin,
+    "q_events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin,
+    "q_dedup_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) s
+        |       FROM t WHERE len(w) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_minhash" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) s
+        |       FROM t WHERE len(w) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_embed_dedup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_knn_brute" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id AS id,
+        |       CAST(row_number() OVER (ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.v) DESC, e.vec_id ASC) AS BIGINT) AS rank,
+        |       round(list_cosine_similarity(e.embedding::DOUBLE[], q.v), 3) AS cosine
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY rank LIMIT 10""".stripMargin,
+    "q_knn_join" ->
+      """SELECT query_id, rnk AS rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings e, embeddings q
+        |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+        |) WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['the','a','of','to','and','is','in'])) s_en,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['el','la','de','que','y','los','una'])) s_es,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['le','la','les','et','un','des','que'])) s_fr,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['der','die','das','und','ist','ein','nicht'])) s_de
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+        |       WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+        |       WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+        |       ELSE 'de' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['the','a','of','to','and','is','in'])) AS BIGINT) AS n_stopwords,
+        |  round(length(text)::DOUBLE / greatest(len(string_split(trim(text), ' ')), 1), 3) AS mean_tok_len,
+        |  CASE WHEN len(string_split(trim(text), ' ')) < 5 THEN 'too_short'
+        |       WHEN length(text)::DOUBLE / greatest(len(string_split(trim(text), ' ')), 1) > 15 THEN 'long_tokens'
+        |       ELSE 'ok' END AS quality_bucket
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_tokens" ->
+      """SELECT event_id,
+        |  CAST(len(string_split_regex(trim(props), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(props, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin)
 }

@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque binary columns
+  * with typed metadata, processed in executor-local batches.
+  *
+  * The Spark-side plumbing (schema, partition-local batched processing,
+  * deterministic output shapes) is real and tested; the actual
+  * codec/DSP work is STUBBED behind [[StubCodec]] because no image/audio
+  * libraries ship in this environment — `decode` parses only the 16-byte
+  * fake header and synthesizes deterministic "samples" from the payload.
+  * Swap StubCodec for a real codec (e.g. javacpp-ffmpeg) without touching
+  * the operator shapes.
+  *
+  * Batch shape mirrors Arrow-batched UDF execution (mapInPandas):
+  * `mapPartitions` + grouped iterator, so per-batch setup cost (codec
+  * init, model load) amortizes across rows — the property that matters
+  * at 100 TB, where per-row init would dominate.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("data", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("format", StringType))))))
+
+  /** Deterministic fake codec. Header layout (16 bytes, big-endian):
+    * int32 width | int32 height | int32 sampleRate | int32 nFrames.
+    */
+  object StubCodec {
+    def encodeHeader(w: Int, h: Int, sr: Int, nf: Int, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(16 + payload.length)
+      bb.putInt(w).putInt(h).putInt(sr).putInt(nf).put(payload)
+      bb.array()
+    }
+    /** STUB: a real implementation would hand `data` to an image/audio
+      * decoder; here we only read the fake header + payload bytes.
+      */
+    def decode(data: Array[Byte]): (Int, Int, Int, Int, Array[Byte]) = {
+      val bb = java.nio.ByteBuffer.wrap(data)
+      (bb.getInt, bb.getInt, bb.getInt, bb.getInt,
+        java.util.Arrays.copyOfRange(data, 16, data.length))
+    }
+  }
+
+  /** Synthesize a deterministic media table from a text table (the test
+    * corpus has no binary columns): payload bytes derive from the text,
+    * metadata from its length. Used by tests and the SparkEntry query.
+    */
+  def synthesize(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val enc = udf((id: Long, text: String) => {
+      val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val kind = (id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val w = 16 + (id % 16).toInt
+      val h = 16 + (id % 8).toInt
+      StubCodec.encodeHeader(w, h, 16000, 1 + (id % 10).toInt, payload)
+    })
+    val kind = when(col(idCol) % 3 === 0, "image")
+      .when(col(idCol) % 3 === 1, "audio").otherwise("video")
+    df.select(
+      col(idCol).as("media_id"),
+      kind.as("kind"),
+      enc(col(idCol), col(textCol)).as("data"),
+      struct(
+        (lit(16) + col(idCol) % 16).cast("int").as("width"),
+        (lit(16) + col(idCol) % 8).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        (lit(1) + col(idCol) % 10).cast("int").as("n_frames"),
+        lit("stub").as("format")).as("meta"))
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),
+    StructField("n_bytes", IntegerType),
+    StructField("features", ArrayType(FloatType))))
+
+  /** Batched feature extraction: 16-bin byte histogram per item,
+    * normalized. Partition-local, batch size mirrors Arrow batch sizing.
+    */
+  def extractFeatures(media: DataFrame, batchSize: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select(col("media_id"), col("kind"), col("data")).rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch setup would live here (codec/model init)
+          batch.map { r =>
+            val data = r.getAs[Array[Byte]]("data")
+            val (_, _, _, _, payload) = StubCodec.decode(data)
+            val hist = new Array[Float](16)
+            var i = 0
+            while (i < payload.length) { hist((payload(i) & 0xff) / 16) += 1f; i += 1 }
+            val n = math.max(payload.length, 1).toFloat
+            var b = 0
+            while (b < 16) { hist(b) /= n; b += 1 }
+            Row(r.getLong(0), r.getString(1), data.length, hist.toSeq)
+          }
+        }
+      }
+    spark.createDataFrame(rows, featureSchema)
+  }
+
+  /** "Resize" stub: crops/pads the payload to w*h bytes deterministically,
+    * rewriting the header — exercises binary rewrite plumbing.
+    */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val f = udf((data: Array[Byte]) => {
+      val (_, _, sr, nf, payload) = StubCodec.decode(data)
+      val out = java.util.Arrays.copyOf(payload, w * h)
+      StubCodec.encodeHeader(w, h, sr, nf, out)
+    })
+    media.withColumn("data", f(col("data")))
+      .withColumn("meta", col("meta").withField("width", lit(w))
+        .withField("height", lit(h)))
+  }
+
+  /** Frame sampling stub for "video": every k-th chunk of the payload as
+    * one frame row. Output: (media_id, frame_idx, frame_bytes).
+    */
+  def sampleFrames(media: DataFrame, everyK: Int = 2): DataFrame = {
+    val f = udf((data: Array[Byte]) => {
+      val (w, h, _, nFrames, payload) = StubCodec.decode(data)
+      val frameSize = math.max(1, math.min(w * h, math.max(payload.length / math.max(nFrames, 1), 1)))
+      (0 until nFrames by everyK).map { i =>
+        val from = math.min(i * frameSize, payload.length)
+        val until = math.min(from + frameSize, payload.length)
+        (i, java.util.Arrays.copyOfRange(payload, from, until))
+      }
+    })
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), explode(f(col("data"))).as("frame"))
+      .select(col("media_id"), col("frame._1").as("frame_idx"),
+        col("frame._2").as("frame_bytes"))
+  }
+}

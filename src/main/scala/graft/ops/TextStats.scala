@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * Everything except the rolling-hash fingerprint is native SQL functions
+  * (oracle-replicable in ANSI SQL and whole-stage-codegen'd).
+  */
+object TextStats {
+
+  /** BPE-ish pre-tokenization pattern: letter runs, single digits,
+    * single non-alphanumeric glyphs (roughly GPT-2's pre-tokenizer shape).
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def wsTokens(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  def bpeTokens(text: Column): Column = regexp_count(text, lit(BpePattern))
+
+  def tokenCounts(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      wsTokens(col(textCol)).as("ws_tokens"),
+      bpeTokens(col(textCol)).as("bpe_tokens"))
+
+  // small deterministic stopword lists for the n-gram/stopword language
+  // heuristic (presence-based so it is ANSI-SQL replicable)
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "is", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "des", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"))
+
+  /** Language-ID heuristic: distinct-stopword presence score per language;
+    * highest score wins (ties resolve in list order), zero everywhere →
+    * "und".
+    */
+  def langId(text: Column): Column = {
+    val toks = array_distinct(split(lower(text), "\\s+"))
+    val scores = langStopwords.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, score), acc) =>
+      when(score === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality metrics: char/token counts, mean token length, stopword
+    * ratio, alphanumeric ratio, and a coarse quality bucket. All integer /
+    * rounded arithmetic for oracle comparability.
+    */
+  def quality(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val nTok = wsTokens(t)
+    val enStops = langStopwords.head._2
+    val nStop = size(array_intersect(array_distinct(split(lower(t), "\\s+")),
+      array(enStops.map(lit): _*)))
+    val nChars = length(t)
+    df.select(
+      col(idCol),
+      nChars.as("n_chars"),
+      nTok.as("n_tokens"),
+      nStop.as("n_stopwords"),
+      round(nChars.cast("double") / greatest(nTok, lit(1)), 3).as("mean_tok_len"),
+      when(nTok < 5, lit("too_short"))
+        .when(nChars / greatest(nTok, lit(1)) > 15, lit("long_tokens"))
+        .otherwise(lit("ok")).as("quality_bucket"))
+  }
+
+  /** Rolling polynomial document fingerprint (winnowing-style): hash each
+    * token (FNV-1a 64), roll a window of `window` token hashes, fingerprint
+    * = minimum window hash. Content-defined, robust to doc reordering of
+    * surrounding rows. Scalar function: scan-local, no shuffle.
+    */
+  def fingerprint(textCol: Column, window: Int = 5): Column = {
+    val f = udf((text: String) => {
+      if (text == null || text.isEmpty) 0L
+      else {
+        val toks = text.split("\\s+")
+        val hs = toks.map { t =>
+          var h = 0xcbf29ce484222325L
+          var j = 0
+          while (j < t.length) { h ^= t.charAt(j); h *= 0x100000001b3L; j += 1 }
+          h
+        }
+        if (hs.length < window) hs.foldLeft(0xcbf29ce484222325L)((acc, h) => acc * 31 + h)
+        else {
+          var min = Long.MaxValue
+          var i = 0
+          while (i + window <= hs.length) {
+            var w = 0xcbf29ce484222325L
+            var j = i
+            while (j < i + window) { w = w * 31 + hs(j); j += 1 }
+            if (w < min) min = w
+            i += 1
+          }
+          min
+        }
+      }
+    })
+    f(textCol)
+  }
+}

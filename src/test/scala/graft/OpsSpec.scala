@@ -1,0 +1,148 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different content about spark engines"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (4L, "tiny")).toDF("doc_id", "text")
+
+  test("exact dedup groups by content hash") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(out.length == 4)
+    val dupGroup = out.find(_.getLong(1) == 0L).get
+    assert(dupGroup.getLong(2) == 2L) // docs 0 and 3
+  }
+
+  test("shingles + ngram jaccard inverted-index pairs") {
+    val sh = docs.select(Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(sh(0).contains("the quick brown"))
+    assert(sh(4).isEmpty) // "tiny" has < 3 words
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.5)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 0-3 exact (j=1.0), 0-1 and 1-3 near (6 common of 7+7-6=8 -> 0.75)
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L), (0L, 3L), (1L, 3L)))
+    assert(pairs.find(p => p._1 == 0L && p._2 == 3L).get._3 == 1.0)
+    assert(math.abs(pairs.head._3 - 0.75) < 1e-9)
+  }
+
+  test("minhash LSH pairs match exact jaccard at high threshold") {
+    val mh = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.7)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.7)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(mh.toSeq == exact.toSeq)
+  }
+
+  test("simhash near-dup pairs: banding finds exactly the hamming<=3 pairs") {
+    // brute-force ground truth from the signature column itself
+    val sigs = docs.select($"doc_id", Dedup.simhash64($"text").as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pigeonhole: hamming<=3 over 4 bands of 16 bits guarantees recall
+    assert(pairs == want)
+    assert(pairs.contains((0L, 3L))) // exact dup -> hamming 0
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("embedding near-dup pairs and ANN top-k") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(vecs, "embedding", "vec_id", dim = 4,
+      threshold = 0.95).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+
+    val topk = Similarity.bruteForceTopK(vecs, "embedding", "vec_id",
+      Array(1.0, 0.0, 0.0, 0.0), k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(topk.toSeq == Seq((0L, 1), (1L, 2)))
+
+    val knn = Similarity.knnJoin(vecs, vecs.filter($"vec_id" === 0L),
+      "embedding", "vec_id", k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(knn.toSeq == Seq((0L, 1L, 1), (0L, 2L, 2)))
+
+    val lsh = Similarity.lshTopK(vecs, "embedding", "vec_id",
+      Array(1.0, 0.0, 0.0, 0.0), k = 2, dim = 4, probeHamming = 3)
+    assert(lsh.collect().map(_.getLong(0)).contains(0L))
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    val out = TextStats.tokenCounts(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 9)
+    assert(out(4).getInt(1) == 1)
+    val bpe = docs.sparkSession.range(1)
+      .select(TextStats.bpeTokens(lit("don't stop, 42 times!")))
+      .collect().head.getInt(0)
+    // don + ' + t + stop + , + 4 + 2 + times + ! = 9
+    assert(bpe == 9)
+  }
+
+  test("language id heuristic") {
+    val d = Seq(
+      (0L, "the cat and the dog"),
+      (1L, "el perro y la casa de que"),
+      (2L, "xyzzy qwerty")).toDF("id", "text")
+    val out = d.select($"id", TextStats.langId($"text").as("lang"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(out.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("quality metrics") {
+    val out = TextStats.quality(docs, "text", "doc_id").orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("quality_bucket") == "ok")
+    assert(out(4).getAs[String]("quality_bucket") == "too_short")
+    assert(out(0).getAs[Int]("n_stopwords") == 1) // "the"
+  }
+
+  test("fingerprint: rolling hash is content-defined") {
+    val d = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "a b c d e f g h"),
+      (2L, "q r s t u v w x y z")).toDF("id", "text")
+    val fps = d.select(TextStats.fingerprint($"text")).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1)) // identical docs -> identical fingerprint
+    assert(fps(0) != fps(2)) // different content -> different fingerprint
+  }
+
+  test("multimodal plumbing: synthesize -> features -> resize -> frames") {
+    val media = Multimodal.synthesize(docs, "text", "doc_id")
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("media_id", "kind", "data", "meta"))
+    val feats = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(feats.length == 5)
+    val f0 = feats(0).getSeq[Float](3)
+    assert(f0.length == 16 && math.abs(f0.sum - 1.0f) < 1e-3)
+
+    val resized = Multimodal.resize(media, 8, 8).select("meta.width").collect()
+    assert(resized.forall(_.getInt(0) == 8))
+
+    val frames = Multimodal.sampleFrames(media)
+    val fr = frames.collect()
+    assert(fr.nonEmpty)
+    assert(frames.schema.fieldNames.toSeq == Seq("media_id", "frame_idx", "frame_bytes"))
+  }
+}

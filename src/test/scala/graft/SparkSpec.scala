@@ -1,0 +1,116 @@
+package graft
+
+import graft.dict.{DictionaryEntry => DE, HighlighterOpts => HO, Readers}
+import graft.spark.{SparkAlphaAnnotator, SparkHighlighter}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+}
+
+class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  override def afterAll(): Unit = () // shared session; leave it up
+
+  test("annotate a DataFrame, explode, aggregate") {
+    val docs = Seq(
+      (0L, "before annotated test phrase after annotated"),
+      (1L, "no match here"),
+      (2L, "test phrase test phrase")).toDF("doc_id", "text")
+    val hl = SparkHighlighter(Seq(DE("test phrase", id = Some("tp"))))
+    val out = hl.annotateExploded(docs, "text")
+    val rows = out.select("doc_id", "matched_text", "dict_entry_id", "begin_offset", "end_offset")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3), r.getInt(4)))
+      .sortBy(r => (r._1, r._4))
+    assert(rows.toSeq == Seq(
+      (0L, "test phrase", "tp", 17, 28),
+      (2L, "test phrase", "tp", 0, 11),
+      (2L, "test phrase", "tp", 12, 23)))
+    val counts = out.groupBy("dict_entry_id").count().collect()
+    assert(counts.head.getLong(1) == 3L)
+  }
+
+  test("csv dictionary fixture parsing (readers.clj rules)") {
+    val csv = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/dict.csv")))
+    val entries = Readers.readCsvString(csv)
+    assert(entries.size == 17)
+    val e0 = entries.head
+    assert(e0.text == "test-dictionary-item" && e0.id.contains("id1"))
+    assert(e0.synonyms == Seq("syn1", "syn2"))
+    assert(e0.meta == Map("k1" -> "v1", "k2" -> "v2"))
+    assert(e0.caseSensitive.contains(true) && e0.asciiFold.contains(true))
+    assert(e0.entryType.contains("TEST"))
+    // Boolean.valueOf semantics: FALSE and NOT_BOOL -> false
+    assert(entries(3).asciiFold.contains(false))
+    assert(entries(4).asciiFold.contains(false))
+    // odd trailing meta value ignored
+    assert(entries(7).meta == Map("k" -> "v"))
+    assert(entries(8).meta == Map.empty)
+    // short rows
+    assert(entries(15).id.isEmpty && entries(15).synonyms.isEmpty)
+    assert(entries(16).entryType.contains("TEST") && entries(16).id.isEmpty)
+    // same result through the Spark csv source
+    val viaSpark = Readers.readCsv(spark, "src/test/resources/dict.csv")
+    assert(viaSpark == entries)
+  }
+
+  test("json dictionary fixture via spark.read.json") {
+    val entries = Readers.readJson(spark, "src/test/resources/dict.json")
+    assert(entries.size == 1)
+    val e = entries.head
+    assert(e.text == "test text" && e.id.contains("test-id"))
+    assert(e.caseSensitive.contains(true) && e.asciiFold.contains(true))
+    assert(e.meta == Map("email" -> "test@example.com"))
+  }
+
+  test("alpha annotator over a DataFrame") {
+    val docs = Seq((0L, "this and that"), (1L, "this only")).toDF("doc_id", "text")
+    val ann = new SparkAlphaAnnotator(Seq(DE("this AND that", id = Some("1"))))
+    val out = ann.annotateExploded(docs, "text").select("doc_id", "dict_entry_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((0L, "1")))
+  }
+
+  test("structured streaming passthrough (stateless per-row annotate)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val hl = SparkHighlighter(Seq(DE("test phrase", id = Some("tp"))))
+    val df = stream.toDF().toDF("doc_id", "text")
+    val annotated = hl.annotate(df, "text")
+      .select($"doc_id", size($"annotations").as("n"))
+    val query = annotated.writeStream.format("memory").queryName("anns_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((0L, "before test phrase after"), (1L, "nothing"))
+      query.processAllAvailable()
+      val rows = spark.table("anns_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      assert(rows.toSeq == Seq((0L, 1), (1L, 0)))
+    } finally query.stop()
+  }
+
+  test("annotation struct schema is stable for downstream SQL") {
+    val docs = Seq((0L, "test phrase here")).toDF("doc_id", "text")
+    val hl = SparkHighlighter(Seq(DE("test phrase", id = Some("tp"),
+      meta = Map("k" -> "v"))))
+    val out = hl.annotate(docs, "text")
+    out.createOrReplaceTempView("t_anns")
+    val r = spark.sql(
+      "SELECT a.text, a.dictEntryId, a.meta['k'], a.beginOffset FROM t_anns LATERAL VIEW explode(annotations) AS a")
+      .collect().head
+    assert(r.getString(0) == "test phrase" && r.getString(1) == "tp" &&
+      r.getString(2) == "v" && r.getInt(3) == 0)
+  }
+}
