@@ -50,10 +50,13 @@ object Dedup {
     */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df
+      n: Int = 3, threshold: Double = 0.5, persist: Boolean = true): DataFrame = {
+    val sh0 = df
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+    val sh = if (persist)
+      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh0
     val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
     val inv = sh.select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("sh_hash"))
@@ -119,12 +122,21 @@ object Dedup {
   def minhashPairs(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, numPerms: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, persist: Boolean = true): DataFrame = {
     val rows = numPerms / bands
-    val sh = df
+    // The shingle+signature relation feeds BOTH sides of the candidate
+    // self-join and both sides of the verify join; without persisting it,
+    // Spark replays the scan + shingling + hashing once per use (4x the
+    // corpus reads at scale). MEMORY_AND_DISK: partitions spill rather
+    // than OOM on big corpora.
+    val sh0 = df
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sig = sh.withColumn("sig", minhashSignature(col("sh"), numPerms))
+      .withColumn("sig", minhashSignature(col("sh"), numPerms))
+    val sig = if (persist)
+      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh0
+    val sh = sig.select(col("id"), col("sh"))
     val banded = sig.select(col("id"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
           s"b -> xxhash64(slice(sig, b * $rows + 1, $rows)))")))
@@ -227,6 +239,7 @@ object Dedup {
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
           s"b -> aggregate(slice(bits, b * $rowsPerBand + 1, $rowsPerBand), 0L, (acc, x) -> acc * 2 + x))")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.id") < col("y.id"))

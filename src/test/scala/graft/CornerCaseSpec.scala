@@ -1,0 +1,101 @@
+package graft
+
+import graft.dict.{DictionaryEntry => DE, Edn, HighlighterOpts => HO, ValidatorCli}
+import graft.engine.Phrases
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Corner-case regression (corner_case_phrases_test.clj), Java-facade
+  * smoke (java_test.clj), EDN/validator ports, and generative property
+  * tests replacing the reference's clojure.spec instrumentation
+  * (`phrases_test.clj:8-19`).
+  */
+class CornerCaseSpec extends AnyFunSuite {
+
+  private def checkProp(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(100).withInitialSeed(42L), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("no false positives on 1569-line javadoc HTML (corner_case_phrases_test.clj:6-10)") {
+    val html = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/phrases.html")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val hl = Phrases.highlighter(
+      Seq(DE("N-Able N-Central", caseSensitive = Some(false))), HO())
+    assert(hl(html).isEmpty)
+  }
+
+  test("java facade smoke (java_test.clj:4-14)") {
+    val dict = java.util.List.of(
+      DE("Lyndon Baines Johnson"),
+      DE("LYNDON BAINES JOHNSON", caseSensitive = Some(false)))
+    val annotator = new graft.api.Annotator(dict)
+    val anns = annotator.annotate(
+      "Lyndon Baines Johnson (August 27, 1908 - January 22, 1973), often referred to by his initials LBJ, was an American politician who served as the 36th president of the United States from 1963 to 1969.")
+    assert(anns.size() == 2)
+    assert(anns.get(0).text == "Lyndon Baines Johnson")
+  }
+
+  test("EDN dictionary fixture (readers_test.clj / dict.edn)") {
+    val content = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/dict.edn")))
+    val entries = Edn.readDictionary(content)
+    assert(entries.size == 1)
+    val e = entries.head
+    assert(e.text == "test text" && e.id.contains("test-id"))
+    assert(e.caseSensitive.contains(true) && e.asciiFold.contains(true))
+    assert(e.meta == Map("email" -> "test@example.com"))
+  }
+
+  test("validator CLI semantics (validator.clj:25-30)") {
+    assert(ValidatorCli.validFile("src/test/resources/dict.csv", "csv"))
+    assert(ValidatorCli.validFile("src/test/resources/dict.json", "json"))
+    assert(ValidatorCli.validFile("src/test/resources/dict.edn", "edn"))
+    assert(!ValidatorCli.validFile("src/test/resources/dict.csv", "xml"))
+    assert(!ValidatorCli.validFile("does/not/exist.csv", "csv"))
+  }
+
+  // ---- generative properties (replacing s/exercise-fn instrumentation)
+
+  private val word: Gen[String] = Gen.choose(1, 8)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val phraseGen: Gen[String] = Gen.choose(1, 3)
+    .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+  private val textGen: Gen[String] = Gen.choose(0, 30)
+    .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+
+  test("property: annotation offsets are in-bounds and text == substring") {
+    checkProp(Prop.forAll(Gen.listOfN(5, phraseGen), textGen) {
+      (phrases: List[String], text: String) =>
+        val dict = phrases.zipWithIndex.map { case (p, i) => DE(p, id = Some(i.toString)) }
+        val anns = Phrases.highlighter(dict, HO())(text)
+        anns.forall { a =>
+          a.beginOffset >= 0 && a.endOffset <= text.length &&
+            a.beginOffset < a.endOffset &&
+            a.text == text.substring(a.beginOffset, a.endOffset) &&
+            a.annType == "PHRASE"
+        }
+    })
+  }
+
+  test("property: a planted phrase is always found and covered spans re-tokenize to it") {
+    checkProp(Prop.forAll(Gen.listOfN(3, word), textGen) {
+      (ws: List[String], filler: String) =>
+        val phrase = ws.mkString(" ")
+        val text = (filler + " " + phrase + " " + filler).trim
+        val anns = Phrases.highlighter(Seq(DE(phrase, id = Some("p"))), HO())(text)
+        anns.nonEmpty && anns.forall { a =>
+          a.text.split("\\s+").toSeq.containsSlice(ws)
+        }
+    })
+  }
+
+  test("property: blank and degenerate inputs never throw") {
+    Seq("", " ", "\t\n", "\u00a0", "\u00e4 \u00f6 \u00fc", "\ud83c\udf89").foreach { s =>
+      val anns = Phrases.highlighter(Seq(DE("x", id = Some("1"))), HO())(s)
+      assert(anns != null)
+    }
+  }
+}
