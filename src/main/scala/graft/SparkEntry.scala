@@ -175,6 +175,23 @@ object SparkEntry {
         sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Gap-based sessionization: a new session starts after >30 min of user
+    * inactivity. Classic lag + cumulative-sum over a per-user window —
+    * shuffles once on user_id, scales by user cardinality.
+    */
+  private def qSessions(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   // training-data pipeline: dedup
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -192,6 +209,13 @@ object SparkEntry {
         "text", "doc_id", n = 3, numPerms = 64, bands = 16, threshold = 0.8)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
+
+  private def qDedupApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+    Dedup.dropNearDuplicates(docs, pairs, "doc_id")
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
 
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(s.read.parquet(t(dir, "documents")),
@@ -284,10 +308,12 @@ object SparkEntry {
     "q1_agg" -> (q1Agg _),
     "q_join_topn" -> (qJoinTopn _),
     "q_events_window" -> (qEventsWindow _),
+    "q_sessions" -> (qSessions _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_apply" -> (qDedupApply _),
     "q_embed_dedup" -> (qEmbedDedup _),
     "q_knn_brute" -> (qKnnBrute _),
     "q_knn_join" -> (qKnnJoin _),
@@ -342,6 +368,19 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT) > 1800
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (SELECT user_id,
+        |             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+        |      FROM g)
+        |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_id,
         |       CAST(count(*) AS BIGINT) AS n_dups
@@ -364,6 +403,17 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_apply" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) s
+        |       FROM t WHERE len(w) >= 3),
+        |victims AS (
+        |  SELECT DISTINCT b.doc_id AS doc_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5)
+        |SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM victims)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_embed_dedup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) AS cosine

@@ -29,8 +29,28 @@ object Stemmers {
 
   def forName(name: String): Stemmer = name match {
     case "english" | "porter" => EnglishStemmer
+    case "lovins"             => EnglishStemmer // Lovins is an English algorithm; Porter2 stands in
     case "lithuanian"         => LithuanianStemmer
-    case n if snowballNames.contains(n) => IdentityStemmer
+    case "french"             => SuffixStemmers.french
+    case "german" | "german2" => SuffixStemmers.german
+    case "spanish"            => SuffixStemmers.spanish
+    case "portuguese"         => SuffixStemmers.portuguese
+    case "italian"            => SuffixStemmers.italian
+    case "dutch" | "kp"       => SuffixStemmers.dutch // kp (Kraaij-Pohlmann) is a Dutch algorithm
+    case "danish"             => SuffixStemmers.danish
+    case "norwegian"          => SuffixStemmers.norwegian
+    case "swedish"            => SuffixStemmers.swedish
+    case "finnish"            => SuffixStemmers.finnish
+    case "russian"            => SuffixStemmers.russian
+    case "romanian"           => SuffixStemmers.romanian
+    case "hungarian"          => SuffixStemmers.hungarian
+    case "turkish"            => SuffixStemmers.turkish
+    case "catalan"            => SuffixStemmers.catalan
+    case "basque"             => SuffixStemmers.basque
+    case "irish"              => SuffixStemmers.irish
+    case "estonian"           => SuffixStemmers.estonian
+    case "armenian"           => SuffixStemmers.armenian
+    case "arabic"             => SuffixStemmers.arabic
     case _                    => EnglishStemmer // reference defaults unknowns to English
   }
 }

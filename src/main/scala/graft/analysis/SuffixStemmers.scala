@@ -1,0 +1,235 @@
+package graft.analysis
+
+/** Table-driven suffix stemmers for the non-English Snowball languages
+  * (`text_analysis.clj:15-49` lists the 26 the reference supports).
+  *
+  * These follow the published Snowball algorithms' shape — a region
+  * constraint (R1 = after the first vowel/non-vowel pair, or RV for the
+  * Romance languages) plus longest-suffix removal with a minimum stem
+  * length, plus per-language finishing rules (German umlaut folding,
+  * Dutch consonant undoubling, ...) — but are SIMPLIFIED: they cover the
+  * high-frequency inflectional endings, not the full exception logic.
+  * English (Porter2) and Lithuanian have dedicated implementations in
+  * Stemmers.scala. The practical contract for matching is equivalence:
+  * inflected forms of a word stem to the same string.
+  */
+object SuffixStemmers {
+
+  final class TableStemmer(
+      vowelChars: String,
+      endings: Seq[String],
+      minStem: Int = 2,
+      finish: String => String = identity,
+      useRv: Boolean = false) extends Stemmer {
+
+    private val sorted = endings.distinct.sortBy(-_.length)
+
+    @inline private def isVowel(c: Char): Boolean =
+      vowelChars.indexOf(Character.toLowerCase(c).toInt) >= 0
+
+    /** R1: after the first non-vowel following a vowel.
+      * RV: after the first vowel (looser, used by Romance algorithms).
+      */
+    private def region(w: String): Int = {
+      var i = 0
+      val n = w.length
+      if (useRv) {
+        while (i < n && !isVowel(w.charAt(i))) i += 1
+        if (i < n) i + 1 else n
+      } else {
+        while (i < n && !isVowel(w.charAt(i))) i += 1
+        while (i < n && isVowel(w.charAt(i))) i += 1
+        if (i < n) i + 1 else n
+      }
+    }
+
+    def stem(word: String): String = {
+      val r = region(word)
+      val lower = word.toLowerCase
+      var out = word
+      var k = 0
+      var matched = false
+      while (!matched && k < sorted.length) {
+        val e = sorted(k)
+        val cut = word.length - e.length
+        if (cut >= minStem && cut >= r && lower.endsWith(e)) {
+          out = word.substring(0, cut)
+          matched = true
+        }
+        k += 1
+      }
+      finish(out)
+    }
+  }
+
+  private def foldChars(map: Map[Char, String])(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach(c => map.get(Character.toLowerCase(c)) match {
+      case Some(r) => sb ++= (if (c.isUpper) r.toUpperCase else r)
+      case None    => sb += c
+    })
+    sb.toString
+  }
+
+  private def undouble(s: String): String =
+    if (s.length >= 2 && s.charAt(s.length - 1) == s.charAt(s.length - 2) &&
+      "aeiouy".indexOf(s.charAt(s.length - 1).toInt) < 0)
+      s.dropRight(1)
+    else s
+
+  val french: Stemmer = new TableStemmer(
+    "aeiouyâàëéêèïîôûù",
+    Seq("issements", "issement", "atrices", "atrice", "ateurs", "ateur",
+      "ations", "ation", "ements", "ement", "euses", "euse", "ances", "ance",
+      "ences", "ence", "ments", "ment", "ités", "ité", "ives", "ive", "ifs",
+      "if", "eaux", "aux", "eux", "aient", "erions", "assent", "erons",
+      "èrent", "antes", "ante", "ants", "ant", "ées", "ée", "és", "é",
+      "ères", "ère", "ers", "er", "ions", "ez", "ent", "es", "e", "s"),
+    useRv = true)
+
+  private val germanFinish: String => String =
+    foldChars(Map('ä' -> "a", 'ö' -> "o", 'ü' -> "u", 'ß' -> "ss"))
+
+  val german: Stemmer = new TableStemmer(
+    "aeiouyäöü",
+    Seq("ungen", "isch", "lich", "heit", "keit", "ung", "ern", "em", "er",
+      "en", "es", "est", "ig", "ik", "e", "n", "s", "st"),
+    finish = germanFinish)
+
+  val spanish: Stemmer = new TableStemmer(
+    "aeiouáéíóúü",
+    Seq("amientos", "imientos", "amiento", "imiento", "aciones", "ación",
+      "adoras", "adores", "ancias", "encias", "amente", "idades", "ismos",
+      "ables", "ibles", "istas", "mente", "idad", "anza", "icos", "icas",
+      "ismo", "able", "ible", "ista", "osos", "osas", "ando", "iendo",
+      "aron", "ieron", "ará", "erá", "irá", "aba", "ía", "ico", "ica",
+      "oso", "osa", "es", "os", "as", "o", "a", "e", "í", "ó"),
+    useRv = true)
+
+  val portuguese: Stemmer = new TableStemmer(
+    "aeiouáéíóúâêôãõ",
+    Seq("amentos", "imentos", "amento", "imento", "adoras", "adores",
+      "aço~es", "ações", "ação", "antes", "ância", "mente", "idade",
+      "ismos", "istas", "ável", "ível", "oso", "osa", "icos", "icas",
+      "ico", "ica", "ando", "endo", "indo", "aram", "eram", "iram", "ava",
+      "es", "os", "as", "o", "a", "e", "é", "á"),
+    useRv = true)
+
+  val italian: Stemmer = new TableStemmer(
+    "aeiouàèìòù",
+    Seq("azioni", "azione", "amenti", "imenti", "amento", "imento",
+      "atrici", "atrice", "mente", "ità", "ici", "ice", "iche", "ichi",
+      "ismo", "ismi", "ista", "iste", "isti", "oso", "osa", "osi", "ose",
+      "ando", "endo", "are", "ere", "ire", "i", "e", "o", "a"),
+    useRv = true)
+
+  val dutch: Stemmer = new TableStemmer(
+    "aeiouyè",
+    Seq("heden", "ene", "en", "se", "s", "e"),
+    finish = undouble)
+
+  val danish: Stemmer = new TableStemmer(
+    "aeiouyæåø",
+    Seq("erendes", "erende", "endes", "ende", "erede", "erets", "erne",
+      "eren", "eres", "eret", "ere", "ene", "ens", "ers", "ets", "en",
+      "er", "es", "et", "e", "s"))
+
+  val norwegian: Stemmer = new TableStemmer(
+    "aeiouyæåø",
+    Seq("hetenes", "hetene", "hetens", "heten", "heter", "endes", "ende",
+      "edes", "ede", "ane", "ene", "ens", "ers", "ets", "en", "ar", "er",
+      "as", "es", "et", "a", "e", "s"))
+
+  val swedish: Stemmer = new TableStemmer(
+    "aeiouyäåö",
+    Seq("heterna", "hetens", "heter", "heten", "anden", "arnas", "ernas",
+      "ornas", "andes", "arna", "erna", "orna", "ande", "arne", "aste",
+      "aren", "ades", "erns", "ade", "are", "ern", "ens", "ast", "ad",
+      "en", "ar", "er", "or", "as", "es", "at", "a", "e", "s"))
+
+  val finnish: Stemmer = new TableStemmer(
+    "aeiouyäö",
+    Seq("isiin", "siin", "seen", "niin", "mme", "nne", "nsa", "nsä",
+      "ssa", "ssä", "sta", "stä", "lla", "llä", "lta", "ltä", "lle",
+      "ksi", "ine", "han", "hän", "ko", "kö", "pa", "pä", "na", "nä",
+      "ta", "tä", "a", "ä", "n", "t", "i"))
+
+  val russian: Stemmer = new TableStemmer(
+    "аеиоуыэюя",
+    Seq("ешься", "ейшие", "ейший", "ировал", "ование", "ованиями",
+      "остью", "ость", "иями", "ями", "ами", "ией", "иям", "ием", "иях",
+      "ыми", "ими", "его", "ого", "ему", "ому", "ешь", "ет",
+      "ют", "ат", "ят", "ует", "уют", "ить", "ыть", "ать", "еть",
+      "ал", "ил", "ыл", "ла", "ло", "ли", "ем", "им", "ым", "ом", "их",
+      "ых", "ую", "юю", "ая", "яя", "ою", "ею", "ей", "ий", "ый", "ой",
+      "ам", "ям", "ах", "ях", "ия", "ья", "и", "ы", "а", "я", "о", "у",
+      "е", "й", "ь", "ю"),
+    useRv = true)
+
+  val romanian: Stemmer = new TableStemmer(
+    "aeiouăâî",
+    Seq("abilitate", "ibilitate", "itate", "iune", "ătoare", "ător",
+      "ează", "escu", "ească", "ești", "esc", "ând", "ind", "are", "ere",
+      "ire", "uri", "ule", "ul", "le", "ii", "ei", "i", "e", "a", "ă"),
+    useRv = true)
+
+  val hungarian: Stemmer = new TableStemmer(
+    "aeiouöüáéíóúőű",
+    Seq("okkal", "ekkel", "nként", "szerűen", "képpen", "astul", "estül",
+      "ban", "ben", "ba", "be", "ra", "re", "nak", "nek", "val", "vel",
+      "tól", "től", "ról", "ről", "ból", "ből", "hoz", "hez", "höz",
+      "nál", "nél", "ig", "at", "et", "ot", "öt", "on", "en", "ön", "an",
+      "ok", "ek", "ak", "ék", "t", "n", "k", "i", "a", "e", "o", "á", "é"))
+
+  val turkish: Stemmer = new TableStemmer(
+    "aeıioöuü",
+    Seq("larının", "lerinin", "larında", "lerinde", "larından",
+      "lerinden", "ların", "lerin", "larda", "lerde", "lardan", "lerden",
+      "ları", "leri", "lar", "ler", "ınız", "iniz", "unuz", "ünüz",
+      "ımız", "imiz", "umuz", "ümüz", "dan", "den", "tan", "ten", "nın",
+      "nin", "nun", "nün", "da", "de", "ta", "te", "ın", "in", "un",
+      "ün", "ı", "i", "u", "ü", "a", "e"))
+
+  val catalan: Stemmer = new TableStemmer(
+    "aeiouàèéíòóú",
+    Seq("aments", "ament", "acions", "ació", "itats", "itat", "ables",
+      "able", "isme", "ista", "ors", "ora", "or", "ant", "ent", "es",
+      "os", "a", "e", "o", "s"),
+    useRv = true)
+
+  val basque: Stemmer = new TableStemmer(
+    "aeiou",
+    Seq("tzailea", "tzaile", "tasuna", "tasun", "garri", "keria", "tegi",
+      "aren", "etan", "etik", "era", "ak", "ek", "en", "an", "a", "k"))
+
+  val irish: Stemmer = new TableStemmer(
+    "aeiouáéíóú",
+    Seq("achta", "acht", "anna", "aire", "eoir", "óir", "éir", "anna",
+      "acha", "acht", "a", "e", "í", "aí"))
+
+  // no single-letter endings: the reference's pinned behavior is that the
+  // Estonian stemmer leaves English-like plurals alone ("dogs" != "dog",
+  // phrases_test.clj:231-234)
+  val estonian: Stemmer = new TableStemmer(
+    "aeiouõäöü",
+    Seq("dega", "tega", "dele", "tele", "des", "tes", "deks", "teks",
+      "ga", "ks", "le", "lt", "sse", "ni", "na", "ta", "id", "de", "te"))
+
+  val armenian: Stemmer = new TableStemmer(
+    "աեէըիոօւ",
+    Seq("ություն", "ներին", "ներից", "ների", "ներով", "ներ", "երի",
+      "երով", "եր", "ին", "ից", "ով", "ում", "ի", "ը", "ն"))
+
+  val arabic: Stemmer = new Stemmer {
+    private val suffixes = Seq("كما", "هما", "تما", "ها", "ان", "ات",
+      "ون", "ين", "يه", "ية", "كم", "هن", "نا", "يا", "ه", "ة", "ي", "ك")
+    def stem(word: String): String = {
+      var w = word
+      if (w.startsWith("ال") && w.length > 4) w = w.substring(2)
+      suffixes.find(s => w.endsWith(s) && w.length - s.length >= 2) match {
+        case Some(s) => w.dropRight(s.length)
+        case None    => w
+      }
+    }
+  }
+}

@@ -158,6 +158,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Apply a near-duplicate pair set to the corpus: keep the smaller id of
+    * every pair (the "first seen" convention), drop the rest. A left-anti
+    * join on the victim ids — one shuffle on the id, no driver-side state.
+    * (Exact transitive clustering would need connected components; the
+    * keep-smallest convention is the standard approximation and removes
+    * every duplicate that has ANY earlier near-duplicate.)
+    */
+  def dropNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val victims = pairs.select(col("id_b").as(idCol)).distinct()
+    df.join(victims, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash over whitespace tokens (single-pass scalar function).
     * Token weights are uniform; the hash is xxhash64-compatible with the
     * rest of the pipeline.

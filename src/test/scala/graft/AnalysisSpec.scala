@@ -92,4 +92,31 @@ class AnalysisSpec extends AnyFunSuite {
     assert(LithuanianStemmer.stem("kauno") == "kaun")
     assert(LithuanianStemmer.stem("Sabonis") == LithuanianStemmer.stem("Saboniai"))
   }
+
+  test("multi-language suffix stemmers: inflection equivalence classes") {
+    def eqv(lang: String, a: String, b: String): Unit = {
+      val st = Stemmers.forName(lang)
+      assert(st.stem(a) == st.stem(b), s"$lang: $a vs $b -> ${st.stem(a)} vs ${st.stem(b)}")
+    }
+    eqv("french", "maisons", "maison")
+    eqv("german", "häuser", "haus")
+    eqv("german", "straße", "strasse")
+    eqv("spanish", "gatos", "gato")
+    eqv("portuguese", "gatos", "gato")
+    eqv("italian", "gatti", "gatto")
+    eqv("dutch", "katten", "kat")
+    eqv("danish", "hunden", "hund")
+    eqv("norwegian", "hunden", "hund")
+    eqv("swedish", "flickorna", "flicka")
+    eqv("russian", "книги", "книга")
+    eqv("turkish", "evlerin", "evler")
+    // estonian must NOT conflate English plurals (reference-pinned)
+    val et = Stemmers.forName("estonian")
+    assert(et.stem("dogs") != et.stem("dog"))
+    // every snowball name resolves without error and is idempotent-safe
+    Stemmers.snowballNames.foreach { n =>
+      val st = Stemmers.forName(n)
+      assert(st.stem("test") != null && st.stem("") == "")
+    }
+  }
 }

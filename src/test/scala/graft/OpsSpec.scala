@@ -47,6 +47,13 @@ class OpsSpec extends AnyFunSuite {
     assert(mh.toSeq == exact.toSeq)
   }
 
+  test("dropNearDuplicates keeps the smallest id per pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.5)
+    val kept = Dedup.dropNearDuplicates(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(0L, 2L, 4L)) // 1 and 3 are near-dups of 0
+  }
+
   test("simhash near-dup pairs: banding finds exactly the hamming<=3 pairs") {
     // brute-force ground truth from the signature column itself
     val sigs = docs.select($"doc_id", Dedup.simhash64($"text").as("sig"))
