@@ -17,7 +17,7 @@ object Bench {
     * occur in the corpus (~5% of entries match, like city names in news)
     * + 4750 synthetic phrases that never match (prunes via presearcher).
     */
-  private def benchDict(): Seq[DE] = {
+  private def benchDict(size: Int): Seq[DE] = {
     val vocab = Seq("the", "fast", "key", "order", "sort", "table", "scan",
       "merge", "part", "window", "small", "hash", "join", "batch", "stream",
       "spark", "dup", "group", "query", "row", "data", "slow", "filter",
@@ -26,8 +26,8 @@ object Bench {
       (a, i) <- vocab.zipWithIndex
       (b, j) <- vocab.zipWithIndex
       if i != j
-    } yield s"$a $b").take(250)
-    val synthetic = (0 until 4750).map(i => s"city$i центр$i")
+    } yield s"$a $b").take(size / 20)
+    val synthetic = (0 until (size - matching.size)).map(i => s"city$i центр$i")
     (matching ++ synthetic).zipWithIndex.map { case (text, i) =>
       DE(text, id = Some(s"e$i"))
     }
@@ -49,10 +49,11 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    // headline: 5k-dict annotation throughput over the documents table
+    // headline: annotation throughput over the documents table at the
+    // reference's dictionary scaling points (BASELINE.md: 5k and 80k)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
     val nDocs = docs.count()
-    val hl = SparkHighlighter(benchDict())
+    val hl = SparkHighlighter(benchDict(5000))
     // JIT/codegen warmup on a slice
     hl.annotateExploded(docs.limit(200), "text").count()
     var annCount = 0L
@@ -60,13 +61,17 @@ object Bench {
       annCount = hl.annotateExploded(docs, "text").count()
     }
     val docsPerSec = nDocs / annotateSec
+    val hl80 = SparkHighlighter(benchDict(80000))
+    hl80.annotateExploded(docs.limit(200), "text").count()
+    val annotate80Sec = time { hl80.annotateExploded(docs, "text").count() }
 
     // heavier pipeline operators (sec each)
     val opQueries = Seq("q_dedup_minhash", "q_dedup_exact", "q_knn_brute",
       "q1_agg", "q_events_window", "q_ann_counts", "q_dedup_simhash",
       "q_langid")
     val results = scala.collection.mutable.LinkedHashMap[String, Double](
-      "annotate_5k_dict" -> annotateSec)
+      "annotate_5k_dict" -> annotateSec,
+      "annotate_80k_dict" -> annotate80Sec)
     opQueries.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         results(name) = time { fn(spark, sfDir).count() }
@@ -77,7 +82,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":$nDocs,"annotations":$annCount,"docs_per_sec":$docsPerSec%.0f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":$nDocs,"annotations":$annCount,"docs_per_sec":$docsPerSec%.0f,"docs_per_sec_80k_dict":${nDocs / annotate80Sec}%.0f}""")
     spark.stop()
   }
 }

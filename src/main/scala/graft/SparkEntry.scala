@@ -117,7 +117,7 @@ object SparkEntry {
 
   private def qDictRead(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val entries = Readers.readCsv(s, "src/test/resources/dict.csv")
+    val entries = Readers.readCsv(s, "/root/repo/src/test/resources/dict.csv")
     entries.map(e => (e.text, e.id.getOrElse(""), e.synonyms.size.toLong,
       e.caseSensitive.getOrElse(true), e.asciiFold.getOrElse(false),
       e.meta.size.toLong))

@@ -141,7 +141,17 @@ object Dedup {
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
           s"b -> xxhash64(slice(sig, b * $rows + 1, $rows)))")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
-    val cand = banded.as("x").join(banded.as("y"),
+    // Skew guard: a degenerate band key shared by k docs contributes k²
+    // candidate pairs. Cap bucket size — documents in a >maxBucket bucket
+    // are near-identical to MANY others and still pair up through their
+    // other 15 bands, while the join stays skew-free.
+    val maxBucket = 10000
+    val bucketSizes = banded.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("__bucket_n"))
+    val bandedCapped = banded.join(bucketSizes, Seq("band", "band_key"))
+      .filter(col("__bucket_n") <= maxBucket)
+      .drop("__bucket_n")
+    val cand = bandedCapped.as("x").join(bandedCapped.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))

@@ -1,0 +1,79 @@
+package graft.spark
+
+import graft.engine.CompiledDictionary
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for per-row annotation.
+  *
+  * Versus the ScalaUDF path, this skips the CatalystTypeConverter round
+  * trip on the OUTPUT side: annotations are written straight into
+  * Catalyst `InternalRow`/`ArrayData`, no reflection encoder per row.
+  * The expression carries only the broadcast HANDLE (same scale contract
+  * as the UDF: the compiled dictionary ships once per executor, not per
+  * task). Evaluation is a JVM call into the matcher, so codegen is a
+  * fallback call site (`CodegenFallback`) — the matcher itself is the
+  * hot loop, not expression glue.
+  */
+final case class AnnotateExpression(
+    child: Expression,
+    bc: Broadcast[CompiledDictionary],
+    merge: Boolean) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = AnnotateExpression.outputType
+  override def nullable: Boolean = false
+  override def prettyName: String = "annotate"
+
+  override protected def withNewChildInternal(newChild: Expression): AnnotateExpression =
+    copy(child = newChild)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) AnnotateExpression.emptyArray
+    else {
+      val anns = bc.value.matchDocMerged(v.toString, merge)
+      if (anns.isEmpty) AnnotateExpression.emptyArray
+      else {
+        val out = new Array[Any](anns.length)
+        var i = 0
+        anns.foreach { a =>
+          out(i) = new GenericInternalRow(Array[Any](
+            UTF8String.fromString(a.text),
+            UTF8String.fromString(a.annType),
+            UTF8String.fromString(a.dictEntryId),
+            ArrayBasedMapData(a.meta,
+              (k: Any) => UTF8String.fromString(k.toString),
+              (value: Any) => UTF8String.fromString(value.toString)),
+            a.beginOffset,
+            a.endOffset))
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+  }
+}
+
+object AnnotateExpression {
+  /** Matches the schema the reflection encoder derives for
+    * Seq[graft.dict.Annotation] (so UDF and expression paths are
+    * interchangeable).
+    */
+  val annotationType: StructType = StructType(Seq(
+    StructField("text", StringType),
+    StructField("annType", StringType),
+    StructField("dictEntryId", StringType),
+    StructField("meta", MapType(StringType, StringType, valueContainsNull = true)),
+    StructField("beginOffset", IntegerType, nullable = false),
+    StructField("endOffset", IntegerType, nullable = false)))
+
+  val outputType: DataType = ArrayType(annotationType, containsNull = false)
+
+  private val emptyArray = new GenericArrayData(Array.empty[Any])
+}

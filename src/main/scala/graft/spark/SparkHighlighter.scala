@@ -37,8 +37,19 @@ final class SparkHighlighter(
     bcCache
   }
 
-  /** Column of array<struct<text,annType,dictEntryId,meta,beginOffset,endOffset>>. */
+  /** Column of array<struct<text,annType,dictEntryId,meta,beginOffset,endOffset>>.
+    * Uses the native Catalyst [[AnnotateExpression]] (no per-row
+    * reflection-encoder round trip); `annotateColumnUdf` keeps the plain
+    * ScalaUDF path for comparison/debugging.
+    */
   def annotateColumn(df: DataFrame, textCol: String): Column = {
+    val expr = AnnotateExpression(
+      org.apache.spark.sql.GraftBridge.expression(col(textCol)),
+      bc(df), mergeAnnotations)
+    org.apache.spark.sql.GraftBridge.column(expr)
+  }
+
+  def annotateColumnUdf(df: DataFrame, textCol: String): Column = {
     val b = bc(df)
     val merge = mergeAnnotations
     val fn = udf((text: String) => b.value.matchDocMerged(text, merge))

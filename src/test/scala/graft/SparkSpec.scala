@@ -101,6 +101,22 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("native expression path equals the UDF path") {
+    val docs = Seq(
+      (0L, "before annotated test phrase after annotated"),
+      (1L, "schön test phrase test phrase"),
+      (2L, "")).toDF("doc_id", "text")
+    val hl = SparkHighlighter(Seq(
+      DE("test phrase", id = Some("tp"), meta = Map("k" -> "v")),
+      DE("schön", id = Some("s"), asciiFold = Some(true))))
+    val viaExpr = docs.withColumn("a", hl.annotateColumn(docs, "text"))
+      .selectExpr("doc_id", "explode(a) AS ann").collect().map(_.toString).sorted
+    val viaUdf = docs.withColumn("a", hl.annotateColumnUdf(docs, "text"))
+      .selectExpr("doc_id", "explode(a) AS ann").collect().map(_.toString).sorted
+    assert(viaExpr.toSeq == viaUdf.toSeq)
+    assert(viaExpr.nonEmpty)
+  }
+
   test("annotation struct schema is stable for downstream SQL") {
     val docs = Seq((0L, "test phrase here")).toDF("doc_id", "text")
     val hl = SparkHighlighter(Seq(DE("test phrase", id = Some("tp"),
