@@ -186,11 +186,24 @@ object LuceneAlpha {
           case _        => throw new IllegalArgumentException("missing )")
         }
       case Word(w, neg) :: t =>
-        val terms = Analyzer.terms(conf, w)
         val base: Expr =
-          if (terms.isEmpty) OrExpr(Nil) // analyzes to nothing -> never matches
-          else if (terms.length == 1) TermExpr(terms(0))
-          else PhraseExpr(terms)
+          if (w.indexOf('*') >= 0 || w.indexOf('?') >= 0) {
+            // wildcard term (Lucene ? = one char, * = any run), matched
+            // against the ANALYZED terms like WildcardQuery
+            val analyzed =
+              if (conf.caseSensitive) w else graft.analysis.Filters.lowercase(w)
+            RegexExpr(analyzed.flatMap {
+              case '*'                      => ".*"
+              case '?'                      => "."
+              case c if "\\.[]{}()^$|+".indexOf(c.toInt) >= 0 => "\\" + c
+              case c                        => c.toString
+            })
+          } else {
+            val terms = Analyzer.terms(conf, w)
+            if (terms.isEmpty) OrExpr(Nil) // analyzes to nothing -> never matches
+            else if (terms.length == 1) TermExpr(terms(0))
+            else PhraseExpr(terms)
+          }
         (if (neg) NotExpr(base) else base, t)
       case Quoted(s, neg) :: t =>
         val terms = Analyzer.terms(conf, s)

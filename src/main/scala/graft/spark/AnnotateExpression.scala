@@ -35,28 +35,8 @@ final case class AnnotateExpression(
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) AnnotateExpression.emptyArray
-    else {
-      val anns = bc.value.matchDocMerged(v.toString, merge)
-      if (anns.isEmpty) AnnotateExpression.emptyArray
-      else {
-        val out = new Array[Any](anns.length)
-        var i = 0
-        anns.foreach { a =>
-          out(i) = new GenericInternalRow(Array[Any](
-            UTF8String.fromString(a.text),
-            UTF8String.fromString(a.annType),
-            UTF8String.fromString(a.dictEntryId),
-            ArrayBasedMapData(a.meta,
-              (k: Any) => UTF8String.fromString(k.toString),
-              (value: Any) => UTF8String.fromString(value.toString)),
-            a.beginOffset,
-            a.endOffset))
-          i += 1
-        }
-        new GenericArrayData(out)
-      }
-    }
+    if (v == null) AnnotateExpression.evalEmpty
+    else AnnotateExpression.toCatalyst(bc.value.matchDocMerged(v.toString, merge))
   }
 }
 
@@ -76,4 +56,25 @@ object AnnotateExpression {
   val outputType: DataType = ArrayType(annotationType, containsNull = false)
 
   private val emptyArray = new GenericArrayData(Array.empty[Any])
+
+  def evalEmpty: GenericArrayData = emptyArray
+
+  def toCatalyst(anns: Seq[graft.dict.Annotation]): GenericArrayData = {
+    if (anns.isEmpty) return emptyArray
+    val out = new Array[Any](anns.length)
+    var i = 0
+    anns.foreach { a =>
+      out(i) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(a.text),
+        UTF8String.fromString(a.annType),
+        UTF8String.fromString(a.dictEntryId),
+        ArrayBasedMapData(a.meta,
+          (k: Any) => UTF8String.fromString(k.toString),
+          (v: Any) => UTF8String.fromString(v.toString)),
+        a.beginOffset,
+        a.endOffset))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

@@ -1,0 +1,86 @@
+package graft.spark
+
+import graft.dict.{HighlighterOpts, ValidatorCli}
+import graft.engine.{CompiledDictionary, Compiler}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, StringType}
+
+/** SQL surface: `annotate_text(textCol, '<json dictionary>')`.
+  *
+  * Registered either at session build time
+  * (`spark.sql.extensions=graft.spark.GraftExtensions`, or
+  * `.withExtensions(new GraftExtensions)`) or into a live session with
+  * `GraftExtensions.install(spark)`.
+  *
+  * The dictionary argument must be a foldable string literal (a JSON
+  * array of entry objects, reference reader format); it is compiled once
+  * per distinct literal and cached process-wide. Note: unlike
+  * [[SparkHighlighter]], the compiled dictionary rides in the serialized
+  * expression (per task), not a broadcast — intended for the small
+  * inline dictionaries SQL users write, not 80k-entry ones.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.annotateTextFunction)
+  }
+}
+
+object GraftExtensions {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, CompiledDictionary]()
+
+  private def compileCached(json: String): CompiledDictionary =
+    cache.computeIfAbsent(json, j =>
+      Compiler.compile(ValidatorCli.readJsonString(j), HighlighterOpts.default))
+
+  val annotateTextFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("annotate_text"),
+    new ExpressionInfo(classOf[AnnotateLocalExpression].getName, "annotate_text",
+      "annotate_text(text, dictionaryJson) - annotations of `text` against the JSON dictionary"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "annotate_text expects (text, dictionaryJson literal)")
+      val json = children(1) match {
+        case Literal(v, StringType) if v != null => v.toString
+        case other => throw new IllegalArgumentException(
+          s"annotate_text dictionary must be a string literal, got: $other")
+      }
+      AnnotateLocalExpression(children.head, json)
+    })
+
+  /** Register into an already-running session. */
+  def install(spark: SparkSession): Unit = {
+    val (id, info, builder) = annotateTextFunction
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+
+  private[spark] def compiledFor(json: String): CompiledDictionary = compileCached(json)
+}
+
+/** Like [[AnnotateExpression]] but self-contained: the dictionary JSON is
+  * part of the expression (compiled lazily + cached per JVM), so the
+  * expression survives plan serialization without a SparkContext.
+  */
+final case class AnnotateLocalExpression(child: Expression, dictJson: String)
+  extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val compiled: CompiledDictionary =
+    GraftExtensions.compiledFor(dictJson)
+
+  override def dataType: DataType = AnnotateExpression.outputType
+  override def nullable: Boolean = false
+  override def prettyName: String = "annotate_text"
+
+  override protected def withNewChildInternal(newChild: Expression): AnnotateLocalExpression =
+    copy(child = newChild)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) AnnotateExpression.evalEmpty
+    else AnnotateExpression.toCatalyst(compiled.matchDoc(v.toString))
+  }
+}

@@ -40,6 +40,15 @@ class AlphaSpec extends AnyFunSuite {
     assert(ann4.annotate("big blue data").isEmpty)
   }
 
+  test("wildcard terms") {
+    val ann = new AlphaAnnotator(Seq(DE("te?t AND wor*", id = Some("w"))))
+    assert(ann.annotate("test word").size == 1)
+    assert(ann.annotate("text works").size == 1)
+    assert(ann.annotate("toast word").isEmpty)
+    val ci = new AlphaAnnotator(Seq(DE("TE*", id = Some("c"), caseSensitive = Some(false))))
+    assert(ci.annotate("test").size == 1)
+  }
+
   test("type from entry, blank guard") {
     val ann = new AlphaAnnotator(Seq(DE("x", id = Some("1"), entryType = Some("T"))),
       HO(typeName = Some("QQ")))

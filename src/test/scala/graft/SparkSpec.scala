@@ -117,6 +117,19 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaExpr.nonEmpty)
   }
 
+  test("annotate_text SQL function via SparkSessionExtensions") {
+    graft.spark.GraftExtensions.install(spark)
+    Seq((0L, "before test phrase after"), (1L, "none"))
+      .toDF("doc_id", "text").createOrReplaceTempView("sql_docs")
+    val rows = spark.sql(
+      """SELECT doc_id, a.dictEntryId, a.beginOffset
+        |FROM sql_docs
+        |LATERAL VIEW explode(annotate_text(text, '[{"text": "test phrase", "id": "tp"}]')) AS a
+        |""".stripMargin).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((0L, "tp", 7)))
+  }
+
   test("annotation struct schema is stable for downstream SQL") {
     val docs = Seq((0L, "test phrase here")).toDF("doc_id", "text")
     val hl = SparkHighlighter(Seq(DE("test phrase", id = Some("tp"),
