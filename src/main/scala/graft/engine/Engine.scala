@@ -64,8 +64,10 @@ final class CompiledDictionary(
       fields(f) = FieldTokens(Analyzer.analyze(fieldConfs(f), text))
       f += 1
     }
-    // presearch: candidate query set
-    val cand = new java.util.BitSet(queries.length)
+    // presearch: candidate query ids. Each query is anchored under exactly
+    // ONE (field, term), so ids collected here are already unique — no
+    // bitset needed; sort only for deterministic output order.
+    val cand = new mutable.ArrayBuilder.ofInt
     f = 0
     while (f < fieldConfs.length) {
       val idx = anchor(f)
@@ -73,18 +75,21 @@ final class CompiledDictionary(
         val it = fields(f).positions.keySet().iterator()
         while (it.hasNext) {
           val hit = idx.get(it.next())
-          if (hit != null) { var i = 0; while (i < hit.length) { cand.set(hit(i)); i += 1 } }
+          if (hit != null) cand.addAll(hit)
         }
       }
       f += 1
     }
-    { var i = 0; while (i < alwaysCheck.length) { cand.set(alwaysCheck(i)); i += 1 } }
+    cand.addAll(alwaysCheck)
+    val candIds = cand.result()
+    java.util.Arrays.sort(candIds)
 
     val out = mutable.ArrayBuffer.empty[Annotation]
-    var q = cand.nextSetBit(0)
-    while (q >= 0) {
+    var ci = 0
+    while (ci < candIds.length) {
+      val q = candIds(ci)
       Matcher.matchQuery(queries(q), fields(queries(q).fieldIdx), text, typeName, out)
-      q = cand.nextSetBit(q + 1)
+      ci += 1
     }
     out.map(PostProcess.apply).toSeq
   }
