@@ -60,11 +60,15 @@ final class SparkHighlighter(
     df.withColumn(outputCol, annotateColumn(df, textCol))
 
   /** Exploded, flattened view: one output row per annotation, original
-    * columns retained. Rows with no matches are dropped (inner explode).
+    * columns retained. Rows with no matches are dropped (inner explode)
+    * unless `keepUnmatched` — then they surface once with null annotation
+    * columns (explode_outer), the shape joins/coverage audits want.
     */
-  def annotateExploded(df: DataFrame, textCol: String): DataFrame =
+  def annotateExploded(df: DataFrame, textCol: String,
+      keepUnmatched: Boolean = false): DataFrame = {
+    val ex = if (keepUnmatched) explode_outer(col("__anns")) else explode(col("__anns"))
     annotate(df, textCol, "__anns")
-      .select(df.columns.map(col).toIndexedSeq :+ explode(col("__anns")).as("ann"): _*)
+      .select(df.columns.map(col).toIndexedSeq :+ ex.as("ann"): _*)
       .select(df.columns.map(col).toIndexedSeq ++ Seq(
         col("ann.text").as("matched_text"),
         col("ann.annType").as("ann_type"),
@@ -72,6 +76,7 @@ final class SparkHighlighter(
         col("ann.meta").as("ann_meta"),
         col("ann.beginOffset").as("begin_offset"),
         col("ann.endOffset").as("end_offset")): _*)
+  }
 }
 
 /** Spark lift of the reference's `lucene-alpha/annotator`

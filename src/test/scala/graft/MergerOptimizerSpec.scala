@@ -101,6 +101,35 @@ class MergerOptimizerSpec extends AnyFunSuite {
     assert(anns.forall(_.dictEntryId == "1"))
   }
 
+  test("highlighter-level optimize/validate options wiring") {
+    // optimize-dictionary? merges duplicate texts before compiling
+    val dict = Seq(
+      DE("test", synonyms = Seq("syn1")),
+      DE("test", synonyms = Seq("syn2")))
+    val h = new PhraseHighlighter(dict, HO(typeName = Some("T"), optimizeDictionary = true))
+    assert(h.compiled.queries.length == 3) // merged entry + 2 synonyms
+    assert(h.annotate("a syn1 syn2 test").size == 3)
+    // validate-dictionary? rejects blank text
+    intercept[IllegalArgumentException] {
+      new PhraseHighlighter(Seq(DE(" ")), HO(validateDictionary = true))
+    }
+  }
+
+  test("compiled dictionary is thread-safe (shared across task threads)") {
+    val h = new PhraseHighlighter(
+      (0 until 500).map(i => DE(s"w$i phrase", id = Some(i.toString))))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val futures = (0 until 8).map { t =>
+      Future {
+        (0 until 200).map(i => h.annotate(s"x w${(t * 37 + i) % 500} phrase y").size).sum
+      }
+    }
+    val results = Await.result(Future.sequence(futures), 60.seconds)
+    assert(results.forall(_ == 200))
+  }
+
   test("dry run suggestions (optimization_suggestions_test.clj)") {
     val dict = Seq(
       DE("AAAA", synonyms = Seq("AAAA1")),
