@@ -246,6 +246,25 @@ object Compiler {
   }
 }
 
+object CompiledDictionary {
+  /** Persist a compiled dictionary for reuse across jobs / streaming
+    * restarts (compile once on one driver, load everywhere). Plain JVM
+    * serialization of the immutable compiled form — same bytes the
+    * broadcast would ship.
+    */
+  def save(cd: CompiledDictionary, path: String): Unit = {
+    val out = new java.io.ObjectOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(path)))
+    try out.writeObject(cd) finally out.close()
+  }
+
+  def load(path: String): CompiledDictionary = {
+    val in = new java.io.ObjectInputStream(
+      new java.io.BufferedInputStream(new java.io.FileInputStream(path)))
+    try in.readObject().asInstanceOf[CompiledDictionary] finally in.close()
+  }
+}
+
 /** Synonym id remap + "_type" strip (`phrases.clj:217-226`). */
 object PostProcess {
   def apply(a: Annotation): Annotation = {

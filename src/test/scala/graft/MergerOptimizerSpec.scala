@@ -130,6 +130,19 @@ class MergerOptimizerSpec extends AnyFunSuite {
     assert(results.forall(_ == 200))
   }
 
+  test("compiled dictionary save/load round trip") {
+    val h = new PhraseHighlighter(Seq(
+      DE("test phrase", id = Some("tp"), meta = Map("k" -> "v")),
+      DE("wörd", id = Some("w"), asciiFold = Some(true), synonyms = Seq("syn"))))
+    val f = java.io.File.createTempFile("graft-dict", ".bin")
+    f.deleteOnExit()
+    graft.engine.CompiledDictionary.save(h.compiled, f.getAbsolutePath)
+    val loaded = graft.engine.CompiledDictionary.load(f.getAbsolutePath)
+    val text = "a test phrase with word and syn"
+    assert(loaded.matchDoc(text) == h.compiled.matchDoc(text))
+    assert(loaded.matchDoc(text).nonEmpty)
+  }
+
   test("dry run suggestions (optimization_suggestions_test.clj)") {
     val dict = Seq(
       DE("AAAA", synonyms = Seq("AAAA1")),
