@@ -339,6 +339,22 @@ object SparkEntry {
         |  UNION ALL SELECT 'syn_stream', CAST(sum(len(regexp_extract_all(text, '\bstream\b')) + len(regexp_extract_all(text, '\bbatch\b'))) AS BIGINT) FROM documents
         |  UNION ALL SELECT 'w_hash', CAST(sum(len(regexp_extract_all(text, '\bhash\b'))) AS BIGINT) FROM documents
         |) WHERE n_matches > 0 ORDER BY dict_entry_id""".stripMargin,
+    "q_ann_offsets" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        |idx AS (SELECT doc_id, w, unnest(range(1, len(w)+1)) AS i FROM t),
+        |hj AS (
+        |  SELECT doc_id, 'hj' AS dict_entry_id,
+        |         w[i] || ' ' || w[i+1] AS matched_text,
+        |         CAST(CASE WHEN i=1 THEN 0 ELSE length(array_to_string(w[1:i-1], ' ')) + 1 END AS BIGINT) AS begin_offset
+        |  FROM idx WHERE i < len(w) AND w[i]='hash' AND w[i+1]='join'),
+        |v AS (
+        |  SELECT doc_id, 'v' AS dict_entry_id, w[i] AS matched_text,
+        |         CAST(CASE WHEN i=1 THEN 0 ELSE length(array_to_string(w[1:i-1], ' ')) + 1 END AS BIGINT) AS begin_offset
+        |  FROM idx WHERE w[i]='vector')
+        |SELECT doc_id, dict_entry_id, matched_text, begin_offset,
+        |       CAST(begin_offset + length(matched_text) AS BIGINT) AS end_offset
+        |FROM (SELECT * FROM hj UNION ALL SELECT * FROM v)
+        |ORDER BY doc_id, begin_offset, dict_entry_id""".stripMargin,
     "q_alpha_bool" ->
       """SELECT * FROM (
         |  SELECT doc_id, 'b1' AS dict_entry_id FROM documents WHERE regexp_matches(text, '\bhash\b') AND regexp_matches(text, '\bjoin\b')
