@@ -129,10 +129,15 @@ object Dedup {
     // Spark replays the scan + shingling + hashing once per use (4x the
     // corpus reads at scale). MEMORY_AND_DISK: partitions spill rather
     // than OOM on big corpora.
+    // shingle sets are carried as 64-bit hashes (8 bytes/element through
+    // the verify join instead of ~30-byte strings); jaccard over hashed
+    // sets equals jaccard over the sets up to a ~n²/2⁶⁴ collision chance
     val sh0 = df
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numPerms))
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("__shs"))
+      .filter(size(col("__shs")) > 0)
+      .withColumn("sig", minhashSignature(col("__shs"), numPerms))
+      .withColumn("sh", array_sort(array_distinct(transform(col("__shs"), s => xxhash64(s)))))
+      .drop("__shs")
     val sig = if (persist)
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sh0
