@@ -51,7 +51,12 @@ final class CompiledDictionary(
     val fieldConfs: Array[AnalysisConf],
     val anchor: Array[java.util.HashMap[String, Array[Int]]], // per fieldIdx: term -> query idxs
     val alwaysCheck: Array[Int], // fuzzy queries: no exact anchor term
-    val typeName: String) extends Serializable {
+    val typeName: String,
+    /** per fieldIdx: Aho-Corasick automaton covering the slop-0 phrase
+      * queries of that field (null when none) — O(tokens) matching for
+      * the dominant plain-phrase subset, independent of dictionary size.
+      */
+    val ac: Array[AhoCorasick]) extends Serializable {
 
   /** Annotate one document. Blank text short-circuits
     * (`phrases.clj:228-230`).
@@ -81,6 +86,23 @@ final class CompiledDictionary(
       f += 1
     }
     cand.addAll(alwaysCheck)
+    // Aho-Corasick pass per field for the slop-0 phrase subset
+    val acSpans = mutable.HashMap.empty[Int, mutable.ArrayBuffer[Long]]
+    f = 0
+    while (f < fieldConfs.length) {
+      val automaton = ac(f)
+      if (automaton != null && fields(f).tokens.nonEmpty) {
+        val terms = new Array[String](fields(f).tokens.length)
+        var i = 0
+        while (i < terms.length) { terms(i) = fields(f).tokens(i).term; i += 1 }
+        automaton.run(terms, (q, s, e) => {
+          acSpans.getOrElseUpdate(q, mutable.ArrayBuffer.empty) += ((s.toLong << 32) | e.toLong)
+          ()
+        })
+      }
+      f += 1
+    }
+    cand.addAll(acSpans.keysIterator.toArray)
     val candIds = cand.result()
     java.util.Arrays.sort(candIds)
 
@@ -88,7 +110,19 @@ final class CompiledDictionary(
     var ci = 0
     while (ci < candIds.length) {
       val q = candIds(ci)
-      Matcher.matchQuery(queries(q), fields(queries(q).fieldIdx), text, typeName, out)
+      acSpans.get(q) match {
+        case Some(spans) =>
+          val cq = queries(q)
+          val tokens = fields(cq.fieldIdx).tokens
+          val annType = cq.metadata.getOrElse("_type", typeName)
+          spans.toArray.sorted.foreach { sp =>
+            val b = tokens((sp >> 32).toInt).begin
+            val e = tokens((sp & 0xffffffffL).toInt).end
+            out += Annotation(text.substring(b, e), annType, cq.queryId, cq.metadata, b, e)
+          }
+        case None =>
+          Matcher.matchQuery(queries(q), fields(queries(q).fieldIdx), text, typeName, out)
+      }
       ci += 1
     }
     out.map(PostProcess.apply).toSeq
@@ -221,13 +255,18 @@ object Compiler {
       }
     }
 
-    // presearcher: index each non-fuzzy query under its rarest term
+    // Route the slop-0 phrase subset to a per-field Aho-Corasick automaton
+    // (O(tokens) regardless of dictionary size); remaining queries get the
+    // presearcher anchor index (each under its rarest term) or, for fuzzy,
+    // the always-check list.
+    def acEligible(q: CompiledQuery): Boolean = !q.span && q.slop == 0
     val df = mutable.HashMap.empty[(Int, String), Int].withDefaultValue(0)
     queries.foreach(q => q.terms.distinct.foreach(t => df((q.fieldIdx, t)) += 1))
     val anchor = Array.fill(fieldConfs.length)(new java.util.HashMap[String, mutable.ArrayBuilder.ofInt]())
     val alwaysCheck = new mutable.ArrayBuilder.ofInt
     queries.foreach { q =>
-      if (q.fuzzy) alwaysCheck += q.idx
+      if (acEligible(q)) () // handled by the automaton
+      else if (q.fuzzy) alwaysCheck += q.idx
       else {
         val best = q.terms.minBy(t => (df((q.fieldIdx, t)), -t.length))
         var b = anchor(q.fieldIdx).get(best)
@@ -240,9 +279,15 @@ object Compiler {
       m.forEach((k, v) => out.put(k, v.result()))
       out
     }
+    val acPerField: Array[AhoCorasick] = (0 until fieldConfs.length).map { f =>
+      val pats = queries.iterator
+        .filter(q => q.fieldIdx == f && acEligible(q))
+        .map(q => (q.idx, q.terms)).toSeq
+      if (pats.isEmpty) null else AhoCorasick.build(pats)
+    }.toArray
     val typeName = opts.typeName.filter(_.trim.nonEmpty).getOrElse("PHRASE")
     new CompiledDictionary(queries.toArray, fieldConfs.toArray, anchorFinal,
-      alwaysCheck.result(), typeName)
+      alwaysCheck.result(), typeName, acPerField)
   }
 }
 
