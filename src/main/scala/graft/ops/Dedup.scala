@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   *  - embedding near-dup: random-hyperplane signature bucketing →
   *    exact cosine verify.
   */
+/** Hashed shingle set + minhash signature of one document. */
+final case class ShingleSig(sh: Array[Long], sig: Array[Long])
+
 object Dedup {
 
   /** Exact dedup on a content hash. Output: one row per distinct content
@@ -84,6 +87,58 @@ object Dedup {
     * (measured 87s → <1s for 5k docs at sf0.1). Still scan-local,
     * deterministic, no shuffle.
     */
+  /** text → (sh: sorted distinct 64-bit shingle hashes, sig: minhash
+    * signature) in a single compiled pass: tokenize on spaces, roll the
+    * n-gram window hashing each shingle once (FNV-1a over the window's
+    * chars), remix per permutation (splitmix64).
+    */
+  private def shingleSignatureUdf(n: Int, numPerms: Int) = {
+    val seeds = {
+      val rnd = new java.util.Random(42L)
+      Array.fill(numPerms)(rnd.nextLong())
+    }
+    udf((text: String) => {
+      if (text == null) ShingleSig(Array.empty, Array.empty)
+      else {
+        val toks = text.split(" ")
+        if (toks.length < n) ShingleSig(Array.empty, Array.empty)
+        else {
+          val sig = Array.fill(numPerms)(Long.MaxValue)
+          val set = new java.util.TreeSet[java.lang.Long]()
+          var i = 0
+          while (i + n <= toks.length) {
+            var h = 0xcbf29ce484222325L
+            var k = i
+            while (k < i + n) {
+              val t = toks(k)
+              var j = 0
+              while (j < t.length) { h ^= t.charAt(j); h *= 0x100000001b3L; j += 1 }
+              if (k < i + n - 1) { h ^= ' '; h *= 0x100000001b3L }
+              k += 1
+            }
+            if (set.add(h)) { // distinct shingles only, like list_distinct
+              var p = 0
+              while (p < numPerms) {
+                var z = h ^ seeds(p)
+                z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+                z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+                z = z ^ (z >>> 31)
+                if (z < sig(p)) sig(p) = z
+                p += 1
+              }
+            }
+            i += 1
+          }
+          val sh = new Array[Long](set.size())
+          val it = set.iterator()
+          var m = 0
+          while (it.hasNext) { sh(m) = it.next(); m += 1 }
+          ShingleSig(sh, sig)
+        }
+      }
+    })
+  }
+
   def minhashSignature(shinglesCol: Column, numPerms: Int = 64): Column = {
     val seeds = {
       val rnd = new java.util.Random(42L)
@@ -129,15 +184,16 @@ object Dedup {
     // Spark replays the scan + shingling + hashing once per use (4x the
     // corpus reads at scale). MEMORY_AND_DISK: partitions spill rather
     // than OOM on big corpora.
-    // shingle sets are carried as 64-bit hashes (8 bytes/element through
-    // the verify join instead of ~30-byte strings); jaccard over hashed
-    // sets equals jaccard over the sets up to a ~n²/2⁶⁴ collision chance
+    // One compiled pass per row computes the hashed shingle set AND the
+    // minhash signature straight from the text — no intermediate string
+    // shingle arrays through Tungsten. Shingle sets are carried as 64-bit
+    // hashes (8 bytes/element through the verify join); jaccard over
+    // hashed sets equals set jaccard up to a ~n²/2⁶⁴ collision chance.
+    val shingleSig = shingleSignatureUdf(n, numPerms)
     val sh0 = df
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("__shs"))
-      .filter(size(col("__shs")) > 0)
-      .withColumn("sig", minhashSignature(col("__shs"), numPerms))
-      .withColumn("sh", array_sort(array_distinct(transform(col("__shs"), s => xxhash64(s)))))
-      .drop("__shs")
+      .select(col(idCol).as("id"), shingleSig(col(textCol)).as("ss"))
+      .filter(size(col("ss.sh")) > 0)
+      .select(col("id"), col("ss.sh").as("sh"), col("ss.sig").as("sig"))
     val sig = if (persist)
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sh0
