@@ -355,6 +355,12 @@ object SparkEntry {
         |       CAST(begin_offset + length(matched_text) AS BIGINT) AS end_offset
         |FROM (SELECT * FROM hj UNION ALL SELECT * FROM v)
         |ORDER BY doc_id, begin_offset, dict_entry_id""".stripMargin,
+    "q_ann_merge" ->
+      """SELECT * FROM (
+        |  SELECT 'm1' AS dict_entry_id, CAST(sum(len(regexp_extract_all(text, '\bhash join\b'))) AS BIGINT) AS n_matches FROM documents
+        |  UNION ALL SELECT 'm2', CAST(sum(len(regexp_extract_all(text, '\bjoin\b')) - len(regexp_extract_all(text, '\bhash join\b'))) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'm3', CAST(sum(len(regexp_extract_all(text, '\bhash\b')) - len(regexp_extract_all(text, '\bhash join\b'))) AS BIGINT) FROM documents
+        |) WHERE n_matches > 0 ORDER BY dict_entry_id""".stripMargin,
     "q_alpha_bool" ->
       """SELECT * FROM (
         |  SELECT doc_id, 'b1' AS dict_entry_id FROM documents WHERE regexp_matches(text, '\bhash\b') AND regexp_matches(text, '\bjoin\b')

@@ -101,6 +101,15 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("null text rows yield empty annotation arrays, not nulls") {
+    val docs = Seq((0L, "test phrase"), (1L, null)).toDF("doc_id", "text")
+    val hl = SparkHighlighter(Seq(DE("test phrase", id = Some("tp"))))
+    val rows = hl.annotate(docs, "text")
+      .select($"doc_id", size($"annotations")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((0L, 1), (1L, 0)))
+  }
+
   test("native expression path equals the UDF path") {
     val docs = Seq(
       (0L, "before annotated test phrase after annotated"),
