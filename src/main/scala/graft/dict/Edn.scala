@@ -21,6 +21,7 @@ object Edn {
     val p = new Parser(input)
     val v = p.parseValue()
     p.skipWs()
+    require(p.atEnd, s"trailing content after EDN value at offset ${p.offset}")
     v
   }
 
@@ -84,6 +85,14 @@ object Edn {
   private final class Parser(input: String) {
     private var pos = 0
 
+    def atEnd: Boolean = pos >= input.length
+    def offset: Int = pos
+
+    @inline private def cur: Char = {
+      require(pos < input.length, s"unexpected end of EDN input at offset $pos")
+      input.charAt(pos)
+    }
+
     def skipWs(): Unit = {
       var go = true
       while (go && pos < input.length) {
@@ -112,7 +121,7 @@ object Edn {
     private def parseSeq(close: Char): Value = {
       val items = Vector.newBuilder[Value]
       skipWs()
-      while (input.charAt(pos) != close) {
+      while (cur != close) {
         items += parseValue()
         skipWs()
       }
@@ -123,7 +132,7 @@ object Edn {
     private def parseMap(): Value = {
       val entries = Vector.newBuilder[(Value, Value)]
       skipWs()
-      while (input.charAt(pos) != '}') {
+      while (cur != '}') {
         val k = parseValue()
         val v = parseValue()
         entries += (k -> v)
@@ -136,8 +145,8 @@ object Edn {
     private def parseString(): Value = {
       pos += 1
       val sb = new StringBuilder
-      while (input.charAt(pos) != '"') {
-        val c = input.charAt(pos)
+      while (cur != '"') {
+        val c = cur
         if (c == '\\') {
           pos += 1
           input.charAt(pos) match {

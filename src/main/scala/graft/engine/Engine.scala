@@ -233,13 +233,16 @@ object Compiler {
     * `phrases.clj:206-215`; presearcher = §4.1 of SURVEY).
     */
   def compile(dictionary: Seq[DictionaryEntry], opts: HighlighterOpts): CompiledDictionary = {
+    // validate FIRST on the raw dictionary, then optimize — the
+    // reference's order (`phrases.clj:267-268`); optimizing first could
+    // merge away the offending field and mask the error
+    if (opts.validateDictionary) {
+      val errs = graft.dict.Validator.validate(dictionary)
+      require(errs.isEmpty, s"Invalid dictionary: ${errs.mkString("; ")}")
+    }
     val dict0 =
       if (opts.optimizeDictionary) graft.dict.Optimizer.optimize(dictionary)
       else dictionary
-    if (opts.validateDictionary) {
-      val errs = graft.dict.Validator.validate(dict0)
-      require(errs.isEmpty, s"Invalid dictionary: ${errs.mkString("; ")}")
-    }
     val fieldConfs = mutable.ArrayBuffer.empty[AnalysisConf]
     val fieldIdx = mutable.HashMap.empty[AnalysisConf, Int]
     def fieldIdxOf(c: AnalysisConf): Int =

@@ -161,7 +161,23 @@ object LuceneAlpha {
           val (e, r) = parseAnd(t, conf); children += e; rest = r
         case _ => continue = false
       }
-      (if (children.size == 1) children.head else OrExpr(children.toList), rest)
+      (combineBooleanList(children.toList), rest)
+    }
+
+    /** Lucene boolean-clause semantics for a SHOULD list: negated clauses
+      * are MUST_NOT at the enclosing level, i.e. `a -b` / `a NOT b` means
+      * (a) AND NOT (b), not `a OR NOT b`; a pure-negative query matches
+      * nothing (like Lucene's classic QueryParser).
+      */
+    private def combineBooleanList(children: List[Expr]): Expr = {
+      if (children.size == 1 && !children.head.isInstanceOf[NotExpr])
+        return children.head
+      val (negs, poss) = children.partition(_.isInstanceOf[NotExpr])
+      if (negs.isEmpty) OrExpr(poss)
+      else if (poss.isEmpty) OrExpr(Nil) // pure negative: never matches
+      else AndExpr(Seq(
+        if (poss.size == 1) poss.head else OrExpr(poss),
+        NotExpr(OrExpr(negs.map(_.asInstanceOf[NotExpr].child)))))
     }
 
     private def parseAnd(toks: List[Tok], conf: AnalysisConf): (Expr, List[Tok]) = {

@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Large-scale deduplication operators for training-data pipelines.
   *
-  * All operators are expressed as native Spark SQL functions (codegen'd,
-  * no Scala UDFs in the shingle/minhash path) so Catalyst can push
-  * filters/projections into the scan, and every join is on a narrow key
-  * (band hash / token), never a cross join — the shapes survive a 100 TB
-  * corpus on a real cluster:
+  * Per-row kernels (shingle hashing, minhash signatures, simhash) are
+  * single-pass compiled scalar functions (Spark's nested higher-order SQL
+  * functions evaluate interpreted and are far slower); everything around
+  * them is native SQL so Catalyst pushes filters/projections into the
+  * scan, and every join is on a narrow key (band hash / token), never a
+  * cross join — the shapes survive a 100 TB corpus on a real cluster:
   *  - exact: shuffle on a 128-bit content hash, not the text itself.
   *  - minhash LSH: per-row signature (scan-local) → explode 16 band keys
   *    → self-join on (band, key) → exact-verify only the candidates.
@@ -76,21 +77,10 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signature column: sig[i] = min over shingles s of
-    * mix(seed_i, hash(s)) — each shingle hashed once, then remixed per
-    * permutation (splitmix64 finalizer).
-    *
-    * Implemented as a single-pass compiled scalar function rather than
-    * nested transform/array_min: Spark's higher-order SQL functions
-    * evaluate INTERPRETED, and at 64 perms × hundreds of shingles the
-    * interpreted nested-lambda tree is ~50× slower than this loop
-    * (measured 87s → <1s for 5k docs at sf0.1). Still scan-local,
-    * deterministic, no shuffle.
-    */
   /** text → (sh: sorted distinct 64-bit shingle hashes, sig: minhash
     * signature) in a single compiled pass: tokenize on spaces, roll the
-    * n-gram window hashing each shingle once (FNV-1a over the window's
-    * chars), remix per permutation (splitmix64).
+    * n-gram window hashing each distinct shingle once (FNV-1a over the
+    * window's chars), remix per permutation (splitmix64 finalizer).
     */
   private def shingleSignatureUdf(n: Int, numPerms: Int) = {
     val seeds = {
@@ -139,33 +129,6 @@ object Dedup {
     })
   }
 
-  def minhashSignature(shinglesCol: Column, numPerms: Int = 64): Column = {
-    val seeds = {
-      val rnd = new java.util.Random(42L)
-      Array.fill(numPerms)(rnd.nextLong())
-    }
-    val f = udf((shingles: Seq[String]) => {
-      val sig = Array.fill(numPerms)(Long.MaxValue)
-      shingles.foreach { s =>
-        // FNV-1a 64 base hash, then per-perm splitmix64 remix
-        var h = 0xcbf29ce484222325L
-        var j = 0
-        while (j < s.length) { h ^= s.charAt(j); h *= 0x100000001b3L; j += 1 }
-        var i = 0
-        while (i < numPerms) {
-          var z = h ^ seeds(i)
-          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-          z = z ^ (z >>> 31)
-          if (z < sig(i)) sig(i) = z
-          i += 1
-        }
-      }
-      sig.toSeq
-    })
-    f(shinglesCol)
-  }
-
   /** MinHash + LSH near-duplicate pairs, exact-verified.
     *
     * numPerms=64 split into `bands` bands of numPerms/bands rows; a pair
@@ -174,16 +137,17 @@ object Dedup {
     * and only recall depends on the banding (P[catch] = 1-(1-j^r)^b;
     * at j=0.8, r=4, b=16: ~0.9998).
     */
+  /* Note on persist: the shingle/signature relation feeds both sides of
+   * the candidate self-join AND both sides of the verify join; without
+   * persisting, Spark replays the scan + hashing once per use (4x the
+   * corpus reads at scale). The cache is left to Spark's LRU eviction;
+   * long-running services calling this repeatedly should pass
+   * persist=false or clear via spark.catalog.clearCache(). */
   def minhashPairs(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, numPerms: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, persist: Boolean = true): DataFrame = {
     val rows = numPerms / bands
-    // The shingle+signature relation feeds BOTH sides of the candidate
-    // self-join and both sides of the verify join; without persisting it,
-    // Spark replays the scan + shingling + hashing once per use (4x the
-    // corpus reads at scale). MEMORY_AND_DISK: partitions spill rather
-    // than OOM on big corpora.
     // One compiled pass per row computes the hashed shingle set AND the
     // minhash signature straight from the text — no intermediate string
     // shingle arrays through Tungsten. Shingle sets are carried as 64-bit

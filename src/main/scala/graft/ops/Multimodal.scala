@@ -59,9 +59,6 @@ object Multimodal {
   def synthesize(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val enc = udf((id: Long, text: String) => {
       val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val kind = (id % 3) match {
-        case 0 => "image"; case 1 => "audio"; case _ => "video"
-      }
       val w = 16 + (id % 16).toInt
       val h = 16 + (id % 8).toInt
       StubCodec.encodeHeader(w, h, 16000, 1 + (id % 10).toInt, payload)

@@ -88,13 +88,23 @@ object Similarity {
       query: Array[Double], k: Int, dim: Int,
       nPlanes: Int = 16, probeHamming: Int = 2, seed: Long = 11L): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    val qLit = array(query.map(lit).toIndexedSeq: _*)
     val withSig = df.select(col(idCol).as("id"), v.as("v"),
       lshSignature(v, dim, nPlanes, seed).as("sig"))
-    val qSig = lshSignature(qLit, dim, nPlanes, seed)
+    // query signature computed ONCE on the driver (same plane sequence as
+    // lshSignature), shipped as a long literal
+    val qSig: Long = {
+      val rnd = new java.util.Random(seed)
+      val planes = Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+      planes.foldLeft(0L) { (acc, p) =>
+        var dotv = 0.0
+        var i = 0
+        while (i < dim) { dotv += p(i) * query(i); i += 1 }
+        acc * 2 + (if (dotv >= 0) 1L else 0L)
+      }
+    }
     val cands = withSig
-      .withColumn("qsig", qSig)
-      .filter(bit_count(col("sig").bitwiseXOR(col("qsig"))) <= probeHamming)
+      .filter(bit_count(col("sig").bitwiseXOR(lit(qSig))) <= probeHamming)
+    val qLit = array(query.map(lit).toIndexedSeq: _*)
     cands.withColumn("cosine", cosine(col("v"), qLit))
       .orderBy(col("cosine").desc, col("id").asc).limit(k)
       .withColumn("rank", row_number().over(

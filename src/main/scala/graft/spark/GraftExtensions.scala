@@ -30,12 +30,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, CompiledDictionary]()
+  // size-bounded LRU so a service generating many distinct dictionary
+  // literals can't leak compiled dictionaries indefinitely
+  private val MaxCached = 64
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, CompiledDictionary](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, CompiledDictionary]): Boolean =
+        size() > MaxCached
+    })
 
   private def compileCached(json: String): CompiledDictionary =
-    cache.computeIfAbsent(json, j =>
-      Compiler.compile(ValidatorCli.readJsonString(j), HighlighterOpts.default))
+    cache.synchronized {
+      val hit = cache.get(json)
+      if (hit != null) hit
+      else {
+        val compiled = Compiler.compile(ValidatorCli.readJsonString(json), HighlighterOpts.default)
+        cache.put(json, compiled)
+        compiled
+      }
+    }
 
   val annotateTextFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("annotate_text"),

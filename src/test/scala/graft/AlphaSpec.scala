@@ -40,6 +40,20 @@ class AlphaSpec extends AnyFunSuite {
     assert(ann4.annotate("big blue data").isEmpty)
   }
 
+  test("negated clause in OR position is MUST_NOT (Lucene semantics)") {
+    // 'apple -banana' == apple AND NOT banana, NOT 'apple OR NOT banana'
+    val ann = new AlphaAnnotator(Seq(DE("apple -banana", id = Some("n1"))))
+    assert(ann.annotate("apple pie").size == 1)
+    assert(ann.annotate("apple banana").isEmpty)
+    assert(ann.annotate("cherry pie").isEmpty) // neither term: no match
+    val ann2 = new AlphaAnnotator(Seq(DE("apple NOT banana", id = Some("n2"))))
+    assert(ann2.annotate("apple pie").size == 1)
+    assert(ann2.annotate("cherry pie").isEmpty)
+    // pure negative matches nothing
+    val ann3 = new AlphaAnnotator(Seq(DE("-banana", id = Some("n3"))))
+    assert(ann3.annotate("apple pie").isEmpty)
+  }
+
   test("wildcard terms") {
     val ann = new AlphaAnnotator(Seq(DE("te?t AND wor*", id = Some("w"))))
     assert(ann.annotate("test word").size == 1)
