@@ -73,16 +73,31 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("begin_offset"), col("dict_entry_id"))
   }
 
+  /** Ordered-span matching, oracled at doc level: a 2-term in-order entry
+    * with slop k annotates a doc iff term0 occurs with term1 within gap <=k
+    * after it (the span begin/end *pairing* semantics — reference quirks
+    * included — are pinned by PhrasesSpec; a doc-level oracle sidesteps the
+    * pairing's non-SQL-expressible stateful sweep while still verifying
+    * ordered-slop matching against DuckDB).
+    */
   private def qAnnInorder(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(t(dir, "documents"))
     val dict = Seq(
       DE("group query", id = Some("io1"), slop = Some(1), inOrder = Some(true)),
       DE("sort merge", id = Some("io2"), slop = Some(2), inOrder = Some(true)))
     highlighter(dict).annotateExploded(docs, "text")
-      .groupBy(col("dict_entry_id")).agg(count(lit(1)).as("n_matches"))
-      .orderBy(col("dict_entry_id"))
+      .select(col("doc_id"), col("dict_entry_id")).distinct()
+      .orderBy(col("doc_id"), col("dict_entry_id"))
   }
 
+  /** Sloppy-phrase matching with a count oracle. matchPhrase emits one
+    * annotation per distinct anchored start position, so for 2 distinct
+    * terms: "hash merge" slop 1 starts at every `hash` with `merge` <=1 gap
+    * after (the reverse order costs a transposition = 2 > 1); "join hash"
+    * slop 2 starts at every `join` with `hash` <=2 gaps after PLUS every
+    * adjacent transposed `hash join`. The oracle enumerates exactly those
+    * positions over the word arrays.
+    */
   private def qAnnSlop(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(t(dir, "documents"))
     val dict = Seq(
@@ -122,6 +137,7 @@ object SparkEntry {
       e.caseSensitive.getOrElse(true), e.asciiFold.getOrElse(false),
       e.meta.size.toLong))
       .toDF("text", "id", "n_synonyms", "case_sensitive", "ascii_fold", "n_meta")
+      .orderBy(col("id"), col("n_synonyms"), col("ascii_fold"), col("n_meta"))
   }
 
   /** Dictionary dedup (§2.5) driven from table data so the oracle can see
@@ -222,11 +238,24 @@ object SparkEntry {
         "text", "doc_id", maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
-  private def qEmbedDedup(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingPairs(s.read.parquet(t(dir, "embeddings")),
-        "embedding", "vec_id", dim = 64, threshold = 0.9)
+  /** Embedding near-dup detection on a corpus that actually contains
+    * near-duplicates: the raw embeddings are isotropic (no pair above
+    * cosine ~0.52), so we union in copies with the first component negated
+    * (cos = 1 - 2*a1^2/|a|^2, mostly >= 0.9; exact double math, replicable
+    * in SQL). 64 planes / 16 bands keeps the per-pair LSH miss probability
+    * ~4e-6 at the 0.9 threshold; the result is verified exact against the
+    * DuckDB brute-force pair join.
+    */
+  private def qEmbedDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(t(dir, "embeddings"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val copies = emb.select((col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), (x, i) => when(i === 0, -x).otherwise(x)).as("embedding"))
+    Dedup.embeddingPairs(emb.union(copies), "embedding", "vec_id",
+        dim = 64, planes = 64, bands = 16, threshold = 0.9)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 3).as("cosine"))
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   // training-data pipeline: similarity search
 
@@ -246,6 +275,23 @@ object SparkEntry {
     Similarity.knnJoin(emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id", k = 5)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF exact top-k (coarse-quantizer pruning): same result as
+    * [[qKnnBrute]] by construction, so it shares the brute-force oracle.
+    * On the isotropic test embeddings pruning degrades to ~full scan; the
+    * OpsSpec clustered-data test pins that the bound actually prunes.
+    */
+  private def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(t(dir, "embeddings"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val model = Similarity.ivfFit(corpus, "embedding", "vec_id", nClusters = 16)
+    Similarity.ivfTopK(corpus, "embedding", "vec_id", q, k = 10, model, probe = 4)
+      .select(col("id"), col("rank").cast("long").as("rank"),
+        round(col("cosine"), 3).as("cosine"))
+      .orderBy(col("rank"))
   }
 
   private def qKnnLsh(s: SparkSession, dir: String): DataFrame = {
@@ -285,12 +331,32 @@ object SparkEntry {
       .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Fingerprint windowing oracle: the count and distinct-count of rolling
+    * 5-token window hashes must equal DuckDB's count of the window *token
+    * sequences* themselves — verifying the windowing logic and that the
+    * 64-bit hash is collision-free on the corpus. The min-hash value
+    * itself (q_fingerprint) has no SQL equivalent and stays rows-only.
+    */
+  private def qFpCard(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"),
+        TextStats.fingerprintWindows(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_windows"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"))
+      .orderBy(col("doc_id"))
+
+  /** Multimodal plumbing with an oracle: the stub codec's payload is the
+    * UTF-8 text, so histogram bin 2 (bytes 32..47) is exactly the space
+    * fraction of the text and n_bytes is 16 (header) + octet length — both
+    * SQL-derivable. Verifies the synthesize -> decode -> batched-feature
+    * path end to end.
+    */
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.synthesize(
       s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 100), "text", "doc_id")
     Multimodal.extractFeatures(media)
       .select(col("media_id"), col("kind"), col("n_bytes").cast("long").as("n_bytes"),
-        round(element_at(col("features"), 1).cast("double"), 3).as("f0"))
+        round(element_at(col("features"), 3).cast("double"), 3).as("f2"))
       .orderBy(col("media_id"))
   }
 
@@ -317,11 +383,13 @@ object SparkEntry {
     "q_embed_dedup" -> (qEmbedDedup _),
     "q_knn_brute" -> (qKnnBrute _),
     "q_knn_join" -> (qKnnJoin _),
+    "q_knn_ivf" -> (qKnnIvf _),
     "q_knn_lsh" -> (qKnnLsh _),
     "q_langid" -> (qLangid _),
     "q_quality" -> (qQuality _),
     "q_tokens" -> (qTokens _),
     "q_fingerprint" -> (qFingerprint _),
+    "q_fp_card" -> (qFpCard _),
     "q_multimodal" -> (qMultimodal _))
 
   /** DuckDB oracles. Column names and ordering match the Spark results
@@ -355,6 +423,28 @@ object SparkEntry {
         |       CAST(begin_offset + length(matched_text) AS BIGINT) AS end_offset
         |FROM (SELECT * FROM hj UNION ALL SELECT * FROM v)
         |ORDER BY doc_id, begin_offset, dict_entry_id""".stripMargin,
+    "q_ann_slop" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        |idx AS (SELECT doc_id, w, unnest(range(1, len(w)+1)) AS i FROM t),
+        |s1 AS (SELECT count(*) c FROM idx
+        |       WHERE w[i]='hash' AND (w[i+1]='merge' OR w[i+2]='merge')),
+        |s2 AS (SELECT count(*) c FROM idx
+        |       WHERE (w[i]='join' AND (w[i+1]='hash' OR w[i+2]='hash' OR w[i+3]='hash'))
+        |          OR (w[i]='hash' AND w[i+1]='join'))
+        |SELECT dict_entry_id, n_matches FROM (
+        |  SELECT 's1' AS dict_entry_id, CAST(s1.c AS BIGINT) AS n_matches FROM s1
+        |  UNION ALL SELECT 's2', CAST(s2.c AS BIGINT) FROM s2
+        |) ORDER BY dict_entry_id""".stripMargin,
+    "q_ann_inorder" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        |idx AS (SELECT doc_id, w, unnest(range(1, len(w)+1)) AS i FROM t)
+        |SELECT doc_id, dict_entry_id FROM (
+        |  SELECT DISTINCT doc_id, 'io1' AS dict_entry_id FROM idx
+        |  WHERE w[i]='group' AND (w[i+1]='query' OR w[i+2]='query')
+        |  UNION ALL
+        |  SELECT DISTINCT doc_id, 'io2' FROM idx
+        |  WHERE w[i]='sort' AND (w[i+1]='merge' OR w[i+2]='merge' OR w[i+3]='merge')
+        |) ORDER BY doc_id, dict_entry_id""".stripMargin,
     "q_ann_merge" ->
       """SELECT * FROM (
         |  SELECT 'm1' AS dict_entry_id, CAST(sum(len(regexp_extract_all(text, '\bhash join\b'))) AS BIGINT) AS n_matches FROM documents
@@ -367,6 +457,27 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id, 'b2' FROM documents WHERE regexp_matches(text, '\bdup\b') AND NOT regexp_matches(text, '\bstream\b')
         |  UNION ALL SELECT doc_id, 'b3' FROM documents WHERE regexp_matches(text, '\btable scan\b')
         |) ORDER BY doc_id, dict_entry_id""".stripMargin,
+    "q_dict_read" ->
+      """SELECT * FROM (VALUES
+        |  ('test-dictionary-item', '',    CAST(0 AS BIGINT), true, false, CAST(0 AS BIGINT)),
+        |  ('test-dictionary-item', '',    0, true, false, 0),
+        |  ('test-dictionary-item', 'id1', 0, true, false, 0),
+        |  ('test-dictionary-item', 'id1', 0, true, false, 0),
+        |  ('test-dictionary-item', 'id1', 1, true, false, 0),
+        |  ('test-dictionary-item', 'id1', 1, true, false, 0),
+        |  ('test-dictionary-item', 'id1', 2, true, false, 0),
+        |  ('test-dictionary-item', 'id1', 2, true, false, 0),
+        |  ('test-dictionary-item', 'id1', 2, true, false, 0),
+        |  ('test-dictionary-item', 'id1', 2, true, false, 1),
+        |  ('test-dictionary-item', 'id1', 2, true, false, 2),
+        |  ('test-dictionary-item', 'id1', 2, true, false, 2),
+        |  ('test-dictionary-item', 'id1', 2, true, false, 2),
+        |  ('test-dictionary-item', 'id1', 2, true, false, 2),
+        |  ('test-dictionary-item', 'id1', 2, true, false, 2),
+        |  ('test-dictionary-item', 'id1', 2, true, true,  2),
+        |  ('test-dictionary-item', 'id1', 2, true, true,  2)
+        |) AS t(text, id, n_synonyms, case_sensitive, ascii_fold, n_meta)
+        |ORDER BY id, n_synonyms, ascii_fold, n_meta""".stripMargin,
     "q_dict_optimize" ->
       """SELECT p_name AS text, CAST(min(p_partkey) AS VARCHAR) AS keep_id,
         |       CAST(count(*) AS BIGINT) AS n_merged
@@ -437,12 +548,24 @@ object SparkEntry {
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM victims)
         |ORDER BY d.doc_id""".stripMargin,
     "q_embed_dedup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) AS cosine
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |all_v AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000, list_concat([-v[1]], v[2:]) FROM base)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.v, b.v), 3) AS cosine
+        |FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
     "q_knn_brute" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id AS id,
+        |       CAST(row_number() OVER (ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.v) DESC, e.vec_id ASC) AS BIGINT) AS rank,
+        |       round(list_cosine_similarity(e.embedding::DOUBLE[], q.v), 3) AS cosine
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY rank LIMIT 10""".stripMargin,
+    "q_knn_ivf" ->
       """WITH q AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id AS id,
         |       CAST(row_number() OVER (ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.v) DESC, e.vec_id ASC) AS BIGINT) AS rank,
@@ -481,6 +604,24 @@ object SparkEntry {
         |       WHEN length(text)::DOUBLE / greatest(len(string_split(trim(text), ' ')), 1) > 15 THEN 'long_tokens'
         |       ELSE 'ok' END AS quality_bucket
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(16 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  round((length(text) - length(replace(text, ' ', '')))::DOUBLE
+        |        / greatest(octet_length(encode(text)), 1), 3) AS f2
+        |FROM documents WHERE doc_id < 100 ORDER BY media_id""".stripMargin,
+    "q_fp_card" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |ws AS (SELECT doc_id,
+        |         CASE WHEN len(w) < 5 THEN []
+        |              ELSE [array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w) - 3)]
+        |         END AS wins
+        |       FROM t)
+        |SELECT doc_id, CAST(len(wins) AS BIGINT) AS n_windows,
+        |       CAST(len(list_distinct(wins)) AS BIGINT) AS n_distinct
+        |FROM ws ORDER BY doc_id""".stripMargin,
     "q_tokens" ->
       """SELECT event_id,
         |  CAST(len(string_split_regex(trim(props), '\s+')) AS BIGINT) AS ws_tokens,

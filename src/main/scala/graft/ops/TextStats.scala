@@ -77,6 +77,36 @@ object TextStats {
     * = minimum window hash. Content-defined, robust to doc reordering of
     * surrounding rows. Scalar function: scan-local, no shuffle.
     */
+  /** All rolling-window hashes (the set [[fingerprint]] minimizes over).
+    * Distinct-cardinality of these equals distinct window token-sequences
+    * as long as the 64-bit hash is collision-free on the corpus — which is
+    * what the q_fp_card oracle checks against DuckDB's string windows.
+    */
+  def fingerprintWindows(textCol: Column, window: Int = 5): Column = {
+    val f = udf((text: String) => {
+      if (text == null || text.isEmpty) Array.empty[Long]
+      else {
+        val toks = text.split("\\s+")
+        if (toks.length < window) Array.empty[Long]
+        else {
+          val hs = toks.map { t =>
+            var h = 0xcbf29ce484222325L
+            var j = 0
+            while (j < t.length) { h ^= t.charAt(j); h *= 0x100000001b3L; j += 1 }
+            h
+          }
+          Array.tabulate(hs.length - window + 1) { i =>
+            var w = 0xcbf29ce484222325L
+            var j = i
+            while (j < i + window) { w = w * 31 + hs(j); j += 1 }
+            w
+          }
+        }
+      }
+    })
+    f(textCol)
+  }
+
   def fingerprint(textCol: Column, window: Int = 5): Column = {
     val f = udf((text: String) => {
       if (text == null || text.isEmpty) 0L

@@ -96,6 +96,34 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.collect().map(_.getLong(0)).contains(0L))
   }
 
+  test("IVF top-k is exact and prunes clusters on clustered data") {
+    // 3 well-separated direction clusters in 8-dim
+    val centers = Seq(
+      Array(1.0, 0, 0, 0, 0, 0, 0, 0),
+      Array(0.0, 1, 0, 0, 0, 0, 0, 0),
+      Array(0.0, 0, 1, 0, 0, 0, 0, 0))
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 60).map { i =>
+      val c = centers(i % 3)
+      val v = c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+      (i.toLong, v)
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val model = Similarity.ivfFit(vecs, "embedding", "vec_id", nClusters = 3,
+      sampleN = 60)
+    val q = Array(0.95, 0.05, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val ivf = Similarity.ivfTopK(vecs, "embedding", "vec_id", q, k = 5, model,
+      probe = 1).collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val brute = Similarity.bruteForceTopK(vecs, "embedding", "vec_id", q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(ivf.toSeq == brute.toSeq) // exact, bit-for-bit
+    // with a tight floor the bound rules out the orthogonal clusters
+    val cands = Similarity.ivfCandidateClusters(model, q, floor = 0.9)
+    assert(cands.size < model.nClusters)
+    // degenerate floor keeps everything (bound is conservative, never wrong)
+    assert(Similarity.ivfCandidateClusters(model, q, -1.0).size == model.nClusters)
+  }
+
   test("token counts: whitespace and BPE-ish") {
     val out = TextStats.tokenCounts(docs, "text", "doc_id")
       .orderBy("doc_id").collect()
