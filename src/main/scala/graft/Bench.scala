@@ -71,8 +71,8 @@ object Bench {
     // (measured: q_dedup_minhash 11.1s cold vs 1.8s warm on identical
     // data), which a long-running cluster job amortizes to zero.
     val opQueries = Seq("q_dedup_minhash", "q_dedup_exact", "q_knn_brute",
-      "q1_agg", "q_events_window", "q_ann_counts", "q_dedup_simhash",
-      "q_langid")
+      "q_knn_ivf", "q1_agg", "q_events_window", "q_ann_counts",
+      "q_dedup_simhash", "q_langid")
     val warmDir = {
       val cand = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       if (cand.isDirectory && cand.getPath != sfDir) cand.getPath else sfDir

@@ -19,8 +19,12 @@ import org.apache.spark.sql.functions._
   *    scan, per-query windowed rank.
   *  - lshTopK: random-hyperplane bucketing (same family as
   *    Dedup.embeddingPairs) with multi-probe over Hamming-adjacent
-  *    buckets — the 100 TB path where even one full scan per query set is
-  *    too much.
+  *    buckets — approximate; the path where even one full scan per query
+  *    set is too much.
+  *  - ivfTopK: coarse-quantizer (spherical k-means) cluster pruning with a
+  *    triangle-inequality upper bound — EXACT results; at 100 TB the
+  *    corpus is written `partitionBy("cluster")` once so each query scans
+  *    only the clusters whose bound survives (partition pruning).
   */
 object Similarity {
 

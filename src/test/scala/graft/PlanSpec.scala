@@ -1,0 +1,67 @@
+package graft
+
+import graft.dict.{DictionaryEntry => DE, HighlighterOpts => HO}
+import graft.spark.SparkHighlighter
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape guards: the properties that matter at 100 TB —
+  * scan-level filter pushdown and column pruning, broadcast joins for small
+  * dimensions, whole-stage codegen around the hot path, and no redundant
+  * shuffles — asserted on the actual plans so a refactor that silently
+  * loses one of them fails the build, not the cluster bill.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("parquet scan gets pushed filters and pruned read schema") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 100)
+      .select(col("text"))
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]"), plan)
+    // projection pruning: the scan must not read `text` plus everything else
+    val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("lang"), readSchema) // untouched column stays unread
+  }
+
+  test("orders-customer top-n join broadcasts the dimension side") {
+    val plan = planOf(SparkEntry.queries("q_join_topn")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("aggregation pipeline runs inside whole-stage codegen") {
+    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    df.collect() // AQE finalizes the physical plan on execution
+    val executed = df.queryExecution.executedPlan.toString
+    // codegen stages print as "*(n) Operator" in the executed-plan string
+    assert(executed.contains("*(1)"), executed)
+    // partial (map-side) aggregation before the exchange
+    assert(executed.contains("partial_sum"), executed)
+  }
+
+  test("annotate + count shuffles once for the groupBy (plus final sort)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = SparkHighlighter(Seq(DE("hash join", id = Some("1"))), HO())
+      .annotateExploded(docs, "text")
+      .groupBy(col("dict_entry_id")).agg(count(lit(1)).as("n"))
+    val plan = planOf(df)
+    // formatted mode puts partitioning on an Arguments line under Exchange
+    val hashExchanges = plan.linesIterator.count(l =>
+      l.trim.startsWith("Arguments: hashpartitioning"))
+    assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$plan")
+    // matching is partition-local: the explode sits below the only exchange
+    val genIdx = plan.indexOf("Generate")
+    val exIdx = plan.indexOf("Exchange")
+    assert(genIdx >= 0 && exIdx >= 0 && exIdx < genIdx, plan)
+  }
+}
