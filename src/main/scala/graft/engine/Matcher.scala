@@ -306,6 +306,17 @@ object Matcher {
     if (r >= arr.length) -1 else r
   }
 
+  /** JVM-wide memo for (query term, doc term, maxEdits) edit-distance
+    * verdicts: corpora are zipfian, so the same doc terms recur across
+    * millions of rows and each fuzzy query would otherwise re-run the DP
+    * per document. Bounded (stops inserting at the cap) so a pathological
+    * vocabulary can't leak executor memory; the function is pure, so
+    * cross-thread races are benign.
+    */
+  private val fuzzyMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val FuzzyMemoCap = 1 << 20
+
   /** All doc positions whose term is within `maxEdits` (optimal string
     * alignment / Damerau-Levenshtein with transpositions, like Lucene
     * FuzzyQuery) of `term`.
@@ -315,7 +326,21 @@ object Matcher {
     val it = field.positions.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (withinEdits(term, e.getKey, maxEdits)) e.getValue.foreach(b += _)
+      val docTerm = e.getKey
+      // cheap length prefilter before touching the memo
+      if (math.abs(term.length - docTerm.length) <= maxEdits) {
+        // length-prefixed so a term containing any separator char (the
+        // keyword tokenizer emits whole strings) cannot alias another pair
+        val key = new java.lang.StringBuilder(term.length + docTerm.length + 8)
+          .append(maxEdits).append(':').append(term.length).append(':')
+          .append(term).append(docTerm).toString
+        var cached = fuzzyMemo.get(key)
+        if (cached == null) {
+          cached = java.lang.Boolean.valueOf(withinEdits(term, docTerm, maxEdits))
+          if (fuzzyMemo.size < FuzzyMemoCap) fuzzyMemo.put(key, cached)
+        }
+        if (cached.booleanValue) e.getValue.foreach(b += _)
+      }
     }
     val r = b.result()
     java.util.Arrays.sort(r)

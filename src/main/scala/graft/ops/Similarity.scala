@@ -97,6 +97,27 @@ object Similarity {
   private def angle(cos: Double): Double =
     math.acos(math.max(-1.0, math.min(1.0, cos)))
 
+  /** Compiled assignment kernel: nearest centroid + angle to it, one pass
+    * over the vector. A UDF rather than `transform`/`aggregate` exprs
+    * because nested higher-order SQL functions evaluate interpreted —
+    * this is the per-row hot path of every IVF scan (see README "scale
+    * design": hot kernels are compiled scalar functions).
+    */
+  private def assignWithAngle(model: IvfModel) = udf((vec: Seq[Double]) => {
+    val a = vec.toArray
+    val n = math.sqrt(dotv(a, a))
+    val inv = if (n == 0) 1.0 else 1.0 / n
+    var bestC = 0
+    var bestD = Double.NegativeInfinity
+    var c = 0
+    while (c < model.nClusters) {
+      val d = dotv(a, model.centroids(c)) * inv
+      if (d > bestD) { bestD = d; bestC = c }
+      c += 1
+    }
+    (bestC, angle(bestD))
+  })
+
   /** Fit the coarse quantizer: deterministic sample (sorted-by-id prefix),
     * k-means++-lite seeding (farthest-point), `iters` Lloyd rounds on the
     * unit sphere, then one assignment pass over the FULL corpus to compute
@@ -146,30 +167,22 @@ object Similarity {
         centroids(c) = normalize(sums(c))
     }
     // exact radii over the full corpus (needed for exact pruning)
-    val cLit = array(centroids.toIndexedSeq.map(c =>
-      array(c.toIndexedSeq.map(lit): _*)): _*)
-    val v = col(vecCol).cast("array<double>")
-    val cosines = transform(cLit, c => dot(v, c) / norm(v))
+    val partial = IvfModel(centroids, new Array[Double](nClusters))
     val assigned = df.select(
-      (array_position(cosines, array_max(cosines)) - 1).cast("int").as("cluster"),
-      acos(greatest(lit(-1.0), least(lit(1.0), array_max(cosines)))).as("ang"))
+      assignWithAngle(partial)(col(vecCol).cast("array<double>")).as("ca"))
     val radii = new Array[Double](nClusters)
-    assigned.groupBy(col("cluster")).agg(max(col("ang")).as("r"))
+    assigned.select(col("ca._1").as("cluster"), col("ca._2").as("ang"))
+      .groupBy(col("cluster")).agg(max(col("ang")).as("r"))
       .collect().foreach(r => radii(r.getInt(0)) = r.getDouble(1))
     IvfModel(centroids, radii)
   }
 
-  /** Cluster-assignment column (argmax centroid cosine; native SQL, no
-    * UDF). At scale: write the corpus `partitionBy("cluster")` once so
-    * searches read only the probed clusters (partition pruning).
+  /** Cluster-assignment column. At scale: write the corpus
+    * `partitionBy("cluster")` once so searches read only the probed
+    * clusters (partition pruning).
     */
-  def ivfAssign(vec: Column, model: IvfModel): Column = {
-    val cLit = array(model.centroids.toIndexedSeq.map(c =>
-      array(c.toIndexedSeq.map(lit): _*)): _*)
-    val v = vec.cast("array<double>")
-    val cosines = transform(cLit, c => dot(v, c) / norm(v))
-    (array_position(cosines, array_max(cosines)) - 1).cast("int")
-  }
+  def ivfAssign(vec: Column, model: IvfModel): Column =
+    assignWithAngle(model)(vec.cast("array<double>")).getField("_1")
 
   /** Clusters that can still contain a vector with cosine ≥ `floor` to the
     * query: by the triangle inequality on angles, every member x of cluster

@@ -124,6 +124,21 @@ class OpsSpec extends AnyFunSuite {
     assert(Similarity.ivfCandidateClusters(model, q, -1.0).size == model.nClusters)
   }
 
+  test("IVF top-k stays exact on isotropic data (no cluster structure)") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 120).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val vecs = rows.toDF("vec_id", "embedding")
+    val q = Array.fill(8)(rnd.nextGaussian())
+    val model = Similarity.ivfFit(vecs, "embedding", "vec_id", nClusters = 5,
+      sampleN = 120)
+    val ivf = Similarity.ivfTopK(vecs, "embedding", "vec_id", q, k = 7, model,
+      probe = 2).collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val brute = Similarity.bruteForceTopK(vecs, "embedding", "vec_id", q, k = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(ivf.toSeq == brute.toSeq)
+  }
+
   test("token counts: whitespace and BPE-ish") {
     val out = TextStats.tokenCounts(docs, "text", "doc_id")
       .orderBy("doc_id").collect()
