@@ -208,13 +208,43 @@ object Similarity {
     */
   def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Array[Double], k: Int, model: IvfModel, probe: Int = 4): DataFrame = {
+    val assigned = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"),
+      ivfAssign(col(vecCol), model).as("cluster"))
+    searchAssigned(assigned, query, k, model, probe)
+  }
+
+  /** Materialize the corpus as an on-disk IVF index: parquet partitioned
+    * by cluster, so [[ivfSearchIndex]]'s cluster filters become file-level
+    * partition pruning. The one full assignment scan is paid once per
+    * corpus version — the 100 TB pattern (queries then touch only the
+    * probed directories).
+    */
+  def ivfWriteIndex(df: DataFrame, vecCol: String, idCol: String,
+      model: IvfModel, path: String): Unit =
+    df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"),
+        ivfAssign(col(vecCol), model).as("cluster"))
+      .write.partitionBy("cluster").mode("overwrite").parquet(path)
+
+  /** Exact top-k over an index written by [[ivfWriteIndex]]: same
+    * two-phase pruning as [[ivfTopK]], but the cluster predicates prune
+    * parquet partitions, so unprobed clusters are never read from disk.
+    */
+  def ivfSearchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      query: Array[Double], k: Int, model: IvfModel, probe: Int = 4): DataFrame =
+    searchAssigned(spark.read.parquet(path), query, k, model, probe)
+
+  /** Two-phase exact search over (id, v, cluster) rows: probe the nearest
+    * `probe` clusters for a kth-best lower bound, then rescan exactly the
+    * clusters whose upper bound reaches it.
+    */
+  private def searchAssigned(assigned: DataFrame, query: Array[Double],
+      k: Int, model: IvfModel, probe: Int): DataFrame = {
     val qn = normalize(query)
     val byDot = (0 until model.nClusters)
       .sortBy(j => (-dotv(qn, model.centroids(j)), j))
     val probed = byDot.take(math.min(probe, model.nClusters))
-    val assigned = df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"),
-      ivfAssign(col(vecCol), model).as("cluster"))
     val qLit = array(query.map(lit).toIndexedSeq: _*)
     def scoreClusters(cs: Seq[Int]): DataFrame =
       assigned.filter(col("cluster").isin(cs.map(Integer.valueOf): _*))

@@ -49,6 +49,32 @@ class PlanSpec extends AnyFunSuite {
     assert(executed.contains("partial_sum"), executed)
   }
 
+  test("IVF index search prunes unprobed cluster partitions at the scan") {
+    import spark.implicits._
+    val centers = Seq(
+      Array(1.0, 0, 0, 0), Array(0.0, 1, 0, 0), Array(0.0, 0, 1, 0))
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 45).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+    val model = graft.ops.Similarity.ivfFit(vecs, "embedding", "vec_id",
+      nClusters = 3, sampleN = 45)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    graft.ops.Similarity.ivfWriteIndex(vecs, "embedding", "vec_id", model, dir)
+    val q = Array(0.9, 0.1, 0.0, 0.0)
+    val hits = graft.ops.Similarity.ivfSearchIndex(spark, dir, q, k = 5, model,
+      probe = 1)
+    val brute = graft.ops.Similarity.bruteForceTopK(vecs, "embedding",
+      "vec_id", q, k = 5)
+    assert(hits.collect().map(_.getLong(0)).toSeq ==
+      brute.collect().map(_.getLong(0)).toSeq)
+    // the cluster predicate must reach the scan as a partition filter
+    val plan = planOf(hits)
+    val pf = plan.linesIterator.find(_.trim.startsWith("PartitionFilters"))
+    assert(pf.exists(l => l.contains("cluster")), plan)
+  }
+
   test("annotate + count shuffles once for the groupBy (plus final sort)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = SparkHighlighter(Seq(DE("hash join", id = Some("1"))), HO())
