@@ -277,8 +277,12 @@ object Analyzer {
   private val StemMemoCap = 1 << 20
 
   private def memoStem(stemmerName: String, term: String): String = {
-    val key = new java.lang.StringBuilder(stemmerName.length + term.length + 1)
-      .append(stemmerName).append(' ').append(term).toString
+    // length-prefixed: keyword-tokenized terms may contain any separator
+    // char, so a plain concat could alias two different (stemmer, term)
+    // pairs and poison the cache
+    val key = new java.lang.StringBuilder(stemmerName.length + term.length + 8)
+      .append(stemmerName.length).append(':')
+      .append(stemmerName).append(term).toString
     var out = stemMemo.get(key)
     if (out == null) {
       out = Stemmers.forName(stemmerName).stem(term)

@@ -192,9 +192,14 @@ object Similarity {
     */
   def ivfCandidateClusters(model: IvfModel, query: Array[Double], floor: Double): Seq[Int] = {
     val q = normalize(query)
+    // Slack 1e-7, not machine epsilon: acos is ill-conditioned near cos=1
+    // (error ~ deltaCos / sqrt(1-cos^2)), so a stored radius can
+    // underestimate the true max angle by ~1e-8 rad; the exactness
+    // guarantee must survive that, at the cost of occasionally keeping one
+    // extra cluster.
     (0 until model.nClusters).filter { j =>
       val theta = angle(dotv(q, model.centroids(j)))
-      math.cos(math.max(0.0, theta - model.radii(j))) >= floor - 1e-12
+      math.cos(math.max(0.0, theta - model.radii(j))) >= floor - 1e-7
     }
   }
 
@@ -208,9 +213,13 @@ object Similarity {
     */
   def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Array[Double], k: Int, model: IvfModel, probe: Int = 4): DataFrame = {
+    // persisted because searchAssigned runs two jobs over it (phase-1
+    // probe + phase-2 rescan) and the per-row assignment UDF is the
+    // expensive part — same practice as the near-dup self-joins
     val assigned = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"),
       ivfAssign(col(vecCol), model).as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     searchAssigned(assigned, query, k, model, probe)
   }
 

@@ -72,65 +72,54 @@ object TextStats {
         .otherwise(lit("ok")).as("quality_bucket"))
   }
 
-  /** Rolling polynomial document fingerprint (winnowing-style): hash each
-    * token (FNV-1a 64), roll a window of `window` token hashes, fingerprint
-    * = minimum window hash. Content-defined, robust to doc reordering of
-    * surrounding rows. Scalar function: scan-local, no shuffle.
+  /** FNV-1a 64 per whitespace token. */
+  private def tokenHashes(text: String): Array[Long] =
+    text.split("\\s+").map { t =>
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < t.length) { h ^= t.charAt(j); h *= 0x100000001b3L; j += 1 }
+      h
+    }
+
+  /** 31-polynomial hash of each `window`-token rolling window; empty when
+    * the doc is shorter than one window. Single definition shared by
+    * [[fingerprint]] and [[fingerprintWindows]] so the q_fp_card oracle
+    * certifies exactly the hash the fingerprint minimizes over.
     */
+  private def windowHashes(hs: Array[Long], window: Int): Array[Long] =
+    if (hs.length < window) Array.empty[Long]
+    else Array.tabulate(hs.length - window + 1) { i =>
+      var w = 0xcbf29ce484222325L
+      var j = i
+      while (j < i + window) { w = w * 31 + hs(j); j += 1 }
+      w
+    }
+
   /** All rolling-window hashes (the set [[fingerprint]] minimizes over).
     * Distinct-cardinality of these equals distinct window token-sequences
     * as long as the 64-bit hash is collision-free on the corpus — which is
     * what the q_fp_card oracle checks against DuckDB's string windows.
     */
   def fingerprintWindows(textCol: Column, window: Int = 5): Column = {
-    val f = udf((text: String) => {
+    val f = udf((text: String) =>
       if (text == null || text.isEmpty) Array.empty[Long]
-      else {
-        val toks = text.split("\\s+")
-        if (toks.length < window) Array.empty[Long]
-        else {
-          val hs = toks.map { t =>
-            var h = 0xcbf29ce484222325L
-            var j = 0
-            while (j < t.length) { h ^= t.charAt(j); h *= 0x100000001b3L; j += 1 }
-            h
-          }
-          Array.tabulate(hs.length - window + 1) { i =>
-            var w = 0xcbf29ce484222325L
-            var j = i
-            while (j < i + window) { w = w * 31 + hs(j); j += 1 }
-            w
-          }
-        }
-      }
-    })
+      else windowHashes(tokenHashes(text), window))
     f(textCol)
   }
 
+  /** Rolling polynomial document fingerprint (winnowing-style): hash each
+    * token (FNV-1a 64), roll a window of `window` token hashes, fingerprint
+    * = minimum window hash. Content-defined, robust to doc reordering of
+    * surrounding rows. Scalar function: scan-local, no shuffle.
+    */
   def fingerprint(textCol: Column, window: Int = 5): Column = {
     val f = udf((text: String) => {
       if (text == null || text.isEmpty) 0L
       else {
-        val toks = text.split("\\s+")
-        val hs = toks.map { t =>
-          var h = 0xcbf29ce484222325L
-          var j = 0
-          while (j < t.length) { h ^= t.charAt(j); h *= 0x100000001b3L; j += 1 }
-          h
-        }
-        if (hs.length < window) hs.foldLeft(0xcbf29ce484222325L)((acc, h) => acc * 31 + h)
-        else {
-          var min = Long.MaxValue
-          var i = 0
-          while (i + window <= hs.length) {
-            var w = 0xcbf29ce484222325L
-            var j = i
-            while (j < i + window) { w = w * 31 + hs(j); j += 1 }
-            if (w < min) min = w
-            i += 1
-          }
-          min
-        }
+        val hs = tokenHashes(text)
+        val ws = windowHashes(hs, window)
+        if (ws.isEmpty) hs.foldLeft(0xcbf29ce484222325L)((acc, h) => acc * 31 + h)
+        else ws.min
       }
     })
     f(textCol)

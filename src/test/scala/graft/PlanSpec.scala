@@ -67,8 +67,9 @@ class PlanSpec extends AnyFunSuite {
       probe = 1)
     val brute = graft.ops.Similarity.bruteForceTopK(vecs, "embedding",
       "vec_id", q, k = 5)
-    assert(hits.collect().map(_.getLong(0)).toSeq ==
-      brute.collect().map(_.getLong(0)).toSeq)
+    // sort by rank: searchAssigned's output order is not guaranteed
+    assert(hits.collect().sortBy(_.getInt(1)).map(_.getLong(0)).toSeq ==
+      brute.collect().sortBy(_.getInt(1)).map(_.getLong(0)).toSeq)
     // the cluster predicate must reach the scan as a partition filter
     val plan = planOf(hits)
     val pf = plan.linesIterator.find(_.trim.startsWith("PartitionFilters"))

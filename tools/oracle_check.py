@@ -42,10 +42,15 @@ def main(sf_dir, out_dir):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracles.items()):
-        spark = con.execute(
-            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-        s_cols = [d[0] for d in spark.description]
-        s_rows, s_cols_sorted = canon(spark.fetchall(), s_cols)
+        try:
+            spark = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            s_cols = [d[0] for d in spark.description]
+            s_rows, s_cols_sorted = canon(spark.fetchall(), s_cols)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark dump unreadable: {e}")
+            n_bad += 1
+            continue
         try:
             oracle = con.execute(sql)
         except Exception as e:  # noqa: BLE001
