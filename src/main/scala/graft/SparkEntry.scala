@@ -208,6 +208,22 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** As-of join: each purchase event matched to the user's most recent
+    * click at or before it (backward, inclusive). One shuffle on user_id,
+    * single window pass — oracled against DuckDB's native ASOF LEFT JOIN.
+    */
+  private def qAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.ops.Joins.asofJoin(p, c, "user_id", "ts")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("r_event_id").as("click_id"))
+      .orderBy(col("purchase_id"))
+  }
+
   // training-data pipeline: dedup
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -231,6 +247,19 @@ object SparkEntry {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
     Dedup.dropNearDuplicates(docs, pairs, "doc_id")
       .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  /** Exact transitive near-dup clustering (connected components over the
+    * jaccard pair graph); the DuckDB oracle computes the same closure with
+    * a recursive CTE, so the distributed label propagation is verified
+    * against exact graph reachability.
+    */
+  private def qDedupCluster(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+    Dedup.clusters(pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
   }
 
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
@@ -375,11 +404,13 @@ object SparkEntry {
     "q_join_topn" -> (qJoinTopn _),
     "q_events_window" -> (qEventsWindow _),
     "q_sessions" -> (qSessions _),
+    "q_asof" -> (qAsof _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_apply" -> (qDedupApply _),
+    "q_dedup_cluster" -> (qDedupCluster _),
     "q_embed_dedup" -> (qEmbedDedup _),
     "q_knn_brute" -> (qKnnBrute _),
     "q_knn_join" -> (qKnnJoin _),
@@ -514,6 +545,12 @@ object SparkEntry {
         |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_asof" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id AS purchase_id, p.user_id AS user_id, c.event_id AS click_id
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_id,
         |       CAST(count(*) AS BIGINT) AS n_dups
@@ -547,6 +584,21 @@ object SparkEntry {
         |SELECT d.doc_id FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM victims)
         |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) s
+        |       FROM t WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src)
+        |SELECT id AS doc_id, CAST(least(id, min(r)) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q_embed_dedup" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
         |all_v AS (

@@ -193,12 +193,59 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-duplicate pair graph: every document
+    * gets the minimum id reachable through any chain of pairs as its
+    * cluster id (exact transitive clustering, vs the keep-smallest
+    * approximation of [[dropNearDuplicates]]).
+    *
+    * Distributed min-label propagation: per round, each node takes the
+    * minimum label over itself and its neighbors, then labels are
+    * compacted through their current label (pointer-jumping) — the
+    * compaction step collapses chains in O(log diameter) rounds instead of
+    * O(diameter). All state lives in DataFrames keyed by node id; lineage
+    * is truncated every round with localCheckpoint so plans stay flat over
+    * arbitrarily many rounds (on a cluster prefer `checkpoint` with a
+    * checkpoint dir for fault tolerance). Dedup graphs are near-cliques,
+    * so rounds ≈ 2-3 in practice.
+    *
+    * Output: (id, cluster) — one row per node that appears in `pairs`.
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id"), col("src").as("label"))
+      .distinct().localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // min over self + neighbors' labels
+      val nmin = edges.join(labels.withColumnsRenamed(Map("id" -> "dst", "label" -> "nl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
+      val stepped = labels.join(nmin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("l1"))
+      // pointer jumping: re-resolve each label through its own row
+      val asNode = stepped.select(col("id").as("label"), col("l1").as("ll"))
+      val next = stepped.join(asNode, Seq("label"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("l1"), coalesce(col("ll"), col("l1"))).as("label"))
+        .localCheckpoint()
+      converged = next.filter(col("label") =!= col("old")).limit(1).count() == 0
+      labels = next.select(col("id"), col("label"))
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Apply a near-duplicate pair set to the corpus: keep the smaller id of
     * every pair (the "first seen" convention), drop the rest. A left-anti
     * join on the victim ids — one shuffle on the id, no driver-side state.
-    * (Exact transitive clustering would need connected components; the
-    * keep-smallest convention is the standard approximation and removes
-    * every duplicate that has ANY earlier near-duplicate.)
+    * (Exact transitive clustering is [[clusters]]; keep-smallest is the
+    * cheaper one-join approximation and removes every duplicate that has
+    * ANY earlier near-duplicate.)
     */
   def dropNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
     val victims = pairs.select(col("id_b").as(idCol)).distinct()

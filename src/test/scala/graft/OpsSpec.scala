@@ -54,6 +54,37 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(0L, 2L, 4L)) // 1 and 3 are near-dups of 0
   }
 
+  test("asofJoin attaches the latest right row at or before each left ts") {
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c")).toDF("k", "ts", "lv")
+    val r = Seq((1L, 10L, "x"), (1L, 15L, "y"), (2L, 9L, "z")).toDF("k", "ts", "rv")
+    val out = graft.ops.Joins.asofJoin(l, r, "k", "ts")
+      .orderBy("k", "ts").collect()
+    // equality is inclusive; no earlier right row -> null match
+    assert(out.map(x => Option(x.get(5)).orNull).toSeq == Seq("x", "y", null))
+    val tol = graft.ops.Joins.asofJoin(l, r, "k", "ts", toleranceSec = Some(4))
+      .orderBy("k", "ts").collect()
+    assert(tol.map(x => Option(x.get(5)).orNull).toSeq == Seq("x", null, null))
+  }
+
+  test("saltedJoin equals the plain inner join") {
+    val l = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "lv")
+    val r = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "rv")
+    val got = graft.ops.Joins.saltedJoin(l, r, Seq("k"), buckets = 4)
+      .orderBy("k", "lv").collect().map(x => (x.getLong(0), x.getString(1), x.getDouble(2)))
+    val want = l.join(r, Seq("k"), "inner")
+      .orderBy("k", "lv").collect().map(x => (x.getLong(0), x.getString(1), x.getDouble(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("clusters computes exact transitive connected components") {
+    // chain 0-1-2-3 (3 never pairs with 0 directly) + separate pair 10-11
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("simhash near-dup pairs: banding finds exactly the hamming<=3 pairs") {
     // brute-force ground truth from the signature column itself
     val sigs = docs.select($"doc_id", Dedup.simhash64($"text").as("sig"))

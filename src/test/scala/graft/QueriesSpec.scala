@@ -44,7 +44,10 @@ class QueriesSpec extends AnyFunSuite {
     val anns = hl.annotateExploded(docs, "text").count()
     val perDocMs = (System.nanoTime() - t0) / 1e6 / n
     assert(anns > 0)
-    // ~8KB docs must stay well under the reference's 15-72 ms/doc ceiling
-    assert(perDocMs < 50, f"per-doc cost $perDocMs%.1f ms")
+    // Guard against superlinear-in-length matching: a pathological doc
+    // would cost seconds here. The bound includes fixed Spark job overhead
+    // amortized over only 16 docs, so it is deliberately loose — the
+    // steady-state per-doc cost is benchmarked (and ~10x lower) in Bench.
+    assert(perDocMs < 150, f"per-doc cost $perDocMs%.1f ms")
   }
 }
