@@ -355,6 +355,12 @@ object SparkEntry {
         col("bpe_tokens").cast("long").as("bpe_tokens"))
       .orderBy(col("event_id"))
 
+  private def qTfidf(s: SparkSession, dir: String): DataFrame =
+    TextStats.tfidfTopTerms(
+        s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 200),
+        "text", "doc_id", k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(t(dir, "documents"))
       .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
@@ -419,6 +425,7 @@ object SparkEntry {
     "q_langid" -> (qLangid _),
     "q_quality" -> (qQuality _),
     "q_tokens" -> (qTokens _),
+    "q_tfidf" -> (qTfidf _),
     "q_fingerprint" -> (qFingerprint _),
     "q_fp_card" -> (qFpCard _),
     "q_multimodal" -> (qMultimodal _))
@@ -674,6 +681,23 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(wins) AS BIGINT) AS n_windows,
         |       CAST(len(list_distinct(wins)) AS BIGINT) AS n_distinct
         |FROM ws ORDER BY doc_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM d),
+        |toks2 AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY 1, 2),
+        |dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM toks2 GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM d),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         round(tf.tf * ln(n.n_docs::DOUBLE / dft.df_t), 6) AS tfidf
+        |  FROM tf JOIN dft ON tf.term = dft.term, n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
     "q_tokens" ->
       """SELECT event_id,
         |  CAST(len(string_split_regex(trim(props), '\s+')) AS BIGINT) AS ws_tokens,

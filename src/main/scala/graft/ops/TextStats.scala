@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID,
@@ -70,6 +71,35 @@ object TextStats {
       when(nTok < 5, lit("too_short"))
         .when(nChars / greatest(nTok, lit(1)) > 15, lit("long_tokens"))
         .otherwise(lit("ok")).as("quality_bucket"))
+  }
+
+  /** Top-k characteristic terms per document by TF-IDF
+    * (tf × ln(nDocs / docFreq)). Fully declarative: explode → two
+    * aggregations (term frequency per doc, document frequency per term) →
+    * join on the term → per-doc window rank. The doc-frequency relation is
+    * vocabulary-sized (≪ corpus), so Catalyst broadcasts it; the only
+    * corpus-sized shuffles are the two groupBys. Scores are rounded to 6
+    * decimals BEFORE ranking so rank order is stable across engines
+    * (ln differs in the last ulp between libm implementations).
+    *
+    * Output: (doc_id, rank, term, tfidf).
+    */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val nDocs = df.select(count_distinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(dfT, "term").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df_t")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
   }
 
   /** FNV-1a 64 per whitespace token. */

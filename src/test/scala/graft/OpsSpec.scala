@@ -54,6 +54,19 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(0L, 2L, 4L)) // 1 and 3 are near-dups of 0
   }
 
+  test("tfidfTopTerms ranks rare terms above frequent ones") {
+    val corpus = Seq(
+      (0L, "x x y"), (1L, "y z"), (2L, "z z q")).toDF("doc_id", "text")
+    val top = TextStats.tfidfTopTerms(corpus, "text", "doc_id", k = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getDouble(3)))
+    // doc 0: x (tf 2, df 1) beats y; doc 1: y and z tie (tf 1, df 2 each),
+    // term-asc tie-break -> y; doc 2: q (tf 1, df 1) beats z (tf 2, df 2)
+    // because 1*ln(3) > 2*ln(3/2) — idf outweighs raw tf
+    assert(top.map(t => (t._1, t._2)).toSeq == Seq((0L, "x"), (1L, "y"), (2L, "q")))
+    assert(math.abs(top(0)._3 - 2.197225) < 1e-6)
+  }
+
   test("asofJoin attaches the latest right row at or before each left ts") {
     val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c")).toDF("k", "ts", "lv")
     val r = Seq((1L, 10L, "x"), (1L, 15L, "y"), (2L, 9L, "z")).toDF("k", "ts", "rv")

@@ -76,6 +76,36 @@ class PlanSpec extends AnyFunSuite {
     assert(pf.exists(l => l.contains("cluster")), plan)
   }
 
+  test("bucketed tables co-locate the join: no shuffle exchange at all") {
+    val spark2 = spark
+    import spark2.implicits._
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.read.parquet(s"$sf/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").bucketBy(4, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("orders_bkt")
+      spark.read.parquet(s"$sf/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite").bucketBy(4, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("customer_bkt")
+      val j = spark.table("orders_bkt").join(spark.table("customer_bkt"),
+        $"o_custkey" === $"c_custkey")
+      j.collect()
+      val executed = j.queryExecution.executedPlan.toString
+      // both sides pre-bucketed on the join key -> sort-merge join reads
+      // buckets directly, zero Exchange operators (the 100 TB join shape:
+      // pay the shuffle once at write time, never per query)
+      assert(executed.contains("SortMergeJoin"), executed)
+      assert(!executed.contains("Exchange"), executed)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    }
+  }
+
   test("annotate + count shuffles once for the groupBy (plus final sort)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = SparkHighlighter(Seq(DE("hash join", id = Some("1"))), HO())
