@@ -34,6 +34,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming dedup drops duplicates within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val df = stream.toDF().toDF("ts", "text")
+    val out = graft.streaming.StatefulOps.streamingDedup(df, "text", "ts")
+    val query = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      stream.addData((ts(0), "same doc"), (ts(1), "same doc"), (ts(2), "other doc"))
+      query.processAllAvailable()
+      stream.addData((ts(3), "same doc")) // still within watermark: dropped
+      query.processAllAvailable()
+      val texts = spark.table("dedup_out").select($"text")
+        .collect().map(_.getString(0)).sorted
+      assert(texts.toSeq == Seq("other doc", "same doc"))
+    } finally query.stop()
+  }
+
+  test("streaming sessionization closes sessions on gap and watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp)]
+    val df = stream.toDF().toDF("user_id", "ts")
+    val sessions = graft.streaming.StatefulOps.sessionize(
+      df, "user_id", "ts", gapSec = 1800, delay = "10 minutes")
+    val query = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      // user 1: two events 10 min apart (one session), then a 110-min gap
+      stream.addData((1L, ts(10, 0)), (1L, ts(10, 10)), (1L, ts(12, 0)))
+      query.processAllAvailable()
+      // in-stream gap already closed the first session
+      val afterGap = spark.table("sess_out").as[graft.streaming.ClosedSession]
+        .collect()
+      assert(afterGap.map(s => (s.userId, s.nEvents)).toSeq == Seq((1L, 2L)))
+      assert(afterGap.head.endMs - afterGap.head.startMs == 10 * 60 * 1000L)
+      // advance the watermark past 12:00 + gap: the open session times out
+      stream.addData((2L, ts(13, 30)))
+      query.processAllAvailable()
+      stream.addData((2L, ts(13, 31))) // extra batch so the timeout fires
+      query.processAllAvailable()
+      val all = spark.table("sess_out").as[graft.streaming.ClosedSession]
+        .collect().map(s => (s.userId, s.nEvents)).toSet
+      assert(all.contains((1L, 1L)), s"timed-out session missing: ${all.mkString(",")}")
+    } finally query.stop()
+  }
+
   test("match totals with HLL distinct-doc sketch (batch)") {
     val docs = Seq(
       (0L, "hash join hash join"),
