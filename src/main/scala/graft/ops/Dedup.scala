@@ -252,36 +252,40 @@ object Dedup {
     df.join(victims, Seq(idCol), "left_anti")
   }
 
+  /** Pure text → 64-bit SimHash kernel (uniform token weights, FNV-1a
+    * token hashes). Shared by the Column wrapper and the SQL function
+    * `graft_simhash`.
+    */
+  private[graft] def simhashValue(text: String): Long = {
+    if (text == null || text.isEmpty) return 0L
+    val counts = new Array[Int](64)
+    var i = 0
+    val toks = text.split("\\s+")
+    while (i < toks.length) {
+      // inline 64-bit FNV-1a (deterministic, dependency-free)
+      var h = 0xcbf29ce484222325L
+      val t = toks(i)
+      var j = 0
+      while (j < t.length) { h ^= t.charAt(j); h *= 0x100000001b3L; j += 1 }
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 64) { if (counts(bit) > 0) sig |= (1L << bit); bit += 1 }
+    sig
+  }
+
   /** 64-bit SimHash over whitespace tokens (single-pass scalar function).
     * Token weights are uniform; the hash is xxhash64-compatible with the
     * rest of the pipeline.
     */
   val simhash64: Column => Column = {
-    val f = udf((text: String) => {
-      if (text == null || text.isEmpty) 0L
-      else {
-        val counts = new Array[Int](64)
-        var i = 0
-        val toks = text.split("\\s+")
-        while (i < toks.length) {
-          // inline 64-bit FNV-1a (deterministic, dependency-free)
-          var h = 0xcbf29ce484222325L
-          val t = toks(i)
-          var j = 0
-          while (j < t.length) { h ^= t.charAt(j); h *= 0x100000001b3L; j += 1 }
-          var bit = 0
-          while (bit < 64) {
-            if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
-            bit += 1
-          }
-          i += 1
-        }
-        var sig = 0L
-        var bit = 0
-        while (bit < 64) { if (counts(bit) > 0) sig |= (1L << bit); bit += 1 }
-        sig
-      }
-    })
+    val f = udf((text: String) => simhashValue(text))
     c => f(c)
   }
 

@@ -137,21 +137,26 @@ object TextStats {
     f(textCol)
   }
 
+  /** Pure text → fingerprint kernel, shared by the Column wrapper and the
+    * SQL function `graft_fingerprint`.
+    */
+  private[graft] def fingerprintValue(text: String, window: Int): Long = {
+    if (text == null || text.isEmpty) 0L
+    else {
+      val hs = tokenHashes(text)
+      val ws = windowHashes(hs, window)
+      if (ws.isEmpty) hs.foldLeft(0xcbf29ce484222325L)((acc, h) => acc * 31 + h)
+      else ws.min
+    }
+  }
+
   /** Rolling polynomial document fingerprint (winnowing-style): hash each
     * token (FNV-1a 64), roll a window of `window` token hashes, fingerprint
     * = minimum window hash. Content-defined, robust to doc reordering of
     * surrounding rows. Scalar function: scan-local, no shuffle.
     */
   def fingerprint(textCol: Column, window: Int = 5): Column = {
-    val f = udf((text: String) => {
-      if (text == null || text.isEmpty) 0L
-      else {
-        val hs = tokenHashes(text)
-        val ws = windowHashes(hs, window)
-        if (ws.isEmpty) hs.foldLeft(0xcbf29ce484222325L)((acc, h) => acc * 31 + h)
-        else ws.min
-      }
-    })
+    val f = udf((text: String) => fingerprintValue(text, window))
     f(textCol)
   }
 }

@@ -25,6 +25,8 @@ import org.apache.spark.sql.types.{DataType, StringType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.annotateTextFunction)
+    ext.injectFunction(GraftExtensions.simhashFunction)
+    ext.injectFunction(GraftExtensions.fingerprintFunction)
   }
 }
 
@@ -66,11 +68,36 @@ object GraftExtensions {
       AnnotateLocalExpression(children.head, json)
     })
 
+  val simhashFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(classOf[SimhashExpression].getName, "graft_simhash",
+      "graft_simhash(text) - 64-bit SimHash of whitespace tokens"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_simhash expects (text)")
+      SimhashExpression(children.head)
+    })
+
+  val fingerprintFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_fingerprint"),
+    new ExpressionInfo(classOf[FingerprintExpression].getName, "graft_fingerprint",
+      "graft_fingerprint(text[, window]) - min rolling-window token-hash fingerprint"),
+    (children: Seq[Expression]) => {
+      require(children.nonEmpty && children.length <= 2,
+        "graft_fingerprint expects (text[, window literal])")
+      val window = if (children.length == 2) children(1) match {
+        case Literal(v, _) if v != null => v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_fingerprint window must be an integer literal, got: $other")
+      } else 5
+      FingerprintExpression(children.head, window)
+    })
+
   /** Register into an already-running session. */
-  def install(spark: SparkSession): Unit = {
-    val (id, info, builder) = annotateTextFunction
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def install(spark: SparkSession): Unit =
+    Seq(annotateTextFunction, simhashFunction, fingerprintFunction).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 
   private[spark] def compiledFor(json: String): CompiledDictionary = compileCached(json)
 }

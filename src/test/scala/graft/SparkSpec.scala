@@ -141,6 +141,20 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((0L, "tp", 7)))
   }
 
+  test("graft_simhash / graft_fingerprint SQL functions match the kernels") {
+    graft.spark.GraftExtensions.install(spark)
+    val r = spark.sql(
+      """SELECT graft_simhash('the quick brown fox') AS sh,
+        |       graft_fingerprint('a b c d e f g') AS fp,
+        |       graft_fingerprint('a b c d e f g', 3) AS fp3,
+        |       graft_simhash(NULL) AS sh_null""".stripMargin).collect().head
+    assert(r.getLong(0) == graft.ops.Dedup.simhashValue("the quick brown fox"))
+    assert(r.getLong(1) == graft.ops.TextStats.fingerprintValue("a b c d e f g", 5))
+    assert(r.getLong(2) == graft.ops.TextStats.fingerprintValue("a b c d e f g", 3))
+    assert(r.isNullAt(3))
+    assert(r.getLong(1) != r.getLong(2))
+  }
+
   test("annotation struct schema is stable for downstream SQL") {
     val docs = Seq((0L, "test phrase here")).toDF("doc_id", "text")
     val hl = SparkHighlighter(Seq(DE("test phrase", id = Some("tp"),
