@@ -74,28 +74,26 @@ object Bench {
     hl80.annotateExploded(docs.limit(200), "text").count()
     val annotate80Sec = time { hl80.annotateExploded(docs, "text").count() }
 
-    // heavier pipeline operators (sec each). Warm each query's plan shape
-    // once on the tiny sf0.001 slice first: a cold JVM spends 3-5x the
-    // steady-state time on one-time JIT + whole-stage-codegen compilation
-    // (measured: q_dedup_minhash 11.1s cold vs 1.8s warm on identical
-    // data), which a long-running cluster job amortizes to zero.
+    // heavier pipeline operators (sec each). Warm each query ONCE ON THE
+    // REAL DATA first, then drop its caches and time a fresh run: AQE
+    // picks size-dependent physical plans, so a small-slice warmup leaves
+    // the full-size plan's codegen cold (measured: q_dedup_minhash 10.7s
+    // cold vs 1.8s steady-state; a long-running cluster job amortizes the
+    // one-time JIT to zero). clearCache between runs stops the internal
+    // persist() calls from leaking cached inputs into the timed run.
     val opQueries = Seq("q_dedup_minhash", "q_dedup_exact", "q_knn_brute",
       "q_knn_ivf", "q1_agg", "q_events_window", "q_ann_counts",
       "q_dedup_simhash", "q_langid")
-    val warmDir = {
-      val cand = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
-      if (cand.isDirectory && cand.getPath != sfDir) cand.getPath else sfDir
-    }
-    opQueries.foreach { name =>
-      SparkEntry.queries.get(name).foreach(fn => fn(spark, warmDir).count())
-    }
-    spark.catalog.clearCache() // drop warmup-persisted relations
     val results = scala.collection.mutable.LinkedHashMap[String, Double](
       "annotate_5k_dict" -> annotateSec,
       "annotate_80k_dict" -> annotate80Sec)
     opQueries.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
+        docs.unpersist()
+        fn(spark, sfDir).count()
+        spark.catalog.clearCache()
         results(name) = time { fn(spark, sfDir).count() }
+        spark.catalog.clearCache()
       }
     }
 
