@@ -4,7 +4,8 @@ import graft.engine.CompiledDictionary
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
@@ -17,14 +18,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * Catalyst `InternalRow`/`ArrayData`, no reflection encoder per row.
   * The expression carries only the broadcast HANDLE (same scale contract
   * as the UDF: the compiled dictionary ships once per executor, not per
-  * task). Evaluation is a JVM call into the matcher, so codegen is a
-  * fallback call site (`CodegenFallback`) — the matcher itself is the
-  * hot loop, not expression glue.
+  * task). `doGenCode` emits a direct call into the matcher (via a
+  * reference object), so the surrounding projection stays inside
+  * whole-stage codegen — a CodegenFallback here would force the whole
+  * stage back to interpreted row-at-a-time execution.
   */
 final case class AnnotateExpression(
     child: Expression,
     bc: Broadcast[CompiledDictionary],
-    merge: Boolean) extends UnaryExpression with CodegenFallback {
+    merge: Boolean) extends UnaryExpression {
 
   override def dataType: DataType = AnnotateExpression.outputType
   override def nullable: Boolean = false
@@ -33,10 +35,25 @@ final case class AnnotateExpression(
   override protected def withNewChildInternal(newChild: Expression): AnnotateExpression =
     copy(child = newChild)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) AnnotateExpression.evalEmpty
-    else AnnotateExpression.toCatalyst(bc.value.matchDocMerged(v.toString, merge))
+  /** Null-safe scalar kernel shared by eval and generated code. */
+  def evalText(s: UTF8String): GenericArrayData =
+    if (s == null) AnnotateExpression.evalEmpty
+    else AnnotateExpression.toCatalyst(bc.value.matchDocMerged(s.toString, merge))
+
+  override def eval(input: InternalRow): Any =
+    evalText(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val self = ctx.addReferenceObj("annExpr", this, classOf[AnnotateExpression].getName)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |$javaType ${ev.value} = $self.evalText(
+        |  ${childGen.isNull} ? null : ${childGen.value});
+        |""".stripMargin,
+      isNull = FalseLiteral)
   }
 }
 

@@ -76,6 +76,18 @@ class PlanSpec extends AnyFunSuite {
     assert(pf.exists(l => l.contains("cluster")), plan)
   }
 
+  test("annotate expression stays inside whole-stage codegen") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = SparkHighlighter(Seq(DE("hash join", id = Some("1"))), HO())
+      .annotateExploded(docs, "text")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    // the Project carrying annotate(...) must print with a codegen stage
+    // marker — a CodegenFallback would exclude the stage entirely
+    val annLine = executed.linesIterator.find(_.contains("annotate(")).get
+    assert(annLine.contains("*("), s"annotate not codegen'd:\n$executed")
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange at all") {
     val spark2 = spark
     import spark2.implicits._
