@@ -224,6 +224,24 @@ object SparkEntry {
       .orderBy(col("purchase_id"))
   }
 
+  /** Range join: lineitems priced within ±10 of a part's retail price —
+    * the binned equi-join shape (each ±10 interval explodes into ≤2
+    * 50-wide bins; a point lands in exactly one), oracled against the
+    * plain inequality join in DuckDB.
+    */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(t(dir, "lineitem")).filter(col("l_orderkey") < 2000)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val parts = s.read.parquet(t(dir, "part")).filter(col("p_partkey") < 200)
+      .select(col("p_partkey"),
+        (col("p_retailprice") - 10.0).as("lo"),
+        (col("p_retailprice") + 10.0).as("hi"))
+    graft.ops.Joins.rangeJoin(li, parts, "l_extendedprice", "lo", "hi", binWidth = 50.0)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("r_p_partkey").as("p_partkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("p_partkey"))
+  }
+
   // training-data pipeline: dedup
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -411,6 +429,7 @@ object SparkEntry {
     "q_events_window" -> (qEventsWindow _),
     "q_sessions" -> (qSessions _),
     "q_asof" -> (qAsof _),
+    "q_range_join" -> (qRangeJoin _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -558,6 +577,12 @@ object SparkEntry {
         |SELECT p.event_id AS purchase_id, p.user_id AS user_id, c.event_id AS click_id
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY purchase_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber, p.p_partkey
+        |FROM lineitem l JOIN part p
+        |  ON l.l_extendedprice BETWEEN p.p_retailprice - 10 AND p.p_retailprice + 10
+        |WHERE l.l_orderkey < 2000 AND p.p_partkey < 200
+        |ORDER BY l_orderkey, l_linenumber, p_partkey""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_id,
         |       CAST(count(*) AS BIGINT) AS n_dups

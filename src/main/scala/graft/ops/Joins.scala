@@ -56,6 +56,41 @@ object Joins {
         right.columns.map(c => col(s"__rm.$c").as(s"$rightPrefix$c")): _*)
   }
 
+  /** Range join: pair each point row with every interval row whose
+    * `[startCol, endCol]` contains its `pointCol` (inclusive). The naive
+    * formulation is a cross join + theta filter — quadratic and
+    * unshuffleable. Instead both sides are binned at `binWidth`: a point
+    * lands in exactly one bin, an interval explodes into the bins it
+    * overlaps, and the join becomes an equi-join on the bin key followed
+    * by the exact containment filter. With binWidth ≥ the typical
+    * interval width each interval lands in ≤2 bins, so the join input
+    * grows ~2×, not |L|×|R|; the bin key shuffles like any equi-join and
+    * AQE handles residual bin skew. Point and interval columns must be
+    * numeric (cast double).
+    *
+    * Output: all point columns + all interval columns prefixed
+    * `rightPrefix`.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, pointCol: String,
+      startCol: String, endCol: String, binWidth: Double,
+      rightPrefix: String = "r_"): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points.withColumn("__bin",
+      floor(col(pointCol).cast("double") / binWidth).cast("long"))
+    val i = intervals.withColumn("__bin",
+      explode(sequence(
+        floor(col(startCol).cast("double") / binWidth).cast("long"),
+        floor(col(endCol).cast("double") / binWidth).cast("long"))))
+    val renamed = intervals.columns.foldLeft(i) { (df, c) =>
+      df.withColumnRenamed(c, s"$rightPrefix$c")
+    }
+    p.join(renamed, Seq("__bin"))
+      .filter(col(pointCol).cast("double").between(
+        col(s"$rightPrefix$startCol").cast("double"),
+        col(s"$rightPrefix$endCol").cast("double")))
+      .drop("__bin")
+  }
+
   /** Skew-resilient inner equi-join: the left (large, possibly skewed)
     * side's rows are salted into `buckets` sub-keys and the right side is
     * replicated once per bucket, so a hot key's rows spread over `buckets`

@@ -79,6 +79,16 @@ class OpsSpec extends AnyFunSuite {
     assert(tol.map(x => Option(x.get(5)).orNull).toSeq == Seq("x", null, null))
   }
 
+  test("rangeJoin pairs points with containing intervals via binning") {
+    val pts = Seq((1L, 5.0), (2L, 15.0), (3L, 25.0)).toDF("pid", "v")
+    val ivs = Seq((10L, 0.0, 10.0), (11L, 14.0, 16.0), (12L, 5.0, 25.0))
+      .toDF("iid", "lo", "hi")
+    val out = graft.ops.Joins.rangeJoin(pts, ivs, "v", "lo", "hi", binWidth = 10.0)
+      .select("pid", "r_iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 5 in [0,10] and [5,25]; 15 in [14,16] and [5,25]; 25 in [5,25] (inclusive)
+    assert(out == Set((1L, 10L), (1L, 12L), (2L, 11L), (2L, 12L), (3L, 12L)))
+  }
+
   test("saltedJoin equals the plain inner join") {
     val l = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "lv")
     val r = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "rv")
