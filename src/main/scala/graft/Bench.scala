@@ -62,17 +62,22 @@ object Bench {
       .repartition(cpus.toInt * 2)
       .cache()
     val nDocs = docs.count()
+    // The host is time-shared: identical runs have shown 2-20x wall-time
+    // swings from neighbor contention. Time everything twice and report
+    // the MIN — the standard noise-robust statistic for benchmarks.
+    def timeMin(f: => Unit): Double = math.min(time(f), time(f))
+
     val hl = SparkHighlighter(benchDict(5000))
     // JIT/codegen warmup on a slice
     hl.annotateExploded(docs.limit(200), "text").count()
     var annCount = 0L
-    val annotateSec = time {
+    val annotateSec = timeMin {
       annCount = hl.annotateExploded(docs, "text").count()
     }
     val docsPerSec = nDocs / annotateSec
     val hl80 = SparkHighlighter(benchDict(80000))
     hl80.annotateExploded(docs.limit(200), "text").count()
-    val annotate80Sec = time { hl80.annotateExploded(docs, "text").count() }
+    val annotate80Sec = timeMin { hl80.annotateExploded(docs, "text").count() }
 
     // heavier pipeline operators (sec each). Warm each query ONCE ON THE
     // REAL DATA first, then drop its caches and time a fresh run: AQE
@@ -83,7 +88,8 @@ object Bench {
     // persist() calls from leaking cached inputs into the timed run.
     val opQueries = Seq("q_dedup_minhash", "q_dedup_exact", "q_knn_brute",
       "q_knn_ivf", "q1_agg", "q_events_window", "q_ann_counts",
-      "q_dedup_simhash", "q_langid")
+      "q_dedup_simhash", "q_langid", "q_asof", "q_range_join",
+      "q_tfidf", "q_dedup_cluster")
     val results = scala.collection.mutable.LinkedHashMap[String, Double](
       "annotate_5k_dict" -> annotateSec,
       "annotate_80k_dict" -> annotate80Sec)
@@ -92,8 +98,10 @@ object Bench {
         docs.unpersist()
         fn(spark, sfDir).count()
         spark.catalog.clearCache()
-        results(name) = time { fn(spark, sfDir).count() }
-        spark.catalog.clearCache()
+        results(name) = timeMin {
+          fn(spark, sfDir).count()
+          spark.catalog.clearCache()
+        }
       }
     }
 

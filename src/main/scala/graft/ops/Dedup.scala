@@ -211,8 +211,13 @@ object Dedup {
     * Output: (id, cluster) — one row per node that appears in `pairs`.
     */
   def clusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // persist the pair relation BEFORE the union: both direction branches
+    // (and every propagation round) would otherwise replay the upstream
+    // pair-generation join — typically the expensive part
+    val p = pairs.select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id"), col("src").as("label"))
@@ -237,6 +242,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels
   }
 
