@@ -82,6 +82,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("dictionary hot-reload: new version picked up at the next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dictFile = java.nio.file.Files.createTempFile("dict", ".json")
+    def writeDict(json: String, mtime: Long): Unit = {
+      java.nio.file.Files.write(dictFile, json.getBytes("UTF-8"))
+      dictFile.toFile.setLastModified(mtime)
+    }
+    writeDict("""[{"text": "alpha", "id": "a"}]""", 1000000L)
+    val ann = new graft.streaming.RefreshingAnnotator(dictFile.toString)
+    val stream = MemoryStream[String]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val query = ann.writer(stream.toDF().toDF("text"), "text") { (batch, id) =>
+      batch.selectExpr("explode(annotations) AS a").select("a.dictEntryId")
+        .collect().foreach(r => seen.synchronized { seen += ((id, r.getString(0))) })
+    }.start()
+    try {
+      stream.addData("alpha and beta")
+      query.processAllAvailable()
+      writeDict("""[{"text": "beta", "id": "b"}]""", 2000000L)
+      stream.addData("alpha and beta")
+      query.processAllAvailable()
+      val byBatch = seen.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(byBatch(0L) == Set("a"), seen)
+      assert(byBatch(1L) == Set("b"), seen) // old entry gone, new one live
+    } finally {
+      query.stop()
+      java.nio.file.Files.deleteIfExists(dictFile)
+    }
+  }
+
   test("match totals with HLL distinct-doc sketch (batch)") {
     val docs = Seq(
       (0L, "hash join hash join"),
