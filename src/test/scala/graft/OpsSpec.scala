@@ -89,6 +89,41 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Set((1L, 10L), (1L, 12L), (2L, 11L), (2L, 12L), (3L, 12L)))
   }
 
+  test("asofJoin property: equals brute-force per-row latest lookup") {
+    val rnd = new scala.util.Random(17)
+    val left = (0 until 150).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(60).toLong, i.toLong))
+    val right = (0 until 150).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(60).toLong, i.toLong))
+    // de-dup right (k, ts) so the expected match is unique
+    val rightU = right.groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq
+    val l = left.toDF("k", "ts", "lid")
+    val r = rightU.toDF("k", "ts", "rid")
+    val got = graft.ops.Joins.asofJoin(l, r, "k", "ts")
+      .select("lid", "r_rid").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    val want = left.map { case (k, ts, lid) =>
+      val cands = rightU.filter(t => t._1 == k && t._2 <= ts)
+      lid -> (if (cands.isEmpty) -1L else cands.maxBy(t => (t._2, t._3))._3)
+    }.toMap
+    assert(got == want)
+  }
+
+  test("rangeJoin property: equals brute-force containment filter") {
+    val rnd = new scala.util.Random(29)
+    val pts = (0 until 120).map(i => (i.toLong, rnd.nextDouble() * 100))
+    val ivs = (0 until 60).map { i =>
+      val lo = rnd.nextDouble() * 100
+      (i.toLong, lo, lo + rnd.nextDouble() * 12)
+    }
+    val got = graft.ops.Joins.rangeJoin(
+        pts.toDF("pid", "v"), ivs.toDF("iid", "lo", "hi"), "v", "lo", "hi",
+        binWidth = 10.0)
+      .select("pid", "r_iid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val want = (for {
+      (pid, v) <- pts; (iid, lo, hi) <- ivs if lo <= v && v <= hi
+    } yield (pid, iid)).toSet
+    assert(got == want)
+  }
+
   test("saltedJoin equals the plain inner join") {
     val l = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "lv")
     val r = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "rv")
