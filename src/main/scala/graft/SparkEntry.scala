@@ -191,6 +191,23 @@ object SparkEntry {
         sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Exact per-group quantiles (Spark `percentile` == DuckDB
+    * `quantile_cont`, both linear-interpolating; rounded to 6dp so the
+    * last-ulp interpolation order difference can't flip the comparison).
+    * At 100 TB swap `percentile` for `percentile_approx` (mergeable
+    * sketch, single pass) — exact here because only exactness is
+    * oracle-checkable.
+    */
+  private def qQuantiles(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   /** Gap-based sessionization: a new session starts after >30 min of user
     * inactivity. Classic lag + cumulative-sum over a per-user window —
     * shuffles once on user_id, scales by user cardinality.
@@ -427,6 +444,7 @@ object SparkEntry {
     "q1_agg" -> (q1Agg _),
     "q_join_topn" -> (qJoinTopn _),
     "q_events_window" -> (qEventsWindow _),
+    "q_quantiles" -> (qQuantiles _),
     "q_sessions" -> (qSessions _),
     "q_asof" -> (qAsof _),
     "q_range_join" -> (qRangeJoin _),
@@ -558,6 +576,13 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sessions" ->
       """WITH g AS (
         |  SELECT user_id, ts,
