@@ -76,6 +76,12 @@ class PlanSpec extends AnyFunSuite {
     assert(pf.exists(l => l.contains("cluster")), plan)
   }
 
+  test("asof join shuffles once on the key (plus the final sort)") {
+    val plan = planOf(SparkEntry.queries("q_asof")(spark, sf))
+    val hashEx = plan.linesIterator.count(_.trim.startsWith("Arguments: hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly 1 hash exchange:\n$plan")
+  }
+
   test("annotate expression stays inside whole-stage codegen") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = SparkHighlighter(Seq(DE("hash join", id = Some("1"))), HO())
