@@ -1,0 +1,65 @@
+package graft
+
+import graft.dict.{DictionaryEntry, HighlighterOpts}
+import graft.spark.SparkHighlighter
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Single-import column-function façade, mirroring the shape of
+  * `org.apache.spark.sql.functions`: everything a pipeline composes —
+  * annotation, dedup sketches, text stats, similarity math — as `Column`
+  * functions over standard DataFrames.
+  *
+  * {{{
+  * import graft.functions._
+  * docs.select($"doc_id",
+  *   simhash64($"text").as("sig"),
+  *   fingerprint($"text").as("fp"),
+  *   langId($"text").as("lang"))
+  * }}}
+  */
+object functions {
+
+  /** Annotations of `textCol` against `dictionary` as
+    * `array<struct<text,annType,dictEntryId,meta,beginOffset,endOffset>>`.
+    * Compiles + broadcasts the dictionary once per call site — hold a
+    * [[graft.spark.SparkHighlighter]] instead when annotating many frames
+    * with one dictionary.
+    */
+  def annotate(df: DataFrame, textCol: String,
+      dictionary: Seq[DictionaryEntry],
+      opts: HighlighterOpts = HighlighterOpts.default): Column =
+    SparkHighlighter(dictionary, opts).annotateColumn(df, textCol)
+
+  /** 64-bit SimHash of whitespace tokens (near-dup sketch). */
+  def simhash64(text: Column): Column = graft.ops.Dedup.simhash64(text)
+
+  /** Winnowing-style rolling-hash document fingerprint. */
+  def fingerprint(text: Column, window: Int = 5): Column =
+    graft.ops.TextStats.fingerprint(text, window)
+
+  /** All rolling-window hashes (the set [[fingerprint]] minimizes over). */
+  def fingerprintWindows(text: Column, window: Int = 5): Column =
+    graft.ops.TextStats.fingerprintWindows(text, window)
+
+  /** Distinct word n-gram shingles. */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.ops.Dedup.shingles(text, n)
+
+  /** Stopword-presence language-ID heuristic (en/es/fr/de/und). */
+  def langId(text: Column): Column = graft.ops.TextStats.langId(text)
+
+  /** Whitespace token count. */
+  def wsTokens(text: Column): Column = graft.ops.TextStats.wsTokens(text)
+
+  /** BPE-ish pre-tokenization count. */
+  def bpeTokens(text: Column): Column = graft.ops.TextStats.bpeTokens(text)
+
+  /** Vector dot product over two array columns. */
+  def dot(a: Column, b: Column): Column = graft.ops.Similarity.dot(a, b)
+
+  /** Vector L2 norm. */
+  def norm(a: Column): Column = graft.ops.Similarity.norm(a)
+
+  /** Cosine similarity of two array columns. */
+  def cosine(a: Column, b: Column): Column = graft.ops.Similarity.cosine(a, b)
+}

@@ -54,6 +54,21 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(0L, 2L, 4L)) // 1 and 3 are near-dups of 0
   }
 
+  test("graft.functions facade delegates to the kernels") {
+    val df = docs.limit(1)
+    val r = df.select(
+      graft.functions.simhash64(col("text")),
+      graft.functions.fingerprint(col("text")),
+      graft.functions.langId(col("text")),
+      graft.functions.wsTokens(col("text")),
+      graft.functions.annotate(df, "text",
+        Seq(graft.dict.DictionaryEntry("quick brown", id = Some("q"))))).collect().head
+    assert(r.getLong(0) == graft.ops.Dedup.simhashValue("the quick brown fox jumps over the lazy dog"))
+    assert(r.getString(2) == "en")
+    assert(r.getInt(3) == 9)
+    assert(r.getSeq[org.apache.spark.sql.Row](4).head.getString(2) == "q")
+  }
+
   test("tfidfTopTerms ranks rare terms above frequent ones") {
     val corpus = Seq(
       (0L, "x x y"), (1L, "y z"), (2L, "z z q")).toDF("doc_id", "text")
