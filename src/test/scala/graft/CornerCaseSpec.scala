@@ -66,6 +66,37 @@ class CornerCaseSpec extends AnyFunSuite {
   private val textGen: Gen[String] = Gen.choose(0, 30)
     .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
 
+  test("5k-entry dictionary: AC + presearcher match equals brute force") {
+    // scale-shaped guard: bugs in the Aho-Corasick routing / presearcher
+    // anchoring only appear with many patterns sharing terms
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omicron",
+      "pi", "rho", "sigma", "tau", "upsilon")
+    val rnd = new scala.util.Random(101)
+    val phrases = (0 until 5000).map { i =>
+      val n = 1 + rnd.nextInt(3)
+      ((0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "), s"e$i")
+    }.distinct
+    val dict = phrases.map { case (t, id) => DE(t, id = Some(id)) }
+    val hl = Phrases.highlighter(dict)
+    val docs = (0 until 40).map { _ =>
+      (0 until (5 + rnd.nextInt(40))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    docs.foreach { doc =>
+      val got = hl(doc).map(a => (a.dictEntryId, a.beginOffset, a.endOffset)).toSet
+      // brute force: every dictionary phrase at every token position
+      val toks = doc.split(" ")
+      val starts = toks.scanLeft(0)((acc, t) => acc + t.length + 1)
+      val want = (for {
+        (t, id) <- phrases
+        p = t.split(" ")
+        i <- 0 to toks.length - p.length
+        if toks.slice(i, i + p.length).sameElements(p)
+      } yield (id, starts(i), starts(i + p.length - 1) + toks(i + p.length - 1).length)).toSet
+      assert(got == want, s"doc: $doc")
+    }
+  }
+
   test("property: annotation offsets are in-bounds and text == substring") {
     checkProp(Prop.forAll(Gen.listOfN(5, phraseGen), textGen) {
       (phrases: List[String], text: String) =>
