@@ -259,6 +259,22 @@ object SparkEntry {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("p_partkey"))
   }
 
+  /** Decontamination: drop every document matching a blocklist dictionary
+    * (eval-set phrases, PII patterns, ...). The percolator's flagship
+    * pipeline composition — annotate with the compiled blocklist, then
+    * one anti-join on the doc id. Scales as one broadcast + one shuffle.
+    */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val blocklist = Seq(
+      DE("hash join", id = Some("b1")),
+      DE("table scan", id = Some("b2")))
+    val contaminated = highlighter(blocklist).annotateExploded(docs, "text")
+      .select(col("doc_id")).distinct()
+    docs.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
   // training-data pipeline: dedup
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -448,6 +464,7 @@ object SparkEntry {
     "q_sessions" -> (qSessions _),
     "q_asof" -> (qAsof _),
     "q_range_join" -> (qRangeJoin _),
+    "q_decontaminate" -> (qDecontaminate _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -608,6 +625,11 @@ object SparkEntry {
         |  ON l.l_extendedprice BETWEEN p.p_retailprice - 10 AND p.p_retailprice + 10
         |WHERE l.l_orderkey < 2000 AND p.p_partkey < 200
         |ORDER BY l_orderkey, l_linenumber, p_partkey""".stripMargin,
+    "q_decontaminate" ->
+      """SELECT doc_id FROM documents
+        |WHERE NOT regexp_matches(text, '\bhash join\b')
+        |  AND NOT regexp_matches(text, '\btable scan\b')
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_id,
         |       CAST(count(*) AS BIGINT) AS n_dups
