@@ -446,6 +446,18 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** Frame-sampling plumbing oracle: the stub header says nFrames =
+    * 1 + id%10, sampling every 2nd frame gives ceil(nFrames/2) rows per
+    * video — SQL-derivable, so the explode/binary-slicing path is gated.
+    */
+  private def qMmFrames(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesize(
+      s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 100), "text", "doc_id")
+    Multimodal.sampleFrames(media, everyK = 2)
+      .groupBy(col("media_id")).agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("media_id"))
+  }
+
   // -------------------------------------------------------------- surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -482,7 +494,8 @@ object SparkEntry {
     "q_tfidf" -> (qTfidf _),
     "q_fingerprint" -> (qFingerprint _),
     "q_fp_card" -> (qFpCard _),
-    "q_multimodal" -> (qMultimodal _))
+    "q_multimodal" -> (qMultimodal _),
+    "q_mm_frames" -> (qMmFrames _))
 
   /** DuckDB oracles. Column names and ordering match the Spark results
     * exactly; aggregates are cast to fixed types (BIGINT / DOUBLE via
@@ -743,6 +756,11 @@ object SparkEntry {
         |  round((length(text) - length(replace(text, ' ', '')))::DOUBLE
         |        / greatest(octet_length(encode(text)), 1), 3) AS f2
         |FROM documents WHERE doc_id < 100 ORDER BY media_id""".stripMargin,
+    "q_mm_frames" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(ceil((1 + doc_id % 10) / 2.0) AS BIGINT) AS n_sampled
+        |FROM documents WHERE doc_id < 100 AND doc_id % 3 = 2
+        |ORDER BY media_id""".stripMargin,
     "q_fp_card" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |ws AS (SELECT doc_id,
