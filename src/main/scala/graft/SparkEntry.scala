@@ -208,6 +208,17 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Schema-on-read JSON extraction from the events.props payload column
+    * (`get_json_object` == DuckDB `json_extract_string`): distribution of
+    * the `k` property. JSON parsing stays inside the scan projection —
+    * no UDF, codegen'd.
+    */
+  private def qJsonProps(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+      .groupBy(col("k_val")).agg(count(lit(1)).as("n"))
+      .orderBy(col("k_val"))
+
   /** Gap-based sessionization: a new session starts after >30 min of user
     * inactivity. Classic lag + cumulative-sum over a per-user window —
     * shuffles once on user_id, scales by user cardinality.
@@ -473,6 +484,7 @@ object SparkEntry {
     "q_join_topn" -> (qJoinTopn _),
     "q_events_window" -> (qEventsWindow _),
     "q_quantiles" -> (qQuantiles _),
+    "q_json_props" -> (qJsonProps _),
     "q_sessions" -> (qSessions _),
     "q_asof" -> (qAsof _),
     "q_range_join" -> (qRangeJoin _),
@@ -606,6 +618,10 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY k_val""".stripMargin,
     "q_quantiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS p50,
