@@ -14,15 +14,49 @@ import scala.collection.mutable
   * slop-0 phrase matcher: (endPos - len + 1, endPos) for each occurrence.
   *
   * Built once on the driver at compile time; immutable and thread-safe
-  * afterwards (plain arrays + per-node hash maps), broadcast with the
-  * rest of the compiled dictionary.
+  * afterwards. The representation is deliberately flat — an interned
+  * term table plus CSR int arrays (edge lists sorted by term id, O(1)
+  * root transitions) — so the broadcast (de)serializes as a handful of
+  * primitive arrays instead of a forest of per-node hash maps: at 80k
+  * patterns that is the difference between milliseconds and seconds per
+  * executor fetch, and executors under storage-memory pressure may
+  * refetch after eviction.
   */
 final class AhoCorasick private (
-    val goto_ : Array[java.util.HashMap[String, java.lang.Integer]],
+    private val termList: Array[String],
+    private val rootNext: Array[Int], // termId -> next node from root, -1 if none
+    private val edgeStart: Array[Int], // CSR offsets per node (n+1)
+    private val edgeTerm: Array[Int], // sorted term ids per node
+    private val edgeNext: Array[Int], // parallel next-node ids
     val fail: Array[Int],
     val outputs: Array[Array[Int]], // per node: query idxs ending here
     val patternLen: Array[Int] // per query idx position in `outputs`: its term count
 ) extends Serializable {
+
+  /** Rebuilt lazily after deserialization — ships as Array[String]. */
+  @transient private lazy val termIds: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](termList.length * 2)
+    var i = 0
+    while (i < termList.length) { m.put(termList(i), Integer.valueOf(i)); i += 1 }
+    m
+  }
+
+  /** goto(s, tid): next node or -1. Root is O(1); other nodes binary
+    * search their (small) sorted edge list.
+    */
+  private def step(s: Int, tid: Int): Int = {
+    if (s == 0) return rootNext(tid)
+    var lo = edgeStart(s)
+    var hi = edgeStart(s + 1) - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val t = edgeTerm(mid)
+      if (t == tid) return edgeNext(mid)
+      else if (t < tid) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
+  }
 
   /** Walk the term sequence; invoke `emit(queryIdx, startPos, endPos)`
     * (token positions, inclusive) for every occurrence.
@@ -31,16 +65,20 @@ final class AhoCorasick private (
     var state = 0
     var pos = 0
     while (pos < terms.length) {
-      val t = terms(pos)
-      var s = state
-      var next = -1
-      while (next < 0) {
-        val g = goto_(s).get(t)
-        if (g != null) next = g.intValue()
-        else if (s == 0) next = 0
-        else s = fail(s)
+      val tidObj = termIds.get(terms(pos))
+      if (tidObj == null) state = 0 // term labels no edge anywhere
+      else {
+        val tid = tidObj.intValue()
+        var s = state
+        var next = -1
+        while (next < 0) {
+          val g = step(s, tid)
+          if (g >= 0) next = g
+          else if (s == 0) next = 0
+          else s = fail(s)
+        }
+        state = next
       }
-      state = next
       // outputs along the suffix chain
       var o = state
       while (o != 0) {
@@ -60,7 +98,9 @@ final class AhoCorasick private (
 
 object AhoCorasick {
 
-  /** Build from (queryIdx, terms) patterns. */
+  /** Build from (queryIdx, terms) patterns. Construction uses per-node
+    * hash maps (driver-side only), then compacts to the CSR form.
+    */
   def build(patterns: Seq[(Int, Array[String])]): AhoCorasick = {
     val gotoMaps = mutable.ArrayBuffer(new java.util.HashMap[String, java.lang.Integer]())
     val outBufs = mutable.ArrayBuffer(new mutable.ArrayBuilder.ofInt)
@@ -99,10 +139,38 @@ object AhoCorasick {
           else f = fail(f)
         }
         fail(v) = target
-        // merge suffix outputs lazily at run time via the fail chain;
-        // nothing to do here
+        // merge suffix outputs lazily at run time via the fail chain
       }
     }
-    new AhoCorasick(gotoMaps.toArray, fail, outBufs.map(_.result()).toArray, patternLen)
+    // intern edge-label terms, compact transitions to CSR
+    val termIdx = new java.util.HashMap[String, Integer]()
+    val termBuf = mutable.ArrayBuffer.empty[String]
+    gotoMaps.foreach(_.forEach { (t, _) =>
+      if (!termIdx.containsKey(t)) { termIdx.put(t, Integer.valueOf(termBuf.length)); termBuf += t }
+    })
+    val edgeStart = new Array[Int](n + 1)
+    var total = 0
+    var i = 0
+    while (i < n) { edgeStart(i) = total; total += gotoMaps(i).size(); i += 1 }
+    edgeStart(n) = total
+    val edgeTerm = new Array[Int](total)
+    val edgeNext = new Array[Int](total)
+    i = 0
+    while (i < n) {
+      val pairs = mutable.ArrayBuffer.empty[(Int, Int)]
+      gotoMaps(i).forEach((t, v) => pairs += ((termIdx.get(t).intValue(), v.intValue())))
+      val sorted = pairs.sortBy(_._1)
+      var j = 0
+      while (j < sorted.length) {
+        edgeTerm(edgeStart(i) + j) = sorted(j)._1
+        edgeNext(edgeStart(i) + j) = sorted(j)._2
+        j += 1
+      }
+      i += 1
+    }
+    val rootNext = Array.fill(termBuf.length)(-1)
+    gotoMaps(0).forEach((t, v) => rootNext(termIdx.get(t).intValue()) = v.intValue())
+    new AhoCorasick(termBuf.toArray, rootNext, edgeStart, edgeTerm, edgeNext,
+      fail, outBufs.map(_.result()).toArray, patternLen)
   }
 }
