@@ -9,7 +9,18 @@ import org.apache.spark.sql.functions._
   * table against a 5k-entry dictionary (the reference's published
   * baseline workload shape: large dictionary, few-percent match rate —
   * `README.md:161-214`, BASELINE.md). Plus wall-times for the heavier
-  * pipeline operators. Prints ONE JSON line.
+  * pipeline operators. Prints ONE JSON line and, when
+  * `SPARK_GRAFT_BENCH_OUT` is set (or falling back to
+  * `BENCH_LOCAL.json` in the working directory), writes the same line
+  * to that file so harnesses don't have to scrape sbt-prefixed stdout.
+  *
+  * Noise robustness: the host is time-shared and identical runs have
+  * shown 2–20× wall-time swings from neighbor contention, including
+  * multi-minute hypervisor stalls. Timing the same query twice
+  * back-to-back (min-of-2) does NOT survive such a stall — both runs
+  * land inside it. Instead we run WARMUP then K full rounds over ALL
+  * queries, interleaved, and report per-query min across rounds: a
+  * stall now has to span the entire suite K times to poison a number.
   */
 object Bench {
 
@@ -56,60 +67,66 @@ object Bench {
     // The sf0.1 corpus is only 5k docs — replicate it so each of the 32
     // cores gets enough rows that fixed job overhead stops dominating and
     // the number reflects steady-state per-row cost (the 100 TB regime).
+    // Materialized to parquet (not .cache()) so clearCache() between op
+    // queries can't silently drop the annotate input mid-suite; a parquet
+    // scan of this corpus is milliseconds and is what a cluster job pays.
     val repl = sys.env.getOrElse("SPARK_GRAFT_DOC_REPL", "8").toInt
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docsDir = java.nio.file.Files
+      .createTempDirectory("graft_bench_docs").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
       .crossJoin(spark.range(repl.toLong).select(col("id").as("__copy")))
       .repartition(cpus.toInt * 2)
-      .cache()
+      .write.mode("overwrite").parquet(docsDir)
+    val docs = spark.read.parquet(docsDir)
     val nDocs = docs.count()
-    // The host is time-shared: identical runs have shown 2-20x wall-time
-    // swings from neighbor contention. Time everything twice and report
-    // the MIN — the standard noise-robust statistic for benchmarks.
-    def timeMin(f: => Unit): Double = math.min(time(f), time(f))
 
     val hl = SparkHighlighter(benchDict(5000))
-    // JIT/codegen warmup on a slice
-    hl.annotateExploded(docs.limit(200), "text").count()
-    var annCount = 0L
-    val annotateSec = timeMin {
-      annCount = hl.annotateExploded(docs, "text").count()
-    }
-    val docsPerSec = nDocs / annotateSec
     val hl80 = SparkHighlighter(benchDict(80000))
-    hl80.annotateExploded(docs.limit(200), "text").count()
-    val annotate80Sec = timeMin { hl80.annotateExploded(docs, "text").count() }
+    var annCount = 0L
 
-    // heavier pipeline operators (sec each). Warm each query ONCE ON THE
-    // REAL DATA first, then drop its caches and time a fresh run: AQE
-    // picks size-dependent physical plans, so a small-slice warmup leaves
-    // the full-size plan's codegen cold (measured: q_dedup_minhash 10.7s
-    // cold vs 1.8s steady-state; a long-running cluster job amortizes the
-    // one-time JIT to zero). clearCache between runs stops the internal
-    // persist() calls from leaking cached inputs into the timed run.
     val opQueries = Seq("q_dedup_minhash", "q_dedup_exact", "q_knn_brute",
       "q_knn_ivf", "q1_agg", "q_events_window", "q_ann_counts",
       "q_dedup_simhash", "q_langid", "q_asof", "q_range_join",
       "q_tfidf", "q_dedup_cluster")
-    val results = scala.collection.mutable.LinkedHashMap[String, Double](
-      "annotate_5k_dict" -> annotateSec,
-      "annotate_80k_dict" -> annotate80Sec)
-    opQueries.foreach { name =>
-      SparkEntry.queries.get(name).foreach { fn =>
-        docs.unpersist()
-        fn(spark, sfDir).count()
-        spark.catalog.clearCache()
-        results(name) = timeMin {
-          fn(spark, sfDir).count()
-          spark.catalog.clearCache()
-        }
+
+    // The full timed unit for an op query includes clearCache so internal
+    // persist() calls can't leak cached inputs into the next round.
+    val thunks: Seq[(String, () => Unit)] = Seq[(String, () => Unit)](
+      "annotate_5k_dict" ->
+        (() => { annCount = hl.annotateExploded(docs, "text").count(); () }),
+      "annotate_80k_dict" ->
+        (() => { hl80.annotateExploded(docs, "text").count(); () })
+    ) ++ opQueries.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        name -> (() => { fn(spark, sfDir).count(); spark.catalog.clearCache() })
       }
     }
 
+    // Warm each query once ON THE REAL DATA: AQE picks size-dependent
+    // physical plans, so a small-slice warmup leaves the full-size plan's
+    // codegen cold (measured: q_dedup_minhash 10.7s cold vs 1.8s steady).
+    thunks.foreach { case (_, f) => f() }
+    spark.catalog.clearCache()
+
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (_ <- 1 to rounds; (name, f) <- thunks) {
+      val t = time(f())
+      results(name) = results.get(name).fold(t)(math.min(_, t))
+    }
+
+    val annotateSec = results("annotate_5k_dict")
+    val docsPerSec = nDocs / annotateSec
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":$nDocs,"annotations":$annCount,"docs_per_sec":$docsPerSec%.0f,"docs_per_sec_80k_dict":${nDocs / annotate80Sec}%.0f,"cpus":$cpus}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":$nDocs,"annotations":$annCount,"docs_per_sec":$docsPerSec%.0f,"docs_per_sec_80k_dict":${nDocs / results("annotate_80k_dict")}%.0f,"cpus":$cpus}"""
+    println(json)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -707,6 +707,44 @@ object SparkEntry {
         |  UNION SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src)
         |SELECT id AS doc_id, CAST(least(id, min(r)) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // Fully independent simhash oracle: DuckDB recomputes the 64-bit
+    // FNV-1a token hashes and the bit-majority signature in HUGEINT
+    // arithmetic (mod 2^64), then brute-forces all pairs with
+    // bit_count(xor()) — vs Spark's banded self-join. Pigeonhole (4×16-bit
+    // bands, maxHamming 3) makes the banded pair set equal the brute-force
+    // set whenever no bucket exceeds the cap, which holds at oracle scale.
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0
+        |),
+        |tokhash AS (
+        |  SELECT doc_id,
+        |    [ list_reduce(
+        |        list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |          [CAST(unicode(tok[i]) AS HUGEINT) FOR i IN range(1, len(tok)+1)]),
+        |        (h, c) -> (xor(h, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))
+        |      FOR tok IN t ] AS hs
+        |  FROM toks
+        |),
+        |usig AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([ CASE WHEN 2 * len(list_filter(hs, h -> (h // (CAST(1 AS HUGEINT) << bit)) % 2 = 1)) > len(hs)
+        |        THEN CAST(1 AS HUGEINT) << bit ELSE CAST(0 AS HUGEINT) END
+        |      FOR bit IN range(0, 64) ]) AS HUGEINT) AS u
+        |  FROM tokhash
+        |),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+        |         THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS sig
+        |  FROM usig
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_embed_dedup" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
         |all_v AS (

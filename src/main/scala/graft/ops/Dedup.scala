@@ -45,34 +45,49 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Exact pairwise jaccard over distinct word-3-gram shingle sets via an
-    * inverted-index join: explode shingles, self-join on the shingle, count
-    * common shingles per pair, then jaccard = common / (|a|+|b|-common).
-    * Only pairs sharing >=1 shingle are ever materialized. At larger scale
-    * add prefix filtering; the join stays key-narrow because the shingle is
-    * hashed first.
+  /** Exact pairwise jaccard over distinct word-n-gram shingle sets via an
+    * inverted-index join: explode hashed shingles, self-join on the shingle
+    * hash to generate CANDIDATE pairs, then exact-verify each candidate
+    * with a full hashed-set intersection — jaccard =
+    * common / (|a|+|b|-common). Only pairs sharing >=1 indexed shingle are
+    * ever materialized, and the join key is the 8-byte shingle hash.
+    *
+    * Skew guard: a shingle shared by k documents contributes k² join rows,
+    * and at corpus scale boilerplate shingles (headers, license blocks)
+    * have k in the millions. Shingles with document frequency >
+    * `maxShingleDf` are dropped from the inverted index BEFORE the
+    * self-join. Because verification uses the full shingle sets, dropped
+    * shingles still count toward the jaccard of every surviving candidate
+    * — precision is exact, and a true pair is missed only when EVERY
+    * shingle it shares is ultra-common (such documents are boilerplate
+    * floods that exact dedup removes first; see the OpsSpec recall test).
     */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, threshold: Double = 0.5, persist: Boolean = true): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5, persist: Boolean = true,
+      maxShingleDf: Int = 10000): DataFrame = {
     val sh0 = df
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .select(col(idCol).as("id"),
+        transform(shingles(col(textCol), n), s => xxhash64(s)).as("sh"))
       .filter(size(col("sh")) > 0)
     val sh = if (persist)
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sh0
-    val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
-    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("sh_hash"))
-    val common = inv.as("x").join(inv.as("y"),
+    val inv = sh.select(col("id"), explode(col("sh")).as("sh_hash"))
+    val dfCounts = inv.groupBy(col("sh_hash")).agg(count(lit(1)).as("__df"))
+    val invCapped = inv.join(dfCounts, Seq("sh_hash"))
+      .filter(col("__df") <= maxShingleDf)
+      .drop("__df")
+    val cand = invCapped.as("x").join(invCapped.as("y"),
         col("x.sh_hash") === col("y.sh_hash") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n_sh" -> "n_a")), "id_a")
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n_sh" -> "n_b")), "id_b")
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
+      .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -298,16 +313,36 @@ object Dedup {
   /** SimHash near-duplicate pairs: band the 64-bit signature into 4
     * 16-bit keys (pigeonhole: hamming distance <= 3 guarantees one band
     * matches), self-join per band, verify with bit_count(xor) <= maxHamming.
+    *
+    * Guards (both required at corpus scale):
+    *  - Empty/whitespace-only documents all collapse to signature 0 — a
+    *    single quadratic bucket of meaningless pairs — and are dropped
+    *    up front.
+    *  - Band buckets are capped at `maxBucket` rows (same guard as
+    *    [[minhashPairs]]): k docs sharing a band key contribute k² join
+    *    rows. Rows in an over-full bucket are dropped from THAT band
+    *    only; a capped pair is still found through its other 3 bands
+    *    whenever ≤ maxHamming differing bits fall outside the capped
+    *    band. The residual miss (every shared band capped) only happens
+    *    in boilerplate floods that exact dedup removes first — run
+    *    [[exact]] before simhash, as the pipeline does.
     */
   def simhashPairs(
       df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    val sig = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
     val banded = sig.select(col("id"), col("sig"),
         posexplode(expr("transform(sequence(0, 3), " +
           "b -> (sig >> (b * 16)) & 65535)")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
-    banded.as("x").join(banded.as("y"),
+    val bucketSizes = banded.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("__bucket_n"))
+    val bandedCapped = banded.join(bucketSizes, Seq("band", "band_key"))
+      .filter(col("__bucket_n") <= maxBucket)
+      .drop("__bucket_n")
+    bandedCapped.as("x").join(bandedCapped.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),

@@ -102,8 +102,14 @@ object Joins {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       buckets: Int = 16): DataFrame = {
-    val salted = left.withColumn("__salt", pmod(crc32(monotonically_increasing_id().cast("string")), lit(buckets)))
-    val replicated = right.withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1)).cast("array<long>")))
+    // Salt must be uniform per-row regardless of partition layout;
+    // rand(seed) draws per-row from a seeded stream (layout-independent in
+    // distribution), unlike salting off monotonically_increasing_id whose
+    // low bits encode the partition index.
+    val salted = left.withColumn("__salt",
+      floor(rand(42L) * buckets).cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, keys :+ "__salt", "inner").drop("__salt")
   }
 }

@@ -42,10 +42,17 @@ final class SparkHighlighter(
     * reflection-encoder round trip); `annotateColumnUdf` keeps the plain
     * ScalaUDF path for comparison/debugging.
     */
-  def annotateColumn(df: DataFrame, textCol: String): Column = {
+  def annotateColumn(df: DataFrame, textCol: String): Column =
+    annotateColumn(df, textCol, mergeAnnotations)
+
+  /** Per-call override of merge-annotations, mirroring the reference's
+    * match-time opts (`phrases.clj:231-234,271-273`): the compiled
+    * dictionary is construction-time state, merging is a call-time choice.
+    */
+  def annotateColumn(df: DataFrame, textCol: String, merge: Boolean): Column = {
     val expr = AnnotateExpression(
       org.apache.spark.sql.GraftBridge.expression(col(textCol)),
-      bc(df), mergeAnnotations)
+      bc(df), merge)
     org.apache.spark.sql.GraftBridge.column(expr)
   }
 
@@ -58,6 +65,10 @@ final class SparkHighlighter(
 
   def annotate(df: DataFrame, textCol: String, outputCol: String = "annotations"): DataFrame =
     df.withColumn(outputCol, annotateColumn(df, textCol))
+
+  def annotate(df: DataFrame, textCol: String, outputCol: String,
+      merge: Boolean): DataFrame =
+    df.withColumn(outputCol, annotateColumn(df, textCol, merge))
 
   /** Exploded, flattened view: one output row per annotation, original
     * columns retained. Rows with no matches are dropped (inner explode)

@@ -174,6 +174,56 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.contains((0L, 2L)))
   }
 
+  test("simhash bucket cap neutralizes a boilerplate flood; empties dropped") {
+    // 10k identical docs (one signature -> one degenerate bucket per band:
+    // k² = 50M candidate pairs without the cap) + the regular corpus +
+    // empty/whitespace docs. With the cap the flood contributes nothing
+    // and the job stays quadratic-free; regular near-dup pairs survive.
+    val flood = spark.range(1000L, 11000L)
+      .select(col("id").as("doc_id"),
+        lit("boilerplate header all rights reserved do not edit").as("text"))
+    val empties = Seq((500L, ""), (501L, "   ")).toDF("doc_id", "text")
+    val corpus = docs.union(flood).union(empties)
+    val pairs = Dedup.simhashPairs(corpus, "text", "doc_id",
+        maxHamming = 3, maxBucket = 100)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth over the NON-flood docs only (flood pairs are the
+    // documented recall sacrifice; exact dedup removes them first)
+    val sigs = docs.select($"doc_id", Dedup.simhash64($"text").as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(pairs == want)
+    assert(!pairs.exists(p => p._1 >= 500L || p._2 >= 500L))
+  }
+
+  test("jaccard shingle df-cap: hot shingles skip the index, not the verify") {
+    // every doc shares the same boilerplate prefix (hot shingles); only
+    // 100/101 are true near-dups. With maxShingleDf small enough to drop
+    // every boilerplate shingle from the inverted index, the pair set AND
+    // the jaccard values must be unchanged: candidates come from the rare
+    // shingles, verification still counts the common boilerplate.
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    val base = (0L until 20L).map(i =>
+      (i, s"$boiler unique$i content$i words$i here$i now$i"))
+    val nearDup = Seq(
+      (100L, s"$boiler alpha beta gamma delta epsilon zeta"),
+      (101L, s"$boiler alpha beta gamma delta epsilon eta"))
+    val corpus = (base ++ nearDup).toDF("doc_id", "text")
+    def run(cap: Int) = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+        threshold = 0.5, maxShingleDf = cap)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val uncapped = run(Int.MaxValue)
+    val capped = run(5) // boilerplate shingles have df=22 > 5
+    assert(capped.toSeq == uncapped.toSeq)
+    assert(capped.exists(p => p._1 == 100L && p._2 == 101L))
+    // the boilerplate-only overlaps must stay below threshold, not appear
+    assert(!capped.exists(p => p._1 < 100L && p._2 < 100L))
+  }
+
   test("embedding near-dup pairs and ANN top-k") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

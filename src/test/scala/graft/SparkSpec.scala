@@ -155,6 +155,19 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(1) != r.getLong(2))
   }
 
+  test("merge-annotations is a per-call option like the reference match opts") {
+    // phrases.clj:231-234,271-273: the highlighter fn accepts opts per call;
+    // the same compiled dictionary must serve both merged and raw calls.
+    val docs = Seq((0L, "one two three")).toDF("doc_id", "text")
+    val hl = SparkHighlighter(Seq(
+      DE("one two", id = Some("a")), DE("two three", id = Some("b"))))
+    def count(df: org.apache.spark.sql.DataFrame) =
+      df.select(size($"anns")).collect().head.getInt(0)
+    assert(count(hl.annotate(docs, "text", "anns")) == 2)
+    assert(count(hl.annotate(docs, "text", "anns", merge = true)) == 1)
+    assert(count(hl.annotate(docs, "text", "anns", merge = false)) == 2)
+  }
+
   test("annotation struct schema is stable for downstream SQL") {
     val docs = Seq((0L, "test phrase here")).toDF("doc_id", "text")
     val hl = SparkHighlighter(Seq(DE("test phrase", id = Some("tp"),
