@@ -30,4 +30,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // relations + persisted self-join inputs; an 8g heap showed GC-pressure
   // spikes (identical bench queries swinging 2-20x)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++ sys.env.get("GRAFT_JVM_EXTRA").map(_.split(" ").toSeq).getOrElse(Seq.empty)

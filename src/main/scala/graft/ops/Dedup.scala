@@ -56,11 +56,21 @@ object Dedup {
     * and at corpus scale boilerplate shingles (headers, license blocks)
     * have k in the millions. Shingles with document frequency >
     * `maxShingleDf` are dropped from the inverted index BEFORE the
-    * self-join. Because verification uses the full shingle sets, dropped
-    * shingles still count toward the jaccard of every surviving candidate
-    * — precision is exact, and a true pair is missed only when EVERY
-    * shingle it shares is ultra-common (such documents are boilerplate
-    * floods that exact dedup removes first; see the OpsSpec recall test).
+    * self-join. The cap never changes a reported jaccard value: dropped
+    * shingles still count through the exact verification of surviving
+    * candidates — precision is exact, and a true pair is missed only when
+    * EVERY shingle it shares is ultra-common (such documents are
+    * boilerplate floods that exact dedup removes first; see the OpsSpec
+    * recall test).
+    *
+    * Execution shape (matters at 100 TB): candidate scoring is a
+    * `groupBy(id_a, id_b).count` over the inverted self-join — partial
+    * aggregation combines map-side, and only 16-byte pair keys travel
+    * through the shuffle, never shingle arrays. Candidates are pruned with
+    * a jaccard UPPER BOUND (capped common + the smaller of the two docs'
+    * dropped-shingle counts; jaccard is increasing in common, so no true
+    * pair is pruned) and only the survivors — normally a tiny fraction —
+    * are joined back to the full hashed sets for exact verification.
     */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
@@ -75,14 +85,41 @@ object Dedup {
     else sh0
     val inv = sh.select(col("id"), explode(col("sh")).as("sh_hash"))
     val dfCounts = inv.groupBy(col("sh_hash")).agg(count(lit(1)).as("__df"))
-    val invCapped = inv.join(dfCounts, Seq("sh_hash"))
+    // Persisted because it feeds BOTH self-join sides and the per-doc
+    // stats — without it the explode + df-count join replays three times.
+    // Same cache contract as `sh` (see the minhashPairs persist note).
+    val invCapped0 = inv.join(dfCounts, Seq("sh_hash"))
       .filter(col("__df") <= maxShingleDf)
       .drop("__df")
-    val cand = invCapped.as("x").join(invCapped.as("y"),
+    val invCapped = if (persist)
+      invCapped0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else invCapped0
+    // Per-doc bookkeeping: distinct-shingle count and how many of them the
+    // df cap removed from the index (observable recall budget per doc).
+    val stats = invCapped.groupBy(col("id")).agg(count(lit(1)).as("__kept"))
+      .join(sh.select(col("id"), size(col("sh")).as("sz")), Seq("id"))
+      .select(col("id"), col("sz"), (col("sz") - col("__kept")).as("dropped"))
+    // Shared-capped-shingle count per candidate pair. Each (id, sh_hash)
+    // is unique (shingle sets are distinct), so count(*) == |capped
+    // intersection| exactly.
+    val commonCapped = invCapped.as("x").join(invCapped.as("y"),
         col("x.sh_hash") === col("y.sh_hash") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-    cand
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("common_capped"))
+    // Upper-bound prune: every shared shingle NOT counted above has
+    // df > cap and was dropped from BOTH docs, so
+    // true_common <= common_capped + least(dropped_a, dropped_b).
+    val survivors = commonCapped
+      .join(stats.withColumnsRenamed(
+        Map("id" -> "id_a", "sz" -> "__sz_a", "dropped" -> "__dr_a")), "id_a")
+      .join(stats.withColumnsRenamed(
+        Map("id" -> "id_b", "sz" -> "__sz_b", "dropped" -> "__dr_b")), "id_b")
+      .withColumn("__ub",
+        col("common_capped") + least(col("__dr_a"), col("__dr_b")))
+      .filter(col("__ub").cast("double") /
+        (col("__sz_a") + col("__sz_b") - col("__ub")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    survivors
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -231,33 +268,60 @@ object Dedup {
     // pair-generation join — typically the expensive part
     val p = pairs.select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // No distinct() on the symmetric union: pair generation emits unique
+    // id_a < id_b rows so the union has no duplicates, and min-label
+    // propagation is insensitive to duplicate edges anyway — a distinct
+    // here would be a full extra shuffle for nothing.
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id"), col("src").as("label"))
-      .distinct().localCheckpoint()
+    // Seed with min(self, neighbors) — the result of the first half-round
+    // — instead of the identity labeling; near-clique dedup graphs then
+    // typically converge one full round earlier. Every node appears as
+    // `src` (edges are symmetric), so this covers all nodes.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("__nmin"))
+      .select(col("id"), least(col("id"), col("__nmin")).as("label"))
+      .localCheckpoint()
+    // Checkpoint blocks superseded by a newer round MUST be freed eagerly:
+    // Dataset.unpersist() doesn't reach them and the driver's GC-based
+    // cleaner is far too lazy, so without this every round (and every
+    // rerun in a long-lived JVM — a bench loop, a service) piles blocks
+    // into the block manager until eviction/GC dominates the runtime.
+    var prevBlocks = org.apache.spark.sql.GraftBridge.checkpointRdds(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // min over self + neighbors' labels
-      val nmin = edges.join(labels.withColumnsRenamed(Map("id" -> "dst", "label" -> "nl")), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
-      val stepped = labels.join(nmin, Seq("id"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("l1"))
+      // min over self + neighbors' labels, in ONE join + ONE aggregation:
+      // neighbor labels and each node's own label are unioned (tagged
+      // `own`), so the old label rides along as max_by(lab, own) instead
+      // of costing a second join to recover.
+      val contrib = edges
+        .join(labels.withColumnsRenamed(Map("id" -> "dst", "label" -> "nl")), "dst")
+        .select(col("src").as("id"), col("nl").as("lab"), lit(0).as("own"))
+        .union(labels.select(col("id"), col("label").as("lab"), lit(1).as("own")))
+      val stepped = contrib.groupBy(col("id"))
+        .agg(min(col("lab")).as("l1"), max_by(col("lab"), col("own")).as("label"))
       // pointer jumping: re-resolve each label through its own row
       val asNode = stepped.select(col("id").as("label"), col("l1").as("ll"))
       val next = stepped.join(asNode, Seq("label"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("l1"), coalesce(col("ll"), col("l1"))).as("label"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized here, lineage truncated
       converged = next.filter(col("label") =!= col("old")).limit(1).count() == 0
+      // `next` is materialized, so the previous round's blocks are dead
+      prevBlocks.foreach(_.unpersist(blocking = false))
+      prevBlocks = org.apache.spark.sql.GraftBridge.checkpointRdds(next)
       labels = next.select(col("id"), col("label"))
       iter += 1
     }
     edges.unpersist()
     p.unpersist()
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .info(s"clusters(): converged=$converged after $iter rounds")
+    // The final round's blocks back the returned DataFrame (lineage is
+    // truncated — they are the only copy) and are released by the context
+    // cleaner once the caller drops the reference.
     labels
   }
 

@@ -9,4 +9,17 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The block-storage RDDs backing a `localCheckpoint()`ed Dataset.
+    * `Dataset.unpersist()` only clears CacheManager entries, so the blocks
+    * a local checkpoint writes are otherwise freed only when the driver
+    * GCs the RDD reference — far too lazy for iterative algorithms that
+    * checkpoint every round. Callers unpersist these once a newer
+    * checkpoint supersedes the data (never before: checkpointing truncates
+    * lineage, so the blocks are the ONLY copy).
+    */
+  def checkpointRdds(df: Dataset[_]): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
 }
