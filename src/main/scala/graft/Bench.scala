@@ -120,13 +120,31 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
+    // Cache-hygiene observable: RDDs still tracked after the suite (the
+    // clearCache() in each op thunk should leave only checkpoint blocks
+    // awaiting GC). Growth across rounds would mean an operator leaks.
+    val storedRdds = spark.sparkContext.getPersistentRDDs.size
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":$nDocs,"annotations":$annCount,"docs_per_sec":$docsPerSec%.0f,"docs_per_sec_80k_dict":${nDocs / results("annotate_80k_dict")}%.0f,"cpus":$cpus}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":$nDocs,"annotations":$annCount,"docs_per_sec":$docsPerSec%.0f,"docs_per_sec_80k_dict":${nDocs / results("annotate_80k_dict")}%.0f,"cpus":$cpus,"stored_rdds":$storedRdds}"""
     println(json)
+    // Belt and braces for harnesses that scrape a prefixed stdout: the
+    // same line also goes to stderr (never sbt-prefixed when forked with
+    // StdoutOutput) and to SPARK_GRAFT_BENCH_OUT / BENCH_LOCAL.json.
+    System.err.println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    // the replicated bench corpus is multi-copy parquet — don't leak it
+    // into /tmp on every run
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.forEach(rmTree(_)) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rmTree(java.nio.file.Paths.get(docsDir))
   }
 }

@@ -423,11 +423,17 @@ object Dedup {
     * agrees, then is exact-verified with full cosine. Banding matters for
     * recall: at cosine 0.98 a single 16-bit bucket catches only ~35% of
     * pairs, 4 bands of 4 bits catch ~99.7%.
+    *
+    * Persist contract (same as [[minhashPairs]]/[[ngramJaccardPairs]]):
+    * the banded relation feeds both sides of the candidate self-join and
+    * is persisted so the signature computation runs once; the cache is
+    * left to LRU eviction — long-running services calling this repeatedly
+    * should pass persist=false or clear via spark.catalog.clearCache().
     */
   def embeddingPairs(
       df: DataFrame, vecCol: String, idCol: String,
       dim: Int, planes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.98): DataFrame = {
+      threshold: Double = 0.98, persist: Boolean = true): DataFrame = {
     val rowsPerBand = planes / bands
     val rnd = new java.util.Random(7L)
     val hyper: Array[Array[Double]] =
@@ -438,11 +444,13 @@ object Dedup {
       when(aggregate(zip_with(v, p, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x) >= 0, lit(1L))
         .otherwise(lit(0L)))
     val base = df.select(col(idCol).as("id"), v.as("v"), sigBits.as("bits"))
-    val banded = base.select(col("id"), col("v"),
+    val banded0 = base.select(col("id"), col("v"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
           s"b -> aggregate(slice(bits, b * $rowsPerBand + 1, $rowsPerBand), 0L, (acc, x) -> acc * 2 + x))")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = if (persist)
+      banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else banded0
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.id") < col("y.id"))
