@@ -31,17 +31,17 @@ object Stemmers {
     case "english" | "porter" => EnglishStemmer
     case "lovins"             => EnglishStemmer // Lovins is an English algorithm; Porter2 stands in
     case "lithuanian"         => LithuanianStemmer
-    case "french"             => SuffixStemmers.french
-    case "german" | "german2" => SuffixStemmers.german
-    case "spanish"            => SuffixStemmers.spanish
-    case "portuguese"         => SuffixStemmers.portuguese
-    case "italian"            => SuffixStemmers.italian
-    case "dutch" | "kp"       => SuffixStemmers.dutch // kp (Kraaij-Pohlmann) is a Dutch algorithm
+    case "french"             => SnowballStemmers.French
+    case "german" | "german2" => SnowballStemmers.German
+    case "spanish"            => SnowballStemmers.Spanish
+    case "portuguese"         => SnowballStemmers.Portuguese
+    case "italian"            => SnowballStemmers.Italian
+    case "dutch" | "kp"       => SnowballStemmers.Dutch // kp (Kraaij-Pohlmann) is a Dutch algorithm
     case "danish"             => SuffixStemmers.danish
     case "norwegian"          => SuffixStemmers.norwegian
     case "swedish"            => SuffixStemmers.swedish
     case "finnish"            => SuffixStemmers.finnish
-    case "russian"            => SuffixStemmers.russian
+    case "russian"            => SnowballStemmers.Russian
     case "romanian"           => SuffixStemmers.romanian
     case "hungarian"          => SuffixStemmers.hungarian
     case "turkish"            => SuffixStemmers.turkish

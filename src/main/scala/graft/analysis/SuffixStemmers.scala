@@ -1,7 +1,11 @@
 package graft.analysis
 
-/** Table-driven suffix stemmers for the non-English Snowball languages
-  * (`text_analysis.clj:15-49` lists the 26 the reference supports).
+/** Table-driven suffix stemmers for the long-tail non-English Snowball
+  * languages (`text_analysis.clj:15-49` lists the 26 the reference
+  * supports). German, Dutch, French, Spanish, Portuguese, Italian and
+  * Russian now have EXACT implementations in [[SnowballStemmers]]; the
+  * tables here back the remaining languages (Nordic, Finno-Ugric,
+  * Turkish, Catalan, Basque, Irish, Armenian, Arabic, Romanian).
   *
   * These follow the published Snowball algorithms' shape — a region
   * constraint (R1 = after the first vowel/non-vowel pair, or RV for the

@@ -1,0 +1,153 @@
+package graft
+
+import graft.analysis.{SnowballStemmers, Stemmers}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests for the exact Snowball implementations, derived from the
+  * published algorithm descriptions at snowballstem.org (several are the
+  * specs' own worked examples: maan/brood for Dutch undoubling,
+  * parlement/mouvement for the French RV exception, comiéndoselo for the
+  * Spanish attached-pronoun step).
+  */
+class SnowballSpec extends AnyFunSuite {
+
+  private def check(lang: String, cases: (String, String)*): Unit = {
+    val st = Stemmers.forName(lang)
+    cases.foreach { case (in, want) =>
+      assert(st.stem(in) == want, s"$lang: stem($in) = ${st.stem(in)}, want $want")
+    }
+  }
+
+  test("german: exact snowball") {
+    check("german",
+      "häuser" -> "haus",            // step1 er + umlaut fold
+      "zeiten" -> "zeit",
+      "bedürfnisse" -> "bedurfnis",  // e deletion + niss -> nis
+      "verständnisse" -> "verstandnis",
+      "abhängen" -> "abhang",
+      "arbeiten" -> "arbeit",
+      "schönheit" -> "schonheit",    // heit not in R2: kept
+      "möglichkeiten" -> "moglich",  // en, then keit in R2
+      "wissenschaftlich" -> "wissenschaft", // lich in R2
+      "freundlich" -> "freundlich",  // lich NOT in R2: kept
+      "aufeinander" -> "aufeinand",
+      "straße" -> "strass",          // ß -> ss, then e
+      "gutes" -> "gut",              // es in R1
+      "bauen" -> "bau",              // inter-vowel u marked consonant
+      "kinder" -> "kind")
+  }
+
+  test("dutch: exact snowball") {
+    check("dutch",
+      "katten" -> "kat",             // en + tt undouble
+      "hebben" -> "hebb",            // bb is NOT undoubled (only kk/dd/tt)
+      "appelen" -> "appel",
+      "lichamelijke" -> "licham",    // e, then lijk in R2, then step2 again
+      "maan" -> "man",               // vowel undouble (spec example)
+      "brood" -> "brod",             // vowel undouble (spec example)
+      "vergaderingen" -> "vergader", // en, then ing in R2
+      "mogelijkheid" -> "mogelijk",  // heid in R2, lijk NOT in R2 after
+      "belangrijkste" -> "belangrijkst", // step-2 e removal
+      "lopen" -> "lop")
+  }
+
+  test("french: exact snowball") {
+    check("french",
+      "continuation" -> "continu",   // ation in R2
+      "majestueux" -> "majestu",     // eux in R2
+      "maisons" -> "maison",         // step-4 s removal
+      "maison" -> "maison",
+      "nationale" -> "national",     // step-4 e removal
+      "nationaux" -> "national",     // aux -> al in R1
+      "parlement" -> "parl",         // RV=3 for par- words (spec example)
+      "mouvement" -> "mouv",         // ement in RV (spec example)
+      "possibilités" -> "possibil",  // ités in R2
+      "finissions" -> "fin",         // step-2a issions after non-vowel
+      "donnera" -> "don",            // step-2b era + onn undouble
+      "été" -> "été")                // everything outside RV: untouched
+  }
+
+  test("spanish: exact snowball") {
+    check("spanish",
+      "niños" -> "niñ",              // residual os
+      "trabajando" -> "trabaj",      // 2b ando
+      "cantando" -> "cant",
+      "gatos" -> "gat",
+      "gato" -> "gat",
+      "generosidad" -> "gener",      // idad in R2, then residual os
+      "generoso" -> "gener",         // same equivalence class
+      "rapidamente" -> "rapid",      // amente in R1
+      "trabajadores" -> "trabaj",    // adores in R2
+      "comiéndoselo" -> "com",       // attached pronoun (spec example)
+      "importancia" -> "import",     // ancia in R2
+      "grandes" -> "grand")          // 2b es
+  }
+
+  test("portuguese: exact snowball") {
+    check("portuguese",
+      "gatos" -> "gat",
+      "falando" -> "fal",
+      "menina" -> "menin",
+      "meninas" -> "menin",
+      "importância" -> "import",     // ância in R2 (nasal working form)
+      "trabalhadores" -> "trabalh",
+      "possibilidade" -> "possibil",
+      "propaganda" -> "propagand")
+  }
+
+  test("italian: exact snowball") {
+    check("italian",
+      "gatti" -> "gatt",
+      "gatto" -> "gatt",
+      "abbandonata" -> "abbandon",   // step2 ata
+      "pronto" -> "pront",
+      "nazionale" -> "nazional",
+      "possibilità" -> "possibil",   // ità in R2
+      "lavoratori" -> "lavor",       // atori in R2
+      "importante" -> "import",      // ante in R2
+      "mangiando" -> "mang")         // ando, then final i
+  }
+
+  test("russian: exact snowball") {
+    check("russian",
+      "книгами" -> "книг",           // noun ами
+      "книги" -> "книг",
+      "книга" -> "книг",
+      "красивая" -> "красив",        // adjective ая
+      "читала" -> "чита",            // verb ла after а
+      "важная" -> "важн",
+      "народа" -> "народ",
+      "возможности" -> "возможн",    // noun и then ость in R2
+      "государственный" -> "государствен", // adjective ый + нн undouble
+      "работают" -> "работа")        // verb ют after а
+  }
+
+  test("inflection equivalence classes under exact stemmers") {
+    def eqv(lang: String, a: String, b: String): Unit = {
+      val st = Stemmers.forName(lang)
+      assert(st.stem(a) == st.stem(b), s"$lang: $a vs $b -> ${st.stem(a)} vs ${st.stem(b)}")
+    }
+    eqv("german", "häuser", "haus")
+    eqv("german", "möglichkeit", "möglichkeiten")
+    eqv("french", "nationale", "nationaux")
+    eqv("spanish", "trabajador", "trabajadores")
+    eqv("portuguese", "menina", "meninas")
+    eqv("italian", "gatto", "gatti")
+    eqv("russian", "книга", "книгами")
+    eqv("dutch", "kat", "katten")
+  }
+
+  test("stemmers are total and safe on degenerate input") {
+    val langs = Seq("german", "dutch", "french", "spanish", "portuguese",
+      "italian", "russian")
+    for (l <- langs; st = Stemmers.forName(l);
+         w <- Seq("", "a", "x", "qu", "ß", "и", "...", "123")) {
+      assert(st.stem(w) != null, s"$l on '$w'")
+    }
+    // marked characters never leak into output
+    assert(!SnowballStemmers.French.stem("ambiguïté").exists(_.isUpper))
+    assert(!SnowballStemmers.German.stem("bauen").exists(_.isUpper))
+    assert(!SnowballStemmers.Dutch.stem("draaien").exists(_.isUpper))
+    assert(!SnowballStemmers.Italian.stem("quiete").exists(_.isUpper))
+  }
+}
