@@ -130,6 +130,25 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("dict_entry_id"))
   }
 
+  /** Extended alpha grammar: fuzzy term (`spark~2`, OSA distance),
+    * sloppy phrase (`"key order"~2`, MultiPhrase window semantics),
+    * field-prefixed term (the reference indexes the text under every
+    * conf's field name), and an unknown field that can never match.
+    * The DuckDB oracle recomputes fuzzy with damerau_levenshtein (equal
+    * to OSA on this corpus's token set) and slop from token positions.
+    */
+  private def qAlphaExt(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val dict = Seq(
+      DE("spark~2", id = Some("x1")),
+      DE("\"key order\"~2", id = Some("x2")),
+      DE("text.standard-tokenizer:dup", id = Some("x3")),
+      DE("title:dup", id = Some("x4"))) // unknown field: never matches
+    new SparkAlphaAnnotator(dict).annotateExploded(docs, "text")
+      .select(col("doc_id"), col("dict_entry_id"))
+      .orderBy(col("doc_id"), col("dict_entry_id"))
+  }
+
   private def qDictRead(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val entries = Readers.readCsv(s, "/root/repo/src/test/resources/dict.csv")
@@ -478,6 +497,7 @@ object SparkEntry {
     "q_ann_slop" -> (qAnnSlop _),
     "q_ann_merge" -> (qAnnMerge _),
     "q_alpha_bool" -> (qAlphaBool _),
+    "q_alpha_ext" -> (qAlphaExt _),
     "q_dict_read" -> (qDictRead _),
     "q_dict_optimize" -> (qDictOptimize _),
     "q1_agg" -> (q1Agg _),
@@ -573,6 +593,19 @@ object SparkEntry {
         |  SELECT doc_id, 'b1' AS dict_entry_id FROM documents WHERE regexp_matches(text, '\bhash\b') AND regexp_matches(text, '\bjoin\b')
         |  UNION ALL SELECT doc_id, 'b2' FROM documents WHERE regexp_matches(text, '\bdup\b') AND NOT regexp_matches(text, '\bstream\b')
         |  UNION ALL SELECT doc_id, 'b3' FROM documents WHERE regexp_matches(text, '\btable scan\b')
+        |) ORDER BY doc_id, dict_entry_id""".stripMargin,
+    "q_alpha_ext" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |kpos AS (SELECT doc_id, i FROM d, unnest(range(1, len(l)+1)) AS t(i) WHERE l[i] = 'key'),
+        |opos AS (SELECT doc_id, i FROM d, unnest(range(1, len(l)+1)) AS t(i) WHERE l[i] = 'order')
+        |SELECT * FROM (
+        |  SELECT doc_id, 'x1' AS dict_entry_id FROM d
+        |    WHERE EXISTS (SELECT 1 FROM unnest(l) AS u(tok) WHERE damerau_levenshtein(tok, 'spark') <= 2)
+        |  UNION ALL
+        |  SELECT DISTINCT k.doc_id, 'x2' FROM kpos k JOIN opos o USING (doc_id)
+        |    WHERE abs(o.i - k.i - 1) <= 2
+        |  UNION ALL
+        |  SELECT doc_id, 'x3' FROM documents WHERE regexp_matches(text, '\bdup\b')
         |) ORDER BY doc_id, dict_entry_id""".stripMargin,
     "q_dict_read" ->
       """SELECT * FROM (VALUES

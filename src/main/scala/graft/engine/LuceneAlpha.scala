@@ -10,10 +10,12 @@ import scala.collection.mutable
   * evaluated with `QueryMatch.SIMPLE_MATCHER` (no offsets;
   * `lucene_alpha.clj:18-28`). The subset implemented covers the grammar
   * the reference's tests exercise plus the common core: terms (implicit
-  * OR), AND/OR/NOT (and &&/||/!), parentheses, "quoted phrases",
-  * /regex/ terms, +/- prefixes. Unparseable entries are dropped with a
-  * log, like the reference's ParseException handler
-  * (`lucene_alpha.clj:41-43`).
+  * OR), AND/OR/NOT (and &&/||/!), parentheses, "quoted phrases" with
+  * `~slop`, `term~N` fuzzy (OSA, capped at 2), `field:term` /
+  * `field:"phrase"` (resolved against the per-conf analyzed field names
+  * the reference indexes under), /regex/ terms, wildcards, +/- prefixes.
+  * Unparseable entries are dropped with a log, like the reference's
+  * ParseException handler (`lucene_alpha.clj:41-43`).
   */
 object LuceneAlpha {
 
@@ -26,6 +28,20 @@ object LuceneAlpha {
   sealed trait Expr extends Serializable
   final case class TermExpr(term: String) extends Expr
   final case class PhraseExpr(terms: Array[String]) extends Expr
+  /** `"a b"~N`: sloppy phrase, same acceptance as the MultiPhrase matcher
+    * (injective position assignment with max(q)-min(q) <= slop).
+    */
+  final case class SloppyPhraseExpr(terms: Array[String], slop: Int) extends Expr
+  /** `term~N`: fuzzy term, OSA edit distance <= maxEdits (capped at 2
+    * like Lucene's FuzzyQuery; bare `~` means 2).
+    */
+  final case class FuzzyExpr(term: String, maxEdits: Int) extends Expr
+  /** `field:...`: evaluated against the named analyzed field — the
+    * reference indexes the text under every dictionary conf's field name
+    * (`lucene_alpha.clj:18-22`), so a known field name resolves to that
+    * conf's token stream and an unknown one never matches.
+    */
+  final case class FieldExpr(field: String, child: Expr) extends Expr
   final case class RegexExpr(pattern: String) extends Expr {
     @transient lazy val compiled: java.util.regex.Pattern = java.util.regex.Pattern.compile(pattern)
   }
@@ -55,20 +71,37 @@ object LuceneAlpha {
       }
     }.toArray
     private val confs: Array[AnalysisConf] = queries.map(_.conf).distinct
+    locally { // surface field: queries that can never match any doc field
+      val known = confs.map(_.fieldName).toSet
+      def fields(e: Expr): Seq[String] = e match {
+        case FieldExpr(f, c) => f +: fields(c)
+        case AndExpr(cs)     => cs.flatMap(fields)
+        case OrExpr(cs)      => cs.flatMap(fields)
+        case NotExpr(c)      => fields(c)
+        case _               => Nil
+      }
+      for (q <- queries; f <- fields(q.expr) if !known(f))
+        System.err.println(
+          s"[graft] query '${q.queryString}': field '$f' matches no dictionary field name; clause can never match")
+    }
 
     def annotate(text: String): Seq[AlphaAnnotation] = {
       if (text == null || text.trim.isEmpty) return Nil
       val fields: Map[AnalysisConf, FieldTokens] =
         confs.map(c => c -> FieldTokens(Analyzer.analyze(c, text))).toMap
+      // the reference adds the text under EVERY conf's field name, so a
+      // field: query can address any dictionary conf's token stream
+      val byName: Map[String, FieldTokens] =
+        fields.map { case (c, ft) => c.fieldName -> ft }
       queries.toSeq.collect {
-        case q if eval(q.expr, fields(q.conf)) =>
+        case q if eval(q.expr, fields(q.conf), byName) =>
           AlphaAnnotation(q.queryString,
             q.metadata.getOrElse("_type", typeName), q.queryId, q.metadata)
       }
     }
   }
 
-  private def eval(e: Expr, ft: FieldTokens): Boolean = e match {
+  private def eval(e: Expr, ft: FieldTokens, byName: Map[String, FieldTokens]): Boolean = e match {
     case TermExpr(t)    => ft.positions.containsKey(t)
     case PhraseExpr(ts) =>
       val first = ft.positions.get(ts.head)
@@ -78,14 +111,58 @@ object LuceneAlpha {
           arr != null && java.util.Arrays.binarySearch(arr, p + i) >= 0
         }
       }
+    case SloppyPhraseExpr(ts, slop) => sloppyMatch(ts, slop, ft)
+    case FuzzyExpr(t, maxE) =>
+      val it = ft.positions.keySet().iterator()
+      var found = false
+      while (!found && it.hasNext) found = Matcher.withinEdits(it.next(), t, maxE)
+      found
+    case FieldExpr(f, c) =>
+      byName.get(f) match {
+        case Some(ft2) => eval(c, ft2, byName)
+        case None      => false // unknown field: the doc has no such field
+      }
     case r: RegexExpr =>
       val it = ft.positions.keySet().iterator()
       var found = false
       while (!found && it.hasNext) found = r.compiled.matcher(it.next()).matches()
       found
-    case AndExpr(cs) => cs.forall(eval(_, ft))
-    case OrExpr(cs)  => cs.exists(eval(_, ft))
-    case NotExpr(c)  => !eval(c, ft)
+    case AndExpr(cs) => cs.forall(eval(_, ft, byName))
+    case OrExpr(cs)  => cs.exists(eval(_, ft, byName))
+    case NotExpr(c)  => !eval(c, ft, byName)
+  }
+
+  /** Sloppy-phrase acceptance, mirroring [[Matcher.matchPhrase]]: an
+    * injective assignment of phrase index i -> distinct doc position p_i
+    * with max(p_i - i) - min(p_i - i) <= slop (one gap costs 1, an
+    * adjacent transposition costs 2).
+    */
+  private def sloppyMatch(ts: Array[String], slop: Int, ft: FieldTokens): Boolean = {
+    val poss = new Array[Array[Int]](ts.length)
+    var i = 0
+    while (i < ts.length) {
+      val a = ft.positions.get(ts(i))
+      if (a == null) return false
+      poss(i) = a
+      i += 1
+    }
+    def rec(i: Int, used: Set[Int], minQ: Int, maxQ: Int): Boolean = {
+      if (i == ts.length) return true
+      val arr = poss(i)
+      var k = 0
+      while (k < arr.length) {
+        val p = arr(k)
+        if (!used(p)) {
+          val q = p - i
+          val nMin = math.min(minQ, q)
+          val nMax = math.max(maxQ, q)
+          if (nMax - nMin <= slop && rec(i + 1, used + p, nMin, nMax)) return true
+        }
+        k += 1
+      }
+      false
+    }
+    rec(0, Set.empty, Int.MaxValue, Int.MinValue)
   }
 
   /** Recursive-descent parser for the supported query-string subset.
@@ -201,34 +278,85 @@ object LuceneAlpha {
           case RP :: rr => (e, rr)
           case _        => throw new IllegalArgumentException("missing )")
         }
+      // field:"quoted phrase" — the lexer stops the word at the quote
+      case Word(w, neg) :: Quoted(s, _) :: t if w.nonEmpty && w.last == ':' =>
+        val (base, rest) = quotedExpr(s, t, conf)
+        val e = FieldExpr(w.dropRight(1), base)
+        (if (neg) NotExpr(e) else e, rest)
       case Word(w, neg) :: t =>
-        val base: Expr =
-          if (w.indexOf('*') >= 0 || w.indexOf('?') >= 0) {
+        // field:term — a colon splits off an explicit field prefix
+        val ci = w.indexOf(':')
+        val (fieldOpt, core) =
+          if (ci > 0 && ci < w.length - 1) (Some(w.substring(0, ci)), w.substring(ci + 1))
+          else (None, w)
+        val base0: Expr =
+          if (core.indexOf('*') >= 0 || core.indexOf('?') >= 0) {
             // wildcard term (Lucene ? = one char, * = any run), matched
             // against the ANALYZED terms like WildcardQuery
             val analyzed =
-              if (conf.caseSensitive) w else graft.analysis.Filters.lowercase(w)
+              if (conf.caseSensitive) core else graft.analysis.Filters.lowercase(core)
             RegexExpr(analyzed.flatMap {
               case '*'                      => ".*"
               case '?'                      => "."
               case c if "\\.[]{}()^$|+".indexOf(c.toInt) >= 0 => "\\" + c
               case c                        => c.toString
             })
-          } else {
-            val terms = Analyzer.terms(conf, w)
-            if (terms.isEmpty) OrExpr(Nil) // analyzes to nothing -> never matches
-            else if (terms.length == 1) TermExpr(terms(0))
-            else PhraseExpr(terms)
-          }
+          } else fuzzyOrTerm(core, conf)
+        val base = fieldOpt.fold(base0)(FieldExpr(_, base0))
         (if (neg) NotExpr(base) else base, t)
       case Quoted(s, neg) :: t =>
-        val terms = Analyzer.terms(conf, s)
-        val base: Expr = if (terms.isEmpty) OrExpr(Nil) else PhraseExpr(terms)
-        (if (neg) NotExpr(base) else base, t)
+        val (base, rest) = quotedExpr(s, t, conf)
+        (if (neg) NotExpr(base) else base, rest)
       case Regex(p, neg) :: t =>
         val base = RegexExpr(p)
         (if (neg) NotExpr(base) else base, t)
       case other => throw new IllegalArgumentException(s"unexpected token: $other")
+    }
+
+    /** `word~` / `word~N` fuzzy suffix (N capped at 2, Lucene's maximum;
+      * bare `~` = 2), else a plain analyzed term/phrase.
+      */
+    private def fuzzyOrTerm(w: String, conf: AnalysisConf): Expr = {
+      val ti = w.lastIndexOf('~')
+      val fuzz: Option[Int] =
+        if (ti <= 0) None
+        else {
+          val suffix = w.substring(ti + 1)
+          if (suffix.isEmpty) Some(2)
+          else suffix.toIntOption.map(n => math.min(math.max(n, 0), 2))
+        }
+      fuzz match {
+        case Some(maxE) =>
+          val base = w.substring(0, ti)
+          val terms = Analyzer.terms(conf, base)
+          if (terms.isEmpty) OrExpr(Nil)
+          else if (terms.length == 1) {
+            if (maxE == 0) TermExpr(terms(0)) else FuzzyExpr(terms(0), maxE)
+          } else PhraseExpr(terms) // multi-token fuzzy degrades to a phrase
+        case None =>
+          val terms = Analyzer.terms(conf, w)
+          if (terms.isEmpty) OrExpr(Nil) // analyzes to nothing -> never matches
+          else if (terms.length == 1) TermExpr(terms(0))
+          else PhraseExpr(terms)
+      }
+    }
+
+    /** A quoted phrase, consuming a following `~N` slop suffix token
+      * (`"a b"~2` lexes as Quoted("a b") then Word("~2")).
+      */
+    private def quotedExpr(s: String, t: List[Tok], conf: AnalysisConf): (Expr, List[Tok]) = {
+      val terms = Analyzer.terms(conf, s)
+      t match {
+        case Word(w, _) :: tt if w.startsWith("~") && (w.length == 1 || w.drop(1).toIntOption.isDefined) =>
+          val slop = if (w.length == 1) 2 else w.drop(1).toInt
+          val e: Expr =
+            if (terms.isEmpty) OrExpr(Nil)
+            else if (slop == 0) PhraseExpr(terms)
+            else SloppyPhraseExpr(terms, slop)
+          (e, tt)
+        case _ =>
+          ((if (terms.isEmpty) OrExpr(Nil) else PhraseExpr(terms)): Expr, t)
+      }
     }
   }
 }

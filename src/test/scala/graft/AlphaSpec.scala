@@ -69,4 +69,51 @@ class AlphaSpec extends AnyFunSuite {
     assert(ann.annotate("x y").head.annType == "T")
     assert(ann.annotate("  ").isEmpty)
   }
+
+  test("fuzzy term: word~N, bare ~, cap at 2, ~0 exact") {
+    val ann = new AlphaAnnotator(Seq(DE("spark~1", id = Some("f"))))
+    assert(ann.annotate("uses spark here").size == 1)
+    assert(ann.annotate("uses spork here").size == 1)  // substitution
+    assert(ann.annotate("uses sprak here").size == 1)  // transposition = 1 (OSA)
+    assert(ann.annotate("uses spoork here").isEmpty)   // 2 edits > 1
+    val bare = new AlphaAnnotator(Seq(DE("spark~", id = Some("b"))))
+    assert(bare.annotate("uses spoork here").size == 1) // bare ~ = 2
+    val capped = new AlphaAnnotator(Seq(DE("spark~9", id = Some("c"))))
+    assert(capped.annotate("uses spoork here").size == 1)  // capped to 2
+    assert(capped.annotate("uses zzzzz here").isEmpty)
+    val exact = new AlphaAnnotator(Seq(DE("spark~0", id = Some("e"))))
+    assert(exact.annotate("uses spork here").isEmpty)
+    assert(exact.annotate("uses spark here").size == 1)
+  }
+
+  test("sloppy phrase: \"a b\"~N") {
+    val ann = new AlphaAnnotator(Seq(DE("\"hash join\"~2", id = Some("s"))))
+    assert(ann.annotate("a hash join b").size == 1)       // exact
+    assert(ann.annotate("a hash fast join b").size == 1)  // one gap = 1
+    assert(ann.annotate("a join hash b").size == 1)       // transposition = 2
+    assert(ann.annotate("a hash x y z join b").isEmpty)   // 3 gaps > 2
+    assert(ann.annotate("a hash b").isEmpty)              // missing term
+    val tight = new AlphaAnnotator(Seq(DE("\"hash join\"~1", id = Some("t"))))
+    assert(tight.annotate("a join hash b").isEmpty)       // transposition needs 2
+    assert(tight.annotate("a hash fast join b").size == 1)
+  }
+
+  test("field-prefixed queries resolve against dictionary field names") {
+    // default conf field name: text.standard-tokenizer (case-sensitive)
+    val ok = new AlphaAnnotator(Seq(DE("text.standard-tokenizer:spark", id = Some("k"))))
+    assert(ok.annotate("runs spark here").size == 1)
+    assert(ok.annotate("runs flink here").isEmpty)
+    val unknown = new AlphaAnnotator(Seq(DE("title:spark", id = Some("u"))))
+    assert(unknown.annotate("runs spark here").isEmpty) // no such field in the doc
+    val phrase = new AlphaAnnotator(Seq(
+      DE("text.standard-tokenizer:\"hash join\"", id = Some("p"))))
+    assert(phrase.annotate("a hash join b").size == 1)
+    assert(phrase.annotate("a join hash b").isEmpty)
+    // field of ANOTHER entry's conf is addressable (doc carries all fields)
+    val cross = new AlphaAnnotator(Seq(
+      DE("Spark", id = Some("cs")), // case-sensitive conf: term must match exactly
+      DE("text.standard-tokenizer.lowercased:spark AND flink",
+        id = Some("x"), caseSensitive = Some(false))))
+    assert(cross.annotate("SPARK and Flink").map(_.dictEntryId) == Seq("x"))
+  }
 }
