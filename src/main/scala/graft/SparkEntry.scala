@@ -149,6 +149,34 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("dict_entry_id"))
   }
 
+  /** Streaming gate: the annotate → aggregate pipeline executed as a REAL
+    * Structured Streaming query — memory source fed from the documents
+    * table, complete-mode aggregation, memory sink — whose totals must
+    * equal the batch equivalent (the DuckDB oracle recomputes them with
+    * regexes). The memory source/sink pair is the test harness; on a
+    * cluster the same pipeline runs unchanged on a Kafka/file source.
+    */
+  private def qStreamCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = s.read.parquet(t(dir, "documents"))
+      .select(col("doc_id").cast("string"), col("text"))
+      .as[(String, String)].collect() // memory-source harness, not engine code
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    ms.addData(rows.toSeq)
+    val sdf = ms.toDF().toDF("doc_id", "text")
+    val dict = Seq(DE("hash join", id = Some("s_hj")),
+      DE("table scan", id = Some("s_ts")), DE("dup", id = Some("s_dup")))
+    val counts = highlighter(dict).annotateExploded(sdf, "text")
+      .groupBy(col("dict_entry_id")).agg(count(lit(1)).as("n_matches"))
+    val qname = "graft_stream_counts"
+    s.catalog.dropTempView(qname) // re-runnable within one session
+    val q = counts.writeStream.format("memory").queryName(qname)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qname).filter(col("n_matches") > 0).orderBy(col("dict_entry_id"))
+  }
+
   private def qDictRead(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val entries = Readers.readCsv(s, "/root/repo/src/test/resources/dict.csv")
@@ -498,6 +526,7 @@ object SparkEntry {
     "q_ann_merge" -> (qAnnMerge _),
     "q_alpha_bool" -> (qAlphaBool _),
     "q_alpha_ext" -> (qAlphaExt _),
+    "q_stream_counts" -> (qStreamCounts _),
     "q_dict_read" -> (qDictRead _),
     "q_dict_optimize" -> (qDictOptimize _),
     "q1_agg" -> (q1Agg _),
@@ -607,6 +636,12 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id, 'x3' FROM documents WHERE regexp_matches(text, '\bdup\b')
         |) ORDER BY doc_id, dict_entry_id""".stripMargin,
+    "q_stream_counts" ->
+      """SELECT * FROM (
+        |  SELECT 's_dup' AS dict_entry_id, CAST(sum(len(regexp_extract_all(text, '\bdup\b'))) AS BIGINT) AS n_matches FROM documents
+        |  UNION ALL SELECT 's_hj', CAST(sum(len(regexp_extract_all(text, '\bhash join\b'))) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 's_ts', CAST(sum(len(regexp_extract_all(text, '\btable scan\b'))) AS BIGINT) FROM documents
+        |) WHERE n_matches > 0 ORDER BY dict_entry_id""".stripMargin,
     "q_dict_read" ->
       """SELECT * FROM (VALUES
         |  ('test-dictionary-item', '',    CAST(0 AS BIGINT), true, false, CAST(0 AS BIGINT)),
@@ -747,9 +782,18 @@ object SparkEntry {
     // bands, maxHamming 3) makes the banded pair set equal the brute-force
     // set whenever no bucket exceeds the cap, which holds at oracle scale.
     "q_dedup_simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+      """WITH rawtoks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS raw
         |  FROM documents WHERE length(trim(text)) > 0
+        |),
+        |-- Java split("\\s+") drops a TRAILING empty token but keeps a
+        |-- leading one; regexp_split_to_array keeps both. Trim only the
+        |-- trailing empty to mirror Java exactly. unicode() hashes one
+        |-- code point per char = Java's UTF-16 unit on BMP-only corpora
+        |-- like this one; non-BMP text would diverge.
+        |toks AS (
+        |  SELECT doc_id, CASE WHEN raw[-1] = '' THEN raw[:-1] ELSE raw END AS t
+        |  FROM rawtoks
         |),
         |tokhash AS (
         |  SELECT doc_id,

@@ -129,6 +129,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Per-document recall budget of the [[ngramJaccardPairs]] df cap:
+    * (id, n_shingles, n_dropped), where n_dropped counts the document's
+    * distinct shingles with df > maxShingleDf (excluded from candidate
+    * generation). A document can only lose a true pair when EVERY shingle
+    * it shares with the partner is dropped, so `n_dropped` bounds the
+    * recall exposure — run this when tuning the cap on a new corpus.
+    */
+  def shingleDropStats(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, maxShingleDf: Int = 10000): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"),
+        transform(shingles(col(textCol), n), s => xxhash64(s)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inv = sh.select(col("id"), explode(col("sh")).as("sh_hash"))
+    val dfCounts = inv.groupBy(col("sh_hash")).agg(count(lit(1)).as("__df"))
+    inv.join(dfCounts, Seq("sh_hash"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") > maxShingleDf, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   /** text → (sh: sorted distinct 64-bit shingle hashes, sig: minhash
     * signature) in a single compiled pass: tokenize on spaces, roll the
     * n-gram window hashing each distinct shingle once (FNV-1a over the

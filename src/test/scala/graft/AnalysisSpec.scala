@@ -93,6 +93,47 @@ class AnalysisSpec extends AnyFunSuite {
     assert(LithuanianStemmer.stem("Sabonis") == LithuanianStemmer.stem("Saboniai"))
   }
 
+  test("tokenizer offset properties on the phrases.html fixture") {
+    val html = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/phrases.html")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val names = Seq("standard", "classic", "whitespace", "unicode-whitespace",
+      "letter", "strict", "keyword")
+    for (name <- names) {
+      val toks = Tokenizers.tokenize(name, html)
+      assert(toks.nonEmpty, s"$name produced no tokens")
+      var prevPos = -1
+      toks.foreach { t =>
+        // offsets in-bounds, non-empty, and term == the document substring
+        assert(t.begin >= 0 && t.end <= html.length && t.begin < t.end,
+          s"$name: bad offsets $t")
+        assert(t.term == html.substring(t.begin, t.end),
+          s"$name: term '${t.term}' != substring '${html.substring(t.begin, t.end)}'")
+        assert(t.pos > prevPos, s"$name: positions not increasing at $t")
+        prevPos = t.pos
+      }
+      // tokens do not overlap and appear left-to-right
+      toks.sliding(2).foreach {
+        case Array(a, b) => assert(a.end <= b.begin, s"$name: overlap $a $b")
+        case _           =>
+      }
+    }
+    // keyword = entire text as one token
+    val kw = Tokenizers.tokenize("keyword", html)
+    assert(kw.length == 1 && kw(0).begin == 0 && kw(0).end == html.length)
+    // golden spot-checks on a corner-case line with markup, entities, digits
+    val line = """<td class="colLast"><code>protected&nbsp;abstract T&nbsp;</code></td>"""
+    assert(Tokenizers.tokenize("standard", line).map(_.term).toSeq ==
+      Seq("td", "class", "colLast", "code", "protected", "nbsp", "abstract",
+        "T", "nbsp", "code", "td"))
+    assert(Tokenizers.tokenize("letter", line).map(_.term).toSeq ==
+      Seq("td", "class", "colLast", "code", "protected", "nbsp", "abstract",
+        "T", "nbsp", "code", "td"))
+    assert(Tokenizers.tokenize("whitespace", line).map(_.term).toSeq ==
+      Seq("<td", "class=\"colLast\"><code>protected&nbsp;abstract",
+        "T&nbsp;</code></td>"))
+  }
+
   test("multi-language suffix stemmers: inflection equivalence classes") {
     def eqv(lang: String, a: String, b: String): Unit = {
       val st = Stemmers.forName(lang)

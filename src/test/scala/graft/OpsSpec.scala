@@ -199,6 +199,47 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 >= 500L || p._2 >= 500L))
   }
 
+  test("simhash cap bystander: a pair sharing a capped band recovers via its other bands") {
+    // find a bystander text whose LOW band (band 0) collides with the
+    // flood signature's band 0 — the worst case the cap can touch
+    val floodText = "boilerplate header all rights reserved do not edit"
+    val floodBand0 = Dedup.simhashValue(floodText) & 0xFFFFL
+    // every token must vary with i, else the majority vote freezes most
+    // signature bits and the collision below may be unreachable
+    val bystanderText = Iterator.from(0)
+      .map(i => s"b$i q${i * 7 + 1} z${i * 13 + 5} w${i * 31 + 11}")
+      .take(4000000)
+      .find(t => (Dedup.simhashValue(t) & 0xFFFFL) == floodBand0)
+      .get
+    val flood = spark.range(1000L, 11001L)
+      .select(col("id").as("doc_id"), lit(floodText).as("text"))
+    val bystanders = Seq((1L, bystanderText), (2L, bystanderText)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(flood.union(bystanders), "text", "doc_id",
+        maxHamming = 3, maxBucket = 100)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // band 0's bucket (flood + bystanders) is over the cap and dropped
+    // whole, but the identical bystanders also agree on bands 1-3, whose
+    // buckets hold only the two of them — the pair survives
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 >= 1000L || p._2 >= 1000L)) // flood still neutralized
+  }
+
+  test("jaccard df-cap drop stats expose the per-doc recall budget") {
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    val corpus = (0L until 20L).map(i =>
+      (i, s"$boiler unique$i content$i words$i here$i now$i")).toDF("doc_id", "text")
+    val stats = Dedup.shingleDropStats(corpus, "text", "doc_id", maxShingleDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(stats.size == 20)
+    // the 6 boilerplate-only trigrams have df=20 > 5: dropped everywhere;
+    // the shingles touching uniqueN have df=1: kept
+    assert(stats.forall { case (_, total, dropped) => dropped == 6 && total > dropped })
+    // with a high cap nothing is dropped
+    val none = Dedup.shingleDropStats(corpus, "text", "doc_id", maxShingleDf = 100)
+      .collect()
+    assert(none.forall(_.getLong(2) == 0L))
+  }
+
   test("jaccard shingle df-cap: hot shingles skip the index, not the verify") {
     // every doc shares the same boilerplate prefix (hot shingles); only
     // 100/101 are true near-dups. With maxShingleDf small enough to drop
