@@ -37,9 +37,9 @@ object Stemmers {
     case "portuguese"         => SnowballStemmers.Portuguese
     case "italian"            => SnowballStemmers.Italian
     case "dutch" | "kp"       => SnowballStemmers.Dutch // kp (Kraaij-Pohlmann) is a Dutch algorithm
-    case "danish"             => SuffixStemmers.danish
-    case "norwegian"          => SuffixStemmers.norwegian
-    case "swedish"            => SuffixStemmers.swedish
+    case "danish"             => SnowballStemmers.Danish
+    case "norwegian"          => SnowballStemmers.Norwegian
+    case "swedish"            => SnowballStemmers.Swedish
     case "finnish"            => SuffixStemmers.finnish
     case "russian"            => SnowballStemmers.Russian
     case "romanian"           => SuffixStemmers.romanian

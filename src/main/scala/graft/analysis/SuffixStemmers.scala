@@ -2,20 +2,20 @@ package graft.analysis
 
 /** Table-driven suffix stemmers for the long-tail non-English Snowball
   * languages (`text_analysis.clj:15-49` lists the 26 the reference
-  * supports). German, Dutch, French, Spanish, Portuguese, Italian and
-  * Russian now have EXACT implementations in [[SnowballStemmers]]; the
-  * tables here back the remaining languages (Nordic, Finno-Ugric,
-  * Turkish, Catalan, Basque, Irish, Armenian, Arabic, Romanian).
+  * supports). German, Dutch, French, Spanish, Portuguese, Italian,
+  * Russian, Danish, Norwegian and Swedish now have EXACT
+  * implementations in [[SnowballStemmers]]; the tables here back the
+  * remaining languages (Finnish, Hungarian, Turkish, Romanian, Catalan,
+  * Basque, Irish, Estonian, Armenian, Arabic).
   *
   * These follow the published Snowball algorithms' shape — a region
   * constraint (R1 = after the first vowel/non-vowel pair, or RV for the
   * Romance languages) plus longest-suffix removal with a minimum stem
-  * length, plus per-language finishing rules (German umlaut folding,
-  * Dutch consonant undoubling, ...) — but are SIMPLIFIED: they cover the
-  * high-frequency inflectional endings, not the full exception logic.
-  * English (Porter2) and Lithuanian have dedicated implementations in
-  * Stemmers.scala. The practical contract for matching is equivalence:
-  * inflected forms of a word stem to the same string.
+  * length — but are SIMPLIFIED: they cover the high-frequency
+  * inflectional endings, not the full exception logic. English (Porter2)
+  * and Lithuanian have dedicated implementations in Stemmers.scala. The
+  * practical contract for matching is equivalence: inflected forms of a
+  * word stem to the same string.
   */
 object SuffixStemmers {
 
@@ -66,91 +66,6 @@ object SuffixStemmers {
     }
   }
 
-  private def foldChars(map: Map[Char, String])(s: String): String = {
-    val sb = new StringBuilder
-    s.foreach(c => map.get(Character.toLowerCase(c)) match {
-      case Some(r) => sb ++= (if (c.isUpper) r.toUpperCase else r)
-      case None    => sb += c
-    })
-    sb.toString
-  }
-
-  private def undouble(s: String): String =
-    if (s.length >= 2 && s.charAt(s.length - 1) == s.charAt(s.length - 2) &&
-      "aeiouy".indexOf(s.charAt(s.length - 1).toInt) < 0)
-      s.dropRight(1)
-    else s
-
-  val french: Stemmer = new TableStemmer(
-    "aeiouyâàëéêèïîôûù",
-    Seq("issements", "issement", "atrices", "atrice", "ateurs", "ateur",
-      "ations", "ation", "ements", "ement", "euses", "euse", "ances", "ance",
-      "ences", "ence", "ments", "ment", "ités", "ité", "ives", "ive", "ifs",
-      "if", "eaux", "aux", "eux", "aient", "erions", "assent", "erons",
-      "èrent", "antes", "ante", "ants", "ant", "ées", "ée", "és", "é",
-      "ères", "ère", "ers", "er", "ions", "ez", "ent", "es", "e", "s"),
-    useRv = true)
-
-  private val germanFinish: String => String =
-    foldChars(Map('ä' -> "a", 'ö' -> "o", 'ü' -> "u", 'ß' -> "ss"))
-
-  val german: Stemmer = new TableStemmer(
-    "aeiouyäöü",
-    Seq("ungen", "isch", "lich", "heit", "keit", "ung", "ern", "em", "er",
-      "en", "es", "est", "ig", "ik", "e", "n", "s", "st"),
-    finish = germanFinish)
-
-  val spanish: Stemmer = new TableStemmer(
-    "aeiouáéíóúü",
-    Seq("amientos", "imientos", "amiento", "imiento", "aciones", "ación",
-      "adoras", "adores", "ancias", "encias", "amente", "idades", "ismos",
-      "ables", "ibles", "istas", "mente", "idad", "anza", "icos", "icas",
-      "ismo", "able", "ible", "ista", "osos", "osas", "ando", "iendo",
-      "aron", "ieron", "ará", "erá", "irá", "aba", "ía", "ico", "ica",
-      "oso", "osa", "es", "os", "as", "o", "a", "e", "í", "ó"),
-    useRv = true)
-
-  val portuguese: Stemmer = new TableStemmer(
-    "aeiouáéíóúâêôãõ",
-    Seq("amentos", "imentos", "amento", "imento", "adoras", "adores",
-      "aço~es", "ações", "ação", "antes", "ância", "mente", "idade",
-      "ismos", "istas", "ável", "ível", "oso", "osa", "icos", "icas",
-      "ico", "ica", "ando", "endo", "indo", "aram", "eram", "iram", "ava",
-      "es", "os", "as", "o", "a", "e", "é", "á"),
-    useRv = true)
-
-  val italian: Stemmer = new TableStemmer(
-    "aeiouàèìòù",
-    Seq("azioni", "azione", "amenti", "imenti", "amento", "imento",
-      "atrici", "atrice", "mente", "ità", "ici", "ice", "iche", "ichi",
-      "ismo", "ismi", "ista", "iste", "isti", "oso", "osa", "osi", "ose",
-      "ando", "endo", "are", "ere", "ire", "i", "e", "o", "a"),
-    useRv = true)
-
-  val dutch: Stemmer = new TableStemmer(
-    "aeiouyè",
-    Seq("heden", "ene", "en", "se", "s", "e"),
-    finish = undouble)
-
-  val danish: Stemmer = new TableStemmer(
-    "aeiouyæåø",
-    Seq("erendes", "erende", "endes", "ende", "erede", "erets", "erne",
-      "eren", "eres", "eret", "ere", "ene", "ens", "ers", "ets", "en",
-      "er", "es", "et", "e", "s"))
-
-  val norwegian: Stemmer = new TableStemmer(
-    "aeiouyæåø",
-    Seq("hetenes", "hetene", "hetens", "heten", "heter", "endes", "ende",
-      "edes", "ede", "ane", "ene", "ens", "ers", "ets", "en", "ar", "er",
-      "as", "es", "et", "a", "e", "s"))
-
-  val swedish: Stemmer = new TableStemmer(
-    "aeiouyäåö",
-    Seq("heterna", "hetens", "heter", "heten", "anden", "arnas", "ernas",
-      "ornas", "andes", "arna", "erna", "orna", "ande", "arne", "aste",
-      "aren", "ades", "erns", "ade", "are", "ern", "ens", "ast", "ad",
-      "en", "ar", "er", "or", "as", "es", "at", "a", "e", "s"))
-
   val finnish: Stemmer = new TableStemmer(
     "aeiouyäö",
     Seq("isiin", "siin", "seen", "niin", "mme", "nne", "nsa", "nsä",
@@ -158,17 +73,6 @@ object SuffixStemmers {
       "ksi", "ine", "han", "hän", "ko", "kö", "pa", "pä", "na", "nä",
       "ta", "tä", "a", "ä", "n", "t", "i"))
 
-  val russian: Stemmer = new TableStemmer(
-    "аеиоуыэюя",
-    Seq("ешься", "ейшие", "ейший", "ировал", "ование", "ованиями",
-      "остью", "ость", "иями", "ями", "ами", "ией", "иям", "ием", "иях",
-      "ыми", "ими", "его", "ого", "ему", "ому", "ешь", "ет",
-      "ют", "ат", "ят", "ует", "уют", "ить", "ыть", "ать", "еть",
-      "ал", "ил", "ыл", "ла", "ло", "ли", "ем", "им", "ым", "ом", "их",
-      "ых", "ую", "юю", "ая", "яя", "ою", "ею", "ей", "ий", "ый", "ой",
-      "ам", "ям", "ах", "ях", "ия", "ья", "и", "ы", "а", "я", "о", "у",
-      "е", "й", "ь", "ю"),
-    useRv = true)
 
   val romanian: Stemmer = new TableStemmer(
     "aeiouăâî",

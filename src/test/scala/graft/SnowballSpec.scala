@@ -122,6 +122,34 @@ class SnowballSpec extends AnyFunSuite {
       "работают" -> "работа")        // verb ют after а
   }
 
+  test("danish: exact snowball") {
+    check("danish",
+      "hunden" -> "hund",
+      "hundene" -> "hund",
+      "huset" -> "hus",
+      "viser" -> "vis",
+      "spændende" -> "spænd",
+      "følelse" -> "føl",      // e, then els, both in R1
+      "hoppe" -> "hop")        // e + consonant undouble
+  }
+
+  test("norwegian: exact snowball") {
+    check("norwegian",
+      "hunden" -> "hund",
+      "huset" -> "hus",
+      "viktigste" -> "viktigst",
+      "hetene" -> "hetene")    // R1 starts after position 3: suffix out of region
+  }
+
+  test("swedish: exact snowball") {
+    check("swedish",
+      "flickorna" -> "flick",
+      "flicka" -> "flick",
+      "jakten" -> "jakt",      // en removed; kt NOT undoubled (pair out of R1)
+      "huset" -> "huset",      // bare 'et' is NOT in the Swedish suffix list
+      "klokkor" -> "klokk")
+  }
+
   test("inflection equivalence classes under exact stemmers") {
     def eqv(lang: String, a: String, b: String): Unit = {
       val st = Stemmers.forName(lang)
