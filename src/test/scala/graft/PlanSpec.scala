@@ -139,4 +139,47 @@ class PlanSpec extends AnyFunSuite {
     val exIdx = plan.indexOf("Exchange")
     assert(genIdx >= 0 && exIdx >= 0 && exIdx < genIdx, plan)
   }
+
+  test("jaccard pair scoring is partial-aggregated; arrays only in final verify") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.ops.Dedup.ngramJaccardPairs(docs, "text", "doc_id", persist = false)
+    df.collect()
+    // AQE's toString appends the pre-adaptive "Initial Plan" — position
+    // assertions must look at the final plan section only
+    val full = df.queryExecution.executedPlan.toString
+    val executed = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+    // candidate scoring must be a count aggregate with a map-side partial
+    // (only 16-byte pair keys cross the shuffle, never shingle arrays)
+    assert(executed.contains("partial_count"), executed)
+    assert(!executed.contains("CartesianProduct"), executed)
+    // every array intersection (Catalyst may clone it into the verify
+    // join's condition) must sit DOWNSTREAM of the pair-count aggregate —
+    // the tree prints root-first, so all occurrences must appear before
+    // the first partial_count line: arrays never enter candidate scoring
+    val lastIntersect = executed.lastIndexOf("array_intersect")
+    val firstPartial = executed.indexOf("partial_count")
+    assert(lastIntersect >= 0 && lastIntersect < firstPartial, executed)
+  }
+
+  test("clusters frees superseded checkpoint blocks across reruns") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def run(): Long = {
+      val pairs = graft.ops.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        persist = false)
+      graft.ops.Dedup.clusters(pairs).count()
+    }
+    run()
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    run()
+    spark.catalog.clearCache()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // each run may leave at most its own final-labels checkpoint behind
+    // (released by the context cleaner once unreferenced); per-round
+    // checkpoints and the edge caches must have been freed eagerly
+    assert(after <= before + 1, s"stored RDDs grew: $before -> $after")
+  }
 }
