@@ -1,10 +1,14 @@
 package graft.dict
 
-/** Minimal EDN reader for dictionary files — the reference's `read-edn`
-  * (`readers.clj:11-16`) accepts a vector of entry maps. This parser
-  * covers the EDN subset such dictionaries use: vectors, maps, sets,
-  * keywords, strings (with escapes), booleans, nil, longs/doubles,
-  * and comments. Not a general EDN implementation.
+/** EDN reader — the reference's `read-edn` (`readers.clj:11-16`) accepts
+  * a vector of entry maps. Covers the published EDN specification:
+  * vectors, lists, maps, sets, keywords, strings (all spec escapes incl.
+  * `\uNNNN`), character literals (`\c`, `\newline`, `\space`, `\tab`,
+  * `\return`, `\uNNNN`), booleans, nil, integers (with `N` suffix),
+  * floats (with `M` suffix), `;` comments, the `#_` discard macro, and
+  * tagged literals (`#inst`, `#uuid`, or any user tag — surfaced as
+  * [[ETagged]] for the caller to interpret). Bare symbols are read as
+  * strings (the dictionary model has no symbol type).
   */
 object Edn {
 
@@ -14,8 +18,12 @@ object Edn {
   final case class ENum(d: Double, isInt: Boolean) extends Value
   final case class EBool(b: Boolean) extends Value
   case object ENil extends Value
+  final case class EChar(c: Char) extends Value
   final case class EVec(items: Vector[Value]) extends Value
+  final case class ESet(items: Vector[Value]) extends Value
   final case class EMap(entries: Vector[(Value, Value)]) extends Value
+  /** `#tag value` — e.g. `#inst "2024-01-01T00:00:00Z"`. */
+  final case class ETagged(tag: String, value: Value) extends Value
 
   def parse(input: String): Value = {
     val p = new Parser(input)
@@ -111,19 +119,65 @@ object Edn {
         case '(' => pos += 1; parseSeq(')')
         case '{' => pos += 1; parseMap()
         case '#' if pos + 1 < input.length && input.charAt(pos + 1) == '{' =>
-          pos += 2; parseSeq('}')
+          pos += 2
+          parseSeq('}') match { case EVec(items) => ESet(items); case v => v }
+        case '#' if pos + 1 < input.length && input.charAt(pos + 1) == '_' =>
+          pos += 2
+          parseValue() // discard macro: drop the next form entirely
+          parseValue()
+        case '#' =>
+          pos += 1
+          val tag = readToken()
+          require(tag.nonEmpty, s"empty tag at offset $pos")
+          ETagged(tag, parseValue())
+        case '\\' => parseChar()
         case '"' => parseString()
         case ':' => pos += 1; EKw(readToken())
         case _   => parseScalar()
       }
     }
 
+    /** Character literal: `\c`, named (`\newline` `\space` `\tab`
+      * `\return` `\backspace` `\formfeed`), or `\uNNNN`.
+      */
+    private def parseChar(): Value = {
+      pos += 1
+      val tok = readToken()
+      tok match {
+        case "newline"   => EChar('\n')
+        case "space"     => EChar(' ')
+        case "tab"       => EChar('\t')
+        case "return"    => EChar('\r')
+        case "backspace" => EChar('\b')
+        case "formfeed"  => EChar('\f')
+        case t if t.length == 5 && t.charAt(0) == 'u' =>
+          EChar(Integer.parseInt(t.substring(1), 16).toChar)
+        case t if t.length == 1 => EChar(t.charAt(0))
+        case t if t.isEmpty => // \ followed by a delimiter char, e.g. \[
+          val c = cur; pos += 1; EChar(c)
+        case t => throw new IllegalArgumentException(s"bad character literal \\$t")
+      }
+    }
+
+    /** Consume any `#_form` discards (stackable) before the next real
+      * form or closing delimiter.
+      */
+    private def skipDiscards(): Unit = {
+      skipWs()
+      while (pos + 1 < input.length && input.charAt(pos) == '#' &&
+        input.charAt(pos + 1) == '_') {
+        pos += 2
+        parseValue()
+        skipWs()
+      }
+    }
+
     private def parseSeq(close: Char): Value = {
       val items = Vector.newBuilder[Value]
-      skipWs()
+      skipDiscards()
       while (cur != close) {
         items += parseValue()
-        skipWs()
+        skipDiscards()
       }
       pos += 1
       EVec(items.result())
@@ -131,12 +185,12 @@ object Edn {
 
     private def parseMap(): Value = {
       val entries = Vector.newBuilder[(Value, Value)]
-      skipWs()
+      skipDiscards()
       while (cur != '}') {
         val k = parseValue()
         val v = parseValue()
         entries += (k -> v)
-        skipWs()
+        skipDiscards()
       }
       pos += 1
       EMap(entries.result())
@@ -153,8 +207,13 @@ object Edn {
             case 'n'   => sb += '\n'
             case 't'   => sb += '\t'
             case 'r'   => sb += '\r'
+            case 'b'   => sb += '\b'
+            case 'f'   => sb += '\f'
             case '\\'  => sb += '\\'
             case '"'   => sb += '"'
+            case 'u'   =>
+              sb += Integer.parseInt(input.substring(pos + 1, pos + 5), 16).toChar
+              pos += 4
             case other => sb += other
           }
         } else sb += c
@@ -177,9 +236,11 @@ object Edn {
       case "nil"   => ENil
       case tok if tok.nonEmpty && (tok.charAt(0).isDigit ||
         ((tok.charAt(0) == '-' || tok.charAt(0) == '+') && tok.length > 1 && tok.charAt(1).isDigit)) =>
-        if (tok.contains('.') || tok.contains('e') || tok.contains('E'))
-          ENum(tok.toDouble, isInt = false)
-        else ENum(tok.toLong.toDouble, isInt = true)
+        // N (arbitrary-precision int) and M (exact decimal) suffixes
+        val t = if (tok.endsWith("N") || tok.endsWith("M")) tok.dropRight(1) else tok
+        if (t.contains('.') || t.contains('e') || t.contains('E') || tok.endsWith("M"))
+          ENum(t.toDouble, isInt = false)
+        else ENum(t.toLong.toDouble, isInt = true)
       case tok => EStr(tok) // bare symbol: treat as string
     }
   }

@@ -49,6 +49,36 @@ class CornerCaseSpec extends AnyFunSuite {
     assert(e.meta == Map("email" -> "test@example.com"))
   }
 
+  test("EDN full-spec forms: chars, discard, tags, sets, unicode, N/M suffixes") {
+    import Edn._
+    // character literals
+    assert(parse("\\a") == EChar('a'))
+    assert(parse("\\newline") == EChar('\n'))
+    assert(parse("\\space") == EChar(' '))
+    assert(parse("\\u0041") == EChar('A'))
+    // discard macro, incl. stacked discards and inside collections
+    assert(parse("[1 #_2 3]") == EVec(Vector(ENum(1, true), ENum(3, true))))
+    assert(parse("#_ #_ 1 2 3") == ENum(3, true))
+    assert(parse("{:a 1 #_:b #_2 :c 3}").asInstanceOf[EMap].entries.size == 2)
+    // tagged literals
+    assert(parse("#inst \"2024-01-01T00:00:00Z\"") ==
+      ETagged("inst", EStr("2024-01-01T00:00:00Z")))
+    assert(parse("#myapp/thing [1]") ==
+      ETagged("myapp/thing", EVec(Vector(ENum(1, true)))))
+    // sets are distinct from vectors
+    assert(parse("#{1 2}") == ESet(Vector(ENum(1, true), ENum(2, true))))
+    // string escapes incl. \uNNNN
+    assert(parse("\"a\\u00e9b\\n\"") == EStr("aéb\n"))
+    // numeric suffixes
+    assert(parse("42N") == ENum(42, true))
+    assert(parse("3.14M") == ENum(3.14, false))
+    assert(parse("2M") == ENum(2, false))
+    // a dictionary whose entries use the exotic forms still reads
+    val entries = Edn.readDictionary(
+      """[#_{:text "dropped"} {:text "kept" :id "1" :meta {:k "v"}} #_[1 2]]""")
+    assert(entries.map(_.text) == Seq("kept"))
+  }
+
   test("validator CLI semantics (validator.clj:25-30)") {
     assert(ValidatorCli.validFile("src/test/resources/dict.csv", "csv"))
     assert(ValidatorCli.validFile("src/test/resources/dict.json", "json"))
