@@ -45,6 +45,43 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Sorted distinct 64-bit shingle hashes of a text in ONE compiled
+    * pass — the same rolling FNV-1a window kernel as the minhash path.
+    * This replaces `xxhash64(shingles(...))` in the pair operators: the
+    * nested higher-order SQL version evaluates its lambdas interpreted
+    * and builds every shingle string, an order of magnitude more per-row
+    * work (and the dominant erratic cost in the pair-production stage).
+    */
+  private def shingleHashesUdf(n: Int) = udf((text: String) => {
+    if (text == null) Array.empty[Long]
+    else {
+      val toks = text.split(" ")
+      if (toks.length < n) Array.empty[Long]
+      else {
+        val set = new java.util.TreeSet[java.lang.Long]()
+        var i = 0
+        while (i + n <= toks.length) {
+          var h = 0xcbf29ce484222325L
+          var k = i
+          while (k < i + n) {
+            val t = toks(k)
+            var j = 0
+            while (j < t.length) { h ^= t.charAt(j); h *= 0x100000001b3L; j += 1 }
+            if (k < i + n - 1) { h ^= ' '; h *= 0x100000001b3L }
+            k += 1
+          }
+          set.add(h)
+          i += 1
+        }
+        val out = new Array[Long](set.size())
+        val it = set.iterator()
+        var m = 0
+        while (it.hasNext) { out(m) = it.next(); m += 1 }
+        out
+      }
+    }
+  })
+
   /** Exact pairwise jaccard over distinct word-n-gram shingle sets via an
     * inverted-index join: explode hashed shingles, self-join on the shingle
     * hash to generate CANDIDATE pairs, then exact-verify each candidate
@@ -77,8 +114,7 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.5, persist: Boolean = true,
       maxShingleDf: Int = 10000): DataFrame = {
     val sh0 = df
-      .select(col(idCol).as("id"),
-        transform(shingles(col(textCol), n), s => xxhash64(s)).as("sh"))
+      .select(col(idCol).as("id"), shingleHashesUdf(n)(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
     val sh = if (persist)
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -140,8 +176,7 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, maxShingleDf: Int = 10000): DataFrame = {
     val sh = df
-      .select(col(idCol).as("id"),
-        transform(shingles(col(textCol), n), s => xxhash64(s)).as("sh"))
+      .select(col(idCol).as("id"), shingleHashesUdf(n)(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
     val inv = sh.select(col("id"), explode(col("sh")).as("sh_hash"))
     val dfCounts = inv.groupBy(col("sh_hash")).agg(count(lit(1)).as("__df"))
@@ -415,10 +450,17 @@ object Dedup {
     */
   def simhashPairs(
       df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
-    val sig = df
+      maxHamming: Int = 3, maxBucket: Int = 10000,
+      persist: Boolean = true): DataFrame = {
+    // persist the 16-byte/doc signature relation: both self-join sides
+    // would otherwise replay the full text scan + hash kernel (same
+    // cache contract as the other pair operators)
+    val sig0 = df
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val sig = if (persist)
+      sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sig0
     val banded = sig.select(col("id"), col("sig"),
         posexplode(expr("transform(sequence(0, 3), " +
           "b -> (sig >> (b * 16)) & 65535)")))
