@@ -141,6 +141,26 @@ class PhrasesSpec extends AnyFunSuite {
       stemmer = Some("estonian"))), HO())(txt).isEmpty)
   }
 
+  test("exact snowball stemmers drive matching end-to-end (de/ru/fr/es)") {
+    // stemmed dictionary form matches the inflected document form and the
+    // annotation text is the DOCUMENT surface, like the reference's
+    // lt/en stemming tests (:198-234)
+    def m(lang: String, dictWord: String, doc: String, expect: String): Unit = {
+      val a = hl(Seq(DE(dictWord, id = Some("1"), stem = Some(true),
+        stemmer = Some(lang), caseSensitive = Some(false))), HO())(doc)
+      assert(a.nonEmpty && a.head.text == expect, s"$lang: $a")
+    }
+    m("german", "Haus", "die häuser dort", "häuser")
+    m("german", "möglichkeit", "viele möglichkeiten offen", "möglichkeiten")
+    m("russian", "книга", "много книгами тут", "книгами")
+    m("french", "national", "les nationaux ici", "nationaux")
+    m("spanish", "trabajador", "los trabajadores aquí", "trabajadores")
+    // different-language stemmer must NOT conflate the same pair
+    val none = hl(Seq(DE("Haus", id = Some("1"), stem = Some(true),
+      stemmer = Some("french"), caseSensitive = Some(false))), HO())("die häuser dort")
+    assert(none.isEmpty)
+  }
+
   test("mixed stemmers (:236-242)") {
     val anns = hl(Seq(
       DE("Sabonis", id = Some("1"), stem = Some(true), stemmer = Some("lithuanian")),
