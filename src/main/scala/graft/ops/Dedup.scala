@@ -422,14 +422,14 @@ object Dedup {
     sig
   }
 
-  /** 64-bit SimHash over whitespace tokens (single-pass scalar function).
-    * Token weights are uniform; the hash is xxhash64-compatible with the
-    * rest of the pipeline.
+  /** 64-bit SimHash over whitespace tokens — the codegen'd Catalyst
+    * expression (`graft_simhash`), so the signature scan stays inside
+    * whole-stage codegen instead of paying the UDF serialization seam.
     */
-  val simhash64: Column => Column = {
-    val f = udf((text: String) => simhashValue(text))
-    c => f(c)
-  }
+  val simhash64: Column => Column = c =>
+    org.apache.spark.sql.GraftBridge.column(
+      graft.spark.SimhashExpression(
+        org.apache.spark.sql.GraftBridge.expression(c)))
 
   /** SimHash near-duplicate pairs: band the 64-bit signature into 4
     * 16-bit keys (pigeonhole: hamming distance <= 3 guarantees one band

@@ -155,8 +155,8 @@ object TextStats {
     * = minimum window hash. Content-defined, robust to doc reordering of
     * surrounding rows. Scalar function: scan-local, no shuffle.
     */
-  def fingerprint(textCol: Column, window: Int = 5): Column = {
-    val f = udf((text: String) => fingerprintValue(text, window))
-    f(textCol)
-  }
+  def fingerprint(textCol: Column, window: Int = 5): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.spark.FingerprintExpression(
+        org.apache.spark.sql.GraftBridge.expression(textCol), window))
 }

@@ -140,6 +140,17 @@ class PlanSpec extends AnyFunSuite {
     assert(genIdx >= 0 && exIdx >= 0 && exIdx < genIdx, plan)
   }
 
+  test("simhash and fingerprint kernels stay inside whole-stage codegen") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = docs.select(graft.ops.Dedup.simhash64(col("text")).as("s"),
+      graft.ops.TextStats.fingerprint(col("text")).as("f"))
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    val line = executed.linesIterator
+      .find(l => l.contains("graft_simhash") && l.contains("graft_fingerprint")).get
+    assert(line.contains("*("), s"kernels not codegen'd:\n$executed")
+  }
+
   test("jaccard pair scoring is partial-aggregated; arrays only in final verify") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = graft.ops.Dedup.ngramJaccardPairs(docs, "text", "doc_id", persist = false)
