@@ -20,9 +20,6 @@ import org.apache.spark.sql.functions._
   *  - embedding near-dup: random-hyperplane signature bucketing →
   *    exact cosine verify.
   */
-/** Hashed shingle set + minhash signature of one document. */
-final case class ShingleSig(sh: Array[Long], sig: Array[Long])
-
 object Dedup {
 
   /** Exact dedup on a content hash. Output: one row per distinct content
@@ -46,41 +43,44 @@ object Dedup {
   }
 
   /** Sorted distinct 64-bit shingle hashes of a text in ONE compiled
-    * pass — the same rolling FNV-1a window kernel as the minhash path.
-    * This replaces `xxhash64(shingles(...))` in the pair operators: the
-    * nested higher-order SQL version evaluates its lambdas interpreted
-    * and builds every shingle string, an order of magnitude more per-row
-    * work (and the dominant erratic cost in the pair-production stage).
+    * pass — a rolling FNV-1a window over the tokens, hashing each
+    * distinct shingle once. This replaces `xxhash64(shingles(...))` in
+    * the pair operators: the nested higher-order SQL version evaluates
+    * its lambdas interpreted and builds every shingle string, an order
+    * of magnitude more per-row work (and the dominant erratic cost in
+    * the pair-production stage). Exposed as the codegen'd expression
+    * `graft_shingle_hashes`.
     */
-  private def shingleHashesUdf(n: Int) = udf((text: String) => {
-    if (text == null) Array.empty[Long]
-    else {
-      val toks = text.split(" ")
-      if (toks.length < n) Array.empty[Long]
-      else {
-        val set = new java.util.TreeSet[java.lang.Long]()
-        var i = 0
-        while (i + n <= toks.length) {
-          var h = 0xcbf29ce484222325L
-          var k = i
-          while (k < i + n) {
-            val t = toks(k)
-            var j = 0
-            while (j < t.length) { h ^= t.charAt(j); h *= 0x100000001b3L; j += 1 }
-            if (k < i + n - 1) { h ^= ' '; h *= 0x100000001b3L }
-            k += 1
-          }
-          set.add(h)
-          i += 1
-        }
-        val out = new Array[Long](set.size())
-        val it = set.iterator()
-        var m = 0
-        while (it.hasNext) { out(m) = it.next(); m += 1 }
-        out
+  private[graft] def shingleHashesValue(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.empty[Long]
+    val toks = text.split(" ")
+    if (toks.length < n) return Array.empty[Long]
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= toks.length) {
+      var h = 0xcbf29ce484222325L
+      var k = i
+      while (k < i + n) {
+        val t = toks(k)
+        var j = 0
+        while (j < t.length) { h ^= t.charAt(j); h *= 0x100000001b3L; j += 1 }
+        if (k < i + n - 1) { h ^= ' '; h *= 0x100000001b3L }
+        k += 1
       }
+      set.add(h)
+      i += 1
     }
-  })
+    val out = new Array[Long](set.size())
+    val it = set.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = it.next(); m += 1 }
+    out
+  }
+
+  private def shingleHashes(c: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.spark.ShingleHashesExpression(
+        org.apache.spark.sql.GraftBridge.expression(c), n))
 
   /** Exact pairwise jaccard over distinct word-n-gram shingle sets via an
     * inverted-index join: explode hashed shingles, self-join on the shingle
@@ -114,7 +114,7 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.5, persist: Boolean = true,
       maxShingleDf: Int = 10000): DataFrame = {
     val sh0 = df
-      .select(col(idCol).as("id"), shingleHashesUdf(n)(col(textCol)).as("sh"))
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
     val sh = if (persist)
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -176,7 +176,7 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, maxShingleDf: Int = 10000): DataFrame = {
     val sh = df
-      .select(col(idCol).as("id"), shingleHashesUdf(n)(col(textCol)).as("sh"))
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
     val inv = sh.select(col("id"), explode(col("sh")).as("sh_hash"))
     val dfCounts = inv.groupBy(col("sh_hash")).agg(count(lit(1)).as("__df"))
@@ -186,56 +186,55 @@ object Dedup {
         sum(when(col("__df") > maxShingleDf, 1L).otherwise(0L)).as("n_dropped"))
   }
 
+  /** Deterministic per-permutation seeds for the minhash signature. */
+  private[graft] def minhashSeeds(numPerms: Int): Array[Long] = {
+    val rnd = new java.util.Random(42L)
+    Array.fill(numPerms)(rnd.nextLong())
+  }
+
   /** text → (sh: sorted distinct 64-bit shingle hashes, sig: minhash
     * signature) in a single compiled pass: tokenize on spaces, roll the
     * n-gram window hashing each distinct shingle once (FNV-1a over the
     * window's chars), remix per permutation (splitmix64 finalizer).
+    * Exposed as the codegen'd expression `graft_shingle_signature`.
     */
-  private def shingleSignatureUdf(n: Int, numPerms: Int) = {
-    val seeds = {
-      val rnd = new java.util.Random(42L)
-      Array.fill(numPerms)(rnd.nextLong())
-    }
-    udf((text: String) => {
-      if (text == null) ShingleSig(Array.empty, Array.empty)
-      else {
-        val toks = text.split(" ")
-        if (toks.length < n) ShingleSig(Array.empty, Array.empty)
-        else {
-          val sig = Array.fill(numPerms)(Long.MaxValue)
-          val set = new java.util.TreeSet[java.lang.Long]()
-          var i = 0
-          while (i + n <= toks.length) {
-            var h = 0xcbf29ce484222325L
-            var k = i
-            while (k < i + n) {
-              val t = toks(k)
-              var j = 0
-              while (j < t.length) { h ^= t.charAt(j); h *= 0x100000001b3L; j += 1 }
-              if (k < i + n - 1) { h ^= ' '; h *= 0x100000001b3L }
-              k += 1
-            }
-            if (set.add(h)) { // distinct shingles only, like list_distinct
-              var p = 0
-              while (p < numPerms) {
-                var z = h ^ seeds(p)
-                z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-                z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-                z = z ^ (z >>> 31)
-                if (z < sig(p)) sig(p) = z
-                p += 1
-              }
-            }
-            i += 1
-          }
-          val sh = new Array[Long](set.size())
-          val it = set.iterator()
-          var m = 0
-          while (it.hasNext) { sh(m) = it.next(); m += 1 }
-          ShingleSig(sh, sig)
+  private[graft] def shingleSignatureValue(
+      text: String, n: Int, seeds: Array[Long]): (Array[Long], Array[Long]) = {
+    val numPerms = seeds.length
+    if (text == null) return (Array.empty, Array.empty)
+    val toks = text.split(" ")
+    if (toks.length < n) return (Array.empty, Array.empty)
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= toks.length) {
+      var h = 0xcbf29ce484222325L
+      var k = i
+      while (k < i + n) {
+        val t = toks(k)
+        var j = 0
+        while (j < t.length) { h ^= t.charAt(j); h *= 0x100000001b3L; j += 1 }
+        if (k < i + n - 1) { h ^= ' '; h *= 0x100000001b3L }
+        k += 1
+      }
+      if (set.add(h)) { // distinct shingles only, like list_distinct
+        var p = 0
+        while (p < numPerms) {
+          var z = h ^ seeds(p)
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z = z ^ (z >>> 31)
+          if (z < sig(p)) sig(p) = z
+          p += 1
         }
       }
-    })
+      i += 1
+    }
+    val sh = new Array[Long](set.size())
+    val it = set.iterator()
+    var m = 0
+    while (it.hasNext) { sh(m) = it.next(); m += 1 }
+    (sh, sig)
   }
 
   /** MinHash + LSH near-duplicate pairs, exact-verified.
@@ -259,12 +258,15 @@ object Dedup {
     val rows = numPerms / bands
     // One compiled pass per row computes the hashed shingle set AND the
     // minhash signature straight from the text — no intermediate string
-    // shingle arrays through Tungsten. Shingle sets are carried as 64-bit
-    // hashes (8 bytes/element through the verify join); jaccard over
-    // hashed sets equals set jaccard up to a ~n²/2⁶⁴ collision chance.
-    val shingleSig = shingleSignatureUdf(n, numPerms)
+    // shingle arrays through Tungsten, and the codegen'd expression keeps
+    // the scan inside whole-stage codegen. Shingle sets are carried as
+    // 64-bit hashes (8 bytes/element through the verify join); jaccard
+    // over hashed sets equals set jaccard up to ~n²/2⁶⁴ collision chance.
+    val shingleSig = org.apache.spark.sql.GraftBridge.column(
+      graft.spark.ShingleSignatureExpression(
+        org.apache.spark.sql.GraftBridge.expression(col(textCol)), n, numPerms))
     val sh0 = df
-      .select(col(idCol).as("id"), shingleSig(col(textCol)).as("ss"))
+      .select(col(idCol).as("id"), shingleSig.as("ss"))
       .filter(size(col("ss.sh")) > 0)
       .select(col("id"), col("ss.sh").as("sh"), col("ss.sig").as("sig"))
     val sig = if (persist)

@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.annotateTextFunction)
     ext.injectFunction(GraftExtensions.simhashFunction)
     ext.injectFunction(GraftExtensions.fingerprintFunction)
+    ext.injectFunction(GraftExtensions.shingleHashesFunction)
   }
 }
 
@@ -91,9 +92,25 @@ object GraftExtensions {
       FingerprintExpression(children.head, window)
     })
 
+  val shingleHashesFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_shingle_hashes"),
+    new ExpressionInfo(classOf[ShingleHashesExpression].getName, "graft_shingle_hashes",
+      "graft_shingle_hashes(text[, n]) - sorted distinct 64-bit hashes of word n-gram shingles"),
+    (children: Seq[Expression]) => {
+      require(children.nonEmpty && children.length <= 2,
+        "graft_shingle_hashes expects (text[, n literal])")
+      val n = if (children.length == 2) children(1) match {
+        case Literal(v, _) if v != null => v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_shingle_hashes n must be an integer literal, got: $other")
+      } else 3
+      ShingleHashesExpression(children.head, n)
+    })
+
   /** Register into an already-running session. */
   def install(spark: SparkSession): Unit =
-    Seq(annotateTextFunction, simhashFunction, fingerprintFunction).foreach {
+    Seq(annotateTextFunction, simhashFunction, fingerprintFunction,
+      shingleHashesFunction).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -1,8 +1,10 @@
 package graft.spark
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL-surface wrappers over the pure text kernels, so SQL users get the
@@ -23,6 +25,52 @@ final case class SimhashExpression(child: Expression)
     kernel(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("simhashExpr", this, classOf[SimhashExpression].getName)
+    defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
+  }
+}
+
+/** Sorted distinct 64-bit n-gram shingle hashes (`graft_shingle_hashes`)
+  * — the candidate-generation kernel of the jaccard dedup path.
+  */
+final case class ShingleHashesExpression(child: Expression, n: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpression =
+    copy(child = newChild)
+  def kernel(s: UTF8String): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      graft.ops.Dedup.shingleHashesValue(s.toString, n))
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("shExpr", this, classOf[ShingleHashesExpression].getName)
+    defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
+  }
+}
+
+/** Shingle hashes + minhash signature in one pass — struct(sh, sig),
+  * the minhash dedup path's per-row kernel.
+  */
+final case class ShingleSignatureExpression(child: Expression, n: Int, numPerms: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("sh", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "graft_shingle_signature"
+  override protected def withNewChildInternal(newChild: Expression): ShingleSignatureExpression =
+    copy(child = newChild)
+  @transient private lazy val seeds = graft.ops.Dedup.minhashSeeds(numPerms)
+  def kernel(s: UTF8String): InternalRow = {
+    val (sh, sig) = graft.ops.Dedup.shingleSignatureValue(s.toString, n, seeds)
+    new GenericInternalRow(Array[Any](
+      UnsafeArrayData.fromPrimitiveArray(sh),
+      UnsafeArrayData.fromPrimitiveArray(sig)))
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("ssExpr", this, classOf[ShingleSignatureExpression].getName)
     defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
   }
 }
