@@ -177,6 +177,31 @@ object SparkEntry {
     s.table(qname).filter(col("n_matches") > 0).orderBy(col("dict_entry_id"))
   }
 
+  /** Second streaming gate: watermark-bounded streaming dedup over a
+    * memory stream of the documents table. Which duplicate row wins is
+    * micro-batch-order dependent, so the gate compares the DISTINCT SET —
+    * the surviving content hashes must equal batch DISTINCT md5(text).
+    */
+  private def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = s.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // every text arrives twice: the dedup state must drop exactly half
+    ms.addData(rows.toSeq ++ rows.toSeq)
+    val sdf = ms.toDF().toDF("doc_id", "text")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+    val out = graft.streaming.StatefulOps.streamingDedup(sdf, "text", "ts")
+    val qname = "graft_stream_dedup"
+    s.catalog.dropTempView(qname)
+    val q = out.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qname).select(md5(col("text")).as("text_md5"))
+      .orderBy(col("text_md5"))
+  }
+
   private def qDictRead(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val entries = Readers.readCsv(s, "/root/repo/src/test/resources/dict.csv")
@@ -527,6 +552,7 @@ object SparkEntry {
     "q_alpha_bool" -> (qAlphaBool _),
     "q_alpha_ext" -> (qAlphaExt _),
     "q_stream_counts" -> (qStreamCounts _),
+    "q_stream_dedup" -> (qStreamDedup _),
     "q_dict_read" -> (qDictRead _),
     "q_dict_optimize" -> (qDictOptimize _),
     "q1_agg" -> (q1Agg _),
@@ -642,6 +668,8 @@ object SparkEntry {
         |  UNION ALL SELECT 's_hj', CAST(sum(len(regexp_extract_all(text, '\bhash join\b'))) AS BIGINT) FROM documents
         |  UNION ALL SELECT 's_ts', CAST(sum(len(regexp_extract_all(text, '\btable scan\b'))) AS BIGINT) FROM documents
         |) WHERE n_matches > 0 ORDER BY dict_entry_id""".stripMargin,
+    "q_stream_dedup" ->
+      "SELECT DISTINCT md5(text) AS text_md5 FROM documents ORDER BY text_md5",
     "q_dict_read" ->
       """SELECT * FROM (VALUES
         |  ('test-dictionary-item', '',    CAST(0 AS BIGINT), true, false, CAST(0 AS BIGINT)),
