@@ -98,25 +98,32 @@ object Similarity {
     math.acos(math.max(-1.0, math.min(1.0, cos)))
 
   /** Compiled assignment kernel: nearest centroid + angle to it, one pass
-    * over the vector. A UDF rather than `transform`/`aggregate` exprs
-    * because nested higher-order SQL functions evaluate interpreted —
-    * this is the per-row hot path of every IVF scan (see README "scale
-    * design": hot kernels are compiled scalar functions).
+    * over the vector. A direct kernel rather than `transform`/`aggregate`
+    * exprs because nested higher-order SQL functions evaluate interpreted
+    * — this is the per-row hot path of every IVF scan (see README "scale
+    * design": hot kernels are compiled scalar functions). Exposed through
+    * the codegen'd [[graft.spark.IvfAssignExpression]], which reads the
+    * vector as a primitive double array (no per-element boxing).
     */
-  private def assignWithAngle(model: IvfModel) = udf((vec: Seq[Double]) => {
-    val a = vec.toArray
+  private[graft] def assignValue(
+      a: Array[Double], centroids: Array[Array[Double]]): (Int, Double) = {
     val n = math.sqrt(dotv(a, a))
     val inv = if (n == 0) 1.0 else 1.0 / n
     var bestC = 0
     var bestD = Double.NegativeInfinity
     var c = 0
-    while (c < model.nClusters) {
-      val d = dotv(a, model.centroids(c)) * inv
+    while (c < centroids.length) {
+      val d = dotv(a, centroids(c)) * inv
       if (d > bestD) { bestD = d; bestC = c }
       c += 1
     }
     (bestC, angle(bestD))
-  })
+  }
+
+  private def assignWithAngle(model: IvfModel)(vec: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.spark.IvfAssignExpression(
+        org.apache.spark.sql.GraftBridge.expression(vec), model.centroids))
 
   /** Fit the coarse quantizer: deterministic sample (sorted-by-id prefix),
     * k-means++-lite seeding (farthest-point), `iters` Lloyd rounds on the
@@ -171,7 +178,7 @@ object Similarity {
     val assigned = df.select(
       assignWithAngle(partial)(col(vecCol).cast("array<double>")).as("ca"))
     val radii = new Array[Double](nClusters)
-    assigned.select(col("ca._1").as("cluster"), col("ca._2").as("ang"))
+    assigned.select(col("ca.cluster").as("cluster"), col("ca.angle").as("ang"))
       .groupBy(col("cluster")).agg(max(col("ang")).as("r"))
       .collect().foreach(r => radii(r.getInt(0)) = r.getDouble(1))
     IvfModel(centroids, radii)
@@ -182,7 +189,7 @@ object Similarity {
     * clusters (partition pruning).
     */
   def ivfAssign(vec: Column, model: IvfModel): Column =
-    assignWithAngle(model)(vec.cast("array<double>")).getField("_1")
+    assignWithAngle(model)(vec.cast("array<double>")).getField("cluster")
 
   /** Clusters that can still contain a vector with cosine ≥ `floor` to the
     * query: by the triangle inequality on angles, every member x of cluster

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL-surface wrappers over the pure text kernels, so SQL users get the
@@ -71,6 +71,31 @@ final case class ShingleSignatureExpression(child: Expression, n: Int, numPerms:
     kernel(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("ssExpr", this, classOf[ShingleSignatureExpression].getName)
+    defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
+  }
+}
+
+/** IVF coarse-quantizer assignment — struct(cluster, angle) of the
+  * nearest centroid. Reads the vector as a primitive double array
+  * (`ArrayData.toDoubleArray`), avoiding the per-element boxing a
+  * `Seq[Double]` UDF pays on every row of an embedding scan.
+  */
+final case class IvfAssignExpression(child: Expression,
+    centroids: Array[Array[Double]]) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("angle", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_ivf_assign"
+  override protected def withNewChildInternal(newChild: Expression): IvfAssignExpression =
+    copy(child = newChild)
+  def kernel(v: ArrayData): InternalRow = {
+    val (c, a) = graft.ops.Similarity.assignValue(v.toDoubleArray(), centroids)
+    new GenericInternalRow(Array[Any](c, a))
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("ivfExpr", this, classOf[IvfAssignExpression].getName)
     defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
   }
 }
