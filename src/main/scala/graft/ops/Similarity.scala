@@ -34,7 +34,16 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Codegen'd kernel ([[graft.spark.CosineExpression]]): same
+    * left-to-right accumulation as the `dot/norm` SQL formulation, so
+    * values are bit-identical, without the interpreted higher-order
+    * lambdas on the hot scan path.
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.spark.CosineExpression(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
 
   /** Top-k rows by cosine similarity to a constant query vector.
     * Output: (idCol, rank, cosine). Deterministic tie-break on id.

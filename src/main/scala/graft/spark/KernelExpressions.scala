@@ -1,7 +1,7 @@
 package graft.spark
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
@@ -72,6 +72,43 @@ final case class ShingleSignatureExpression(child: Expression, n: Int, numPerms:
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("ssExpr", this, classOf[ShingleSignatureExpression].getName)
     defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
+  }
+}
+
+/** Cosine similarity of two double vectors (`graft_cosine`). Spark's
+  * higher-order functions (`aggregate`/`zip_with`) are CodegenFallback
+  * and evaluate their lambdas interpreted with per-element boxing — on
+  * the similarity scan paths this kernel replaces them, accumulating in
+  * the SAME left-to-right order so results stay bit-identical to the
+  * SQL formulation (and to the DuckDB oracles).
+  */
+final case class CosineExpression(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineExpression =
+    copy(left = newLeft, right = newRight)
+  def kernel(av: ArrayData, bv: ArrayData): Double = {
+    val a = av.toDoubleArray()
+    val b = bv.toDoubleArray()
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i)
+      na += a(i) * a(i)
+      nb += b(i) * b(i)
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cosExpr", this, classOf[CosineExpression].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$self.kernel($a, $b)")
   }
 }
 
