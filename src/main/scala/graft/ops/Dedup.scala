@@ -504,15 +504,15 @@ object Dedup {
     val rnd = new java.util.Random(7L)
     val hyper: Array[Array[Double]] =
       Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
-    val planesLit = array(hyper.map(p => array(p.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
     val v = col(vecCol).cast("array<double>")
-    val sigBits = transform(planesLit, p =>
-      when(aggregate(zip_with(v, p, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x) >= 0, lit(1L))
-        .otherwise(lit(0L)))
-    val base = df.select(col(idCol).as("id"), v.as("v"), sigBits.as("bits"))
-    val banded0 = base.select(col("id"), col("v"),
-        posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> aggregate(slice(bits, b * $rowsPerBand + 1, $rowsPerBand), 0L, (acc, x) -> acc * 2 + x))")))
+    // codegen'd kernel: per band, sign bits of the plane dot products
+    // packed MSB-first — same math and accumulation order as the
+    // higher-order-function formulation it replaces
+    val bandKeys = org.apache.spark.sql.GraftBridge.column(
+      graft.spark.HyperplaneBandsExpression(
+        org.apache.spark.sql.GraftBridge.expression(v), hyper, bands))
+    val base = df.select(col(idCol).as("id"), v.as("v"), bandKeys.as("keys"))
+    val banded0 = base.select(col("id"), col("v"), posexplode(col("keys")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
     val banded = if (persist)
       banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -112,6 +112,49 @@ final case class CosineExpression(left: Expression, right: Expression)
   }
 }
 
+/** Random-hyperplane LSH band keys for an embedding: the sign bits of
+  * the vector's dot products with `planes.length` hyperplanes, packed
+  * MSB-first into `bands` keys of planes/bands bits each. Accumulates
+  * each dot product left-to-right like the `zip_with`/`aggregate`
+  * formulation it replaces, so bit decisions are identical.
+  */
+final case class HyperplaneBandsExpression(child: Expression,
+    planes: Array[Array[Double]], bands: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hyperplane_bands"
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBandsExpression =
+    copy(child = newChild)
+  def kernel(v: ArrayData): ArrayData = {
+    val a = v.toDoubleArray()
+    val rowsPerBand = planes.length / bands
+    val keys = new Array[Long](bands)
+    var b = 0
+    var p = 0
+    while (b < bands) {
+      var key = 0L
+      var r = 0
+      while (r < rowsPerBand) {
+        val plane = planes(p)
+        var d = 0.0
+        var i = 0
+        while (i < a.length) { d += a(i) * plane(i); i += 1 }
+        key = key * 2 + (if (d >= 0) 1L else 0L)
+        r += 1
+        p += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(keys)
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("hpExpr", this, classOf[HyperplaneBandsExpression].getName)
+    defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
+  }
+}
+
 /** IVF coarse-quantizer assignment — struct(cluster, angle) of the
   * nearest centroid. Reads the vector as a primitive double array
   * (`ArrayData.toDoubleArray`), avoiding the per-element boxing a
