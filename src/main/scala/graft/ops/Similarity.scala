@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * The scalar math (dot product, norm, cosine) is pure native SQL
-  * functions (`zip_with` + `aggregate`) — whole-stage-codegen'd, no UDF.
-  * Vectors are cast to array<double> once so accumulation order and
-  * precision are deterministic and oracle-comparable.
+  * The scalar math on hot paths (cosine, IVF assignment, LSH banding) is
+  * codegen'd Catalyst kernel expressions over primitive double arrays —
+  * Spark's higher-order SQL functions are CodegenFallback and evaluate
+  * their lambdas interpreted with per-element boxing. Vectors are cast
+  * to array<double> once and every kernel accumulates left-to-right, so
+  * values stay deterministic and oracle-comparable.
   *
   * Scale paths:
   *  - brute-force top-k for one query: a single scan + TakeOrdered (no
@@ -286,15 +288,16 @@ object Similarity {
       .select(col("id"), col("rank"), col("cosine"))
   }
 
-  /** Random-hyperplane signature (nPlanes sign bits as a long). */
+  /** Random-hyperplane signature (nPlanes sign bits as a long) — the
+    * codegen'd banding kernel with a single band.
+    */
   def lshSignature(vec: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
     val rnd = new java.util.Random(seed)
     val planes = Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
-    val planesLit = array(planes.map(p => array(p.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
-    val bits = transform(planesLit, p =>
-      when(aggregate(zip_with(vec, p, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x) >= 0,
-        lit(1L)).otherwise(lit(0L)))
-    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
+    org.apache.spark.sql.GraftBridge.column(
+      graft.spark.HyperplaneBandsExpression(
+        org.apache.spark.sql.GraftBridge.expression(vec), planes, 1))
+      .getItem(0)
   }
 
   /** LSH-bucketed approximate top-k for one query vector: only corpus rows
