@@ -469,6 +469,32 @@ object SparkEntry {
 
   // training-data pipeline: text analysis
 
+  /** Composed training-data pipeline — the operators chained the way a
+    * real corpus build runs them: exact dedup (keep smallest id per
+    * content) → quality filter → decontamination (blocklist anti-join)
+    * → per-language corpus stats. Every stage is the library operator;
+    * the DuckDB oracle recomputes the whole chain independently.
+    */
+  private def qPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val kept = Dedup.exact(docs, "text", "doc_id")
+      .select(col("keep_id").as("doc_id"))
+    val deduped = docs.join(kept, Seq("doc_id"))
+    val qual = TextStats.quality(deduped, "text", "doc_id")
+      .filter(col("quality_bucket") === "ok").select(col("doc_id"))
+    val filtered = deduped.join(qual, Seq("doc_id"))
+    val blocklist = Seq(DE("hash join", id = Some("p1")),
+      DE("table scan", id = Some("p2")))
+    val contaminated = highlighter(blocklist).annotateExploded(filtered, "text")
+      .select(col("doc_id")).distinct()
+    val clean = filtered.join(contaminated, Seq("doc_id"), "left_anti")
+    clean.select(TextStats.langId(col("text")).as("lang"),
+        size(split(trim(col("text")), " ")).cast("long").as("toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .orderBy(col("lang"))
+  }
+
   private def qLangid(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(t(dir, "documents"))
       .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
@@ -576,6 +602,7 @@ object SparkEntry {
     "q_knn_ivf" -> (qKnnIvf _),
     "q_knn_lsh" -> (qKnnLsh _),
     "q_langid" -> (qLangid _),
+    "q_pipeline" -> (qPipeline _),
     "q_quality" -> (qQuality _),
     "q_tokens" -> (qTokens _),
     "q_tfidf" -> (qTfidf _),
@@ -897,6 +924,40 @@ object SparkEntry {
         |       WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
         |       ELSE 'de' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_pipeline" ->
+      """WITH dedup AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        |),
+        |docs2 AS (SELECT d.doc_id, d.text FROM documents d JOIN dedup USING (doc_id)),
+        |qual AS (
+        |  SELECT doc_id, text FROM docs2
+        |  WHERE NOT (len(string_split(trim(text), ' ')) < 5)
+        |    AND NOT (length(text)::DOUBLE / greatest(len(string_split(trim(text), ' ')), 1) > 15)
+        |),
+        |clean AS (
+        |  SELECT doc_id, text FROM qual
+        |  WHERE NOT regexp_matches(text, '\bhash join\b')
+        |    AND NOT regexp_matches(text, '\btable scan\b')
+        |),
+        |langs AS (
+        |  SELECT
+        |    CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+        |         WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+        |         WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+        |         WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+        |         ELSE 'de' END AS lang,
+        |    n_toks
+        |  FROM (
+        |    SELECT
+        |      len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['the','a','of','to','and','is','in'])) s_en,
+        |      len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['el','la','de','que','y','los','una'])) s_es,
+        |      len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['le','la','les','et','un','des','que'])) s_fr,
+        |      len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['der','die','das','und','ist','ein','nicht'])) s_de,
+        |      CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_toks
+        |    FROM clean))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |FROM langs GROUP BY lang ORDER BY lang""".stripMargin,
     "q_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars,
