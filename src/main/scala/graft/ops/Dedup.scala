@@ -491,16 +491,25 @@ object Dedup {
     * pairs, 4 bands of 4 bits catch ~99.7%.
     *
     * Persist contract (same as [[minhashPairs]]/[[ngramJaccardPairs]]):
-    * the banded relation feeds both sides of the candidate self-join and
-    * is persisted so the signature computation runs once; the cache is
-    * left to LRU eviction — long-running services calling this repeatedly
-    * should pass persist=false or clear via spark.catalog.clearCache().
+    * the id/vector/band relation feeds the banded self-join (ids only)
+    * AND both sides of the verify join (vectors), and is persisted so the
+    * signature computation runs once; the cache is left to LRU eviction —
+    * long-running services calling this repeatedly should pass
+    * persist=false or clear via spark.catalog.clearCache().
+    *
+    * Scale shape (mirrors [[minhashPairs]]): only (id, band, band_key)
+    * rows enter the candidate self-join and only the 16-byte (id_a, id_b)
+    * pair goes through the `distinct()` shuffle — full vectors (~6 KB at
+    * dim=768) are joined back ONLY for surviving candidates. Degenerate
+    * band keys (near-duplicate floods, zero vectors) are capped at
+    * `maxBucket` members, preventing quadratic blowup; capped documents
+    * still pair up through their other bands.
     */
   def embeddingPairs(
       df: DataFrame, vecCol: String, idCol: String,
       dim: Int, planes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.98, persist: Boolean = true): DataFrame = {
-    val rowsPerBand = planes / bands
+      threshold: Double = 0.98, persist: Boolean = true,
+      maxBucket: Int = 10000): DataFrame = {
     val rnd = new java.util.Random(7L)
     val hyper: Array[Array[Double]] =
       Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
@@ -511,19 +520,28 @@ object Dedup {
     val bandKeys = org.apache.spark.sql.GraftBridge.column(
       graft.spark.HyperplaneBandsExpression(
         org.apache.spark.sql.GraftBridge.expression(v), hyper, bands))
-    val base = df.select(col(idCol).as("id"), v.as("v"), bandKeys.as("keys"))
-    val banded0 = base.select(col("id"), col("v"), posexplode(col("keys")))
+    val base0 = df.select(col(idCol).as("id"), v.as("v"), bandKeys.as("keys"))
+    val base = if (persist)
+      base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else base0
+    // ids-only through banding, candidate join, and distinct — no vectors
+    val banded = base.select(col("id"), posexplode(col("keys")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
-    val banded = if (persist)
-      banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else banded0
-    val cand = banded.as("x").join(banded.as("y"),
+    val bucketSizes = banded.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("__bucket_n"))
+    val bandedCapped = banded.join(bucketSizes, Seq("band", "band_key"))
+      .filter(col("__bucket_n") <= maxBucket)
+      .drop("__bucket_n")
+    val cand = bandedCapped.as("x").join(bandedCapped.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.v").as("va"), col("y.v").as("vb"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+    // vectors rejoin only for surviving candidates
+    val vecs = base.select(col("id"), col("v"))
     cand
+      .join(vecs.withColumnsRenamed(Map("id" -> "id_a", "v" -> "va")), "id_a")
+      .join(vecs.withColumnsRenamed(Map("id" -> "id_b", "v" -> "vb")), "id_b")
       .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

@@ -291,6 +291,22 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.collect().map(_.getLong(0)).contains(0L))
   }
 
+  test("embedding banding caps degenerate buckets (skew guard)") {
+    // a flood of identical vectors would contribute k² candidate pairs per
+    // band bucket; the cap drops those buckets while an unrelated near-dup
+    // pair (clean buckets) is still found
+    val flood = Seq.tabulate(200)(i => (i.toLong, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+    val pair = Seq(
+      (1000L, Array(0.0f, 1.0f, 0.05f, 0.0f)),
+      (1001L, Array(0.0f, 1.0f, 0.06f, 0.0f)))
+    val vecs = (flood ++ pair).toDF("vec_id", "embedding")
+    val res = Dedup.embeddingPairs(vecs, "embedding", "vec_id", dim = 4,
+      threshold = 0.95, persist = false, maxBucket = 50)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(res == Set((1000L, 1001L)))
+  }
+
   test("IVF top-k is exact and prunes clusters on clustered data") {
     // 3 well-separated direction clusters in 8-dim
     val centers = Seq(

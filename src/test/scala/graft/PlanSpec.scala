@@ -175,6 +175,46 @@ class PlanSpec extends AnyFunSuite {
     assert(lastIntersect >= 0 && lastIntersect < firstPartial, executed)
   }
 
+  test("embedding candidate join and distinct carry no vector arrays") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.types.ArrayType
+    import spark.implicits._
+    val vecs = Seq.tabulate(64)(i =>
+      (i.toLong, Array.fill(8)(i.toDouble + 1))).toDF("vec_id", "embedding")
+    val df = graft.ops.Dedup.embeddingPairs(vecs, "embedding", "vec_id",
+      dim = 8, persist = false)
+    val opt = df.queryExecution.optimizedPlan
+    // the banded candidate self-join must move (id, band, band_key) rows
+    // only — full vectors (~6 KB at dim=768) never enter the band shuffle
+    val candJoins = opt.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "band_key")) => j
+    }
+    assert(candJoins.nonEmpty, opt.toString)
+    candJoins.foreach { j =>
+      (j +: j.children).foreach { p =>
+        assert(!p.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          s"vector array crosses the candidate join:\n$opt")
+      }
+    }
+    // the pair distinct() shuffles 16-byte (id_a, id_b) keys only
+    val pairDistinct = opt.collect {
+      case a: Aggregate
+          if a.aggregateExpressions.length == 2 &&
+            a.output.map(_.name).toSet == Set("id_a", "id_b") => a
+    }
+    assert(pairDistinct.nonEmpty, opt.toString)
+    pairDistinct.foreach(a =>
+      assert(!a.child.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"vector array below the pair distinct:\n$opt"))
+    // the skew cap's bucket-size aggregate is present
+    val bucketAgg = opt.collect {
+      case a: Aggregate
+          if a.groupingExpressions.exists(_.references.exists(_.name == "band_key")) &&
+            a.aggregateExpressions.length > a.groupingExpressions.length => a
+    }
+    assert(bucketAgg.nonEmpty, opt.toString)
+  }
+
   test("clusters frees superseded checkpoint blocks across reruns") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     def run(): Long = {
