@@ -75,6 +75,18 @@ final case class ShingleSignatureExpression(child: Expression, n: Int, numPerms:
   }
 }
 
+private[spark] object KernelUtil {
+  /** `ArrayData.toDoubleArray` throws a bare NPE on a null element; wrap
+    * it so a bad embedding column fails with an actionable message.
+    */
+  def toDoubles(v: ArrayData, fn: String): Array[Double] =
+    try v.toDoubleArray()
+    catch {
+      case _: NullPointerException =>
+        throw new IllegalArgumentException(s"$fn: vector contains null elements")
+    }
+}
+
 /** Cosine similarity of two double vectors (`graft_cosine`). Spark's
   * higher-order functions (`aggregate`/`zip_with`) are CodegenFallback
   * and evaluate their lambdas interpreted with per-element boxing — on
@@ -90,8 +102,10 @@ final case class CosineExpression(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosineExpression =
     copy(left = newLeft, right = newRight)
   def kernel(av: ArrayData, bv: ArrayData): Double = {
-    val a = av.toDoubleArray()
-    val b = bv.toDoubleArray()
+    val a = KernelUtil.toDoubles(av, "graft_cosine")
+    val b = KernelUtil.toDoubles(bv, "graft_cosine")
+    require(a.length == b.length,
+      s"graft_cosine: vector length mismatch (${a.length} vs ${b.length})")
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -125,7 +139,9 @@ final case class HyperplaneBandsExpression(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBandsExpression =
     copy(child = newChild)
   def kernel(v: ArrayData): ArrayData = {
-    val a = v.toDoubleArray()
+    val a = KernelUtil.toDoubles(v, "graft_hyperplane_bands")
+    require(a.length == planes(0).length,
+      s"graft_hyperplane_bands: vector dim ${a.length} != plane dim ${planes(0).length}")
     val rowsPerBand = planes.length / bands
     val keys = new Array[Long](bands)
     var b = 0
@@ -153,6 +169,18 @@ final case class HyperplaneBandsExpression(child: Expression,
     val self = ctx.addReferenceObj("hpExpr", this, classOf[HyperplaneBandsExpression].getName)
     defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
   }
+  // case-class equality on Array fields is reference equality, which
+  // defeats Catalyst canonicalization/CSE — compare plane VALUES instead
+  override def equals(other: Any): Boolean = other match {
+    case h: HyperplaneBandsExpression =>
+      h.child == child && h.bands == bands &&
+        java.util.Arrays.deepEquals(
+          h.planes.asInstanceOf[Array[AnyRef]], planes.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(bands),
+      Integer.valueOf(java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])))
 }
 
 /** IVF coarse-quantizer assignment — struct(cluster, angle) of the
@@ -169,7 +197,10 @@ final case class IvfAssignExpression(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): IvfAssignExpression =
     copy(child = newChild)
   def kernel(v: ArrayData): InternalRow = {
-    val (c, a) = graft.ops.Similarity.assignValue(v.toDoubleArray(), centroids)
+    val arr = KernelUtil.toDoubles(v, "graft_ivf_assign")
+    require(arr.length == centroids(0).length,
+      s"graft_ivf_assign: vector dim ${arr.length} != centroid dim ${centroids(0).length}")
+    val (c, a) = graft.ops.Similarity.assignValue(arr, centroids)
     new GenericInternalRow(Array[Any](c, a))
   }
   override protected def nullSafeEval(input: Any): Any =
@@ -178,6 +209,16 @@ final case class IvfAssignExpression(child: Expression,
     val self = ctx.addReferenceObj("ivfExpr", this, classOf[IvfAssignExpression].getName)
     defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
   }
+  // value equality over the centroid matrix (see HyperplaneBandsExpression)
+  override def equals(other: Any): Boolean = other match {
+    case e: IvfAssignExpression =>
+      e.child == child && java.util.Arrays.deepEquals(
+        e.centroids.asInstanceOf[Array[AnyRef]], centroids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child,
+      Integer.valueOf(java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])))
 }
 
 final case class FingerprintExpression(child: Expression, window: Int)

@@ -291,6 +291,29 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.collect().map(_.getLong(0)).contains(0L))
   }
 
+  test("vector kernels fail clearly on bad input and compare by value") {
+    // length mismatch surfaces an actionable message, not AIOOBE
+    val bad = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    val thrown = intercept[Throwable] {
+      bad.select(Similarity.cosine(col("a"), col("b"))).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(thrown).exists(t =>
+      t.getMessage != null && t.getMessage.contains("length mismatch")), thrown)
+
+    // plane/centroid matrices compare by VALUE so canonicalization and
+    // common-subexpression elimination see identical expressions as equal
+    val child = org.apache.spark.sql.GraftBridge.expression(col("a"))
+    def planes() = Array(Array(1.0, 2.0), Array(3.0, 4.0))
+    val h1 = graft.spark.HyperplaneBandsExpression(child, planes(), 2)
+    val h2 = graft.spark.HyperplaneBandsExpression(child, planes(), 2)
+    assert(h1 == h2 && h1.hashCode == h2.hashCode)
+    val i1 = graft.spark.IvfAssignExpression(child, planes())
+    val i2 = graft.spark.IvfAssignExpression(child, planes())
+    assert(i1 == i2 && i1.hashCode == i2.hashCode)
+  }
+
   test("embedding banding caps degenerate buckets (skew guard)") {
     // a flood of identical vectors would contribute k² candidate pairs per
     // band bucket; the cap drops those buckets while an unrelated near-dup
