@@ -457,6 +457,19 @@ object SparkEntry {
       .orderBy(col("rank"))
   }
 
+  /** Batched IVF kNN: [[Similarity.ivfKnnJoin]] computes the same result
+    * as [[qKnnJoin]] (exact by the cluster upper bound) while scanning
+    * only per-query candidate clusters — shares q_knn_join's oracle.
+    */
+  private def qKnnBatch(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(t(dir, "embeddings"))
+    val model = Similarity.ivfFit(emb, "embedding", "vec_id", nClusters = 16)
+    Similarity.ivfKnnJoin(emb, emb.filter(col("vec_id") < 5), "embedding",
+        "vec_id", k = 5, model, probe = 4)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private def qKnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = s.read.parquet(t(dir, "embeddings"))
     val q = emb.filter(col("vec_id") === 0)
@@ -600,6 +613,7 @@ object SparkEntry {
     "q_knn_brute" -> (qKnnBrute _),
     "q_knn_join" -> (qKnnJoin _),
     "q_knn_ivf" -> (qKnnIvf _),
+    "q_knn_batch" -> (qKnnBatch _),
     "q_knn_lsh" -> (qKnnLsh _),
     "q_langid" -> (qLangid _),
     "q_pipeline" -> (qPipeline _),
@@ -902,6 +916,13 @@ object SparkEntry {
         |       round(list_cosine_similarity(e.embedding::DOUBLE[], q.v), 3) AS cosine
         |FROM embeddings e, q WHERE e.vec_id <> 0
         |ORDER BY rank LIMIT 10""".stripMargin,
+    "q_knn_batch" ->
+      """SELECT query_id, rnk AS rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings e, embeddings q
+        |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+        |) WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_knn_join" ->
       """SELECT query_id, rnk AS rank, neighbor_id FROM (
         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -288,6 +288,99 @@ object Similarity {
       .select(col("id"), col("rank"), col("cosine"))
   }
 
+  /** Batched EXACT kNN via IVF pruning: [[knnJoin]] semantics (top-k
+    * corpus neighbors per query row, self excluded) but scanning only the
+    * clusters that can matter per query, instead of scoring the full
+    * corpus against every query.
+    *
+    * Same query-side contract as [[knnJoin]]: the query batch is
+    * broadcast-scale and is collected once so each query's probed/candidate
+    * clusters become LITERAL `isin` filters — over an on-disk index
+    * ([[ivfWriteIndex]]) those filters prune parquet partitions, so at
+    * 100 TB a batch touches only the union of its candidate cluster
+    * directories, once, no matter how many queries share it.
+    *
+    * Two phases, each ONE scan for the whole batch: phase 1 scores every
+    * query against its `probe` nearest clusters (one scan of the probed
+    * union, broadcast (query_id, cluster) pair join) for a per-query lower
+    * bound s_k; phase 2 rescans the per-query candidate clusters from
+    * [[ivfCandidateClusters]] — a superset guaranteed to contain the true
+    * top-k, so results equal [[knnJoin]] bit-for-bit (same cosine kernel,
+    * same argument order, same tie-break).
+    */
+  def ivfKnnJoin(
+      corpus: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
+      k: Int, model: IvfModel, probe: Int = 4): DataFrame = {
+    // persisted: both phases join against the assigned corpus and the
+    // per-row assignment kernel is the expensive part (same contract as
+    // ivfTopK — callers running repeatedly should clearCache)
+    val assigned = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"),
+        ivfAssign(col(vecCol), model).as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    searchAssignedBatch(assigned, queries, vecCol, idCol, k, model, probe)
+  }
+
+  /** Batched exact kNN over an index written by [[ivfWriteIndex]]: the
+    * per-batch cluster unions prune parquet partitions, so unprobed
+    * clusters are never read from disk.
+    */
+  def ivfSearchIndexBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, vecCol: String, idCol: String,
+      k: Int, model: IvfModel, probe: Int = 4): DataFrame =
+    searchAssignedBatch(
+      spark.read.parquet(path)
+        .withColumnsRenamed(Map("id" -> "neighbor_id", "v" -> "cv")),
+      queries, vecCol, idCol, k, model, probe)
+
+  private def searchAssignedBatch(assigned: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, model: IvfModel,
+      probe: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val qRows: Array[(Long, Array[Double])] = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qvDf = broadcast(
+      qRows.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("query_id", "qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    // one scan of the pairs' cluster union; (query_id, cluster) broadcast
+    // keeps each corpus row paired only with the queries probing its cluster
+    def scorePairs(pairs: Seq[(Long, Int)]): DataFrame = {
+      val clusterUnion = pairs.map(_._2).distinct
+      val pairsDf = broadcast(pairs.toDF("query_id", "cluster"))
+      assigned
+        .filter(col("cluster").isin(clusterUnion.map(Integer.valueOf): _*))
+        .join(pairsDf, "cluster")
+        .join(qvDf, "query_id")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", cosine(col("cv"), col("qv")))
+    }
+    // phase 1: per-query `probe` nearest clusters -> kth-best lower bound
+    val probedPairs: Seq[(Long, Int)] = qRows.toSeq.flatMap { case (qid, qv) =>
+      val qn = normalize(qv)
+      (0 until model.nClusters)
+        .sortBy(j => (-dotv(qn, model.centroids(j)), j))
+        .take(math.min(probe, model.nClusters)).map(c => (qid, c))
+    }
+    val sk: Map[Long, Double] = scorePairs(probedPairs)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .groupBy(col("query_id"))
+      .agg(min(col("cosine")).as("sk"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.getLong(2) < k) -1.0 else r.getDouble(1)))
+      .toMap
+    // phase 2: exactly the clusters whose upper bound reaches each s_k
+    val candPairs: Seq[(Long, Int)] = qRows.toSeq.flatMap { case (qid, qv) =>
+      ivfCandidateClusters(model, qv, sk.getOrElse(qid, -1.0)).map(c => (qid, c))
+    }
+    scorePairs(candPairs)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Random-hyperplane signature (nPlanes sign bits as a long) — the
     * codegen'd banding kernel with a single band.
     */

@@ -373,6 +373,31 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf.toSeq == brute.toSeq)
   }
 
+  test("batched IVF kNN equals brute-force knnJoin (clustered and isotropic)") {
+    val rnd = new scala.util.Random(13)
+    def mk(n: Int, f: Int => Array[Double]) = (0 until n).map { i =>
+      (i.toLong, f(i).map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    // clustered: 3 separated directions
+    val centers = Seq(Array(1.0, 0, 0, 0, 0, 0), Array(0.0, 1, 0, 0, 0, 0),
+      Array(0.0, 0, 1, 0, 0, 0))
+    val clustered = mk(90, i => centers(i % 3).map(_ + rnd.nextGaussian() * 0.05))
+    // isotropic: no cluster structure (pruning must stay honest)
+    val iso = mk(60, _ => Array.fill(6)(rnd.nextGaussian()))
+    for (corpus <- Seq(clustered, iso)) {
+      val queries = corpus.filter(col("vec_id") < 4)
+      val model = Similarity.ivfFit(corpus, "embedding", "vec_id",
+        nClusters = 5, sampleN = 90)
+      val ivf = Similarity.ivfKnnJoin(corpus, queries, "embedding", "vec_id",
+        k = 6, model, probe = 2)
+      val brute = Similarity.knnJoin(corpus, queries, "embedding", "vec_id", k = 6)
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._3)).toSeq
+      assert(key(ivf) == key(brute))
+    }
+  }
+
   test("token counts: whitespace and BPE-ish") {
     val out = TextStats.tokenCounts(docs, "text", "doc_id")
       .orderBy("doc_id").collect()

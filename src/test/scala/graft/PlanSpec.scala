@@ -76,6 +76,40 @@ class PlanSpec extends AnyFunSuite {
     assert(pf.exists(l => l.contains("cluster")), plan)
   }
 
+  test("batched IVF search prunes index partitions for a multi-query batch") {
+    import spark.implicits._
+    val centers = Seq(
+      Array(1.0, 0, 0, 0), Array(0.0, 1, 0, 0), Array(0.0, 0, 1, 0))
+    val rnd = new scala.util.Random(5)
+    val vecs = (0 until 60).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+    val model = graft.ops.Similarity.ivfFit(vecs, "embedding", "vec_id",
+      nClusters = 3, sampleN = 60)
+    val dir = java.nio.file.Files.createTempDirectory("ivfb").toString
+    graft.ops.Similarity.ivfWriteIndex(vecs, "embedding", "vec_id", model, dir)
+    // two queries near the SAME center: the batch's candidate union must
+    // prune the other clusters' partitions from the scan
+    val queries = Seq(
+      (100L, Array(0.95f, 0.05f, 0.0f, 0.0f)),
+      (101L, Array(0.9f, 0.08f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val hits = graft.ops.Similarity.ivfSearchIndexBatch(spark, dir, queries,
+      "embedding", "vec_id", k = 5, model, probe = 1)
+    val brute = graft.ops.Similarity.knnJoin(vecs, queries, "embedding",
+      "vec_id", k = 5)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(t => (t._1, t._3)).toSeq
+    assert(key(hits) == key(brute))
+    // cluster predicates reach the scan as partition filters, and not
+    // every cluster directory survives them
+    val plan = planOf(hits)
+    val pf = plan.linesIterator.find(_.trim.startsWith("PartitionFilters"))
+    assert(pf.exists(l => l.contains("cluster")), plan)
+    val scanned = hits.queryExecution.executedPlan.toString
+    assert(!scanned.contains("PartitionFilters: []"), scanned)
+  }
+
   test("asof join shuffles once on the key (plus the final sort)") {
     val plan = planOf(SparkEntry.queries("q_asof")(spark, sf))
     val hashEx = plan.linesIterator.count(_.trim.startsWith("Arguments: hashpartitioning"))
