@@ -5,14 +5,18 @@ package graft.analysis
   * The reference delegates to the 26 org.tartarus.snowball stemmers
   * (`text_analysis.clj:15-49`). Lucene's jars in this build do not ship
   * Snowball, so the algorithms are re-implemented from the published
-  * Snowball specifications (snowballstem.org):
-  *  - english: full Porter2 implementation (also used for :porter).
+  * specifications (snowballstem.org / the 1980 Porter paper):
+  *  - english: full Porter2; porter: the ORIGINAL Porter algorithm.
+  *  - 13 more languages exactly: German, Dutch, French, Spanish,
+  *    Portuguese, Italian, Russian, Danish, Norwegian, Swedish
+  *    ([[SnowballStemmers]]) and Finnish, Hungarian, Turkish
+  *    ([[SnowballStemmers2]]).
   *  - lithuanian: the declension-suffix subset of the Snowball Lithuanian
   *    algorithm (covers the reference's pinned test cases).
-  *  - all other language keywords resolve to the identity stemmer; they
-  *    keep their own analysis field name (so entries with different
-  *    stemmers never cross-match, same as the reference) but do not
-  *    rewrite terms. Documented accuracy limitation.
+  *  - the remaining long-tail languages are table-driven approximations
+  *    ([[SuffixStemmers]]); they keep their own analysis field name (so
+  *    entries with different stemmers never cross-match, same as the
+  *    reference). Documented accuracy limitation.
   * Unknown/absent stemmer names fall back to english
   * (`text_analysis.clj:46-49`).
   */
@@ -28,7 +32,8 @@ object Stemmers {
     "portuguese", "romanian", "russian", "spanish", "swedish", "turkish")
 
   def forName(name: String): Stemmer = name match {
-    case "english" | "porter" => EnglishStemmer
+    case "english"            => EnglishStemmer
+    case "porter"             => PorterStemmer // the ORIGINAL Porter algorithm
     case "lovins"             => EnglishStemmer // Lovins is an English algorithm; Porter2 stands in
     case "lithuanian"         => LithuanianStemmer
     case "french"             => SnowballStemmers.French
@@ -40,11 +45,11 @@ object Stemmers {
     case "danish"             => SnowballStemmers.Danish
     case "norwegian"          => SnowballStemmers.Norwegian
     case "swedish"            => SnowballStemmers.Swedish
-    case "finnish"            => SuffixStemmers.finnish
+    case "finnish"            => SnowballStemmers2.Finnish
     case "russian"            => SnowballStemmers.Russian
     case "romanian"           => SuffixStemmers.romanian
-    case "hungarian"          => SuffixStemmers.hungarian
-    case "turkish"            => SuffixStemmers.turkish
+    case "hungarian"          => SnowballStemmers2.Hungarian
+    case "turkish"            => SnowballStemmers2.Turkish
     case "catalan"            => SuffixStemmers.catalan
     case "basque"             => SuffixStemmers.basque
     case "irish"              => SuffixStemmers.irish
@@ -241,6 +246,150 @@ object EnglishStemmer extends Stemmer {
       !isVowel(w.charAt(n - 3)) && isVowel(w.charAt(n - 2)) &&
         !isVowel(c) && c != 'w' && c != 'x' && c != 'Y'
     } else false
+  }
+}
+
+/** The ORIGINAL Porter algorithm (the published 1980 definition, which
+  * Porter2/"english" later revised), for the reference's `:porter`
+  * keyword (`text_analysis.clj:38`). Differs from Porter2 on a small
+  * but real set of words: no exception lists (news -> new, skies -> ski,
+  * dying -> dy), the bare *v* conditions for ed/ing (no R1), the plain
+  * (*v*) y -> i rule, and the m-measure regions instead of R1/R2.
+  *
+  * Notation from the published definition: m is the measure (the number
+  * of VC runs in [C](VC)^m[V]), *v* = stem contains a vowel, *d = stem
+  * ends with a double consonant, *o = stem ends cvc where the final c
+  * is not w, x or y. A vowel is a,e,i,o,u, or y preceded by a
+  * consonant. In each step the longest matching suffix selects the
+  * rule; only then is its condition evaluated.
+  */
+object PorterStemmer extends Stemmer {
+
+  /** Is w(i) a consonant under Porter's definition? */
+  private def cons(w: String, i: Int): Boolean = w.charAt(i) match {
+    case 'a' | 'e' | 'i' | 'o' | 'u' => false
+    case 'y' => i == 0 || !cons(w, i - 1)
+    case _ => true
+  }
+
+  /** Porter's measure m of the stem w. */
+  private def measure(w: String): Int = {
+    var m = 0
+    var i = 0
+    val n = w.length
+    while (i < n && cons(w, i)) i += 1
+    while (i < n) {
+      while (i < n && !cons(w, i)) i += 1
+      if (i < n) m += 1
+      while (i < n && cons(w, i)) i += 1
+    }
+    m
+  }
+
+  private def hasVowel(w: String): Boolean =
+    (0 until w.length).exists(i => !cons(w, i))
+
+  private def endsDouble(w: String): Boolean =
+    w.length >= 2 && w.charAt(w.length - 1) == w.charAt(w.length - 2) &&
+      cons(w, w.length - 1)
+
+  /** *o: cvc at the end, final c not w/x/y. */
+  private def cvc(w: String): Boolean = {
+    val n = w.length
+    n >= 3 && cons(w, n - 3) && !cons(w, n - 2) && cons(w, n - 1) && {
+      val c = w.charAt(n - 1)
+      c != 'w' && c != 'x' && c != 'y'
+    }
+  }
+
+  /** Longest-suffix rule table application: first matching suffix (the
+    * lists are ordered longest-first per the published tables) whose
+    * stem passes `cond` rewrites; a matching suffix with a failing
+    * condition still ENDS the step (Porter's "longest match decides").
+    */
+  private def rules(w: String, minM: Int, rs: (String, String)*): String = {
+    for ((suf, repl) <- rs.sortBy(-_._1.length)) {
+      if (w.endsWith(suf)) {
+        val stem = w.dropRight(suf.length)
+        return if (measure(stem) > minM) stem + repl else w
+      }
+    }
+    w
+  }
+
+  def stem(input: String): String = {
+    if (input.length <= 2) return input
+    var w = input
+
+    // Step 1a
+    if (w.endsWith("sses")) w = w.dropRight(2)
+    else if (w.endsWith("ies")) w = w.dropRight(2)
+    else if (w.endsWith("ss")) ()
+    else if (w.endsWith("s")) w = w.dropRight(1)
+
+    // Step 1b
+    var fired1b = false
+    if (w.endsWith("eed")) {
+      if (measure(w.dropRight(3)) > 0) w = w.dropRight(1)
+    } else if (w.endsWith("ed")) {
+      if (hasVowel(w.dropRight(2))) { w = w.dropRight(2); fired1b = true }
+    } else if (w.endsWith("ing")) {
+      if (hasVowel(w.dropRight(3))) { w = w.dropRight(3); fired1b = true }
+    }
+    if (fired1b) {
+      if (w.endsWith("at") || w.endsWith("bl") || w.endsWith("iz")) w = w + "e"
+      else if (endsDouble(w) && !"lsz".contains(w.charAt(w.length - 1)))
+        w = w.dropRight(1)
+      else if (measure(w) == 1 && cvc(w)) w = w + "e"
+    }
+
+    // Step 1c
+    if (w.endsWith("y") && hasVowel(w.dropRight(1))) w = w.dropRight(1) + "i"
+
+    // Step 2 (m > 0)
+    w = rules(w, 0,
+      "ational" -> "ate", "tional" -> "tion", "enci" -> "ence",
+      "anci" -> "ance", "izer" -> "ize", "abli" -> "able", "alli" -> "al",
+      "entli" -> "ent", "eli" -> "e", "ousli" -> "ous",
+      "ization" -> "ize", "ation" -> "ate", "ator" -> "ate",
+      "alism" -> "al", "iveness" -> "ive", "fulness" -> "ful",
+      "ousness" -> "ous", "aliti" -> "al", "iviti" -> "ive",
+      // logi -> log is the documented departure of the distributed
+      // implementation (and so of Lucene's) from the 1980 paper
+      "biliti" -> "ble", "logi" -> "log")
+
+    // Step 3 (m > 0)
+    w = rules(w, 0,
+      "icate" -> "ic", "ative" -> "", "alize" -> "al", "iciti" -> "ic",
+      "ical" -> "ic", "ful" -> "", "ness" -> "")
+
+    // Step 4 (m > 1); ion only after s/t
+    locally {
+      val sufs = Seq("ement", "ance", "ence", "able", "ible", "ment",
+        "ant", "ent", "ion", "ism", "ate", "iti", "ous", "ive", "ize",
+        "al", "er", "ic", "ou").sortBy(-_.length)
+      sufs.find(w.endsWith) match {
+        case Some("ion") =>
+          val stem = w.dropRight(3)
+          if (measure(stem) > 1 && stem.nonEmpty &&
+            (stem.last == 's' || stem.last == 't')) w = stem
+        case Some(s) =>
+          val stem = w.dropRight(s.length)
+          if (measure(stem) > 1) w = stem
+        case None =>
+      }
+    }
+
+    // Step 5a
+    if (w.endsWith("e")) {
+      val stem = w.dropRight(1)
+      val m = measure(stem)
+      if (m > 1 || (m == 1 && !cvc(stem))) w = stem
+    }
+    // Step 5b
+    if (measure(w) > 1 && endsDouble(w) && w.endsWith("l")) w = w.dropRight(1)
+
+    w
   }
 }
 

@@ -3,10 +3,10 @@ package graft.analysis
 /** Table-driven suffix stemmers for the long-tail non-English Snowball
   * languages (`text_analysis.clj:15-49` lists the 26 the reference
   * supports). German, Dutch, French, Spanish, Portuguese, Italian,
-  * Russian, Danish, Norwegian and Swedish now have EXACT
-  * implementations in [[SnowballStemmers]]; the tables here back the
-  * remaining languages (Finnish, Hungarian, Turkish, Romanian, Catalan,
-  * Basque, Irish, Estonian, Armenian, Arabic).
+  * Russian, Danish, Norwegian and Swedish have EXACT implementations in
+  * [[SnowballStemmers]], and Finnish, Hungarian and Turkish in
+  * [[SnowballStemmers2]]; the tables here back the remaining languages
+  * (Romanian, Catalan, Basque, Irish, Estonian, Armenian, Arabic).
   *
   * These follow the published Snowball algorithms' shape — a region
   * constraint (R1 = after the first vowel/non-vowel pair, or RV for the
@@ -66,37 +66,12 @@ object SuffixStemmers {
     }
   }
 
-  val finnish: Stemmer = new TableStemmer(
-    "aeiouyäö",
-    Seq("isiin", "siin", "seen", "niin", "mme", "nne", "nsa", "nsä",
-      "ssa", "ssä", "sta", "stä", "lla", "llä", "lta", "ltä", "lle",
-      "ksi", "ine", "han", "hän", "ko", "kö", "pa", "pä", "na", "nä",
-      "ta", "tä", "a", "ä", "n", "t", "i"))
-
-
   val romanian: Stemmer = new TableStemmer(
     "aeiouăâî",
     Seq("abilitate", "ibilitate", "itate", "iune", "ătoare", "ător",
       "ează", "escu", "ească", "ești", "esc", "ând", "ind", "are", "ere",
       "ire", "uri", "ule", "ul", "le", "ii", "ei", "i", "e", "a", "ă"),
     useRv = true)
-
-  val hungarian: Stemmer = new TableStemmer(
-    "aeiouöüáéíóúőű",
-    Seq("okkal", "ekkel", "nként", "szerűen", "képpen", "astul", "estül",
-      "ban", "ben", "ba", "be", "ra", "re", "nak", "nek", "val", "vel",
-      "tól", "től", "ról", "ről", "ból", "ből", "hoz", "hez", "höz",
-      "nál", "nél", "ig", "at", "et", "ot", "öt", "on", "en", "ön", "an",
-      "ok", "ek", "ak", "ék", "t", "n", "k", "i", "a", "e", "o", "á", "é"))
-
-  val turkish: Stemmer = new TableStemmer(
-    "aeıioöuü",
-    Seq("larının", "lerinin", "larında", "lerinde", "larından",
-      "lerinden", "ların", "lerin", "larda", "lerde", "lardan", "lerden",
-      "ları", "leri", "lar", "ler", "ınız", "iniz", "unuz", "ünüz",
-      "ımız", "imiz", "umuz", "ümüz", "dan", "den", "tan", "ten", "nın",
-      "nin", "nun", "nün", "da", "de", "ta", "te", "ın", "in", "un",
-      "ün", "ı", "i", "u", "ü", "a", "e"))
 
   val catalan: Stemmer = new TableStemmer(
     "aeiouàèéíòóú",

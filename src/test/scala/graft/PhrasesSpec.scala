@@ -155,6 +155,9 @@ class PhrasesSpec extends AnyFunSuite {
     m("russian", "книга", "много книгами тут", "книгами")
     m("french", "national", "les nationaux ici", "nationaux")
     m("spanish", "trabajador", "los trabajadores aquí", "trabajadores")
+    m("finnish", "talo", "kaksi taloissa nyt", "taloissa")
+    m("hungarian", "ház", "a házakat ott", "házakat")
+    m("turkish", "kitap", "eski kitapları al", "kitapları")
     // different-language stemmer must NOT conflate the same pair
     val none = hl(Seq(DE("Haus", id = Some("1"), stem = Some(true),
       stemmer = Some("french"), caseSensitive = Some(false))), HO())("die häuser dort")

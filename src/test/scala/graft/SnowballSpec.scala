@@ -150,6 +150,78 @@ class SnowballSpec extends AnyFunSuite {
       "klokkor" -> "klokk")
   }
 
+  test("finnish: exact snowball") {
+    check("finnish",
+      // step 2 possessive tään -> tä+än, then step 3 case stä, then
+      // step 5 plural i (ending removed), leaving edeltäj
+      "edeltäjistään" -> "edeltäj",
+      "taloissa" -> "talo",          // ssa case; i plural after removal
+      "taloissakin" -> "talo",       // kin particle (after vowel) first
+      "talon" -> "talo",             // n case
+      "taloon" -> "talo",            // n case, then LV oo -> o
+      "kirjan" -> "kirj",            // n case, then 6b cX tidy drops the a
+      "kirja" -> "kirj",             // 6b tidy alone
+      "kirjoja" -> "kirj",           // a after cv (j,o), then oj tidy 6c
+      "tyttönsä" -> "tytö",          // nsä possessive, 6e undouble tt
+      "tyttöä" -> "tytö",            // ä after cv, 6e undouble
+      "isompi" -> "isomp",           // mpi outside R2: kept; 6b drops i
+      "nopeasti" -> "nopeast",       // sti outside R2: kept; 6b drops i
+      "puiden" -> "puid",            // den extends past R1 so n matches
+      "vaikeuksiin" -> "vaikeuksiin") // siin matched, Vi condition fails
+  }
+
+  test("hungarian: exact snowball") {
+    check("hungarian",
+      "babbal" -> "bab",             // instrumental al after double bb
+      "kenyérré" -> "kenyér",        // factive é after double rr
+      "házakat" -> "ház",            // case at, then plural ak
+      "tervét" -> "terv",            // case t, é->e normalize, owner e
+      "házam" -> "ház",              // sing owner am
+      "házaim" -> "ház",             // plural owner aim
+      "házak" -> "ház",              // plural ak
+      "könyvekben" -> "könyv",       // case ben, then plural ek
+      "emberekkel" -> "ember",       // instrumental el after kk, plural ek
+      "barátaié" -> "barát",         // owned é, then plural owner ai
+      "számítógépen" -> "számítógép") // case en
+  }
+
+  test("turkish: exact snowball") {
+    check("turkish",
+      "evleri" -> "ev",              // fused plural+possessive lArI
+      "kitapları" -> "kitap",
+      "arabasında" -> "araba",       // case nda, then possessive sı
+      "kitabı" -> "kitap",           // bare possessive ı, then devoice b->p
+      "kediler" -> "kedi",           // plural only: chain stops (no bare i)
+      "gözlükçülerin" -> "gözlükçü", // genitive in, then plural ler
+      "evdekiler" -> "ev",           // ler, ki, de: the ki chain
+      "arabayla" -> "araba",         // buffered yla after vowel
+      "arabamız" -> "araba",         // bare mız after vowel
+      "evimiz" -> "ev",              // buffered imiz after consonant
+      "okuldan" -> "okul",           // bare dan after consonant
+      "güzelliklerini" -> "güzellik", // nU accusative, then lArI
+      "ev" -> "ev")                  // single syllable: untouched
+  }
+
+  test("porter: the ORIGINAL algorithm, not porter2") {
+    // worked examples from the published 1980 definition's rule tables
+    check("porter",
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "cats" -> "cat", "feed" -> "feed", "agreed" -> "agre",
+      "plastered" -> "plaster", "motoring" -> "motor", "sing" -> "sing",
+      "hopping" -> "hop", "falling" -> "fall", "filing" -> "file",
+      "happy" -> "happi", "sky" -> "sky",
+      "relational" -> "relat", "rational" -> "ration",
+      "valenci" -> "valenc", "digitizer" -> "digit",
+      "analogousli" -> "analog", "operator" -> "oper",
+      "triplicate" -> "triplic", "formative" -> "form",
+      "electriciti" -> "electr", "hopeful" -> "hope",
+      "adoption" -> "adopt", "probate" -> "probat", "cease" -> "ceas",
+      "controll" -> "control", "roll" -> "roll")
+    // divergences from porter2 (which has exception lists and R1/R2)
+    check("porter", "skies" -> "ski", "news" -> "new", "dying" -> "dy")
+    check("english", "skies" -> "sky", "news" -> "news", "dying" -> "die")
+  }
+
   test("inflection equivalence classes under exact stemmers") {
     def eqv(lang: String, a: String, b: String): Unit = {
       val st = Stemmers.forName(lang)
@@ -163,11 +235,16 @@ class SnowballSpec extends AnyFunSuite {
     eqv("italian", "gatto", "gatti")
     eqv("russian", "книга", "книгами")
     eqv("dutch", "kat", "katten")
+    eqv("finnish", "talo", "taloissa")
+    eqv("finnish", "kirja", "kirjan")
+    eqv("hungarian", "házak", "házam")
+    eqv("turkish", "kitapları", "kitabından")
+    eqv("turkish", "evleri", "evimiz")
   }
 
   test("stemmers are total and safe on degenerate input") {
     val langs = Seq("german", "dutch", "french", "spanish", "portuguese",
-      "italian", "russian")
+      "italian", "russian", "finnish", "hungarian", "turkish")
     for (l <- langs; st = Stemmers.forName(l);
          w <- Seq("", "a", "x", "qu", "ß", "и", "...", "123")) {
       assert(st.stem(w) != null, s"$l on '$w'")
