@@ -143,7 +143,9 @@ object SparkEntry {
       DE("spark~2", id = Some("x1")),
       DE("\"key order\"~2", id = Some("x2")),
       DE("text.standard-tokenizer:dup", id = Some("x3")),
-      DE("title:dup", id = Some("x4"))) // unknown field: never matches
+      DE("title:dup", id = Some("x4")), // unknown field: never matches
+      DE("[dup TO fast]", id = Some("x5")), // inclusive term range
+      DE("{agg TO column}", id = Some("x6"))) // exclusive term range
     new SparkAlphaAnnotator(dict).annotateExploded(docs, "text")
       .select(col("doc_id"), col("dict_entry_id"))
       .orderBy(col("doc_id"), col("dict_entry_id"))
@@ -702,6 +704,12 @@ object SparkEntry {
         |    WHERE abs(o.i - k.i - 1) <= 2
         |  UNION ALL
         |  SELECT doc_id, 'x3' FROM documents WHERE regexp_matches(text, '\bdup\b')
+        |  UNION ALL
+        |  SELECT doc_id, 'x5' FROM d
+        |    WHERE EXISTS (SELECT 1 FROM unnest(l) AS u(tok) WHERE tok >= 'dup' AND tok <= 'fast')
+        |  UNION ALL
+        |  SELECT doc_id, 'x6' FROM d
+        |    WHERE EXISTS (SELECT 1 FROM unnest(l) AS u(tok) WHERE tok > 'agg' AND tok < 'column')
         |) ORDER BY doc_id, dict_entry_id""".stripMargin,
     "q_stream_counts" ->
       """SELECT * FROM (

@@ -13,7 +13,11 @@ import scala.collection.mutable
   * OR), AND/OR/NOT (and &&/||/!), parentheses, "quoted phrases" with
   * `~slop`, `term~N` fuzzy (OSA, capped at 2), `field:term` /
   * `field:"phrase"` (resolved against the per-conf analyzed field names
-  * the reference indexes under), /regex/ terms, wildcards, +/- prefixes.
+  * the reference indexes under), /regex/ terms, wildcards, +/- prefixes,
+  * `[a TO b]`/`{a TO b}` term ranges (lexicographic, `*` = open end),
+  * `\`-escapes, and `^boost` suffixes. Boosts are parsed and IGNORED:
+  * this is a match/no-match annotator (SIMPLE_MATCHER yields no scores),
+  * so a boost cannot change any outcome.
   * Unparseable entries are dropped with a log, like the reference's
   * ParseException handler (`lucene_alpha.clj:41-43`).
   */
@@ -42,6 +46,13 @@ object LuceneAlpha {
     * conf's token stream and an unknown one never matches.
     */
   final case class FieldExpr(field: String, child: Expr) extends Expr
+  /** `[a TO b]` / `{a TO b}` term range: matches when any analyzed term
+    * is lexicographically within the bounds (Lucene TermRangeQuery over
+    * text fields; endpoints lower-cased per conf, `*`/None = open end).
+    */
+  final case class RangeExpr(
+      low: Option[String], high: Option[String],
+      inclLow: Boolean, inclHigh: Boolean) extends Expr
   final case class RegexExpr(pattern: String) extends Expr {
     @transient lazy val compiled: java.util.regex.Pattern = java.util.regex.Pattern.compile(pattern)
   }
@@ -122,6 +133,16 @@ object LuceneAlpha {
         case Some(ft2) => eval(c, ft2, byName)
         case None      => false // unknown field: the doc has no such field
       }
+    case RangeExpr(lo, hi, il, ih) =>
+      val it = ft.positions.keySet().iterator()
+      var found = false
+      while (!found && it.hasNext) {
+        val t = it.next()
+        val okLo = lo.forall(l => { val c = t.compareTo(l); if (il) c >= 0 else c > 0 })
+        val okHi = hi.forall(h => { val c = t.compareTo(h); if (ih) c <= 0 else c < 0 })
+        found = okLo && okHi
+      }
+      found
     case r: RegexExpr =>
       val it = ft.positions.keySet().iterator()
       var found = false
@@ -179,6 +200,34 @@ object LuceneAlpha {
     private final case class Word(w: String, negate: Boolean) extends Tok
     private final case class Quoted(s: String, negate: Boolean) extends Tok
     private final case class Regex(p: String, negate: Boolean) extends Tok
+    private final case class RangeT(low: String, high: String,
+        inclLow: Boolean, inclHigh: Boolean, negate: Boolean) extends Tok
+
+    // `\x` escapes resolve to private-use placeholders for the chars
+    // whose meaning inside a word is positional (field colon, wildcards,
+    // fuzzy tilde, boost caret); [[unescape]] maps them back after the
+    // structure has been decided. Other escaped chars become themselves.
+    private val escMap: Map[Char, Char] = Map(
+      ':' -> '\uE000', '*' -> '\uE001', '?' -> '\uE002',
+      '~' -> '\uE003', '^' -> '\uE004')
+    private[engine] def unescape(w: String): String = w.map {
+      case '\uE000' => ':'
+      case '\uE001' => '*'
+      case '\uE002' => '?'
+      case '\uE003' => '~'
+      case '\uE004' => '^'
+      case c => c
+    }
+
+    /** Trailing `^N` / `^N.M` boost: parsed and DISCARDED (match/no-match
+      * annotator; see class doc).
+      */
+    private def stripBoost(w: String): String = {
+      val ci = w.lastIndexOf('^')
+      if (ci > 0 && ci < w.length - 1 &&
+        w.substring(ci + 1).toDoubleOption.isDefined) w.substring(0, ci)
+      else w
+    }
 
     def parse(q: String, conf: AnalysisConf): Expr = {
       val toks = lex(q)
@@ -206,15 +255,36 @@ object LuceneAlpha {
           require(j > 0, "unterminated quote")
           out += Quoted(q.substring(i + 1, j), negate); negate = false
           i = j + 1
+        } else if (c == '[' || c == '{') {
+          val jb = q.indexOf(']', i + 1)
+          val jc = q.indexOf('}', i + 1)
+          val j = Seq(jb, jc).filter(_ > 0).minOption
+            .getOrElse(throw new IllegalArgumentException("unterminated range"))
+          val parts = q.substring(i + 1, j).trim.split("\\s+")
+          require(parts.length == 3 && parts(1) == "TO",
+            s"malformed range: ${q.substring(i, j + 1)}")
+          out += RangeT(parts(0), parts(2), c == '[', q.charAt(j) == ']', negate)
+          negate = false
+          i = j + 1
         } else if (c == '/') {
           val j = q.indexOf('/', i + 1)
           require(j > 0, "unterminated regex")
           out += Regex(q.substring(i + 1, j), negate); negate = false
           i = j + 1
         } else {
+          val sb = new java.lang.StringBuilder
           var j = i
-          while (j < n && !Character.isWhitespace(q.charAt(j)) && "()\"".indexOf(q.charAt(j).toInt) < 0) j += 1
-          val w = q.substring(i, j)
+          var stop = false
+          while (j < n && !stop) {
+            val cj = q.charAt(j)
+            if (cj == '\\' && j + 1 < n) {
+              val nx = q.charAt(j + 1)
+              sb.append(escMap.getOrElse(nx, nx)); j += 2
+            } else if (Character.isWhitespace(cj) || "()\"[{".indexOf(cj.toInt) >= 0) {
+              stop = true
+            } else { sb.append(cj); j += 1 }
+          }
+          val w = sb.toString
           w match {
             case "AND" | "&&" => out += AND
             case "OR" | "||"  => out += OR
@@ -234,7 +304,7 @@ object LuceneAlpha {
       while (continue) rest match {
         case OR :: t =>
           val (e, r) = parseAnd(t, conf); children += e; rest = r
-        case t @ (Word(_, _) :: _ | Quoted(_, _) :: _ | Regex(_, _) :: _ | LP :: _ | NOT :: _) =>
+        case t @ (Word(_, _) :: _ | Quoted(_, _) :: _ | Regex(_, _) :: _ | RangeT(_, _, _, _, _) :: _ | LP :: _ | NOT :: _) =>
           val (e, r) = parseAnd(t, conf); children += e; rest = r
         case _ => continue = false
       }
@@ -275,20 +345,29 @@ object LuceneAlpha {
       case LP :: t =>
         val (e, r) = parseOr(t, conf)
         r match {
-          case RP :: rr => (e, rr)
+          case RP :: rr => (e, dropBoost(rr))
           case _        => throw new IllegalArgumentException("missing )")
         }
+      // field:[a TO b] — the lexer stops the word at the bracket
+      case Word(w, neg) :: (r: RangeT) :: t if w.nonEmpty && w.last == ':' =>
+        val e = FieldExpr(unescape(w.dropRight(1)), rangeExpr(r, conf))
+        (if (neg) NotExpr(e) else e, dropBoost(t))
+      case (r: RangeT) :: t =>
+        val e = rangeExpr(r, conf)
+        (if (r.negate) NotExpr(e) else e, dropBoost(t))
       // field:"quoted phrase" — the lexer stops the word at the quote
       case Word(w, neg) :: Quoted(s, _) :: t if w.nonEmpty && w.last == ':' =>
         val (base, rest) = quotedExpr(s, t, conf)
-        val e = FieldExpr(w.dropRight(1), base)
+        val e = FieldExpr(unescape(w.dropRight(1)), base)
         (if (neg) NotExpr(e) else e, rest)
       case Word(w, neg) :: t =>
         // field:term — a colon splits off an explicit field prefix
         val ci = w.indexOf(':')
-        val (fieldOpt, core) =
-          if (ci > 0 && ci < w.length - 1) (Some(w.substring(0, ci)), w.substring(ci + 1))
+        val (fieldOpt0, core0) =
+          if (ci > 0 && ci < w.length - 1) (Some(unescape(w.substring(0, ci))), w.substring(ci + 1))
           else (None, w)
+        val fieldOpt = fieldOpt0
+        val core = stripBoost(core0)
         val base0: Expr =
           if (core.indexOf('*') >= 0 || core.indexOf('?') >= 0) {
             // wildcard term (Lucene ? = one char, * = any run), matched
@@ -298,6 +377,11 @@ object LuceneAlpha {
             RegexExpr(analyzed.flatMap {
               case '*'                      => ".*"
               case '?'                      => "."
+              case '\uE000'                 => ":"
+              case '\uE001'                 => "\\*"
+              case '\uE002'                 => "\\?"
+              case '\uE003'                 => "~"
+              case '\uE004'                 => "\\^"
               case c if "\\.[]{}()^$|+".indexOf(c.toInt) >= 0 => "\\" + c
               case c                        => c.toString
             })
@@ -327,14 +411,14 @@ object LuceneAlpha {
         }
       fuzz match {
         case Some(maxE) =>
-          val base = w.substring(0, ti)
+          val base = unescape(w.substring(0, ti))
           val terms = Analyzer.terms(conf, base)
           if (terms.isEmpty) OrExpr(Nil)
           else if (terms.length == 1) {
             if (maxE == 0) TermExpr(terms(0)) else FuzzyExpr(terms(0), maxE)
           } else PhraseExpr(terms) // multi-token fuzzy degrades to a phrase
         case None =>
-          val terms = Analyzer.terms(conf, w)
+          val terms = Analyzer.terms(conf, unescape(w))
           if (terms.isEmpty) OrExpr(Nil) // analyzes to nothing -> never matches
           else if (terms.length == 1) TermExpr(terms(0))
           else PhraseExpr(terms)
@@ -347,7 +431,12 @@ object LuceneAlpha {
     private def quotedExpr(s: String, t: List[Tok], conf: AnalysisConf): (Expr, List[Tok]) = {
       val terms = Analyzer.terms(conf, s)
       t match {
-        case Word(w, _) :: tt if w.startsWith("~") && (w.length == 1 || w.drop(1).toIntOption.isDefined) =>
+        // `~N` slop suffix, possibly fused with a boost (`"a b"~2^3`)
+        case Word(w0, _) :: tt if {
+          val w = stripBoost(w0)
+          w.startsWith("~") && (w.length == 1 || w.drop(1).toIntOption.isDefined)
+        } =>
+          val w = stripBoost(w0)
           val slop = if (w.length == 1) 2 else w.drop(1).toInt
           val e: Expr =
             if (terms.isEmpty) OrExpr(Nil)
@@ -355,8 +444,29 @@ object LuceneAlpha {
             else SloppyPhraseExpr(terms, slop)
           (e, tt)
         case _ =>
-          ((if (terms.isEmpty) OrExpr(Nil) else PhraseExpr(terms)): Expr, t)
+          ((if (terms.isEmpty) OrExpr(Nil) else PhraseExpr(terms)): Expr,
+            dropBoost(t))
       }
+    }
+
+    /** Range endpoints are lower-cased per conf but NOT analyzed, like
+      * the classic QueryParser's default range handling; `*` = open end.
+      */
+    private def rangeExpr(r: RangeT, conf: AnalysisConf): RangeExpr = {
+      def ep(x: String): Option[String] =
+        if (x == "*") None
+        else Some(if (conf.caseSensitive) unescape(x)
+          else graft.analysis.Filters.lowercase(unescape(x)))
+      RangeExpr(ep(r.low), ep(r.high), r.inclLow, r.inclHigh)
+    }
+
+    /** Consume a standalone trailing boost token (`"a b"^2`, `(x y)^0.5`
+      * lex the boost as its own word). Parsed and discarded.
+      */
+    private def dropBoost(t: List[Tok]): List[Tok] = t match {
+      case Word(w, _) :: tt if w.length > 1 && w.charAt(0) == '^' &&
+        w.substring(1).toDoubleOption.isDefined => tt
+      case _ => t
     }
   }
 }

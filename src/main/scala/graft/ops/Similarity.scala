@@ -397,6 +397,12 @@ object Similarity {
     * whose signature is within `probeHamming` bits of the query signature
     * are scored (multi-probe). Recall < 1 by construction; the scale path
     * when a full scan per query is too expensive.
+    *
+    * Recall contract (pinned by OpsSpec "LSH top-k recall contract"):
+    * >= 0.8 of the true top-k on CLUSTERED data at the default
+    * parameters — the regime LSH is deployed for. On isotropic data
+    * (no cluster structure) recall drops to roughly 0.4; use
+    * [[ivfTopK]]/[[ivfKnnJoin]] when exactness is required.
     */
   def lshTopK(
       df: DataFrame, vecCol: String, idCol: String,

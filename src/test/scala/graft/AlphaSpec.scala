@@ -116,4 +116,57 @@ class AlphaSpec extends AnyFunSuite {
         id = Some("x"), caseSensitive = Some(false))))
     assert(cross.annotate("SPARK and Flink").map(_.dictEntryId) == Seq("x"))
   }
+
+  test("term ranges: [a TO b], {a TO b}, open ends, field prefix") {
+    val incl = new AlphaAnnotator(Seq(DE("[apple TO cherry]", id = Some("i"))))
+    assert(incl.annotate("a banana here").size == 1)
+    assert(incl.annotate("the cherry too").size == 1)    // inclusive bound
+    assert(incl.annotate("only dates left").isEmpty)     // above range
+    val excl = new AlphaAnnotator(Seq(DE("{apple TO cherry}", id = Some("e"))))
+    assert(excl.annotate("a banana here").size == 1)
+    assert(excl.annotate("the cherry too").isEmpty)      // exclusive bound
+    assert(excl.annotate("an apple too").isEmpty)
+    val mixed = new AlphaAnnotator(Seq(DE("[apple TO cherry}", id = Some("m"))))
+    assert(mixed.annotate("an apple too").size == 1)
+    assert(mixed.annotate("the cherry too").isEmpty)
+    val open = new AlphaAnnotator(Seq(DE("[m TO *]", id = Some("o"))))
+    assert(open.annotate("zebra crossing").size == 1)
+    assert(open.annotate("a b c").isEmpty)
+    // ranges compose with booleans and fields
+    val combo = new AlphaAnnotator(Seq(
+      DE("spark AND [h TO j]", id = Some("c")),
+      DE("text.standard-tokenizer:[h TO j]", id = Some("f"))))
+    assert(combo.annotate("spark impala").map(_.dictEntryId).sorted == Seq("c", "f"))
+    assert(combo.annotate("impala only").map(_.dictEntryId) == Seq("f"))
+    assert(combo.annotate("spark zoo").isEmpty)
+    // case normalization of endpoints follows the conf
+    val ci = new AlphaAnnotator(Seq(
+      DE("[Apple TO Cherry]", id = Some("ci"), caseSensitive = Some(false))))
+    assert(ci.annotate("A BANANA here").size == 1)
+  }
+
+  test("boosts parse and are ignored (match/no-match annotator)") {
+    val ann = new AlphaAnnotator(Seq(
+      DE("spark^2", id = Some("t")),
+      DE("\"hash join\"^3", id = Some("p")),
+      DE("(spark OR flink)^0.5", id = Some("g")),
+      DE("\"fast join\"~2^3", id = Some("sp")),
+      DE("sprak~1^4", id = Some("fz"))))
+    assert(ann.annotate("spark hash join fast x join sprak")
+      .map(_.dictEntryId).sorted == Seq("fz", "g", "p", "sp", "t"))
+    assert(ann.annotate("nothing relevant").isEmpty)
+  }
+
+  test("backslash escapes neutralize special characters") {
+    // escaped wildcard is a literal: term "2*3" only matches itself
+    val lit = new AlphaAnnotator(Seq(DE("2\\*3", id = Some("w"))))
+    assert(lit.annotate("calc 2*3 now").size == 1)
+    assert(lit.annotate("calc 243 now").isEmpty) // not a wildcard
+    // escaped colon is part of the term, not a field separator
+    val col = new AlphaAnnotator(Seq(DE("re\\:do", id = Some("c"))))
+    assert(col.annotate("we re:do it").size == 1)
+    // escaped quote chars inside a word
+    val par = new AlphaAnnotator(Seq(DE("a\\(b", id = Some("p"))))
+    assert(par.annotate("see a(b here").size == 1)
+  }
 }

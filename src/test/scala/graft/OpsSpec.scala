@@ -398,6 +398,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH top-k recall contract on clustered data") {
+    // the approximation claim in lshTopK's scaladoc as a checked bound:
+    // on clustered data (the regime where LSH is actually deployed —
+    // near-duplicate embeddings, tight semantic clusters) the bucketed
+    // search must recover >= 80% of the true top-k at the default
+    // parameters. Deterministic: fixed data seed, fixed plane seed.
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(
+      Array(1.0, 0, 0, 0, 0, 0), Array(0.0, 1, 0, 0, 0, 0),
+      Array(0.0, 0, 1, 0, 0, 0), Array(0.0, 0, 0, 1, 0, 0))
+    val corpus = (0 until 200).map { i =>
+      (i.toLong, centers(i % 4).map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+    val query = Array(0.95, 0.05, 0.0, 0.0, 0.0, 0.0)
+    val k = 10
+    val lsh = Similarity.lshTopK(corpus, "embedding", "vec_id", query,
+      k, dim = 6).collect().map(_.getLong(0)).toSet
+    val brute = Similarity.bruteForceTopK(corpus, "embedding", "vec_id",
+      query, k).collect().map(_.getLong(0)).toSet
+    val recall = (lsh & brute).size.toDouble / k
+    assert(recall >= 0.8, s"LSH recall $recall < 0.8; lsh=$lsh brute=$brute")
+  }
+
   test("token counts: whitespace and BPE-ish") {
     val out = TextStats.tokenCounts(docs, "text", "doc_id")
       .orderBy("doc_id").collect()
