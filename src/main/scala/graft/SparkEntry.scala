@@ -119,6 +119,26 @@ object SparkEntry {
       .orderBy(col("dict_entry_id"))
   }
 
+  /** The merger as a relational operator (SURVEY §2.5): annotate WITHOUT
+    * per-row merging, then collapse overlap clusters with
+    * [[SparkHighlighter.mergeSameTypeRelational]]. The DuckDB oracle
+    * recomputes the raw offset annotations from scratch and applies the
+    * same published sweep semantics via SQL windows.
+    */
+  private def qAnnMergeRel(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val dict = Seq(
+      DE("hash join", id = Some("hj")), DE("join", id = Some("j")),
+      DE("hash", id = Some("h")))
+    val raw = new SparkHighlighter(dict, HO(), mergeAnnotations = false)
+      .annotateExploded(docs, "text")
+    SparkHighlighter.mergeSameTypeRelational(raw)
+      .select(col("doc_id"), col("dict_entry_id"),
+        col("begin_offset").cast("long").as("begin_offset"),
+        col("end_offset").cast("long").as("end_offset"))
+      .orderBy(col("doc_id"), col("begin_offset"), col("dict_entry_id"))
+  }
+
   private def qAlphaBool(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(t(dir, "documents"))
     val dict = Seq(
@@ -590,6 +610,7 @@ object SparkEntry {
     "q_ann_inorder" -> (qAnnInorder _),
     "q_ann_slop" -> (qAnnSlop _),
     "q_ann_merge" -> (qAnnMerge _),
+    "q_ann_merge_rel" -> (qAnnMergeRel _),
     "q_alpha_bool" -> (qAlphaBool _),
     "q_alpha_ext" -> (qAlphaExt _),
     "q_stream_counts" -> (qStreamCounts _),
@@ -686,6 +707,35 @@ object SparkEntry {
         |  UNION ALL SELECT 'm2', CAST(sum(len(regexp_extract_all(text, '\bjoin\b')) - len(regexp_extract_all(text, '\bhash join\b'))) AS BIGINT) FROM documents
         |  UNION ALL SELECT 'm3', CAST(sum(len(regexp_extract_all(text, '\bhash\b')) - len(regexp_extract_all(text, '\bhash join\b'))) AS BIGINT) FROM documents
         |) WHERE n_matches > 0 ORDER BY dict_entry_id""".stripMargin,
+    "q_ann_merge_rel" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        |idx AS (SELECT doc_id, w, unnest(range(1, len(w)+1)) AS i FROM t),
+        |ann AS (
+        |  SELECT doc_id, 'hj' AS dict_entry_id, w[i] || ' ' || w[i+1] AS mt,
+        |         CAST(CASE WHEN i=1 THEN 0 ELSE length(array_to_string(w[1:i-1], ' ')) + 1 END AS BIGINT) AS begin_offset
+        |  FROM idx WHERE i < len(w) AND w[i]='hash' AND w[i+1]='join'
+        |  UNION ALL
+        |  SELECT doc_id, 'j', w[i],
+        |         CAST(CASE WHEN i=1 THEN 0 ELSE length(array_to_string(w[1:i-1], ' ')) + 1 END AS BIGINT)
+        |  FROM idx WHERE w[i]='join'
+        |  UNION ALL
+        |  SELECT doc_id, 'h', w[i],
+        |         CAST(CASE WHEN i=1 THEN 0 ELSE length(array_to_string(w[1:i-1], ' ')) + 1 END AS BIGINT)
+        |  FROM idx WHERE w[i]='hash'),
+        |a2 AS (SELECT doc_id, dict_entry_id, begin_offset,
+        |              CAST(begin_offset + length(mt) AS BIGINT) AS end_offset FROM ann),
+        |cl AS (SELECT *, CASE WHEN begin_offset > coalesce(max(end_offset) OVER
+        |         (PARTITION BY doc_id ORDER BY begin_offset, dict_entry_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |       THEN 1 ELSE 0 END AS nc FROM a2),
+        |cl2 AS (SELECT *, sum(nc) OVER
+        |         (PARTITION BY doc_id ORDER BY begin_offset, dict_entry_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cluster FROM cl),
+        |rn AS (SELECT *, row_number() OVER
+        |         (PARTITION BY doc_id, cluster
+        |          ORDER BY end_offset DESC, begin_offset ASC, dict_entry_id DESC) AS rn FROM cl2)
+        |SELECT doc_id, dict_entry_id, begin_offset, end_offset FROM rn WHERE rn = 1
+        |ORDER BY doc_id, begin_offset, dict_entry_id""".stripMargin,
     "q_alpha_bool" ->
       """SELECT * FROM (
         |  SELECT doc_id, 'b1' AS dict_entry_id FROM documents WHERE regexp_matches(text, '\bhash\b') AND regexp_matches(text, '\bjoin\b')

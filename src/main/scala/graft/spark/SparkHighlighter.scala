@@ -127,4 +127,50 @@ object SparkHighlighter {
   def apply(dictionary: Seq[DictionaryEntry], opts: HighlighterOpts = HighlighterOpts.default,
       mergeAnnotations: Boolean = false): SparkHighlighter =
     new SparkHighlighter(dictionary, opts, mergeAnnotations)
+
+  /** The annotation merger (`merger.clj:~6-40` / `Matcher.merge`) as a
+    * RELATIONAL operator over an already-exploded annotation table —
+    * SURVEY §2.5's "relationally" disposition. The per-row sweep
+    * collapses overlapping same-type annotations, keeping the current
+    * parent when the next annotation is contained in it and otherwise
+    * adopting the next; its survivor is equivalently the row with the
+    * greatest end offset in each overlap cluster (then least begin, then
+    * greatest id — a table has no input order, so the sweep's last-wins
+    * tie is totalized by (begin, id) sort order).
+    *
+    * Shape at scale: ONE shuffle on (doc, type). The overlap clusters
+    * come from the classic running-max session trick on the sorted
+    * partition; the survivor pick is a second window over (doc, type,
+    * cluster), which hash-partitioning on the (doc, type) prefix already
+    * co-locates — Spark inserts only a re-sort, no second exchange
+    * (pinned by PlanSpec).
+    */
+  def mergeSameTypeRelational(
+      anns: DataFrame,
+      docCol: String = "doc_id",
+      typeCol: String = "ann_type",
+      beginCol: String = "begin_offset",
+      endCol: String = "end_offset",
+      idCol: String = "dict_entry_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy(col(docCol), col(typeCol))
+      .orderBy(col(beginCol), col(idCol))
+    // running max of end over STRICTLY PRIOR rows: a row starts a new
+    // cluster when it begins after everything seen so far has ended
+    // (related() is inclusive, so strictly-greater ends the chain)
+    val prevMax = max(col(endCol))
+      .over(w1.rowsBetween(Window.unboundedPreceding, -1))
+    val clustered = anns
+      .withColumn("__nc",
+        when(col(beginCol) > coalesce(prevMax, lit(Long.MinValue)), 1)
+          .otherwise(0))
+      .withColumn("__cluster",
+        sum(col("__nc")).over(w1.rowsBetween(Window.unboundedPreceding, 0)))
+    val w2 = Window
+      .partitionBy(col(docCol), col(typeCol), col("__cluster"))
+      .orderBy(col(endCol).desc, col(beginCol).asc, col(idCol).desc)
+    clustered.withColumn("__rn", row_number().over(w2))
+      .filter(col("__rn") === 1)
+      .drop("__nc", "__cluster", "__rn")
+  }
 }

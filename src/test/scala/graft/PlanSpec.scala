@@ -249,6 +249,23 @@ class PlanSpec extends AnyFunSuite {
     assert(bucketAgg.nonEmpty, opt.toString)
   }
 
+  test("relational merger shuffles once: second window reuses the exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dict = Seq(
+      graft.dict.DictionaryEntry("hash join", id = Some("hj")),
+      graft.dict.DictionaryEntry("join", id = Some("j")))
+    val merged = graft.spark.SparkHighlighter.mergeSameTypeRelational(
+      new graft.spark.SparkHighlighter(dict, graft.dict.HighlighterOpts(),
+        mergeAnnotations = false).annotateExploded(docs, "text"))
+    val plan = planOf(merged)
+    // the (doc, type, cluster) window is co-located by the (doc, type)
+    // hash partitioning: exactly one exchange in the whole plan (counted
+    // via the formatted detail headers, one per physical node)
+    val exchanges = plan.linesIterator
+      .count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges == 1, plan)
+  }
+
   test("clusters frees superseded checkpoint blocks across reruns") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     def run(): Long = {

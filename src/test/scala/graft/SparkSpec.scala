@@ -44,6 +44,40 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts.head.getLong(1) == 3L)
   }
 
+  test("relational merger equals the per-row merger") {
+    // overlap shapes: containment (hash in hash join), extension chains
+    // (join after hash join), disjoint repeats, multi-type isolation
+    val docs = Seq(
+      (0L, "a hash join b"),
+      (1L, "hash join join hash join"),
+      (2L, "hash x join y hash"),
+      (3L, "no matches at all"),
+      (4L, "join hash join hash hash join join")).toDF("doc_id", "text")
+    val dict = Seq(DE("hash join", id = Some("hj")), DE("join", id = Some("j")),
+      DE("hash", id = Some("h")))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "dict_entry_id", "begin_offset", "end_offset")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+      .sortBy(identity).toSeq
+    val perRow = new SparkHighlighter(dict, HO(), mergeAnnotations = true)
+      .annotateExploded(docs, "text")
+    val relational = SparkHighlighter.mergeSameTypeRelational(
+      new SparkHighlighter(dict, HO(), mergeAnnotations = false)
+        .annotateExploded(docs, "text"))
+    assert(key(relational) == key(perRow))
+    assert(key(relational).nonEmpty)
+    // distinct ann types never merge across each other
+    val dict2 = Seq(DE("hash join", id = Some("hj"), entryType = Some("T1")),
+      DE("join", id = Some("j"), entryType = Some("T2")))
+    val perRow2 = new SparkHighlighter(dict2, HO(), mergeAnnotations = true)
+      .annotateExploded(docs, "text")
+    val rel2 = SparkHighlighter.mergeSameTypeRelational(
+      new SparkHighlighter(dict2, HO(), mergeAnnotations = false)
+        .annotateExploded(docs, "text"))
+    assert(key(rel2) == key(perRow2))
+    assert(key(rel2).exists(_._2 == "j")) // contained but different type: kept
+  }
+
   test("csv dictionary fixture parsing (readers.clj rules)") {
     val csv = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("src/test/resources/dict.csv")))
