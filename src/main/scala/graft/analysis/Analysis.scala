@@ -78,7 +78,7 @@ object Tokenizers {
   def tokenize(name: String, text: String): Array[Token] = name match {
     case "keyword"            => keyword(text)
     case "letter"             => letter(text)
-    case "classic"            => standardLike(text, classic = true)
+    case "classic"            => classicTokens(text)
     case "strict"             => strict(text)
     case "unicode-whitespace" => whitespace(text, unicode = true)
     case "whitespace"         => whitespace(text, unicode = false)
@@ -122,8 +122,9 @@ object Tokenizers {
     * surrounded by alphanumerics — apostrophes and '.'/':' between
     * letters, '.'/',' between digits. Close enough for the reference's
     * pinned behaviors: "test-test" → [test, test], "don't" → [don't],
-    * trailing punctuation dropped. `classic = true` additionally keeps
-    * hyphens when a digit is adjacent (ClassicTokenizer rule).
+    * trailing punctuation dropped. (The `classic` tokenizer has its own
+    * exact grammar implementation in [[classicTokens]]; the `classic`
+    * flag here only survives for the legacy approximation tests.)
     */
   def standardLike(text: String, classic: Boolean): Array[Token] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Token]
@@ -157,6 +158,146 @@ object Tokenizers {
         out += Token(text.substring(start, j), start, j, pos)
         pos += 1
         i = j
+      } else i += 1
+    }
+    out.toArray
+  }
+
+  /** Lucene ClassicTokenizer, implemented from its published grammar
+    * (the pre-UAX#29 StandardTokenizer rules): maximal-munch over
+    * ALPHANUM | APOSTROPHE | ACRONYM | COMPANY | EMAIL | HOST | NUM | CJ,
+    * ties broken in that order. NUM is an alternating chain of alphanum
+    * segments over [_\-/.,] separators where every other segment
+    * contains a digit; CJK chars tokenize one per token; Hangul counts
+    * as alphanum. Acronym-dot and possessive-'s stripping live in
+    * ClassicFilter (the bare-chain quirk), not here.
+    */
+  def classicTokens(text: String): Array[Token] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Token]
+    val n = text.length
+    @inline def isCJ(c: Char): Boolean =
+      (c >= '㄀' && c <= 'ㄯ') || (c >= '぀' && c <= 'ゟ') ||
+        (c >= '゠' && c <= 'ヿ') || (c >= 'ㇰ' && c <= 'ㇿ') ||
+        (c >= '㋐' && c <= '㍗') || (c >= '㐀' && c <= '䶿') ||
+        (c >= '一' && c <= '鿿') || (c >= '豈' && c <= '﫿') ||
+        (c >= '･' && c <= 'ﾟ')
+    @inline def isL(c: Char): Boolean = Character.isLetter(c) && !isCJ(c)
+    @inline def isAN(c: Char): Boolean =
+      (Character.isLetter(c) || Character.isDigit(c)) && !isCJ(c)
+    @inline def isP(c: Char): Boolean =
+      c == '_' || c == '-' || c == '/' || c == '.' || c == ','
+
+    def anRun(from: Int): Int = {
+      var j = from; while (j < n && isAN(text.charAt(j))) j += 1; j - from
+    }
+    def lRun(from: Int): Int = {
+      var j = from; while (j < n && isL(text.charAt(j))) j += 1; j - from
+    }
+    def hasDigit(from: Int, len: Int): Boolean = {
+      var j = from; val e = from + len
+      while (j < e) { if (Character.isDigit(text.charAt(j))) return true; j += 1 }
+      false
+    }
+
+    // each matcher returns the match length at `i` (0 = no match)
+    def apostrophe(i: Int): Int = {
+      val l0 = lRun(i); if (l0 == 0) return 0
+      var j = i + l0; var groups = 0
+      while (j < n && text.charAt(j) == '\'' && j + 1 < n && isL(text.charAt(j + 1))) {
+        j += 1 + lRun(j + 1); groups += 1
+      }
+      if (groups >= 1) j - i else 0
+    }
+    def acronym(i: Int): Int = {
+      // (single letter, dot) pairs; singleness is enforced by the dot
+      // having to follow immediately
+      var j = i; var dots = 0
+      while (j + 1 < n && isL(text.charAt(j)) && text.charAt(j + 1) == '.') {
+        j += 2; dots += 1
+      }
+      if (dots >= 2) j - i else 0
+    }
+    def company(i: Int): Int = {
+      val l0 = lRun(i); if (l0 == 0) return 0
+      val j = i + l0
+      if (j < n && (text.charAt(j) == '&' || text.charAt(j) == '@')) {
+        val l1 = lRun(j + 1)
+        if (l1 > 0) l0 + 1 + l1 else 0
+      } else 0
+    }
+    def email(i: Int): Int = {
+      var j = i + anRun(i); if (j == i) return 0
+      var ok = true
+      while (ok && j + 1 < n && (text.charAt(j) == '.' || text.charAt(j) == '-' ||
+        text.charAt(j) == '_') && isAN(text.charAt(j + 1))) {
+        val r = anRun(j + 1); if (r == 0) ok = false else j += 1 + r
+      }
+      if (j >= n || text.charAt(j) != '@') return 0
+      j += 1
+      val d0 = anRun(j); if (d0 == 0) return 0
+      j += d0
+      var domDots = 0
+      while (j + 1 < n && (text.charAt(j) == '.' || text.charAt(j) == '-') &&
+        isAN(text.charAt(j + 1))) {
+        j += 1 + anRun(j + 1); domDots += 1
+      }
+      if (domDots >= 1) j - i else 0
+    }
+    def host(i: Int): Int = {
+      val a0 = anRun(i); if (a0 == 0) return 0
+      var j = i + a0; var segs = 0
+      while (j + 1 < n && text.charAt(j) == '.' && isAN(text.charAt(j + 1))) {
+        j += 1 + anRun(j + 1); segs += 1
+      }
+      if (segs >= 1) j - i else 0
+    }
+    def num(i: Int): Int = {
+      // maximal alternating chain seg0 P seg1 P ... of alphanum runs
+      val segStart = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val segLen = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var j = i
+      var r = anRun(j)
+      while (r > 0) {
+        segStart += j; segLen += r; j += r
+        r = if (j + 1 < n && isP(text.charAt(j)) && isAN(text.charAt(j + 1))) {
+          j += 1; anRun(j)
+        } else 0
+      }
+      if (segLen.length < 2) return 0
+      // longest prefix (>= 2 segments) where every other segment has a
+      // digit — either all odd-indexed or all even-indexed
+      var best = 0
+      var k = segLen.length
+      while (k >= 2 && best == 0) {
+        var oddOk = true; var evenOk = true
+        var s = 0
+        while (s < k) {
+          val hd = hasDigit(segStart(s), segLen(s))
+          if (!hd) { if (s % 2 == 1) oddOk = false else evenOk = false }
+          s += 1
+        }
+        if (oddOk || evenOk) best = segStart(k - 1) + segLen(k - 1) - i
+        k -= 1
+      }
+      best
+    }
+
+    var i = 0
+    var pos = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (isCJ(c)) {
+        out += Token(text.substring(i, i + 1), i, i + 1, pos); pos += 1; i += 1
+      } else if (isAN(c)) {
+        // longest match wins; ties go to the earlier-listed rule
+        val cands = Array(anRun(i), apostrophe(i), acronym(i), company(i),
+          email(i), host(i), num(i))
+        var len = 0
+        var b = 0
+        while (b < cands.length) { if (cands(b) > len) len = cands(b); b += 1 }
+        out += Token(text.substring(i, i + len), i, i + len, pos)
+        pos += 1
+        i += len
       } else i += 1
     }
     out.toArray

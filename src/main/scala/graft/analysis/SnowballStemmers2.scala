@@ -17,18 +17,6 @@ package graft.analysis
   */
 object SnowballStemmers2 {
 
-  /** Longest suffix of `w` among `sufs` (null if none). */
-  private def longest(w: String, sufs: Array[String]): String = {
-    var best: String = null
-    var i = 0
-    while (i < sufs.length) {
-      val s = sufs(i)
-      if ((best == null || s.length > best.length) && w.endsWith(s)) best = s
-      i += 1
-    }
-    best
-  }
-
   /** Longest suffix of `w` among `sufs` lying entirely inside the region
     * starting at `limit` (null if none). This is Snowball's
     * `setlimit tomark pN for ([substring])` semantics: a suffix
@@ -95,7 +83,6 @@ object SnowballStemmers2 {
       var w = word
       val r1 = regionAfter(w, 0, isV)
       val r2 = regionAfter(w, r1, isV)
-      @inline def inR1(s: String): Boolean = w.length - s.length >= r1
       @inline def inR2(s: String): Boolean = w.length - s.length >= r2
 
       // Step 1: particles etc. Longest R1-limited match among (a) the

@@ -57,6 +57,36 @@ class AnalysisSpec extends AnyFunSuite {
       Seq("pi", "is", "3.14"))
   }
 
+  test("classic tokenizer: the published grammar's token alternatives") {
+    def toks(s: String) = Tokenizers.classicTokens(s).map(_.term).toSeq
+    // COMPANY: letters joined by a single & or @
+    assert(toks("call AT&T today") == Seq("call", "AT&T", "today"))
+    assert(toks("Excite@Home era") == Seq("Excite@Home", "era"))
+    // EMAIL: local part with ._- and a dotted domain
+    assert(toks("mail bob.smith_2@ex-a.com now") ==
+      Seq("mail", "bob.smith_2@ex-a.com", "now"))
+    // ACRONYM keeps its dots at the tokenizer level (ClassicFilter's job)
+    assert(toks("the I.B.M. way") == Seq("the", "I.B.M.", "way"))
+    // HOST
+    assert(toks("visit example.com.") == Seq("visit", "example.com"))
+    // NUM: alternating alphanum/separator chains with digits every
+    // other segment; letters-only chains split
+    assert(toks("pi is 3.14") == Seq("pi", "is", "3.14"))
+    assert(toks("serial 1-2b-3 ok") == Seq("serial", "1-2b-3", "ok"))
+    assert(toks("a 1/2 cup") == Seq("a", "1/2", "cup"))
+    assert(toks("test-test.") == Seq("test", "test"))
+    // APOSTROPHE: letters only
+    assert(toks("don't stop O'Brien's") == Seq("don't", "stop", "O'Brien's"))
+    // CJK chars come out one per token; Hangul is alphanum
+    assert(toks("学习 spark 한국어") == Seq("学", "习", "spark", "한국어"))
+    // offsets survive
+    val off = Tokenizers.classicTokens("x AT&T y")
+    assert("x AT&T y".substring(off(1).begin, off(1).end) == "AT&T")
+    // the bare-chain ClassicFilter still strips acronym dots and 's
+    assert(Filters.classicFilter("I.B.M.", "classic") == "IBM")
+    assert(Filters.classicFilter("O'Brien's", "classic") == "O'Brien")
+  }
+
   test("whitespace / letter / keyword / strict tokenizers") {
     assert(Tokenizers.whitespace("a  b\tc", unicode = false).map(_.term).toSeq == Seq("a", "b", "c"))
     assert(Tokenizers.letter("ab1cd").map(_.term).toSeq == Seq("ab", "cd"))
