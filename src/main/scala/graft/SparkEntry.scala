@@ -139,6 +139,24 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("begin_offset"), col("dict_entry_id"))
   }
 
+  /** Deterministic train/val/test assignment (md5-threshold hashing,
+    * `ops.Sampling`): the oracle recomputes the same salted-hash
+    * predicate, so the gate checks exact assignment, not just counts.
+    */
+  private def qSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    graft.ops.Sampling.assignSplit(docs, "doc_id", salt = "s1")
+      .groupBy(col("split")).agg(count(lit(1)).as("n"))
+      .orderBy(col("split"))
+  }
+
+  /** Stratified deterministic sample: ~25% within each language. */
+  private def qSampleStrat(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    graft.ops.Sampling.stratifiedSample(docs, "doc_id", "lang", 0.25, "s2")
+      .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+  }
+
   private def qAlphaBool(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(t(dir, "documents"))
     val dict = Seq(
@@ -611,6 +629,8 @@ object SparkEntry {
     "q_ann_slop" -> (qAnnSlop _),
     "q_ann_merge" -> (qAnnMerge _),
     "q_ann_merge_rel" -> (qAnnMergeRel _),
+    "q_split" -> (qSplit _),
+    "q_sample_strat" -> (qSampleStrat _),
     "q_alpha_bool" -> (qAlphaBool _),
     "q_alpha_ext" -> (qAlphaExt _),
     "q_stream_counts" -> (qStreamCounts _),
@@ -736,6 +756,18 @@ object SparkEntry {
         |          ORDER BY end_offset DESC, begin_offset ASC, dict_entry_id DESC) AS rn FROM cl2)
         |SELECT doc_id, dict_entry_id, begin_offset, end_offset FROM rn WHERE rn = 1
         |ORDER BY doc_id, begin_offset, dict_entry_id""".stripMargin,
+    "q_split" ->
+      """SELECT split, count(*) AS n FROM (
+        |  SELECT CASE
+        |    WHEN md5(CAST(doc_id AS VARCHAR) || 's1') < 'cccccccc' THEN 'train'
+        |    WHEN md5(CAST(doc_id AS VARCHAR) || 's1') < 'e6666666' THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM documents)
+        |GROUP BY split ORDER BY split""".stripMargin,
+    "q_sample_strat" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE md5(CAST(lang AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) || 's2') < '40000000'
+        |ORDER BY doc_id""".stripMargin,
     "q_alpha_bool" ->
       """SELECT * FROM (
         |  SELECT doc_id, 'b1' AS dict_entry_id FROM documents WHERE regexp_matches(text, '\bhash\b') AND regexp_matches(text, '\bjoin\b')

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and splitting for training
+  * pipelines: train/val/test assignment, fractional sampling, and
+  * stratified sampling, all driven by an md5 threshold over a stable id
+  * (plus salt). The hash is compared as a LEXICOGRAPHIC hex string, so
+  * the same predicate evaluates identically in any engine with md5 —
+  * which is what makes these operators exactly oracle-able and, more
+  * importantly, REPRODUCIBLE: re-running the pipeline on a grown corpus
+  * keeps every previously-assigned row in the same split (no
+  * rand()/sample() nondeterminism, no per-partition seeds to invalidate
+  * on repartition).
+  *
+  * Scale posture: pure per-row projections/filters — no shuffle, no
+  * state, fully codegen'd (md5 + string compare are native expressions),
+  * predicate-pushdown-friendly when the id column is scanned anyway.
+  */
+object Sampling {
+
+  /** First 8 hex digits of floor(p * 2^32), the md5-prefix threshold
+    * under which a fraction ~p of uniformly-hashed rows fall. p >= 1
+    * yields a sentinel above every hex string.
+    */
+  private[ops] def hexThreshold(p: Double): String = {
+    require(p >= 0, s"fraction must be >= 0: $p")
+    if (p >= 1.0) "g" // '>f': above all 32-char hex strings
+    else f"${(p * 4294967296.0).toLong}%08x"
+  }
+
+  private def saltedHash(idCol: Column, salt: String): Column =
+    md5(concat(idCol.cast("string"), lit(salt)))
+
+  /** Adds a `split` column assigning each row to one of the named
+    * fractions (which must sum to ~1; the last split absorbs rounding).
+    * Deterministic in (id, salt): stable across runs, partitionings and
+    * corpus growth.
+    */
+  def assignSplit(
+      df: DataFrame, idCol: String,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1,
+        "test" -> 0.1),
+      salt: String = ""): DataFrame = {
+    require(weights.nonEmpty, "at least one split")
+    val h = saltedHash(col(idCol), salt)
+    val cum = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val first = when(h < lit(hexThreshold(cum.head)), lit(weights.head._1))
+    val expr = weights.tail.zip(cum.tail).foldLeft(first) {
+      case (acc, ((name, _), c)) =>
+        acc.when(h < lit(hexThreshold(c)), lit(name))
+    }
+    df.withColumn("split", expr.otherwise(lit(weights.last._1)))
+  }
+
+  /** Keeps a deterministic ~`fraction` of rows, keyed by (id, salt). */
+  def sample(df: DataFrame, idCol: String, fraction: Double,
+      salt: String = ""): DataFrame =
+    df.filter(saltedHash(col(idCol), salt) < lit(hexThreshold(fraction)))
+
+  /** Stratified deterministic sample: an independent ~`fraction` within
+    * each stratum (the stratum value participates in the hash, so
+    * changing one stratum's data never perturbs another's selection).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      fraction: Double, salt: String = ""): DataFrame =
+    df.filter(
+      md5(concat(col(strataCol).cast("string"), lit(":"),
+        col(idCol).cast("string"), lit(salt))) <
+        lit(hexThreshold(fraction)))
+
+  /** Mixture construction: per-source sampling rates applied to a union
+    * of sources tagged by `sourceCol` — the "dataset mixture weights"
+    * step of a pretraining pipeline, as one deterministic filter.
+    */
+  def mixture(df: DataFrame, idCol: String, sourceCol: String,
+      rates: Map[String, Double], salt: String = ""): DataFrame = {
+    val h = saltedHash(col(idCol), salt)
+    val pred = rates.foldLeft(lit(false)) { case (acc, (src, p)) =>
+      acc || (col(sourceCol) === lit(src) && h < lit(hexThreshold(p)))
+    }
+    df.filter(pred)
+  }
+}

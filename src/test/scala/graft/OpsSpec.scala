@@ -421,6 +421,49 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"LSH recall $recall < 0.8; lsh=$lsh brute=$brute")
   }
 
+  test("deterministic sampling: stable, partition-independent, well-sized") {
+    import graft.ops.Sampling
+    val ids = spark.range(0L, 2000L).toDF("id")
+      .withColumn("src", when(col("id") % 2 === 0, "a").otherwise("b"))
+    // split assignment is a pure function of (id, salt)
+    val s1 = Sampling.assignSplit(ids, "id", salt = "x")
+      .select("id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val s2 = Sampling.assignSplit(ids.repartition(7), "id", salt = "x")
+      .select("id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(s1 == s2)
+    val sizes = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(sizes("train") - 1600) < 120, sizes.toString)
+    assert(math.abs(sizes("val") - 200) < 70, sizes.toString)
+    assert(math.abs(sizes("test") - 200) < 70, sizes.toString)
+    // growing the corpus never reassigns an existing row
+    val grown = Sampling.assignSplit(spark.range(0L, 3000L).toDF("id"), "id",
+      salt = "x").select("id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(s1.forall { case (k, v) => grown(k) == v })
+    // sample fraction lands near target and is a subset relation under
+    // growing fractions (thresholds are nested by construction)
+    val small = Sampling.sample(ids, "id", 0.2, "y").select("id")
+      .collect().map(_.getLong(0)).toSet
+    val big = Sampling.sample(ids, "id", 0.5, "y").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+    assert(math.abs(small.size - 400) < 100, small.size.toString)
+    // stratified: per-stratum selection is independent of other strata
+    val strat = Sampling.stratifiedSample(ids, "id", "src", 0.3, "z")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val aOnly = Sampling.stratifiedSample(ids.filter(col("src") === "a"),
+      "id", "src", 0.3, "z").select("id").collect().map(_.getLong(0)).toSet
+    assert(strat.filter(_ % 2 == 0) == aOnly)
+    // mixture equals the union of per-source samples
+    val mix = Sampling.mixture(ids, "id", "src", Map("a" -> 0.5, "b" -> 0.1),
+      "m").select("id").collect().map(_.getLong(0)).toSet
+    val ma = Sampling.sample(ids.filter(col("src") === "a"), "id", 0.5, "m")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val mb = Sampling.sample(ids.filter(col("src") === "b"), "id", 0.1, "m")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(mix == (ma ++ mb))
+  }
+
   test("token counts: whitespace and BPE-ish") {
     val out = TextStats.tokenCounts(docs, "text", "doc_id")
       .orderBy("doc_id").collect()
