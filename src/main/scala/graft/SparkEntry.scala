@@ -157,6 +157,17 @@ object SparkEntry {
       .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
   }
 
+  /** Token-window chunking with overlap (context-window slicing): 64
+    * tokens per chunk, 16 shared — the oracle re-derives every chunk
+    * string from scratch with array slices.
+    */
+  private def qChunk(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    graft.ops.TextStats.chunk(docs, "text", "doc_id", chunkTokens = 64,
+        overlap = 16)
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   private def qAlphaBool(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(t(dir, "documents"))
     val dict = Seq(
@@ -630,6 +641,7 @@ object SparkEntry {
     "q_ann_merge" -> (qAnnMerge _),
     "q_ann_merge_rel" -> (qAnnMergeRel _),
     "q_split" -> (qSplit _),
+    "q_chunk" -> (qChunk _),
     "q_sample_strat" -> (qSampleStrat _),
     "q_alpha_bool" -> (qAlphaBool _),
     "q_alpha_ext" -> (qAlphaExt _),
@@ -756,6 +768,16 @@ object SparkEntry {
         |          ORDER BY end_offset DESC, begin_offset ASC, dict_entry_id DESC) AS rn FROM cl2)
         |SELECT doc_id, dict_entry_id, begin_offset, end_offset FROM rn WHERE rn = 1
         |ORDER BY doc_id, begin_offset, dict_entry_id""".stripMargin,
+    "q_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w, len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |s AS (SELECT doc_id, w, n, unnest(range(0, n, 48)) AS st FROM t)
+        |SELECT doc_id, CAST(st / 48 AS BIGINT) AS chunk_id,
+        |       array_to_string(w[st+1:st+64], ' ') AS chunk_text,
+        |       CAST(least(64, n - st) AS BIGINT) AS n_tokens
+        |FROM s WHERE st = 0 OR st < n - 16
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "q_split" ->
       """SELECT split, count(*) AS n FROM (
         |  SELECT CASE

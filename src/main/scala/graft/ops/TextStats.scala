@@ -155,6 +155,35 @@ object TextStats {
     * = minimum window hash. Content-defined, robust to doc reordering of
     * surrounding rows. Scalar function: scan-local, no shuffle.
     */
+  /** Fixed-stride token-window chunking — the context-window slicing
+    * step of a pretraining/RAG pipeline: each document becomes
+    * ceil(max(n-overlap,1)/stride) chunks of up to `chunkTokens`
+    * whitespace tokens, consecutive chunks sharing `overlap` tokens.
+    * Pure per-row explode of native expressions (split/sequence/slice):
+    * no shuffle, codegen'd, linear output size — the 100 TB shape.
+    * Empty/blank docs produce no chunks.
+    */
+  def chunk(df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens: $overlap/$chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = split(col(textCol), " ")
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0), col("__n") - 1, lit(stride))))
+      .withColumnsRenamed(Map("pos" -> "chunk_id", "col" -> "__start"))
+      // a trailing window fully covered by the previous chunk is noise
+      .filter(col("chunk_id") === 0 || col("__start") < col("__n") - lit(overlap))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("__toks"), col("__start") + 1,
+          lit(chunkTokens))).as("chunk_text"),
+        least(lit(chunkTokens), col("__n") - col("__start"))
+          .cast("long").as("n_tokens"))
+  }
+
   def fingerprint(textCol: Column, window: Int = 5): Column =
     org.apache.spark.sql.GraftBridge.column(
       graft.spark.FingerprintExpression(

@@ -464,6 +464,31 @@ class OpsSpec extends AnyFunSuite {
     assert(mix == (ma ++ mb))
   }
 
+  test("chunking: coverage, overlap, and reconstruction invariants") {
+    import graft.ops.TextStats
+    val doc = (1 to 150).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "short text"), (3L, "   ")).toDF("doc_id", "text")
+    val chunks = TextStats.chunk(df, "text", "doc_id", chunkTokens = 64,
+        overlap = 16)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // doc 1: starts 0,48,96 (144 < 150-16=134? no: 96 < 134 yes; 144 >= 134 dropped)
+    val d1 = chunks.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(d1.head._3.startsWith("w1 w2 ") && d1.head._4 == 64)
+    // consecutive chunks share exactly `overlap` tokens
+    val c0 = d1(0)._3.split(" ")
+    val c1 = d1(1)._3.split(" ")
+    assert(c0.takeRight(16).toSeq == c1.take(16).toSeq)
+    // every source token appears in some chunk (full coverage)
+    val covered = d1.flatMap(_._3.split(" ")).toSet
+    assert(covered == doc.split(" ").toSet)
+    // short doc: one chunk, all tokens; blank doc: no chunks
+    assert(chunks.filter(_._1 == 2L).toSeq ==
+      Seq((2L, 0L, "short text", 2L)))
+    assert(!chunks.exists(_._1 == 3L))
+  }
+
   test("token counts: whitespace and BPE-ish") {
     val out = TextStats.tokenCounts(docs, "text", "doc_id")
       .orderBy("doc_id").collect()
