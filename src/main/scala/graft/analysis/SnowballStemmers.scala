@@ -31,6 +31,27 @@ object SnowballStemmers {
     best
   }
 
+  /** Longest suffix of `w` among `sufs` that lies entirely within the
+    * region starting at `lim` (null if none). This is Snowball's
+    * `setlimit tomark p1 for ([substring]) among(...)` semantics: a longer
+    * suffix that crosses the region boundary cannot match at all, so a
+    * shorter in-region suffix still gets its turn — unlike [[longest]],
+    * which models the `[substring] among(... R1 delete ...)` shape where
+    * the longest whole-word match is chosen first and the region test can
+    * only fail the step.
+    */
+  private def longestIn(w: String, sufs: Array[String], lim: Int): String = {
+    var best: String = null
+    var i = 0
+    while (i < sufs.length) {
+      val s = sufs(i)
+      if ((best == null || s.length > best.length) && w.length - s.length >= lim &&
+        w.endsWith(s)) best = s
+      i += 1
+    }
+    best
+  }
+
   /** Standard region start: position after the first non-vowel that
     * follows a vowel, searching from `from`; word length if absent.
     */
@@ -274,10 +295,12 @@ object SnowballStemmers {
       "eras", "erez", "âmes", "âtes", "ante", "ants", "asse", "ées", "era",
       "iez", "ais", "ait", "ant", "ée", "és", "er", "ez", "ât", "ai", "as",
       "é", "a")
-    private val step4Sufs = Array("Ière", "ière", "Ier", "ier", "ion", "e", "ë")
+    private val step4Sufs = Array("Ière", "ière", "Ier", "ier", "ion", "e")
 
     def stem(word: String): String = {
-      // prelude: sequential marking on the working array
+      // prelude: sequential marking on the working array, then the 2.x
+      // ë -> He / ï -> Hi rewriting (H is a marker consonant the postlude
+      // either folds back into ë/ï or deletes).
       val cs = word.toCharArray
       var i = 0
       while (i < cs.length) {
@@ -290,6 +313,8 @@ object SnowballStemmers {
         i += 1
       }
       var w = new String(cs)
+      if (w.indexOf('ë') >= 0) w = w.replace("ë", "He")
+      if (w.indexOf('ï') >= 0) w = w.replace("ï", "Hi")
       val r1 = regionAfter(w, 0, isV)
       val r2 = regionAfter(w, r1, isV)
       val rv: Int =
@@ -388,36 +413,36 @@ object SnowballStemmers {
       val do2a = (!step1Altered && !mentFound) || mentFound
       var lastAltered = step1Altered || mentFound
       if (do2a) {
-        // ---- step 2a: i-verb suffixes, preceded by a non-vowel in RV
+        // ---- step 2a: i-verb suffixes inside RV (setlimit tomark pV),
+        // preceded by a non-vowel other than the H marker
         var removed2a = false
-        longest(w, step2aSufs) match {
+        longestIn(w, step2aSufs, rv) match {
           case null =>
           case s =>
             val cut = w.length - s.length
-            if (cut >= rv && cut > 0 && !isV(w.charAt(cut - 1)) && cut - 1 >= rv) {
+            if (cut > 0 && !isV(w.charAt(cut - 1)) && w.charAt(cut - 1) != 'H' &&
+              cut - 1 >= rv) {
               w = w.substring(0, cut)
               removed2a = true
             }
         }
         if (removed2a) lastAltered = true
         else {
-          // ---- step 2b
+          // ---- step 2b (also inside RV)
           var altered2b = false
-          longest(w, step2bSufs) match {
+          longestIn(w, step2bSufs, rv) match {
             case null =>
             case "ions" =>
-              if (w.length - 4 >= r2 && w.length - 4 >= rv) {
+              if (w.length - 4 >= r2) {
                 w = w.dropRight(4); altered2b = true
               }
             case s @ ("é" | "ée" | "ées" | "és" | "èrent" | "er" | "era" |
                 "erai" | "eraIent" | "erais" | "erait" | "eras" | "erez" |
                 "eriez" | "erions" | "erons" | "eront" | "ez" | "iez") =>
-              if (w.length - s.length >= rv) { w = w.dropRight(s.length); altered2b = true }
+              w = w.dropRight(s.length); altered2b = true
             case s =>
-              if (w.length - s.length >= rv) {
-                w = w.dropRight(s.length); altered2b = true
-                if (w.endsWith("e") && w.length - 1 >= rv) w = w.dropRight(1)
-              }
+              w = w.dropRight(s.length); altered2b = true
+              if (w.endsWith("e") && w.length - 1 >= rv) w = w.dropRight(1)
           }
           lastAltered = altered2b
         }
@@ -428,26 +453,27 @@ object SnowballStemmers {
         if (w.endsWith("Y")) w = w.dropRight(1) + "i"
         else if (w.endsWith("ç")) w = w.dropRight(1) + "c"
       } else {
-        // ---- step 4
-        if (w.endsWith("s") && w.length >= 2 &&
-          "aiouès".indexOf(w.charAt(w.length - 2).toInt) < 0)
-          w = w.dropRight(1)
-        longest(w, step4Sufs) match {
+        // ---- step 4: s dropped unless preceded by a/i/o/u/è/s, where a
+        // preceding i that is itself preceded by the H marker (original ï)
+        // does not protect the s; then the RV-limited residual among.
+        if (w.endsWith("s") && w.length >= 2) {
+          val p = w.charAt(w.length - 2)
+          val protects = "aiouès".indexOf(p.toInt) >= 0 &&
+            !(p == 'i' && w.length >= 3 && w.charAt(w.length - 3) == 'H')
+          if (!protects) w = w.dropRight(1)
+        }
+        longestIn(w, step4Sufs, rv) match {
           case null =>
           case "ion" =>
             val cut = w.length - 3
-            if (cut >= r2 && cut >= rv && cut > 0 &&
+            if (cut >= r2 && cut > 0 &&
               (w.charAt(cut - 1) == 's' || w.charAt(cut - 1) == 't') &&
               cut - 1 >= rv)
               w = w.substring(0, cut)
           case s @ ("ier" | "ière" | "Ier" | "Ière") =>
-            if (w.length - s.length >= rv) w = w.dropRight(s.length) + "i"
+            w = w.dropRight(s.length) + "i"
           case "e" =>
-            if (w.length - 1 >= rv) w = w.dropRight(1)
-          case "ë" =>
-            if (w.length - 1 >= rv && w.length >= 3 &&
-              w.substring(w.length - 3, w.length - 1) == "gu")
-              w = w.dropRight(1)
+            w = w.dropRight(1)
         }
       }
       // ---- step 5: undouble
@@ -459,7 +485,20 @@ object SnowballStemmers {
       while (k >= 0 && !isV(w.charAt(k))) { k -= 1; trailing += 1 }
       if (trailing >= 1 && k >= 0 && (w.charAt(k) == 'é' || w.charAt(k) == 'è'))
         w = w.substring(0, k) + "e" + w.substring(k + 1)
-      // postlude
+      // postlude: unmark I/U/Y, fold He/Hi back to ë/ï, drop stray H
+      if (w.indexOf('H') >= 0) {
+        val sb = new StringBuilder(w.length)
+        var m = 0
+        while (m < w.length) {
+          val c = w.charAt(m)
+          if (c == 'H') {
+            if (m + 1 < w.length && w.charAt(m + 1) == 'e') { sb.append('ë'); m += 2 }
+            else if (m + 1 < w.length && w.charAt(m + 1) == 'i') { sb.append('ï'); m += 2 }
+            else m += 1
+          } else { sb.append(c); m += 1 }
+        }
+        w = sb.toString
+      }
       w.map { case 'I' => 'i'; case 'U' => 'u'; case 'Y' => 'y'; case c => c }
     }
   }
@@ -907,24 +946,23 @@ object SnowballStemmers {
         if ((x.endsWith("gd") || x.endsWith("dt") || x.endsWith("gt") ||
           x.endsWith("kt")) && x.length - 2 >= r1) x.dropRight(1)
         else x
-      // step 1
-      longest(w, step1Sufs) match {
+      // step 1 (the among runs inside R1: setlimit tomark p1)
+      longestIn(w, step1Sufs, r1) match {
         case null =>
         case "s" =>
-          if (w.length - 1 >= r1 && sEnding.indexOf(before(w, w.length - 1).toInt) >= 0)
+          if (sEnding.indexOf(before(w, w.length - 1).toInt) >= 0)
             w = w.dropRight(1)
         case s =>
-          if (w.length - s.length >= r1) w = w.dropRight(s.length)
+          w = w.dropRight(s.length)
       }
       // step 2
       w = step2(w)
       // step 3 (igst has no region constraint in the published algorithm)
       if (w.endsWith("igst")) w = w.dropRight(2)
       if (w.endsWith("løst") && w.length - 4 >= r1) w = w.dropRight(1)
-      else longest(w, step3Sufs) match {
+      else longestIn(w, step3Sufs, r1) match {
         case null =>
-        case s =>
-          if (w.length - s.length >= r1) { w = w.dropRight(s.length); w = step2(w) }
+        case s => w = w.dropRight(s.length); w = step2(w)
       }
       // step 4: undouble a final double consonant in R1
       if (w.length >= 2 && w.length - 1 >= r1 &&
@@ -951,26 +989,26 @@ object SnowballStemmers {
     def stem(word: String): String = {
       var w = word
       val r1 = math.min(math.max(regionAfter(w, 0, isV), 3), w.length)
-      // step 1
-      longest(w, step1Sufs) match {
+      // step 1 (the among runs inside R1: setlimit tomark p1)
+      longestIn(w, step1Sufs, r1) match {
         case null =>
         case "s" =>
           val p = before(w, w.length - 1)
           val ok = sEnding.indexOf(p.toInt) >= 0 ||
             (p == 'k' && !isV(before(w, w.length - 2)))
-          if (w.length - 1 >= r1 && ok) w = w.dropRight(1)
+          if (ok) w = w.dropRight(1)
         case s @ ("erte" | "ert") =>
-          if (w.length - s.length >= r1) w = w.dropRight(s.length) + "er"
+          w = w.dropRight(s.length) + "er"
         case s =>
-          if (w.length - s.length >= r1) w = w.dropRight(s.length)
+          w = w.dropRight(s.length)
       }
       // step 2
       if ((w.endsWith("dt") || w.endsWith("vt")) && w.length - 2 >= r1)
         w = w.dropRight(1)
       // step 3
-      longest(w, step3Sufs) match {
+      longestIn(w, step3Sufs, r1) match {
         case null =>
-        case s => if (w.length - s.length >= r1) w = w.dropRight(s.length)
+        case s => w = w.dropRight(s.length)
       }
       w
     }
@@ -993,14 +1031,14 @@ object SnowballStemmers {
     def stem(word: String): String = {
       var w = word
       val r1 = math.min(math.max(regionAfter(w, 0, isV), 3), w.length)
-      // step 1
-      longest(w, step1Sufs) match {
+      // step 1 (the among runs inside R1: setlimit tomark p1)
+      longestIn(w, step1Sufs, r1) match {
         case null =>
         case "s" =>
-          if (w.length - 1 >= r1 && sEnding.indexOf(before(w, w.length - 1).toInt) >= 0)
+          if (sEnding.indexOf(before(w, w.length - 1).toInt) >= 0)
             w = w.dropRight(1)
         case s =>
-          if (w.length - s.length >= r1) w = w.dropRight(s.length)
+          w = w.dropRight(s.length)
       }
       // step 2
       if ((w.endsWith("dd") || w.endsWith("gd") || w.endsWith("nn") ||
@@ -1010,9 +1048,9 @@ object SnowballStemmers {
       // step 3
       if (w.endsWith("fullt") && w.length - 5 >= r1) w = w.dropRight(1)
       else if (w.endsWith("löst") && w.length - 4 >= r1) w = w.dropRight(1)
-      else longest(w, step3Sufs) match {
+      else longestIn(w, step3Sufs, r1) match {
         case null =>
-        case s => if (w.length - s.length >= r1) w = w.dropRight(s.length)
+        case s => w = w.dropRight(s.length)
       }
       w
     }
@@ -1060,51 +1098,53 @@ object SnowballStemmers {
         val c = w.charAt(cut - 1); c == 'а' || c == 'я'
       }
 
+      // The published program wraps the whole backward section in
+      // `setlimit tomark pV`, so every among below matches within RV only.
       // ---- step 1
       var done = false
-      val g = longest(w, gerundAll)
-      if (g != null && w.length - g.length >= rv) {
+      val g = longestIn(w, gerundAll, rv)
+      if (g != null) {
         if (gerund2.contains(g)) { w = w.dropRight(g.length); done = true }
         else if (precAYa(w.length - g.length)) { w = w.dropRight(g.length); done = true }
       }
       if (!done) {
-        val rf = longest(w, Array("ся", "сь"))
-        if (rf != null && w.length - rf.length >= rv) w = w.dropRight(rf.length)
+        val rf = longestIn(w, Array("ся", "сь"), rv)
+        if (rf != null) w = w.dropRight(rf.length)
         var removed = false
-        val a = longest(w, adjective)
-        if (a != null && w.length - a.length >= rv) {
+        val a = longestIn(w, adjective, rv)
+        if (a != null) {
           w = w.dropRight(a.length)
           removed = true
-          val p = longest(w, participleAll)
-          if (p != null && w.length - p.length >= rv) {
+          val p = longestIn(w, participleAll, rv)
+          if (p != null) {
             if (participle2.contains(p)) w = w.dropRight(p.length)
             else if (precAYa(w.length - p.length)) w = w.dropRight(p.length)
           }
         }
         if (!removed) {
-          val v = longest(w, verbAll)
-          if (v != null && w.length - v.length >= rv) {
+          val v = longestIn(w, verbAll, rv)
+          if (v != null) {
             if (verb2.contains(v)) { w = w.dropRight(v.length); removed = true }
             else if (precAYa(w.length - v.length)) { w = w.dropRight(v.length); removed = true }
           }
         }
         if (!removed) {
-          val nn = longest(w, noun)
-          if (nn != null && w.length - nn.length >= rv) w = w.dropRight(nn.length)
+          val nn = longestIn(w, noun, rv)
+          if (nn != null) w = w.dropRight(nn.length)
         }
       }
       // ---- step 2: final и
       if (w.endsWith("и") && w.length - 1 >= rv) w = w.dropRight(1)
-      // ---- step 3: derivational (R2)
-      val d = longest(w, Array("ость", "ост"))
+      // ---- step 3: derivational (R2, nested inside the RV limit)
+      val d = longestIn(w, Array("ость", "ост"), rv)
       if (d != null && w.length - d.length >= r2) w = w.dropRight(d.length)
-      // ---- step 4: tidy up
-      if (w.endsWith("нн") && w.length - 1 >= rv) w = w.dropRight(1)
+      // ---- step 4: tidy up (нн needs both chars inside RV)
+      if (w.endsWith("нн") && w.length - 2 >= rv) w = w.dropRight(1)
       else {
-        val sup = longest(w, Array("ейше", "ейш"))
-        if (sup != null && w.length - sup.length >= rv) {
+        val sup = longestIn(w, Array("ейше", "ейш"), rv)
+        if (sup != null) {
           w = w.dropRight(sup.length)
-          if (w.endsWith("нн") && w.length - 1 >= rv) w = w.dropRight(1)
+          if (w.endsWith("нн") && w.length - 2 >= rv) w = w.dropRight(1)
         } else if (w.endsWith("ь") && w.length - 1 >= rv) w = w.dropRight(1)
       }
       w

@@ -36,6 +36,22 @@ object SnowballStemmers2 {
     best
   }
 
+  /** Longest suffix of `w` among `sufs`, unrestricted (null if none).
+    * Models the `[substring] R1 among(...)` shape: the longest whole-word
+    * match is selected first, and a failed region test then fails the
+    * whole step — an out-of-region longer suffix shadows shorter ones.
+    */
+  private def longest(w: String, sufs: Array[String]): String = {
+    var best: String = null
+    var i = 0
+    while (i < sufs.length) {
+      val s = sufs(i)
+      if ((best == null || s.length > best.length) && w.endsWith(s)) best = s
+      i += 1
+    }
+    best
+  }
+
   /** Standard region start: position after the first non-vowel that
     * follows a vowel, searching from `from`; word length if absent.
     */
@@ -129,7 +145,17 @@ object SnowballStemmers2 {
       }
 
       // Step 3: cases. Longest R1-limited match; sets endingRemoved.
+      // Fallback semantics established against the reference
+      // implementation: hXn and a/ä fail hard when their condition does
+      // not hold; seen/siin/den/tten fall back to the bare-n branch
+      // (they all end in n); tta/ttä fall back to deleting ta/tä.
       var endingRemoved = false
+      def nBranch(): Unit = {
+        w = w.dropRight(1)
+        endingRemoved = true
+        // if now ending in a long vowel or ie, also delete the last vowel
+        if (endsLV(w) || w.endsWith("ie")) w = w.dropRight(1)
+      }
       longestIn(w, case3, r1) match {
         case null =>
         case s if hXn.contains(s) =>
@@ -144,13 +170,13 @@ object SnowballStemmers2 {
           if (cut >= 2 && w.charAt(cut - 1) == 'i' &&
             isVi(w.charAt(cut - 2))) {
             w = w.dropRight(s.length); endingRemoved = true
-          }
+          } else nBranch()
         case "seen" =>
           val cut = w.length - 4
           if (cut >= 2 &&
             longVowels.exists(lv => w.regionMatches(cut - 2, lv, 0, 2))) {
             w = w.dropRight(4); endingRemoved = true
-          }
+          } else nBranch()
         case s @ ("a" | "ä") =>
           // preceded by cv (consonant then vowel)
           val cut = w.length - 1
@@ -161,15 +187,14 @@ object SnowballStemmers2 {
         case s @ ("tta" | "ttä") =>
           if (w.length > 3 && w.charAt(w.length - 4) == 'e') {
             w = w.dropRight(3); endingRemoved = true
+          } else {
+            w = w.dropRight(2); endingRemoved = true
           }
         case s @ ("ta" | "tä" | "ssa" | "ssä" | "sta" | "stä" | "lla" |
             "llä" | "lta" | "ltä" | "lle" | "na" | "nä" | "ksi" | "ine") =>
           w = w.dropRight(s.length); endingRemoved = true
         case "n" =>
-          w = w.dropRight(1)
-          endingRemoved = true
-          // if preceded by LV or ie, also delete the last vowel
-          if (endsLV(w) || w.endsWith("ie")) w = w.dropRight(1)
+          nBranch()
         case _ =>
       }
 
@@ -198,20 +223,21 @@ object SnowballStemmers2 {
           w = w.dropRight(3)
       }
 
-      // Step 6: tidying. The sub-steps apply in turn.
+      // Step 6: tidying. The sub-steps apply in turn; each two-letter
+      // pattern must lie entirely within R1 (setlimit semantics).
       // 6a) R1 ends with LV -> delete the last letter
-      if (endsLV(w) && w.length - 1 >= r1) w = w.dropRight(1)
+      if (endsLV(w) && w.length - 2 >= r1) w = w.dropRight(1)
       // 6b) R1 ends cX (X one of a ä e i) -> delete the last letter
-      if (w.length >= 2 && w.length - 1 >= r1) {
+      if (w.length >= 2 && w.length - 2 >= r1) {
         val x = w.charAt(w.length - 1)
         if ((x == 'a' || x == 'ä' || x == 'e' || x == 'i') &&
           !isV(w.charAt(w.length - 2))) w = w.dropRight(1)
       }
       // 6c) R1 ends oj or uj -> delete the last letter
-      if (w.length - 1 >= r1 && (w.endsWith("oj") || w.endsWith("uj")))
+      if (w.length - 2 >= r1 && (w.endsWith("oj") || w.endsWith("uj")))
         w = w.dropRight(1)
       // 6d) R1 ends jo -> delete the last letter
-      if (w.length - 1 >= r1 && w.endsWith("jo")) w = w.dropRight(1)
+      if (w.length - 2 >= r1 && w.endsWith("jo")) w = w.dropRight(1)
       // 6e) word ends with a double consonant followed by zero or more
       // vowels -> remove the final consonant of the pair
       locally {
@@ -280,6 +306,9 @@ object SnowballStemmers2 {
       "ért", "képp", "képpen", "kor", "ul", "ül", "vá", "vé",
       "onként", "enként", "anként", "ként", "en", "on", "an", "ön",
       "n", "t")
+    private val caseSpecial = Array("ánként", "án", "én")
+    private val caseOther = Array("astul", "estül", "ástul", "éstül",
+      "stul", "stül")
     private val ownedDel = Array("oké", "öké", "aké", "eké", "ké", "éi", "é")
     private val ownedA = Array("áké", "áéi")
     private val ownedE = Array("éké", "ééi", "éé")
@@ -291,89 +320,102 @@ object SnowballStemmers2 {
     private val plurDel = Array("jaim", "jeim", "aim", "eim", "im", "jaid",
       "jeid", "aid", "eid", "id", "jai", "jei", "ai", "ei", "i", "jaink",
       "jeink", "aink", "eink", "ink", "jaitok", "jeitek", "aitok",
-      "eitek", "itek", "jaik", "jeik", "aik", "eik", "ik")
+      "eitek", "jaik", "jeik", "aik", "eik", "ik")
     private val plurA = Array("áim", "áid", "ái", "áink", "áitok", "áik")
     private val plurE = Array("éim", "éid", "éi", "éink", "éitek", "éik")
 
+    /** Every Hungarian step is `[substring] R1 among(...)`: the longest
+      * whole-word match is chosen first and a failed R1 test fails the
+      * step (an out-of-region longer suffix shadows in-region shorter
+      * ones — `dák` keeps its k because `ák` matched and failed R1).
+      * Established against the reference implementation; the final á/é
+      * normalization (v_ending) runs only inside the case and vá/vé
+      * branches, and is itself R1-checked (`fát` -> `fá`, not `fa`).
+      */
     def stem(word: String): String = {
       var w = word
       val r1 = r1of(w)
       @inline def inR1(s: String): Boolean = w.length - s.length >= r1
-      // á/é at the new end normalize to a/e after a deletion
+      // á/é at the new end normalize to a/e when inside R1
       @inline def vEnding(x: String): String =
-        if (x.endsWith("á")) x.dropRight(1) + "a"
-        else if (x.endsWith("é")) x.dropRight(1) + "e"
+        if (x.endsWith("á") && x.length - 1 >= r1) x.dropRight(1) + "a"
+        else if (x.endsWith("é") && x.length - 1 >= r1) x.dropRight(1) + "e"
         else x
 
       // Step 1: instrumental case — al/el in R1 after a double consonant
-      for (s <- Seq("al", "el") if w.endsWith(s) && inR1(s) &&
-        doubleLen(w.dropRight(2)) > 0) {
-        w = undouble(w.dropRight(2))
+      locally {
+        val s = longest(w, Array("al", "el"))
+        if (s != null && inR1(s) && doubleLen(w.dropRight(2)) > 0)
+          w = undouble(w.dropRight(2))
       }
 
-      // Step 2: frequent cases — delete, then normalize a trailing á/é
+      // Step 2: frequent cases — delete, then v_ending
       locally {
-        val s = longestIn(w, caseSufs, r1)
-        if (s != null) w = vEnding(w.dropRight(s.length))
+        val s = longest(w, caseSufs)
+        if (s != null && inR1(s)) w = vEnding(w.dropRight(s.length))
       }
 
-      // Step 3: special-cased án/én/ánként (the case list only carries
-      // the short-vowel variants)
-      if (w.endsWith("ánként") && inR1("ánként")) w = w.dropRight(6) + "a"
-      else if (w.endsWith("án") && inR1("án")) w = w.dropRight(2) + "a"
-      else if (w.endsWith("én") && inR1("én")) w = w.dropRight(2) + "e"
-
-      // Step 4: other cases (stul/stül family)
+      // Step 3: special cases án/én/ánként left by step 2
       locally {
-        val s = longestIn(w, Array("astul", "estül", "ástul", "éstül",
-          "stul", "stül"), r1)
-        if (s != null) s match {
+        val s = longest(w, caseSpecial)
+        if (s != null && inR1(s)) {
+          w = w.dropRight(s.length) + (if (s == "én") "e" else "a")
+        }
+      }
+
+      // Step 4: other cases (stul/stül family; in practice the case
+      // step's ul/ül eats these first, kept for fidelity to the spec)
+      locally {
+        val s = longest(w, caseOther)
+        if (s != null && inR1(s)) s match {
           case "ástul" => w = w.dropRight(5) + "a"
           case "éstül" => w = w.dropRight(5) + "e"
           case _       => w = w.dropRight(s.length)
         }
       }
 
-      // Step 5: factive case — á/é in R1 after a double consonant
-      for (s <- Seq("á", "é") if w.endsWith(s) && inR1(s) &&
-        doubleLen(w.dropRight(1)) > 0) {
-        w = undouble(w.dropRight(1))
+      // Step 4b: factive — á/é in R1 after a double consonant, deleted
+      // with the pair undoubled (toll+á -> tol)
+      locally {
+        val s = longest(w, Array("á", "é"))
+        if (s != null && inR1(s) && doubleLen(w.dropRight(1)) > 0)
+          w = undouble(w.dropRight(1))
       }
 
-      // Step 6: owned (-é "that of")
+      // Step 5: owned (-é "that of")
       locally {
-        val s = longestIn(w, ownedDel ++ ownedA ++ ownedE, r1)
-        if (s != null) {
+        val s = longest(w, ownedDel ++ ownedA ++ ownedE)
+        if (s != null && inR1(s)) {
           if (ownedA.contains(s)) w = w.dropRight(s.length) + "a"
           else if (ownedE.contains(s)) w = w.dropRight(s.length) + "e"
           else w = w.dropRight(s.length)
         }
       }
 
-      // Step 7: singular owner suffixes
+      // Step 6: singular owner suffixes
       locally {
-        val s = longestIn(w, singDel ++ singA ++ singE, r1)
-        if (s != null) {
+        val s = longest(w, singDel ++ singA ++ singE)
+        if (s != null && inR1(s)) {
           if (singA.contains(s)) w = w.dropRight(s.length) + "a"
           else if (singE.contains(s)) w = w.dropRight(s.length) + "e"
           else w = w.dropRight(s.length)
         }
       }
 
-      // Step 8: plural owner suffixes
+      // Step 7: plural owner suffixes
       locally {
-        val s = longestIn(w, plurDel ++ plurA ++ plurE, r1)
-        if (s != null) {
+        val s = longest(w, plurDel ++ plurA ++ plurE)
+        if (s != null && inR1(s)) {
           if (plurA.contains(s)) w = w.dropRight(s.length) + "a"
           else if (plurE.contains(s)) w = w.dropRight(s.length) + "e"
           else w = w.dropRight(s.length)
         }
       }
 
-      // Step 9: plural
+      // Step 8: plural
       locally {
-        val s = longestIn(w, Array("ák", "ék", "ök", "ok", "ek", "ak", "k"), r1)
-        if (s != null) s match {
+        val s = longest(w, Array("ák", "ék", "ök", "ok", "ek", "ak", "k"))
+        if (s != null && inR1(s)) s match {
           case "ák" => w = w.dropRight(2) + "a"
           case "ék" => w = w.dropRight(2) + "e"
           case _    => w = w.dropRight(s.length)

@@ -161,7 +161,8 @@ object EnglishStemmer extends Stemmer {
       "ization" -> "ize", "ational" -> "ate", "fulness" -> "ful",
       "ousness" -> "ous", "iveness" -> "ive", "tional" -> "tion",
       "biliti" -> "ble", "lessli" -> "less", "entli" -> "ent",
-      "ation" -> "ate", "alism" -> "al", "aliti" -> "al", "ousli" -> "ous",
+      "ation" -> "ate", "alism" -> "al", "aliti" -> "al", "iviti" -> "ive",
+      "ousli" -> "ous",
       "fulli" -> "ful", "enci" -> "ence", "anci" -> "ance", "abli" -> "able",
       "izer" -> "ize", "ator" -> "ate", "alli" -> "al", "bli" -> "ble")
     var done2 = false

@@ -138,7 +138,7 @@ class SnowballSpec extends AnyFunSuite {
       "hunden" -> "hund",
       "huset" -> "hus",
       "viktigste" -> "viktigst",
-      "hetene" -> "hetene")    // R1 starts after position 3: suffix out of region
+      "hetene" -> "het")       // R1-limited among: "ene" sits exactly at R1=3
   }
 
   test("swedish: exact snowball") {
@@ -166,7 +166,7 @@ class SnowballSpec extends AnyFunSuite {
       "tyttöä" -> "tytö",            // ä after cv, 6e undouble
       "isompi" -> "isomp",           // mpi outside R2: kept; 6b drops i
       "nopeasti" -> "nopeast",       // sti outside R2: kept; 6b drops i
-      "puiden" -> "puid",            // den extends past R1 so n matches
+      "puiden" -> "puide",           // den extends past R1 so n matches
       "vaikeuksiin" -> "vaikeuksiin") // siin matched, Vi condition fails
   }
 
