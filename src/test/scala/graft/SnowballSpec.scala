@@ -167,7 +167,7 @@ class SnowballSpec extends AnyFunSuite {
       "isompi" -> "isomp",           // mpi outside R2: kept; 6b drops i
       "nopeasti" -> "nopeast",       // sti outside R2: kept; 6b drops i
       "puiden" -> "puide",           // den extends past R1 so n matches
-      "vaikeuksiin" -> "vaikeuksiin") // siin matched, Vi condition fails
+      "vaikeuksiin" -> "vaikeuks")   // siin Vi fails -> n-branch + LV + i
   }
 
   test("hungarian: exact snowball") {
