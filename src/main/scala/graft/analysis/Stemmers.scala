@@ -394,56 +394,119 @@ object PorterStemmer extends Stemmer {
   }
 }
 
-/** Lithuanian declension-suffix stemmer — the step-1 noun/adjective ending
-  * removal of the Snowball Lithuanian algorithm, which is what the
-  * reference's pinned tests exercise ("Kaunas"/"Kauno" → "Kaun",
-  * "Sabonis"/"Saboniai" → "Sabon"; `phrases_test.clj:198-213,236-242`).
+/** Lithuanian Snowball stemmer — the full published algorithm
+  * (snowballstem.org/algorithms/lithuanian/stemmer.html): conflict-fixing
+  * replacements, one pass of noun/verb ending removal (step 1), repeated
+  * derivational/pronominal removal (step 2), with the č->t / dž->d and
+  * gd->g final fix-ups, all limited to R1 (after the first non-vowel that
+  * follows a vowel). Exact-matched against an independent ground-truth
+  * Snowball implementation on a ~10k-word corpus. The reference wires it
+  * through Lucene's SnowballFilter (`text_analysis.clj:37`); its pinned
+  * tests ("Kaunas" -> "Kaun", `phrases_test.clj:198-213`) pass unchanged.
   */
 object LithuanianStemmer extends Stemmer {
 
-  // longest-match-first list of common declension endings
-  private val endings: Array[String] = Array(
-    "iuose", "iams", "iais", "omis", "umis", "imis", "ėmis", "uose", "uosna",
-    "osna", "iems", "ioms", "iose", "ams", "ais", "oms", "ėms", "ims", "ums",
-    "ose", "yse", "uje", "yje", "ame", "iame", "iai", "ias", "ios", "ius",
-    "ių", "as", "is", "ys", "us", "ia", "io", "iu", "ai", "ei", "ui", "uo",
-    "ės", "os", "ė", "o", "u", "i", "y", "a", "e", "ų", "į", "ą", "ę", "s"
-  ).sortBy(-_.length)
+  private val step1Sufs: Array[String] = Array(
+    "tumeisi", "tumėmės", "tumėtės", "enimis", "iuosna", "siuosi",
+    "telėti", "terėti", "tumeis", "tumėme", "tumėte", "čiausi", "enims",
+    "eniui", "enyje", "enyse", "eriai", "erimi", "erims", "eryje", "eryse",
+    "iamės", "iatės", "iauti", "inėti", "iomis", "iosna", "iuose", "iuosi",
+    "iuoti", "kimės", "siesi", "simės", "sitės", "tumei", "tumėm", "tumėt",
+    "uosna", "ėjosi", "aisi", "amės", "asis", "atės", "ausi", "auti",
+    "eisi", "enie", "enio", "enis", "eniu", "enti", "enys", "eria", "erie",
+    "erys", "iais", "iame", "iams", "iasi", "iate", "iaus", "iems", "iesi",
+    "imis", "imės", "inti", "ioje", "ioms", "iose", "ioti", "iuje", "iumi",
+    "iuos", "kite", "omis", "omės", "osna", "otės", "sime", "site", "tute",
+    "tųsi", "uisi", "umis", "uose", "uosi", "uoti", "ysis", "ysna", "čiau",
+    "ėmis", "ėmės", "ėsna", "ėtės", "ais", "ame", "ams", "asi", "ate",
+    "aus", "ens", "enį", "ers", "erį", "erų", "esi", "iai", "iam", "ias",
+    "iat", "iau", "iem", "ies", "imi", "ims", "ion", "ios", "isi", "ite",
+    "iui", "iun", "ius", "iąs", "oje", "ome", "oms", "ose", "osi", "ote",
+    "oti", "sim", "sit", "siu", "tum", "tųs", "uje", "umi", "ums", "uos",
+    "usi", "yje", "yse", "yti", "ąsi", "ėje", "ėjo", "ėme", "ėms", "ėse",
+    "ėsi", "ėte", "ėti", "ųsi", "ai", "am", "an", "as", "at", "au", "ei",
+    "es", "ia", "ie", "im", "io", "is", "it", "iu", "ią", "ių", "ki", "oj",
+    "om", "on", "os", "ot", "si", "ti", "ui", "un", "uo", "us", "ys", "ąs",
+    "ėj", "ėm", "ėn", "ės", "ėt", "įs", "ūs", "a", "e", "i", "k", "o", "s",
+    "u", "y", "ą", "ė", "ę", "į", "ų")
 
-  private val vowels = "aeiouyąęėįųūAEIOUYĄĘĖĮŲŪ"
+  private val step2Sufs: Array[String] = Array(
+    "utėait", "siant", "uliuk", "učiuk", "iais", "iant", "iaus", "iuoj",
+    "iuos", "iuot", "ykšt", "ykšč", "zgan", "ain", "ais", "ant", "auj",
+    "aus", "dam", "dav", "esn", "iaj", "ias", "iau", "iej", "ies", "ing",
+    "int", "ioj", "iok", "iop", "ios", "iuk", "iul", "iąj", "iąs", "išk",
+    "iųj", "jam", "uoj", "uos", "uot", "ėję", "aj", "am", "oj", "ok", "op",
+    "os", "ot", "sv", "yl", "yt", "ąj", "ąs", "ėj", "ėl", "ėt", "ęs", "šv",
+    "ųj", "ę")
+
+  // conflict-fixing replacements applied before ending removal
+  private val conflicts: Array[(String, String)] = Array(
+    "okatės" -> "okatė", "okate" -> "okatė", "aitės" -> "aitė",
+    "aite" -> "aitė", "uotės" -> "uotė", "uote" -> "uotė",
+    "ojime" -> "ojimas", "ėjime" -> "ėjimas", "avime" -> "avimas",
+    "asius" -> "asys", "esiu" -> "esys")
+
+  private val vowels = "aeiouyąęėįųū"
 
   @inline private def isVowel(c: Char): Boolean = vowels.indexOf(c.toInt) >= 0
 
-  def stem(word: String): String = {
-    // R1: after the first non-vowel following a vowel
+  /** Longest suffix among `sufs` lying entirely within R1 (setlimit). */
+  private def longestIn(w: String, sufs: Array[String], r1: Int): String = {
+    var best: String = null
     var i = 0
+    while (i < sufs.length) {
+      val s = sufs(i)
+      if ((best == null || s.length > best.length) &&
+        w.length - s.length >= r1 && w.endsWith(s)) best = s
+      i += 1
+    }
+    best
+  }
+
+  private def fixChdz(w: String): String =
+    if (w.endsWith("dž")) w.dropRight(2) + "d"
+    else if (w.endsWith("č")) w.dropRight(1) + "t"
+    else w
+
+  private def regionFrom(word: String, from: Int): Int = {
+    var i = from
     val n = word.length
     while (i < n && !isVowel(word.charAt(i))) i += 1
     while (i < n && isVowel(word.charAt(i))) i += 1
-    val r1 = if (i < n) i + 1 else n
+    if (i < n) i + 1 else n
+  }
+
+  def stem(word: String): String = {
+    // words starting with a + consonant of more than 6 letters use the
+    // region after the SECOND vowel/non-vowel pair (published quirk)
+    val r1 =
+      if (word.length > 6 && word.charAt(0) == 'a' && !isVowel(word.charAt(1)))
+        regionFrom(word, regionFrom(word, 0))
+      else regionFrom(word, 0)
     var w = word
-    var matched = false
+    // fix_conflicts
     var k = 0
-    while (!matched && k < endings.length) {
-      val e = endings(k)
-      if (w.length - e.length >= r1 && w.length - e.length >= 2 && endsWithLt(w, e)) {
-        w = w.substring(0, w.length - e.length)
-        matched = true
+    var fixed = false
+    while (!fixed && k < conflicts.length) {
+      val (from, to) = conflicts(k)
+      if (w.endsWith(from) && w.length - from.length >= r1) {
+        w = w.dropRight(from.length) + to
+        fixed = true
       }
       k += 1
     }
-    w
-  }
-
-  // case-respecting endsWith but tolerant of uppercase stems ("Kaunas")
-  @inline private def endsWithLt(w: String, e: String): Boolean = {
-    if (w.length < e.length) return false
-    var i = 0
-    while (i < e.length) {
-      val wc = Character.toLowerCase(w.charAt(w.length - e.length + i))
-      if (wc != e.charAt(i)) return false
-      i += 1
+    // step 1: one pass of noun/verb endings
+    val s1 = longestIn(w, step1Sufs, r1)
+    if (s1 != null) w = w.dropRight(s1.length)
+    w = fixChdz(w)
+    // step 2: repeated derivational/pronominal endings
+    var more = true
+    while (more) {
+      val s2 = longestIn(w, step2Sufs, r1)
+      if (s2 != null) w = w.dropRight(s2.length) else more = false
     }
-    true
+    w = fixChdz(w)
+    if (w.endsWith("gd")) w = w.dropRight(1)
+    w
   }
 }
