@@ -1,0 +1,214 @@
+package graft.analysis
+
+/** Exact implementations of the published Snowball stemming algorithms for
+  * further languages the reference wires through Lucene's SnowballFilter
+  * (`/root/reference/src/beagle/text_analysis.clj:15-49`), continuing
+  * [[SnowballStemmers]] / [[SnowballStemmers2]]. Each implementation was
+  * exact-matched against an independent ground-truth Snowball
+  * implementation on ~10k-word generated corpora (real inflected words,
+  * stem x suffix-inventory crosses, and random strings per alphabet).
+  */
+object SnowballStemmers3 {
+
+  /** Longest suffix of `w` among `sufs` lying entirely inside the region
+    * starting at `limit` (Snowball `setlimit tomark pN for [substring]`).
+    */
+  private def longestIn(w: String, sufs: Array[String], limit: Int): String = {
+    var best: String = null
+    var i = 0
+    while (i < sufs.length) {
+      val s = sufs(i)
+      if ((best == null || s.length > best.length) &&
+        w.length - s.length >= limit && w.endsWith(s)) best = s
+      i += 1
+    }
+    best
+  }
+
+  /** Longest suffix of `w` among the keys of `sufs`, unrestricted
+    * (`[substring] R1 among(...)`: region test applies after selection).
+    */
+  private def longestPair(w: String, sufs: Array[(String, Int)]): (String, Int) = {
+    var best: (String, Int) = null
+    var i = 0
+    while (i < sufs.length) {
+      val s = sufs(i)
+      if ((best == null || s._1.length > best._1.length) && w.endsWith(s._1)) best = s
+      i += 1
+    }
+    best
+  }
+
+  // ------------------------------------------------------------------
+  // Romanian — snowballstem.org/algorithms/romanian/stemmer.html
+  // Uses the cedilla forms ş (U+015F) / ţ (U+0163), as the published
+  // algorithm and the reference's Lucene stemmer do.
+  // ------------------------------------------------------------------
+  object Romanian extends Stemmer {
+    private val vowels = "aeiouăâî"
+    @inline private def isV(c: Char) = vowels.indexOf(c.toInt) >= 0
+
+    // step 0: plurals. res: 1 delete, 2 ->a, 3 ->e, 4 ->i, 5 ile->i
+    // unless preceded by ab, 6 ->at, 7 ->aţi
+    private val step0: Array[(String, Int)] = Array(
+      ("iilor", 4), ("atei", 6), ("aţia", 7), ("aţie", 7), ("elor", 3),
+      ("iile", 4), ("ilor", 4), ("ului", 1), ("aua", 2), ("ele", 3),
+      ("iei", 4), ("ile", 5), ("iua", 4), ("ea", 3), ("ii", 4), ("ul", 1))
+
+    // step 1 (repeat): combining suffixes. res: 1 ->abil, 2 ->ibil,
+    // 3 ->iv, 4 ->ic, 5 ->at, 6 ->it
+    private val combo: Array[(String, Int)] = Array(
+      ("abilitate", 1), ("abilitati", 1), ("abilităţi", 1), ("ibilitate", 2),
+      ("abilităi", 1), ("icatori", 4), ("icitate", 4), ("icitati", 4),
+      ("icităţi", 4), ("ivitate", 3), ("ivitati", 3), ("ivităţi", 3),
+      ("atoare", 5), ("aţiune", 5), ("icator", 4), ("icităi", 4),
+      ("itoare", 6), ("ivităi", 3), ("iţiune", 6), ("ătoare", 5),
+      ("ativa", 5), ("ative", 5), ("ativi", 5), ("ativă", 5), ("atori", 5),
+      ("icala", 4), ("icale", 4), ("icali", 4), ("icală", 4), ("iciva", 4),
+      ("icive", 4), ("icivi", 4), ("icivă", 4), ("itiva", 6), ("itive", 6),
+      ("itivi", 6), ("itivă", 6), ("itori", 6), ("ători", 5), ("ativ", 5),
+      ("ator", 5), ("ical", 4), ("iciv", 4), ("itiv", 6), ("itor", 6),
+      ("ător", 5))
+    private val comboRepl = Array("", "abil", "ibil", "iv", "ic", "at", "it")
+
+    // step 2: standard suffixes in R2. res: 1 delete, 2 iune/iuni after ţ
+    // (ţ -> t), 3 ->ist
+    private val standard: Array[(String, Int)] = Array(
+      ("abila", 1), ("abile", 1), ("abili", 1), ("abilă", 1), ("atori", 1),
+      ("ibila", 1), ("ibile", 1), ("ibili", 1), ("ibilă", 1), ("itate", 1),
+      ("itati", 1), ("ităţi", 1), ("abil", 1), ("anta", 1), ("ante", 1),
+      ("anti", 1), ("antă", 1), ("ator", 1), ("ibil", 1), ("isme", 3),
+      ("ista", 3), ("iste", 3), ("isti", 3), ("istă", 3), ("ităi", 1),
+      ("iune", 2), ("iuni", 2), ("işti", 3), ("oasa", 1), ("oase", 1),
+      ("oasă", 1), ("ant", 1), ("ata", 1), ("ate", 1), ("ati", 1),
+      ("ată", 1), ("ica", 1), ("ice", 1), ("ici", 1), ("ică", 1),
+      ("ism", 3), ("ist", 3), ("ita", 1), ("ite", 1), ("iti", 1),
+      ("ită", 1), ("iva", 1), ("ive", 1), ("ivi", 1), ("ivă", 1),
+      ("osi", 1), ("oşi", 1), ("uta", 1), ("ute", 1), ("uti", 1),
+      ("ută", 1), ("at", 1), ("ic", 1), ("it", 1), ("iv", 1), ("os", 1),
+      ("ut", 1))
+
+    // step 3: verb suffixes in RV. Group 1 requires a preceding
+    // consonant or u (itself inside RV); group 2 deletes unconditionally.
+    private val verb1: Array[String] = Array(
+      "aserăţi", "iserăţi", "userăţi", "âserăţi", "aserăm", "iserăm",
+      "userăm", "âserăm", "arăţi", "aseră", "aseşi", "ească", "irăţi",
+      "iseră", "iseşi", "urăţi", "useră", "useşi", "ârăţi", "âseră",
+      "âseşi", "arăm", "asem", "ează", "eaţi", "eşte", "eşti", "iaţi",
+      "indu", "irăm", "isem", "urăm", "usem", "ându", "ârăm", "âsem",
+      "ăşte", "ăşti", "are", "ară", "ase", "aşi", "eai", "eam", "eau",
+      "ere", "esc", "eze", "ezi", "iai", "iam", "iau", "ind", "ire",
+      "iră", "ise", "işi", "ură", "use", "uşi", "ând", "âre", "âră",
+      "âse", "âşi", "ăsc", "ai", "am", "au", "ea", "ez", "ia", "ui", "âi")
+    private val verb2: Array[String] = Array(
+      "seserăţi", "seserăm", "serăţi", "seseră", "seseşi", "serăm",
+      "sesem", "seră", "sese", "seşi", "aţi", "eţi", "iţi", "sei", "âţi",
+      "em", "im", "se", "âm", "ăm")
+    private val verbAll: Array[String] = verb1 ++ verb2
+    private val verb1Set = verb1.toSet
+
+    // step 4: final vowel in RV
+    private val vowelSufs: Array[(String, Int)] = Array(
+      ("ie", 1), ("a", 1), ("e", 1), ("i", 1), ("ă", 1))
+
+    private def regionAfter(w: String, from: Int): Int = {
+      var i = from
+      val n = w.length
+      while (i < n && !isV(w.charAt(i))) i += 1
+      while (i < n && isV(w.charAt(i))) i += 1
+      if (i < n) i + 1 else n
+    }
+
+    def stem(word: String): String = {
+      // prelude: u and i between vowels are marked U and I
+      val cs = word.toCharArray
+      var i = 1
+      while (i < cs.length - 1) {
+        val c = cs(i)
+        if ((c == 'u' || c == 'i') && isV(cs(i - 1)) && isV(cs(i + 1)))
+          cs(i) = (c - 32).toChar
+        i += 1
+      }
+      var w = new String(cs)
+
+      val r1 = regionAfter(w, 0)
+      val r2 = regionAfter(w, r1)
+      val rv: Int = { // Spanish-style RV
+        val n = w.length
+        if (n < 3) n
+        else if (!isV(w.charAt(1))) {
+          var j = 2
+          while (j < n && !isV(w.charAt(j))) j += 1
+          if (j < n) j + 1 else n
+        } else if (isV(w.charAt(0)) && isV(w.charAt(1))) {
+          var j = 2
+          while (j < n && isV(w.charAt(j))) j += 1
+          if (j < n) j + 1 else n
+        } else math.min(3, n)
+      }
+
+      // ---- step 0: plurals (longest match, R1 test)
+      val s0 = longestPair(w, step0)
+      if (s0 != null && w.length - s0._1.length >= r1) {
+        val cut = w.length - s0._1.length
+        s0._2 match {
+          case 1 => w = w.substring(0, cut)
+          case 2 => w = w.substring(0, cut) + "a"
+          case 3 => w = w.substring(0, cut) + "e"
+          case 4 => w = w.substring(0, cut) + "i"
+          case 5 =>
+            if (!(cut >= 2 && w.regionMatches(cut - 2, "ab", 0, 2)))
+              w = w.substring(0, cut) + "i"
+          case 6 => w = w.substring(0, cut) + "at"
+          case 7 => w = w.substring(0, cut) + "aţi"
+        }
+      }
+
+      // ---- step 1: combining suffixes, repeated (R1)
+      var removed = false
+      var loop = true
+      while (loop) {
+        val sc = longestPair(w, combo)
+        if (sc != null && w.length - sc._1.length >= r1) {
+          w = w.substring(0, w.length - sc._1.length) + comboRepl(sc._2)
+          removed = true
+        } else loop = false
+      }
+
+      // ---- step 2: standard suffixes (R2)
+      val ss = longestPair(w, standard)
+      if (ss != null && w.length - ss._1.length >= r2) {
+        val cut = w.length - ss._1.length
+        ss._2 match {
+          case 1 => w = w.substring(0, cut); removed = true
+          case 2 =>
+            if (cut >= 1 && w.charAt(cut - 1) == 'ţ') {
+              w = w.substring(0, cut - 1) + "t"; removed = true
+            }
+          case 3 => w = w.substring(0, cut) + "ist"; removed = true
+        }
+      }
+
+      // ---- step 3: verb suffixes (RV), only if steps 1-2 removed nothing
+      if (!removed) {
+        val sv = longestIn(w, verbAll, rv)
+        if (sv != null) {
+          val cut = w.length - sv.length
+          if (verb1Set.contains(sv)) {
+            if (cut - 1 >= rv && cut >= 1 && {
+              val p = w.charAt(cut - 1); !isV(p) || p == 'u' || p == 'U'
+            }) w = w.substring(0, cut)
+          } else w = w.substring(0, cut)
+        }
+      }
+
+      // ---- step 4: final vowel (RV)
+      val sf = longestPair(w, vowelSufs)
+      if (sf != null && w.length - sf._1.length >= rv)
+        w = w.substring(0, w.length - sf._1.length)
+
+      // postlude
+      w.map { case 'I' => 'i'; case 'U' => 'u'; case c => c }
+    }
+  }
+}

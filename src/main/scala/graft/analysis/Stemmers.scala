@@ -47,7 +47,7 @@ object Stemmers {
     case "swedish"            => SnowballStemmers.Swedish
     case "finnish"            => SnowballStemmers2.Finnish
     case "russian"            => SnowballStemmers.Russian
-    case "romanian"           => SuffixStemmers.romanian
+    case "romanian"           => SnowballStemmers3.Romanian
     case "hungarian"          => SnowballStemmers2.Hungarian
     case "turkish"            => SnowballStemmers2.Turkish
     case "catalan"            => SuffixStemmers.catalan
