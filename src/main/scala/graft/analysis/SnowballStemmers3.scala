@@ -211,4 +211,198 @@ object SnowballStemmers3 {
       w.map { case 'I' => 'i'; case 'U' => 'u'; case c => c }
     }
   }
+
+  // ------------------------------------------------------------------
+  // Catalan — the contributed Snowball algorithm (snowballstem.org).
+  // ------------------------------------------------------------------
+  object Catalan extends Stemmer {
+    private val vowels = "aeiou\u00e1\u00e0\u00e9\u00e8\u00ed\u00ec\u00ef\u00f3\u00f2\u00fa\u00fc"
+    @inline private def isV(c: Char) = vowels.indexOf(c.toInt) >= 0
+
+    private val pronouns: Array[String] = Array(
+      "selas", "selos", "-les", "-nos", "sela", "selo", "'hi", "'ho",
+      "'ls", "'ns", "-la", "-li", "-ls", "-me", "-ns", "-te", "-us", "ens",
+      "las", "les", "los", "nos", "vos", "'l", "'m", "'n", "'s", "'t",
+      "-m", "-n", "hi", "ho", "la", "le", "li", "lo", "me", "se", "us")
+
+    private val standard: Array[(String, Int)] = Array(
+      ("allengües", 1), ("ativitats", 1), ("quíssimes", 5), ("ativitat",
+      1), ("bilitats", 1), ("ialismes", 1), ("ialistes", 1), ("ionistes",
+      1), ("lógiques", 3), ("quíssima", 5), ("quíssims", 5), ("atòries",
+      1), ("bilitat", 1), ("ialisme", 1), ("ialista", 1), ("ionisme", 1),
+      ("ionista", 1), ("isament", 1), ("ivitats", 1), ("quíssim", 5),
+      ("íssimes", 1), ("acions", 2), ("aments", 1), ("ancies", 1),
+      ("atives", 1), ("atòria", 1), ("encies", 1), ("formes", 1),
+      ("idores", 1), ("ificar", 1), ("ivisme", 1), ("ivitat", 1),
+      ("logies", 3), ("logíes", 3), ("lógica", 3), ("lógics", 3),
+      ("ències", 1), ("íssima", 1), ("íssims", 1), ("ables", 1), ("adora",
+      1), ("adors", 1), ("adura", 1), ("ament", 1), ("ancia", 1), ("asses",
+      1), ("assos", 1), ("atius", 1), ("ativa", 1), ("cions", 1), ("doras",
+      1), ("dores", 1), ("dures", 1), ("encia", 1), ("eries", 1), ("ibles",
+      1), ("ictes", 1), ("idors", 1), ("inies", 1), ("iques", 4), ("ismes",
+      1), ("issem", 1), ("isseu", 1), ("issos", 1), ("istes", 1), ("itats",
+      1), ("itzar", 1), ("logia", 3), ("logis", 3), ("logía", 3), ("ments",
+      1), ("sfera", 1), ("toris", 1), ("trius", 1), ("àries", 1), ("ència",
+      1), ("ìssem", 1), ("ìsseu", 1), ("ìssin", 1), ("ícies", 1), ("íinia",
+      1), ("ínies", 1), ("íssem", 1), ("ísseu", 1), ("íssim", 1), ("íssiu",
+      1), ("ístic", 1), ("ívola", 1), ("ïtats", 1), ("able", 1), ("ació",
+      1), ("ades", 2), ("aire", 1), ("alla", 1), ("amen", 1), ("ants", 1),
+      ("aris", 1), ("assa", 1), ("atge", 1), ("atiu", 1), ("bles", 1),
+      ("dora", 1), ("dors", 1), ("egar", 1), ("ejar", 1), ("ella", 1),
+      ("ells", 1), ("enca", 1), ("ents", 1), ("eres", 1), ("eria", 1),
+      ("eses", 1), ("esos", 1), ("essa", 1), ("ible", 1), ("icis", 1),
+      ("icte", 1), ("ient", 1), ("imes", 1), ("ines", 1), ("inia", 1),
+      ("ions", 1), ("isam", 1), ("isme", 1), ("issa", 1), ("ista", 1),
+      ("iste", 1), ("itar", 1), ("itat", 1), ("ites", 1), ("ives", 1),
+      ("logi", 3), ("ment", 1), ("nces", 1), ("ores", 1), ("oses", 1),
+      ("osos", 1), ("otes", 1), ("tori", 1), ("triu", 1), ("ària", 1),
+      ("ícia", 1), ("ícis", 1), ("ívol", 1), ("ïtat", 1), ("ada", 2),
+      ("all", 1), ("als", 1), ("ana", 1), ("ant", 1), ("ari", 1), ("ats",
+      1), ("ble", 1), ("ció", 1), ("dor", 1), ("dur", 1), ("dís", 1),
+      ("ell", 1), ("enc", 1), ("ent", 1), ("era", 1), ("ers", 1), ("esa",
+      1), ("esc", 1), ("eta", 1), ("ets", 1), ("fer", 1), ("ica", 4),
+      ("ici", 1), ("ics", 4), ("ima", 1), ("ims", 1), ("ina", 1), ("ita",
+      1), ("ius", 1), ("iva", 1), ("nça", 1), ("ora", 1), ("ors", 1),
+      ("osa", 1), ("ota", 1), ("ots", 1), ("uds", 1), ("uts", 1), ("íci",
+      1), ("al", 1), ("ar", 1), ("et", 1), ("ic", 4), ("il", 1), ("ió", 1),
+      ("ls", 1), ("or", 1), ("ot", 1), ("ud", 1), ("ès", 1), ("és", 1),
+      ("ís", 1), ("ós", 1), ("ó", 1))
+
+    private val verb1: Array[String] = Array(
+      "aríamos", "eresseu", "eríamos", "iríamos", "iéramos", "iésemos",
+      "adores", "aremos", "aríais", "asteis", "eremos", "eríais", "esquen",
+      "esques", "esquin", "esquis", "ierais", "ieseis", "iremos", "iríais",
+      "isquen", "isteis", "ábamos", "áramos", "ásemos", "ïsquen", "ïsques",
+      "abais", "adora", "adors", "arais", "arian", "arien", "aries",
+      "aréis", "arían", "arías", "aríem", "aríeu", "aseis", "assen",
+      "asses", "asseu", "assim", "assin", "assis", "assiu", "atges",
+      "eixen", "eixer", "eixes", "eixin", "eixis", "erass", "eréis",
+      "erían", "erías", "esqui", "essen", "esses", "esseu", "essim",
+      "essin", "essis", "iendo", "ieran", "ieras", "ieron", "iesen",
+      "ieses", "iguem", "igueu", "irien", "iries", "iréis", "irìem",
+      "irìeu", "irían", "irías", "iríem", "iríeu", "issen", "isses",
+      "issim", "issin", "issis", "issiu", "itzeu", "itzis", "àssem",
+      "àsseu", "àssim", "àssiu", "èssim", "èssiu", "éssem", "éssen",
+      "ésseu", "éssim", "éssiu", "íamos", "íssim", "íssiu", "ïguem",
+      "ïgueu", "ïssen", "ïsses", "ïssin", "ïssis", "aban", "abas", "adas",
+      "ades", "ador", "ados", "amos", "aran", "aras", "arem", "aren",
+      "ares", "areu", "aria", "aron", "aràs", "arán", "arás", "arés",
+      "aría", "asen", "ases", "aste", "avem", "aven", "aves", "eixi",
+      "eixo", "ents", "erau", "eren", "erán", "erás", "ería", "esca",
+      "idas", "ides", "idos", "iera", "iese", "imos", "ineu", "inin",
+      "inis", "iran", "irem", "iren", "ires", "ireu", "iria", "iràs",
+      "irán", "irás", "iría", "isca", "isin", "isis", "iste", "itza",
+      "itzi", "itzo", "itzà", "ixen", "ixes", "ques", "tzar", "udes",
+      "àrem", "àren", "àreu", "àvem", "àveu", "ávem", "áveu", "íais",
+      "írem", "íreu", "ïdes", "ïren", "ïres", "ïsca", "ïxen", "ïxes",
+      "aba", "ada", "ado", "ams", "ant", "ara", "arà", "ará", "aré", "ase",
+      "ass", "ats", "ava", "dre", "eix", "ent", "erá", "eré", "ess", "ida",
+      "ido", "ids", "ien", "ies", "ieu", "ini", "int", "ira", "irà", "irá",
+      "irè", "iré", "isc", "its", "itz", "ixa", "ixo", "iïn", "iïs", "sin",
+      "sis", "uda", "áis", "ìeu", "ían", "ías", "íem", "íeu", "ïda", "ïen",
+      "ïes", "ïra", "ïsc", "ïxo", "ad", "am", "an", "ar", "as", "at", "au",
+      "ed", "em", "en", "er", "es", "ia", "id", "ie", "ii", "in", "io",
+      "ir", "it", "ix", "ià", "iï", "ió", "re", "ut", "às", "és", "ía",
+      "ís", "ïa", "ïm", "ït", "ïu", "ïx", "í")
+
+    private val residual: Array[(String, Int)] = Array(
+      ("iqu", 2), ("itz", 1), ("eu", 1), ("ir", 1), ("is", 1), ("it", 1),
+      ("iu", 1), ("os", 1), ("ïn", 1), ("ïs", 1), ("a", 1), ("e", 1), ("i",
+      1), ("o", 1), ("s", 1), ("à", 1), ("á", 1), ("é", 1), ("ì", 1), ("í",
+      1), ("ï", 1), ("ó", 1))
+
+    private def regionAfter(w: String, from: Int): Int = {
+      var i = from
+      val n = w.length
+      while (i < n && !isV(w.charAt(i))) i += 1
+      while (i < n && isV(w.charAt(i))) i += 1
+      if (i < n) i + 1 else n
+    }
+
+    private def longest(w: String, sufs: Array[String]): String = {
+      var best: String = null
+      var i = 0
+      while (i < sufs.length) {
+        val s = sufs(i)
+        if ((best == null || s.length > best.length) && w.endsWith(s)) best = s
+        i += 1
+      }
+      best
+    }
+
+    private def longestPair(w: String, sufs: Array[(String, Int)]): (String, Int) = {
+      var best: (String, Int) = null
+      var i = 0
+      while (i < sufs.length) {
+        val s = sufs(i)
+        if ((best == null || s._1.length > best._1.length) && w.endsWith(s._1)) best = s
+        i += 1
+      }
+      best
+    }
+
+    def stem(word: String): String = {
+      var w = word
+      val r1 = regionAfter(w, 0)
+      val r2 = regionAfter(w, r1)
+      @inline def inR1(cut: Int) = cut >= r1
+      @inline def inR2(cut: Int) = cut >= r2
+
+      // attached pronouns (R1)
+      locally {
+        val s = longest(w, pronouns)
+        if (s != null && inR1(w.length - s.length)) w = w.dropRight(s.length)
+      }
+      // standard suffixes, else verb suffixes
+      var removed = false
+      locally {
+        val m = longestPair(w, standard)
+        if (m != null) {
+          val cut = w.length - m._1.length
+          m._2 match {
+            case 1 => if (inR1(cut)) { w = w.substring(0, cut); removed = true }
+            case 2 => if (inR2(cut)) { w = w.substring(0, cut); removed = true }
+            case 3 => if (inR2(cut)) { w = w.substring(0, cut) + "log"; removed = true }
+            case 4 => if (inR2(cut)) { w = w.substring(0, cut) + "ic"; removed = true }
+            case 5 => if (inR1(cut)) { w = w.substring(0, cut) + "c"; removed = true }
+          }
+        }
+      }
+      if (!removed) {
+        val m = longest(w, verb1)
+        val ando = w.endsWith("ando") && (m == null || m.length <= 4)
+        if (ando && inR2(w.length - 4)) w = w.dropRight(4)
+        else if (m != null && inR1(w.length - m.length)) w = w.dropRight(m.length)
+      }
+      // residual
+      locally {
+        val m = longestPair(w, residual)
+        if (m != null) {
+          val cut = w.length - m._1.length
+          m._2 match {
+            case 1 => if (inR1(cut)) w = w.substring(0, cut)
+            case 2 => if (inR1(cut)) w = w.substring(0, cut) + "ic"
+          }
+        }
+      }
+      // cleaning
+      val sb = new StringBuilder(w.length)
+      var i2 = 0
+      while (i2 < w.length) {
+        val c = w.charAt(i2)
+        c match {
+          case '\u00e0' | '\u00e1' => sb.append('a')
+          case '\u00e8' | '\u00e9' => sb.append('e')
+          case '\u00ec' | '\u00ed' | '\u00ef' => sb.append('i')
+          case '\u00f2' | '\u00f3' => sb.append('o')
+          case '\u00fa' | '\u00fc' => sb.append('u')
+          case '\u00b7' => sb.append('.')
+          case _ => sb.append(c)
+        }
+        i2 += 1
+      }
+      sb.toString
+    }
+  }
+
 }

@@ -50,7 +50,7 @@ object Stemmers {
     case "romanian"           => SnowballStemmers3.Romanian
     case "hungarian"          => SnowballStemmers2.Hungarian
     case "turkish"            => SnowballStemmers2.Turkish
-    case "catalan"            => SuffixStemmers.catalan
+    case "catalan"            => SnowballStemmers3.Catalan
     case "basque"             => SuffixStemmers.basque
     case "irish"              => SuffixStemmers.irish
     case "estonian"           => SuffixStemmers.estonian
