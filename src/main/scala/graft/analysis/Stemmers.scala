@@ -51,7 +51,7 @@ object Stemmers {
     case "hungarian"          => SnowballStemmers2.Hungarian
     case "turkish"            => SnowballStemmers2.Turkish
     case "catalan"            => SnowballStemmers3.Catalan
-    case "basque"             => SuffixStemmers.basque
+    case "basque"             => SnowballStemmers3.Basque
     case "irish"              => SuffixStemmers.irish
     case "estonian"           => SuffixStemmers.estonian
     case "armenian"           => SuffixStemmers.armenian
