@@ -577,4 +577,115 @@ object SnowballStemmers3 {
     }
   }
 
+
+  // ------------------------------------------------------------------
+  // Irish — the contributed Snowball algorithm (snowballstem.org).
+  // Initial-mutation undoing at the word start, then noun, derivational
+  // and verb suffix removal (R1/R2/RV conditions probed exactly).
+  // ------------------------------------------------------------------
+  object Irish extends Stemmer {
+    private val vowels = "aeiou\u00e1\u00e9\u00ed\u00f3\u00fa"
+    @inline private def isV(c: Char) = vowels.indexOf(c.toInt) >= 0
+
+    // initial mutations: (prefix, replacement)
+    private val mutations: Array[(String, String)] = Array(
+      ("d'fh", "f"), ("bhf", "f"), ("b'", ""), ("d'", ""), ("m'", ""),
+      ("h-", ""), ("n-", ""), ("t-", ""), ("bh", "b"), ("mb", "b"),
+      ("ch", "c"), ("gc", "c"), ("dh", "d"), ("nd", "d"), ("fh", "f"),
+      ("gh", "g"), ("ng", "g"), ("bp", "p"), ("ph", "p"), ("sh", "s"),
+      ("ts", "s"), ("dt", "t"), ("th", "t"), ("mh", "m"))
+
+    // noun suffixes: res1 delete in R1, res2 delete in R2
+    private val noun: Array[(String, Int)] = Array(
+      ("a\u00edochta", 1), ("\u00edochta", 1), ("a\u00edocht", 1),
+      ("\u00edocht", 1), ("aire", 2), ("eabh", 1), ("aibh", 1),
+      ("eamh", 1), ("aimh", 1), ("air\u00ed", 2), ("ire", 2),
+      ("abh", 1), ("ibh", 1), ("amh", 1), ("imh", 1), ("ir\u00ed", 2))
+
+    // derivational: res1 delete in R2; 2..6 unconditioned replacements
+    private val deriv: Array[(String, Int)] = Array(
+      ("grafa\u00edochta\u00ed", 4), ("grafa\u00edochta", 4),
+      ("grafa\u00edocht", 4), ("grafa\u00edoch", 4),
+      ("arcachta\u00ed", 2), ("\u00f3ideacha", 6), ("arcachta", 2),
+      ("eachta\u00fail", 1), ("achta\u00fail", 1), ("\u00f3ideach", 6),
+      ("gineach", 3), ("arcacht", 2), ("patacha", 5), ("eachta", 1),
+      ("gineas", 3), ("\u00f3idigh", 6), ("pataigh", 5), ("patach", 5),
+      ("achta", 1), ("eacht", 1), ("paite", 5), ("ginis", 3), ("each", 1),
+      ("acht", 1), ("ach", 1))
+    private val derivRepl = Array("", "", "arc", "gin", "graf", "paite", "\u00f3id")
+
+    // verb suffixes: res1 delete in RV, res2 delete in R1
+    private val verb: Array[(String, Int)] = Array(
+      ("aimid", 1), ("a\u00edmid", 1), ("faidh", 1), ("imid", 1),
+      ("\u00edmid", 1), ("eadh", 2), ("fidh", 1), ("tear", 2),
+      ("adh", 2), ("\u00e1il", 2), ("ain", 2), ("tar", 2))
+
+    private def regionAfter(w: String, from: Int): Int = {
+      var i = from
+      val n = w.length
+      while (i < n && !isV(w.charAt(i))) i += 1
+      while (i < n && isV(w.charAt(i))) i += 1
+      if (i < n) i + 1 else n
+    }
+
+    private def longestPair(w: String, sufs: Array[(String, Int)]): (String, Int) = {
+      var best: (String, Int) = null
+      var i = 0
+      while (i < sufs.length) {
+        val s = sufs(i)
+        if ((best == null || s._1.length > best._1.length) && w.endsWith(s._1)) best = s
+        i += 1
+      }
+      best
+    }
+
+    def stem(word: String): String = {
+      var w = word
+      // initial mutations (longest prefix match)
+      var best: (String, String) = null
+      var k = 0
+      while (k < mutations.length) {
+        val m = mutations(k)
+        if ((best == null || m._1.length > best._1.length) && w.startsWith(m._1))
+          best = m
+        k += 1
+      }
+      if (best != null) w = best._2 + w.substring(best._1.length)
+
+      val r1 = regionAfter(w, 0)
+      val r2 = regionAfter(w, r1)
+      val rv = { // after the first vowel
+        var i = 0
+        while (i < w.length && !isV(w.charAt(i))) i += 1
+        if (i < w.length) i + 1 else w.length
+      }
+
+      locally {
+        val m = longestPair(w, noun)
+        if (m != null) {
+          val cut = w.length - m._1.length
+          if (m._2 == 1 && cut >= r1) w = w.substring(0, cut)
+          else if (m._2 == 2 && cut >= r2) w = w.substring(0, cut)
+        }
+      }
+      locally {
+        val m = longestPair(w, deriv)
+        if (m != null) {
+          val cut = w.length - m._1.length
+          if (m._2 == 1) { if (cut >= r2) w = w.substring(0, cut) }
+          else w = w.substring(0, cut) + derivRepl(m._2)
+        }
+      }
+      locally {
+        val m = longestPair(w, verb)
+        if (m != null) {
+          val cut = w.length - m._1.length
+          if (m._2 == 1 && cut >= rv) w = w.substring(0, cut)
+          else if (m._2 == 2 && cut >= r1) w = w.substring(0, cut)
+        }
+      }
+      w
+    }
+  }
+
 }

@@ -52,7 +52,7 @@ object Stemmers {
     case "turkish"            => SnowballStemmers2.Turkish
     case "catalan"            => SnowballStemmers3.Catalan
     case "basque"             => SnowballStemmers3.Basque
-    case "irish"              => SuffixStemmers.irish
+    case "irish"              => SnowballStemmers3.Irish
     case "estonian"           => SuffixStemmers.estonian
     case "armenian"           => SuffixStemmers.armenian
     case "arabic"             => SuffixStemmers.arabic
