@@ -688,4 +688,88 @@ object SnowballStemmers3 {
     }
   }
 
+
+  // ------------------------------------------------------------------
+  // Armenian — the contributed Snowball algorithm (snowballstem.org).
+  // Four deletion passes (case endings, verb, adjective, noun), all
+  // limited to RV (after the first vowel, region probed exactly).
+  // ------------------------------------------------------------------
+  object Armenian extends Stemmer {
+    private val vowels = "\u0561\u0565\u0567\u0568\u056b\u0578\u0585\u0582"
+    @inline private def isV(c: Char) = vowels.indexOf(c.toInt) >= 0
+
+    private val endings: Array[String] = Array(
+      "ությանդ", "ությանը", "ությանն", "ությանս", "ներում", "ության",
+      "անում", "երում", "ներին", "ներից", "ներով", "վանից", "անով", "երին",
+      "երից", "երով", "ներդ", "ները", "ների", "ներն", "ոջից", "վանդ",
+      "վանը", "վանս", "ամբ", "անդ", "անը", "երդ", "երը", "երի", "երն",
+      "ներ", "ոջդ", "ոջը", "ոջս", "ուդ", "ուն", "ուց", "վան", "վից", "վով",
+      "ցից", "ան", "եր", "ին", "ից", "ոջ", "ով", "ոց", "սա", "վա", "վի",
+      "դ", "ը", "ի", "ն", "ց")
+
+    private val verbs: Array[String] = Array(
+      "ացրինք", "վեցինք", "ալուց", "ացանք", "ացինք", "ացնալ", "ացվել",
+      "ացրեց", "ացրին", "ացրիր", "ացրիք", "ելուց", "եցինք", "եցնել",
+      "եցվել", "կոտել", "վեցին", "վեցիր", "վեցիք", "ալիս", "ալով", "ալու",
+      "անալ", "ատել", "ացան", "ացավ", "ացար", "ացաք", "ացին", "ացիր",
+      "ացիք", "ացրի", "ելիս", "ելով", "ելու", "ենալ", "եցավ", "եցար",
+      "եցին", "եցիր", "եցիք", "ոտել", "վեցի", "վում", "ցանք", "ցնել",
+      "անք", "ացա", "ացի", "եցա", "եցի", "ըալ", "ըել", "նել", "ում", "չել",
+      "ված", "վել", "տել", "ցան", "ցաք", "ալ", "ան", "ավ", "ար", "աց",
+      "աք", "ել", "եց", "վե", "ա")
+
+    private val adjectives: Array[String] = Array(
+      "երորդ", "ական", "ավետ", "արան", "եկեն", "երեն", "լայն", "ովին",
+      "որակ", "որէն", "վուն", "րորդ", "ալի", "ակի", "բար", "գին", "կոտ",
+      "պես", "ատ", "եղ", "են", "ին", "իվ")
+
+    private val nouns: Array[String] = Array(
+      "ություն", "մունք", "ալիք", "անակ", "անիք", "անօց", "ավոր", "արան",
+      "եղէն", "յուն", "ուհի", "ույթ", "ույք", "ունք", "ուստ", "ստան",
+      "վածք", "ածո", "արք", "գար", "ենք", "իչք", "յակ", "ոնք", "որդ",
+      "ուկ", "ուս", "չեք", "պան", "վոր", "ակ", "ան", "իլ", "իկ", "իչ",
+      "իք", "ոց", "ու", "ցի", "ք")
+
+    private def longestIn(w: String, sufs: Array[String], lim: Int): String = {
+      var best: String = null
+      var i = 0
+      while (i < sufs.length) {
+        val s = sufs(i)
+        if ((best == null || s.length > best.length) &&
+          w.length - s.length >= lim && w.endsWith(s)) best = s
+        i += 1
+      }
+      best
+    }
+
+    private def regionAfter(w: String, from: Int): Int = {
+      var i = from
+      val n = w.length
+      while (i < n && !isV(w.charAt(i))) i += 1
+      while (i < n && isV(w.charAt(i))) i += 1
+      if (i < n) i + 1 else n
+    }
+
+    def stem(word: String): String = {
+      var w = word
+      // the whole backward section runs inside RV (setlimit tomark pV);
+      // the case-ending pass additionally requires R2 and fails hard
+      val rv = {
+        var i = 0
+        while (i < word.length && !isV(word.charAt(i))) i += 1
+        if (i < word.length) i + 1 else word.length
+      }
+      val r2 = regionAfter(word, regionAfter(word, 0))
+      locally {
+        val s = longestIn(w, endings, rv)
+        if (s != null && w.length - s.length >= r2) w = w.dropRight(s.length)
+      }
+      for (table <- Array(verbs, adjectives, nouns)) {
+        val s = longestIn(w, table, rv)
+        if (s != null) w = w.dropRight(s.length)
+      }
+      w
+    }
+  }
+
 }

@@ -54,7 +54,7 @@ object Stemmers {
     case "basque"             => SnowballStemmers3.Basque
     case "irish"              => SnowballStemmers3.Irish
     case "estonian"           => SuffixStemmers.estonian
-    case "armenian"           => SuffixStemmers.armenian
+    case "armenian"           => SnowballStemmers3.Armenian
     case "arabic"             => SuffixStemmers.arabic
     case _                    => EnglishStemmer // reference defaults unknowns to English
   }
