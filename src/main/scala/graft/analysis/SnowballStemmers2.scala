@@ -492,32 +492,25 @@ object SnowballStemmers2 {
             isV(w.charAt(w.length - bare.length - 1)) && harmonyOk(w, bare))
             best = bare.length
         } else {
-          // consonant buffer: buffered form requires a vowel-final stem
+          // consonant buffer: the buffered form requires a vowel before
+          // the buffer letter (the published optional-letter test)
           if (f.buffer != ' ') {
             val b = f.buffer.toString + v
             if (b.length > best && w.length > b.length && w.endsWith(b) &&
               isV(w.charAt(w.length - b.length - 1)) && harmonyOk(w, v))
               best = b.length
           }
-          // bare form: the stem must NOT end in the buffer letter
-          // preceded by a vowel (that segmentation belongs to the
-          // buffered form); -(y)X and -(s)X bare forms additionally
-          // attach only after consonants (true of the morphology the
-          // buffer letter exists to repair), while buffer-n suffixes
-          // (locative/ablative/genitive) attach bare after anything
+          // bare form. For -(y)X and -(s)X the published optional-letter
+          // test requires consonant-preceded-by-vowel at the attachment
+          // point (kitab-ı strips, lfutvv-u does not); buffer-n suffixes
+          // attach bare after anything.
           if (v.length > best && w.length > v.length && w.endsWith(v)) {
             val pre = w.charAt(w.length - v.length - 1)
-            // a bare suffix never starts where a buffer letter preceded
-            // by a vowel sits: that segmentation belongs to a buffered
-            // family. Single-high-vowel suffixes guard against ALL
-            // three buffer letters (so "arabas-ı" is never produced
-            // when "araba-sı" is the buffered reading); other families
-            // only against their own.
-            val guardSet = if (f.guardBare) "yns" else f.buffer.toString
-            val preOk = f.buffer == ' ' || guardSet.indexOf(pre.toInt) < 0 ||
-              !(w.length > v.length + 1 && isV(w.charAt(w.length - v.length - 2)))
-            val attachOk = f.buffer == ' ' || f.buffer == 'n' || !isV(pre)
-            if (preOk && attachOk && harmonyOk(w, v)) best = v.length
+            val attachOk =
+              if (f.buffer == ' ' || f.buffer == 'n') true
+              else !isV(pre) && w.length > v.length + 1 &&
+                isV(w.charAt(w.length - v.length - 2))
+            if (attachOk && harmonyOk(w, v)) best = v.length
           }
         }
       }
@@ -586,13 +579,17 @@ object SnowballStemmers2 {
         changed = false
         val fams = Seq(cAsInA, sUnUz, ymUs, yDU, ysA, yken, DUr, nUz,
           yUz, sUn, yUm, lAr)
-        for (f <- fams if !changed) {
+        // longest valid match across the families wins (among semantics)
+        var bestF: Fam = null
+        var bestM = 0
+        for (f <- fams) {
           val m = matchFam(w, f)
           // keep at least one syllable in the stem
-          if (m > 0 && w.dropRight(m).exists(isV)) {
-            w = w.dropRight(m); changed = true; phase1Strips += 1
-            lastWasLAr = f eq lAr
-          }
+          if (m > bestM && w.dropRight(m).exists(isV)) { bestM = m; bestF = f }
+        }
+        if (bestF != null) {
+          w = w.dropRight(bestM); changed = true; phase1Strips += 1
+          lastWasLAr = bestF eq lAr
         }
       }
 
@@ -617,28 +614,47 @@ object SnowballStemmers2 {
             nU, sU)
           case LARI  => Seq(ki)
         }
-        for (f <- fams if !changed) {
+        // longest valid match across the families wins (among semantics)
+        var bestF: Fam = null
+        var bestM = 0
+        for (f <- fams) {
           val m = matchFam(w, f)
-          if (m > 0 && w.dropRight(m).exists(isV)) {
-            w = w.dropRight(m); changed = true
-            state =
-              if (f eq lArI) LARI
-              else if (f eq lAr) PLUR
-              else if (f eq ki) KI
-              else if ((f eq sU) || (f eq Um2) || (f eq UmUz2) || (f eq UnUz2)) POSS
-              else CASE
-          }
+          if (m > bestM && w.dropRight(m).exists(isV)) { bestM = m; bestF = f }
+        }
+        if (bestF != null) {
+          val f = bestF
+          w = w.dropRight(bestM); changed = true
+          state =
+            if (f eq lArI) LARI
+            else if (f eq lAr) PLUR
+            else if (f eq ki) KI
+            else if ((f eq sU) || (f eq Um2) || (f eq UmUz2) || (f eq UnUz2)) POSS
+            else CASE
         }
       }
 
-      // Post-processing: devoice a final b/c/d/ğ (kitabı -> kitab -> kitap)
+      // Postlude, in the published order: a stem ending in d or g gets
+      // the harmonizing high vowel APPENDED (ükhasbd -> ükhasbdı), and
+      // only then are final voiced stops devoiced (b -> p, c -> ç; the
+      // d/t and ğ/k cases are unreachable after the append).
       if (w.nonEmpty) {
         val last = w.charAt(w.length - 1)
-        val repl = last match {
-          case 'b' => 'p'; case 'c' => 'ç'; case 'd' => 't'; case 'ğ' => 'k'
-          case other => other
+        if (last == 'd' || last == 'g') {
+          val u = lastVowelBefore(w, w.length) match {
+            case 'a' | 'ı' => "ı"
+            case 'e' | 'i' => "i"
+            case 'o' | 'u' => "u"
+            case 'ö' | 'ü' => "ü"
+            case _         => "ı"
+          }
+          w = w + u
+        } else {
+          val repl = last match {
+            case 'b' => 'p'; case 'c' => 'ç'; case 'd' => 't'; case 'ğ' => 'k'
+            case other => other
+          }
+          if (repl != last) w = w.substring(0, w.length - 1) + repl
         }
-        if (repl != last) w = w.substring(0, w.length - 1) + repl
       }
       w
     }
