@@ -427,236 +427,469 @@ object SnowballStemmers2 {
 
   // ------------------------------------------------------------------
   // Turkish — snowballstem.org/algorithms/turkish/stemmer.html
-  // (Çilden). Implements the published algorithm's two suffix phases
-  // (nominal-verb suffixes, then iterated noun suffixes), the vowel
-  // harmony check, the buffer-letter rules for -(y)X/-(n)X/-(s)X
-  // suffixes, the more-than-one-syllable precondition, and the final
-  // consonant devoicing. The inter-suffix chaining of the published
-  // state machine is expressed as ordered longest-match passes, which
-  // covers the same suffix sequences (each pass consumes exactly one
-  // suffix, so a chain like -lAr+-DUr+-ymUş unwinds over iterations).
+  // (Çilden). A routine-for-routine transcription of the published
+  // Snowball program: the mark_* suffix recognisers (longest-match
+  // amongs, per-routine vowel-harmony checks, the -(y)/-(n)/-(s)
+  // optional-consonant and -(U) optional-vowel tests), the
+  // nominal-verb suffix machine, the noun-suffix machine with the
+  // recursive -ki chain (whose bra/ket slices can excise a middle
+  // segment, e.g. "eminkinde" -> "emnde"), the continue_stemming flag
+  // whose unset (-lAr branch) skips the rest of the program, the
+  // "ad"/"soyad" reserved words, the harmonizing-vowel append after a
+  // final d/g, and last-consonant devoicing. Verified exact against an
+  // independent ground-truth Snowball implementation (SnowballOracleSpec).
   // ------------------------------------------------------------------
   object Turkish extends Stemmer {
     private val vowels = "aeıioöuü"
-    @inline private def isV(c: Char) = vowels.indexOf(c.toInt) >= 0
+    private val uVowels = "ıiuü"
+    @inline private def isV(ch: Char): Boolean = vowels.indexOf(ch.toInt) >= 0
 
-    /** Last vowel of `w` before position `end` ('\u0000' if none). */
-    private def lastVowelBefore(w: String, end: Int): Char = {
-      var i = end - 1
-      while (i >= 0 && !isV(w.charAt(i))) i -= 1
-      if (i >= 0) w.charAt(i) else '\u0000'
+    /** The earlier-vowel set the last vowel must harmonize with. */
+    private def harmonySet(v: Char): String = v match {
+      case 'a' => "aıou"
+      case 'e' => "eiöü"
+      case 'ı' => "aı"
+      case 'i' => "ei"
+      case 'o' | 'u' => "ou"
+      case 'ö' | 'ü' => "öü"
+      case _ => ""
     }
 
-    /** Turkish vowel harmony: may suffix vowel `sv` follow stem vowel
-      * `pv`? Two-fold for a/e, four-fold for the high vowels.
+    // Suffix tables (longest match wins).
+    private val aYmUs = Array("miş", "muş", "mış", "müş")
+    private val aYDU = Array(
+      "dı", "di", "du", "dü", "tı", "ti", "tu", "tü",
+      "dık", "dik", "duk", "dük", "tık", "tik", "tuk", "tük",
+      "dım", "dim", "dum", "düm", "tım", "tim", "tum", "tüm",
+      "dın", "din", "dun", "dün", "tın", "tin", "tun", "tün")
+    private val aYsA = Array("sa", "se", "sak", "sek", "sam", "sem", "san", "sen")
+    private val aCAsInA = Array("casına", "cesine")
+    private val aSUnUz = Array("siniz", "sunuz", "sınız", "sünüz")
+    private val aLAr = Array("lar", "ler")
+    private val aYUm = Array("im", "um", "ım", "üm")
+    private val aSUn = Array("sin", "sun", "sın", "sün")
+    private val aYUz = Array("iz", "uz", "ız", "üz")
+    private val aDUr = Array("dir", "tir", "dur", "tur", "dır", "tır", "dür", "tür")
+    private val aNUz = Array("niz", "nuz", "nız", "nüz")
+    private val aDA = Array("da", "ta", "de", "te")
+    private val aNdA = Array("nda", "nde")
+    private val aNA = Array("na", "ne")
+    private val aNcA = Array("ca", "ce")
+    private val aNU = Array("ni", "nu", "nı", "nü")
+    private val aNUn = Array("in", "un", "ın", "ün")
+    private val aNdAn = Array("ndan", "nden")
+    private val aDAn = Array("dan", "tan", "den", "ten")
+    private val aYlA = Array("la", "le")
+    private val aYA = Array("a", "e")
+    private val aLArI = Array("leri", "ları")
+    private val aPoss = Array("m", "n", "miz", "niz", "muz", "nuz", "mız", "nız", "müz", "nüz")
+
+    /** Minimal backwards-mode Snowball environment: `c` scans right to
+      * left, `ket` marks the right end of the pending slice, `del`
+      * removes [c, ket) — which is usually a suffix but, inside the -ki
+      * chain, can be a middle segment.
       */
-    private def harmonic(pv: Char, sv: Char): Boolean = sv match {
-      case 'a' => pv == 'a' || pv == 'ı' || pv == 'o' || pv == 'u'
-      case 'e' => pv == 'e' || pv == 'i' || pv == 'ö' || pv == 'ü'
-      case 'ı' => pv == 'a' || pv == 'ı'
-      case 'i' => pv == 'e' || pv == 'i'
-      case 'u' => pv == 'o' || pv == 'u'
-      case 'ü' => pv == 'ö' || pv == 'ü'
-      case _   => true // suffixes with no vowel (e.g. -n buffer alone)
+    private final class Env(var w: String) {
+      var c: Int = w.length
+      var ket: Int = w.length
+      def del(): Unit = { w = w.substring(0, c) + w.substring(ket); ket = c }
     }
 
-    /** A suffix family: every harmony variant, optionally preceded by a
-      * buffer letter per the published -(y)X / -(n)X / -(s)X / -(U)X
-      * notation. Consonant buffers (y/n/s) appear only after vowel-final
-      * stems; the vowel buffer ('U') is the harmonizing high vowel and
-      * appears only after consonant-final stems (its bare form only
-      * after vowels).
-      */
-    private final case class Fam(variants: Array[String], buffer: Char,
-        guardBare: Boolean = false)
+    private def eqS(e: Env, s: String): Boolean =
+      e.c >= s.length && e.w.startsWith(s, e.c - s.length) && { e.c -= s.length; true }
 
-    private def fam(buffer: Char, variants: String*): Fam =
-      Fam(variants.toArray, buffer)
-
-    /** Match `f` at the end of `w` with harmony + buffer rules; returns
-      * the matched length (0 if no valid match). Longest variant wins.
-      */
-    private def matchFam(w: String, f: Fam): Int = {
+    private def among(e: Env, tab: Array[String]): Boolean = {
       var best = 0
-      for (v <- f.variants) {
-        if (f.buffer == 'U') {
-          // -(U)X: variants are given with the buffer vowel (e.g. "ım");
-          // full form after a consonant, bare form (minus the vowel)
-          // after a vowel, both harmony-checked
-          if (v.length > best && w.length > v.length && w.endsWith(v) &&
-            !isV(w.charAt(w.length - v.length - 1)) && harmonyOk(w, v))
-            best = v.length
-          val bare = v.substring(1)
-          if (bare.nonEmpty && bare.length > best &&
-            w.length > bare.length && w.endsWith(bare) &&
-            isV(w.charAt(w.length - bare.length - 1)) && harmonyOk(w, bare))
-            best = bare.length
+      var i = 0
+      while (i < tab.length) {
+        val s = tab(i)
+        if (s.length > best && e.c >= s.length && e.w.startsWith(s, e.c - s.length))
+          best = s.length
+        i += 1
+      }
+      best > 0 && { e.c -= best; true }
+    }
+
+    /** check_vowel_harmony: the word's last vowel (left of `c`) must be
+      * preceded, anywhere earlier, by a vowel from its harmony set.
+      * Pure test — no cursor movement.
+      */
+    private def harmonyOk(e: Env): Boolean = {
+      var i = e.c - 1
+      while (i >= 0 && !isV(e.w.charAt(i))) i -= 1
+      i >= 0 && {
+        val set = harmonySet(e.w.charAt(i))
+        var j = i - 1
+        while (j >= 0 && set.indexOf(e.w.charAt(j).toInt) < 0) j -= 1
+        j >= 0
+      }
+    }
+
+    /** mark_suffix_with_optional_y/n/s_consonant:
+      * (letter test vowel) or ((not letter) test(next vowel)).
+      * The buffered form consumes the letter; the bare form consumes
+      * nothing but requires the char before the stem-final char to be
+      * a vowel.
+      */
+    private def optCons(e: Env, letter: Char): Boolean =
+      if (e.c > 0 && e.w.charAt(e.c - 1) == letter)
+        e.c >= 2 && isV(e.w.charAt(e.c - 2)) && { e.c -= 1; true }
+      else e.c >= 2 && isV(e.w.charAt(e.c - 2))
+
+    /** mark_suffix_with_optional_U_vowel:
+      * (U test non-vowel) or ((not U) test(next non-vowel)). */
+    private def optU(e: Env): Boolean =
+      if (e.c > 0 && uVowels.indexOf(e.w.charAt(e.c - 1).toInt) >= 0)
+        e.c >= 2 && !isV(e.w.charAt(e.c - 2)) && { e.c -= 1; true }
+      else e.c >= 2 && !isV(e.w.charAt(e.c - 2))
+
+    // The mark_* recognisers. Consume on success; callers restore `c`
+    // on failure. Routines without harmonyOk match the published
+    // program (ysA, yken, cAsInA, lArI, possessives skip the check).
+    private def markYmUs(e: Env) = harmonyOk(e) && among(e, aYmUs) && optCons(e, 'y')
+    private def markYDU(e: Env) = harmonyOk(e) && among(e, aYDU) && optCons(e, 'y')
+    private def markYsA(e: Env) = among(e, aYsA) && optCons(e, 'y')
+    private def markYken(e: Env) = eqS(e, "ken") && optCons(e, 'y')
+    private def markSUnUz(e: Env) = harmonyOk(e) && among(e, aSUnUz)
+    private def markLAr(e: Env) = harmonyOk(e) && among(e, aLAr)
+    private def markYUm(e: Env) = harmonyOk(e) && among(e, aYUm) && optCons(e, 'y')
+    private def markSUn(e: Env) = harmonyOk(e) && among(e, aSUn)
+    private def markYUz(e: Env) = harmonyOk(e) && among(e, aYUz) && optCons(e, 'y')
+    private def markDUr(e: Env) = harmonyOk(e) && among(e, aDUr)
+    private def markNUz(e: Env) = harmonyOk(e) && among(e, aNUz)
+    private def markDA(e: Env) = harmonyOk(e) && among(e, aDA)
+    private def markNdA(e: Env) = harmonyOk(e) && among(e, aNdA)
+    private def markNA(e: Env) = harmonyOk(e) && among(e, aNA)
+    private def markNcA(e: Env) = harmonyOk(e) && among(e, aNcA) && optCons(e, 'n')
+    private def markNU(e: Env) = harmonyOk(e) && among(e, aNU)
+    private def markNUn(e: Env) = harmonyOk(e) && among(e, aNUn) && optCons(e, 'n')
+    private def markNdAn(e: Env) = harmonyOk(e) && among(e, aNdAn)
+    private def markDAn(e: Env) = harmonyOk(e) && among(e, aDAn)
+    private def markYlA(e: Env) = harmonyOk(e) && among(e, aYlA) && optCons(e, 'y')
+    private def markYA(e: Env) = harmonyOk(e) && among(e, aYA) && optCons(e, 'y')
+    private def markLArI(e: Env) = among(e, aLArI)
+    private def markPoss(e: Env) = among(e, aPoss) && optU(e)
+    private def markSU(e: Env) =
+      harmonyOk(e) && e.c > 0 && uVowels.indexOf(e.w.charAt(e.c - 1).toInt) >= 0 &&
+        { e.c -= 1; optCons(e, 's') }
+    private def markYU(e: Env) =
+      harmonyOk(e) && e.c > 0 && uVowels.indexOf(e.w.charAt(e.c - 1).toInt) >= 0 &&
+        { e.c -= 1; optCons(e, 'y') }
+
+    /** Shared continuation after a possessive/sU match:
+      * delete; [mark_lAr] delete try(chain). */
+    private def possOrSUtail(e: Env): Unit = {
+      e.del(); e.ket = e.c
+      val s = e.c
+      if (markLAr(e)) { e.del(); val s2 = e.c; if (!chainKi(e)) e.c = s2 }
+      else e.c = s
+    }
+
+    /** stem_suffix_chain_before_ki: ['ki' (daki/nunki/ndaki chain)]. */
+    private def chainKi(e: Env): Boolean = {
+      val save = e.c
+      e.ket = e.c
+      if (eqS(e, "ki") && chainKiBody(e)) true else { e.c = save; false }
+    }
+
+    // Entered with 'ki' consumed and `ket` spanning through it.
+    private def chainKiBody(e: Env): Boolean = {
+      val start = e.c
+      if (markDA(e)) {
+        e.del() // drops DA..ki
+        val s1 = e.c
+        e.ket = e.c
+        if (markLAr(e)) {
+          e.del()
+          val s2 = e.c
+          if (!chainKi(e)) e.c = s2
         } else {
-          // consonant buffer: the buffered form requires a vowel before
-          // the buffer letter (the published optional-letter test)
-          if (f.buffer != ' ') {
-            val b = f.buffer.toString + v
-            if (b.length > best && w.length > b.length && w.endsWith(b) &&
-              isV(w.charAt(w.length - b.length - 1)) && harmonyOk(w, v))
-              best = b.length
+          e.c = s1
+          if (markPoss(e)) {
+            e.del(); e.ket = e.c
+            val s2 = e.c
+            if (markLAr(e)) { e.del(); val s3 = e.c; if (!chainKi(e)) e.c = s3 }
+            else e.c = s2
+          } else e.c = s1
+        }
+        true
+      } else {
+        e.c = start
+        if (markNUn(e)) {
+          e.del() // drops nUn..ki
+          val s1 = e.c
+          e.ket = e.c
+          if (markLArI(e)) { e.del(); true }
+          else {
+            e.c = s1
+            if (markPoss(e)) { possOrSUtail(e); true }
+            else {
+              e.c = s1
+              if (markSU(e)) { possOrSUtail(e); true }
+              else {
+                e.c = s1
+                if (!chainKi(e)) e.c = s1
+                true
+              }
+            }
           }
-          // bare form. For -(y)X and -(s)X the published optional-letter
-          // test requires consonant-preceded-by-vowel at the attachment
-          // point (kitab-ı strips, lfutvv-u does not); buffer-n suffixes
-          // attach bare after anything.
-          if (v.length > best && w.length > v.length && w.endsWith(v)) {
-            val pre = w.charAt(w.length - v.length - 1)
-            val attachOk =
-              if (f.buffer == ' ' || f.buffer == 'n') true
-              else !isV(pre) && w.length > v.length + 1 &&
-                isV(w.charAt(w.length - v.length - 2))
-            if (attachOk && harmonyOk(w, v)) best = v.length
-          }
+        } else {
+          e.c = start
+          if (markNdA(e)) {
+            // no standalone delete: one of the inner matches decides
+            val s1 = e.c
+            if (markLArI(e)) { e.del(); true } // drops lArI..ki
+            else {
+              e.c = s1
+              if (markSU(e)) { possOrSUtail(e); true }
+              else {
+                e.c = s1
+                chainKi(e) // required — the nDA branch fails without it
+              }
+            }
+          } else { e.c = start; false }
         }
       }
-      best
     }
 
-    /** Harmony of variant `v`'s first vowel with the stem's last vowel. */
-    private def harmonyOk(w: String, v: String): Boolean = {
-      val sv = v.find(isV).getOrElse('\u0000')
-      if (sv == '\u0000') true
-      else {
-        val cut = w.length - v.length
-        val pv = lastVowelBefore(w, cut)
-        pv == '\u0000' || harmonic(pv, sv)
+    /** stem_nominal_verb_suffixes. Returns the continue_stemming flag:
+      * false when the -lAr branch fired (its `unset` skips noun
+      * suffixes AND the postlude, per the published main routine). */
+    private def nominal(e: Env): Boolean = {
+      e.c = e.w.length; e.ket = e.c
+      if (markYmUs(e)) { e.del(); return true }
+      e.c = e.ket
+      if (markYDU(e)) { e.del(); return true }
+      e.c = e.ket
+      if (markYsA(e)) { e.del(); return true }
+      e.c = e.ket
+      if (markYken(e)) { e.del(); return true }
+      // cAsInA (sUnUz|lAr|yUm|sUn|yUz|ε) ymUs -> delete
+      e.c = e.ket
+      if (among(e, aCAsInA)) {
+        val s = e.c
+        if (!markSUnUz(e)) { e.c = s
+          if (!markLAr(e)) { e.c = s
+            if (!markYUm(e)) { e.c = s
+              if (!markSUn(e)) { e.c = s
+                if (!markYUz(e)) e.c = s } } } }
+        if (markYmUs(e)) { e.del(); return true }
+      }
+      // lAr delete try((DUr|yDU|ysA|ymUs) delete); unset flag
+      e.c = e.ket
+      if (markLAr(e)) {
+        e.del(); e.ket = e.c
+        val s = e.c
+        if (markDUr(e)) e.del()
+        else { e.c = s
+          if (markYDU(e)) e.del()
+          else { e.c = s
+            if (markYsA(e)) e.del()
+            else { e.c = s
+              if (markYmUs(e)) e.del() else e.c = s } } }
+        return false
+      }
+      // nUz (yDU|ysA) -> delete
+      e.c = e.ket
+      if (markNUz(e)) {
+        val s = e.c
+        if (markYDU(e)) { e.del(); return true }
+        e.c = s
+        if (markYsA(e)) { e.del(); return true }
+      }
+      // sUnUz delete try(ymUs delete)
+      e.c = e.ket
+      if (markSUnUz(e)) {
+        e.del(); e.ket = e.c
+        val s = e.c
+        if (markYmUs(e)) e.del() else e.c = s
+        return true
+      }
+      // (yUz|sUn|yUm) delete try(ymUs delete)
+      e.c = e.ket
+      var hit = markYUz(e)
+      if (!hit) { e.c = e.ket; hit = markSUn(e) }
+      if (!hit) { e.c = e.ket; hit = markYUm(e) }
+      if (hit) {
+        e.del(); e.ket = e.c
+        val s = e.c
+        if (markYmUs(e)) e.del() else e.c = s
+        return true
+      }
+      // DUr delete try((sUnUz|lAr|yUm|sUn|yUz|ε) ymUs delete)
+      e.c = e.ket
+      if (markDUr(e)) {
+        e.del(); e.ket = e.c
+        val s = e.c
+        if (!markSUnUz(e)) { e.c = s
+          if (!markLAr(e)) { e.c = s
+            if (!markYUm(e)) { e.c = s
+              if (!markSUn(e)) { e.c = s
+                if (!markYUz(e)) e.c = s } } } }
+        if (markYmUs(e)) e.del() else e.c = s
+      }
+      true
+    }
+
+    /** Continuation after a deleted nUn/ylA match:
+      * ([lAr] delete chain-REQUIRED) or (poss tail) or (sU tail) or
+      * chain. When the lAr alternative's required chain fails, its
+      * delete persists (Snowball never undoes slices) and the next
+      * alternatives run against the lAr-stripped stem. */
+    private def afterNUnDel(e: Env): Unit = {
+      e.ket = e.c
+      if (markLAr(e)) {
+        e.del()
+        if (chainKi(e)) return
+      }
+      e.c = e.w.length; e.ket = e.c
+      if (markPoss(e)) { possOrSUtail(e); return }
+      e.c = e.w.length
+      if (markSU(e)) { possOrSUtail(e); return }
+      e.c = e.w.length
+      chainKi(e)
+      ()
+    }
+
+    /** Continuation after a deleted DA/yU/yA match:
+      * (poss del try(lAr del) try chain) or (lAr del try chain). */
+    private def afterDADel(e: Env): Unit = {
+      e.ket = e.c
+      val s1 = e.c
+      if (markPoss(e)) {
+        e.del(); e.ket = e.c
+        val s2 = e.c
+        if (markLAr(e)) e.del() else e.c = s2
+        e.ket = e.c
+        val s3 = e.c
+        if (!chainKi(e)) e.c = s3
+        return
+      }
+      e.c = s1
+      if (markLAr(e)) {
+        e.del(); e.ket = e.c
+        val s3 = e.c
+        if (!chainKi(e)) e.c = s3
       }
     }
 
-    // Phase 1: nominal verb suffixes (copula endings on nouns), in the
-    // published order. U = ı/i/u/ü, A = a/e, D = d/t.
-    private val ymUs = fam('y', "mış", "miş", "muş", "müş")
-    private val yDU = fam('y', "dı", "di", "du", "dü", "tı", "ti", "tu", "tü")
-    private val ysA = fam('y', "sa", "se")
-    private val yken = fam('y', "ken")
-    private val cAsInA = fam(' ', "casına", "cesine")
-    private val lAr = fam(' ', "lar", "ler")
-    private val nUz = fam(' ', "nız", "niz", "nuz", "nüz")
-    private val sUnUz = fam(' ', "sınız", "siniz", "sunuz", "sünüz")
-    private val yUz = fam('y', "ız", "iz", "uz", "üz")
-    private val sUn = fam(' ', "sın", "sin", "sun", "sün")
-    private val yUm = fam('y', "ım", "im", "um", "üm")
-    private val DUr = fam(' ', "dır", "dir", "dur", "dür",
-      "tır", "tir", "tur", "tür")
+    /** stem_noun_suffixes. */
+    private def noun(e: Env): Unit = {
+      e.c = e.w.length; e.ket = e.c
+      if (markLAr(e)) {
+        e.del(); e.ket = e.c
+        val s = e.c
+        if (!chainKi(e)) e.c = s
+        return
+      }
+      e.c = e.w.length; e.ket = e.c
+      if (markNcA(e)) {
+        e.del()
+        val s1 = e.c
+        e.ket = e.c
+        if (markLArI(e)) { e.del(); return }
+        e.c = s1
+        if (markPoss(e)) { possOrSUtail(e); return }
+        e.c = s1
+        if (markSU(e)) { possOrSUtail(e); return }
+        e.c = s1; e.ket = s1
+        if (markLAr(e)) { e.del(); val s = e.c; if (!chainKi(e)) e.c = s }
+        return
+      }
+      // (ndA|nA) ((lArI del) or (sU tail) or chain-required)
+      e.c = e.w.length; e.ket = e.c
+      var m3 = markNdA(e)
+      if (!m3) { e.c = e.ket; m3 = markNA(e) }
+      if (m3) {
+        val s1 = e.c
+        if (markLArI(e)) { e.del(); return }
+        e.c = s1
+        if (markSU(e)) { possOrSUtail(e); return }
+        e.c = s1
+        if (chainKi(e)) return
+      }
+      // (ndAn|nU) ((sU tail) or (lArI, no delete))
+      e.c = e.w.length; e.ket = e.c
+      var m4 = markNdAn(e)
+      if (!m4) { e.c = e.ket; m4 = markNU(e) }
+      if (m4) {
+        val s1 = e.c
+        if (markSU(e)) { possOrSUtail(e); return }
+        e.c = s1
+        if (markLArI(e)) return // published quirk: marks but deletes nothing
+      }
+      // DAn delete ((poss tail) or (lAr del try chain) or chain)
+      e.c = e.w.length; e.ket = e.c
+      if (markDAn(e)) {
+        e.del(); e.ket = e.c
+        val s1 = e.c
+        if (markPoss(e)) { possOrSUtail(e); return }
+        e.c = s1
+        if (markLAr(e)) { e.del(); val s = e.c; if (!chainKi(e)) e.c = s; return }
+        e.c = s1
+        chainKi(e)
+        return
+      }
+      e.c = e.w.length; e.ket = e.c
+      if (markNUn(e)) { e.del(); afterNUnDel(e); return }
+      e.c = e.w.length; e.ket = e.c
+      if (markYlA(e)) { e.del(); afterNUnDel(e); return }
+      e.c = e.w.length; e.ket = e.c
+      if (markLArI(e)) { e.del(); return }
+      e.c = e.w.length; e.ket = e.c
+      if (chainKi(e)) return
+      e.c = e.w.length; e.ket = e.c
+      if (markDA(e)) { e.del(); afterDADel(e); return }
+      e.c = e.w.length; e.ket = e.c
+      if (markYU(e)) { e.del(); afterDADel(e); return }
+      e.c = e.w.length; e.ket = e.c
+      if (markYA(e)) { e.del(); afterDADel(e); return }
+      e.c = e.w.length; e.ket = e.c
+      if (markPoss(e)) { possOrSUtail(e); return }
+      e.c = e.w.length
+      if (markSU(e)) { possOrSUtail(e) }
+    }
 
-    // Phase 2: noun suffixes, connected by the published suffix-chain
-    // structure (a case ending may be followed underneath by a
-    // possessive, a possessive by the plural, -ki loops back to a case:
-    // the stem_suffix_chain_after_* routines of the published program).
-    private val lArI = fam(' ', "ları", "leri")
-    private val nDAn = fam('n', "dan", "den", "tan", "ten")
-    private val nDA = fam('n', "da", "de", "ta", "te")
-    private val ylA = fam('y', "la", "le")
-    private val nUn = fam('n', "ın", "in", "un", "ün")
-    private val sU = Fam(Array("ı", "i", "u", "ü"), 's', guardBare = true)
-    private val yU = Fam(Array("ı", "i", "u", "ü"), 'y', guardBare = true)
-    private val nU = Fam(Array("ı", "i", "u", "ü"), 'n', guardBare = true)
-    private val ki = fam(' ', "ki")
-    private val UnUz2 = fam('U', "ınız", "iniz", "unuz", "ünüz")
-    private val UmUz2 = fam('U', "ımız", "imiz", "umuz", "ümüz")
-    private val Um2 = fam('U', "ım", "im", "um", "üm")
-    private val ncA = fam('n', "ca", "ce", "ça", "çe")
+    /** postlude: reserved words, harmonizing-vowel append after final
+      * d/g, last-consonant devoicing. */
+    private def postlude(e: Env): Unit = {
+      if (e.w == "ad" || e.w == "soyad") return
+      val w0 = e.w
+      if (w0.nonEmpty && (w0.charAt(w0.length - 1) == 'd' || w0.charAt(w0.length - 1) == 'g')) {
+        var i = w0.length - 1
+        while (i >= 0 && !isV(w0.charAt(i))) i -= 1
+        if (i >= 0) w0.charAt(i) match {
+          case 'a' | 'ı' => e.w = w0 + "ı"
+          case 'e' | 'i' => e.w = w0 + "i"
+          case 'o' | 'u' => e.w = w0 + "u"
+          case 'ö' | 'ü' => e.w = w0 + "ü"
+          case _ =>
+        }
+      }
+      val w1 = e.w
+      if (w1.nonEmpty) w1.charAt(w1.length - 1) match {
+        case 'b' => e.w = w1.substring(0, w1.length - 1) + "p"
+        case 'c' => e.w = w1.substring(0, w1.length - 1) + "ç"
+        case 'd' => e.w = w1.substring(0, w1.length - 1) + "t"
+        case 'ğ' => e.w = w1.substring(0, w1.length - 1) + "k"
+        case _ =>
+      }
+    }
 
     def stem(word: String): String = {
-      // precondition: more than one syllable, else untouched
-      if (word.count(isV) <= 1) return word
-      var w = word
-
-      // Phase 1: strip at most one nominal-verb-suffix chain. The
-      // published machine tries the -(y)mUş/-(y)DU/-(y)sA/-(y)ken group
-      // first, then the person/copula groups with an optional trailing
-      // -(y)mUş; expressed here as ordered single strips repeated while
-      // a phase-1 suffix remains.
-      var changed = true
-      var phase1Strips = 0
-      var lastWasLAr = false
-      while (changed && phase1Strips < 4) {
-        changed = false
-        val fams = Seq(cAsInA, sUnUz, ymUs, yDU, ysA, yken, DUr, nUz,
-          yUz, sUn, yUm, lAr)
-        // longest valid match across the families wins (among semantics)
-        var bestF: Fam = null
-        var bestM = 0
-        for (f <- fams) {
-          val m = matchFam(w, f)
-          // keep at least one syllable in the stem
-          if (m > bestM && w.dropRight(m).exists(isV)) { bestM = m; bestF = f }
-        }
-        if (bestF != null) {
-          w = w.dropRight(bestM); changed = true; phase1Strips += 1
-          lastWasLAr = bestF eq lAr
-        }
+      // more_than_one_syllable_word
+      var vcount = 0
+      var i = 0
+      while (i < word.length && vcount < 2) {
+        if (isV(word.charAt(i))) vcount += 1
+        i += 1
       }
-
-      // Phase 2: noun suffixes walked outer-to-inner along the chain
-      // automaton: case endings may cover a possessive, a possessive
-      // covers the plural, the plural or a case may cover -ki which
-      // loops back to a case (evdekilerin -> in, ler, ki, de -> ev).
-      // A bare lAr stripped in phase 1 enters at the plural state.
-      val caseFams = Seq(cAsInA, nDAn, nDA, ylA, ncA, nUn, Um2, yU, nU, sU)
-      val START = 0; val CASE = 1; val POSS = 2; val PLUR = 3; val KI = 4
-      val LARI = 5
-      var state = if (lastWasLAr) PLUR else START
-      changed = true
-      while (changed) {
-        changed = false
-        val fams = state match {
-          case START => Seq(lArI, UnUz2, UmUz2) ++ caseFams ++ Seq(ki, lAr)
-          case CASE  => Seq(lArI, UnUz2, UmUz2, Um2, sU, lAr)
-          case POSS  => Seq(lAr)
-          case PLUR  => Seq(ki)
-          case KI    => Seq(lArI, cAsInA, nDAn, nDA, ylA, ncA, nUn, yU,
-            nU, sU)
-          case LARI  => Seq(ki)
-        }
-        // longest valid match across the families wins (among semantics)
-        var bestF: Fam = null
-        var bestM = 0
-        for (f <- fams) {
-          val m = matchFam(w, f)
-          if (m > bestM && w.dropRight(m).exists(isV)) { bestM = m; bestF = f }
-        }
-        if (bestF != null) {
-          val f = bestF
-          w = w.dropRight(bestM); changed = true
-          state =
-            if (f eq lArI) LARI
-            else if (f eq lAr) PLUR
-            else if (f eq ki) KI
-            else if ((f eq sU) || (f eq Um2) || (f eq UmUz2) || (f eq UnUz2)) POSS
-            else CASE
-        }
-      }
-
-      // Postlude, in the published order: a stem ending in d or g gets
-      // the harmonizing high vowel APPENDED (ükhasbd -> ükhasbdı), and
-      // only then are final voiced stops devoiced (b -> p, c -> ç; the
-      // d/t and ğ/k cases are unreachable after the append).
-      if (w.nonEmpty) {
-        val last = w.charAt(w.length - 1)
-        if (last == 'd' || last == 'g') {
-          val u = lastVowelBefore(w, w.length) match {
-            case 'a' | 'ı' => "ı"
-            case 'e' | 'i' => "i"
-            case 'o' | 'u' => "u"
-            case 'ö' | 'ü' => "ü"
-            case _         => "ı"
-          }
-          w = w + u
-        } else {
-          val repl = last match {
-            case 'b' => 'p'; case 'c' => 'ç'; case 'd' => 't'; case 'ğ' => 'k'
-            case other => other
-          }
-          if (repl != last) w = w.substring(0, w.length - 1) + repl
-        }
-      }
-      w
+      if (vcount < 2) return word
+      val e = new Env(word)
+      if (!nominal(e)) return e.w // -lAr branch: flag unset ends the program
+      noun(e)
+      postlude(e)
+      e.w
     }
   }
 }

@@ -6,16 +6,14 @@ package graft.analysis
   * (`text_analysis.clj:15-49`). Lucene's jars in this build do not ship
   * Snowball, so the algorithms are re-implemented from the published
   * specifications (snowballstem.org / the 1980 Porter paper):
-  *  - 19 languages EXACT, verified against an independent ground-truth
+  *  - 20 languages EXACT, verified against an independent ground-truth
   *    Snowball implementation on ~10k-word corpora each and pinned by
   *    SnowballOracleSpec's committed golden files: English (Porter2),
   *    German, Dutch, French, Spanish, Portuguese, Italian, Russian,
   *    Danish, Norwegian, Swedish ([[SnowballStemmers]]), Finnish,
-  *    Hungarian ([[SnowballStemmers2]]), Lithuanian (here), Romanian,
-  *    Catalan, Basque, Irish, Armenian ([[SnowballStemmers3]]).
+  *    Hungarian, Turkish ([[SnowballStemmers2]]), Lithuanian (here),
+  *    Romanian, Catalan, Basque, Irish, Armenian ([[SnowballStemmers3]]).
   *  - porter: the ORIGINAL Porter algorithm (spec worked examples).
-  *  - turkish: the published suffix-chain machine approximated as
-  *    ordered family strips; >=93% ground-truth agreement pinned.
   *  - estonian and arabic remain table-driven approximations
   *    ([[SuffixStemmers]], no independent oracle available offline);
   *    german2/kp/lovins map to their nearest relatives as documented.

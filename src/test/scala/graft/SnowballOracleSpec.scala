@@ -13,19 +13,17 @@ import graft.analysis.Stemmers
   * language's own suffix lists, and random strings over its alphabet —
   * the mix that exposed every divergence fixed while exact-matching.
   *
-  * The 19 languages below match the ground truth on 100% of the corpus.
-  * Turkish is a documented approximation of the published suffix-chain
-  * machine; its measured agreement is pinned as a floor so it can only
-  * improve. (estonian / german2 / kp / lovins have no independent
-  * oracle available offline; porter is pinned by SnowballSpec's
-  * published worked examples.)
+  * The 20 languages below match the ground truth on 100% of the corpus.
+  * (estonian / german2 / kp / lovins have no independent oracle
+  * available offline; porter is pinned by SnowballSpec's published
+  * worked examples.)
   */
 class SnowballOracleSpec extends AnyFunSuite {
 
   private val exact = Seq("english", "danish", "norwegian", "swedish",
     "russian", "german", "dutch", "french", "spanish", "portuguese",
     "italian", "finnish", "hungarian", "lithuanian", "romanian",
-    "catalan", "basque", "irish", "armenian")
+    "catalan", "basque", "irish", "armenian", "turkish")
 
   private def check(lang: String): (Int, Int, List[String]) = {
     val in = getClass.getResourceAsStream(s"/snowball/$lang.tsv")
@@ -57,9 +55,4 @@ class SnowballOracleSpec extends AnyFunSuite {
     assert(bad == 0, s"$lang: $bad/$total divergences, e.g. ${examples.mkString("; ")}")
   }
 
-  test("turkish agreement floor (approximate suffix-chain machine)") {
-    val (total, bad, _) = check("turkish")
-    val agreement = (total - bad).toDouble / total
-    assert(agreement >= 0.93, f"turkish agreement $agreement%.3f fell below pinned floor 0.93")
-  }
 }

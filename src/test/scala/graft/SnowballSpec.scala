@@ -193,7 +193,11 @@ class SnowballSpec extends AnyFunSuite {
       "kitabı" -> "kitap",           // bare possessive ı, then devoice b->p
       "kediler" -> "kedi",           // plural only: chain stops (no bare i)
       "gözlükçülerin" -> "gözlükçü", // genitive in, then plural ler
-      "evdekiler" -> "ev",           // ler, ki, de: the ki chain
+      "evdekiler" -> "evdeki",       // nominal -lAr eats 'ler' and its
+                                     // flag-unset ends the program before
+                                     // the noun machine's ki chain
+      "evdeki" -> "ev",              // the ki chain proper: de+ki deleted
+      "eminkinde" -> "emnde",        // chain slice excises a middle segment
       "arabayla" -> "araba",         // buffered yla after vowel
       "arabamız" -> "araba",         // bare mız after vowel
       "evimiz" -> "ev",              // buffered imiz after consonant
