@@ -772,4 +772,398 @@ object SnowballStemmers3 {
     }
   }
 
+
+  // ------------------------------------------------------------------
+  // Arabic — snowballstem.org/algorithms/arabic/stemmer.html (Chelli).
+  // A routine-for-routine transcription of the published Snowball
+  // program: Checks1 (definite-article flags is_noun/is_verb/
+  // is_defined), Normalize_pre (tashkeel/tatweel removal, Arabic-Indic
+  // digit conversion, presentation-form ligature folding), the verb
+  // and noun suffix machines (object/possessive pronouns, tense and
+  // plural endings, each with its published whole-word length guard;
+  // deletions persist across failed alternatives, per Snowball slice
+  // semantics), the four prefix steps (hamza folding, conjunction
+  // waw/feh, definite articles, imperfective-prefix rewrites), and
+  // Normalize_post (final-hamza to bare hamza, medial hamza folding).
+  // Verified exact against an independent ground-truth Snowball
+  // implementation (SnowballOracleSpec).
+  // ------------------------------------------------------------------
+  object Arabic extends Stemmer {
+
+    private val normPre: Map[Char, String] = Map(
+      "ـ" -> "",
+      "ً" -> "",
+      "ٌ" -> "",
+      "ٍ" -> "",
+      "َ" -> "",
+      "ُ" -> "",
+      "ِ" -> "",
+      "ّ" -> "",
+      "ْ" -> "",
+      "٠" -> "0",
+      "١" -> "1",
+      "٢" -> "2",
+      "٣" -> "3",
+      "٤" -> "4",
+      "٥" -> "5",
+      "٦" -> "6",
+      "٧" -> "7",
+      "٨" -> "8",
+      "٩" -> "9",
+      "ﺀ" -> "ء",
+      "ﺁ" -> "آ",
+      "ﺂ" -> "آ",
+      "ﺃ" -> "أ",
+      "ﺄ" -> "أ",
+      "ﺅ" -> "ؤ",
+      "ﺆ" -> "ؤ",
+      "ﺇ" -> "إ",
+      "ﺈ" -> "إ",
+      "ﺉ" -> "ئ",
+      "ﺊ" -> "ئ",
+      "ﺋ" -> "ئ",
+      "ﺌ" -> "ئ",
+      "ﺍ" -> "ا",
+      "ﺎ" -> "ا",
+      "ﺏ" -> "ب",
+      "ﺐ" -> "ب",
+      "ﺑ" -> "ب",
+      "ﺒ" -> "ب",
+      "ﺓ" -> "ة",
+      "ﺔ" -> "ة",
+      "ﺕ" -> "ت",
+      "ﺖ" -> "ت",
+      "ﺗ" -> "ت",
+      "ﺘ" -> "ت",
+      "ﺙ" -> "ث",
+      "ﺚ" -> "ث",
+      "ﺛ" -> "ث",
+      "ﺜ" -> "ث",
+      "ﺝ" -> "ج",
+      "ﺞ" -> "ج",
+      "ﺟ" -> "ج",
+      "ﺠ" -> "ج",
+      "ﺡ" -> "ح",
+      "ﺢ" -> "ح",
+      "ﺣ" -> "ح",
+      "ﺤ" -> "ح",
+      "ﺥ" -> "خ",
+      "ﺦ" -> "خ",
+      "ﺧ" -> "خ",
+      "ﺨ" -> "خ",
+      "ﺩ" -> "د",
+      "ﺪ" -> "د",
+      "ﺫ" -> "ذ",
+      "ﺬ" -> "ذ",
+      "ﺭ" -> "ر",
+      "ﺮ" -> "ر",
+      "ﺯ" -> "ز",
+      "ﺰ" -> "ز",
+      "ﺱ" -> "س",
+      "ﺲ" -> "س",
+      "ﺳ" -> "س",
+      "ﺴ" -> "س",
+      "ﺵ" -> "ش",
+      "ﺶ" -> "ش",
+      "ﺷ" -> "ش",
+      "ﺸ" -> "ش",
+      "ﺹ" -> "ص",
+      "ﺺ" -> "ص",
+      "ﺻ" -> "ص",
+      "ﺼ" -> "ص",
+      "ﺽ" -> "ض",
+      "ﺾ" -> "ض",
+      "ﺿ" -> "ض",
+      "ﻀ" -> "ض",
+      "ﻁ" -> "ط",
+      "ﻂ" -> "ط",
+      "ﻃ" -> "ط",
+      "ﻄ" -> "ط",
+      "ﻅ" -> "ظ",
+      "ﻆ" -> "ظ",
+      "ﻇ" -> "ظ",
+      "ﻈ" -> "ظ",
+      "ﻉ" -> "ع",
+      "ﻊ" -> "ع",
+      "ﻋ" -> "ع",
+      "ﻌ" -> "ع",
+      "ﻍ" -> "غ",
+      "ﻎ" -> "غ",
+      "ﻏ" -> "غ",
+      "ﻐ" -> "غ",
+      "ﻑ" -> "ف",
+      "ﻒ" -> "ف",
+      "ﻓ" -> "ف",
+      "ﻔ" -> "ف",
+      "ﻕ" -> "ق",
+      "ﻖ" -> "ق",
+      "ﻗ" -> "ق",
+      "ﻘ" -> "ق",
+      "ﻙ" -> "ك",
+      "ﻚ" -> "ك",
+      "ﻛ" -> "ك",
+      "ﻜ" -> "ك",
+      "ﻝ" -> "ل",
+      "ﻞ" -> "ل",
+      "ﻟ" -> "ل",
+      "ﻠ" -> "ل",
+      "ﻡ" -> "م",
+      "ﻢ" -> "م",
+      "ﻣ" -> "م",
+      "ﻤ" -> "م",
+      "ﻥ" -> "ن",
+      "ﻦ" -> "ن",
+      "ﻧ" -> "ن",
+      "ﻨ" -> "ن",
+      "ﻩ" -> "ه",
+      "ﻪ" -> "ه",
+      "ﻫ" -> "ه",
+      "ﻬ" -> "ه",
+      "ﻭ" -> "و",
+      "ﻮ" -> "و",
+      "ﻯ" -> "ى",
+      "ﻰ" -> "ى",
+      "ﻱ" -> "ي",
+      "ﻲ" -> "ي",
+      "ﻳ" -> "ي",
+      "ﻴ" -> "ي",
+      "ﻵ" -> "لآ",
+      "ﻶ" -> "لآ",
+      "ﻷ" -> "لأ",
+      "ﻸ" -> "لأ",
+      "ﻹ" -> "لإ",
+      "ﻺ" -> "لإ",
+      "ﻻ" -> "لا",
+      "ﻼ" -> "لا"
+    ).map { case (k, v) => (k.charAt(0), v) }
+
+    // suffix tables, longest match first within each step
+    private val verb1 = Seq("كمو", "هما", "كما", "ني", "نا", "ها", "هم", "هن", "كم", "كن", "ه", "ك")
+    private val verb2aTriple = Seq("تما")
+    private val verb2aDouble5 = Seq("ون", "ين", "ان") // guard len > 5
+    private val verb2aDouble4 = Seq("تن", "نا", "تا") // guard len > 4
+    private val verb2aSingle = Seq("ت", "ا", "ن", "ي") // guard len > 3
+    private val noun1aTriple = Seq("كما", "هما")
+    private val noun1aDouble = Seq("كم", "هم", "هن", "نا", "ها")
+    private val noun1aSingle = Seq("ك", "ه", "ي")
+
+    private def len(w: String): Int = w.length
+
+    // Suffix_Noun_Step2a: [او ي ا] delete when len > 4
+    private def step2a(w: String): Option[String] =
+      if (len(w) > 4 && (w.endsWith("و") || w.endsWith("ي") || w.endsWith("ا")))
+        Some(w.dropRight(1))
+      else None
+
+    // Suffix_Noun_Step2b: [ات] delete when len > 4
+    private def step2b(w: String): Option[String] =
+      if (len(w) > 4 && w.endsWith("ات")) Some(w.dropRight(2)) else None
+
+    // Suffix_Noun_Step2c1: [ت] delete when len > 3
+    private def step2c1(w: String): Option[String] =
+      if (len(w) > 3 && w.endsWith("ت")) Some(w.dropRight(1)) else None
+
+    // Suffix_Verb_Step2a with its per-size guards
+    private def verbStep2a(w: String): Option[String] = {
+      val n = len(w)
+      if (n > 5 && verb2aTriple.exists(w.endsWith)) Some(w.dropRight(3))
+      else if (verb2aDouble5.exists(w.endsWith) || verb2aDouble4.exists(w.endsWith)) {
+        // longest-match among: any 2-char entry wins over singles
+        val d5 = verb2aDouble5.exists(w.endsWith)
+        val ok = if (d5) n > 5 else n > 4
+        if (ok) Some(w.dropRight(2)) else None
+      } else if (n > 3 && verb2aSingle.exists(w.endsWith)) Some(w.dropRight(1))
+      else None
+    }
+
+    // Suffix_Verb_Step2c: [تمو] len>5 / [و] len>3
+    private def verbStep2c(w: String): Option[String] =
+      if (w.endsWith("تمو")) { if (len(w) > 5) Some(w.dropRight(3)) else None }
+      else if (w.endsWith("و")) { if (len(w) > 3) Some(w.dropRight(1)) else None }
+      else None
+
+    private def suffixes(w0: String, isNoun: Boolean, isVerb: Boolean, isDefined: Boolean): String = {
+      var w = w0
+      if (isVerb) {
+        // Suffix_Verb_Step1, repeated while it matches
+        var matched = 0
+        var go = true
+        while (go) {
+          go = false
+          val s = verb1.find(w.endsWith)
+          s match {
+            case Some(x) =>
+              val ok = x.length match {
+                case 1 => len(w) > 3
+                case 2 => len(w) > 4
+                case _ => len(w) > 5
+              }
+              if (ok) { w = w.dropRight(x.length); matched += 1; go = true }
+            case None =>
+          }
+        }
+        if (matched == 0) {
+          // or Suffix_Verb_Step2b or Suffix_Verb_Step2a
+          if (len(w) > 4 && (w.endsWith("تم") || w.endsWith("وا"))) return w.dropRight(2)
+          verbStep2a(w) match {
+            case Some(r) => return r
+            case None => // verb branch failed: fall through to the noun branch
+          }
+        } else {
+          // (Suffix_Verb_Step2a or Suffix_Verb_Step2c or next)
+          verbStep2a(w) match {
+            case Some(r) => return r
+            case None =>
+              verbStep2c(w) match {
+                case Some(r) => return r
+                case None => if (w.nonEmpty) return w // next
+              }
+          }
+        }
+      }
+      if (isNoun) {
+        // try-block of alternatives (deletions persist across failures)
+        var handled = false
+        if (len(w) > 3 && w.endsWith("ة")) { w = w.dropRight(1); handled = true } // Step2c2
+        if (!handled) {
+          var fellThrough = true
+          if (!isDefined) {
+            val s = (noun1aTriple ++ noun1aDouble ++ noun1aSingle).find(w.endsWith)
+            s match {
+              case Some(x) =>
+                val ok = x.length match {
+                  case 1 => len(w) > 3
+                  case 2 => len(w) > 4
+                  case _ => len(w) > 5
+                }
+                if (ok) {
+                  w = w.dropRight(x.length)
+                  // (Step2a or Step2b or Step2c1 or next)
+                  step2a(w).orElse(step2b(w)).orElse(step2c1(w)) match {
+                    case Some(r) => w = r
+                    case None => // next always succeeds on a nonempty stem
+                  }
+                  fellThrough = false
+                }
+              case None =>
+            }
+          }
+          if (fellThrough) {
+            // (Suffix_Noun_Step1b (Step2a or Step2b or Step2c1)) — the ن
+            // deletion persists even when the required inner step fails
+            var innerOk = false
+            if (len(w) > 5 && w.endsWith("ن")) {
+              w = w.dropRight(1)
+              step2a(w).orElse(step2b(w)).orElse(step2c1(w)) match {
+                case Some(r) => w = r; innerOk = true
+                case None =>
+              }
+            }
+            if (!innerOk) {
+              // or (not is_defined Step2a) or Step2b
+              val n2a = if (!isDefined) step2a(w) else None
+              n2a.orElse(step2b(w)).foreach(r => w = r)
+            }
+          }
+        }
+        // Suffix_Noun_Step3: [ي] delete when len > 2; its failure fails
+        // the noun branch and Suffix_All_alef_maqsura runs instead
+        if (len(w) > 2 && w.endsWith("ي")) return w.dropRight(1)
+        if (w.endsWith("ى")) return w.dropRight(1) + "ي"
+        return w
+      }
+      // neither branch: Suffix_All_alef_maqsura
+      if (w.endsWith("ى")) w.dropRight(1) + "ي" else w
+    }
+
+    private def prefixes(w0: String, isNoun: Boolean, isVerb: Boolean): String = {
+      var w = w0
+      var p = 0 // forward cursor: each step continues after the previous
+                // step's replacement (the published program never resets it)
+      // try Prefix_Step1 (hamza-pair folding; replacement advances the cursor)
+      if (len(w) > 3) {
+        if (w.startsWith("أأ", p) || w.startsWith("أؤ", p)) { w = w.substring(0, p) + "أ" + w.substring(p + 2); p += 1 }
+        else if (w.startsWith("أآ", p)) { w = w.substring(0, p) + "آ" + w.substring(p + 2); p += 1 }
+        else if (w.startsWith("أا", p)) { w = w.substring(0, p) + "ا" + w.substring(p + 2); p += 1 }
+        else if (w.startsWith("أإ", p)) { w = w.substring(0, p) + "إ" + w.substring(p + 2); p += 1 }
+      }
+      // try Prefix_Step2 (conjunction ف/و not followed by ا; deletion keeps the cursor)
+      if (len(w) > 3 && p < w.length &&
+        (w.charAt(p) == 'ف' || w.charAt(p) == 'و') &&
+        !(p + 1 < w.length && w.charAt(p + 1) == 'ا'))
+        w = w.substring(0, p) + w.substring(p + 1)
+      // Prefix_Step3a_Noun or (is_noun Step3b) or (is_verb try Step3V; Step4V)
+      if ((w.startsWith("بال", p) || w.startsWith("كال", p)) && len(w) > 5) w = w.substring(0, p) + w.substring(p + 3)
+      else if ((w.startsWith("ال", p) || w.startsWith("لل", p)) && len(w) > 4) w = w.substring(0, p) + w.substring(p + 2)
+      else {
+        var done = false
+        if (isNoun) {
+          if (w.startsWith("با", p)) done = true // published no-op entry
+          else if (w.startsWith("بب", p) && len(w) > 3) { w = w.substring(0, p) + "ب" + w.substring(p + 2); done = true }
+          else if (w.startsWith("كك", p) && len(w) > 3) { w = w.substring(0, p) + "ك" + w.substring(p + 2); done = true }
+          else if (w.startsWith("ب", p) && len(w) > 3) { w = w.substring(0, p) + w.substring(p + 1); done = true }
+        }
+        if (!done && isVerb) {
+          if (len(w) > 4) {
+            if (w.startsWith("سي", p)) { w = w.substring(0, p) + "ي" + w.substring(p + 2); p += 1 }
+            else if (w.startsWith("ست", p)) { w = w.substring(0, p) + "ت" + w.substring(p + 2); p += 1 }
+            else if (w.startsWith("سن", p)) { w = w.substring(0, p) + "ن" + w.substring(p + 2); p += 1 }
+            else if (w.startsWith("سأ", p)) { w = w.substring(0, p) + "أ" + w.substring(p + 2); p += 1 }
+          }
+          if (len(w) > 4 && (w.startsWith("تست", p) || w.startsWith("نست", p) || w.startsWith("يست", p)))
+            w = w.substring(0, p) + "است" + w.substring(p + 3)
+        }
+      }
+      w
+    }
+
+    private def normalizePost(w0: String): String = {
+      var w = w0
+      if (w.nonEmpty) {
+        val last = w.charAt(w.length - 1)
+        if (last == 'آ' || last == 'أ' || last == 'ؤ' || last == 'إ' || last == 'ئ')
+          w = w.substring(0, w.length - 1) + "ء"
+      }
+      val sb = new java.lang.StringBuilder(w.length)
+      var i = 0
+      while (i < w.length) {
+        w.charAt(i) match {
+          case 'آ' | 'أ' | 'إ' => sb.append('ا')
+          case 'ؤ' => sb.append('و')
+          case 'ئ' => sb.append('ي')
+          case c => sb.append(c)
+        }
+        i += 1
+      }
+      sb.toString
+    }
+
+    def stem(word: String): String = {
+      var isNoun = true
+      var isVerb = true
+      var isDefined = false
+      // Checks1 (runs on the unnormalized word)
+      if ((word.startsWith("بال") || word.startsWith("كال")) && word.length > 4) {
+        isNoun = true; isVerb = false; isDefined = true
+      } else if ((word.startsWith("ال") || word.startsWith("لل")) && word.length > 3) {
+        isNoun = true; isVerb = false; isDefined = true
+      }
+      // Normalize_pre
+      val sb = new java.lang.StringBuilder(word.length)
+      var i = 0
+      while (i < word.length) {
+        val c = word.charAt(i)
+        normPre.get(c) match {
+          case Some(r) => sb.append(r)
+          case None => sb.append(c)
+        }
+        i += 1
+      }
+      var w = sb.toString
+      w = suffixes(w, isNoun, isVerb, isDefined)
+      w = prefixes(w, isNoun, isVerb)
+      normalizePost(w)
+    }
+  }
+
 }

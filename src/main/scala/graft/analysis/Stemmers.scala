@@ -6,16 +6,18 @@ package graft.analysis
   * (`text_analysis.clj:15-49`). Lucene's jars in this build do not ship
   * Snowball, so the algorithms are re-implemented from the published
   * specifications (snowballstem.org / the 1980 Porter paper):
-  *  - 20 languages EXACT, verified against an independent ground-truth
+  *  - 21 languages EXACT, verified against an independent ground-truth
   *    Snowball implementation on ~10k-word corpora each and pinned by
   *    SnowballOracleSpec's committed golden files: English (Porter2),
   *    German, Dutch, French, Spanish, Portuguese, Italian, Russian,
   *    Danish, Norwegian, Swedish ([[SnowballStemmers]]), Finnish,
   *    Hungarian, Turkish ([[SnowballStemmers2]]), Lithuanian (here),
-  *    Romanian, Catalan, Basque, Irish, Armenian ([[SnowballStemmers3]]).
+  *    Romanian, Catalan, Basque, Irish, Armenian, Arabic
+  *    ([[SnowballStemmers3]]).
   *  - porter: the ORIGINAL Porter algorithm (spec worked examples).
-  *  - estonian and arabic remain table-driven approximations
-  *    ([[SuffixStemmers]], no independent oracle available offline);
+  *  - estonian remains a table-driven approximation ([[SuffixStemmers]],
+  *    no independent oracle available offline — the published Estonian
+  *    algorithm postdates the reference's Snowball version);
   *    german2/kp/lovins map to their nearest relatives as documented.
   * Unknown/absent stemmer names fall back to english
   * (`text_analysis.clj:46-49`).
@@ -55,7 +57,7 @@ object Stemmers {
     case "irish"              => SnowballStemmers3.Irish
     case "estonian"           => SuffixStemmers.estonian
     case "armenian"           => SnowballStemmers3.Armenian
-    case "arabic"             => SuffixStemmers.arabic
+    case "arabic"             => SnowballStemmers3.Arabic
     case _                    => EnglishStemmer // reference defaults unknowns to English
   }
 }
