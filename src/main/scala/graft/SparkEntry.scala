@@ -572,6 +572,33 @@ object SparkEntry {
         col("mean_tok_len"), col("quality_bucket"))
       .orderBy(col("doc_id"))
 
+  /** Gopher-style repetition/quality signals + keep flag. Thresholds
+    * chosen to split THIS synthetic corpus meaningfully (~83% keep at
+    * sf0.01): the defaults in [[TextStats.gopherQuality]] are the
+    * published paper's. Scan-local kernel — the only exchange in the
+    * plan is the output sort.
+    */
+  private def qGopher(s: SparkSession, dir: String): DataFrame =
+    TextStats.gopherQuality(s.read.parquet(t(dir, "documents")),
+        "text", "doc_id",
+        minWords = 20, maxWords = 100000,
+        minMeanWordLen = 3.0, maxMeanWordLen = 10.0,
+        maxTopBigramFrac = 0.06, maxDupWordFrac = 0.75)
+      .orderBy(col("doc_id"))
+
+  /** GPT-3-style n-gram-overlap decontamination: bench = every 101st doc,
+    * clean corpus = docs sharing no word 4-gram with it. (The published
+    * method uses 13-grams; 4 here so the synthetic corpus — which has
+    * near-dup but no exact-dup rows at sf0.01 — exercises CROSS-document
+    * contamination, not just the bench docs matching themselves.)
+    */
+  private def qDecontamNgram(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val bench = docs.filter(col("doc_id") % 101 === 0)
+    graft.ops.Decontaminate(docs, bench, "text", "doc_id", n = 4)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
   private def qTokens(s: SparkSession, dir: String): DataFrame =
     TextStats.tokenCounts(events(s, dir)
         .filter(col("event_id") < 2000), "props", "event_id")
@@ -673,6 +700,8 @@ object SparkEntry {
     "q_langid" -> (qLangid _),
     "q_pipeline" -> (qPipeline _),
     "q_quality" -> (qQuality _),
+    "q_gopher" -> (qGopher _),
+    "q_decontam_ngram" -> (qDecontamNgram _),
     "q_tokens" -> (qTokens _),
     "q_tfidf" -> (qTfidf _),
     "q_fingerprint" -> (qFingerprint _),
@@ -1101,6 +1130,35 @@ object SparkEntry {
         |       WHEN length(text)::DOUBLE / greatest(len(string_split(trim(text), ' ')), 1) > 15 THEN 'long_tokens'
         |       ELSE 'ok' END AS quality_bucket
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_gopher" ->
+      """WITH base AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+        |w AS (SELECT doc_id, len(ws) n_words, len(list_distinct(ws)) n_d,
+        |       list_aggregate(list_transform(ws, x -> length(x)), 'sum') sum_chars,
+        |       list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) bgs
+        |      FROM base),
+        |bc AS (SELECT doc_id, bg, count(*) c
+        |       FROM (SELECT doc_id, unnest(bgs) bg FROM w) GROUP BY doc_id, bg),
+        |bs AS (SELECT doc_id, sum(c) n_b, max(c) top_c,
+        |       coalesce(sum(c) FILTER (WHERE c > 1), 0) dup_c FROM bc GROUP BY doc_id),
+        |stats AS (SELECT w.doc_id AS doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CASE WHEN n_words = 0 THEN 0.0 ELSE round((n_words - n_d)::DOUBLE / n_words, 6) END AS dup_word_frac,
+        |  CASE WHEN n_words = 0 THEN 0.0 ELSE round(sum_chars::DOUBLE / n_words, 6) END AS mean_word_len,
+        |  CASE WHEN coalesce(n_b, 0) = 0 THEN 0.0 ELSE round(top_c::DOUBLE / n_b, 6) END AS top_bigram_frac,
+        |  CASE WHEN coalesce(n_b, 0) = 0 THEN 0.0 ELSE round(dup_c::DOUBLE / n_b, 6) END AS dup_bigram_frac
+        |  FROM w LEFT JOIN bs USING (doc_id))
+        |SELECT doc_id, n_words, dup_word_frac, mean_word_len, top_bigram_frac, dup_bigram_frac,
+        |  CAST(n_words BETWEEN 20 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |       AND top_bigram_frac <= 0.06 AND dup_word_frac <= 0.75 AS BIGINT) AS keep
+        |FROM stats ORDER BY doc_id""".stripMargin,
+    "q_decontam_ngram" ->
+      """WITH base AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+        |grams AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws) - 2), i -> array_to_string(ws[i:i+3], ' '))) g
+        |  FROM base WHERE len(ws) >= 4),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 101 = 0),
+        |cont AS (SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench))
+        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+        |ORDER BY doc_id""".stripMargin,
     "q_multimodal" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination by word n-gram overlap — the GPT-3 method
+  * (Brown et al. 2020 appendix C, also PaLM / Llama): a corpus document
+  * is contaminated iff it shares ANY word n-gram (default n=13) with the
+  * benchmark/eval set, and the clean corpus is everything else.
+  *
+  * This complements the dictionary-based decontamination pipeline
+  * (annotate with a blocklist → anti-join, `SparkEntry.qDecontaminate`):
+  * that one needs curated phrases, this one needs only the eval set
+  * itself.
+  *
+  * Scale shape (the 100 TB posture): the benchmark side is tiny relative
+  * to the corpus, so its distinct n-grams are reduced to 8-byte xxhash64
+  * keys and BROADCAST; the corpus side is one narrow projected scan —
+  * `explode` of the per-row n-gram array is pipelined, never
+  * materialized — probed through a broadcast LEFT SEMI join. The only
+  * shuffles in the plan carry 8-byte keys: the corpus-side `distinct`
+  * on doc ids and the bench-side `distinct` on gram hashes. No corpus
+  * text ever crosses the network. Joining on the 8-byte hash
+  * instead of the gram string makes the broadcast table and the probe
+  * keys constant-width; a false positive needs an xxhash64 collision
+  * between a corpus gram and a bench gram (p ≈ |corpus grams| × |bench
+  * grams| / 2^64 — negligible even at 100 TB, and only ever drops a
+  * single extra doc).
+  */
+object Decontaminate {
+
+  /** All word n-grams of `text` as an array of space-joined strings
+    * (words = `\s+` runs of the trimmed text); empty array when the doc
+    * has fewer than `n` words. Scan-local native expressions only.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1: $n")
+    val ws = split(trim(text), "\\s+")
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Ids of corpus documents sharing at least one word n-gram with the
+    * benchmark set. Output: one `idCol` column, distinct.
+    */
+  def contaminatedIds(docs: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 13): DataFrame = {
+    val benchGrams = bench
+      .select(explode(wordNgrams(col(textCol), n)).as("__g"))
+      .select(xxhash64(col("__g")).as("__gh"))
+      .distinct()
+    docs.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("__g"))
+      .select(col(idCol), xxhash64(col("__g")).as("__gh"))
+      .join(broadcast(benchGrams), Seq("__gh"), "left_semi")
+      .select(col(idCol))
+      .distinct()
+  }
+
+  /** The clean corpus: `docs` minus every document contaminated by
+    * `bench` n-gram overlap. All `docs` columns pass through.
+    */
+  def apply(docs: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 13): DataFrame =
+    docs.join(contaminatedIds(docs, bench, textCol, idCol, n),
+      Seq(idCol), "left_anti")
+}

@@ -188,4 +188,88 @@ object TextStats {
     org.apache.spark.sql.GraftBridge.column(
       graft.spark.FingerprintExpression(
         org.apache.spark.sql.GraftBridge.expression(textCol), window))
+
+  /** Per-document repetition counters, one pass over the text:
+    * `[n_words, n_distinct_words, sum_word_chars, n_bigrams,
+    * top_bigram_count, dup_bigram_occurrences]`. Pure kernel shared by
+    * [[graft.spark.RepetitionCountsExpression]] (codegen'd) and the tests.
+    * Words are `\s+`-separated runs of the trimmed text; bigrams are
+    * adjacent word pairs; `dup_bigram_occurrences` counts every occurrence
+    * of a bigram that occurs more than once (Gopher's "duplicate n-gram
+    * fraction" numerator, Rae et al. 2021 §A1.1).
+    */
+  private[graft] def repetitionCountsValue(text: String): Array[Long] = {
+    val trimmed = if (text == null) "" else text.trim
+    val ws = if (trimmed.isEmpty) Array.empty[String] else trimmed.split("\\s+")
+    val n = ws.length
+    val distinct = new java.util.HashSet[String](n * 2)
+    var sumChars = 0L
+    var i = 0
+    while (i < n) { distinct.add(ws(i)); sumChars += ws(i).length; i += 1 }
+    val bigrams = new java.util.HashMap[String, Integer](n * 2)
+    i = 0
+    while (i < n - 1) {
+      val k = ws(i) + " " + ws(i + 1)
+      val prev = bigrams.get(k)
+      bigrams.put(k, if (prev == null) 1 else prev + 1)
+      i += 1
+    }
+    var top = 0L
+    var dup = 0L
+    var tot = 0L
+    val it = bigrams.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toLong
+      tot += c
+      if (c > top) top = c
+      if (c > 1) dup += c
+    }
+    Array(n.toLong, distinct.size.toLong, sumChars, tot, top, dup)
+  }
+
+  /** Gopher-style quality/repetition signals (Rae et al. 2021 §A1.1,
+    * adapted to single-line documents): per doc, the word count, duplicate
+    * -word fraction, mean word length, top-bigram fraction (occurrences of
+    * the most frequent adjacent word pair over all bigram occurrences) and
+    * duplicate-bigram fraction, plus a `keep` flag applying the filter
+    * thresholds. Fractions are exact integer ratios rounded to 6 decimals,
+    * and `keep` is derived from the ROUNDED values, so the output is
+    * bit-replicable in ANSI SQL (the q_gopher oracle).
+    *
+    * Scale shape: these are per-document statistics, so they are computed
+    * by a scan-local codegen'd kernel — zero shuffles, no matter the corpus
+    * size. (The relational alternative — explode bigrams, groupBy(doc,
+    * bigram) — re-shuffles the entire corpus text twice for what one pass
+    * over each row computes locally.)
+    */
+  def gopherQuality(df: DataFrame, textCol: String, idCol: String,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxTopBigramFrac: Double = 0.18, maxDupWordFrac: Double = 0.9): DataFrame = {
+    val rc = org.apache.spark.sql.GraftBridge.column(
+      graft.spark.RepetitionCountsExpression(
+        org.apache.spark.sql.GraftBridge.expression(col(textCol))))
+    val nW = element_at(col("__rc"), 1)
+    val nD = element_at(col("__rc"), 2)
+    val sumC = element_at(col("__rc"), 3)
+    val nB = element_at(col("__rc"), 4)
+    val topB = element_at(col("__rc"), 5)
+    val dupB = element_at(col("__rc"), 6)
+    df.select(col(idCol), rc.as("__rc"))
+      .select(col(idCol),
+        nW.as("n_words"),
+        when(nW === 0, lit(0.0))
+          .otherwise(round((nW - nD).cast("double") / nW, 6)).as("dup_word_frac"),
+        when(nW === 0, lit(0.0))
+          .otherwise(round(sumC.cast("double") / nW, 6)).as("mean_word_len"),
+        when(nB === 0, lit(0.0))
+          .otherwise(round(topB.cast("double") / nB, 6)).as("top_bigram_frac"),
+        when(nB === 0, lit(0.0))
+          .otherwise(round(dupB.cast("double") / nB, 6)).as("dup_bigram_frac"))
+      .withColumn("keep",
+        (col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+          col("top_bigram_frac") <= maxTopBigramFrac &&
+          col("dup_word_frac") <= maxDupWordFrac).cast("long"))
+  }
 }

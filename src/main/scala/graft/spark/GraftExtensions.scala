@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhashFunction)
     ext.injectFunction(GraftExtensions.fingerprintFunction)
     ext.injectFunction(GraftExtensions.shingleHashesFunction)
+    ext.injectFunction(GraftExtensions.repetitionCountsFunction)
   }
 }
 
@@ -107,10 +108,20 @@ object GraftExtensions {
       ShingleHashesExpression(children.head, n)
     })
 
+  val repetitionCountsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_repetition_counts"),
+    new ExpressionInfo(classOf[RepetitionCountsExpression].getName, "graft_repetition_counts",
+      "graft_repetition_counts(text) - [n_words, n_distinct_words, sum_word_chars, " +
+        "n_bigrams, top_bigram_count, dup_bigram_occurrences]"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_repetition_counts expects (text)")
+      RepetitionCountsExpression(children.head)
+    })
+
   /** Register into an already-running session. */
   def install(spark: SparkSession): Unit =
     Seq(annotateTextFunction, simhashFunction, fingerprintFunction,
-      shingleHashesFunction).foreach {
+      shingleHashesFunction, repetitionCountsFunction).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

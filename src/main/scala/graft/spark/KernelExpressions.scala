@@ -236,3 +236,25 @@ final case class FingerprintExpression(child: Expression, window: Int)
     defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
   }
 }
+
+/** Per-document repetition counters (`graft_repetition_counts`) — one
+  * pass over the text producing `[n_words, n_distinct_words,
+  * sum_word_chars, n_bigrams, top_bigram_count, dup_bigram_occurrences]`;
+  * the scan-local kernel behind [[graft.ops.TextStats.gopherQuality]].
+  */
+final case class RepetitionCountsExpression(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_repetition_counts"
+  override protected def withNewChildInternal(newChild: Expression): RepetitionCountsExpression =
+    copy(child = newChild)
+  def kernel(s: UTF8String): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      graft.ops.TextStats.repetitionCountsValue(s.toString))
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("rcExpr", this, classOf[RepetitionCountsExpression].getName)
+    defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
+  }
+}

@@ -518,6 +518,62 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0).getAs[Int]("n_stopwords") == 1) // "the"
   }
 
+  test("repetition counters: one-pass kernel matches hand counts") {
+    // "a b a b a": words=5, distinct=2, chars=5; bigrams: "a b"x2, "b a"x2
+    // -> n_bigrams=4, top=2, dup occurrences=4
+    assert(TextStats.repetitionCountsValue("a b a b a").toSeq ==
+      Seq(5L, 2L, 5L, 4L, 2L, 4L))
+    assert(TextStats.repetitionCountsValue("x y z").toSeq ==
+      Seq(3L, 3L, 3L, 2L, 1L, 0L))
+    assert(TextStats.repetitionCountsValue("solo").toSeq ==
+      Seq(1L, 1L, 4L, 0L, 0L, 0L))
+    assert(TextStats.repetitionCountsValue("").toSeq ==
+      Seq(0L, 0L, 0L, 0L, 0L, 0L))
+    assert(TextStats.repetitionCountsValue("  padded   whitespace  ").toSeq ==
+      Seq(2L, 2L, 16L, 1L, 1L, 0L))
+  }
+
+  test("gopher quality signals and keep flag") {
+    val d = Seq(
+      (0L, ("spark " * 30).trim),                        // pathological repetition
+      (1L, (0 until 60).map(i => s"w$i").mkString(" ")), // clean long doc
+      (2L, "too short")).toDF("doc_id", "text")
+    val out = TextStats.gopherQuality(d, "text", "doc_id",
+        minWords = 20, minMeanWordLen = 2.0,
+        maxTopBigramFrac = 0.5, maxDupWordFrac = 0.5)
+      .orderBy("doc_id").collect()
+    // doc 0: all-same words -> dup_word_frac 29/30, top bigram 29/29
+    assert(out(0).getAs[Double]("dup_word_frac") == math.rint(29.0 / 30 * 1e6) / 1e6)
+    assert(out(0).getAs[Double]("top_bigram_frac") == 1.0)
+    assert(out(0).getAs[Long]("keep") == 0L)
+    // doc 1: all-distinct words, every bigram unique
+    assert(out(1).getAs[Double]("dup_word_frac") == 0.0)
+    assert(out(1).getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(out(1).getAs[Long]("keep") == 1L)
+    // doc 2: below min word count
+    assert(out(2).getAs[Long]("keep") == 0L)
+  }
+
+  test("ngram decontamination drops exactly the overlapping docs") {
+    import graft.ops.Decontaminate
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "prefix words then alpha beta gamma delta and more"), // shares 4-gram with 0
+      (2L, "unrelated content entirely its own words here"),
+      (3L, "short one")).toDF("doc_id", "text")
+    val bench = corpus.filter($"doc_id" === 0L)
+    val cont = Decontaminate.contaminatedIds(corpus, bench, "text", "doc_id", n = 4)
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    assert(cont.toSeq == Seq(0L, 1L))
+    val clean = Decontaminate(corpus, bench, "text", "doc_id", n = 4)
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    assert(clean.toSeq == Seq(2L, 3L))
+    // n larger than every doc: nothing contaminated, nothing dropped
+    val all = Decontaminate(corpus, bench, "text", "doc_id", n = 50)
+      .count()
+    assert(all == 4L)
+  }
+
   test("fingerprint: rolling hash is content-defined") {
     val d = Seq(
       (0L, "a b c d e f g h"),

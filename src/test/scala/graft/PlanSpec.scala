@@ -185,6 +185,40 @@ class PlanSpec extends AnyFunSuite {
     assert(line.contains("*("), s"kernels not codegen'd:\n$executed")
   }
 
+  test("gopher quality is scan-local: zero shuffles, kernel in codegen") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.ops.TextStats.gopherQuality(docs, "text", "doc_id")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    // per-document statistics must never shuffle the corpus
+    assert(!executed.contains("Exchange"), executed)
+    val line = executed.linesIterator
+      .find(_.contains("graft_repetition_counts")).get
+    assert(line.contains("*("), s"repetition kernel not codegen'd:\n$executed")
+  }
+
+  test("ngram decontamination broadcasts bench grams; shuffles ids only") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 101 === 0)
+    val df = graft.ops.Decontaminate(docs, bench, "text", "doc_id", n = 4)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val executed = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+    // bench side broadcast, semi-join probe; corpus never sort-merge-joined
+    assert(executed.contains("BroadcastHashJoin") && executed.contains("LeftSemi"), executed)
+    assert(!executed.contains("SortMergeJoin"), executed)
+    // every shuffle carries an 8-byte key only: the corpus-side distinct
+    // on doc_id and the (tiny) bench-side distinct on the gram hash — no
+    // text and no gram strings ever cross the network
+    val exchanges = executed.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(l => l.contains("doc_id") || l.contains("__gh")), executed)
+    assert(!exchanges.exists(l => l.contains("text#") || l.contains("__g#")), executed)
+  }
+
   test("jaccard pair scoring is partial-aggregated; arrays only in final verify") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = graft.ops.Dedup.ngramJaccardPairs(docs, "text", "doc_id", persist = false)
