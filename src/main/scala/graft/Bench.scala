@@ -88,7 +88,8 @@ object Bench {
       "q_knn_ivf", "q1_agg", "q_events_window", "q_ann_counts",
       "q_dedup_simhash", "q_langid", "q_asof", "q_range_join",
       "q_tfidf", "q_dedup_jaccard", "q_dedup_cluster", "q_alpha_bool",
-      "q_embed_dedup", "q_pipeline", "q_stream_counts", "q_knn_batch")
+      "q_embed_dedup", "q_pipeline", "q_stream_counts", "q_knn_batch",
+      "q_gopher", "q_decontam_ngram")
 
     // The full timed unit for an op query includes clearCache so internal
     // persist() calls can't leak cached inputs into the next round.
