@@ -14,24 +14,27 @@ import org.apache.spark.sql.functions._
   * itself.
   *
   * Scale shape (the 100 TB posture): the benchmark side is tiny relative
-  * to the corpus, so its distinct n-grams are reduced to 8-byte xxhash64
-  * keys and BROADCAST; the corpus side is one narrow projected scan —
-  * `explode` of the per-row n-gram array is pipelined, never
+  * to the corpus, so its distinct n-grams are reduced to 8-byte 64-bit
+  * hash keys and BROADCAST; the corpus side is one narrow projected
+  * scan — `explode` of the per-row n-gram hash array is pipelined, never
   * materialized — probed through a broadcast LEFT SEMI join. The only
   * shuffles in the plan carry 8-byte keys: the corpus-side `distinct`
   * on doc ids and the bench-side `distinct` on gram hashes. No corpus
-  * text ever crosses the network. Joining on the 8-byte hash
-  * instead of the gram string makes the broadcast table and the probe
-  * keys constant-width; a false positive needs an xxhash64 collision
-  * between a corpus gram and a bench gram (p ≈ |corpus grams| × |bench
-  * grams| / 2^64 — negligible even at 100 TB, and only ever drops a
-  * single extra doc).
+  * text and no gram strings ever cross the network. Both sides hash
+  * with the SAME one-pass codegen'd kernel the jaccard dedup path uses
+  * ([[graft.spark.ShingleHashesExpression]], FNV-1a 64 over the
+  * space-joined gram — shingles ARE word n-grams), so no gram string is
+  * ever materialized per row either; a false positive needs a 64-bit
+  * collision between a corpus gram and a bench gram (p ≈ |corpus grams|
+  * × |bench grams| / 2^64 — negligible even at 100 TB, and only ever
+  * drops a single extra doc).
   */
 object Decontaminate {
 
   /** All word n-grams of `text` as an array of space-joined strings
     * (words = `\s+` runs of the trimmed text); empty array when the doc
-    * has fewer than `n` words. Scan-local native expressions only.
+    * has fewer than `n` words. Inspection/debug surface — the join path
+    * below never materializes gram strings, it uses the hash kernel.
     */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"n-gram size must be >= 1: $n")
@@ -42,17 +45,24 @@ object Decontaminate {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Distinct 64-bit n-gram hashes of `text` — one codegen'd kernel pass
+    * per row (the same shingle kernel as the jaccard dedup path).
+    */
+  private def gramHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.spark.ShingleHashesExpression(
+        org.apache.spark.sql.GraftBridge.expression(text), n))
+
   /** Ids of corpus documents sharing at least one word n-gram with the
     * benchmark set. Output: one `idCol` column, distinct.
     */
   def contaminatedIds(docs: DataFrame, bench: DataFrame,
       textCol: String, idCol: String, n: Int = 13): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1: $n")
     val benchGrams = bench
-      .select(explode(wordNgrams(col(textCol), n)).as("__g"))
-      .select(xxhash64(col("__g")).as("__gh"))
+      .select(explode(gramHashes(col(textCol), n)).as("__gh"))
       .distinct()
-    docs.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("__g"))
-      .select(col(idCol), xxhash64(col("__g")).as("__gh"))
+    docs.select(col(idCol), explode(gramHashes(col(textCol), n)).as("__gh"))
       .join(broadcast(benchGrams), Seq("__gh"), "left_semi")
       .select(col(idCol))
       .distinct()

@@ -210,6 +210,10 @@ class PlanSpec extends AnyFunSuite {
     // bench side broadcast, semi-join probe; corpus never sort-merge-joined
     assert(executed.contains("BroadcastHashJoin") && executed.contains("LeftSemi"), executed)
     assert(!executed.contains("SortMergeJoin"), executed)
+    // gram hashing is the codegen'd shingle kernel — no gram STRING is
+    // ever materialized anywhere in the plan
+    assert(executed.contains("graft_shingle_hashes"), executed)
+    assert(!executed.contains("concat_ws"), executed)
     // every shuffle carries an 8-byte key only: the corpus-side distinct
     // on doc_id and the (tiny) bench-side distinct on the gram hash — no
     // text and no gram strings ever cross the network
