@@ -465,8 +465,12 @@ object SparkEntry {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val copies = emb.select((col("vec_id") + 10000).as("vec_id"),
       transform(col("embedding"), (x, i) => when(i === 0, -x).otherwise(x)).as("embedding"))
+    // 8-bit bands (embeddingPairs SIZING RULE): at n=4k, 4-bit bands make
+    // every bucket ~n/16 and the candidate join quadratic; 256/32 keeps
+    // per-pair miss probability < 2e-5 (verified exact vs brute force at
+    // sf0.01 AND sf0.1) at ~16x fewer candidates
     Dedup.embeddingPairs(emb.union(copies), "embedding", "vec_id",
-        dim = 64, planes = 64, bands = 16, threshold = 0.9)
+        dim = 64, planes = 256, bands = 32, threshold = 0.9)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 3).as("cosine"))
       .orderBy(col("id_a"), col("id_b"))
   }

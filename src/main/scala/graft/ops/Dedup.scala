@@ -504,6 +504,20 @@ object Dedup {
     * band keys (near-duplicate floods, zero vectors) are capped at
     * `maxBucket` members, preventing quadratic blowup; capped documents
     * still pair up through their other bands.
+    *
+    * SIZING RULE (the parameter that decides cost at scale): with b =
+    * planes/bands bits per band, a band has 2^b buckets, so the expected
+    * bucket holds ~n/2^b rows and the candidate self-join produces
+    * O(bands × n²/2^b) pairs — b must GROW with the corpus, roughly
+    * b ≈ log2(n / desired bucket size). Recall is then bought back with
+    * more bands: a true pair at cosine c agrees on one band with
+    * probability (1 − θ/π)^b (θ = arccos c), and is missed by all bands
+    * with (1 − (1 − θ/π)^b)^bands. E.g. at n=4k, cosine ≥ 0.9: 4-bit
+    * bands (64/16) put ~250 rows in every bucket (~8M candidates, all
+    * verified exactly but slow), while 8-bit bands × 32 (256/32) cut
+    * candidates ~16× and still miss < 2e-5 per pair. The defaults
+    * (16/4) suit small corpora and very high thresholds; large corpora
+    * should scale both up.
     */
   def embeddingPairs(
       df: DataFrame, vecCol: String, idCol: String,
