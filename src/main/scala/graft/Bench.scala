@@ -89,7 +89,7 @@ object Bench {
       "q_dedup_simhash", "q_langid", "q_asof", "q_range_join",
       "q_tfidf", "q_dedup_jaccard", "q_dedup_cluster", "q_alpha_bool",
       "q_embed_dedup", "q_pipeline", "q_stream_counts", "q_knn_batch",
-      "q_gopher", "q_decontam_ngram")
+      "q_gopher", "q_decontam_ngram", "q_embed_quant")
 
     // The full timed unit for an op query includes clearCache so internal
     // persist() calls can't leak cached inputs into the next round.

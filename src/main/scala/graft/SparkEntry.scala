@@ -475,6 +475,17 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Int8 max-abs quantization of the embedding corpus, element-exact:
+    * scale + every code (comma-joined so the oracle pins all dims, not a
+    * summary). The op itself returns the codes as array<byte>.
+    */
+  private def qEmbedQuant(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Embeddings.quantize(
+        s.read.parquet(t(dir, "embeddings")), "embedding", "vec_id")
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        concat_ws(",", col("q").cast("array<string>")).as("q_str"))
+      .orderBy(col("vec_id"))
+
   // training-data pipeline: similarity search
 
   private def qKnnBrute(s: SparkSession, dir: String): DataFrame = {
@@ -696,6 +707,7 @@ object SparkEntry {
     "q_dedup_apply" -> (qDedupApply _),
     "q_dedup_cluster" -> (qDedupCluster _),
     "q_embed_dedup" -> (qEmbedDedup _),
+    "q_embed_quant" -> (qEmbedQuant _),
     "q_knn_brute" -> (qKnnBrute _),
     "q_knn_join" -> (qKnnJoin _),
     "q_knn_ivf" -> (qKnnIvf _),
@@ -1047,6 +1059,13 @@ object SparkEntry {
         |FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_embed_quant" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) ma FROM v)
+        |SELECT vec_id, round(ma / 127.0, 6) AS scale,
+        |  CASE WHEN ma = 0 THEN array_to_string(list_transform(e, x -> 0), ',')
+        |       ELSE array_to_string(list_transform(e, x -> CAST(round(127.0 * x / ma) AS BIGINT)), ',') END AS q_str
+        |FROM m ORDER BY vec_id""".stripMargin,
     "q_knn_brute" ->
       """WITH q AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id AS id,

@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.fingerprintFunction)
     ext.injectFunction(GraftExtensions.shingleHashesFunction)
     ext.injectFunction(GraftExtensions.repetitionCountsFunction)
+    ext.injectFunction(GraftExtensions.quantizeInt8Function)
+    ext.injectFunction(GraftExtensions.int8CosineFunction)
   }
 }
 
@@ -118,10 +120,29 @@ object GraftExtensions {
       RepetitionCountsExpression(children.head)
     })
 
+  val quantizeInt8Function: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_quantize_int8"),
+    new ExpressionInfo(classOf[QuantizeInt8Expression].getName, "graft_quantize_int8",
+      "graft_quantize_int8(vec) - struct(scale, q): int8 max-abs quantization, x_i ~ q_i*scale"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_quantize_int8 expects (vec)")
+      QuantizeInt8Expression(children.head)
+    })
+
+  val int8CosineFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_int8_cosine"),
+    new ExpressionInfo(classOf[Int8CosineExpression].getName, "graft_int8_cosine",
+      "graft_int8_cosine(qa, qb) - cosine over int8 code vectors (scales cancel)"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_int8_cosine expects (qa, qb)")
+      Int8CosineExpression(children.head, children(1))
+    })
+
   /** Register into an already-running session. */
   def install(spark: SparkSession): Unit =
     Seq(annotateTextFunction, simhashFunction, fingerprintFunction,
-      shingleHashesFunction, repetitionCountsFunction).foreach {
+      shingleHashesFunction, repetitionCountsFunction,
+      quantizeInt8Function, int8CosineFunction).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL-surface wrappers over the pure text kernels, so SQL users get the
@@ -234,6 +234,86 @@ final case class FingerprintExpression(child: Expression, window: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("fpExpr", this, classOf[FingerprintExpression].getName)
     defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
+  }
+}
+
+/** Int8 max-abs quantization of a double vector
+  * (`graft_quantize_int8`): struct(scale, q) with
+  * q_i = round(127 · x_i / maxabs) (half away from zero — the SQL
+  * `round` semantics in both Spark and DuckDB, so the codes are
+  * oracle-replicable) and scale = maxabs / 127, i.e. x_i ≈ q_i · scale.
+  * Zero and empty vectors quantize to scale 0 / all-zero codes. The
+  * 100 TB story: 4× smaller vectors through storage and shuffles, and
+  * cosine is scale-invariant, so ranking on int8 codes needs no
+  * dequantization (see [[Int8CosineExpression]]).
+  */
+final case class QuantizeInt8Expression(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", ArrayType(ByteType, containsNull = false), nullable = false)))
+  override def prettyName: String = "graft_quantize_int8"
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8Expression =
+    copy(child = newChild)
+  def kernel(av: ArrayData): InternalRow = {
+    val a = KernelUtil.toDoubles(av, "graft_quantize_int8")
+    var m = 0.0
+    var i = 0
+    while (i < a.length) { val x = math.abs(a(i)); if (x > m) m = x; i += 1 }
+    val q = new Array[Byte](a.length)
+    if (m > 0) {
+      i = 0
+      while (i < a.length) {
+        val s = 127.0 * a(i) / m
+        q(i) = math.copySign(math.floor(math.abs(s) + 0.5), s).toByte
+        i += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](m / 127.0,
+      UnsafeArrayData.fromPrimitiveArray(q)))
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("qi8Expr", this, classOf[QuantizeInt8Expression].getName)
+    defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
+  }
+}
+
+/** Cosine over int8 code vectors (`graft_int8_cosine`) — integer dot
+  * product and norms, one pass, no dequantization (scales cancel).
+  * The hot path for ranking a quantized corpus: 4× less memory traffic
+  * than the double kernel.
+  */
+final case class Int8CosineExpression(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_int8_cosine"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int8CosineExpression =
+    copy(left = newLeft, right = newRight)
+  def kernel(av: ArrayData, bv: ArrayData): Double = {
+    val a = av.toByteArray()
+    val b = bv.toByteArray()
+    require(a.length == b.length,
+      s"graft_int8_cosine: vector length mismatch (${a.length} vs ${b.length})")
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toLong * b(i)
+      na += a(i).toLong * a(i)
+      nb += b(i).toLong * b(i)
+      i += 1
+    }
+    dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("i8cosExpr", this, classOf[Int8CosineExpression].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$self.kernel($a, $b)")
   }
 }
 

@@ -518,6 +518,41 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0).getAs[Int]("n_stopwords") == 1) // "the"
   }
 
+  test("int8 quantization: exact codes, bounded reconstruction, cosine contract") {
+    import graft.ops.Embeddings
+    val vecs = Seq(
+      (0L, Array(1.0, -0.5, 0.25, 0.0)),
+      (1L, Array(0.0, 0.0, 0.0, 0.0)),        // zero vector
+      (2L, Array(-2.0, 2.0, 1.0, -1.0))).toDF("id", "v")
+    val q = Embeddings.quantize(vecs, "v", "id").orderBy("id").collect()
+    // maxabs=1 -> scale 1/127; codes = round(127*x): 127, -64 (63.5 away), 32, 0
+    assert(q(0).getAs[Double]("scale") == 1.0 / 127)
+    assert(q(0).getAs[scala.collection.Seq[Byte]]("q").toSeq == Seq[Byte](127, -64, 32, 0))
+    assert(q(1).getAs[Double]("scale") == 0.0)
+    assert(q(1).getAs[scala.collection.Seq[Byte]]("q").toSeq == Seq[Byte](0, 0, 0, 0))
+    assert(q(2).getAs[scala.collection.Seq[Byte]]("q").toSeq == Seq[Byte](-127, 127, 64, -64))
+
+    // dequantize reconstructs within scale/2 per element
+    val rec = Embeddings.dequantizeInt8(col("q"), col("scale"))
+    val back = Embeddings.quantize(vecs, "v", "id")
+      .select(col("id"), rec.as("r")).orderBy("id").collect()
+    assert(back(0).getSeq[Double](1).zip(Seq(1.0, -0.5, 0.25, 0.0))
+      .forall { case (a, b) => math.abs(a - b) <= 0.5 / 127 + 1e-12 })
+
+    // cosine on codes tracks true cosine within 2e-2 on random vectors
+    val rnd = new scala.util.Random(5)
+    val pairs = (0 until 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian()), Array.fill(64)(rnd.nextGaussian()))
+    }.toDF("id", "a", "b")
+    val errs = pairs.select(
+        graft.ops.Similarity.cosine(col("a"), col("b")).as("t"),
+        Embeddings.int8Cosine(
+          Embeddings.quantizeInt8(col("a")).getField("q"),
+          Embeddings.quantizeInt8(col("b")).getField("q")).as("e"))
+      .collect().map(r => math.abs(r.getDouble(0) - r.getDouble(1)))
+    assert(errs.max < 0.02, s"max int8 cosine error ${errs.max}")
+  }
+
   test("repetition counters: one-pass kernel matches hand counts") {
     // "a b a b a": words=5, distinct=2, chars=5; bigrams: "a b"x2, "b a"x2
     // -> n_bigrams=4, top=2, dup occurrences=4
