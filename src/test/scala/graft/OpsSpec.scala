@@ -609,6 +609,43 @@ class OpsSpec extends AnyFunSuite {
     assert(all == 4L)
   }
 
+  test("repetition counters property: equals brute-force recomputation") {
+    val rnd = new scala.util.Random(41)
+    val vocab = Seq("a", "bb", "ccc", "dd", "e")
+    (0 until 200).foreach { _ =>
+      val n = rnd.nextInt(12)
+      val text = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val ws = text.split("\\s+").filter(_.nonEmpty)
+      val bgs = ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val cnt = bgs.groupBy(identity).view.mapValues(_.size).toMap
+      val want = Seq[Long](ws.length, ws.distinct.length, ws.map(_.length.toLong).sum,
+        bgs.length, if (cnt.isEmpty) 0L else cnt.values.max.toLong,
+        cnt.values.filter(_ > 1).sum.toLong)
+      assert(TextStats.repetitionCountsValue(text).toSeq == want, s"text='$text'")
+    }
+  }
+
+  test("ngram decontamination property: equals brute-force overlap") {
+    val rnd = new scala.util.Random(43)
+    val vocab = Seq("w1", "w2", "w3")
+    val n = 3
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(2 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val bench = df.filter($"doc_id" % 5 === 0)
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+    val benchGrams = corpus.filter(_._1 % 5 == 0).flatMap(c => grams(c._2)).toSet
+    val wantContaminated = corpus.filter(c => grams(c._2).exists(benchGrams)).map(_._1).toSet
+    val got = graft.ops.Decontaminate.contaminatedIds(df, bench, "text", "doc_id", n)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == wantContaminated)
+    val clean = graft.ops.Decontaminate(df, bench, "text", "doc_id", n)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == corpus.map(_._1).toSet -- wantContaminated)
+  }
+
   test("fingerprint: rolling hash is content-defined") {
     val d = Seq(
       (0L, "a b c d e f g h"),
