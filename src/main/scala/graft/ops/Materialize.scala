@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Size-targeted parquet materialization — the small-files problem.
+  * 100 TB written from thousands of tasks with default settings lands as
+  * millions of undersized objects: listings and planning dominate reads,
+  * and every downstream scan pays per-file open cost. The fix is knowing
+  * bytes-per-row AS STORED (post-encoding, post-compression — in-memory
+  * plan stats are off by the compression ratio, often 5-20× on text) and
+  * capping `maxRecordsPerFile` so each output file lands near a target
+  * size.
+  *
+  * [[writeSized]] measures the stored row size empirically: write a
+  * bounded sample to a scratch path, read back the parquet footprint,
+  * derive rows-per-file, then write with `maxRecordsPerFile` (files
+  * split at the cap regardless of task partitioning, so upstream
+  * parallelism is preserved — no `coalesce` that would throttle the
+  * write stage). Optionally sorts within partitions first: sorted
+  * parquet runs-length/dictionary-encodes low-cardinality columns 2-5×
+  * smaller and gives readers clustered predicates.
+  */
+object Materialize {
+
+  /** Measured bytes-per-row of `df` as stored parquet, from a sample of
+    * up to `sampleRows` rows written to `scratchPath` (deleted after).
+    * Conservative floor of 1 byte/row.
+    */
+  def storedBytesPerRow(df: DataFrame, scratchPath: String,
+      sampleRows: Int = 10000): Double = {
+    val sample = df.limit(sampleRows)
+    sample.write.mode(SaveMode.Overwrite).parquet(scratchPath)
+    val spark = df.sparkSession
+    val n = spark.read.parquet(scratchPath).count()
+    val hadoopPath = new org.apache.hadoop.fs.Path(scratchPath)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hadoopPath).getLength
+    fs.delete(hadoopPath, true)
+    if (n == 0) 1.0 else math.max(1.0, bytes.toDouble / n)
+  }
+
+  /** Write `df` to `path` with files near `targetFileMB` each.
+    * `sortCols` range-sorts within partitions before writing (encoding
+    * locality). Returns (rowsPerFile used, measured bytes/row).
+    */
+  def writeSized(df: DataFrame, path: String, targetFileMB: Int = 512,
+      sortCols: Seq[String] = Nil, scratchPath: String = null,
+      sampleRows: Int = 10000): (Long, Double) = {
+    require(targetFileMB > 0, s"targetFileMB must be positive: $targetFileMB")
+    val scratch = Option(scratchPath).getOrElse(path + "_rowsize_sample")
+    val bpr = storedBytesPerRow(df, scratch, sampleRows)
+    val rowsPerFile = math.max(1L, (targetFileMB.toLong * 1024 * 1024 / bpr).toLong)
+    val sorted =
+      if (sortCols.isEmpty) df
+      else df.sortWithinPartitions(sortCols.map(col): _*)
+    sorted.write
+      .option("maxRecordsPerFile", rowsPerFile)
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+    (rowsPerFile, bpr)
+  }
+}

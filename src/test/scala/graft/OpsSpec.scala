@@ -656,6 +656,41 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(0) != fps(2)) // different content -> different fingerprint
   }
 
+  test("size-targeted write: files land near the target, none tiny") {
+    import graft.ops.Materialize
+    val dir = java.nio.file.Files.createTempDirectory("graft_matwrite").toString
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .repartition(8) // many small tasks: the shape that sprays tiny files
+      val target = 1 // MB — small enough that sf0.001 yields multiple files
+      val (rowsPerFile, bpr) = Materialize.writeSized(docs, s"$dir/out",
+        targetFileMB = target, sortCols = Seq("lang"))
+      assert(bpr > 1.0)
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/out"))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+      val sizes = files.map(java.nio.file.Files.size(_))
+      assert(sizes.nonEmpty)
+      // no file overshoots the target by more than 2x (sampling error bound)
+      assert(sizes.forall(_ < target * 1024 * 1024 * 2), sizes.mkString(","))
+      // rereads identical
+      val n0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+      assert(spark.read.parquet(s"$dir/out").count() == n0)
+      assert(rowsPerFile >= 1L)
+      // the sample scratch dir is cleaned up
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/out_rowsize_sample")))
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm(_)) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("multimodal plumbing: synthesize -> features -> resize -> frames") {
     val media = Multimodal.synthesize(docs, "text", "doc_id")
     assert(media.schema.fieldNames.toSeq ==
