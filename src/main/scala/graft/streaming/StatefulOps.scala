@@ -10,6 +10,18 @@ final case class ClosedSession(userId: Long, startMs: Long, endMs: Long, nEvents
 /** The open-session state carried between micro-batches. */
 final case class OpenSession(startMs: Long, endMs: Long, nEvents: Long)
 
+/** A streaming near-dup candidate: `docId`'s minhash band `band` bucket
+  * already held `priorId`; `sigAgreement` is the fraction of equal
+  * signature components — the standard minhash estimator of jaccard
+  * similarity between the two documents.
+  */
+final case class BandHit(docId: Long, band: Int, priorId: Long, sigAgreement: Double)
+
+/** Bucket state: the first document that claimed a (band, band_key)
+  * bucket within the watermark horizon, with its full signature.
+  */
+final case class BucketState(priorId: Long, sig: Array[Long], lastMs: Long)
+
 /** Stateful Structured-Streaming operators. The annotate matcher itself is
   * stateless, so custom state appears only in the analytics around the
   * stream — exactly two shapes a 100 TB/day pipeline needs:
@@ -36,6 +48,83 @@ object StatefulOps {
       .withColumn("__text_md5", md5(col(textCol)))
       .dropDuplicatesWithinWatermark("__text_md5")
       .drop("__text_md5")
+
+  /** Streaming NEAR-duplicate candidates: the online counterpart of
+    * [[graft.ops.Dedup.minhashPairs]]. Each document's minhash signature
+    * is banded exactly like the batch operator (same codegen'd
+    * [[graft.spark.ShingleSignatureExpression]] kernel, same
+    * xxhash64-of-slice band keys); a document arriving into a (band,
+    * band_key) bucket that an earlier document already claimed emits a
+    * [[BandHit]] carrying the signature-agreement estimate of their
+    * jaccard similarity.
+    *
+    * The streaming relaxation, stated honestly: batch minhashPairs
+    * exact-verifies candidates against the full shingle sets; a stream
+    * cannot hold shingle sets in state, so verification here is the
+    * signature AGREEMENT (unbiased jaccard estimator, ±1/sqrt(numPerms))
+    * against the bucket's FIRST owner only. State per bucket is one id +
+    * numPerms longs (~520 bytes at 64 perms), evicted when the watermark
+    * passes `delaySec` past the bucket's last activity — memory scales
+    * with distinct buckets in the horizon, not stream length.
+    *
+    * Doc-level gating (drop if ANY band hits with agreement ≥ t) is a
+    * stateless filter + dedup downstream:
+    * `hits.filter(_.sigAgreement >= t)` then distinct on docId (within a
+    * watermark if done in-stream, or in the batch sink).
+    */
+  def streamingNearDupHits(df: DataFrame, textCol: String, idCol: String,
+      tsCol: String, n: Int = 3, numPerms: Int = 64, bands: Int = 16,
+      delaySec: Long = 600): Dataset[BandHit] = {
+    require(numPerms % bands == 0, s"bands must divide numPerms: $numPerms/$bands")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = numPerms / bands
+    val delayMs = delaySec * 1000L
+    val shingleSig = org.apache.spark.sql.GraftBridge.column(
+      graft.spark.ShingleSignatureExpression(
+        org.apache.spark.sql.GraftBridge.expression(col(textCol)), n, numPerms))
+    df.select(col(idCol).cast("long").as("id"),
+        col(tsCol).cast("timestamp").as("ts"), shingleSig.as("ss"))
+      .withWatermark("ts", s"$delaySec seconds")
+      .filter(size(col("ss.sh")) > 0)
+      .select(col("id"), col("ts"), col("ss.sig").as("sig"))
+      .select(col("id"), col("ts"), col("sig"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> xxhash64(slice(sig, b * $rows + 1, $rows)))")))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+      .as[(Long, java.sql.Timestamp, Seq[Long], Int, Long)]
+      .groupByKey(r => (r._4, r._5))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (_: (Int, Long), docs: Iterator[(Long, java.sql.Timestamp, Seq[Long], Int, Long)],
+            state: GroupState[BucketState]) => {
+          if (docs.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // micro-batch iterators are unordered: replay in event order
+            val sorted = docs.toArray.sortBy(d => (d._2.getTime, d._1))
+            val out = Vector.newBuilder[BandHit]
+            var st = state.getOption
+            sorted.foreach { case (id, ts, sig, band, _) =>
+              st match {
+                case Some(s) =>
+                  var eq = 0
+                  var i = 0
+                  while (i < s.sig.length) { if (s.sig(i) == sig(i)) eq += 1; i += 1 }
+                  out += BandHit(id, band, s.priorId, eq.toDouble / s.sig.length)
+                  st = Some(s.copy(lastMs = math.max(s.lastMs, ts.getTime)))
+                case None =>
+                  st = Some(BucketState(id, sig.toArray, ts.getTime))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + delayMs + 1)
+            }
+            out.result().iterator
+          }
+        })
+  }
 
   /** Gap-based streaming sessionization: a session closes when no event
     * arrives for `gapSec` seconds (event time). Closed sessions are

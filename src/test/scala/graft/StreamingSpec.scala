@@ -53,6 +53,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming near-dup: band hits fire for near-copies, not strangers") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val df = stream.toDF().toDF("doc_id", "ts", "text")
+    val out = graft.streaming.StatefulOps.streamingNearDupHits(
+      df, "text", "doc_id", "ts")
+    val query = out.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      val base = "the quick brown fox jumps over the lazy dog and then naps"
+      // last word changed: 1 of 10 shingles differs, shares 7/16 bands
+      val near = "the quick brown fox jumps over the lazy dog and then rests"
+      val other = "completely unrelated content regarding distributed query engines"
+      stream.addData((1L, ts(0), base))
+      query.processAllAvailable()
+      stream.addData((2L, ts(1), near), (3L, ts(2), other))
+      query.processAllAvailable()
+      val hits = spark.table("neardup_out")
+        .as[graft.streaming.BandHit].collect()
+      // only the near-copy fires, always against the first owner
+      assert(hits.nonEmpty)
+      assert(hits.map(_.docId).distinct.toSeq == Seq(2L))
+      assert(hits.forall(_.priorId == 1L))
+      // shared bands mean high signature agreement (jaccard estimate)
+      assert(hits.forall(_.sigAgreement >= 0.8), hits.mkString(","))
+      // an exact duplicate arriving later hits with agreement 1.0 on all bands
+      stream.addData((4L, ts(3), base))
+      query.processAllAvailable()
+      val dup = spark.table("neardup_out").as[graft.streaming.BandHit]
+        .collect().filter(_.docId == 4L)
+      assert(dup.length == 16 && dup.forall(h => h.sigAgreement == 1.0 && h.priorId == 1L))
+    } finally query.stop()
+  }
+
   test("streaming sessionization closes sessions on gap and watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp)]
