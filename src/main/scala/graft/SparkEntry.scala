@@ -614,6 +614,47 @@ object SparkEntry {
       .select(col("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** The SQL surface end-to-end through the driver gate: annotate_text
+    * registered via GraftExtensions, a dictionary inlined as a JSON
+    * literal, pure `spark.sql` text — per-entry match totals and
+    * matched-doc counts. Certifies that a SQL-only user gets the same
+    * percolator the DataFrame API exposes.
+    */
+  private def qSqlAnnotate(s: SparkSession, dir: String): DataFrame = {
+    graft.spark.GraftExtensions.install(s)
+    s.read.parquet(t(dir, "documents")).createOrReplaceTempView("graft_docs")
+    s.sql(
+      """SELECT a.dictEntryId AS dict_entry_id,
+        |       CAST(count(*) AS BIGINT) AS n_matches,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM graft_docs
+        |LATERAL VIEW explode(annotate_text(text,
+        |  '[{"text": "hash join", "id": "hj"}, {"text": "table scan", "id": "ts"}, {"text": "fast merge", "id": "fm"}]')) AS a
+        |GROUP BY a.dictEntryId
+        |ORDER BY dict_entry_id""".stripMargin)
+  }
+
+  /** Annotation co-occurrence: which dictionary entries fire in the SAME
+    * document (the percolator's classic downstream analytic). Per-doc
+    * distinct entry sets self-joined within the doc key, counted per
+    * pair — the join is per-document-local, so it scales by doc count ×
+    * entries-per-doc², never corpus².
+    */
+  private def qAnnCooc(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val dict = Seq(
+      DE("hash", id = Some("h")), DE("join", id = Some("j")),
+      DE("scan", id = Some("s")), DE("stream", id = Some("st")))
+    val perDoc = highlighter(dict).annotateExploded(docs, "text")
+      .select(col("doc_id"), col("dict_entry_id")).distinct()
+    perDoc.as("a").join(perDoc.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("a.dict_entry_id") < col("b.dict_entry_id"))
+      .groupBy(col("a.dict_entry_id").as("id_a"), col("b.dict_entry_id").as("id_b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   private def qTokens(s: SparkSession, dir: String): DataFrame =
     TextStats.tokenCounts(events(s, dir)
         .filter(col("event_id") < 2000), "props", "event_id")
@@ -718,6 +759,8 @@ object SparkEntry {
     "q_quality" -> (qQuality _),
     "q_gopher" -> (qGopher _),
     "q_decontam_ngram" -> (qDecontamNgram _),
+    "q_sql_annotate" -> (qSqlAnnotate _),
+    "q_ann_cooc" -> (qAnnCooc _),
     "q_tokens" -> (qTokens _),
     "q_tfidf" -> (qTfidf _),
     "q_fingerprint" -> (qFingerprint _),
@@ -1153,6 +1196,33 @@ object SparkEntry {
         |       WHEN length(text)::DOUBLE / greatest(len(string_split(trim(text), ' ')), 1) > 15 THEN 'long_tokens'
         |       ELSE 'ok' END AS quality_bucket
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sql_annotate" ->
+      """SELECT * FROM (
+        |  SELECT 'fm' AS dict_entry_id,
+        |    CAST(sum(len(regexp_extract_all(text, '\bfast merge\b'))) AS BIGINT) AS n_matches,
+        |    CAST(count(*) FILTER (WHERE len(regexp_extract_all(text, '\bfast merge\b')) > 0) AS BIGINT) AS n_docs FROM documents
+        |  UNION ALL SELECT 'hj',
+        |    CAST(sum(len(regexp_extract_all(text, '\bhash join\b'))) AS BIGINT),
+        |    CAST(count(*) FILTER (WHERE len(regexp_extract_all(text, '\bhash join\b')) > 0) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'ts',
+        |    CAST(sum(len(regexp_extract_all(text, '\btable scan\b'))) AS BIGINT),
+        |    CAST(count(*) FILTER (WHERE len(regexp_extract_all(text, '\btable scan\b')) > 0) AS BIGINT) FROM documents
+        |) WHERE n_matches > 0 ORDER BY dict_entry_id""".stripMargin,
+    "q_ann_cooc" ->
+      """WITH m AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '\bhash\b')) > 0 AS h,
+        |  len(regexp_extract_all(text, '\bjoin\b')) > 0 AS j,
+        |  len(regexp_extract_all(text, '\bscan\b')) > 0 AS s,
+        |  len(regexp_extract_all(text, '\bstream\b')) > 0 AS st
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'h' AS id_a, 'j' AS id_b, CAST(count(*) FILTER (WHERE h AND j) AS BIGINT) AS n_docs FROM m
+        |  UNION ALL SELECT 'h', 's', CAST(count(*) FILTER (WHERE h AND s) AS BIGINT) FROM m
+        |  UNION ALL SELECT 'h', 'st', CAST(count(*) FILTER (WHERE h AND st) AS BIGINT) FROM m
+        |  UNION ALL SELECT 'j', 's', CAST(count(*) FILTER (WHERE j AND s) AS BIGINT) FROM m
+        |  UNION ALL SELECT 'j', 'st', CAST(count(*) FILTER (WHERE j AND st) AS BIGINT) FROM m
+        |  UNION ALL SELECT 's', 'st', CAST(count(*) FILTER (WHERE s AND st) AS BIGINT) FROM m
+        |) WHERE n_docs > 0 ORDER BY id_a, id_b""".stripMargin,
     "q_gopher" ->
       """WITH base AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
         |w AS (SELECT doc_id, len(ws) n_words, len(list_distinct(ws)) n_d,
