@@ -858,7 +858,8 @@ object SparkEntry {
         |ORDER BY doc_id, begin_offset, dict_entry_id""".stripMargin,
     "q_chunk" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w, len(string_split(text, ' ')) AS n
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+        |         len(string_split_regex(trim(text), '\s+')) AS n
         |  FROM documents WHERE length(trim(text)) > 0),
         |s AS (SELECT doc_id, w, n, unnest(range(0, n, 48)) AS st FROM t)
         |SELECT doc_id, CAST(st / 48 AS BIGINT) AS chunk_id,
@@ -1244,7 +1245,7 @@ object SparkEntry {
         |       AND top_bigram_frac <= 0.06 AND dup_word_frac <= 0.75 AS BIGINT) AS keep
         |FROM stats ORDER BY doc_id""".stripMargin,
     "q_decontam_ngram" ->
-      """WITH base AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+      """WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM documents),
         |grams AS (SELECT doc_id,
         |    unnest(list_transform(range(1, len(ws) - 2), i -> array_to_string(ws[i:i+3], ' '))) g
         |  FROM base WHERE len(ws) >= 4),

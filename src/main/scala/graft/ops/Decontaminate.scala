@@ -46,12 +46,18 @@ object Decontaminate {
   }
 
   /** Distinct 64-bit n-gram hashes of `text` — one codegen'd kernel pass
-    * per row (the same shingle kernel as the jaccard dedup path).
+    * per row (the same shingle kernel as the jaccard dedup path). The
+    * kernel tokenizes on single spaces, so the text is whitespace-
+    * normalized first (trim + collapse `\s+` runs to one space — both
+    * native codegen'd functions): documents whose shared n-gram differs
+    * only in whitespace (tabs, newlines, double spaces) must still hash
+    * identically, exactly matching [[wordNgrams]]'s `\s+` semantics.
     */
   private def gramHashes(text: Column, n: Int): Column =
     org.apache.spark.sql.GraftBridge.column(
       graft.spark.ShingleHashesExpression(
-        org.apache.spark.sql.GraftBridge.expression(text), n))
+        org.apache.spark.sql.GraftBridge.expression(
+          regexp_replace(trim(text), "\\s+", " ")), n))
 
   /** Ids of corpus documents sharing at least one word n-gram with the
     * benchmark set. Output: one `idCol` column, distinct.

@@ -168,7 +168,10 @@ object TextStats {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap < chunkTokens: $overlap/$chunkTokens")
     val stride = chunkTokens - overlap
-    val toks = split(col(textCol), " ")
+    // whitespace tokens = \s+ runs of the trimmed text — consistent with
+    // gopherQuality/wsTokens; consecutive spaces or newlines do not
+    // produce empty tokens that would inflate n_tokens
+    val toks = split(trim(col(textCol)), "\\s+")
     df.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol), toks.as("__toks"))
       .withColumn("__n", size(col("__toks")))

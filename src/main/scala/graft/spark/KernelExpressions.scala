@@ -283,7 +283,10 @@ final case class QuantizeInt8Expression(child: Expression)
 /** Cosine over int8 code vectors (`graft_int8_cosine`) — integer dot
   * product and norms, one pass, no dequantization (scales cancel).
   * The hot path for ranking a quantized corpus: 4× less memory traffic
-  * than the double kernel.
+  * than the double kernel. Zero-norm inputs (the quantizer maps zero
+  * vectors to all-zero codes) return 0.0 rather than NaN: the quantize
+  * path makes zero vectors first-class, and a NaN would silently fail
+  * threshold predicates instead of ranking the degenerate vector last.
   */
 final case class Int8CosineExpression(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -307,7 +310,8 @@ final case class Int8CosineExpression(left: Expression, right: Expression)
       nb += b(i).toLong * b(i)
       i += 1
     }
-    dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    if (na == 0L || nb == 0L) 0.0
+    else dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
   }
   override protected def nullSafeEval(a: Any, b: Any): Any =
     kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

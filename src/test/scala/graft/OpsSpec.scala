@@ -487,6 +487,13 @@ class OpsSpec extends AnyFunSuite {
     assert(chunks.filter(_._1 == 2L).toSeq ==
       Seq((2L, 0L, "short text", 2L)))
     assert(!chunks.exists(_._1 == 3L))
+    // real multi-line text: \s+ runs (tabs, newlines, double spaces) are
+    // single separators — no empty tokens inflating n_tokens
+    val messy = Seq((9L, "  one\ttwo\n\nthree  four ")).toDF("doc_id", "text")
+    val mc = TextStats.chunk(messy, "text", "doc_id", chunkTokens = 3, overlap = 1)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(mc.toSeq == Seq((0L, "one two three", 3L), (1L, "three four", 2L)))
   }
 
   test("token counts: whitespace and BPE-ish") {
@@ -551,6 +558,16 @@ class OpsSpec extends AnyFunSuite {
           Embeddings.quantizeInt8(col("b")).getField("q")).as("e"))
       .collect().map(r => math.abs(r.getDouble(0) - r.getDouble(1)))
     assert(errs.max < 0.02, s"max int8 cosine error ${errs.max}")
+
+    // zero vectors quantize to all-zero codes; cosine against them is
+    // defined as 0.0 (not NaN), so threshold predicates see them ranked
+    // last instead of silently vanishing
+    val z = Seq((0L, Array(0.0, 0.0), Array(1.0, 2.0))).toDF("id", "a", "b")
+      .select(Embeddings.int8Cosine(
+        Embeddings.quantizeInt8(col("a")).getField("q"),
+        Embeddings.quantizeInt8(col("b")).getField("q")).as("c"))
+      .collect().head.getDouble(0)
+    assert(z == 0.0)
   }
 
   test("repetition counters: one-pass kernel matches hand counts") {
@@ -607,6 +624,27 @@ class OpsSpec extends AnyFunSuite {
     val all = Decontaminate(corpus, bench, "text", "doc_id", n = 50)
       .count()
     assert(all == 4L)
+  }
+
+  test("ngram decontamination: whitespace variants still hash to the same gram") {
+    import graft.ops.Decontaminate
+    // the shared 4-gram differs only in whitespace (tab, newline, double
+    // space, leading/trailing pad) between bench and corpus — the GPT-3
+    // method treats words as \s+ tokens, so all variants must be caught
+    val corpus = Seq(
+      (0L, "alpha beta\tgamma delta epsilon"),
+      (1L, "  alpha  beta gamma\ndelta trailing words  "),
+      (2L, "alpha beta gamma other delta")).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val cont = Decontaminate.contaminatedIds(corpus, bench, "text", "doc_id", n = 4)
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    assert(cont.toSeq == Seq(0L, 1L))
+    // and the join path agrees with the documented wordNgrams surface
+    val viaStrings = corpus
+      .select(col("doc_id"), explode(Decontaminate.wordNgrams(col("text"), 4)).as("g"))
+      .join(bench.select(explode(Decontaminate.wordNgrams(col("text"), 4)).as("g")), Seq("g"))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(viaStrings == cont.toSet)
   }
 
   test("repetition counters property: equals brute-force recomputation") {
