@@ -44,6 +44,34 @@ object Bench {
     }
   }
 
+  /** Mixed-config variant of [[benchDict]]: the default-config dictionary
+    * is all slop-0 exact phrases — the Aho-Corasick fast path. Real
+    * dictionaries (the reference's own per-entry configs,
+    * `phrases_test.clj:198-280,494-521`) mix stemming, case folding,
+    * sloppy/ordered spans, synonyms and fuzzy terms, which exercise the
+    * analyzer-chain variety, the MultiPhrase/SpanNear matchers and the
+    * presearcher's always-check bucket. Config spread, by entry index:
+    * 20% stemmed, 20% case-insensitive, 20% slop>0 (half of it in-order),
+    * 20% with a synonym, 5% fuzzy (fuzziness 1 — fuzzy entries bypass the
+    * presearcher entirely, so their fraction IS the knob that moves the
+    * always-check cost; 5% of 80k = 4k always-check queries per doc),
+    * 15% default exact phrases.
+    */
+  private def benchDictMixed(size: Int): Seq[DE] = {
+    benchDict(size).zipWithIndex.map { case (e, i) =>
+      (i % 20) match {
+        case 0 | 5 | 10 | 15     => e.copy(stem = Some(true))
+        case 1 | 6 | 11 | 16     => e.copy(caseSensitive = Some(false))
+        case 2 | 12              => e.copy(slop = Some(1))
+        case 7 | 17              => e.copy(slop = Some(2), inOrder = Some(true))
+        case 3 | 8 | 13 | 18     => e.copy(synonyms =
+          Seq(e.text.split(" ").reverse.mkString(" ")))
+        case 4                   => e.copy(fuzzy = Some(true), fuzziness = Some(1))
+        case _                   => e
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // driver contract: local[32]; SPARK_GRAFT_CPUS=4 reproduces the
@@ -82,6 +110,8 @@ object Bench {
 
     val hl = SparkHighlighter(benchDict(5000))
     val hl80 = SparkHighlighter(benchDict(80000))
+    val hlMixed = SparkHighlighter(benchDictMixed(5000))
+    val hlMixed80 = SparkHighlighter(benchDictMixed(80000))
     var annCount = 0L
 
     val opQueries = Seq("q_dedup_minhash", "q_dedup_exact", "q_knn_brute",
@@ -97,7 +127,11 @@ object Bench {
       "annotate_5k_dict" ->
         (() => { annCount = hl.annotateExploded(docs, "text").count(); () }),
       "annotate_80k_dict" ->
-        (() => { hl80.annotateExploded(docs, "text").count(); () })
+        (() => { hl80.annotateExploded(docs, "text").count(); () }),
+      "annotate_5k_mixed" ->
+        (() => { hlMixed.annotateExploded(docs, "text").count(); () }),
+      "annotate_80k_mixed" ->
+        (() => { hlMixed80.annotateExploded(docs, "text").count(); () })
     ) ++ opQueries.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         name -> (() => { fn(spark, sfDir).count(); spark.catalog.clearCache() })
@@ -111,15 +145,27 @@ object Bench {
     spark.catalog.clearCache()
 
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     for (_ <- 1 to rounds; (name, f) <- thunks) {
       val t = time(f())
-      results(name) = results.get(name).fold(t)(math.min(_, t))
+      samples(name) = samples.getOrElse(name, Vector.empty) :+ t
     }
+    // min is the headline (least noise-contaminated estimate of true
+    // cost); median is reported alongside so a host-noise round can't
+    // mask a real trend across rounds (r4 verdict: uniform ~1.34×
+    // inflation on untouched queries was indistinguishable from drift)
+    val results = samples.map { case (k, v) => k -> v.min }
+    def median(v: Vector[Double]): Double = {
+      val s = v.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val medians = samples.map { case (k, v) => k -> median(v) }
 
     val annotateSec = results("annotate_5k_dict")
     val docsPerSec = nDocs / annotateSec
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val qsMed = medians.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
     // Cache-hygiene observable: RDDs still tracked after the suite (the
@@ -127,7 +173,7 @@ object Bench {
     // awaiting GC). Growth across rounds would mean an operator leaks.
     val storedRdds = spark.sparkContext.getPersistentRDDs.size
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":$nDocs,"annotations":$annCount,"docs_per_sec":$docsPerSec%.0f,"docs_per_sec_80k_dict":${nDocs / results("annotate_80k_dict")}%.0f,"cpus":$cpus,"stored_rdds":$storedRdds}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$qsMed,"sf":"$sfDir","docs":$nDocs,"annotations":$annCount,"docs_per_sec":$docsPerSec%.0f,"docs_per_sec_80k_dict":${nDocs / results("annotate_80k_dict")}%.0f,"docs_per_sec_5k_mixed":${nDocs / results("annotate_5k_mixed")}%.0f,"docs_per_sec_80k_mixed":${nDocs / results("annotate_80k_mixed")}%.0f,"cpus":$cpus,"stored_rdds":$storedRdds}"""
     println(json)
     // Belt and braces for harnesses that scrape a prefixed stdout: the
     // same line also goes to stderr (never sbt-prefixed when forked with

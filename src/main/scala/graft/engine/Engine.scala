@@ -50,7 +50,23 @@ final class CompiledDictionary(
     val queries: Array[CompiledQuery],
     val fieldConfs: Array[AnalysisConf],
     val anchor: Array[java.util.HashMap[String, Array[Int]]], // per fieldIdx: term -> query idxs
-    val alwaysCheck: Array[Int], // fuzzy queries: no exact anchor term
+    /** Per fieldIdx: deletion-variant → fuzzy query idxs (SymSpell-style
+      * symmetric-delete presearch). A fuzzy query has no exact anchor
+      * term, but a doc token within OSA distance f of the query's anchor
+      * term ALWAYS shares a string reachable by ≤f character deletions
+      * from each side (substitution/transposition = one deletion on both
+      * sides, insertion/deletion = one deletion on one side). Indexing
+      * the ≤f-deletion variants of each fuzzy query's rarest term and
+      * probing with the ≤maxF-deletion variants of each doc token yields
+      * a strict SUPERSET of the fuzzy-matchable queries — candidates,
+      * like all others, then run the real matcher. This replaces the
+      * always-check bucket: per-doc fuzzy presearch cost is
+      * O(tokens × len^maxF) hash probes, independent of dictionary size
+      * (4k always-check fuzzy queries at the 80k-dict scaling point made
+      * the mixed bench 20× slower than anchored matching).
+      */
+    val fuzzyDel: Array[java.util.HashMap[String, Array[Int]]],
+    val fuzzyMaxDel: Array[Int], // per fieldIdx: max fuzziness of its fuzzy queries
     val typeName: String,
     /** per fieldIdx: Aho-Corasick automaton covering the slop-0 phrase
       * queries of that field (null when none) — O(tokens) matching for
@@ -69,9 +85,9 @@ final class CompiledDictionary(
       fields(f) = FieldTokens(Analyzer.analyze(fieldConfs(f), text))
       f += 1
     }
-    // presearch: candidate query ids. Each query is anchored under exactly
-    // ONE (field, term), so ids collected here are already unique — no
-    // bitset needed; sort only for deterministic output order.
+    // presearch: candidate query ids. Each non-fuzzy query is anchored
+    // under exactly ONE (field, term); fuzzy queries can be hit through
+    // several deletion variants, so candIds are sort+dedup'd below.
     val cand = new mutable.ArrayBuilder.ofInt
     f = 0
     while (f < fieldConfs.length) {
@@ -83,9 +99,22 @@ final class CompiledDictionary(
           if (hit != null) cand.addAll(hit)
         }
       }
+      val fdel = fuzzyDel(f)
+      if (!fdel.isEmpty) {
+        val maxDel = fuzzyMaxDel(f)
+        val it = fields(f).positions.keySet().iterator()
+        while (it.hasNext) {
+          val variants = Compiler.deletionVariants(it.next(), maxDel)
+          var vi = 0
+          while (vi < variants.length) {
+            val hit = fdel.get(variants(vi))
+            if (hit != null) cand.addAll(hit)
+            vi += 1
+          }
+        }
+      }
       f += 1
     }
-    cand.addAll(alwaysCheck)
     // Aho-Corasick pass per field for the slop-0 phrase subset
     val acSpans = mutable.HashMap.empty[Int, mutable.ArrayBuffer[Long]]
     f = 0
@@ -110,6 +139,8 @@ final class CompiledDictionary(
     var ci = 0
     while (ci < candIds.length) {
       val q = candIds(ci)
+      if (ci > 0 && candIds(ci - 1) == q) { ci += 1 } // fuzzy multi-variant dup
+      else {
       acSpans.get(q) match {
         case Some(spans) =>
           val cq = queries(q)
@@ -124,6 +155,7 @@ final class CompiledDictionary(
           Matcher.matchQuery(queries(q), fields(queries(q).fieldIdx), text, typeName, out)
       }
       ci += 1
+      }
     }
     out.map(PostProcess.apply).toSeq
   }
@@ -156,6 +188,30 @@ final case class FieldTokens(tokens: Array[Token]) {
 object Compiler {
 
   private def log(msg: String): Unit = System.err.println(s"[graft] $msg")
+
+  /** All strings reachable from `s` by deleting at most `maxDel`
+    * characters (including `s` itself), distinct. maxDel is capped at 2
+    * by compileEntry's fuzziness validation, so the set is O(len²).
+    */
+  private[engine] def deletionVariants(s: String, maxDel: Int): Array[String] = {
+    if (maxDel <= 0 || s.isEmpty) return Array(s)
+    val out = new java.util.LinkedHashSet[String]()
+    out.add(s)
+    var i = 0
+    while (i < s.length) {
+      val d1 = s.substring(0, i) + s.substring(i + 1)
+      out.add(d1)
+      if (maxDel >= 2 && d1.nonEmpty) {
+        var j = 0
+        while (j < d1.length) {
+          out.add(d1.substring(0, j) + d1.substring(j + 1))
+          j += 1
+        }
+      }
+      i += 1
+    }
+    out.toArray(new Array[String](out.size))
+  }
 
   def resolveConf(e: DictionaryEntry, o: HighlighterOpts): AnalysisConf =
     AnalysisConf.resolve(
@@ -259,29 +315,40 @@ object Compiler {
     }
 
     // Route the slop-0 phrase subset to a per-field Aho-Corasick automaton
-    // (O(tokens) regardless of dictionary size); remaining queries get the
-    // presearcher anchor index (each under its rarest term) or, for fuzzy,
-    // the always-check list.
+    // (O(tokens) regardless of dictionary size); remaining non-fuzzy
+    // queries get the presearcher anchor index (each under its rarest
+    // term); fuzzy queries get the symmetric-delete index (the ≤fuzziness
+    // deletion variants of their rarest term).
     def acEligible(q: CompiledQuery): Boolean = !q.span && q.slop == 0
     val df = mutable.HashMap.empty[(Int, String), Int].withDefaultValue(0)
     queries.foreach(q => q.terms.distinct.foreach(t => df((q.fieldIdx, t)) += 1))
     val anchor = Array.fill(fieldConfs.length)(new java.util.HashMap[String, mutable.ArrayBuilder.ofInt]())
-    val alwaysCheck = new mutable.ArrayBuilder.ofInt
+    val fuzzyDel = Array.fill(fieldConfs.length)(new java.util.HashMap[String, mutable.ArrayBuilder.ofInt]())
+    val fuzzyMaxDel = new Array[Int](fieldConfs.length)
     queries.foreach { q =>
       if (acEligible(q)) () // handled by the automaton
-      else if (q.fuzzy) alwaysCheck += q.idx
-      else {
+      else if (q.fuzzy) {
+        val best = q.terms.minBy(t => (df((q.fieldIdx, t)), -t.length))
+        deletionVariants(best, q.fuzziness).foreach { v =>
+          var b = fuzzyDel(q.fieldIdx).get(v)
+          if (b == null) { b = new mutable.ArrayBuilder.ofInt; fuzzyDel(q.fieldIdx).put(v, b) }
+          b += q.idx
+        }
+        if (q.fuzziness > fuzzyMaxDel(q.fieldIdx)) fuzzyMaxDel(q.fieldIdx) = q.fuzziness
+      } else {
         val best = q.terms.minBy(t => (df((q.fieldIdx, t)), -t.length))
         var b = anchor(q.fieldIdx).get(best)
         if (b == null) { b = new mutable.ArrayBuilder.ofInt; anchor(q.fieldIdx).put(best, b) }
         b += q.idx
       }
     }
-    val anchorFinal = anchor.map { m =>
+    def finalize0(m: java.util.HashMap[String, mutable.ArrayBuilder.ofInt]) = {
       val out = new java.util.HashMap[String, Array[Int]](m.size())
       m.forEach((k, v) => out.put(k, v.result()))
       out
     }
+    val anchorFinal = anchor.map(finalize0)
+    val fuzzyDelFinal = fuzzyDel.map(finalize0)
     val acPerField: Array[AhoCorasick] = (0 until fieldConfs.length).map { f =>
       val pats = queries.iterator
         .filter(q => q.fieldIdx == f && acEligible(q))
@@ -290,7 +357,7 @@ object Compiler {
     }.toArray
     val typeName = opts.typeName.filter(_.trim.nonEmpty).getOrElse("PHRASE")
     new CompiledDictionary(queries.toArray, fieldConfs.toArray, anchorFinal,
-      alwaysCheck.result(), typeName, acPerField)
+      fuzzyDelFinal, fuzzyMaxDel, typeName, acPerField)
   }
 }
 

@@ -127,6 +127,54 @@ class CornerCaseSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy deletion presearch equals checking every fuzzy query") {
+    // the symmetric-delete presearch must be a SUPERSET generator: its
+    // output after real matching must equal running the matcher on every
+    // query with no presearch at all, across exact terms, 1-edit and
+    // 2-edit typos (incl. transpositions — OSA, not plain Levenshtein)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "theta", "kappa", "sigma", "omicron")
+    val rnd = new scala.util.Random(202)
+    def typo(w: String): String = {
+      if (w.length < 3) return w
+      val i = rnd.nextInt(w.length - 1)
+      rnd.nextInt(4) match {
+        case 0 => w.substring(0, i) + w.substring(i + 1)                      // delete
+        case 1 => w.substring(0, i) + ('a' + rnd.nextInt(26)).toChar + w.substring(i) // insert
+        case 2 => w.substring(0, i) + ('a' + rnd.nextInt(26)).toChar + w.substring(i + 1) // substitute
+        case _ => w.substring(0, i) + w.charAt(i + 1) + w.charAt(i) + w.substring(i + 2) // transpose
+      }
+    }
+    val dict = (0 until 300).map { i =>
+      val n = 1 + rnd.nextInt(2)
+      val t = (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      DE(t, id = Some(s"f$i"), fuzzy = Some(true), fuzziness = Some(1 + rnd.nextInt(2)))
+    }
+    val hl = Phrases.highlighter(dict, HO(optimizeDictionary = false))
+    val cd = graft.engine.Compiler.compile(dict, HO(optimizeDictionary = false))
+    val docs = (0 until 80).map { _ =>
+      (0 until (3 + rnd.nextInt(10))).map { _ =>
+        val w = vocab(rnd.nextInt(vocab.size))
+        rnd.nextInt(4) match {
+          case 0     => w
+          case 1 | 2 => typo(w)
+          case _     => typo(typo(w))
+        }
+      }.mkString(" ")
+    }
+    docs.foreach { doc =>
+      val got = hl(doc).map(a => (a.dictEntryId, a.beginOffset, a.endOffset)).toSet
+      val out = scala.collection.mutable.ArrayBuffer.empty[graft.dict.Annotation]
+      val fields = cd.fieldConfs.map(c =>
+        graft.engine.FieldTokens(graft.analysis.Analyzer.analyze(c, doc)))
+      cd.queries.foreach(q =>
+        graft.engine.Matcher.matchQuery(q, fields(q.fieldIdx), doc, cd.typeName, out))
+      val want = out.map(graft.engine.PostProcess.apply)
+        .map(a => (a.dictEntryId, a.beginOffset, a.endOffset)).toSet
+      assert(got == want, s"doc: $doc")
+    }
+  }
+
   test("property: annotation offsets are in-bounds and text == substring") {
     checkProp(Prop.forAll(Gen.listOfN(5, phraseGen), textGen) {
       (phrases: List[String], text: String) =>
