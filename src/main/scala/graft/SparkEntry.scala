@@ -206,6 +206,10 @@ object SparkEntry {
     * equal the batch equivalent (the DuckDB oracle recomputes them with
     * regexes). The memory source/sink pair is the test harness; on a
     * cluster the same pipeline runs unchanged on a Kafka/file source.
+    * The corpus is fed in 4 chunked micro-batches (each drained before
+    * the next is added) so the gate certifies INCREMENTAL aggregation
+    * across batches, not one giant batch — which also keeps memory-source
+    * task serialization small.
     */
   private def qStreamCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -214,7 +218,6 @@ object SparkEntry {
       .as[(String, String)].collect() // memory-source harness, not engine code
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
-    ms.addData(rows.toSeq)
     val sdf = ms.toDF().toDF("doc_id", "text")
     val dict = Seq(DE("hash join", id = Some("s_hj")),
       DE("table scan", id = Some("s_ts")), DE("dup", id = Some("s_dup")))
@@ -224,7 +227,14 @@ object SparkEntry {
     s.catalog.dropTempView(qname) // re-runnable within one session
     val q = counts.writeStream.format("memory").queryName(qname)
       .outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      require(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "streaming-counts gate must process >=3 micro-batches")
+    } finally q.stop()
     s.table(qname).filter(col("n_matches") > 0).orderBy(col("dict_entry_id"))
   }
 
@@ -232,25 +242,148 @@ object SparkEntry {
     * memory stream of the documents table. Which duplicate row wins is
     * micro-batch-order dependent, so the gate compares the DISTINCT SET —
     * the surviving content hashes must equal batch DISTINCT md5(text).
+    *
+    * The feed exercises the full state machine: the corpus arrives in 4
+    * chunks whose event times advance by 30 minutes per micro-batch
+    * (watermark delay is 10 minutes), and each batch RESENDS the previous
+    * chunk at its original timestamps. A resent duplicate is always
+    * inside the watermark horizon (its state is still live → dropped as
+    * a duplicate), while state two chunks back is past the horizon and
+    * has been EVICTED by the time the next batch runs — so the gate
+    * passes only if both dedup-within-watermark and state eviction
+    * behave.
     */
   private def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // fed in content-hash order so any NATURAL duplicate texts in the
+    // corpus land in the same or adjacent chunk — i.e. always inside the
+    // watermark horizon, where dedup is guaranteed; without the sort a
+    // natural dup spanning >=2 chunks would legitimately survive
+    // eviction and the strict distinct-set comparison would break
     val rows = s.read.parquet(t(dir, "documents"))
-      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .select(col("doc_id"), col("text")).orderBy(md5(col("text")))
+      .as[(Long, String)].collect()
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-    // every text arrives twice: the dedup state must drop exactly half
-    ms.addData(rows.toSeq ++ rows.toSeq)
-    val sdf = ms.toDF().toDF("doc_id", "text")
-      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val sdf = ms.toDF().toDF("doc_id", "text", "epoch")
+      .withColumn("ts", timestamp_seconds(col("epoch"))).drop("epoch")
     val out = graft.streaming.StatefulOps.streamingDedup(sdf, "text", "ts")
     val qname = "graft_stream_dedup"
     s.catalog.dropTempView(qname)
     val q = out.writeStream.format("memory").queryName(qname)
       .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    val t0 = 1704067200L // 2024-01-01 00:00:00 UTC
+    def ts(chunkIdx: Int): Long = t0 + chunkIdx * 1800L
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 4 + 1)).toIndexedSeq
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        val cur = chunk.toSeq.map { case (id, tx) => (id, tx, ts(i)) }
+        // duplicates of the PREVIOUS chunk ride along, at their original
+        // (still-in-horizon) timestamps
+        val redo = if (i == 0) Seq.empty[(Long, String, Long)]
+          else chunks(i - 1).toSeq.map { case (id, tx) => (id, tx, ts(i - 1)) }
+        ms.addData(cur ++ redo)
+        q.processAllAvailable()
+      }
+      // the last chunk's duplicates get their own final batch
+      ms.addData(chunks.last.map { case (id, tx) => (id, tx, ts(chunks.size - 1)) }.toSeq)
+      q.processAllAvailable()
+      require(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "streaming-dedup gate must process >=3 micro-batches")
+    } finally q.stop()
     s.table(qname).select(md5(col("text")).as("text_md5"))
       .orderBy(col("text_md5"))
+  }
+
+  /** Third streaming gate: the streaming near-duplicate candidate
+    * operator ([[graft.streaming.StatefulOps.streamingNearDupHits]]),
+    * oracled. Determinism: the whole corpus arrives in ONE micro-batch at
+    * a constant event time, and the operator replays each (band, key)
+    * bucket in (ts, id) order — so the bucket owner is the minimum doc_id
+    * and the band-hit set is a pure function of the signatures. 8
+    * permutations / 4 bands keep the DuckDB oracle tractable: it
+    * recomputes every minhash signature from scratch (FNV-1a shingle
+    * hashes + splitmix64 remix with the same Random(42) seeds, in
+    * HUGEINT mod-2^64 arithmetic) and derives the same hits relationally.
+    * The stream buckets by xxhash64(band slice) while the oracle groups
+    * by the slice VALUES — they differ only if two distinct slices
+    * collide in 64 bits (~1e-13 at this scale).
+    */
+  private def qStreamNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = s.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    ms.addData(rows.toSeq) // ONE batch: first-owner-per-bucket = min doc_id
+    val sdf = ms.toDF().toDF("doc_id", "text")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+    val out = graft.streaming.StatefulOps.streamingNearDupHits(
+      sdf, "text", "doc_id", "ts", n = 3, numPerms = 8, bands = 4)
+    val qname = "graft_stream_neardup"
+    s.catalog.dropTempView(qname)
+    val q = out.toDF().writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qname).select(col("docId").as("doc_id"),
+        col("band").cast("long").as("band"),
+        col("priorId").as("prior_id"),
+        round(col("sigAgreement"), 6).as("agreement"))
+      .orderBy(col("doc_id"), col("band"))
+  }
+
+  /** The q_stream_neardup oracle, generated: DuckDB recomputes the 8-perm
+    * minhash signature of every document — FNV-1a 64 over each distinct
+    * word-3-gram, splitmix64 remix per permutation seed, signed-long min —
+    * in HUGEINT arithmetic mod 2^64 (64×64-bit products are split into
+    * 32-bit halves to stay inside HUGEINT), then rebuilds the band
+    * buckets, owners, and signature-agreement hits relationally. Seeds
+    * are inlined from [[graft.ops.Dedup.minhashSeeds]], so the oracle is
+    * fully independent of the JVM at run time. Same BMP-only `unicode()`
+    * caveat as the simhash oracle.
+    */
+  private lazy val streamNeardupOracleSql: String = {
+    val seeds = graft.ops.Dedup.minhashSeeds(8)
+      .map(java.lang.Long.toUnsignedString(_))
+      .map(s => s"CAST('$s' AS HUGEINT)").mkString("[", ", ", "]")
+    val m64 = "CAST('18446744073709551616' AS HUGEINT)"
+    def mulmod(v: String, c: String): String =
+      s"((($v) % 4294967296) * CAST('$c' AS HUGEINT) + " +
+        s"((($v) // 4294967296) * CAST('$c' AS HUGEINT) % 4294967296) * 4294967296) % $m64"
+    // splitmix64(x ^ seed) with let-bindings via single-element lambdas
+    val remix =
+      s"""list_transform([xor(h, s)], x0 ->
+         | list_transform([xor(x0, x0 // 1073741824)], y1 ->
+         |  list_transform([${mulmod("y1", "13787848793156543929")}], z1 ->
+         |   list_transform([xor(z1, z1 // 134217728)], y2 ->
+         |    list_transform([${mulmod("y2", "10723151780598845931")}], z2 ->
+         |     xor(z2, z2 // 2147483648))[1])[1])[1])[1])[1]""".stripMargin
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+       |sh AS (SELECT doc_id, list_distinct([
+       |    list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+       |      list_transform(range(1, len(array_to_string(w[i:i+2], ' ')) + 1),
+       |        ci -> CAST(unicode(array_to_string(w[i:i+2], ' ')[ci]) AS HUGEINT))),
+       |      (h, c) -> (xor(h, c) * 1099511628211) % $m64)
+       |    FOR i IN range(1, len(w) - 1)]) hs
+       |  FROM t WHERE len(w) >= 3),
+       |sigs AS (SELECT doc_id,
+       |  [ CAST(list_min(list_transform(hs, h ->
+       |      list_transform([$remix],
+       |        u -> CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+       |             THEN u - $m64 ELSE u END)[1]
+       |    )) AS BIGINT)
+       |    FOR s IN $seeds ] AS sig
+       |  FROM sh),
+       |banded AS (SELECT doc_id, b AS band, sig[b*2+1:b*2+2] AS key, sig
+       |  FROM sigs, unnest(range(0, 4)) AS u(b)),
+       |owner AS (SELECT band, key, min(doc_id) AS prior_id
+       |  FROM banded GROUP BY band, key)
+       |SELECT d.doc_id, CAST(d.band AS BIGINT) AS band, o.prior_id,
+       |  round(len(list_filter(range(1, 9), i -> d.sig[i] = po.sig[i])) / 8.0, 6) AS agreement
+       |FROM banded d
+       |JOIN owner o ON d.band = o.band AND d.key = o.key AND d.doc_id > o.prior_id
+       |JOIN sigs po ON po.doc_id = o.prior_id
+       |ORDER BY 1, 2""".stripMargin
   }
 
   private def qDictRead(s: SparkSession, dir: String): DataFrame = {
@@ -730,6 +863,7 @@ object SparkEntry {
     "q_alpha_ext" -> (qAlphaExt _),
     "q_stream_counts" -> (qStreamCounts _),
     "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_neardup" -> (qStreamNeardup _),
     "q_dict_read" -> (qDictRead _),
     "q_dict_optimize" -> (qDictOptimize _),
     "q1_agg" -> (q1Agg _),
@@ -912,6 +1046,7 @@ object SparkEntry {
         |) WHERE n_matches > 0 ORDER BY dict_entry_id""".stripMargin,
     "q_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS text_md5 FROM documents ORDER BY text_md5",
+    "q_stream_neardup" -> streamNeardupOracleSql,
     "q_dict_read" ->
       """SELECT * FROM (VALUES
         |  ('test-dictionary-item', '',    CAST(0 AS BIGINT), true, false, CAST(0 AS BIGINT)),
