@@ -4,9 +4,9 @@ package graft.analysis
   * (the specifications at snowballstem.org) for the most-used
   * non-English languages the reference wires through Lucene's
   * SnowballFilter (`/root/reference/src/beagle/text_analysis.clj:15-49`):
-  * German, Dutch, French, Spanish, Portuguese, Italian, Russian. The
-  * long-tail languages remain on the table-driven approximations in
-  * [[SuffixStemmers]].
+  * German, Dutch, French, Spanish, Portuguese, Italian, Russian. Further
+  * languages live in [[SnowballStemmers2]], [[SnowballStemmers3]] and
+  * [[SnowballStemmers4]].
   *
   * Each object follows the published algorithm description step by step —
   * R1/R2/RV region computation, longest-suffix among-matching (the
@@ -79,8 +79,15 @@ object SnowballStemmers {
     private val step2 = Array("est", "en", "er", "st")
     private val step3 = Array("isch", "lich", "heit", "keit", "end", "ung", "ig", "ik")
 
-    def stem(word: String): String = {
-      var w = word.replace("ß", "ss")
+    def stem(word: String): String = afterPrelude(word.replace("ß", "ss"))
+
+    /** Everything after the character-rewriting prelude: the u/y marking,
+      * regions, suffix steps, and postlude. Shared with
+      * [[SnowballStemmers4.German2]], which differs from german ONLY in
+      * the prelude (ae/oe/ue folded to umlauts, except ue after q).
+      */
+    private[analysis] def afterPrelude(word: String): String = {
+      var w = word
       // mark u/y between vowels as consonants
       if (w.length > 2) {
         val cs = w.toCharArray

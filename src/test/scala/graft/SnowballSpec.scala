@@ -226,6 +226,85 @@ class SnowballSpec extends AnyFunSuite {
     check("english", "skies" -> "sky", "news" -> "news", "dying" -> "die")
   }
 
+  test("german2: german plus the typewriter-umlaut prelude") {
+    check("german2",
+      "schoen" -> "schon",      // oe -> ö, folded back to o by the postlude
+      "schön" -> "schon",       // identical to the real umlaut spelling
+      "quelle" -> "quell",      // ue after q NOT folded
+      "mueller" -> "mull",      // ue -> ü, er removed, ü -> u
+      "müller" -> "mull",
+      "haeuser" -> "haus",      // ae -> ä: same as häuser under german
+      "straße" -> "strass",     // ß handling shared with german
+      "aufeinander" -> "aufeinand")
+    // on every golden-corpus word with none of ae/oe/ue/ß, german2 IS
+    // german (the variant differs only in the prelude)
+    val golden = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("src/test/resources/snowball/german.tsv"))
+    val g = Stemmers.forName("german")
+    val g2 = Stemmers.forName("german2")
+    var n = 0
+    golden.forEach { line =>
+      val w = line.split("\t")(0)
+      if (!w.contains("ae") && !w.contains("oe") && !w.contains("ue") &&
+        !w.contains("ß")) {
+        assert(g2.stem(w) == g.stem(w), s"german2($w) diverged from german")
+        n += 1
+      }
+    }
+    assert(n > 3000) // the property covered the bulk of the corpus
+  }
+
+  test("lovins: published 1968 tables — worked examples") {
+    check("lovins",
+      "sitting" -> "sit",        // ing (N) removed, tt undoubled
+      "sits" -> "sit",           // s (W)
+      "matrix" -> "matric",      // no ending; respell ix -> ic
+      "matrices" -> "matric",    // es (E); conflates with matrix
+      "believes" -> "belief",    // es (E), respell iev -> ief
+      "believe" -> "belief",
+      "magnesia" -> "magnes",    // ia (A)
+      "absorption" -> "absorb",  // ion (Q), respell rpt -> rb
+      "absorbing" -> "absorb",   // ing (N)
+      "dissolved" -> "dissolut", // ed (E), respell olv -> olut
+      "dissolution" -> "dissolut", // ion (Q)
+      "administration" -> "administer", // ation (B), respell istr -> ister
+      "administer" -> "administer",
+      "parametric" -> "parameter", // ic (A), respell metr -> meter
+      "parameters" -> "parameter", // s (W)
+      // the generated implementation takes the LONGEST ending and gives
+      // up if its condition fails (no backtracking): ationally (B) wins
+      // over ionally (A) but leaves a 1-char stem, so nothing is removed
+      "nationally" -> "nationally")
+  }
+
+  test("kp: Kraaij-Pohlmann Dutch — orthographic normalization") {
+    check("kp",
+      "lopen" -> "loop",     // en removed, closed syllable re-lengthened
+      "loopt" -> "loop",     // 3rd-person pt -> p
+      "katten" -> "kat",     // en removed, tt undoubled (NOT lengthened)
+      "boeken" -> "boek",    // oe cluster: no lengthening
+      "maakte" -> "maak",    // past te
+      "maakt" -> "maak",     // kt -> k
+      "leeft" -> "leef",     // ft -> f
+      "spelen" -> "speel",   // first-vowel e DOES re-lengthen
+      "wandelingen" -> "wandel", // en, then derivational ing; schwa-e kept short
+      "mogelijkheden" -> "moge")    // heden -> heid, then heid, then lijk
+  }
+
+  test("estonian: published algorithm structure — worked examples") {
+    check("estonian",
+      "raamatutega" -> "raamatu", // case ga + plural te
+      "raamatud" -> "raamatu",    // nominative-plural d after stem vowel
+      "raamatuid" -> "raamatu",   // partitive id
+      "raamatugi" -> "raamatu",   // emphasis gi
+      "lugesin" -> "luge",        // verb sin
+      "lugesime" -> "luge",       // verb sime
+      "kirjutamisega" -> "kirjutamine", // mine-family citation form
+      // reference-pinned: English-like plurals are NOT conflated
+      "dogs" -> "dogs",
+      "dog" -> "dog")
+  }
+
   test("inflection equivalence classes under exact stemmers") {
     def eqv(lang: String, a: String, b: String): Unit = {
       val st = Stemmers.forName(lang)
