@@ -835,6 +835,47 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** Size-targeted materialization gate (rows-only: filesystem layout
+    * has no SQL oracle — the driver records rows>0 and the row carries
+    * the observables). Writes the documents table through
+    * [[graft.ops.Materialize.writeSized]] at a 1 MB target from 8
+    * deliberately-small input partitions (the shape that sprays tiny
+    * files), then reports (n_files, max_file_mb, target_mb) from the
+    * actual directory listing. Compaction consolidates the undersized
+    * partitions, so n_files tracks ceil(stored_bytes / target), not the
+    * input partition count. OpsSpec pins both bounds (no overshoot, no
+    * tiny-file spray); this gate makes the small-files answer a tracked
+    * per-round observable.
+    */
+  private def qMaterialize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scratch = java.nio.file.Files.createTempDirectory("graft_mat_gate")
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val st = java.nio.file.Files.list(p)
+        try st.forEach(rm(_)) finally st.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    try {
+      val docs = s.read.parquet(t(dir, "documents")).repartition(8)
+      val targetMB = 1
+      graft.ops.Materialize.writeSized(docs, s"$scratch/out",
+        targetFileMB = targetMB, sortCols = Seq("lang"))
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(s"$scratch/out"))
+      val sizes = try {
+        val b = Vector.newBuilder[Long]
+        st.forEach(p => if (p.toString.endsWith(".parquet"))
+          b += java.nio.file.Files.size(p))
+        b.result()
+      } finally st.close()
+      Seq((sizes.size.toLong,
+          math.rint(sizes.max / 1048576.0 * 1000) / 1000.0,
+          targetMB.toLong))
+        .toDF("n_files", "max_file_mb", "target_mb")
+    } finally rm(scratch)
+  }
+
   /** Frame-sampling plumbing oracle: the stub header says nFrames =
     * 1 + id%10, sampling every 2nd frame gives ceil(nFrames/2) rows per
     * video — SQL-derivable, so the explode/binary-slicing path is gated.
@@ -900,7 +941,8 @@ object SparkEntry {
     "q_fingerprint" -> (qFingerprint _),
     "q_fp_card" -> (qFpCard _),
     "q_multimodal" -> (qMultimodal _),
-    "q_mm_frames" -> (qMmFrames _))
+    "q_mm_frames" -> (qMmFrames _),
+    "q_materialize" -> (qMaterialize _))
 
   /** DuckDB oracles. Column names and ordering match the Spark results
     * exactly; aggregates are cast to fixed types (BIGINT / DOUBLE via

@@ -14,12 +14,23 @@ import org.apache.spark.sql.functions._
   *
   * [[writeSized]] measures the stored row size empirically: write a
   * bounded sample to a scratch path, read back the parquet footprint,
-  * derive rows-per-file, then write with `maxRecordsPerFile` (files
-  * split at the cap regardless of task partitioning, so upstream
-  * parallelism is preserved — no `coalesce` that would throttle the
-  * write stage). Optionally sorts within partitions first: sorted
-  * parquet runs-length/dictionary-encodes low-cardinality columns 2-5×
-  * smaller and gives readers clustered predicates.
+  * derive rows-per-file, then write with `maxRecordsPerFile` as the
+  * overshoot guard (files split at the cap regardless of task
+  * partitioning). With `compact = true` (the default) it also
+  * repartitions to ceil(rows / rowsPerFile) partitions before writing —
+  * one write task per target-size output file — so UNDERSIZED input
+  * partitions consolidate instead of spraying tiny files: the
+  * `maxRecordsPerFile` cap alone only bounds size from above. At
+  * 100 TB / 512 MB targets that is ~200k write tasks, so compaction
+  * never throttles the write stage in the regime where parallelism
+  * matters; the cost is one extra count() pass over the input.
+  * Optionally sorts within partitions first: sorted parquet
+  * run-length/dictionary-encodes low-cardinality columns 2-5× smaller
+  * and gives readers clustered predicates. When both `compact` and
+  * `sortCols` are set, the repartition is `repartitionByRange` on the
+  * sort key, so output files are globally range-clustered (skewed key
+  * ranges may overfill a partition; the `maxRecordsPerFile` guard still
+  * splits those at the cap).
   */
 object Materialize {
 
@@ -46,14 +57,22 @@ object Materialize {
     */
   def writeSized(df: DataFrame, path: String, targetFileMB: Int = 512,
       sortCols: Seq[String] = Nil, scratchPath: String = null,
-      sampleRows: Int = 10000): (Long, Double) = {
+      sampleRows: Int = 10000, compact: Boolean = true): (Long, Double) = {
     require(targetFileMB > 0, s"targetFileMB must be positive: $targetFileMB")
     val scratch = Option(scratchPath).getOrElse(path + "_rowsize_sample")
     val bpr = storedBytesPerRow(df, scratch, sampleRows)
     val rowsPerFile = math.max(1L, (targetFileMB.toLong * 1024 * 1024 / bpr).toLong)
+    val arranged =
+      if (!compact) df
+      else {
+        val nParts = math.max(1L,
+          math.ceil(df.count().toDouble / rowsPerFile).toLong).toInt
+        if (sortCols.nonEmpty) df.repartitionByRange(nParts, sortCols.map(col): _*)
+        else df.repartition(nParts)
+      }
     val sorted =
-      if (sortCols.isEmpty) df
-      else df.sortWithinPartitions(sortCols.map(col): _*)
+      if (sortCols.isEmpty) arranged
+      else arranged.sortWithinPartitions(sortCols.map(col): _*)
     sorted.write
       .option("maxRecordsPerFile", rowsPerFile)
       .mode(SaveMode.Overwrite)

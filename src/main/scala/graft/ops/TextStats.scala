@@ -125,17 +125,24 @@ object TextStats {
       w
     }
 
+  /** Pure text → rolling-window-hash kernel shared by the codegen'd
+    * [[graft.spark.WindowHashesExpression]] and the tests.
+    */
+  private[graft] def windowHashesValue(text: String, window: Int): Array[Long] =
+    if (text == null || text.isEmpty) Array.empty[Long]
+    else windowHashes(tokenHashes(text), window)
+
   /** All rolling-window hashes (the set [[fingerprint]] minimizes over).
     * Distinct-cardinality of these equals distinct window token-sequences
     * as long as the 64-bit hash is collision-free on the corpus — which is
     * what the q_fp_card oracle checks against DuckDB's string windows.
+    * Codegen'd expression (`graft_window_hashes`), same kernel policy as
+    * every other per-row text kernel.
     */
-  def fingerprintWindows(textCol: Column, window: Int = 5): Column = {
-    val f = udf((text: String) =>
-      if (text == null || text.isEmpty) Array.empty[Long]
-      else windowHashes(tokenHashes(text), window))
-    f(textCol)
-  }
+  def fingerprintWindows(textCol: Column, window: Int = 5): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.spark.WindowHashesExpression(
+        org.apache.spark.sql.GraftBridge.expression(textCol), window))
 
   /** Pure text → fingerprint kernel, shared by the Column wrapper and the
     * SQL function `graft_fingerprint`.

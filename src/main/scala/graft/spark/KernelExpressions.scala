@@ -221,6 +221,27 @@ final case class IvfAssignExpression(child: Expression,
       Integer.valueOf(java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])))
 }
 
+/** All rolling `window`-token hashes of a text
+  * (`graft_window_hashes`) — the set [[FingerprintExpression]] minimizes
+  * over, exposed for cardinality certification (q_fp_card).
+  */
+final case class WindowHashesExpression(child: Expression, window: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_window_hashes"
+  override protected def withNewChildInternal(newChild: Expression): WindowHashesExpression =
+    copy(child = newChild)
+  def kernel(s: UTF8String): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      graft.ops.TextStats.windowHashesValue(s.toString, window))
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("whExpr", this, classOf[WindowHashesExpression].getName)
+    defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
+  }
+}
+
 final case class FingerprintExpression(child: Expression, window: Int)
   extends UnaryExpression {
   override def dataType: DataType = LongType

@@ -711,6 +711,13 @@ class OpsSpec extends AnyFunSuite {
       assert(sizes.nonEmpty)
       // no file overshoots the target by more than 2x (sampling error bound)
       assert(sizes.forall(_ < target * 1024 * 1024 * 2), sizes.mkString(","))
+      // ...and the 8 undersized input partitions CONSOLIDATE: file count is
+      // what the total stored bytes demand, not what the input partitioning
+      // sprays (+1 slack for the range-partition boundary)
+      val wantFiles = math.max(1L, math.ceil(
+        sizes.sum.toDouble / (target * 1024 * 1024)).toLong)
+      assert(sizes.length <= wantFiles + 1,
+        s"tiny-file spray: ${sizes.length} files for ${sizes.sum} bytes at ${target}MB target")
       // rereads identical
       val n0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
       assert(spark.read.parquet(s"$dir/out").count() == n0)

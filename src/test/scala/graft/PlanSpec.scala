@@ -116,6 +116,14 @@ class PlanSpec extends AnyFunSuite {
     assert(hashEx == 1, s"expected exactly 1 hash exchange:\n$plan")
   }
 
+  test("fingerprint window kernel stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("q_fp_card")(spark, sf)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    val line = executed.linesIterator.find(_.contains("graft_window_hashes(")).get
+    assert(line.contains("*("), s"graft_window_hashes not codegen'd:\n$executed")
+  }
+
   test("annotate expression stays inside whole-stage codegen") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = SparkHighlighter(Seq(DE("hash join", id = Some("1"))), HO())
