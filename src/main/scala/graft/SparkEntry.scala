@@ -18,14 +18,22 @@ object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default — read it as raw nanos and convert with integral division
-    * (a double division would lose precision at 1.7e18 ns).
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) — which
+    * Spark 4 rejects by default, so it is read as raw nanos and converted
+    * with integral division (a double division would lose precision at
+    * 1.7e18 ns) — and plain TIMESTAMP(MICROS), which Spark reads natively
+    * as TIMESTAMP_NTZ. Adapt to whichever the parquet footer declares and
+    * normalize to session-local TimestampType either way.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(t(dir, "events"))
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    val raw = s.read.parquet(t(dir, "events"))
+    val tsCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+      case _ => col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", tsCol)
   }
 
   // ---------------------------------------------------------------- dicts
