@@ -31,7 +31,12 @@ object SparkEntry {
     val tsCol = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-      case _ => col("ts").cast("timestamp")
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast("timestamp")
+      case other => throw new IllegalArgumentException(
+        s"events.ts: expected TIMESTAMP(NANOS)-as-long, TIMESTAMP, or " +
+          s"TIMESTAMP_NTZ, got $other — refusing to cast silently")
     }
     raw.withColumn("ts", tsCol)
   }
@@ -755,6 +760,73 @@ object SparkEntry {
       .select(col("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** Bloom-prefilter decontamination — EXACT results (bloom = no false
+    * negatives; confirm join removes false positives), so it shares
+    * q_decontam_ngram's oracle verbatim. Gates the whole bloom path:
+    * build, broadcast, codegen'd probe, confirm join.
+    */
+  private def qDecontamBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val bench = docs.filter(col("doc_id") % 101 === 0)
+    graft.ops.Decontaminate.bloom(docs, bench, "text", "doc_id", n = 4)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  /** Corpus-wide line dedup (Lee et al. 2021 at line granularity). The
+    * corpus is single-line documents, so multi-line docs are synthesized
+    * by gluing consecutive triples with newlines — exact duplicate texts
+    * in the corpus then become repeated LINES across synthetic docs, and
+    * the operator's first-occurrence-wins/reassembly semantics are fully
+    * SQL-replicable (window rank over (doc_id, pos)).
+    */
+  private def qLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val glued = docs
+      .groupBy(expr("doc_id DIV 3").as("doc_id"))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("doc_id").as("i"),
+          col("text").as("t")))), x => x.getField("t"))).as("text"))
+    graft.ops.Dedup.lineDedup(glued, "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII redaction over texts laced with deterministic synthetic PII
+    * (3 of every 4 docs get an email + IPv4 + phone suffix derived from
+    * doc_id; the 4th stays clean to gate the zero-count path).
+    */
+  private def qPii(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val laced = docs.withColumn("text",
+      when(col("doc_id") % 4 === 3, col("text")).otherwise(concat(
+        col("text"),
+        lit(" contact user"), col("doc_id"),
+        lit("@example.com from 10.0."), col("doc_id") % 256,
+        lit(".7 or call +1 555-01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"))))
+    graft.ops.TextClean.redactPii(laced, "text")
+      .select(col("doc_id"), col("n_emails"), col("n_ips"),
+        col("n_phones"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** HTML boilerplate stripping over texts wrapped in a deterministic
+    * page skeleton (style + script blocks with embedded `<`, a comment,
+    * entities) — the WARC-ingest cleanup step, oracle-replicated as the
+    * same regexp_replace chain in DuckDB.
+    */
+  private def qHtmlStrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val wrapped = docs.withColumn("text", concat(
+      lit("<html><head><style>p { color: red }</style></head><body><h1>Doc "),
+      col("doc_id"),
+      lit("</h1><!-- synthetic page --><p>"), col("text"),
+      lit("</p><script type=\"text/javascript\">var x = 1 < 2;</script>" +
+        " &amp; &lt;tail&gt;</body></html>")))
+    graft.ops.TextClean.stripHtmlDf(wrapped, "text")
+      .select(col("doc_id"), col("n_chars_visible"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The SQL surface end-to-end through the driver gate: annotate_text
     * registered via GraftExtensions, a dictionary inlined as a JSON
     * literal, pure `spark.sql` text — per-entry match totals and
@@ -942,6 +1014,10 @@ object SparkEntry {
     "q_quality" -> (qQuality _),
     "q_gopher" -> (qGopher _),
     "q_decontam_ngram" -> (qDecontamNgram _),
+    "q_decontam_bloom" -> (qDecontamBloom _),
+    "q_line_dedup" -> (qLineDedup _),
+    "q_pii" -> (qPii _),
+    "q_html_strip" -> (qHtmlStrip _),
     "q_sql_annotate" -> (qSqlAnnotate _),
     "q_ann_cooc" -> (qAnnCooc _),
     "q_tokens" -> (qTokens _),
@@ -1438,6 +1514,65 @@ object SparkEntry {
         |cont AS (SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench))
         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM cont)
         |ORDER BY doc_id""".stripMargin,
+    // exact by construction (bloom prefilter has no false negatives and
+    // the confirm join removes false positives) — same oracle verbatim
+    "q_decontam_bloom" ->
+      """WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM documents),
+        |grams AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws) - 2), i -> array_to_string(ws[i:i+3], ' '))) g
+        |  FROM base WHERE len(ws) >= 4),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 101 = 0),
+        |cont AS (SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench))
+        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+        |ORDER BY doc_id""".stripMargin,
+    "q_line_dedup" ->
+      """WITH glued AS (
+        |  SELECT doc_id // 3 AS gid,
+        |         array_to_string(list(text ORDER BY doc_id), chr(10)) AS text
+        |  FROM documents GROUP BY doc_id // 3),
+        |l0 AS (SELECT gid, string_split(text, chr(10)) AS l FROM glued),
+        |lines AS (SELECT gid, i - 1 AS pos, l[i] AS line
+        |  FROM l0, unnest(range(1, len(l) + 1)) AS t(i)),
+        |ranked AS (SELECT gid, pos, line,
+        |  row_number() OVER (PARTITION BY line ORDER BY gid, pos) AS rn FROM lines)
+        |SELECT gid AS doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |       array_to_string(list(line ORDER BY pos), chr(10)) AS text
+        |FROM ranked WHERE rn = 1
+        |GROUP BY gid ORDER BY doc_id""".stripMargin,
+    "q_pii" ->
+      """WITH laced AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 4 = 3 THEN text ELSE
+        |    text || ' contact user' || doc_id || '@example.com from 10.0.' ||
+        |    (doc_id % 256) || '.7 or call +1 555-01' ||
+        |    lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') END AS text
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, text,
+        |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email
+        |  FROM laced),
+        |s2 AS (SELECT doc_id, text, after_email,
+        |  regexp_replace(after_email, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS after_ip
+        |  FROM s1)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(after_email, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(after_ip, '\+?\b\d{1,3}[- ]\d{3}[- ]\d{3,4}(?:[- ]\d{1,4})?\b')) AS BIGINT) AS n_phones,
+        |  regexp_replace(after_ip, '\+?\b\d{1,3}[- ]\d{3}[- ]\d{3,4}(?:[- ]\d{1,4})?\b', '<PHONE>', 'g') AS text
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+    "q_html_strip" ->
+      """WITH wrapped AS (SELECT doc_id,
+        |  '<html><head><style>p { color: red }</style></head><body><h1>Doc ' || doc_id ||
+        |  '</h1><!-- synthetic page --><p>' || text ||
+        |  '</p><script type="text/javascript">var x = 1 < 2;</script> &amp; &lt;tail&gt;</body></html>' AS text
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(text, '(?s)<script\b[^>]*>.*?</script>', ' ', 'g') AS t FROM wrapped),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<style\b[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t,
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM s4),
+        |s6 AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text FROM s5)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_visible, text
+        |FROM s6 ORDER BY doc_id""".stripMargin,
     "q_multimodal" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

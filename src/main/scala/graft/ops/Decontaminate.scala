@@ -81,4 +81,53 @@ object Decontaminate {
       textCol: String, idCol: String, n: Int = 13): DataFrame =
     docs.join(contaminatedIds(docs, bench, textCol, idCol, n),
       Seq(idCol), "left_anti")
+
+  /** [[contaminatedIds]] for a benchmark set too large to broadcast as
+    * raw gram hashes: a Bloom prefilter + exact confirm join. EXACT
+    * results — identical output to [[contaminatedIds]], not approximate:
+    * the Bloom filter has no false negatives, so filtering the corpus
+    * grams through it keeps a superset of the true hits, and the confirm
+    * semi-join removes the false positives.
+    *
+    * Scale shape: [[contaminatedIds]] broadcasts every distinct bench
+    * gram hash (8 bytes each — 8 GB of broadcast at 10⁹ grams, which
+    * kills it). Here only the Bloom BITS broadcast (~1.2 GB at 10⁹
+    * grams / 1% fpp — `n·ln(1/fpp)/ln²2` bits), the corpus scan probes
+    * it scan-locally in whole-stage codegen, and the confirm join
+    * shuffles just the surviving grams: ≈ fpp × |corpus grams| noise
+    * plus the true hits, as 8-byte keys. The bench side pays two scans
+    * (count to size the filter, then build) — it is the small side by
+    * assumption, and at 100 TB corpus scale the corpus-side shuffle
+    * reduction dominates.
+    */
+  def bloomContaminatedIds(docs: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 13,
+      fpp: Double = 0.01): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1: $n")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    val spark = docs.sparkSession
+    val benchGrams = bench
+      .select(explode(gramHashes(col(textCol), n)).as("__gh"))
+      .distinct()
+    val nGrams = math.max(1L, benchGrams.count())
+    val bloom = benchGrams.stat.bloomFilter("__gh", nGrams, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val probe = org.apache.spark.sql.GraftBridge.column(
+      graft.spark.BloomProbeExpression(
+        org.apache.spark.sql.GraftBridge.expression(col("__gh")), bc))
+    docs.select(col(idCol), explode(gramHashes(col(textCol), n)).as("__gh"))
+      .filter(probe)
+      .join(benchGrams.hint("shuffle_hash"), Seq("__gh"), "left_semi")
+      .select(col(idCol))
+      .distinct()
+  }
+
+  /** The clean corpus via the Bloom-prefilter path — exact, same output
+    * as [[apply]]; use when the bench gram set outgrows broadcast.
+    */
+  def bloom(docs: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 13,
+      fpp: Double = 0.01): DataFrame =
+    docs.join(bloomContaminatedIds(docs, bench, textCol, idCol, n, fpp),
+      Seq(idCol), "left_anti")
 }

@@ -560,4 +560,56 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Corpus-wide line-level exact deduplication — the "dedup repeated
+    * paragraphs/lines across documents" step of C4 (Raffel et al. 2020
+    * §2.2, three-sentence spans) and Lee et al. 2021 ("Deduplicating
+    * Training Data Makes Language Models Better", ExactSubstr at line
+    * granularity): every occurrence of a line that appeared earlier —
+    * ANYWHERE in the corpus, including earlier in the same document — is
+    * dropped; the globally-first occurrence (minimum `(idCol, position)`)
+    * survives. Documents are reassembled from their surviving lines in
+    * original order; documents left with no lines are dropped.
+    *
+    * Output: `(idCol, n_lines, textCol)` with `n_lines` = surviving line
+    * count.
+    *
+    * Scale shape: line TEXT never shuffles. The dedup decision runs on
+    * `(id, pos, xxhash64(line))` triples (≤24 bytes/line) — one groupBy
+    * on the 8-byte line hash to elect the first owner, one semi-join to
+    * emit the DROPPED `(id, pos)` pairs (duplicates only — a tiny
+    * fraction of the corpus), one groupBy(id) to collect per-doc drop
+    * lists. Reassembly is then a scan-local per-row array filter on the
+    * original docs joined against those drop lists. The higher-order
+    * `filter` lambda is interpreted, but it only evaluates on rows that
+    * HAVE drops (the `when` guard short-circuits clean docs — the vast
+    * majority). A false "duplicate" needs a 64-bit line-hash collision
+    * (~|lines|²/2⁶⁴ — negligible, same contract as the n-gram paths).
+    */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+      delim: String = "\n"): DataFrame = {
+    require(delim.nonEmpty, "delimiter must be non-empty")
+    val lines = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim))))
+      .withColumnsRenamed(Map("pos" -> "pos", "col" -> "line"))
+      .select(col("id"), col("pos"), xxhash64(col("line")).as("lh"))
+    val firstOwner = lines.groupBy(col("lh"))
+      .agg(min(struct(col("id"), col("pos"))).as("owner"))
+    val dropped = lines.join(firstOwner, Seq("lh"))
+      .filter(!(col("owner.id") === col("id") && col("owner.pos") === col("pos")))
+      .select(col("id"), col("pos"))
+    val dropLists = dropped.groupBy(col("id"))
+      .agg(collect_list(col("pos")).as("__drop_pos"))
+      .withColumnRenamed("id", "__dd_id")
+    val toks = split(col(textCol), java.util.regex.Pattern.quote(delim))
+    val kept = when(col("__drop_pos").isNull, toks)
+      .otherwise(filter(toks, (_, i) => !array_contains(col("__drop_pos"), i)))
+    df.join(dropLists, df(idCol) === dropLists("__dd_id"), "left")
+      .select(col(idCol), kept.as("__kept"))
+      .filter(size(col("__kept")) > 0)
+      .select(col(idCol),
+        size(col("__kept")).cast("long").as("n_lines"),
+        concat_ws(delim, col("__kept")).as(textCol))
+  }
 }

@@ -342,6 +342,32 @@ final case class Int8CosineExpression(left: Expression, right: Expression)
   }
 }
 
+/** Bloom-filter membership probe over a broadcast
+  * [[org.apache.spark.util.sketch.BloomFilter]]
+  * (`graft_bloom_might_contain`): true iff the 64-bit child value MIGHT
+  * be in the set (no false negatives; false-positive rate is the
+  * filter's `fpp`). Carries only the broadcast HANDLE — the filter bits
+  * ship once per executor, not per task, same contract as
+  * [[AnnotateExpression]] — and generates a direct probe call so the
+  * scan stays in whole-stage codegen. The prefilter stage of
+  * [[graft.ops.Decontaminate.bloom]].
+  */
+final case class BloomProbeExpression(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+  extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_bloom_might_contain"
+  override protected def withNewChildInternal(newChild: Expression): BloomProbeExpression =
+    copy(child = newChild)
+  def kernel(v: Long): Boolean = bc.value.mightContainLong(v)
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bloomExpr", this, classOf[BloomProbeExpression].getName)
+    defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
+  }
+}
+
 /** Per-document repetition counters (`graft_repetition_counts`) — one
   * pass over the text producing `[n_words, n_distinct_words,
   * sum_word_chars, n_bigrams, top_bigram_count, dup_bigram_occurrences]`;

@@ -753,4 +753,70 @@ class OpsSpec extends AnyFunSuite {
     assert(fr.nonEmpty)
     assert(frames.schema.fieldNames.toSeq == Seq("media_id", "frame_idx", "frame_bytes"))
   }
+
+  test("bloom decontamination equals the exact broadcast path") {
+    val bench = docs.filter(col("doc_id").isin(0L, 2L))
+    val exact = graft.ops.Decontaminate(docs, bench, "text", "doc_id", n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val viaBloom = graft.ops.Decontaminate.bloom(docs, bench, "text", "doc_id", n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(viaBloom.toSeq == exact.toSeq)
+    // a very lossy filter still yields exact results (confirm join
+    // removes the extra false positives the high fpp lets through)
+    val lossy = graft.ops.Decontaminate.bloom(docs, bench, "text", "doc_id",
+      n = 3, fpp = 0.5).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(lossy.toSeq == exact.toSeq)
+  }
+
+  test("line dedup: global first occurrence wins, docs reassemble in order") {
+    val multi = Seq(
+      (0L, "alpha\nbeta\nalpha"),   // within-doc repeat: 2nd alpha drops
+      (1L, "beta\ngamma"),          // beta seen in doc 0 -> drops
+      (2L, "alpha\nbeta"),          // both seen -> doc disappears
+      (3L, "delta")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(multi, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, "alpha\nbeta"),
+      (1L, 1L, "gamma"),
+      (3L, 1L, "delta")))
+  }
+
+  test("line dedup: no duplicates is a no-op; custom delimiter") {
+    val clean = Seq((0L, "a|b"), (1L, "c|d")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(clean, "text", "doc_id", delim = "|")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq((0L, 2L, "a|b"), (1L, 2L, "c|d")))
+  }
+
+  test("pii redaction: masks emails, ips, phones; clean text untouched") {
+    val df = Seq(
+      (0L, "mail a.user+tag@sub.example.org or root@10.1.2.3 at 10.255.0.1 call +44 555-0199 end"),
+      (1L, "no pii here just words"),
+      (2L, "two mails x@y.io and z@w.ai")).toDF("doc_id", "text")
+    val out = graft.ops.TextClean.redactPii(df, "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[String]("text"), r.getAs[Long]("n_emails"),
+        r.getAs[Long]("n_ips"), r.getAs[Long]("n_phones")))
+    // root@10.1.2.3 is NOT an email (TLD must be alpha) -> its host is an IP
+    assert(out(0)._1 ==
+      "mail <EMAIL> or root@<IP> at <IP> call <PHONE> end")
+    assert((out(0)._2, out(0)._3, out(0)._4) == (1L, 2L, 1L))
+    assert(out(1)._1 == "no pii here just words" &&
+      (out(1)._2, out(1)._3, out(1)._4) == (0L, 0L, 0L))
+    assert(out(2)._1 == "two mails <EMAIL> and <EMAIL>" && out(2)._2 == 2L)
+  }
+
+  test("html strip: blocks vanish with content, entities decode, ws collapses") {
+    val df = Seq(
+      (0L, "<html><body><h1>T</h1><script>if (1 < 2) { x(); }</script>" +
+        "<style>p > a { }</style><!-- note --><p>body  text</p>" +
+        " &amp;lt; &amp; &lt;tag&gt;</body></html>")).toDF("doc_id", "text")
+    val got = df.select(graft.ops.TextClean.stripHtml(col("text"))).head().getString(0)
+    // &amp;lt; decodes to the literal "&lt;" (amp decoded LAST), the
+    // standalone &lt;tag&gt; to "<tag>", script/style content is gone
+    assert(got == "T body text &lt; & <tag>")
+  }
 }
