@@ -682,6 +682,22 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** PQ ADC + exact-rerank top-k. Approximate by construction (which
+    * candidates reach the rerank is model-dependent), so rows-only here —
+    * the recall and exact-at-full-rerank contracts are pinned by OpsSpec,
+    * and the adjacent exact path is oracled by q_knn_ivf/q_knn_brute.
+    */
+  private def qKnnPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(t(dir, "embeddings"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    val model = Similarity.pqFit(emb, "embedding", "vec_id", m = 8, k = 16)
+    Similarity.pqTopK(emb.filter(col("vec_id") =!= 0), "embedding", "vec_id",
+        q, k = 10, model, rerank = 100)
+      .select(col("id"), col("rank").cast("long").as("rank"))
+      .orderBy(col("rank"))
+  }
+
   private def qKnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = s.read.parquet(t(dir, "embeddings"))
     val q = emb.filter(col("vec_id") === 0)
@@ -956,6 +972,45 @@ object SparkEntry {
     } finally rm(scratch)
   }
 
+  /** WET (Common Crawl text) ingest gate: a deterministic fixture — one
+    * plain + one gzipped WET file, a warcinfo preamble each, a multibyte
+    * payload (Content-Length counts BYTES), an empty payload — is
+    * written to scratch, read back through the DataSource V2 path
+    * (`format("wet")`), and reduced to values the oracle re-states as
+    * literals. Materialized eagerly so the scratch dir can be removed
+    * before the driver writes the result.
+    */
+  private def qWetRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scratch = java.nio.file.Files.createTempDirectory("graft_wet_gate")
+    try {
+      val recs = Seq(
+        ("http://example.com/a", "2024-01-01T00:00:00Z", "alpha beta gamma"),
+        ("http://example.com/b", "2024-01-02T00:00:00Z", "café ☕ über"),
+        ("http://example.com/c", "2024-01-03T00:00:00Z", ""))
+      java.nio.file.Files.write(scratch.resolve("part-0.warc.wet"),
+        graft.sources.Wet.toBytes(recs.take(2)))
+      val gz = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.GZIPOutputStream(gz)
+      z.write(graft.sources.Wet.toBytes(recs.drop(2) :+
+        (("http://example.com/d", "2024-01-04T00:00:00Z", "delta epsilon"))))
+      z.close()
+      java.nio.file.Files.write(scratch.resolve("part-1.warc.wet.gz"), gz.toByteArray)
+      graft.sources.Wet.read(s, scratch.toString)
+        .select(col("url"), col("content_length"),
+          graft.ops.TextStats.wsTokens(col("text")).cast("long").as("ws_tokens"),
+          col("text"))
+        .orderBy(col("url"))
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toDF("url", "content_length", "ws_tokens", "text")
+    } finally {
+      val st = java.nio.file.Files.list(scratch)
+      try st.forEach(p => java.nio.file.Files.deleteIfExists(p)) finally st.close()
+      java.nio.file.Files.deleteIfExists(scratch)
+    }
+  }
+
   /** Frame-sampling plumbing oracle: the stub header says nFrames =
     * 1 + id%10, sampling every 2nd frame gives ceil(nFrames/2) rows per
     * video — SQL-derivable, so the explode/binary-slicing path is gated.
@@ -1009,6 +1064,7 @@ object SparkEntry {
     "q_knn_ivf" -> (qKnnIvf _),
     "q_knn_batch" -> (qKnnBatch _),
     "q_knn_lsh" -> (qKnnLsh _),
+    "q_knn_pq" -> (qKnnPq _),
     "q_langid" -> (qLangid _),
     "q_pipeline" -> (qPipeline _),
     "q_quality" -> (qQuality _),
@@ -1026,6 +1082,7 @@ object SparkEntry {
     "q_fp_card" -> (qFpCard _),
     "q_multimodal" -> (qMultimodal _),
     "q_mm_frames" -> (qMmFrames _),
+    "q_wet_read" -> (qWetRead _),
     "q_materialize" -> (qMaterialize _))
 
   /** DuckDB oracles. Column names and ordering match the Spark results
@@ -1586,6 +1643,16 @@ object SparkEntry {
         |       CAST(ceil((1 + doc_id % 10) / 2.0) AS BIGINT) AS n_sampled
         |FROM documents WHERE doc_id < 100 AND doc_id % 3 = 2
         |ORDER BY media_id""".stripMargin,
+    // the WET fixture is deterministic, so the oracle restates it as
+    // literals — an exact gate on the DataSource V2 parse (byte-counted
+    // Content-Length incl. multibyte, warcinfo skip, gz, empty payload)
+    "q_wet_read" ->
+      """SELECT * FROM (VALUES
+        |  ('http://example.com/a', CAST(16 AS BIGINT), CAST(3 AS BIGINT), 'alpha beta gamma'),
+        |  ('http://example.com/b', CAST(15 AS BIGINT), CAST(3 AS BIGINT), 'café ☕ über'),
+        |  ('http://example.com/c', CAST(0 AS BIGINT), CAST(0 AS BIGINT), ''),
+        |  ('http://example.com/d', CAST(13 AS BIGINT), CAST(2 AS BIGINT), 'delta epsilon')
+        |) AS t(url, content_length, ws_tokens, text) ORDER BY url""".stripMargin,
     "q_fp_card" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |ws AS (SELECT doc_id,

@@ -381,6 +381,191 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  // ------------------------------------------------------------------ PQ
+
+  /** Product-quantization model (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search"): the (unit-normalized) vector space is
+    * split into `m` contiguous subspaces and each subspace gets its own
+    * `k`-centroid codebook; a vector encodes to `m` bytes (its nearest
+    * sub-centroid per subspace). At 64 float dims / m=8 that is 256 B →
+    * 8 B per vector — 32× less through storage, scan I/O, and shuffles,
+    * the difference between "embeddings fit in cluster memory" and "they
+    * don't" at 100 TB.
+    */
+  final case class PqModel(codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks(0).length
+    def subDim: Int = codebooks(0)(0).length
+    def dim: Int = m * subDim
+    require(k <= 256, s"PQ codebook size must fit one byte: $k")
+  }
+
+  /** Fit PQ codebooks: deterministic sample (sorted-by-id prefix, same
+    * practice as [[ivfFit]]), unit-normalize, then per subspace
+    * farthest-point seeding + `iters` Lloyd rounds under L2. Driver-side
+    * on the sample only — the corpus is never touched by training, only
+    * by the one encode scan.
+    */
+  def pqFit(df: DataFrame, vecCol: String, idCol: String,
+      m: Int = 8, k: Int = 16, iters: Int = 10, sampleN: Int = 2048): PqModel = {
+    val sample = df.select(col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol)).limit(sampleN)
+      .collect().map(r => normalize(r.getSeq[Double](0).toArray))
+    require(sample.nonEmpty, "pqFit: empty sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqFit: dim $dim not divisible by m=$m")
+    require(sample.length >= k, s"pqFit: sample ${sample.length} < k $k")
+    val sub = dim / m
+    def l2(a: Array[Double], off: Int, c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = a(off + i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    val codebooks = Array.tabulate(m) { mi =>
+      val off = mi * sub
+      val cents = new Array[Array[Double]](k)
+      cents(0) = sample(0).slice(off, off + sub)
+      val best = Array.fill(sample.length)(Double.PositiveInfinity)
+      for (c <- 1 until k) {
+        var i = 0
+        while (i < sample.length) {
+          val d = l2(sample(i), off, cents(c - 1))
+          if (d < best(i)) best(i) = d
+          i += 1
+        }
+        var far = 0
+        i = 1
+        while (i < sample.length) { if (best(i) > best(far)) far = i; i += 1 }
+        cents(c) = sample(far).slice(off, off + sub)
+        best(far) = Double.NegativeInfinity // never picked again
+      }
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(k)(new Array[Double](sub))
+        val counts = new Array[Int](k)
+        sample.foreach { v =>
+          var bc = 0; var bd = Double.PositiveInfinity; var c = 0
+          while (c < k) {
+            val d = l2(v, off, cents(c))
+            if (d < bd) { bd = d; bc = c }
+            c += 1
+          }
+          var j = 0
+          while (j < sub) { sums(bc)(j) += v(off + j); j += 1 }
+          counts(bc) += 1
+        }
+        for (c <- 0 until k if counts(c) > 0)
+          cents(c) = Array.tabulate(sub)(j => sums(c)(j) / counts(c))
+      }
+      cents
+    }
+    PqModel(codebooks)
+  }
+
+  /** Pure encode kernel: normalize, per subspace the index of the
+    * L2-nearest sub-centroid. Shared by [[graft.spark.PqEncodeExpression]]
+    * and the tests.
+    */
+  private[graft] def pqEncodeValue(
+      a0: Array[Double], codebooks: Array[Array[Array[Double]]]): Array[Byte] = {
+    val a = normalize(a0)
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    require(a.length == m * sub,
+      s"pq encode: vector dim ${a.length} != model dim ${m * sub}")
+    val codes = new Array[Byte](m)
+    var mi = 0
+    while (mi < m) {
+      val off = mi * sub
+      val cents = codebooks(mi)
+      var bc = 0; var bd = Double.PositiveInfinity; var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var s = 0.0; var i = 0
+        while (i < sub) { val d = a(off + i) - cent(i); s += d * d; i += 1 }
+        if (s < bd) { bd = s; bc = c }
+        c += 1
+      }
+      codes(mi) = bc.toByte
+      mi += 1
+    }
+    codes
+  }
+
+  /** Asymmetric-distance (ADC) kernel: Σ_m table[m·k + code_m], where the
+    * table holds dot(query_sub_m, centroid) — i.e. dot(q̂, reconstruction),
+    * which approximates cosine since both sides are unit-normalized.
+    */
+  private[graft] def pqAdcValue(codes: Array[Byte], table: Array[Double], k: Int): Double = {
+    var s = 0.0
+    var mi = 0
+    while (mi < codes.length) {
+      s += table(mi * k + (codes(mi) & 0xff))
+      mi += 1
+    }
+    s
+  }
+
+  /** Codegen'd PQ encode column: `array<byte>` of `model.m` codes. At
+    * scale, materialize this once next to (or instead of) the raw
+    * vectors — and compose with [[ivfAssign]] for IVF-PQ (cluster
+    * partition pruning + compressed in-partition scan).
+    */
+  def pqEncode(vec: Column, model: PqModel): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.spark.PqEncodeExpression(
+        org.apache.spark.sql.GraftBridge.expression(vec.cast("array<double>")),
+        model.codebooks))
+
+  /** Approximate top-k by PQ ADC with exact rerank: one scan ranks rows
+    * by ADC score, the best `rerank` candidates rejoin their exact
+    * vectors (broadcast of `rerank` ids) and are re-scored with the exact
+    * cosine kernel — so the output's cosines are exact and the only
+    * approximation is which candidates made the rerank cut. Pass
+    * `codesCol` pointing at a materialized [[pqEncode]] column to make
+    * the candidate scan read m BYTES per row instead of the raw vectors
+    * (the 100 TB shape — raw vectors are then touched only for the
+    * `rerank` survivors); without it the codes are computed on the fly.
+    * Recall contract pinned by OpsSpec ("PQ top-k recall contract").
+    * Same output shape as [[bruteForceTopK]].
+    */
+  def pqTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Array[Double], k: Int, model: PqModel,
+      rerank: Int = 50, codesCol: Option[String] = None): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val qn = normalize(query)
+    require(qn.length == model.dim,
+      s"pqTopK: query dim ${qn.length} != model dim ${model.dim}")
+    val sub = model.subDim
+    val table = new Array[Double](model.m * model.k)
+    var mi = 0
+    while (mi < model.m) {
+      var c = 0
+      while (c < model.k) {
+        val cent = model.codebooks(mi)(c)
+        var s = 0.0; var i = 0
+        while (i < sub) { s += qn(mi * sub + i) * cent(i); i += 1 }
+        table(mi * model.k + c) = s
+        c += 1
+      }
+      mi += 1
+    }
+    val codes = codesCol.map(col).getOrElse(pqEncode(col(vecCol), model))
+    val adc = org.apache.spark.sql.GraftBridge.column(
+      graft.spark.PqAdcExpression(
+        org.apache.spark.sql.GraftBridge.expression(codes), table, model.k))
+    val cands = df.select(col(idCol).as("id"), adc.as("adc"))
+      .orderBy(col("adc").desc, col("id").asc).limit(rerank)
+      .select(col("id"))
+    val qLit = array(query.map(lit).toIndexedSeq: _*)
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .join(broadcast(cands), "id")
+      .withColumn("cosine", cosine(col("v"), qLit))
+      .orderBy(col("cosine").desc, col("id").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("id").asc)))
+      .select(col("id"), col("rank"), col("cosine"))
+  }
+
   /** Random-hyperplane signature (nPlanes sign bits as a long) — the
     * codegen'd banding kernel with a single band.
     */

@@ -1,0 +1,240 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, EOFException, InputStream}
+import java.util.zip.GZIPInputStream
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WARC/WET corpus ingest (the Common Crawl extracted-text format) as a
+  * Spark DataSource V2: `spark.read.format("wet").load(path)` — the
+  * entry point of a web-scale pretraining pipeline, feeding
+  * [[graft.ops.TextClean]] / [[graft.ops.TextStats]] / [[graft.ops.Dedup]].
+  *
+  * Format (ISO 28500): records of CRLF-separated headers (`WARC/1.0`,
+  * `WARC-Type`, `WARC-Target-URI`, `WARC-Date`, `Content-Length`, …),
+  * a blank line, then exactly `Content-Length` BYTES of payload, then
+  * a blank CRLF pair. WET payloads are UTF-8 plain text.
+  *
+  * Scale shape: one input partition per file — WET files ship gzipped
+  * (non-splittable), and Common Crawl shards a crawl into ~64k files of
+  * ~150 MB, so file-level parallelism saturates any cluster; the reader
+  * streams each file (bounded memory per record) and never buffers a
+  * whole file. Column pruning is pushed into the reader: a query that
+  * selects `url` alone never materializes payload strings.
+  *
+  * By default only `conversion` records surface (WET text records —
+  * `warcinfo` preambles are skipped); pass `.option("recordTypes",
+  * "conversion,warcinfo")` to widen.
+  */
+class WetDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "wet"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = Wet.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new WetTable(new CaseInsensitiveStringMap(properties))
+}
+
+final class WetTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"wet(${options.get("path")})"
+  override def schema(): StructType = Wet.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new WetScanBuilder(opts)
+}
+
+final class WetScanBuilder(options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = Wet.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = {
+    val path = options.get("path")
+    require(path != null && path.nonEmpty, "wet source: no path given")
+    val types = Option(options.get("recordTypes")).getOrElse("conversion")
+      .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+    new WetScan(path, required, types)
+  }
+}
+
+final class WetScan(path: String, required: StructType, types: Set[String])
+  extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val stats =
+      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+      else fs.globStatus(p).toSeq
+    stats.filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .sortBy(_.getPath.toString)
+      .map(s => WetInputPartition(s.getPath.toString): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    WetReaderFactory(required, types)
+}
+
+final case class WetInputPartition(file: String) extends InputPartition
+
+final case class WetReaderFactory(required: StructType, types: Set[String])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new WetPartitionReader(partition.asInstanceOf[WetInputPartition].file,
+      required, types)
+}
+
+/** Streams one WET file: parses record headers, reads exactly
+  * Content-Length payload bytes, skips the inter-record blank pair.
+  * Bounded memory: one record at a time.
+  */
+final class WetPartitionReader(file: String, required: StructType,
+    types: Set[String]) extends PartitionReader[InternalRow] {
+
+  private val in: InputStream = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    val raw = new BufferedInputStream(fs.open(p), 1 << 16)
+    if (file.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16) else raw
+  }
+  private var current: InternalRow = _
+  private var recordIdx: Long = -1L
+
+  // ISO-8859-1 header line up to CRLF (or LF); null at EOF
+  private def readLine(): String = {
+    val sb = new java.lang.StringBuilder(64)
+    var c = in.read()
+    if (c < 0) return null
+    while (c >= 0 && c != '\n') {
+      if (c != '\r') sb.append(c.toChar)
+      c = in.read()
+    }
+    sb.toString
+  }
+
+  private def readFully(n: Int): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(buf, off, n - off)
+      if (r < 0) throw new EOFException(
+        s"wet: truncated payload in $file (wanted $n bytes, got $off)")
+      off += r
+    }
+    buf
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      // seek the next record header, tolerating blank separator lines
+      var line = readLine()
+      while (line != null && line.isEmpty) line = readLine()
+      if (line == null) return false
+      if (!line.startsWith("WARC/"))
+        throw new java.io.IOException(s"wet: expected WARC/1.x header in $file, got: $line")
+      var recType, uri, date, recId: String = null
+      var contentLength = -1L
+      var h = readLine()
+      while (h != null && h.nonEmpty) {
+        val i = h.indexOf(':')
+        if (i > 0) {
+          val k = h.substring(0, i).trim.toLowerCase
+          val v = h.substring(i + 1).trim
+          k match {
+            case "warc-type" => recType = v
+            case "warc-target-uri" => uri = v
+            case "warc-date" => date = v
+            case "warc-record-id" => recId = v
+            case "content-length" => contentLength = v.toLong
+            case _ => ()
+          }
+        }
+        h = readLine()
+      }
+      if (contentLength < 0) throw new java.io.IOException(
+        s"wet: record without Content-Length in $file")
+      val payload = readFully(contentLength.toInt)
+      recordIdx += 1
+      if (recType != null && types.contains(recType.toLowerCase)) {
+        current = buildRow(recType, uri, date, recId, contentLength, payload)
+        return true
+      }
+      // else: skip (e.g. warcinfo) and continue scanning
+    }
+    false
+  }
+
+  private def buildRow(recType: String, uri: String, date: String,
+      recId: String, len: Long, payload: Array[Byte]): InternalRow = {
+    val vals = required.fields.map { f =>
+      f.name match {
+        case "url" => if (uri == null) null else UTF8String.fromString(uri)
+        case "date" => if (date == null) null else UTF8String.fromString(date)
+        case "record_id" => if (recId == null) null else UTF8String.fromString(recId)
+        case "record_type" => UTF8String.fromString(recType)
+        case "content_length" => java.lang.Long.valueOf(len)
+        case "record_idx" => java.lang.Long.valueOf(recordIdx)
+        case "text" => UTF8String.fromBytes(payload)
+        case other => throw new IllegalArgumentException(s"wet: unknown column $other")
+      }
+    }
+    InternalRow.fromSeq(vals.toIndexedSeq)
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}
+
+object Wet {
+  /** (url, date, record_id, record_type, content_length, record_idx,
+    * text) — record_idx is the 0-based record ordinal within its file
+    * (warcinfo records count, so ordinals are stable under type
+    * filtering).
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("date", StringType),
+    StructField("record_id", StringType),
+    StructField("record_type", StringType, nullable = false),
+    StructField("content_length", LongType, nullable = false),
+    StructField("record_idx", LongType, nullable = false),
+    StructField("text", StringType)))
+
+  /** Facade: `Wet.read(spark, "hdfs://crawl-dir-or-glob")`. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("wet").load(path)
+
+  /** Serialize records to WET bytes (headers + exact byte
+    * Content-Length) — the writer half used by tests and fixtures.
+    */
+  def toBytes(records: Seq[(String, String, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val info = "software: graft-wet\r\n".getBytes("UTF-8")
+    out.write(("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      s"Content-Length: ${info.length}\r\n\r\n").getBytes("ISO-8859-1"))
+    out.write(info)
+    out.write("\r\n\r\n".getBytes("ISO-8859-1"))
+    records.zipWithIndex.foreach { case ((url, date, text), i) =>
+      val payload = text.getBytes("UTF-8")
+      out.write((s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        s"WARC-Target-URI: $url\r\nWARC-Date: $date\r\n" +
+        s"WARC-Record-ID: <urn:uuid:rec-$i>\r\n" +
+        s"Content-Type: text/plain\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1"))
+      out.write(payload)
+      out.write("\r\n\r\n".getBytes("ISO-8859-1"))
+    }
+    out.toByteArray
+  }
+}

@@ -342,6 +342,69 @@ final case class Int8CosineExpression(left: Expression, right: Expression)
   }
 }
 
+/** Product-quantization encode (`graft_pq_encode`): unit-normalize the
+  * vector, then per subspace the index of the L2-nearest sub-centroid —
+  * `array<byte>` of `codebooks.length` codes, 32× smaller than 64
+  * float dims. The one-scan encode step of the PQ/IVF-PQ ANN path
+  * ([[graft.ops.Similarity.pqTopK]]).
+  */
+final case class PqEncodeExpression(child: Expression,
+    codebooks: Array[Array[Array[Double]]]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpression =
+    copy(child = newChild)
+  def kernel(v: ArrayData): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      graft.ops.Similarity.pqEncodeValue(
+        KernelUtil.toDoubles(v, "graft_pq_encode"), codebooks))
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqEncExpr", this, classOf[PqEncodeExpression].getName)
+    defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
+  }
+  // value equality over the nested codebook arrays (see HyperplaneBandsExpression)
+  override def equals(other: Any): Boolean = other match {
+    case e: PqEncodeExpression =>
+      e.child == child && java.util.Arrays.deepEquals(
+        e.codebooks.asInstanceOf[Array[AnyRef]], codebooks.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child,
+      Integer.valueOf(java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]])))
+}
+
+/** PQ asymmetric-distance lookup (`graft_pq_adc`): Σ_m table[m·k +
+  * code_m] over a precomputed query/centroid dot-product table — the
+  * per-row scoring kernel of the PQ candidate scan (reads only the
+  * byte codes, never the vectors).
+  */
+final case class PqAdcExpression(child: Expression,
+    table: Array[Double], k: Int) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc"
+  override protected def withNewChildInternal(newChild: Expression): PqAdcExpression =
+    copy(child = newChild)
+  def kernel(codes: ArrayData): Double =
+    graft.ops.Similarity.pqAdcValue(codes.toByteArray(), table, k)
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqAdcExpr", this, classOf[PqAdcExpression].getName)
+    defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
+  }
+  override def equals(other: Any): Boolean = other match {
+    case e: PqAdcExpression =>
+      e.child == child && e.k == k && java.util.Arrays.equals(e.table, table)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(k),
+      Integer.valueOf(java.util.Arrays.hashCode(table)))
+}
+
 /** Bloom-filter membership probe over a broadcast
   * [[org.apache.spark.util.sketch.BloomFilter]]
   * (`graft_bloom_might_contain`): true iff the 64-bit child value MIGHT

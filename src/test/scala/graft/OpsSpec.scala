@@ -754,6 +754,75 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.schema.fieldNames.toSeq == Seq("media_id", "frame_idx", "frame_bytes"))
   }
 
+  test("PQ encode/ADC: determinism, internal consistency, reconstruction") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0 until 64).map { i =>
+      (i.toLong, Array.fill(8)((rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val model = Similarity.pqFit(vecs, "embedding", "vec_id", m = 4, k = 8,
+      sampleN = 64)
+    assert(model.m == 4 && model.k == 8 && model.subDim == 2 && model.dim == 8)
+    // encode is deterministic and codes index valid centroids
+    val codes1 = vecs.select(col("vec_id"),
+      Similarity.pqEncode(col("embedding"), model).as("codes"))
+      .orderBy("vec_id").collect().map(_.getSeq[Byte](1).toSeq)
+    val codes2 = vecs.select(col("vec_id"),
+      Similarity.pqEncode(col("embedding"), model).as("codes"))
+      .orderBy("vec_id").collect().map(_.getSeq[Byte](1).toSeq)
+    assert(codes1.toSeq == codes2.toSeq)
+    assert(codes1.forall(c => c.length == 4 && c.forall(b => b >= 0 && b < 8)))
+    // ADC score == dot(q_normalized, reconstruction) computed by hand
+    val q = Array.fill(8)(rnd.nextGaussian())
+    val qn = { val n = math.sqrt(q.map(x => x * x).sum); q.map(_ / n) }
+    val table = Array.tabulate(model.m * model.k) { idx =>
+      val mi = idx / model.k; val c = idx % model.k
+      (0 until model.subDim).map(j =>
+        qn(mi * model.subDim + j) * model.codebooks(mi)(c)(j)).sum
+    }
+    val v0 = vecs.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    val c0 = Similarity.pqEncodeValue(v0, model.codebooks)
+    val adc = Similarity.pqAdcValue(c0, table, model.k)
+    val recon = (0 until model.m).flatMap(mi =>
+      model.codebooks(mi)(c0(mi) & 0xff)).toArray
+    val byHand = qn.zip(recon).map { case (a, b) => a * b }.sum
+    assert(math.abs(adc - byHand) < 1e-9)
+  }
+
+  test("PQ top-k recall contract on clustered data; full rerank is exact") {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(
+      Array(1.0, 0, 0, 0, 0, 0, 0, 0), Array(0.0, 1, 0, 0, 0, 0, 0, 0),
+      Array(0.0, 0, 1, 0, 0, 0, 0, 0), Array(0.0, 0, 0, 1, 0, 0, 0, 0))
+    val corpus = (0 until 200).map { i =>
+      (i.toLong, centers(i % 4).map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+    val query = Array(0.95, 0.05, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val k = 10
+    val model = Similarity.pqFit(corpus, "embedding", "vec_id", m = 4, k = 16,
+      sampleN = 200)
+    val brute = Similarity.bruteForceTopK(corpus, "embedding", "vec_id",
+      query, k).collect().map(_.getLong(0)).toSet
+    val pq = Similarity.pqTopK(corpus, "embedding", "vec_id", query, k,
+      model).collect().map(_.getLong(0)).toSet
+    val recall = (pq & brute).size.toDouble / k
+    assert(recall >= 0.8, s"PQ recall $recall < 0.8; pq=$pq brute=$brute")
+    // rerank = corpus size -> bit-identical to brute force (the rerank
+    // path uses the same cosine kernel and tie-break)
+    val full = Similarity.pqTopK(corpus, "embedding", "vec_id", query, k,
+      model, rerank = 200).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val bruteFull = Similarity.bruteForceTopK(corpus, "embedding", "vec_id",
+      query, k).collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(full.toSeq == bruteFull.toSeq)
+    // materialized codes column gives the same answer as on-the-fly
+    val withCodes = corpus.withColumn("codes",
+      Similarity.pqEncode(col("embedding"), model))
+    val viaCodes = Similarity.pqTopK(withCodes, "embedding", "vec_id", query,
+      k, model, codesCol = Some("codes")).collect().map(_.getLong(0)).toSet
+    assert(viaCodes == pq)
+  }
+
   test("bloom decontamination equals the exact broadcast path") {
     val bench = docs.filter(col("doc_id").isin(0L, 2L))
     val exact = graft.ops.Decontaminate(docs, bench, "text", "doc_id", n = 3)

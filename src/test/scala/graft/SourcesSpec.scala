@@ -1,0 +1,80 @@
+package graft
+
+import graft.sources.Wet
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def withFixture(test: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wet")
+    try {
+      val records = Seq(
+        ("http://example.com/a", "2024-01-01T00:00:00Z", "alpha beta gamma"),
+        // multibyte payload: Content-Length counts BYTES, not chars
+        ("http://example.com/b", "2024-01-02T00:00:00Z", "café ☕ über"),
+        ("http://example.com/c", "2024-01-03T00:00:00Z", ""))
+      val bytes = Wet.toBytes(records)
+      java.nio.file.Files.write(dir.resolve("part-0.warc.wet"), bytes)
+      val gz = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.GZIPOutputStream(gz)
+      z.write(Wet.toBytes(Seq(
+        ("http://example.com/d", "2024-01-04T00:00:00Z", "delta epsilon"))))
+      z.close()
+      java.nio.file.Files.write(dir.resolve("part-1.warc.wet.gz"), gz.toByteArray)
+      test(dir.toString)
+    } finally {
+      val s = java.nio.file.Files.list(dir)
+      try s.forEach(p => java.nio.file.Files.delete(p)) finally s.close()
+      java.nio.file.Files.delete(dir)
+    }
+  }
+
+  test("wet source: records parse, warcinfo skipped, gz transparent") {
+    withFixture { dir =>
+      val df = Wet.read(spark, dir)
+      assert(df.schema == Wet.schema)
+      val rows = df.orderBy("url")
+        .select("url", "record_type", "content_length", "record_idx", "text")
+        .collect()
+      assert(rows.length == 4) // 3 plain + 1 gz; 2 warcinfo skipped
+      assert(rows.map(_.getString(0)).toSeq == Seq(
+        "http://example.com/a", "http://example.com/b",
+        "http://example.com/c", "http://example.com/d"))
+      assert(rows.forall(_.getString(1) == "conversion"))
+      // record_idx 0 is the warcinfo preamble in each file
+      assert(rows.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L, 1L))
+      // byte-exact multibyte payload
+      assert(rows(1).getString(4) == "café ☕ über")
+      assert(rows(1).getLong(2) ==
+        "café ☕ über".getBytes("UTF-8").length.toLong)
+      // empty payload is a row, not a parse error
+      assert(rows(2).getString(4) == "" && rows(2).getLong(2) == 0L)
+    }
+  }
+
+  test("wet source: recordTypes option widens to warcinfo") {
+    withFixture { dir =>
+      val all = spark.read.format("wet")
+        .option("recordTypes", "conversion,warcinfo").load(dir)
+      assert(all.count() == 6)
+      assert(all.filter(col("record_type") === "warcinfo").count() == 2)
+    }
+  }
+
+  test("wet source: column pruning reaches the reader") {
+    withFixture { dir =>
+      val urls = Wet.read(spark, dir).select("url")
+      // pruned schema flows through the v2 scan
+      assert(urls.queryExecution.executedPlan.toString.contains("url"))
+      assert(!urls.queryExecution.optimizedPlan.schema.fieldNames.contains("text"))
+      assert(urls.distinct().count() == 4)
+      // pipeline smoke: wet -> quality stats, no raw-text columns needed
+      val toks = graft.ops.TextStats.tokenCounts(
+        Wet.read(spark, dir), "text", "url")
+      assert(toks.filter(col("url") === "http://example.com/a")
+        .head.getAs[Int]("ws_tokens") == 3)
+    }
+  }
+}
