@@ -119,7 +119,9 @@ object Bench {
       "q_dedup_simhash", "q_langid", "q_asof", "q_range_join",
       "q_tfidf", "q_dedup_jaccard", "q_dedup_cluster", "q_alpha_bool",
       "q_embed_dedup", "q_pipeline", "q_stream_counts", "q_knn_batch",
-      "q_gopher", "q_decontam_ngram", "q_embed_quant")
+      "q_gopher", "q_decontam_ngram", "q_embed_quant",
+      "q_decontam_bloom", "q_line_dedup", "q_pii", "q_html_strip",
+      "q_knn_pq")
 
     // The full timed unit for an op query includes clearCache so internal
     // persist() calls can't leak cached inputs into the next round.

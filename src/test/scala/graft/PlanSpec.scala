@@ -295,6 +295,57 @@ class PlanSpec extends AnyFunSuite {
     assert(bucketAgg.nonEmpty, opt.toString)
   }
 
+  test("bloom decontamination: codegen'd probe, no bench broadcast in confirm join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 101 === 0)
+    val ids = graft.ops.Decontaminate.bloomContaminatedIds(
+      docs, bench, "text", "doc_id", n = 4)
+    ids.collect()
+    val full = ids.queryExecution.executedPlan.toString
+    val executed = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+    // the probe runs inside a whole-stage-codegen'd Filter on the scan
+    assert(executed.linesIterator.exists(l =>
+      l.contains("graft_bloom_might_contain") && l.contains("*(")), executed)
+    // the confirm semi-join is SHUFFLED on the 8-byte gram hash — the
+    // whole point of this path is that the bench side is not broadcast
+    assert(executed.contains("ShuffledHashJoin") && executed.contains("LeftSemi"), executed)
+    // and, like the broadcast path, no text and no gram strings shuffle
+    val exchanges = executed.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(l => l.contains("doc_id") || l.contains("__gh")), executed)
+    assert(!exchanges.exists(_.contains("text#")), executed)
+  }
+
+  test("line dedup: the dedup decision shuffles hashes, never line text") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.types.StringType
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.ops.Dedup.lineDedup(docs, "text", "doc_id")
+    val opt = df.queryExecution.optimizedPlan
+    // owner election groups on the 8-byte hash with line strings already
+    // projected away below it
+    val ownerAgg = opt.collect {
+      case a: Aggregate
+          if a.groupingExpressions.exists(_.references.exists(_.name == "lh")) => a
+    }
+    assert(ownerAgg.nonEmpty, opt.toString)
+    ownerAgg.foreach(a =>
+      assert(!a.child.output.exists(_.dataType == StringType),
+        s"line text below the owner election:\n$opt"))
+    // the dropped-occurrence join moves (id, pos, lh) triples only
+    val dropJoins = opt.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "lh")) => j
+    }
+    assert(dropJoins.nonEmpty, opt.toString)
+    dropJoins.foreach(j => j.children.foreach(c =>
+      assert(!c.output.exists(_.dataType == StringType),
+        s"line text crosses the dedup-decision join:\n$opt")))
+  }
+
   test("relational merger shuffles once: second window reuses the exchange") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dict = Seq(
