@@ -776,6 +776,17 @@ object SparkEntry {
       .select(col("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** ExactSubstr-style duplicate-span measurement at 4-token windows
+    * (small enough to fire on sf0.01's shared phrases and exact-dup
+    * docs). Oracle re-derives window STRINGS in DuckDB — hash vs string
+    * equivalence is certified separately by q_fp_card.
+    */
+  private def qDupSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    graft.ops.Dedup.duplicateSpans(docs, "text", "doc_id", window = 4)
+      .orderBy(col("doc_id"))
+  }
+
   /** Bloom-prefilter decontamination — EXACT results (bloom = no false
     * negatives; confirm join removes false positives), so it shares
     * q_decontam_ngram's oracle verbatim. Gates the whole bloom path:
@@ -822,6 +833,30 @@ object SparkEntry {
     graft.ops.TextClean.redactPii(laced, "text")
       .select(col("doc_id"), col("n_emails"), col("n_ips"),
         col("n_phones"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** URL canonicalization over synthesized URLs spanning the interesting
+    * shapes: upper-case scheme/host + default port + tracking-param +
+    * fragment, userinfo + all-tracking query, bare host, non-default
+    * port with mid-query tracking, and non-URL text (passes through).
+    */
+  private def qUrlNorm(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val url = when(col("doc_id") % 5 === 0,
+        concat(lit("HTTP://Example.COM:80/p/"), col("doc_id"),
+          lit("?utm_source=a&id="), col("doc_id"), lit("#f")))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("https://u:p@Sub.Example.org:443/a?utm_a=1&utm_b="), col("doc_id")))
+      .when(col("doc_id") % 5 === 2, lit("https://example.org"))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("http://host"), col("doc_id") % 7,
+          lit(".net:8080/x?a=1&fbclid=zz&b="), col("doc_id")))
+      .otherwise(concat(lit("plain text "), col("doc_id")))
+    docs.select(col("doc_id"),
+        graft.ops.Urls.normalize(url).as("url_norm"),
+        graft.ops.Urls.host(url).as("host"),
+        graft.ops.Urls.registeredDomain(url).as("domain"))
       .orderBy(col("doc_id"))
   }
 
@@ -1071,9 +1106,11 @@ object SparkEntry {
     "q_gopher" -> (qGopher _),
     "q_decontam_ngram" -> (qDecontamNgram _),
     "q_decontam_bloom" -> (qDecontamBloom _),
+    "q_dup_spans" -> (qDupSpans _),
     "q_line_dedup" -> (qLineDedup _),
     "q_pii" -> (qPii _),
     "q_html_strip" -> (qHtmlStrip _),
+    "q_url_norm" -> (qUrlNorm _),
     "q_sql_annotate" -> (qSqlAnnotate _),
     "q_ann_cooc" -> (qAnnCooc _),
     "q_tokens" -> (qTokens _),
@@ -1571,6 +1608,26 @@ object SparkEntry {
         |cont AS (SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench))
         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM cont)
         |ORDER BY doc_id""".stripMargin,
+    // hash-window duplication == string-window duplication as long as the
+    // 64-bit rolling hash is collision-free on the corpus — certified by
+    // q_fp_card's distinct-cardinality oracle over the same kernel
+    "q_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |win AS (SELECT doc_id,
+        |  CASE WHEN len(w) < 4 THEN CAST([] AS VARCHAR[])
+        |       ELSE list_transform(range(1, len(w) - 2), i -> array_to_string(w[i:i+3], ' ')) END AS ws
+        |  FROM t),
+        |ex AS (SELECT doc_id, unnest(ws) AS g FROM win),
+        |cnt AS (SELECT g, count(*) AS c FROM ex GROUP BY g),
+        |dup AS (SELECT e.doc_id, count(*) AS n_dup FROM ex e JOIN cnt ON e.g = cnt.g
+        |        WHERE cnt.c > 1 GROUP BY e.doc_id)
+        |SELECT win.doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup_windows,
+        |  CASE WHEN len(ws) = 0 THEN 0.0
+        |       ELSE round(coalesce(dup.n_dup, 0) / CAST(len(ws) AS DOUBLE), 6) END AS dup_frac
+        |FROM win LEFT JOIN dup USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // exact by construction (bloom prefilter has no false negatives and
     // the confirm join removes false positives) — same oracle verbatim
     "q_decontam_bloom" ->
@@ -1615,6 +1672,35 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(after_ip, '\+?\b\d{1,3}[- ]\d{3}[- ]\d{3,4}(?:[- ]\d{1,4})?\b')) AS BIGINT) AS n_phones,
         |  regexp_replace(after_ip, '\+?\b\d{1,3}[- ]\d{3}[- ]\d{3,4}(?:[- ]\d{1,4})?\b', '<PHONE>', 'g') AS text
         |FROM s2 ORDER BY doc_id""".stripMargin,
+    "q_url_norm" ->
+      """WITH u AS (SELECT doc_id, CASE
+        |  WHEN doc_id % 5 = 0 THEN 'HTTP://Example.COM:80/p/' || doc_id || '?utm_source=a&id=' || doc_id || '#f'
+        |  WHEN doc_id % 5 = 1 THEN 'https://u:p@Sub.Example.org:443/a?utm_a=1&utm_b=' || doc_id
+        |  WHEN doc_id % 5 = 2 THEN 'https://example.org'
+        |  WHEN doc_id % 5 = 3 THEN 'http://host' || (doc_id % 7) || '.net:8080/x?a=1&fbclid=zz&b=' || doc_id
+        |  ELSE 'plain text ' || doc_id END AS url FROM documents),
+        |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS nofrag FROM u),
+        |s2 AS (SELECT *,
+        |  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  lower(regexp_replace(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@/]*@', '', 'g')) AS auth,
+        |  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g') AS rest FROM s1),
+        |s3 AS (SELECT *,
+        |  CASE WHEN scheme='http' THEN regexp_replace(auth, ':80$', '')
+        |       WHEN scheme='https' THEN regexp_replace(auth, ':443$', '')
+        |       ELSE auth END AS authnp,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest,
+        |    '&(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+        |    '\?(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&', '?', 'g'),
+        |    '\?(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*$', '', 'g'),
+        |    '\?$', '', 'g') AS r4 FROM s2),
+        |s4 AS (SELECT doc_id, url, scheme, authnp,
+        |  CASE WHEN r4 = '' THEN '/' ELSE r4 END AS path,
+        |  lower(regexp_replace(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@/]*@', '', 'g'), ':[0-9]+$', '', 'g')) AS host FROM s3)
+        |SELECT doc_id,
+        |  CASE WHEN scheme = '' THEN url ELSE scheme || '://' || authnp || path END AS url_norm,
+        |  host,
+        |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+        |FROM s4 ORDER BY doc_id""".stripMargin,
     "q_html_strip" ->
       """WITH wrapped AS (SELECT doc_id,
         |  '<html><head><style>p { color: red }</style></head><body><h1>Doc ' || doc_id ||

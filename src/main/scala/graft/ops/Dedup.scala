@@ -561,6 +561,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Duplicate-span detection — the measurement half of Lee et al. 2021's
+    * ExactSubstr ("Deduplicating Training Data Makes Language Models
+    * Better"), at rolling-hash-window granularity: every `window`-token
+    * window whose 64-bit rolling hash occurs MORE THAN ONCE corpus-wide
+    * (including twice within one document) is a duplicate span; per doc
+    * this returns the window count, duplicated-window count, and
+    * duplicated fraction — the signal ExactSubstr cuts on (the paper
+    * uses 50-token spans).
+    *
+    * Reuses the winnowing kernel ([[graft.spark.WindowHashesExpression]],
+    * the hash q_fp_card certifies collision-free against DuckDB string
+    * windows), so "same hash" is "same token window" up to 64-bit
+    * collisions (~|windows|²/2⁶⁴).
+    *
+    * Scale shape: ONE corpus scan (posexplode of the per-row kernel
+    * array is pipelined); the global window-frequency aggregate and the
+    * flag join both hash-partition by the SAME 8-byte window hash, so
+    * AQE reuses one exchange for both; the per-doc rollup shuffles
+    * (id, flag) pairs. No text beyond the scan.
+    */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 50): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val wh = org.apache.spark.sql.GraftBridge.column(
+      graft.spark.WindowHashesExpression(
+        org.apache.spark.sql.GraftBridge.expression(col(textCol)), window))
+    val exploded = df.select(col(idCol).as("id"), posexplode_outer(wh))
+      .select(col("id"), col("pos"), col("col").as("__h"))
+    val cnts = exploded.filter(col("__h").isNotNull)
+      .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+    exploded.join(cnts, Seq("__h"), "left")
+      .groupBy(col("id"))
+      .agg(count(col("pos")).as("n_windows"),
+        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      .select(col("id").as(idCol),
+        col("n_windows"),
+        col("n_dup_windows"),
+        when(col("n_windows") === 0, lit(0.0))
+          .otherwise(round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+          .as("dup_frac"))
+  }
+
   /** Corpus-wide line-level exact deduplication — the "dedup repeated
     * paragraphs/lines across documents" step of C4 (Raffel et al. 2020
     * §2.2, three-sentence spans) and Lee et al. 2021 ("Deduplicating

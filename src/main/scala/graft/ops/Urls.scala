@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization for crawl pipelines — the dedup-by-URL and
+  * domain-grouping prerequisites (every public crawl pipeline dedups on
+  * a normalized URL before it ever looks at text, and filters/buckets by
+  * domain). Pure `regexp_extract`/`regexp_replace` chains in the
+  * Java∩RE2 subset: scan-local, codegen'd, oracle-replicable.
+  *
+  * Compose: `df.withColumn("u", Urls.normalize(col("url")))` then
+  * [[Dedup.exact]] on `u` for URL dedup, or group by [[Urls.host]] /
+  * [[Urls.registeredDomain]] for per-domain stats and blocklists.
+  */
+object Urls {
+
+  private val TrackingRe = "(?:utm_[A-Za-z]+|fbclid|gclid)"
+  private val SchemePrefixRe = "^[A-Za-z][A-Za-z0-9+.-]*://"
+
+  /** Lowercased host: authority minus userinfo and port. Empty string
+    * when the input has no `scheme://` prefix.
+    */
+  def host(url: Column): Column = {
+    val auth = regexp_extract(url, SchemePrefixRe + "([^/?#]*)", 1)
+    lower(regexp_replace(regexp_replace(auth, "^[^@/]*@", ""), ":[0-9]+$", ""))
+  }
+
+  /** Last two dot-labels of the host — a public-suffix-list-LESS
+    * approximation of the registered domain (right for `.com`/`.org`/
+    * country TLDs without second-level registries; `foo.co.uk` yields
+    * `co.uk`). Good enough for grouping; swap in a PSL offline table
+    * when precision matters.
+    */
+  def registeredDomain(url: Column): Column =
+    regexp_extract(host(url), "([^.]+\\.[^.]+)$", 1)
+
+  /** Canonical URL: fragment stripped; scheme and host lowercased;
+    * userinfo dropped; default ports (:80 http, :443 https) dropped;
+    * tracking params (`utm_*`, `fbclid`, `gclid`) removed with `?`/`&`
+    * bookkeeping; empty query stripped; empty path becomes `/`. Inputs
+    * without a `scheme://` prefix pass through unchanged (not a URL —
+    * don't invent one).
+    */
+  def normalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = lower(regexp_replace(
+      regexp_extract(noFrag, SchemePrefixRe + "([^/?#]*)", 1), "^[^@/]*@", ""))
+    val authNoPort = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val rest = regexp_replace(noFrag, SchemePrefixRe + "[^/?#]*", "")
+    // tracking-param removal: amp-joined occurrences first, then a
+    // leading `?track=…&` (promote the next param to `?`), then a lone
+    // `?track=…`, then a dangling `?`
+    val r1 = regexp_replace(rest, "&" + TrackingRe + "=[^&#]*", "")
+    val r2 = regexp_replace(r1, "\\?" + TrackingRe + "=[^&#]*&", "?")
+    val r3 = regexp_replace(r2, "\\?" + TrackingRe + "=[^&#]*$", "")
+    val r4 = regexp_replace(r3, "\\?$", "")
+    val path = when(r4 === "", lit("/")).otherwise(r4)
+    when(scheme === "", url)
+      .otherwise(concat(scheme, lit("://"), authNoPort, path))
+  }
+}

@@ -837,6 +837,23 @@ class OpsSpec extends AnyFunSuite {
     assert(lossy.toSeq == exact.toSeq)
   }
 
+  test("duplicate spans: global window counts, within-doc repeats, short docs") {
+    val corpus = Seq(
+      (0L, "a b c d e"),      // windows(3): [abc, bcd, cde]
+      (1L, "a b c x y"),      // shares abc with 0
+      (2L, "p q r p q r p q") // within-doc repeats: pqr x2, qrp x2, rpq x2
+      , (3L, "zz")).toDF("doc_id", "text") // shorter than window
+    val out = Dedup.duplicateSpans(corpus, "text", "doc_id", window = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // doc 0: 3 windows, 1 dup (abc shared with doc 1)
+    assert(out(0) == (0L, 3L, 1L, 0.333333))
+    assert(out(1) == (1L, 3L, 1L, 0.333333))
+    // doc 2: 6 windows: pqr qrp rpq pqr qrp rpq — every one occurs twice
+    assert(out(2) == (2L, 6L, 6L, 1.0))
+    assert(out(3) == (3L, 0L, 0L, 0.0))
+  }
+
   test("line dedup: global first occurrence wins, docs reassemble in order") {
     val multi = Seq(
       (0L, "alpha\nbeta\nalpha"),   // within-doc repeat: 2nd alpha drops
@@ -858,6 +875,24 @@ class OpsSpec extends AnyFunSuite {
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(out.toSeq == Seq((0L, 2L, "a|b"), (1L, 2L, "c|d")))
+  }
+
+  test("url canonicalization: case, ports, userinfo, tracking params, non-urls") {
+    val df = Seq(
+      (0L, "HTTP://Example.COM:80/Path/X?utm_source=a&id=7#frag"),
+      (1L, "https://u:p@Sub.Example.org:443/a?utm_a=1&utm_b=2"),
+      (2L, "https://example.org"),
+      (3L, "http://host.net:8080/x?a=1&fbclid=zz&b=2"),
+      (4L, "not a url")).toDF("doc_id", "url")
+    val out = df.select(col("doc_id"), graft.ops.Urls.normalize(col("url")),
+        graft.ops.Urls.host(col("url")), graft.ops.Urls.registeredDomain(col("url")))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    assert(out(0) == ("http://example.com/Path/X?id=7", "example.com", "example.com"))
+    assert(out(1) == ("https://sub.example.org/a", "sub.example.org", "example.org"))
+    assert(out(2) == ("https://example.org/", "example.org", "example.org"))
+    assert(out(3) == ("http://host.net:8080/x?a=1&b=2", "host.net", "host.net"))
+    assert(out(4) == ("not a url", "", ""))
   }
 
   test("pii redaction: masks emails, ips, phones; clean text untouched") {
