@@ -62,4 +62,20 @@ object functions {
 
   /** Cosine similarity of two array columns. */
   def cosine(a: Column, b: Column): Column = graft.ops.Similarity.cosine(a, b)
+
+  /** HTML → visible text (script/style/comment blocks dropped with
+    * content, tags stripped, common entities decoded, whitespace
+    * collapsed).
+    */
+  def stripHtml(text: Column): Column = graft.ops.TextClean.stripHtml(text)
+
+  /** Canonical URL (case, userinfo, default ports, fragments, tracking
+    * params). */
+  def normalizeUrl(url: Column): Column = graft.ops.Urls.normalize(url)
+
+  /** Lowercased URL host (userinfo/port stripped). */
+  def urlHost(url: Column): Column = graft.ops.Urls.host(url)
+
+  /** PSL-less registered-domain approximation (last two host labels). */
+  def urlDomain(url: Column): Column = graft.ops.Urls.registeredDomain(url)
 }

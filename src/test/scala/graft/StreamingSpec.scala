@@ -147,6 +147,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("scan-local cleaning ops run unchanged on a stream, equal to batch") {
+    // stripHtml / redactPii / gopherQuality / langId are stateless
+    // per-row projections, so the SAME operator calls must work on a
+    // streaming DataFrame and produce byte-identical rows to batch —
+    // the claim that the cleaning pipeline is streaming-safe, pinned.
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val df = stream.toDF().toDF("doc_id", "text")
+    def pipeline(in: org.apache.spark.sql.DataFrame) = {
+      val cleaned = graft.ops.TextClean.redactPii(
+        graft.ops.TextClean.stripHtmlDf(in, "text"), "text")
+      graft.ops.TextStats.gopherQuality(cleaned, "text", "doc_id")
+        .join(cleaned.select(col("doc_id"), col("text"),
+          graft.functions.langId(col("text")).as("lang")), "doc_id")
+    }
+    val rows = Seq(
+      (0L, "<p>mail me at a@b.io</p><script>x()</script> the of and is in a plain doc"),
+      (1L, "<div>el la de que y los una</div>"))
+    val query = pipeline(df).writeStream.format("memory")
+      .queryName("clean_stream").outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("clean_stream").orderBy("doc_id").collect()
+      val batch = pipeline(rows.toDF("doc_id", "text")).orderBy("doc_id").collect()
+      assert(streamed.toSeq == batch.toSeq)
+      val r0 = streamed(0)
+      assert(r0.getAs[String]("text").contains("<EMAIL>") &&
+        !r0.getAs[String]("text").contains("script"))
+      assert(streamed(1).getAs[String]("lang") == "es")
+    } finally query.stop()
+  }
+
   test("match totals with HLL distinct-doc sketch (batch)") {
     val docs = Seq(
       (0L, "hash join hash join"),
