@@ -776,6 +776,18 @@ object SparkEntry {
       .select(col("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** BM25 ranked retrieval for a 3-term query. The oracle mirrors the
+    * pivoted formulation exactly: integer-valued tf/df/N/dl (exact in
+    * doubles, order-independent), per-term contributions added in query
+    * order, round-6 before rank.
+    */
+  private def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    graft.ops.Retrieval.bm25TopK(docs, "text", "doc_id",
+        Seq("hash", "join", "vector"), k = 15)
+      .orderBy(col("rank"))
+  }
+
   /** ExactSubstr-style duplicate-span measurement at 4-token windows
     * (small enough to fire on sf0.01's shared phrases and exact-dup
     * docs). Oracle re-derives window STRINGS in DuckDB — hash vs string
@@ -1106,6 +1118,7 @@ object SparkEntry {
     "q_gopher" -> (qGopher _),
     "q_decontam_ngram" -> (qDecontamNgram _),
     "q_decontam_bloom" -> (qDecontamBloom _),
+    "q_bm25" -> (qBm25 _),
     "q_dup_spans" -> (qDupSpans _),
     "q_line_dedup" -> (qLineDedup _),
     "q_pii" -> (qPii _),
@@ -1608,6 +1621,41 @@ object SparkEntry {
         |cont AS (SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench))
         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM cont)
         |ORDER BY doc_id""".stripMargin,
+    // mirrors bm25TopK exactly: same tokenization, same pivot, per-term
+    // contributions added in query order, (1.2 + 1)/(1 - 0.75) written as
+    // the same double ARITHMETIC (not pre-evaluated literals) so both
+    // engines perform identical IEEE operations
+    "q_bm25" ->
+      """WITH base AS (SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS dl,
+        |    string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |piv AS (SELECT doc_id, dl,
+        |    CAST(len(list_filter(toks, t -> t = 'hash')) AS DOUBLE) AS tf_hash,
+        |    CAST(len(list_filter(toks, t -> t = 'join')) AS DOUBLE) AS tf_join,
+        |    CAST(len(list_filter(toks, t -> t = 'vector')) AS DOUBLE) AS tf_vector
+        |  FROM base),
+        |m AS (SELECT * FROM piv WHERE tf_hash > 0 OR tf_join > 0 OR tf_vector > 0),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM base),
+        |dfx AS (SELECT sum(CASE WHEN tf_hash > 0 THEN 1.0 ELSE 0.0 END) AS df_hash,
+        |               sum(CASE WHEN tf_join > 0 THEN 1.0 ELSE 0.0 END) AS df_join,
+        |               sum(CASE WHEN tf_vector > 0 THEN 1.0 ELSE 0.0 END) AS df_vector
+        |        FROM m),
+        |sc AS (SELECT doc_id, round(
+        |    0.0
+        |    + (CASE WHEN tf_hash > 0 THEN ln(1.0 + (n - df_hash + 0.5) / (df_hash + 0.5))
+        |         * tf_hash * (1.2 + 1) / (tf_hash + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl)) ELSE 0.0 END)
+        |    + (CASE WHEN tf_join > 0 THEN ln(1.0 + (n - df_join + 0.5) / (df_join + 0.5))
+        |         * tf_join * (1.2 + 1) / (tf_join + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl)) ELSE 0.0 END)
+        |    + (CASE WHEN tf_vector > 0 THEN ln(1.0 + (n - df_vector + 0.5) / (df_vector + 0.5))
+        |         * tf_vector * (1.2 + 1) / (tf_vector + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl)) ELSE 0.0 END),
+        |  6) AS score
+        |  FROM m, st, dfx)
+        |SELECT doc_id AS id,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        |  score
+        |FROM sc ORDER BY score DESC, id LIMIT 15""".stripMargin,
     // hash-window duplication == string-window duplication as long as the
     // 64-bit rolling hash is collision-free on the corpus — certified by
     // q_fp_card's distinct-cardinality oracle over the same kernel

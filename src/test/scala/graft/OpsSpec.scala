@@ -869,12 +869,100 @@ class OpsSpec extends AnyFunSuite {
       (3L, 1L, "delta")))
   }
 
+  test("line dedup property: equals brute-force first-occurrence sweep") {
+    val rnd = new scala.util.Random(43)
+    val vocab = Seq("aa bb", "cc", "dd ee ff", "gg", "hh ii") // tiny -> collisions
+    (0 until 20).foreach { round =>
+      val docs = (0 until 8).map { id =>
+        val n = 1 + rnd.nextInt(4)
+        (id.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString("\n"))
+      }
+      // brute force: sweep (id, pos) in order, keep first global occurrence
+      val seen = scala.collection.mutable.Set[String]()
+      val want = docs.flatMap { case (id, text) =>
+        val kept = text.split("\n", -1).filter(l => seen.add(l))
+        if (kept.isEmpty) None
+        else Some((id, kept.length.toLong, kept.mkString("\n")))
+      }
+      val got = Dedup.lineDedup(docs.toDF("doc_id", "text"), "text", "doc_id")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(got.toSeq == want, s"round $round docs=$docs")
+    }
+  }
+
+  test("duplicate spans property: equals brute-force window counting") {
+    val rnd = new scala.util.Random(47)
+    val vocab = Seq("x", "y", "z")
+    (0 until 20).foreach { round =>
+      val docs = (0 until 6).map { id =>
+        val n = rnd.nextInt(8)
+        (id.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val w = 3
+      val allWins = docs.flatMap { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        toks.sliding(w).filter(_.length == w).map(win => (id, win.mkString(" "))).toSeq
+      }
+      val freq = allWins.groupBy(_._2).view.mapValues(_.size).toMap
+      val want = docs.map { case (id, _) =>
+        val mine = allWins.filter(_._1 == id)
+        val nd = mine.count(x => freq(x._2) > 1)
+        val frac = if (mine.isEmpty) 0.0
+          else BigDecimal(nd.toDouble / mine.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, mine.size.toLong, nd.toLong, frac)
+      }
+      val got = Dedup.duplicateSpans(docs.toDF("doc_id", "text"), "text",
+          "doc_id", window = w)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq == want, s"round $round docs=$docs")
+    }
+  }
+
   test("line dedup: no duplicates is a no-op; custom delimiter") {
     val clean = Seq((0L, "a|b"), (1L, "c|d")).toDF("doc_id", "text")
     val out = Dedup.lineDedup(clean, "text", "doc_id", delim = "|")
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(out.toSeq == Seq((0L, 2L, "a|b"), (1L, 2L, "c|d")))
+  }
+
+  test("bm25 top-k: equals brute-force scoring; non-matching docs absent") {
+    val corpus = Seq(
+      (0L, "hash join hash"),
+      (1L, "hash"),
+      (2L, "scan vector"),
+      (3L, "the the the")).toDF("doc_id", "text")
+    val query = Seq("hash", "join")
+    val k1 = 1.2; val b = 0.75
+    val got = graft.ops.Retrieval.bm25TopK(corpus, "text", "doc_id", query, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // brute force, same formula and fold order
+    val texts = Map(0L -> "hash join hash", 1L -> "hash", 2L -> "scan vector",
+      3L -> "the the the")
+    val dls = texts.view.mapValues(_.split("\\s+").length.toDouble).toMap
+    val n = texts.size.toDouble
+    val avgdl = dls.values.sum / n
+    def tf(id: Long, t: String) = texts(id).split("\\s+").count(_ == t).toDouble
+    def dfOf(t: String) = texts.keys.count(tf(_, t) > 0).toDouble
+    def score(id: Long) = {
+      val raw = query.foldLeft(0.0) { (acc, t) =>
+        val f = tf(id, t)
+        if (f == 0) acc
+        else {
+          val idf = math.log(1.0 + (n - dfOf(t) + 0.5) / (dfOf(t) + 0.5))
+          acc + idf * f * (k1 + 1) / (f + k1 * ((1 - b) + b * dls(id) / avgdl))
+        }
+      }
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.map(_._1).toSeq == Seq(0L, 1L)) // docs 2,3 never score
+    assert(got.toSeq == Seq((0L, 1L, score(0L)), (1L, 2L, score(1L))))
+    // two hashes in a short doc outrank one hash + longer doc? sanity:
+    // doc 0 carries both terms, so it must rank first
+    assert(score(0L) > score(1L))
   }
 
   test("url canonicalization: case, ports, userinfo, tracking params, non-urls") {
