@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   * The relevance-scoring half of a corpus-curation stack (alongside
   * [[TextStats.tfidfTopTerms]]'s characteristic-term direction).
   *
-  * Scale shape: the corpus scan filters to QUERY-TERM postings before
-  * anything aggregates, so the single shuffle (the per-doc pivot
-  * groupBy) carries only docs containing at least one query term;
-  * corpus stats (N, avgdl) and per-term document frequencies are
-  * single-row broadcast cross joins; top-k is orderBy+limit
-  * (TakeOrdered — executor-local heaps, no full sort).
+  * Scale shape: two jobs. Job 1 reduces the corpus to |query| + 2
+  * scalars in one scan-local aggregate (N, avgdl, and per-term document
+  * frequencies via native `array_contains` — no explode) collected to
+  * the driver, the same driver-side-constants contract as
+  * [[Similarity.ivfFit]]. Job 2 is the retrieval scan: query-term
+  * postings are filtered BEFORE the single shuffle (the per-doc pivot
+  * groupBy carries only docs containing at least one query term),
+  * scores are pure literal arithmetic, and top-k is orderBy+limit
+  * (TakeOrdered — executor-local heaps, no full sort, no joins at all).
   *
   * Determinism: per-term tf/df/N/dl are integer-valued doubles (exact,
   * order-independent), the per-doc score adds the per-term
@@ -39,8 +42,18 @@ object Retrieval {
     val base = df.select(col(idCol).as("id"),
       TextStats.wsTokens(col(textCol)).cast("double").as("dl"),
       split(lower(col(textCol)), "\\s+").as("__toks"))
-    val stats = broadcast(base.agg(
-      count(lit(1)).cast("double").as("__n"), avg(col("dl")).as("__avgdl")))
+    // job 1: N, avgdl, and df per query term, one scan-local aggregate
+    // (integer-valued doubles — exact, order-independent)
+    val statCols = Seq(
+      count(lit(1)).cast("double").as("__n"), avg(col("dl")).as("__avgdl")) ++
+      qTerms.map(t => sum(when(array_contains(col("__toks"), t), 1.0)
+        .otherwise(0.0)).as(s"__df_$t"))
+    val statRow = base.agg(statCols.head, statCols.tail: _*).head()
+    val n = statRow.getDouble(0)
+    val avgdl = statRow.getDouble(1)
+    val dfs = qTerms.zipWithIndex.map { case (t, i) =>
+      t -> statRow.getDouble(2 + i) }.toMap
+    // job 2: the retrieval scan — pivot on query terms, literal math
     val tfCols = qTerms.map(t =>
       sum(when(col("term") === t, 1.0).otherwise(0.0)).as(s"__tf_$t"))
     val pivoted = base
@@ -48,19 +61,15 @@ object Retrieval {
       .filter(col("term").isin(qTerms: _*))
       .groupBy(col("id"), col("dl"))
       .agg(tfCols.head, tfCols.tail: _*)
-    val dfCols = qTerms.map(t =>
-      sum(when(col(s"__tf_$t") > 0, 1.0).otherwise(0.0)).as(s"__df_$t"))
-    val dfT = broadcast(pivoted.agg(dfCols.head, dfCols.tail: _*))
     val score = qTerms.foldLeft(lit(0.0)) { (acc, t) =>
       val tf = col(s"__tf_$t")
-      val dft = col(s"__df_$t")
-      val idf = log(lit(1.0) + (col("__n") - dft + 0.5) / (dft + 0.5))
+      val idf = math.log(1.0 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5))
       acc + when(tf > 0,
-        idf * tf * lit(k1 + 1) /
-          (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("__avgdl"))))
+        lit(idf) * tf * lit(k1 + 1) /
+          (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
         .otherwise(0.0)
     }
-    pivoted.crossJoin(stats).crossJoin(dfT)
+    pivoted
       .withColumn("score", round(score, 6))
       .orderBy(col("score").desc, col("id").asc).limit(k)
       .withColumn("rank", row_number().over(

@@ -346,6 +346,24 @@ class PlanSpec extends AnyFunSuite {
         s"line text crosses the dedup-decision join:\n$opt")))
   }
 
+  test("bm25: one pivot shuffle, no joins, top-k without a full sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.ops.Retrieval.bm25TopK(docs, "text", "doc_id",
+      Seq("hash", "join"), k = 10)
+    val plan = planOf(df)
+    // the per-doc pivot is the ONLY hash shuffle in the retrieval job
+    // (corpus stats and per-term dfs are driver-side literals from the
+    // one-scan stats job), and the retrieval plan has no joins at all
+    val exchanges = plan.linesIterator
+      .count(l => l.trim.matches("""\(\d+\) Exchange"""))
+    assert(exchanges == 1, plan)
+    assert(plan.contains("hashpartitioning"), plan)
+    assert(!plan.contains("Join"), plan)
+    // top-k is TakeOrdered (executor-local heaps), not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
   test("relational merger shuffles once: second window reuses the exchange") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dict = Seq(
