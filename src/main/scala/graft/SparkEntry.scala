@@ -573,6 +573,22 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Incremental dedup gate: even doc_ids are "the corpus", odd ones
+    * "today's increment"; the exact duplicate texts in the synthetic
+    * corpus straddle the parity split, so cross-side pairs exist. The
+    * oracle is the exact cross-side jaccard join.
+    */
+  private def qDedupIncr(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    Dedup.minhashPairsAgainst(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", n = 3, numPerms = 64, bands = 16, threshold = 0.8)
+      .select(col("id_corpus"), col("id_delta"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_corpus"), col("id_delta"))
+  }
+
   private def qDedupApply(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(t(dir, "documents"))
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
@@ -1101,6 +1117,7 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_incr" -> (qDedupIncr _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_apply" -> (qDedupApply _),
     "q_dedup_cluster" -> (qDedupCluster _),
@@ -1387,6 +1404,15 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_incr" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) s
+        |       FROM t WHERE len(w) >= 3)
+        |SELECT a.doc_id AS id_corpus, b.doc_id AS id_delta,
+        |       round(len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |WHERE len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        |ORDER BY id_corpus, id_delta""".stripMargin,
     "q_dedup_apply" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) s

@@ -561,6 +561,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Incremental (bipartite) near-dup: MinHash-banded candidate pairs
+    * BETWEEN a new `delta` batch and the existing `corpus` — the
+    * daily-increment workflow, where re-running the O(corpus²) self-join
+    * for every ingest is the thing you must never do. Candidates come
+    * only from cross-side bucket collisions (banding both sides with the
+    * SAME kernel and joining delta buckets against corpus buckets), so
+    * the work scales with |delta| × bucket overlap, not |corpus|²; each
+    * side's bucket is capped like the self-join path. Output:
+    * (id_corpus, id_delta, jaccard) with exact (hashed-shingle) jaccard
+    * verified on candidates only.
+    *
+    * At scale, materialize the corpus side's (id, sh, sig) once
+    * ([[Materialize.writeSized]] of the `ShingleSignatureExpression`
+    * projection) and pass it back per increment — the corpus is then
+    * never re-scanned as text.
+    */
+  def minhashPairsAgainst(
+      corpus: DataFrame, delta: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, numPerms: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, persist: Boolean = true,
+      maxBucket: Int = 10000): DataFrame = {
+    val rows = numPerms / bands
+    def prep(df: DataFrame): DataFrame = {
+      val ss = org.apache.spark.sql.GraftBridge.column(
+        graft.spark.ShingleSignatureExpression(
+          org.apache.spark.sql.GraftBridge.expression(col(textCol)), n, numPerms))
+      val p = df.select(col(idCol).as("id"), ss.as("ss"))
+        .filter(size(col("ss.sh")) > 0)
+        .select(col("id"), col("ss.sh").as("sh"), col("ss.sig").as("sig"))
+      if (persist) p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else p
+    }
+    def band(sig: DataFrame): DataFrame = {
+      val b = sig.select(col("id"),
+          posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+            s"b -> xxhash64(slice(sig, b * $rows + 1, $rows)))")))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+      val sizes = b.groupBy(col("band"), col("band_key"))
+        .agg(count(lit(1)).as("__bucket_n"))
+      b.join(sizes, Seq("band", "band_key"))
+        .filter(col("__bucket_n") <= maxBucket)
+        .drop("__bucket_n")
+    }
+    val c = prep(corpus)
+    val d = prep(delta)
+    val cand = band(c).as("x").join(band(d).as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key"))
+      .select(col("x.id").as("id_corpus"), col("y.id").as("id_delta"))
+      .distinct()
+    cand
+      .join(c.select(col("id").as("id_corpus"), col("sh").as("sh_c")), "id_corpus")
+      .join(d.select(col("id").as("id_delta"), col("sh").as("sh_d")), "id_delta")
+      .withColumn("common", size(array_intersect(col("sh_c"), col("sh_d"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_c")) + size(col("sh_d")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_corpus"), col("id_delta"), col("jaccard"))
+  }
+
   /** Duplicate-span detection — the measurement half of Lee et al. 2021's
     * ExactSubstr ("Deduplicating Training Data Makes Language Models
     * Better"), at rolling-hash-window granularity: every `window`-token

@@ -47,6 +47,18 @@ class OpsSpec extends AnyFunSuite {
     assert(mh.toSeq == exact.toSeq)
   }
 
+  test("incremental minhash: cross-side pairs only, equals exact jaccard") {
+    val corpus = docs.filter($"doc_id".isin(0L, 2L, 4L))
+    val delta = docs.filter($"doc_id".isin(1L, 3L))
+    val got = Dedup.minhashPairsAgainst(corpus, delta, "text", "doc_id",
+        threshold = 0.7)
+      .orderBy("id_corpus", "id_delta").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // cross pairs at >= 0.7: (0,1)=0.75 and (0,3)=1.0; the within-delta
+    // pair (1,3) must NOT appear
+    assert(got.toSeq == Seq((0L, 1L, 0.75), (0L, 3L, 1.0)))
+  }
+
   test("dropNearDuplicates keeps the smallest id per pair") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.5)
     val kept = Dedup.dropNearDuplicates(docs, pairs, "doc_id")
@@ -821,6 +833,38 @@ class OpsSpec extends AnyFunSuite {
     val viaCodes = Similarity.pqTopK(withCodes, "embedding", "vec_id", query,
       k, model, codesCol = Some("codes")).collect().map(_.getLong(0)).toSet
     assert(viaCodes == pq)
+  }
+
+  test("IVF-PQ composition: cluster pruning + code scan on the pruned subset") {
+    // the scaladoc claim on pqEncode — "compose with ivfAssign for
+    // IVF-PQ" — as a checked property: assign clusters, materialize
+    // codes, restrict the PQ scan to the query's candidate clusters,
+    // and the clustered-data answer must still hit the recall bar
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(
+      Array(1.0, 0, 0, 0, 0, 0, 0, 0), Array(0.0, 1, 0, 0, 0, 0, 0, 0),
+      Array(0.0, 0, 1, 0, 0, 0, 0, 0), Array(0.0, 0, 0, 1, 0, 0, 0, 0))
+    val corpus = (0 until 200).map { i =>
+      (i.toLong, centers(i % 4).map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+    val query = Array(0.95, 0.05, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val k = 10
+    val ivf = Similarity.ivfFit(corpus, "embedding", "vec_id", nClusters = 4)
+    val pq = Similarity.pqFit(corpus, "embedding", "vec_id", m = 4, k = 16,
+      sampleN = 200)
+    val indexed = corpus
+      .withColumn("cluster", Similarity.ivfAssign(col("embedding"), ivf))
+      .withColumn("codes", Similarity.pqEncode(col("embedding"), pq))
+    val cands = Similarity.ivfCandidateClusters(ivf, query, floor = 0.5)
+    assert(cands.size < 4, s"clustered data should prune: $cands")
+    val pruned = indexed.filter(col("cluster")
+      .isin(cands.map(Integer.valueOf): _*))
+    val got = Similarity.pqTopK(pruned, "embedding", "vec_id", query, k, pq,
+      codesCol = Some("codes")).collect().map(_.getLong(0)).toSet
+    val brute = Similarity.bruteForceTopK(corpus, "embedding", "vec_id",
+      query, k).collect().map(_.getLong(0)).toSet
+    val recall = (got & brute).size.toDouble / k
+    assert(recall >= 0.8, s"IVF-PQ recall $recall; got=$got brute=$brute")
   }
 
   test("bloom decontamination equals the exact broadcast path") {
