@@ -792,6 +792,19 @@ object SparkEntry {
       .select(col("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** Model-based quality filtering (fastText-style serving): a linear
+    * bag-of-words scorer with fixed weights, the DCLM/FineWeb-class
+    * pipeline step that heuristic quality metrics feed into.
+    */
+  private def qQualityModel(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    graft.ops.Retrieval.linearTextScore(docs, "text", "doc_id",
+        Seq("spark" -> 1.5, "slow" -> -2.0, "fast" -> 0.75),
+        bias = 0.1, threshold = 0.5)
+      .select(col("doc_id"), col("score"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25 ranked retrieval for a 3-term query. The oracle mirrors the
     * pivoted formulation exactly: integer-valued tf/df/N/dl (exact in
     * doubles, order-independent), per-term contributions added in query
@@ -1136,6 +1149,7 @@ object SparkEntry {
     "q_decontam_ngram" -> (qDecontamNgram _),
     "q_decontam_bloom" -> (qDecontamBloom _),
     "q_bm25" -> (qBm25 _),
+    "q_quality_model" -> (qQualityModel _),
     "q_dup_spans" -> (qDupSpans _),
     "q_line_dedup" -> (qLineDedup _),
     "q_pii" -> (qPii _),
@@ -1647,6 +1661,19 @@ object SparkEntry {
         |cont AS (SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench))
         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM cont)
         |ORDER BY doc_id""".stripMargin,
+    "q_quality_model" ->
+      """WITH base AS (SELECT doc_id, string_split_regex(lower(text), '\s+') toks FROM documents),
+        |piv AS (SELECT doc_id,
+        |  CAST(len(list_filter(toks, t -> t = 'spark')) AS DOUBLE) AS tf_spark,
+        |  CAST(len(list_filter(toks, t -> t = 'slow')) AS DOUBLE) AS tf_slow,
+        |  CAST(len(list_filter(toks, t -> t = 'fast')) AS DOUBLE) AS tf_fast
+        |  FROM base),
+        |sc AS (SELECT doc_id,
+        |  round(0.1 + tf_spark * 1.5 + tf_slow * (-2.0) + tf_fast * 0.75, 6) AS score
+        |  FROM piv)
+        |SELECT doc_id, score,
+        |  CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
     // mirrors bm25TopK exactly: same tokenization, same pivot, per-term
     // contributions added in query order, (1.2 + 1)/(1 - 0.75) written as
     // the same double ARITHMETIC (not pre-evaluated literals) so both

@@ -76,4 +76,37 @@ object Retrieval {
         Window.orderBy(col("score").desc, col("id").asc)).cast("long"))
       .select(col("id"), col("rank"), col("score"))
   }
+
+  /** Bag-of-words linear text score — the SERVING half of a
+    * fastText-style quality classifier (DCLM / FineWeb-style model-based
+    * filtering): score = bias + Σ_t weight(t) · tf(t), with weights
+    * trained elsewhere and passed in. One scan, one pivot shuffle
+    * carrying only docs containing a weighted term (same shape as
+    * [[bm25TopK]]); contributions fold in the weights' iteration order
+    * with literal arithmetic, so the output is ANSI-SQL-replicable.
+    * Output: all input columns + `score` (round-6) + `keep`
+    * (score >= threshold). Docs containing NO weighted term score
+    * exactly `bias`.
+    */
+  def linearTextScore(df: DataFrame, textCol: String, idCol: String,
+      weights: Seq[(String, Double)], bias: Double = 0.0,
+      threshold: Double = 0.0): DataFrame = {
+    require(weights.nonEmpty, "linearTextScore: empty weight vector")
+    val terms = weights.map { case (t, w) => (t.toLowerCase, w) }
+    val tfCols = terms.map { case (t, _) =>
+      sum(when(col("term") === t, 1.0).otherwise(0.0)).as(s"__tf_$t") }
+    val pivoted = df
+      .select(col(idCol).as("__id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .filter(col("term").isin(terms.map(_._1): _*))
+      .groupBy(col("__id"))
+      .agg(tfCols.head, tfCols.tail: _*)
+    val score = terms.foldLeft(lit(bias)) { case (acc, (t, w)) =>
+      acc + coalesce(col(s"__tf_$t"), lit(0.0)) * lit(w)
+    }
+    df.join(pivoted, df(idCol) === pivoted("__id"), "left")
+      .withColumn("score", round(score, 6))
+      .withColumn("keep", (col("score") >= threshold).cast("long"))
+      .drop((Seq("__id") ++ terms.map { case (t, _) => s"__tf_$t" }): _*)
+  }
 }

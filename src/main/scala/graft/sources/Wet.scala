@@ -164,6 +164,8 @@ final class WetPartitionReader(file: String, required: StructType,
       }
       if (contentLength < 0) throw new java.io.IOException(
         s"wet: record without Content-Length in $file")
+      if (contentLength > Int.MaxValue - 8) throw new java.io.IOException(
+        s"wet: Content-Length $contentLength exceeds the single-record limit in $file")
       val payload = readFully(contentLength.toInt)
       recordIdx += 1
       if (recType != null && types.contains(recType.toLowerCase)) {

@@ -1009,6 +1009,19 @@ class OpsSpec extends AnyFunSuite {
     assert(score(0L) > score(1L))
   }
 
+  test("linear text score: weighted tf sum, bias-only docs, keep threshold") {
+    val corpus = Seq(
+      (0L, "spark spark slow"),   // 0.5 + 2*1.5 - 2.0 = 1.5
+      (1L, "nothing weighted"),   // bias only = 0.5
+      (2L, "slow slow")           // 0.5 - 4.0 = -3.5
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Retrieval.linearTextScore(corpus, "text", "doc_id",
+        Seq("spark" -> 1.5, "slow" -> -2.0), bias = 0.5, threshold = 0.4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("score"), r.getAs[Long]("keep")))
+    assert(out.toSeq == Seq((0L, 1.5, 1L), (1L, 0.5, 1L), (2L, -3.5, 0L)))
+  }
+
   test("url canonicalization: case, ports, userinfo, tracking params, non-urls") {
     val df = Seq(
       (0L, "HTTP://Example.COM:80/Path/X?utm_source=a&id=7#frag"),
