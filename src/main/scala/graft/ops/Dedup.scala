@@ -634,31 +634,38 @@ object Dedup {
     * windows), so "same hash" is "same token window" up to 64-bit
     * collisions (~|windows|²/2⁶⁴).
     *
-    * Scale shape: ONE corpus scan (posexplode of the per-row kernel
-    * array is pipelined); the global window-frequency aggregate and the
-    * flag join both hash-partition by the SAME 8-byte window hash, so
-    * AQE reuses one exchange for both; the per-doc rollup shuffles
-    * (id, flag) pairs. No text beyond the scan.
+    * Scale shape: the text is scanned ONCE — the kernel's 8-byte hash
+    * arrays are persisted (MEMORY_AND_DISK, same reuse convention as
+    * [[minhashPairs]]) because three branches derive from them: per-doc
+    * totals (scan-local `size`), the global window-frequency aggregate,
+    * and the duplicated-occurrence semi-join. Every shuffle carries
+    * 8-16-byte keys; text never leaves the first projection.
     */
   def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
-      window: Int = 50): DataFrame = {
+      window: Int = 50, persist: Boolean = true): DataFrame = {
     require(window >= 1, s"window must be >= 1: $window")
     val wh = org.apache.spark.sql.GraftBridge.column(
       graft.spark.WindowHashesExpression(
         org.apache.spark.sql.GraftBridge.expression(col(textCol)), window))
-    val exploded = df.select(col(idCol).as("id"), posexplode_outer(wh))
-      .select(col("id"), col("pos"), col("col").as("__h"))
-    val cnts = exploded.filter(col("__h").isNotNull)
-      .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
-    exploded.join(cnts, Seq("__h"), "left")
-      .groupBy(col("id"))
-      .agg(count(col("pos")).as("n_windows"),
-        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+    val base0 = df.select(col(idCol).as("id"), wh.as("__wh"))
+    val base = if (persist)
+      base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else base0
+    val totals = base.select(col("id"),
+      coalesce(size(col("__wh")), lit(0)).cast("long").as("n_windows"))
+    val exploded = base.select(col("id"), explode(col("__wh")).as("__h"))
+    val dupHashes = exploded.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .select(col("__h"))
+    val dups = exploded.join(dupHashes, Seq("__h"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup_windows"))
+    totals.join(dups, Seq("id"), "left")
       .select(col("id").as(idCol),
         col("n_windows"),
-        col("n_dup_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
         when(col("n_windows") === 0, lit(0.0))
-          .otherwise(round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+          .otherwise(round(coalesce(col("n_dup_windows"), lit(0L)).cast("double")
+            / col("n_windows"), 6))
           .as("dup_frac"))
   }
 
