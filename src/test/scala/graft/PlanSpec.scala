@@ -346,6 +346,20 @@ class PlanSpec extends AnyFunSuite {
         s"line text crosses the dedup-decision join:\n$opt")))
   }
 
+  test("cleaning and url ops are scan-local: zero exchanges, codegen'd") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cleaned = graft.ops.TextClean.redactPii(
+      graft.ops.TextClean.stripHtmlDf(docs, "text"), "text")
+      .withColumn("u", graft.ops.Urls.normalize(
+        concat(lit("https://example.com/"), col("doc_id"))))
+      .withColumn("host", graft.ops.Urls.host(col("u")))
+    val plan = planOf(cleaned)
+    assert(!plan.contains("Exchange"), plan)
+    cleaned.collect()
+    val executed = cleaned.queryExecution.executedPlan.toString
+    assert(executed.contains("*(1)"), executed) // one fused codegen stage
+  }
+
   test("bm25: one pivot shuffle, no joins, top-k without a full sort") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = graft.ops.Retrieval.bm25TopK(docs, "text", "doc_id",
