@@ -792,6 +792,18 @@ object SparkEntry {
       .select(col("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** Sequence-packing offsets at 512-token sequences — the oracle is a
+    * plain window cumsum over id order, which the distributed two-phase
+    * prefix sum must equal exactly.
+    */
+  private def qPack(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val out = graft.ops.Packing.packingOffsets(docs, "text", "doc_id",
+        seqTokens = 512)
+      .orderBy(col("doc_id"))
+    out
+  }
+
   /** Model-based quality filtering (fastText-style serving): a linear
     * bag-of-words scorer with fixed weights, the DCLM/FineWeb-class
     * pipeline step that heuristic quality metrics feed into.
@@ -1150,6 +1162,7 @@ object SparkEntry {
     "q_decontam_bloom" -> (qDecontamBloom _),
     "q_bm25" -> (qBm25 _),
     "q_quality_model" -> (qQualityModel _),
+    "q_pack" -> (qPack _),
     "q_dup_spans" -> (qDupSpans _),
     "q_line_dedup" -> (qLineDedup _),
     "q_pii" -> (qPii _),
@@ -1661,6 +1674,20 @@ object SparkEntry {
         |cont AS (SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench))
         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM cont)
         |ORDER BY doc_id""".stripMargin,
+    "q_pack" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |nz AS (SELECT * FROM c WHERE n_tokens > 0),
+        |o AS (SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+        |  FROM nz)
+        |SELECT doc_id, n_tokens, start_token,
+        |  start_token // 512 AS seq_first,
+        |  (start_token + n_tokens - 1) // 512 AS seq_last
+        |FROM o ORDER BY doc_id""".stripMargin,
     "q_quality_model" ->
       """WITH base AS (SELECT doc_id, string_split_regex(lower(text), '\s+') toks FROM documents),
         |piv AS (SELECT doc_id,

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence-packing offsets — the bookkeeping of the "concatenate the
+  * corpus, then slice fixed-length training sequences" step every
+  * autoregressive pretraining run performs: with documents concatenated
+  * in ascending id order, each document owns the global token range
+  * `[start_token, start_token + n_tokens)` and therefore lands in
+  * training sequences `seq_first .. seq_last` (length `seqTokens`
+  * each). Downstream, a writer groups by sequence id to emit packed
+  * rows; the offsets here are the exact, engine-portable contract.
+  *
+  * Scale shape: a global prefix sum without a global window. Token
+  * counts range-partition by id (tiny (id, n) rows), per-partition
+  * subtotals collect to the driver (one row per partition), and each
+  * row's global start = its partition's base offset + a WITHIN-partition
+  * running sum — so no single-partition window ever materializes the
+  * corpus. The range boundaries Spark samples are nondeterministic, but
+  * the OUTPUT is partitioning-independent: base-offset + local-prefix
+  * telescopes to "sum of n over all ids < id" whatever the boundaries
+  * (OpsSpec pins this by re-running under a different partitioning).
+  * The ranged frame is persisted so the subtotal job and the prefix job
+  * see the SAME sampled boundaries — required for correctness, not just
+  * speed.
+  *
+  * Zero-token documents own no tokens and are dropped (documented;
+  * filter them earlier if they should error instead).
+  *
+  * Output: (idCol, n_tokens, start_token, seq_first, seq_last).
+  */
+object Packing {
+
+  def packingOffsets(df: DataFrame, textCol: String, idCol: String,
+      seqTokens: Int): DataFrame = {
+    require(seqTokens >= 1, s"seqTokens must be >= 1: $seqTokens")
+    val spark = df.sparkSession
+    val counts = df.select(col(idCol).as("id"),
+        TextStats.wsTokens(col(textCol)).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val ranged = counts.repartitionByRange(col("id"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val subtotals = ranged.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__t"), min(col("id")).as("__min_id"))
+      .collect()
+      .sortBy(_.getAs[Long]("__min_id"))
+    val bases = subtotals.scanLeft(0L)(_ + _.getAs[Long]("__t"))
+    val baseRows = subtotals.zip(bases).map { case (r, base) =>
+      (r.getInt(0), base) }.toSeq
+    import spark.implicits._
+    val baseDf = broadcast(baseRows.toDF("__pid", "__base"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(baseDf, "__pid")
+      .withColumn("start_token",
+        col("__base") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("id").as(idCol), col("n_tokens"),
+        col("start_token"),
+        // integer DIV, not double division: exact past 2^53 tokens
+        expr(s"start_token DIV $seqTokens").as("seq_first"),
+        expr(s"(start_token + n_tokens - 1) DIV $seqTokens").as("seq_last"))
+  }
+}

@@ -1009,6 +1009,30 @@ class OpsSpec extends AnyFunSuite {
     assert(score(0L) > score(1L))
   }
 
+  test("packing offsets: exact global prefix, partition-independent, empty docs drop") {
+    val corpus = Seq(
+      (0L, "a b c"),        // 3 tokens, start 0, seqs 0..0
+      (1L, ""),             // 0 tokens -> dropped
+      (2L, "d e f g"),      // 4 tokens, start 3, seqs 0..1 (L=4: 3..6)
+      (3L, "h"),            // 1 token, start 7, seq 1
+      (4L, "i j k l m"))    // 5 tokens, start 8, seqs 2..3
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Packing.packingOffsets(df, "text", "doc_id", seqTokens = 4)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val got = run(corpus)
+    assert(got.toSeq == Seq(
+      (0L, 3L, 0L, 0L, 0L),
+      (2L, 4L, 3L, 0L, 1L),
+      (3L, 1L, 7L, 1L, 1L),
+      (4L, 5L, 8L, 2L, 3L)))
+    // partitioning-independence: a hostile input layout gives identical rows
+    assert(run(corpus.repartition(7)).toSeq == got.toSeq)
+    assert(run(corpus.repartition(1)).toSeq == got.toSeq)
+    spark.catalog.clearCache()
+  }
+
   test("linear text score: weighted tf sum, bias-only docs, keep threshold") {
     val corpus = Seq(
       (0L, "spark spark slow"),   // 0.5 + 2*1.5 - 2.0 = 1.5
