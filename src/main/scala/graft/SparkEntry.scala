@@ -840,6 +840,16 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** ExactSubstr REMOVAL at 4-token windows: duplicated occurrences cut,
+    * first occurrence survives, docs rebuilt. The oracle re-derives the
+    * same cuts over string windows and rebuilds token-by-token.
+    */
+  private def qDupRemove(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    graft.ops.Dedup.removeDuplicateSpans(docs, "text", "doc_id", window = 4)
+      .orderBy(col("doc_id"))
+  }
+
   /** Bloom-prefilter decontamination — EXACT results (bloom = no false
     * negatives; confirm join removes false positives), so it shares
     * q_decontam_ngram's oracle verbatim. Gates the whole bloom path:
@@ -1164,6 +1174,7 @@ object SparkEntry {
     "q_quality_model" -> (qQualityModel _),
     "q_pack" -> (qPack _),
     "q_dup_spans" -> (qDupSpans _),
+    "q_dup_remove" -> (qDupRemove _),
     "q_line_dedup" -> (qLineDedup _),
     "q_pii" -> (qPii _),
     "q_html_strip" -> (qHtmlStrip _),
@@ -1756,6 +1767,25 @@ object SparkEntry {
         |       ELSE round(coalesce(dup.n_dup, 0) / CAST(len(ws) AS DOUBLE), 6) END AS dup_frac
         |FROM win LEFT JOIN dup USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // same cuts over string windows (hash≡string via q_fp_card), rebuilt
+    // token-by-token with the first (doc_id, pos) occurrence surviving
+    "q_dup_remove" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') w FROM documents
+        |           WHERE length(trim(text)) > 0),
+        |win AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+3], ' ') AS g
+        |        FROM t, unnest(range(1, len(w) - 2)) AS r(i) WHERE len(w) >= 4),
+        |ranked AS (SELECT doc_id, pos,
+        |           row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+        |           count(*) OVER (PARTITION BY g) AS c FROM win),
+        |cuts AS (SELECT doc_id, pos FROM ranked WHERE c > 1 AND rn > 1),
+        |tokpos AS (SELECT doc_id, i - 1 AS tp, w[i] AS tok
+        |           FROM t, unnest(range(1, len(w) + 1)) AS r(i)),
+        |keep AS (SELECT k.doc_id, k.tp, k.tok FROM tokpos k
+        |         WHERE NOT EXISTS (SELECT 1 FROM cuts c
+        |           WHERE c.doc_id = k.doc_id AND c.pos <= k.tp AND k.tp < c.pos + 4))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       array_to_string(list(tok ORDER BY tp), ' ') AS text
+        |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // exact by construction (bloom prefilter has no false negatives and
     // the confirm join removes false positives) — same oracle verbatim
     "q_decontam_bloom" ->

@@ -669,6 +669,57 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** The REMOVAL half of ExactSubstr (Lee et al. 2021) at hash-window
+    * granularity: every duplicated `window`-token occurrence EXCEPT the
+    * globally-first one (minimum `(id, position)`, the [[lineDedup]]
+    * convention) has its token range cut from the document; documents
+    * are rebuilt from the surviving tokens and docs left empty are
+    * dropped. Overlapping duplicated windows union into one cut span.
+    *
+    * Output: `(idCol, n_tokens, textCol)` with `n_tokens` = surviving
+    * token count.
+    *
+    * Scale shape: same decision plan as [[duplicateSpans]] — the text
+    * is scanned once into persisted hash arrays; ownership election and
+    * the duplicated-occurrence join move (id, pos, hash) triples only;
+    * per-doc cut-position lists (duplicates only) join back to the
+    * original docs, and the rebuild is a scan-local array filter whose
+    * interpreted lambda only evaluates on docs that HAVE cuts.
+    */
+  def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 50, persist: Boolean = true): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val wh = org.apache.spark.sql.GraftBridge.column(
+      graft.spark.WindowHashesExpression(
+        org.apache.spark.sql.GraftBridge.expression(col(textCol)), window))
+    val base0 = df.select(col(idCol).as("id"), wh.as("__wh"))
+    val base = if (persist)
+      base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else base0
+    val exploded = base.select(col("id"), posexplode(col("__wh")))
+      .withColumnsRenamed(Map("pos" -> "pos", "col" -> "__h"))
+    val dupHashes = exploded.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c"), min(struct(col("id"), col("pos"))).as("owner"))
+      .filter(col("__c") > 1)
+    val cuts = exploded.join(dupHashes, Seq("__h"))
+      .filter(!(col("owner.id") === col("id") && col("owner.pos") === col("pos")))
+      .groupBy(col("id")).agg(collect_list(col("pos")).as("__cut_pos"))
+      .withColumnRenamed("id", "__cut_id")
+    // RAW \s+ split (no trim) so token positions line up with the
+    // kernel's; rebuilt text is single-space joined (ws-normalized)
+    val toks = split(col(textCol), "\\s+")
+    val kept = when(col("__cut_pos").isNull, toks)
+      .otherwise(filter(toks, (_, i) =>
+        !exists(col("__cut_pos"), p => p <= i && i < p + window)))
+    df.filter(length(trim(col(textCol))) > 0)
+      .join(cuts, df(idCol) === cuts("__cut_id"), "left")
+      .select(col(idCol), kept.as("__kept"))
+      .filter(size(col("__kept")) > 0)
+      .select(col(idCol),
+        size(col("__kept")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__kept")).as(textCol))
+  }
+
   /** Corpus-wide line-level exact deduplication — the "dedup repeated
     * paragraphs/lines across documents" step of C4 (Raffel et al. 2020
     * §2.2, three-sentence spans) and Lee et al. 2021 ("Deduplicating

@@ -898,6 +898,25 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3) == (3L, 0L, 0L, 0.0))
   }
 
+  test("remove duplicate spans: first occurrence survives, cuts union, docs vanish") {
+    val corpus = Seq(
+      (0L, "a b c d"),      // owner of abc@0, bcd@1 -> untouched
+      (1L, "x a b c y"),    // abc@1 dup -> cut tokens 1..3 -> "x y"
+      (2L, "a b c d"),      // exact dup: both windows cut -> covers all -> dropped
+      (3L, "z z"),          // shorter than window -> untouched
+      (4L, "p q r p q r"))  // within-doc repeat pqr@3 -> cut 3..5 -> "p q r"
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(corpus, "text", "doc_id", window = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (0L, 4L, "a b c d"),
+      (1L, 2L, "x y"),
+      (3L, 2L, "z z"),
+      (4L, 3L, "p q r")))
+    spark.catalog.clearCache()
+  }
+
   test("line dedup: global first occurrence wins, docs reassemble in order") {
     val multi = Seq(
       (0L, "alpha\nbeta\nalpha"),   // within-doc repeat: 2nd alpha drops
