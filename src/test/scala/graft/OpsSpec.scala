@@ -1101,6 +1101,19 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2)._1 == "two mails <EMAIL> and <EMAIL>" && out(2)._2 == 2L)
   }
 
+  test("cleaning/url ops propagate null text as null (standard SQL contract)") {
+    val df = Seq((0L, null.asInstanceOf[String]), (1L, "ok a@b.io"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.TextClean.redactPii(df, "text").orderBy("doc_id").collect()
+    assert(r(0).isNullAt(r(0).fieldIndex("text")) &&
+      r(0).isNullAt(r(0).fieldIndex("n_emails")))
+    assert(r(1).getAs[String]("text") == "ok <EMAIL>")
+    val h = df.select(graft.ops.TextClean.stripHtml(col("text")),
+        graft.ops.Urls.normalize(col("text")), graft.ops.Urls.host(col("text")))
+      .orderBy(df("doc_id")).collect()
+    assert(h(0).isNullAt(0) && h(0).isNullAt(1) && h(0).isNullAt(2))
+  }
+
   test("html strip: blocks vanish with content, entities decode, ws collapses") {
     val df = Seq(
       (0L, "<html><body><h1>T</h1><script>if (1 < 2) { x(); }</script>" +
