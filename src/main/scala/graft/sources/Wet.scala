@@ -3,8 +3,9 @@ package graft.sources
 import java.io.{BufferedInputStream, EOFException, InputStream}
 import java.util.zip.GZIPInputStream
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.util.SerializableConfiguration
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -62,49 +63,76 @@ final class WetScanBuilder(options: CaseInsensitiveStringMap)
     require(path != null && path.nonEmpty, "wet source: no path given")
     val types = Option(options.get("recordTypes")).getOrElse("conversion")
       .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
-    new WetScan(path, required, types)
+    val mode = Option(options.get("mode")).getOrElse("failfast").toLowerCase
+    require(mode == "failfast" || mode == "permissive",
+      s"wet source: mode must be failfast or permissive, got $mode")
+    new WetScan(path, required, types, permissive = mode == "permissive")
   }
 }
 
-final class WetScan(path: String, required: StructType, types: Set[String])
-  extends Scan with Batch {
+final class WetScan(path: String, required: StructType, types: Set[String],
+    permissive: Boolean) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // Planning runs on the driver: capture the (driver-configured, possibly
+  // credential-carrying) Hadoop conf here and ship it to executors — a
+  // PartitionReader must never touch SparkSession, which doesn't exist on
+  // executor JVMs in a real deployment.
+  private lazy val serConf =
+    new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf())
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
     val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val stats =
-      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-      else fs.globStatus(p).toSeq
+    val fs = p.getFileSystem(serConf.value)
+    // globStatus handles literal paths AND globs; it returns null for a
+    // non-existent non-glob path, and an empty array for a glob matching
+    // nothing. Matched directories expand one level (a crawl dir of files).
+    val matched = Option(fs.globStatus(p)).getOrElse(
+      throw new java.io.FileNotFoundException(s"wet source: path not found: $path"))
+    val stats: Seq[FileStatus] = matched.toSeq.flatMap { s =>
+      if (s.isDirectory) fs.listStatus(s.getPath).toSeq else Seq(s)
+    }
     stats.filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
       .sortBy(_.getPath.toString)
       .map(s => WetInputPartition(s.getPath.toString): InputPartition)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    WetReaderFactory(required, types)
+    WetReaderFactory(required, types, permissive, serConf)
 }
 
 final case class WetInputPartition(file: String) extends InputPartition
 
-final case class WetReaderFactory(required: StructType, types: Set[String])
+final case class WetReaderFactory(required: StructType, types: Set[String],
+    permissive: Boolean, conf: SerializableConfiguration)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new WetPartitionReader(partition.asInstanceOf[WetInputPartition].file,
-      required, types)
+      required, types, permissive, conf.value)
 }
 
 /** Streams one WET file: parses record headers, reads exactly
   * Content-Length payload bytes, skips the inter-record blank pair.
   * Bounded memory: one record at a time.
+  *
+  * Malformed-record contract: in `failfast` mode (default) a truncated
+  * payload or garbled header throws, failing the task. In `permissive`
+  * mode the reader logs a warning with the file and record ordinal and
+  * stops consuming that file — records before the corruption survive.
+  * (WET corruption is almost always a truncated tail, so resynchronizing
+  * past a bad Content-Length inside a gzip stream is not attempted.)
   */
 final class WetPartitionReader(file: String, required: StructType,
-    types: Set[String]) extends PartitionReader[InternalRow] {
+    types: Set[String], permissive: Boolean,
+    hadoopConf: org.apache.hadoop.conf.Configuration)
+  extends PartitionReader[InternalRow] {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[WetPartitionReader])
 
   private val in: InputStream = {
     val p = new Path(file)
-    val fs = p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    val fs = p.getFileSystem(hadoopConf)
     val raw = new BufferedInputStream(fs.open(p), 1 << 16)
     if (file.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16) else raw
   }
@@ -135,7 +163,16 @@ final class WetPartitionReader(file: String, required: StructType,
     buf
   }
 
-  override def next(): Boolean = {
+  override def next(): Boolean =
+    if (!permissive) nextRecord()
+    else try nextRecord() catch {
+      case e: java.io.IOException =>
+        log.warn(s"wet: malformed record ~#${recordIdx + 1} in $file, " +
+          s"dropping the rest of the file: ${e.getMessage}")
+        false
+    }
+
+  private def nextRecord(): Boolean = {
     while (true) {
       // seek the next record header, tolerating blank separator lines
       var line = readLine()

@@ -63,6 +63,55 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("wet source: glob path selects matching files; miss is an error") {
+    withFixture { dir =>
+      // glob: only the plain (non-gz) file matches
+      val globbed = Wet.read(spark, s"$dir/part-0.warc.wet")
+      assert(globbed.count() == 3)
+      val star = Wet.read(spark, s"$dir/part-*.warc.wet*")
+      assert(star.count() == 4)
+      // a glob matching nothing is an empty scan, a missing literal path errors
+      assert(Wet.read(spark, s"$dir/nope-*.wet").count() == 0)
+      intercept[java.io.FileNotFoundException] {
+        Wet.read(spark, s"$dir/definitely-missing.wet").count()
+      }
+    }
+  }
+
+  test("wet source: one partition per file (cluster parallelism unit)") {
+    withFixture { dir =>
+      val df = Wet.read(spark, dir)
+      assert(df.rdd.getNumPartitions == 2) // 2 files -> 2 partitions
+    }
+  }
+
+  test("wet source: truncated record — failfast throws, permissive keeps the prefix") {
+    withFixture { dir =>
+      // append a file whose last record lies about Content-Length
+      val good = Wet.toBytes(Seq(
+        ("http://example.com/x", "2024-01-05T00:00:00Z", "intact record")))
+      val bad = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        "WARC-Target-URI: http://example.com/y\r\n" +
+        "Content-Length: 99999\r\n\r\nonly a few bytes").getBytes("ISO-8859-1")
+      val path = java.nio.file.Paths.get(dir, "part-2.warc.wet")
+      java.nio.file.Files.write(path, good ++ bad)
+      try {
+        val e = intercept[org.apache.spark.SparkException] {
+          Wet.read(spark, path.toString).count()
+        }
+        assert(e.getMessage.contains("truncated") ||
+          Option(e.getCause).exists(_.getMessage.contains("truncated")))
+        val kept = spark.read.format("wet").option("mode", "permissive")
+          .load(path.toString)
+        assert(kept.select("url").as[String](spark.implicits.newStringEncoder)
+          .collect().toSeq == Seq("http://example.com/x"))
+        // permissive leaves the other, intact files untouched
+        assert(spark.read.format("wet").option("mode", "permissive")
+          .load(dir).count() == 5)
+      } finally java.nio.file.Files.delete(path)
+    }
+  }
+
   test("wet source: column pruning reaches the reader") {
     withFixture { dir =>
       val urls = Wet.read(spark, dir).select("url")
