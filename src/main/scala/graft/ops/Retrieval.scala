@@ -43,26 +43,30 @@ object Retrieval {
       TextStats.wsTokens(col(textCol)).cast("double").as("dl"),
       split(lower(col(textCol)), "\\s+").as("__toks"))
     // job 1: N, avgdl, and df per query term, one scan-local aggregate
-    // (integer-valued doubles — exact, order-independent)
+    // (integer-valued doubles — exact, order-independent). Aggregate
+    // names are POSITIONAL (__df_0, __tf_0, …): a user term containing
+    // '.' or '`' would otherwise be parsed by col() as a nested-field
+    // path and fail analysis.
     val statCols = Seq(
       count(lit(1)).cast("double").as("__n"), avg(col("dl")).as("__avgdl")) ++
-      qTerms.map(t => sum(when(array_contains(col("__toks"), t), 1.0)
-        .otherwise(0.0)).as(s"__df_$t"))
+      qTerms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("__toks"), t), 1.0)
+          .otherwise(0.0)).as(s"__df_$i") }
     val statRow = base.agg(statCols.head, statCols.tail: _*).head()
     val n = statRow.getDouble(0)
     val avgdl = statRow.getDouble(1)
     val dfs = qTerms.zipWithIndex.map { case (t, i) =>
       t -> statRow.getDouble(2 + i) }.toMap
     // job 2: the retrieval scan — pivot on query terms, literal math
-    val tfCols = qTerms.map(t =>
-      sum(when(col("term") === t, 1.0).otherwise(0.0)).as(s"__tf_$t"))
+    val tfCols = qTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1.0).otherwise(0.0)).as(s"__tf_$i") }
     val pivoted = base
       .select(col("id"), col("dl"), explode(col("__toks")).as("term"))
       .filter(col("term").isin(qTerms: _*))
       .groupBy(col("id"), col("dl"))
       .agg(tfCols.head, tfCols.tail: _*)
-    val score = qTerms.foldLeft(lit(0.0)) { (acc, t) =>
-      val tf = col(s"__tf_$t")
+    val score = qTerms.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (t, i)) =>
+      val tf = col(s"__tf_$i")
       val idf = math.log(1.0 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5))
       acc + when(tf > 0,
         lit(idf) * tf * lit(k1 + 1) /
@@ -82,31 +86,49 @@ object Retrieval {
     * filtering): score = bias + Σ_t weight(t) · tf(t), with weights
     * trained elsewhere and passed in. One scan, one pivot shuffle
     * carrying only docs containing a weighted term (same shape as
-    * [[bm25TopK]]); contributions fold in the weights' iteration order
+    * [[bm25TopK]]); contributions fold in first-occurrence weight order
     * with literal arithmetic, so the output is ANSI-SQL-replicable.
-    * Output: all input columns + `score` (round-6) + `keep`
-    * (score >= threshold). Docs containing NO weighted term score
-    * exactly `bias`.
+    * Terms that collide after lowercasing fold into one summed weight.
+    *
+    * Output: `(idCol, score, keep)` ONLY — the decision table, not the
+    * corpus. Shuffles carry ids and tf counts, never document text
+    * (repo convention; PlanSpec pins it). Callers who want scored text
+    * join the decision back on `idCol` — typically a broadcast when the
+    * keep-side is filtered first, or a narrow id-to-id shuffle at worst.
+    * Docs containing NO weighted term score exactly `bias`.
     */
   def linearTextScore(df: DataFrame, textCol: String, idCol: String,
       weights: Seq[(String, Double)], bias: Double = 0.0,
       threshold: Double = 0.0): DataFrame = {
     require(weights.nonEmpty, "linearTextScore: empty weight vector")
-    val terms = weights.map { case (t, w) => (t.toLowerCase, w) }
-    val tfCols = terms.map { case (t, _) =>
-      sum(when(col("term") === t, 1.0).otherwise(0.0)).as(s"__tf_$t") }
+    // fold duplicate (post-lowercase) terms into one summed weight,
+    // keeping first-occurrence order so the score fold is deterministic;
+    // without this, duplicate terms would emit ambiguous aggregate columns
+    val folded: Seq[(String, Double)] = {
+      val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      weights.foreach { case (t, w) =>
+        val k = t.toLowerCase
+        acc.update(k, acc.getOrElse(k, 0.0) + w)
+      }
+      acc.toSeq
+    }
+    // positional aggregate names — see bm25TopK
+    val tfCols = folded.zipWithIndex.map { case ((t, _), i) =>
+      sum(when(col("term") === t, 1.0).otherwise(0.0)).as(s"__tf_$i") }
     val pivoted = df
       .select(col(idCol).as("__id"),
         explode(split(lower(col(textCol)), "\\s+")).as("term"))
-      .filter(col("term").isin(terms.map(_._1): _*))
+      .filter(col("term").isin(folded.map(_._1): _*))
       .groupBy(col("__id"))
       .agg(tfCols.head, tfCols.tail: _*)
-    val score = terms.foldLeft(lit(bias)) { case (acc, (t, w)) =>
-      acc + coalesce(col(s"__tf_$t"), lit(0.0)) * lit(w)
+    val score = folded.zipWithIndex.foldLeft(lit(bias)) {
+      case (acc, ((_, w), i)) =>
+        acc + coalesce(col(s"__tf_$i"), lit(0.0)) * lit(w)
     }
-    df.join(pivoted, df(idCol) === pivoted("__id"), "left")
+    df.select(col(idCol))
+      .join(pivoted, col(idCol) === pivoted("__id"), "left")
       .withColumn("score", round(score, 6))
       .withColumn("keep", (col("score") >= threshold).cast("long"))
-      .drop((Seq("__id") ++ terms.map { case (t, _) => s"__tf_$t" }): _*)
+      .select(col(idCol), col("score"), col("keep"))
   }
 }

@@ -1063,6 +1063,27 @@ class OpsSpec extends AnyFunSuite {
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getAs[Double]("score"), r.getAs[Long]("keep")))
     assert(out.toSeq == Seq((0L, 1.5, 1L), (1L, 0.5, 1L), (2L, -3.5, 0L)))
+    // decision-table contract: ids + score + keep only, no corpus columns
+    val cols = graft.ops.Retrieval.linearTextScore(corpus, "text", "doc_id",
+      Seq("spark" -> 1.0)).columns.toSeq
+    assert(cols == Seq("doc_id", "score", "keep"))
+  }
+
+  test("linear text score: duplicate/case-colliding terms sum; dotted terms survive") {
+    val corpus = Seq(
+      (0L, "fast fast v2.0"),
+      (1L, "plain")).toDF("doc_id", "text")
+    // "Fast" and "fast" collide after lowercasing -> one summed weight 1.5;
+    // "v2.0" contains '.' which must not be parsed as a nested field
+    val out = graft.ops.Retrieval.linearTextScore(corpus, "text", "doc_id",
+        Seq("Fast" -> 1.0, "fast" -> 0.5, "v2.0" -> 10.0), bias = 0.0)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("score")))
+    assert(out.toSeq == Seq((0L, 13.0), (1L, 0.0)))
+    // bm25 with a dotted query term analyzes and ranks too
+    val ranked = graft.ops.Retrieval.bm25TopK(corpus, "text", "doc_id",
+      Seq("v2.0"), k = 2).collect()
+    assert(ranked.length == 1 && ranked.head.getLong(0) == 0L)
   }
 
   test("url canonicalization: case, ports, userinfo, tracking params, non-urls") {

@@ -378,6 +378,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange rangepartitioning"), plan)
   }
 
+  test("quality-model scoring shuffles no text: decision join carries ids only") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val scored = graft.ops.Retrieval.linearTextScore(docs, "text", "doc_id",
+      Seq("spark" -> 1.5, "slow" -> -2.0), bias = 0.1, threshold = 0.5)
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val opt = scored.queryExecution.optimizedPlan
+    // the id-to-score join must see only narrow columns on both sides:
+    // document text stays behind the pivot aggregate, never shuffles
+    val joins = opt.collect { case j: Join => j }
+    assert(joins.nonEmpty, opt.toString)
+    joins.foreach(j => j.children.foreach(c =>
+      assert(!c.output.exists(_.name == "text"),
+        s"document text crosses the score join:\n$opt")))
+    // and the whole plan reads only (doc_id, text) from the scan
+    val plan = planOf(scored)
+    assert(plan.contains("ReadSchema"), plan)
+  }
+
   test("relational merger shuffles once: second window reuses the exchange") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dict = Seq(
