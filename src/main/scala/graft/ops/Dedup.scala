@@ -683,8 +683,13 @@ object Dedup {
     * is scanned once into persisted hash arrays; ownership election and
     * the duplicated-occurrence join move (id, pos, hash) triples only;
     * per-doc cut-position lists (duplicates only) join back to the
-    * original docs, and the rebuild is a scan-local array filter whose
-    * interpreted lambda only evaluates on docs that HAVE cuts.
+    * original docs. The rebuild first folds the SORTED cut positions
+    * into disjoint kept-token ranges (one linear `aggregate` pass —
+    * overlapping cut windows merge here), then reassembles the doc with
+    * `slice` per kept range: O(tokens + cuts·log cuts) per doc, so a
+    * boilerplate-heavy doc with thousands of overlapping cuts stays
+    * linear instead of going tokens×cuts quadratic. The interpreted
+    * lambdas only evaluate on docs that HAVE cuts.
     */
   def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
       window: Int = 50, persist: Boolean = true): DataFrame = {
@@ -708,9 +713,27 @@ object Dedup {
     // RAW \s+ split (no trim) so token positions line up with the
     // kernel's; rebuilt text is single-space joined (ws-normalized)
     val toks = split(col(textCol), "\\s+")
+    val nToks = size(toks)
+    // fold sorted cut starts into disjoint KEPT ranges [s, e): `cur` is
+    // the first token not yet covered by a cut; each cut p ahead of cur
+    // closes the kept range [cur, p), and cur advances past p + window
+    val emptyRanges = array().cast("array<struct<s:int,e:int>>")
+    val keptRanges = aggregate(
+      sort_array(col("__cut_pos")),
+      struct(lit(0).as("cur"), emptyRanges.as("rs")),
+      (st, p) => struct(
+        greatest(st.getField("cur"), p + lit(window)).as("cur"),
+        when(p > st.getField("cur"),
+          concat(st.getField("rs"),
+            array(struct(st.getField("cur").as("s"), p.cast("int").as("e")))))
+          .otherwise(st.getField("rs")).as("rs")),
+      st => concat(st.getField("rs"),
+        when(st.getField("cur") < nToks,
+          array(struct(st.getField("cur").as("s"), nToks.as("e"))))
+          .otherwise(emptyRanges)))
     val kept = when(col("__cut_pos").isNull, toks)
-      .otherwise(filter(toks, (_, i) =>
-        !exists(col("__cut_pos"), p => p <= i && i < p + window)))
+      .otherwise(flatten(transform(keptRanges, r =>
+        slice(toks, r.getField("s") + 1, r.getField("e") - r.getField("s")))))
     df.filter(length(trim(col(textCol))) > 0)
       .join(cuts, df(idCol) === cuts("__cut_id"), "left")
       .select(col(idCol), kept.as("__kept"))

@@ -917,6 +917,47 @@ class OpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("remove duplicate spans: many overlapping cuts merge into intervals (vs brute force)") {
+    // adversarial boilerplate doc: "a0 a1 a2" repeated 500 times in doc 1
+    // makes every window after the first a duplicate — hundreds of
+    // OVERLAPPING cut windows that must pre-merge instead of each being
+    // re-checked per token (the old tokens×cuts shape)
+    val unit = (0 until 3).map(i => s"a$i").mkString(" ")
+    val boiler = Seq.fill(500)(unit).mkString(" ")
+    val w = 4
+    val corpus = Seq(
+      (0L, s"$unit x $unit y"),          // owner of the early windows
+      (1L, s"head1 head2 $boiler tail1 tail2")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(corpus, "text", "doc_id", window = w)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+
+    // brute-force oracle: same window hashing (token equality suffices
+    // here — tokens are distinct strings), global-first ownership, cut
+    // every non-owner occurrence's [p, p+w) range, rebuild
+    val texts = Map(0L -> s"$unit x $unit y",
+      1L -> s"head1 head2 $boiler tail1 tail2")
+    val wins = texts.toSeq.sortBy(_._1).flatMap { case (id, t) =>
+      val tk = t.split("\\s+")
+      (0 to tk.length - w).map(p => ((id, p), tk.slice(p, p + w).mkString(" ")))
+    }
+    val byKey = wins.groupBy(_._2)
+    val owners = byKey.map { case (k, occ) => k -> occ.map(_._1).min }
+    val expected = texts.toSeq.sortBy(_._1).flatMap { case (id, t) =>
+      val tk = t.split("\\s+")
+      val cuts = (0 to tk.length - w).filter { p =>
+        val k = tk.slice(p, p + w).mkString(" ")
+        byKey(k).size > 1 && owners(k) != ((id, p))
+      }
+      val dead = cuts.flatMap(p => p until math.min(p + w, tk.length)).toSet
+      val keptT = tk.indices.filterNot(dead).map(tk)
+      if (keptT.isEmpty) None
+      else Some((id, keptT.length.toLong, keptT.mkString(" ")))
+    }
+    assert(out == expected)
+    spark.catalog.clearCache()
+  }
+
   test("line dedup: global first occurrence wins, docs reassemble in order") {
     val multi = Seq(
       (0L, "alpha\nbeta\nalpha"),   // within-doc repeat: 2nd alpha drops
