@@ -911,7 +911,12 @@ object SparkEntry {
           lit("?utm_source=a&id="), col("doc_id"), lit("#f")))
       .when(col("doc_id") % 5 === 1,
         concat(lit("https://u:p@Sub.Example.org:443/a?utm_a=1&utm_b="), col("doc_id")))
-      .when(col("doc_id") % 5 === 2, lit("https://example.org"))
+      .when(col("doc_id") % 5 === 2,
+        // alternate a bare host with a PSL 2-label-suffix host so the
+        // oracle exercises the registered-domain table, not just last-2
+        when(col("doc_id") % 10 === 2, lit("https://example.org"))
+          .otherwise(concat(lit("https://news"), col("doc_id") % 3,
+            lit(".example.co.uk/p"))))
       .when(col("doc_id") % 5 === 3,
         concat(lit("http://host"), col("doc_id") % 7,
           lit(".net:8080/x?a=1&fbclid=zz&b="), col("doc_id")))
@@ -1834,7 +1839,8 @@ object SparkEntry {
       """WITH u AS (SELECT doc_id, CASE
         |  WHEN doc_id % 5 = 0 THEN 'HTTP://Example.COM:80/p/' || doc_id || '?utm_source=a&id=' || doc_id || '#f'
         |  WHEN doc_id % 5 = 1 THEN 'https://u:p@Sub.Example.org:443/a?utm_a=1&utm_b=' || doc_id
-        |  WHEN doc_id % 5 = 2 THEN 'https://example.org'
+        |  WHEN doc_id % 5 = 2 THEN CASE WHEN doc_id % 10 = 2 THEN 'https://example.org'
+        |    ELSE 'https://news' || (doc_id % 3) || '.example.co.uk/p' END
         |  WHEN doc_id % 5 = 3 THEN 'http://host' || (doc_id % 7) || '.net:8080/x?a=1&fbclid=zz&b=' || doc_id
         |  ELSE 'plain text ' || doc_id END AS url FROM documents),
         |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS nofrag FROM u),
@@ -1857,7 +1863,8 @@ object SparkEntry {
         |SELECT doc_id,
         |  CASE WHEN scheme = '' THEN url ELSE scheme || '://' || authnp || path END AS url_norm,
         |  host,
-        |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+        |  CASE WHEN host LIKE '%.co.uk' THEN regexp_extract(host, '([^.]+\.co\.uk)$', 1)
+        |       ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain
         |FROM s4 ORDER BY doc_id""".stripMargin,
     "q_html_strip" ->
       """WITH wrapped AS (SELECT doc_id,

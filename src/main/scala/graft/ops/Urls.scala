@@ -26,14 +26,18 @@ object Urls {
     lower(regexp_replace(regexp_replace(auth, "^[^@/]*@", ""), ":[0-9]+$", ""))
   }
 
-  /** Last two dot-labels of the host — a public-suffix-list-LESS
-    * approximation of the registered domain (right for `.com`/`.org`/
-    * country TLDs without second-level registries; `foo.co.uk` yields
-    * `co.uk`). Good enough for grouping; swap in a PSL offline table
-    * when precision matters.
+  /** Registered (registrable) domain of the URL's host, resolved
+    * against the compiled public-suffix-list snapshot ([[Psl]]):
+    * `foo.co.uk` → `foo.co.uk`, `a.b.github.io` → `b.github.io`,
+    * `sub.example.org` → `example.org`. Hosts under TLDs with no listed
+    * multi-label rule fall back to the last two labels (the spec's
+    * implicit `*` default). "" when the host is empty or is itself a
+    * public suffix. Codegen'd static-table probe — stays scan-local.
     */
   def registeredDomain(url: Column): Column =
-    regexp_extract(host(url), "([^.]+\\.[^.]+)$", 1)
+    org.apache.spark.sql.GraftBridge.column(
+      graft.spark.PslDomainExpression(
+        org.apache.spark.sql.GraftBridge.expression(host(url))))
 
   /** Canonical URL: fragment stripped; scheme and host lowercased;
     * userinfo dropped; default ports (:80 http, :443 https) dropped;

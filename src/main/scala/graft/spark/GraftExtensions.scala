@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.repetitionCountsFunction)
     ext.injectFunction(GraftExtensions.quantizeInt8Function)
     ext.injectFunction(GraftExtensions.int8CosineFunction)
+    ext.injectFunction(GraftExtensions.pslDomainFunction)
   }
 }
 
@@ -138,11 +139,20 @@ object GraftExtensions {
       Int8CosineExpression(children.head, children(1))
     })
 
+  val pslDomainFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_domain"),
+    new ExpressionInfo(classOf[PslDomainExpression].getName, "graft_domain",
+      "graft_domain(host) - registered domain per the compiled public-suffix-list snapshot"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_domain expects (host)")
+      PslDomainExpression(children.head)
+    })
+
   /** Register into an already-running session. */
   def install(spark: SparkSession): Unit =
     Seq(annotateTextFunction, simhashFunction, fingerprintFunction,
       shingleHashesFunction, repetitionCountsFunction,
-      quantizeInt8Function, int8CosineFunction).foreach {
+      quantizeInt8Function, int8CosineFunction, pslDomainFunction).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -29,6 +29,28 @@ final case class SimhashExpression(child: Expression)
   }
 }
 
+/** Registered domain of a host per the compiled public-suffix-list
+  * snapshot (`graft_domain`) — see [[graft.ops.Psl]]. Input is a HOST
+  * (already lowercased, no scheme), output "" when the host is itself a
+  * public suffix or empty; null input → null.
+  */
+final case class PslDomainExpression(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_domain"
+  override protected def withNewChildInternal(newChild: Expression): PslDomainExpression =
+    copy(child = newChild)
+  def kernel(s: UTF8String): UTF8String =
+    UTF8String.fromString(graft.ops.Psl.registeredDomain(s.toString))
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pslExpr", this, classOf[PslDomainExpression].getName)
+    defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
+  }
+}
+
 /** Sorted distinct 64-bit n-gram shingle hashes (`graft_shingle_hashes`)
   * — the candidate-generation kernel of the jaccard dedup path.
   */

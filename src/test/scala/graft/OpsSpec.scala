@@ -1145,6 +1145,36 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4) == ("not a url", "", ""))
   }
 
+  test("registered domain: public-suffix-list rules, wildcards, exceptions, fallback") {
+    val hosts = Seq(
+      (0L, "https://foo.co.uk/x"),          // listed 2-label suffix
+      (1L, "https://a.b.foo.co.uk/x"),      // deep subdomain, same answer
+      (2L, "https://deep.sub.site.com.au"), // com.au registry
+      (3L, "https://user.github.io"),       // private-domain suffix
+      (4L, "https://a.user.github.io"),     // subdomain of a github page
+      (5L, "https://co.uk"),                // host IS a public suffix -> ""
+      (6L, "https://anything.weird.ck"),    // wildcard *.ck
+      (7L, "https://www.ck"),               // exception !www.ck -> www.ck
+      (8L, "https://sub.example.dev"),      // unlisted TLD -> last-2 fallback
+      (9L, "https://bucket.s3.amazonaws.com"))
+    val out = hosts.toDF("doc_id", "url")
+      .select(col("doc_id"), graft.ops.Urls.registeredDomain(col("url")))
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(out == Seq("foo.co.uk", "foo.co.uk", "site.com.au",
+      "user.github.io", "user.github.io", "", "anything.weird.ck",
+      "www.ck", "example.dev", "bucket.s3.amazonaws.com"))
+    // SQL surface matches the column API
+    graft.spark.GraftExtensions.install(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_domain('a.b.foo.co.uk') AS d").head.getString(0)
+    assert(viaSql == "foo.co.uk")
+    // pure-kernel contracts
+    assert(graft.ops.Psl.publicSuffix("foo.co.uk") == "co.uk")
+    assert(graft.ops.Psl.publicSuffix("x.anything.ck") == "anything.ck")
+    assert(graft.ops.Psl.publicSuffix("www.ck") == "ck")
+    assert(graft.ops.Psl.registeredDomain("ck") == "")
+  }
+
   test("pii redaction: masks emails, ips, phones; clean text untouched") {
     val df = Seq(
       (0L, "mail a.user+tag@sub.example.org or root@10.1.2.3 at 10.255.0.1 call +44 555-0199 end"),
