@@ -703,6 +703,51 @@ object SparkEntry {
     * the recall and exact-at-full-rerank contracts are pinned by OpsSpec,
     * and the adjacent exact path is oracled by q_knn_ivf/q_knn_brute.
     */
+  /** IVF-PQ composition gate: the same 8 query vectors go down BOTH ANN
+    * paths — (a) exact batched kNN via IVF pruning ([[Similarity.ivfKnnJoin]])
+    * and (b) the compressed chain pqFit → materialized pqEncode codes →
+    * ADC candidate scan → exact rerank ([[Similarity.pqTopK]] with
+    * `codesCol`, the 100 TB shape where the candidate scan reads m bytes
+    * per row). The query REQUIRES rank-1 agreement on ≥ 6 of 8 queries
+    * (PQ's only approximation is the rerank cut; at rerank=100 of 500
+    * corpus vectors the nearest neighbor virtually always survives), so
+    * a silent PQ/IVF divergence fails the gate loudly. The emitted rows
+    * are the EXACT side's top-2 — fully DuckDB-oracled, making this a
+    * green CORRECTNESS entry whose pass also certifies the composition
+    * contract. Driver-side loop over the 8 collected query vectors is
+    * the documented small-broadcast-batch contract (same as ivfFit).
+    */
+  private def qKnnCompose(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(t(dir, "embeddings"))
+    val queries = emb.filter(col("vec_id") < 8)
+    val ivf = Similarity.ivfFit(emb, "embedding", "vec_id", nClusters = 16)
+    val exact = Similarity.ivfKnnJoin(emb, queries, "embedding", "vec_id",
+        k = 2, ivf, probe = 4)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    val pq = Similarity.pqFit(emb, "embedding", "vec_id", m = 8, k = 16)
+    val withCodes = emb.select(col("vec_id"), col("embedding"),
+      Similarity.pqEncode(col("embedding"), pq).as("codes"))
+    val qvecs = queries
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val pqTop1 = qvecs.map { case (qid, qv) =>
+      val top = Similarity.pqTopK(withCodes.filter(col("vec_id") =!= qid),
+        "embedding", "vec_id", qv, k = 1, pq, rerank = 100,
+        codesCol = Some("codes")).select(col("id")).head.getLong(0)
+      qid -> top
+    }.toMap
+    val exactTop1 = exact.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = qvecs.count { case (qid, _) =>
+      pqTop1.get(qid).contains(exactTop1(qid)) }
+    require(agree >= 6, s"IVF-PQ composition gate: PQ rank-1 agrees with " +
+      s"exact kNN on only $agree of ${qvecs.length} queries " +
+      s"(pq=$pqTop1 exact=$exactTop1)")
+    exact.orderBy(col("query_id"), col("rank"))
+  }
+
   private def qKnnPq(s: SparkSession, dir: String): DataFrame = {
     val emb = s.read.parquet(t(dir, "embeddings"))
     val q = emb.filter(col("vec_id") === 0)
@@ -1035,16 +1080,22 @@ object SparkEntry {
   }
 
   /** Size-targeted materialization gate (rows-only: filesystem layout
-    * has no SQL oracle — the driver records rows>0 and the row carries
-    * the observables). Writes the documents table through
-    * [[graft.ops.Materialize.writeSized]] at a 1 MB target from 8
-    * deliberately-small input partitions (the shape that sprays tiny
-    * files), then reports (n_files, max_file_mb, target_mb) from the
-    * actual directory listing. Compaction consolidates the undersized
-    * partitions, so n_files tracks ceil(stored_bytes / target), not the
-    * input partition count. OpsSpec pins both bounds (no overshoot, no
-    * tiny-file spray); this gate makes the small-files answer a tracked
-    * per-round observable.
+    * has no SQL oracle, but its CONTRACTS are deterministic, so this
+    * query ASSERTS them — a violated bound throws and fails the gate
+    * rather than shipping an untestable observation). Writes the
+    * documents table through [[graft.ops.Materialize.writeSized]] at a
+    * 1 MB target from 8 deliberately-small input partitions (the shape
+    * that sprays tiny files), rereads it, and requires:
+    * (1) layout lower bound — n_files >= ceil(stored_bytes / (2 x target))
+    *     (files may run up to the 2x overshoot bound, so this is the
+    *     tightest count floor the contract implies);
+    * (2) tiny-file bound — n_files <= ceil(stored_bytes / target) + 1
+    *     (the 8 undersized partitions must consolidate);
+    * (3) overshoot bound — max file <= 2x target (empirical bytes/row
+    *     estimation tolerance, same pin as OpsSpec);
+    * (4) row fidelity — reread row count == input row count.
+    * The emitted row carries the asserted booleans (all true by
+    * construction) plus the observables for the round-over-round trail.
     */
   private def qMaterialize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1058,6 +1109,7 @@ object SparkEntry {
     }
     try {
       val docs = s.read.parquet(t(dir, "documents")).repartition(8)
+      val inRows = docs.count()
       val targetMB = 1
       graft.ops.Materialize.writeSized(docs, s"$scratch/out",
         targetFileMB = targetMB, sortCols = Seq("lang"))
@@ -1068,10 +1120,23 @@ object SparkEntry {
           b += java.nio.file.Files.size(p))
         b.result()
       } finally st.close()
-      Seq((sizes.size.toLong,
+      val rereadRows = s.read.parquet(s"$scratch/out").count()
+      val targetBytes = targetMB.toLong << 20
+      val storedBytes = sizes.sum
+      val maxFiles = (storedBytes + targetBytes - 1) / targetBytes + 1
+      val minFiles = (storedBytes + 2 * targetBytes - 1) / (2 * targetBytes)
+      val filesOk = sizes.size >= minFiles && sizes.size <= maxFiles
+      val overshootOk = sizes.max <= 2L * targetBytes
+      val rowsOk = rereadRows == inRows
+      require(filesOk, s"materialize gate: ${sizes.size} files for " +
+        s"$storedBytes stored bytes at $targetBytes target (want [$minFiles, $maxFiles])")
+      require(overshootOk, s"materialize gate: max file ${sizes.max} B overshoots 2x target")
+      require(rowsOk, s"materialize gate: reread $rereadRows rows, wrote $inRows")
+      Seq((filesOk, overshootOk, rowsOk, sizes.size.toLong,
           math.rint(sizes.max / 1048576.0 * 1000) / 1000.0,
           targetMB.toLong))
-        .toDF("n_files", "max_file_mb", "target_mb")
+        .toDF("files_in_bounds", "overshoot_ok", "rows_roundtrip",
+          "n_files", "max_file_mb", "target_mb")
     } finally rm(scratch)
   }
 
@@ -1167,6 +1232,7 @@ object SparkEntry {
     "q_knn_join" -> (qKnnJoin _),
     "q_knn_ivf" -> (qKnnIvf _),
     "q_knn_batch" -> (qKnnBatch _),
+    "q_knn_compose" -> (qKnnCompose _),
     "q_knn_lsh" -> (qKnnLsh _),
     "q_knn_pq" -> (qKnnPq _),
     "q_langid" -> (qLangid _),
@@ -1568,6 +1634,15 @@ object SparkEntry {
         |  FROM embeddings e, embeddings q
         |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
         |) WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the composition gate's oracled surface is the EXACT side (top-2
+    // per query); the PQ-vs-exact agreement is asserted inside the query
+    "q_knn_compose" ->
+      """SELECT query_id, rnk AS rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings e, embeddings q
+        |  WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id
+        |) WHERE rnk <= 2 ORDER BY query_id, rank""".stripMargin,
     "q_knn_join" ->
       """SELECT query_id, rnk AS rank, neighbor_id FROM (
         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -109,35 +109,58 @@ object Multimodal {
   }
 
   /** "Resize" stub: crops/pads the payload to w*h bytes deterministically,
-    * rewriting the header — exercises binary rewrite plumbing.
+    * rewriting the header — exercises binary rewrite plumbing. Same
+    * batched-iterator shape as [[extractFeatures]] (per-batch setup slot
+    * for the real codec); input/output schema is [[mediaSchema]].
     */
-  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
-    val f = udf((data: Array[Byte]) => {
-      val (_, _, sr, nf, payload) = StubCodec.decode(data)
-      val out = java.util.Arrays.copyOf(payload, w * h)
-      StubCodec.encodeHeader(w, h, sr, nf, out)
-    })
-    media.withColumn("data", f(col("data")))
-      .withColumn("meta", col("meta").withField("width", lit(w))
-        .withField("height", lit(h)))
+  def resize(media: DataFrame, w: Int, h: Int, batchSize: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    val ordered = media.select(col("media_id"), col("kind"), col("data"), col("meta"))
+    val rows = ordered.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch setup would live here (codec init)
+        batch.map { r =>
+          val (_, _, sr, nf, payload) = StubCodec.decode(r.getAs[Array[Byte]](2))
+          val out = java.util.Arrays.copyOf(payload, w * h)
+          val meta = r.getStruct(3)
+          Row(r.getLong(0), r.getString(1),
+            StubCodec.encodeHeader(w, h, sr, nf, out),
+            Row(w, h, meta.get(2), meta.get(3), meta.get(4)))
+        }
+      }
+    }
+    spark.createDataFrame(rows, ordered.schema)
   }
 
+  private val frameSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_bytes", BinaryType)))
+
   /** Frame sampling stub for "video": every k-th chunk of the payload as
-    * one frame row. Output: (media_id, frame_idx, frame_bytes).
+    * one frame row. Output: (media_id, frame_idx, frame_bytes). Batched
+    * iterator like [[extractFeatures]]; the kind filter runs BEFORE the
+    * codec stage so non-video bytes are never decoded.
     */
-  def sampleFrames(media: DataFrame, everyK: Int = 2): DataFrame = {
-    val f = udf((data: Array[Byte]) => {
-      val (w, h, _, nFrames, payload) = StubCodec.decode(data)
-      val frameSize = math.max(1, math.min(w * h, math.max(payload.length / math.max(nFrames, 1), 1)))
-      (0 until nFrames by everyK).map { i =>
-        val from = math.min(i * frameSize, payload.length)
-        val until = math.min(from + frameSize, payload.length)
-        (i, java.util.Arrays.copyOfRange(payload, from, until))
+  def sampleFrames(media: DataFrame, everyK: Int = 2, batchSize: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.filter(col("kind") === "video")
+      .select(col("media_id"), col("data")).rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch setup would live here (codec init)
+          batch.flatMap { r =>
+            val (w, h, _, nFrames, payload) = StubCodec.decode(r.getAs[Array[Byte]]("data"))
+            val frameSize = math.max(1,
+              math.min(w * h, math.max(payload.length / math.max(nFrames, 1), 1)))
+            (0 until nFrames by everyK).map { i =>
+              val from = math.min(i * frameSize, payload.length)
+              val until = math.min(from + frameSize, payload.length)
+              Row(r.getLong(0), i, java.util.Arrays.copyOfRange(payload, from, until))
+            }
+          }
+        }
       }
-    })
-    media.filter(col("kind") === "video")
-      .select(col("media_id"), explode(f(col("data"))).as("frame"))
-      .select(col("media_id"), col("frame._1").as("frame_idx"),
-        col("frame._2").as("frame_bytes"))
+    spark.createDataFrame(rows, frameSchema)
   }
 }

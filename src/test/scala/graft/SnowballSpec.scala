@@ -1,6 +1,6 @@
 package graft
 
-import graft.analysis.{SnowballStemmers, Stemmers}
+import graft.analysis.{SnowballStemmers, SnowballStemmers4, Stemmers}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Golden tests for the exact Snowball implementations, derived from the
@@ -337,5 +337,74 @@ class SnowballSpec extends AnyFunSuite {
     assert(!SnowballStemmers.German.stem("bauen").exists(_.isUpper))
     assert(!SnowballStemmers.Dutch.stem("draaien").exists(_.isUpper))
     assert(!SnowballStemmers.Italian.stem("quiete").exists(_.isUpper))
+  }
+
+  // ------------------------------------------------------------------
+  // Adversarial drift pins for the three oracle-less stemmers. The
+  // goldens (committed, regenerated via Test/runMain
+  // graft.tools.GenStemGoldens) cross each spec's full suffix inventory
+  // with region/length-boundary stems; any refactor that changes a rule
+  // corner shows up as a diff against them. Structural invariants that
+  // the published specs DO imply are asserted alongside.
+  // ------------------------------------------------------------------
+  private def checkAdvGolden(lang: String, stem: String => String): Unit = {
+    val in = getClass.getResourceAsStream(s"/snowball/${lang}_adv.tsv")
+    assert(in != null, s"missing adversarial golden for $lang — " +
+      "run Test/runMain graft.tools.GenStemGoldens src/test/resources/snowball")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      var total = 0
+      var bad = List.empty[String]
+      for (line <- src.getLines() if line.nonEmpty) {
+        val tab = line.indexOf('\t')
+        val word = line.substring(0, tab)
+        val want = if (tab + 1 < line.length) line.substring(tab + 1) else ""
+        val got = stem(word)
+        total += 1
+        if (got != want && bad.length < 5) bad ::= s"$word: got $got want $want"
+      }
+      assert(total >= 300, s"suspiciously small adversarial golden for $lang: $total")
+      assert(bad.isEmpty, s"$lang drifted from committed golden: ${bad.mkString("; ")}")
+    } finally src.close()
+  }
+
+  test("lovins: adversarial suffix-inventory golden + invariants") {
+    checkAdvGolden("lovins", SnowballStemmers4.Lovins.stem)
+    val st = SnowballStemmers4.Lovins
+    for (w <- Seq("sitting", "believes", "administration", "nationally",
+        "magnesia", "matrices", "indexes", "abilities")) {
+      // one ending removal + respell: a second application never grows
+      // the word back (the 1968 spec applies once; re-stemming a stem
+      // must stay within the stem)
+      assert(st.stem(st.stem(w)).length <= st.stem(w).length, w)
+      // minimum-stem condition: at least 2 chars survive for real words
+      assert(st.stem(w).length >= 2, w)
+    }
+  }
+
+  test("kp: adversarial suffix-inventory golden + invariants") {
+    checkAdvGolden("kp", SnowballStemmers4.Kp.stem)
+    val st = SnowballStemmers4.Kp
+    for (w <- Seq("lopen", "katten", "boeken", "wandelingen",
+        "mogelijkheden", "maakte", "spelen")) {
+      // measure conditions: stems keep at least their first syllable
+      assert(st.stem(w).nonEmpty, w)
+      // undoubling/lengthening never doubles the FINAL consonant
+      val s = st.stem(w)
+      assert(s.length < 2 || !(s(s.length - 1) == s(s.length - 2) &&
+        !"aeiou".contains(s.last)), s"$w -> $s ends in doubled consonant")
+    }
+  }
+
+  test("estonian: adversarial suffix-inventory golden + invariants") {
+    checkAdvGolden("estonian", SnowballStemmers4.Estonian.stem)
+    val st = SnowballStemmers4.Estonian
+    // case-suffix family conflates to one stem (the spec's purpose)
+    val forms = Seq("raamatuga", "raamatuta", "raamatule", "raamatult",
+      "raamatust", "raamatusse", "raamatuni", "raamatuna")
+    assert(forms.map(st.stem).distinct.size == 1, forms.map(st.stem))
+    // never strips below the spec's minimum stem
+    for (w <- Seq("ga", "ta", "le", "sse", "id", "d"))
+      assert(st.stem(w) == w, s"bare suffix '$w' must not be stripped to empty")
   }
 }
