@@ -102,16 +102,39 @@ final class CompiledDictionary(
       val fdel = fuzzyDel(f)
       if (!fdel.isEmpty) {
         val maxDel = fuzzyMaxDel(f)
+        // the variants are needed twice (presearch probe here, fuzzy
+        // clause expansion in the matcher) — index them once.
+        // Allocation-light: almost every variant maps to ONE doc term,
+        // so the bucket is the bare String, promoted to ArrayBuffer only
+        // on collision (matters at full executor parallelism, where the
+        // per-doc build is allocation-bound, not CPU-bound).
+        val distinct = fields(f).positions.size()
+        val delIdx = new java.util.HashMap[String, AnyRef](
+          math.max(16, distinct * ((maxDel + 1) * (maxDel + 2))))
         val it = fields(f).positions.keySet().iterator()
         while (it.hasNext) {
-          val variants = Compiler.deletionVariants(it.next(), maxDel)
+          val term = it.next()
+          val variants = Compiler.deletionVariants(term, maxDel)
           var vi = 0
           while (vi < variants.length) {
-            val hit = fdel.get(variants(vi))
+            val v = variants(vi)
+            val hit = fdel.get(v)
             if (hit != null) cand.addAll(hit)
+            val prev = delIdx.put(v, term)
+            if (prev != null) prev match {
+              case s: String =>
+                val b = mutable.ArrayBuffer.empty[String]
+                b += s; b += term
+                delIdx.put(v, b)
+              case b: mutable.ArrayBuffer[String @unchecked] =>
+                b += term
+                delIdx.put(v, b)
+            }
             vi += 1
           }
         }
+        fields(f).delIndex = delIdx
+        fields(f).delIndexDepth = maxDel
       }
       f += 1
     }
@@ -183,6 +206,22 @@ final case class FieldTokens(tokens: Array[Token]) {
     tmp.forEach((k, v) => out.put(k, v.result()))
     out
   }
+
+  /** Deletion-variant index over the DISTINCT doc terms (variant →
+    * term(s)), filled by the fuzzy presearch as a byproduct of the
+    * probes it already makes. [[Matcher]] uses it to expand a fuzzy
+    * clause by probing the clause term's own ≤f-deletion variants —
+    * O(len²) bucket probes — instead of scanning every distinct doc
+    * term; the symmetric-delete property (OSA(a,b) ≤ f ⟹ shared
+    * ≤f-deletion variant) makes the bucket union a strict superset of
+    * the true matches, each then verified with the exact OSA check.
+    * Values are a bare String (the common no-collision case) or an
+    * ArrayBuffer[String] on collision. Null when no fuzzy presearch ran
+    * for this field (Matcher falls back to the full scan, e.g. when
+    * called directly in tests).
+    */
+  var delIndex: java.util.HashMap[String, AnyRef] = null
+  var delIndexDepth: Int = 0
 }
 
 object Compiler {

@@ -65,6 +65,28 @@ object Matcher {
         if (ok) spans += ((s.toLong << 32) | (s + n - 1).toLong)
         j += 1
       }
+    } else if (n == 2 && q.terms(0) != q.terms(1)) {
+      // two distinct terms — the dominant dictionary shape (bigrams):
+      // an occurrence is a pair (p0, p1) with |p0 - p1 + 1| <= slop
+      // (the window condition collapses to this for n=2), span
+      // [min, max], tightest max per min — a direct range scan per p0
+      // instead of the general window enumeration below (~10x cheaper)
+      val p0s = P(0); val p1s = P(1)
+      val bestEnd = mutable.SortedMap.empty[Int, Int]
+      var j = 0
+      while (j < p0s.length) {
+        val p0 = p0s(j)
+        var k = lowerBound(p1s, p0 + 1 - q.slop)
+        while (k < p1s.length && p1s(k) <= p0 + 1 + q.slop) {
+          val p1 = p1s(k)
+          val mn = math.min(p0, p1); val mx = math.max(p0, p1)
+          val cur = bestEnd.getOrElse(mn, Int.MaxValue)
+          if (mx < cur) bestEnd(mn) = mx
+          k += 1
+        }
+        j += 1
+      }
+      bestEnd.foreach { case (s, e) => spans += ((s.toLong << 32) | e.toLong) }
     } else {
       // Enumerate occurrences by start position (like Lucene's sloppy
       // phrase matcher): for each anchor (phrase index j at doc position s
@@ -161,6 +183,25 @@ object Matcher {
       q: CompiledQuery, field: FieldTokens, text: String, typeName: String,
       out: mutable.ArrayBuffer[Annotation]): Unit = {
     val n = q.terms.length
+    // fuzzy fail-fast: before building any expansion, require every
+    // clause term to have at least one deletion-variant bucket hit —
+    // a handful of hash probes kills the common candidate-from-one-term
+    // case (e.g. a doc term matching many queries' FIRST term while the
+    // queries' other terms are absent) without allocations
+    if (q.fuzzy && field.delIndex != null && field.delIndexDepth >= q.fuzziness) {
+      var ti = 0
+      while (ti < n) {
+        val variants = queryVariants(q.terms(ti), q.fuzziness)
+        var hit = false
+        var vi = 0
+        while (!hit && vi < variants.length) {
+          if (field.delIndex.containsKey(variants(vi))) hit = true
+          vi += 1
+        }
+        if (!hit) return
+        ti += 1
+      }
+    }
     // clause position sets (fuzzy clauses expand to all doc terms within
     // edit distance, like Lucene's SpanMultiTermQueryWrapper(FuzzyQuery))
     val expandCache = mutable.HashMap.empty[String, Array[Int]]
@@ -317,11 +358,59 @@ object Matcher {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   private val FuzzyMemoCap = 1 << 20
 
+  /** Query-term deletion variants, memoized: fuzzy QUERY terms come from
+    * a fixed broadcast dictionary, so the variant arrays are computed
+    * once per executor instead of once per (candidate, document).
+    * Bounded like [[fuzzyMemo]]; pure, so races are benign.
+    */
+  private val variantMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+  private val VariantMemoCap = 1 << 18
+  private def queryVariants(term: String, maxEdits: Int): Array[String] = {
+    val key = maxEdits.toString + ':' + term
+    var v = variantMemo.get(key)
+    if (v == null) {
+      v = Compiler.deletionVariants(term, maxEdits)
+      if (variantMemo.size < VariantMemoCap) variantMemo.put(key, v)
+    }
+    v
+  }
+
   /** All doc positions whose term is within `maxEdits` (optimal string
     * alignment / Damerau-Levenshtein with transpositions, like Lucene
     * FuzzyQuery) of `term`.
     */
   private def fuzzyPositions(field: FieldTokens, term: String, maxEdits: Int): Array[Int] = {
+    // fast path: the presearch-built deletion-variant index (see
+    // FieldTokens.delIndex) — probe the clause term's own variants and
+    // verify only the few doc terms sharing one, instead of scanning
+    // every distinct doc term. Depth check: the index must cover at
+    // least this clause's edit budget for the superset property to hold.
+    if (field.delIndex != null && field.delIndexDepth >= maxEdits) {
+      val b = new mutable.ArrayBuilder.ofInt
+      val seen = new java.util.HashSet[String]()
+      def tryTerm(docTerm: String): Unit =
+        if (seen.add(docTerm) &&
+            math.abs(term.length - docTerm.length) <= maxEdits &&
+            withinEdits(term, docTerm, maxEdits)) {
+          field.positions.get(docTerm).foreach(b += _)
+        }
+      val variants = queryVariants(term, maxEdits)
+      var vi = 0
+      while (vi < variants.length) {
+        field.delIndex.get(variants(vi)) match {
+          case null => ()
+          case s: String => tryTerm(s)
+          case bucket: mutable.ArrayBuffer[String @unchecked] =>
+            var bi = 0
+            while (bi < bucket.length) { tryTerm(bucket(bi)); bi += 1 }
+        }
+        vi += 1
+      }
+      val r = b.result()
+      java.util.Arrays.sort(r)
+      return r
+    }
     val b = new mutable.ArrayBuilder.ofInt
     val it = field.positions.entrySet().iterator()
     while (it.hasNext) {
