@@ -853,6 +853,45 @@ object SparkEntry {
     * bag-of-words scorer with fixed weights, the DCLM/FineWeb-class
     * pipeline step that heuristic quality metrics feed into.
     */
+  /** CCNet-style perplexity scoring: an add-α bigram LM fitted on the
+    * "reference" slice (doc_id % 5 == 0 — the curated-head stand-in)
+    * scores every document; keep/drop policy then buckets by ppl. The
+    * oracle re-derives the same counts and ln arithmetic in SQL.
+    */
+  private def qPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    graft.ops.Lm.bigramPerplexity(docs,
+        docs.filter(col("doc_id") % 5 === 0), "text", "doc_id", alpha = 0.1)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DSIR importance log-ratios toward a target slice (doc_id % 7 == 0)
+    * with md5-bucketed unigram+bigram features — cross-engine-stable
+    * hashing so the oracle reproduces buckets exactly.
+    */
+  private def qDsir(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    graft.ops.Lm.importanceWeights(docs,
+        docs.filter(col("doc_id") % 7 === 0), "text", "doc_id",
+        buckets = 1024, alpha = 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Mixture token-budget plan over the documents table's lang domains:
+    * pure closed-form arithmetic per domain, fully SQL-replicable.
+    */
+  private def qMixPlan(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    graft.ops.Sampling.mixturePlan(
+        docs, "lang", graft.ops.TextStats.wsTokens(col("text")).cast("long"),
+        // weights chosen so some domains hit the epoch cap (shortfall)
+        // and some don't, at both verify SFs; es is deliberately
+        // unweighted -> absent from the plan
+        Seq("en" -> 0.5, "de" -> 0.25, "fr" -> 0.15, "zh" -> 0.1),
+        budget = 150000L, maxEpochs = 2.0)
+      .orderBy(col("domain"))
+  }
+
   private def qQualityModel(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(t(dir, "documents"))
     graft.ops.Retrieval.linearTextScore(docs, "text", "doc_id",
@@ -1243,6 +1282,9 @@ object SparkEntry {
     "q_decontam_bloom" -> (qDecontamBloom _),
     "q_bm25" -> (qBm25 _),
     "q_quality_model" -> (qQualityModel _),
+    "q_perplexity" -> (qPerplexity _),
+    "q_dsir" -> (qDsir _),
+    "q_mix_plan" -> (qMixPlan _),
     "q_pack" -> (qPack _),
     "q_dup_spans" -> (qDupSpans _),
     "q_dup_remove" -> (qDupRemove _),
@@ -1910,6 +1952,63 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(after_ip, '\+?\b\d{1,3}[- ]\d{3}[- ]\d{3,4}(?:[- ]\d{1,4})?\b')) AS BIGINT) AS n_phones,
         |  regexp_replace(after_ip, '\+?\b\d{1,3}[- ]\d{3}[- ]\d{3,4}(?:[- ]\d{1,4})?\b', '<PHONE>', 'g') AS text
         |FROM s2 ORDER BY doc_id""".stripMargin,
+    // same add-α closed forms, same ln arithmetic; per-bigram log-probs
+    // floored to 1e-9 grains and summed as integers in BOTH engines so
+    // the distributed sum is order-independent
+    "q_perplexity" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |refuni AS (SELECT unnest(t) AS w FROM toks WHERE doc_id % 5 = 0),
+        |uni AS (SELECT w, count(*) AS cw FROM refuni GROUP BY 1),
+        |vv AS (SELECT count(*) + 1 AS v FROM uni),
+        |refbi AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM toks, unnest(generate_series(1, len(t)-1)) AS s(i) WHERE doc_id % 5 = 0),
+        |bi AS (SELECT w1, w2, count(*) AS cww FROM refbi GROUP BY 1, 2),
+        |docbi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM toks, unnest(generate_series(1, len(t)-1)) AS s(i)),
+        |lp AS (SELECT d.doc_id,
+        |    CAST(floor(ln((COALESCE(bi.cww, 0) + 0.1) / (COALESCE(uni.cw, 0) + 0.1 * (SELECT v FROM vv))) * 1e9) AS BIGINT) AS lp9
+        |  FROM docbi d LEFT JOIN bi ON d.w1 = bi.w1 AND d.w2 = bi.w2
+        |               LEFT JOIN uni ON d.w1 = uni.w),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, sum(lp9) AS slp9 FROM lp GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+        |  round(a.slp9 / 1e9 / a.n_bigrams, 6) AS avg_logp,
+        |  round(exp(-(a.slp9 / 1e9 / a.n_bigrams)), 6) AS ppl
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // md5-hex bucketing replicates Spark's conv(substring(md5,1,8),16,10)
+    "q_dsir" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(t) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS g FROM toks, unnest(generate_series(1, len(t)-1)) AS s(i)),
+        |gb AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b FROM grams),
+        |tc AS (SELECT b, count(*) AS ct FROM gb WHERE doc_id % 7 = 0 GROUP BY 1),
+        |rc AS (SELECT b, count(*) AS cr FROM gb GROUP BY 1),
+        |nt AS (SELECT count(*)::DOUBLE AS n FROM gb WHERE doc_id % 7 = 0),
+        |nr AS (SELECT count(*)::DOUBLE AS n FROM gb),
+        |lr AS (SELECT g.doc_id,
+        |    CAST(floor((ln((COALESCE(tc.ct, 0) + 0.5) / ((SELECT n FROM nt) + 0.5 * 1024))
+        |              - ln((COALESCE(rc.cr, 0) + 0.5) / ((SELECT n FROM nr) + 0.5 * 1024))) * 1e9) AS BIGINT) AS lr9
+        |  FROM gb g LEFT JOIN tc ON g.b = tc.b LEFT JOIN rc ON g.b = rc.b),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, sum(lr9) AS slr9 FROM lr GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(a.n_grams, 0) AS n_grams,
+        |  round(a.slr9 / 1e9 / a.n_grams, 6) AS log_ratio
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_mix_plan" ->
+      """WITH counts AS (SELECT lang AS domain,
+        |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                  ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS available_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.25), ('fr', 0.15), ('zh', 0.1)) AS t(domain, wt)),
+        |plan AS (SELECT c.domain, c.available_tokens,
+        |    CAST(round(w.wt * 150000, 0) AS BIGINT) AS target_tokens,
+        |    LEAST(CAST(round(w.wt * 150000, 0) AS BIGINT),
+        |          CAST(round(c.available_tokens * 2.0, 0) AS BIGINT)) AS actual_tokens
+        |  FROM counts c JOIN w ON c.domain = w.domain)
+        |SELECT domain, available_tokens, target_tokens, actual_tokens,
+        |  round(actual_tokens::DOUBLE / available_tokens, 6) AS epochs,
+        |  target_tokens - actual_tokens AS shortfall
+        |FROM plan ORDER BY domain""".stripMargin,
     "q_url_norm" ->
       """WITH u AS (SELECT doc_id, CASE
         |  WHEN doc_id % 5 = 0 THEN 'HTTP://Example.COM:80/p/' || doc_id || '?utm_source=a&id=' || doc_id || '#f'

@@ -82,4 +82,47 @@ object Sampling {
     }
     df.filter(pred)
   }
+
+  /** Mixture token-budget plan: given per-domain available token counts
+    * (one aggregate over the corpus) and target mixture weights, how
+    * many tokens each domain contributes to a `budget`-token training
+    * run when a domain may be repeated at most `maxEpochs` times (the
+    * up-sampling cap every data-constrained scaling recipe applies —
+    * past ~4 epochs repeated data stops helping). Domains the weights
+    * don't mention get weight 0; weights are normalized.
+    *
+    * Output, one row per weighted domain:
+    * (domain, available_tokens, target_tokens, actual_tokens, epochs,
+    * shortfall) — `actual = min(target, available x maxEpochs)`,
+    * `epochs = actual / available` (round-6), `shortfall` = tokens the
+    * budget wanted from this domain but the cap refused. The plan is
+    * pure closed-form arithmetic over one aggregate row per domain, so
+    * it is fully SQL-replicable; feed `actual/available` into
+    * [[mixture]] / [[sample]] rates (values > 1 mean repeat + sample
+    * the remainder).
+    */
+  def mixturePlan(df: DataFrame, domainCol: String, tokenCount: Column,
+      weights: Seq[(String, Double)], budget: Long,
+      maxEpochs: Double = 4.0): DataFrame = {
+    require(weights.nonEmpty, "mixturePlan: no weights")
+    require(budget > 0 && maxEpochs > 0, s"bad budget/maxEpochs: $budget/$maxEpochs")
+    val wSum = weights.map(_._2).sum
+    require(wSum > 0, "mixturePlan: weights sum to zero")
+    val wCol = weights.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, w)) => when(col("domain") === lit(d), lit(w / wSum)).otherwise(acc)
+    }
+    df.groupBy(col(domainCol).as("domain"))
+      .agg(sum(tokenCount).cast("long").as("available_tokens"))
+      .withColumn("__w", wCol.as("__w"))
+      .filter(col("__w").isNotNull)
+      .withColumn("target_tokens", round(col("__w") * budget, 0).cast("long"))
+      .withColumn("actual_tokens",
+        least(col("target_tokens"),
+          round(col("available_tokens") * maxEpochs, 0).cast("long")))
+      .withColumn("epochs",
+        round(col("actual_tokens").cast("double") / col("available_tokens"), 6))
+      .withColumn("shortfall", col("target_tokens") - col("actual_tokens"))
+      .select(col("domain"), col("available_tokens"), col("target_tokens"),
+        col("actual_tokens"), col("epochs"), col("shortfall"))
+  }
 }

@@ -1127,6 +1127,89 @@ class OpsSpec extends AnyFunSuite {
     assert(ranked.length == 1 && ranked.head.getLong(0) == 0L)
   }
 
+  test("bigram perplexity: add-alpha closed form vs hand computation") {
+    val ref = Seq((0L, "a b a b"), (1L, "a c")).toDF("doc_id", "text")
+    // ref unigrams: a:3 b:2 c:1 -> V = 3+1 = 4
+    // ref bigrams: (a,b):2 (b,a):1 (a,c):1
+    val docs = Seq(
+      (10L, "a b"),    // lp = ln((2+.1)/(3+.1*4)) = ln(2.1/3.4)
+      (11L, "b c"),    // ln((0+.1)/(2+.4)) = ln(.1/2.4)
+      (12L, "z a"),    // unseen history: ln(.1/(0+.4))
+      (13L, "solo"),   // 1 token -> 0 bigrams, null scores
+      (14L, "a b a")   // ln(2.1/3.4) + ln((1+.1)/(2+.4))
+    ).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Lm.bigramPerplexity(d, ref, "text", "doc_id", alpha = 0.1)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    val out = run(docs)
+    def g(x: Double) = math.floor(x * 1e9) / 1e9 // the integer-grain contract
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(0) == ((10L, 1L, Some(r6(g(math.log(2.1 / 3.4)))))))
+    assert(out(1) == ((11L, 1L, Some(r6(g(math.log(0.1 / 2.4)))))))
+    assert(out(2) == ((12L, 1L, Some(r6(g(math.log(0.1 / 0.4)))))))
+    assert(out(3) == ((13L, 0L, None)))
+    assert(out(4) == ((14L, 2L,
+      Some(r6((g(math.log(2.1 / 3.4)) + g(math.log(1.1 / 2.4))) / 2)))))
+    // partitioning-independence: the integer-grain sum must not care
+    assert(run(docs.repartition(7)).toSeq == out.toSeq)
+  }
+
+  test("perplexity buckets: head/middle/tail split, unscored docs are tail") {
+    val ref = Seq((0L, "a b a b a b")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b a b"), (2L, "a b z q"), (3L, "z q z q"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val buckets = graft.ops.Lm.perplexityBuckets(
+        graft.ops.Lm.bigramPerplexity(docs, ref, "text", "doc_id"), "doc_id",
+        headQ = 0.34, tailQ = 0.67)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getAs[String]("bucket")))
+    assert(buckets(0)._2 == "head")   // pure in-distribution
+    // "a b z q" scores WORSE than all-OOV "z q z q": a known history with
+    // an unseen continuation divides alpha by the full history count,
+    // while an unseen history gets the flat 1/V - the classic smoothed-LM
+    // caveat (CCNet buckets exist precisely to absorb such quirks)
+    assert(buckets(1)._2 == "tail")
+    assert(buckets(2)._2 == "middle")
+    assert(buckets(3)._2 == "tail")   // unscored
+  }
+
+  test("dsir importance weights: target-like docs score higher; partition-independent") {
+    val docs = Seq(
+      (0L, "clean prose about science topics"),
+      (1L, "clean prose about history topics"),
+      (2L, "buy now click here spam spam"),
+      (3L, "")).toDF("doc_id", "text")
+    val target = Seq((0L, "clean prose about many good topics")).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Lm.importanceWeights(d, target, "text", "doc_id", buckets = 256)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    val out = run(docs)
+    // target-overlapping docs beat the spam doc
+    assert(out(0)._3.get > out(2)._3.get && out(1)._3.get > out(2)._3.get, out.mkString(","))
+    // empty text still yields one ''-unigram (the raw-split contract)
+    assert(out(3)._2 == 1L)
+    assert(run(docs.repartition(5)).toSeq == out.toSeq)
+  }
+
+  test("mixture plan: epoch cap, shortfall, unweighted domains absent") {
+    val corpus = Seq(
+      ("web", 100L), ("web", 100L),    // available 200
+      ("code", 50L),                   // available 50
+      ("books", 500L)                  // unweighted -> absent
+    ).toDF("domain_col", "toks")
+    val plan = graft.ops.Sampling.mixturePlan(corpus, "domain_col", col("toks"),
+        Seq("web" -> 0.5, "code" -> 0.5), budget = 1000L, maxEpochs = 3.0)
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    // code: target 500, cap 50*3=150 -> shortfall 350, epochs 3.0
+    assert(plan(0) == (("code", 50L, 500L, 150L, 3.0, 350L)))
+    // web: target 500, cap 200*3=600 -> no shortfall, epochs 2.5
+    assert(plan(1) == (("web", 200L, 500L, 500L, 2.5, 0L)))
+    assert(plan.length == 2)
+  }
+
   test("url canonicalization: case, ports, userinfo, tracking params, non-urls") {
     val df = Seq(
       (0L, "HTTP://Example.COM:80/Path/X?utm_source=a&id=7#frag"),
