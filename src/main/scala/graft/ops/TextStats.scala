@@ -34,21 +34,39 @@ object TextStats {
     "en" -> Seq("the", "a", "of", "to", "and", "is", "in"),
     "es" -> Seq("el", "la", "de", "que", "y", "los", "una"),
     "fr" -> Seq("le", "la", "les", "et", "un", "des", "que"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"))
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "pt" -> Seq("o", "os", "uma", "não", "com", "por", "são"),
+    "it" -> Seq("il", "che", "di", "per", "sono", "della", "gli"),
+    "nl" -> Seq("het", "een", "van", "niet", "zijn", "met", "voor"),
+    "lt" -> Seq("ir", "yra", "kad", "tai", "kaip", "bet", "buvo"))
 
-  /** Language-ID heuristic: distinct-stopword presence score per language;
-    * highest score wins (ties resolve in list order), zero everywhere →
-    * "und".
+  /** Language-ID heuristic, two tiers:
+    *  1. SCRIPT: whitespace-tokenized stopwords can't see languages
+    *     written without spaces or in another alphabet, so texts whose
+    *     non-space characters are ≥ 25% CJK → "zh", ≥ 25% Cyrillic →
+    *     "ru" (checked in that order).
+    *  2. STOPWORDS: distinct-stopword presence score per language;
+    *     highest wins (ties resolve in list order — the original four
+    *     languages stay first so their predictions are stable), zero
+    *     everywhere → "und".
+    * Pure regex/array arithmetic — scan-local and oracle-replicable.
     */
   def langId(text: Column): Column = {
+    val nonSpace = length(regexp_replace(text, "\\s", ""))
+    val cjk = regexp_count(text, lit("[一-龥]"))
+    val cyr = regexp_count(lower(text), lit("[а-яё]"))
     val toks = array_distinct(split(lower(text), "\\s+"))
     val scores = langStopwords.map { case (lang, words) =>
       lang -> size(array_intersect(toks, array(words.map(lit): _*)))
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((lang, score), acc) =>
-      when(score === best && best > 0, lit(lang)).otherwise(acc)
+    val byStopwords = scores.foldRight(lit("und"): Column) {
+      case ((lang, score), acc) =>
+        when(score === best && best > 0, lit(lang)).otherwise(acc)
     }
+    when(cjk * 4 >= nonSpace && cjk > 0, "zh")
+      .when(cyr * 4 >= nonSpace && cyr > 0, "ru")
+      .otherwise(byStopwords)
   }
 
   /** Quality metrics: char/token counts, mean token length, stopword

@@ -520,14 +520,22 @@ class OpsSpec extends AnyFunSuite {
     assert(bpe == 9)
   }
 
-  test("language id heuristic") {
+  test("language id heuristic: stopword tier + script tier") {
     val d = Seq(
       (0L, "the cat and the dog"),
       (1L, "el perro y la casa de que"),
-      (2L, "xyzzy qwerty")).toDF("id", "text")
+      (2L, "xyzzy qwerty"),
+      (3L, "这是一个中文测试文档没有空格"),           // CJK script -> zh
+      (4L, "Это русский текст для проверки"),          // Cyrillic -> ru
+      (5L, "o problema não é com os dados"),           // pt stopwords
+      (6L, "il problema che sono della rete"),         // it
+      (7L, "het is een goede dag met zon"),            // nl
+      (8L, "tai yra geras tekstas kad veikia"),        // lt
+      (9L, "mixed 中文 few cjk the of and is to in a")) // CJK < 25% -> stopwords
+      .toDF("id", "text")
     val out = d.select($"id", TextStats.langId($"text").as("lang"))
       .orderBy("id").collect().map(_.getString(1))
-    assert(out.toSeq == Seq("en", "es", "und"))
+    assert(out.toSeq == Seq("en", "es", "und", "zh", "ru", "pt", "it", "nl", "lt", "en"))
   }
 
   test("quality metrics") {

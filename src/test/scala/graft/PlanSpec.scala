@@ -396,6 +396,23 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema"), plan)
   }
 
+  test("LM scoring shuffles grams and ids, never document text") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for (scored <- Seq(
+        graft.ops.Lm.bigramPerplexity(docs,
+          docs.filter(col("doc_id") % 5 === 0), "text", "doc_id"),
+        graft.ops.Lm.importanceWeights(docs,
+          docs.filter(col("doc_id") % 7 === 0), "text", "doc_id", buckets = 256))) {
+      val opt = scored.queryExecution.optimizedPlan
+      val joins = opt.collect { case j: Join => j }
+      assert(joins.nonEmpty, opt.toString)
+      joins.foreach(j => j.children.foreach(c =>
+        assert(!c.output.exists(_.name == "text"),
+          s"document text crosses an LM-scoring join:\n$opt")))
+    }
+  }
+
   test("relational merger shuffles once: second window reuses the exchange") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dict = Seq(
