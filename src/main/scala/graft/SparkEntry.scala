@@ -1030,6 +1030,52 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Within-doc repeated-line removal over documents reshaped into
+    * boilerplate-laced pages: a HEADER line repeated top and bottom, the
+    * body one word per line (so naturally-repeated words become
+    * repeated lines), and a doc-keyed FOOTER line duplicated verbatim.
+    * First occurrence of each line survives in order; the op is one
+    * scan-local projection (PlanSpec pins zero exchanges).
+    */
+  private def qSelfLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val laced = docs.withColumn("text", concat(
+      lit("HEADER\n"),
+      regexp_replace(col("text"), " ", "\n"),
+      lit("\nHEADER\nFOOTER "), col("doc_id") % 7,
+      lit("\nFOOTER "), col("doc_id") % 7))
+    graft.ops.Dedup.dedupLinesWithinDoc(laced, "text")
+      .select(col("doc_id"), col("n_lines_removed"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Unicode text fixing over texts laced with deterministic damage per
+    * doc_id % 6: NFD combining sequences + zero-width space, NBSP /
+    * ideographic space / soft hyphen, C0 controls + DEL, typographic
+    * punctuation (folding on), BOM + ZWJ, and a clean residue class to
+    * gate the identity path. The oracle replicates NFC via DuckDB's
+    * `nfc_normalize` (same UAX #15 algorithm as `java.text.Normalizer`)
+    * and the cleanup passes as the identical `\x{...}` regex chain.
+    */
+  private def qTextNorm(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val laced = docs.withColumn("text",
+      when(col("doc_id") % 6 === 0,
+        concat(col("text"), lit(" cafe\u0301 no\u0301\u200B end")))
+      .when(col("doc_id") % 6 === 1,
+        concat(lit("a\u00A0b\u3000c\u00ADd "), col("text")))
+      .when(col("doc_id") % 6 === 2,
+        concat(col("text"), lit(" ctl\u0007\u0001x\u007Fy")))
+      .when(col("doc_id") % 6 === 3,
+        concat(lit("\u2018q\u2019 \u201Cqq\u201D \u2014 \u2026 "), col("text")))
+      .when(col("doc_id") % 6 === 4,
+        concat(lit("\uFEFF"), col("text"), lit("\u200Dzwj")))
+      .otherwise(col("text")))
+    graft.ops.TextClean.normalizeUnicodeDf(laced, "text", foldPunct = true)
+      .select(col("doc_id"), col("n_chars_removed"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The SQL surface end-to-end through the driver gate: annotate_text
     * registered via GraftExtensions, a dictionary inlined as a JSON
     * literal, pure `spark.sql` text — per-entry match totals and
@@ -1289,9 +1335,11 @@ object SparkEntry {
     "q_dup_spans" -> (qDupSpans _),
     "q_dup_remove" -> (qDupRemove _),
     "q_line_dedup" -> (qLineDedup _),
+    "q_selfline_dedup" -> (qSelfLineDedup _),
     "q_pii" -> (qPii _),
     "q_html_strip" -> (qHtmlStrip _),
     "q_url_norm" -> (qUrlNorm _),
+    "q_text_norm" -> (qTextNorm _),
     "q_sql_annotate" -> (qSqlAnnotate _),
     "q_ann_cooc" -> (qAnnCooc _),
     "q_tokens" -> (qTokens _),
@@ -2069,6 +2117,38 @@ object SparkEntry {
         |s6 AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text FROM s5)
         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_visible, text
         |FROM s6 ORDER BY doc_id""".stripMargin,
+    "q_selfline_dedup" ->
+      """WITH laced AS (SELECT doc_id,
+        |  'HEADER' || chr(10) || regexp_replace(text, ' ', chr(10), 'g') ||
+        |  chr(10) || 'HEADER' || chr(10) || 'FOOTER ' || (doc_id % 7) ||
+        |  chr(10) || 'FOOTER ' || (doc_id % 7) AS text FROM documents),
+        |s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM laced),
+        |l AS (SELECT doc_id, unnest(ls) AS line, unnest(generate_series(1, len(ls))) AS pos FROM s),
+        |k AS (SELECT doc_id, line, pos,
+        |  row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn FROM l)
+        |SELECT doc_id,
+        |  CAST(count(*) - count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_lines_removed,
+        |  string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE rn = 1) AS text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_norm" ->
+      """WITH laced AS (SELECT doc_id, CASE
+        |  WHEN doc_id % 6 = 0 THEN text || ' cafe' || chr(769) || ' no' || chr(769) || chr(8203) || ' end'
+        |  WHEN doc_id % 6 = 1 THEN 'a' || chr(160) || 'b' || chr(12288) || 'c' || chr(173) || 'd ' || text
+        |  WHEN doc_id % 6 = 2 THEN text || ' ctl' || chr(7) || chr(1) || 'x' || chr(127) || 'y'
+        |  WHEN doc_id % 6 = 3 THEN chr(8216) || 'q' || chr(8217) || ' ' || chr(8220) || 'qq' || chr(8221) || ' ' || chr(8212) || ' ' || chr(8230) || ' ' || text
+        |  WHEN doc_id % 6 = 4 THEN chr(65279) || text || chr(8205) || 'zwj'
+        |  ELSE text END AS text FROM documents),
+        |s1 AS (SELECT doc_id, text AS orig, nfc_normalize(text) AS t FROM laced),
+        |s2 AS (SELECT doc_id, orig, regexp_replace(t, '[\x{200B}\x{200C}\x{200D}\x{2060}\x{FEFF}\x{00AD}]', '', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, orig, regexp_replace(t, '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, orig, regexp_replace(t, '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}]', '', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id, orig, regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |  '[\x{2018}\x{2019}\x{201A}\x{2032}]', '''', 'g'),
+        |  '[\x{201C}\x{201D}\x{201E}\x{2033}]', '"', 'g'),
+        |  '[\x{2013}\x{2014}\x{2015}]', '-', 'g'),
+        |  '\x{2026}', '...', 'g') AS text FROM s4)
+        |SELECT doc_id, CAST(length(orig) - length(text) AS BIGINT) AS n_chars_removed, text
+        |FROM s5 ORDER BY doc_id""".stripMargin,
     "q_multimodal" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -76,6 +76,25 @@ object functions {
   /** Lowercased URL host (userinfo/port stripped). */
   def urlHost(url: Column): Column = graft.ops.Urls.host(url)
 
-  /** PSL-less registered-domain approximation (last two host labels). */
+  /** Registered domain per the compiled public-suffix-list snapshot. */
   def urlDomain(url: Column): Column = graft.ops.Urls.registeredDomain(url)
+
+  /** Within-doc repeated-line removal (first occurrence survives,
+    * original order; scan-local, zero shuffles).
+    */
+  def dedupLinesWithinDoc(df: DataFrame, textCol: String,
+      delim: String = "\n"): DataFrame =
+    graft.ops.Dedup.dedupLinesWithinDoc(df, textCol, delim)
+
+  /** Unicode normalization form (NFC/NFD/NFKC/NFKD), codegen'd. */
+  def normalizeForm(text: Column, form: String = "NFC"): Column =
+    graft.ops.TextClean.normalizeForm(text, form)
+
+  /** Canonical text fixing: NFC + invisible-char removal + Unicode
+    * space mapping + control stripping (optionally fold typographic
+    * punctuation to ASCII).
+    */
+  def normalizeUnicode(text: Column, form: String = "NFC",
+      foldPunct: Boolean = false): Column =
+    graft.ops.TextClean.normalizeUnicode(text, form, foldPunct)
 }

@@ -794,4 +794,32 @@ object Dedup {
         size(col("__kept")).cast("long").as("n_lines"),
         concat_ws(delim, col("__kept")).as(textCol))
   }
+
+  /** WITHIN-document repeated-line removal — the per-document half of
+    * C4's line policies (Raffel et al. 2020 §2.2 dedups lines globally;
+    * RefinedWeb/Gopher additionally strip per-document boilerplate:
+    * navigation lines, repeated headers/footers, chat-log echoes). Each
+    * document keeps the FIRST occurrence of every distinct line, in
+    * original order.
+    *
+    * The decision never leaves the row: `array_distinct` over the split
+    * lines preserves first-occurrence order by definition, so the whole
+    * operator is one codegen'd scan-local projection — zero shuffles at
+    * any corpus size (contrast [[lineDedup]], whose cross-document
+    * decision necessarily shuffles line hashes). Output replaces
+    * `textCol` and appends `n_lines_removed`.
+    */
+  def dedupLinesWithinDoc(df: DataFrame, textCol: String,
+      delim: String = "\n"): DataFrame = {
+    require(delim.nonEmpty, "delimiter must be non-empty")
+    val toks = split(col(textCol), java.util.regex.Pattern.quote(delim))
+    val kept = array_distinct(toks)
+    df.withColumn("n_lines_removed",
+        (size(toks) - size(kept)).cast("long"))
+      // concat_ws coerces a null array to "" — keep the null-in/null-out
+      // contract of the other cleaning ops explicitly
+      .withColumn(textCol,
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(delim, kept)))
+  }
 }

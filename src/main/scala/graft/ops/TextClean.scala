@@ -89,4 +89,80 @@ object TextClean {
   def stripHtmlDf(df: DataFrame, textCol: String): DataFrame =
     df.withColumn(textCol, stripHtml(col(textCol)))
       .withColumn("n_chars_visible", length(col(textCol)).cast("long"))
+
+  // ---- Unicode normalization (ftfy-lite / CCNet-style text fixing) ----
+  //
+  // Every pattern uses \x{...} escapes, the syntax Java regex and RE2
+  // share, so the DuckDB oracles replicate each replacement exactly.
+
+  /** Invisible formatting characters that carry no text content: zero
+    * width space/non-joiner/joiner, word joiner, BOM/ZWNBSP, soft hyphen.
+    */
+  val InvisibleRe = "[\\x{200B}\\x{200C}\\x{200D}\\x{2060}\\x{FEFF}\\x{00AD}]"
+
+  /** Unicode space separators normalized to ASCII space: NBSP, ogham
+    * space, the en/em/figure/thin family (U+2000–200A), narrow NBSP,
+    * medium math space, ideographic space.
+    */
+  val UnicodeSpaceRe =
+    "[\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]"
+
+  /** C0 controls except tab/LF/CR, plus DEL. (C1 controls survive NFC
+    * and are rare enough in real text to leave; windows-1252 mojibake is
+    * a decode-layer problem, not a normalize-layer one.)
+    */
+  val ControlRe =
+    "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]"
+
+  /** Typographic punctuation folded to ASCII (opt-in — it loses
+    * information): curly/low-9 single quotes and primes → `'`, curly/
+    * low-9 double quotes and double primes → `"`, en/em/horizontal-bar
+    * dashes → `-`, ellipsis → `...`.
+    */
+  val PunctFold: Seq[(String, String)] = Seq(
+    "[\\x{2018}\\x{2019}\\x{201A}\\x{2032}]" -> "'",
+    "[\\x{201C}\\x{201D}\\x{201E}\\x{2033}]" -> "\"",
+    "[\\x{2013}\\x{2014}\\x{2015}]" -> "-",
+    "\\x{2026}" -> "...")
+
+  /** Unicode normalization form (NFC/NFD/NFKC/NFKD) as a codegen'd
+    * scalar — see [[graft.spark.NormalizeFormExpression]].
+    */
+  def normalizeForm(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.spark.NormalizeFormExpression(
+        org.apache.spark.sql.GraftBridge.expression(text), form))
+
+  /** Canonical text fixing for corpus ingest: compose to `form`
+    * (default NFC), drop invisible formatting characters, map Unicode
+    * space separators to ASCII space, strip control characters
+    * (keeping tab/LF/CR), optionally fold typographic punctuation to
+    * ASCII. A single codegen'd projection — zero shuffles at any
+    * corpus size. The NFC step runs FIRST so combining sequences
+    * compose before the character-class passes see them.
+    */
+  def normalizeUnicode(text: Column, form: String = "NFC",
+      foldPunct: Boolean = false): Column = {
+    val cleaned = regexp_replace(
+      regexp_replace(
+        regexp_replace(normalizeForm(text, form), InvisibleRe, ""),
+        UnicodeSpaceRe, " "),
+      ControlRe, "")
+    if (!foldPunct) cleaned
+    else PunctFold.foldLeft(cleaned) { case (c, (re, r)) =>
+      regexp_replace(c, re, r)
+    }
+  }
+
+  /** [[normalizeUnicode]] over a DataFrame, replacing `textCol` and
+    * appending `n_chars_removed` (original minus normalized length —
+    * a cheap corpus-health signal: high removal rates flag encoding
+    * damage upstream).
+    */
+  def normalizeUnicodeDf(df: DataFrame, textCol: String,
+      form: String = "NFC", foldPunct: Boolean = false): DataFrame =
+    df.withColumn("n_chars_removed",
+        (length(col(textCol)) -
+          length(normalizeUnicode(col(textCol), form, foldPunct))).cast("long"))
+      .withColumn(textCol, normalizeUnicode(col(textCol), form, foldPunct))
 }

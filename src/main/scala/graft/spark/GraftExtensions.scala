@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.quantizeInt8Function)
     ext.injectFunction(GraftExtensions.int8CosineFunction)
     ext.injectFunction(GraftExtensions.pslDomainFunction)
+    ext.injectFunction(GraftExtensions.normalizeFunction)
   }
 }
 
@@ -148,11 +149,27 @@ object GraftExtensions {
       PslDomainExpression(children.head)
     })
 
+  val normalizeFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_normalize"),
+    new ExpressionInfo(classOf[NormalizeFormExpression].getName, "graft_normalize",
+      "graft_normalize(text[, form]) - Unicode normalization (NFC default; NFD/NFKC/NFKD)"),
+    (children: Seq[Expression]) => {
+      require(children.nonEmpty && children.length <= 2,
+        "graft_normalize expects (text[, form literal])")
+      val form = if (children.length == 2) children(1) match {
+        case Literal(v, StringType) if v != null => v.toString
+        case other => throw new IllegalArgumentException(
+          s"graft_normalize form must be a string literal, got: $other")
+      } else "NFC"
+      NormalizeFormExpression(children.head, form)
+    })
+
   /** Register into an already-running session. */
   def install(spark: SparkSession): Unit =
     Seq(annotateTextFunction, simhashFunction, fingerprintFunction,
       shingleHashesFunction, repetitionCountsFunction,
-      quantizeInt8Function, int8CosineFunction, pslDomainFunction).foreach {
+      quantizeInt8Function, int8CosineFunction, pslDomainFunction,
+      normalizeFunction).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

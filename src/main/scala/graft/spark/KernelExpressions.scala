@@ -453,6 +453,33 @@ final case class BloomProbeExpression(child: Expression,
   }
 }
 
+/** Unicode normalization form applied per row (`graft_normalize`) —
+  * NFC/NFD/NFKC/NFKD via `java.text.Normalizer` (UAX #15, same
+  * algorithm DuckDB's `nfc_normalize` implements, so NFC output is
+  * oracle-replicable byte-for-byte). Fast path: `Normalizer.isNormalized`
+  * returns without allocating for already-normalized text, which is the
+  * overwhelming majority of real corpora.
+  */
+final case class NormalizeFormExpression(child: Expression, form: String)
+  extends UnaryExpression {
+  @transient private lazy val nf = java.text.Normalizer.Form.valueOf(form)
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_normalize"
+  override protected def withNewChildInternal(newChild: Expression): NormalizeFormExpression =
+    copy(child = newChild)
+  def kernel(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, nf)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, nf))
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nfExpr", this, classOf[NormalizeFormExpression].getName)
+    defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
+  }
+}
+
 /** Per-document repetition counters (`graft_repetition_counts`) — one
   * pass over the text producing `[n_words, n_distinct_words,
   * sum_word_chars, n_bigrams, top_bigram_count, dup_bigram_occurrences]`;

@@ -1297,6 +1297,58 @@ class OpsSpec extends AnyFunSuite {
     assert(h(0).isNullAt(0) && h(0).isNullAt(1) && h(0).isNullAt(2))
   }
 
+  test("within-doc line dedup: first occurrence survives in order, zero-shuffle") {
+    val df = Seq(
+      (0L, "nav\nbody one\nnav\nbody two\nnav\nfooter"),
+      (1L, "a\n\nb\n\na"), // empty lines dedup like any line
+      (2L, "unique\nlines\nonly"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.dedupLinesWithinDoc(df, "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("text") == "nav\nbody one\nbody two\nfooter")
+    assert(out(0).getAs[Long]("n_lines_removed") == 2L)
+    assert(out(1).getAs[String]("text") == "a\n\nb")
+    assert(out(1).getAs[Long]("n_lines_removed") == 2L)
+    assert(out(2).getAs[String]("text") == "unique\nlines\nonly")
+    assert(out(2).getAs[Long]("n_lines_removed") == 0L)
+    assert(out(3).isNullAt(out(3).fieldIndex("text")))
+  }
+
+  test("unicode normalize: NFC composes, invisibles drop, spaces map, controls strip") {
+    val df = Seq(
+      (0L, "cafe\u0301 ok"),                       // NFD -> composed
+      (1L, "a\u200Bb\uFEFFc\u00ADd"),              // zero-width / BOM / soft hyphen
+      (2L, "x\u00A0y\u3000z\u2009w"),              // NBSP, ideographic, thin space
+      (3L, "ke\u0007pt\tn\nl\u007F"),             // controls; tab/LF survive
+      (4L, "\u2018a\u2019 \u201Cb\u201D \u2013 \u2026")) // punct (fold on)
+      .toDF("doc_id", "text")
+    val plain = df.select(col("doc_id"),
+      graft.ops.TextClean.normalizeUnicode(col("text")).as("t"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(plain(0) == "caf\u00E9 ok" && plain(0).length == 7)
+    assert(plain(1) == "abcd")
+    assert(plain(2) == "x y z w")
+    assert(plain(3) == "kept\tn\nl")
+    assert(plain(4) == "\u2018a\u2019 \u201Cb\u201D \u2013 \u2026") // no fold by default
+    val folded = df.select(graft.ops.TextClean.normalizeUnicode(
+        col("text"), foldPunct = true))
+      .orderBy(df("doc_id")).collect().map(_.getString(0))
+    assert(folded(4) == "'a' \"b\" - ...")
+    // NFKC is exposed too (compatibility: ligature fi -> fi, superscript 2 -> 2)
+    val nfkc = Seq((0L, "\uFB01 x\u00B2")).toDF("doc_id", "text")
+      .select(graft.ops.TextClean.normalizeUnicode(col("text"), form = "NFKC"))
+      .head().getString(0)
+    assert(nfkc == "fi x2")
+    // null propagates; SQL surface agrees with the DataFrame API
+    graft.spark.GraftExtensions.install(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_normalize('cafe\u0301') AS t," +
+        " graft_normalize('\uFB01', 'NFKC') AS k," +
+        " graft_normalize(CAST(NULL AS STRING)) AS n").head()
+    assert(viaSql.getString(0) == "caf\u00E9" && viaSql.getString(1) == "fi" &&
+      viaSql.isNullAt(2))
+  }
+
   test("html strip: blocks vanish with content, entities decode, ws collapses") {
     val df = Seq(
       (0L, "<html><body><h1>T</h1><script>if (1 < 2) { x(); }</script>" +

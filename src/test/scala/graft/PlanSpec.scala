@@ -349,10 +349,12 @@ class PlanSpec extends AnyFunSuite {
   test("cleaning and url ops are scan-local: zero exchanges, codegen'd") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val cleaned = graft.ops.TextClean.redactPii(
-      graft.ops.TextClean.stripHtmlDf(docs, "text"), "text")
+      graft.ops.TextClean.normalizeUnicodeDf(
+        graft.ops.TextClean.stripHtmlDf(docs, "text"), "text"), "text")
       .withColumn("u", graft.ops.Urls.normalize(
         concat(lit("https://example.com/"), col("doc_id"))))
       .withColumn("host", graft.ops.Urls.host(col("u")))
+      .transform(d => graft.ops.Dedup.dedupLinesWithinDoc(d, "text"))
     val plan = planOf(cleaned)
     assert(!plan.contains("Exchange"), plan)
     cleaned.collect()
