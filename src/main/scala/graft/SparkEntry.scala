@@ -1030,6 +1030,59 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE tokenizer fit + encode with oracle-checked conservation
+    * contracts: 200 merges learned from the corpus word-type table
+    * (driver-side election loop, documented contract), every document
+    * encoded through the broadcast rank table. The oracle restates the
+    * SQL-computable halves (word/char counts from the same
+    * normalization) plus literal `true` for the two invariants the
+    * Spark side computes from the REAL encoding — character mass
+    * conserved (concat of tokens = word chars + one end-marker per
+    * word) and token-count bounds (each word: >= 1, <= chars + 1
+    * tokens). Any encoder defect flips a boolean and hash-fails the
+    * row; the merge election itself is pinned by the Sennrich worked
+    * example in OpsSpec.
+    */
+  private def qBpe(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val model = graft.ops.Bpe.fit(docs, "text", numMerges = 200)
+    val enc = graft.ops.Bpe.encode(docs, "text", model)
+    val tl = trim(lower(col("text")))
+    val nWords = when(tl === "", lit(0L))
+      .otherwise(size(split(tl, "\\s+"))).cast("long")
+    val nChars = length(regexp_replace(tl, "\\s+", "")).cast("long")
+    enc.select(col("doc_id"), nWords.as("n_words"), nChars.as("n_chars"),
+        (length(array_join(col("bpe_tokens"), "")) === nChars + nWords * 4)
+          .as("chars_ok"),
+        (col("n_bpe_tokens") >= nWords &&
+          col("n_bpe_tokens") <= nChars + nWords).as("bounds_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus top-k n-gram frequencies (unigrams + bigrams in one result,
+    * keyed by `n`) — the vocabulary-fitting seed pass. minCount=2
+    * prunes the singleton tail before the top-k heap; ties cut
+    * deterministically on the gram string.
+    */
+  private def qVocab(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val u = graft.ops.Vocab.topKNgrams(docs, "text", n = 1, k = 50, minCount = 2)
+      .withColumn("n", lit(1L))
+    val b = graft.ops.Vocab.topKNgrams(docs, "text", n = 2, k = 50, minCount = 2)
+      .withColumn("n", lit(2L))
+    u.unionByName(b).select(col("n"), col("gram"), col("cnt"))
+  }
+
+  /** PMI collocations (top-50 by the 1e-9-grained statistic, c12 >= 3)
+    * — multi-word-expression mining over the documents corpus; exact
+    * integer counts inside the ln make the ranking and values
+    * engine-replicable.
+    */
+  private def qPmi(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    graft.ops.Vocab.pmiCollocations(docs, "text", minCount = 3, k = 50)
+  }
+
   /** Within-doc repeated-line removal over documents reshaped into
     * boilerplate-laced pages: a HEADER line repeated top and bottom, the
     * body one word per line (so naturally-repeated words become
@@ -1336,6 +1389,9 @@ object SparkEntry {
     "q_dup_remove" -> (qDupRemove _),
     "q_line_dedup" -> (qLineDedup _),
     "q_selfline_dedup" -> (qSelfLineDedup _),
+    "q_vocab" -> (qVocab _),
+    "q_pmi" -> (qPmi _),
+    "q_bpe" -> (qBpe _),
     "q_pii" -> (qPii _),
     "q_html_strip" -> (qHtmlStrip _),
     "q_url_norm" -> (qUrlNorm _),
@@ -2117,6 +2173,41 @@ object SparkEntry {
         |s6 AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text FROM s5)
         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_visible, text
         |FROM s6 ORDER BY doc_id""".stripMargin,
+    "q_bpe" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN trim(lower(text)) = '' THEN 0
+        |       ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS BIGINT) AS n_words,
+        |  CAST(length(regexp_replace(trim(lower(text)), '\s+', '', 'g')) AS BIGINT) AS n_chars,
+        |  true AS chars_ok, true AS bounds_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_vocab" ->
+      """WITH toks AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |u AS (SELECT unnest(t) AS gram FROM toks),
+        |uc AS (SELECT gram, count(*) AS cnt FROM u WHERE gram <> ''
+        |       GROUP BY gram HAVING count(*) >= 2 ORDER BY cnt DESC, gram LIMIT 50),
+        |bi AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2 FROM toks),
+        |bc AS (SELECT w1 || ' ' || w2 AS gram, count(*) AS cnt FROM bi
+        |       WHERE w1 <> '' AND w2 <> ''
+        |       GROUP BY 1 HAVING count(*) >= 2 ORDER BY cnt DESC, gram LIMIT 50)
+        |SELECT CAST(1 AS BIGINT) AS n, gram, cnt FROM uc
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS n, gram, cnt FROM bc""".stripMargin,
+    "q_pmi" ->
+      """WITH toks AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |uf AS (SELECT unnest(t) AS w FROM toks),
+        |u AS (SELECT w FROM uf WHERE w <> ''),
+        |uc AS (SELECT w, count(*) AS c FROM u GROUP BY w),
+        |n1 AS (SELECT count(*)::DOUBLE AS n FROM u),
+        |bi AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2 FROM toks),
+        |bf AS (SELECT * FROM bi WHERE w1 <> '' AND w2 <> ''),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM bf GROUP BY w1, w2 HAVING count(*) >= 3),
+        |n2 AS (SELECT count(*)::DOUBLE AS n FROM bf),
+        |j AS (SELECT bc.w1, bc.w2, bc.c12,
+        |  CAST(floor(ln(bc.c12 * n1.n * n1.n / (n2.n * u1.c * u2.c)) * 1e9) AS BIGINT) AS pmi9
+        |  FROM bc JOIN uc u1 ON u1.w = bc.w1 JOIN uc u2 ON u2.w = bc.w2
+        |  CROSS JOIN n1 CROSS JOIN n2)
+        |SELECT w1, w2, c12, round(pmi9 / 1e9, 6) AS pmi
+        |FROM j ORDER BY pmi9 DESC, w1, w2 LIMIT 50""".stripMargin,
     "q_selfline_dedup" ->
       """WITH laced AS (SELECT doc_id,
         |  'HEADER' || chr(10) || regexp_replace(text, ' ', chr(10), 'g') ||

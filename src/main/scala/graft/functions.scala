@@ -86,6 +86,20 @@ object functions {
       delim: String = "\n"): DataFrame =
     graft.ops.Dedup.dedupLinesWithinDoc(df, textCol, delim)
 
+  /** Learn BPE merges from a corpus (driver-side election over the
+    * top word types; see [[graft.ops.Bpe.fit]]).
+    */
+  def bpeFit(docs: DataFrame, textCol: String, numMerges: Int,
+      maxWordTypes: Int = 50000): graft.ops.Bpe.BpeModel =
+    graft.ops.Bpe.fit(docs, textCol, numMerges, maxWordTypes)
+
+  /** Apply learned BPE merges: appends token-array and count columns
+    * (broadcast ranks, scan-local codegen'd kernel).
+    */
+  def bpeEncode(df: DataFrame, textCol: String, model: graft.ops.Bpe.BpeModel,
+      outCol: String = "bpe_tokens"): DataFrame =
+    graft.ops.Bpe.encode(df, textCol, model, outCol)
+
   /** Unicode normalization form (NFC/NFD/NFKC/NFKD), codegen'd. */
   def normalizeForm(text: Column, form: String = "NFC"): Column =
     graft.ops.TextClean.normalizeForm(text, form)

@@ -453,6 +453,63 @@ final case class BloomProbeExpression(child: Expression,
   }
 }
 
+/** BPE encode of a whitespace-joined text (`graft_bpe_encode`): split
+  * on single spaces (the caller pre-normalizes whitespace), encode each
+  * word via [[graft.ops.Bpe.encodeWordValue]] against the broadcast
+  * rank table, concatenate in order. A bounded per-expression-instance
+  * memo exploits the Zipf word distribution — the hit rate approaches
+  * the corpus type/token ratio, so the per-word merge loop runs
+  * roughly once per TYPE per task, not once per token.
+  */
+final case class BpeEncodeExpression(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Map[(String, String), Int]])
+  extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_encode"
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpression =
+    copy(child = newChild)
+  private val MaxMemo = 65536
+  // expression instances ride the codegen references array and are hit
+  // from every task thread in the executor — memo must be per-thread
+  @transient private lazy val memo =
+    ThreadLocal.withInitial[java.util.LinkedHashMap[String, Array[String]]](() =>
+      new java.util.LinkedHashMap[String, Array[String]](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[String]]): Boolean =
+          size() > MaxMemo
+      })
+  def kernel(s: UTF8String): ArrayData = {
+    val ranks = bc.value
+    val m = memo.get()
+    val text = s.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var start = 0
+    while (start <= text.length) {
+      val sp = text.indexOf(' ', start)
+      val end = if (sp < 0) text.length else sp
+      if (end > start) {
+        val w = text.substring(start, end)
+        var enc = m.get(w)
+        if (enc == null) {
+          enc = graft.ops.Bpe.encodeWordValue(w, ranks)
+          m.put(w, enc)
+        }
+        var i = 0
+        while (i < enc.length) { out += UTF8String.fromString(enc(i)); i += 1 }
+      }
+      start = end + 1
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bpeExpr", this, classOf[BpeEncodeExpression].getName)
+    defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
+  }
+}
+
 /** Unicode normalization form applied per row (`graft_normalize`) —
   * NFC/NFD/NFKC/NFKD via `java.text.Normalizer` (UAX #15, same
   * algorithm DuckDB's `nfc_normalize` implements, so NFC output is

@@ -1297,6 +1297,55 @@ class OpsSpec extends AnyFunSuite {
     assert(h(0).isNullAt(0) && h(0).isNullAt(1) && h(0).isNullAt(2))
   }
 
+  test("bpe fit: Sennrich worked example elects es, est, est</w>, lo in order") {
+    val types = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = graft.ops.Bpe.fitOnTypes(types, 4)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o")))
+    // more merges than pairs exist -> stops when nothing is left to fuse
+    val all = graft.ops.Bpe.fitOnTypes(Seq(("ab", 1L)), 100)
+    assert(all == Seq(("a", "b"), ("ab", "</w>")))
+  }
+
+  test("bpe encode: lowest -> lo w est</w>; unseen words fall through to chars") {
+    val ranks = Seq(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"))
+      .zipWithIndex.toMap
+    assert(graft.ops.Bpe.encodeWordValue("lowest", ranks).toSeq ==
+      Seq("lo", "w", "est</w>"))
+    assert(graft.ops.Bpe.encodeWordValue("newest", ranks).toSeq ==
+      Seq("n", "e", "w", "est</w>"))
+    assert(graft.ops.Bpe.encodeWordValue("xyz", ranks).toSeq ==
+      Seq("x", "y", "z", "</w>"))
+    assert(graft.ops.Bpe.encodeWordValue("low", Map.empty).toSeq ==
+      Seq("l", "o", "w", "</w>"))
+  }
+
+  test("bpe distributed: fit stats, encode conservation, compression on repeats") {
+    val docs = Seq(
+      (0L, "the lowest price the lowest cost"),
+      (1L, "newest widest lowest"),
+      (2L, "the the the")).toDF("doc_id", "text")
+    val model = graft.ops.Bpe.fit(docs, "text", numMerges = 50)
+    assert(model.nWordTypes == 6 && model.typesUsed == 6 &&
+      model.tokenMassCovered == 1.0)
+    val enc = graft.ops.Bpe.encode(docs, "text", model)
+      .orderBy("doc_id").collect()
+    // 50 merges over 6 types saturate: every word becomes ONE token
+    assert(enc(0).getAs[Long]("n_bpe_tokens") == 6L)
+    assert(enc(2).getAs[scala.collection.Seq[String]]("bpe_tokens").toSeq ==
+      Seq("the</w>", "the</w>", "the</w>"))
+    // char conservation: concat of tokens = chars + one marker per word
+    enc.foreach { r =>
+      val toks = r.getAs[scala.collection.Seq[String]]("bpe_tokens")
+      val words = r.getAs[String]("text").toLowerCase.trim.split("\\s+")
+      assert(toks.mkString("") == words.map(_ + "</w>").mkString(""))
+    }
+    // truncated type table still encodes every word (char fallback)
+    val tiny = graft.ops.Bpe.fit(docs, "text", numMerges = 5, maxWordTypes = 2)
+    assert(tiny.typesUsed == 2 && tiny.tokenMassCovered < 1.0)
+    val enc2 = graft.ops.Bpe.encode(docs, "text", tiny).collect()
+    assert(enc2.forall(_.getAs[Long]("n_bpe_tokens") > 0L))
+  }
+
   test("within-doc line dedup: first occurrence survives in order, zero-shuffle") {
     val df = Seq(
       (0L, "nav\nbody one\nnav\nbody two\nnav\nfooter"),
