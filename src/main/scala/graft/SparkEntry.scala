@@ -1030,6 +1030,26 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** SemDeDup over the embeddings table with planted near-duplicates
+    * (sign-flipped first coordinate, the q_embed_dedup construction —
+    * cosine ≈ 0.97 to the original): cluster semantically, drop
+    * within-cluster pairs ≥ τ keeping the min id. Approximate by
+    * construction (a copy landing in a different cluster than its
+    * original survives — the SemDeDup trade), so rows-only; the exact
+    * drop-set contract given the model's own assignments is pinned by
+    * the OpsSpec brute-force test.
+    */
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(t(dir, "embeddings"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val copies = emb.filter(col("vec_id") % 4 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), (x, i) => when(i === 0, -x).otherwise(x)).as("embedding"))
+    graft.ops.Dedup.semDedup(emb.union(copies), "embedding", "vec_id",
+        nClusters = 16, tau = 0.9)
+      .select(col("vec_id")).orderBy(col("vec_id"))
+  }
+
   /** BPE tokenizer fit + encode with oracle-checked conservation
     * contracts: 200 merges learned from the corpus word-type table
     * (driver-side election loop, documented contract), every document
@@ -1392,6 +1412,7 @@ object SparkEntry {
     "q_vocab" -> (qVocab _),
     "q_pmi" -> (qPmi _),
     "q_bpe" -> (qBpe _),
+    "q_semdedup" -> (qSemDedup _),
     "q_pii" -> (qPii _),
     "q_html_strip" -> (qHtmlStrip _),
     "q_url_norm" -> (qUrlNorm _),

@@ -86,6 +86,13 @@ object functions {
       delim: String = "\n"): DataFrame =
     graft.ops.Dedup.dedupLinesWithinDoc(df, textCol, delim)
 
+  /** SemDeDup semantic near-dup removal: k-means-cluster embeddings,
+    * drop within-cluster pairs with cosine >= tau (min id survives).
+    */
+  def semDedup(df: DataFrame, vecCol: String, idCol: String,
+      nClusters: Int, tau: Double, maxCluster: Int = 10000): DataFrame =
+    graft.ops.Dedup.semDedup(df, vecCol, idCol, nClusters, tau, maxCluster)
+
   /** Learn BPE merges from a corpus (driver-side election over the
     * top word types; see [[graft.ops.Bpe.fit]]).
     */

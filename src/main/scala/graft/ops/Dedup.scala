@@ -795,6 +795,57 @@ object Dedup {
         concat_ws(delim, col("__kept")).as(textCol))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication") — semantic near-dup
+    * removal as used for LAION/DataComp curation: k-means-cluster the
+    * embeddings, then compare pairs only WITHIN a cluster and drop all
+    * but one of every pair whose cosine ≥ `tau`. Reuses the
+    * deterministic spherical k-means of [[Similarity.ivfFit]]
+    * (farthest-point seeding, no RNG — same data in, same model out).
+    *
+    * Keep policy: the minimum id of a ≥τ pair survives (a documented
+    * deterministic variant of the paper's keep-farthest-from-centroid;
+    * the paper itself notes the choice barely moves downstream
+    * accuracy). Like every banded path here, clusters are capped at
+    * `maxCluster` members (first by id) — the cap is the recall
+    * budget, and the O(|c|²) within-cluster compare is the SemDeDup
+    * algorithm itself, bounded by cap². At 100 TB: nClusters scales
+    * with corpus size (the paper uses ~100k clusters for 5 B items,
+    * keeping clusters in the low thousands), fitting stays driver-side
+    * over a bounded sample, and only (id, vector) pairs shuffle — text
+    * and payload columns never move; survivors anti-join back.
+    */
+  def semDedup(df: DataFrame, vecCol: String, idCol: String,
+      nClusters: Int, tau: Double, maxCluster: Int = 10000,
+      iters: Int = 8, sampleN: Int = 2048): DataFrame = {
+    val model = Similarity.ivfFit(df, vecCol, idCol, nClusters, iters, sampleN)
+    semDedupAssigned(df, vecCol, idCol, model, tau, maxCluster)
+  }
+
+  /** [[semDedup]] against an already-fitted cluster model — the
+    * incremental path: fit once, dedup every ingest batch against the
+    * same semantic geometry.
+    */
+  def semDedupAssigned(df: DataFrame, vecCol: String, idCol: String,
+      model: Similarity.IvfModel, tau: Double,
+      maxCluster: Int = 10000): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
+    val v = col(vecCol).cast("array<double>")
+    val assigned = df.select(col(idCol).as("id"), v.as("v"))
+      .withColumn("cluster", Similarity.ivfAssign(col("v"), model))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("id"))
+    val capped = assigned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxCluster).drop("__rn")
+    val a = capped.select(col("cluster"), col("id").as("ida"), col("v").as("va"))
+    val b = capped.select(col("cluster"), col("id").as("idb"), col("v").as("vb"))
+    val drops = a.join(b, Seq("cluster"))
+      .filter(col("ida") < col("idb"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= tau)
+      .select(col("idb").as("__drop_id")).distinct()
+    df.join(drops, df(idCol) === drops("__drop_id"), "left_anti")
+  }
+
   /** WITHIN-document repeated-line removal — the per-document half of
     * C4's line policies (Raffel et al. 2020 §2.2 dedups lines globally;
     * RefinedWeb/Gopher additionally strip per-document boilerplate:

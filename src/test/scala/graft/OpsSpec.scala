@@ -1297,6 +1297,41 @@ class OpsSpec extends AnyFunSuite {
     assert(h(0).isNullAt(0) && h(0).isNullAt(1) && h(0).isNullAt(2))
   }
 
+  test("semdedup: drops exactly the brute-force within-cluster >=tau set, min id kept") {
+    // three well-separated directions in R^4, near-identical copies in each
+    def jit(base: Array[Double], eps: Double): Seq[Double] =
+      base.zipWithIndex.map { case (x, i) => x + (if (i == 3) eps else 0.0) }
+    val ex = Array(1.0, 0.02, 0.0, 0.0)
+    val ey = Array(0.0, 1.0, 0.03, 0.0)
+    val ez = Array(0.01, 0.0, 1.0, 0.0)
+    val rows = Seq(
+      (0L, jit(ex, 0.0)), (1L, jit(ex, 0.01)), (2L, jit(ex, 0.02)), // x-group
+      (10L, jit(ey, 0.0)), (11L, jit(ey, 0.015)),                   // y-group
+      (20L, jit(ez, 0.0)), (21L, jit(ez, 0.01)), (22L, jit(ez, 0.4))) // 22 far
+    val df = rows.toDF("id", "v")
+    val tau = 0.999
+    val model = graft.ops.Similarity.ivfFit(df, "v", "id", nClusters = 3)
+    val kept = graft.ops.Dedup.semDedupAssigned(df, "v", "id", model, tau)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // brute-force expectation from the model's own assignments
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val assign = df.select(col("id"),
+        graft.ops.Similarity.ivfAssign(col("v"), model).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expectedDrops = (for {
+      (ia, va) <- rows; (ib, vb) <- rows
+      if ia < ib && assign(ia) == assign(ib) && cos(va, vb) >= tau
+    } yield ib).toSet
+    assert(kept == rows.map(_._1).toSet -- expectedDrops)
+    // sanity on the geometry: each group deduped to its min id, outlier kept
+    assert(kept.contains(0L) && kept.contains(10L) && kept.contains(20L))
+    assert(kept.contains(22L))
+    assert(expectedDrops.nonEmpty)
+  }
+
   test("bpe fit: Sennrich worked example elects es, est, est</w>, lo in order") {
     val types = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
     val merges = graft.ops.Bpe.fitOnTypes(types, 4)
