@@ -1337,6 +1337,43 @@ object SparkEntry {
     }
   }
 
+  /** Raw-WARC gate, the q_wet_read pattern: deterministic response
+    * fixture (HTML page, binary PNG-ish payload, a 301 with an empty
+    * body) → literals oracle. Gates the HTTP-envelope split (status,
+    * media type with parameters stripped, body byte count) and the
+    * binary-body path (md5 of exact bytes) through the DataSource V2.
+    */
+  private def qWarcRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scratch = java.nio.file.Files.createTempDirectory("graft_warc_gate")
+    try {
+      val html = "<html><body>Hello &amp; crawl</body></html>".getBytes("UTF-8")
+      val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 0, 1)
+      java.nio.file.Files.write(scratch.resolve("crawl-0.warc"),
+        graft.sources.Warc.toBytes(Seq(
+          ("http://example.com/page", "2024-02-01T00:00:00Z", 200,
+            "text/html; charset=utf-8", html),
+          ("http://example.com/img", "2024-02-02T00:00:00Z", 200,
+            "image/png", png),
+          ("http://example.com/moved", "2024-02-03T00:00:00Z", 301,
+            "text/plain", Array.empty[Byte]))))
+      graft.sources.Warc.read(s, scratch.toString)
+        .select(col("url"), col("http_status").cast("long").as("http_status"),
+          col("http_content_type"),
+          length(col("body")).cast("long").as("body_bytes"),
+          hex(col("body")).as("body_hex"))
+        .orderBy(col("url"))
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getString(4)))
+        .toDF("url", "http_status", "http_content_type", "body_bytes", "body_hex")
+    } finally {
+      val st = java.nio.file.Files.list(scratch)
+      try st.forEach(p => java.nio.file.Files.deleteIfExists(p)) finally st.close()
+      java.nio.file.Files.deleteIfExists(scratch)
+    }
+  }
+
   /** Frame-sampling plumbing oracle: the stub header says nFrames =
     * 1 + id%10, sampling every 2nd frame gives ceil(nFrames/2) rows per
     * video — SQL-derivable, so the explode/binary-slicing path is gated.
@@ -1413,6 +1450,7 @@ object SparkEntry {
     "q_pmi" -> (qPmi _),
     "q_bpe" -> (qBpe _),
     "q_semdedup" -> (qSemDedup _),
+    "q_warc_read" -> (qWarcRead _),
     "q_pii" -> (qPii _),
     "q_html_strip" -> (qHtmlStrip _),
     "q_url_norm" -> (qUrlNorm _),
@@ -2284,6 +2322,19 @@ object SparkEntry {
         |  ('http://example.com/c', CAST(0 AS BIGINT), CAST(0 AS BIGINT), ''),
         |  ('http://example.com/d', CAST(13 AS BIGINT), CAST(2 AS BIGINT), 'delta epsilon')
         |) AS t(url, content_length, ws_tokens, text) ORDER BY url""".stripMargin,
+    // same pattern for raw WARC: the fixture is deterministic, so the
+    // oracle restates the parsed HTTP envelope and exact body bytes
+    // (uppercase hex, Spark's hex() convention) as literals
+    "q_warc_read" ->
+      """SELECT * FROM (VALUES
+        |  ('http://example.com/img', CAST(200 AS BIGINT), 'image/png',
+        |   CAST(10 AS BIGINT), '89504E470D0A1A0A0001'),
+        |  ('http://example.com/moved', CAST(301 AS BIGINT), 'text/plain',
+        |   CAST(0 AS BIGINT), ''),
+        |  ('http://example.com/page', CAST(200 AS BIGINT), 'text/html',
+        |   CAST(43 AS BIGINT), upper(hex('<html><body>Hello &amp; crawl</body></html>'::BLOB)))
+        |) AS t(url, http_status, http_content_type, body_bytes, body_hex)
+        |ORDER BY url""".stripMargin,
     "q_fp_card" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |ws AS (SELECT doc_id,

@@ -41,37 +41,57 @@ class WetDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = Wet.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new WetTable(new CaseInsensitiveStringMap(properties))
+    new WetTable(new CaseInsensitiveStringMap(properties), warc = false)
 }
 
-final class WetTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
-  override def name(): String = s"wet(${options.get("path")})"
-  override def schema(): StructType = Wet.schema
+/** Raw WARC crawl ingest (`spark.read.format("warc")`): surfaces
+  * `response` records with the HTTP envelope PARSED — status code,
+  * response Content-Type, and the body as a binary column (bytes, not
+  * text: a crawl body can be any media type; pair with
+  * [[graft.ops.Multimodal]] for binary payloads or decode+
+  * [[graft.ops.TextClean.stripHtml]] for HTML). Same file-per-partition
+  * streaming, glob, pruning, and permissive-mode contracts as the WET
+  * source — the two differ only in record defaults and row shape.
+  */
+class WarcDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "warc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = Warc.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new WetTable(new CaseInsensitiveStringMap(properties), warc = true)
+}
+
+final class WetTable(options: CaseInsensitiveStringMap, warc: Boolean)
+  extends Table with SupportsRead {
+  override def name(): String =
+    s"${if (warc) "warc" else "wet"}(${options.get("path")})"
+  override def schema(): StructType = if (warc) Warc.schema else Wet.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new WetScanBuilder(opts)
+    new WetScanBuilder(opts, warc)
 }
 
-final class WetScanBuilder(options: CaseInsensitiveStringMap)
+final class WetScanBuilder(options: CaseInsensitiveStringMap, warc: Boolean)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = Wet.schema
+  private var required: StructType = if (warc) Warc.schema else Wet.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan = {
     val path = options.get("path")
     require(path != null && path.nonEmpty, "wet source: no path given")
-    val types = Option(options.get("recordTypes")).getOrElse("conversion")
+    val types = Option(options.get("recordTypes"))
+      .getOrElse(if (warc) "response" else "conversion")
       .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
     val mode = Option(options.get("mode")).getOrElse("failfast").toLowerCase
     require(mode == "failfast" || mode == "permissive",
       s"wet source: mode must be failfast or permissive, got $mode")
-    new WetScan(path, required, types, permissive = mode == "permissive")
+    new WetScan(path, required, types, permissive = mode == "permissive", warc)
   }
 }
 
 final class WetScan(path: String, required: StructType, types: Set[String],
-    permissive: Boolean) extends Scan with Batch {
+    permissive: Boolean, warc: Boolean = false) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -99,17 +119,17 @@ final class WetScan(path: String, required: StructType, types: Set[String],
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    WetReaderFactory(required, types, permissive, serConf)
+    WetReaderFactory(required, types, permissive, warc, serConf)
 }
 
 final case class WetInputPartition(file: String) extends InputPartition
 
 final case class WetReaderFactory(required: StructType, types: Set[String],
-    permissive: Boolean, conf: SerializableConfiguration)
+    permissive: Boolean, warc: Boolean, conf: SerializableConfiguration)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new WetPartitionReader(partition.asInstanceOf[WetInputPartition].file,
-      required, types, permissive, conf.value)
+      required, types, permissive, warc, conf.value)
 }
 
 /** Streams one WET file: parses record headers, reads exactly
@@ -124,7 +144,7 @@ final case class WetReaderFactory(required: StructType, types: Set[String],
   * past a bad Content-Length inside a gzip stream is not attempted.)
   */
 final class WetPartitionReader(file: String, required: StructType,
-    types: Set[String], permissive: Boolean,
+    types: Set[String], permissive: Boolean, warc: Boolean,
     hadoopConf: org.apache.hadoop.conf.Configuration)
   extends PartitionReader[InternalRow] {
 
@@ -216,6 +236,10 @@ final class WetPartitionReader(file: String, required: StructType,
 
   private def buildRow(recType: String, uri: String, date: String,
       recId: String, len: Long, payload: Array[Byte]): InternalRow = {
+    // WARC response records wrap an HTTP message: status line, headers,
+    // CRLFCRLF, body. Parse lazily — only when an http_/body column is
+    // actually required (column pruning keeps a url-only scan cheap).
+    lazy val http: (Integer, String, Array[Byte]) = Warc.parseHttp(payload)
     val vals = required.fields.map { f =>
       f.name match {
         case "url" => if (uri == null) null else UTF8String.fromString(uri)
@@ -225,6 +249,10 @@ final class WetPartitionReader(file: String, required: StructType,
         case "content_length" => java.lang.Long.valueOf(len)
         case "record_idx" => java.lang.Long.valueOf(recordIdx)
         case "text" => UTF8String.fromBytes(payload)
+        case "http_status" => http._1
+        case "http_content_type" =>
+          if (http._2 == null) null else UTF8String.fromString(http._2)
+        case "body" => http._3
         case other => throw new IllegalArgumentException(s"wet: unknown column $other")
       }
     }
@@ -272,6 +300,89 @@ object Wet {
         s"Content-Type: text/plain\r\n" +
         s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1"))
       out.write(payload)
+      out.write("\r\n\r\n".getBytes("ISO-8859-1"))
+    }
+    out.toByteArray
+  }
+}
+
+object Warc {
+  /** WET columns plus the parsed HTTP envelope: `http_status` (null for
+    * a non-HTTP payload), `http_content_type` (the response header,
+    * lowercased media type only — parameters like charset stripped),
+    * `body` (payload bytes AFTER the HTTP header block; the raw payload
+    * if no block is found). `text` stays available for callers who want
+    * the unparsed payload.
+    */
+  val schema: StructType = StructType(Wet.schema.fields ++ Seq(
+    StructField("http_status", org.apache.spark.sql.types.IntegerType),
+    StructField("http_content_type", StringType),
+    StructField("body", org.apache.spark.sql.types.BinaryType)))
+
+  /** Facade: `Warc.read(spark, "hdfs://crawl-dir-or-glob")`. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("warc").load(path)
+
+  /** Split an HTTP/1.x response message into (status, contentType,
+    * body). Tolerant: accepts LF-only header termination; a payload not
+    * starting with `HTTP/` yields (null, null, payload) — WARC response
+    * records exist for non-HTTP protocols (e.g. DNS) and must not fail
+    * the scan.
+    */
+  private[graft] def parseHttp(payload: Array[Byte]): (Integer, String, Array[Byte]) = {
+    def ascii(from: Int, until: Int) =
+      new String(payload, from, until - from, "ISO-8859-1")
+    if (payload.length < 5 || ascii(0, 5) != "HTTP/")
+      return (null, null, payload)
+    // find header/body boundary: CRLFCRLF or LFLF, whichever first
+    var bodyAt = -1
+    var i = 0
+    while (bodyAt < 0 && i < payload.length - 1) {
+      if (payload(i) == '\n' &&
+          (payload(i + 1) == '\n' ||
+            (payload(i + 1) == '\r' && i + 2 < payload.length && payload(i + 2) == '\n')))
+        bodyAt = if (payload(i + 1) == '\n') i + 2 else i + 3
+      i += 1
+    }
+    if (bodyAt < 0) bodyAt = payload.length // header-only message
+    val head = ascii(0, bodyAt)
+    val lines = head.split("\r?\n")
+    val status: Integer = {
+      val parts = lines(0).split(" ")
+      if (parts.length >= 2 && parts(1).forall(_.isDigit) && parts(1).nonEmpty)
+        Integer.valueOf(parts(1).toInt)
+      else null
+    }
+    val cType = lines.drop(1).collectFirst {
+      case l if l.toLowerCase.startsWith("content-type:") =>
+        l.substring(l.indexOf(':') + 1).trim.split(";")(0).trim.toLowerCase
+    }.orNull
+    (status, cType, java.util.Arrays.copyOfRange(payload, bodyAt, payload.length))
+  }
+
+  /** Serialize WARC response records (url, date, status, contentType,
+    * body) — the fixture writer. The record Content-Length covers the
+    * full HTTP message, per ISO 28500.
+    */
+  def toBytes(records: Seq[(String, String, Int, String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val info = "software: graft-warc\r\n".getBytes("UTF-8")
+    out.write(("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      s"Content-Length: ${info.length}\r\n\r\n").getBytes("ISO-8859-1"))
+    out.write(info)
+    out.write("\r\n\r\n".getBytes("ISO-8859-1"))
+    records.zipWithIndex.foreach { case ((url, date, status, cType, body), i) =>
+      val httpHead = (s"HTTP/1.1 $status OK\r\n" +
+        s"Content-Type: $cType\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1")
+      val msgLen = httpHead.length + body.length
+      out.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: $url\r\nWARC-Date: $date\r\n" +
+        s"WARC-Record-ID: <urn:uuid:resp-$i>\r\n" +
+        s"Content-Type: application/http;msgtype=response\r\n" +
+        s"Content-Length: $msgLen\r\n\r\n").getBytes("ISO-8859-1"))
+      out.write(httpHead)
+      out.write(body)
       out.write("\r\n\r\n".getBytes("ISO-8859-1"))
     }
     out.toByteArray

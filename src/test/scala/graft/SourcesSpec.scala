@@ -126,4 +126,56 @@ class SourcesSpec extends AnyFunSuite {
         .head.getAs[Int]("ws_tokens") == 3)
     }
   }
+
+  test("warc source: response records parse HTTP envelope; body is bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc")
+    try {
+      val html = "<html><body>Hello &amp; welcome</body></html>".getBytes("UTF-8")
+      val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 1, 2, 3)
+      val bytes = graft.sources.Warc.toBytes(Seq(
+        ("http://example.com/page", "2024-01-01T00:00:00Z", 200, "text/html; charset=utf-8", html),
+        ("http://example.com/img", "2024-01-02T00:00:00Z", 404, "image/png", png)))
+      java.nio.file.Files.write(dir.resolve("crawl-0.warc"), bytes)
+      val df = graft.sources.Warc.read(spark, dir.toString)
+      assert(df.schema == graft.sources.Warc.schema)
+      val rows = df.orderBy("url")
+        .select("url", "record_type", "http_status", "http_content_type", "body")
+        .collect()
+      assert(rows.length == 2) // warcinfo skipped, responses surfaced
+      assert(rows.forall(_.getString(1) == "response"))
+      val img = rows(0)
+      assert(img.getInt(2) == 404 && img.getString(3) == "image/png")
+      assert(img.getAs[Array[Byte]](4).toSeq == png.toSeq)
+      val page = rows(1)
+      // charset parameter stripped from the media type
+      assert(page.getInt(2) == 200 && page.getString(3) == "text/html")
+      assert(new String(page.getAs[Array[Byte]](4), "UTF-8") ==
+        "<html><body>Hello &amp; welcome</body></html>")
+      // decode + stripHtml composes downstream
+      val visible = df.select(graft.ops.TextClean.stripHtml(
+          decode(col("body"), "UTF-8")).as("t"))
+        .filter(col("http_content_type") === "text/html")
+        .head.getString(0)
+      assert(visible == "Hello & welcome")
+    } finally {
+      val s = java.nio.file.Files.list(dir)
+      try s.forEach(p => java.nio.file.Files.delete(p)) finally s.close()
+      java.nio.file.Files.delete(dir)
+    }
+  }
+
+  test("warc http parse: non-HTTP payload falls through, LF-only headers accepted") {
+    import graft.sources.Warc
+    val dns = "bind9 response bytes".getBytes("UTF-8")
+    assert(Warc.parseHttp(dns)._1 == null)
+    assert(Warc.parseHttp(dns)._3.toSeq == dns.toSeq)
+    val lfOnly = "HTTP/1.0 301 Moved\nContent-Type: TEXT/PLAIN\n\nbody!".getBytes("ISO-8859-1")
+    val (st, ct, body) = Warc.parseHttp(lfOnly)
+    assert(st == 301 && ct == "text/plain")
+    assert(new String(body, "ISO-8859-1") == "body!")
+    // header-only message: empty body, not an error
+    val headOnly = "HTTP/1.1 204 No Content\r\nServer: x\r\n\r\n".getBytes("ISO-8859-1")
+    val h = Warc.parseHttp(headOnly)
+    assert(h._1 == 204 && h._3.isEmpty)
+  }
 }
