@@ -362,6 +362,36 @@ class PlanSpec extends AnyFunSuite {
     assert(executed.contains("*(1)"), executed) // one fused codegen stage
   }
 
+  test("vocab top-k and pmi: tokens shuffle with partial agg, cut is TakeOrdered") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val top = graft.ops.Vocab.topKNgrams(docs, "text", n = 2, k = 50, minCount = 2)
+    val topPlan = planOf(top)
+    // top-k via executor-local heaps, never a global sort; map-side
+    // partial aggregation before the single gram shuffle
+    assert(topPlan.contains("TakeOrderedAndProject"), topPlan)
+    assert(!topPlan.contains("Exchange rangepartitioning"), topPlan)
+    assert(topPlan.contains("partial_count"), topPlan)
+    val pmi = graft.ops.Vocab.pmiCollocations(docs, "text", minCount = 2, k = 20)
+    val pmiPlan = planOf(pmi)
+    assert(pmiPlan.contains("TakeOrderedAndProject"), pmiPlan)
+    assert(!pmiPlan.contains("Exchange rangepartitioning"), pmiPlan)
+    // count tables are tiny relative to the corpus: both pair-count
+    // joins must broadcast, never sort-merge the token stream
+    assert(!pmiPlan.contains("SortMergeJoin"), pmiPlan)
+  }
+
+  test("bpe encode: scan-local codegen'd projection, zero exchanges") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val model = graft.ops.Bpe.BpeModel(
+      Seq(("t", "h"), ("th", "e"), ("the", "</w>")), 3L, 3, 1.0)
+    val enc = graft.ops.Bpe.encode(docs, "text", model)
+    val plan = planOf(enc)
+    assert(!plan.contains("Exchange"), plan)
+    enc.collect()
+    val executed = enc.queryExecution.executedPlan.toString
+    assert(executed.contains("*(1)"), executed) // stays in whole-stage codegen
+  }
+
   test("bm25: one pivot shuffle, no joins, top-k without a full sort") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = graft.ops.Retrieval.bm25TopK(docs, "text", "doc_id",
