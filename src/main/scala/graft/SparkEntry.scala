@@ -1030,6 +1030,39 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Naive-Bayes quality-model training (the fit half of the
+    * fastText-style filter): deterministic pos/neg slices of the
+    * corpus, closed-form smoothed log-odds weights — counts, totals,
+    * and the 1e-9-grained ln all re-derived in SQL.
+    */
+  private def qNbFit(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    graft.ops.Retrieval.fitNbWeights(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 =!= 0),
+      "text", alpha = 0.5, minCount = 3L, k = 100)
+  }
+
+  /** Domain blocklist filtering over synthesized URLs: blocked
+    * registered domains (PSL-resolved — `spamN.example.co.uk` all
+    * collapse to `example.co.uk`), a kept domain, and non-URL rows
+    * (kept — a blocklist removes what it names, nothing else). The
+    * oracle restates the decision per residue class.
+    */
+  private def qUrlFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("https://spam"), col("doc_id") % 3, lit(".example.co.uk/p")))
+      .when(col("doc_id") % 4 === 1, lit("https://ads.tracker.net/x"))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://ok"), col("doc_id") % 5, lit(".example.org/page")))
+      .otherwise(concat(lit("notaurl "), col("doc_id")))
+    graft.ops.Urls.filterBlockedDomains(
+        docs.select(col("doc_id"), url.as("url")), "url",
+        Seq("example.co.uk", "tracker.net"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SemDeDup over the embeddings table with planted near-duplicates
     * (sign-flipped first coordinate, the q_embed_dedup construction —
     * cosine ≈ 0.97 to the original): cluster semantically, drop
@@ -1451,6 +1484,8 @@ object SparkEntry {
     "q_bpe" -> (qBpe _),
     "q_semdedup" -> (qSemDedup _),
     "q_warc_read" -> (qWarcRead _),
+    "q_nb_fit" -> (qNbFit _),
+    "q_url_filter" -> (qUrlFilter _),
     "q_pii" -> (qPii _),
     "q_html_strip" -> (qHtmlStrip _),
     "q_url_norm" -> (qUrlNorm _),
@@ -2232,6 +2267,29 @@ object SparkEntry {
         |s6 AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text FROM s5)
         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_visible, text
         |FROM s6 ORDER BY doc_id""".stripMargin,
+    "q_nb_fit" ->
+      """WITH pt AS (SELECT term, count(*) AS c_pos FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |    FROM documents WHERE doc_id % 3 = 0) WHERE term <> '' GROUP BY term),
+        |nt AS (SELECT term, count(*) AS c_neg FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |    FROM documents WHERE doc_id % 3 <> 0) WHERE term <> '' GROUP BY term),
+        |j AS (SELECT coalesce(pt.term, nt.term) AS term,
+        |  coalesce(c_pos, 0) AS c_pos, coalesce(c_neg, 0) AS c_neg
+        |  FROM pt FULL OUTER JOIN nt ON pt.term = nt.term),
+        |t AS (SELECT sum(c_pos)::DOUBLE AS npos, sum(c_neg)::DOUBLE AS nneg,
+        |  (count(*) + 1)::DOUBLE AS v FROM j),
+        |w AS (SELECT term, c_pos, c_neg,
+        |  CAST(floor((ln((c_pos + 0.5) / (t.npos + 0.5 * t.v)) -
+        |              ln((c_neg + 0.5) / (t.nneg + 0.5 * t.v))) * 1e9) AS BIGINT) AS w9
+        |  FROM j CROSS JOIN t WHERE c_pos + c_neg >= 3)
+        |SELECT term, c_pos, c_neg, round(w9 / 1e9, 6) AS weight
+        |FROM w ORDER BY abs(w9) DESC, term LIMIT 100""".stripMargin,
+    "q_url_filter" ->
+      """SELECT doc_id, CASE
+        |  WHEN doc_id % 4 = 2 THEN 'https://ok' || (doc_id % 5) || '.example.org/page'
+        |  ELSE 'notaurl ' || doc_id END AS url
+        |FROM documents WHERE doc_id % 4 IN (2, 3) ORDER BY doc_id""".stripMargin,
     "q_bpe" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN trim(lower(text)) = '' THEN 0

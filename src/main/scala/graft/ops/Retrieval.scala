@@ -131,4 +131,51 @@ object Retrieval {
       .withColumn("keep", (col("score") >= threshold).cast("long"))
       .select(col(idCol), col("score"), col("keep"))
   }
+
+  /** Train the weights [[linearTextScore]] serves — the "fit" half of
+    * the CCNet/DCLM quality-filter recipe (label a curated corpus
+    * positive, raw crawl negative, train a linear bag-of-words
+    * classifier). With bag-of-words features the optimal naive-Bayes
+    * weights are CLOSED FORM from counts — no gradient loop:
+    * `w(t) = ln((cPos(t)+α)/(NPos+αV)) − ln((cNeg(t)+α)/(NNeg+αV))`,
+    * V = distinct terms across both corpora + 1 (shared OOV slot).
+    *
+    * Output: `(term, c_pos, c_neg, weight)` for terms seen ≥ `minCount`
+    * times overall, top-`k` by |weight| (1e-9-grained ln over exact
+    * integer counts — partitioning-independent, engine-replicable —
+    * ties broken on the term). Feed straight into
+    * `linearTextScore(df, …, weights, bias = ln(nPosDocs/nNegDocs))`.
+    *
+    * Scale shape: one token-count aggregation per side (map-side
+    * partial, bounded-vocabulary words shuffle, text never) and three
+    * driver-side scalars — the bm25 corpus-stats contract.
+    */
+  def fitNbWeights(pos: DataFrame, neg: DataFrame, textCol: String,
+      alpha: Double = 0.5, minCount: Long = 2L, k: Int = 200): DataFrame = {
+    require(alpha > 0 && minCount >= 1 && k >= 1,
+      s"bad alpha/minCount/k: $alpha/$minCount/$k")
+    def toks(df: DataFrame) = df
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val pc = toks(pos).groupBy(col("term")).agg(count(lit(1)).as("c_pos"))
+    val nc = toks(neg).groupBy(col("term")).agg(count(lit(1)).as("c_neg"))
+    val joined = pc.join(nc, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("c_pos"), lit(0L)).as("c_pos"),
+        coalesce(col("c_neg"), lit(0L)).as("c_neg"))
+    val totals = joined
+      .agg(sum(col("c_pos")), sum(col("c_neg")), count(lit(1))).head()
+    val nPos = totals.getLong(0).toDouble
+    val nNeg = totals.getLong(1).toDouble
+    val v = (totals.getLong(2) + 1L).toDouble
+    joined.filter(col("c_pos") + col("c_neg") >= minCount)
+      .withColumn("w9",
+        floor((log((col("c_pos") + lit(alpha)) / lit(nPos + alpha * v)) -
+          log((col("c_neg") + lit(alpha)) / lit(nNeg + alpha * v))) * lit(1e9))
+          .cast("long"))
+      .orderBy(abs(col("w9")).desc, col("term"))
+      .limit(k)
+      .select(col("term"), col("c_pos"), col("c_neg"),
+        round(col("w9") / lit(1e9), 6).as("weight"))
+  }
 }

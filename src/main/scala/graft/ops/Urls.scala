@@ -66,4 +66,29 @@ object Urls {
     when(scheme === "", url)
       .otherwise(concat(scheme, lit("://"), authNoPort, path))
   }
+
+  /** Domain blocklist filter (the RefinedWeb/C4 URL-filtering stage):
+    * drop rows whose REGISTERED domain appears in `blocked`. Small
+    * lists compile into a codegen'd `isin` literal set (zero shuffles);
+    * rows with no extractable domain (non-URLs, bare suffixes) are
+    * KEPT — a blocklist removes what it names, nothing else.
+    */
+  def filterBlockedDomains(df: org.apache.spark.sql.DataFrame, urlCol: String,
+      blocked: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist")
+    val d = registeredDomain(col(urlCol))
+    df.filter(!d.isin(blocked.map(_.toLowerCase): _*))
+  }
+
+  /** [[filterBlockedDomains]] against a blocklist TABLE — the
+    * million-domain case where an `isin` literal is no longer sane:
+    * left-anti join on the domain, broadcast when the list fits
+    * (Spark's size estimate decides; hint upstream for certainty).
+    * `blocklist` must expose a `domain` column, pre-lowercased.
+    */
+  def filterBlockedDomainsDf(df: org.apache.spark.sql.DataFrame, urlCol: String,
+      blocklist: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("__rd", registeredDomain(col(urlCol)))
+      .join(blocklist.select(col("domain").as("__rd")), Seq("__rd"), "left_anti")
+      .drop("__rd")
 }

@@ -1297,6 +1297,55 @@ class OpsSpec extends AnyFunSuite {
     assert(h(0).isNullAt(0) && h(0).isNullAt(1) && h(0).isNullAt(2))
   }
 
+  test("nb quality-model fit: hand-computed log-odds; composes with linearTextScore") {
+    val pos = Seq((0L, "good clean prose text"), (1L, "clean prose again")).toDF("id", "text")
+    val neg = Seq((2L, "spam spam buy now"), (3L, "buy spam")).toDF("id", "text")
+    val w = graft.ops.Retrieval.fitNbWeights(pos, neg, "text",
+        alpha = 0.5, minCount = 1L, k = 100)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // totals: npos=7, nneg=6, distinct terms = 8 -> v=9
+    val (npos, nneg, v) = (7.0, 6.0, 9.0)
+    def expect(cp: Long, cn: Long): Double = {
+      val w9 = math.floor((math.log((cp + 0.5) / (npos + 0.5 * v)) -
+        math.log((cn + 0.5) / (nneg + 0.5 * v))) * 1e9).toLong
+      (BigDecimal(w9) / BigDecimal(1000000000L))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(w("spam")._1 == 0L && w("spam")._2 == 3L)
+    assert(w("spam")._3 == expect(0, 3))
+    assert(w("clean")._3 == expect(2, 0))
+    assert(w("clean")._3 > 0 && w("spam")._3 < 0 && w("buy")._3 < 0)
+    // serving composition: the trained weights separate the corpora
+    val weights = graft.ops.Retrieval.fitNbWeights(pos, neg, "text",
+        alpha = 0.5, minCount = 1L, k = 100)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toSeq
+    val scored = graft.ops.Retrieval.linearTextScore(
+        pos.unionByName(neg), "text", "id", weights)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(0L) > 0 && scored(1L) > 0 && scored(2L) < 0 && scored(3L) < 0)
+  }
+
+  test("domain blocklist: PSL-resolved removal, non-URLs kept, table variant agrees") {
+    val df = Seq(
+      // PSL: registeredDomain("a.spam.example.co.uk") = example.co.uk
+      (0L, "https://a.spam.example.co.uk/x"),
+      (1L, "https://sub.bad.net/y"),
+      (2L, "https://good.org/z"),
+      (3L, "plain text")).toDF("id", "url")
+    val kept = graft.ops.Urls.filterBlockedDomains(df, "url",
+        Seq("example.co.uk", "bad.net"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+    val blocklist = Seq("example.co.uk", "bad.net").toDF("domain")
+    val kept2 = graft.ops.Urls.filterBlockedDomainsDf(df, "url", blocklist)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == kept)
+    // the table variant must not reorder/drop other columns
+    assert(graft.ops.Urls.filterBlockedDomainsDf(df, "url", blocklist)
+      .columns.toSeq == Seq("id", "url"))
+  }
+
   test("semdedup: drops exactly the brute-force within-cluster >=tau set, min id kept") {
     // three well-separated directions in R^4, near-identical copies in each
     def jit(base: Array[Double], eps: Double): Seq[Double] =
