@@ -392,6 +392,43 @@ class PlanSpec extends AnyFunSuite {
     assert(executed.contains("*(1)"), executed) // stays in whole-stage codegen
   }
 
+  test("semdedup: payload never crosses the within-cluster join; report shuffles no text") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.types.StringType
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("payload", concat(lit("text-payload-"), col("vec_id")))
+    val model = graft.ops.Similarity.ivfFit(emb, "embedding", "vec_id", nClusters = 4)
+    val out = graft.ops.Dedup.semDedupAssigned(emb, "embedding", "vec_id", model, 0.9)
+    val opt = out.queryExecution.optimizedPlan
+    val clusterJoins = opt.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "cluster")) => j
+    }
+    assert(clusterJoins.nonEmpty, opt.toString)
+    clusterJoins.foreach(j => j.children.foreach(c =>
+      assert(!c.output.exists(_.dataType == StringType),
+        s"payload strings cross the within-cluster join:\n$opt")))
+    // corpus report: only the scan sees text; every shuffle carries
+    // lang + numeric/hash columns
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rep = graft.ops.TextStats.corpusReport(docs, "text", "doc_id")
+    val executed = { rep.collect(); rep.queryExecution.executedPlan.toString }
+    val exchanges = executed.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, executed)
+    assert(!exchanges.exists(_.contains("text#")), executed)
+  }
+
+  test("bpe fit: type-table truncation is TakeOrdered, not a global sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val counts = docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(50000)
+    val plan = planOf(counts)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
   test("bm25: one pivot shuffle, no joins, top-k without a full sort") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = graft.ops.Retrieval.bm25TopK(docs, "text", "doc_id",
