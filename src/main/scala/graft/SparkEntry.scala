@@ -1417,6 +1417,48 @@ object SparkEntry {
     }
   }
 
+  /** REAL image decode gate: synthesizeReal writes actual 24-bit BMPs
+    * whose pixels follow closed-form integer formulas; imageStats
+    * decodes them (offsets, bottom-up BGR, row padding) and averages
+    * the REAL bytes. The oracle recomputes the means from the formulas
+    * alone — any encode/decode defect shifts a mean and hash-fails.
+    */
+  private def qMmImage(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 120)
+    val media = Multimodal.synthesizeReal(docs, "doc_id")
+    Multimodal.imageStats(media)
+      .select(col("media_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy(col("media_id"))
+  }
+
+  /** REAL audio decode gate: PCM16 WAVs with a deterministic integer
+    * waveform; audioStats decodes the RIFF chunks and computes
+    * duration + RMS from the actual samples, both re-derived in SQL.
+    */
+  private def qMmAudio(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 120)
+    val media = Multimodal.synthesizeReal(docs, "doc_id")
+    Multimodal.audioStats(media)
+      .select(col("media_id"), col("sample_rate").cast("long").as("sample_rate"),
+        col("n_samples"), col("duration_s"), col("rms"))
+      .orderBy(col("media_id"))
+  }
+
+  /** REAL resize gate: decode → nearest-neighbor resample to 6x4 →
+    * re-encode → decode again for stats. The oracle replays the
+    * source-pixel election (sx = x*w/6, sy = y*h/4, floor division)
+    * over the pixel formulas.
+    */
+  private def qMmResize(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 120)
+    val media = Multimodal.synthesizeReal(docs, "doc_id")
+    Multimodal.imageStats(Multimodal.resizeImages(media, 6, 4))
+      .select(col("media_id"), col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy(col("media_id"))
+  }
+
   /** Frame-sampling plumbing oracle: the stub header says nFrames =
     * 1 + id%10, sampling every 2nd frame gives ceil(nFrames/2) rows per
     * video — SQL-derivable, so the explode/binary-slicing path is gated.
@@ -1509,6 +1551,9 @@ object SparkEntry {
     "q_fp_card" -> (qFpCard _),
     "q_multimodal" -> (qMultimodal _),
     "q_mm_frames" -> (qMmFrames _),
+    "q_mm_image" -> (qMmImage _),
+    "q_mm_audio" -> (qMmAudio _),
+    "q_mm_resize" -> (qMmResize _),
     "q_wet_read" -> (qWetRead _),
     "q_materialize" -> (qMaterialize _))
 
@@ -2419,6 +2464,37 @@ object SparkEntry {
         |  round((length(text) - length(replace(text, ' ', '')))::DOUBLE
         |        / greatest(octet_length(encode(text)), 1), 3) AS f2
         |FROM documents WHERE doc_id < 100 ORDER BY media_id""".stripMargin,
+    "q_mm_image" ->
+      """WITH img AS (SELECT doc_id AS id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
+        |  FROM documents WHERE doc_id < 120 AND doc_id % 3 = 0),
+        |xs AS (SELECT id, w, h, unnest(generate_series(0, w - 1)) AS x FROM img),
+        |px AS (SELECT id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs)
+        |SELECT id AS media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  round(avg((7 * x + 13 * y + id) % 256), 6) AS mean_r,
+        |  round(avg((11 * x + 5 * y + 3 * id) % 256), 6) AS mean_g,
+        |  round(avg((3 * x + 17 * y + 7 * id) % 256), 6) AS mean_b
+        |FROM px GROUP BY id, w, h ORDER BY media_id""".stripMargin,
+    "q_mm_audio" ->
+      """WITH au AS (SELECT doc_id AS id, 64 + doc_id % 64 AS n
+        |  FROM documents WHERE doc_id < 120 AND doc_id % 3 = 1),
+        |smp AS (SELECT id, n, ((37 * unnest(generate_series(0, n - 1)) + 11 * id) % 2048) - 1024 AS s
+        |  FROM au)
+        |SELECT id AS media_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  round(n / 8000.0, 6) AS duration_s,
+        |  round(sqrt(avg(s * s)), 6) AS rms
+        |FROM smp GROUP BY id, n ORDER BY media_id""".stripMargin,
+    "q_mm_resize" ->
+      """WITH img AS (SELECT doc_id AS id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
+        |  FROM documents WHERE doc_id < 120 AND doc_id % 3 = 0),
+        |xs AS (SELECT id, w, h, unnest(generate_series(0, 5)) AS x FROM img),
+        |px AS (SELECT id, w, h, x, unnest(generate_series(0, 3)) AS y FROM xs),
+        |src AS (SELECT id, (x * w) // 6 AS sx, (y * h) // 4 AS sy FROM px)
+        |SELECT id AS media_id,
+        |  round(avg((7 * sx + 13 * sy + id) % 256), 6) AS mean_r,
+        |  round(avg((11 * sx + 5 * sy + 3 * id) % 256), 6) AS mean_g,
+        |  round(avg((3 * sx + 17 * sy + 7 * id) % 256), 6) AS mean_b
+        |FROM src GROUP BY id ORDER BY media_id""".stripMargin,
     "q_mm_frames" ->
       """SELECT doc_id AS media_id,
         |       CAST(ceil((1 + doc_id % 10) / 2.0) AS BIGINT) AS n_sampled

@@ -7,13 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque binary columns
   * with typed metadata, processed in executor-local batches.
   *
-  * The Spark-side plumbing (schema, partition-local batched processing,
-  * deterministic output shapes) is real and tested; the actual
-  * codec/DSP work is STUBBED behind [[StubCodec]] because no image/audio
-  * libraries ship in this environment — `decode` parses only the 16-byte
-  * fake header and synthesizes deterministic "samples" from the payload.
-  * Swap StubCodec for a real codec (e.g. javacpp-ffmpeg) without touching
-  * the operator shapes.
+  * Two tiers of fidelity:
+  *  - REAL: uncompressed 24-bit BMP and PCM16 WAV decode/resize/stats
+  *    via the dependency-free [[Codecs]] — actual pixel and sample
+  *    work, oracle-gated end to end (q_mm_image / q_mm_audio /
+  *    q_mm_resize re-derive every statistic from the synthesis
+  *    formulas in SQL).
+  *  - STUB: compressed/container formats (JPEG/MP4 video) stay behind
+  *    [[StubCodec]] — no codec libraries ship in this environment;
+  *    `decode` parses only the 16-byte fake header. Swap StubCodec for
+  *    a real codec (e.g. javacpp-ffmpeg) without touching the operator
+  *    shapes.
   *
   * Batch shape mirrors Arrow-batched UDF execution (mapInPandas):
   * `mapPartitions` + grouped iterator, so per-batch setup cost (codec
@@ -130,6 +134,146 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rows, ordered.schema)
+  }
+
+  // ---- REAL image/audio paths (dependency-free BMP + WAV codecs) ----
+
+  /** Deterministic real-media table: id%3==0 → an actual 24-bit BMP
+    * whose pixel (x,y) channels follow closed-form integer formulas
+    * (r=(7x+13y+id)%256, g=(11x+5y+3id)%256, b=(3x+17y+7id)%256 over a
+    * w=8+id%5 × h=8+id%3 canvas), id%3==1 → an actual PCM16 WAV with a
+    * deterministic integer waveform (s_i=((37i+11id)%2048)−1024 at
+    * 8 kHz), else the stub "video" container. The formulas make every
+    * downstream pixel/sample statistic re-derivable in ANSI SQL, so the
+    * REAL codec round-trip is oracle-gated.
+    */
+  def synthesizeReal(df: DataFrame, idCol: String): DataFrame = {
+    val enc = udf((id: Long) => {
+      (id % 3) match {
+        case 0 =>
+          val w = 8 + (id % 5).toInt
+          val h = 8 + (id % 3).toInt
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = (y * w + x) * 3
+              rgb(p) = ((7 * x + 13 * y + id) % 256).toByte
+              rgb(p + 1) = ((11 * x + 5 * y + 3 * id) % 256).toByte
+              rgb(p + 2) = ((3 * x + 17 * y + 7 * id) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          Codecs.encodeBmp(w, h, rgb)
+        case 1 =>
+          val n = 64 + (id % 64).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((37L * i + 11 * id) % 2048) - 1024).toShort)
+          Codecs.encodeWav(8000, samples)
+        case _ =>
+          StubCodec.encodeHeader(16, 16, 0, 1 + (id % 10).toInt,
+            java.math.BigInteger.valueOf(id).toByteArray)
+      }
+    })
+    val kind = when(col(idCol) % 3 === 0, "image")
+      .when(col(idCol) % 3 === 1, "audio").otherwise("video")
+    df.select(col(idCol).as("media_id"), kind.as("kind"),
+      enc(col(idCol)).as("data"))
+  }
+
+  private val imageStatsSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false)))
+
+  /** REAL image statistics: decode each BMP (header offsets, bottom-up
+    * BGR rows, padding) and average the actual channel bytes. Batched
+    * iterator, kind filter before the decode — same shape as
+    * [[extractFeatures]]; any codec defect shifts a mean and fails the
+    * q_mm_image oracle.
+    */
+  def imageStats(media: DataFrame, batchSize: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.filter(col("kind") === "image")
+      .select(col("media_id"), col("data")).rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val (w, h, rgb) = Codecs.decodeBmp(r.getAs[Array[Byte]]("data"))
+            val sums = new Array[Long](3)
+            var i = 0
+            while (i < rgb.length) { sums(i % 3) += rgb(i) & 0xff; i += 1 }
+            val n = (w * h).toDouble
+            def mean(c: Int): Double =
+              BigDecimal(sums(c) / n).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble
+            Row(r.getLong(0), w, h, mean(0), mean(1), mean(2))
+          }
+        }
+      }
+    spark.createDataFrame(rows, imageStatsSchema)
+  }
+
+  /** REAL nearest-neighbor image resize: decode → resample →
+    * re-encode a valid BMP. Output schema matches the input
+    * (media_id, kind, data).
+    */
+  def resizeImages(media: DataFrame, dstW: Int, dstH: Int,
+      batchSize: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    val ordered = media.filter(col("kind") === "image")
+      .select(col("media_id"), col("kind"), col("data"))
+    val rows = ordered.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, rgb) = Codecs.decodeBmp(r.getAs[Array[Byte]]("data"))
+          Row(r.getLong(0), r.getString(1),
+            Codecs.encodeBmp(dstW, dstH, Codecs.resizeRgb(w, h, rgb, dstW, dstH)))
+        }
+      }
+    }
+    spark.createDataFrame(rows, ordered.schema)
+  }
+
+  private val audioStatsSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("duration_s", DoubleType, nullable = false),
+    StructField("rms", DoubleType, nullable = false)))
+
+  /** REAL audio statistics from decoded PCM: sample count, duration,
+    * RMS amplitude — the silence/clipping screens of an audio ingest
+    * pipeline. Integer sample sums keep the numbers oracle-exact.
+    */
+  def audioStats(media: DataFrame, batchSize: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("data")).rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val (sr, samples) = Codecs.decodeWav(r.getAs[Array[Byte]]("data"))
+            var sq = 0L
+            var i = 0
+            while (i < samples.length) {
+              sq += samples(i).toLong * samples(i); i += 1
+            }
+            val n = samples.length.toLong
+            def r6(x: Double): Double =
+              BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            Row(r.getLong(0), sr, n,
+              r6(n.toDouble / sr),
+              r6(math.sqrt(sq.toDouble / math.max(n, 1L))))
+          }
+        }
+      }
+    spark.createDataFrame(rows, audioStatsSchema)
   }
 
   private val frameSchema = StructType(Seq(

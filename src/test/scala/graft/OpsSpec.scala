@@ -1297,6 +1297,50 @@ class OpsSpec extends AnyFunSuite {
     assert(h(0).isNullAt(0) && h(0).isNullAt(1) && h(0).isNullAt(2))
   }
 
+  test("bmp codec: byte-exact round trip incl. row padding; resize elects nearest") {
+    import graft.ops.Codecs
+    // 3x2: stride 12 (9 data + 3 pad) — the padding case
+    val rgb = Array.tabulate(3 * 2 * 3)(i => (i * 11 % 256).toByte)
+    val bmp = Codecs.encodeBmp(3, 2, rgb)
+    assert(bmp(0) == 'B' && bmp(1) == 'M' && bmp.length == 54 + 12 * 2)
+    val (w, h, back) = Codecs.decodeBmp(bmp)
+    assert(w == 3 && h == 2 && back.toSeq == rgb.toSeq)
+    // BGR on disk: first stored pixel is the BOTTOM-LEFT one, reversed
+    assert(bmp(54) == rgb(3 * 3 + 2) && bmp(56) == rgb(3 * 3)) // b, r of (0,1)
+    // 4x1 (no padding) survives too
+    val r2 = Array.tabulate(12)(i => i.toByte)
+    assert(Codecs.decodeBmp(Codecs.encodeBmp(4, 1, r2))._3.toSeq == r2.toSeq)
+    // nearest-neighbor: 2x upscale replicates pixels, identity resize is a no-op
+    val up = Codecs.resizeRgb(2, 1, Array[Byte](1, 2, 3, 4, 5, 6), 4, 1)
+    assert(up.toSeq == Seq[Byte](1, 2, 3, 1, 2, 3, 4, 5, 6, 4, 5, 6))
+    assert(Codecs.resizeRgb(3, 2, rgb, 3, 2).toSeq == rgb.toSeq)
+  }
+
+  test("wav codec: round trip, chunk walking past LIST, malformed rejected") {
+    import graft.ops.Codecs
+    val samples = Array.tabulate(100)(i => ((i * 523) % 2048 - 1024).toShort)
+    val wav = Codecs.encodeWav(8000, samples)
+    assert(wav.length == 44 + 200)
+    val (sr, back) = Codecs.decodeWav(wav)
+    assert(sr == 8000 && back.toSeq == samples.toSeq)
+    // a LIST chunk between fmt and data must be skipped, not fatal
+    val withList = {
+      val head = java.util.Arrays.copyOfRange(wav, 0, 36) // RIFF..fmt chunk
+      val listChunk = "LIST".getBytes("ISO-8859-1") ++
+        Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("ISO-8859-1")
+      val dataChunk = java.util.Arrays.copyOfRange(wav, 36, wav.length)
+      val out = head ++ listChunk ++ dataChunk
+      val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(4, out.length - 8) // fix RIFF size
+      out
+    }
+    val (sr2, back2) = Codecs.decodeWav(withList)
+    assert(sr2 == 8000 && back2.toSeq == samples.toSeq)
+    intercept[IllegalArgumentException](Codecs.decodeWav("nope".getBytes))
+    intercept[IllegalArgumentException](
+      Codecs.decodeBmp(Array[Byte](1, 2, 3)))
+  }
+
   test("corpus report: per-language volume, exact quantiles, dup rate") {
     val df = Seq(
       (0L, "the fast hash join of the table"), // en
