@@ -1459,6 +1459,19 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** REAL video gate: C420 Y4M streams decoded frame by frame, every
+    * 2nd frame's luma mean reported from the actual plane bytes; the
+    * oracle replays the sampled indices and the luma formula.
+    */
+  private def qMmVideo(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 120)
+    val media = Multimodal.synthesizeReal(docs, "doc_id")
+    Multimodal.sampleFramesReal(media, everyK = 2)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("luma_mean"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   /** Frame-sampling plumbing oracle: the stub header says nFrames =
     * 1 + id%10, sampling every 2nd frame gives ceil(nFrames/2) rows per
     * video — SQL-derivable, so the explode/binary-slicing path is gated.
@@ -1554,6 +1567,7 @@ object SparkEntry {
     "q_mm_image" -> (qMmImage _),
     "q_mm_audio" -> (qMmAudio _),
     "q_mm_resize" -> (qMmResize _),
+    "q_mm_video" -> (qMmVideo _),
     "q_wet_read" -> (qWetRead _),
     "q_materialize" -> (qMaterialize _))
 
@@ -2495,6 +2509,14 @@ object SparkEntry {
         |  round(avg((11 * sx + 5 * sy + 3 * id) % 256), 6) AS mean_g,
         |  round(avg((3 * sx + 17 * sy + 7 * id) % 256), 6) AS mean_b
         |FROM src GROUP BY id ORDER BY media_id""".stripMargin,
+    "q_mm_video" ->
+      """WITH vid AS (SELECT doc_id AS id, 1 + doc_id % 10 AS nf
+        |  FROM documents WHERE doc_id < 120 AND doc_id % 3 = 2),
+        |fr AS (SELECT id, unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 2)) AS f FROM vid),
+        |lm AS (SELECT id, f, unnest(generate_series(0, 63)) AS i FROM fr)
+        |SELECT id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  round(avg((5 * i + 19 * f + id) % 256), 6) AS luma_mean
+        |FROM lm GROUP BY id, f ORDER BY media_id, frame_idx""".stripMargin,
     "q_mm_frames" ->
       """SELECT doc_id AS media_id,
         |       CAST(ceil((1 + doc_id % 10) / 2.0) AS BIGINT) AS n_sampled

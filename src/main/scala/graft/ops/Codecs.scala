@@ -107,6 +107,63 @@ object Codecs {
     out
   }
 
+  // ---- Y4M (YUV4MPEG2 uncompressed video, C420) ----
+
+  /** Encode 4:2:0 frames as YUV4MPEG2: the plain-text stream header
+    * (`YUV4MPEG2 W.. H.. F.. C420`), then `FRAME\n` + w·h luma bytes +
+    * two (w/2)·(h/2) chroma planes per frame — the standard
+    * uncompressed interchange format of the video tool ecosystem
+    * (mjpegtools/ffmpeg/x264 all speak it), and the one video container
+    * a bare JVM can honestly write.
+    */
+  def encodeY4m(w: Int, h: Int, fps: String,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0,
+      s"encodeY4m: C420 needs even dimensions, got ${w}x$h")
+    val frameSize = w * h + 2 * (w / 2) * (h / 2)
+    frames.foreach(f => require(f.length == frameSize,
+      s"encodeY4m: frame must be $frameSize bytes, got ${f.length}"))
+    val header = s"YUV4MPEG2 W$w H$h F$fps Ip A1:1 C420\n".getBytes("ISO-8859-1")
+    val mark = "FRAME\n".getBytes("ISO-8859-1")
+    val out = new java.io.ByteArrayOutputStream(
+      header.length + frames.length * (mark.length + frameSize))
+    out.write(header)
+    frames.foreach { f => out.write(mark); out.write(f) }
+    out.toByteArray
+  }
+
+  /** Decode a C420 YUV4MPEG2 stream to (width, height, frames). Frame
+    * parameter lines (`FRAME` followed by optional parameters before
+    * the newline) are honored; non-C420 color spaces are rejected
+    * rather than mis-sliced.
+    */
+  def decodeY4m(bytes: Array[Byte]): (Int, Int, Seq[Array[Byte]]) = {
+    val nl = bytes.indexOf('\n'.toByte)
+    require(nl > 0, "decodeY4m: missing stream header")
+    val header = new String(bytes, 0, nl, "ISO-8859-1")
+    require(header.startsWith("YUV4MPEG2"), "decodeY4m: not a Y4M stream")
+    val params = header.split(" ").drop(1)
+    def param(p: Char): Option[String] =
+      params.find(_.headOption.contains(p)).map(_.tail)
+    val w = param('W').getOrElse(sys.error("decodeY4m: no width")).toInt
+    val h = param('H').getOrElse(sys.error("decodeY4m: no height")).toInt
+    val cs = param('C').getOrElse("420")
+    require(cs.startsWith("420"), s"decodeY4m: only C420 supported, got C$cs")
+    val frameSize = w * h + 2 * (w / 2) * (h / 2)
+    val frames = Seq.newBuilder[Array[Byte]]
+    var pos = nl + 1
+    while (pos < bytes.length) {
+      var lineEnd = pos
+      while (lineEnd < bytes.length && bytes(lineEnd) != '\n') lineEnd += 1
+      val line = new String(bytes, pos, lineEnd - pos, "ISO-8859-1")
+      require(line.startsWith("FRAME"), s"decodeY4m: expected FRAME marker, got: $line")
+      require(lineEnd + 1 + frameSize <= bytes.length, "decodeY4m: truncated frame")
+      frames += java.util.Arrays.copyOfRange(bytes, lineEnd + 1, lineEnd + 1 + frameSize)
+      pos = lineEnd + 1 + frameSize
+    }
+    (w, h, frames.result())
+  }
+
   // ---- WAV (PCM16 mono) ----
 
   /** Encode 16-bit mono PCM samples as a canonical 44-byte-header WAV. */

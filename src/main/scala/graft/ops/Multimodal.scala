@@ -173,8 +173,20 @@ object Multimodal {
             (((37L * i + 11 * id) % 2048) - 1024).toShort)
           Codecs.encodeWav(8000, samples)
         case _ =>
-          StubCodec.encodeHeader(16, 16, 0, 1 + (id % 10).toInt,
-            java.math.BigInteger.valueOf(id).toByteArray)
+          // REAL video too: an 8x8 C420 Y4M whose luma bytes follow a
+          // closed-form formula per frame (chroma planes constant 128)
+          val (w, h) = (8, 8)
+          val nFrames = 1 + (id % 10).toInt
+          val frames = (0 until nFrames).map { f =>
+            val frame = new Array[Byte](w * h + 2 * (w / 2) * (h / 2))
+            var i = 0
+            while (i < w * h) {
+              frame(i) = ((5L * i + 19L * f + id) % 256).toByte; i += 1
+            }
+            java.util.Arrays.fill(frame, w * h, frame.length, 128.toByte)
+            frame
+          }
+          Codecs.encodeY4m(w, h, "25:1", frames)
       }
     })
     val kind = when(col(idCol) % 3 === 0, "image")
@@ -274,6 +286,41 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rows, audioStatsSchema)
+  }
+
+  private val videoFrameSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("luma_mean", DoubleType, nullable = false)))
+
+  /** REAL frame sampling: decode the Y4M container, keep every k-th
+    * frame, report its luma-plane mean — the scene/brightness screen of
+    * a video ingest pipeline, computed from actual frame bytes. Same
+    * batched-iterator shape; kind filter before the decode.
+    */
+  def sampleFramesReal(media: DataFrame, everyK: Int = 2,
+      batchSize: Int = 256): DataFrame = {
+    require(everyK >= 1, s"everyK must be >= 1: $everyK")
+    val spark = media.sparkSession
+    val rows = media.filter(col("kind") === "video")
+      .select(col("media_id"), col("data")).rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { r =>
+            val (w, h, frames) = Codecs.decodeY4m(r.getAs[Array[Byte]]("data"))
+            (0 until frames.length by everyK).map { i =>
+              val luma = frames(i)
+              var s = 0L
+              var p = 0
+              while (p < w * h) { s += luma(p) & 0xff; p += 1 }
+              val mean = BigDecimal(s / (w * h).toDouble)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              Row(r.getLong(0), i, mean)
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rows, videoFrameSchema)
   }
 
   private val frameSchema = StructType(Seq(

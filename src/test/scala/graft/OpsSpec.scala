@@ -1341,6 +1341,28 @@ class OpsSpec extends AnyFunSuite {
       Codecs.decodeBmp(Array[Byte](1, 2, 3)))
   }
 
+  test("y4m codec: round trip, frame parameter lines, non-420 rejected") {
+    import graft.ops.Codecs
+    val frameSize = 8 * 8 + 2 * 16
+    val frames = (0 until 3).map(f =>
+      Array.tabulate(frameSize)(i => ((i + f * 7) % 256).toByte))
+    val y4m = Codecs.encodeY4m(8, 8, "25:1", frames)
+    assert(new String(y4m.take(10), "ISO-8859-1") == "YUV4MPEG2 ")
+    val (w, h, back) = Codecs.decodeY4m(y4m)
+    assert(w == 8 && h == 8 && back.length == 3)
+    assert(back.zip(frames).forall { case (a, b) => a.toSeq == b.toSeq })
+    // FRAME lines may carry parameters per spec
+    val withParams = {
+      val s = new String(y4m, "ISO-8859-1")
+      s.replaceFirst("FRAME\n", "FRAME Xcustom\n").getBytes("ISO-8859-1")
+    }
+    assert(Codecs.decodeY4m(withParams)._3.length == 3)
+    // odd dimensions and foreign colorspaces are rejected, not mis-sliced
+    intercept[IllegalArgumentException](Codecs.encodeY4m(7, 8, "25:1", Seq.empty))
+    val c444 = "YUV4MPEG2 W8 H8 F25:1 C444\n".getBytes("ISO-8859-1")
+    intercept[IllegalArgumentException](Codecs.decodeY4m(c444))
+  }
+
   test("corpus report: per-language volume, exact quantiles, dup rate") {
     val df = Seq(
       (0L, "the fast hash join of the table"), // en
