@@ -180,6 +180,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("round-7 scan-local ops stream unchanged: normalize, self-line dedup, bpe") {
+    implicit val sqlCtx = spark.sqlContext
+    val model = graft.ops.Bpe.BpeModel(
+      Seq(("t", "h"), ("th", "e"), ("the", "</w>")), 3L, 3, 1.0)
+    def pipeline(in: org.apache.spark.sql.DataFrame) = {
+      val norm = graft.ops.TextClean.normalizeUnicodeDf(in, "text", foldPunct = true)
+      val deduped = graft.ops.Dedup.dedupLinesWithinDoc(norm, "text")
+      graft.ops.Bpe.encode(deduped, "text", model)
+        .select(col("doc_id"), col("text"), col("n_lines_removed"),
+          col("n_bpe_tokens"))
+    }
+    val rows = Seq(
+      (0L, "the\u00A0start\nthe\u00A0start\nthe end\u200B"),
+      (1L, "\u2018quoted\u2019 words"))
+    val stream = MemoryStream[(Long, String)]
+    val query = pipeline(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("r7_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("r7_stream").orderBy("doc_id").collect()
+      val batch = pipeline(rows.toDF("doc_id", "text")).orderBy("doc_id").collect()
+      assert(streamed.toSeq == batch.toSeq)
+      // NBSP became a plain space, repeated line collapsed, "the" fused
+      val r0 = streamed(0)
+      assert(r0.getAs[String]("text") == "the start\nthe end")
+      assert(r0.getAs[Long]("n_lines_removed") == 1L)
+      assert(streamed(1).getAs[String]("text") == "'quoted' words")
+    } finally query.stop()
+  }
+
   test("match totals with HLL distinct-doc sketch (batch)") {
     val docs = Seq(
       (0L, "hash join hash join"),
