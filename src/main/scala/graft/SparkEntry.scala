@@ -1030,6 +1030,38 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The round-7 ingest chain composed end to end, one oracle for the
+    * whole thing: Unicode fixing (laced NFD/zero-width damage) →
+    * within-doc repeated-line removal (boilerplate header) → PII
+    * redaction (synthetic emails on a residue class) → language ID →
+    * per-language volume + redaction counts. Every stage is the
+    * library operator; the oracle replays the full chain in SQL.
+    */
+  private def qPipeline2(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val damaged = docs.withColumn("text", concat(
+      lit("NAV MENU\n"), lit("NAV MENU\n"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" cafe\u0301\u200B")))
+        .otherwise(col("text")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("\ncontact: user"), col("doc_id"), lit("@example.com")))
+        .otherwise(lit(""))))
+    val normalized = graft.ops.TextClean.normalizeUnicodeDf(damaged, "text")
+      .drop("n_chars_removed")
+    val lineDeduped = graft.ops.Dedup.dedupLinesWithinDoc(normalized, "text")
+      .drop("n_lines_removed")
+    val redacted = graft.ops.TextClean.redactPii(lineDeduped, "text")
+    redacted
+      .select(graft.ops.TextStats.langId(col("text")).as("lang"),
+        col("n_emails"),
+        graft.ops.TextStats.wsTokens(col("text")).cast("long").as("toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        sum(col("n_emails")).as("n_redacted"))
+      .orderBy(col("lang"))
+  }
+
   /** One-pass per-language corpus health report (volume, exact token
     * quantiles, exact-dup rate) — the before/after numbers of every
     * pipeline stage; the oracle re-derives language ID, counts, and
@@ -1552,6 +1584,7 @@ object SparkEntry {
     "q_nb_fit" -> (qNbFit _),
     "q_url_filter" -> (qUrlFilter _),
     "q_corpus_report" -> (qCorpusReport _),
+    "q_pipeline2" -> (qPipeline2 _),
     "q_pii" -> (qPii _),
     "q_html_strip" -> (qHtmlStrip _),
     "q_url_norm" -> (qUrlNorm _),
@@ -2337,6 +2370,64 @@ object SparkEntry {
         |s6 AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text FROM s5)
         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_visible, text
         |FROM s6 ORDER BY doc_id""".stripMargin,
+    // the whole round-7 ingest chain replayed in one SQL pipeline:
+    // damage -> NFC+cleanup -> within-doc line dedup -> PII redaction
+    // -> language ID -> per-language aggregates
+    "q_pipeline2" ->
+      """WITH damaged AS (SELECT doc_id,
+        |  'NAV MENU' || chr(10) || 'NAV MENU' || chr(10) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN text || ' cafe' || chr(769) || chr(8203) ELSE text END) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'contact: user' || doc_id || '@example.com' ELSE '' END) AS text
+        |  FROM documents),
+        |n1 AS (SELECT doc_id, nfc_normalize(text) AS t FROM damaged),
+        |n2 AS (SELECT doc_id, regexp_replace(t, '[\x{200B}\x{200C}\x{200D}\x{2060}\x{FEFF}\x{00AD}]', '', 'g') AS t FROM n1),
+        |n3 AS (SELECT doc_id, regexp_replace(t, '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]', ' ', 'g') AS t FROM n2),
+        |n4 AS (SELECT doc_id, regexp_replace(t, '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}]', '', 'g') AS t FROM n3),
+        |ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM n4),
+        |lx AS (SELECT doc_id, unnest(l) AS line, unnest(generate_series(1, len(l))) AS pos FROM ls),
+        |k AS (SELECT doc_id, line, pos,
+        |  row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn FROM lx),
+        |dd AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE rn = 1) AS t
+        |  FROM k GROUP BY doc_id),
+        |pii AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\b\d{1,3}[- ]\d{3}[- ]\d{3,4}(?:[- ]\d{1,4})?\b', '<PHONE>', 'g') AS t
+        |  FROM dd),
+        |s AS (SELECT doc_id, n_emails, t,
+        |    length(regexp_replace(t, '\s', '', 'g')) AS nonspace,
+        |    len(regexp_extract_all(t, '[一-龥]')) AS cjk,
+        |    len(regexp_extract_all(lower(t), '[а-яё]')) AS cyr,
+        |    len(list_intersect(list_distinct(string_split_regex(lower(t), '\s+')), ['the','a','of','to','and','is','in'])) s_en,
+        |    len(list_intersect(list_distinct(string_split_regex(lower(t), '\s+')), ['el','la','de','que','y','los','una'])) s_es,
+        |    len(list_intersect(list_distinct(string_split_regex(lower(t), '\s+')), ['le','la','les','et','un','des','que'])) s_fr,
+        |    len(list_intersect(list_distinct(string_split_regex(lower(t), '\s+')), ['der','die','das','und','ist','ein','nicht'])) s_de,
+        |    len(list_intersect(list_distinct(string_split_regex(lower(t), '\s+')), ['o','os','uma','não','com','por','são'])) s_pt,
+        |    len(list_intersect(list_distinct(string_split_regex(lower(t), '\s+')), ['il','che','di','per','sono','della','gli'])) s_it,
+        |    len(list_intersect(list_distinct(string_split_regex(lower(t), '\s+')), ['het','een','van','niet','zijn','met','voor'])) s_nl,
+        |    len(list_intersect(list_distinct(string_split_regex(lower(t), '\s+')), ['ir','yra','kad','tai','kaip','bet','buvo'])) s_lt
+        |  FROM pii),
+        |g AS (SELECT *, greatest(s_en, s_es, s_fr, s_de, s_pt, s_it, s_nl, s_lt) AS m FROM s),
+        |cls AS (SELECT doc_id, n_emails,
+        |  CASE WHEN cjk * 4 >= nonspace AND cjk > 0 THEN 'zh'
+        |       WHEN cyr * 4 >= nonspace AND cyr > 0 THEN 'ru'
+        |       WHEN m = 0 THEN 'und'
+        |       WHEN s_en = m THEN 'en'
+        |       WHEN s_es = m THEN 'es'
+        |       WHEN s_fr = m THEN 'fr'
+        |       WHEN s_de = m THEN 'de'
+        |       WHEN s_pt = m THEN 'pt'
+        |       WHEN s_it = m THEN 'it'
+        |       WHEN s_nl = m THEN 'nl'
+        |       ELSE 'lt' END AS lang,
+        |  CASE WHEN trim(t) = '' THEN 0
+        |       ELSE len(string_split_regex(trim(t), '\s+')) END AS toks
+        |  FROM g)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_emails) AS BIGINT) AS n_redacted
+        |FROM cls GROUP BY lang ORDER BY lang""".stripMargin,
     "q_corpus_report" ->
       """WITH s AS (
         |  SELECT doc_id, text,
