@@ -67,7 +67,8 @@ final class WetTable(options: CaseInsensitiveStringMap, warc: Boolean)
     s"${if (warc) "warc" else "wet"}(${options.get("path")})"
   override def schema(): StructType = if (warc) Warc.schema else Wet.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new WetScanBuilder(opts, warc)
 }
@@ -102,7 +103,10 @@ final class WetScan(path: String, required: StructType, types: Set[String],
   private lazy val serConf =
     new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf())
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Lexicographically-sorted matching files. Shared by batch planning
+    * and the micro-batch stream (whose offsets index into this order).
+    */
+  private[sources] def listFiles(): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(serConf.value)
     // globStatus handles literal paths AND globs; it returns null for a
@@ -114,12 +118,78 @@ final class WetScan(path: String, required: StructType, types: Set[String],
       if (s.isDirectory) fs.listStatus(s.getPath).toSeq else Seq(s)
     }
     stats.filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-      .sortBy(_.getPath.toString)
-      .map(s => WetInputPartition(s.getPath.toString): InputPartition)
-      .toArray
+      .map(_.getPath.toString).sorted
   }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    listFiles().map(f => WetInputPartition(f): InputPartition).toArray
+
   override def createReaderFactory(): PartitionReaderFactory =
     WetReaderFactory(required, types, permissive, warc, serConf)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WetMicroBatchStream(this, required, types, permissive, warc, serConf)
+}
+
+/** Streaming crawl ingest: `spark.readStream.format("wet"|"warc")` —
+  * new files landing in the watched path are processed exactly once,
+  * one micro-batch per discovery. The offset is a PREFIX LENGTH of the
+  * lexicographically-sorted file listing, so the landing contract is
+  * the standard one for crawl drops: files are added with
+  * monotonically-increasing names (Common Crawl's segment naming) and
+  * never removed while a stream is attached. A file inserted BELOW the
+  * committed prefix would shift the order and is detected and rejected
+  * at planning time rather than silently skipping data.
+  */
+final class WetMicroBatchStream(scan: WetScan, required: StructType,
+    types: Set[String], permissive: Boolean, warc: Boolean,
+    conf: SerializableConfiguration)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class FilesOffset(n: Int, lastFile: String) extends Offset {
+    override def json(): String = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = m.createObjectNode()
+      node.put("n", n); node.put("last", lastFile)
+      m.writeValueAsString(node)
+    }
+  }
+
+  // snapshot of the listing as of the latest latestOffset() call, so
+  // planInputPartitions slices a consistent view
+  @volatile private var snapshot: Seq[String] = Nil
+
+  override def initialOffset(): Offset = FilesOffset(0, "")
+  override def latestOffset(): Offset = {
+    snapshot = scan.listFiles()
+    FilesOffset(snapshot.length, snapshot.lastOption.getOrElse(""))
+  }
+  override def deserializeOffset(json: String): Offset = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    FilesOffset(node.get("n").asInt(), node.get("last").asText())
+  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FilesOffset]
+    val e = end.asInstanceOf[FilesOffset]
+    val files = if (snapshot.length >= e.n) snapshot else scan.listFiles()
+    require(files.length >= e.n,
+      s"wet stream: listing shrank below the committed offset (${files.length} < ${e.n}) — " +
+        "files must not be removed while a stream is attached")
+    // ordering guard: the file at the committed boundary must match what
+    // the offset recorded, else a file was inserted below the prefix
+    if (s.n > 0 && s.lastFile.nonEmpty)
+      require(files(s.n - 1) == s.lastFile,
+        s"wet stream: listing reordered under the committed offset " +
+          s"(expected ${s.lastFile} at ${s.n - 1}, found ${files(s.n - 1)}); " +
+          "new files must sort after already-processed ones")
+    files.slice(s.n, e.n).map(f => WetInputPartition(f): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    WetReaderFactory(required, types, permissive, warc, conf)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final case class WetInputPartition(file: String) extends InputPartition

@@ -127,6 +127,43 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("wet streaming: new files become micro-batches, each record exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wet_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_wet_ckpt")
+    def drop(name: String, recs: Seq[(String, String, String)]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), Wet.toBytes(recs))
+    try {
+      drop("crawl-000.warc.wet", Seq(
+        ("http://s.com/a", "2024-01-01T00:00:00Z", "alpha"),
+        ("http://s.com/b", "2024-01-01T00:00:00Z", "beta")))
+      val stream = spark.readStream.format("wet").load(dir.toString)
+      assert(stream.isStreaming)
+      val query = stream.select("url", "text")
+        .writeStream.format("memory").queryName("wet_stream")
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try {
+        query.processAllAvailable()
+        assert(spark.table("wet_stream").count() == 2)
+        // a new file with a LATER name lands: picked up, earlier files not replayed
+        drop("crawl-001.warc.wet", Seq(
+          ("http://s.com/c", "2024-01-02T00:00:00Z", "gamma delta")))
+        query.processAllAvailable()
+        val rows = spark.table("wet_stream").orderBy("url")
+          .collect().map(r => (r.getString(0), r.getString(1)))
+        assert(rows.toSeq == Seq(
+          ("http://s.com/a", "alpha"), ("http://s.com/b", "beta"),
+          ("http://s.com/c", "gamma delta")))
+      } finally query.stop()
+    } finally {
+      Seq(dir, ckpt).foreach { d =>
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("warc source: response records parse HTTP envelope; body is bytes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc")
     try {
