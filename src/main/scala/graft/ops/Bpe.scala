@@ -47,6 +47,23 @@ object Bpe {
   private def toks(c: org.apache.spark.sql.Column) =
     split(trim(lower(c)), "\\s+")
 
+  /** Initial symbol sequence of a word: one symbol per CODE POINT (a
+    * UTF-16 `char` split would cut surrogate pairs into lone
+    * surrogates, which can't round-trip through UTF-8 token columns),
+    * plus the end marker.
+    */
+  private def charSyms(word: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out += EndMark
+    out.result()
+  }
+
   /** Learn `numMerges` BPE merges from the corpus. One distributed
     * word-count pass; the merge loop runs on the driver over at most
     * `maxWordTypes` (word, count) rows.
@@ -77,7 +94,7 @@ object Bpe {
   def fitOnTypes(types: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
     // each word as its symbol sequence; start = characters + EndMark
     var vocab: Array[(Array[String], Long)] = types.map { case (w, c) =>
-      (w.map(_.toString).toArray :+ EndMark, c)
+      (charSyms(w), c)
     }.toArray
     val merges = Vector.newBuilder[(String, String)]
     var done = 0
@@ -137,7 +154,7 @@ object Bpe {
     * remains. Pure kernel — the expression and tests share it.
     */
   def encodeWordValue(word: String, ranks: Map[(String, String), Int]): Array[String] = {
-    var syms: Array[String] = word.map(_.toString).toArray :+ EndMark
+    var syms: Array[String] = charSyms(word)
     var continue = syms.length > 1
     while (continue) {
       var bestRank = Int.MaxValue

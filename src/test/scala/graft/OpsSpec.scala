@@ -1297,6 +1297,33 @@ class OpsSpec extends AnyFunSuite {
     assert(h(0).isNullAt(0) && h(0).isNullAt(1) && h(0).isNullAt(2))
   }
 
+  test("astral-plane safety: emoji/supplementary chars survive normalize, tokens, dedup") {
+    // U+1F600 GRINNING FACE (surrogate pair in UTF-16) + U+10348 GOTHIC HWAIR
+    val emoji = new String(Character.toChars(0x1F600))
+    val hwair = new String(Character.toChars(0x10348))
+    val df = Seq(
+      (0L, s"hello $emoji world $hwair end"),
+      (1L, s"$emoji$emoji\n$emoji$emoji\ntail")).toDF("doc_id", "text")
+    // normalize must not mangle supplementary characters (NFC is identity
+    // on them; the regex classes must not split surrogate pairs)
+    val norm = df.select(graft.ops.TextClean.normalizeUnicode(col("text")))
+      .orderBy(df("doc_id")).collect().map(_.getString(0))
+    assert(norm(0) == s"hello $emoji world $hwair end")
+    // token counting sees them as non-space runs
+    val toks = df.select(graft.ops.TextStats.wsTokens(col("text")))
+      .orderBy(df("doc_id")).collect().map(_.getInt(0))
+    assert(toks(0) == 5)
+    // within-doc line dedup on emoji-only lines
+    val dd = graft.ops.Dedup.dedupLinesWithinDoc(df, "text")
+      .orderBy("doc_id").collect()
+    assert(dd(1).getAs[String]("text") == s"$emoji$emoji\ntail")
+    // BPE symbols are CODE POINTS: a surrogate pair is one symbol, never
+    // two lone surrogates (which couldn't round-trip through UTF-8)
+    val model = graft.ops.Bpe.BpeModel(Seq.empty, 0L, 0, 1.0)
+    val enc = graft.ops.Bpe.encodeWordValue(s"a$emoji", model.ranks)
+    assert(enc.toSeq == Seq("a", emoji, "</w>"))
+  }
+
   test("bmp codec: byte-exact round trip incl. row padding; resize elects nearest") {
     import graft.ops.Codecs
     // 3x2: stride 12 (9 data + 3 pad) — the padding case
