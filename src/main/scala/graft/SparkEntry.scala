@@ -1030,6 +1030,19 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** C4-style corpus-level SENTENCE dedup: naive sentence segmentation
+    * (terminator + whitespace → boundary, no lookbehind so the oracle
+    * replays it with `\1`) composed with the line-dedup machinery —
+    * globally-first occurrence of each sentence survives.
+    */
+  private def qSentDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val seg = docs.withColumn("text",
+      graft.ops.TextStats.sentenceDelimited(col("text")))
+    graft.ops.Dedup.lineDedup(seg, "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** The round-7 ingest chain composed end to end, one oracle for the
     * whole thing: Unicode fixing (laced NFD/zero-width damage) →
     * within-doc repeated-line removal (boilerplate header) → PII
@@ -1585,6 +1598,7 @@ object SparkEntry {
     "q_url_filter" -> (qUrlFilter _),
     "q_corpus_report" -> (qCorpusReport _),
     "q_pipeline2" -> (qPipeline2 _),
+    "q_sent_dedup" -> (qSentDedup _),
     "q_pii" -> (qPii _),
     "q_html_strip" -> (qHtmlStrip _),
     "q_url_norm" -> (qUrlNorm _),
@@ -2248,6 +2262,19 @@ object SparkEntry {
         |       array_to_string(list(line ORDER BY pos), chr(10)) AS text
         |FROM ranked WHERE rn = 1
         |GROUP BY gid ORDER BY doc_id""".stripMargin,
+    "q_sent_dedup" ->
+      """WITH seg AS (SELECT doc_id,
+        |    regexp_replace(text, '([.!?])\s+', '\1' || chr(10), 'g') AS text
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM seg),
+        |lines AS (SELECT doc_id, i - 1 AS pos, l[i] AS line
+        |  FROM l0, unnest(range(1, len(l) + 1)) AS t(i)),
+        |ranked AS (SELECT doc_id, pos, line,
+        |  row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM lines)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |       array_to_string(list(line ORDER BY pos), chr(10)) AS text
+        |FROM ranked WHERE rn = 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_pii" ->
       """WITH laced AS (
         |  SELECT doc_id, CASE WHEN doc_id % 4 = 3 THEN text ELSE

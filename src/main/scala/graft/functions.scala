@@ -119,6 +119,14 @@ object functions {
       outCol: String = "bpe_tokens"): DataFrame =
     graft.ops.Bpe.encode(df, textCol, model, outCol)
 
+  /** Sentence-boundary normalization (terminator+space -> newline). */
+  def sentenceDelimited(text: Column): Column =
+    graft.ops.TextStats.sentenceDelimited(text)
+
+  /** Deflate compression ratio (repetitiveness signal; empty -> null). */
+  def compressionRatio(text: Column): Column =
+    graft.ops.TextStats.compressionRatio(text)
+
   /** Unicode normalization form (NFC/NFD/NFKC/NFKD), codegen'd. */
   def normalizeForm(text: Column, form: String = "NFC"): Column =
     graft.ops.TextClean.normalizeForm(text, form)

@@ -301,6 +301,46 @@ object TextStats {
           col("dup_word_frac") <= maxDupWordFrac).cast("long"))
   }
 
+  /** Sentence-boundary normalization: terminator runs (`[.!?]`)
+    * followed by whitespace become a newline boundary — the naive
+    * splitter behind C4's three-sentence-span policies. Regex stays in
+    * the Java∩RE2 subset (no lookbehind — the capture-group rewrite
+    * replicates in DuckDB as `\1`), so downstream sentence-level ops
+    * are oracle-replicable. Compose with [[graft.ops.Dedup.lineDedup]]
+    * for corpus-level sentence dedup or
+    * [[graft.ops.Dedup.dedupLinesWithinDoc]] for per-doc repeats.
+    */
+  def sentenceDelimited(text: Column): Column =
+    regexp_replace(text, "([.!?])\\s+", "$1\n")
+
+  /** Deflate compression ratio (compressed/raw bytes, level 6) — the
+    * Gopher-suite repetitiveness signal: highly repetitive boilerplate
+    * compresses far below ~0.4 while diverse prose sits near 0.6–0.8.
+    * Real zlib work (java.util.zip ships in the JVM), codegen'd via
+    * [[graft.spark.CompressionRatioExpression]]; null/empty → null.
+    */
+  def compressionRatio(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.spark.CompressionRatioExpression(
+        org.apache.spark.sql.GraftBridge.expression(text)))
+
+  /** Pure kernel for [[compressionRatio]]: rounded to 4 decimals. */
+  private[graft] def compressionRatioValue(s: String): java.lang.Double = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (bytes.isEmpty) null
+    else {
+      val d = new java.util.zip.Deflater(6)
+      try {
+        d.setInput(bytes); d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        BigDecimal(total.toDouble / bytes.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      } finally d.end()
+    }
+  }
+
   /** One-pass corpus health report, per detected language: document /
     * token / character volume, exact token-count quantiles, exact-dup
     * rate (md5 groups), and the mean English-stopword presence — the

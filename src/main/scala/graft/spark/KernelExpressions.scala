@@ -510,6 +510,36 @@ final case class BpeEncodeExpression(child: Expression,
   }
 }
 
+/** Deflate compression ratio of the UTF-8 text bytes
+  * (`graft_compression_ratio`) — see
+  * [[graft.ops.TextStats.compressionRatio]]. Empty text → null (no
+  * content to measure).
+  */
+final case class CompressionRatioExpression(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_compression_ratio"
+  override protected def withNewChildInternal(newChild: Expression): CompressionRatioExpression =
+    copy(child = newChild)
+  def kernel(s: UTF8String): java.lang.Double =
+    graft.ops.TextStats.compressionRatioValue(s.toString)
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("crExpr", this, classOf[CompressionRatioExpression].getName)
+    val childGen = child.genCode(ctx)
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(code = code"""
+      |${childGen.code}
+      |java.lang.Double ${ev.value}_boxed = ${childGen.isNull} ? null :
+      |  $self.kernel(${childGen.value});
+      |boolean ${ev.isNull} = ${ev.value}_boxed == null;
+      |double ${ev.value} = ${ev.isNull} ? 0.0 : ${ev.value}_boxed.doubleValue();
+      |""".stripMargin)
+  }
+}
+
 /** Unicode normalization form applied per row (`graft_normalize`) —
   * NFC/NFD/NFKC/NFKD via `java.text.Normalizer` (UAX #15, same
   * algorithm DuckDB's `nfc_normalize` implements, so NFC output is

@@ -1297,6 +1297,29 @@ class OpsSpec extends AnyFunSuite {
     assert(h(0).isNullAt(0) && h(0).isNullAt(1) && h(0).isNullAt(2))
   }
 
+  test("sentence segmentation + compression ratio: boundaries, repetition signal") {
+    val seg = Seq((0L, "First one. Second two! Third? Last"))
+      .toDF("id", "text")
+      .select(graft.ops.TextStats.sentenceDelimited(col("text")))
+      .head().getString(0)
+    assert(seg == "First one.\nSecond two!\nThird?\nLast")
+    // abbreviation-naive by design: "e.g. x" splits (documented)
+    val df = Seq(
+      (0L, "spam " * 200),                     // highly repetitive
+      (1L, (0 until 200).map(i => s"w$i").mkString(" ")), // diverse
+      (2L, ""), (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val r = df.select(col("id"),
+        graft.ops.TextStats.compressionRatio(col("text")).as("cr"))
+      .orderBy("id").collect()
+    val (rep, div) = (r(0).getDouble(1), r(1).getDouble(1))
+    assert(rep < 0.1 && div > 0.3 && rep < div)
+    assert(r(2).isNullAt(1) && r(3).isNullAt(1)) // empty and null → null
+    // deterministic across invocations
+    val again = df.select(graft.ops.TextStats.compressionRatio(col("text")))
+      .orderBy(df("id")).collect()
+    assert(again(0).getDouble(0) == rep && again(1).getDouble(0) == div)
+  }
+
   test("astral-plane safety: emoji/supplementary chars survive normalize, tokens, dedup") {
     // U+1F600 GRINNING FACE (surrogate pair in UTF-16) + U+10348 GOTHIC HWAIR
     val emoji = new String(Character.toChars(0x1F600))
