@@ -45,7 +45,8 @@ object functions {
   def shingles(text: Column, n: Int = 3): Column =
     graft.ops.Dedup.shingles(text, n)
 
-  /** Stopword-presence language-ID heuristic (en/es/fr/de/und). */
+  /** Two-tier language ID: CJK/Cyrillic script check, then stopword
+    * profiles (en/es/fr/de/pt/it/nl/lt), else "und". */
   def langId(text: Column): Column = graft.ops.TextStats.langId(text)
 
   /** Whitespace token count. */
