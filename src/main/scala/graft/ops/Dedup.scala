@@ -835,8 +835,12 @@ object Dedup {
       .withColumn("cluster", Similarity.ivfAssign(col("v"), model))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster")).orderBy(col("id"))
+    // both sides of the within-cluster self-join read this — persist so
+    // the assignment kernel and the capping window run once, not twice
+    // (the embeddingPairs convention)
     val capped = assigned.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxCluster).drop("__rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = capped.select(col("cluster"), col("id").as("ida"), col("v").as("va"))
     val b = capped.select(col("cluster"), col("id").as("idb"), col("v").as("vb"))
     val drops = a.join(b, Seq("cluster"))

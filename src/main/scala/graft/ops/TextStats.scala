@@ -354,12 +354,15 @@ object TextStats {
     * Output: one row per language, ordered by `n_docs` desc then lang.
     */
   def corpusReport(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // feeds both the dup-group aggregation and the per-language rollup —
+    // persist so the text scans (and the langId kernel) run once
     val perDoc = df.select(
       col(idCol).as("__id"),
       langId(col(textCol)).as("lang"),
       wsTokens(col(textCol)).cast("long").as("__tok"),
       length(col(textCol)).cast("long").as("__chars"),
       md5(col(textCol)).as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dups = perDoc.groupBy(col("lang"), col("__h"))
       .agg(count(lit(1)).as("__n"))
       .groupBy(col("lang"))
