@@ -892,6 +892,25 @@ object SparkEntry {
       .orderBy(col("domain"))
   }
 
+  /** Plan APPLICATION: the q_mix_plan epochs materialized into an
+    * epoch-replicated, deterministically-sampled corpus; the oracle
+    * re-derives the plan, expands the replica table, and replays the
+    * md5-threshold draws — full copies and the fractional epoch both.
+    */
+  private def qMixApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val plan = graft.ops.Sampling.mixturePlan(
+        docs, "lang", graft.ops.TextStats.wsTokens(col("text")).cast("long"),
+        Seq("en" -> 0.5, "de" -> 0.25, "fr" -> 0.15, "zh" -> 0.1),
+        budget = 150000L, maxEpochs = 2.0)
+      .select(col("domain"), col("epochs"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    graft.ops.Sampling.applyMixturePlan(docs, "lang", "doc_id", plan, salt = "mix")
+      .groupBy(col("lang"), col("epoch").cast("long").as("epoch"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("epoch"))
+  }
+
   private def qQualityModel(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(t(dir, "documents"))
     graft.ops.Retrieval.linearTextScore(docs, "text", "doc_id",
@@ -1599,6 +1618,7 @@ object SparkEntry {
     "q_corpus_report" -> (qCorpusReport _),
     "q_pipeline2" -> (qPipeline2 _),
     "q_sent_dedup" -> (qSentDedup _),
+    "q_mix_apply" -> (qMixApply _),
     "q_pii" -> (qPii _),
     "q_html_strip" -> (qHtmlStrip _),
     "q_url_norm" -> (qUrlNorm _),
@@ -2351,6 +2371,30 @@ object SparkEntry {
         |  round(actual_tokens::DOUBLE / available_tokens, 6) AS epochs,
         |  target_tokens - actual_tokens AS shortfall
         |FROM plan ORDER BY domain""".stripMargin,
+    "q_mix_apply" ->
+      """WITH counts AS (SELECT lang AS domain,
+        |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                  ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS available_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.25), ('fr', 0.15), ('zh', 0.1)) AS t(domain, wt)),
+        |plan AS (SELECT c.domain,
+        |    round(LEAST(CAST(round(w.wt * 150000, 0) AS BIGINT),
+        |                CAST(round(c.available_tokens * 2.0, 0) AS BIGINT))::DOUBLE
+        |          / c.available_tokens, 6) AS epochs
+        |  FROM counts c JOIN w ON c.domain = w.domain),
+        |reps AS (
+        |  SELECT domain, unnest(generate_series(0, CAST(floor(epochs) AS BIGINT) - 1)) AS epoch,
+        |         'g' AS thr
+        |  FROM plan WHERE floor(epochs) >= 1
+        |  UNION ALL
+        |  SELECT domain, CAST(floor(epochs) AS BIGINT) AS epoch,
+        |         lower(lpad(to_hex(CAST(floor((epochs - floor(epochs)) * 4294967296) AS BIGINT)), 8, '0')) AS thr
+        |  FROM plan WHERE epochs - floor(epochs) > 0),
+        |sel AS (SELECT d.lang, r.epoch FROM documents d
+        |  JOIN reps r ON d.lang = r.domain
+        |  WHERE md5(CAST(d.doc_id AS VARCHAR) || 'mix' || ':' || CAST(r.epoch AS VARCHAR)) < r.thr)
+        |SELECT lang, CAST(epoch AS BIGINT) AS epoch, count(*) AS n_docs
+        |FROM sel GROUP BY lang, epoch ORDER BY lang, epoch""".stripMargin,
     "q_url_norm" ->
       """WITH u AS (SELECT doc_id, CASE
         |  WHEN doc_id % 5 = 0 THEN 'HTTP://Example.COM:80/p/' || doc_id || '?utm_source=a&id=' || doc_id || '#f'

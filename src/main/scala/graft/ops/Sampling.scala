@@ -101,6 +101,42 @@ object Sampling {
     * [[mixture]] / [[sample]] rates (values > 1 mean repeat + sample
     * the remainder).
     */
+  /** Materialize a mixture plan: each domain with `epochs` = e
+    * contributes floor(e) FULL copies plus one fractional copy sampled
+    * deterministically at rate e − floor(e) — so each domain's output
+    * token mass ≈ its `actual_tokens`. Output keeps all input columns
+    * and appends `epoch` (0-based replica index; the fractional copy is
+    * the last epoch). The replica table (domain, epoch, threshold) is a
+    * handful of rows — Catalyst broadcasts the join — and the
+    * fractional filter is the same md5-threshold predicate as
+    * [[sample]], with the epoch in the hash so every replica draws an
+    * independent deterministic subset.
+    *
+    * `plan`: (domain, epochs) pairs, e.g.
+    * `mixturePlan(...).select("domain", "epochs").collect()` — the
+    * documented driver-side contract (one tiny row per domain).
+    */
+  def applyMixturePlan(df: DataFrame, domainCol: String, idCol: String,
+      plan: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(plan.nonEmpty, "applyMixturePlan: empty plan")
+    plan.foreach { case (d, e) =>
+      require(e >= 0, s"applyMixturePlan: negative epochs for $d") }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val replicas = plan.flatMap { case (d, e) =>
+      val full = math.floor(e).toInt
+      val frac = e - full
+      val fullRows = (0 until full).map(k => (d, k, hexThreshold(1.0)))
+      val fracRow =
+        if (frac > 0) Seq((d, full, hexThreshold(frac))) else Seq.empty
+      fullRows ++ fracRow
+    }.toDF("__domain", "epoch", "__thr")
+    df.join(broadcast(replicas), col(domainCol) === col("__domain"))
+      .filter(md5(concat(col(idCol).cast("string"), lit(salt), lit(":"),
+        col("epoch").cast("string"))) < col("__thr"))
+      .drop("__domain", "__thr")
+  }
+
   def mixturePlan(df: DataFrame, domainCol: String, tokenCount: Column,
       weights: Seq[(String, Double)], budget: Long,
       maxEpochs: Double = 4.0): DataFrame = {

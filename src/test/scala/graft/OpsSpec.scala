@@ -1297,6 +1297,29 @@ class OpsSpec extends AnyFunSuite {
     assert(h(0).isNullAt(0) && h(0).isNullAt(1) && h(0).isNullAt(2))
   }
 
+  test("applyMixturePlan: full copies + fractional epoch, token mass near actual") {
+    val df = (0L until 1000L).map(i => (i, if (i < 800) "web" else "code"))
+      .toDF("id", "domain")
+    // web: 1.5 epochs (one full copy + half), code: 0.25 (sample only)
+    val out = graft.ops.Sampling.applyMixturePlan(
+      df, "domain", "id", Seq("web" -> 1.5, "code" -> 0.25), salt = "s")
+    val counts = out.groupBy("domain", "epoch").count()
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(counts(("web", 0)) == 800L) // full epoch: everything
+    val frac = counts(("web", 1))
+    assert(frac > 300 && frac < 500, s"~400 expected, got $frac")
+    val code = counts(("code", 0))
+    assert(code > 20 && code < 90, s"~200*0.25=50 expected, got $code")
+    // deterministic: same plan, same salt, same rows
+    val again = graft.ops.Sampling.applyMixturePlan(
+      df, "domain", "id", Seq("web" -> 1.5, "code" -> 0.25), salt = "s")
+      .groupBy("domain", "epoch").count()
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(again == counts)
+    // columns preserved + epoch appended
+    assert(out.columns.toSeq == Seq("id", "domain", "epoch"))
+  }
+
   test("sentence segmentation + compression ratio: boundaries, repetition signal") {
     val seg = Seq((0L, "First one. Second two! Third? Last"))
       .toDF("id", "text")
