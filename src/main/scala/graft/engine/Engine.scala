@@ -74,6 +74,24 @@ final class CompiledDictionary(
       */
     val ac: Array[AhoCorasick]) extends Serializable {
 
+  /** Per-thread memo for the fuzzy presearch: doc term → (its deletion
+    * variants, the union of fuzzy candidate ids its variants hit). Doc
+    * terms are Zipf-distributed and the dictionary is immutable, so the
+    * hit rate approaches the corpus type/token ratio — on memo hits the
+    * variant generation AND every fdel probe are skipped (the two
+    * dominant per-term costs of the fuzzy path). One memo per
+    * (instance, thread): no synchronization, bounded LRU.
+    */
+  @transient private lazy val fuzzyMemos
+      : Array[ThreadLocal[java.util.LinkedHashMap[String, (Array[String], Array[Int])]]] =
+    Array.fill(fieldConfs.length)(
+      ThreadLocal.withInitial[java.util.LinkedHashMap[String, (Array[String], Array[Int])]](() =>
+        new java.util.LinkedHashMap[String, (Array[String], Array[Int])](1024, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, (Array[String], Array[Int])]): Boolean =
+            size() > 65536
+        }))
+
   /** Annotate one document. Blank text short-circuits
     * (`phrases.clj:228-230`).
     */
@@ -111,15 +129,28 @@ final class CompiledDictionary(
         val distinct = fields(f).positions.size()
         val delIdx = new java.util.HashMap[String, AnyRef](
           math.max(16, distinct * ((maxDel + 1) * (maxDel + 2))))
+        val memo = fuzzyMemos(f).get()
         val it = fields(f).positions.keySet().iterator()
         while (it.hasNext) {
           val term = it.next()
-          val variants = Compiler.deletionVariants(term, maxDel)
+          var entry = memo.get(term)
+          if (entry == null) {
+            val variants = Compiler.deletionVariants(term, maxDel)
+            val hitsB = new mutable.ArrayBuilder.ofInt
+            var vi = 0
+            while (vi < variants.length) {
+              val hit = fdel.get(variants(vi))
+              if (hit != null) hitsB.addAll(hit)
+              vi += 1
+            }
+            entry = (variants, hitsB.result())
+            memo.put(term, entry)
+          }
+          cand.addAll(entry._2)
+          val variants = entry._1
           var vi = 0
           while (vi < variants.length) {
             val v = variants(vi)
-            val hit = fdel.get(v)
-            if (hit != null) cand.addAll(hit)
             val prev = delIdx.put(v, term)
             if (prev != null) prev match {
               case s: String =>
