@@ -1002,6 +1002,64 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** C4 heuristic filtering (Raffel et al. 2020 §2.2) over documents
+    * laced into multi-line pages exercising every rule: kept lines, a
+    * no-terminal-punct line, a short line, a javascript line, and
+    * doc_id-modular page-level poisons (sentence shortfall, lorem
+    * ipsum, curly brace, bad word). The oracle replays the lacing and
+    * every rule relationally.
+    */
+  private def qC4Filter(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val laced = docs.withColumn("text", concat(
+      lit("Sentence one is here with "), substring(col("text"), 1, 30), lit("."),
+      lit("\n"), substring(col("text"), 31, 20),
+      lit("\nShort."),
+      lit("\nPlease enable javascript to continue browsing today."),
+      lit("\nAnother good sentence follows right here."),
+      lit("\nA third fine sentence ends now."),
+      lit("\nSentence four is also here."),
+      when(col("doc_id") % 3 === 0,
+        lit("\nThe fifth sentence completes the page."))
+        .otherwise(lit("\nno terminal punctuation")),
+      when(col("doc_id") % 5 === 1,
+        lit("\nThis body hides Lorem Ipsum filler.")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 2,
+        lit("\nCode snippet { appears right here.")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 3,
+        lit("\nThis page mentions Verboten content sadly.")).otherwise(lit(""))))
+    graft.ops.TextClean.c4Filter(laced, "text", badWords = Seq("verboten", "slur"))
+      .select(col("doc_id"), col("text"), col("n_lines_kept"),
+        col("n_lines_dropped"), col("n_sentences"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Mojibake repair: documents laced with accents / CJK+astral emoji,
+    * then damaged zero, one, or two rounds of UTF-8-read-as-Latin-1 by
+    * doc_id class — repair must invert exactly what was damaged and
+    * leave the clean classes (including genuine accented text, the
+    * false-positive guard) byte-identical. The oracle is the laced
+    * original itself: a full-strength hash gate on the inversion.
+    */
+  private def qMojibake(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val cls = col("doc_id") % 5
+    val laced = docs.withColumn("text",
+      when(cls === 1, concat(col("text"), lit(" 汉字处理 with 😀 emoji")))
+        .when(cls === 4, col("text"))
+        .otherwise(concat(regexp_replace(col("text"), "table", "tablé"),
+          lit(" café naïve æther"))))
+    val damaged =
+      when(cls === 0 || cls === 1,
+        graft.ops.TextClean.mojibakeDamage(col("text")))
+        .when(cls === 2, graft.ops.TextClean.mojibakeDamage(
+          graft.ops.TextClean.mojibakeDamage(col("text"))))
+        .otherwise(col("text"))
+    laced.withColumn("text", graft.ops.TextClean.fixMojibake(damaged))
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** URL canonicalization over synthesized URLs spanning the interesting
     * shapes: upper-case scheme/host + default port + tracking-param +
     * fragment, userinfo + all-tracking query, bare host, non-default
@@ -1620,6 +1678,8 @@ object SparkEntry {
     "q_sent_dedup" -> (qSentDedup _),
     "q_mix_apply" -> (qMixApply _),
     "q_pii" -> (qPii _),
+    "q_c4_filter" -> (qC4Filter _),
+    "q_mojibake" -> (qMojibake _),
     "q_html_strip" -> (qHtmlStrip _),
     "q_url_norm" -> (qUrlNorm _),
     "q_text_norm" -> (qTextNorm _),
@@ -2314,6 +2374,64 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(after_ip, '\+?\b\d{1,3}[- ]\d{3}[- ]\d{3,4}(?:[- ]\d{1,4})?\b')) AS BIGINT) AS n_phones,
         |  regexp_replace(after_ip, '\+?\b\d{1,3}[- ]\d{3}[- ]\d{3,4}(?:[- ]\d{1,4})?\b', '<PHONE>', 'g') AS text
         |FROM s2 ORDER BY doc_id""".stripMargin,
+    // same lacing, then every C4 rule replayed relationally: line keep
+    // flags via the same regexes, page text from kept lines, sentence
+    // count via the shared terminator-rewrite segmentation
+    "q_c4_filter" ->
+      """WITH laced AS (SELECT doc_id,
+        |    'Sentence one is here with ' || substr(text, 1, 30) || '.' || chr(10) ||
+        |    substr(text, 31, 20) || chr(10) ||
+        |    'Short.' || chr(10) ||
+        |    'Please enable javascript to continue browsing today.' || chr(10) ||
+        |    'Another good sentence follows right here.' || chr(10) ||
+        |    'A third fine sentence ends now.' || chr(10) ||
+        |    'Sentence four is also here.' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'The fifth sentence completes the page.'
+        |         ELSE chr(10) || 'no terminal punctuation' END ||
+        |    CASE WHEN doc_id % 5 = 1 THEN chr(10) || 'This body hides Lorem Ipsum filler.' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 2 THEN chr(10) || 'Code snippet { appears right here.' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 3 THEN chr(10) || 'This page mentions Verboten content sadly.' ELSE '' END
+        |      AS text
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM laced),
+        |lines AS (SELECT doc_id, i - 1 AS pos, l[i] AS line
+        |  FROM l0, unnest(range(1, len(l) + 1)) AS t(i)),
+        |flags AS (SELECT doc_id, pos, line,
+        |    (regexp_matches(trim(line), '[.!?"]$')
+        |      AND len(regexp_split_to_array(trim(line), '\s+')) >= 3
+        |      AND NOT contains(lower(line), 'javascript')) AS kept
+        |  FROM lines),
+        |agg AS (SELECT doc_id,
+        |    count(*) FILTER (WHERE kept) AS n_kept,
+        |    count(*) FILTER (WHERE NOT kept) AS n_dropped,
+        |    coalesce(array_to_string(list(line ORDER BY pos) FILTER (WHERE kept), chr(10)), '') AS ctext
+        |  FROM flags GROUP BY doc_id),
+        |seg AS (SELECT doc_id,
+        |    string_split(regexp_replace(ctext, '([.!?])\s+', '\1' || chr(10), 'g'), chr(10)) AS sl
+        |  FROM agg),
+        |sents AS (SELECT doc_id, x FROM seg, unnest(sl) AS u(x) WHERE len(trim(x)) > 0),
+        |scount AS (SELECT doc_id, count(*) AS n_sent FROM sents GROUP BY doc_id)
+        |SELECT a.doc_id, a.ctext AS text,
+        |  CAST(a.n_kept AS BIGINT) AS n_lines_kept,
+        |  CAST(a.n_dropped AS BIGINT) AS n_lines_dropped,
+        |  CAST(coalesce(s.n_sent, 0) AS BIGINT) AS n_sentences,
+        |  CAST(CASE WHEN coalesce(s.n_sent, 0) >= 5
+        |        AND NOT contains(lower(a.ctext), 'lorem ipsum')
+        |        AND NOT contains(a.ctext, '{')
+        |        AND NOT regexp_matches(lower(a.ctext), '\b(?:verboten|slur)\b')
+        |      THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM agg a LEFT JOIN scount s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // the oracle is the LACED ORIGINAL: repair must invert the damage
+    // classes (one round, two rounds, astral-plane bytes) exactly and
+    // leave the undamaged classes (incl. genuine accents) untouched
+    "q_mojibake" ->
+      """SELECT doc_id, CASE
+        |    WHEN doc_id % 5 = 1 THEN text || ' 汉字处理 with 😀 emoji'
+        |    WHEN doc_id % 5 = 4 THEN text
+        |    ELSE regexp_replace(text, 'table', 'tablé', 'g') || ' café naïve æther'
+        |  END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // same add-α closed forms, same ln arithmetic; per-bigram log-probs
     // floored to 1e-9 grains and summed as integers in BOTH engines so
     // the distributed sum is order-independent

@@ -165,4 +165,133 @@ object TextClean {
         (length(col(textCol)) -
           length(normalizeUnicode(col(textCol), form, foldPunct))).cast("long"))
       .withColumn(textCol, normalizeUnicode(col(textCol), form, foldPunct))
+
+  // ---- Mojibake repair (ftfy-style double-UTF-8 inversion) ----
+  //
+  // The dominant real-world encoding damage: UTF-8 bytes were decoded
+  // as Latin-1 somewhere upstream ("é" → "Ã©", "😀" → "ð"),
+  // sometimes twice. The inversion is exact — re-encode the chars as
+  // Latin-1 bytes and strictly decode them as UTF-8 — and fires only
+  // when that decode succeeds, so clean text (ASCII, or genuine
+  // Latin-1-range prose like "café", whose bytes are NOT valid UTF-8)
+  // passes through untouched. The residual heuristic risk is text that
+  // legitimately quotes mojibake sequences; ftfy documents the same
+  // trade-off.
+
+  /** One inversion step, or null when the string is not Latin-1-range
+    * mojibake (chars > U+00FF, pure ASCII, or bytes that fail a STRICT
+    * UTF-8 decode).
+    */
+  private def undoMojibakeOnce(s: String): String = {
+    var hasHigh = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c > 0xFF) return null
+      if (c >= 0x80) hasHigh = true
+      i += 1
+    }
+    if (!hasHigh) return null
+    val bytes = new Array[Byte](s.length)
+    i = 0
+    while (i < s.length) { bytes(i) = s.charAt(i).toByte; i += 1 }
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try {
+      val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      if (out == s) null else out
+    } catch { case _: java.nio.charset.CharacterCodingException => null }
+  }
+
+  /** Pure kernel for [[fixMojibake]]: inverts up to two rounds of
+    * UTF-8-read-as-Latin-1 damage, returns the input unchanged when no
+    * round applies.
+    */
+  private[graft] def fixMojibakeValue(s: String): String = {
+    var cur = s
+    var rounds = 0
+    while (rounds < 2) {
+      val next = undoMojibakeOnce(cur)
+      if (next == null) return cur
+      cur = next
+      rounds += 1
+    }
+    cur
+  }
+
+  /** Pure kernel for [[mojibakeDamage]]: re-reads the string's UTF-8
+    * bytes as Latin-1 — the damage [[fixMojibake]] inverts. Test/oracle
+    * helper (lossless for any input, including astral-plane chars).
+    */
+  private[graft] def mojibakeDamageValue(s: String): String =
+    new String(s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** Repair UTF-8-read-as-Latin-1 mojibake (up to two nested rounds);
+    * non-mojibake text passes through unchanged. A codegen'd scalar
+    * (zero shuffles; SQL: `graft_fix_mojibake`) — see
+    * [[graft.spark.FixMojibakeExpression]].
+    */
+  def fixMojibake(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.spark.FixMojibakeExpression(
+        org.apache.spark.sql.GraftBridge.expression(text)))
+
+  /** Apply one round of UTF-8-read-as-Latin-1 damage — the inverse of
+    * [[fixMojibake]]'s repair step, for fixtures and round-trip gates.
+    */
+  def mojibakeDamage(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.spark.MojibakeDamageExpression(
+        org.apache.spark.sql.GraftBridge.expression(text)))
+
+  // ---- C4 heuristic filtering (Raffel et al. 2020 §2.2) ----
+
+  /** The C4 cleaning rules, faithfully: per LINE — keep only lines that
+    * end in a terminal punctuation mark (`.`/`!`/`?`/closing quote),
+    * have at least `minLineWords` words, and don't mention
+    * "javascript"; per PAGE (evaluated on the retained lines) — drop
+    * pages with fewer than `minSentences` sentences (naive terminator
+    * segmentation, [[graft.ops.TextStats.sentenceDelimited]]), pages
+    * containing "lorem ipsum" or a curly brace, and pages containing
+    * any word from `badWords` (whole-word, case-insensitive — C4 uses
+    * the public "List of Dirty, Naughty…" here; pass your own).
+    *
+    * Output keeps all input columns, replaces `textCol` with the
+    * retained lines (newline-joined; empty when nothing survives), and
+    * appends `n_lines_kept`, `n_lines_dropped`, `n_sentences`, and the
+    * page-level `keep` flag (callers filter on it; emitting droppees
+    * keeps every decision auditable). Pure scan-local array/regexp
+    * work — zero shuffles at any corpus size, and every pattern stays
+    * in the Java∩RE2 subset so the DuckDB oracle replays it exactly.
+    */
+  def c4Filter(df: DataFrame, textCol: String,
+      badWords: Seq[String] = Seq.empty, minSentences: Int = 5,
+      minLineWords: Int = 3): DataFrame = {
+    val badWordRe =
+      if (badWords.isEmpty) null
+      else "\\b(?:" + badWords.map(w =>
+        java.util.regex.Pattern.quote(w.toLowerCase)).mkString("|") + ")\\b"
+    val keptLines = filter(split(col(textCol), "\n"), l =>
+      trim(l).rlike("[.!?\"]$") &&
+        (size(split(trim(l), "\\s+")) >= minLineWords) &&
+        !lower(l).contains("javascript"))
+    df.withColumn("__kept", keptLines)
+      .withColumn("n_lines_dropped",
+        (size(split(col(textCol), "\n")) - size(col("__kept"))).cast("long"))
+      .withColumn(textCol, array_join(col("__kept"), "\n"))
+      .withColumn("n_lines_kept", size(col("__kept")).cast("long"))
+      .drop("__kept")
+      .withColumn("n_sentences", size(filter(
+        split(graft.ops.TextStats.sentenceDelimited(col(textCol)), "\n"),
+        s => length(trim(s)) > 0)).cast("long"))
+      .withColumn("keep",
+        ((col("n_sentences") >= minSentences) &&
+          !lower(col(textCol)).contains("lorem ipsum") &&
+          !col(textCol).contains("{") &&
+          (if (badWordRe == null) lit(true)
+           else !lower(col(textCol)).rlike(badWordRe)))
+          .cast("long"))
+  }
 }

@@ -164,12 +164,21 @@ object GraftExtensions {
       NormalizeFormExpression(children.head, form)
     })
 
+  val fixMojibakeFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_fix_mojibake"),
+    new ExpressionInfo(classOf[FixMojibakeExpression].getName, "graft_fix_mojibake",
+      "graft_fix_mojibake(text) - invert up to two rounds of UTF-8-read-as-Latin-1 mojibake"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_fix_mojibake expects (text)")
+      FixMojibakeExpression(children.head)
+    })
+
   /** Register into an already-running session. */
   def install(spark: SparkSession): Unit =
     Seq(annotateTextFunction, simhashFunction, fingerprintFunction,
       shingleHashesFunction, repetitionCountsFunction,
       quantizeInt8Function, int8CosineFunction, pslDomainFunction,
-      normalizeFunction).foreach {
+      normalizeFunction, fixMojibakeFunction).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

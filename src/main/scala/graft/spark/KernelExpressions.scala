@@ -567,6 +567,48 @@ final case class NormalizeFormExpression(child: Expression, form: String)
   }
 }
 
+/** Mojibake repair (`graft_fix_mojibake`) — inverts up to two rounds
+  * of UTF-8-read-as-Latin-1 damage per row; clean text passes through
+  * unchanged. See [[graft.ops.TextClean.fixMojibakeValue]].
+  */
+final case class FixMojibakeExpression(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_fix_mojibake"
+  override protected def withNewChildInternal(newChild: Expression): FixMojibakeExpression =
+    copy(child = newChild)
+  def kernel(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val out = graft.ops.TextClean.fixMojibakeValue(str)
+    if (out eq str) s else UTF8String.fromString(out)
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("fmExpr", this, classOf[FixMojibakeExpression].getName)
+    defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
+  }
+}
+
+/** One round of UTF-8-read-as-Latin-1 damage — the inverse of
+  * [[FixMojibakeExpression]]'s repair step; fixture/gate helper.
+  */
+final case class MojibakeDamageExpression(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_mojibake_damage"
+  override protected def withNewChildInternal(newChild: Expression): MojibakeDamageExpression =
+    copy(child = newChild)
+  def kernel(s: UTF8String): UTF8String =
+    UTF8String.fromString(graft.ops.TextClean.mojibakeDamageValue(s.toString))
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("mdExpr", this, classOf[MojibakeDamageExpression].getName)
+    defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
+  }
+}
+
 /** Per-document repetition counters (`graft_repetition_counts`) — one
   * pass over the text producing `[n_words, n_distinct_words,
   * sum_word_chars, n_bigrams, top_bigram_count, dup_bigram_occurrences]`;

@@ -1343,6 +1343,64 @@ class OpsSpec extends AnyFunSuite {
     assert(again(0).getDouble(0) == rep && again(1).getDouble(0) == div)
   }
 
+  test("mojibake repair inverts one and two rounds of damage; clean text untouched") {
+    import graft.ops.TextClean.{fixMojibakeValue, mojibakeDamageValue}
+    val orig = "café naïve æther – 汉字 😀 plain ascii tail"
+    val once = mojibakeDamageValue(orig)
+    val twice = mojibakeDamageValue(once)
+    assert(once != orig && twice != once) // damage is real
+    assert(fixMojibakeValue(once) == orig)
+    assert(fixMojibakeValue(twice) == orig)
+    // no false positive: genuine Latin-1-range prose is NOT valid UTF-8
+    // when re-encoded, so repair leaves it alone
+    assert(fixMojibakeValue(orig) == orig)
+    assert(fixMojibakeValue("café résumé") == "café résumé")
+    assert(fixMojibakeValue("pure ascii stays") == "pure ascii stays")
+    assert(fixMojibakeValue("") == "")
+    // column + SQL surfaces agree, null passes through
+    val df = Seq((0L, mojibakeDamageValue("naïve 😀")), (1L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = df.select(graft.ops.TextClean.fixMojibake(col("text")))
+      .orderBy(df("id")).collect()
+    assert(got(0).getString(0) == "naïve 😀" && got(1).isNullAt(0))
+    df.createOrReplaceTempView("moji_t")
+    graft.spark.GraftExtensions.install(spark)
+    val sqlGot = spark.sql("SELECT graft_fix_mojibake(text) FROM moji_t WHERE id = 0")
+      .head().getString(0)
+    assert(sqlGot == "naïve 😀")
+  }
+
+  test("c4Filter: line rules, sentence minimum, page poisons, audit counts") {
+    val good = "This sentence is long enough and ends well."
+    val page5 = (1 to 5).map(i => s"Good sentence number $i ends here.").mkString("\n")
+    val df = Seq(
+      (0L, page5), // clean 5-sentence page → kept
+      (1L, page5 + "\nno terminal punct line\nShort.\nwe use javascript here."),
+      (2L, (1 to 4).map(i => s"Only sentence $i is present here.").mkString("\n")),
+      (3L, page5 + "\nSadly lorem ipsum appears here."),
+      (4L, page5 + "\nBraces { break pages."),
+      (5L, page5 + "\nA SLUR word poisons the page.")).toDF("doc_id", "text")
+    val out = graft.ops.TextClean.c4Filter(df, "text", badWords = Seq("slur"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("keep") == 1 && out(0).getAs[Long]("n_sentences") == 5)
+    // doc 1: the three bad lines are dropped, page still has its 5 good ones
+    assert(out(1).getAs[Long]("keep") == 1)
+    assert(out(1).getAs[Long]("n_lines_dropped") == 3)
+    assert(out(1).getAs[String]("text") == page5)
+    // doc 2: only 4 sentences → dropped, text retained for audit
+    assert(out(2).getAs[Long]("keep") == 0 && out(2).getAs[Long]("n_sentences") == 4)
+    // docs 3-5: lorem ipsum / brace / bad word (case-insensitive, whole word)
+    assert(out(3).getAs[Long]("keep") == 0)
+    assert(out(4).getAs[Long]("keep") == 0)
+    assert(out(5).getAs[Long]("keep") == 0)
+    // whole-word: "slurp" must NOT poison
+    val ok = graft.ops.TextClean.c4Filter(
+      Seq((0L, page5 + "\nWe slurp soup together tonight.")).toDF("doc_id", "text"),
+      "text", badWords = Seq("slur")).head()
+    assert(ok.getAs[Long]("keep") == 1)
+    assert(good.nonEmpty)
+  }
+
   test("astral-plane safety: emoji/supplementary chars survive normalize, tokens, dedup") {
     // U+1F600 GRINNING FACE (surrogate pair in UTF-16) + U+10348 GOTHIC HWAIR
     val emoji = new String(Character.toChars(0x1F600))

@@ -362,6 +362,19 @@ class PlanSpec extends AnyFunSuite {
     assert(executed.contains("*(1)"), executed) // one fused codegen stage
   }
 
+  test("c4 filter and mojibake repair are scan-local: zero exchanges") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.ops.TextClean.c4Filter(
+      docs.withColumn("text",
+        graft.ops.TextClean.fixMojibake(col("text"))),
+      "text", badWords = Seq("verboten"))
+    val plan = planOf(out)
+    assert(!plan.contains("Exchange"), plan)
+    out.collect()
+    val executed = out.queryExecution.executedPlan.toString
+    assert(executed.contains("*(1)"), executed) // one fused codegen stage
+  }
+
   test("vocab top-k and pmi: tokens shuffle with partial agg, cut is TakeOrdered") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val top = graft.ops.Vocab.topKNgrams(docs, "text", n = 2, k = 50, minCount = 2)
