@@ -892,6 +892,19 @@ object SparkEntry {
       .orderBy(col("domain"))
   }
 
+  /** Temperature-scaled plan over the `source` domains at τ=2 — the
+    * low-resource-boosting mixture rule. Budget below the epoch cap
+    * for the small sources and above it for none at these SFs, so both
+    * branches of the least() materialize in the oracle too.
+    */
+  private def qMixTemp(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    graft.ops.Sampling.temperatureMixturePlan(
+        docs, "source", graft.ops.TextStats.wsTokens(col("text")).cast("long"),
+        temperature = 2.0, budget = 200000L, maxEpochs = 2.0)
+      .orderBy(col("domain"))
+  }
+
   /** Plan APPLICATION: the q_mix_plan epochs materialized into an
     * epoch-replicated, deterministically-sampled corpus; the oracle
     * re-derives the plan, expands the replica table, and replays the
@@ -1241,6 +1254,21 @@ object SparkEntry {
           .as("chars_ok"),
         (col("n_bpe_tokens") >= nWords &&
           col("n_bpe_tokens") <= nChars + nWords).as("bounds_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BPE round trip: fit → encode → decode must reproduce encode's
+    * canonicalization of the input exactly (lowercase + whitespace
+    * collapse). The oracle restates that canonicalization directly, so
+    * this is a full hash gate over the whole tokenizer — every merge,
+    * the encode kernel, and the decode inverse.
+    */
+  private def qBpeDecode(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val model = graft.ops.Bpe.fit(docs, "text", numMerges = 200)
+    val enc = graft.ops.Bpe.encode(docs, "text", model)
+    enc.select(col("doc_id"),
+        graft.ops.Bpe.decode(col("bpe_tokens")).as("text"))
       .orderBy(col("doc_id"))
   }
 
@@ -1661,6 +1689,7 @@ object SparkEntry {
     "q_perplexity" -> (qPerplexity _),
     "q_dsir" -> (qDsir _),
     "q_mix_plan" -> (qMixPlan _),
+    "q_mix_temp" -> (qMixTemp _),
     "q_pack" -> (qPack _),
     "q_dup_spans" -> (qDupSpans _),
     "q_dup_remove" -> (qDupRemove _),
@@ -1669,6 +1698,7 @@ object SparkEntry {
     "q_vocab" -> (qVocab _),
     "q_pmi" -> (qPmi _),
     "q_bpe" -> (qBpe _),
+    "q_bpe_decode" -> (qBpeDecode _),
     "q_semdedup" -> (qSemDedup _),
     "q_warc_read" -> (qWarcRead _),
     "q_nb_fit" -> (qNbFit _),
@@ -2489,6 +2519,25 @@ object SparkEntry {
         |  round(actual_tokens::DOUBLE / available_tokens, 6) AS epochs,
         |  target_tokens - actual_tokens AS shortfall
         |FROM plan ORDER BY domain""".stripMargin,
+    // same 1e-6-grained pow micro-weights, same integer-anchored
+    // arithmetic — partition/order-independent in both engines
+    "q_mix_temp" ->
+      """WITH counts AS (SELECT source AS domain,
+        |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                  ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS available_tokens
+        |  FROM documents GROUP BY 1),
+        |m AS (SELECT *, CAST(round(pow(available_tokens::DOUBLE, 0.5) * 1e6, 0) AS BIGINT) AS micro FROM counts),
+        |t2 AS (SELECT *, sum(micro) OVER () AS tot FROM m),
+        |plan AS (SELECT domain, available_tokens,
+        |    round(micro::DOUBLE / tot, 9) AS weight,
+        |    CAST(round(micro::DOUBLE / tot * 200000, 0) AS BIGINT) AS target_tokens,
+        |    LEAST(CAST(round(micro::DOUBLE / tot * 200000, 0) AS BIGINT),
+        |          CAST(round(available_tokens * 2.0, 0) AS BIGINT)) AS actual_tokens
+        |  FROM t2)
+        |SELECT domain, available_tokens, weight, target_tokens, actual_tokens,
+        |  round(actual_tokens::DOUBLE / available_tokens, 6) AS epochs,
+        |  target_tokens - actual_tokens AS shortfall
+        |FROM plan ORDER BY domain""".stripMargin,
     "q_mix_apply" ->
       """WITH counts AS (SELECT lang AS domain,
         |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -2689,6 +2738,12 @@ object SparkEntry {
         |       ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS BIGINT) AS n_words,
         |  CAST(length(regexp_replace(trim(lower(text)), '\s+', '', 'g')) AS BIGINT) AS n_chars,
         |  true AS chars_ok, true AS bounds_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // decode(encode(text)) must equal encode's canonicalization of the
+    // input — a full hash gate over fit + encode + decode
+    "q_bpe_decode" ->
+      """SELECT doc_id,
+        |  array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ') AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_vocab" ->
       """WITH toks AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),

@@ -209,4 +209,19 @@ object Bpe {
     df.withColumn(outCol, tokens)
       .withColumn("n_bpe_tokens", size(col(outCol)).cast("long"))
   }
+
+  /** Decode a BPE token array back to text: concatenate the symbols
+    * and turn each end-of-word marker into a space. Exact inverse of
+    * [[encode]] up to encode's own canonicalization (lowercase +
+    * whitespace collapse) — `decode(encode(text)) ==
+    * array_join(split(trim(lower(text)), "\\s+"), " ")`, the contract
+    * `q_bpe_decode` hash-gates end to end. Pure native functions
+    * (array_join + literal replace + trim): codegen'd, zero shuffles.
+    * Caveat shared with every BPE implementation: the marker string is
+    * reserved — source text that literally contains `</w>` would
+    * decode ambiguously.
+    */
+  def decode(tokensCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(array_join(tokensCol, ""),
+      java.util.regex.Pattern.quote(EndMark), " "))
 }

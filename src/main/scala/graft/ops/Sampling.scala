@@ -137,6 +137,49 @@ object Sampling {
       .drop("__domain", "__thr")
   }
 
+  /** Temperature-scaled mixture planning (the multilingual-sampling
+    * rule of mT5 / XLM-R, Arivazhagan et al. 2019): per-domain
+    * sampling mass p_i ∝ n_i^(1/τ) — τ=1 reproduces natural
+    * proportions, τ→∞ approaches uniform, the usual range boosts
+    * low-resource domains without drowning the head. Emits the same
+    * plan shape as [[mixturePlan]] plus the derived `weight`; feed the
+    * `(domain, epochs)` pairs to [[applyMixturePlan]] to materialize.
+    *
+    * Numerics contract: the only transcendental (`pow`) is floored to
+    * 1e-6 grains and all downstream arithmetic runs on those integer
+    * micro-weights, so the result is partition-order-independent and
+    * oracle-replicable. The per-domain table is one row per source; the
+    * single-partition window summing it is free at any corpus size.
+    */
+  def temperatureMixturePlan(df: DataFrame, domainCol: String,
+      tokenCount: Column, temperature: Double, budget: Long,
+      maxEpochs: Double = 4.0): DataFrame = {
+    require(temperature > 0, s"temperatureMixturePlan: bad temperature $temperature")
+    require(budget > 0 && maxEpochs > 0, s"bad budget/maxEpochs: $budget/$maxEpochs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    df.groupBy(col(domainCol).as("domain"))
+      .agg(sum(tokenCount).cast("long").as("available_tokens"))
+      .withColumn("__micro",
+        round(pow(col("available_tokens").cast("double"),
+          lit(1.0 / temperature)) * 1e6, 0).cast("long"))
+      .withColumn("__tot", sum(col("__micro")).over(w))
+      .withColumn("weight",
+        round(col("__micro").cast("double") / col("__tot"), 9))
+      .withColumn("target_tokens",
+        round(col("__micro").cast("double") / col("__tot") * budget, 0)
+          .cast("long"))
+      .withColumn("actual_tokens",
+        least(col("target_tokens"),
+          round(col("available_tokens") * maxEpochs, 0).cast("long")))
+      .withColumn("epochs",
+        round(col("actual_tokens").cast("double") / col("available_tokens"), 6))
+      .withColumn("shortfall", col("target_tokens") - col("actual_tokens"))
+      .select(col("domain"), col("available_tokens"), col("weight"),
+        col("target_tokens"), col("actual_tokens"), col("epochs"),
+        col("shortfall"))
+  }
+
   def mixturePlan(df: DataFrame, domainCol: String, tokenCount: Column,
       weights: Seq[(String, Double)], budget: Long,
       maxEpochs: Double = 4.0): DataFrame = {

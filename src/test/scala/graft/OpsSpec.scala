@@ -1218,6 +1218,32 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.length == 2)
   }
 
+  test("temperature mixture plan: tau=2 boosts the tail, tau=1 is natural") {
+    val corpus = Seq(("small", 100L), ("big", 400L)).toDF("domain_col", "toks")
+    // tau=2: sqrt weights 10 vs 20 -> 1/3, 2/3 of a 300 budget
+    val plan = graft.ops.Sampling.temperatureMixturePlan(corpus, "domain_col",
+        col("toks"), temperature = 2.0, budget = 300L, maxEpochs = 1.0)
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6)))
+    assert(plan(0)._1 == "big" && math.abs(plan(0)._3 - 2.0 / 3) < 1e-6
+      && plan(0)._4 == 200L && plan(0)._5 == 200L && plan(0)._6 == 0.5)
+    assert(plan(1)._1 == "small" && math.abs(plan(1)._3 - 1.0 / 3) < 1e-6
+      && plan(1)._4 == 100L && plan(1)._5 == 100L && plan(1)._6 == 1.0
+      && plan(1)._7 == 0L)
+    // tau=1 reproduces natural proportions: small gets 0.2 of the mass
+    val nat = graft.ops.Sampling.temperatureMixturePlan(corpus, "domain_col",
+        col("toks"), temperature = 1.0, budget = 500L)
+      .orderBy("domain").collect()
+    assert(math.abs(nat(1).getDouble(2) - 0.2) < 1e-6
+      && nat(1).getLong(3) == 100L)
+    // epoch cap still binds: tiny maxEpochs forces shortfall
+    val capped = graft.ops.Sampling.temperatureMixturePlan(corpus, "domain_col",
+        col("toks"), temperature = 2.0, budget = 3000L, maxEpochs = 1.0)
+      .orderBy("domain").collect()
+    assert(capped(1).getLong(4) == 100L && capped(1).getLong(6) > 0L)
+  }
+
   test("url canonicalization: case, ports, userinfo, tracking params, non-urls") {
     val df = Seq(
       (0L, "HTTP://Example.COM:80/Path/X?utm_source=a&id=7#frag"),
@@ -1667,6 +1693,34 @@ class OpsSpec extends AnyFunSuite {
     assert(tiny.typesUsed == 2 && tiny.tokenMassCovered < 1.0)
     val enc2 = graft.ops.Bpe.encode(docs, "text", tiny).collect()
     assert(enc2.forall(_.getAs[Long]("n_bpe_tokens") > 0L))
+  }
+
+  test("bpe decode inverts encode up to the canonicalization contract") {
+    val docs = Seq(
+      (0L, "The LOWEST price   the lowest cost"),
+      (1L, "newest widest lowest"),
+      (2L, ""),
+      (3L, "one")).toDF("doc_id", "text")
+    val model = graft.ops.Bpe.fit(docs, "text", numMerges = 50)
+    val out = graft.ops.Bpe.encode(docs, "text", model)
+      .select(col("doc_id"), graft.ops.Bpe.decode(col("bpe_tokens")).as("d"),
+        col("text"))
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      val want = r.getAs[String]("text").toLowerCase.trim
+        .split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(r.getAs[String]("d") == want, s"doc ${r.getLong(0)}")
+    }
+    // truncated model (char fallback path) still round-trips
+    val tiny = graft.ops.Bpe.fit(docs, "text", numMerges = 3, maxWordTypes = 2)
+    val out2 = graft.ops.Bpe.encode(docs, "text", tiny)
+      .select(graft.ops.Bpe.decode(col("bpe_tokens")).as("d"), col("text"))
+      .collect()
+    out2.foreach { r =>
+      val want = r.getAs[String]("text").toLowerCase.trim
+        .split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(r.getAs[String]("d") == want)
+    }
   }
 
   test("within-doc line dedup: first occurrence survives in order, zero-shuffle") {
