@@ -609,6 +609,20 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-ranked survivor election over the same near-dup graph as
+    * q_dedup_cluster: each component keeps its LONGEST member (tie →
+    * smaller id); untouched docs pass through. The oracle re-derives
+    * components with the recursive CTE and replays the argmax.
+    */
+  private def qDedupBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+    Dedup.keepBestInClusters(docs, pairs, "doc_id", length(col("text")))
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(s.read.parquet(t(dir, "documents")),
         "text", "doc_id", maxHamming = 3)
@@ -1669,6 +1683,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_apply" -> (qDedupApply _),
     "q_dedup_cluster" -> (qDedupCluster _),
+    "q_dedup_best" -> (qDedupBest _),
     "q_embed_dedup" -> (qEmbedDedup _),
     "q_embed_quant" -> (qEmbedQuant _),
     "q_knn_brute" -> (qKnnBrute _),
@@ -2015,6 +2030,33 @@ object SparkEntry {
         |  UNION SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src)
         |SELECT id AS doc_id, CAST(least(id, min(r)) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // same components, then the argmax election: longest member (tie ->
+    // smaller id) survives; untouched docs pass through
+    "q_dedup_best" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) s
+        |       FROM t WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+        |comp AS (SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+        |         FROM reach GROUP BY id),
+        |ranked AS (SELECT c.doc_id,
+        |    row_number() OVER (PARTITION BY c.cluster_id
+        |                       ORDER BY length(d.text) DESC, c.doc_id) AS rn
+        |  FROM comp c JOIN documents d USING (doc_id)),
+        |survivors AS (
+        |  SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+        |  UNION ALL SELECT doc_id FROM ranked WHERE rn = 1)
+        |SELECT d.doc_id, d.lang, CAST(length(d.text) AS BIGINT) AS n_chars
+        |FROM documents d JOIN survivors s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // Fully independent simhash oracle: DuckDB recomputes the 64-bit
     // FNV-1a token hashes and the bit-majority signature in HUGEINT
     // arithmetic (mod 2^64), then brute-forces all pairs with

@@ -396,6 +396,34 @@ object Dedup {
     df.join(victims, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware near-duplicate resolution: per connected component
+    * of the pair graph ([[clusters]]), keep the single document with
+    * the highest `rank` (ties broken on the smaller id — fully
+    * deterministic); documents untouched by any pair pass through.
+    * This is the curation-grade alternative to [[dropNearDuplicates]]'
+    * keep-first convention — near-dup groups survive as their BEST
+    * member (longest, highest quality score, newest crawl…), the
+    * policy the public pipelines use for canonical-page election.
+    *
+    * Scale shape: the election runs on an (id, rank, label) projection
+    * — cluster labeling and the per-cluster window never see text; the
+    * corpus rejoins only through id-keyed semi/anti joins (small right
+    * sides: AQE broadcasts them below the threshold).
+    */
+  def keepBestInClusters(df: DataFrame, pairs: DataFrame, idCol: String,
+      rank: Column): DataFrame = {
+    val labels = clusters(pairs)
+    val ranked = df.select(col(idCol).as("id"), rank.as("__r"))
+      .join(labels, Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("__r").desc, col("id").asc)
+    val winners = ranked.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).select(col("id").as(idCol))
+    val unlabeled =
+      df.join(labels.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+    unlabeled.unionByName(df.join(winners, Seq(idCol), "left_semi"))
+  }
+
   /** Pure text → 64-bit SimHash kernel (uniform token weights, FNV-1a
     * token hashes). Shared by the Column wrapper and the SQL function
     * `graft_simhash`.

@@ -66,6 +66,23 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(0L, 2L, 4L)) // 1 and 3 are near-dups of 0
   }
 
+  test("keepBestInClusters elects the top-ranked member per component") {
+    // chain component {0,1,2} via explicit pairs + singleton {5}
+    val corpus = Seq(
+      (0L, "aa", 10L), (1L, "bb", 30L), (2L, "cc", 20L),
+      (5L, "zz", 1L)).toDF("doc_id", "text", "q")
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBestInClusters(corpus, pairs, "doc_id", col("q"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 5L)) // 1 has top q in its component; 5 untouched
+    // tie on rank -> smaller id wins
+    val tied = Seq((0L, "x", 7L), (1L, "y", 7L)).toDF("doc_id", "text", "q")
+    val p2 = Seq((0L, 1L)).toDF("id_a", "id_b")
+    val k2 = Dedup.keepBestInClusters(tied, p2, "doc_id", col("q"))
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(k2.toSeq == Seq(0L))
+  }
+
   test("graft.functions facade delegates to the kernels") {
     val df = docs.limit(1)
     val r = df.select(
