@@ -906,6 +906,20 @@ object SparkEntry {
       .orderBy(col("domain"))
   }
 
+  /** Per-language median-length threshold filter: each language keeps
+    * its at-or-below-median-length docs. Exercises the per-group
+    * quantile + broadcast-back + keep-flag shape end to end; the
+    * oracle's quantile_cont matches Spark's percentile interpolation.
+    */
+  private def qQuantileFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+      .withColumn("score", length(col("text")).cast("long"))
+    graft.ops.Sampling.filterByGroupQuantile(docs, "score", "lang", q = 0.5)
+      .select(col("doc_id"), col("lang"), col("score"),
+        col("threshold"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Temperature-scaled plan over the `source` domains at τ=2 — the
     * low-resource-boosting mixture rule. Budget below the epoch cap
     * for the small sources and above it for none at these SFs, so both
@@ -1705,6 +1719,7 @@ object SparkEntry {
     "q_dsir" -> (qDsir _),
     "q_mix_plan" -> (qMixPlan _),
     "q_mix_temp" -> (qMixTemp _),
+    "q_quantile_filter" -> (qQuantileFilter _),
     "q_pack" -> (qPack _),
     "q_dup_spans" -> (qDupSpans _),
     "q_dup_remove" -> (qDupRemove _),
@@ -2561,6 +2576,13 @@ object SparkEntry {
         |  round(actual_tokens::DOUBLE / available_tokens, 6) AS epochs,
         |  target_tokens - actual_tokens AS shortfall
         |FROM plan ORDER BY domain""".stripMargin,
+    // quantile_cont matches Spark percentile's linear interpolation
+    "q_quantile_filter" ->
+      """WITH s AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS score FROM documents),
+        |t AS (SELECT lang, quantile_cont(score, 0.5) AS threshold FROM s GROUP BY lang)
+        |SELECT s.doc_id, s.lang, s.score, t.threshold,
+        |  CAST(CASE WHEN s.score <= t.threshold THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM s JOIN t USING (lang) ORDER BY s.doc_id""".stripMargin,
     // same 1e-6-grained pow micro-weights, same integer-anchored
     // arithmetic — partition/order-independent in both engines
     "q_mix_temp" ->

@@ -137,6 +137,33 @@ object Sampling {
       .drop("__domain", "__thr")
   }
 
+  /** Per-group adaptive threshold filtering — the CCNet policy of
+    * cutting on a QUANTILE of a score within each group (language,
+    * domain) rather than one global constant, so low-resource groups
+    * aren't wiped out by a threshold tuned on the head. Computes the
+    * exact q-quantile of `scoreCol` per `groupCol` (one aggregation;
+    * the per-group table is tiny and broadcasts back — swap the
+    * percentile to approx_percentile if group cardinality ever makes
+    * the sort-based aggregate hurt), appends `threshold` and a `keep`
+    * flag (score on the `keepBelow` side of the threshold; null scores
+    * and groups with no scored rows keep=0). Emitting flags rather
+    * than filtering keeps the decision auditable; callers filter.
+    */
+  def filterByGroupQuantile(df: DataFrame, scoreCol: String,
+      groupCol: String, q: Double, keepBelow: Boolean = true): DataFrame = {
+    require(0 < q && q < 1, s"filterByGroupQuantile: bad quantile $q")
+    val thr = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile($scoreCol, $q)").as("threshold"))
+    val side =
+      if (keepBelow) col(scoreCol) <= col("threshold")
+      else col(scoreCol) >= col("threshold")
+    df.join(broadcast(thr), Seq(groupCol), "left")
+      .withColumn("keep",
+        (col(scoreCol).isNotNull && col("threshold").isNotNull && side)
+          .cast("long"))
+  }
+
   /** Temperature-scaled mixture planning (the multilingual-sampling
     * rule of mT5 / XLM-R, Arivazhagan et al. 2019): per-domain
     * sampling mass p_i ∝ n_i^(1/τ) — τ=1 reproduces natural

@@ -1235,6 +1235,30 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.length == 2)
   }
 
+  test("filterByGroupQuantile: per-group median cut, side flip, null contracts") {
+    val df = Seq(
+      (0L, "en", java.lang.Long.valueOf(10L)), (1L, "en", java.lang.Long.valueOf(20L)),
+      (2L, "en", java.lang.Long.valueOf(30L)), (3L, "en", java.lang.Long.valueOf(40L)),
+      (4L, "de", java.lang.Long.valueOf(5L)), (5L, "de", java.lang.Long.valueOf(100L)),
+      (6L, "en", null.asInstanceOf[java.lang.Long]),
+      (7L, "xx", null.asInstanceOf[java.lang.Long])).toDF("id", "g", "score")
+      .withColumnRenamed("g", "lang")
+    val out = graft.ops.Sampling.filterByGroupQuantile(df, "score", "lang", 0.5)
+      .orderBy("id").collect()
+    // en median of 10,20,30,40 = 25 -> 10,20 keep
+    assert(out(0).getAs[Long]("keep") == 1 && out(1).getAs[Long]("keep") == 1)
+    assert(out(2).getAs[Long]("keep") == 0 && out(3).getAs[Long]("keep") == 0)
+    assert(out(0).getAs[Double]("threshold") == 25.0)
+    // de median of 5,100 = 52.5
+    assert(out(4).getAs[Long]("keep") == 1 && out(5).getAs[Long]("keep") == 0)
+    // null score and all-null group -> keep 0
+    assert(out(6).getAs[Long]("keep") == 0 && out(7).getAs[Long]("keep") == 0)
+    // keepBelow=false flips the side (>= so boundary rows survive)
+    val hi = graft.ops.Sampling.filterByGroupQuantile(df, "score", "lang", 0.5,
+        keepBelow = false).orderBy("id").collect()
+    assert(hi(0).getAs[Long]("keep") == 0 && hi(3).getAs[Long]("keep") == 1)
+  }
+
   test("temperature mixture plan: tau=2 boosts the tail, tau=1 is natural") {
     val corpus = Seq(("small", 100L), ("big", 400L)).toDF("domain_col", "toks")
     // tau=2: sqrt weights 10 vs 20 -> 1/3, 2/3 of a 300 budget
