@@ -212,6 +212,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("c4 filter and mojibake repair stream unchanged, equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    def pipeline(in: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextClean.c4Filter(
+        in.withColumn("text", graft.ops.TextClean.fixMojibake(col("text"))),
+        "text", badWords = Seq("verboten"))
+        .select(col("doc_id"), col("text"), col("n_lines_kept"),
+          col("n_sentences"), col("keep"))
+    val damaged = graft.ops.TextClean.mojibakeDamageValue(
+      (1 to 5).map(i => s"Tidy sentence número $i ends properly.").mkString("\n"))
+    val rows = Seq(
+      (0L, damaged),
+      (1L, "too short page."))
+    val stream = MemoryStream[(Long, String)]
+    val query = pipeline(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("r7_clean_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("r7_clean_stream").orderBy("doc_id").collect()
+      val batch = pipeline(rows.toDF("doc_id", "text")).orderBy("doc_id").collect()
+      assert(streamed.toSeq == batch.toSeq)
+      assert(streamed(0).getAs[Long]("keep") == 1L)
+      assert(streamed(0).getAs[String]("text").contains("número")) // repaired
+      assert(streamed(1).getAs[Long]("keep") == 0L)
+    } finally query.stop()
+  }
+
   test("match totals with HLL distinct-doc sketch (batch)") {
     val docs = Seq(
       (0L, "hash join hash join"),
