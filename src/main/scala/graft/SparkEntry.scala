@@ -906,6 +906,43 @@ object SparkEntry {
       .orderBy(col("domain"))
   }
 
+  /** The round-7 curation chain composed end to end: encoding damage →
+    * [[graft.ops.TextClean.fixMojibake]] → C4 page filtering →
+    * per-language median-length quantile cut → temperature-scaled
+    * mixture plan over the survivors. Every stage is the library
+    * operator; the oracle replays the ENTIRE chain (repair is replayed
+    * as the identity on the undamaged lacing — the same inversion
+    * contract q_mojibake hash-gates).
+    */
+  private def qPipeline3(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val page = concat(
+      lit("Opening sentence covers "),
+      expr("substring(text, 1, CAST(doc_id % 37 AS INT) + 10)"), lit(".\n"),
+      lit("Another solid sentence follows café here.\n"),
+      lit("A third one ends now.\n"),
+      lit("Sentence four is also present.\n"),
+      when(col("doc_id") % 3 === 0,
+        lit("The fifth sentence completes the page."))
+        .otherwise(substring(col("text"), 31, 25)), lit("\n"),
+      substring(col("text"), 61, 25))
+    val laced = docs.withColumn("text",
+      when(col("doc_id") % 2 === 0, graft.ops.TextClean.mojibakeDamage(page))
+        .otherwise(page))
+    val fixed = laced.withColumn("text",
+      graft.ops.TextClean.fixMojibake(col("text")))
+    val filtered = graft.ops.TextClean.c4Filter(fixed, "text")
+      .where(col("keep") === 1)
+      .drop("n_lines_kept", "n_lines_dropped", "n_sentences", "keep")
+    val scored = filtered.withColumn("score", length(col("text")).cast("long"))
+    val kept = graft.ops.Sampling.filterByGroupQuantile(scored, "score", "lang", q = 0.5)
+      .where(col("keep") === 1)
+    graft.ops.Sampling.temperatureMixturePlan(kept, "lang",
+        graft.ops.TextStats.wsTokens(col("text")).cast("long"),
+        temperature = 2.0, budget = 100000L, maxEpochs = 2.0)
+      .orderBy(col("domain"))
+  }
+
   /** Per-language median-length threshold filter: each language keeps
     * its at-or-below-median-length docs. Exercises the per-group
     * quantile + broadcast-back + keep-flag shape end to end; the
@@ -1720,6 +1757,7 @@ object SparkEntry {
     "q_mix_plan" -> (qMixPlan _),
     "q_mix_temp" -> (qMixTemp _),
     "q_quantile_filter" -> (qQuantileFilter _),
+    "q_pipeline3" -> (qPipeline3 _),
     "q_pack" -> (qPack _),
     "q_dup_spans" -> (qDupSpans _),
     "q_dup_remove" -> (qDupRemove _),
@@ -2573,6 +2611,50 @@ object SparkEntry {
         |          CAST(round(c.available_tokens * 2.0, 0) AS BIGINT)) AS actual_tokens
         |  FROM counts c JOIN w ON c.domain = w.domain)
         |SELECT domain, available_tokens, target_tokens, actual_tokens,
+        |  round(actual_tokens::DOUBLE / available_tokens, 6) AS epochs,
+        |  target_tokens - actual_tokens AS shortfall
+        |FROM plan ORDER BY domain""".stripMargin,
+    // the whole chain replayed: lacing (repair≡identity on it), the C4
+    // line/page rules, the per-language median cut, the micro-weight plan
+    "q_pipeline3" ->
+      """WITH page AS (SELECT doc_id, lang,
+        |    'Opening sentence covers ' || substr(text, 1, CAST(doc_id % 37 AS INT) + 10) || '.' || chr(10) ||
+        |    'Another solid sentence follows café here.' || chr(10) ||
+        |    'A third one ends now.' || chr(10) ||
+        |    'Sentence four is also present.' || chr(10) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'The fifth sentence completes the page.'
+        |         ELSE substr(text, 31, 25) END || chr(10) ||
+        |    substr(text, 61, 25) AS text
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, lang, string_split(text, chr(10)) AS l FROM page),
+        |lines AS (SELECT doc_id, lang, i - 1 AS pos, l[i] AS line
+        |  FROM l0, unnest(range(1, len(l) + 1)) AS t(i)),
+        |kept AS (SELECT doc_id, lang, pos, line FROM lines
+        |  WHERE regexp_matches(trim(line), '[.!?"]$')
+        |    AND len(regexp_split_to_array(trim(line), '\s+')) >= 3
+        |    AND NOT contains(lower(line), 'javascript')),
+        |agg AS (SELECT doc_id, lang, count(*) AS n_sent,
+        |    array_to_string(list(line ORDER BY pos), chr(10)) AS ctext
+        |  FROM kept GROUP BY doc_id, lang),
+        |surv AS (SELECT doc_id, lang, ctext, CAST(length(ctext) AS BIGINT) AS score
+        |  FROM agg WHERE n_sent >= 5
+        |    AND NOT contains(lower(ctext), 'lorem ipsum')
+        |    AND NOT contains(ctext, '{')),
+        |med AS (SELECT lang, quantile_cont(score, 0.5) AS thr FROM surv GROUP BY lang),
+        |q AS (SELECT s.* FROM surv s JOIN med m USING (lang) WHERE s.score <= m.thr),
+        |counts AS (SELECT lang AS domain,
+        |    CAST(sum(CASE WHEN length(trim(ctext)) = 0 THEN 0
+        |                  ELSE len(string_split_regex(trim(ctext), '\s+')) END) AS BIGINT) AS available_tokens
+        |  FROM q GROUP BY 1),
+        |m2 AS (SELECT *, CAST(round(pow(available_tokens::DOUBLE, 0.5) * 1e6, 0) AS BIGINT) AS micro FROM counts),
+        |t2 AS (SELECT *, sum(micro) OVER () AS tot FROM m2),
+        |plan AS (SELECT domain, available_tokens,
+        |    round(micro::DOUBLE / tot, 9) AS weight,
+        |    CAST(round(micro::DOUBLE / tot * 100000, 0) AS BIGINT) AS target_tokens,
+        |    LEAST(CAST(round(micro::DOUBLE / tot * 100000, 0) AS BIGINT),
+        |          CAST(round(available_tokens * 2.0, 0) AS BIGINT)) AS actual_tokens
+        |  FROM t2)
+        |SELECT domain, available_tokens, weight, target_tokens, actual_tokens,
         |  round(actual_tokens::DOUBLE / available_tokens, 6) AS epochs,
         |  target_tokens - actual_tokens AS shortfall
         |FROM plan ORDER BY domain""".stripMargin,
