@@ -1736,6 +1736,47 @@ class OpsSpec extends AnyFunSuite {
     assert(enc2.forall(_.getAs[Long]("n_bpe_tokens") > 0L))
   }
 
+  test("model persistence: BPE/IVF/PQ round-trip through parquet exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_models").toString
+    // BPE incl. stats; a loaded model must encode identically
+    val docs = Seq((0L, "the lowest price the lowest cost"),
+      (1L, "newest widest lowest")).toDF("doc_id", "text")
+    val bpe = graft.ops.Bpe.fit(docs, "text", numMerges = 10)
+    graft.ops.Models.saveBpe(spark, bpe, s"$dir/bpe")
+    val bpe2 = graft.ops.Models.loadBpe(spark, s"$dir/bpe")
+    assert(bpe2 == bpe)
+    val a = graft.ops.Bpe.encode(docs, "text", bpe).orderBy("doc_id").collect()
+    val b = graft.ops.Bpe.encode(docs, "text", bpe2).orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+    // zero-merge model still round-trips (meta row carries the stats)
+    val empty = graft.ops.Bpe.BpeModel(Seq.empty, 7L, 3, 0.5)
+    graft.ops.Models.saveBpe(spark, empty, s"$dir/bpe0")
+    assert(graft.ops.Models.loadBpe(spark, s"$dir/bpe0") == empty)
+    // IVF: exact centroid/radius recovery
+    val ivf = graft.ops.Similarity.IvfModel(
+      Array(Array(1.0, 0.0), Array(0.0, -1.0)), Array(0.25, 0.5))
+    graft.ops.Models.saveIvf(spark, ivf, s"$dir/ivf")
+    val ivf2 = graft.ops.Models.loadIvf(spark, s"$dir/ivf")
+    assert(ivf2.centroids.map(_.toSeq).toSeq == ivf.centroids.map(_.toSeq).toSeq)
+    assert(ivf2.radii.toSeq == ivf.radii.toSeq)
+    // PQ: nested codebooks exact
+    val pq = graft.ops.Similarity.PqModel(Array(
+      Array(Array(0.1, 0.2), Array(0.3, 0.4)),
+      Array(Array(-1.0, 2.0), Array(0.0, 0.0))))
+    graft.ops.Models.savePq(spark, pq, s"$dir/pq")
+    val pq2 = graft.ops.Models.loadPq(spark, s"$dir/pq")
+    assert(pq2.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.forEach(rm(_)) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(java.nio.file.Paths.get(dir))
+  }
+
   test("bpe decode inverts encode up to the canonicalization contract") {
     val docs = Seq(
       (0L, "The LOWEST price   the lowest cost"),
