@@ -362,6 +362,28 @@ class PlanSpec extends AnyFunSuite {
     assert(executed.contains("*(1)"), executed) // one fused codegen stage
   }
 
+  test("keepBestInClusters: election sees no text; corpus rejoins broadcast") {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    import org.apache.spark.sql.types.StringType
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = graft.ops.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.5)
+    val out = graft.ops.Dedup.keepBestInClusters(docs, pairs, "doc_id",
+      length(col("text")))
+    // the per-cluster argmax window runs on (id, rank, label) only —
+    // no string column below it
+    val opt = out.queryExecution.optimizedPlan
+    val wins = opt.collect { case w: Window => w }
+    assert(wins.nonEmpty, opt.toString)
+    wins.foreach(w => assert(!w.child.output.exists(_.dataType == StringType),
+      s"text below the election window:\n$opt"))
+    // the id-keyed semi/anti rejoins broadcast the tiny id lists — the
+    // corpus (with text) streams through without an exchange of its own
+    out.collect()
+    val executed = out.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastHashJoin"), executed)
+  }
+
   test("c4 filter and mojibake repair are scan-local: zero exchanges") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = graft.ops.TextClean.c4Filter(
