@@ -838,6 +838,28 @@ object SparkEntry {
         maxTopBigramFrac = 0.06, maxDupWordFrac = 0.75)
       .orderBy(col("doc_id"))
 
+  /** The remaining published Gopher rules over docs laced with the
+    * exact failure modes they police: bullet lines, ellipsis endings,
+    * symbol runs with numeric words, and a stop-word booster. Every
+    * signal and the keep flag replay relationally in the oracle.
+    */
+  private def qGopherRules(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val laced = docs.withColumn("text", concat(
+      when(col("doc_id") % 4 === 1,
+        lit("• bullet item one\n• bullet item two\n* starred item\n"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 2,
+        lit("trailing thought...\nanother fades…\n")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        lit("### ## 12345 67890 4242 ")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0,
+        lit("with the and of it goes ")).otherwise(lit("")),
+      col("text")))
+    graft.ops.TextStats.gopherPageRules(laced, "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** GPT-3-style n-gram-overlap decontamination: bench = every 101st doc,
     * clean corpus = docs sharing no word 4-gram with it. (The published
     * method uses 13-grams; 4 here so the synthetic corpus — which has
@@ -1748,6 +1770,7 @@ object SparkEntry {
     "q_pipeline" -> (qPipeline _),
     "q_quality" -> (qQuality _),
     "q_gopher" -> (qGopher _),
+    "q_gopher_rules" -> (qGopherRules _),
     "q_decontam_ngram" -> (qDecontamNgram _),
     "q_decontam_bloom" -> (qDecontamBloom _),
     "q_bm25" -> (qBm25 _),
@@ -2312,6 +2335,51 @@ object SparkEntry {
         |  UNION ALL SELECT 'j', 'st', CAST(count(*) FILTER (WHERE j AND st) AS BIGINT) FROM m
         |  UNION ALL SELECT 's', 'st', CAST(count(*) FILTER (WHERE s AND st) AS BIGINT) FROM m
         |) WHERE n_docs > 0 ORDER BY id_a, id_b""".stripMargin,
+    // same lacing, same regexes (Java∩RE2), same rounded-then-compared
+    // keep derivation
+    "q_gopher_rules" ->
+      """WITH laced AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 1 THEN '• bullet item one' || chr(10) || '• bullet item two' || chr(10) || '* starred item' || chr(10) ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 2 THEN 'trailing thought...' || chr(10) || 'another fades…' || chr(10) ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '### ## 12345 67890 4242 ' ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'with the and of it goes ' ELSE '' END ||
+        |    text AS text
+        |  FROM documents),
+        |sig AS (SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS words,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM laced),
+        |agg AS (SELECT doc_id, text,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[•\-*]'))) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS BIGINT) AS n_ell,
+        |    CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) + len(regexp_extract_all(text, '…')) AS BIGINT) AS n_sym,
+        |    CAST((CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END) +
+        |         (CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END) +
+        |         (CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END) +
+        |         (CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END) +
+        |         (CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END) +
+        |         (CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END) +
+        |         (CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END) +
+        |         (CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords
+        |  FROM sig),
+        |fr AS (SELECT doc_id, n_words,
+        |    CASE WHEN n_words = 0 THEN 0.0 ELSE round(n_alpha::DOUBLE / n_words, 6) END AS alpha_word_frac,
+        |    CASE WHEN n_words = 0 THEN 0.0 ELSE round(n_sym::DOUBLE / n_words, 6) END AS symbol_ratio,
+        |    CASE WHEN n_lines = 0 THEN 0.0 ELSE round(n_bullet::DOUBLE / n_lines, 6) END AS bullet_line_frac,
+        |    CASE WHEN n_lines = 0 THEN 0.0 ELSE round(n_ell::DOUBLE / n_lines, 6) END AS ellipsis_line_frac,
+        |    n_stopwords
+        |  FROM agg)
+        |SELECT doc_id, n_words, alpha_word_frac, symbol_ratio,
+        |  bullet_line_frac, ellipsis_line_frac, n_stopwords,
+        |  CAST(CASE WHEN n_words > 0 AND alpha_word_frac >= 0.8
+        |        AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        |        AND ellipsis_line_frac <= 0.3 AND n_stopwords >= 2
+        |      THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM fr ORDER BY doc_id""".stripMargin,
     "q_gopher" ->
       """WITH base AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
         |w AS (SELECT doc_id, len(ws) n_words, len(list_distinct(ws)) n_d,

@@ -301,6 +301,59 @@ object TextStats {
           col("dup_word_frac") <= maxDupWordFrac).cast("long"))
   }
 
+  /** The REMAINING published Gopher rules (Rae et al. 2021 §A1.1) that
+    * [[gopherQuality]]'s repetition kernel doesn't cover: fraction of
+    * words with at least one alphabetic character (< `minAlphaWordFrac`
+    * rejects), symbol-to-word ratio for `#`/ellipsis (> `maxSymbolRatio`
+    * rejects), fraction of lines starting with a bullet
+    * (> `maxBulletLineFrac`), fraction of lines ending in an ellipsis
+    * (> `maxEllipsisLineFrac`), and the ≥ `minStopwords`-of-eight
+    * English stop-word presence test. Emits each signal (fractions
+    * rounded to 6, ratios exact-integer-derived) plus `keep`; AND it
+    * with [[gopherQuality]]'s flag for the full Gopher filter. All
+    * native regexp/array work in the Java∩RE2 subset — scan-local,
+    * zero shuffles, DuckDB-replayable.
+    */
+  def gopherPageRules(df: DataFrame, textCol: String, idCol: String,
+      minAlphaWordFrac: Double = 0.8, maxSymbolRatio: Double = 0.1,
+      maxBulletLineFrac: Double = 0.9, maxEllipsisLineFrac: Double = 0.3,
+      minStopwords: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val words = when(length(trim(t)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(t), "\\s+"))
+    val nW = size(words).cast("long")
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val lines = split(t, "\n")
+    val nL = size(lines).cast("long")
+    val nBullet = size(filter(lines, l =>
+      trim(l).rlike("^[•\\-*]"))).cast("long")
+    val nEll = size(filter(lines, l =>
+      trim(l).rlike("(\\.\\.\\.|…)$"))).cast("long")
+    val nSym = (regexp_count(t, lit("#")) +
+      regexp_count(t, lit("\\.\\.\\.")) + regexp_count(t, lit("…"))).cast("long")
+    val stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStop = stopwords.map(w =>
+      when(lower(t).rlike("\\b" + w + "\\b"), 1L).otherwise(0L))
+      .reduce(_ + _).cast("long")
+    df.select(col(idCol), nW.as("n_words"),
+        when(nW === 0, lit(0.0))
+          .otherwise(round(nAlpha.cast("double") / nW, 6)).as("alpha_word_frac"),
+        when(nW === 0, lit(0.0))
+          .otherwise(round(nSym.cast("double") / nW, 6)).as("symbol_ratio"),
+        when(nL === 0, lit(0.0))
+          .otherwise(round(nBullet.cast("double") / nL, 6)).as("bullet_line_frac"),
+        when(nL === 0, lit(0.0))
+          .otherwise(round(nEll.cast("double") / nL, 6)).as("ellipsis_line_frac"),
+        nStop.as("n_stopwords"))
+      .withColumn("keep",
+        ((col("n_words") > 0) &&
+          col("alpha_word_frac") >= minAlphaWordFrac &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("bullet_line_frac") <= maxBulletLineFrac &&
+          col("ellipsis_line_frac") <= maxEllipsisLineFrac &&
+          col("n_stopwords") >= minStopwords).cast("long"))
+  }
+
   /** Sentence-boundary normalization: terminator runs (`[.!?]`)
     * followed by whitespace become a newline boundary — the naive
     * splitter behind C4's three-sentence-span policies. Regex stays in

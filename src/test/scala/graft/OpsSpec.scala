@@ -1235,6 +1235,31 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.length == 2)
   }
 
+  test("gopherPageRules: alpha/symbol/bullet/ellipsis/stopword rules") {
+    val good = "with the quick brown fox we jump over lazy dogs again today"
+    val df = Seq(
+      (0L, good), // 2 stopwords (with, the), all alpha -> keep
+      (1L, "12345 67890 11111 22222 33333 with the"), // alpha frac 2/7 < 0.8
+      (2L, "# # # # with the words here"), // 4 symbols / 8 words > 0.1
+      (3L, "• one two with\n• three the four\n- five six seven"), // all bullets
+      (4L, "fade away with...\nthe end comes…\nplain line"), // 2/3 ellipsis
+      (5L, "no stop words here at all"), // 0 of the 8 stopwords
+      (6L, "")).toDF("doc_id", "text")
+    val out = graft.ops.TextStats.gopherPageRules(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("keep") == 1 && out(0).getAs[Long]("n_stopwords") == 2)
+    assert(out(1).getAs[Long]("keep") == 0 &&
+      out(1).getAs[Double]("alpha_word_frac") < 0.8)
+    assert(out(2).getAs[Long]("keep") == 0 &&
+      out(2).getAs[Double]("symbol_ratio") == 0.5)
+    assert(out(3).getAs[Long]("keep") == 0 &&
+      out(3).getAs[Double]("bullet_line_frac") == 1.0)
+    assert(out(4).getAs[Long]("keep") == 0 &&
+      out(4).getAs[Double]("ellipsis_line_frac") == 0.666667)
+    assert(out(5).getAs[Long]("keep") == 0 && out(5).getAs[Long]("n_stopwords") == 0)
+    assert(out(6).getAs[Long]("keep") == 0 && out(6).getAs[Long]("n_words") == 0)
+  }
+
   test("filterByGroupQuantile: per-group median cut, side flip, null contracts") {
     val df = Seq(
       (0L, "en", java.lang.Long.valueOf(10L)), (1L, "en", java.lang.Long.valueOf(20L)),
