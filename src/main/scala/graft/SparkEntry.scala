@@ -1165,6 +1165,27 @@ object SparkEntry {
     * fragment, userinfo + all-tracking query, bare host, non-default
     * port with mid-query tracking, and non-URL text (passes through).
     */
+  /** Per-domain rollup over the q_url_norm URL lacing (bare hosts, a
+    * PSL 2-label suffix, userinfo/ports, and non-URLs under "").
+    */
+  private def qDomainReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val url = when(col("doc_id") % 5 === 0,
+        concat(lit("HTTP://Example.COM:80/p/"), col("doc_id"),
+          lit("?utm_source=a&id="), col("doc_id"), lit("#f")))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("https://u:p@Sub.Example.org:443/a?utm_a=1&utm_b="), col("doc_id")))
+      .when(col("doc_id") % 5 === 2,
+        when(col("doc_id") % 10 === 2, lit("https://example.org"))
+          .otherwise(concat(lit("https://news"), col("doc_id") % 3,
+            lit(".example.co.uk/p"))))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("http://host"), col("doc_id") % 7,
+          lit(".net:8080/x?a=1&fbclid=zz&b="), col("doc_id")))
+      .otherwise(concat(lit("plain text "), col("doc_id")))
+    graft.ops.Urls.domainReport(docs.withColumn("url", url), "url", "text")
+  }
+
   private def qUrlNorm(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(t(dir, "documents"))
     val url = when(col("doc_id") % 5 === 0,
@@ -1803,6 +1824,7 @@ object SparkEntry {
     "q_mojibake" -> (qMojibake _),
     "q_html_strip" -> (qHtmlStrip _),
     "q_url_norm" -> (qUrlNorm _),
+    "q_domain_report" -> (qDomainReport _),
     "q_text_norm" -> (qTextNorm _),
     "q_sql_annotate" -> (qSqlAnnotate _),
     "q_ann_cooc" -> (qAnnCooc _),
@@ -2776,6 +2798,31 @@ object SparkEntry {
         |  WHERE md5(CAST(d.doc_id AS VARCHAR) || 'mix' || ':' || CAST(r.epoch AS VARCHAR)) < r.thr)
         |SELECT lang, CAST(epoch AS BIGINT) AS epoch, count(*) AS n_docs
         |FROM sel GROUP BY lang, epoch ORDER BY lang, epoch""".stripMargin,
+    // same lacing and host/domain extraction as q_url_norm, rolled up
+    "q_domain_report" ->
+      """WITH u AS (SELECT doc_id, text, CASE
+        |  WHEN doc_id % 5 = 0 THEN 'HTTP://Example.COM:80/p/' || doc_id || '?utm_source=a&id=' || doc_id || '#f'
+        |  WHEN doc_id % 5 = 1 THEN 'https://u:p@Sub.Example.org:443/a?utm_a=1&utm_b=' || doc_id
+        |  WHEN doc_id % 5 = 2 THEN CASE WHEN doc_id % 10 = 2 THEN 'https://example.org'
+        |    ELSE 'https://news' || (doc_id % 3) || '.example.co.uk/p' END
+        |  WHEN doc_id % 5 = 3 THEN 'http://host' || (doc_id % 7) || '.net:8080/x?a=1&fbclid=zz&b=' || doc_id
+        |  ELSE 'plain text ' || doc_id END AS url FROM documents),
+        |h AS (SELECT doc_id, text,
+        |  lower(regexp_replace(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@/]*@', '', 'g'), ':[0-9]+$', '', 'g')) AS host
+        |  FROM u),
+        |d AS (SELECT
+        |  CASE WHEN host LIKE '%.co.uk' THEN regexp_extract(host, '([^.]+\.co\.uk)$', 1)
+        |       ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS tok,
+        |  length(text) AS ch FROM h),
+        |g AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |    CAST(sum(ch) AS BIGINT) AS n_chars
+        |  FROM d GROUP BY domain)
+        |SELECT domain, n_docs, n_tokens, n_chars,
+        |  round(n_docs::DOUBLE / sum(n_docs) OVER (), 6) AS doc_share
+        |FROM g ORDER BY n_docs DESC, domain""".stripMargin,
     "q_url_norm" ->
       """WITH u AS (SELECT doc_id, CASE
         |  WHEN doc_id % 5 = 0 THEN 'HTTP://Example.COM:80/p/' || doc_id || '?utm_source=a&id=' || doc_id || '#f'

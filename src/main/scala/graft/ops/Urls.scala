@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization for crawl pipelines — the dedup-by-URL and
@@ -91,4 +91,29 @@ object Urls {
     df.withColumn("__rd", registeredDomain(col(urlCol)))
       .join(blocklist.select(col("domain").as("__rd")), Seq("__rd"), "left_anti")
       .drop("__rd")
+
+  /** Per-registered-domain corpus rollup — the table domain blocklists
+    * and per-domain mixture weights are curated FROM: doc count, token
+    * and char volume, and each domain's share of corpus docs. One scan
+    * (host/PSL probes are codegen'd scalars) + one groupBy whose
+    * shuffle carries (domain, tokens, chars) triples, never text; the
+    * share window runs over the already-tiny per-domain table. Rows
+    * with no extractable domain aggregate under "" — their volume is a
+    * crawl-hygiene signal in itself, not noise to drop silently.
+    */
+  def domainReport(df: DataFrame, urlCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    df.select(
+        registeredDomain(col(urlCol)).as("domain"),
+        graft.ops.TextStats.wsTokens(col(textCol)).cast("long").as("__tok"),
+        length(col(textCol)).cast("long").as("__chars"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        sum(col("__chars")).as("n_chars"))
+      .withColumn("doc_share",
+        round(col("n_docs").cast("double") / sum(col("n_docs")).over(w), 6))
+      .orderBy(col("n_docs").desc, col("domain"))
+  }
 }
