@@ -1186,6 +1186,27 @@ object SparkEntry {
     graft.ops.Urls.domainReport(docs.withColumn("url", url), "url", "text")
   }
 
+  /** URL-level dedup — the crawl step that runs before any text dedup:
+    * canonicalize, then keep the first doc per canonical URL. URLs are
+    * laced so distinct raw strings (case, tracking params, default
+    * ports) collide post-normalization; the oracle replays the
+    * canonicalization chain and the keep-first election.
+    */
+  private def qUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val url = concat(
+      when(col("doc_id") % 2 === 0, lit("HTTP://Example.COM:80/page/"))
+        .otherwise(lit("http://example.com/page/")),
+      (col("doc_id") % 40).cast("string"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("?utm_source=s"), col("doc_id"))).otherwise(lit("")))
+    val withUrl = docs.withColumn("u",
+      graft.ops.Urls.normalize(url))
+    graft.ops.Dedup.exact(withUrl, "u", "doc_id")
+      .select(col("text_md5").as("url_md5"), col("keep_id"), col("n_dups"))
+      .orderBy(col("keep_id"))
+  }
+
   private def qUrlNorm(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(t(dir, "documents"))
     val url = when(col("doc_id") % 5 === 0,
@@ -1825,6 +1846,7 @@ object SparkEntry {
     "q_html_strip" -> (qHtmlStrip _),
     "q_url_norm" -> (qUrlNorm _),
     "q_domain_report" -> (qDomainReport _),
+    "q_url_dedup" -> (qUrlDedup _),
     "q_text_norm" -> (qTextNorm _),
     "q_sql_annotate" -> (qSqlAnnotate _),
     "q_ann_cooc" -> (qAnnCooc _),
@@ -2798,6 +2820,17 @@ object SparkEntry {
         |  WHERE md5(CAST(d.doc_id AS VARCHAR) || 'mix' || ':' || CAST(r.epoch AS VARCHAR)) < r.thr)
         |SELECT lang, CAST(epoch AS BIGINT) AS epoch, count(*) AS n_docs
         |FROM sel GROUP BY lang, epoch ORDER BY lang, epoch""".stripMargin,
+    // INDEPENDENT restatement: the lacing's canonical form is known in
+    // closed form, so the oracle writes it directly instead of replaying
+    // the normalization chain — if normalize ever mis-canonicalizes
+    // case/ports/tracking params, the hashes diverge
+    "q_url_dedup" ->
+      """WITH c AS (SELECT doc_id,
+        |    'http://example.com/page/' || (doc_id % 40) AS u
+        |  FROM documents)
+        |SELECT md5(u) AS url_md5, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_dups
+        |FROM c GROUP BY u ORDER BY keep_id""".stripMargin,
     // same lacing and host/domain extraction as q_url_norm, rolled up
     "q_domain_report" ->
       """WITH u AS (SELECT doc_id, text, CASE
