@@ -25,6 +25,13 @@ class QueriesSpec extends AnyFunSuite {
       val cols = df.columns
       assert(cols.nonEmpty && cols.distinct.length == cols.length)
       assert(df.count() >= 0)
+      // blanket 100TB guard: no unbroadcast cartesian product may appear
+      // in ANY query plan (crossJoin(broadcast(tiny)) compiles to
+      // BroadcastNestedLoopJoin and stays legal; a plain CartesianProduct
+      // replicates the corpus quadratically and never is)
+      val executed = df.queryExecution.executedPlan.toString
+      assert(!executed.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$executed")
     }
   }
 
