@@ -241,6 +241,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("deterministic sampling and splits stream unchanged, equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    def pipeline(in: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sampling.assignSplit(
+        graft.ops.Sampling.sample(in, "doc_id", 0.6, salt = "s7"),
+        "doc_id", salt = "s7")
+        .select(col("doc_id"), col("split"))
+    val rows = (0L until 200L).map(i => (i, s"doc $i"))
+    val stream = MemoryStream[(Long, String)]
+    val query = pipeline(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("r7_sample_stream")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: selection must not depend on batch boundaries
+      stream.addData(rows.take(120): _*)
+      query.processAllAvailable()
+      stream.addData(rows.drop(120): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("r7_sample_stream").orderBy("doc_id").collect()
+      val batch = pipeline(rows.toDF("doc_id", "text")).orderBy("doc_id").collect()
+      assert(streamed.toSeq == batch.toSeq)
+      assert(streamed.length > 60 && streamed.length < 180) // ~0.6 of 200
+    } finally query.stop()
+  }
+
   test("match totals with HLL distinct-doc sketch (batch)") {
     val docs = Seq(
       (0L, "hash join hash join"),
