@@ -1,16 +1,18 @@
 package graft.ops
 
-/** Real, dependency-free binary codecs for the two media containers a
-  * bare JVM can honestly parse: 24-bit uncompressed BMP (BITMAPINFOHEADER,
-  * bottom-up BGR rows, 4-byte row padding) and 16-bit mono PCM WAV
-  * (RIFF/fmt/data chunks, little-endian samples). These upgrade the
-  * [[Multimodal]] image/audio paths from header-stub to real pixel and
-  * sample work; compressed formats (JPEG/MP4) stay honestly stubbed —
-  * no codec libraries ship in this environment.
+/** Real, dependency-free binary codecs for the media containers a bare
+  * JVM can honestly parse: 24-bit uncompressed BMP (BITMAPINFOHEADER,
+  * bottom-up BGR rows, 4-byte row padding), 8-bit PNG (zlib inflate +
+  * CRC32 from `java.util.zip`, full five-filter reconstruction,
+  * gray/RGB/RGBA color types), and 16-bit mono PCM WAV (RIFF/fmt/data
+  * chunks, little-endian samples). These upgrade the [[Multimodal]]
+  * image/audio paths from header-stub to real pixel and sample work;
+  * formats needing codecs the JDK lacks (JPEG/MP4) stay honestly
+  * stubbed.
   *
-  * Both formats are published, fixed layouts (Windows BITMAPINFOHEADER
-  * and Microsoft/IBM RIFF WAVE), so encode∘decode is byte-exact and
-  * the pixel/sample math is oracle-replicable.
+  * All three are published, fixed layouts (Windows BITMAPINFOHEADER,
+  * RFC 2083 PNG, Microsoft/IBM RIFF WAVE), so encode∘decode is exact
+  * and the pixel/sample math is oracle-replicable.
   */
 object Codecs {
 
@@ -106,6 +108,207 @@ object Codecs {
     }
     out
   }
+
+  // ---- PNG (8-bit non-interlaced; zlib/CRC32 ship in the JDK) ----
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private def pngChunk(tag: String, data: Array[Byte]): Array[Byte] = {
+    val tagB = tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length) // big-endian
+    bb.putInt(data.length).put(tagB).put(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(tagB); crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode top-down RGB as a real 8-bit truecolor PNG (deflated IDAT,
+    * CRC'd chunks). `filterType` picks the per-scanline filter (0 None,
+    * 1 Sub, 2 Up, 3 Average, 4 Paeth) — every decoder path is thereby
+    * testable against our own encoder; real encoders choose per row,
+    * real decoders must handle all five.
+    */
+  def encodePng(w: Int, h: Int, rgb: Array[Byte], filterType: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && rgb.length == w * h * 3,
+      s"encodePng: need ${w * h * 3} rgb bytes for ${w}x$h, got ${rgb.length}")
+    require(filterType >= 0 && filterType <= 4,
+      s"encodePng: bad filter $filterType")
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte) // depth 8, truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+      .array()
+    val stride = w * 3
+    val raw = new Array[Byte]((stride + 1) * h)
+    var y = 0
+    while (y < h) {
+      val off = y * (stride + 1)
+      raw(off) = filterType.toByte
+      var i = 0
+      while (i < stride) {
+        val x = rgb(y * stride + i) & 0xff
+        val left = if (i >= 3) rgb(y * stride + i - 3) & 0xff else 0
+        val up = if (y > 0) rgb((y - 1) * stride + i) & 0xff else 0
+        val ul = if (y > 0 && i >= 3) rgb((y - 1) * stride + i - 3) & 0xff else 0
+        val pred = filterType match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw(off + 1 + i) = ((x - pred) & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val d = new java.util.zip.Deflater()
+    val idat = try {
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](8192)
+      val out = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig); out.write(pngChunk("IHDR", ihdr))
+    out.write(pngChunk("IDAT", idat)); out.write(pngChunk("IEND", Array.empty))
+    out.toByteArray
+  }
+
+  /** Decode an 8-bit non-interlaced PNG (truecolor, truecolor+alpha,
+    * or grayscale) to (width, height, top-down RGB): chunk walk with
+    * CRC verification, multi-IDAT concatenation, zlib inflate, and the
+    * full five-filter reconstruction (None/Sub/Up/Average/Paeth).
+    * Alpha is dropped; gray replicates. Palette/interlaced/16-bit
+    * images are rejected rather than mis-read.
+    */
+  def decodePng(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(bytes.length > 8 && PngSig.indices.forall(i => bytes(i) == PngSig(i)),
+      "decodePng: not a PNG")
+    val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
+    bb.position(8)
+    var w = 0; var h = 0; var colorType = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done && bb.remaining() >= 12) {
+      val len = bb.getInt
+      require(len >= 0 && len <= bb.remaining() - 8, s"decodePng: bad chunk length $len")
+      val tagB = new Array[Byte](4); bb.get(tagB)
+      val tag = new String(tagB, java.nio.charset.StandardCharsets.US_ASCII)
+      val data = new Array[Byte](len); bb.get(data)
+      val crcStored = bb.getInt
+      val crc = new java.util.zip.CRC32
+      crc.update(tagB); crc.update(data)
+      require(crc.getValue.toInt == crcStored, s"decodePng: CRC mismatch in $tag")
+      tag match {
+        case "IHDR" =>
+          val ib = java.nio.ByteBuffer.wrap(data)
+          w = ib.getInt; h = ib.getInt
+          val depth = ib.get() & 0xff
+          colorType = ib.get() & 0xff
+          val interlace = data(12) & 0xff
+          require(w > 0 && h > 0, s"decodePng: bad dimensions ${w}x$h")
+          require(depth == 8, s"decodePng: only 8-bit supported, got $depth")
+          require(colorType == 0 || colorType == 2 || colorType == 6,
+            s"decodePng: unsupported color type $colorType (palette needs PLTE)")
+          require(interlace == 0, "decodePng: interlaced PNGs unsupported")
+        case "IDAT" => idat.write(data)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks skipped
+      }
+    }
+    require(colorType >= 0 && idat.size > 0, "decodePng: missing IHDR/IDAT")
+    val channels = colorType match { case 0 => 1; case 2 => 3; case 6 => 4 }
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (!inf.finished() && off < raw.length) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        require(n > 0 || inf.finished(), "decodePng: truncated IDAT stream")
+        off += n
+      }
+      require(off == raw.length, s"decodePng: expected ${raw.length} raw bytes, got $off")
+    } finally inf.end()
+    // reconstruct in place into prev/cur scanline buffers
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val off = y * (stride + 1)
+      val f = raw(off) & 0xff
+      require(f <= 4, s"decodePng: bad filter type $f on row $y")
+      var i = 0
+      while (i < stride) {
+        val x = raw(off + 1 + i) & 0xff
+        val left = if (i >= channels) cur(i - channels) else 0
+        val up = if (y > 0) prev(i) else 0
+        val ul = if (y > 0 && i >= channels) prev(i - channels) else 0
+        cur(i) = f match {
+          case 0 => x
+          case 1 => (x + left) & 0xff
+          case 2 => (x + up) & 0xff
+          case 3 => (x + (left + up) / 2) & 0xff
+          case 4 => (x + paeth(left, up, ul)) & 0xff
+        }
+        i += 1
+      }
+      var px = 0
+      while (px < w) {
+        val d = (y * w + px) * 3
+        colorType match {
+          case 0 =>
+            val g = cur(px).toByte
+            rgb(d) = g; rgb(d + 1) = g; rgb(d + 2) = g
+          case 2 =>
+            rgb(d) = cur(px * 3).toByte
+            rgb(d + 1) = cur(px * 3 + 1).toByte
+            rgb(d + 2) = cur(px * 3 + 2).toByte
+          case 6 =>
+            rgb(d) = cur(px * 4).toByte
+            rgb(d + 1) = cur(px * 4 + 1).toByte
+            rgb(d + 2) = cur(px * 4 + 2).toByte
+        }
+        px += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    (w, h, rgb)
+  }
+
+  /** Format-sniffing image decode: BMP (`BM`) or PNG (signature) to
+    * (width, height, top-down RGB, format tag).
+    */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Byte], String) = {
+    require(bytes.length >= 8, "decodeImage: too short")
+    if (bytes(0) == 'B' && bytes(1) == 'M') {
+      val (w, h, rgb) = decodeBmp(bytes); (w, h, rgb, "bmp")
+    } else if (PngSig.indices.forall(i => bytes(i) == PngSig(i))) {
+      val (w, h, rgb) = decodePng(bytes); (w, h, rgb, "png")
+    } else throw new IllegalArgumentException(
+      "decodeImage: unrecognized image format (BMP and PNG supported)")
+  }
+
+  /** Re-encode RGB in the named format ([[decodeImage]]'s tag). */
+  def encodeImage(w: Int, h: Int, rgb: Array[Byte], format: String): Array[Byte] =
+    format match {
+      case "bmp" => encodeBmp(w, h, rgb)
+      case "png" => encodePng(w, h, rgb)
+      case other => throw new IllegalArgumentException(
+        s"encodeImage: unknown format $other")
+    }
 
   // ---- Y4M (YUV4MPEG2 uncompressed video, C420) ----
 

@@ -166,7 +166,10 @@ object Multimodal {
             }
             y += 1
           }
-          Codecs.encodeBmp(w, h, rgb)
+          // alternate container, same pixels: the closed-form oracles
+          // then gate BOTH decoders (and every PNG filter type)
+          if (id % 6 == 0) Codecs.encodeBmp(w, h, rgb)
+          else Codecs.encodePng(w, h, rgb, filterType = (id % 5).toInt)
         case 1 =>
           val n = 64 + (id % 64).toInt
           val samples = Array.tabulate(n)(i =>
@@ -203,11 +206,12 @@ object Multimodal {
     StructField("mean_g", DoubleType, nullable = false),
     StructField("mean_b", DoubleType, nullable = false)))
 
-  /** REAL image statistics: decode each BMP (header offsets, bottom-up
-    * BGR rows, padding) and average the actual channel bytes. Batched
-    * iterator, kind filter before the decode — same shape as
-    * [[extractFeatures]]; any codec defect shifts a mean and fails the
-    * q_mm_image oracle.
+  /** REAL image statistics: decode each image (format-sniffed BMP or
+    * PNG — header offsets, bottom-up BGR rows and padding for BMP;
+    * inflate + five-filter reconstruction for PNG) and average the
+    * actual channel bytes. Batched iterator, kind filter before the
+    * decode — same shape as [[extractFeatures]]; any codec defect
+    * shifts a mean and fails the q_mm_image oracle.
     */
   def imageStats(media: DataFrame, batchSize: Int = 256): DataFrame = {
     val spark = media.sparkSession
@@ -216,7 +220,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.map { r =>
-            val (w, h, rgb) = Codecs.decodeBmp(r.getAs[Array[Byte]]("data"))
+            val (w, h, rgb, _) = Codecs.decodeImage(r.getAs[Array[Byte]]("data"))
             val sums = new Array[Long](3)
             var i = 0
             while (i < rgb.length) { sums(i % 3) += rgb(i) & 0xff; i += 1 }
@@ -231,9 +235,9 @@ object Multimodal {
     spark.createDataFrame(rows, imageStatsSchema)
   }
 
-  /** REAL nearest-neighbor image resize: decode → resample →
-    * re-encode a valid BMP. Output schema matches the input
-    * (media_id, kind, data).
+  /** REAL nearest-neighbor image resize: decode (BMP or PNG, sniffed)
+    * → resample → re-encode in the SOURCE format. Output schema
+    * matches the input (media_id, kind, data).
     */
   def resizeImages(media: DataFrame, dstW: Int, dstH: Int,
       batchSize: Int = 256): DataFrame = {
@@ -243,9 +247,10 @@ object Multimodal {
     val rows = ordered.rdd.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          val (w, h, rgb) = Codecs.decodeBmp(r.getAs[Array[Byte]]("data"))
+          val (w, h, rgb, fmt) = Codecs.decodeImage(r.getAs[Array[Byte]]("data"))
           Row(r.getLong(0), r.getString(1),
-            Codecs.encodeBmp(dstW, dstH, Codecs.resizeRgb(w, h, rgb, dstW, dstH)))
+            Codecs.encodeImage(dstW, dstH,
+              Codecs.resizeRgb(w, h, rgb, dstW, dstH), fmt))
         }
       }
     }

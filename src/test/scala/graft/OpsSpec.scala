@@ -1520,6 +1520,69 @@ class OpsSpec extends AnyFunSuite {
     assert(enc.toSeq == Seq("a", emoji, "</w>"))
   }
 
+  test("png codec: pixel-exact round trip across all five filters; gray/RGBA; CRC") {
+    import graft.ops.Codecs
+    // gradient-ish 5x4 so Sub/Up/Average/Paeth all produce distinct streams
+    val rgb = Array.tabulate(5 * 4 * 3)(i => ((i * 7 + i * i % 13) % 256).toByte)
+    for (f <- 0 to 4) {
+      val png = Codecs.encodePng(5, 4, rgb, filterType = f)
+      assert((png(1) & 0xff) == 'P' && (png(0) & 0xff) == 0x89)
+      val (w, h, back) = Codecs.decodePng(png)
+      assert(w == 5 && h == 4 && back.toSeq == rgb.toSeq, s"filter $f")
+    }
+    // decodeImage sniffs both formats and resize re-encodes the source one
+    val (w2, h2, back2, fmt) = Codecs.decodeImage(Codecs.encodePng(5, 4, rgb, 4))
+    assert(w2 == 5 && h2 == 4 && back2.toSeq == rgb.toSeq && fmt == "png")
+    assert(Codecs.decodeImage(Codecs.encodeBmp(5, 4, rgb))._4 == "bmp")
+    // grayscale and RGBA color types: hand-built PNGs (chunk CRCs and
+    // zlib from the JDK, filter 0 rows)
+    def buildPng(w: Int, h: Int, colorType: Int, channels: Int,
+        px: Array[Byte]): Array[Byte] = {
+      def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+        val tb = tag.getBytes("US-ASCII")
+        val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+        bb.putInt(data.length).put(tb).put(data)
+        val c = new java.util.zip.CRC32; c.update(tb); c.update(data)
+        bb.putInt(c.getValue.toInt); bb.array()
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+        .put(8.toByte).put(colorType.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      val stride = w * channels
+      val raw = new Array[Byte]((stride + 1) * h)
+      for (y <- 0 until h)
+        System.arraycopy(px, y * stride, raw, y * (stride + 1) + 1, stride)
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val buf = new Array[Byte](8192)
+      val out = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      val all = new java.io.ByteArrayOutputStream()
+      all.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+      all.write(chunk("IHDR", ihdr)); all.write(chunk("IDAT", out.toByteArray))
+      all.write(chunk("IEND", Array.empty)); all.toByteArray
+    }
+    val gray = Array[Byte](10, 20, 30, 40, 50, 60) // 3x2 gray
+    val (gw, gh, grgb) = Codecs.decodePng(buildPng(3, 2, 0, 1, gray))
+    assert(gw == 3 && gh == 2)
+    assert(grgb.toSeq == gray.flatMap(g => Seq(g, g, g)).toSeq) // replicated
+    val rgba = Array.tabulate(2 * 2 * 4)(i => (i * 10).toByte)
+    val (aw, ah, argb) = Codecs.decodePng(buildPng(2, 2, 6, 4, rgba))
+    assert(aw == 2 && ah == 2)
+    assert(argb.toSeq == // alpha dropped
+      (0 until 4).flatMap(p => Seq(rgba(p * 4), rgba(p * 4 + 1), rgba(p * 4 + 2))))
+    // corrupt CRC must be REJECTED, not mis-read
+    val good = Codecs.encodePng(5, 4, rgb, 1)
+    val bad = good.clone()
+    bad(bad.length - 5) = (bad(bad.length - 5) ^ 0x7f).toByte // inside IEND CRC
+    intercept[IllegalArgumentException](Codecs.decodePng(bad))
+    // truncated IDAT rejected
+    intercept[Exception](Codecs.decodePng(good.take(good.length / 2)))
+    // non-image rejected by the sniffer
+    intercept[IllegalArgumentException](
+      Codecs.decodeImage("not an image at all".getBytes))
+  }
+
   test("bmp codec: byte-exact round trip incl. row padding; resize elects nearest") {
     import graft.ops.Codecs
     // 3x2: stride 12 (9 data + 3 pad) — the padding case
