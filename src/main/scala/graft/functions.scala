@@ -139,4 +139,51 @@ object functions {
   def normalizeUnicode(text: Column, form: String = "NFC",
       foldPunct: Boolean = false): Column =
     graft.ops.TextClean.normalizeUnicode(text, form, foldPunct)
+
+  /** Repair UTF-8-read-as-Latin-1 mojibake (≤2 rounds, exact
+    * inversion; clean text passes through).
+    */
+  def fixMojibake(text: Column): Column =
+    graft.ops.TextClean.fixMojibake(text)
+
+  /** C4 heuristic page filter (line rules + page rules, auditable
+    * keep flag).
+    */
+  def c4Filter(df: DataFrame, textCol: String,
+      badWords: Seq[String] = Seq.empty): DataFrame =
+    graft.ops.TextClean.c4Filter(df, textCol, badWords)
+
+  /** The remaining Gopher page rules (alpha-word fraction, symbol
+    * ratio, bullet/ellipsis line fractions, stop-word presence).
+    */
+  def gopherPageRules(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    graft.ops.TextStats.gopherPageRules(df, textCol, idCol)
+
+  /** Decode BPE tokens back to (canonicalized) text. */
+  def bpeDecode(tokens: Column): Column = graft.ops.Bpe.decode(tokens)
+
+  /** Per-group exact-quantile threshold filter (CCNet-style adaptive
+    * cuts; appends threshold + keep).
+    */
+  def filterByGroupQuantile(df: DataFrame, scoreCol: String, groupCol: String,
+      q: Double, keepBelow: Boolean = true): DataFrame =
+    graft.ops.Sampling.filterByGroupQuantile(df, scoreCol, groupCol, q, keepBelow)
+
+  /** Temperature-scaled mixture plan: p_i ∝ n_i^(1/τ). */
+  def temperatureMixturePlan(df: DataFrame, domainCol: String,
+      tokenCount: Column, temperature: Double, budget: Long,
+      maxEpochs: Double = 4.0): DataFrame =
+    graft.ops.Sampling.temperatureMixturePlan(df, domainCol, tokenCount,
+      temperature, budget, maxEpochs)
+
+  /** Quality-ranked near-dup survivor election (per component, keep
+    * the highest-rank member).
+    */
+  def keepBestInClusters(df: DataFrame, pairs: DataFrame, idCol: String,
+      rank: Column): DataFrame =
+    graft.ops.Dedup.keepBestInClusters(df, pairs, idCol, rank)
+
+  /** Per-registered-domain corpus rollup (volume + doc share). */
+  def domainReport(df: DataFrame, urlCol: String, textCol: String): DataFrame =
+    graft.ops.Urls.domainReport(df, urlCol, textCol)
 }
