@@ -1583,6 +1583,41 @@ class OpsSpec extends AnyFunSuite {
       Codecs.decodeImage("not an image at all".getBytes))
   }
 
+  test("property: mojibake damage inverts for arbitrary code-point soup; c4 idempotent") {
+    import graft.ops.TextClean.{fixMojibakeValue, mojibakeDamageValue}
+    // alphabet chosen over the full range: ASCII, Latin-1 accents (whose
+    // Latin-1 bytes can never form valid UTF-8 next to these neighbors),
+    // BMP CJK, astral emoji, whitespace/punct
+    val cps = Array(97, 98, 99, 32, 32, 0xE9, 0xF1, 0x4E49, 0x6C49,
+      0x1F600, 0x2026, 10, 9, 46, 63)
+    val rnd = new scala.util.Random(42)
+    def randString(): String = {
+      val sb = new java.lang.StringBuilder
+      val n = rnd.nextInt(40)
+      var i = 0
+      while (i < n) { sb.appendCodePoint(cps(rnd.nextInt(cps.length))); i += 1 }
+      sb.toString
+    }
+    for (_ <- 1 to 300) {
+      val s = randString()
+      assert(fixMojibakeValue(mojibakeDamageValue(s)) == s, s"once: $s")
+      assert(fixMojibakeValue(mojibakeDamageValue(mojibakeDamageValue(s))) == s,
+        s"twice: $s")
+    }
+    // c4Filter is idempotent on its own kept output: kept lines satisfy
+    // every line rule, and a kept page satisfies every page rule
+    val page = (1 to 6).map(i => s"Idempotent sentence number $i ends here.")
+      .mkString("\n") + "\nno punct dropped line"
+    val once = graft.ops.TextClean.c4Filter(
+      Seq((0L, page)).toDF("doc_id", "text"), "text", badWords = Seq("zzz"))
+    val kept = once.where(col("keep") === 1).select("doc_id", "text")
+    val twice = graft.ops.TextClean.c4Filter(kept, "text", badWords = Seq("zzz"))
+      .head()
+    assert(twice.getAs[Long]("keep") == 1)
+    assert(twice.getAs[String]("text") == once.head().getAs[String]("text"))
+    assert(twice.getAs[Long]("n_lines_dropped") == 0L)
+  }
+
   test("bmp codec: byte-exact round trip incl. row padding; resize elects nearest") {
     import graft.ops.Codecs
     // 3x2: stride 12 (9 data + 3 pad) — the padding case
