@@ -860,6 +860,16 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** RefinedWeb repeated-n-gram signals at orders 3 and 4 over the raw
+    * corpus (the word soup is repetitive enough to spread both
+    * fractions); every count and the keep flag replay relationally.
+    */
+  private def qNgramRep(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    graft.ops.TextStats.ngramRepetition(docs, "text", "doc_id", ns = Seq(3, 4))
+      .orderBy(col("doc_id"))
+  }
+
   /** GPT-3-style n-gram-overlap decontamination: bench = every 101st doc,
     * clean corpus = docs sharing no word 4-gram with it. (The published
     * method uses 13-grams; 4 here so the synthetic corpus — which has
@@ -1813,6 +1823,7 @@ object SparkEntry {
     "q_quality" -> (qQuality _),
     "q_gopher" -> (qGopher _),
     "q_gopher_rules" -> (qGopherRules _),
+    "q_ngram_rep" -> (qNgramRep _),
     "q_decontam_ngram" -> (qDecontamNgram _),
     "q_decontam_bloom" -> (qDecontamBloom _),
     "q_bm25" -> (qBm25 _),
@@ -2379,6 +2390,34 @@ object SparkEntry {
         |  UNION ALL SELECT 'j', 'st', CAST(count(*) FILTER (WHERE j AND st) AS BIGINT) FROM m
         |  UNION ALL SELECT 's', 'st', CAST(count(*) FILTER (WHERE s AND st) AS BIGINT) FROM m
         |) WHERE n_docs > 0 ORDER BY id_a, id_b""".stripMargin,
+    // exact integer n-gram counts per doc, fractions rounded to 6,
+    // keep from the rounded values — same derivation both engines
+    "q_ngram_rep" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split(trim(text), ' ') END AS w
+        |  FROM documents),
+        |g3 AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |    FOR i IN range(1, len(w) - 1)]) AS gram FROM t),
+        |g4 AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |    FOR i IN range(1, len(w) - 2)]) AS gram FROM t),
+        |c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY doc_id, gram),
+        |c4 AS (SELECT doc_id, gram, count(*) AS c FROM g4 GROUP BY doc_id, gram),
+        |a3 AS (SELECT doc_id, sum(c) AS tot, max(c) AS top,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup FROM c3 GROUP BY doc_id),
+        |a4 AS (SELECT doc_id, sum(c) AS tot, max(c) AS top,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup FROM c4 GROUP BY doc_id),
+        |fr AS (SELECT d.doc_id,
+        |    CASE WHEN coalesce(a3.tot, 0) = 0 THEN 0.0 ELSE round(a3.top::DOUBLE / a3.tot, 6) END AS top_3gram_frac,
+        |    CASE WHEN coalesce(a3.tot, 0) = 0 THEN 0.0 ELSE round(a3.dup::DOUBLE / a3.tot, 6) END AS dup_3gram_frac,
+        |    CASE WHEN coalesce(a4.tot, 0) = 0 THEN 0.0 ELSE round(a4.top::DOUBLE / a4.tot, 6) END AS top_4gram_frac,
+        |    CASE WHEN coalesce(a4.tot, 0) = 0 THEN 0.0 ELSE round(a4.dup::DOUBLE / a4.tot, 6) END AS dup_4gram_frac
+        |  FROM documents d LEFT JOIN a3 USING (doc_id) LEFT JOIN a4 USING (doc_id))
+        |SELECT doc_id, top_3gram_frac, dup_3gram_frac, top_4gram_frac, dup_4gram_frac,
+        |  CAST(CASE WHEN top_3gram_frac <= 0.16 AND dup_3gram_frac <= 0.5
+        |        AND top_4gram_frac <= 0.16 AND dup_4gram_frac <= 0.5
+        |      THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM fr ORDER BY doc_id""".stripMargin,
     // same lacing, same regexes (Java∩RE2), same rounded-then-compared
     // keep derivation
     "q_gopher_rules" ->

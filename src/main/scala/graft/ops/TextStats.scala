@@ -255,6 +255,79 @@ object TextStats {
     Array(n.toLong, distinct.size.toLong, sumChars, tot, top, dup)
   }
 
+  /** Pure kernel for [[ngramRepetition]]: over whitespace tokens,
+    * `[n_ngrams, top_ngram_count, dup_ngram_occurrences]` for word
+    * n-grams of the given order. One pass, one hash map — the same
+    * shape as [[repetitionCountsValue]] generalized beyond bigrams.
+    */
+  private[graft] def ngramRepetitionValue(text: String, n: Int): Array[Long] = {
+    val ws = text.trim match {
+      case "" => Array.empty[String]
+      case t  => t.split("\\s+")
+    }
+    if (ws.length < n) return Array(0L, 0L, 0L)
+    val counts = new java.util.HashMap[String, java.lang.Integer]()
+    var i = 0
+    while (i <= ws.length - n) {
+      val sb = new java.lang.StringBuilder(ws(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(ws(i + j)); j += 1 }
+      val k = sb.toString
+      val prev = counts.get(k)
+      counts.put(k, if (prev == null) 1 else prev + 1)
+      i += 1
+    }
+    var top = 0L; var dup = 0L; var tot = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().intValue.toLong
+      tot += c
+      if (c > top) top = c
+      if (c > 1) dup += c
+    }
+    Array(tot, top, dup)
+  }
+
+  /** RefinedWeb-style repeated n-gram signals (Penedo et al. 2023
+    * §Appendix: the `rep_ngram` family, which extends Gopher's bigram
+    * checks to higher orders): for each requested n, the fraction of
+    * n-gram occurrences belonging to the single most frequent n-gram
+    * (`top_{n}gram_frac`) and to any duplicated n-gram
+    * (`dup_{n}gram_frac`), plus a `keep` flag thresholding each.
+    * Per-row codegen'd kernels — zero shuffles; exact integer ratios
+    * rounded to 6 decimals and keep derived from the ROUNDED values,
+    * so the DuckDB oracle replays it bit-for-bit.
+    */
+  def ngramRepetition(df: DataFrame, textCol: String, idCol: String,
+      ns: Seq[Int] = Seq(3, 4), maxTopFrac: Double = 0.16,
+      maxDupFrac: Double = 0.5): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 2), s"ngramRepetition: bad orders $ns")
+    val withCounts = ns.foldLeft(df.select(col(idCol), col(textCol))) {
+      case (d, n) =>
+        d.withColumn(s"__c$n", org.apache.spark.sql.GraftBridge.column(
+          graft.spark.NgramRepetitionExpression(
+            org.apache.spark.sql.GraftBridge.expression(col(textCol)), n)))
+    }
+    val withFracs = ns.foldLeft(withCounts) { case (d, n) =>
+      val tot = element_at(col(s"__c$n"), 1)
+      val top = element_at(col(s"__c$n"), 2)
+      val dup = element_at(col(s"__c$n"), 3)
+      d.withColumn(s"top_${n}gram_frac",
+          when(tot === 0, lit(0.0))
+            .otherwise(round(top.cast("double") / tot, 6)))
+        .withColumn(s"dup_${n}gram_frac",
+          when(tot === 0, lit(0.0))
+            .otherwise(round(dup.cast("double") / tot, 6)))
+    }
+    val keep = ns.map(n =>
+      (col(s"top_${n}gram_frac") <= maxTopFrac) &&
+        (col(s"dup_${n}gram_frac") <= maxDupFrac))
+      .reduce(_ && _)
+    withFracs.withColumn("keep", keep.cast("long"))
+      .drop(ns.map(n => s"__c$n"): _*)
+      .drop(textCol)
+  }
+
   /** Gopher-style quality/repetition signals (Rae et al. 2021 §A1.1,
     * adapted to single-line documents): per doc, the word count, duplicate
     * -word fraction, mean word length, top-bigram fraction (occurrences of

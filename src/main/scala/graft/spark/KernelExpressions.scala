@@ -567,6 +567,27 @@ final case class NormalizeFormExpression(child: Expression, form: String)
   }
 }
 
+/** Word n-gram repetition counters for one order n:
+  * `[n_ngrams, top_ngram_count, dup_ngram_occurrences]` — the
+  * RefinedWeb `rep_ngram` kernel. One pass per row, codegen'd.
+  */
+final case class NgramRepetitionExpression(child: Expression, n: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ngram_repetition"
+  override protected def withNewChildInternal(newChild: Expression): NgramRepetitionExpression =
+    copy(child = newChild)
+  def kernel(s: UTF8String): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      graft.ops.TextStats.ngramRepetitionValue(s.toString, n))
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nrExpr", this, classOf[NgramRepetitionExpression].getName)
+    defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
+  }
+}
+
 /** Mojibake repair (`graft_fix_mojibake`) — inverts up to two rounds
   * of UTF-8-read-as-Latin-1 damage per row; clean text passes through
   * unchanged. See [[graft.ops.TextClean.fixMojibakeValue]].

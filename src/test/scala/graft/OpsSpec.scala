@@ -1235,6 +1235,27 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.length == 2)
   }
 
+  test("ngramRepetition: hand-counted 3/4-gram fractions and keep edges") {
+    import graft.ops.TextStats.ngramRepetitionValue
+    // "a b a b a b": 3-grams = [aba, bab, aba, bab] -> tot 4, top 2, dup 4
+    assert(ngramRepetitionValue("a b a b a b", 3).toSeq == Seq(4L, 2L, 4L))
+    // all distinct
+    assert(ngramRepetitionValue("q w e r t", 3).toSeq == Seq(3L, 1L, 0L))
+    // shorter than n
+    assert(ngramRepetitionValue("a b", 3).toSeq == Seq(0L, 0L, 0L))
+    assert(ngramRepetitionValue("", 4).toSeq == Seq(0L, 0L, 0L))
+    val df = Seq(
+      (0L, "a b a b a b a b"), // heavy repetition -> dropped
+      (1L, "one two three four five six seven eight nine ten eleven twelve")) // clean -> kept
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextStats.ngramRepetition(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("keep") == 0 &&
+      out(0).getAs[Double]("dup_3gram_frac") == 1.0)
+    assert(out(1).getAs[Long]("keep") == 1 &&
+      out(1).getAs[Double]("top_3gram_frac") < 0.17)
+  }
+
   test("gopherPageRules: alpha/symbol/bullet/ellipsis/stopword rules") {
     val good = "with the quick brown fox we jump over lazy dogs again today"
     val df = Seq(
