@@ -288,8 +288,8 @@ object Codecs {
     (w, h, rgb)
   }
 
-  /** Format-sniffing image decode: BMP (`BM`) or PNG (signature) to
-    * (width, height, top-down RGB, format tag).
+  /** Format-sniffing image decode: BMP (`BM`), PNG (signature), or GIF
+    * (`GIF8`) to (width, height, top-down RGB, format tag).
     */
   def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Byte], String) = {
     require(bytes.length >= 8, "decodeImage: too short")
@@ -297,18 +297,232 @@ object Codecs {
       val (w, h, rgb) = decodeBmp(bytes); (w, h, rgb, "bmp")
     } else if (PngSig.indices.forall(i => bytes(i) == PngSig(i))) {
       val (w, h, rgb) = decodePng(bytes); (w, h, rgb, "png")
+    } else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == '8') {
+      val (w, h, rgb) = decodeGif(bytes); (w, h, rgb, "gif")
     } else throw new IllegalArgumentException(
-      "decodeImage: unrecognized image format (BMP and PNG supported)")
+      "decodeImage: unrecognized image format (BMP, PNG, GIF supported)")
   }
 
-  /** Re-encode RGB in the named format ([[decodeImage]]'s tag). */
+  /** Re-encode RGB in the named format ([[decodeImage]]'s tag). GIF
+    * re-derives the palette from the distinct colors (nearest-neighbor
+    * resample of a palette image never invents colors, so round trips
+    * stay exact); >256 distinct colors can't be a GIF and is rejected.
+    */
   def encodeImage(w: Int, h: Int, rgb: Array[Byte], format: String): Array[Byte] =
     format match {
       case "bmp" => encodeBmp(w, h, rgb)
       case "png" => encodePng(w, h, rgb)
+      case "gif" =>
+        val colorOf = new java.util.LinkedHashMap[Int, Int]()
+        var i = 0
+        while (i < w * h) {
+          val c = ((rgb(i * 3) & 0xff) << 16) | ((rgb(i * 3 + 1) & 0xff) << 8) |
+            (rgb(i * 3 + 2) & 0xff)
+          if (!colorOf.containsKey(c)) colorOf.put(c, colorOf.size)
+          i += 1
+        }
+        require(colorOf.size <= 256,
+          s"encodeImage: ${colorOf.size} distinct colors exceed a GIF palette")
+        val palette = new Array[Array[Int]](colorOf.size)
+        colorOf.forEach((c, idx) =>
+          palette(idx) = Array((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff))
+        val indices = new Array[Byte](w * h)
+        i = 0
+        while (i < w * h) {
+          val c = ((rgb(i * 3) & 0xff) << 16) | ((rgb(i * 3 + 1) & 0xff) << 8) |
+            (rgb(i * 3 + 2) & 0xff)
+          indices(i) = colorOf.get(c).toByte
+          i += 1
+        }
+        encodeGif(w, h, palette, indices)
       case other => throw new IllegalArgumentException(
         s"encodeImage: unknown format $other")
     }
+
+  // ---- GIF (87a, LZW-compressed, global palette) ----
+
+  /** Encode palette indices as a valid GIF87a: header, logical screen
+    * descriptor, global color table (padded to a power of two), one
+    * image descriptor, LZW-compressed data. The LZW stream grows its
+    * string table normally but emits a CLEAR whenever the next code
+    * would force a width increase ("clear-early" — spec-legal, keeps
+    * the encoder simple; the DECODER handles full variable-width
+    * streams, unit-tested against a hand-built width-crossing stream).
+    */
+  def encodeGif(w: Int, h: Int, palette: Array[Array[Int]],
+      indices: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && indices.length == w * h,
+      s"encodeGif: need ${w * h} indices for ${w}x$h, got ${indices.length}")
+    require(palette.nonEmpty && palette.length <= 256 &&
+      palette.forall(_.length == 3), "encodeGif: bad palette")
+    require(indices.forall(i => (i & 0xff) < palette.length),
+      "encodeGif: index outside palette")
+    var palBits = 1
+    while ((1 << palBits) < palette.length) palBits += 1
+    val palSize = 1 << palBits
+    val minCode = math.max(2, palBits)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF87a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0x80 | (palBits - 1)) // global table, 2^palBits entries
+    out.write(0); out.write(0) // background, aspect
+    var p = 0
+    while (p < palSize) {
+      val c = if (p < palette.length) palette(p) else Array(0, 0, 0)
+      out.write(c(0)); out.write(c(1)); out.write(c(2))
+      p += 1
+    }
+    out.write(0x2C) // image descriptor
+    out.write(0); out.write(0); out.write(0); out.write(0) // left, top
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0) // no local table, not interlaced
+    out.write(minCode)
+    // LZW, clear-early: width stays minCode+1 throughout
+    val clear = 1 << minCode
+    val end = clear + 1
+    val width = minCode + 1
+    val maxBeforeClear = (1 << width) - 1
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nAcc = 0
+    def put(code: Int): Unit = {
+      acc |= code.toLong << nAcc; nAcc += width
+      while (nAcc >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nAcc -= 8 }
+    }
+    var table = scala.collection.mutable.HashMap.empty[String, Int]
+    var nextCode = end + 1
+    def resetTable(): Unit = { table = scala.collection.mutable.HashMap.empty; nextCode = end + 1 }
+    put(clear)
+    var cur = new java.lang.StringBuilder().append((indices(0) & 0xff).toChar).toString
+    var i = 1
+    while (i < indices.length) {
+      val c = (indices(i) & 0xff).toChar
+      val ext = cur + c
+      if (table.contains(ext)) cur = ext
+      else {
+        put(if (cur.length == 1) cur.charAt(0).toInt else table(cur))
+        if (nextCode >= maxBeforeClear) { put(clear); resetTable() }
+        else { table(ext) = nextCode; nextCode += 1 }
+        cur = c.toString
+      }
+      i += 1
+    }
+    put(if (cur.length == 1) cur.charAt(0).toInt else table(cur))
+    put(end)
+    if (nAcc > 0) bits.write((acc & 0xff).toInt)
+    val data = bits.toByteArray
+    var off = 0
+    while (off < data.length) { // 255-byte sub-blocks
+      val n = math.min(255, data.length - off)
+      out.write(n); out.write(data, off, n); off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** Decode a GIF87a/89a first frame to (width, height, top-down RGB):
+    * global color table, extension-block skipping, and a full
+    * variable-width LZW decoder (table growth, width bumps at
+    * `nextCode == 2^width` up to 12 bits, CLEAR resets, the
+    * prev+prev[0] case for not-yet-defined codes). Interlaced and
+    * local-palette images are rejected rather than mis-read.
+    */
+  def decodeGif(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(bytes.length > 13 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F', "decodeGif: not a GIF")
+    def u8(i: Int) = bytes(i) & 0xff
+    def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    val sw = u16(6); val sh = u16(8)
+    val flags = u8(10)
+    require((flags & 0x80) != 0, "decodeGif: global color table required")
+    val palSize = 1 << ((flags & 7) + 1)
+    val pal = Array.tabulate(palSize)(p =>
+      Array(u8(13 + p * 3), u8(13 + p * 3 + 1), u8(13 + p * 3 + 2)))
+    var pos = 13 + palSize * 3
+    // skip extension blocks to the first image descriptor
+    while (u8(pos) == 0x21) {
+      pos += 2 // introducer + label
+      while (u8(pos) != 0) pos += u8(pos) + 1
+      pos += 1
+    }
+    require(u8(pos) == 0x2C, s"decodeGif: expected image descriptor at $pos")
+    val w = u16(pos + 5); val h = u16(pos + 7)
+    val iflags = u8(pos + 9)
+    require((iflags & 0x80) == 0, "decodeGif: local color tables unsupported")
+    require((iflags & 0x40) == 0, "decodeGif: interlaced GIFs unsupported")
+    require(w == sw && h == sh, "decodeGif: sub-rectangle frames unsupported")
+    pos += 10
+    val minCode = u8(pos); pos += 1
+    val data = new java.io.ByteArrayOutputStream()
+    while (u8(pos) != 0) {
+      val n = u8(pos)
+      data.write(bytes, pos + 1, n)
+      pos += n + 1
+    }
+    val stream = data.toByteArray
+    val clear = 1 << minCode
+    val end = clear + 1
+    var width = minCode + 1
+    var acc = 0L; var nAcc = 0; var sp = 0
+    def read(): Int = {
+      while (nAcc < width) {
+        require(sp < stream.length, "decodeGif: truncated LZW stream")
+        acc |= (stream(sp) & 0xffL) << nAcc; nAcc += 8; sp += 1
+      }
+      val v = (acc & ((1L << width) - 1)).toInt
+      acc >>= width; nAcc -= width
+      v
+    }
+    val table = new Array[Array[Byte]](4096)
+    var nextCode = 0
+    def reset(): Unit = {
+      var i = 0
+      while (i < clear) { table(i) = Array(i.toByte); i += 1 }
+      nextCode = end + 1
+      width = minCode + 1
+    }
+    reset()
+    val out = new java.io.ByteArrayOutputStream(w * h)
+    var prev: Array[Byte] = null
+    var done = false
+    while (!done) {
+      val code = read()
+      if (code == clear) { reset(); prev = null }
+      else if (code == end) done = true
+      else {
+        val entry: Array[Byte] =
+          if (code < nextCode && table(code) != null) table(code)
+          else {
+            require(code == nextCode && prev != null,
+              s"decodeGif: invalid code $code (next $nextCode)")
+            prev :+ prev(0)
+          }
+        out.write(entry, 0, entry.length)
+        if (prev != null && nextCode < 4096) {
+          table(nextCode) = prev :+ entry(0)
+          nextCode += 1
+          if (nextCode == (1 << width) && width < 12) width += 1
+        }
+        prev = entry
+      }
+    }
+    val idx = out.toByteArray
+    require(idx.length >= w * h, s"decodeGif: got ${idx.length} of ${w * h} pixels")
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      val p = idx(i) & 0xff
+      require(p < palSize, s"decodeGif: index $p outside palette")
+      rgb(i * 3) = pal(p)(0).toByte
+      rgb(i * 3 + 1) = pal(p)(1).toByte
+      rgb(i * 3 + 2) = pal(p)(2).toByte
+      i += 1
+    }
+    (w, h, rgb)
+  }
 
   // ---- Y4M (YUV4MPEG2 uncompressed video, C420) ----
 

@@ -1639,6 +1639,57 @@ class OpsSpec extends AnyFunSuite {
     assert(twice.getAs[Long]("n_lines_dropped") == 0L)
   }
 
+  test("gif codec: LZW round trips incl. table growth; width-crossing stream decodes") {
+    import graft.ops.Codecs
+    // repetitive indices force LZW table growth (and clear-early resets)
+    val pal = Array(Array(255, 0, 0), Array(0, 255, 0), Array(0, 0, 255), Array(9, 9, 9))
+    val idx = Array.tabulate(16 * 8)(i => ((i / 3) % 4).toByte) // runs of 3
+    val gif = Codecs.encodeGif(16, 8, pal, idx)
+    assert(new String(gif.take(6), "ISO-8859-1") == "GIF87a")
+    val (w, h, rgb) = Codecs.decodeGif(gif)
+    assert(w == 16 && h == 8)
+    for (i <- idx.indices) {
+      val p = pal(idx(i))
+      assert((rgb(i * 3) & 0xff) == p(0) && (rgb(i * 3 + 1) & 0xff) == p(1) &&
+        (rgb(i * 3 + 2) & 0xff) == p(2), s"pixel $i")
+    }
+    // random-ish indices (few table hits) round-trip too
+    val idx2 = Array.tabulate(9 * 5)(i => ((i * 7 + i / 9) % 4).toByte)
+    val (_, _, rgb2) = Codecs.decodeGif(Codecs.encodeGif(9, 5, pal, idx2))
+    assert(rgb2.grouped(3).map(_.map(_ & 0xff).toSeq).toSeq ==
+      idx2.map(pal(_).toSeq).toSeq)
+    // hand-built stream crossing a width boundary: minCode=2, codes
+    // [CLEAR,0,1,6,7,END] with 7 and END read at 4 bits; expected pixels
+    // derived by hand: 0 1 01 10 -> [0,1,0,1,1,0]
+    val bw = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nAcc = 0
+    def put(code: Int, width: Int): Unit = {
+      acc |= code.toLong << nAcc; nAcc += width
+      while (nAcc >= 8) { bw.write((acc & 0xff).toInt); acc >>= 8; nAcc -= 8 }
+    }
+    put(4, 3); put(0, 3); put(1, 3); put(6, 3); put(7, 4); put(5, 4)
+    if (nAcc > 0) bw.write((acc & 0xff).toInt)
+    val lzw = bw.toByteArray
+    val head = new java.io.ByteArrayOutputStream()
+    head.write("GIF87a".getBytes("US-ASCII"))
+    head.write(Array[Byte](3, 0, 2, 0)) // 3x2
+    head.write(0x80 | 1); head.write(0); head.write(0) // 4-entry palette
+    for (p <- Seq(Seq(10, 10, 10), Seq(20, 20, 20), Seq(30, 30, 30), Seq(40, 40, 40));
+         v <- p) head.write(v)
+    head.write(0x2C); head.write(Array[Byte](0, 0, 0, 0, 3, 0, 2, 0, 0))
+    head.write(2) // min code size
+    head.write(lzw.length); head.write(lzw); head.write(0); head.write(0x3B)
+    val (hw, hh, hrgb) = Codecs.decodeGif(head.toByteArray)
+    assert(hw == 3 && hh == 2)
+    assert(hrgb.grouped(3).map(_(0) & 0xff).toSeq == Seq(10, 20, 10, 20, 20, 10))
+    // sniffer + same-format re-encode
+    val (sw2, sh2, srgb, fmt) = Codecs.decodeImage(gif)
+    assert(fmt == "gif" && sw2 == 16 && sh2 == 8)
+    val re = Codecs.encodeImage(sw2, sh2, srgb, "gif")
+    assert(Codecs.decodeGif(re)._3.toSeq == srgb.toSeq)
+    intercept[IllegalArgumentException](Codecs.decodeGif("GIFnope!?".getBytes))
+  }
+
   test("bmp codec: byte-exact round trip incl. row padding; resize elects nearest") {
     import graft.ops.Codecs
     // 3x2: stride 12 (9 data + 3 pad) — the padding case
