@@ -3152,9 +3152,12 @@ object SparkEntry {
         |xs AS (SELECT id, w, h, unnest(generate_series(0, w - 1)) AS x FROM img),
         |px AS (SELECT id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs)
         |SELECT id AS media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-        |  round(avg((7 * x + 13 * y + id) % 256), 6) AS mean_r,
-        |  round(avg((11 * x + 5 * y + 3 * id) % 256), 6) AS mean_g,
-        |  round(avg((3 * x + 17 * y + 7 * id) % 256), 6) AS mean_b
+        |  round(avg(CASE WHEN id % 9 = 3 THEN 17 * ((x + y + id) % 16)
+        |            ELSE (7 * x + 13 * y + id) % 256 END), 6) AS mean_r,
+        |  round(avg(CASE WHEN id % 9 = 3 THEN (7 * ((x + y + id) % 16)) % 256
+        |            ELSE (11 * x + 5 * y + 3 * id) % 256 END), 6) AS mean_g,
+        |  round(avg(CASE WHEN id % 9 = 3 THEN (11 * ((x + y + id) % 16)) % 256
+        |            ELSE (3 * x + 17 * y + 7 * id) % 256 END), 6) AS mean_b
         |FROM px GROUP BY id, w, h ORDER BY media_id""".stripMargin,
     "q_mm_audio" ->
       """WITH au AS (SELECT doc_id AS id, 64 + doc_id % 64 AS n
@@ -3173,9 +3176,12 @@ object SparkEntry {
         |px AS (SELECT id, w, h, x, unnest(generate_series(0, 3)) AS y FROM xs),
         |src AS (SELECT id, (x * w) // 6 AS sx, (y * h) // 4 AS sy FROM px)
         |SELECT id AS media_id,
-        |  round(avg((7 * sx + 13 * sy + id) % 256), 6) AS mean_r,
-        |  round(avg((11 * sx + 5 * sy + 3 * id) % 256), 6) AS mean_g,
-        |  round(avg((3 * sx + 17 * sy + 7 * id) % 256), 6) AS mean_b
+        |  round(avg(CASE WHEN id % 9 = 3 THEN 17 * ((sx + sy + id) % 16)
+        |            ELSE (7 * sx + 13 * sy + id) % 256 END), 6) AS mean_r,
+        |  round(avg(CASE WHEN id % 9 = 3 THEN (7 * ((sx + sy + id) % 16)) % 256
+        |            ELSE (11 * sx + 5 * sy + 3 * id) % 256 END), 6) AS mean_g,
+        |  round(avg(CASE WHEN id % 9 = 3 THEN (11 * ((sx + sy + id) % 16)) % 256
+        |            ELSE (3 * sx + 17 * sy + 7 * id) % 256 END), 6) AS mean_b
         |FROM src GROUP BY id ORDER BY media_id""".stripMargin,
     "q_mm_video" ->
       """WITH vid AS (SELECT doc_id AS id, 1 + doc_id % 10 AS nf

@@ -153,23 +153,35 @@ object Multimodal {
         case 0 =>
           val w = 8 + (id % 5).toInt
           val h = 8 + (id % 3).toInt
-          val rgb = new Array[Byte](w * h * 3)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = (y * w + x) * 3
-              rgb(p) = ((7 * x + 13 * y + id) % 256).toByte
-              rgb(p + 1) = ((11 * x + 5 * y + 3 * id) % 256).toByte
-              rgb(p + 2) = ((3 * x + 17 * y + 7 * id) % 256).toByte
-              x += 1
+          // container rotation over closed-form pixels: the oracles then
+          // gate ALL THREE decoders (BMP, every PNG filter, GIF's LZW)
+          if (id % 9 == 3) {
+            // palette image: index (x+y+id)%16, palette a closed-form
+            // ramp — channel means stay SQL-derivable
+            val pal = Array.tabulate(16)(i =>
+              Array(17 * i, (7 * i) % 256, (11 * i) % 256))
+            val indices = Array.tabulate(w * h) { p =>
+              val x = p % w; val y = p / w
+              ((x + y + id) % 16).toByte
             }
-            y += 1
+            Codecs.encodeGif(w, h, pal, indices)
+          } else {
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = (y * w + x) * 3
+                rgb(p) = ((7 * x + 13 * y + id) % 256).toByte
+                rgb(p + 1) = ((11 * x + 5 * y + 3 * id) % 256).toByte
+                rgb(p + 2) = ((3 * x + 17 * y + 7 * id) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            if (id % 6 == 0) Codecs.encodeBmp(w, h, rgb)
+            else Codecs.encodePng(w, h, rgb, filterType = (id % 5).toInt)
           }
-          // alternate container, same pixels: the closed-form oracles
-          // then gate BOTH decoders (and every PNG filter type)
-          if (id % 6 == 0) Codecs.encodeBmp(w, h, rgb)
-          else Codecs.encodePng(w, h, rgb, filterType = (id % 5).toInt)
         case 1 =>
           val n = 64 + (id % 64).toInt
           val samples = Array.tabulate(n)(i =>
