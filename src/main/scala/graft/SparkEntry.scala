@@ -860,6 +860,21 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Dictionary-driven redaction: the matcher composed into the
+    * cleaning family. Non-overlapping literal entries so the oracle
+    * can replay the replacement with word-boundary regexes (overlap
+    * merging is unit-gated in SparkSpec).
+    */
+  private def qRedact(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val hl = graft.spark.SparkHighlighter(Seq(
+      graft.dict.DictionaryEntry("hash join", id = Some("hj")),
+      graft.dict.DictionaryEntry("stream", id = Some("st"))))
+    docs.select(col("doc_id"),
+        hl.redactColumn(docs, "text").as("text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** RefinedWeb repeated-n-gram signals at orders 3 and 4 over the raw
     * corpus (the word soup is repetitive enough to spread both
     * fractions); every count and the keep flag replay relationally.
@@ -1824,6 +1839,7 @@ object SparkEntry {
     "q_gopher" -> (qGopher _),
     "q_gopher_rules" -> (qGopherRules _),
     "q_ngram_rep" -> (qNgramRep _),
+    "q_redact" -> (qRedact _),
     "q_decontam_ngram" -> (qDecontamNgram _),
     "q_decontam_bloom" -> (qDecontamBloom _),
     "q_bm25" -> (qBm25 _),
@@ -2390,6 +2406,13 @@ object SparkEntry {
         |  UNION ALL SELECT 'j', 'st', CAST(count(*) FILTER (WHERE j AND st) AS BIGINT) FROM m
         |  UNION ALL SELECT 's', 'st', CAST(count(*) FILTER (WHERE s AND st) AS BIGINT) FROM m
         |) WHERE n_docs > 0 ORDER BY id_a, id_b""".stripMargin,
+    // the engine's spans over these literal entries coincide exactly
+    // with word-boundary regex replacement on the space-separated corpus
+    "q_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text, '\bhash join\b', '<TERM>', 'g'),
+        |    '\bstream\b', '<TERM>', 'g') AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // exact integer n-gram counts per doc, fractions rounded to 6,
     // keep from the rounded values — same derivation both engines
     "q_ngram_rep" ->

@@ -57,6 +57,64 @@ final case class AnnotateExpression(
   }
 }
 
+/** Per-row dictionary REDACTION: matched spans replaced by `token`
+  * (overlapping matches merge into one replacement; text without
+  * matches passes through by reference). Same broadcast-handle and
+  * codegen contract as [[AnnotateExpression]] — the engine's matcher
+  * composed directly into the cleaning family (dictionary-driven
+  * boilerplate/term removal at scan speed).
+  */
+final case class RedactExpression(
+    child: Expression,
+    bc: Broadcast[CompiledDictionary],
+    token: String) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "redact_dictionary"
+
+  override protected def withNewChildInternal(newChild: Expression): RedactExpression =
+    copy(child = newChild)
+
+  def evalText(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    val text = s.toString
+    val anns = bc.value.matchDoc(text)
+    if (anns.isEmpty) return s
+    val spans = anns.map(a => (a.beginOffset, a.endOffset))
+      .sortBy { case (b, e) => (b, -e) }
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    spans.foreach { case (b, e) =>
+      if (merged.nonEmpty && b <= merged.last._2) {
+        val (lb, le) = merged.last
+        merged(merged.length - 1) = (lb, math.max(le, e))
+      } else merged += ((b, e))
+    }
+    val sb = new java.lang.StringBuilder
+    var pos = 0
+    merged.foreach { case (b, e) =>
+      sb.append(text, pos, b).append(token)
+      pos = e
+    }
+    sb.append(text, pos, text.length)
+    UTF8String.fromString(sb.toString)
+  }
+
+  override def eval(input: InternalRow): Any =
+    evalText(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val self = ctx.addReferenceObj("redExpr", this, classOf[RedactExpression].getName)
+    ev.copy(code = code"""
+      |${childGen.code}
+      |UTF8String ${ev.value} = $self.evalText(
+      |  ${childGen.isNull} ? null : ${childGen.value});
+      |boolean ${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+  }
+}
+
 object AnnotateExpression {
   /** Matches the schema the reflection encoder derives for
     * Seq[graft.dict.Annotation] (so UDF and expression paths are

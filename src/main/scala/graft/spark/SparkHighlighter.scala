@@ -56,6 +56,18 @@ final class SparkHighlighter(
     org.apache.spark.sql.GraftBridge.column(expr)
   }
 
+  /** Dictionary-driven redaction: matched spans replaced by `token`
+    * (overlaps merged), unmatched text passes through by reference.
+    * The matcher as a cleaning operator — remove known boilerplate
+    * phrases / sensitive terms at codegen'd scan speed, any tokenizer
+    * / stemmer / fuzziness the dictionary carries included.
+    */
+  def redactColumn(df: DataFrame, textCol: String,
+      token: String = "<TERM>"): Column =
+    org.apache.spark.sql.GraftBridge.column(RedactExpression(
+      org.apache.spark.sql.GraftBridge.expression(col(textCol)),
+      bc(df), token))
+
   def annotateColumnUdf(df: DataFrame, textCol: String): Column = {
     val b = bc(df)
     val merge = mergeAnnotations

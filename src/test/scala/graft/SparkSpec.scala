@@ -162,6 +162,28 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaExpr.nonEmpty)
   }
 
+  test("redactColumn replaces matched spans; overlapping matches merge") {
+    val hl = graft.spark.SparkHighlighter(Seq(
+      graft.dict.DictionaryEntry("big table", id = Some("bt")),
+      graft.dict.DictionaryEntry("table scan", id = Some("ts"))))
+    val df = Seq(
+      (0L, "a big table scan here"), // overlap -> ONE merged replacement
+      (1L, "big table only"),
+      (2L, "no matches at all"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), hl.redactColumn(df, "text").as("t"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "a <TERM> here")
+    assert(out(1).getString(1) == "<TERM> only")
+    assert(out(2).getString(1) == "no matches at all")
+    assert(out(3).isNullAt(1))
+    // custom token
+    val custom = df.limit(2).select(
+      hl.redactColumn(df, "text", token = "__X__").as("t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(custom.contains("a __X__ here"))
+  }
+
   test("annotate_text SQL function via SparkSessionExtensions") {
     graft.spark.GraftExtensions.install(spark)
     Seq((0L, "before test phrase after"), (1L, "none"))
