@@ -860,6 +860,16 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact-k deterministic sample per language (k=5) — the fixed-size
+    * eval-set primitive; the oracle replays the salted-hash ranking.
+    */
+  private def qSampleTopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    graft.ops.Sampling.sampleExactPerGroup(docs, "doc_id", "lang", k = 5)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Dictionary-driven redaction: the matcher composed into the
     * cleaning family. Non-overlapping literal entries so the oracle
     * can replay the replacement with word-boundary regexes (overlap
@@ -1840,6 +1850,7 @@ object SparkEntry {
     "q_gopher_rules" -> (qGopherRules _),
     "q_ngram_rep" -> (qNgramRep _),
     "q_redact" -> (qRedact _),
+    "q_sample_topk" -> (qSampleTopK _),
     "q_decontam_ngram" -> (qDecontamNgram _),
     "q_decontam_bloom" -> (qDecontamBloom _),
     "q_bm25" -> (qBm25 _),
@@ -2406,6 +2417,13 @@ object SparkEntry {
         |  UNION ALL SELECT 'j', 'st', CAST(count(*) FILTER (WHERE j AND st) AS BIGINT) FROM m
         |  UNION ALL SELECT 's', 'st', CAST(count(*) FILTER (WHERE s AND st) AS BIGINT) FROM m
         |) WHERE n_docs > 0 ORDER BY id_a, id_b""".stripMargin,
+    // same salted-hash ranking, same tie-break
+    "q_sample_topk" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |    md5(lang || ':' || CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rk FROM h)
+        |SELECT doc_id, lang FROM r WHERE rk <= 5 ORDER BY doc_id""".stripMargin,
     // the engine's spans over these literal entries coincide exactly
     // with word-boundary regex replacement on the space-separated corpus
     "q_redact" ->

@@ -59,6 +59,30 @@ object Sampling {
       salt: String = ""): DataFrame =
     df.filter(saltedHash(col(idCol), salt) < lit(hexThreshold(fraction)))
 
+  /** EXACT-k deterministic sample per stratum — the fixed-size
+    * eval-set/few-shot-pool primitive that fraction-based sampling
+    * can't provide. Rows rank by the salted id hash within their
+    * stratum (stable: a new row can displace at most one existing pick,
+    * never reshuffle the set); the first `k` survive. Groups smaller
+    * than `k` keep everything. One hash-keyed window per stratum —
+    * shuffles (id, stratum, hash) projections, never payloads; rejoin
+    * by id is broadcast-able when k×strata is small.
+    */
+  def sampleExactPerGroup(df: DataFrame, idCol: String, strataCol: String,
+      k: Int, salt: String = ""): DataFrame = {
+    require(k >= 1, s"sampleExactPerGroup: bad k $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    val picked = df.select(col(idCol), col(strataCol),
+        saltedHash(concat(col(strataCol).cast("string"), lit(":"),
+          col(idCol).cast("string")), salt).as("__h"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(idCol))
+    df.join(broadcast(picked), Seq(idCol), "left_semi")
+  }
+
   /** Stratified deterministic sample: an independent ~`fraction` within
     * each stratum (the stratum value participates in the hash, so
     * changing one stratum's data never perturbs another's selection).

@@ -1281,6 +1281,30 @@ class OpsSpec extends AnyFunSuite {
     assert(out(6).getAs[Long]("keep") == 0 && out(6).getAs[Long]("n_words") == 0)
   }
 
+  test("sampleExactPerGroup: exact k per stratum, stable under growth") {
+    val df = (0L until 100L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "g")
+    val out = graft.ops.Sampling.sampleExactPerGroup(df, "id", "g", k = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.count(_._2 == "a") == 7 && out.count(_._2 == "b") == 7)
+    // small group keeps everything
+    val tiny = graft.ops.Sampling.sampleExactPerGroup(
+      df.filter(col("id") < 5), "id", "g", k = 7).count()
+    assert(tiny == 5)
+    // growth stability: adding rows displaces at most one pick per group
+    val grown = (0L until 120L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "g")
+    val out2 = graft.ops.Sampling.sampleExactPerGroup(grown, "id", "g", k = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val kept = out.toSet.intersect(out2)
+    assert(kept.size >= out.length - 2, s"unstable: ${out.toSet.diff(out2)}")
+    // deterministic across partitionings
+    val rep = graft.ops.Sampling.sampleExactPerGroup(
+      df.repartition(7), "id", "g", k = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rep == out.toSet)
+  }
+
   test("filterByGroupQuantile: per-group median cut, side flip, null contracts") {
     val df = Seq(
       (0L, "en", java.lang.Long.valueOf(10L)), (1L, "en", java.lang.Long.valueOf(20L)),
