@@ -860,6 +860,25 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Count-min term-frequency estimates next to the exact counts (the
+    * one-sided invariant est ≥ cnt is directly visible in the output);
+    * the oracle rebuilds the whole d×w sketch relationally with the
+    * same md5 bucket math.
+    */
+  private def qCms(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val terms = Seq("hash", "join", "table", "vector", "qqqabsent")
+    val est = graft.ops.Sketch.cmsTermCounts(docs, "text", terms, d = 3, w = 1024)
+    val cnt = docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy(col("t").as("term")).agg(count(lit(1)).as("cnt"))
+    est.join(cnt, Seq("term"), "left")
+      .select(col("term"), col("est"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy(col("term"))
+  }
+
   /** Exact-k deterministic sample per language (k=5) — the fixed-size
     * eval-set primitive; the oracle replays the salted-hash ranking.
     */
@@ -1851,6 +1870,7 @@ object SparkEntry {
     "q_ngram_rep" -> (qNgramRep _),
     "q_redact" -> (qRedact _),
     "q_sample_topk" -> (qSampleTopK _),
+    "q_cms" -> (qCms _),
     "q_decontam_ngram" -> (qDecontamNgram _),
     "q_decontam_bloom" -> (qDecontamBloom _),
     "q_bm25" -> (qBm25 _),
@@ -2417,6 +2437,26 @@ object SparkEntry {
         |  UNION ALL SELECT 'j', 'st', CAST(count(*) FILTER (WHERE j AND st) AS BIGINT) FROM m
         |  UNION ALL SELECT 's', 'st', CAST(count(*) FILTER (WHERE s AND st) AS BIGINT) FROM m
         |) WHERE n_docs > 0 ORDER BY id_a, id_b""".stripMargin,
+    // the whole d×w sketch rebuilt relationally: same md5 buckets,
+    // integer counter sums, min across rows
+    "q_cms" ->
+      """WITH tk AS (SELECT t FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |jb AS (SELECT j, ('0x' || substr(md5(j || ':' || t), 1, 8))::BIGINT % 1024 AS bucket
+        |  FROM tk, unnest([0, 1, 2]) AS u(j)),
+        |sums AS (SELECT j, bucket, count(*) AS c FROM jb GROUP BY j, bucket),
+        |terms AS (SELECT unnest(['hash', 'join', 'table', 'vector', 'qqqabsent']) AS term),
+        |probes AS (SELECT term, j,
+        |    ('0x' || substr(md5(j || ':' || term), 1, 8))::BIGINT % 1024 AS bucket
+        |  FROM terms, unnest([0, 1, 2]) AS u(j)),
+        |est AS (SELECT term, min(coalesce(c, 0)) AS est
+        |  FROM probes LEFT JOIN sums USING (j, bucket) GROUP BY term),
+        |cnt AS (SELECT t AS term, count(*) AS cnt FROM tk
+        |  WHERE t IN ('hash', 'join', 'table', 'vector', 'qqqabsent') GROUP BY t)
+        |SELECT e.term, CAST(e.est AS BIGINT) AS est,
+        |  CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        |FROM est e LEFT JOIN cnt c USING (term) ORDER BY term""".stripMargin,
     // same salted-hash ranking, same tie-break
     "q_sample_topk" ->
       """WITH h AS (SELECT doc_id, lang,

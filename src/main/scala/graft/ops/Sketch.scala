@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based frequency estimation (Cormode & Muthukrishnan 2005:
+  * count-min). The point at corpus scale: estimate term frequencies
+  * WITHOUT materializing the vocabulary — the only shuffled key space
+  * is the fixed d×w counter table, so memory and shuffle volume are
+  * constant no matter how many distinct terms the corpus holds
+  * (exact term counting shuffles the full vocabulary; at web scale
+  * that is billions of keys).
+  *
+  * Determinism/oracle contract: bucket hashes are the repo's
+  * cross-engine md5 trick (first 8 hex chars, base-16, mod w — same
+  * value in Spark, DuckDB, and driver-side JVM code), and counter
+  * merges are integer sums, so every estimate is partition-order
+  * independent and the q_cms oracle replays the whole sketch
+  * relationally. Estimates are one-sided: est ≥ true count always,
+  * with overestimates bounded by collisions (≈ N/w per row, d rows of
+  * independent hashes take the min).
+  */
+object Sketch {
+
+  private def bucket(j: Int, term: Column, w: Int): Column =
+    conv(substring(md5(concat(lit(j.toString), lit(":"), term)), 1, 8), 16, 10)
+      .cast("long") % w
+
+  /** Driver-side replica of [[bucket]] — byte-identical md5 math. */
+  private[graft] def bucketValue(j: Int, term: String, w: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest((j.toString + ":" + term)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % w
+  }
+
+  /** Count-min frequency estimates for `terms` over the
+    * whitespace-lowercased token stream of `textCol`. One scan; the
+    * only full shuffle groups on (row, bucket) — at most d×w keys with
+    * map-side partial aggregation, vocabulary-independent. The queried
+    * terms' (j, bucket) probes compute on the driver (d rows per term)
+    * and broadcast. Output: (term, est) — est ≥ the true count, 0 for
+    * terms hashing only to empty counters.
+    */
+  def cmsTermCounts(df: DataFrame, textCol: String, terms: Seq[String],
+      d: Int = 3, w: Int = 1024): DataFrame = {
+    require(terms.nonEmpty, "cmsTermCounts: no terms")
+    require(d >= 1 && w >= 2, s"cmsTermCounts: bad d/w $d/$w")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tok = df
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("__t"))
+      .filter(col("__t") =!= "")
+    val rows = (0 until d).map(j =>
+      struct(lit(j).as("j"), bucket(j, col("__t"), w).as("bucket")))
+    val sums = tok
+      .select(explode(array(rows: _*)).as("__jb"))
+      .groupBy(col("__jb.j").as("j"), col("__jb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val probes = terms.distinct.flatMap(t =>
+      (0 until d).map(j => (t, j, bucketValue(j, t.toLowerCase, w))))
+      .toDF("term", "j", "bucket")
+    broadcast(probes).join(sums, Seq("j", "bucket"), "left")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+}

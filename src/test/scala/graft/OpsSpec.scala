@@ -1281,6 +1281,30 @@ class OpsSpec extends AnyFunSuite {
     assert(out(6).getAs[Long]("keep") == 0 && out(6).getAs[Long]("n_words") == 0)
   }
 
+  test("cms term counts: one-sided error, exact at wide sketches, absent terms") {
+    val docs = Seq(
+      (0L, "alpha beta alpha gamma"),
+      (1L, "beta beta delta"),
+      (2L, "ALPHA epsilon")).toDF("doc_id", "text") // lowercased by the op
+    val truth = Map("alpha" -> 3L, "beta" -> 3L, "gamma" -> 1L,
+      "delta" -> 1L, "epsilon" -> 1L, "missing" -> 0L)
+    // wide sketch: no collisions plausible -> estimates exact
+    val wide = graft.ops.Sketch.cmsTermCounts(docs, "text",
+        truth.keys.toSeq, d = 3, w = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide == truth, wide.toString)
+    // brutal w=2 sketch: collisions everywhere, but est >= true ALWAYS
+    val tiny = graft.ops.Sketch.cmsTermCounts(docs, "text",
+        truth.keys.toSeq, d = 2, w = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (t, c) => assert(tiny(t) >= c, s"$t: ${tiny(t)} < $c") }
+    // partition independence
+    val rep = graft.ops.Sketch.cmsTermCounts(docs.repartition(5), "text",
+        truth.keys.toSeq, d = 3, w = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == wide)
+  }
+
   test("sampleExactPerGroup: exact k per stratum, stable under growth") {
     val df = (0L until 100L).map(i => (i, if (i % 3 == 0) "a" else "b"))
       .toDF("id", "g")
