@@ -44,20 +44,36 @@ object Sketch {
     * terms hashing only to empty counters.
     */
   def cmsTermCounts(df: DataFrame, textCol: String, terms: Seq[String],
-      d: Int = 3, w: Int = 1024): DataFrame = {
-    require(terms.nonEmpty, "cmsTermCounts: no terms")
-    require(d >= 1 && w >= 2, s"cmsTermCounts: bad d/w $d/$w")
-    val spark = df.sparkSession
-    import spark.implicits._
+      d: Int = 3, w: Int = 1024): DataFrame =
+    cmsProbe(cmsTable(df, textCol, d, w), terms, d, w)
+
+  /** The sketch itself: (j, bucket, c) counter rows — an ordinary
+    * aggregation with at most d×w groups, so it runs unchanged as a
+    * STREAMING aggregation (complete/update mode) with state bounded
+    * by the sketch dimensions, never by the vocabulary.
+    */
+  def cmsTable(df: DataFrame, textCol: String, d: Int = 3,
+      w: Int = 1024): DataFrame = {
+    require(d >= 1 && w >= 2, s"cmsTable: bad d/w $d/$w")
     val tok = df
       .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("__t"))
       .filter(col("__t") =!= "")
     val rows = (0 until d).map(j =>
       struct(lit(j).as("j"), bucket(j, col("__t"), w).as("bucket")))
-    val sums = tok
-      .select(explode(array(rows: _*)).as("__jb"))
+    tok.select(explode(array(rows: _*)).as("__jb"))
       .groupBy(col("__jb.j").as("j"), col("__jb.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
+  }
+
+  /** Probe a (materialized) sketch table for `terms`: d driver-computed
+    * (j, bucket) probes per term broadcast against the d×w counters;
+    * min across rows, absent counters read as 0.
+    */
+  def cmsProbe(sums: DataFrame, terms: Seq[String], d: Int,
+      w: Int): DataFrame = {
+    require(terms.nonEmpty, "cmsProbe: no terms")
+    val spark = sums.sparkSession
+    import spark.implicits._
     val probes = terms.distinct.flatMap(t =>
       (0 until d).map(j => (t, j, bucketValue(j, t.toLowerCase, w))))
       .toDF("term", "j", "bucket")

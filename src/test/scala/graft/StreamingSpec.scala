@@ -266,6 +266,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("cms estimates from a streamed corpus equal batch: bounded d×w state") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (0L, "alpha beta alpha gamma"),
+      (1L, "beta beta delta"),
+      (2L, "alpha epsilon zeta"))
+    val terms = Seq("alpha", "beta", "gamma", "missing")
+    val stream = MemoryStream[(Long, String)]
+    // the sketch table is an ordinary streaming aggregation: state is
+    // d×w counters regardless of how many distinct terms stream past
+    val query = graft.ops.Sketch.cmsTable(
+        stream.toDF().toDF("doc_id", "text"), "text", d = 3, w = 512)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      stream.addData(rows.take(2): _*)
+      query.processAllAvailable()
+      stream.addData(rows.drop(2): _*)
+      query.processAllAvailable()
+      val streamed = graft.ops.Sketch.cmsProbe(
+          spark.table("cms_stream"), terms, d = 3, w = 512)
+        .orderBy("term").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val batch = graft.ops.Sketch.cmsTermCounts(
+          rows.toDF("doc_id", "text"), "text", terms, d = 3, w = 512)
+        .orderBy("term").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(streamed == batch)
+      assert(streamed.toMap.apply("alpha") == 3L &&
+        streamed.toMap.apply("missing") == 0L)
+    } finally query.stop()
+  }
+
   test("match totals with HLL distinct-doc sketch (batch)") {
     val docs = Seq(
       (0L, "hash join hash join"),
