@@ -71,13 +71,25 @@ object Sampling {
   def sampleExactPerGroup(df: DataFrame, idCol: String, strataCol: String,
       k: Int, salt: String = ""): DataFrame = {
     require(k >= 1, s"sampleExactPerGroup: bad k $k")
-    val w = org.apache.spark.sql.expressions.Window
+    // two-stage election so a giant stratum never funnels through one
+    // reducer: stage 1 keeps k per (stratum, hash-derived shard) — the
+    // global per-stratum top-k is a subset of every shard-local top-k
+    // union, so the result is EXACTLY the single-window answer — then
+    // stage 2 ranks the ≤ 32k survivors per stratum
+    val hashed = df.select(col(idCol), col(strataCol),
+      saltedHash(concat(col(strataCol).cast("string"), lit(":"),
+        col(idCol).cast("string")), salt).as("__h"))
+    val shard = conv(substring(col("__h"), 29, 4), 16, 10).cast("int") % 32
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol), col("__s"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol))
       .orderBy(col("__h").asc, col(idCol).asc)
-    val picked = df.select(col(idCol), col(strataCol),
-        saltedHash(concat(col(strataCol).cast("string"), lit(":"),
-          col(idCol).cast("string")), salt).as("__h"))
-      .withColumn("__rk", row_number().over(w))
+    val picked = hashed.withColumn("__s", shard)
+      .withColumn("__rk1", row_number().over(w1))
+      .filter(col("__rk1") <= k)
+      .withColumn("__rk", row_number().over(w2))
       .filter(col("__rk") <= k)
       .select(col(idCol))
     df.join(broadcast(picked), Seq(idCol), "left_semi")
