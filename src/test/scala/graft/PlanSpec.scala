@@ -384,6 +384,18 @@ class PlanSpec extends AnyFunSuite {
     assert(executed.contains("BroadcastHashJoin"), executed)
   }
 
+  test("dictionary redaction is a scan-local codegen'd projection") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val hl = graft.spark.SparkHighlighter(Seq(
+      graft.dict.DictionaryEntry("hash join", id = Some("hj"))))
+    val out = docs.select(col("doc_id"), hl.redactColumn(docs, "text").as("t"))
+    val plan = planOf(out)
+    assert(!plan.contains("Exchange"), plan)
+    out.collect()
+    val executed = out.queryExecution.executedPlan.toString
+    assert(executed.contains("*(1)"), executed) // stays in whole-stage codegen
+  }
+
   test("c4 filter and mojibake repair are scan-local: zero exchanges") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = graft.ops.TextClean.c4Filter(
