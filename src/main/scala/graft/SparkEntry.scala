@@ -266,6 +266,35 @@ object SparkEntry {
     * passes only if both dedup-within-watermark and state eviction
     * behave.
     */
+  /** The count-min sketch built over a REAL micro-batched stream (4
+    * chunks through a complete-mode aggregation — state is the d×w
+    * counter table, never the vocabulary), then probed. The oracle
+    * rebuilds the same sketch relationally from the batch corpus: the
+    * stream must land on identical counters or the hashes diverge.
+    */
+  private def qStreamCms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = s.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val sdf = ms.toDF().toDF("doc_id", "text")
+    val qname = "graft_stream_cms"
+    s.catalog.dropTempView(qname)
+    val q = graft.ops.Sketch.cmsTable(sdf, "text", d = 3, w = 1024)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("complete").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    graft.ops.Sketch.cmsProbe(s.table(qname),
+        Seq("hash", "join", "table", "vector", "qqqabsent"), d = 3, w = 1024)
+      .orderBy(col("term"))
+  }
+
   private def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // fed in content-hash order so any NATURAL duplicate texts in the
@@ -1833,6 +1862,7 @@ object SparkEntry {
     "q_alpha_ext" -> (qAlphaExt _),
     "q_stream_counts" -> (qStreamCounts _),
     "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_cms" -> (qStreamCms _),
     "q_stream_neardup" -> (qStreamNeardup _),
     "q_dict_read" -> (qDictRead _),
     "q_dict_optimize" -> (qDictOptimize _),
@@ -2437,6 +2467,23 @@ object SparkEntry {
         |  UNION ALL SELECT 'j', 'st', CAST(count(*) FILTER (WHERE j AND st) AS BIGINT) FROM m
         |  UNION ALL SELECT 's', 'st', CAST(count(*) FILTER (WHERE s AND st) AS BIGINT) FROM m
         |) WHERE n_docs > 0 ORDER BY id_a, id_b""".stripMargin,
+    // the streamed sketch must land on the same counters the relational
+    // rebuild derives from the batch corpus (est column only — the
+    // streaming side has no exact-count companion)
+    "q_stream_cms" ->
+      """WITH tk AS (SELECT t FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |jb AS (SELECT j, ('0x' || substr(md5(j || ':' || t), 1, 8))::BIGINT % 1024 AS bucket
+        |  FROM tk, unnest([0, 1, 2]) AS u(j)),
+        |sums AS (SELECT j, bucket, count(*) AS c FROM jb GROUP BY j, bucket),
+        |terms AS (SELECT unnest(['hash', 'join', 'table', 'vector', 'qqqabsent']) AS term),
+        |probes AS (SELECT term, j,
+        |    ('0x' || substr(md5(j || ':' || term), 1, 8))::BIGINT % 1024 AS bucket
+        |  FROM terms, unnest([0, 1, 2]) AS u(j))
+        |SELECT term, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
+        |FROM probes LEFT JOIN sums USING (j, bucket)
+        |GROUP BY term ORDER BY term""".stripMargin,
     // the whole d×w sketch rebuilt relationally: same md5 buckets,
     // integer counter sums, min across rows
     "q_cms" ->
