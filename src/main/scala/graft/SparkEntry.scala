@@ -889,6 +889,20 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Matryoshka truncation to 16 dims + L2 renorm, exploded to
+    * per-element rows — element-exact against the oracle's identical
+    * IEEE arithmetic (sequential sum of squares, multiply by the
+    * reciprocal root).
+    */
+  private def qEmbedTrunc(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(t(dir, "embeddings"))
+    emb.select(col("vec_id"),
+        graft.ops.Embeddings.truncateNormalize(col("embedding"), 16).as("v"))
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "val")))
+      .withColumn("i", col("i").cast("long"))
+      .orderBy(col("vec_id"), col("i"))
+  }
+
   /** Count-min term-frequency estimates next to the exact counts (the
     * one-sided invariant est ≥ cnt is directly visible in the output);
     * the oracle rebuilds the whole d×w sketch relationally with the
@@ -1901,6 +1915,7 @@ object SparkEntry {
     "q_redact" -> (qRedact _),
     "q_sample_topk" -> (qSampleTopK _),
     "q_cms" -> (qCms _),
+    "q_embed_trunc" -> (qEmbedTrunc _),
     "q_decontam_ngram" -> (qDecontamNgram _),
     "q_decontam_bloom" -> (qDecontamBloom _),
     "q_bm25" -> (qBm25 _),
@@ -2484,6 +2499,19 @@ object SparkEntry {
         |SELECT term, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
         |FROM probes LEFT JOIN sums USING (j, bucket)
         |GROUP BY term ORDER BY term""".stripMargin,
+    // identical IEEE ops in identical order: sequential sum of squares
+    // via list_reduce, then multiply by the reciprocal root
+    "q_embed_trunc" ->
+      """WITH e AS (SELECT vec_id,
+        |    [CAST(x AS DOUBLE) FOR x IN embedding[1:16]] AS v
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    list_reduce([x * x FOR x IN v], (a, b) -> a + b) AS ss
+        |  FROM e)
+        |SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+        |  CASE WHEN ss = 0 THEN 0.0 ELSE v[i] * (1.0 / sqrt(ss)) END AS val
+        |FROM s, unnest(range(1, len(v) + 1)) AS t(i)
+        |ORDER BY vec_id, i""".stripMargin,
     // the whole d×w sketch rebuilt relationally: same md5 buckets,
     // integer counter sums, min across rows
     "q_cms" ->

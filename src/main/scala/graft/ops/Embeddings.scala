@@ -40,4 +40,35 @@ object Embeddings {
   def quantize(df: DataFrame, vecCol: String, idCol: String): DataFrame =
     df.select(col(idCol), quantizeInt8(col(vecCol).cast("array<double>")).as("__s"))
       .select(col(idCol), col("__s.scale").as("scale"), col("__s.q").as("q"))
+
+  /** Matryoshka truncation (Kusupati et al. 2022): keep the first
+    * `dims` components and L2-renormalize — the standard
+    * dimensionality/cost dial for MRL-trained embedding models (a
+    * 768-dim corpus searched at 128 dims is 6× less through every
+    * shuffle and index). Codegen'd kernel (the repo's no-interpreted-
+    * HOF-on-hot-scans policy); zero vectors renormalize to zero, not
+    * NaN. Compose with [[quantize]] for the truncated-int8 index.
+    */
+  def truncateNormalize(vec: Column, dims: Int): Column = {
+    require(dims >= 1, s"truncateNormalize: bad dims $dims")
+    org.apache.spark.sql.GraftBridge.column(
+      graft.spark.TruncateNormExpression(
+        org.apache.spark.sql.GraftBridge.expression(vec.cast("array<double>")),
+        dims))
+  }
+
+  /** Pure kernel for [[truncateNormalize]]. */
+  private[graft] def truncateNormalizeValue(v: Array[Double],
+      dims: Int): Array[Double] = {
+    val n = math.min(dims, v.length)
+    val out = new Array[Double](n)
+    var ss = 0.0
+    var i = 0
+    while (i < n) { ss += v(i) * v(i); i += 1 }
+    if (ss == 0.0) return out
+    val inv = 1.0 / math.sqrt(ss)
+    i = 0
+    while (i < n) { out(i) = v(i) * inv; i += 1 }
+    out
+  }
 }

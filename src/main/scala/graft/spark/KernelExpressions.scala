@@ -588,6 +588,26 @@ final case class NgramRepetitionExpression(child: Expression, n: Int)
   }
 }
 
+/** Matryoshka truncation + L2 renorm of a double-array embedding —
+  * see [[graft.ops.Embeddings.truncateNormalize]].
+  */
+final case class TruncateNormExpression(child: Expression, dims: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_truncate_norm"
+  override protected def withNewChildInternal(newChild: Expression): TruncateNormExpression =
+    copy(child = newChild)
+  def kernel(a: ArrayData): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      graft.ops.Embeddings.truncateNormalizeValue(a.toDoubleArray(), dims))
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("tnExpr", this, classOf[TruncateNormExpression].getName)
+    defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
+  }
+}
+
 /** Mojibake repair (`graft_fix_mojibake`) — inverts up to two rounds
   * of UTF-8-read-as-Latin-1 damage per row; clean text passes through
   * unchanged. See [[graft.ops.TextClean.fixMojibakeValue]].

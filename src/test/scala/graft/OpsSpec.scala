@@ -1281,6 +1281,21 @@ class OpsSpec extends AnyFunSuite {
     assert(out(6).getAs[Long]("keep") == 0 && out(6).getAs[Long]("n_words") == 0)
   }
 
+  test("truncateNormalize: unit norm on the kept prefix, zero vec, short vec") {
+    import graft.ops.Embeddings.truncateNormalizeValue
+    val v = Array(3.0, 4.0, 100.0, -7.0)
+    val t2 = truncateNormalizeValue(v, 2)
+    assert(math.abs(t2(0) - 0.6) < 1e-12 && math.abs(t2(1) - 0.8) < 1e-12)
+    assert(math.abs(t2.map(x => x * x).sum - 1.0) < 1e-12)
+    assert(truncateNormalizeValue(Array(0.0, 0.0), 2).toSeq == Seq(0.0, 0.0))
+    assert(truncateNormalizeValue(Array(5.0), 3).toSeq == Seq(1.0)) // dims > length
+    // column surface matches the kernel bit-for-bit
+    val df = Seq((0L, Seq(3.0f, 4.0f, 9.0f))).toDF("id", "embedding")
+    val got = df.select(graft.ops.Embeddings.truncateNormalize(col("embedding"), 2))
+      .head().getSeq[Double](0)
+    assert(got == truncateNormalizeValue(Array(3.0, 4.0), 2).toSeq)
+  }
+
   test("cms term counts: one-sided error, exact at wide sketches, absent terms") {
     val docs = Seq(
       (0L, "alpha beta alpha gamma"),
