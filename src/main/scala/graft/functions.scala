@@ -186,4 +186,27 @@ object functions {
   /** Per-registered-domain corpus rollup (volume + doc share). */
   def domainReport(df: DataFrame, urlCol: String, textCol: String): DataFrame =
     graft.ops.Urls.domainReport(df, urlCol, textCol)
+
+  /** Repeated word-n-gram fractions at the given orders (RefinedWeb
+    * rep_ngram family) with a threshold keep flag.
+    */
+  def ngramRepetition(df: DataFrame, textCol: String, idCol: String,
+      ns: Seq[Int] = Seq(3, 4)): DataFrame =
+    graft.ops.TextStats.ngramRepetition(df, textCol, idCol, ns)
+
+  /** Exact-k deterministic sample per stratum (fixed-size eval sets). */
+  def sampleExactPerGroup(df: DataFrame, idCol: String, strataCol: String,
+      k: Int, salt: String = ""): DataFrame =
+    graft.ops.Sampling.sampleExactPerGroup(df, idCol, strataCol, k, salt)
+
+  /** Count-min term-frequency estimates (bounded d×w sketch; est ≥
+    * true).
+    */
+  def cmsTermCounts(df: DataFrame, textCol: String, terms: Seq[String],
+      d: Int = 3, w: Int = 1024): DataFrame =
+    graft.ops.Sketch.cmsTermCounts(df, textCol, terms, d, w)
+
+  /** Matryoshka truncation: first-`dims` slice + L2 renorm. */
+  def truncateNormalize(vec: Column, dims: Int): Column =
+    graft.ops.Embeddings.truncateNormalize(vec, dims)
 }
