@@ -29,6 +29,28 @@ final case class SimhashExpression(child: Expression)
   }
 }
 
+/** Two-tier language-ID kernel (`graft_lang_id`) — see
+  * [[graft.ops.TextStats.langIdValue]]. One character scan (script
+  * tier) + one token scan (stopword tier) per row, replacing an
+  * 11-language `array_intersect` expression forest; pinned
+  * kernel ≡ declarative in OpsSpec.
+  */
+final case class LangIdExpression(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_lang_id"
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpression =
+    copy(child = newChild)
+  def kernel(s: UTF8String): UTF8String =
+    UTF8String.fromString(graft.ops.TextStats.langIdValue(s.toString))
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("langIdExpr", this, classOf[LangIdExpression].getName)
+    defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
+  }
+}
+
 /** Registered domain of a host per the compiled public-suffix-list
   * snapshot (`graft_domain`) — see [[graft.ops.Psl]]. Input is a HOST
   * (already lowercased, no scheme), output "" when the host is itself a

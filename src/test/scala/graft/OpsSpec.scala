@@ -555,6 +555,37 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("en", "es", "und", "zh", "ru", "pt", "it", "nl", "lt", "en"))
   }
 
+  test("langId kernel ≡ declarative spec on corpus + adversarial cases") {
+    // the codegen'd single-pass kernel must agree everywhere with the
+    // native-SQL-functions spec (which is what the DuckDB oracles mirror)
+    val adversarial = Seq(
+      "",                              // blank → und
+      "   \t\n  ",                     // whitespace-only → und
+      "the el le der o il het ir",     // 8-way 1-score tie → list order (en)
+      "la que",                        // es/fr 2-score tie → es (earlier)
+      "van niet met het een zijn voor",// nl full house
+      "und nicht",                     // "und" the German stopword, not the fallback
+      "αβγ δεζ",                       // Greek — no tier fires → und
+      "中",                            // 1 CJK char of 1 nonspace → zh
+      "а",                             // 1 Cyrillic of 1 → ru
+      "Это text with the and of is in a to", // cyr 3/26 < 25% → stopwords (en)
+      "𝕊 𝕡 𝕒 𝕣 𝕜 the of and is",       // surrogate pairs count once in nonSpace
+      "ЁЛКА ЗИМОЙ",                    // uppercase Cyrillic + Ё
+      "一二三 the of and is in a to la el", // cjk 3/~30 < 25% → stopwords
+      "tab\tseparated\ntheof\fand\ris in a") // every \s class splits
+    val d2 = (docs.select($"text") union
+      adversarial.toDF("text")).withColumn("id", monotonically_increasing_id())
+    val both = d2.select($"id",
+        TextStats.langId($"text").as("k"),
+        TextStats.langIdDeclarative($"text").as("d"))
+      .where(not($"k" <=> $"d"))
+    assert(both.count() == 0, s"kernel/declarative divergence: ${both.collect().toSeq}")
+    // null propagates as null through the kernel like any SQL scalar
+    val nulls = Seq((0L, null: String), (1L, "the of and")).toDF("id", "text")
+      .select(TextStats.langId($"text")).collect().map(_.isNullAt(0))
+    assert(nulls.toSeq == Seq(true, false))
+  }
+
   test("quality metrics") {
     val out = TextStats.quality(docs, "text", "doc_id").orderBy("doc_id").collect()
     assert(out(0).getAs[String]("quality_bucket") == "ok")
