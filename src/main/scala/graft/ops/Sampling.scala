@@ -30,7 +30,7 @@ object Sampling {
     else f"${(p * 4294967296.0).toLong}%08x"
   }
 
-  private def saltedHash(idCol: Column, salt: String): Column =
+  private[ops] def saltedHash(idCol: Column, salt: String): Column =
     md5(concat(idCol.cast("string"), lit(salt)))
 
   /** Adds a `split` column assigning each row to one of the named
@@ -65,8 +65,10 @@ object Sampling {
     * stratum (stable: a new row can displace at most one existing pick,
     * never reshuffle the set); the first `k` survive. Groups smaller
     * than `k` keep everything. One hash-keyed window per stratum —
-    * shuffles (id, stratum, hash) projections, never payloads; rejoin
-    * by id is broadcast-able when k×strata is small.
+    * shuffles (id, stratum, hash) projections, never payloads; the
+    * rejoin by id is left to AQE (k×strata can exceed the broadcast
+    * threshold — a forced hint at k=1000 over 10⁶ strata would demand a
+    * 10⁹-row broadcast; below the threshold AQE broadcasts it anyway).
     */
   def sampleExactPerGroup(df: DataFrame, idCol: String, strataCol: String,
       k: Int, salt: String = ""): DataFrame = {
@@ -92,7 +94,7 @@ object Sampling {
       .withColumn("__rk", row_number().over(w2))
       .filter(col("__rk") <= k)
       .select(col(idCol))
-    df.join(broadcast(picked), Seq(idCol), "left_semi")
+    df.join(picked, Seq(idCol), "left_semi")
   }
 
   /** Stratified deterministic sample: an independent ~`fraction` within
@@ -236,7 +238,11 @@ object Sampling {
         least(col("target_tokens"),
           round(col("available_tokens") * maxEpochs, 0).cast("long")))
       .withColumn("epochs",
-        round(col("actual_tokens").cast("double") / col("available_tokens"), 6))
+        // a domain whose rows all have zero tokens would otherwise yield
+        // null epochs (0/0) and fail applyMixturePlan's require far from
+        // the cause — emit an explicit 0.0
+        when(col("available_tokens") === 0, lit(0.0)).otherwise(
+          round(col("actual_tokens").cast("double") / col("available_tokens"), 6)))
       .withColumn("shortfall", col("target_tokens") - col("actual_tokens"))
       .select(col("domain"), col("available_tokens"), col("weight"),
         col("target_tokens"), col("actual_tokens"), col("epochs"),

@@ -136,17 +136,20 @@ object Similarity {
       graft.spark.IvfAssignExpression(
         org.apache.spark.sql.GraftBridge.expression(vec), model.centroids))
 
-  /** Fit the coarse quantizer: deterministic sample (sorted-by-id prefix),
-    * k-means++-lite seeding (farthest-point), `iters` Lloyd rounds on the
-    * unit sphere, then one assignment pass over the FULL corpus to compute
-    * exact per-cluster radii (max angle to centroid) — the radii are what
-    * make search exact, so they must cover every vector, not just the
-    * sample. Two Spark jobs total.
+  /** Fit the coarse quantizer: deterministic UNIFORM sample (first
+    * `sampleN` in salted-id-hash order — an id-order prefix would see one
+    * shard of an ingestion-ordered corpus and fit degenerate centroids;
+    * r7 verdict #3), k-means++-lite seeding (farthest-point), `iters`
+    * Lloyd rounds on the unit sphere, then one assignment pass over the
+    * FULL corpus to compute exact per-cluster radii (max angle to
+    * centroid) — the radii are what make search exact, so they must
+    * cover every vector, not just the sample. Two Spark jobs total.
     */
   def ivfFit(df: DataFrame, vecCol: String, idCol: String, nClusters: Int,
       iters: Int = 8, sampleN: Int = 2048): IvfModel = {
     val sample = df.select(col(vecCol).cast("array<double>"))
-      .orderBy(col(idCol)).limit(sampleN)
+      .orderBy(Sampling.saltedHash(col(idCol), "ivf-fit"), col(idCol))
+      .limit(sampleN)
       .collect().map(r => normalize(r.getSeq[Double](0).toArray))
     require(sample.length >= nClusters, s"sample ${sample.length} < k $nClusters")
     // farthest-point seeding (deterministic, no RNG)
@@ -400,16 +403,17 @@ object Similarity {
     require(k <= 256, s"PQ codebook size must fit one byte: $k")
   }
 
-  /** Fit PQ codebooks: deterministic sample (sorted-by-id prefix, same
-    * practice as [[ivfFit]]), unit-normalize, then per subspace
-    * farthest-point seeding + `iters` Lloyd rounds under L2. Driver-side
-    * on the sample only — the corpus is never touched by training, only
-    * by the one encode scan.
+  /** Fit PQ codebooks: deterministic uniform sample (salted-id-hash
+    * prefix, same practice as [[ivfFit]]), unit-normalize, then per
+    * subspace farthest-point seeding + `iters` Lloyd rounds under L2.
+    * Driver-side on the sample only — the corpus is never touched by
+    * training, only by the one encode scan.
     */
   def pqFit(df: DataFrame, vecCol: String, idCol: String,
       m: Int = 8, k: Int = 16, iters: Int = 10, sampleN: Int = 2048): PqModel = {
     val sample = df.select(col(vecCol).cast("array<double>"))
-      .orderBy(col(idCol)).limit(sampleN)
+      .orderBy(Sampling.saltedHash(col(idCol), "pq-fit"), col(idCol))
+      .limit(sampleN)
       .collect().map(r => normalize(r.getSeq[Double](0).toArray))
     require(sample.nonEmpty, "pqFit: empty sample")
     val dim = sample.head.length

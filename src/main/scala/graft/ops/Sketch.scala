@@ -75,7 +75,9 @@ object Sketch {
     val spark = sums.sparkSession
     import spark.implicits._
     val probes = terms.distinct.flatMap(t =>
-      (0 until d).map(j => (t, j, bucketValue(j, t.toLowerCase, w))))
+      // Locale.ROOT to match the sketch side's locale-independent
+      // lower() — a Turkish-default JVM must not probe different buckets
+      (0 until d).map(j => (t, j, bucketValue(j, t.toLowerCase(java.util.Locale.ROOT), w))))
       .toDF("term", "j", "bucket")
     broadcast(probes).join(sums, Seq("j", "bucket"), "left")
       .groupBy(col("term"))

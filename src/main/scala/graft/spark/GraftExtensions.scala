@@ -22,17 +22,8 @@ import org.apache.spark.sql.types.{DataType, StringType}
   * inline dictionaries SQL users write, not 80k-entry ones.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.annotateTextFunction)
-    ext.injectFunction(GraftExtensions.simhashFunction)
-    ext.injectFunction(GraftExtensions.fingerprintFunction)
-    ext.injectFunction(GraftExtensions.shingleHashesFunction)
-    ext.injectFunction(GraftExtensions.repetitionCountsFunction)
-    ext.injectFunction(GraftExtensions.quantizeInt8Function)
-    ext.injectFunction(GraftExtensions.int8CosineFunction)
-    ext.injectFunction(GraftExtensions.pslDomainFunction)
-    ext.injectFunction(GraftExtensions.normalizeFunction)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.allFunctions.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -173,12 +164,29 @@ object GraftExtensions {
       FixMojibakeExpression(children.head)
     })
 
-  /** Register into an already-running session. */
-  def install(spark: SparkSession): Unit =
+  val langIdFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_lang_id"),
+    new ExpressionInfo(classOf[LangIdExpression].getName, "graft_lang_id",
+      "graft_lang_id(text) - two-tier language ID (CJK/Cyrillic script, 11-language stopword sets)"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_lang_id expects (text)")
+      LangIdExpression(children.head)
+    })
+
+  /** The single source of truth for the SQL surface: `apply()`
+    * (spark.sql.extensions) and [[install]] register exactly this list,
+    * so the two paths can't drift (r7 ADVICE: apply() was missing
+    * graft_fix_mojibake).
+    */
+  val allFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(annotateTextFunction, simhashFunction, fingerprintFunction,
       shingleHashesFunction, repetitionCountsFunction,
       quantizeInt8Function, int8CosineFunction, pslDomainFunction,
-      normalizeFunction, fixMojibakeFunction).foreach {
+      normalizeFunction, fixMojibakeFunction, langIdFunction)
+
+  /** Register into an already-running session. */
+  def install(spark: SparkSession): Unit =
+    allFunctions.foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

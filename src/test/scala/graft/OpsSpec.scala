@@ -427,6 +427,37 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfFit samples uniformly, not an id-order prefix (ordered-corpus bias)") {
+    // ingestion-ordered corpus: ALL of cluster A (ids 0..199) precedes
+    // ALL of cluster B (ids 200..399). A head sample of 200 sees only A
+    // and fits both centroids inside it; the salted-hash sample must see
+    // both clusters and recover the A/B split.
+    val rnd = new scala.util.Random(7)
+    val a = Array(1.0, 0.0, 0.0, 0.0)
+    val b = Array(0.0, 1.0, 0.0, 0.0)
+    val rows = (0 until 400).map { i =>
+      val c = if (i < 200) a else b
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val model = Similarity.ivfFit(vecs, "embedding", "vec_id", nClusters = 2,
+      sampleN = 200) // half the corpus — an id-order prefix would be pure A
+    val assigned = vecs.select(col("vec_id"),
+        Similarity.ivfAssign(col("embedding"), model).as("c"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // each true cluster lands (almost) entirely in one fitted cluster,
+    // and the two land in DIFFERENT fitted clusters
+    def majority(ids: Seq[(Long, Int)]): (Int, Double) = {
+      val byC = ids.groupBy(_._2).view.mapValues(_.size).toMap
+      val (c, n) = byC.maxBy(_._2)
+      (c, n.toDouble / ids.size)
+    }
+    val (ca, pa) = majority(assigned.filter(_._1 < 200).toSeq)
+    val (cb, pb) = majority(assigned.filter(_._1 >= 200).toSeq)
+    assert(ca != cb, s"both true clusters collapsed onto fitted cluster $ca")
+    assert(pa > 0.95 && pb > 0.95, s"impure fit: $pa / $pb")
+  }
+
   test("LSH top-k recall contract on clustered data") {
     // the approximation claim in lshTopK's scaladoc as a checked bound:
     // on clustered data (the regime where LSH is actually deployed —
@@ -1423,6 +1454,16 @@ class OpsSpec extends AnyFunSuite {
         col("toks"), temperature = 2.0, budget = 3000L, maxEpochs = 1.0)
       .orderBy("domain").collect()
     assert(capped(1).getLong(4) == 100L && capped(1).getLong(6) > 0L)
+    // a domain whose rows all have zero tokens: epochs 0.0 (not null),
+    // and the plan still feeds applyMixturePlan without tripping its
+    // require (r7 ADVICE)
+    val withEmpty = corpus.union(Seq(("empty", 0L)).toDF("domain_col", "toks"))
+    val p2 = graft.ops.Sampling.temperatureMixturePlan(withEmpty, "domain_col",
+        col("toks"), temperature = 2.0, budget = 300L, maxEpochs = 1.0)
+      .orderBy("domain").collect()
+    val emptyRow = p2.find(_.getString(0) == "empty").get
+    assert(!emptyRow.isNullAt(5) && emptyRow.getDouble(5) == 0.0
+      && emptyRow.getLong(4) == 0L)
   }
 
   test("url canonicalization: case, ports, userinfo, tracking params, non-urls") {

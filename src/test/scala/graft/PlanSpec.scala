@@ -529,6 +529,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sampleExactPerGroup: semi join carries ids only, strategy left to AQE") {
+    // no forced broadcast hint (k×strata exceeds broadcast limits at
+    // scale — r7 verdict #4 / ADVICE): the logical plan must contain a
+    // LeftSemi join whose picked side exposes only the id column, and no
+    // ResolvedHint forcing broadcast
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.ops.Sampling.sampleExactPerGroup(docs, "doc_id", "lang", k = 5)
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val analyzed = out.queryExecution.analyzed
+    assert(!analyzed.toString.contains("ResolvedHint"),
+      s"forced join-strategy hint present:\n$analyzed")
+    val opt = out.queryExecution.optimizedPlan
+    val semis = opt.collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(semis.nonEmpty, opt.toString)
+    semis.foreach { j =>
+      assert(!j.right.output.exists(_.name == "text"),
+        s"payload crosses the election join:\n$opt")
+    }
+    // and the join still resolves to a physical join (broadcast OR
+    // shuffled — whichever AQE picks)
+    val plan = planOf(out)
+    assert(plan.contains("Join"), plan)
+  }
+
   test("relational merger shuffles once: second window reuses the exchange") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dict = Seq(
