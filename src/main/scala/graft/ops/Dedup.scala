@@ -711,13 +711,15 @@ object Dedup {
     * is scanned once into persisted hash arrays; ownership election and
     * the duplicated-occurrence join move (id, pos, hash) triples only;
     * per-doc cut-position lists (duplicates only) join back to the
-    * original docs. The rebuild first folds the SORTED cut positions
-    * into disjoint kept-token ranges (one linear `aggregate` pass —
-    * overlapping cut windows merge here), then reassembles the doc with
-    * `slice` per kept range: O(tokens + cuts·log cuts) per doc, so a
-    * boilerplate-heavy doc with thousands of overlapping cuts stays
-    * linear instead of going tokens×cuts quadratic. The interpreted
-    * lambdas only evaluate on docs that HAVE cuts.
+    * original docs. The rebuild is the codegen'd single-pass kernel
+    * [[graft.spark.CutRebuildExpression]] / [[cutRebuildValue]]: sort
+    * the cut positions, fold them into disjoint kept-token ranges
+    * (overlapping cut windows merge here), emit the surviving tokens —
+    * O(tokens + cuts·log cuts) per doc, so a boilerplate-heavy doc with
+    * thousands of overlapping cuts stays linear instead of going
+    * tokens×cuts quadratic. (r7 shipped this fold as interpreted
+    * `aggregate`/`transform`/`slice` lambdas — correct, but it cost a
+    * reproducible 1.3× on q_dup_remove; the kernel recovers it.)
     */
   def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
       window: Int = 50, persist: Boolean = true): DataFrame = {
@@ -738,37 +740,53 @@ object Dedup {
       .filter(!(col("owner.id") === col("id") && col("owner.pos") === col("pos")))
       .groupBy(col("id")).agg(collect_list(col("pos")).as("__cut_pos"))
       .withColumnRenamed("id", "__cut_id")
-    // RAW \s+ split (no trim) so token positions line up with the
-    // kernel's; rebuilt text is single-space joined (ws-normalized)
-    val toks = split(col(textCol), "\\s+")
-    val nToks = size(toks)
-    // fold sorted cut starts into disjoint KEPT ranges [s, e): `cur` is
-    // the first token not yet covered by a cut; each cut p ahead of cur
-    // closes the kept range [cur, p), and cur advances past p + window
-    val emptyRanges = array().cast("array<struct<s:int,e:int>>")
-    val keptRanges = aggregate(
-      sort_array(col("__cut_pos")),
-      struct(lit(0).as("cur"), emptyRanges.as("rs")),
-      (st, p) => struct(
-        greatest(st.getField("cur"), p + lit(window)).as("cur"),
-        when(p > st.getField("cur"),
-          concat(st.getField("rs"),
-            array(struct(st.getField("cur").as("s"), p.cast("int").as("e")))))
-          .otherwise(st.getField("rs")).as("rs")),
-      st => concat(st.getField("rs"),
-        when(st.getField("cur") < nToks,
-          array(struct(st.getField("cur").as("s"), nToks.as("e"))))
-          .otherwise(emptyRanges)))
-    val kept = when(col("__cut_pos").isNull, toks)
-      .otherwise(flatten(transform(keptRanges, r =>
-        slice(toks, r.getField("s") + 1, r.getField("e") - r.getField("s")))))
+    val rebuilt = org.apache.spark.sql.GraftBridge.column(
+      graft.spark.CutRebuildExpression(
+        org.apache.spark.sql.GraftBridge.expression(col(textCol)),
+        org.apache.spark.sql.GraftBridge.expression(
+          coalesce(col("__cut_pos"), array().cast("array<int>"))),
+        window))
     df.filter(length(trim(col(textCol))) > 0)
       .join(cuts, df(idCol) === cuts("__cut_id"), "left")
-      .select(col(idCol), kept.as("__kept"))
-      .filter(size(col("__kept")) > 0)
+      .select(col(idCol), rebuilt.as("__r"))
+      .filter(col("__r").getField("n_tokens") > 0)
       .select(col(idCol),
-        size(col("__kept")).cast("long").as("n_tokens"),
-        concat_ws(" ", col("__kept")).as(textCol))
+        col("__r").getField("n_tokens").as("n_tokens"),
+        col("__r").getField("text").as(textCol))
+  }
+
+  /** Pure rebuild kernel for [[removeDuplicateSpans]], shared with
+    * [[graft.spark.CutRebuildExpression]] and the tests. Tokens are the
+    * RAW `\s+` split (no trim — positions line up with the hash
+    * kernel's); each cut position `p` removes tokens `[p, p+window)`;
+    * overlapping cuts union; survivors re-join single-spaced
+    * (ws-normalized, the `concat_ws` convention of the r6/r7
+    * declarative rebuild, which this is byte-identical to).
+    */
+  private[graft] def cutRebuildValue(text: String, cuts: Array[Int],
+      window: Int): (Long, String) = {
+    val toks = text.split("\\s+", -1)
+    if (cuts.length == 0) return (toks.length.toLong, toks.mkString(" "))
+    java.util.Arrays.sort(cuts)
+    val sb = new java.lang.StringBuilder(text.length)
+    var n = 0L
+    var cur = 0
+    def appendRange(s: Int, e: Int): Unit = {
+      var i = s
+      while (i < e) {
+        if (n > 0) sb.append(' ')
+        sb.append(toks(i)); n += 1; i += 1
+      }
+    }
+    var ci = 0
+    while (ci < cuts.length) {
+      val p = cuts(ci)
+      if (p > cur) appendRange(cur, p)
+      if (p + window > cur) cur = p + window
+      ci += 1
+    }
+    if (cur < toks.length) appendRange(cur, toks.length)
+    (n, sb.toString)
   }
 
   /** Corpus-wide line-level exact deduplication — the "dedup repeated

@@ -119,6 +119,36 @@ final case class ShingleSignatureExpression(child: Expression, n: Int, numPerms:
   }
 }
 
+/** ExactSubstr cut-window rebuild (`graft_cut_rebuild`) — tokens
+  * covered by any duplicated `window`-token cut starting at the given
+  * positions are removed, survivors re-joined single-spaced. One pass
+  * per row; see [[graft.ops.Dedup.cutRebuildValue]] for the exact
+  * kept-range semantics (pinned by OpsSpec's adversarial 500-cut test).
+  * `cuts` is coalesced to empty upstream so the expression stays a
+  * plain null-safe binary kernel.
+  */
+final case class CutRebuildExpression(left: Expression, right: Expression,
+    window: Int) extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("text", org.apache.spark.sql.types.StringType, nullable = false)))
+  override def prettyName: String = "graft_cut_rebuild"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CutRebuildExpression =
+    copy(left = newLeft, right = newRight)
+  def kernel(t: UTF8String, cutsData: ArrayData): InternalRow = {
+    val (n, s) = graft.ops.Dedup.cutRebuildValue(
+      t.toString, cutsData.toIntArray(), window)
+    new GenericInternalRow(Array[Any](n, UTF8String.fromString(s)))
+  }
+  override protected def nullSafeEval(t: Any, c: Any): Any =
+    kernel(t.asInstanceOf[UTF8String], c.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cutRebuildExpr", this, classOf[CutRebuildExpression].getName)
+    defineCodeGen(ctx, ev, (t, c) => s"$self.kernel($t, $c)")
+  }
+}
+
 private[spark] object KernelUtil {
   /** `ArrayData.toDoubleArray` throws a bare NPE on a null element; wrap
     * it so a bad embedding column fails with an actionable message.
