@@ -1026,12 +1026,16 @@ object SparkEntry {
   }
 
   /** The round-7 curation chain composed end to end: encoding damage →
-    * [[graft.ops.TextClean.fixMojibake]] → C4 page filtering →
-    * per-language median-length quantile cut → temperature-scaled
-    * mixture plan over the survivors. Every stage is the library
-    * operator; the oracle replays the ENTIRE chain (repair is replayed
-    * as the identity on the undamaged lacing — the same inversion
-    * contract q_mojibake hash-gates).
+    * [[graft.ops.TextClean.fixMojibake]] → dictionary-driven span
+    * redaction (the matcher as a mid-pipeline cleaning stage — this is
+    * where [[graft.spark.RedactExpression]]'s `doGenCode` runs inside a
+    * fused multi-operator stage, not a standalone scan) → C4 page
+    * filtering → per-language median-length quantile cut →
+    * temperature-scaled mixture plan over the survivors. Every stage is
+    * the library operator; the oracle replays the ENTIRE chain (repair
+    * is replayed as the identity on the undamaged lacing — the same
+    * inversion contract q_mojibake hash-gates; redaction as q_redact's
+    * word-boundary regexp chain).
     */
   private def qPipeline3(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(t(dir, "documents"))
@@ -1050,7 +1054,12 @@ object SparkEntry {
         .otherwise(page))
     val fixed = laced.withColumn("text",
       graft.ops.TextClean.fixMojibake(col("text")))
-    val filtered = graft.ops.TextClean.c4Filter(fixed, "text")
+    val redactHl = graft.spark.SparkHighlighter(Seq(
+      graft.dict.DictionaryEntry("hash join", id = Some("hj")),
+      graft.dict.DictionaryEntry("stream", id = Some("st"))))
+    val redacted = fixed.withColumn("text",
+      redactHl.redactColumn(fixed, "text"))
+    val filtered = graft.ops.TextClean.c4Filter(redacted, "text")
       .where(col("keep") === 1)
       .drop("n_lines_kept", "n_lines_dropped", "n_sentences", "keep")
     val scored = filtered.withColumn("score", length(col("text")).cast("long"))
@@ -2952,7 +2961,13 @@ object SparkEntry {
         |         ELSE substr(text, 31, 25) END || chr(10) ||
         |    substr(text, 61, 25) AS text
         |  FROM documents),
-        |l0 AS (SELECT doc_id, lang, string_split(text, chr(10)) AS l FROM page),
+        |-- redaction stage: q_redact's word-boundary regexp equivalent of
+        |-- the dictionary matcher (non-overlapping literal entries)
+        |red AS (SELECT doc_id, lang,
+        |    regexp_replace(regexp_replace(text, '\bhash join\b', '<TERM>', 'g'),
+        |      '\bstream\b', '<TERM>', 'g') AS text
+        |  FROM page),
+        |l0 AS (SELECT doc_id, lang, string_split(text, chr(10)) AS l FROM red),
         |lines AS (SELECT doc_id, lang, i - 1 AS pos, l[i] AS line
         |  FROM l0, unnest(range(1, len(l) + 1)) AS t(i)),
         |kept AS (SELECT doc_id, lang, pos, line FROM lines
