@@ -922,6 +922,31 @@ object SparkEntry {
       .orderBy(col("term"))
   }
 
+  /** Sketch MERGE: the corpus split into two shards (doc_id parity),
+    * each sketched independently, merged counter-wise — the
+    * multi-region ingest shape. CMS is linear, so the Spark side's
+    * merged-shard estimates must equal the oracle's whole-corpus
+    * rebuild EXACTLY (that equality is the hash gate), and each shard's
+    * own estimate (also oracled) is ≤ the merged one by construction.
+    */
+  private def qCmsMerge(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val terms = Seq("hash", "join", "table", "vector", "qqqabsent")
+    val h1 = docs.filter(col("doc_id") % 2 === 0)
+    val h2 = docs.filter(col("doc_id") % 2 === 1)
+    val s1 = graft.ops.Sketch.cmsTable(h1, "text", d = 3, w = 1024)
+    val s2 = graft.ops.Sketch.cmsTable(h2, "text", d = 3, w = 1024)
+    val merged = graft.ops.Sketch.cmsMerge(s1, s2)
+    val estM = graft.ops.Sketch.cmsProbe(merged, terms, d = 3, w = 1024)
+    val est1 = graft.ops.Sketch.cmsProbe(s1, terms, d = 3, w = 1024)
+      .withColumnRenamed("est", "est_h1")
+    val est2 = graft.ops.Sketch.cmsProbe(s2, terms, d = 3, w = 1024)
+      .withColumnRenamed("est", "est_h2")
+    estM.join(est1, Seq("term")).join(est2, Seq("term"))
+      .select(col("term"), col("est_h1"), col("est_h2"), col("est"))
+      .orderBy(col("term"))
+  }
+
   /** Exact-k deterministic sample per language (k=5) — the fixed-size
     * eval-set primitive; the oracle replays the salted-hash ranking.
     */
@@ -1924,6 +1949,7 @@ object SparkEntry {
     "q_redact" -> (qRedact _),
     "q_sample_topk" -> (qSampleTopK _),
     "q_cms" -> (qCms _),
+    "q_cms_merge" -> (qCmsMerge _),
     "q_embed_trunc" -> (qEmbedTrunc _),
     "q_decontam_ngram" -> (qDecontamNgram _),
     "q_decontam_bloom" -> (qDecontamBloom _),
@@ -2560,6 +2586,33 @@ object SparkEntry {
         |SELECT e.term, CAST(e.est AS BIGINT) AS est,
         |  CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
         |FROM est e LEFT JOIN cnt c USING (term) ORDER BY term""".stripMargin,
+    // linearity gate: Spark merges two shard sketches; the oracle
+    // rebuilds each shard's counters AND the whole corpus's counters
+    // relationally — merged estimates must equal the whole-corpus
+    // rebuild EXACTLY (no approximation slack in the comparison)
+    "q_cms_merge" ->
+      """WITH tk AS (SELECT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |jb AS (SELECT doc_id, j, ('0x' || substr(md5(j || ':' || t), 1, 8))::BIGINT % 1024 AS bucket
+        |  FROM tk, unnest([0, 1, 2]) AS u(j)),
+        |sums_all AS (SELECT j, bucket, count(*) AS c FROM jb GROUP BY j, bucket),
+        |sums_h1 AS (SELECT j, bucket, count(*) AS c FROM jb WHERE doc_id % 2 = 0 GROUP BY j, bucket),
+        |sums_h2 AS (SELECT j, bucket, count(*) AS c FROM jb WHERE doc_id % 2 = 1 GROUP BY j, bucket),
+        |terms AS (SELECT unnest(['hash', 'join', 'table', 'vector', 'qqqabsent']) AS term),
+        |probes AS (SELECT term, j,
+        |    ('0x' || substr(md5(j || ':' || term), 1, 8))::BIGINT % 1024 AS bucket
+        |  FROM terms, unnest([0, 1, 2]) AS u(j)),
+        |est_all AS (SELECT term, min(coalesce(c, 0)) AS est
+        |  FROM probes LEFT JOIN sums_all USING (j, bucket) GROUP BY term),
+        |est_h1 AS (SELECT term, min(coalesce(c, 0)) AS est_h1
+        |  FROM probes LEFT JOIN sums_h1 USING (j, bucket) GROUP BY term),
+        |est_h2 AS (SELECT term, min(coalesce(c, 0)) AS est_h2
+        |  FROM probes LEFT JOIN sums_h2 USING (j, bucket) GROUP BY term)
+        |SELECT a.term, CAST(h1.est_h1 AS BIGINT) AS est_h1,
+        |  CAST(h2.est_h2 AS BIGINT) AS est_h2, CAST(a.est AS BIGINT) AS est
+        |FROM est_all a JOIN est_h1 h1 USING (term) JOIN est_h2 h2 USING (term)
+        |ORDER BY term""".stripMargin,
     // same salted-hash ranking, same tie-break
     "q_sample_topk" ->
       """WITH h AS (SELECT doc_id, lang,

@@ -65,6 +65,22 @@ object Sketch {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Merge independently-built sketch tables (same d, w, hash family):
+    * counter-wise sum. CMS is LINEAR, so the merged sketch is EXACTLY
+    * the sketch the whole concatenated corpus would produce — not an
+    * approximation of it. This is the multi-region/multi-day ingest
+    * primitive at 100 TB: each shard sketches locally (d×w counters),
+    * shards merge with a d×w-bounded aggregation, nothing re-reads the
+    * text. Absent counters are implicit zeros, so shards with disjoint
+    * bucket sets union cleanly.
+    */
+  def cmsMerge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "cmsMerge: no sketches")
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("j"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+  }
+
   /** Probe a (materialized) sketch table for `terms`: d driver-computed
     * (j, bucket) probes per term broadcast against the d×w counters;
     * min across rows, absent counters read as 0.

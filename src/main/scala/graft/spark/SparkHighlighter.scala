@@ -30,10 +30,17 @@ final class SparkHighlighter(
   val compiled: CompiledDictionary = Compiler.compile(dictionary, opts)
 
   @transient private var bcCache: Broadcast[CompiledDictionary] = _
+  @transient private var bcContext: org.apache.spark.SparkContext = _
 
+  // cached per SparkContext, not per highlighter: a JVM that restarts
+  // its session (tests, notebooks, the bench's per-core parity rerun)
+  // must not hand tasks a broadcast whose owning context is stopped
   private def bc(df: DataFrame): Broadcast[CompiledDictionary] = synchronized {
-    if (bcCache == null)
-      bcCache = df.sparkSession.sparkContext.broadcast(compiled)
+    val sc = df.sparkSession.sparkContext
+    if (bcCache == null || (bcContext ne sc)) {
+      bcCache = sc.broadcast(compiled)
+      bcContext = sc
+    }
     bcCache
   }
 
@@ -112,10 +119,14 @@ final class SparkAlphaAnnotator(
   val annotator = new LuceneAlpha.AlphaAnnotator(dictionary, opts)
 
   @transient private var bcCache: Broadcast[LuceneAlpha.AlphaAnnotator] = _
+  @transient private var bcContext: org.apache.spark.SparkContext = _
 
   private def bc(df: DataFrame): Broadcast[LuceneAlpha.AlphaAnnotator] = synchronized {
-    if (bcCache == null)
-      bcCache = df.sparkSession.sparkContext.broadcast(annotator)
+    val sc = df.sparkSession.sparkContext
+    if (bcCache == null || (bcContext ne sc)) {
+      bcCache = sc.broadcast(annotator)
+      bcContext = sc
+    }
     bcCache
   }
 

@@ -1382,6 +1382,36 @@ class OpsSpec extends AnyFunSuite {
     assert(rep == wide)
   }
 
+  test("cms merge: linear — merged shards equal the whole-corpus sketch") {
+    val docs = Seq(
+      (0L, "alpha beta alpha gamma"),
+      (1L, "beta beta delta"),
+      (2L, "ALPHA epsilon"),
+      (3L, "zeta zeta zeta alpha")).toDF("doc_id", "text")
+    val whole = graft.ops.Sketch.cmsTable(docs, "text", d = 3, w = 64)
+    val s1 = graft.ops.Sketch.cmsTable(
+      docs.filter(col("doc_id") < 2), "text", d = 3, w = 64)
+    val s2 = graft.ops.Sketch.cmsTable(
+      docs.filter(col("doc_id") >= 2), "text", d = 3, w = 64)
+    val merged = graft.ops.Sketch.cmsMerge(s1, s2)
+    def counters(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(counters(merged) == counters(whole))
+    // shard estimates never exceed the merged estimate (monotone sums)
+    val terms = Seq("alpha", "zeta", "missing")
+    val em = graft.ops.Sketch.cmsProbe(merged, terms, d = 3, w = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (s <- Seq(s1, s2);
+         (t, e) <- graft.ops.Sketch.cmsProbe(s, terms, d = 3, w = 64)
+           .collect().map(r => r.getString(0) -> r.getLong(1)))
+      assert(e <= em(t), s"$t: shard $e > merged ${em(t)}")
+    // three-way merge associativity: merge(merge(s1,s2), s1) counts s1 twice
+    val twice = graft.ops.Sketch.cmsMerge(merged, s1)
+    val c1 = counters(s1)
+    assert(counters(twice) == counters(whole).map { case (k, v) =>
+      k -> (v + c1.getOrElse(k, 0L)) })
+  }
+
   test("sampleExactPerGroup: exact k per stratum, stable under growth") {
     val df = (0L until 100L).map(i => (i, if (i % 3 == 0) "a" else "b"))
       .toDF("id", "g")
