@@ -27,6 +27,28 @@ class CornerCaseSpec extends AnyFunSuite {
     assert(hl(html).isEmpty)
   }
 
+  test("1M-entry dictionary over 10x the javadoc HTML: no matches, bounded wall time") {
+    // the corner_case_phrases_test.clj shape scaled to the bench's
+    // 1M-dict point: a compiled million-entry dictionary must stay
+    // per-doc CHEAP on pathological no-match docs (the anchor
+    // presearcher + Aho-Corasick prune everything; per-doc cost is
+    // dictionary-size-independent). 10 copies of the 1569-line javadoc
+    // page ≈ 1.4 MB of text; the wall bound is generous (CI-noise-safe)
+    // but catches any O(dict × doc) regression, which would take minutes.
+    val html = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/phrases.html")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val dict = DE("N-Able N-Central", caseSensitive = Some(false)) +:
+      (0 until 1000000).map(i => DE(s"city$i центр$i", id = Some(s"e$i")))
+    val hl = Phrases.highlighter(dict, HO()) // compile outside the timed region
+    val docs = Seq.fill(10)(html)
+    val t0 = System.nanoTime()
+    val anns = docs.map(hl(_))
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(anns.forall(_.isEmpty), s"false positives: ${anns.flatten.take(3)}")
+    assert(sec < 30.0, f"pathological no-match docs took $sec%.1f s against 1M entries")
+  }
+
   test("java facade smoke (java_test.clj:4-14)") {
     val dict = java.util.List.of(
       DE("Lyndon Baines Johnson"),
