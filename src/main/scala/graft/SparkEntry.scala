@@ -947,6 +947,29 @@ object SparkEntry {
       .orderBy(col("term"))
   }
 
+  /** HyperLogLog distinct-token cardinality, sharded: two parity shards
+    * sketch independently, registers merge by per-register max, and the
+    * merged estimate must equal the oracle's whole-corpus register
+    * rebuild EXACTLY (register math is deterministic md5/integer
+    * arithmetic; the only floats are the final bias-corrected division,
+    * identical IEEE ops in both engines). Exact distinct count rides
+    * along so the row also documents the sketch's actual error.
+    */
+  private def qHll(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Hll
+    val docs = s.read.parquet(t(dir, "documents"))
+    def toks(d: DataFrame) = d.select(
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val r1 = Hll.hllRegisters(toks(docs.filter(col("doc_id") % 2 === 0)), "tok")
+    val r2 = Hll.hllRegisters(toks(docs.filter(col("doc_id") % 2 === 1)), "tok")
+    val est = Hll.hllEstimate(Hll.hllMerge(r1, r2))
+    val e1 = Hll.hllEstimate(r1).select(col("est").as("est_h1"))
+    val e2 = Hll.hllEstimate(r2).select(col("est").as("est_h2"))
+    val exact = toks(docs).agg(count_distinct(col("tok")).as("n_exact"))
+    est.crossJoin(e1).crossJoin(e2).crossJoin(exact)
+  }
+
   /** Exact-k deterministic sample per language (k=5) — the fixed-size
     * eval-set primitive; the oracle replays the salted-hash ranking.
     */
@@ -1950,6 +1973,7 @@ object SparkEntry {
     "q_sample_topk" -> (qSampleTopK _),
     "q_cms" -> (qCms _),
     "q_cms_merge" -> (qCmsMerge _),
+    "q_hll" -> (qHll _),
     "q_embed_trunc" -> (qEmbedTrunc _),
     "q_decontam_ngram" -> (qDecontamNgram _),
     "q_decontam_bloom" -> (qDecontamBloom _),
@@ -2613,6 +2637,50 @@ object SparkEntry {
         |  CAST(h2.est_h2 AS BIGINT) AS est_h2, CAST(a.est AS BIGINT) AS est
         |FROM est_all a JOIN est_h1 h1 USING (term) JOIN est_h2 h2 USING (term)
         |ORDER BY term""".stripMargin,
+    // HLL registers rebuilt relationally: 60-bit md5 value hash, low-12
+    // register split via exact integer //, rank via bin() string length
+    // (no float log2 edges); the scaled register sum is EXACT integer
+    // arithmetic so the bias-corrected division is the only float
+    "q_hll" ->
+      """WITH tk AS (SELECT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tk),
+        |r AS (SELECT doc_id, h % 4096 AS register,
+        |    CASE WHEN h // 4096 = 0 THEN 49 ELSE 49 - length(bin(h // 4096)) END AS rank
+        |  FROM h),
+        |regs_all AS (SELECT register, max(rank) AS m_j FROM r GROUP BY register),
+        |regs_h1 AS (SELECT register, max(rank) AS m_j FROM r WHERE doc_id % 2 = 0 GROUP BY register),
+        |regs_h2 AS (SELECT register, max(rank) AS m_j FROM r WHERE doc_id % 2 = 1 GROUP BY register),
+        |sum_all AS (SELECT CAST(4096 - count(*) AS BIGINT) AS v_empty,
+        |    CAST(sum((1::BIGINT) << (49 - m_j)) + (4096 - count(*)) * ((1::BIGINT) << 49) AS BIGINT) AS s_scaled
+        |  FROM regs_all),
+        |sum_h1 AS (SELECT CAST(4096 - count(*) AS BIGINT) AS v_empty,
+        |    CAST(sum((1::BIGINT) << (49 - m_j)) + (4096 - count(*)) * ((1::BIGINT) << 49) AS BIGINT) AS s_scaled
+        |  FROM regs_h1),
+        |sum_h2 AS (SELECT CAST(4096 - count(*) AS BIGINT) AS v_empty,
+        |    CAST(sum((1::BIGINT) << (49 - m_j)) + (4096 - count(*)) * ((1::BIGINT) << 49) AS BIGINT) AS s_scaled
+        |  FROM regs_h2),
+        |est_all AS (SELECT v_empty, s_scaled,
+        |    round(CASE WHEN v_empty > 0
+        |        AND 0.7213 / (1 + 1.079 / 4096) * 4096 * 4096 * 562949953421312.0 / s_scaled <= 2.5 * 4096
+        |      THEN 4096.0 * ln(4096.0 / v_empty)
+        |      ELSE 0.7213 / (1 + 1.079 / 4096) * 4096 * 4096 * 562949953421312.0 / s_scaled END, 4) AS est
+        |  FROM sum_all),
+        |est_h1 AS (SELECT
+        |    round(CASE WHEN v_empty > 0
+        |        AND 0.7213 / (1 + 1.079 / 4096) * 4096 * 4096 * 562949953421312.0 / s_scaled <= 2.5 * 4096
+        |      THEN 4096.0 * ln(4096.0 / v_empty)
+        |      ELSE 0.7213 / (1 + 1.079 / 4096) * 4096 * 4096 * 562949953421312.0 / s_scaled END, 4) AS est_h1
+        |  FROM sum_h1),
+        |est_h2 AS (SELECT
+        |    round(CASE WHEN v_empty > 0
+        |        AND 0.7213 / (1 + 1.079 / 4096) * 4096 * 4096 * 562949953421312.0 / s_scaled <= 2.5 * 4096
+        |      THEN 4096.0 * ln(4096.0 / v_empty)
+        |      ELSE 0.7213 / (1 + 1.079 / 4096) * 4096 * 4096 * 562949953421312.0 / s_scaled END, 4) AS est_h2
+        |  FROM sum_h2),
+        |exact AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS n_exact FROM tk)
+        |SELECT * FROM est_all, est_h1, est_h2, exact""".stripMargin,
     // same salted-hash ranking, same tie-break
     "q_sample_topk" ->
       """WITH h AS (SELECT doc_id, lang,

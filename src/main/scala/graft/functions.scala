@@ -209,4 +209,15 @@ object functions {
   /** Matryoshka truncation: first-`dims` slice + L2 renorm. */
   def truncateNormalize(vec: Column, dims: Int): Column =
     graft.ops.Embeddings.truncateNormalize(vec, dims)
+
+  /** Merge count-min shard sketches (linear: merged == whole-corpus). */
+  def cmsMerge(sketches: DataFrame*): DataFrame =
+    graft.ops.Sketch.cmsMerge(sketches: _*)
+
+  /** HyperLogLog distinct-cardinality estimate (one row: v_empty,
+    * s_scaled, est). Registers via [[graft.ops.Hll.hllRegisters]] are
+    * shard-mergeable with [[graft.ops.Hll.hllMerge]].
+    */
+  def hllCountDistinct(df: DataFrame, valueCol: String, p: Int = 12): DataFrame =
+    graft.ops.Hll.hllCountDistinct(df, valueCol, p)
 }

@@ -1412,6 +1412,41 @@ class OpsSpec extends AnyFunSuite {
       k -> (v + c1.getOrElse(k, 0L)) })
   }
 
+  test("hll: estimate accuracy, merge linearity, partition invariance, small range") {
+    import graft.ops.Hll
+    // 50k distinct values sit ABOVE the classic raw-estimator bias band
+    // (2.5m..5m, where Flajolet's raw formula runs a few % high and
+    // HLL++ applies empirical correction — this implementation is
+    // classic HLL, documented as such): there sigma ~1.04/sqrt(4096)
+    // = 1.6%, so 5% is a 3-sigma bound (deterministic hash, no flake)
+    val vals = (0 until 50000).map(i => s"value-$i").toDF("v")
+    val est = Hll.hllCountDistinct(vals, "v").collect().head.getDouble(2)
+    assert(math.abs(est - 50000) / 50000 < 0.05, s"est $est")
+    // in the 2.5m..5m bias band the raw estimate still lands within 10%
+    // (the documented classic-HLL contract there)
+    val mid = (0 until 10000).map(i => s"value-$i").toDF("v")
+    val midEst = Hll.hllCountDistinct(mid, "v").collect().head.getDouble(2)
+    assert(math.abs(midEst - 10000) / 10000 < 0.10, s"mid est $midEst")
+    // duplicates don't move the estimate (registers see the same hashes)
+    val dup = vals.union(vals).union(vals)
+    assert(Hll.hllCountDistinct(dup, "v").collect().head.getDouble(2) == est)
+    // merge linearity: per-register max of shard tables == whole-corpus table
+    val s1 = vals.filter(length(col("v")) % 2 === 0)
+    val s2 = vals.filter(length(col("v")) % 2 === 1)
+    def regs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(regs(Hll.hllMerge(Hll.hllRegisters(s1, "v"), Hll.hllRegisters(s2, "v")))
+      == regs(Hll.hllRegisters(vals, "v")))
+    // partition invariance
+    assert(regs(Hll.hllRegisters(vals.repartition(7), "v"))
+      == regs(Hll.hllRegisters(vals, "v")))
+    // small-range regime (100 distinct << 2.5m): linear counting is
+    // near-exact there
+    val tiny = (0 until 100).map(i => s"t$i").toDF("v")
+    val tinyEst = Hll.hllCountDistinct(tiny, "v").collect().head.getDouble(2)
+    assert(math.abs(tinyEst - 100) / 100 < 0.03, s"tiny est $tinyEst")
+  }
+
   test("sampleExactPerGroup: exact k per stratum, stable under growth") {
     val df = (0L until 100L).map(i => (i, if (i % 3 == 0) "a" else "b"))
       .toDF("id", "g")

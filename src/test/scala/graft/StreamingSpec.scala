@@ -299,6 +299,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("hll registers from a streamed corpus equal batch: bounded 2^p state") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0 until 500).map(i => (i.toLong, s"tok$i tok${i % 50}"))
+    val stream = MemoryStream[(Long, String)]
+    // the register table is an ordinary streaming MAX aggregation:
+    // state is 2^p registers no matter how many distinct values pass
+    val toks = graft.ops.Hll.hllRegisters(
+      stream.toDF().toDF("doc_id", "text")
+        .select(explode(split(col("text"), " ")).as("tok")), "tok", p = 10)
+    val query = toks.writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      stream.addData(rows.take(250): _*)
+      query.processAllAvailable()
+      stream.addData(rows.drop(250): _*)
+      query.processAllAvailable()
+      def regMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val batch = graft.ops.Hll.hllRegisters(
+        rows.toDF("doc_id", "text")
+          .select(explode(split(col("text"), " ")).as("tok")), "tok", p = 10)
+      assert(regMap(spark.table("hll_stream")) == regMap(batch))
+      // and the estimates built from those registers agree too
+      val se = graft.ops.Hll.hllEstimate(spark.table("hll_stream"), p = 10)
+        .collect().head.getDouble(2)
+      val be = graft.ops.Hll.hllEstimate(batch, p = 10)
+        .collect().head.getDouble(2)
+      assert(se == be)
+    } finally query.stop()
+  }
+
   test("match totals with HLL distinct-doc sketch (batch)") {
     val docs = Seq(
       (0L, "hash join hash join"),
