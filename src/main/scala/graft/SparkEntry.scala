@@ -947,6 +947,21 @@ object SparkEntry {
       .orderBy(col("term"))
   }
 
+  /** Leakage-safe splits: near-dup clusters (3-gram jaccard ≥ 0.5, the
+    * q_dedup_cluster relation) land whole in one split; untouched docs
+    * split by own id exactly as q_split does. The oracle recomputes
+    * components with a recursive CTE and replays the md5 threshold
+    * rule on the representative — per-doc assignment is the gate.
+    */
+  private def qSplitSafe(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3,
+      threshold = 0.5)
+    graft.ops.Sampling.leakageSafeSplit(docs, pairs, "doc_id", salt = "s3")
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** HyperLogLog distinct-token cardinality, sharded: two parity shards
     * sketch independently, registers merge by per-register max, and the
     * merged estimate must equal the oracle's whole-corpus register
@@ -1927,6 +1942,7 @@ object SparkEntry {
     "q_ann_merge" -> (qAnnMerge _),
     "q_ann_merge_rel" -> (qAnnMergeRel _),
     "q_split" -> (qSplit _),
+    "q_split_safe" -> (qSplitSafe _),
     "q_chunk" -> (qChunk _),
     "q_sample_strat" -> (qSampleStrat _),
     "q_alpha_bool" -> (qAlphaBool _),
@@ -2136,6 +2152,30 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE md5(CAST(lang AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) || 's2') < '40000000'
         |ORDER BY doc_id""".stripMargin,
+    // components via recursive CTE (the q_dedup_cluster relation), then
+    // q_split's md5 threshold rule applied to the representative
+    "q_split_safe" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) s
+        |       FROM t WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+        |comp AS (SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+        |         FROM reach GROUP BY id),
+        |rep AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep
+        |        FROM documents d LEFT JOIN comp c USING (doc_id))
+        |SELECT doc_id, CASE
+        |    WHEN md5(CAST(rep AS VARCHAR) || 's3') < 'cccccccc' THEN 'train'
+        |    WHEN md5(CAST(rep AS VARCHAR) || 's3') < 'e6666666' THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM rep ORDER BY doc_id""".stripMargin,
     "q_alpha_bool" ->
       """SELECT * FROM (
         |  SELECT doc_id, 'b1' AS dict_entry_id FROM documents WHERE regexp_matches(text, '\bhash\b') AND regexp_matches(text, '\bjoin\b')

@@ -220,4 +220,14 @@ object functions {
     */
   def hllCountDistinct(df: DataFrame, valueCol: String, p: Int = 12): DataFrame =
     graft.ops.Hll.hllCountDistinct(df, valueCol, p)
+
+  /** Dedup-aware split assignment: near-dup clusters land whole in one
+    * split (no train→test leakage); untouched rows split as
+    * [[graft.ops.Sampling.assignSplit]] would.
+    */
+  def leakageSafeSplit(df: DataFrame, pairs: DataFrame, idCol: String,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1,
+        "test" -> 0.1),
+      salt: String = ""): DataFrame =
+    graft.ops.Sampling.leakageSafeSplit(df, pairs, idCol, weights, salt)
 }

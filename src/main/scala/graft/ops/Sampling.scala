@@ -59,6 +59,34 @@ object Sampling {
       salt: String = ""): DataFrame =
     df.filter(saltedHash(col(idCol), salt) < lit(hexThreshold(fraction)))
 
+  /** Dedup-aware split assignment: every near-duplicate CLUSTER lands
+    * entirely in one split, so a test doc can never have a near-dup in
+    * train (the eval-contamination failure mode plain row-hash splits
+    * have). `pairs` is any near-dup pair relation (`id_a`, `id_b` —
+    * MinHash, SimHash, n-gram jaccard, embedding…); rows in no pair
+    * split by their own id exactly as [[assignSplit]] would, so
+    * enabling leakage-safety never reshuffles the untouched majority.
+    * The split key is the cluster representative (min member id, from
+    * [[Dedup.clusters]]' label propagation), hashed with the same
+    * (key, salt) rule as [[assignSplit]] — deterministic and stable:
+    * adding a new near-dup of a train doc routes it to train.
+    *
+    * Scale shape: clustering shuffles only the pair ids; the label
+    * table (near-dup members only — a small fraction of the corpus)
+    * joins back by id, AQE-broadcast when small.
+    */
+  def leakageSafeSplit(df: DataFrame, pairs: DataFrame, idCol: String,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1,
+        "test" -> 0.1),
+      salt: String = ""): DataFrame = {
+    val labels = Dedup.clusters(pairs)
+      .select(col("id").as(idCol), col("label").as("__rep0"))
+    val keyed = df.join(labels, Seq(idCol), "left")
+      .withColumn("__rep", coalesce(col("__rep0"), col(idCol)))
+    assignSplit(keyed, "__rep", weights, salt)
+      .drop("__rep0", "__rep")
+  }
+
   /** EXACT-k deterministic sample per stratum — the fixed-size
     * eval-set/few-shot-pool primitive that fraction-based sampling
     * can't provide. Rows rank by the salted id hash within their

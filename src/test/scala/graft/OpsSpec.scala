@@ -1447,6 +1447,34 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(tinyEst - 100) / 100 < 0.03, s"tiny est $tinyEst")
   }
 
+  test("leakageSafeSplit: clusters land whole; untouched rows match assignSplit") {
+    // two 3-doc near-dup clusters + 94 singletons
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val alt = "vector search with quantized codes beats brute force at scale"
+    val docs = ((0 until 94).map(i => (i.toLong, s"unique document number $i about topic $i")) ++
+      Seq((100L, base), (101L, base + " x"), (102L, base + " y"),
+        (200L, alt), (201L, alt + " x"), (202L, alt + " y"))).toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.5)
+    // sanity: the two trios are the only near-dup structure
+    val pairIds = pairs.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(pairIds == Set(100L, 101L, 102L, 200L, 201L, 202L), pairIds.toString)
+    val out = graft.ops.Sampling.leakageSafeSplit(docs, pairs, "doc_id", salt = "lk")
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 100)
+    // each cluster: one split for all members
+    assert(Set(out(100L), out(101L), out(102L)).size == 1)
+    assert(Set(out(200L), out(201L), out(202L)).size == 1)
+    // untouched rows: byte-identical to plain assignSplit on own id
+    val plain = graft.ops.Sampling.assignSplit(docs, "doc_id", salt = "lk")
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 94L).foreach(i => assert(out(i) == plain(i), s"row $i moved"))
+    // and cluster members follow the REPRESENTATIVE's (min id) own-id split
+    assert(out(100L) == plain(100L) && out(200L) == plain(200L))
+  }
+
   test("sampleExactPerGroup: exact k per stratum, stable under growth") {
     val df = (0L until 100L).map(i => (i, if (i % 3 == 0) "a" else "b"))
       .toDF("id", "g")
