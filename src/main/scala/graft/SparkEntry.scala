@@ -1881,6 +1881,17 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** Perceptual image hashes over the real decoded pixels (BMP/PNG/GIF
+    * container rotation): all-integer aHash/dHash, every bit of both
+    * 64-bit hashes rebuilt relationally by the oracle from the
+    * closed-form pixel formulas. The image near-dup signature step.
+    */
+  private def qMmPhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 120)
+    val media = Multimodal.synthesizeReal(docs, "doc_id")
+    Multimodal.imageHashes(media).orderBy(col("media_id"))
+  }
+
   /** REAL audio decode gate: PCM16 WAVs with a deterministic integer
     * waveform; audioStats decodes the RIFF chunks and computes
     * duration + RMS from the actual samples, both re-derived in SQL.
@@ -2035,6 +2046,7 @@ object SparkEntry {
     "q_multimodal" -> (qMultimodal _),
     "q_mm_frames" -> (qMmFrames _),
     "q_mm_image" -> (qMmImage _),
+    "q_mm_phash" -> (qMmPhash _),
     "q_mm_audio" -> (qMmAudio _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
@@ -3510,6 +3522,43 @@ object SparkEntry {
         |  round(avg(CASE WHEN id % 9 = 3 THEN (11 * ((x + y + id) % 16)) % 256
         |            ELSE (3 * x + 17 * y + 7 * id) % 256 END), 6) AS mean_b
         |FROM px GROUP BY id, w, h ORDER BY media_id""".stripMargin,
+    // every bit of both hashes from the closed-form pixels: nearest-
+    // neighbor source election (floor //), integer luminance, strict->
+    // threshold bits, HUGEINT bit sum folded to signed 64
+    "q_mm_phash" ->
+      """WITH img AS (SELECT doc_id AS id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
+        |  FROM documents WHERE doc_id < 120 AND doc_id % 3 = 0),
+        |gax AS (SELECT id, w, h, unnest(generate_series(0, 7)) AS gx FROM img),
+        |ga AS (SELECT id, w, h, gx, unnest(generate_series(0, 7)) AS gy FROM gax),
+        |la AS (SELECT id, gy * 8 + gx AS p,
+        |    (299 * r + 587 * g + 114 * b) // 1000 AS lum
+        |  FROM (SELECT id, gx, gy,
+        |      CASE WHEN id % 9 = 3 THEN 17 * ((sx + sy + id) % 16) ELSE (7 * sx + 13 * sy + id) % 256 END AS r,
+        |      CASE WHEN id % 9 = 3 THEN (7 * ((sx + sy + id) % 16)) % 256 ELSE (11 * sx + 5 * sy + 3 * id) % 256 END AS g,
+        |      CASE WHEN id % 9 = 3 THEN (11 * ((sx + sy + id) % 16)) % 256 ELSE (3 * sx + 17 * sy + 7 * id) % 256 END AS b
+        |    FROM (SELECT id, gx, gy, (gx * w) // 8 AS sx, (gy * h) // 8 AS sy FROM ga))),
+        |suma AS (SELECT id, sum(lum) AS s FROM la GROUP BY id),
+        |ah AS (SELECT la.id,
+        |    sum(CASE WHEN 64 * lum > s THEN (1::HUGEINT) << (63 - p) ELSE (0::HUGEINT) END) AS hraw
+        |  FROM la JOIN suma ON la.id = suma.id GROUP BY la.id),
+        |gdx AS (SELECT id, w, h, unnest(generate_series(0, 8)) AS gx FROM img),
+        |gd0 AS (SELECT id, w, h, gx, unnest(generate_series(0, 7)) AS gy FROM gdx),
+        |ld AS (SELECT id, gx, gy,
+        |    (299 * r + 587 * g + 114 * b) // 1000 AS lum
+        |  FROM (SELECT id, gx, gy,
+        |      CASE WHEN id % 9 = 3 THEN 17 * ((sx + sy + id) % 16) ELSE (7 * sx + 13 * sy + id) % 256 END AS r,
+        |      CASE WHEN id % 9 = 3 THEN (7 * ((sx + sy + id) % 16)) % 256 ELSE (11 * sx + 5 * sy + 3 * id) % 256 END AS g,
+        |      CASE WHEN id % 9 = 3 THEN (11 * ((sx + sy + id) % 16)) % 256 ELSE (3 * sx + 17 * sy + 7 * id) % 256 END AS b
+        |    FROM (SELECT id, gx, gy, (gx * w) // 9 AS sx, (gy * h) // 8 AS sy FROM gd0))),
+        |dh AS (SELECT a.id,
+        |    sum(CASE WHEN b.lum > a.lum THEN (1::HUGEINT) << (63 - (a.gy * 8 + a.gx)) ELSE (0::HUGEINT) END) AS hraw
+        |  FROM ld a JOIN ld b ON a.id = b.id AND b.gx = a.gx + 1 AND b.gy = a.gy
+        |  WHERE a.gx < 8 GROUP BY a.id)
+        |SELECT img.id AS media_id,
+        |  CAST(CASE WHEN ah.hraw >= (1::HUGEINT) << 63 THEN ah.hraw - ((1::HUGEINT) << 64) ELSE ah.hraw END AS BIGINT) AS ahash,
+        |  CAST(CASE WHEN dh.hraw >= (1::HUGEINT) << 63 THEN dh.hraw - ((1::HUGEINT) << 64) ELSE dh.hraw END AS BIGINT) AS dhash
+        |FROM img JOIN ah ON img.id = ah.id JOIN dh ON img.id = dh.id
+        |ORDER BY media_id""".stripMargin,
     "q_mm_audio" ->
       """WITH au AS (SELECT doc_id AS id, 64 + doc_id % 64 AS n
         |  FROM documents WHERE doc_id < 120 AND doc_id % 3 = 1),

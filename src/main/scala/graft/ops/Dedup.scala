@@ -491,6 +491,19 @@ object Dedup {
     val sig = if (persist)
       sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sig0
+    hammingPairs64(sig, "id", "sig", maxHamming, maxBucket)
+  }
+
+  /** Pigeonhole hamming-pair generation over ANY precomputed 64-bit
+    * signature column (SimHash, perceptual image hashes, …): 4 bands of
+    * 16 bits — two signatures within hamming ≤ 3 must agree on at least
+    * one band (pigeonhole), candidates verify with exact `bit_count`.
+    * Inherits [[simhashPairs]]' bucket cap (flood guard) and recall
+    * caveats; the band guarantee needs `maxHamming ≤ 3`.
+    */
+  def hammingPairs64(sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    val sig = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
     val banded = sig.select(col("id"), col("sig"),
         posexplode(expr("transform(sequence(0, 3), " +
           "b -> (sig >> (b * 16)) & 65535)")))

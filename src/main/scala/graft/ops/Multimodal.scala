@@ -269,6 +269,72 @@ object Multimodal {
     spark.createDataFrame(rows, ordered.schema)
   }
 
+  private val imageHashSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("ahash", LongType, nullable = false),
+    StructField("dhash", LongType, nullable = false)))
+
+  /** Pure-integer perceptual hash kernel shared with the tests:
+    * luminance = (299·r + 587·g + 114·b) / 1000 (integer division),
+    * nearest-neighbor sampling with [[Codecs.resizeRgb]]'s source-pixel
+    * election (sx = x·w / W, floor), bit order p = y·W + x from the
+    * MSB. aHash: 8×8, bit = (64·lum > Σlum) — strict, ties to 0.
+    * dHash: 9×8 grid, bit = lum(x+1,y) > lum(x,y).
+    */
+  private[graft] def perceptualHashes(w: Int, h: Int,
+      rgb: Array[Byte]): (Long, Long) = {
+    def lumAt(gx: Int, gy: Int, gw: Int, gh: Int): Long = {
+      val sx = gx * w / gw
+      val sy = gy * h / gh
+      val s = (sy * w + sx) * 3
+      (299L * (rgb(s) & 0xff) + 587L * (rgb(s + 1) & 0xff) +
+        114L * (rgb(s + 2) & 0xff)) / 1000L
+    }
+    val a = Array.tabulate(64)(p => lumAt(p % 8, p / 8, 8, 8))
+    val sum = a.sum
+    var ahash = 0L
+    var p = 0
+    while (p < 64) {
+      if (64L * a(p) > sum) ahash |= 1L << (63 - p)
+      p += 1
+    }
+    var dhash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lumAt(x + 1, y, 9, 8) > lumAt(x, y, 9, 8))
+          dhash |= 1L << (63 - (y * 8 + x))
+        x += 1
+      }
+      y += 1
+    }
+    (ahash, dhash)
+  }
+
+  /** Perceptual image hashes (aHash + dHash) for image near-dup
+    * detection — the LAION-style multimodal dedup step: 8 bytes per
+    * image instead of pixels, then [[Dedup.hammingPairs64]] bands the
+    * signatures exactly like SimHash text near-dup. All-integer math
+    * (see [[perceptualHashes]]) so the q_mm_phash oracle rebuilds every
+    * bit relationally from the closed-form pixels.
+    */
+  def imageHashes(media: DataFrame, batchSize: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.filter(col("kind") === "image")
+      .select(col("media_id"), col("data")).rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val (w, h, rgb, _) = Codecs.decodeImage(r.getAs[Array[Byte]]("data"))
+            val (a, d) = perceptualHashes(w, h, rgb)
+            Row(r.getLong(0), a, d)
+          }
+        }
+      }
+    spark.createDataFrame(rows, imageHashSchema)
+  }
+
   private val audioStatsSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("sample_rate", IntegerType, nullable = false),

@@ -853,6 +853,45 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.schema.fieldNames.toSeq == Seq("media_id", "frame_idx", "frame_bytes"))
   }
 
+  test("perceptual hashes: near-identical images pair up, different ones don't") {
+    import graft.ops.Codecs
+    def gradient(w: Int, h: Int, f: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = f(x, y)
+        val o = (y * w + x) * 3
+        rgb(o) = r.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = b.toByte
+      }
+      rgb
+    }
+    val base = gradient(32, 32, (x, y) => ((x * 8) % 256, (y * 8) % 256, 0))
+    // near-dup: a single 2x2 patch flipped to white
+    val tweaked = base.clone()
+    for (y <- 10 to 11; x <- 10 to 11; c <- 0 to 2)
+      tweaked((y * 32 + x) * 3 + c) = 0xff.toByte
+    // structurally different: inverted gradient
+    val other = gradient(32, 32, (x, y) => (255 - (x * 8) % 256, 255 - (y * 8) % 256, 255))
+    val media = Seq(
+      (0L, "image", Codecs.encodeBmp(32, 32, base)),
+      (1L, "image", Codecs.encodeBmp(32, 32, tweaked)),
+      (2L, "image", Codecs.encodeBmp(32, 32, other)))
+      .toDF("media_id", "kind", "data")
+    val hashes = Multimodal.imageHashes(media)
+    val m = hashes.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(0L)._1, m(1L)._1) <= 3, s"ahash near-dup too far: ${ham(m(0L)._1, m(1L)._1)}")
+    assert(ham(m(0L)._1, m(2L)._1) > 10, s"ahash differentiates: ${ham(m(0L)._1, m(2L)._1)}")
+    assert(ham(m(0L)._2, m(2L)._2) > 10, s"dhash differentiates: ${ham(m(0L)._2, m(2L)._2)}")
+    // the banding operator applied to the signatures: only the near-dup pair
+    val pairs = graft.ops.Dedup.hammingPairs64(hashes, "media_id", "ahash",
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((0L, 1L)), pairs.toSeq.toString)
+    // kernel is what the expression computes (shared-path sanity)
+    val (w, h, rgb, _) = Codecs.decodeImage(Codecs.encodeBmp(32, 32, base))
+    assert(Multimodal.perceptualHashes(w, h, rgb) == m(0L))
+  }
+
   test("PQ encode/ADC: determinism, internal consistency, reconstruction") {
     val rnd = new scala.util.Random(13)
     val vecs = (0 until 64).map { i =>
