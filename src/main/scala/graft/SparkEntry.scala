@@ -947,6 +947,16 @@ object SparkEntry {
       .orderBy(col("term"))
   }
 
+  /** Per-source KL drift report over hashed unigram buckets — which
+    * source's token distribution diverges from the corpus mix. The
+    * oracle replays buckets, smoothing and the 1e-9-grained term sum.
+    */
+  private def qKl(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Lm.klDivergenceReport(
+        s.read.parquet(t(dir, "documents")), "source", "text",
+        buckets = 256, alpha = 0.5)
+      .orderBy(col("domain"))
+
   /** Leakage-safe splits: near-dup clusters (3-gram jaccard ≥ 0.5, the
     * q_dedup_cluster relation) land whole in one split; untouched docs
     * split by own id exactly as q_split does. The oracle recomputes
@@ -1954,6 +1964,7 @@ object SparkEntry {
     "q_ann_merge_rel" -> (qAnnMergeRel _),
     "q_split" -> (qSplit _),
     "q_split_safe" -> (qSplitSafe _),
+    "q_kl" -> (qKl _),
     "q_chunk" -> (qChunk _),
     "q_sample_strat" -> (qSampleStrat _),
     "q_alpha_bool" -> (qAlphaBool _),
@@ -2164,6 +2175,29 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE md5(CAST(lang AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) || 's2') < '40000000'
         |ORDER BY doc_id""".stripMargin,
+    // hashed-bucket KL: same md5 buckets, same add-0.5 smoothing, same
+    // 1e-9 floor-grained term sum (ALL 256 buckets contribute — the
+    // zero-count cells carry the smoothing mass)
+    "q_kl" ->
+      """WITH tk AS (SELECT source AS domain, t FROM (
+        |    SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |bk AS (SELECT domain, ('0x' || substr(md5(t), 1, 8))::BIGINT % 256 AS b FROM tk),
+        |dc AS (SELECT domain, b, count(*) AS cd FROM bk GROUP BY domain, b),
+        |cc AS (SELECT b, count(*) AS cc FROM bk GROUP BY b),
+        |dt AS (SELECT domain, count(*) AS nd FROM bk GROUP BY domain),
+        |nt AS (SELECT count(*)::DOUBLE AS n FROM bk),
+        |cells AS (SELECT dt.domain, dt.nd,
+        |    CAST(floor(
+        |      ((coalesce(dc.cd, 0) + 0.5) / (dt.nd + 128.0)) *
+        |      (ln((coalesce(dc.cd, 0) + 0.5) / (dt.nd + 128.0)) -
+        |       ln((coalesce(cc.cc, 0) + 0.5) / (nt.n + 128.0))) * 1e9) AS BIGINT) AS t9
+        |  FROM dt CROSS JOIN range(0, 256) r(b) CROSS JOIN nt
+        |  LEFT JOIN cc ON cc.b = r.b
+        |  LEFT JOIN dc ON dc.domain = dt.domain AND dc.b = r.b)
+        |SELECT domain, CAST(max(nd) AS BIGINT) AS n_tokens,
+        |  round(sum(t9) / 1e9, 6) AS kl
+        |FROM cells GROUP BY domain ORDER BY domain""".stripMargin,
     // components via recursive CTE (the q_dedup_cluster relation), then
     // q_split's md5 threshold rule applied to the representative
     "q_split_safe" ->

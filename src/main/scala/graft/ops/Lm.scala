@@ -156,4 +156,48 @@ object Lm {
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         round(col("slr9") / lit(1e9) / col("n_grams"), 6).as("log_ratio"))
   }
+
+  /** Per-domain distribution-drift report: KL(P_domain ‖ P_corpus)
+    * over hashed unigram buckets with add-α smoothing — the mixture
+    * monitor that tells you WHICH source diverged when a new crawl
+    * snapshot lands (domain drift, language creep, template floods).
+    * p_b = (c_domain,b + α)/(n_d + αB), q_b = (c_corpus,b + α)/(N + αB);
+    * every one of the B buckets contributes (zero-count cells carry the
+    * smoothing mass — dropping them biases KL low). Identical
+    * distributions score exactly 0 (p = q cell-wise → the grained term
+    * is exactly 0, not −ε).
+    *
+    * Scale shape: tokens reduce to (domain, bucket) counts immediately
+    * — B·domains cells is the largest relation after the first
+    * aggregation, corpus size never matters again. Same 1e-9
+    * integer-grain determinism contract as [[bigramPerplexity]].
+    * Output: (domain, n_tokens, kl) with kl ≥ 0, round-6.
+    */
+  def klDivergenceReport(df: DataFrame, domainCol: String, textCol: String,
+      buckets: Int = 256, alpha: Double = 0.5): DataFrame = {
+    require(buckets > 0 && alpha > 0, s"bad buckets/alpha: $buckets/$alpha")
+    val bucketed = df
+      .select(col(domainCol).as("domain"), explode(toks(col(textCol))).as("g"))
+      .filter(col("g") =!= "")
+      .select(col("domain"), mdBucket(col("g"), buckets).as("b"))
+    val domCounts = bucketed.groupBy(col("domain"), col("b"))
+      .agg(count(lit(1)).as("cd"))
+    val corpusCounts = bucketed.groupBy(col("b")).agg(count(lit(1)).as("cc"))
+    val domTotals = bucketed.groupBy(col("domain")).agg(count(lit(1)).as("nd"))
+    val nTotal = bucketed.count().toDouble
+    val aB = alpha * buckets
+    val p = (coalesce(col("cd"), lit(0L)) + lit(alpha)) / (col("nd") + lit(aB))
+    val q = (coalesce(col("cc"), lit(0L)) + lit(alpha)) / (lit(nTotal + aB))
+    val cells = domTotals
+      .select(col("domain"), col("nd"),
+        explode(sequence(lit(0L), lit(buckets - 1L))).as("b"))
+      .join(corpusCounts, Seq("b"), "left")
+      .join(domCounts, Seq("domain", "b"), "left")
+      .select(col("domain"), col("nd"),
+        floor(p * (log(p) - log(q)) * lit(1e9)).cast("long").as("t9"))
+    cells.groupBy(col("domain"))
+      .agg(max(col("nd")).as("n_tokens"),
+        round(sum(col("t9")) / lit(1e9), 6).as("kl"))
+      .select(col("domain"), col("n_tokens"), col("kl"))
+  }
 }

@@ -1486,6 +1486,28 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(tinyEst - 100) / 100 < 0.03, s"tiny est $tinyEst")
   }
 
+  test("kl divergence report: zero on itself, positive under drift, invariant") {
+    import graft.ops.Lm
+    // single-domain corpus: P_domain == P_corpus cell-for-cell → exactly 0
+    val one = Seq((0L, "a", "alpha beta gamma delta"),
+      (1L, "a", "alpha beta beta epsilon")).toDF("id", "dom", "text")
+    val k1 = Lm.klDivergenceReport(one, "dom", "text").collect()
+    assert(k1.length == 1 && k1.head.getDouble(2) == 0.0, k1.toSeq.toString)
+    // drifted domain scores higher than an on-mix domain
+    val mixed = ((0 until 40).map(i => (i.toLong, "news", "the market rose today on strong earnings reports")) ++
+      (40 until 80).map(i => (i.toLong, "also_news", "the market fell today on weak earnings reports")) ++
+      (80 until 90).map(i => (i.toLong, "code", "def fn ( x ) : return x * x + 1 # comment"))
+      ).toDF("id", "dom", "text")
+    val kl = Lm.klDivergenceReport(mixed, "dom", "text").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(kl("code") > kl("news"), kl.toString)
+    assert(kl.values.forall(_ >= 0.0), kl.toString)
+    // partition invariance (the grained-sum contract)
+    val rep = Lm.klDivergenceReport(mixed.repartition(7), "dom", "text").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rep == kl)
+  }
+
   test("leakageSafeSplit: clusters land whole; untouched rows match assignSplit") {
     // two 3-doc near-dup clusters + 94 singletons
     val base = "the quick brown fox jumps over the lazy dog again and again"
