@@ -146,6 +146,7 @@ object Bench {
       "q_c4_filter", "q_mojibake", "q_bpe_decode", "q_mix_temp",
       "q_quantile_filter", "q_dedup_best", "q_pipeline3",
       "q_gopher_rules", "q_domain_report", "q_url_dedup", "q_ngram_rep",
+      "q_snapshot_diff", "q_overlap",
       "q_redact", "q_sample_topk", "q_cms", "q_cms_merge", "q_hll",
       "q_split_safe", "q_embed_trunc")
 

@@ -774,9 +774,15 @@ object SparkEntry {
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    // rerank depth must scale with the corpus: ADC candidate recall is a
+    // FRACTION of the corpus, not an absolute count (100 was 12% of the
+    // sf0.01 embeddings but 1.2% of sf0.1's — the gate then hinged on
+    // codebook luck; surfaced when the r8 uniform pqFit sample changed
+    // the codebooks)
+    val rerankN = math.max(100, (emb.count() / 16).toInt)
     val pqTop1 = qvecs.map { case (qid, qv) =>
       val top = Similarity.pqTopK(withCodes.filter(col("vec_id") =!= qid),
-        "embedding", "vec_id", qv, k = 1, pq, rerank = 100,
+        "embedding", "vec_id", qv, k = 1, pq, rerank = rerankN,
         codesCol = Some("codes")).select(col("id")).head.getLong(0)
       qid -> top
     }.toMap
@@ -945,6 +951,44 @@ object SparkEntry {
     estM.join(est1, Seq("term")).join(est2, Seq("term"))
       .select(col("term"), col("est_h1"), col("est_h2"), col("est"))
       .orderBy(col("term"))
+  }
+
+  /** Snapshot diff between the corpus and a simulated re-crawl:
+    * removals (every 7th), changes (every remaining 5th gets appended
+    * text), additions (every 11th re-ingested under a new id). The
+    * oracle derives each status INDEPENDENTLY from the lacing rules —
+    * it never touches md5 — so the content-hash diff is cross-checked
+    * against ground truth, not replayed.
+    */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents")).select(col("doc_id"), col("text"))
+    val after = docs.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("reingested "), col("text")).as("text")))
+    graft.ops.Snapshot.corpusDiff(docs, after, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-level contamination overlap: bench = every 101st corpus doc
+    * (fully contained) plus synthetic never-seen docs — the overlap
+    * fraction must land strictly between 0 and 1 and the oracle
+    * recomputes it from distinct STRING windows (the q_fp_card
+    * hash≡window contract).
+    */
+  private def qOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val unseen = docs.filter(col("doc_id") % 103 === 0)
+      .select(concat(
+        lit("zz"), col("doc_id"), lit(" aa"), col("doc_id"),
+        lit(" bb"), col("doc_id"), lit(" cc"), col("doc_id"),
+        lit(" dd"), col("doc_id"), lit(" ee"), col("doc_id")).as("text"))
+    val bench = docs.filter(col("doc_id") % 101 === 0).select(col("text"))
+      .unionByName(unseen)
+    graft.ops.Snapshot.overlapReport(docs, bench, "text", window = 5)
   }
 
   /** Per-source KL drift report over hashed unigram buckets — which
@@ -1965,6 +2009,8 @@ object SparkEntry {
     "q_split" -> (qSplit _),
     "q_split_safe" -> (qSplitSafe _),
     "q_kl" -> (qKl _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_overlap" -> (qOverlap _),
     "q_chunk" -> (qChunk _),
     "q_sample_strat" -> (qSampleStrat _),
     "q_alpha_bool" -> (qAlphaBool _),
@@ -2175,6 +2221,40 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE md5(CAST(lang AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) || 's2') < '40000000'
         |ORDER BY doc_id""".stripMargin,
+    // ground-truth statuses from the lacing rules — independent of the
+    // md5 content-hash mechanism under test
+    "q_snapshot_diff" ->
+      """SELECT doc_id, status FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'removed'
+        |         WHEN doc_id % 5 = 0 THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'added' FROM documents WHERE doc_id % 11 = 0
+        |) ORDER BY doc_id""".stripMargin,
+    // distinct STRING windows both sides (q_fp_card's hash==window
+    // contract); bench = contained docs + synthetic never-seen rows
+    "q_overlap" ->
+      """WITH cw AS (SELECT DISTINCT win FROM (
+        |    SELECT unnest(CASE WHEN len(w) < 5 THEN []
+        |        ELSE [array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w) - 3)] END) AS win
+        |    FROM (SELECT string_split(text, ' ') w FROM documents))),
+        |bdocs AS (SELECT text FROM documents WHERE doc_id % 101 = 0
+        |  UNION ALL
+        |  SELECT 'zz' || doc_id || ' aa' || doc_id || ' bb' || doc_id ||
+        |         ' cc' || doc_id || ' dd' || doc_id || ' ee' || doc_id
+        |  FROM documents WHERE doc_id % 103 = 0),
+        |bw AS (SELECT DISTINCT win FROM (
+        |    SELECT unnest(CASE WHEN len(w) < 5 THEN []
+        |        ELSE [array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w) - 3)] END) AS win
+        |    FROM (SELECT string_split(text, ' ') w FROM bdocs)))
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cw) AS n_corpus_windows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM bw) AS n_bench_windows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM bw WHERE win IN (SELECT win FROM cw)) AS n_shared,
+        |  round((SELECT count(*) FROM bw WHERE win IN (SELECT win FROM cw))::DOUBLE
+        |        / greatest((SELECT count(*) FROM bw), 1), 6) AS overlap_frac""".stripMargin,
     // hashed-bucket KL: same md5 buckets, same add-0.5 smoothing, same
     // 1e-9 floor-grained term sum (ALL 256 buckets contribute — the
     // zero-count cells carry the smoothing mass)

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-snapshot management operators: diff two corpus versions and
+  * measure cross-corpus contamination overlap — the bookkeeping a
+  * periodically-recrawled 100 TB corpus needs between ingests.
+  */
+object Snapshot {
+
+  /** Diff two corpus snapshots by content hash: one row per doc id that
+    * appears in either snapshot, `status` ∈ added / removed / changed /
+    * unchanged. The full outer join moves only (id, md5) projections —
+    * text never shuffles, so diffing 100 TB costs two narrow scans +
+    * one id-keyed join.
+    */
+  def corpusDiff(before: DataFrame, after: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val b = before.select(col(idCol).as("id"), md5(col(textCol)).as("__hb"))
+    val a = after.select(col(idCol).as("id"), md5(col(textCol)).as("__ha"))
+    b.join(a, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("__hb").isNull, lit("added"))
+          .when(col("__ha").isNull, lit("removed"))
+          .when(col("__hb") === col("__ha"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /** Corpus-level contamination overlap: the fraction of `bench`'s
+    * distinct `window`-token rolling-hash windows that also occur in
+    * `corpus` — "how much of this benchmark is inside the training
+    * corpus", the aggregate companion to the per-doc
+    * [[Decontaminate]] filters. Output: one row
+    * `(n_corpus_windows, n_bench_windows, n_shared, overlap_frac)`
+    * with `overlap_frac` = shared / bench distinct windows, round-6
+    * (0 when the bench has no windows).
+    *
+    * Scale shape: both sides reduce to distinct 8-byte window hashes
+    * before the intersection join — text is scanned once per side and
+    * never shuffles. "Same hash" is "same token window" up to 64-bit
+    * collisions, the q_fp_card-certified contract.
+    */
+  def overlapReport(corpus: DataFrame, bench: DataFrame, textCol: String,
+      window: Int = 5): DataFrame = {
+    def winHashes(df: DataFrame) = df.select(
+        explode(TextStats.fingerprintWindows(col(textCol), window)).as("__h"))
+      .distinct()
+    val c = winHashes(corpus)
+    val b = winHashes(bench)
+    val shared = b.join(c, Seq("__h"), "left_semi")
+      .agg(count(lit(1)).as("n_shared"))
+    val nc = c.agg(count(lit(1)).as("n_corpus_windows"))
+    val nb = b.agg(count(lit(1)).as("n_bench_windows"))
+    nc.crossJoin(nb).crossJoin(shared)
+      .select(col("n_corpus_windows"), col("n_bench_windows"), col("n_shared"),
+        when(col("n_bench_windows") === 0, lit(0.0))
+          .otherwise(round(col("n_shared").cast("double") / col("n_bench_windows"), 6))
+          .as("overlap_frac"))
+  }
+}

@@ -1486,6 +1486,38 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(tinyEst - 100) / 100 < 0.03, s"tiny est $tinyEst")
   }
 
+  test("corpus snapshot diff and contamination overlap") {
+    import graft.ops.Snapshot
+    val before = Seq((0L, "alpha beta"), (1L, "gamma delta"), (2L, "epsilon zeta"))
+      .toDF("id", "text")
+    val after = Seq((0L, "alpha beta"), (1L, "gamma delta CHANGED"), (3L, "brand new"))
+      .toDF("id", "text")
+    val diff = Snapshot.corpusDiff(before, after, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(0L -> "unchanged", 1L -> "changed", 2L -> "removed",
+      3L -> "added"), diff.toString)
+
+    val corpus = Seq((0L, "one two three four five six seven")).toDF("id", "text")
+    // bench doc shares the 5-window "two three four five six" family with
+    // the corpus plus windows the corpus lacks
+    val bench = Seq((0L, "two three four five six unseen1 unseen2 unseen3"))
+      .toDF("id", "text")
+    val rep = Snapshot.overlapReport(corpus, bench, "text", window = 5)
+      .collect().head
+    // corpus: 3 windows; bench: 4 windows, 2 shared ("two..six", "three..unseen1"? no —
+    // shared = windows present in corpus: "two three four five six" only
+    assert(rep.getLong(0) == 3 && rep.getLong(1) == 4)
+    assert(rep.getLong(2) == 1 && rep.getDouble(3) == 0.25, rep.toString)
+    // fully-contained bench → overlap 1.0
+    val contained = Snapshot.overlapReport(corpus, corpus, "text", window = 5)
+      .collect().head
+    assert(contained.getDouble(3) == 1.0)
+    // windowless bench → 0.0, not NaN
+    val short = Snapshot.overlapReport(corpus,
+      Seq((0L, "too short")).toDF("id", "text"), "text", window = 5).collect().head
+    assert(short.getLong(1) == 0 && short.getDouble(3) == 0.0)
+  }
+
   test("kl divergence report: zero on itself, positive under drift, invariant") {
     import graft.ops.Lm
     // single-domain corpus: P_domain == P_corpus cell-for-cell → exactly 0
