@@ -554,6 +554,54 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Join"), plan)
   }
 
+  test("kl report: document text never crosses a join (bucket counts only)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rep = graft.ops.Lm.klDivergenceReport(docs, "source", "text")
+    val opt = rep.queryExecution.optimizedPlan
+    val joins = opt.collect { case j: Join => j }
+    assert(joins.nonEmpty, opt.toString)
+    joins.foreach(j => j.children.foreach(c =>
+      assert(!c.output.exists(_.name == "text"),
+        s"document text crosses a KL cell join:\n$opt")))
+  }
+
+  test("snapshot diff joins (id, hash) projections — text stays in the scans") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val diff = graft.ops.Snapshot.corpusDiff(
+      docs, docs.withColumn("text", concat(col("text"), lit("x"))),
+      "doc_id", "text")
+    val opt = diff.queryExecution.optimizedPlan
+    val joins = opt.collect { case j: Join => j }
+    assert(joins.nonEmpty, opt.toString)
+    joins.foreach(j => j.children.foreach(c =>
+      assert(!c.output.exists(_.name == "text"),
+        s"document text crosses the diff join:\n$opt")))
+    // and the overlap report's intersection joins 8-byte hashes only
+    val rep = graft.ops.Snapshot.overlapReport(docs,
+      docs.filter(col("doc_id") % 101 === 0), "text")
+    val opt2 = rep.queryExecution.optimizedPlan
+    opt2.collect { case j: Join => j }.foreach(j => j.children.foreach(c =>
+      assert(!c.output.exists(_.name == "text"),
+        s"text crosses the overlap join:\n$opt2")))
+  }
+
+  test("hll: the only shuffled key space is the register table") {
+    // after the per-value projection, everything aggregates on
+    // (register) — at most 2^p keys; no join anywhere in the estimate
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val est = graft.ops.Hll.hllCountDistinct(
+      docs.select(explode(split(col("text"), " ")).as("tok")), "tok")
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    assert(est.queryExecution.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      est.queryExecution.optimizedPlan.toString)
+    val plan = planOf(est)
+    // two aggregation exchanges (register max, then the global sum) and
+    // nothing carrying the token column past the first aggregate
+    assert(plan.contains("Exchange"), plan)
+  }
+
   test("relational merger shuffles once: second window reuses the exchange") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dict = Seq(
