@@ -953,6 +953,22 @@ object SparkEntry {
       .orderBy(col("term"))
   }
 
+  /** Domain boilerplate removal: every doc laced with a per-source
+    * header and footer line — the nav-bar/cookie-banner shape — which
+    * the doc-frequency rule must strip from EVERY doc (lineDedup would
+    * keep the first). The oracle replays doc frequencies, thresholds
+    * and reassembly at the line-text level.
+    */
+  private def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val laced = docs.withColumn("text", concat(
+      lit("Header "), col("source"), lit("\n"),
+      col("text"), lit("\nCopyright "), col("source")))
+    Dedup.removeBoilerplateLines(laced, "text", "doc_id", "source",
+        minDocs = 3, minDocFrac = 0.5)
+      .orderBy(col("doc_id"))
+  }
+
   /** Snapshot diff between the corpus and a simulated re-crawl:
     * removals (every 7th), changes (every remaining 5th gets appended
     * text), additions (every 11th re-ingested under a new id). The
@@ -2010,6 +2026,7 @@ object SparkEntry {
     "q_split_safe" -> (qSplitSafe _),
     "q_kl" -> (qKl _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_boilerplate" -> (qBoilerplate _),
     "q_overlap" -> (qOverlap _),
     "q_chunk" -> (qChunk _),
     "q_sample_strat" -> (qSampleStrat _),
@@ -2221,6 +2238,25 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE md5(CAST(lang AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) || 's2') < '40000000'
         |ORDER BY doc_id""".stripMargin,
+    // doc frequencies, thresholds and reassembly replayed on line TEXT
+    // (Spark decides on xxhash64 of the line — the collision-free
+    // contract of the n-gram paths)
+    "q_boilerplate" ->
+      """WITH laced AS (SELECT doc_id, source,
+        |    'Header ' || source || chr(10) || text || chr(10) || 'Copyright ' || source AS text
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, source, string_split(text, chr(10)) AS l FROM laced),
+        |lines AS (SELECT doc_id, source, i - 1 AS pos, l[i] AS line
+        |  FROM l0, unnest(range(1, len(l) + 1)) AS t(i)),
+        |ds AS (SELECT source, count(DISTINCT doc_id) AS nd FROM laced GROUP BY source),
+        |dfq AS (SELECT source, line, count(DISTINCT doc_id) AS dfc FROM lines GROUP BY source, line),
+        |boiler AS (SELECT dfq.source, dfq.line FROM dfq JOIN ds USING (source)
+        |  WHERE dfq.dfc >= 3 AND dfq.dfc::DOUBLE >= ds.nd * 0.5),
+        |keptl AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+        |  ANTI JOIN boiler b ON l.source = b.source AND l.line = b.line)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  array_to_string(list(line ORDER BY pos), chr(10)) AS text
+        |FROM keptl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // ground-truth statuses from the lacing rules — independent of the
     // md5 content-hash mechanism under test
     "q_snapshot_diff" ->

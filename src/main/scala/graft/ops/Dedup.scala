@@ -854,6 +854,57 @@ object Dedup {
         concat_ws(delim, col("__kept")).as(textCol))
   }
 
+  /** Domain boilerplate-line removal — the CCNet/RefinedWeb "repeated
+    * header/footer" rule, complementary to [[lineDedup]]: a line that
+    * occurs in at least `minDocs` documents AND at least `minDocFrac`
+    * of its domain's documents is boilerplate (nav bars, cookie
+    * banners, license footers) and is removed from EVERY document —
+    * including the first occurrence, which [[lineDedup]] would keep.
+    * Documents left with no lines are dropped.
+    *
+    * Output: `(idCol, n_lines, textCol)` like [[lineDedup]].
+    *
+    * Scale shape: line text never shuffles — the doc-frequency
+    * decision runs on `(domain, line-hash)` with `count_distinct(id)`,
+    * the domain-size relation is |domains| rows, and the boilerplate
+    * set (tiny) joins back against the per-line hash relation to build
+    * per-doc drop lists; reassembly is the [[lineDedup]] scan-local
+    * array filter, interpreted only on docs that HAVE drops.
+    */
+  def removeBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
+      domainCol: String, minDocs: Int = 3, minDocFrac: Double = 0.2,
+      delim: String = "\n"): DataFrame = {
+    require(delim.nonEmpty, "delimiter must be non-empty")
+    require(minDocs >= 1 && minDocFrac > 0 && minDocFrac <= 1,
+      s"bad minDocs/minDocFrac: $minDocs/$minDocFrac")
+    val lines = df
+      .select(col(idCol).as("id"), col(domainCol).as("domain"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim))))
+      .withColumnsRenamed(Map("pos" -> "pos", "col" -> "line"))
+      .select(col("id"), col("domain"), col("pos"), xxhash64(col("line")).as("lh"))
+    val domainSizes = df.groupBy(col(domainCol).as("domain"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
+    val docFreq = lines.select(col("domain"), col("lh"), col("id")).distinct()
+      .groupBy(col("domain"), col("lh"))
+      .agg(count(lit(1)).as("__df"))
+    val boiler = docFreq.join(domainSizes, Seq("domain"))
+      .filter(col("__df") >= minDocs &&
+        col("__df").cast("double") >= col("__nd") * minDocFrac)
+      .select(col("domain"), col("lh"))
+    val dropLists = lines.join(boiler, Seq("domain", "lh"), "left_semi")
+      .groupBy(col("id")).agg(collect_list(col("pos")).as("__drop_pos"))
+      .withColumnRenamed("id", "__dd_id")
+    val toks = split(col(textCol), java.util.regex.Pattern.quote(delim))
+    val kept = when(col("__drop_pos").isNull, toks)
+      .otherwise(filter(toks, (_, i) => !array_contains(col("__drop_pos"), i)))
+    df.join(dropLists, df(idCol) === dropLists("__dd_id"), "left")
+      .select(col(idCol), kept.as("__kept"))
+      .filter(size(col("__kept")) > 0)
+      .select(col(idCol),
+        size(col("__kept")).cast("long").as("n_lines"),
+        concat_ws(delim, col("__kept")).as(textCol))
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication") — semantic near-dup
     * removal as used for LAION/DataComp curation: k-means-cluster the

@@ -1486,6 +1486,40 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(tinyEst - 100) / 100 < 0.03, s"tiny est $tinyEst")
   }
 
+  test("boilerplate lines: removed everywhere incl. first; thresholds bind") {
+    import graft.ops.Dedup
+    // domain A: 4 docs share a footer; domain B: 2 docs share one (below minDocs)
+    val d = Seq(
+      (0L, "a", "unique zero\nFOOTER A"),
+      (1L, "a", "unique one\nFOOTER A"),
+      (2L, "a", "unique two\nFOOTER A"),
+      (3L, "a", "unique three\nFOOTER A\nrare line"),
+      (4L, "a", "no footer here"),
+      (10L, "b", "b text ten\nFOOTER B"),
+      (11L, "b", "b text eleven\nFOOTER B"))
+      .toDF("id", "dom", "text")
+    val out = Dedup.removeBoilerplateLines(d, "text", "id", "dom",
+        minDocs = 3, minDocFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // FOOTER A in 4/5 of domain a → removed from ALL FOUR (first included)
+    (0L to 2L).foreach(i => assert(out(i)._2 == s"unique ${Seq("zero","one","two")(i.toInt)}", out(i).toString))
+    assert(out(3L) == (2L, "unique three\nrare line"))
+    assert(out(4L) == (1L, "no footer here"))
+    // FOOTER B only in 2 docs < minDocs=3 → kept despite 100% frac
+    assert(out(10L) == (2L, "b text ten\nFOOTER B"))
+    // a line must clear BOTH thresholds (frac alone not enough)
+    val big = (0 until 20).map(i => (i.toLong, "c", s"body $i\nCOMMON"))
+      .toDF("id", "dom", "text")
+    val out2 = Dedup.removeBoilerplateLines(big, "text", "id", "dom",
+        minDocs = 3, minDocFrac = 0.5)
+      .collect().map(r => r.getString(2))
+    assert(out2.forall(!_.contains("COMMON")))
+    // doc that is ALL boilerplate disappears
+    val all = (0 until 5).map(i => (i.toLong, "d", "ONLY FOOTER")).toDF("id", "dom", "text")
+    assert(Dedup.removeBoilerplateLines(all, "text", "id", "dom",
+      minDocs = 3, minDocFrac = 0.5).count() == 0)
+  }
+
   test("corpus snapshot diff and contamination overlap") {
     import graft.ops.Snapshot
     val before = Seq((0L, "alpha beta"), (1L, "gamma delta"), (2L, "epsilon zeta"))
