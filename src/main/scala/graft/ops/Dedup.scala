@@ -124,9 +124,9 @@ object Dedup {
     // Persisted because it feeds BOTH self-join sides and the per-doc
     // stats — without it the explode + df-count join replays three times.
     // Same cache contract as `sh` (see the minhashPairs persist note).
+    // __df rides along so the self-join sides can also drop df=1 rows.
     val invCapped0 = inv.join(dfCounts, Seq("sh_hash"))
       .filter(col("__df") <= maxShingleDf)
-      .drop("__df")
     val invCapped = if (persist)
       invCapped0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else invCapped0
@@ -135,10 +135,17 @@ object Dedup {
     val stats = invCapped.groupBy(col("id")).agg(count(lit(1)).as("__kept"))
       .join(sh.select(col("id"), size(col("sh")).as("sz")), Seq("id"))
       .select(col("id"), col("sz"), (col("sz") - col("__kept")).as("dropped"))
+    // A df=1 shingle appears in exactly one document and can't emit a
+    // pair row — exclude those (typically the MAJORITY of a natural
+    // corpus's shingles) from both self-join sides. Output is unchanged;
+    // the join's shuffle and build sides shrink by the unique-shingle
+    // mass. They still count as "kept" above: only df > cap shingles
+    // weaken the upper bound.
+    val invPairable = invCapped.filter(col("__df") >= 2).drop("__df")
     // Shared-capped-shingle count per candidate pair. Each (id, sh_hash)
     // is unique (shingle sets are distinct), so count(*) == |capped
     // intersection| exactly.
-    val commonCapped = invCapped.as("x").join(invCapped.as("y"),
+    val commonCapped = invPairable.as("x").join(invPairable.as("y"),
         col("x.sh_hash") === col("y.sh_hash") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .agg(count(lit(1)).as("common_capped"))
