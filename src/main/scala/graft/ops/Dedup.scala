@@ -291,8 +291,11 @@ object Dedup {
     val maxBucket = 10000
     val bucketSizes = banded.groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("__bucket_n"))
+    // lower bound 2: a singleton bucket (the common case — most docs are
+    // not near-dups) can't emit a pair; dropping it shrinks both
+    // self-join sides with provably identical output
     val bandedCapped = banded.join(bucketSizes, Seq("band", "band_key"))
-      .filter(col("__bucket_n") <= maxBucket)
+      .filter(col("__bucket_n") <= maxBucket && col("__bucket_n") >= 2)
       .drop("__bucket_n")
     val cand = bandedCapped.as("x").join(bandedCapped.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
@@ -517,8 +520,9 @@ object Dedup {
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
     val bucketSizes = banded.groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("__bucket_n"))
+    // lower bound 2: singleton buckets can't pair (see minhashPairs)
     val bandedCapped = banded.join(bucketSizes, Seq("band", "band_key"))
-      .filter(col("__bucket_n") <= maxBucket)
+      .filter(col("__bucket_n") <= maxBucket && col("__bucket_n") >= 2)
       .drop("__bucket_n")
     bandedCapped.as("x").join(bandedCapped.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
@@ -591,8 +595,11 @@ object Dedup {
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
     val bucketSizes = banded.groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("__bucket_n"))
+    // lower bound 2: singleton buckets can't pair in a SELF-join (the
+    // bipartite minhashPairsAgainst must NOT do this — a corpus-side
+    // singleton still pairs with the delta side)
     val bandedCapped = banded.join(bucketSizes, Seq("band", "band_key"))
-      .filter(col("__bucket_n") <= maxBucket)
+      .filter(col("__bucket_n") <= maxBucket && col("__bucket_n") >= 2)
       .drop("__bucket_n")
     val cand = bandedCapped.as("x").join(bandedCapped.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
