@@ -586,6 +586,35 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("en", "es", "und", "zh", "ru", "pt", "it", "nl", "lt", "en"))
   }
 
+  test("langId kernel ≡ declarative on generated unicode soup") {
+    // deterministic pseudo-random strings over the alphabets the two
+    // tiers discriminate on: ASCII words, stopwords from every profile,
+    // CJK, Cyrillic (both cases), Greek, astral-plane surrogates, and
+    // every \s whitespace class — 500 strings, one Spark comparison
+    val rnd = new scala.util.Random(2026)
+    val stopPool = TextStats.langStopwords.flatMap(_._2)
+    val ws = Seq(" ", "\t", "\n", "\u000B", "\f", "\r")
+    def token(): String = rnd.nextInt(6) match {
+      case 0 => stopPool(rnd.nextInt(stopPool.size))
+      case 1 => (0 to rnd.nextInt(6)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      case 2 => (0 to rnd.nextInt(4)).map(_ => ('一' + rnd.nextInt(500)).toChar).mkString
+      case 3 => (0 to rnd.nextInt(4)).map(_ => (0x410 + rnd.nextInt(64)).toChar).mkString
+      case 4 => (0 to rnd.nextInt(3)).map(_ => (0x391 + rnd.nextInt(24)).toChar).mkString
+      case _ => new String(Character.toChars(0x1D538 + rnd.nextInt(50)))
+    }
+    val soup = (0 until 500).map { _ =>
+      (0 to rnd.nextInt(12)).map(_ => token())
+        .mkString(ws(rnd.nextInt(ws.size)), ws(rnd.nextInt(ws.size)), "")
+    }
+    val d = soup.toDF("text")
+    val diverged = d.select(
+        TextStats.langId($"text").as("k"),
+        TextStats.langIdDeclarative($"text").as("d"), $"text")
+      .where(not($"k" <=> $"d")).collect()
+    assert(diverged.isEmpty,
+      diverged.take(3).map(r => s"'${r.getString(2)}': ${r.getString(0)} vs ${r.getString(1)}").mkString("; "))
+  }
+
   test("langId kernel ≡ declarative spec on corpus + adversarial cases") {
     // the codegen'd single-pass kernel must agree everywhere with the
     // native-SQL-functions spec (which is what the DuckDB oracles mirror)
