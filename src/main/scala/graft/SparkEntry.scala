@@ -696,7 +696,7 @@ object SparkEntry {
   private def qKnnBrute(s: SparkSession, dir: String): DataFrame = {
     val emb = s.read.parquet(t(dir, "embeddings"))
     val q = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
     Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), "embedding",
         "vec_id", q, k = 10)
       .select(col("id"), col("rank").cast("long").as("rank"),
@@ -719,7 +719,7 @@ object SparkEntry {
   private def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = s.read.parquet(t(dir, "embeddings"))
     val q = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
     val corpus = emb.filter(col("vec_id") =!= 0)
     val model = Similarity.ivfFit(corpus, "embedding", "vec_id", nClusters = 16)
     Similarity.ivfTopK(corpus, "embedding", "vec_id", q, k = 10, model, probe = 4)
@@ -783,7 +783,7 @@ object SparkEntry {
     val pqTop1 = qvecs.map { case (qid, qv) =>
       val top = Similarity.pqTopK(withCodes.filter(col("vec_id") =!= qid),
         "embedding", "vec_id", qv, k = 1, pq, rerank = rerankN,
-        codesCol = Some("codes")).select(col("id")).head.getLong(0)
+        codesCol = Some("codes")).select(col("id")).head().getLong(0)
       qid -> top
     }.toMap
     val exactTop1 = exact.filter(col("rank") === 1)
@@ -800,7 +800,7 @@ object SparkEntry {
   private def qKnnPq(s: SparkSession, dir: String): DataFrame = {
     val emb = s.read.parquet(t(dir, "embeddings"))
     val q = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
     val model = Similarity.pqFit(emb, "embedding", "vec_id", m = 8, k = 16)
     Similarity.pqTopK(emb.filter(col("vec_id") =!= 0), "embedding", "vec_id",
         q, k = 10, model, rerank = 100)
@@ -811,7 +811,7 @@ object SparkEntry {
   private def qKnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = s.read.parquet(t(dir, "embeddings"))
     val q = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
     Similarity.lshTopK(emb.filter(col("vec_id") =!= 0), "embedding", "vec_id",
         q, k = 10, dim = 64, nPlanes = 16, probeHamming = 4)
       .select(col("id"), col("rank").cast("long").as("rank"))

@@ -84,7 +84,7 @@ object Bpe {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val covered =
       if (totalTokens == 0L) 1.0 else top.map(_._2).sum.toDouble / totalTokens
-    val merges = fitOnTypes(top, numMerges)
+    val merges = fitOnTypes(top.toIndexedSeq, numMerges)
     BpeModel(merges, nTypes, top.length, covered)
   }
 
