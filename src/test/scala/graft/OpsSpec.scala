@@ -1072,6 +1072,25 @@ class OpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("cutRebuildValue: 200 random cut sets match the dead-set reference") {
+    // the r8 kernel vs an independent O(tokens×cuts) reference: any cut
+    // position (incl. ones whose window overhangs the end), any overlap
+    // pattern, any window size
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 200) {
+      val n = 1 + rnd.nextInt(40)
+      val toks = (0 until n).map(i => s"t$i")
+      val text = toks.mkString(" ")
+      val w = 1 + rnd.nextInt(6)
+      val cuts = (0 until rnd.nextInt(10)).map(_ => rnd.nextInt(n)).distinct.toArray
+      val (gotN, gotS) = Dedup.cutRebuildValue(text, cuts.clone(), w)
+      val dead = cuts.flatMap(p => p until math.min(p + w, n)).toSet
+      val kept = (0 until n).filterNot(dead).map(toks)
+      assert(gotN == kept.size && gotS == kept.mkString(" "),
+        s"trial=$trial n=$n w=$w cuts=${cuts.toSeq}: got ($gotN, '$gotS')")
+    }
+  }
+
   test("remove duplicate spans: many overlapping cuts merge into intervals (vs brute force)") {
     // adversarial boilerplate doc: "a0 a1 a2" repeated 500 times in doc 1
     // makes every window after the first a duplicate — hundreds of
