@@ -953,6 +953,16 @@ object SparkEntry {
       .orderBy(col("term"))
   }
 
+  /** Corpus datasheet card: the release-note one-table summary
+    * (volumes, dup fraction, length stats, source-mix entropy). Every
+    * metric replays relationally — entropy through the grained-term
+    * convention.
+    */
+  private def qCorpusCard(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextStats.corpusCard(
+        s.read.parquet(t(dir, "documents")), "text", "doc_id", "source")
+      .orderBy(col("metric"))
+
   /** Domain boilerplate removal: every doc laced with a per-source
     * header and footer line — the nav-bar/cookie-banner shape — which
     * the doc-frequency rule must strip from EVERY doc (lineDedup would
@@ -2027,6 +2037,7 @@ object SparkEntry {
     "q_kl" -> (qKl _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_boilerplate" -> (qBoilerplate _),
+    "q_corpus_card" -> (qCorpusCard _),
     "q_overlap" -> (qOverlap _),
     "q_chunk" -> (qChunk _),
     "q_sample_strat" -> (qSampleStrat _),
@@ -2238,6 +2249,29 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE md5(CAST(lang AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) || 's2') < '40000000'
         |ORDER BY doc_id""".stripMargin,
+    // same ws-token rule, same md5 distinct, same grained entropy terms
+    "q_corpus_card" ->
+      """WITH s AS (SELECT
+        |    count(*) AS n_docs,
+        |    sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(string_split_regex(trim(text), '\s+')) END) AS n_tokens,
+        |    count(DISTINCT md5(text)) AS n_distinct,
+        |    sum(CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(string_split_regex(trim(text), '\s+')) END) < 5
+        |        THEN 1 ELSE 0 END) AS n_short
+        |  FROM documents),
+        |sc AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+        |e AS (SELECT round(sum(CAST(floor((c::DOUBLE / (SELECT sum(c) FROM sc)) *
+        |      ln(c::DOUBLE / (SELECT sum(c) FROM sc)) * -1e9) AS BIGINT)) / 1e9, 6) AS source_entropy
+        |  FROM sc)
+        |SELECT metric, value FROM (
+        |  SELECT 'n_docs' AS metric, n_docs::DOUBLE AS value FROM s
+        |  UNION ALL SELECT 'n_tokens', n_tokens::DOUBLE FROM s
+        |  UNION ALL SELECT 'dup_frac', round(1.0 - n_distinct::DOUBLE / n_docs, 6) FROM s
+        |  UNION ALL SELECT 'mean_doc_tokens', round(n_tokens::DOUBLE / n_docs, 6) FROM s
+        |  UNION ALL SELECT 'short_doc_frac', round(n_short::DOUBLE / n_docs, 6) FROM s
+        |  UNION ALL SELECT 'source_entropy', source_entropy FROM e
+        |) ORDER BY metric""".stripMargin,
     // doc frequencies, thresholds and reassembly replayed on line TEXT
     // (Spark decides on xxhash64 of the line — the collision-free
     // contract of the n-gram paths)

@@ -570,6 +570,48 @@ object TextStats {
     }
   }
 
+  /** Corpus datasheet card — the one-table summary a dataset release
+    * ships (Datasheets for Datasets, Gebru et al. 2021): document and
+    * token volume, exact-dup fraction, mean document length, short-doc
+    * fraction, and the source-mix Shannon entropy (nats — how
+    * concentrated the corpus is in a few sources; ln(#sources) =
+    * perfectly balanced). Output: (metric, value) rows, one aggregation
+    * pass for the scalars + one source-keyed aggregation for the
+    * entropy. Entropy terms use the 1e-9 floor-grain convention
+    * ([[graft.ops.Lm.bigramPerplexity]]) so the card replays
+    * bit-for-bit in the oracle; ratios round-6, counts exact.
+    */
+  def corpusCard(df: DataFrame, textCol: String, idCol: String,
+      sourceCol: String): DataFrame = {
+    val t = col(textCol)
+    val scalars = df.agg(
+      count(lit(1)).as("n_docs"),
+      sum(wsTokens(t)).cast("long").as("n_tokens"),
+      count_distinct(md5(t)).as("n_distinct"),
+      sum(when(wsTokens(t) < 5, 1L).otherwise(0L)).as("n_short"))
+    // -Σ p ln p via 1e-9-grained per-source terms (partition-order
+    // independent); the single-partition window over the |sources|-row
+    // relation is free
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val srcEntropy = df.groupBy(col(sourceCol).as("src"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("__p", col("c").cast("double") / sum(col("c")).over(w))
+      .select(floor(col("__p") * log(col("__p")) * lit(-1e9)).cast("long").as("t9"))
+      .agg(round(sum(col("t9")) / lit(1e9), 6).as("source_entropy"))
+    val s = scalars.crossJoin(srcEntropy)
+    val rows = Seq(
+      ("n_docs", col("n_docs").cast("double")),
+      ("n_tokens", col("n_tokens").cast("double")),
+      ("dup_frac", round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6)),
+      ("mean_doc_tokens", round(col("n_tokens").cast("double") / col("n_docs"), 6)),
+      ("short_doc_frac", round(col("n_short").cast("double") / col("n_docs"), 6)),
+      ("source_entropy", col("source_entropy")))
+    s.select(explode(array(rows.map { case (m, v) =>
+        struct(lit(m).as("metric"), v.as("value")) }: _*)).as("kv"))
+      .select(col("kv.metric").as("metric"), col("kv.value").as("value"))
+  }
+
   /** One-pass corpus health report, per detected language: document /
     * token / character volume, exact token-count quantiles, exact-dup
     * rate (md5 groups), and the mean English-stopword presence — the

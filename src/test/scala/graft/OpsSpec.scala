@@ -1568,6 +1568,26 @@ class OpsSpec extends AnyFunSuite {
       minDocs = 3, minDocFrac = 0.5).count() == 0)
   }
 
+  test("corpus card: metrics, entropy bounds, uniform-mix entropy") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon", "s1"),
+      (1L, "alpha beta gamma delta epsilon", "s1"), // exact dup
+      (2L, "one two three four five six", "s2"),
+      (3L, "shorty", "s2")).toDF("id", "text", "src")
+    val card = TextStats.corpusCard(d, "text", "id", "src")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card("n_docs") == 4.0 && card("n_tokens") == 17.0)
+    assert(card("dup_frac") == 0.25)           // 3 distinct of 4
+    assert(card("short_doc_frac") == 0.25)     // "shorty"
+    assert(card("mean_doc_tokens") == 4.25)
+    // two equal sources → ln 2 (to the grain)
+    assert(math.abs(card("source_entropy") - math.log(2)) < 1e-6, card.toString)
+    // single source → exactly 0 (p=1 → term ln 1 = 0)
+    val one = TextStats.corpusCard(d.withColumn("src", lit("only")),
+      "text", "id", "src").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(one("source_entropy") == 0.0)
+  }
+
   test("corpus snapshot diff and contamination overlap") {
     import graft.ops.Snapshot
     val before = Seq((0L, "alpha beta"), (1L, "gamma delta"), (2L, "epsilon zeta"))
