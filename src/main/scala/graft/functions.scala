@@ -230,4 +230,42 @@ object functions {
         "test" -> 0.1),
       salt: String = ""): DataFrame =
     graft.ops.Sampling.leakageSafeSplit(df, pairs, idCol, weights, salt)
+
+  /** Per-domain KL drift report over hashed unigram buckets. */
+  def klDivergenceReport(df: DataFrame, domainCol: String, textCol: String,
+      buckets: Int = 256, alpha: Double = 0.5): DataFrame =
+    graft.ops.Lm.klDivergenceReport(df, domainCol, textCol, buckets, alpha)
+
+  /** Snapshot diff by content hash: added/removed/changed/unchanged. */
+  def corpusDiff(before: DataFrame, after: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.ops.Snapshot.corpusDiff(before, after, idCol, textCol)
+
+  /** Corpus-level contamination overlap (benchmark windows inside the
+    * corpus).
+    */
+  def overlapReport(corpus: DataFrame, bench: DataFrame, textCol: String,
+      window: Int = 5): DataFrame =
+    graft.ops.Snapshot.overlapReport(corpus, bench, textCol, window)
+
+  /** Domain boilerplate-line removal (doc-frequency header/footer rule). */
+  def removeBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
+      domainCol: String, minDocs: Int = 3, minDocFrac: Double = 0.2,
+      delim: String = "\n"): DataFrame =
+    graft.ops.Dedup.removeBoilerplateLines(df, textCol, idCol, domainCol,
+      minDocs, minDocFrac, delim)
+
+  /** Perceptual image hashes (aHash + dHash) for image near-dup. */
+  def imageHashes(media: DataFrame, batchSize: Int = 256): DataFrame =
+    graft.ops.Multimodal.imageHashes(media, batchSize)
+
+  /** Pigeonhole hamming pairs over any 64-bit signature column. */
+  def hammingPairs64(sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame =
+    graft.ops.Dedup.hammingPairs64(sigs, idCol, sigCol, maxHamming, maxBucket)
+
+  /** Corpus datasheet card: (metric, value) release-note summary. */
+  def corpusCard(df: DataFrame, textCol: String, idCol: String,
+      sourceCol: String): DataFrame =
+    graft.ops.TextStats.corpusCard(df, textCol, idCol, sourceCol)
 }
