@@ -1782,8 +1782,10 @@ object SparkEntry {
   /** Fingerprint windowing oracle: the count and distinct-count of rolling
     * 5-token window hashes must equal DuckDB's count of the window *token
     * sequences* themselves — verifying the windowing logic and that the
-    * 64-bit hash is collision-free on the corpus. The min-hash value
-    * itself (q_fingerprint) has no SQL equivalent and stays rows-only.
+    * 64-bit hash is collision-free on the corpus. q_fingerprint itself is
+    * ALSO fully oracled (r8): the FNV-1a token hashes, the 31-polynomial
+    * rolling windows and the signed min all replay in DuckDB HUGEINT
+    * mod-2⁶⁴ arithmetic — the same technique the simhash oracle proved.
     */
   private def qFpCard(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(t(dir, "documents"))
@@ -3803,6 +3805,49 @@ object SparkEntry {
         |   CAST(43 AS BIGINT), upper(hex('<html><body>Hello &amp; crawl</body></html>'::BLOB)))
         |) AS t(url, http_status, http_content_type, body_bytes, body_hex)
         |ORDER BY url""".stripMargin,
+    // the minimized hash VALUE itself: FNV-1a per token (UTF-16 units,
+    // BMP corpus — the simhash oracle's documented caveat), 31-poly
+    // rolling 5-windows, SIGNED 64-bit min; short docs fall back to the
+    // whole-doc fold, surfaced as a single-candidate list so one
+    // signed-min expression covers both branches
+    "q_fingerprint" ->
+      """WITH rawtoks AS (
+        |  SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS raw
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN raw[-1] = '' THEN raw[:-1] ELSE raw END AS t
+        |  FROM rawtoks),
+        |tokhash AS (
+        |  SELECT doc_id, text,
+        |    [ list_reduce(
+        |        list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |          [CAST(unicode(tok[i]) AS HUGEINT) FOR i IN range(1, len(tok)+1)]),
+        |        (h, c) -> (xor(h, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))
+        |      FOR tok IN t ] AS hs
+        |  FROM toks),
+        |wins AS (
+        |  SELECT doc_id, text, hs,
+        |    CASE WHEN len(hs) < 5 THEN []
+        |    ELSE [ list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT), hs[i:i+4]),
+        |             (w, h) -> (w * 31 + h) % CAST('18446744073709551616' AS HUGEINT))
+        |           FOR i IN range(1, len(hs) - 3) ]
+        |    END AS ws
+        |  FROM tokhash),
+        |cands AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(ws) = 0 THEN
+        |      [ list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT), hs),
+        |          (a, h) -> (a * 31 + h) % CAST('18446744073709551616' AS HUGEINT)) ]
+        |    ELSE ws END AS cand
+        |  FROM wins)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+        |    list_min([ CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+        |               THEN u - CAST('18446744073709551616' AS HUGEINT)
+        |               ELSE u END FOR u IN cand ])
+        |  END AS BIGINT) AS fp
+        |FROM cands ORDER BY doc_id""".stripMargin,
     "q_fp_card" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |ws AS (SELECT doc_id,
