@@ -295,6 +295,37 @@ object SparkEntry {
       .orderBy(col("term"))
   }
 
+  /** HLL registers built over a REAL micro-batched stream (4 chunks
+    * through a complete-mode MAX aggregation — state is the 2^p
+    * register table, never the value space), then the estimate. The
+    * oracle rebuilds registers + estimate relationally from the batch
+    * corpus: the stream must land on identical registers or the
+    * integer `s_scaled` diverges.
+    */
+  private def qStreamHll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = s.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val sdf = ms.toDF().toDF("doc_id", "text")
+    val qname = "graft_stream_hll"
+    s.catalog.dropTempView(qname)
+    val toks = sdf.select(
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val q = graft.ops.Hll.hllRegisters(toks, "tok")
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("complete").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    graft.ops.Hll.hllEstimate(s.table(qname))
+  }
+
   private def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // fed in content-hash order so any NATURAL duplicate texts in the
@@ -952,6 +983,15 @@ object SparkEntry {
       .select(col("term"), col("est_h1"), col("est_h2"), col("est"))
       .orderBy(col("term"))
   }
+
+  /** Metadata validation: per source, agreement between the recorded
+    * `lang` column and the langId prediction. Oracle: q_langid's
+    * 11-language CASE per doc, compared to the metadata and rolled up.
+    */
+  private def qLangAgree(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextStats.langAgreementReport(
+        s.read.parquet(t(dir, "documents")), "text", "lang", "source")
+      .orderBy(col("group"))
 
   /** Corpus datasheet card: the release-note one-table summary
     * (volumes, dup fraction, length stats, source-mix entropy). Every
@@ -2040,6 +2080,7 @@ object SparkEntry {
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_boilerplate" -> (qBoilerplate _),
     "q_corpus_card" -> (qCorpusCard _),
+    "q_lang_agree" -> (qLangAgree _),
     "q_overlap" -> (qOverlap _),
     "q_chunk" -> (qChunk _),
     "q_sample_strat" -> (qSampleStrat _),
@@ -2048,6 +2089,7 @@ object SparkEntry {
     "q_stream_counts" -> (qStreamCounts _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_cms" -> (qStreamCms _),
+    "q_stream_hll" -> (qStreamHll _),
     "q_stream_neardup" -> (qStreamNeardup _),
     "q_dict_read" -> (qDictRead _),
     "q_dict_optimize" -> (qDictOptimize _),
@@ -2251,6 +2293,41 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE md5(CAST(lang AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) || 's2') < '40000000'
         |ORDER BY doc_id""".stripMargin,
+    // q_langid's 11-language + script-tier CASE per doc, compared to
+    // the metadata lang and rolled up per source
+    "q_lang_agree" ->
+      """WITH s AS (
+        |  SELECT source, lang,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+        |    len(regexp_extract_all(text, '[一-龥]')) AS cjk,
+        |    len(regexp_extract_all(lower(text), '[а-яё]')) AS cyr,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['the','a','of','to','and','is','in'])) s_en,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['el','la','de','que','y','los','una'])) s_es,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['le','la','les','et','un','des','que'])) s_fr,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['der','die','das','und','ist','ein','nicht'])) s_de,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['o','os','uma','não','com','por','são'])) s_pt,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['il','che','di','per','sono','della','gli'])) s_it,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['het','een','van','niet','zijn','met','voor'])) s_nl,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['ir','yra','kad','tai','kaip','bet','buvo'])) s_lt
+        |  FROM documents),
+        |g AS (SELECT *, greatest(s_en, s_es, s_fr, s_de, s_pt, s_it, s_nl, s_lt) AS m FROM s),
+        |pred AS (SELECT source, lang,
+        |  CASE WHEN cjk * 4 >= nonspace AND cjk > 0 THEN 'zh'
+        |       WHEN cyr * 4 >= nonspace AND cyr > 0 THEN 'ru'
+        |       WHEN m = 0 THEN 'und'
+        |       WHEN s_en = m THEN 'en'
+        |       WHEN s_es = m THEN 'es'
+        |       WHEN s_fr = m THEN 'fr'
+        |       WHEN s_de = m THEN 'de'
+        |       WHEN s_pt = m THEN 'pt'
+        |       WHEN s_it = m THEN 'it'
+        |       WHEN s_nl = m THEN 'nl'
+        |       ELSE 'lt' END AS lang_pred
+        |  FROM g)
+        |SELECT source AS "group", CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        |  round(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS agree_frac
+        |FROM pred GROUP BY source ORDER BY "group"""".stripMargin,
     // same ws-token rule, same md5 distinct, same grained entropy terms
     "q_corpus_card" ->
       """WITH s AS (SELECT
@@ -2875,6 +2952,26 @@ object SparkEntry {
         |  CAST(h2.est_h2 AS BIGINT) AS est_h2, CAST(a.est AS BIGINT) AS est
         |FROM est_all a JOIN est_h1 h1 USING (term) JOIN est_h2 h2 USING (term)
         |ORDER BY term""".stripMargin,
+    // the STREAMED registers must equal the relational whole-corpus
+    // rebuild exactly — integer register math, so the hash gate is exact
+    "q_stream_hll" ->
+      """WITH tk AS (SELECT t FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |h AS (SELECT ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tk),
+        |r AS (SELECT h % 4096 AS register,
+        |    CASE WHEN h // 4096 = 0 THEN 49 ELSE 49 - length(bin(h // 4096)) END AS rank
+        |  FROM h),
+        |regs AS (SELECT register, max(rank) AS m_j FROM r GROUP BY register),
+        |sums AS (SELECT CAST(4096 - count(*) AS BIGINT) AS v_empty,
+        |    CAST(sum((1::BIGINT) << (49 - m_j)) + (4096 - count(*)) * ((1::BIGINT) << 49) AS BIGINT) AS s_scaled
+        |  FROM regs)
+        |SELECT v_empty, s_scaled,
+        |  round(CASE WHEN v_empty > 0
+        |      AND 0.7213 / (1 + 1.079 / 4096) * 4096 * 4096 * 562949953421312.0 / s_scaled <= 2.5 * 4096
+        |    THEN 4096.0 * ln(4096.0 / v_empty)
+        |    ELSE 0.7213 / (1 + 1.079 / 4096) * 4096 * 4096 * 562949953421312.0 / s_scaled END, 4) AS est
+        |FROM sums""".stripMargin,
     // HLL registers rebuilt relationally: 60-bit md5 value hash, low-12
     // register split via exact integer //, rank via bin() string length
     // (no float log2 edges); the scaled register sum is EXACT integer

@@ -570,6 +570,22 @@ object TextStats {
     }
   }
 
+  /** Metadata-validation report: per group (source, crawl, shard…),
+    * how often the recorded language label agrees with the [[langId]]
+    * prediction — the standard screen for mislabeled or
+    * machine-translated segments before trusting upstream metadata.
+    * Output: (group, n_docs, n_agree, agree_frac round-6). One
+    * scan-local kernel + one groupBy.
+    */
+  def langAgreementReport(df: DataFrame, textCol: String, langCol: String,
+      groupCol: String): DataFrame =
+    df.select(col(groupCol).as("group"),
+        (langId(col(textCol)) === col(langCol)).cast("long").as("__agree"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__agree")).as("n_agree"))
+      .withColumn("agree_frac",
+        round(col("n_agree").cast("double") / col("n_docs"), 6))
+
   /** Corpus datasheet card — the one-table summary a dataset release
     * ships (Datasheets for Datasets, Gebru et al. 2021): document and
     * token volume, exact-dup fraction, mean document length, short-doc
