@@ -94,7 +94,11 @@ object Hll {
     val scale = math.pow(2.0, width + 1) // 2^(width+1) as exact double
     registers
       .agg(count(lit(1)).as("__nz"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${width + 1} - m_j)")).as("__s_nz"))
+        // coalesce: an EMPTY register table (empty corpus / all-blank
+        // shard) must yield s_scaled = m·2^(w+1) and est 0 via linear
+        // counting, not a null that poisons the arithmetic
+        coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${width + 1} - m_j)")),
+          lit(0L)).as("__s_nz"))
       .select(
         (lit(mm) - col("__nz")).cast("long").as("v_empty"),
         (col("__s_nz") + (lit(mm.toLong) - col("__nz")) * lit(1L << (width + 1)))

@@ -13,7 +13,9 @@ object Snapshot {
     * appears in either snapshot, `status` ∈ added / removed / changed /
     * unchanged. The full outer join moves only (id, md5) projections —
     * text never shuffles, so diffing 100 TB costs two narrow scans +
-    * one id-keyed join.
+    * one id-keyed join. Precondition: `idCol` is unique within each
+    * snapshot (the usual corpus invariant — run [[Dedup.exact]] first
+    * if ids can repeat; duplicate ids would multiply through the join).
     */
   def corpusDiff(before: DataFrame, after: DataFrame, idCol: String,
       textCol: String): DataFrame = {

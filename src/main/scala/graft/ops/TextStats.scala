@@ -616,13 +616,16 @@ object TextStats {
       .select(floor(col("__p") * log(col("__p")) * lit(-1e9)).cast("long").as("t9"))
       .agg(round(sum(col("t9")) / lit(1e9), 6).as("source_entropy"))
     val s = scalars.crossJoin(srcEntropy)
+    // ratio metrics report 0.0 on an empty corpus instead of null/NaN
+    def ratio(c: Column): Column =
+      when(col("n_docs") === 0, lit(0.0)).otherwise(round(c, 6))
     val rows = Seq(
       ("n_docs", col("n_docs").cast("double")),
-      ("n_tokens", col("n_tokens").cast("double")),
-      ("dup_frac", round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6)),
-      ("mean_doc_tokens", round(col("n_tokens").cast("double") / col("n_docs"), 6)),
-      ("short_doc_frac", round(col("n_short").cast("double") / col("n_docs"), 6)),
-      ("source_entropy", col("source_entropy")))
+      ("n_tokens", coalesce(col("n_tokens"), lit(0L)).cast("double")),
+      ("dup_frac", ratio(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"))),
+      ("mean_doc_tokens", ratio(col("n_tokens").cast("double") / col("n_docs"))),
+      ("short_doc_frac", ratio(col("n_short").cast("double") / col("n_docs"))),
+      ("source_entropy", coalesce(col("source_entropy"), lit(0.0))))
     s.select(explode(array(rows.map { case (m, v) =>
         struct(lit(m).as("metric"), v.as("value")) }: _*)).as("kv"))
       .select(col("kv.metric").as("metric"), col("kv.value").as("value"))

@@ -1586,6 +1586,18 @@ class OpsSpec extends AnyFunSuite {
     val one = TextStats.corpusCard(d.withColumn("src", lit("only")),
       "text", "id", "src").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(one("source_entropy") == 0.0)
+    // empty corpus: all-zero card, no null/NaN
+    val empty = TextStats.corpusCard(d.filter(lit(false)), "text", "id", "src")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(empty.values.forall(v => v == 0.0), empty.toString)
+  }
+
+  test("hll estimate on an empty corpus: linear counting gives 0, not null") {
+    import graft.ops.Hll
+    val none = Seq.empty[String].toDF("v")
+    val r = Hll.hllCountDistinct(none, "v").collect().head
+    assert(r.getLong(0) == 4096 && !r.isNullAt(2) && r.getDouble(2) == 0.0,
+      r.toString)
   }
 
   test("corpus snapshot diff and contamination overlap") {
