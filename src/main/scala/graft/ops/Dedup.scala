@@ -319,24 +319,72 @@ object Dedup {
     * cluster id (exact transitive clustering, vs the keep-smallest
     * approximation of [[dropNearDuplicates]]).
     *
-    * Distributed min-label propagation: per round, each node takes the
-    * minimum label over itself and its neighbors, then labels are
-    * compacted through their current label (pointer-jumping) — the
-    * compaction step collapses chains in O(log diameter) rounds instead of
-    * O(diameter). All state lives in DataFrames keyed by node id; lineage
-    * is truncated every round with localCheckpoint so plans stay flat over
-    * arbitrarily many rounds (on a cluster prefer `checkpoint` with a
-    * checkpoint dir for fault tolerance). Dedup graphs are near-cliques,
-    * so rounds ≈ 2-3 in practice.
+    * HYBRID execution (the [[graft.ops.Similarity.ivfFit]] bounded-
+    * driver convention): the pair relation is the near-dup MINORITY of
+    * the corpus — frequently small in absolute terms even at large
+    * corpus scale — and label propagation over a small graph still pays
+    * several Spark jobs per round of fixed overhead. At or below
+    * `driverThreshold` pairs (default 10⁶ ≈ tens of MB collected) the
+    * components compute as a driver-side union-find and broadcast back;
+    * above it, the distributed path runs unchanged. Both produce the
+    * IDENTICAL (id, min-reachable-id) labeling — pinned by the same
+    * oracle and a threshold-forced equality test.
+    *
+    * Distributed path: per round, each node takes the minimum label over
+    * itself and its neighbors, then labels are compacted through their
+    * current label (pointer-jumping) — the compaction step collapses
+    * chains in O(log diameter) rounds instead of O(diameter). All state
+    * lives in DataFrames keyed by node id; lineage is truncated every
+    * round with localCheckpoint so plans stay flat over arbitrarily many
+    * rounds (on a cluster prefer `checkpoint` with a checkpoint dir for
+    * fault tolerance). Dedup graphs are near-cliques, so rounds ≈ 2-3 in
+    * practice.
     *
     * Output: (id, cluster) — one row per node that appears in `pairs`.
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 25,
+      driverThreshold: Long = 1000000L): DataFrame = {
     // persist the pair relation BEFORE the union: both direction branches
     // (and every propagation round) would otherwise replay the upstream
     // pair-generation join — typically the expensive part
     val p = pairs.select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = p.count() // also materializes the persist up front
+    if (nPairs <= driverThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val edges = p.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .as[(Long, Long)].collect()
+      p.unpersist()
+      // union-find with path halving; representative re-derived as the
+      // component MIN afterwards so the labeling matches the distributed
+      // min-propagation exactly
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var px = parent.getOrDefault(x, x)
+        while (px != x) {
+          val ppx = parent.getOrDefault(px, px)
+          parent.put(x, ppx)
+          x = ppx
+          px = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      edges.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+      val minOf = new java.util.HashMap[Long, Long]()
+      nodes.foreach { n =>
+        val r = find(n)
+        val cur = minOf.getOrDefault(r, Long.MaxValue)
+        if (n < cur) minOf.put(r, n)
+      }
+      return nodes.map(n => (n, minOf.get(find(n)))).toSeq
+        .toDF("id", "label")
+    }
     // No distinct() on the symmetric union: pair generation emits unique
     // id_a < id_b rows so the union has no duplicates, and min-label
     // propagation is insensitive to duplicate edges anyway — a distinct

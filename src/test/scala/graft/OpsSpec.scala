@@ -187,6 +187,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("clusters: driver union-find and distributed propagation agree") {
+    // a 300-edge random graph with chains, cliques and reverse-ordered
+    // edges: force BOTH paths over the same pairs via the threshold knob
+    val rnd = new scala.util.Random(23)
+    val edges = ((0 until 150).map { i =>
+      val a = rnd.nextInt(200).toLong; val b = rnd.nextInt(200).toLong
+      (math.max(a, b) + 1, math.min(a, b)) // id_a > id_b: reverse order too
+    } ++ (0 until 150).map { i =>
+      (1000L + i, 1000L + i + 1) // one long chain (propagation stress)
+    }).toDF("id_a", "id_b")
+    val viaDriver = Dedup.clusters(edges, driverThreshold = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaDistributed = Dedup.clusters(edges, driverThreshold = -1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaDriver == viaDistributed)
+    // the 151-node chain collapses to its min
+    assert((1000L to 1150L).forall(n => viaDriver(n) == 1000L))
+  }
+
   test("simhash near-dup pairs: banding finds exactly the hamming<=3 pairs") {
     // brute-force ground truth from the signature column itself
     val sigs = docs.select($"doc_id", Dedup.simhash64($"text").as("sig"))
