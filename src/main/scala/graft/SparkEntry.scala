@@ -799,8 +799,11 @@ object SparkEntry {
         k = 2, ivf, probe = 4)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
     val pq = Similarity.pqFit(emb, "embedding", "vec_id", m = 8, k = 16)
+    // persisted across the 8-query gate loop: each pqTopK otherwise
+    // replays the parquet scan + encode
     val withCodes = emb.select(col("vec_id"), col("embedding"),
-      Similarity.pqEncode(col("embedding"), pq).as("codes"))
+        Similarity.pqEncode(col("embedding"), pq).as("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qvecs = queries
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -822,6 +825,7 @@ object SparkEntry {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val agree = qvecs.count { case (qid, _) =>
       pqTop1.get(qid).contains(exactTop1(qid)) }
+    withCodes.unpersist(blocking = false)
     require(agree >= 6, s"IVF-PQ composition gate: PQ rank-1 agrees with " +
       s"exact kNN on only $agree of ${qvecs.length} queries " +
       s"(pq=$pqTop1 exact=$exactTop1)")
