@@ -832,25 +832,68 @@ object SparkEntry {
     exact.orderBy(col("query_id"), col("rank"))
   }
 
+  /** PQ ADC+rerank top-k — rows-only for the hash gate (candidate
+    * selection is approximate by construction), but the query
+    * `require`s the recall contract in-line: ≥ 8 of the true top-10
+    * (brute force, computed in the same query) must be retrieved.
+    */
   private def qKnnPq(s: SparkSession, dir: String): DataFrame = {
     val emb = s.read.parquet(t(dir, "embeddings"))
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
     val model = Similarity.pqFit(emb, "embedding", "vec_id", m = 8, k = 16)
-    Similarity.pqTopK(emb.filter(col("vec_id") =!= 0), "embedding", "vec_id",
-        q, k = 10, model, rerank = 100)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    // rerank scales with the corpus — ADC recall is a fraction, not an
+    // absolute count (the q_knn_compose lesson)
+    val rerankN = math.max(100, (emb.count() / 16).toInt)
+    val pq = Similarity.pqTopK(corpus, "embedding", "vec_id",
+        q, k = 10, model, rerank = rerankN)
       .select(col("id"), col("rank").cast("long").as("rank"))
-      .orderBy(col("rank"))
+    requireRecall("pq", pq, Similarity.bruteForceTopK(
+      corpus, "embedding", "vec_id", q, k = 10))
+    pq.orderBy(col("rank"))
   }
 
+  /** ≥8-of-10 overlap between an approximate top-k and the true top-k,
+    * computed inside the query run — the in-query recall contract of
+    * the two rows-only ANN gates.
+    */
+  private def requireRecall(name: String, approx: DataFrame,
+      brute: DataFrame): Unit = {
+    val got = approx.select(col("id")).collect().map(_.getLong(0)).toSet
+    val truth = brute.select(col("id")).collect().map(_.getLong(0)).toSet
+    val recall = (got & truth).size
+    require(recall >= 8,
+      s"$name recall contract: only $recall of ${truth.size} true neighbors retrieved")
+  }
+
+  /** LSH top-k — rows-only for the hash gate (bucketed candidates are
+    * approximate by construction), but the query `require`s the
+    * ≥8-of-10 recall contract in-line against brute force. The corpus
+    * gets a planted 20-vector near-dup cluster around the query (one
+    * coordinate negated each, cosine ≈ 0.97) — the clustered regime
+    * LSH is actually deployed for; on the raw isotropic embeddings no
+    * honest recall promise exists (the OpsSpec recall property makes
+    * the same distinction).
+    */
   private def qKnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = s.read.parquet(t(dir, "embeddings"))
-    val q = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
-    Similarity.lshTopK(emb.filter(col("vec_id") =!= 0), "embedding", "vec_id",
+    val q0 = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("e"))
+    val q = q0.head().getSeq[Double](0).toArray
+    val planted = q0.select(explode(sequence(lit(1), lit(20))).as("i"), col("e"))
+      .select((lit(20000L) + col("i")).as("vec_id"),
+        transform(col("e"), (x, idx) => when(idx === col("i"), -x).otherwise(x))
+          .as("embedding"))
+    val corpus = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(planted)
+    val lsh = Similarity.lshTopK(corpus, "embedding", "vec_id",
         q, k = 10, dim = 64, nPlanes = 16, probeHamming = 4)
       .select(col("id"), col("rank").cast("long").as("rank"))
-      .orderBy(col("rank"))
+    requireRecall("lsh", lsh, Similarity.bruteForceTopK(
+      corpus, "embedding", "vec_id", q, k = 10))
+    lsh.orderBy(col("rank"))
   }
 
   // training-data pipeline: text analysis
@@ -1635,9 +1678,12 @@ object SparkEntry {
     * cosine ≈ 0.97 to the original): cluster semantically, drop
     * within-cluster pairs ≥ τ keeping the min id. Approximate by
     * construction (a copy landing in a different cluster than its
-    * original survives — the SemDeDup trade), so rows-only; the exact
-    * drop-set contract given the model's own assignments is pinned by
-    * the OpsSpec brute-force test.
+    * original survives — the SemDeDup trade), so rows-only for the
+    * hash gate — but the query itself `require`s the soundness half:
+    * EVERY dropped vector has a smaller-id vector at cosine ≥ τ (no
+    * unjustified drop can pass), and at least one planted copy was
+    * caught. The exact drop-set contract given the model's own
+    * assignments is pinned by the OpsSpec brute-force test.
     */
   private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
     val emb = s.read.parquet(t(dir, "embeddings"))
@@ -1645,9 +1691,33 @@ object SparkEntry {
     val copies = emb.filter(col("vec_id") % 4 === 0)
       .select((col("vec_id") + 10000).as("vec_id"),
         transform(col("embedding"), (x, i) => when(i === 0, -x).otherwise(x)).as("embedding"))
-    graft.ops.Dedup.semDedup(emb.union(copies), "embedding", "vec_id",
+    val all = emb.union(copies)
+    // persisted: the survivor set feeds the soundness probe AND the
+    // returned result — without it the whole semDedup pipeline executes
+    // twice
+    val surv = graft.ops.Dedup.semDedup(all, "embedding", "vec_id",
         nClusters = 16, tau = 0.9)
-      .select(col("vec_id")).orderBy(col("vec_id"))
+      .select(col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropped = all.join(surv, Seq("vec_id"), "left_anti")
+    // soundness on a deterministic 1-in-7 sample of the drops (the
+    // all-pairs check is O(|drops|·|corpus|) cosines — sampling keeps
+    // the per-round bench cost flat while any systematic unjustified
+    // drop still trips it): a dropped vector must have a smaller-id ≥τ
+    // partner (its keeper, possibly itself dropped by an even smaller
+    // one). Broadcast NLJ, ids+vectors only.
+    val probe = dropped.filter(col("vec_id") % 7 === 0)
+    val nProbe = probe.count()
+    val partnered = probe.as("d").join(
+        broadcast(all.select(col("vec_id").as("o_id"), col("embedding").as("o_emb"))),
+        col("o_id") < col("d.vec_id") &&
+          Similarity.cosine(col("d.embedding"), col("o_emb")) >= 0.9,
+        "left_semi")
+      .count()
+    require(partnered == nProbe,
+      s"semdedup soundness: ${nProbe - partnered} of $nProbe probed drops have no >=tau smaller-id partner")
+    require(nProbe > 0, "semdedup: planted copies produced no drops")
+    surv.orderBy(col("vec_id"))
   }
 
   /** BPE tokenizer fit + encode with oracle-checked conservation
