@@ -1716,7 +1716,10 @@ object SparkEntry {
       .count()
     require(partnered == nProbe,
       s"semdedup soundness: ${nProbe - partnered} of $nProbe probed drops have no >=tau smaller-id partner")
-    require(nProbe > 0, "semdedup: planted copies produced no drops")
+    // drops-exist on the FULL drop set, not the probe — at tiny SFs the
+    // 1-in-7 probe can legitimately be empty while drops exist
+    require(dropped.limit(1).count() == 1,
+      "semdedup: planted copies produced no drops")
     surv.orderBy(col("vec_id"))
   }
 
