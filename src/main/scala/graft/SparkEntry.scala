@@ -1040,6 +1040,30 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "text", "lang", "source")
       .orderBy(col("group"))
 
+  /** Histogram sketch over ws-token counts, sharded: parity shards
+    * sketch independently, merge counter-wise (linear — merged must
+    * equal the oracle's whole-corpus rebuild), median estimated from
+    * the merged histogram next to the exact percentile for visible
+    * sketch error. Every number replays relationally.
+    */
+  private def qHist(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketch
+    val docs = s.read.parquet(t(dir, "documents"))
+    val toks = docs.select(col("doc_id"),
+      graft.ops.TextStats.wsTokens(col("text")).cast("double").as("v"))
+    val h1 = Sketch.histTable(toks.filter(col("doc_id") % 2 === 0), "v", 0, 4096, 256)
+    val h2 = Sketch.histTable(toks.filter(col("doc_id") % 2 === 1), "v", 0, 4096, 256)
+    val merged = Sketch.histMerge(h1, h2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val est = Sketch.histQuantile(merged, 0.5, 0, 4096, 256)
+      .select(col("n_in_range"), col("est").as("est_p50"))
+    val uo = merged.agg(
+      coalesce(sum(when(col("bucket") === -1, col("c"))), lit(0L)).as("n_under"),
+      coalesce(sum(when(col("bucket") === 256, col("c"))), lit(0L)).as("n_over"))
+    val exact = toks.agg(round(percentile(col("v"), lit(0.5)), 6).as("exact_p50"))
+    est.crossJoin(uo).crossJoin(exact)
+  }
+
   /** Corpus datasheet card: the release-note one-table summary
     * (volumes, dup fraction, length stats, source-mix entropy). Every
     * metric replays relationally — entropy through the grained-term
@@ -2158,6 +2182,7 @@ object SparkEntry {
     "q_boilerplate" -> (qBoilerplate _),
     "q_corpus_card" -> (qCorpusCard _),
     "q_lang_agree" -> (qLangAgree _),
+    "q_hist" -> (qHist _),
     "q_overlap" -> (qOverlap _),
     "q_chunk" -> (qChunk _),
     "q_sample_strat" -> (qSampleStrat _),
@@ -2370,6 +2395,28 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE md5(CAST(lang AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) || 's2') < '40000000'
         |ORDER BY doc_id""".stripMargin,
+    // same bucket rule, same nearest-rank + in-bucket interpolation,
+    // exact percentile via quantile_cont (matches Spark percentile)
+    "q_hist" ->
+      """WITH v AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END::DOUBLE AS v
+        |  FROM documents),
+        |b AS (SELECT CASE WHEN v < 0 THEN -1 WHEN v >= 4096 THEN 256
+        |    ELSE CAST(floor((v - 0.0) / 16.0) AS INT) END AS bucket FROM v),
+        |h AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
+        |inr AS (SELECT bucket, c,
+        |    coalesce(sum(c) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+        |    sum(c) OVER () AS n
+        |  FROM h WHERE bucket >= 0 AND bucket < 256),
+        |q AS (SELECT CAST(n AS BIGINT) AS n_in_range,
+        |    round(0.0 + 16.0 * (bucket + (CAST(ceil(0.5 * n) AS BIGINT) - cum_before)::DOUBLE / c), 6) AS est_p50
+        |  FROM inr
+        |  WHERE cum_before < ceil(0.5 * n) AND cum_before + c >= ceil(0.5 * n)),
+        |uo AS (SELECT CAST(coalesce(sum(CASE WHEN bucket = -1 THEN c END), 0) AS BIGINT) AS n_under,
+        |       CAST(coalesce(sum(CASE WHEN bucket = 256 THEN c END), 0) AS BIGINT) AS n_over FROM h),
+        |ex AS (SELECT round(quantile_cont(v, 0.5), 6) AS exact_p50 FROM v)
+        |SELECT q.n_in_range, uo.n_under, uo.n_over, q.est_p50, ex.exact_p50
+        |FROM q, uo, ex""".stripMargin,
     // q_langid's 11-language + script-tier CASE per doc, compared to
     // the metadata lang and rolled up per source
     "q_lang_agree" ->

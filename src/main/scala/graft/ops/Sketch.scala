@@ -81,6 +81,71 @@ object Sketch {
       .agg(sum(col("c")).as("c"))
   }
 
+  /** Equi-width histogram sketch over a numeric column — the
+    * distribution companion to the CMS (frequency) and HLL
+    * (cardinality) sketches: `buckets` counters over [lo, hi) plus
+    * explicit underflow (-1) and overflow (`buckets`) rows. Like the
+    * other sketches it is LINEAR (shards merge by summing counters,
+    * exactly equal to sketching the whole corpus), streams as a
+    * bounded-state aggregation, and is deterministic: the bucket index
+    * is `floor((v − lo) / width)` in plain IEEE arithmetic, replayable
+    * in SQL.
+    */
+  def histTable(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1 && hi > lo, s"histTable: bad range/buckets $lo/$hi/$buckets")
+    val width = (hi - lo) / buckets
+    val v = col(valueCol).cast("double")
+    df.select(
+        when(v < lo, lit(-1))
+          .when(v >= hi, lit(buckets))
+          .otherwise(floor((v - lit(lo)) / lit(width)).cast("int"))
+          .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Merge independently-built histogram tables (same lo/hi/buckets):
+    * counter-wise sum — exact, like [[cmsMerge]].
+    */
+  def histMerge(tables: DataFrame*): DataFrame = {
+    require(tables.nonEmpty, "histMerge: no histogram tables")
+    tables.reduce(_ unionByName _)
+      .groupBy(col("bucket"))
+      .agg(sum(col("c")).as("c"))
+  }
+
+  /** Quantile estimate from a histogram table: nearest-rank target
+    * r = ceil(q·N) over the IN-RANGE values (under/overflow counts are
+    * reported by the caller, not interpolated — their exact values are
+    * unknown to the sketch), then linear interpolation inside the
+    * target bucket: est = lo + width·(b + (r − cumBefore)/c_b),
+    * round-6. One |buckets|-row window pass; deterministic and
+    * SQL-replayable. Returns one row (n_in_range, est); est is null on
+    * an empty in-range histogram.
+    */
+  def histQuantile(hist: DataFrame, q: Double, lo: Double, hi: Double,
+      buckets: Int): DataFrame = {
+    require(q > 0 && q <= 1, s"histQuantile: q out of (0,1]: $q")
+    val width = (hi - lo) / buckets
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      .orderBy(col("bucket"))
+      .rowsBetween(Long.MinValue, -1)
+    val inRange = hist.filter(col("bucket") >= 0 && col("bucket") < buckets)
+    inRange
+      .withColumn("__cum_before", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("__n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+          .rowsBetween(Long.MinValue, Long.MaxValue)))
+      .withColumn("__r", ceil(lit(q) * col("__n")).cast("long"))
+      .filter(col("__cum_before") < col("__r") &&
+        col("__cum_before") + col("c") >= col("__r"))
+      .select(col("__n").as("n_in_range"),
+        round(lit(lo) + lit(width) * (col("bucket") +
+          (col("__r") - col("__cum_before")).cast("double") / col("c")), 6)
+          .as("est"))
+  }
+
   /** Probe a (materialized) sketch table for `terms`: d driver-computed
     * (j, bucket) probes per term broadcast against the d×w counters;
     * min across rows, absent counters read as 0.

@@ -1611,6 +1611,32 @@ class OpsSpec extends AnyFunSuite {
     assert(empty.values.forall(v => v == 0.0), empty.toString)
   }
 
+  test("histogram sketch: bucketing edges, merge linearity, quantile accuracy") {
+    import graft.ops.Sketch
+    val vals = ((1 to 100).map(_.toDouble) ++ Seq(-5.0, 250.0)).toDF("v")
+    // lo=0 hi=200 buckets=20 → width 10; -5 underflows, 250 overflows
+    val h = Sketch.histTable(vals, "v", 0, 200, 20)
+    val m = h.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(m(-1) == 1 && m(20) == 1)
+    assert(m(0) == 9)  // 1..9 (10 goes to bucket 1 — floor(10/10)=1)
+    assert(m(1) == 10) // 10..19
+    assert(m.filterKeys(k => k >= 0 && k < 20).values.sum == 100)
+    // merge linearity: parity shards sum to the whole
+    val h1 = Sketch.histTable(vals.filter(col("v").cast("int") % 2 === 0), "v", 0, 200, 20)
+    val h2 = Sketch.histTable(vals.filter(col("v").cast("int") % 2 =!= 0), "v", 0, 200, 20)
+    val merged = Sketch.histMerge(h1, h2).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(merged == m)
+    // median of 1..100 (in-range): nearest rank 50 → inside bucket 4
+    // (values 40..49, cum_before 39): est = 40 + 10*(50-39)/10? bucket 4
+    // holds 40..49 → est = 0 + 10*(4 + (50-39)/10) = 51.0
+    val q = Sketch.histQuantile(h, 0.5, 0, 200, 20).collect().head
+    assert(q.getLong(0) == 100)
+    assert(math.abs(q.getDouble(1) - 51.0) < 1e-9, q.toString)
+    // the estimate lands within one bucket width of the exact median
+    assert(math.abs(q.getDouble(1) - 50.5) <= 10.0)
+  }
+
   test("hll estimate on an empty corpus: linear counting gives 0, not null") {
     import graft.ops.Hll
     val none = Seq.empty[String].toDF("v")
