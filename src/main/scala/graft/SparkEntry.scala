@@ -1064,6 +1064,16 @@ object SparkEntry {
     est.crossJoin(uo).crossJoin(exact)
   }
 
+  /** Key-skew report over the orders fact's customer key — the
+    * pre-shuffle observability gate: heavy keys + the corpus skew
+    * profile (max/mean/p50/p99 group sizes), every number replayed
+    * relationally by the oracle with the identical tie-break.
+    */
+  private def qSkew(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.skewReport(
+      s.read.parquet(t(dir, "orders")), "o_custkey", topK = 10)
+      .orderBy(col("rank"))
+
   /** Corpus datasheet card: the release-note one-table summary
     * (volumes, dup fraction, length stats, source-mix entropy). Every
     * metric replays relationally — entropy through the grained-term
@@ -2183,6 +2193,7 @@ object SparkEntry {
     "q_corpus_card" -> (qCorpusCard _),
     "q_lang_agree" -> (qLangAgree _),
     "q_hist" -> (qHist _),
+    "q_skew" -> (qSkew _),
     "q_overlap" -> (qOverlap _),
     "q_chunk" -> (qChunk _),
     "q_sample_strat" -> (qSampleStrat _),
@@ -2417,6 +2428,24 @@ object SparkEntry {
         |ex AS (SELECT round(quantile_cont(v, 0.5), 6) AS exact_p50 FROM v)
         |SELECT q.n_in_range, uo.n_under, uo.n_over, q.est_p50, ex.exact_p50
         |FROM q, uo, ex""".stripMargin,
+    // same per-key counts, same stats, same (c DESC, key ASC) tie-break
+    "q_skew" ->
+      """WITH counts AS (SELECT coalesce(CAST(o_custkey AS VARCHAR), '<null>') AS key,
+        |    count(*) AS c FROM orders GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(c) AS BIGINT) AS n_rows, CAST(max(c) AS BIGINT) AS max_rows,
+        |    round(avg(c), 6) AS mean_rows,
+        |    round(quantile_cont(c, 0.5), 6) AS p50_rows,
+        |    round(quantile_cont(c, 0.99), 6) AS p99_rows FROM counts),
+        |heavy AS (SELECT key, c,
+        |    CAST(row_number() OVER (ORDER BY c DESC, key) AS INT) AS rank
+        |  FROM counts ORDER BY c DESC, key LIMIT 10)
+        |SELECT heavy.rank, heavy.key, heavy.c,
+        |  round(heavy.c::DOUBLE / stats.n_rows, 6) AS share,
+        |  stats.n_keys, stats.n_rows, stats.max_rows, stats.mean_rows,
+        |  stats.p50_rows, stats.p99_rows,
+        |  round(stats.max_rows::DOUBLE / stats.mean_rows, 6) AS skew_ratio
+        |FROM heavy, stats ORDER BY heavy.rank""".stripMargin,
     // q_langid's 11-language + script-tier CASE per doc, compared to
     // the metadata lang and rolled up per source
     "q_lang_agree" ->

@@ -1637,6 +1637,30 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(q.getDouble(1) - 50.5) <= 10.0)
   }
 
+  test("skew report: heavy keys ranked, profile stats, null-key group") {
+    import graft.ops.Skew
+    // 50×"a", 10×"b", 5×null, 1 each of c..g → 8 key groups, 70 rows
+    val rows = (Seq.fill(50)("a") ++ Seq.fill(10)("b") ++
+      Seq.fill(5)(null.asInstanceOf[String]) ++ Seq("c", "d", "e", "f", "g"))
+    val df = rows.toDF("k")
+    val rep = Skew.skewReport(df, "k", topK = 3).orderBy(col("rank")).collect()
+    assert(rep.length == 3)
+    val top = rep.map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(top.toSeq == Seq((1, "a", 50L), (2, "b", 10L), (3, "<null>", 5L)))
+    val head = rep.head
+    assert(head.getLong(4) == 8L && head.getLong(5) == 70L) // n_keys, n_rows
+    assert(head.getLong(6) == 50L)                          // max_rows
+    assert(math.abs(head.getDouble(7) - 70.0 / 8) < 1e-4)   // mean_rows
+    assert(math.abs(head.getDouble(10) - 50.0 / head.getDouble(7)) < 1e-4)
+    assert(math.abs(head.getDouble(3) - 50.0 / 70) < 1e-4)  // share
+    // ties on count break by key string ascending — partition-stable
+    val tied = Seq("x", "y", "z").flatMap(k => Seq.fill(4)(k)).toDF("k")
+      .repartition(7)
+    val t = Skew.skewReport(tied, "k", topK = 2).orderBy(col("rank"))
+      .collect().map(_.getString(1)).toSeq
+    assert(t == Seq("x", "y"))
+  }
+
   test("hll estimate on an empty corpus: linear counting gives 0, not null") {
     import graft.ops.Hll
     val none = Seq.empty[String].toDF("v")

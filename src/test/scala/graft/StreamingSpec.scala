@@ -299,6 +299,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("histogram buckets from a streamed corpus equal batch: bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1 to 100).map(i => (i.toLong, i.toDouble)) ++
+      Seq((101L, -5.0), (102L, 250.0))
+    val stream = MemoryStream[(Long, Double)]
+    // the bucket table is an ordinary streaming aggregation: state is
+    // buckets+2 counters no matter how many values stream past
+    val query = graft.ops.Sketch.histTable(
+        stream.toDF().toDF("id", "v"), "v", 0, 200, 20)
+      .writeStream.format("memory").queryName("hist_stream")
+      .outputMode("complete").start()
+    try {
+      stream.addData(rows.take(50): _*)
+      query.processAllAvailable()
+      stream.addData(rows.drop(50): _*)
+      query.processAllAvailable()
+      def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val batch = graft.ops.Sketch.histTable(rows.toDF("id", "v"), "v", 0, 200, 20)
+      assert(m(spark.table("hist_stream")) == m(batch))
+      // and a quantile read off the streamed counters agrees exactly
+      val se = graft.ops.Sketch.histQuantile(
+        spark.table("hist_stream"), 0.5, 0, 200, 20).collect().head
+      val be = graft.ops.Sketch.histQuantile(batch, 0.5, 0, 200, 20)
+        .collect().head
+      assert(se == be)
+    } finally query.stop()
+  }
+
   test("hll registers from a streamed corpus equal batch: bounded 2^p state") {
     implicit val sqlCtx = spark.sqlContext
     val rows = (0 until 500).map(i => (i.toLong, s"tok$i tok${i % 50}"))
