@@ -150,7 +150,8 @@ object Bench {
       "q_gopher_rules", "q_domain_report", "q_url_dedup", "q_ngram_rep",
       "q_snapshot_diff", "q_overlap",
       "q_redact", "q_sample_topk", "q_cms", "q_cms_merge", "q_hll",
-      "q_split_safe", "q_lang_agree", "q_hist", "q_skew", "q_embed_trunc")
+      "q_split_safe", "q_lang_agree", "q_hist", "q_skew",
+      "q_cdc", "q_cdc_dedup", "q_embed_trunc")
 
     // The full timed unit for an op query includes clearCache so internal
     // persist() calls can't leak cached inputs into the next round.

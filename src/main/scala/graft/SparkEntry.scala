@@ -1064,6 +1064,37 @@ object SparkEntry {
     est.crossJoin(uo).crossJoin(exact)
   }
 
+  /** Content-defined chunk table (token-level Rabin CDC, window 5,
+    * divisor 64): per-doc chunk rows for the first 200 docs plus
+    * whole-corpus chunk totals. The oracle replays the FNV-1a token
+    * hashes, the 31-poly rolling windows, and the low-bits cut rule in
+    * HUGEINT mod-2^64 arithmetic (the q_fingerprint machinery), so
+    * every boundary decision is certified cross-engine.
+    */
+  private def qCdc(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val chunks = graft.ops.Dedup.cdcChunkTable(docs, "text", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val summary = chunks.agg(
+      count(lit(1)).as("n_chunks_total"),
+      count_distinct(col("chunk_md5")).as("n_distinct_total"))
+    chunks.filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"), col("chunk_md5"))
+      .crossJoin(summary)
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Chunk-granular dedup removal over CDC chunks: duplicated chunk
+    * content keeps its first (id, chunk_id) occurrence, docs rebuild
+    * from survivors, emptied docs drop. Rebuilt text certified by md5
+    * against the oracle's string_agg replay.
+    */
+  private def qCdcDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.cdcDedupDocs(
+        s.read.parquet(t(dir, "documents")), "text", "doc_id")
+      .select(col("doc_id"), col("n_chunks"), md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+
   /** Key-skew report over the orders fact's customer key — the
     * pre-shuffle observability gate: heavy keys + the corpus skew
     * profile (max/mean/p50/p99 group sizes), every number replayed
@@ -2194,6 +2225,8 @@ object SparkEntry {
     "q_lang_agree" -> (qLangAgree _),
     "q_hist" -> (qHist _),
     "q_skew" -> (qSkew _),
+    "q_cdc" -> (qCdc _),
+    "q_cdc_dedup" -> (qCdcDedup _),
     "q_overlap" -> (qOverlap _),
     "q_chunk" -> (qChunk _),
     "q_sample_strat" -> (qSampleStrat _),
@@ -2428,6 +2461,95 @@ object SparkEntry {
         |ex AS (SELECT round(quantile_cont(v, 0.5), 6) AS exact_p50 FROM v)
         |SELECT q.n_in_range, uo.n_under, uo.n_over, q.est_p50, ex.exact_p50
         |FROM q, uo, ex""".stripMargin,
+    // FNV-1a token hashes + 31-poly rolling windows + low-bits cut rule
+    // replayed in HUGEINT mod-2^64 (the q_fingerprint machinery); cuts
+    // after token i+4 when ws[i] % 64 = 0 and it isn't the last token
+    "q_cdc" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |th AS (
+        |  SELECT doc_id, t,
+        |    [ list_reduce(
+        |        list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |          [CAST(unicode(tok[i]) AS HUGEINT) FOR i IN range(1, len(tok)+1)]),
+        |        (h, c) -> (xor(h, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))
+        |      FOR tok IN t ] AS hs
+        |  FROM toks),
+        |wins AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN len(hs) < 5 THEN []
+        |    ELSE [ list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT), hs[i:i+4]),
+        |             (w, h) -> (w * 31 + h) % CAST('18446744073709551616' AS HUGEINT))
+        |           FOR i IN range(1, len(hs) - 3) ]
+        |    END AS ws
+        |  FROM th),
+        |b AS (
+        |  SELECT doc_id, t,
+        |    list_prepend(1, [c + 1 FOR c IN ce]) AS s,
+        |    list_append(ce, len(t)) AS e
+        |  FROM (SELECT doc_id, t,
+        |      [ i + 4 FOR i IN range(1, len(ws)+1) IF ws[i] % 64 = 0 AND i + 4 < len(t) ] AS ce
+        |    FROM wins)),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    unnest([ {'chunk_id': k - 1,
+        |              'n_tokens': e[k] - s[k] + 1,
+        |              'chunk_md5': md5(array_to_string(t[s[k]:e[k]], ' '))}
+        |      FOR k IN range(1, len(s)+1) ], recursive := true)
+        |  FROM b),
+        |summary AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_chunks_total,
+        |         CAST(count(DISTINCT chunk_md5) AS BIGINT) AS n_distinct_total
+        |  FROM chunks)
+        |SELECT c.doc_id, c.chunk_id, c.n_tokens, c.chunk_md5,
+        |       s.n_chunks_total, s.n_distinct_total
+        |FROM chunks c, summary s WHERE c.doc_id < 200
+        |ORDER BY c.doc_id, c.chunk_id""".stripMargin,
+    // same chunk replay; duplicated chunk content keeps its first
+    // (doc_id, chunk_id) occurrence, docs rebuild via ordered string_agg
+    "q_cdc_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |th AS (
+        |  SELECT doc_id, t,
+        |    [ list_reduce(
+        |        list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |          [CAST(unicode(tok[i]) AS HUGEINT) FOR i IN range(1, len(tok)+1)]),
+        |        (h, c) -> (xor(h, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))
+        |      FOR tok IN t ] AS hs
+        |  FROM toks),
+        |wins AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN len(hs) < 5 THEN []
+        |    ELSE [ list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT), hs[i:i+4]),
+        |             (w, h) -> (w * 31 + h) % CAST('18446744073709551616' AS HUGEINT))
+        |           FOR i IN range(1, len(hs) - 3) ]
+        |    END AS ws
+        |  FROM th),
+        |b AS (
+        |  SELECT doc_id, t,
+        |    list_prepend(1, [c + 1 FOR c IN ce]) AS s,
+        |    list_append(ce, len(t)) AS e
+        |  FROM (SELECT doc_id, t,
+        |      [ i + 4 FOR i IN range(1, len(ws)+1) IF ws[i] % 64 = 0 AND i + 4 < len(t) ] AS ce
+        |    FROM wins)),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    unnest([ {'chunk_id': k - 1,
+        |              'chunk_text': array_to_string(t[s[k]:e[k]], ' ')}
+        |      FOR k IN range(1, len(s)+1) ], recursive := true)
+        |  FROM b),
+        |kept AS (
+        |  SELECT doc_id, chunk_id, chunk_text
+        |  FROM (SELECT doc_id, chunk_id, chunk_text,
+        |      row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_id) AS rn
+        |    FROM chunks)
+        |  WHERE rn = 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |       md5(string_agg(chunk_text, ' ' ORDER BY chunk_id)) AS text_md5
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same per-key counts, same stats, same (c DESC, key ASC) tie-break
     "q_skew" ->
       """WITH counts AS (SELECT coalesce(CAST(o_custkey AS VARCHAR), '<null>') AS key,

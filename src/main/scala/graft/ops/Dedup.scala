@@ -864,6 +864,96 @@ object Dedup {
     (n, sb.toString)
   }
 
+  /** Content-defined chunk table of a corpus — token-level Rabin CDC
+    * ([[TextStats.cdcChunksValue]] has the exact cut rule): each doc
+    * explodes into `(idCol, chunk_id, n_tokens, chunk_md5, chunk_text)`
+    * rows whose boundaries depend only on local content, so the SAME
+    * passage chunks identically wherever it appears — the property
+    * that makes chunk-granular dedup catch partially-duplicated docs
+    * (syndicated articles with different headers, quoted emails,
+    * boilerplate-wrapped bodies) that doc-level exact dedup misses and
+    * fixed-stride chunking misaligns on. Scan-local kernel; linear
+    * output; blank docs produce no chunks.
+    */
+  def cdcChunkTable(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 5, divisor: Long = 64): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(TextStats.cdcChunks(col(textCol), window, divisor)))
+      .withColumnsRenamed(Map("pos" -> "chunk_id", "col" -> "chunk_text"))
+      .select(col("id").as(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        size(split(col("chunk_text"), " ")).cast("long").as("n_tokens"),
+        md5(col("chunk_text")).as("chunk_md5"),
+        col("chunk_text"))
+
+  /** Chunk-granular dedup REMOVAL over CDC chunks: every chunk whose
+    * content occurs elsewhere in the corpus keeps only its globally
+    * first occurrence (minimum `(id, chunk_id)` — the [[lineDedup]] /
+    * [[removeDuplicateSpans]] ownership convention); documents rebuild
+    * from their surviving chunks in order and docs left empty drop.
+    * Output: `(idCol, n_chunks, textCol)` (ws-normalized text, like
+    * the other rebuilds).
+    *
+    * Scale shape: the election shuffles `(id, chunk_id, md5)` triples
+    * only — chunk text never leaves the scans; per-doc drop lists (the
+    * duplicated minority) join back to the docs and the rebuild
+    * re-chunks scan-locally in the codegen'd
+    * [[graft.spark.ChunkDropRebuildExpression]] kernel.
+    */
+  def cdcDedupDocs(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 5, divisor: Long = 64): DataFrame = {
+    val tbl = df.select(col(idCol).as("id"),
+        posexplode(TextStats.cdcChunks(col(textCol), window, divisor)))
+      .withColumnsRenamed(Map("pos" -> "chunk_id", "col" -> "chunk_text"))
+      .select(col("id"), col("chunk_id"), md5(col("chunk_text")).as("__h"))
+    val owners = tbl.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col("id"), col("chunk_id"))).as("owner"))
+      .filter(col("__c") > 1)
+    val drops = tbl.join(owners, Seq("__h"))
+      .filter(!(col("owner.id") === col("id") &&
+        col("owner.chunk_id") === col("chunk_id")))
+      .groupBy(col("id")).agg(collect_list(col("chunk_id")).as("__drop"))
+      .withColumnRenamed("id", "__drop_id")
+    val rebuilt = org.apache.spark.sql.GraftBridge.column(
+      graft.spark.ChunkDropRebuildExpression(
+        org.apache.spark.sql.GraftBridge.expression(col(textCol)),
+        org.apache.spark.sql.GraftBridge.expression(
+          coalesce(col("__drop"), array().cast("array<int>"))),
+        window, divisor))
+    df.filter(length(trim(col(textCol))) > 0)
+      .join(drops, df(idCol) === drops("__drop_id"), "left")
+      .select(col(idCol), rebuilt.as("__r"))
+      .filter(col("__r").getField("n_chunks") > 0)
+      .select(col(idCol),
+        col("__r").getField("n_chunks").as("n_chunks"),
+        col("__r").getField("text").as(textCol))
+  }
+
+  /** Pure rebuild kernel for [[cdcDedupDocs]], shared with
+    * [[graft.spark.ChunkDropRebuildExpression]] and the tests: re-chunk
+    * the text ([[TextStats.cdcChunksValue]]), skip the chunk indices in
+    * `drops`, re-join survivors single-spaced.
+    */
+  private[graft] def chunkDropRebuildValue(text: String, drops: Array[Int],
+      window: Int, divisor: Long): (Long, String) = {
+    val chunks = TextStats.cdcChunksValue(text, window, divisor)
+    if (drops.isEmpty)
+      return (chunks.length.toLong, chunks.mkString(" "))
+    val dropSet = drops.toSet
+    val sb = new java.lang.StringBuilder(text.length)
+    var n = 0L
+    var i = 0
+    while (i < chunks.length) {
+      if (!dropSet.contains(i)) {
+        if (n > 0) sb.append(' ')
+        sb.append(chunks(i)); n += 1
+      }
+      i += 1
+    }
+    (n, sb.toString)
+  }
+
   /** Corpus-wide line-level exact deduplication — the "dedup repeated
     * paragraphs/lines across documents" step of C4 (Raffel et al. 2020
     * §2.2, three-sentence spans) and Lee et al. 2021 ("Deduplicating

@@ -265,6 +265,52 @@ object TextStats {
       graft.spark.WindowHashesExpression(
         org.apache.spark.sql.GraftBridge.expression(textCol), window))
 
+  /** Pure text → content-defined chunks kernel (Rabin-style CDC at
+    * token granularity): cut AFTER token j = i+window−1 whenever the
+    * `window`-token rolling hash starting at i has its low bits zero
+    * (`hash & (divisor−1) == 0`, divisor a power of two → expected
+    * chunk length ≈ divisor tokens). The masked-low-bits test is
+    * two's-complement/HUGEINT-agnostic, so the q_cdc oracle replays the
+    * cut decisions exactly. No min/max chunk constraint — every
+    * boundary decision depends only on its own window, which is what
+    * makes chunks REALIGN after an insertion (the fixed-stride
+    * chunker's failure mode) and keeps the rule SQL-expressible.
+    * Chunks re-join with single spaces; docs shorter than one window
+    * (or with no qualifying window) come back whole; blank docs chunk
+    * to nothing. A cut at the last token is dropped — the doc end is
+    * already a boundary.
+    */
+  private[graft] def cdcChunksValue(text: String, window: Int,
+      divisor: Long): Array[String] = {
+    val trimmed = if (text == null) "" else text.trim
+    if (trimmed.isEmpty) return Array.empty[String]
+    val toks = trimmed.split("\\s+")
+    val ws = windowHashes(tokenHashes(trimmed), window)
+    val mask = divisor - 1
+    val bounds = scala.collection.mutable.ArrayBuffer(0)
+    var i = 0
+    while (i < ws.length) {
+      val j = i + window - 1
+      if ((ws(i) & mask) == 0L && j < toks.length - 1) bounds += j + 1
+      i += 1
+    }
+    bounds += toks.length
+    Array.tabulate(bounds.length - 1) { k =>
+      toks.slice(bounds(k), bounds(k + 1)).mkString(" ")
+    }
+  }
+
+  /** Content-defined chunks of a text column (`graft_cdc_chunks`) —
+    * codegen'd kernel, see [[cdcChunksValue]].
+    */
+  def cdcChunks(textCol: Column, window: Int = 5, divisor: Long = 64): Column = {
+    require(divisor >= 2 && (divisor & (divisor - 1)) == 0,
+      s"cdcChunks: divisor must be a power of two >= 2: $divisor")
+    org.apache.spark.sql.GraftBridge.column(
+      graft.spark.CdcChunksExpression(
+        org.apache.spark.sql.GraftBridge.expression(textCol), window, divisor))
+  }
+
   /** Pure text → fingerprint kernel, shared by the Column wrapper and the
     * SQL function `graft_fingerprint`.
     */

@@ -316,6 +316,59 @@ final case class WindowHashesExpression(child: Expression, window: Int)
   }
 }
 
+/** Content-defined chunks of a text (`graft_cdc_chunks`) — Rabin-style
+  * token-level CDC; see [[graft.ops.TextStats.cdcChunksValue]] for the
+  * exact cut rule (low bits of the rolling window hash, oracle-
+  * replayable).
+  */
+final case class CdcChunksExpression(child: Expression, window: Int,
+    divisor: Long) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_cdc_chunks"
+  override protected def withNewChildInternal(newChild: Expression): CdcChunksExpression =
+    copy(child = newChild)
+  def kernel(s: UTF8String): ArrayData =
+    ArrayData.toArrayData(
+      graft.ops.TextStats.cdcChunksValue(s.toString, window, divisor)
+        .map(UTF8String.fromString))
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cdcExpr", this, classOf[CdcChunksExpression].getName)
+    defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
+  }
+}
+
+/** Chunk-drop rebuild (`graft_chunk_drop_rebuild`) — re-chunks the text
+  * (same CDC rule as [[CdcChunksExpression]]), drops the given chunk
+  * indices, re-joins survivors single-spaced; struct(n_chunks, text).
+  * The scan-local rebuild half of [[graft.ops.Dedup.cdcDedupDocs]].
+  * `drops` is coalesced to empty upstream (the [[CutRebuildExpression]]
+  * convention) so this stays a plain null-safe binary kernel.
+  */
+final case class ChunkDropRebuildExpression(left: Expression, right: Expression,
+    window: Int, divisor: Long) extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chunks", LongType, nullable = false),
+    StructField("text", org.apache.spark.sql.types.StringType, nullable = false)))
+  override def prettyName: String = "graft_chunk_drop_rebuild"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ChunkDropRebuildExpression =
+    copy(left = newLeft, right = newRight)
+  def kernel(t: UTF8String, dropsData: ArrayData): InternalRow = {
+    val (n, s) = graft.ops.Dedup.chunkDropRebuildValue(
+      t.toString, dropsData.toIntArray(), window, divisor)
+    new GenericInternalRow(Array[Any](n, UTF8String.fromString(s)))
+  }
+  override protected def nullSafeEval(t: Any, d: Any): Any =
+    kernel(t.asInstanceOf[UTF8String], d.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cdrExpr", this, classOf[ChunkDropRebuildExpression].getName)
+    defineCodeGen(ctx, ev, (t, d) => s"$self.kernel($t, $d)")
+  }
+}
+
 final case class FingerprintExpression(child: Expression, window: Int)
   extends UnaryExpression {
   override def dataType: DataType = LongType

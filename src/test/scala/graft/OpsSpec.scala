@@ -1637,6 +1637,60 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(q.getDouble(1) - 50.5) <= 10.0)
   }
 
+  test("cdc chunks: reassembly, short/blank docs, boundary realignment") {
+    import graft.ops.TextStats
+    def norm(s: String) = s.trim.split("\\s+").mkString(" ")
+    val text = (0 until 200).map(i => s"tok${i * 7 % 97}").mkString("  ")
+    val chunks = TextStats.cdcChunksValue(text, 5, 8)
+    // chunks re-join to the ws-normalized text, nothing lost or reordered
+    assert(chunks.mkString(" ") == norm(text))
+    assert(chunks.length >= 5, s"expected several chunks, got ${chunks.length}")
+    // blank → nothing; shorter than one window → one whole chunk
+    assert(TextStats.cdcChunksValue("   ", 5, 8).isEmpty)
+    assert(TextStats.cdcChunksValue("a  b c", 5, 8).toSeq == Seq("a b c"))
+    // content-defined realignment: the same suffix behind two DIFFERENT
+    // prefixes chunks identically once past the first shared boundary —
+    // the property fixed-stride chunking lacks
+    val shared = (0 until 150).map(i => s"s$i").mkString(" ")
+    val a = TextStats.cdcChunksValue("one two three " + shared, 5, 8)
+    val b = TextStats.cdcChunksValue("four five six seven eight nine " + shared, 5, 8)
+    assert(a.length >= 4 && b.length >= 4)
+    assert(a.takeRight(3).toSeq == b.takeRight(3).toSeq,
+      s"tails diverged:\n${a.takeRight(3).toSeq}\n${b.takeRight(3).toSeq}")
+  }
+
+  test("cdc dedup: shared passage keeps first occurrence, full dup drops") {
+    import graft.ops.Dedup
+    val shared = (0 until 150).map(i => s"s$i").mkString(" ")
+    val uniq2 = (0 until 40).map(i => s"u${i}").mkString(" ")
+    val docs = Seq(
+      (0L, "one two three " + shared),            // owns the shared chunks
+      (1L, uniq2 + " " + shared),                 // loses realigned shared chunks
+      (2L, "totally unrelated standalone text"),  // untouched
+      (3L, "one two three " + shared)             // full dup of doc 0 → all owned elsewhere
+    ).toDF("doc_id", "text")
+    val out = Dedup.cdcDedupDocs(docs, "text", "doc_id", window = 5, divisor = 8)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+    val byId = out.map(t => t._1 -> t).toMap
+    // doc 0 first: keeps everything (ws-normalized)
+    assert(byId(0L)._3 == ("one two three " + shared))
+    // doc 1 keeps its unique head, loses the shared tail chunks that
+    // realigned with doc 0's (the boundary-straddling chunk may survive)
+    assert(byId(1L)._3.startsWith(uniq2))
+    assert(byId(1L)._3.length < (uniq2 + " " + shared).length)
+    // doc 2 untouched; doc 3 fully deduplicated away
+    assert(byId(2L)._3 == "totally unrelated standalone text")
+    assert(!byId.contains(3L))
+    // rebuild kernel: no drops == plain chunk re-join; drops match filter
+    val chunks = graft.ops.TextStats.cdcChunksValue(shared, 5, 8)
+    val (n0, t0) = Dedup.chunkDropRebuildValue(shared, Array.empty, 5, 8)
+    assert(n0 == chunks.length && t0 == chunks.mkString(" "))
+    val (n1, t1) = Dedup.chunkDropRebuildValue(shared, Array(0, 2), 5, 8)
+    val kept = chunks.zipWithIndex.collect { case (c, i) if i != 0 && i != 2 => c }
+    assert(n1 == kept.length && t1 == kept.mkString(" "))
+  }
+
   test("skew report: heavy keys ranked, profile stats, null-key group") {
     import graft.ops.Skew
     // 50×"a", 10×"b", 5×null, 1 each of c..g → 8 key groups, 70 rows

@@ -529,6 +529,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc dedup: election joins shuffle hashes only, text stays at the scan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.ops.Dedup.cdcDedupDocs(docs, "text", "doc_id")
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val opt = out.queryExecution.optimizedPlan
+    val joins = opt.collect { case j: Join => j }
+    assert(joins.nonEmpty, opt.toString)
+    // text may reach at most ONE join side in the whole plan — the docs
+    // side of the final rebuild join (where the small drop-list side is
+    // AQE-broadcastable); every ownership-election join moves only
+    // (id, chunk_id, md5) triples
+    val textSides = joins.flatMap(_.children)
+      .count(_.output.exists(_.name == "text"))
+    assert(textSides <= 1, s"text crosses an election join:\n$opt")
+  }
+
   test("sampleExactPerGroup: semi join carries ids only, strategy left to AQE") {
     // no forced broadcast hint (k×strata exceeds broadcast limits at
     // scale — r7 verdict #4 / ADVICE): the logical plan must contain a
