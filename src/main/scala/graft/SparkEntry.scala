@@ -1064,6 +1064,20 @@ object SparkEntry {
     est.crossJoin(uo).crossJoin(exact)
   }
 
+  /** Cross-source duplication matrix over the n-gram jaccard near-dup
+    * pair relation (the synthetic corpus laces NEAR-dups, not exact
+    * copies): which sources repeat each other. Oracle replays the
+    * jaccard pairs (q_dedup_jaccard's CTE), the least/greatest triangle
+    * normalization, and both aggregates.
+    */
+  private def qSrcDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.5)
+    graft.ops.Dedup.crossSourceDupMatrix(pairs, docs, "doc_id", "source")
+      .orderBy(col("source_lo"), col("source_hi"))
+  }
+
   /** Content-defined chunk table (token-level Rabin CDC, window 5,
     * divisor 64): per-doc chunk rows for the first 200 docs plus
     * whole-corpus chunk totals. The oracle replays the FNV-1a token
@@ -2227,6 +2241,7 @@ object SparkEntry {
     "q_skew" -> (qSkew _),
     "q_cdc" -> (qCdc _),
     "q_cdc_dedup" -> (qCdcDedup _),
+    "q_srcdup" -> (qSrcDup _),
     "q_overlap" -> (qOverlap _),
     "q_chunk" -> (qChunk _),
     "q_sample_strat" -> (qSampleStrat _),
@@ -2461,6 +2476,28 @@ object SparkEntry {
         |ex AS (SELECT round(quantile_cont(v, 0.5), 6) AS exact_p50 FROM v)
         |SELECT q.n_in_range, uo.n_under, uo.n_over, q.est_p50, ex.exact_p50
         |FROM q, uo, ex""".stripMargin,
+    // jaccard near-dup pairs + triangle normalization + both aggregates
+    "q_srcdup" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) s
+        |       FROM t WHERE len(w) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.source AS sa, b.source AS sb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |j AS (SELECT least(sa, sb) AS source_lo, greatest(sa, sb) AS source_hi,
+        |        id_a, id_b FROM p),
+        |c AS (SELECT source_lo, source_hi, CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM j GROUP BY 1, 2),
+        |d AS (SELECT source_lo, source_hi, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+        |  FROM (SELECT source_lo, source_hi, unnest([id_a, id_b]) AS doc FROM j)
+        |  GROUP BY 1, 2)
+        |SELECT c.source_lo, c.source_hi, c.n_pairs, d.n_docs
+        |FROM c JOIN d USING (source_lo, source_hi)
+        |ORDER BY 1, 2""".stripMargin,
     // FNV-1a token hashes + 31-poly rolling windows + low-bits cut rule
     // replayed in HUGEINT mod-2^64 (the q_fingerprint machinery); cuts
     // after token i+4 when ws[i] % 64 = 0 and it isn't the last token

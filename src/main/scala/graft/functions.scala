@@ -268,4 +268,40 @@ object functions {
   def corpusCard(df: DataFrame, textCol: String, idCol: String,
       sourceCol: String): DataFrame =
     graft.ops.TextStats.corpusCard(df, textCol, idCol, sourceCol)
+
+  /** Equi-width histogram sketch table over [lo, hi): linear shard
+    * merge, streaming-safe bounded state.
+    */
+  def histTable(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      buckets: Int): DataFrame =
+    graft.ops.Sketch.histTable(df, valueCol, lo, hi, buckets)
+
+  /** Counter-wise exact merge of histogram tables. */
+  def histMerge(tables: DataFrame*): DataFrame =
+    graft.ops.Sketch.histMerge(tables: _*)
+
+  /** Interpolated quantile estimate from a histogram table. */
+  def histQuantile(hist: DataFrame, q: Double, lo: Double, hi: Double,
+      buckets: Int): DataFrame =
+    graft.ops.Sketch.histQuantile(hist, q, lo, hi, buckets)
+
+  /** Key-skew report: heavy keys + group-size profile + salting trigger. */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame =
+    graft.ops.Skew.skewReport(df, keyCol, topK)
+
+  /** Content-defined chunks of a text column (token-level Rabin CDC). */
+  def cdcChunks(text: Column, window: Int = 5, divisor: Long = 64): Column =
+    graft.ops.TextStats.cdcChunks(text, window, divisor)
+
+  /** Exploded CDC chunk table: (id, chunk_id, n_tokens, chunk_md5, chunk_text). */
+  def cdcChunkTable(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 5, divisor: Long = 64): DataFrame =
+    graft.ops.Dedup.cdcChunkTable(df, textCol, idCol, window, divisor)
+
+  /** Chunk-granular dedup removal: duplicated chunk content keeps its
+    * first occurrence, docs rebuild from survivors.
+    */
+  def cdcDedupDocs(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 5, divisor: Long = 64): DataFrame =
+    graft.ops.Dedup.cdcDedupDocs(df, textCol, idCol, window, divisor)
 }

@@ -864,6 +864,40 @@ object Dedup {
     (n, sb.toString)
   }
 
+  /** Cross-source duplication matrix — the corpus-mixing diagnostic:
+    * given ANY exact/near-dup pair relation `(id_a, id_b)` (the shared
+    * convention of every pair path here) and per-doc source labels,
+    * count duplicate pairs per source pair. Cells are normalized to one
+    * triangle (`source_lo <= source_hi` lexicographically) so "A dups
+    * B" and "B dups A" land in one row; `n_docs` is the distinct docs
+    * touching the cell. The question it answers before training: which
+    * sources repeat each other (crawl vs curated dump), i.e. where the
+    * dedup budget and mixture weights actually matter.
+    *
+    * Scale shape: the label join ships (id, source) pairs only — the
+    * pair relation is the near-dup MINORITY and the output is at most
+    * |sources|² rows.
+    */
+  def crossSourceDupMatrix(pairs: DataFrame, meta: DataFrame,
+      idCol: String, sourceCol: String): DataFrame = {
+    val m = meta.select(col(idCol).as("__id"),
+      col(sourceCol).cast("string").as("__src"))
+    val joined = pairs.select(col("id_a"), col("id_b"))
+      .join(m.withColumnsRenamed(Map("__id" -> "id_a", "__src" -> "__sa")), "id_a")
+      .join(m.withColumnsRenamed(Map("__id" -> "id_b", "__src" -> "__sb")), "id_b")
+      .select(least(col("__sa"), col("__sb")).as("source_lo"),
+        greatest(col("__sa"), col("__sb")).as("source_hi"),
+        col("id_a"), col("id_b"))
+    val cells = joined.groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val docs = joined
+      .select(col("source_lo"), col("source_hi"),
+        explode(array(col("id_a"), col("id_b"))).as("__doc"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count_distinct(col("__doc")).as("n_docs"))
+    cells.join(docs, Seq("source_lo", "source_hi"))
+  }
+
   /** Content-defined chunk table of a corpus — token-level Rabin CDC
     * ([[TextStats.cdcChunksValue]] has the exact cut rule): each doc
     * explodes into `(idCol, chunk_id, n_tokens, chunk_md5, chunk_text)`

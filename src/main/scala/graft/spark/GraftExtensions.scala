@@ -173,6 +173,26 @@ object GraftExtensions {
       LangIdExpression(children.head)
     })
 
+  val cdcChunksFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cdc_chunks"),
+    new ExpressionInfo(classOf[CdcChunksExpression].getName, "graft_cdc_chunks",
+      "graft_cdc_chunks(text[, window[, divisor]]) - content-defined chunks " +
+        "(Rabin CDC over token windows; divisor a power of two, expected chunk ~divisor tokens)"),
+    (children: Seq[Expression]) => {
+      require(children.nonEmpty && children.length <= 3,
+        "graft_cdc_chunks expects (text[, window literal[, divisor literal]])")
+      def intLit(i: Int, what: String): Long = children(i) match {
+        case Literal(v, _) if v != null => v.toString.toLong
+        case other => throw new IllegalArgumentException(
+          s"graft_cdc_chunks $what must be an integer literal, got: $other")
+      }
+      val window = if (children.length >= 2) intLit(1, "window").toInt else 5
+      val divisor = if (children.length == 3) intLit(2, "divisor") else 64L
+      require(divisor >= 2 && (divisor & (divisor - 1)) == 0,
+        s"graft_cdc_chunks divisor must be a power of two >= 2: $divisor")
+      CdcChunksExpression(children.head, window, divisor)
+    })
+
   /** The single source of truth for the SQL surface: `apply()`
     * (spark.sql.extensions) and [[install]] register exactly this list,
     * so the two paths can't drift (r7 ADVICE: apply() was missing
@@ -182,7 +202,8 @@ object GraftExtensions {
     Seq(annotateTextFunction, simhashFunction, fingerprintFunction,
       shingleHashesFunction, repetitionCountsFunction,
       quantizeInt8Function, int8CosineFunction, pslDomainFunction,
-      normalizeFunction, fixMojibakeFunction, langIdFunction)
+      normalizeFunction, fixMojibakeFunction, langIdFunction,
+      cdcChunksFunction)
 
   /** Register into an already-running session. */
   def install(spark: SparkSession): Unit =

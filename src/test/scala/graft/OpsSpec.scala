@@ -1657,6 +1657,12 @@ class OpsSpec extends AnyFunSuite {
     assert(a.length >= 4 && b.length >= 4)
     assert(a.takeRight(3).toSeq == b.takeRight(3).toSeq,
       s"tails diverged:\n${a.takeRight(3).toSeq}\n${b.takeRight(3).toSeq}")
+    // SQL surface agrees with the kernel (both registration paths share
+    // allFunctions, so install() coverage covers spark.sql.extensions)
+    graft.spark.GraftExtensions.install(spark)
+    val viaSql = spark.sql("SELECT graft_cdc_chunks('a b  c', 5, 8) AS c")
+      .head().getSeq[String](0)
+    assert(viaSql == TextStats.cdcChunksValue("a b  c", 5, 8).toSeq)
   }
 
   test("cdc dedup: shared passage keeps first occurrence, full dup drops") {
@@ -1689,6 +1695,23 @@ class OpsSpec extends AnyFunSuite {
     val (n1, t1) = Dedup.chunkDropRebuildValue(shared, Array(0, 2), 5, 8)
     val kept = chunks.zipWithIndex.collect { case (c, i) if i != 0 && i != 2 => c }
     assert(n1 == kept.length && t1 == kept.mkString(" "))
+  }
+
+  test("cross-source dup matrix: triangle cells, pair counts, distinct docs") {
+    import graft.ops.Dedup
+    val meta = Seq(
+      (0L, "cc"), (1L, "wiki"), (2L, "cc"), (3L, "books"), (4L, "wiki"))
+      .toDF("doc_id", "source")
+    // pairs: cc↔wiki twice (0-1, 1-2 share doc 1), cc↔cc once, books↔wiki once
+    val pairs = Seq((0L, 1L), (2L, 1L), (0L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val m = Dedup.crossSourceDupMatrix(pairs, meta, "doc_id", "source")
+      .orderBy(col("source_lo"), col("source_hi")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(m(("cc", "wiki")) == ((2L, 3L)))   // pairs (0,1),(2,1); docs {0,1,2}
+    assert(m(("cc", "cc")) == ((1L, 2L)))     // pair (0,2)
+    assert(m(("books", "wiki")) == ((1L, 2L)))
+    assert(m.size == 3)
   }
 
   test("skew report: heavy keys ranked, profile stats, null-key group") {

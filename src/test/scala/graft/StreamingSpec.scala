@@ -299,6 +299,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("cdc chunk table streams unchanged, equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0 until 30).map(i =>
+      (i.toLong, (0 until 40).map(j => s"w${(i * 40 + j) % 150}").mkString(" ")))
+    val stream = MemoryStream[(Long, String)]
+    // chunking is a stateless scan-local explode — append mode, no state
+    val q = graft.ops.Dedup.cdcChunkTable(
+        stream.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        window = 5, divisor = 8)
+      .writeStream.format("memory").queryName("cdc_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows.take(15): _*)
+      q.processAllAvailable()
+      stream.addData(rows.drop(15): _*)
+      q.processAllAvailable()
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+      val batch = graft.ops.Dedup.cdcChunkTable(
+        rows.toDF("doc_id", "text"), "text", "doc_id", window = 5, divisor = 8)
+      assert(key(spark.table("cdc_stream")) == key(batch))
+    } finally q.stop()
+  }
+
   test("histogram buckets from a streamed corpus equal batch: bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val rows = (1 to 100).map(i => (i.toLong, i.toDouble)) ++
