@@ -304,4 +304,16 @@ object functions {
   def cdcDedupDocs(df: DataFrame, textCol: String, idCol: String,
       window: Int = 5, divisor: Long = 64): DataFrame =
     graft.ops.Dedup.cdcDedupDocs(df, textCol, idCol, window, divisor)
+
+  /** Cross-source duplication matrix over any (id_a, id_b) pair relation. */
+  def crossSourceDupMatrix(pairs: DataFrame, meta: DataFrame,
+      idCol: String, sourceCol: String): DataFrame =
+    graft.ops.Dedup.crossSourceDupMatrix(pairs, meta, idCol, sourceCol)
+
+  /** Distributed Lloyd refinement of a sampled IVF fit (full-corpus
+    * rounds, deterministic grained sums, exact radii).
+    */
+  def ivfRefine(df: DataFrame, vecCol: String, idCol: String,
+      model: graft.ops.Similarity.IvfModel, iters: Int = 2): graft.ops.Similarity.IvfModel =
+    graft.ops.Similarity.ivfRefine(df, vecCol, idCol, model, iters)
 }

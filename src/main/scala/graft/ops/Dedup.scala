@@ -882,20 +882,18 @@ object Dedup {
       idCol: String, sourceCol: String): DataFrame = {
     val m = meta.select(col(idCol).as("__id"),
       col(sourceCol).cast("string").as("__src"))
-    val joined = pairs.select(col("id_a"), col("id_b"))
+    // every pair explodes to exactly two (cell, doc) rows, so one
+    // aggregation serves both cell measures: n_pairs = rows/2 (exact)
+    // and n_docs = distinct docs — the pair join runs ONCE
+    pairs.select(col("id_a"), col("id_b"))
       .join(m.withColumnsRenamed(Map("__id" -> "id_a", "__src" -> "__sa")), "id_a")
       .join(m.withColumnsRenamed(Map("__id" -> "id_b", "__src" -> "__sb")), "id_b")
       .select(least(col("__sa"), col("__sb")).as("source_lo"),
         greatest(col("__sa"), col("__sb")).as("source_hi"),
-        col("id_a"), col("id_b"))
-    val cells = joined.groupBy(col("source_lo"), col("source_hi"))
-      .agg(count(lit(1)).as("n_pairs"))
-    val docs = joined
-      .select(col("source_lo"), col("source_hi"),
         explode(array(col("id_a"), col("id_b"))).as("__doc"))
       .groupBy(col("source_lo"), col("source_hi"))
-      .agg(count_distinct(col("__doc")).as("n_docs"))
-    cells.join(docs, Seq("source_lo", "source_hi"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        count_distinct(col("__doc")).as("n_docs"))
   }
 
   /** Content-defined chunk table of a corpus — token-level Rabin CDC

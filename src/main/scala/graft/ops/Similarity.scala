@@ -188,10 +188,70 @@ object Similarity {
         centroids(c) = normalize(sums(c))
     }
     // exact radii over the full corpus (needed for exact pruning)
-    val partial = IvfModel(centroids, new Array[Double](nClusters))
+    withExactRadii(df, vecCol, centroids)
+  }
+
+  /** Distributed Lloyd refinement of a fitted coarse quantizer — the
+    * 100 TB fit path: [[ivfFit]]'s bounded sample seeds the centroids,
+    * then each refinement round assigns the FULL corpus with the
+    * codegen'd kernel and recomputes centroids as the spherical mean of
+    * the normalized members (the same mean [[ivfFit]] takes over its
+    * sample). The component sums accumulate on a 1e-7 integer grain
+    * (the KL-report convention): exact long addition is commutative, so
+    * the refined centroids are partition-order independent and
+    * deterministic across runs — with unit components the grain
+    * supports ~9·10¹¹ vectors per cluster before overflow. Shuffle per
+    * round: k×dim (cluster, component) keys after map-side partial
+    * aggregation — corpus size never reaches the driver, which collects
+    * exactly k×dim summary rows. Empty clusters keep their centroid.
+    * Radii are recomputed exactly afterwards, so search through the
+    * refined model stays exact no matter how far the refinement
+    * converged — refinement only moves cluster BALANCE (and with it
+    * pruning efficiency and SemDeDup recall), never correctness.
+    */
+  def ivfRefine(df: DataFrame, vecCol: String, idCol: String,
+      model: IvfModel, iters: Int = 2): IvfModel = {
+    require(iters >= 1, s"ivfRefine: iters must be >= 1: $iters")
+    val grain = 1e-7
+    val dim = model.centroids(0).length
+    var centroids = model.centroids
+    for (_ <- 0 until iters) {
+      val cur = IvfModel(centroids, new Array[Double](centroids.length))
+      val unit = Embeddings.truncateNormalize(col(vecCol), dim)
+      val rows = df.select(
+          assignWithAngle(cur)(col(vecCol).cast("array<double>"))
+            .getField("cluster").as("cluster"),
+          unit.as("__v"))
+        .select(col("cluster"), posexplode(col("__v")))
+        .select(col("cluster"), col("pos"),
+          (col("col") / grain).cast("long").as("__g"))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("__g")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      rows.foreach { r =>
+        val c = r.getInt(0)
+        sums(c)(r.getInt(1)) = r.getLong(2) * grain
+        counts(c) = r.getLong(3)
+      }
+      centroids = Array.tabulate(centroids.length) { c =>
+        if (counts(c) == 0L) centroids(c) else normalize(sums(c))
+      }
+    }
+    withExactRadii(df, vecCol, centroids)
+  }
+
+  /** One full-corpus assignment pass computing exact per-cluster radii
+    * (max angle to the centroid) — the radii are what make IVF search
+    * exact, so they must cover every vector.
+    */
+  private def withExactRadii(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]]): IvfModel = {
+    val partial = IvfModel(centroids, new Array[Double](centroids.length))
     val assigned = df.select(
       assignWithAngle(partial)(col(vecCol).cast("array<double>")).as("ca"))
-    val radii = new Array[Double](nClusters)
+    val radii = new Array[Double](centroids.length)
     assigned.select(col("ca.cluster").as("cluster"), col("ca.angle").as("ang"))
       .groupBy(col("cluster")).agg(max(col("ang")).as("r"))
       .collect().foreach(r => radii(r.getInt(0)) = r.getDouble(1))

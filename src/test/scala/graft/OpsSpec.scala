@@ -1697,6 +1697,48 @@ class OpsSpec extends AnyFunSuite {
     assert(n1 == kept.length && t1 == kept.mkString(" "))
   }
 
+  test("ivf refine: full-corpus rounds recover a cluster bad init misses, " +
+      "deterministic, search stays exact") {
+    import graft.ops.Similarity
+    def dot(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    def unit(x: Array[Double]) = {
+      val n = math.sqrt(dot(x, x)); x.map(_ / n)
+    }
+    val a = Array(1.0, 0.0, 0.0, 0.0)
+    val b = Array(0.0, 1.0, 0.0, 0.0)
+    def jitter(base: Array[Double], i: Int) = {
+      val eps = 0.02 * ((i % 7) - 3)
+      val v = base.clone; v(2) += eps; v(3) -= eps / 2; v
+    }
+    val rows = (0 until 200).map(i =>
+      (i.toLong, (if (i < 100) jitter(a, i) else jitter(b, i)).toSeq))
+    val df = rows.toDF("id", "vec")
+    // degenerate init: BOTH centroids inside cluster A — the failure mode
+    // head-of-corpus sampling produces on an ingestion-ordered corpus
+    val bad = Similarity.IvfModel(
+      Array(unit(jitter(a, 0)), unit(jitter(a, 1))), Array(0.0, 0.0))
+    val refined = Similarity.ivfRefine(df, "vec", "id", bad, iters = 3)
+    val sims = refined.centroids.map(c => (dot(c, a), dot(c, b)))
+    // one centroid converged onto each true center
+    assert(sims.exists(s => s._1 > 0.99 && s._2 < 0.1), sims.toSeq.toString)
+    assert(sims.exists(s => s._2 > 0.99 && s._1 < 0.1), sims.toSeq.toString)
+    // balanced assignment after refinement: 100 vectors per cluster
+    val counts = df.select(Similarity.ivfAssign(col("vec"), refined).as("c"))
+      .groupBy("c").count().collect().map(_.getLong(1)).sorted.toSeq
+    assert(counts == Seq(100L, 100L), counts.toString)
+    // grained sums → bit-identical centroids on a repeated run
+    val again = Similarity.ivfRefine(df, "vec", "id", bad, iters = 3)
+    assert(refined.centroids.flatten.toSeq == again.centroids.flatten.toSeq)
+    // exactness is radius-carried: refined-model search == brute force
+    val q = unit(jitter(b, 5))
+    val viaIvf = Similarity.ivfTopK(df, "vec", "id", q, 5, refined, probe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val brute = Similarity.bruteForceTopK(df, "vec", "id", q, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(viaIvf == brute)
+  }
+
   test("cross-source dup matrix: triangle cells, pair counts, distinct docs") {
     import graft.ops.Dedup
     val meta = Seq(
