@@ -193,6 +193,68 @@ object GraftExtensions {
       CdcChunksExpression(children.head, window, divisor)
     })
 
+  val windowHashesFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_window_hashes"),
+    new ExpressionInfo(classOf[WindowHashesExpression].getName, "graft_window_hashes",
+      "graft_window_hashes(text[, window]) - all rolling window-token hashes " +
+        "(the set graft_fingerprint minimizes over)"),
+    (children: Seq[Expression]) => {
+      require(children.nonEmpty && children.length <= 2,
+        "graft_window_hashes expects (text[, window literal])")
+      val window = if (children.length == 2) children(1) match {
+        case Literal(v, _) if v != null => v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_window_hashes window must be an integer literal, got: $other")
+      } else 5
+      WindowHashesExpression(children.head, window)
+    })
+
+  val cosineFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cosine"),
+    new ExpressionInfo(classOf[CosineExpression].getName, "graft_cosine",
+      "graft_cosine(a, b) - cosine similarity of two double vectors (codegen'd kernel)"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_cosine expects (a, b)")
+      CosineExpression(children.head, children(1))
+    })
+
+  val compressionRatioFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_compression_ratio"),
+    new ExpressionInfo(classOf[CompressionRatioExpression].getName, "graft_compression_ratio",
+      "graft_compression_ratio(text) - deflate bytes / utf8 bytes; null for empty text"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_compression_ratio expects (text)")
+      CompressionRatioExpression(children.head)
+    })
+
+  val ngramRepetitionFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_ngram_repetition"),
+    new ExpressionInfo(classOf[NgramRepetitionExpression].getName, "graft_ngram_repetition",
+      "graft_ngram_repetition(text, n) - [n_ngrams, top_ngram_count, dup_ngram_occurrences]"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_ngram_repetition expects (text, n literal)")
+      val n = children(1) match {
+        case Literal(v, _) if v != null => v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_ngram_repetition n must be an integer literal, got: $other")
+      }
+      NgramRepetitionExpression(children.head, n)
+    })
+
+  val truncateNormFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_truncate_norm"),
+    new ExpressionInfo(classOf[TruncateNormExpression].getName, "graft_truncate_norm",
+      "graft_truncate_norm(vec, dims) - Matryoshka truncation + L2 renorm"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_truncate_norm expects (vec, dims literal)")
+      val dims = children(1) match {
+        case Literal(v, _) if v != null => v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_truncate_norm dims must be an integer literal, got: $other")
+      }
+      TruncateNormExpression(children.head, dims)
+    })
+
   /** The single source of truth for the SQL surface: `apply()`
     * (spark.sql.extensions) and [[install]] register exactly this list,
     * so the two paths can't drift (r7 ADVICE: apply() was missing
@@ -203,7 +265,9 @@ object GraftExtensions {
       shingleHashesFunction, repetitionCountsFunction,
       quantizeInt8Function, int8CosineFunction, pslDomainFunction,
       normalizeFunction, fixMojibakeFunction, langIdFunction,
-      cdcChunksFunction)
+      cdcChunksFunction, windowHashesFunction, cosineFunction,
+      compressionRatioFunction, ngramRepetitionFunction,
+      truncateNormFunction)
 
   /** Register into an already-running session. */
   def install(spark: SparkSession): Unit =

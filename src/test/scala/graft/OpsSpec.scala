@@ -1697,6 +1697,24 @@ class OpsSpec extends AnyFunSuite {
     assert(n1 == kept.length && t1 == kept.mkString(" "))
   }
 
+  test("SQL surface: newly registered graft_* kernels agree with the kernels") {
+    graft.spark.GraftExtensions.install(spark)
+    val r = spark.sql(
+      "SELECT graft_window_hashes('a b c d e f g', 5) AS wh," +
+        " graft_cosine(array(1D, 0D), array(1D, 0D)) AS cos," +
+        " graft_compression_ratio('aaaaaaaaaaaaaaaaaaaa') AS cr," +
+        " graft_ngram_repetition('a b a b', 2) AS nr," +
+        " graft_truncate_norm(array(3D, 4D, 12D), 2) AS tn").head()
+    assert(r.getSeq[Long](0) ==
+      graft.ops.TextStats.windowHashesValue("a b c d e f g", 5).toSeq)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(r.getDouble(2) < 1.0 && r.getDouble(2) > 0.0)
+    assert(r.getSeq[Long](3) ==
+      graft.ops.TextStats.ngramRepetitionValue("a b a b", 2).toSeq)
+    assert(r.getSeq[Double](4).zip(Seq(0.6, 0.8))
+      .forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
   test("ivf refine: full-corpus rounds recover a cluster bad init misses, " +
       "deterministic, search stays exact") {
     import graft.ops.Similarity
