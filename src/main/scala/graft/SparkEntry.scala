@@ -1064,6 +1064,17 @@ object SparkEntry {
     est.crossJoin(uo).crossJoin(exact)
   }
 
+  /** Deterministic global training order: every doc's rank under the
+    * salted-hash shuffle, computed with the distributed prefix-count
+    * (no single-partition window). Oracle: one row_number over the same
+    * md5 order — the ranks must agree exactly, which certifies the
+    * base-offset + local-rank telescoping.
+    */
+  private def qOrder(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.trainingOrder(
+        s.read.parquet(t(dir, "documents")), "doc_id", salt = "ord1")
+      .orderBy(col("doc_id"))
+
   /** Cross-source duplication matrix over the n-gram jaccard near-dup
     * pair relation (the synthetic corpus laces NEAR-dups, not exact
     * copies): which sources repeat each other. Oracle replays the
@@ -2242,6 +2253,7 @@ object SparkEntry {
     "q_cdc" -> (qCdc _),
     "q_cdc_dedup" -> (qCdcDedup _),
     "q_srcdup" -> (qSrcDup _),
+    "q_order" -> (qOrder _),
     "q_overlap" -> (qOverlap _),
     "q_chunk" -> (qChunk _),
     "q_sample_strat" -> (qSampleStrat _),
@@ -2476,6 +2488,13 @@ object SparkEntry {
         |ex AS (SELECT round(quantile_cont(v, 0.5), 6) AS exact_p50 FROM v)
         |SELECT q.n_in_range, uo.n_under, uo.n_over, q.est_p50, ex.exact_p50
         |FROM q, uo, ex""".stripMargin,
+    // one global row_number over the identical salted-md5 order — must
+    // equal the distributed base-offset + local-rank computation exactly
+    "q_order" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || 'ord1'), doc_id) AS BIGINT) AS rank
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // jaccard near-dup pairs + triangle normalization + both aggregates
     "q_srcdup" ->
       """WITH t AS (SELECT doc_id, source, string_split(text, ' ') w FROM documents),

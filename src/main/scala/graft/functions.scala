@@ -310,6 +310,13 @@ object functions {
       idCol: String, sourceCol: String): DataFrame =
     graft.ops.Dedup.crossSourceDupMatrix(pairs, meta, idCol, sourceCol)
 
+  /** Deterministic global training order: 1-based rank under the
+    * salted-hash shuffle, computed as a distributed prefix count.
+    */
+  def trainingOrder(df: DataFrame, idCol: String,
+      salt: String = "train-order"): DataFrame =
+    graft.ops.Sampling.trainingOrder(df, idCol, salt)
+
   /** Distributed Lloyd refinement of a sampled IVF fit (full-corpus
     * rounds, deterministic grained sums, exact radii).
     */

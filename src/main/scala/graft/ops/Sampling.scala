@@ -301,4 +301,45 @@ object Sampling {
       .select(col("domain"), col("available_tokens"), col("target_tokens"),
         col("actual_tokens"), col("epochs"), col("shortfall"))
   }
+
+  /** Deterministic global training order — the "shuffle the corpus once,
+    * then slice it into epochs/shards" step before materialization. Each
+    * row's `rank` (1-based) is its position under the salted-hash order
+    * `(md5(id || salt), id)`: deterministic in (id, salt), stable across
+    * runs and partitionings, and an unstratified shuffle — same-domain
+    * runs are geometrically short, which is the standard pretraining
+    * practice (and what the OpsSpec interleaving pin asserts).
+    *
+    * Scale shape: the global rank is a distributed prefix COUNT — the
+    * [[Packing.packingOffsets]] pattern: range-partition the (id, hash)
+    * frame by the hash, collect ONE count row per partition, rank =
+    * partition base + within-partition row_number. No single-partition
+    * window and no payloads in the sort — the frame carries (id, hash)
+    * only; a writer orders payloads with `repartitionByRange(hash)` +
+    * `sortWithinPartitions` and payload rejoin stays on ids. The frame
+    * is persisted so the subtotal and rank jobs see the same sampled
+    * range boundaries (the Packing correctness requirement).
+    */
+  def trainingOrder(df: DataFrame, idCol: String,
+      salt: String = "train-order"): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"))
+      .withColumn("__k", saltedHash(col("id"), salt))
+    val ranged = keyed.repartitionByRange(col("__k"), col("id"))
+      .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val subtotals = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"), min(col("__k")).as("__mk"))
+      .collect().sortBy(_.getString(2))
+    val bases = subtotals.scanLeft(0L)(_ + _.getAs[Long]("__n"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val baseDf = broadcast(
+      subtotals.zip(bases).map { case (r, b) => (r.getInt(0), b) }
+        .toSeq.toDF("__pid", "__base"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("__k"), col("id"))
+    ranged.join(baseDf, "__pid")
+      .withColumn("rank", col("__base") + row_number().over(w))
+      .select(col("id").as(idCol), col("rank"))
+  }
 }

@@ -966,7 +966,7 @@ class OpsSpec extends AnyFunSuite {
         qn(mi * model.subDim + j) * model.codebooks(mi)(c)(j)).sum
     }
     val v0 = vecs.filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
     val c0 = Similarity.pqEncodeValue(v0, model.codebooks)
     val adc = Similarity.pqAdcValue(c0, table, model.k)
     val recon = (0 until model.m).flatMap(mi =>
@@ -1620,7 +1620,7 @@ class OpsSpec extends AnyFunSuite {
     assert(m(-1) == 1 && m(20) == 1)
     assert(m(0) == 9)  // 1..9 (10 goes to bucket 1 — floor(10/10)=1)
     assert(m(1) == 10) // 10..19
-    assert(m.filterKeys(k => k >= 0 && k < 20).values.sum == 100)
+    assert(m.collect { case (k, v) if k >= 0 && k < 20 => v }.sum == 100)
     // merge linearity: parity shards sum to the whole
     val h1 = Sketch.histTable(vals.filter(col("v").cast("int") % 2 === 0), "v", 0, 200, 20)
     val h2 = Sketch.histTable(vals.filter(col("v").cast("int") % 2 =!= 0), "v", 0, 200, 20)
@@ -1695,6 +1695,34 @@ class OpsSpec extends AnyFunSuite {
     val (n1, t1) = Dedup.chunkDropRebuildValue(shared, Array(0, 2), 5, 8)
     val kept = chunks.zipWithIndex.collect { case (c, i) if i != 0 && i != 2 => c }
     assert(n1 == kept.length && t1 == kept.mkString(" "))
+  }
+
+  test("training order: dense ranks, partitioning-invariant, domains interleave") {
+    import graft.ops.Sampling
+    val rows = (0 until 400).map(i => (i.toLong, if (i < 300) "big" else "small"))
+    val df = rows.toDF("doc_id", "domain")
+    val ranks = Sampling.trainingOrder(df, "doc_id", "s").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.values.toSeq.sorted == (1L to 400L))
+    // partitioning invariance: base-offset + local-rank telescopes the same
+    val again = Sampling.trainingOrder(df.repartition(7), "doc_id", "s")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == ranks)
+    // reference order: md5(id || salt) ascending, driver-computed
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val ref = rows.map(_._1).sortBy(id => md5hex(id.toString + "s"))
+      .zipWithIndex.map { case (id, i) => id -> (i + 1).toLong }.toMap
+    assert(ranks == ref)
+    // interleaving: a 75%-dominant domain never forms long blocks in
+    // rank order (geometric runs; a blocked layout would run 300 deep)
+    val domainOf = rows.toMap
+    val seq = ranks.toSeq.sortBy(_._2).map(t => domainOf(t._1))
+    val maxRun = seq.foldLeft((0, 0, "")) { case ((best, cur, prev), d) =>
+      val c = if (d == prev) cur + 1 else 1
+      (math.max(best, c), c, d)
+    }._1
+    assert(maxRun <= 60, s"max same-domain run $maxRun")
   }
 
   test("SQL surface: newly registered graft_* kernels agree with the kernels") {
@@ -2011,7 +2039,7 @@ class OpsSpec extends AnyFunSuite {
     // SQL surface matches the column API
     graft.spark.GraftExtensions.install(spark)
     val viaSql = spark.sql(
-      "SELECT graft_domain('a.b.foo.co.uk') AS d").head.getString(0)
+      "SELECT graft_domain('a.b.foo.co.uk') AS d").head().getString(0)
     assert(viaSql == "foo.co.uk")
     // pure-kernel contracts
     assert(graft.ops.Psl.publicSuffix("foo.co.uk") == "co.uk")
@@ -2491,7 +2519,7 @@ class OpsSpec extends AnyFunSuite {
   test("semdedup: drops exactly the brute-force within-cluster >=tau set, min id kept") {
     // three well-separated directions in R^4, near-identical copies in each
     def jit(base: Array[Double], eps: Double): Seq[Double] =
-      base.zipWithIndex.map { case (x, i) => x + (if (i == 3) eps else 0.0) }
+      base.toIndexedSeq.zipWithIndex.map { case (x, i) => x + (if (i == 3) eps else 0.0) }
     val ex = Array(1.0, 0.02, 0.0, 0.0)
     val ey = Array(0.0, 1.0, 0.03, 0.0)
     val ez = Array(0.01, 0.0, 1.0, 0.0)

@@ -123,7 +123,7 @@ class SourcesSpec extends AnyFunSuite {
       val toks = graft.ops.TextStats.tokenCounts(
         Wet.read(spark, dir), "text", "url")
       assert(toks.filter(col("url") === "http://example.com/a")
-        .head.getAs[Int]("ws_tokens") == 3)
+        .head().getAs[Int]("ws_tokens") == 3)
     }
   }
 
@@ -192,7 +192,7 @@ class SourcesSpec extends AnyFunSuite {
       val visible = df.select(graft.ops.TextClean.stripHtml(
           decode(col("body"), "UTF-8")).as("t"))
         .filter(col("http_content_type") === "text/html")
-        .head.getString(0)
+        .head().getString(0)
       assert(visible == "Hello & welcome")
     } finally {
       val s = java.nio.file.Files.list(dir)
