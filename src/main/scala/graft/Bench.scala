@@ -138,7 +138,7 @@ object Bench {
       "q_decontam_bloom", "q_line_dedup", "q_boilerplate", "q_pii",
       "q_html_strip",
       "q_knn_pq", "q_dup_spans", "q_url_norm", "q_bm25", "q_dedup_incr",
-      "q_quality_model", "q_pack", "q_dup_remove", "q_perplexity",
+      "q_quality_model", "q_pack", "q_pack_write", "q_dup_remove", "q_perplexity",
       "q_dsir", "q_kl", "q_knn_compose", "q_text_norm", "q_selfline_dedup",
       "q_vocab", "q_pmi", "q_bpe", "q_semdedup", "q_nb_fit", "q_url_filter",
       "q_corpus_report", "q_corpus_card", "q_mm_image", "q_mm_phash",

@@ -1064,6 +1064,17 @@ object SparkEntry {
     est.crossJoin(uo).crossJoin(exact)
   }
 
+  /** Packed-sequence writer: the corpus concatenated in id order and
+    * sliced into 256-token training rows. The oracle replays the cut
+    * plan, per-doc fragment slicing, and ordered reassembly; sequence
+    * text is md5-certified byte-for-byte.
+    */
+  private def qPackWrite(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packSequences(
+        s.read.parquet(t(dir, "documents")), "text", "doc_id", seqTokens = 256)
+      .select(col("seq_id"), col("n_tokens"), md5(col("seq_text")).as("seq_md5"))
+      .orderBy(col("seq_id"))
+
   /** Deterministic global training order: every doc's rank under the
     * salted-hash shuffle, computed with the distributed prefix-count
     * (no single-partition window). Oracle: one row_number over the same
@@ -2254,6 +2265,7 @@ object SparkEntry {
     "q_cdc_dedup" -> (qCdcDedup _),
     "q_srcdup" -> (qSrcDup _),
     "q_order" -> (qOrder _),
+    "q_pack_write" -> (qPackWrite _),
     "q_overlap" -> (qOverlap _),
     "q_chunk" -> (qChunk _),
     "q_sample_strat" -> (qSampleStrat _),
@@ -2488,6 +2500,25 @@ object SparkEntry {
         |ex AS (SELECT round(quantile_cont(v, 0.5), 6) AS exact_p50 FROM v)
         |SELECT q.n_in_range, uo.n_under, uo.n_over, q.est_p50, ex.exact_p50
         |FROM q, uo, ex""".stripMargin,
+    // cut plan + fragment slicing + ordered reassembly, md5-certified
+    "q_pack_write" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |o AS (SELECT doc_id, tk, len(tk) AS n,
+        |    CAST(coalesce(sum(len(tk)) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+        |  FROM t),
+        |f AS (SELECT doc_id, tk, n, s,
+        |    unnest(range(s // 256, (s + n - 1) // 256 + 1)) AS seq_id
+        |  FROM o),
+        |fr AS (SELECT seq_id,
+        |    s + greatest(0, seq_id * 256 - s) AS gstart,
+        |    tk[CAST(greatest(0, seq_id * 256 - s) + 1 AS INT) :
+        |       CAST(least(n, (seq_id + 1) * 256 - s) AS INT)] AS frag
+        |  FROM f)
+        |SELECT seq_id, CAST(sum(len(frag)) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(array_to_string(frag, ' '), ' ' ORDER BY gstart)) AS seq_md5
+        |FROM fr GROUP BY seq_id ORDER BY seq_id""".stripMargin,
     // one global row_number over the identical salted-md5 order — must
     // equal the distributed base-offset + local-rank computation exactly
     "q_order" ->

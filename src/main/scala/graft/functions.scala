@@ -310,6 +310,13 @@ object functions {
       idCol: String, sourceCol: String): DataFrame =
     graft.ops.Dedup.crossSourceDupMatrix(pairs, meta, idCol, sourceCol)
 
+  /** Packed training sequences: corpus concatenated in id order,
+    * sliced into seqTokens-token rows (seq_id, n_tokens, seq_text).
+    */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+      seqTokens: Int): DataFrame =
+    graft.ops.Packing.packSequences(df, textCol, idCol, seqTokens)
+
   /** Deterministic global training order: 1-based rank under the
     * salted-hash shuffle, computed as a distributed prefix count.
     */

@@ -63,4 +63,46 @@ object Packing {
         expr(s"start_token DIV $seqTokens").as("seq_first"),
         expr(s"(start_token + n_tokens - 1) DIV $seqTokens").as("seq_last"))
   }
+
+  /** The WRITER half of sequence packing: materialize the packed
+    * training sequences themselves — concatenate the corpus in id
+    * order, slice `seqTokens`-token rows. Output: `(seq_id, n_tokens,
+    * seq_text)`, every sequence exactly `seqTokens` tokens except the
+    * final partial one.
+    *
+    * Scale shape: [[packingOffsets]] plans the cut points on (id, n)
+    * rows; each doc then explodes into its per-sequence FRAGMENTS
+    * (token sub-ranges — a doc touches `seq_last − seq_first + 1`
+    * sequences, so output volume is corpus + one boundary fragment per
+    * sequence), and fragments group by `seq_id` to reassemble. Text
+    * crosses the wire exactly once — unavoidable, the output IS
+    * reassembled text — with map-side size bounded by the sequence
+    * length, and the reassembly sort (`array_sort` over
+    * (global-start, fragment) structs) is per-sequence local. Every
+    * number and byte replays relationally (the q_pack_write oracle).
+    */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+      seqTokens: Int): DataFrame = {
+    val offs = packingOffsets(df, textCol, idCol, seqTokens)
+    val toks = df.select(col(idCol).as("__id"),
+      split(trim(col(textCol)), "\\s+").as("__tk"))
+    offs.join(toks, offs(idCol) === toks("__id"))
+      .select(col("start_token"), col("n_tokens"), col("__tk"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
+      .select(col("seq_id"),
+        greatest(lit(0L), col("seq_id") * seqTokens - col("start_token"))
+          .as("__fs"),
+        least(col("n_tokens"), (col("seq_id") + 1) * seqTokens - col("start_token"))
+          .as("__fe"),
+        col("start_token"), col("__tk"))
+      .select(col("seq_id"),
+        (col("start_token") + col("__fs")).as("__gstart"),
+        slice(col("__tk"), (col("__fs") + 1).cast("int"),
+          (col("__fe") - col("__fs")).cast("int")).as("__frag"))
+      .groupBy(col("seq_id"))
+      .agg(sum(size(col("__frag"))).cast("long").as("n_tokens"),
+        concat_ws(" ", flatten(transform(
+          array_sort(collect_list(struct(col("__gstart"), col("__frag")))),
+          s => s.getField("__frag")))).as("seq_text"))
+  }
 }

@@ -1697,6 +1697,31 @@ class OpsSpec extends AnyFunSuite {
     assert(n1 == kept.length && t1 == kept.mkString(" "))
   }
 
+  test("pack sequences: exact lengths, byte-faithful reassembly, straddling docs") {
+    import graft.ops.Packing
+    val docs = Seq(
+      (0L, "a b c"),          // 3 tokens
+      (1L, "d e f g h i j"),  // 7 → straddles seqs 0→1 and 1→2
+      (2L, "   "),            // whitespace-only → dropped
+      (3L, "k l m")           // 3 → ends in partial seq 2
+    ).toDF("doc_id", "text")
+    val out = Packing.packSequences(docs, "text", "doc_id", seqTokens = 5)
+      .orderBy(col("seq_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // 13 tokens → seqs of 5,5,3
+    assert(out.toSeq == Seq(
+      (0L, 5L, "a b c d e"),
+      (1L, 5L, "f g h i j"),
+      (2L, 3L, "k l m")))
+    // concatenation in seq order == corpus in id order (ws-normalized)
+    assert(out.map(_._3).mkString(" ") == "a b c d e f g h i j k l m")
+    // partitioning invariance (the offsets' pin extends to the writer)
+    val again = Packing.packSequences(docs.repartition(5), "text", "doc_id", 5)
+      .orderBy(col("seq_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("training order: dense ranks, partitioning-invariant, domains interleave") {
     import graft.ops.Sampling
     val rows = (0 until 400).map(i => (i.toLong, if (i < 300) "big" else "small"))
