@@ -82,9 +82,20 @@ object Packing {
     * number and byte replays relationally (the q_pack_write oracle).
     */
   def packSequences(df: DataFrame, textCol: String, idCol: String,
-      seqTokens: Int): DataFrame = {
-    val offs = packingOffsets(df, textCol, idCol, seqTokens)
-    val toks = df.select(col(idCol).as("__id"),
+      seqTokens: Int, sepToken: String = null): DataFrame = {
+    // document separator (EOS): appending it to each non-blank doc's
+    // text BEFORE planning makes the separator an ordinary token — the
+    // offsets, fragments, and oracle replay all see the same stream
+    val src = if (sepToken == null) df else {
+      require(sepToken.nonEmpty && !sepToken.exists(_.isWhitespace),
+        s"packSequences: sepToken must be a single non-blank token: '$sepToken'")
+      df.withColumn(textCol,
+        when(length(trim(col(textCol))) > 0,
+          concat(trim(col(textCol)), lit(" " + sepToken)))
+          .otherwise(col(textCol)))
+    }
+    val offs = packingOffsets(src, textCol, idCol, seqTokens)
+    val toks = src.select(col(idCol).as("__id"),
       split(trim(col(textCol)), "\\s+").as("__tk"))
     offs.join(toks, offs(idCol) === toks("__id"))
       .select(col("start_token"), col("n_tokens"), col("__tk"),

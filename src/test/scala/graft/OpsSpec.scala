@@ -1720,6 +1720,35 @@ class OpsSpec extends AnyFunSuite {
       .orderBy(col("seq_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(again.toSeq == out.toSeq)
+    // EOS separator: every non-blank doc contributes its tokens + <eos>;
+    // blank docs stay dropped and contribute no separator
+    val sep = Packing.packSequences(docs, "text", "doc_id", 4, sepToken = "<eos>")
+      .orderBy(col("seq_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(sep.map(_._3).mkString(" ") ==
+      "a b c <eos> d e f g h i j <eos> k l m <eos>")
+    assert(sep.forall(s => s._2 == 4L || s == sep.last))
+  }
+
+  test("cdc chunks property: reassembly and drop-rebuild over random corpora") {
+    import graft.ops.{Dedup, TextStats}
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 50) {
+      val n = rnd.nextInt(120)
+      val glue = if (rnd.nextBoolean()) " " else "  "
+      val text = (0 until n).map(_ => s"t${rnd.nextInt(30)}").mkString(glue)
+      val w = 1 + rnd.nextInt(6)
+      val div = 1L << (1 + rnd.nextInt(5))
+      val chunks = TextStats.cdcChunksValue(text, w, div)
+      val norm = text.trim.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(chunks.mkString(" ") == norm, s"w=$w div=$div n=$n")
+      val drops = (0 until chunks.length).filter(_ => rnd.nextBoolean()).toArray
+      val (nk, t2) = Dedup.chunkDropRebuildValue(text, drops, w, div)
+      val kept = chunks.zipWithIndex.collect {
+        case (c, i) if !drops.contains(i) => c
+      }
+      assert(nk == kept.length && t2 == kept.mkString(" "), s"w=$w div=$div")
+    }
   }
 
   test("training order: dense ranks, partitioning-invariant, domains interleave") {
