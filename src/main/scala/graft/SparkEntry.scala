@@ -368,6 +368,43 @@ object SparkEntry {
       .orderBy(col("text_md5"))
   }
 
+  /** Streaming chunk-dedup gate: CDC-chunk the streamed corpus, keep
+    * each chunk content's first arrival
+    * ([[graft.streaming.StatefulOps.streamingChunkDedup]]). All rows
+    * share one event time so every duplicate stays inside the horizon;
+    * the surviving chunk-CONTENT set is then exactly the corpus's
+    * distinct chunk set, which the oracle rebuilds relationally via the
+    * q_cdc cut-rule replay (which ids own the survivors is
+    * arrival-order-dependent and deliberately not gated).
+    */
+  private def qStreamChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = s.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .as[(Long, String)].collect()
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val sdf = ms.toDF().toDF("doc_id", "text", "epoch")
+      .withColumn("ts", timestamp_seconds(col("epoch"))).drop("epoch")
+    val out = graft.streaming.StatefulOps.streamingChunkDedup(
+      sdf, "text", "doc_id", "ts")
+    val qname = "graft_stream_chunkdedup"
+    s.catalog.dropTempView(qname)
+    val q = out.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    val t0 = 1704067200L
+    try {
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq.map { case (id, tx) => (id, tx, t0) })
+        q.processAllAvailable()
+      }
+      require(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "streaming-chunk-dedup gate must process >=3 micro-batches")
+    } finally q.stop()
+    s.table(qname).select(md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy(col("chunk_md5"))
+  }
+
   /** Third streaming gate: the streaming near-duplicate candidate
     * operator ([[graft.streaming.StatefulOps.streamingNearDupHits]]),
     * oracled. Determinism: the whole corpus arrives in ONE micro-batch at
@@ -2273,6 +2310,7 @@ object SparkEntry {
     "q_alpha_ext" -> (qAlphaExt _),
     "q_stream_counts" -> (qStreamCounts _),
     "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_chunkdedup" -> (qStreamChunkDedup _),
     "q_stream_cms" -> (qStreamCms _),
     "q_stream_hll" -> (qStreamHll _),
     "q_stream_neardup" -> (qStreamNeardup _),
@@ -2500,6 +2538,42 @@ object SparkEntry {
         |ex AS (SELECT round(quantile_cont(v, 0.5), 6) AS exact_p50 FROM v)
         |SELECT q.n_in_range, uo.n_under, uo.n_over, q.est_p50, ex.exact_p50
         |FROM q, uo, ex""".stripMargin,
+    // the corpus's distinct chunk-content set via the q_cdc cut-rule
+    // replay — the streamed first-arrival survivors must land on it
+    "q_stream_chunkdedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |th AS (
+        |  SELECT doc_id, t,
+        |    [ list_reduce(
+        |        list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |          [CAST(unicode(tok[i]) AS HUGEINT) FOR i IN range(1, len(tok)+1)]),
+        |        (h, c) -> (xor(h, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))
+        |      FOR tok IN t ] AS hs
+        |  FROM toks),
+        |wins AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN len(hs) < 5 THEN []
+        |    ELSE [ list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT), hs[i:i+4]),
+        |             (w, h) -> (w * 31 + h) % CAST('18446744073709551616' AS HUGEINT))
+        |           FOR i IN range(1, len(hs) - 3) ]
+        |    END AS ws
+        |  FROM th),
+        |b AS (
+        |  SELECT doc_id, t,
+        |    list_prepend(1, [c + 1 FOR c IN ce]) AS s,
+        |    list_append(ce, len(t)) AS e
+        |  FROM (SELECT doc_id, t,
+        |      [ i + 4 FOR i IN range(1, len(ws)+1) IF ws[i] % 64 = 0 AND i + 4 < len(t) ] AS ce
+        |    FROM wins)),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    unnest([ array_to_string(t[s[k]:e[k]], ' ')
+        |      FOR k IN range(1, len(s)+1) ]) AS chunk_text
+        |  FROM b)
+        |SELECT DISTINCT md5(chunk_text) AS chunk_md5
+        |FROM chunks ORDER BY chunk_md5""".stripMargin,
     // cut plan + fragment slicing + ordered reassembly, md5-certified
     "q_pack_write" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk

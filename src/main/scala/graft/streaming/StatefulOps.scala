@@ -49,6 +49,31 @@ object StatefulOps {
       .dropDuplicatesWithinWatermark("__text_md5")
       .drop("__text_md5")
 
+  /** Streaming chunk-granular dedup: the online counterpart of
+    * [[graft.ops.Dedup.cdcDedupDocs]]'s ownership election. The stream
+    * CDC-chunks each document (stateless scan-local kernel — the same
+    * boundaries as batch, so a passage syndicated across the stream
+    * chunks identically wherever it arrives) and keeps each chunk
+    * content's FIRST arrival within the watermark horizon. State is one
+    * 128-bit hash per distinct chunk in the horizon, never the text.
+    * Output: surviving `(idCol, chunk_id, chunk_text)` rows; document
+    * REBUILD is a batch sink step (group survivors by id, order by
+    * chunk_id) — a stream cannot retro-edit documents it already
+    * emitted, which is also why ownership here is first-ARRIVAL where
+    * the batch election is min (id, chunk_id): identical when arrival
+    * follows id order, documented divergence otherwise.
+    */
+  def streamingChunkDedup(df: DataFrame, textCol: String, idCol: String,
+      tsCol: String, window: Int = 5, divisor: Long = 64,
+      delay: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .select(col(idCol), col(tsCol),
+        posexplode(graft.ops.TextStats.cdcChunks(col(textCol), window, divisor)))
+      .withColumnsRenamed(Map("pos" -> "chunk_id", "col" -> "chunk_text"))
+      .withColumn("__h", md5(col("chunk_text")))
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
   /** Streaming NEAR-duplicate candidates: the online counterpart of
     * [[graft.ops.Dedup.minhashPairs]]. Each document's minhash signature
     * is banded exactly like the batch operator (same codegen'd

@@ -299,6 +299,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming chunk dedup: shared passage survives once, first arrival owns") {
+    implicit val sqlCtx = spark.sqlContext
+    val shared = (0 until 120).map(i => s"s$i").mkString(" ")
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val df = stream.toDF().toDF("doc_id", "ts", "text")
+    val out = graft.streaming.StatefulOps.streamingChunkDedup(
+      df, "text", "doc_id", "ts", window = 5, divisor = 8)
+    val query = out.writeStream.format("memory").queryName("chunk_dedup_out")
+      .outputMode("append").start()
+    try {
+      def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      stream.addData((0L, ts(0), "one two three " + shared))
+      query.processAllAvailable()
+      stream.addData((1L, ts(1), "four five six seven " + shared))
+      query.processAllAvailable()
+      val byDoc = spark.table("chunk_dedup_out")
+        .collect().map(r => r.getLong(0) -> r.getString(3))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val chunks0 = graft.ops.TextStats
+        .cdcChunksValue("one two three " + shared, 5, 8).toSet
+      // the first arrival owns every one of its chunks
+      assert(byDoc(0L) == chunks0)
+      // the later doc keeps its unique head but not the realigned shared
+      // interior (already owned by doc 0)
+      assert(byDoc(1L).exists(_.startsWith("four five six seven")))
+      assert(byDoc(1L).intersect(chunks0).isEmpty)
+      val chunks1 = graft.ops.TextStats
+        .cdcChunksValue("four five six seven " + shared, 5, 8).toSet
+      assert(byDoc(1L).size < chunks1.size)
+    } finally query.stop()
+  }
+
   test("cdc chunk table streams unchanged, equal to batch") {
     implicit val sqlCtx = spark.sqlContext
     val rows = (0 until 30).map(i =>
