@@ -1157,6 +1157,17 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Chunk-overlap near-dup pairs: shared CDC chunks scored by
+    * containment (shared / smaller doc's chunk count). The oracle
+    * replays the cut rule, the capped bucket self-join, and the
+    * containment arithmetic with identical round-then-filter order.
+    */
+  private def qCdcPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.cdcChunkPairs(
+        s.read.parquet(t(dir, "documents")), "text", "doc_id",
+        threshold = 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Chunk-granular dedup removal over CDC chunks: duplicated chunk
     * content keeps its first (id, chunk_id) occurrence, docs rebuild
     * from survivors, emptied docs drop. Rebuilt text certified by md5
@@ -2300,6 +2311,7 @@ object SparkEntry {
     "q_skew" -> (qSkew _),
     "q_cdc" -> (qCdc _),
     "q_cdc_dedup" -> (qCdcDedup _),
+    "q_cdc_pairs" -> (qCdcPairs _),
     "q_srcdup" -> (qSrcDup _),
     "q_order" -> (qOrder _),
     "q_pack_write" -> (qPackWrite _),
@@ -2538,6 +2550,54 @@ object SparkEntry {
         |ex AS (SELECT round(quantile_cont(v, 0.5), 6) AS exact_p50 FROM v)
         |SELECT q.n_in_range, uo.n_under, uo.n_over, q.est_p50, ex.exact_p50
         |FROM q, uo, ex""".stripMargin,
+    // chunk replay + capped bucket self-join + containment, with the
+    // identical round-then-filter order
+    "q_cdc_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |th AS (
+        |  SELECT doc_id, t,
+        |    [ list_reduce(
+        |        list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |          [CAST(unicode(tok[i]) AS HUGEINT) FOR i IN range(1, len(tok)+1)]),
+        |        (h, c) -> (xor(h, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))
+        |      FOR tok IN t ] AS hs
+        |  FROM toks),
+        |wins AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN len(hs) < 5 THEN []
+        |    ELSE [ list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT), hs[i:i+4]),
+        |             (w, h) -> (w * 31 + h) % CAST('18446744073709551616' AS HUGEINT))
+        |           FOR i IN range(1, len(hs) - 3) ]
+        |    END AS ws
+        |  FROM th),
+        |b AS (
+        |  SELECT doc_id, t,
+        |    list_prepend(1, [c + 1 FOR c IN ce]) AS s,
+        |    list_append(ce, len(t)) AS e
+        |  FROM (SELECT doc_id, t,
+        |      [ i + 4 FOR i IN range(1, len(ws)+1) IF ws[i] % 64 = 0 AND i + 4 < len(t) ] AS ce
+        |    FROM wins)),
+        |pc AS (
+        |  SELECT doc_id,
+        |    md5(unnest([ array_to_string(t[s[k]:e[k]], ' ')
+        |      FOR k IN range(1, len(s)+1) ])) AS h
+        |  FROM b),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM pc GROUP BY 1),
+        |bok AS (SELECT h FROM (SELECT h, count(*) AS bn FROM pc GROUP BY 1)
+        |        WHERE bn > 1 AND bn <= 10000),
+        |ib AS (SELECT pc.doc_id, pc.h FROM pc JOIN bok USING (h)),
+        |sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(count(*) AS BIGINT) AS shared_chunks
+        |       FROM ib a JOIN ib b ON a.h = b.h AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT sh.id_a, sh.id_b, sh.shared_chunks,
+        |  round(sh.shared_chunks::DOUBLE / least(ca.n, cb.n), 6) AS containment
+        |FROM sh JOIN cnt ca ON ca.doc_id = sh.id_a
+        |        JOIN cnt cb ON cb.doc_id = sh.id_b
+        |WHERE round(sh.shared_chunks::DOUBLE / least(ca.n, cb.n), 6) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
     // the corpus's distinct chunk-content set via the q_cdc cut-rule
     // replay — the streamed first-arrival survivors must land on it
     "q_stream_chunkdedup" ->

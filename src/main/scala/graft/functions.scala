@@ -305,6 +305,13 @@ object functions {
       window: Int = 5, divisor: Long = 64): DataFrame =
     graft.ops.Dedup.cdcDedupDocs(df, textCol, idCol, window, divisor)
 
+  /** Chunk-overlap near-dup pairs (containment-scored shared CDC chunks). */
+  def cdcChunkPairs(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 5, divisor: Long = 64, threshold: Double = 0.5,
+      maxBucket: Int = 10000): DataFrame =
+    graft.ops.Dedup.cdcChunkPairs(df, textCol, idCol, window, divisor,
+      threshold, maxBucket)
+
   /** Cross-source duplication matrix over any (id_a, id_b) pair relation. */
   def crossSourceDupMatrix(pairs: DataFrame, meta: DataFrame,
       idCol: String, sourceCol: String): DataFrame =

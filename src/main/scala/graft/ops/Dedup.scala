@@ -918,6 +918,49 @@ object Dedup {
         md5(col("chunk_text")).as("chunk_md5"),
         col("chunk_text"))
 
+  /** Near-dup candidate pairs from SHARED CDC CHUNKS — the
+    * coarse-granularity member of the pair-path family (shingles ≈
+    * n tokens each and number ~tokens; chunks average `divisor` tokens,
+    * so the inverted index here is ~divisor× smaller — the cheap first
+    * pass on a web-scale corpus, with the jaccard/minhash paths as the
+    * fine sieve). Pairs score by CONTAINMENT: shared chunks / the
+    * smaller doc's chunk count, which flags a doc wholly embedded in a
+    * larger one at 1.0 where symmetric jaccard dilutes it. Same
+    * `(id_a, id_b)` output convention as every other pair path, so the
+    * clusters / survivor-election / split / matrix consumers compose
+    * unchanged.
+    *
+    * Scale shape: only (id, chunk_md5) pairs enter the self-join;
+    * singleton chunk buckets are skipped (they cannot pair) and buckets
+    * above `maxBucket` (corpus boilerplate) are capped out, the
+    * [[minhashPairs]] convention.
+    */
+  def cdcChunkPairs(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 5, divisor: Long = 64, threshold: Double = 0.5,
+      maxBucket: Int = 10000): DataFrame = {
+    val tbl = df.select(col(idCol).as("id"),
+        explode(TextStats.cdcChunks(col(textCol), window, divisor)).as("__c"))
+      .select(col("id"), md5(col("__c")).as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = tbl.groupBy(col("id")).agg(count(lit(1)).as("__n"))
+    val sizes = tbl.groupBy(col("__h")).agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > 1 && col("__bn") <= maxBucket)
+      .select(col("__h"))
+    val inBucket = tbl.join(sizes, Seq("__h"), "left_semi")
+    val shared = inBucket.as("x").join(inBucket.as("y"),
+        col("x.__h") === col("y.__h") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_chunks"))
+    shared
+      .join(counts.withColumnsRenamed(Map("id" -> "id_a", "__n" -> "__na")), "id_a")
+      .join(counts.withColumnsRenamed(Map("id" -> "id_b", "__n" -> "__nb")), "id_b")
+      .withColumn("containment",
+        round(col("shared_chunks").cast("double") /
+          least(col("__na"), col("__nb")), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("shared_chunks"), col("containment"))
+  }
+
   /** Chunk-granular dedup REMOVAL over CDC chunks: every chunk whose
     * content occurs elsewhere in the corpus keeps only its globally
     * first occurrence (minimum `(id, chunk_id)` — the [[lineDedup]] /

@@ -1665,6 +1665,27 @@ class OpsSpec extends AnyFunSuite {
     assert(viaSql == TextStats.cdcChunksValue("a b  c", 5, 8).toSeq)
   }
 
+  test("cdc chunk pairs: containment flags embedded docs, strangers stay apart") {
+    import graft.ops.Dedup
+    val shared = (0 until 150).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (0L, "alpha beta gamma " + shared),
+      (1L, shared),                              // wholly embedded in 0 and 2
+      (2L, "delta epsilon zeta eta " + shared),
+      (3L, (0 until 80).map(i => s"z$i").mkString(" "))  // stranger
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.cdcChunkPairs(docs, "text", "doc_id",
+        window = 5, divisor = 8, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1 is (almost) wholly contained in 0 and 2 — containment near 1
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L))._2 >= 0.8,
+      pairs.toString)
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L))._2 >= 0.8)
+    assert(pairs.contains((0L, 2L)))   // they share the interior chunks too
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("cdc dedup: shared passage keeps first occurrence, full dup drops") {
     import graft.ops.Dedup
     val shared = (0 until 150).map(i => s"s$i").mkString(" ")
