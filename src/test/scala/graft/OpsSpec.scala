@@ -1665,6 +1665,24 @@ class OpsSpec extends AnyFunSuite {
     assert(viaSql == TextStats.cdcChunksValue("a b  c", 5, 8).toSeq)
   }
 
+  test("round-8 ops degrade cleanly on an empty corpus") {
+    import graft.ops.{Dedup, Packing, Sampling, Sketch, Skew}
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.cdcChunkTable(empty, "text", "doc_id").count() == 0)
+    assert(Dedup.cdcDedupDocs(empty, "text", "doc_id").count() == 0)
+    assert(Dedup.cdcChunkPairs(empty, "text", "doc_id").count() == 0)
+    assert(Sampling.trainingOrder(empty, "doc_id").count() == 0)
+    assert(Packing.packSequences(empty, "text", "doc_id", 16).count() == 0)
+    assert(Skew.skewReport(empty, "text").count() == 0)
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.crossSourceDupMatrix(noPairs, empty, "doc_id", "text")
+      .count() == 0)
+    val noVals = Seq.empty[(Double, Long)].toDF("v", "doc_id")
+    assert(Sketch.histTable(noVals, "v", 0, 10, 5).count() == 0)
+    assert(Sketch.histQuantile(
+      Sketch.histTable(noVals, "v", 0, 10, 5), 0.5, 0, 10, 5).count() == 0)
+  }
+
   test("cdc chunk pairs: containment flags embedded docs, strangers stay apart") {
     import graft.ops.Dedup
     val shared = (0 until 150).map(i => s"p$i").mkString(" ")
