@@ -1157,6 +1157,22 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Incremental chunk dedup gate: even doc_ids are "the corpus", odd
+    * ones "today's delta" (the q_dedup_incr parity convention); delta
+    * docs lose corpus-owned and intra-delta-duplicate chunks. Oracle
+    * replays the chunk cut rule for both sides, the corpus semi-join,
+    * the intra-delta first-occurrence election, and the ordered
+    * rebuild, md5-certified.
+    */
+  private def qCdcDelta(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    graft.ops.Dedup.cdcDedupDelta(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+      .select(col("doc_id"), col("n_chunks"), md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Chunk-overlap near-dup pairs: shared CDC chunks scored by
     * containment (shared / smaller doc's chunk count). The oracle
     * replays the cut rule, the capped bucket self-join, and the
@@ -2312,6 +2328,7 @@ object SparkEntry {
     "q_cdc" -> (qCdc _),
     "q_cdc_dedup" -> (qCdcDedup _),
     "q_cdc_pairs" -> (qCdcPairs _),
+    "q_cdc_delta" -> (qCdcDelta _),
     "q_srcdup" -> (qSrcDup _),
     "q_order" -> (qOrder _),
     "q_pack_write" -> (qPackWrite _),
@@ -2550,6 +2567,58 @@ object SparkEntry {
         |ex AS (SELECT round(quantile_cont(v, 0.5), 6) AS exact_p50 FROM v)
         |SELECT q.n_in_range, uo.n_under, uo.n_over, q.est_p50, ex.exact_p50
         |FROM q, uo, ex""".stripMargin,
+    // chunk replay both sides + corpus semi-join + intra-delta election
+    // + ordered rebuild, md5-certified
+    "q_cdc_delta" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |th AS (
+        |  SELECT doc_id, t,
+        |    [ list_reduce(
+        |        list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |          [CAST(unicode(tok[i]) AS HUGEINT) FOR i IN range(1, len(tok)+1)]),
+        |        (h, c) -> (xor(h, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))
+        |      FOR tok IN t ] AS hs
+        |  FROM toks),
+        |wins AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN len(hs) < 5 THEN []
+        |    ELSE [ list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT), hs[i:i+4]),
+        |             (w, h) -> (w * 31 + h) % CAST('18446744073709551616' AS HUGEINT))
+        |           FOR i IN range(1, len(hs) - 3) ]
+        |    END AS ws
+        |  FROM th),
+        |b AS (
+        |  SELECT doc_id, t,
+        |    list_prepend(1, [c + 1 FOR c IN ce]) AS s,
+        |    list_append(ce, len(t)) AS e
+        |  FROM (SELECT doc_id, t,
+        |      [ i + 4 FOR i IN range(1, len(ws)+1) IF ws[i] % 64 = 0 AND i + 4 < len(t) ] AS ce
+        |    FROM wins)),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    unnest([ {'chunk_id': k - 1,
+        |              'chunk_text': array_to_string(t[s[k]:e[k]], ' ')}
+        |      FOR k IN range(1, len(s)+1) ], recursive := true)
+        |  FROM b),
+        |corpus_h AS (SELECT DISTINCT md5(chunk_text) AS h FROM chunks WHERE doc_id % 2 = 0),
+        |d AS (SELECT doc_id, chunk_id, chunk_text, md5(chunk_text) AS h
+        |      FROM chunks WHERE doc_id % 2 = 1),
+        |drops AS (
+        |  SELECT doc_id, chunk_id FROM d WHERE h IN (SELECT h FROM corpus_h)
+        |  UNION
+        |  SELECT doc_id, chunk_id FROM (
+        |    SELECT doc_id, chunk_id,
+        |      row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_id) AS rn,
+        |      count(*) OVER (PARTITION BY h) AS c
+        |    FROM d) WHERE c > 1 AND rn > 1),
+        |kept AS (SELECT d.doc_id, d.chunk_id, d.chunk_text FROM d
+        |  WHERE NOT EXISTS (SELECT 1 FROM drops
+        |    WHERE drops.doc_id = d.doc_id AND drops.chunk_id = d.chunk_id))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  md5(string_agg(chunk_text, ' ' ORDER BY chunk_id)) AS text_md5
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // chunk replay + capped bucket self-join + containment, with the
     // identical round-then-filter order
     "q_cdc_pairs" ->

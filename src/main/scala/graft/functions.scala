@@ -305,6 +305,16 @@ object functions {
       window: Int = 5, divisor: Long = 64): DataFrame =
     graft.ops.Dedup.cdcDedupDocs(df, textCol, idCol, window, divisor)
 
+  /** Incremental chunk dedup: delta docs lose corpus-owned chunks. */
+  def cdcDedupDelta(corpus: DataFrame, delta: DataFrame, textCol: String,
+      idCol: String, window: Int = 5, divisor: Long = 64): DataFrame =
+    graft.ops.Dedup.cdcDedupDelta(corpus, delta, textCol, idCol, window, divisor)
+
+  /** Two-pass histogram with the range fitted from the data. */
+  def histAuto(df: DataFrame, valueCol: String,
+      buckets: Int): (Double, Double, DataFrame) =
+    graft.ops.Sketch.histAuto(df, valueCol, buckets)
+
   /** Chunk-overlap near-dup pairs (containment-scored shared CDC chunks). */
   def cdcChunkPairs(df: DataFrame, textCol: String, idCol: String,
       window: Int = 5, divisor: Long = 64, threshold: Double = 0.5,

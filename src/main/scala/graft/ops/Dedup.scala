@@ -1005,6 +1005,59 @@ object Dedup {
         col("__r").getField("text").as(textCol))
   }
 
+  /** Incremental chunk-granular dedup — the delta-vs-corpus ingest
+    * path (the chunk analogue of [[minhashPairsAgainst]]): a DELTA
+    * document drops every chunk whose content already exists in the
+    * CORPUS, plus within-delta duplicates under the usual first
+    * `(id, chunk_id)` ownership; delta docs left empty drop. The corpus
+    * is never modified — only the cleaned delta returns.
+    *
+    * Scale shape: the corpus reduces to its DISTINCT chunk-hash set in
+    * one scan (in steady state a pipeline persists that table and
+    * unions yesterday's delta hashes instead of rescanning — the same
+    * contract, one join either way); the decision join is a left-semi
+    * on 128-bit hashes, work scales with the delta, and the rebuild is
+    * the same scan-local codegen'd kernel as [[cdcDedupDocs]].
+    */
+  def cdcDedupDelta(corpus: DataFrame, delta: DataFrame, textCol: String,
+      idCol: String, window: Int = 5, divisor: Long = 64): DataFrame = {
+    def chunkHashes(df: DataFrame) = df.select(col(idCol).as("id"),
+        posexplode(TextStats.cdcChunks(col(textCol), window, divisor)))
+      .withColumnsRenamed(Map("pos" -> "chunk_id", "col" -> "chunk_text"))
+      .select(col("id"), col("chunk_id"), md5(col("chunk_text")).as("__h"))
+    val corpusH = chunkHashes(corpus).select(col("__h")).distinct()
+    val deltaTbl = chunkHashes(delta)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inCorpus = deltaTbl.join(corpusH, Seq("__h"), "left_semi")
+      .select(col("id"), col("chunk_id"))
+    val intraDup = {
+      val owners = deltaTbl.groupBy(col("__h"))
+        .agg(count(lit(1)).as("__c"),
+          min(struct(col("id"), col("chunk_id"))).as("owner"))
+        .filter(col("__c") > 1)
+      deltaTbl.join(owners, Seq("__h"))
+        .filter(!(col("owner.id") === col("id") &&
+          col("owner.chunk_id") === col("chunk_id")))
+        .select(col("id"), col("chunk_id"))
+    }
+    val drops = inCorpus.unionByName(intraDup).distinct()
+      .groupBy(col("id")).agg(collect_list(col("chunk_id")).as("__drop"))
+      .withColumnRenamed("id", "__drop_id")
+    val rebuilt = org.apache.spark.sql.GraftBridge.column(
+      graft.spark.ChunkDropRebuildExpression(
+        org.apache.spark.sql.GraftBridge.expression(col(textCol)),
+        org.apache.spark.sql.GraftBridge.expression(
+          coalesce(col("__drop"), array().cast("array<int>"))),
+        window, divisor))
+    delta.filter(length(trim(col(textCol))) > 0)
+      .join(drops, delta(idCol) === drops("__drop_id"), "left")
+      .select(col(idCol), rebuilt.as("__r"))
+      .filter(col("__r").getField("n_chunks") > 0)
+      .select(col(idCol),
+        col("__r").getField("n_chunks").as("n_chunks"),
+        col("__r").getField("text").as(textCol))
+  }
+
   /** Pure rebuild kernel for [[cdcDedupDocs]], shared with
     * [[graft.spark.ChunkDropRebuildExpression]] and the tests: re-chunk
     * the text ([[TextStats.cdcChunksValue]]), skip the chunk indices in

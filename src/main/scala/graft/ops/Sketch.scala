@@ -105,6 +105,26 @@ object Sketch {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Two-pass histogram with the range fitted from the data: one
+    * min/max aggregation picks [lo, hi), then [[histTable]] — range
+    * choice is the only part of a histogram that needs the data twice.
+    * `hi` is `Math.nextUp(max)` so the maximum lands in the last bucket
+    * (IEEE-deterministic); an all-equal column gets [lo, lo+1). Returns
+    * (lo, hi, histogram); an empty relation returns (0, 1, empty
+    * histogram).
+    */
+  def histAuto(df: DataFrame, valueCol: String,
+      buckets: Int): (Double, Double, DataFrame) = {
+    val r = df.agg(min(col(valueCol).cast("double")).as("lo"),
+      max(col(valueCol).cast("double")).as("hi")).head()
+    if (r.isNullAt(0))
+      return (0.0, 1.0, histTable(df, valueCol, 0.0, 1.0, buckets))
+    val lo = r.getDouble(0)
+    val mx = r.getDouble(1)
+    val hi = if (mx > lo) Math.nextUp(mx) else lo + 1.0
+    (lo, hi, histTable(df, valueCol, lo, hi, buckets))
+  }
+
   /** Merge independently-built histogram tables (same lo/hi/buckets):
     * counter-wise sum — exact, like [[cmsMerge]].
     */

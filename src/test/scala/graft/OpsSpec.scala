@@ -1665,6 +1665,49 @@ class OpsSpec extends AnyFunSuite {
     assert(viaSql == TextStats.cdcChunksValue("a b  c", 5, 8).toSeq)
   }
 
+  test("histAuto: fitted range covers everything, no under/overflow") {
+    import graft.ops.Sketch
+    val vals = (1 to 100).map(_.toDouble).toDF("v")
+    val (lo, hi, h) = Sketch.histAuto(vals, "v", 10)
+    assert(lo == 1.0 && hi > 100.0 && hi < 100.0001)
+    val m = h.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(!m.contains(-1) && !m.contains(10))   // nothing out of range
+    assert(m.values.sum == 100)
+    // all-equal column: one bucket holds everything
+    val flat = Seq.fill(7)(3.25).toDF("v")
+    val (flo, fhi, fh) = Sketch.histAuto(flat, "v", 4)
+    assert(flo == 3.25 && fhi == 4.25)
+    assert(fh.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap == Map(0 -> 7L))
+    // empty: documented (0,1) range, empty table
+    val (elo, ehi, eh) = Sketch.histAuto(Seq.empty[Double].toDF("v"), "v", 4)
+    assert(elo == 0.0 && ehi == 1.0 && eh.count() == 0)
+  }
+
+  test("cdc delta dedup: corpus-owned chunks drop from the delta only") {
+    import graft.ops.Dedup
+    val shared = (0 until 150).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (0L, "corpus head " + shared),
+      (1L, "another corpus doc entirely")).toDF("doc_id", "text")
+    val dShared = (0 until 60).map(i => s"d$i").mkString(" ")
+    val delta = Seq(
+      (10L, "delta head " + shared),      // loses the corpus-shared interior
+      (11L, "fresh delta content only"),  // untouched
+      (12L, "x y " + dShared),            // owns dShared chunks
+      (13L, "p q " + dShared)             // loses them to 12 (intra-delta)
+    ).toDF("doc_id", "text")
+    val out = Dedup.cdcDedupDelta(corpus, delta, "text", "doc_id",
+        window = 5, divisor = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(10L).startsWith("delta head"))
+    assert(out(10L).length < ("delta head " + shared).length)
+    assert(out(11L) == "fresh delta content only")
+    assert(out(12L) == "x y " + dShared)  // first intra-delta occurrence keeps all
+    assert(out(13L).length < ("p q " + dShared).length)
+    // corpus ids never appear — only the cleaned delta returns
+    assert(out.keySet.forall(_ >= 10L))
+  }
+
   test("round-8 ops degrade cleanly on an empty corpus") {
     import graft.ops.{Dedup, Packing, Sampling, Sketch, Skew}
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
