@@ -1919,6 +1919,13 @@ class OpsSpec extends AnyFunSuite {
     val brute = Similarity.bruteForceTopK(df, "vec", "id", q, 5)
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(viaIvf == brute)
+    // a centroid no vector assigns to keeps its position (never NaNs)
+    val farOff = Array(0.0, 0.0, 0.0, -1.0)
+    val withEmpty = Similarity.IvfModel(
+      Array(unit(a.clone), unit(b.clone), farOff), Array(0.0, 0.0, 0.0))
+    val r2 = Similarity.ivfRefine(df, "vec", "id", withEmpty, iters = 2)
+    assert(r2.centroids(2).toSeq == farOff.toSeq)
+    assert(r2.centroids.flatten.forall(v => !v.isNaN))
   }
 
   test("cross-source dup matrix: triangle cells, pair counts, distinct docs") {
