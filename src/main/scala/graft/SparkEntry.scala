@@ -1101,6 +1101,34 @@ object SparkEntry {
     est.crossJoin(uo).crossJoin(exact)
   }
 
+  /** Column profiler over the documents table — every per-column
+    * statistic (nullity, exact cardinality, native-type extrema,
+    * mean string width) from ONE aggregation pass. The oracle rebuilds
+    * each profile row as an independent aggregate.
+    */
+  private def qProfile(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.profileColumns(
+        s.read.parquet(t(dir, "documents")),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+      .orderBy(col("column"))
+
+  /** Data-quality gate: five declarative checks in one aggregation
+    * pass, two of which FAIL on this corpus by construction (n_chars
+    * exceeds the 500 cap; only half the sources are in the accepted
+    * set) so both branches of the pass/fail integer arithmetic are
+    * exercised. The oracle replays every metric and verdict.
+    */
+  private def qChecks(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Profile._
+    checkSuite(s.read.parquet(t(dir, "documents")), Seq(
+      NotNull("text"),
+      Unique("doc_id"),
+      InRange("n_chars", 1, 500),
+      MatchesRegex("lang", "^[a-z]{2}$", 0.95),
+      AcceptedValues("source", (0 until 10).map(i => s"src$i"), 0.9)))
+      .orderBy(col("check"))
+  }
+
   /** Packed-sequence writer: the corpus concatenated in id order and
     * sliced into 256-token training rows. The oracle replays the cut
     * plan, per-doc fragment slicing, and ordered reassembly; sequence
@@ -2325,6 +2353,8 @@ object SparkEntry {
     "q_lang_agree" -> (qLangAgree _),
     "q_hist" -> (qHist _),
     "q_skew" -> (qSkew _),
+    "q_profile" -> (qProfile _),
+    "q_checks" -> (qChecks _),
     "q_cdc" -> (qCdc _),
     "q_cdc_dedup" -> (qCdcDedup _),
     "q_cdc_pairs" -> (qCdcPairs _),
@@ -2547,6 +2577,51 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // same bucket rule, same nearest-rank + in-bucket interpolation,
     // exact percentile via quantile_cont (matches Spark percentile)
+    // each profile row rebuilt as an independent aggregate; min/max on
+    // the NATIVE type then cast (numeric extrema, not lexicographic)
+    "q_profile" -> {
+      def row(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  round((count(*) - count($c))::DOUBLE / greatest(count(*), 1), 6) AS null_frac,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_str,
+           |  CAST(max($c) AS VARCHAR) AS max_str,
+           |  CASE WHEN count($c) = 0 THEN NULL
+           |       ELSE round(sum(length(CAST($c AS VARCHAR)))::DOUBLE / count($c), 6)
+           |  END AS avg_len
+           |FROM documents""".stripMargin
+      Seq("doc_id", "text", "lang", "source", "n_chars").map(row)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+    // every check metric + verdict replayed; pass/fail on integer
+    // counts (micro-fraction compare), never a float threshold
+    "q_checks" ->
+      """SELECT 'accepted:source' AS "check",
+        |  round(count(CASE WHEN source IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9') THEN 1 END)::DOUBLE / count(source), 6) AS metric,
+        |  CAST(count(CASE WHEN source IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9') THEN 1 END) * 1000000 >= 900000 * count(source) AS BIGINT) AS passed
+        |FROM documents
+        |UNION ALL
+        |SELECT 'in_range:n_chars',
+        |  round(count(CASE WHEN n_chars >= 1 AND n_chars <= 500 THEN 1 END)::DOUBLE / count(n_chars), 6),
+        |  CAST(count(CASE WHEN n_chars >= 1 AND n_chars <= 500 THEN 1 END) = count(n_chars) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'not_null:text',
+        |  round((count(*) - count(text))::DOUBLE / count(*), 6),
+        |  CAST(count(*) = count(text) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'regex:lang',
+        |  round(count(CASE WHEN regexp_matches(lang, '^[a-z]{2}$') THEN 1 END)::DOUBLE / count(lang), 6),
+        |  CAST(count(CASE WHEN regexp_matches(lang, '^[a-z]{2}$') THEN 1 END) * 1000000 >= 950000 * count(lang) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'unique:doc_id',
+        |  round(count(DISTINCT doc_id)::DOUBLE / count(doc_id), 6),
+        |  CAST(count(DISTINCT doc_id) = count(doc_id) AS BIGINT)
+        |FROM documents
+        |ORDER BY "check"""".stripMargin,
     "q_hist" ->
       """WITH v AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
         |    ELSE len(string_split_regex(trim(text), '\s+')) END::DOUBLE AS v

@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling and declarative data-quality gating — the
+  * "look before you train" step: before a 100 TB corpus feeds a
+  * pipeline, summarize every column (nullity, cardinality, extrema,
+  * width) and assert the contracts downstream stages assume (ids
+  * unique, text non-null, scores in range, metadata well-formed).
+  *
+  * Scale shape: [[profileColumns]] and [[checkSuite]] are each ONE
+  * aggregation pass over the input — all per-column statistics fold in
+  * a single `agg` (Catalyst plans the multi-`countDistinct` via one
+  * expand + aggregate, still one scan), the result is a single row,
+  * and the per-column/per-check rows explode from it driver-free.
+  * Nothing but aggregation state shuffles; text never leaves the scan.
+  * At corpus scale swap the exact `countDistinct` for
+  * [[Hll.hllCountDistinct]] if the value space itself is the problem —
+  * the exact variant is kept here because the oracle replays it.
+  *
+  * Determinism/oracle contract: every metric is a ratio of exact
+  * integer counts rounded once (6 places), min/max aggregate on the
+  * native type BEFORE the string cast (numeric extrema, not
+  * lexicographic), and pass/fail thresholds compare in integer
+  * micro-fraction arithmetic (`matching × 1e6 ≥ micro × n`) so no
+  * floating-point comparison ever decides a gate. Everything replays
+  * relationally in the q_profile / q_checks oracles.
+  */
+object Profile {
+
+  /** One profile row per requested column:
+    * (column, n_rows, n_null, null_frac, n_distinct, min_str, max_str,
+    * avg_len) — `min_str`/`max_str` are the native-type extrema cast to
+    * string after aggregation, `avg_len` is the mean string-cast length
+    * of non-null values (null for an all-null column). Single scan,
+    * single result row, exploded to |cols| rows.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns: no columns")
+    cols.foreach(c => require(df.columns.contains(c),
+      s"profileColumns: no column $c"))
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"),
+        sum(length(col(c).cast("string"))).as(s"__len_$c"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      val nn = col(s"__nn_$c")
+      struct(
+        lit(c).as("column"),
+        col("__n").as("n_rows"),
+        (col("__n") - nn).as("n_null"),
+        round((col("__n") - nn).cast("double") /
+          greatest(col("__n"), lit(1L)), 6).as("null_frac"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_str"),
+        col(s"__mx_$c").as("max_str"),
+        when(nn === 0, lit(null).cast("double"))
+          .otherwise(round(col(s"__len_$c").cast("double") / nn, 6))
+          .as("avg_len"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** A declarative data-quality assertion. `name` keys the report row. */
+  sealed trait Check { def name: String }
+  /** No nulls allowed. metric = null fraction; passes iff 0 nulls. */
+  final case class NotNull(colName: String) extends Check {
+    val name = s"not_null:$colName"
+  }
+  /** Non-null values all distinct. metric = distinct / non-null. */
+  final case class Unique(colName: String) extends Check {
+    val name = s"unique:$colName"
+  }
+  /** Non-null values within [lo, hi]. metric = in-range fraction;
+    * passes iff every non-null value is in range. */
+  final case class InRange(colName: String, lo: Double, hi: Double)
+      extends Check {
+    val name = s"in_range:$colName"
+  }
+  /** At least `minFrac` of non-null values match `pattern` (Java
+    * regex — keep patterns in the portable subset so the SQL oracle's
+    * engine agrees). */
+  final case class MatchesRegex(colName: String, pattern: String,
+      minFrac: Double) extends Check {
+    require(0 <= minFrac && minFrac <= 1, s"bad minFrac $minFrac")
+    val name = s"regex:$colName"
+  }
+  /** At least `minFrac` of non-null values in the accepted set. */
+  final case class AcceptedValues(colName: String, values: Seq[String],
+      minFrac: Double) extends Check {
+    require(values.nonEmpty, "AcceptedValues: empty set")
+    require(0 <= minFrac && minFrac <= 1, s"bad minFrac $minFrac")
+    val name = s"accepted:$colName"
+  }
+
+  private def micro(f: Double): Long = math.round(f * 1e6)
+
+  /** Run a check suite in ONE aggregation pass. Output, one row per
+    * check in input order: (check, metric, passed) — `metric` the
+    * check's observed fraction rounded to 6 places, `passed` 1/0
+    * decided on integer counts (never a float compare). An empty
+    * relation (or all-null column) passes vacuously with metric null
+    * for ratio checks.
+    */
+  def checkSuite(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "checkSuite: no checks")
+    checks.collect { case c: NotNull => c.colName
+                     case c: Unique => c.colName
+                     case c: InRange => c.colName
+                     case c: MatchesRegex => c.colName
+                     case c: AcceptedValues => c.colName }
+      .foreach(c => require(df.columns.contains(c),
+        s"checkSuite: no column $c"))
+    val aggs: Seq[Column] = checks.zipWithIndex.flatMap { case (ck, i) =>
+      ck match {
+        case NotNull(c) => Seq(
+          count(lit(1)).as(s"__n_$i"),
+          count(col(c)).as(s"__nn_$i"))
+        case Unique(c) => Seq(
+          count(col(c)).as(s"__nn_$i"),
+          countDistinct(col(c)).as(s"__nd_$i"))
+        case InRange(c, lo, hi) => Seq(
+          count(col(c)).as(s"__nn_$i"),
+          count(when(col(c) >= lo && col(c) <= hi, lit(1))).as(s"__ok_$i"))
+        case MatchesRegex(c, p, _) => Seq(
+          count(col(c)).as(s"__nn_$i"),
+          count(when(col(c).rlike(p), lit(1))).as(s"__ok_$i"))
+        case AcceptedValues(c, vs, _) => Seq(
+          count(col(c)).as(s"__nn_$i"),
+          count(when(col(c).cast("string").isin(vs: _*), lit(1)))
+            .as(s"__ok_$i"))
+      }
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    def frac(num: Column, den: Column): Column =
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(round(num.cast("double") / den, 6))
+    val rows = checks.zipWithIndex.map { case (ck, i) =>
+      val (metric, passed) = ck match {
+        case NotNull(_) =>
+          (frac(col(s"__n_$i") - col(s"__nn_$i"), col(s"__n_$i")),
+            col(s"__n_$i") === col(s"__nn_$i"))
+        case Unique(_) =>
+          (frac(col(s"__nd_$i"), col(s"__nn_$i")),
+            col(s"__nd_$i") === col(s"__nn_$i"))
+        case InRange(_, _, _) =>
+          (frac(col(s"__ok_$i"), col(s"__nn_$i")),
+            col(s"__ok_$i") === col(s"__nn_$i"))
+        case MatchesRegex(_, _, mf) =>
+          (frac(col(s"__ok_$i"), col(s"__nn_$i")),
+            col(s"__ok_$i") * lit(1000000L) >=
+              lit(micro(mf)) * col(s"__nn_$i"))
+        case AcceptedValues(_, _, mf) =>
+          (frac(col(s"__ok_$i"), col(s"__nn_$i")),
+            col(s"__ok_$i") * lit(1000000L) >=
+              lit(micro(mf)) * col(s"__nn_$i"))
+      }
+      struct(lit(ck.name).as("check"), metric.as("metric"),
+        passed.cast("long").as("passed"))
+    }
+    one.select(explode(array(rows: _*)).as("c")).select(col("c.*"))
+  }
+}

@@ -2864,6 +2864,68 @@ class OpsSpec extends AnyFunSuite {
       viaSql.isNullAt(2))
   }
 
+  test("profileColumns: nullity, cardinality, native-type extrema, widths") {
+    import graft.ops.Profile
+    val df = Seq[(java.lang.Long, String)](
+      (2L, "bb"), (10L, null), (1L, "a"), (10L, "ccc"))
+      .toDF("k", "s")
+    val out = Profile.profileColumns(df, Seq("k", "s"))
+      .orderBy("column").collect()
+    val k = out(0)
+    assert(k.getString(0) == "k" && k.getLong(1) == 4 && k.getLong(2) == 0)
+    assert(k.getDouble(3) == 0.0 && k.getLong(4) == 3)
+    // native-type extrema: min 1 / max 10 — NOT the lexicographic "1"/"2"
+    assert(k.getString(5) == "1" && k.getString(6) == "10")
+    assert(math.abs(k.getDouble(7) - 6.0 / 4) < 1e-9) // "2","10","1","10"
+    val s = out(1)
+    assert(s.getLong(2) == 1 && s.getDouble(3) == 0.25 && s.getLong(4) == 3)
+    assert(s.getString(5) == "a" && s.getString(6) == "ccc")
+    assert(math.abs(s.getDouble(7) - 2.0) < 1e-9) // (2+1+3)/3 non-null
+    // all-null column: avg_len null, extrema null, distinct 0
+    val an = Profile.profileColumns(
+      Seq[(Long, String)]((1L, null), (2L, null)).toDF("k", "s"), Seq("s"))
+      .head()
+    assert(an.getLong(2) == 2 && an.getDouble(3) == 1.0 && an.getLong(4) == 0)
+    assert(an.isNullAt(5) && an.isNullAt(6) && an.isNullAt(7))
+    // partition invariance: one row per column regardless of layout
+    val rep = Profile.profileColumns(df.repartition(7), Seq("k", "s"))
+      .orderBy("column").collect()
+    assert(rep.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
+
+  test("checkSuite: all five kinds, integer-arithmetic verdicts, vacuous pass") {
+    import graft.ops.Profile._
+    val df = Seq[(java.lang.Long, String, String)](
+      (1L, "en", "web"), (2L, "de", "web"), (2L, "xx!", "book"),
+      (4L, null, "web")).toDF("id", "lang", "src")
+    val out = checkSuite(df, Seq(
+      NotNull("lang"),          // 1 null of 4 -> fail, metric 0.25
+      Unique("id"),             // dup 2 -> fail, 3 distinct / 4
+      InRange("id", 1, 3),      // 4 out of range -> fail, 3/4
+      MatchesRegex("lang", "^[a-z]{2}$", 0.6), // 2 of 3 non-null -> pass at 0.6
+      AcceptedValues("src", Seq("web"), 0.8))) // 3 of 4 -> fail at 0.8
+      .orderBy("check").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("accepted:src", 0.75, 0L),
+      ("in_range:id", 0.75, 0L),
+      ("not_null:lang", 0.25, 0L),
+      ("regex:lang", 0.666667, 1L),
+      ("unique:id", 0.75, 0L)))
+    // boundary: metric exactly at an exactly-representable minFrac
+    // passes (>= in integer micros)
+    val b = checkSuite(df, Seq(AcceptedValues("src", Seq("web"), 0.75)))
+      .head()
+    assert(b.getLong(2) == 1L)
+    // vacuous: empty relation passes every check with null metrics
+    val empty = df.filter(lit(false))
+    val vac = checkSuite(empty, Seq(NotNull("lang"), Unique("id"),
+      InRange("id", 0, 1), MatchesRegex("lang", ".", 1.0),
+      AcceptedValues("src", Seq("web"), 1.0))).collect()
+    assert(vac.forall(_.getLong(2) == 1L))
+    assert(vac.forall(_.isNullAt(1)))
+  }
+
   test("html strip: blocks vanish with content, entities decode, ws collapses") {
     val df = Seq(
       (0L, "<html><body><h1>T</h1><script>if (1 < 2) { x(); }</script>" +
