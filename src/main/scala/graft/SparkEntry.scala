@@ -1494,6 +1494,19 @@ object SparkEntry {
       .orderBy(col("domain"))
   }
 
+  /** UniMax plan over the `lang` domains: budget 40k at cap 2 epochs —
+    * on this corpus the four small languages all hit their caps and
+    * donate slack; `en` absorbs the remainder budget-limited, so both
+    * sides of the water-filling `min` materialize. The oracle replays
+    * the ascending integer fold as a recursive CTE.
+    */
+  private def qMixUnimax(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.unimaxMixturePlan(
+        s.read.parquet(t(dir, "documents")), "lang",
+        graft.ops.TextStats.wsTokens(col("text")).cast("long"),
+        budget = 40000L, maxEpochs = 2.0)
+      .orderBy(col("domain"))
+
   /** Per-language median-length threshold filter: each language keeps
     * its at-or-below-median-length docs. Exercises the per-group
     * quantile + broadcast-back + keep-flag shape end to end; the
@@ -2355,6 +2368,7 @@ object SparkEntry {
     "q_skew" -> (qSkew _),
     "q_profile" -> (qProfile _),
     "q_checks" -> (qChecks _),
+    "q_mix_unimax" -> (qMixUnimax _),
     "q_cdc" -> (qCdc _),
     "q_cdc_dedup" -> (qCdcDedup _),
     "q_cdc_pairs" -> (qCdcPairs _),
@@ -2577,6 +2591,29 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // same bucket rule, same nearest-rank + in-bucket interpolation,
     // exact percentile via quantile_cont (matches Spark percentile)
+    // the ascending water-filling fold replayed as a recursive CTE in
+    // the same integer arithmetic (micro-grain caps, floor-div shares)
+    "q_mix_unimax" ->
+      """WITH RECURSIVE counts AS (SELECT lang AS domain,
+        |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                  ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |ord AS (SELECT domain, n,
+        |    CAST(row_number() OVER (ORDER BY n, domain) AS BIGINT) AS rn,
+        |    (SELECT count(*) FROM counts) AS k FROM counts),
+        |fill(rn, rem, domain, n, cap, alloc) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(40000 AS BIGINT), CAST(NULL AS VARCHAR),
+        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |  UNION ALL
+        |  SELECT o.rn,
+        |    f.rem - least((o.n * 2000000) // 1000000, f.rem // (o.k - f.rn)),
+        |    o.domain, o.n, (o.n * 2000000) // 1000000,
+        |    least((o.n * 2000000) // 1000000, f.rem // (o.k - f.rn))
+        |  FROM fill f JOIN ord o ON o.rn = f.rn + 1)
+        |SELECT domain, n AS available_tokens, cap AS cap_tokens,
+        |  alloc AS actual_tokens,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE round(alloc::DOUBLE / n, 6) END AS epochs
+        |FROM fill WHERE rn >= 1 ORDER BY domain""".stripMargin,
     // each profile row rebuilt as an independent aggregate; min/max on
     // the NATIVE type then cast (numeric extrema, not lexicographic)
     "q_profile" -> {

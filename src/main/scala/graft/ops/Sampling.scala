@@ -277,6 +277,59 @@ object Sampling {
         col("shortfall"))
   }
 
+  /** UniMax budget allocation (Chung et al., ICLR 2023): spread the
+    * token budget as UNIFORMLY as possible across domains subject to a
+    * per-domain repeat cap — the fairness-first alternative to
+    * temperature scaling (which still tracks corpus proportions).
+    * Ascending water-filling: visit domains by available tokens
+    * (ascending, ties by name); each takes
+    * `min(cap, remaining_budget / remaining_domains)` — a domain too
+    * small to use its uniform share donates the slack to the larger
+    * domains still in line, so the final allocation is the unique one
+    * where every un-capped domain receives the same (maximal) share.
+    *
+    * Determinism/oracle contract: the fold runs entirely in integer
+    * arithmetic — caps in micro-epoch grains
+    * (`available × round(maxEpochs·1e6) / 1e6`, floored), shares by
+    * long floor-division — so the q_mix_unimax oracle replays the
+    * exact recursion as a recursive CTE. The per-domain table is tiny
+    * (one row per source); it collects to the driver like every other
+    * mixture plan ([[applyMixturePlan]]'s documented contract) and the
+    * result ships back as a local relation.
+    *
+    * Output, one row per domain: (domain, available_tokens,
+    * cap_tokens, actual_tokens, epochs) — `epochs` =
+    * actual/available rounded to 6 (0.0 for a zero-token domain).
+    */
+  def unimaxMixturePlan(df: DataFrame, domainCol: String,
+      tokenCount: Column, budget: Long, maxEpochs: Double = 4.0): DataFrame = {
+    require(budget > 0 && maxEpochs > 0, s"bad budget/maxEpochs: $budget/$maxEpochs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val domains = df.groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(coalesce(sum(tokenCount), lit(0L)).cast("long")
+        .as("available_tokens"))
+      .collect() // one row per domain — the mixture-family contract
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (d, n) => (n, d) }
+    val epochMicros = math.round(maxEpochs * 1e6)
+    var remaining = budget
+    var left = domains.length
+    val rows = domains.map { case (d, n) =>
+      val cap = ((BigInt(n) * epochMicros) / 1000000L).toLong
+      val alloc = math.min(cap, remaining / left)
+      remaining -= alloc
+      left -= 1
+      (d, n, cap, alloc)
+    }
+    rows.toIndexedSeq
+      .toDF("domain", "available_tokens", "cap_tokens", "actual_tokens")
+      .withColumn("epochs",
+        when(col("available_tokens") === 0, lit(0.0)).otherwise(
+          round(col("actual_tokens").cast("double") /
+            col("available_tokens"), 6)))
+  }
+
   def mixturePlan(df: DataFrame, domainCol: String, tokenCount: Column,
       weights: Seq[(String, Double)], budget: Long,
       maxEpochs: Double = 4.0): DataFrame = {

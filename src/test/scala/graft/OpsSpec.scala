@@ -2864,6 +2864,46 @@ class OpsSpec extends AnyFunSuite {
       viaSql.isNullAt(2))
   }
 
+  test("unimaxMixturePlan: ascending water-filling with caps and donated slack") {
+    import graft.ops.Sampling
+    // A=10, B=100, C=1000 tokens; budget 600, cap 2 epochs:
+    // A share 200 -> cap 20; B share (580/2)=290 -> cap 200; C gets 380
+    val df = (Seq.fill(1)(("A", 10)) ++ Seq(("B", 100)) ++ Seq(("C", 1000)))
+      .toDF("domain", "n")
+    val out = Sampling.unimaxMixturePlan(df, "domain", col("n"),
+        budget = 600L, maxEpochs = 2.0)
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(out == Seq(
+      ("A", 10L, 20L, 20L, 2.0),
+      ("B", 100L, 200L, 200L, 2.0),
+      ("C", 1000L, 2000L, 380L, 0.38)))
+    // uncapped domains receive the SAME share (the fairness property):
+    // budget 300 caps nothing -> each of the three gets exactly 100
+    val fair = Sampling.unimaxMixturePlan(
+        Seq(("A", 200), ("B", 300), ("C", 400)).toDF("domain", "n"),
+        "domain", col("n"), budget = 300L, maxEpochs = 4.0)
+      .orderBy("domain").collect().map(_.getLong(3)).toSeq
+    assert(fair == Seq(100L, 100L, 100L))
+    // a zero-token domain allocates 0 with epochs 0.0 (not null)
+    val z = Sampling.unimaxMixturePlan(
+        Seq(("Z", 0), ("B", 50)).toDF("domain", "n"),
+        "domain", col("n"), budget = 100L, maxEpochs = 2.0)
+      .orderBy("domain").collect()
+    assert(z(1).getString(0) == "Z" && z(1).getLong(3) == 0L &&
+      z(1).getDouble(4) == 0.0)
+    // allocation never exceeds budget and is partitioning-independent
+    val big = (0 until 30).map(i => (s"d$i", i * 7 + 1)).toDF("domain", "n")
+    val a1 = Sampling.unimaxMixturePlan(big, "domain", col("n"), 1000L, 2.0)
+      .orderBy("domain").collect().map(_.toSeq).toSeq
+    val a2 = Sampling.unimaxMixturePlan(big.repartition(11), "domain",
+        col("n"), 1000L, 2.0)
+      .orderBy("domain").collect().map(_.toSeq).toSeq
+    assert(a1 == a2)
+    assert(a1.map(_(3).asInstanceOf[Long]).sum <= 1000L)
+  }
+
   test("profileColumns: nullity, cardinality, native-type extrema, widths") {
     import graft.ops.Profile
     val df = Seq[(java.lang.Long, String)](
