@@ -1068,6 +1068,25 @@ object SparkEntry {
       .orderBy(col("term"))
   }
 
+  /** Bloom MERGE gate: parity shards each build a membership filter,
+    * OR'd bit-wise (union+distinct — exact), probed for four present
+    * terms and one absent, with the fill report alongside. The oracle
+    * rebuilds every bit of the WHOLE-corpus filter relationally — the
+    * hash equality is itself the merge-linearity proof.
+    */
+  private def qBloom(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketch
+    val docs = s.read.parquet(t(dir, "documents"))
+    val terms = Seq("hash", "join", "table", "vector", "qqqabsent")
+    val b1 = Sketch.bloomTable(docs.filter(col("doc_id") % 2 === 0), "text")
+    val b2 = Sketch.bloomTable(docs.filter(col("doc_id") % 2 === 1), "text")
+    val merged = Sketch.bloomMerge(b1, b2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Sketch.bloomProbe(merged, terms)
+      .crossJoin(Sketch.bloomFill(merged))
+      .orderBy(col("term"))
+  }
+
   /** Metadata validation: per source, agreement between the recorded
     * `lang` column and the langId prediction. Oracle: q_langid's
     * 11-language CASE per doc, compared to the metadata and rolled up.
@@ -2369,6 +2388,7 @@ object SparkEntry {
     "q_profile" -> (qProfile _),
     "q_checks" -> (qChecks _),
     "q_mix_unimax" -> (qMixUnimax _),
+    "q_bloom" -> (qBloom _),
     "q_cdc" -> (qCdc _),
     "q_cdc_dedup" -> (qCdcDedup _),
     "q_cdc_pairs" -> (qCdcPairs _),
@@ -2591,6 +2611,25 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // same bucket rule, same nearest-rank + in-bucket interpolation,
     // exact percentile via quantile_cont (matches Spark percentile)
+    // every bit of the whole-corpus filter rebuilt relationally; the
+    // Spark side built it from OR'd parity shards, so hash equality IS
+    // the merge-linearity proof
+    "q_bloom" ->
+      """WITH tk AS (SELECT t FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |bits AS (SELECT DISTINCT ('0x' || substr(md5(j || ':' || t), 1, 8))::BIGINT % 8192 AS bit
+        |  FROM tk, unnest([0, 1, 2]) AS u(j)),
+        |terms AS (SELECT unnest(['hash', 'join', 'table', 'vector', 'qqqabsent']) AS term),
+        |probes AS (SELECT DISTINCT term,
+        |    ('0x' || substr(md5(j || ':' || term), 1, 8))::BIGINT % 8192 AS bit
+        |  FROM terms, unnest([0, 1, 2]) AS u(j)),
+        |pm AS (SELECT p.term, CAST(count(*) = count(b.bit) AS BIGINT) AS maybe
+        |  FROM probes p LEFT JOIN bits b USING (bit) GROUP BY p.term),
+        |fill AS (SELECT CAST(count(*) AS BIGINT) AS n_bits,
+        |    round((count(*)::DOUBLE / 8192) * (count(*)::DOUBLE / 8192) * (count(*)::DOUBLE / 8192), 6) AS fpr
+        |  FROM bits)
+        |SELECT term, maybe, n_bits, fpr FROM pm, fill ORDER BY term""".stripMargin,
     // the ascending water-filling fold replayed as a recursive CTE in
     // the same integer arithmetic (micro-grain caps, floor-div shares)
     "q_mix_unimax" ->

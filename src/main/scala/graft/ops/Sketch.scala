@@ -184,4 +184,76 @@ object Sketch {
       .groupBy(col("term"))
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
+
+  /** Bloom-filter membership sketch — the MEMBERSHIP member of the
+    * sketch family (CMS = frequency, HLL = cardinality, histogram =
+    * distribution): "was this token/URL ever seen?" with no false
+    * negatives and a bounded false-positive rate, without ever
+    * materializing the value space. The filter is a table of DISTINCT
+    * set bit positions (≤ m rows — the only shuffled key space; the
+    * usual packed-long-array encoding is an optimization this
+    * row-per-bit representation trades for exact SQL replayability).
+    * Bit positions use the same cross-engine md5 hash family as the
+    * CMS, so the q_bloom oracle rebuilds every bit relationally.
+    *
+    * Merging is the point at scale: Bloom filters OR together, and
+    * with bits-as-rows OR is `union → distinct` — EXACTLY the filter
+    * the whole concatenated corpus would build (see [[bloomMerge]]).
+    * Each 100 TB region builds its own seen-set locally; coordination
+    * cost is ≤ m rows per shard.
+    */
+  def bloomTable(df: DataFrame, textCol: String, k: Int = 3,
+      m: Int = 8192): DataFrame = {
+    require(k >= 1 && m >= 2, s"bloomTable: bad k/m $k/$m")
+    val tok = df
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("__t"))
+      .filter(col("__t") =!= "")
+    tok.select(explode(array((0 until k).map(j =>
+        bucket(j, col("__t"), m)): _*)).as("bit"))
+      .distinct()
+  }
+
+  /** OR independently-built Bloom filters (same k, m, hash family):
+    * union + distinct. Exact — the merged filter is bit-identical to
+    * sketching the whole corpus at once, so multi-region seen-sets
+    * compose without re-reading any text.
+    */
+  def bloomMerge(filters: DataFrame*): DataFrame = {
+    require(filters.nonEmpty, "bloomMerge: no filters")
+    filters.reduce(_ unionByName _).distinct()
+  }
+
+  /** Probe a filter for `terms`: each term's ≤ k distinct driver-side
+    * bit positions broadcast against the bits table; `maybe` = 1 iff
+    * EVERY position is set (no false negatives; false positives at the
+    * [[bloomFill]]-implied rate). Locale.ROOT lowering mirrors
+    * [[cmsProbe]].
+    */
+  def bloomProbe(bits: DataFrame, terms: Seq[String], k: Int = 3,
+      m: Int = 8192): DataFrame = {
+    require(terms.nonEmpty, "bloomProbe: no terms")
+    val spark = bits.sparkSession
+    import spark.implicits._
+    val probes = terms.distinct.flatMap { t =>
+      val tl = t.toLowerCase(java.util.Locale.ROOT)
+      (0 until k).map(j => bucketValue(j, tl, m)).distinct.map(b => (t, b))
+    }.toDF("term", "bit")
+    broadcast(probes)
+      .join(bits.withColumn("__set", lit(1L)), Seq("bit"), "left")
+      .groupBy(col("term"))
+      .agg((count(lit(1)) === count(col("__set"))).cast("long").as("maybe"))
+  }
+
+  /** Fill report: set-bit count and the implied false-positive rate
+    * (fill fraction)^k — computed by repeated multiplication, not
+    * `pow`, so both engines round identically (with m a power of two
+    * the fill fraction itself is exact). One row: (n_bits, fpr).
+    */
+  def bloomFill(bits: DataFrame, k: Int = 3, m: Int = 8192): DataFrame = {
+    require(k >= 1, s"bloomFill: bad k $k")
+    val frac = col("n_bits").cast("double") / m
+    val fpr = (1 until k).foldLeft(frac)((acc, _) => acc * frac)
+    bits.agg(count(lit(1)).as("n_bits"))
+      .withColumn("fpr", round(fpr, 6))
+  }
 }

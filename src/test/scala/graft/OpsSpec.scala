@@ -2864,6 +2864,38 @@ class OpsSpec extends AnyFunSuite {
       viaSql.isNullAt(2))
   }
 
+  test("bloom sketch: no false negatives, merge == whole rebuild, fill report") {
+    import graft.ops.Sketch
+    val df = Seq((0L, "alpha beta gamma"), (1L, "delta epsilon beta"))
+      .toDF("doc_id", "text")
+    val bits = Sketch.bloomTable(df, "text", k = 3, m = 4096)
+    // every present term probes maybe=1 (no false negatives, any k/m)
+    val present = Sketch.bloomProbe(bits,
+        Seq("alpha", "beta", "gamma", "delta", "epsilon"), k = 3, m = 4096)
+      .collect()
+    assert(present.forall(_.getLong(1) == 1L))
+    // an absent term is (overwhelmingly, at this fill) maybe=0
+    val absent = Sketch.bloomProbe(bits, Seq("zzznothere"), k = 3, m = 4096)
+      .head()
+    assert(absent.getLong(1) == 0L)
+    // case-insensitivity matches the sketch side's lower()
+    assert(Sketch.bloomProbe(bits, Seq("ALPHA"), k = 3, m = 4096)
+      .head().getLong(1) == 1L)
+    // merge linearity: sharded OR == whole-corpus filter, bit for bit
+    val b1 = Sketch.bloomTable(df.filter(col("doc_id") === 0), "text", 3, 4096)
+    val b2 = Sketch.bloomTable(df.filter(col("doc_id") === 1), "text", 3, 4096)
+    val merged = Sketch.bloomMerge(b1, b2).collect().map(_.getLong(0)).toSet
+    val whole = bits.collect().map(_.getLong(0)).toSet
+    assert(merged == whole)
+    // fill: 5 distinct terms x 3 hashes -> <= 15 bits; fpr = (n/m)^3
+    val fill = Sketch.bloomFill(bits, k = 3, m = 4096).head()
+    val n = fill.getLong(0)
+    assert(n >= 5 && n <= 15 && n == whole.size)
+    val frac = n.toDouble / 4096
+    assert(math.abs(fill.getDouble(1) - BigDecimal(frac * frac * frac)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+  }
+
   test("unimaxMixturePlan: ascending water-filling with caps and donated slack") {
     import graft.ops.Sampling
     // A=10, B=100, C=1000 tokens; budget 600, cap 2 epochs:
