@@ -1412,6 +1412,22 @@ object SparkEntry {
       .select(col("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** Fuzzy decontamination: every (train doc, bench item) pair where
+    * ≥ half the bench item's distinct 3-grams appear in the doc — the
+    * containment rule over a benchmark carved from the corpus
+    * (doc_id % 10 == 3), self-pairs excluded. The oracle replays every
+    * score with string grams against our 64-bit hashed ones.
+    */
+  private def qDecontamFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val bench = docs.filter(col("doc_id") % 10 === 3)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    graft.ops.Decontaminate.fuzzyContaminationPairs(
+        docs, bench, "text", "doc_id", "bench_id", n = 3, minFrac = 0.5)
+      .filter(col("doc_id") =!= col("bench_id"))
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
   /** Sequence-packing offsets at 512-token sequences — the oracle is a
     * plain window cumsum over id order, which the distributed two-phase
     * prefix sum must equal exactly.
@@ -2389,6 +2405,7 @@ object SparkEntry {
     "q_checks" -> (qChecks _),
     "q_mix_unimax" -> (qMixUnimax _),
     "q_bloom" -> (qBloom _),
+    "q_decontam_fuzzy" -> (qDecontamFuzzy _),
     "q_cdc" -> (qCdc _),
     "q_cdc_dedup" -> (qCdcDedup _),
     "q_cdc_pairs" -> (qCdcPairs _),
@@ -2611,6 +2628,25 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // same bucket rule, same nearest-rank + in-bucket interpolation,
     // exact percentile via quantile_cont (matches Spark percentile)
+    // containment scores replayed with STRING grams against our 64-bit
+    // hashed ones; verdicts in the same integer micro-fraction compare
+    "q_decontam_fuzzy" ->
+      """WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM documents),
+        |grams AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) g
+        |  FROM base WHERE len(ws) >= 3),
+        |bench AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % 10 = 3),
+        |bsz AS (SELECT bench_id, count(*) AS nb FROM bench GROUP BY 1),
+        |shared AS (SELECT g2.doc_id, b.bench_id, count(*) AS sh
+        |  FROM grams g2 JOIN bench b USING (g)
+        |  WHERE g2.doc_id <> b.bench_id GROUP BY 1, 2)
+        |SELECT s.doc_id, s.bench_id,
+        |  CAST(s.sh AS BIGINT) AS shared_grams,
+        |  CAST(z.nb AS BIGINT) AS bench_grams,
+        |  round(s.sh::DOUBLE / z.nb, 6) AS overlap
+        |FROM shared s JOIN bsz z USING (bench_id)
+        |WHERE s.sh * 1000000 >= 500000 * z.nb
+        |ORDER BY doc_id, bench_id""".stripMargin,
     // every bit of the whole-corpus filter rebuilt relationally; the
     // Spark side built it from OR'd parity shards, so hash equality IS
     // the merge-linearity proof

@@ -130,4 +130,61 @@ object Decontaminate {
       fpp: Double = 0.01): DataFrame =
     docs.join(bloomContaminatedIds(docs, bench, textCol, idCol, n, fpp),
       Seq(idCol), "left_anti")
+
+  /** FUZZY decontamination pairs — the PaLM/Llama-class CONTAINMENT
+    * rule rather than the GPT-3 any-13-gram trigger: a (train doc,
+    * bench item) pair is flagged when ≥ `minFrac` of the bench item's
+    * distinct word n-grams appear in the train doc. Catches partially
+    * embedded / lightly edited eval items that never produce one long
+    * verbatim n-gram, and yields an auditable per-pair score instead of
+    * a binary verdict.
+    *
+    * Scale shape: the bench side reduces to (bench_id, 64-bit gram
+    * hash) rows + a per-item gram count — both tiny and BROADCAST; the
+    * corpus side is one projected scan whose exploded gram hashes probe
+    * the broadcast table, then a (doc, bench_id) count aggregation.
+    * Only (id, bench_id, count) rows shuffle; no text, no gram strings.
+    * The verdict compares in integer micro-fraction arithmetic
+    * (`shared × 1e6 ≥ micro(minFrac) × bench_grams`), so no float
+    * threshold ever decides, and the q_decontam_fuzzy oracle replays
+    * every score relationally (string grams vs our 64-bit hashes — a
+    * divergence needs a 64-bit collision, the documented caveat above).
+    *
+    * Output: (idCol, bench_id, shared_grams, bench_grams, overlap) for
+    * flagged pairs; `overlap` = shared/bench rounded to 6.
+    */
+  def fuzzyContaminationPairs(docs: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, benchIdCol: String,
+      n: Int = 8, minFrac: Double = 0.7): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1: $n")
+    require(0 < minFrac && minFrac <= 1, s"minFrac must be in (0,1]: $minFrac")
+    val micro = math.round(minFrac * 1e6)
+    val benchGrams = bench
+      .select(col(benchIdCol).as("bench_id"),
+        explode(gramHashes(col(textCol), n)).as("__gh"))
+    val benchSizes = benchGrams.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("bench_grams"))
+    docs.select(col(idCol), explode(gramHashes(col(textCol), n)).as("__gh"))
+      .join(broadcast(benchGrams), Seq("__gh"))
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(broadcast(benchSizes), Seq("bench_id"))
+      .filter(col("shared_grams") * lit(1000000L) >=
+        lit(micro) * col("bench_grams"))
+      .select(col(idCol), col("bench_id"), col("shared_grams"),
+        col("bench_grams"),
+        round(col("shared_grams").cast("double") / col("bench_grams"), 6)
+          .as("overlap"))
+  }
+
+  /** The clean corpus under the fuzzy rule: `docs` minus every document
+    * flagged against ANY bench item by [[fuzzyContaminationPairs]].
+    */
+  def fuzzy(docs: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, benchIdCol: String, n: Int = 8,
+      minFrac: Double = 0.7): DataFrame =
+    docs.join(
+      fuzzyContaminationPairs(docs, bench, textCol, idCol, benchIdCol,
+        n, minFrac).select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 }

@@ -2864,6 +2864,38 @@ class OpsSpec extends AnyFunSuite {
       viaSql.isNullAt(2))
   }
 
+  test("fuzzy decontamination: containment scores, threshold, clean corpus") {
+    import graft.ops.Decontaminate
+    val train = Seq(
+      (0L, "a b c d e f g h"),        // contains all of bench 100's grams
+      (1L, "a b c x y z q w"),        // 2 of bench 100's 6 3-grams
+      (2L, "totally unrelated words here")).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e f g h")).toDF("bench_id", "text")
+    val pairs = Decontaminate.fuzzyContaminationPairs(
+        train, bench, "text", "doc_id", "bench_id", n = 3, minFrac = 0.5)
+      .orderBy("doc_id").collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 0L && pairs(0).getLong(2) == 6L &&
+      pairs(0).getLong(3) == 6L && pairs(0).getDouble(4) == 1.0)
+    // lowering the bar under 1/6 admits the partial overlap at its score
+    val loose = Decontaminate.fuzzyContaminationPairs(
+        train, bench, "text", "doc_id", "bench_id", n = 3,
+        minFrac = 0.16)
+      .orderBy("doc_id").collect()
+    assert(loose.length == 2 && loose(1).getLong(0) == 1L &&
+      loose(1).getLong(2) == 1L) // only "a b c" shared
+    // clean corpus drops exactly the flagged doc
+    val clean = Decontaminate.fuzzy(train, bench, "text", "doc_id",
+        "bench_id", n = 3, minFrac = 0.5)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(clean == Seq(1L, 2L))
+    // whitespace variants hash to the same grams (the \s+ contract)
+    val wsTrain = Seq((7L, "a  b\tc   d e f g h")).toDF("doc_id", "text")
+    val wsPairs = Decontaminate.fuzzyContaminationPairs(
+      wsTrain, bench, "text", "doc_id", "bench_id", n = 3, minFrac = 0.99)
+    assert(wsPairs.count() == 1)
+  }
+
   test("bloom sketch: no false negatives, merge == whole rebuild, fill report") {
     import graft.ops.Sketch
     val df = Seq((0L, "alpha beta gamma"), (1L, "delta epsilon beta"))
