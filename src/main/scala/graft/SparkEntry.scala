@@ -1412,6 +1412,29 @@ object SparkEntry {
       .select(col("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** Declarative pipeline gate: the EDN spec compiles to normalize →
+    * min-words filter → exact dedup → langId → language filter, then a
+    * per-language rollup. The oracle replays every stage relationally
+    * (NFC + invisible/space/control passes, ws-token filter, min-id
+    * dedup, the 11-language CASE) — proving spec compilation produces
+    * exactly the hand-written chain's semantics.
+    */
+  private def qPipelineDsl(s: SparkSession, dir: String): DataFrame = {
+    val spec =
+      """[{:op :sample :rate 0.5 :salt "dsl"}
+        | {:op :normalize :form "NFC"}
+        | {:op :filter-min-words :n 10}
+        | {:op :dedup-exact}
+        | {:op :lang-id :out "lang_pred"}
+        | {:op :filter-lang :langs ["en" "und"]}]""".stripMargin
+    graft.pipeline.Pipeline.run(s.read.parquet(t(dir, "documents")), spec)
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.ops.TextStats.wsTokens(col("text")).cast("long"))
+          .as("n_tokens"))
+      .orderBy(col("lang_pred"))
+  }
+
   /** Fuzzy decontamination: every (train doc, bench item) pair where
     * ≥ half the bench item's distinct 3-grams appear in the doc — the
     * containment rule over a benchmark carved from the corpus
@@ -2406,6 +2429,7 @@ object SparkEntry {
     "q_mix_unimax" -> (qMixUnimax _),
     "q_bloom" -> (qBloom _),
     "q_decontam_fuzzy" -> (qDecontamFuzzy _),
+    "q_pipeline_dsl" -> (qPipelineDsl _),
     "q_cdc" -> (qCdc _),
     "q_cdc_dedup" -> (qCdcDedup _),
     "q_cdc_pairs" -> (qCdcPairs _),
@@ -2628,6 +2652,56 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // same bucket rule, same nearest-rank + in-bucket interpolation,
     // exact percentile via quantile_cont (matches Spark percentile)
+    // every DSL stage replayed: NFC+invisible/space/control normalize,
+    // ws-token filter, min-id exact dedup, the 11-language CASE, the
+    // language filter, the rollup — spec compilation == hand chain
+    "q_pipeline_dsl" ->
+      """WITH smp AS (SELECT doc_id, text FROM documents
+        |  WHERE md5(CAST(doc_id AS VARCHAR) || 'dsl') < '80000000'),
+        |n AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text),
+        |      '[\x{200B}\x{200C}\x{200D}\x{2060}\x{FEFF}\x{00AD}]', '', 'g'),
+        |      '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]', ' ', 'g'),
+        |      '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}]', '', 'g') AS text
+        |  FROM smp),
+        |f AS (SELECT * FROM n
+        |  WHERE CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(string_split_regex(trim(text), '\s+')) END >= 10),
+        |d AS (SELECT * FROM f
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+        |s AS (
+        |  SELECT doc_id, text,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+        |    len(regexp_extract_all(text, '[一-龥]')) AS cjk,
+        |    len(regexp_extract_all(lower(text), '[а-яё]')) AS cyr,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['the','a','of','to','and','is','in'])) s_en,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['el','la','de','que','y','los','una'])) s_es,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['le','la','les','et','un','des','que'])) s_fr,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['der','die','das','und','ist','ein','nicht'])) s_de,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['o','os','uma','não','com','por','são'])) s_pt,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['il','che','di','per','sono','della','gli'])) s_it,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['het','een','van','niet','zijn','met','voor'])) s_nl,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['ir','yra','kad','tai','kaip','bet','buvo'])) s_lt
+        |  FROM d),
+        |g AS (SELECT *, greatest(s_en, s_es, s_fr, s_de, s_pt, s_it, s_nl, s_lt) AS m FROM s),
+        |lp AS (SELECT doc_id, text,
+        |  CASE WHEN cjk * 4 >= nonspace AND cjk > 0 THEN 'zh'
+        |       WHEN cyr * 4 >= nonspace AND cyr > 0 THEN 'ru'
+        |       WHEN m = 0 THEN 'und'
+        |       WHEN s_en = m THEN 'en'
+        |       WHEN s_es = m THEN 'es'
+        |       WHEN s_fr = m THEN 'fr'
+        |       WHEN s_de = m THEN 'de'
+        |       WHEN s_pt = m THEN 'pt'
+        |       WHEN s_it = m THEN 'it'
+        |       WHEN s_nl = m THEN 'nl'
+        |       ELSE 'lt' END AS lang_pred
+        |  FROM g)
+        |SELECT lang_pred, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |           ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+        |FROM lp WHERE lang_pred IN ('en', 'und')
+        |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
     // containment scores replayed with STRING grams against our 64-bit
     // hashed ones; verdicts in the same integer micro-fraction compare
     "q_decontam_fuzzy" ->

@@ -2864,6 +2864,55 @@ class OpsSpec extends AnyFunSuite {
       viaSql.isNullAt(2))
   }
 
+  test("pipeline DSL: spec compiles to the hand-written chain; validate catches errors") {
+    import graft.pipeline.Pipeline
+    val df = Seq(
+      (0L, "the cat sat on the mat and the dog ran off today"),
+      (1L, "the cat sat on the mat and the dog ran off today"), // dup of 0
+      (2L, "el la de que y los una palabra mas aqui hoy bien"),
+      (3L, "short doc"),
+      (4L, "le la les et un des que mots ici plus encore bien"))
+      .toDF("doc_id", "text")
+    val spec =
+      """[{:op :filter-min-words :n 5}
+        | {:op :dedup-exact}
+        | {:op :lang-id :out "lang_pred"}
+        | {:op :filter-lang :langs ["en" "es"]}]""".stripMargin
+    val got = Pipeline.run(df, spec)
+      .select("doc_id", "lang_pred").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // hand-written chain: drop doc 3 (short), dup 1 loses to 0, doc 4
+    // is fr and filtered; 0=en, 2=es survive
+    assert(got == Seq((0L, "en"), (2L, "es")))
+    // the DSL output must equal the literally hand-composed chain
+    val hand = {
+      val f = df.filter(graft.ops.TextStats.wsTokens(col("text")) >= 5)
+      val d = f.join(graft.ops.Dedup.exact(f, "text", "doc_id")
+        .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      d.withColumn("lang_pred", graft.ops.TextStats.langId(col("text")))
+        .filter(col("lang_pred").isin("en", "es"))
+    }.select("doc_id", "lang_pred").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == hand)
+    // transform stages keep the schema pure (diagnostics dropped)
+    val norm = Pipeline.run(df, """[{:op :normalize} {:op :redact-pii}]""")
+    assert(norm.columns.toSeq == Seq("doc_id", "text"))
+    // validation: unknown op, missing arg, bad rate — no data touched
+    assert(Pipeline.validate("""[{:op :nope}]""")
+      .exists(_.contains("unknown op :nope")))
+    assert(Pipeline.validate("""[{:op :filter-min-words}]""")
+      .exists(_.contains("missing :n")))
+    assert(Pipeline.validate("""[{:op :sample :rate 1.5}]""")
+      .exists(_.contains(":rate out of")))
+    assert(Pipeline.validate("""{:op :sample}""").nonEmpty) // not a vector
+    assert(Pipeline.validate(
+      """[{:op :sample :rate 0.5} {:op :normalize :form "NFKC"}]""").isEmpty)
+    // run fails fast with the stage index
+    val e = intercept[IllegalArgumentException](
+      Pipeline.run(df, """[{:op :normalize} {:op :bogus}]""").collect())
+    assert(e.getMessage.contains("stage 1"))
+  }
+
   test("fuzzy decontamination: containment scores, threshold, clean corpus") {
     import graft.ops.Decontaminate
     val train = Seq(
