@@ -1412,6 +1412,107 @@ object SparkEntry {
       .select(col("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** Interval-overlap join gate: 10-minute error windows × 5-minute
+    * purchase windows over the events stream — every intersecting
+    * pair with its overlap duration, emitted exactly once by the
+    * canonical-bin rule. The oracle is the plain inequality join.
+    */
+  private def qOverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(t(dir, "events"))
+    // ts is TIMESTAMP_NTZ; the session runs UTC so the cast is exact
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"),
+        unix_micros(col("ts").cast("timestamp")).as("s"))
+      .withColumn("e", col("s") + lit(600000000L))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pur_id"),
+        unix_micros(col("ts").cast("timestamp")).as("s"))
+      .withColumn("e", col("s") + lit(300000000L))
+    graft.ops.Joins.intervalOverlapJoin(err, pur, "s", "e", "s", "e",
+        binWidth = 600000000L)
+      .select(col("err_id"), col("r_pur_id").as("pur_id"),
+        (least(col("e"), col("r_e")) - greatest(col("s"), col("r_s")))
+          .as("overlap_us"))
+      .orderBy(col("err_id"), col("pur_id"))
+  }
+
+  /** Salted-join gate: the explicit skew-salting join must produce
+    * EXACTLY the plain join's result — oracled via the plain SQL join
+    * + rollup, which the salted plan has to land on row-for-row. (The
+    * salt column is internal: left rows get one uniform bucket, the
+    * small side replicates across all buckets, so no pair is lost or
+    * duplicated.)
+    */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(t(dir, "lineitem"))
+      .select(col("l_partkey").as("pk"), col("l_quantity"))
+    val parts = s.read.parquet(t(dir, "part"))
+      .select(col("p_partkey").as("pk"), col("p_brand"))
+    graft.ops.Joins.saltedJoin(li, parts, Seq("pk"), buckets = 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Streaming Bloom parity: the bits table built over a 4-chunk
+    * micro-batched stream (complete-mode distinct — state is ≤ m bit
+    * keys, never the vocabulary) must land on the relationally-rebuilt
+    * whole-corpus filter: same probes, same fill. Oracle identical in
+    * structure to q_bloom's.
+    */
+  private def qStreamBloom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = s.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val sdf = ms.toDF().toDF("doc_id", "text")
+    val qname = "graft_stream_bloom"
+    s.catalog.dropTempView(qname)
+    val q = graft.ops.Sketch.bloomBits(sdf, "text")
+      .groupBy(col("bit")).count()
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("complete").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val bits = s.table(qname).select(col("bit"))
+    graft.ops.Sketch
+      .bloomProbe(bits, Seq("hash", "join", "table", "vector", "qqqabsent"))
+      .crossJoin(graft.ops.Sketch.bloomFill(bits))
+      .orderBy(col("term"))
+  }
+
+  /** Curriculum order: three length tiers (short docs first), each
+    * tier internally md5-shuffled. The oracle is one global
+    * row_number over the identical (phase, md5, id) order — certifying
+    * the phase-major base-offset telescoping exactly, like q_order.
+    */
+  private def qCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+      .withColumn("phase",
+        when(col("n_chars") < 200, lit(0L))
+          .when(col("n_chars") < 300, lit(1L)).otherwise(lit(2L)))
+    graft.ops.Sampling.curriculumOrder(docs, "doc_id", "phase")
+      .orderBy(col("rank"))
+  }
+
+  /** Importance resampling to ~150 rows with weight = n_chars (long
+    * docs oversampled proportionally). The oracle replays the Σw
+    * aggregation, the clipped per-row probability, and the 32-bit
+    * md5 coin in identical IEEE operand order.
+    */
+  private def qImpSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.importanceSample(
+        s.read.parquet(t(dir, "documents")), "doc_id", "n_chars",
+        targetRows = 150L, salt = "imp")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** Declarative pipeline gate: the EDN spec compiles to normalize →
     * min-words filter → exact dedup → langId → language filter, then a
     * per-language rollup. The oracle replays every stage relationally
@@ -2430,6 +2531,11 @@ object SparkEntry {
     "q_bloom" -> (qBloom _),
     "q_decontam_fuzzy" -> (qDecontamFuzzy _),
     "q_pipeline_dsl" -> (qPipelineDsl _),
+    "q_imp_sample" -> (qImpSample _),
+    "q_curriculum" -> (qCurriculum _),
+    "q_salted_join" -> (qSaltedJoin _),
+    "q_overlap_join" -> (qOverlapJoin _),
+    "q_stream_bloom" -> (qStreamBloom _),
     "q_cdc" -> (qCdc _),
     "q_cdc_dedup" -> (qCdcDedup _),
     "q_cdc_pairs" -> (qCdcPairs _),
@@ -2652,6 +2758,55 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // same bucket rule, same nearest-rank + in-bucket interpolation,
     // exact percentile via quantile_cont (matches Spark percentile)
+    // the binned exactly-once plan must land on the plain inequality join
+    "q_overlap_join" ->
+      """WITH e AS (SELECT event_id AS err_id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS en
+        |  FROM events WHERE event_type = 'error'),
+        |p AS (SELECT event_id AS pur_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS en
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT e.err_id, p.pur_id,
+        |  CAST(least(e.en, p.en) - greatest(e.s, p.s) AS BIGINT) AS overlap_us
+        |FROM e JOIN p ON e.s <= p.en AND p.s <= e.en
+        |ORDER BY err_id, pur_id""".stripMargin,
+    // the salted plan must land on the plain join row-for-row
+    "q_salted_join" ->
+      """SELECT p.p_brand, count(*) AS n_rows,
+        |  CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
+    // identical rebuild to q_bloom — the STREAMED bits must land on it
+    "q_stream_bloom" ->
+      """WITH tk AS (SELECT t FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |bits AS (SELECT DISTINCT ('0x' || substr(md5(j || ':' || t), 1, 8))::BIGINT % 8192 AS bit
+        |  FROM tk, unnest([0, 1, 2]) AS u(j)),
+        |terms AS (SELECT unnest(['hash', 'join', 'table', 'vector', 'qqqabsent']) AS term),
+        |probes AS (SELECT DISTINCT term,
+        |    ('0x' || substr(md5(j || ':' || term), 1, 8))::BIGINT % 8192 AS bit
+        |  FROM terms, unnest([0, 1, 2]) AS u(j)),
+        |pm AS (SELECT p.term, CAST(count(*) = count(b.bit) AS BIGINT) AS maybe
+        |  FROM probes p LEFT JOIN bits b USING (bit) GROUP BY p.term),
+        |fill AS (SELECT CAST(count(*) AS BIGINT) AS n_bits,
+        |    round((count(*)::DOUBLE / 8192) * (count(*)::DOUBLE / 8192) * (count(*)::DOUBLE / 8192), 6) AS fpr
+        |  FROM bits)
+        |SELECT term, maybe, n_bits, fpr FROM pm, fill ORDER BY term""".stripMargin,
+    // one global row_number over the identical (phase, md5, id) order
+    "q_curriculum" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 300 THEN 1 ELSE 2 END AS BIGINT) AS phase,
+        |  CAST(row_number() OVER (ORDER BY
+        |    (CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 300 THEN 1 ELSE 2 END),
+        |    md5(CAST(doc_id AS VARCHAR) || 'curriculum'), doc_id) AS BIGINT) AS rank
+        |FROM documents ORDER BY rank""".stripMargin,
+    // Σw + clipped probability + 32-bit md5 coin, identical IEEE
+    // operand order (w * (target / sumw), then * 2^32)
+    "q_imp_sample" ->
+      """WITH tot AS (SELECT sum(n_chars)::DOUBLE AS sumw FROM documents)
+        |SELECT doc_id, n_chars FROM documents, tot
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'imp'), 1, 8))::BIGINT::DOUBLE
+        |      < least(1.0, coalesce(n_chars::DOUBLE * (150.0 / sumw), 0.0)) * 4294967296.0
+        |ORDER BY doc_id""".stripMargin,
     // every DSL stage replayed: NFC+invisible/space/control normalize,
     // ws-token filter, min-id exact dedup, the 11-language CASE, the
     // language filter, the rollup — spec compilation == hand chain

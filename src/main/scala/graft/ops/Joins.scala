@@ -91,6 +91,46 @@ object Joins {
       .drop("__bin")
   }
 
+  /** Interval-OVERLAP join — the interval×interval generalization of
+    * [[rangeJoin]] (point-in-interval): emit every (left, right) pair
+    * whose closed intervals intersect (`lStart ≤ rEnd ∧ rStart ≤
+    * lEnd`), without a cross join. Both sides explode to the bins
+    * their interval covers and equi-join on the bin; a pair sharing
+    * k bins would surface k times, so it is emitted ONLY at its
+    * canonical bin — the bin containing the LATER of the two starts,
+    * which every overlapping pair covers on both sides exactly once.
+    * Exactly-once is structural, not a post-hoc distinct (no wide
+    * dedup shuffle).
+    *
+    * Scale shape: shuffle volume is rows × (interval length /
+    * `binWidth`) per side — pick `binWidth` near the typical interval
+    * length so the explode factor stays O(1) and no bin becomes a hot
+    * key. Intervals must be integral-valued (epoch micros, days);
+    * bin math runs in exact long/double-on-integer arithmetic, so the
+    * plan is deterministic and SQL-replayable.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      binWidth: Long, rightPrefix: String = "r_"): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def bin(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") / binWidth).cast("long")
+    val l = left.withColumn("__bin",
+      explode(sequence(bin(col(lStart)), bin(col(lEnd)))))
+    val renamed = right.columns.foldLeft(right) { (df, c) =>
+      df.withColumnRenamed(c, s"$rightPrefix$c")
+    }
+    val r = renamed.withColumn("__bin",
+      explode(sequence(bin(col(s"$rightPrefix$rStart")),
+        bin(col(s"$rightPrefix$rEnd")))))
+    l.join(r, Seq("__bin"))
+      .filter(col(lStart) <= col(s"$rightPrefix$rEnd") &&
+        col(s"$rightPrefix$rStart") <= col(lEnd))
+      .filter(col("__bin") ===
+        bin(greatest(col(lStart), col(s"$rightPrefix$rStart"))))
+      .drop("__bin")
+  }
+
   /** Skew-resilient inner equi-join: the left (large, possibly skewed)
     * side's rows are salted into `buckets` sub-keys and the right side is
     * replicated once per bucket, so a hot key's rows spread over `buckets`

@@ -277,6 +277,43 @@ object Sampling {
         col("shortfall"))
   }
 
+  /** Importance RESAMPLING — the apply step that turns per-row
+    * importance weights (DSIR scores, quality-model logits, KL ratios)
+    * into an actual subcorpus: keep row i with probability
+    * p_i = min(1, w_i · target / Σw), so the expected kept count is
+    * ≈ `targetRows` (exactly, absent clipping) and each row's
+    * inclusion odds are proportional to its weight. Deterministic in
+    * (id, salt) like every sampler here: the coin is the first 32 bits
+    * of md5(id‖salt) compared against p_i·2³², so the decision is
+    * stable under reruns, repartitioning, and corpus append — and
+    * exactly replayable in SQL (one Σw aggregation, then IEEE
+    * arithmetic with the same operand order).
+    *
+    * Scale shape: one scalar aggregation (Σw), broadcast to a
+    * filter-only projection — no shuffle of the payload, no
+    * per-stratum state. Rows with null/zero/negative weight are never
+    * kept; a weight mass concentrated on few rows clips at p=1 and
+    * yields fewer than `targetRows` (the standard importance-sampling
+    * deficit — callers wanting exact counts compose
+    * [[sampleExactPerGroup]] downstream).
+    */
+  def importanceSample(df: DataFrame, idCol: String, weightCol: String,
+      targetRows: Long, salt: String = ""): DataFrame = {
+    require(targetRows > 0, s"importanceSample: bad target $targetRows")
+    val tot = df.agg(sum(col(weightCol)).cast("double").as("__sumw"))
+    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))),
+      1, 8), 16, 10).cast("long")
+    df.crossJoin(broadcast(tot))
+      // coalesce AFTER the product: a null weight must yield p = 0 —
+      // both engines' `least` IGNORES nulls, so least(1.0, null) would
+      // otherwise silently keep every null-weight row at p = 1
+      .withColumn("__p", least(lit(1.0),
+        coalesce(col(weightCol).cast("double") *
+          (lit(targetRows.toDouble) / col("__sumw")), lit(0.0))))
+      .filter(h.cast("double") < col("__p") * 4294967296.0)
+      .drop("__sumw", "__p")
+  }
+
   /** UniMax budget allocation (Chung et al., ICLR 2023): spread the
     * token budget as UNIFORMLY as possible across domains subject to a
     * per-domain repeat cap — the fairness-first alternative to
@@ -394,5 +431,55 @@ object Sampling {
     ranged.join(baseDf, "__pid")
       .withColumn("rank", col("__base") + row_number().over(w))
       .select(col("id").as(idCol), col("rank"))
+  }
+
+  /** Curriculum training order — [[trainingOrder]] generalized to
+    * PHASE-major: rows rank by (phase, md5(id‖salt), id), so all of
+    * phase 0 precedes all of phase 1 (easy→hard curricula, dated
+    * snapshots, quality tiers) while WITHIN a phase the order is the
+    * same deterministic shuffle as [[trainingOrder]]. `phaseCol` must
+    * be integral (discrete ordered phases — the curriculum contract).
+    *
+    * Same scale shape as [[trainingOrder]]: range-partition by the
+    * composite key, one (count, first-element) row per partition to
+    * the driver, rank = base + local row_number — no single-partition
+    * window, payloads never sort. Partitions may straddle a phase
+    * boundary; the per-partition FIRST element (a lexicographic
+    * min-struct, not independent per-column minima) orders the bases
+    * correctly regardless. Output: (idCol, phase, rank), rank dense
+    * 1..N.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, phaseCol: String,
+      salt: String = "curriculum"): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"),
+        col(phaseCol).cast("long").as("phase"))
+      .withColumn("__k", saltedHash(col("id"), salt))
+    val ranged = keyed
+      .repartitionByRange(col("phase"), col("__k"), col("id"))
+      .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val subtotals = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("phase"), col("__k"), col("id"))).as("__first"))
+      .collect()
+      .sortBy { r =>
+        // (phase, hash) uniquely identifies the first element — two
+        // partitions can't share a first row, and md5 ties need equal
+        // ids; id stays out of the driver sort so its type is free
+        val f = r.getStruct(2)
+        (f.getLong(0), f.getString(1))
+      }
+    val bases = subtotals.scanLeft(0L)(_ + _.getAs[Long]("__n"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val baseDf = broadcast(
+      subtotals.zip(bases).map { case (r, b) => (r.getInt(0), b) }
+        .toSeq.toDF("__pid", "__base"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid"))
+      .orderBy(col("phase"), col("__k"), col("id"))
+    ranged.join(baseDf, "__pid")
+      .withColumn("rank", col("__base") + row_number().over(w))
+      .select(col("id").as(idCol), col("phase"), col("rank"))
   }
 }

@@ -203,14 +203,24 @@ object Sketch {
     * cost is ≤ m rows per shard.
     */
   def bloomTable(df: DataFrame, textCol: String, k: Int = 3,
+      m: Int = 8192): DataFrame =
+    bloomBits(df, textCol, k, m).distinct()
+
+  /** [[bloomTable]] before the distinct: the raw per-token bit stream.
+    * Exposed so STREAMING builds can fold it through a complete-mode
+    * `groupBy(bit)` aggregation (streaming `distinct` is a stateful
+    * dedup operator, not an aggregation — it refuses complete mode);
+    * `groupBy(bit).count().select("bit")` is the same ≤ m-key bounded
+    * state and lands on the identical filter.
+    */
+  def bloomBits(df: DataFrame, textCol: String, k: Int = 3,
       m: Int = 8192): DataFrame = {
-    require(k >= 1 && m >= 2, s"bloomTable: bad k/m $k/$m")
+    require(k >= 1 && m >= 2, s"bloomBits: bad k/m $k/$m")
     val tok = df
       .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("__t"))
       .filter(col("__t") =!= "")
     tok.select(explode(array((0 until k).map(j =>
         bucket(j, col("__t"), m)): _*)).as("bit"))
-      .distinct()
   }
 
   /** OR independently-built Bloom filters (same k, m, hash family):

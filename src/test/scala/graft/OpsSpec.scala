@@ -2864,6 +2864,96 @@ class OpsSpec extends AnyFunSuite {
       viaSql.isNullAt(2))
   }
 
+  test("intervalOverlapJoin: exactly-once pairs == cross-join filter") {
+    import graft.ops.Joins
+    val left = Seq((1L, 0L, 100L), (2L, 50L, 250L), (3L, 400L, 410L))
+      .toDF("lid", "ls", "le")
+    val right = Seq((10L, 90L, 300L), (11L, 100L, 100L), (12L, 260L, 399L))
+      .toDF("rid", "rs", "re")
+    val got = Joins.intervalOverlapJoin(left, right, "ls", "le", "rs", "re",
+        binWidth = 7)
+      .select("lid", "r_rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // 1-10 overlap [90,100]; 1-11 touch at the endpoint (closed);
+    // 2-10 span MANY shared 7-wide bins -> still exactly one row;
+    // 2-11 touch; 3-* and *-12 disjoint from everything except 2-12? no:
+    // 2 ends 250 < 260, so 12 pairs with nothing
+    assert(got == Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)))
+    // randomized equivalence with the O(n^2) reference at several widths
+    val rnd = new scala.util.Random(7)
+    val li = (0 until 60).map { i =>
+      val s = rnd.nextInt(1000).toLong; (i.toLong, s, s + rnd.nextInt(80))
+    }.toDF("lid", "ls", "le")
+    val ri = (0 until 60).map { i =>
+      val s = rnd.nextInt(1000).toLong; (i.toLong, s, s + rnd.nextInt(80))
+    }.toDF("rid", "rs", "re")
+    val ref = li.crossJoin(ri)
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    for (bw <- Seq(3L, 40L, 500L)) {
+      val fast = Joins.intervalOverlapJoin(li, ri, "ls", "le", "rs", "re", bw)
+        .select("lid", "r_rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(fast == ref, s"binWidth=$bw")
+    }
+  }
+
+  test("curriculumOrder: phase-major dense ranks, md5 shuffle within phase") {
+    import graft.ops.Sampling
+    val df = (0 until 300).map(i => (i.toLong, i % 3)).toDF("id", "phase")
+    val out = Sampling.curriculumOrder(df, "id", "phase")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // dense 1..N
+    assert(out.map(_._3).sorted.toSeq == (1L to 300L))
+    // phase-major: every phase-0 rank < every phase-1 rank < phase-2
+    val byPhase = out.groupBy(_._2).map { case (p, rs) =>
+      p -> (rs.map(_._3).min, rs.map(_._3).max) }
+    assert(byPhase(0L)._2 < byPhase(1L)._1 && byPhase(1L)._2 < byPhase(2L)._1)
+    // within a phase: rank order == driver-side (md5(id||salt), id) order
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    val phase1 = out.filter(_._2 == 1L).sortBy(_._3).map(_._1).toSeq
+    val expect = (0 until 300).filter(_ % 3 == 1).map(_.toLong)
+      .sortBy(id => (md5hex(id + "curriculum"), id))
+    assert(phase1 == expect)
+    // partitioning invariance
+    val rep = Sampling.curriculumOrder(df.repartition(17), "id", "phase")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rep.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
+  test("importanceSample: weight-proportional odds, clipping, determinism") {
+    import graft.ops.Sampling
+    val df = (0 until 2000).map(i =>
+      (i.toLong, if (i < 100) 50.0 else 1.0)).toDF("id", "w")
+    // heavy rows clip at p=1 (50 * 400 / 6900 > 1): ALL 100 kept
+    val out = Sampling.importanceSample(df, "id", "w", targetRows = 400L,
+      salt = "t")
+    val kept = out.collect().map(_.getLong(0)).toSet
+    assert((0L until 100L).forall(kept.contains))
+    // light rows keep ≈ (400 - clip surplus) share; just bound loosely
+    val nLight = kept.count(_ >= 100L)
+    assert(nLight > 50 && nLight < 400)
+    // deterministic + partition-independent
+    val again = Sampling.importanceSample(df.repartition(13), "id", "w",
+      400L, "t").collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+    // zero/negative/null weights never kept
+    val bad = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 0.0), (2L, -5.0), (3L, null), (4L, 100.0))
+      .toDF("id", "w")
+    val keptBad = Sampling.importanceSample(bad, "id", "w", 10L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(keptBad == Seq(4L))
+    // expected-count calibration without clipping: uniform weights,
+    // target 500 of 2000 -> binomial(2000, 0.25), well within 5 sigma
+    val uni = (0 until 2000).map(i => (i.toLong, 1.0)).toDF("id", "w")
+    val n = Sampling.importanceSample(uni, "id", "w", 500L, "u").count()
+    assert(math.abs(n - 500.0) < 5 * math.sqrt(2000 * 0.25 * 0.75))
+  }
+
   test("pipeline DSL: spec compiles to the hand-written chain; validate catches errors") {
     import graft.pipeline.Pipeline
     val df = Seq(

@@ -649,6 +649,52 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, plan)
   }
 
+  test("profiler and check suite: ONE scan each, one aggregation tree") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val prof = graft.ops.Profile.profileColumns(docs,
+      Seq("doc_id", "text", "lang"))
+    // all per-column stats fold in one pass: exactly one parquet scan
+    // (multi-countDistinct plans as Expand over the SAME scan)
+    val scans = planOf(prof).linesIterator
+      .count(_.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, planOf(prof))
+    import graft.ops.Profile._
+    val checks = checkSuite(docs, Seq(NotNull("text"), Unique("doc_id"),
+      InRange("n_chars", 1, 500), MatchesRegex("lang", "^[a-z]{2}$", 0.9)))
+    val cScans = planOf(checks).linesIterator
+      .count(_.matches("""\(\d+\) Scan parquet.*"""))
+    assert(cScans == 1, planOf(checks))
+  }
+
+  test("fuzzy decontamination: bench side broadcasts, text never joins") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val pairs = graft.ops.Decontaminate.fuzzyContaminationPairs(
+      docs, bench, "text", "doc_id", "bench_id", n = 3, minFrac = 0.5)
+    val opt = pairs.queryExecution.optimizedPlan
+    val joins = opt.collect { case j: Join => j }
+    assert(joins.nonEmpty, opt.toString)
+    joins.foreach(j => j.children.foreach(c =>
+      assert(!c.output.exists(_.name == "text"),
+        s"document text crosses a decontam join:\n$opt")))
+    val plan = planOf(pairs)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("importance sample: Σw broadcasts back, no payload shuffle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.ops.Sampling.importanceSample(docs, "doc_id",
+      "n_chars", 100L)
+    val plan = planOf(out)
+    // the only join is the scalar-aggregate broadcast; the corpus side
+    // must not sort-merge or exchange for it
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("clusters frees superseded checkpoint blocks across reruns") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     def run(): Long = {
