@@ -40,10 +40,19 @@ object Profile {
     require(cols.nonEmpty, "profileColumns: no columns")
     cols.foreach(c => require(df.columns.contains(c),
       s"profileColumns: no column $c"))
+    val stringCols = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+    }.toSet
     val aggs: Seq[Column] = cols.flatMap { c =>
+      // string columns count distinct over md5(value): the multi-distinct
+      // Expand then shuffles 16-byte hashes, not document text — same
+      // count absent an md5 collision (the repo-wide documented caveat);
+      // min/max/width still aggregate the value, but those reduce
+      // map-side to one partial per partition
+      val dKey = if (stringCols(c)) md5(col(c)) else col(c)
       Seq(
         count(col(c)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
+        countDistinct(dKey).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c"),
         sum(length(col(c).cast("string"))).as(s"__len_$c"))
