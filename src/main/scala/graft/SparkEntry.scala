@@ -1412,6 +1412,16 @@ object SparkEntry {
       .select(col("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** JL random projection 64 → 16 dims over the embeddings table,
+    * exploded per component. The oracle regenerates the ±1 md5-parity
+    * matrix independently and replays the exact integer-grain sums.
+    */
+  private def qEmbedRp(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Embeddings.randomProject(
+        s.read.parquet(t(dir, "embeddings")), "embedding", "vec_id",
+        outDim = 16, salt = "jl")
+      .orderBy(col("vec_id"), col("k"))
+
   /** Interval-overlap join gate: 10-minute error windows × 5-minute
     * purchase windows over the events stream — every intersecting
     * pair with its overlap duration, emitted exactly once by the
@@ -2535,6 +2545,7 @@ object SparkEntry {
     "q_curriculum" -> (qCurriculum _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_overlap_join" -> (qOverlapJoin _),
+    "q_embed_rp" -> (qEmbedRp _),
     "q_stream_bloom" -> (qStreamBloom _),
     "q_cdc" -> (qCdc _),
     "q_cdc_dedup" -> (qCdcDedup _),
@@ -2758,6 +2769,18 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // same bucket rule, same nearest-rank + in-bucket interpolation,
     // exact percentile via quantile_cont (matches Spark percentile)
+    // the ±1 md5-parity matrix regenerated independently; exact
+    // integer-grain sums, one division, one round
+    "q_embed_rp" ->
+      """WITH cells AS (SELECT vec_id, k, j,
+        |    CASE WHEN ('0x' || substr(md5('jl:' || k || ':' || j), 1, 8))::BIGINT % 2 = 0
+        |         THEN 1 ELSE -1 END AS s,
+        |    CAST(round(embedding[j + 1]::DOUBLE * 1000000, 0) AS BIGINT) AS g
+        |  FROM embeddings, unnest(range(0, 16)) AS u(k), unnest(range(0, 64)) AS w(j)),
+        |sums AS (SELECT vec_id, k, sum(s * g) AS t FROM cells GROUP BY 1, 2)
+        |SELECT vec_id, CAST(k AS INT) AS k,
+        |  t::DOUBLE / (1000000.0 * sqrt(16.0)) AS value
+        |FROM sums ORDER BY vec_id, k""".stripMargin,
     // the binned exactly-once plan must land on the plain inequality join
     "q_overlap_join" ->
       """WITH e AS (SELECT event_id AS err_id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS en

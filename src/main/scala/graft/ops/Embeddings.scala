@@ -57,6 +57,63 @@ object Embeddings {
         dims))
   }
 
+  /** ±1 sign for projection cell (k, j): parity of the first 32 bits
+    * of md5("salt:k:j") — the same cross-engine md5 convention as the
+    * sketch family, so the oracle regenerates the matrix independently.
+    */
+  private[graft] def rpSign(salt: String, k: Int, j: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$salt:$k:$j"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+  }
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions
+    * with a DETERMINISTIC dense ±1 matrix (Achlioptas 2003 — sign
+    * matrices preserve pairwise distances like gaussians, need no
+    * float random state, and the md5-parity seeding regenerates the
+    * identical matrix on any engine). The third member of the
+    * embedding-compression family: [[truncateNormalize]] needs
+    * MRL-trained models, [[quantize]] keeps the dimension; JL shrinks
+    * ANY embedding 4–8× with bounded distance distortion — the
+    * cheap pre-pass before banded near-dup or IVF over 100 TB of
+    * vectors.
+    *
+    * Determinism/oracle contract: components are floored to 1e-6
+    * grains and accumulated as exact BIGINT sums in a fixed fold
+    * order — no float accumulation anywhere — then divided by
+    * 1e6·√outDim once and rounded to 6. The sign matrix broadcasts as
+    * a literal (outDim×D ints — KBs); per row the work is one
+    * zip-multiply-sum per output dim, all native codegen'd HOFs on a
+    * LONG array (off the no-interpreted-HOF hot-scan concern:
+    * integer lambdas here fold in codegen).
+    *
+    * Output: (idCol, k, value) exploded — one row per output
+    * component, 0-based k.
+    */
+  def randomProject(df: DataFrame, vecCol: String, idCol: String,
+      outDim: Int, salt: String = "jl"): DataFrame = {
+    require(outDim >= 1, s"randomProject: bad outDim $outDim")
+    val inDim = df.select(size(col(vecCol))).head().getInt(0)
+    require(inDim >= 1, "randomProject: empty vectors")
+    val signs: Seq[Seq[Long]] = (0 until outDim).map(k =>
+      (0 until inDim).map(j => rpSign(salt, k, j).toLong))
+    val signsLit = typedLit(signs)
+    val grains = transform(col(vecCol),
+      v => round(v.cast("double") * lit(1e6), 0).cast("long"))
+    val scale = 1e6 * math.sqrt(outDim.toDouble)
+    // no final rounding: the sum is an exact integer (< 2^53), so the
+    // single IEEE division is bit-identical on any engine — rounding
+    // would only reintroduce half-point representation disagreements
+    val proj = transform(sequence(lit(1), lit(outDim)), k =>
+      aggregate(
+        zip_with(grains, element_at(signsLit, k), (g, s) => g * s),
+        lit(0L), (acc, x) => acc + x)
+        .cast("double") / lit(scale))
+    df.select(col(idCol), posexplode(proj).as(Seq("k", "value")))
+  }
+
   /** Pure kernel for [[truncateNormalize]]. */
   private[graft] def truncateNormalizeValue(v: Array[Double],
       dims: Int): Array[Double] = {

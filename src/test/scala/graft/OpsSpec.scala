@@ -2864,6 +2864,41 @@ class OpsSpec extends AnyFunSuite {
       viaSql.isNullAt(2))
   }
 
+  test("randomProject: deterministic ±1 JL with exact integer grains") {
+    import graft.ops.Embeddings
+    // hand case: outDim 1, the value is just the signed grain sum
+    val tiny = Seq((0L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val got = Embeddings.randomProject(tiny, "embedding", "vec_id", 1, "t")
+      .head()
+    val s0 = Embeddings.rpSign("t", 0, 0)
+    val s1 = Embeddings.rpSign("t", 0, 1)
+    assert(got.getInt(1) == 0)
+    assert(math.abs(got.getDouble(2) - (s0 * 1.0 + s1 * 2.0)) < 1e-9)
+    // distance preservation in the JL sense on clustered data: 64 -> 16
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.fill(64)((rnd.nextGaussian() / 8).toFloat))
+    }.toDF("vec_id", "embedding")
+    val proj = Embeddings.randomProject(vecs, "embedding", "vec_id", 16)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+    val raw = vecs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dist(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val ratios = for (i <- 0L until 10L; j <- (i + 1) until 10L) yield
+      dist(proj(i).toArray, proj(j).toArray) / dist(raw(i), raw(j))
+    // ±1 JL at m=16: distortion concentrates near 1; loose 5x bounds
+    assert(ratios.forall(r => r > 0.2 && r < 5.0), ratios.mkString(","))
+    // determinism + partition invariance
+    val a = Embeddings.randomProject(vecs, "embedding", "vec_id", 16)
+      .collect().map(_.toSeq).toSet
+    val b = Embeddings.randomProject(vecs.repartition(9), "embedding",
+      "vec_id", 16).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("intervalOverlapJoin: exactly-once pairs == cross-join filter") {
     import graft.ops.Joins
     val left = Seq((1L, 0L, 100L), (2L, 50L, 250L), (3L, 400L, 410L))
