@@ -2479,6 +2479,18 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** Audio fingerprint gate: 16-frame energy-contour signatures from
+    * REAL decoded WAV bytes. The oracle replays the exact frame
+    * partition, integer energies, delta bits, and packing from the
+    * closed-form PCM — every signature bit certified.
+    */
+  private def qMmAfp(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 120)
+    val media = Multimodal.synthesizeReal(docs, "doc_id")
+    Multimodal.audioFingerprints(media)
+      .orderBy(col("media_id"))
+  }
+
   /** REAL resize gate: decode → nearest-neighbor resample to 6x4 →
     * re-encode → decode again for stats. The oracle replays the
     * source-pixel election (sx = x*w/6, sy = y*h/4, floor division)
@@ -2651,6 +2663,7 @@ object SparkEntry {
     "q_mm_image" -> (qMmImage _),
     "q_mm_phash" -> (qMmPhash _),
     "q_mm_audio" -> (qMmAudio _),
+    "q_mm_afp" -> (qMmAfp _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
     "q_wet_read" -> (qWetRead _),
@@ -4846,6 +4859,21 @@ object SparkEntry {
         |  CAST(CASE WHEN dh.hraw >= (1::HUGEINT) << 63 THEN dh.hraw - ((1::HUGEINT) << 64) ELSE dh.hraw END AS BIGINT) AS dhash
         |FROM img JOIN ah ON img.id = ah.id JOIN dh ON img.id = dh.id
         |ORDER BY media_id""".stripMargin,
+    // frame partition, integer energies, delta bits, packing — every
+    // signature bit rebuilt from the closed-form PCM
+    "q_mm_afp" ->
+      """WITH au AS (SELECT doc_id AS id, 64 + doc_id % 64 AS n
+        |  FROM documents WHERE doc_id < 120 AND doc_id % 3 = 1),
+        |smp AS (SELECT id, n, g AS i, ((37 * g + 11 * id) % 2048) - 1024 AS s
+        |  FROM au, unnest(generate_series(0, n - 1)) AS t(g)),
+        |fr AS (SELECT id, n, (i * 16) // n AS f, sum(s * s) AS e
+        |  FROM smp GROUP BY 1, 2, 3),
+        |bits AS (SELECT a.id, a.n, a.f,
+        |    CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+        |  FROM fr a JOIN fr b ON a.id = b.id AND b.f = a.f + 1)
+        |SELECT id AS media_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(sum(bit * CAST(power(2, f) AS BIGINT)) AS BIGINT) AS sig
+        |FROM bits GROUP BY id, n ORDER BY media_id""".stripMargin,
     "q_mm_audio" ->
       """WITH au AS (SELECT doc_id AS id, 64 + doc_id % 64 AS n
         |  FROM documents WHERE doc_id < 120 AND doc_id % 3 = 1),

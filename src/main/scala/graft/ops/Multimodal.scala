@@ -371,6 +371,56 @@ object Multimodal {
     spark.createDataFrame(rows, audioStatsSchema)
   }
 
+  private val audioFpSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sig", LongType, nullable = false)))
+
+  /** Audio FINGERPRINT from decoded PCM — the audio member of the
+    * signature family beside [[perceptualHashes]] for images: the
+    * clip partitions into `frames` equal spans (sample i → frame
+    * ⌊i·F/n⌋, exact integer math), each frame's energy is the exact
+    * integer Σs², and bit f of the signature is set iff
+    * E_f > E_{f+1} — the energy-CONTOUR descriptor (chromaprint's
+    * core idea minus the filterbank), invariant to uniform gain and
+    * robust to small edits. F−1 bits pack into one BIGINT, so audio
+    * near-dup is [[graft.ops.Dedup.hammingPairs64]] over 8-byte
+    * signatures — the same banded path as SimHash/pHash, nothing
+    * audio-specific past this scan. All-integer math end to end:
+    * the q_mm_afp oracle replays every bit relationally from the
+    * closed-form fixtures.
+    */
+  def audioFingerprints(media: DataFrame, frames: Int = 16,
+      batchSize: Int = 256): DataFrame = {
+    require(frames >= 2 && frames <= 64, s"audioFingerprints: bad frames $frames")
+    val spark = media.sparkSession
+    val rows = media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("data")).rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val (_, samples) = Codecs.decodeWav(r.getAs[Array[Byte]]("data"))
+            val n = samples.length
+            val e = new Array[Long](frames)
+            var i = 0
+            while (i < n) {
+              val f = (i.toLong * frames / n).toInt
+              e(f) += samples(i).toLong * samples(i)
+              i += 1
+            }
+            var sig = 0L
+            var f = 0
+            while (f < frames - 1) {
+              if (e(f) > e(f + 1)) sig |= 1L << f
+              f += 1
+            }
+            Row(r.getLong(0), n.toLong, sig)
+          }
+        }
+      }
+    spark.createDataFrame(rows, audioFpSchema)
+  }
+
   private val videoFrameSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("frame_idx", IntegerType, nullable = false),

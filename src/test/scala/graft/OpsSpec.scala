@@ -2864,6 +2864,37 @@ class OpsSpec extends AnyFunSuite {
       viaSql.isNullAt(2))
   }
 
+  test("audioFingerprints: energy-contour bits, gain invariance, hamming composability") {
+    import graft.ops.{Codecs, Dedup, Multimodal}
+    def wavDf(rows: Seq[(Long, Array[Short])]) = {
+      val data = rows.map { case (id, s) =>
+        (id, "audio", Codecs.encodeWav(8000, s)) }
+      data.toDF("media_id", "kind", "data")
+    }
+    // deterministic contour: monotone rising ramp (ASYMMETRIC — its
+    // reverse has the complementary contour)
+    val base = Array.tabulate(32)(i => (i * 40).toShort)
+    val gained = base.map(s => (s * 2).toShort) // uniform gain
+    val noisy = base.clone(); noisy(5) = (noisy(5) + 30).toShort // tiny edit
+    val reversed = base.reverse
+    val fp = Multimodal.audioFingerprints(
+        wavDf(Seq((0L, base), (1L, gained), (2L, noisy), (3L, reversed))))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // gain invariance: energies scale uniformly, deltas keep their sign
+    assert(fp(1L) == fp(0L))
+    // a tiny local edit moves at most a couple of contour bits
+    assert(java.lang.Long.bitCount(fp(0L) ^ fp(2L)) <= 2)
+    // a reversed clip flips the contour — far in hamming space
+    assert(java.lang.Long.bitCount(fp(0L) ^ fp(3L)) > 4)
+    // the signatures feed hammingPairs64 unchanged: near pair found,
+    // reversed clip excluded at maxHamming=3
+    val sigs = Multimodal.audioFingerprints(
+      wavDf(Seq((0L, base), (2L, noisy), (3L, reversed))))
+    val pairs = Dedup.hammingPairs64(sigs, "media_id", "sig", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L)) && !pairs.exists(p => p._2 == 3L))
+  }
+
   test("randomProject: deterministic ±1 JL with exact integer grains") {
     import graft.ops.Embeddings
     // hand case: outDim 1, the value is just the signed grain sum
