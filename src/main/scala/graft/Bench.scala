@@ -149,7 +149,7 @@ object Bench {
       "q_quantile_filter", "q_dedup_best", "q_pipeline3",
       "q_gopher_rules", "q_domain_report", "q_url_dedup", "q_ngram_rep",
       "q_snapshot_diff", "q_overlap",
-      "q_redact", "q_sample_topk", "q_cms", "q_cms_merge", "q_hll",
+      "q_redact", "q_sample_topk", "q_cms", "q_cms_merge", "q_cms_join", "q_hll",
       "q_split_safe", "q_lang_agree", "q_hist", "q_skew",
       "q_cdc", "q_cdc_dedup", "q_cdc_pairs", "q_cdc_delta", "q_srcdup",
       "q_order", "q_embed_trunc", "q_profile", "q_checks", "q_mix_unimax", "q_bloom", "q_decontam_fuzzy", "q_pipeline_dsl", "q_imp_sample", "q_curriculum", "q_salted_join", "q_overlap_join", "q_embed_rp")

@@ -1087,6 +1087,30 @@ object SparkEntry {
       .orderBy(col("term"))
   }
 
+  /** Join-size forecasting: the token equi-join between the even- and
+    * odd-doc halves, estimated from two CMS sketches (bucket-wise
+    * inner product, min over rows) next to the exact
+    * Σ_t cntA(t)·cntB(t). The oracle replays sketches, estimate, and
+    * truth; est ≥ exact is the one-sided contract, asserted here too.
+    */
+  private def qCmsJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val h1 = docs.filter(col("doc_id") % 2 === 0)
+    val h2 = docs.filter(col("doc_id") % 2 === 1)
+    val est = graft.ops.Sketch.cmsInnerProduct(
+      graft.ops.Sketch.cmsTable(h1, "text", d = 3, w = 1024),
+      graft.ops.Sketch.cmsTable(h2, "text", d = 3, w = 1024))
+    def counts(df: DataFrame) = df
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val exact = counts(h1).withColumnRenamed("c", "ca")
+      .join(counts(h2).withColumnRenamed("c", "cb"), Seq("t"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact"))
+    est.crossJoin(exact)
+      .withColumn("one_sided_ok", (col("est") >= col("exact")).cast("long"))
+  }
+
   /** Metadata validation: per source, agreement between the recorded
     * `lang` column and the langId prediction. Oracle: q_langid's
     * 11-language CASE per doc, compared to the metadata and rolled up.
@@ -2664,6 +2688,7 @@ object SparkEntry {
     "q_mm_phash" -> (qMmPhash _),
     "q_mm_audio" -> (qMmAudio _),
     "q_mm_afp" -> (qMmAfp _),
+    "q_cms_join" -> (qCmsJoin _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
     "q_wet_read" -> (qWetRead _),
@@ -4859,6 +4884,29 @@ object SparkEntry {
         |  CAST(CASE WHEN dh.hraw >= (1::HUGEINT) << 63 THEN dh.hraw - ((1::HUGEINT) << 64) ELSE dh.hraw END AS BIGINT) AS dhash
         |FROM img JOIN ah ON img.id = ah.id JOIN dh ON img.id = dh.id
         |ORDER BY media_id""".stripMargin,
+    // both sketches + bucket-wise inner product + min over rows +
+    // the exact join size, all replayed relationally
+    "q_cms_join" ->
+      """WITH tk AS (SELECT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |jbA AS (SELECT j, ('0x' || substr(md5(j || ':' || t), 1, 8))::BIGINT % 1024 AS bucket
+        |  FROM tk, unnest([0, 1, 2]) AS u(j) WHERE doc_id % 2 = 0),
+        |jbB AS (SELECT j, ('0x' || substr(md5(j || ':' || t), 1, 8))::BIGINT % 1024 AS bucket
+        |  FROM tk, unnest([0, 1, 2]) AS u(j) WHERE doc_id % 2 = 1),
+        |sa AS (SELECT j, bucket, count(*) AS c FROM jbA GROUP BY 1, 2),
+        |sb AS (SELECT j, bucket, count(*) AS c FROM jbB GROUP BY 1, 2),
+        |dots AS (SELECT sa.j, sum(sa.c * sb.c) AS dot
+        |  FROM sa JOIN sb ON sa.j = sb.j AND sa.bucket = sb.bucket GROUP BY 1),
+        |spine AS (SELECT unnest([0, 1, 2]) AS j),
+        |est AS (SELECT CAST(min(coalesce(dot, 0)) AS BIGINT) AS est
+        |  FROM spine LEFT JOIN dots USING (j)),
+        |ca AS (SELECT t, count(*) AS c FROM tk WHERE doc_id % 2 = 0 GROUP BY t),
+        |cb AS (SELECT t, count(*) AS c FROM tk WHERE doc_id % 2 = 1 GROUP BY t),
+        |ex AS (SELECT CAST(coalesce(sum(ca.c * cb.c), 0) AS BIGINT) AS exact
+        |  FROM ca JOIN cb USING (t))
+        |SELECT est, exact, CAST(est >= exact AS BIGINT) AS one_sided_ok
+        |FROM est, ex""".stripMargin,
     // frame partition, integer energies, delta bits, packing — every
     // signature bit rebuilt from the closed-form PCM
     "q_mm_afp" ->

@@ -185,6 +185,32 @@ object Sketch {
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
+  /** CMS INNER PRODUCT (Cormode & Muthukrishnan 2005 §4.3): estimate
+    * Σ_t cntA(t)·cntB(t) — the equi-join SIZE of two relations on a
+    * key — from their sketches alone: per hash row j the bucket-wise
+    * product Σ_b A[j][b]·B[j][b] overestimates by collision mass, the
+    * min over the d rows tightens it; est ≥ true always. The planning
+    * primitive at 100 TB: forecast a token/key join's output volume
+    * from two d×w counter tables BEFORE paying the shuffle, including
+    * across regions (sketches travel, corpora don't). Exact integer
+    * arithmetic throughout — the q_cms_join oracle replays it
+    * relationally next to the true join size.
+    */
+  def cmsInnerProduct(a: DataFrame, b: DataFrame, d: Int = 3): DataFrame = {
+    require(d >= 1, s"cmsInnerProduct: bad d $d")
+    val dots = a.select(col("j"), col("bucket"), col("c").as("__ca"))
+      .join(b.select(col("j"), col("bucket"), col("c").as("__cb")),
+        Seq("j", "bucket"))
+      .groupBy(col("j"))
+      .agg(sum(col("__ca") * col("__cb")).as("__dot"))
+    // a hash row with NO shared buckets has dot 0 — the inner join
+    // drops it, and min over the survivors would overestimate; the
+    // explicit row spine restores the zero
+    val spine = a.sparkSession.range(d.toLong).select(col("id").as("j"))
+    spine.join(dots, Seq("j"), "left")
+      .agg(min(coalesce(col("__dot"), lit(0L))).as("est"))
+  }
+
   /** Bloom-filter membership sketch — the MEMBERSHIP member of the
     * sketch family (CMS = frequency, HLL = cardinality, histogram =
     * distribution): "was this token/URL ever seen?" with no false

@@ -2864,6 +2864,28 @@ class OpsSpec extends AnyFunSuite {
       viaSql.isNullAt(2))
   }
 
+  test("cmsInnerProduct: join-size estimate one-sided, exact at wide w") {
+    import graft.ops.Sketch
+    val a = Seq((0L, "x x y z"), (1L, "x w")).toDF("id", "text")
+    val b = Seq((2L, "x y y q")).toDF("id", "text")
+    // exact join size: x 3*1 + y 1*2 = 5 (z, w, q unmatched)
+    val wide = Sketch.cmsInnerProduct(
+      Sketch.cmsTable(a, "text", d = 3, w = 4096),
+      Sketch.cmsTable(b, "text", d = 3, w = 4096)).head().getLong(0)
+    assert(wide == 5L)
+    // brutal collisions (w=2): still one-sided, never under
+    val tight = Sketch.cmsInnerProduct(
+      Sketch.cmsTable(a, "text", d = 3, w = 2),
+      Sketch.cmsTable(b, "text", d = 3, w = 2)).head().getLong(0)
+    assert(tight >= 5L)
+    // disjoint vocabularies estimate low (0 at wide w)
+    val disj = Sketch.cmsInnerProduct(
+      Sketch.cmsTable(a, "text", d = 3, w = 4096),
+      Sketch.cmsTable(Seq((9L, "none here")).toDF("id", "text"),
+        "text", d = 3, w = 4096)).head()
+    assert(disj.getLong(0) == 0L)
+  }
+
   test("audioFingerprints: energy-contour bits, gain invariance, hamming composability") {
     import graft.ops.{Codecs, Dedup, Multimodal}
     def wavDf(rows: Seq[(Long, Array[Short])]) = {
