@@ -2515,6 +2515,19 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** Scene-change gate: every consecutive-frame luma delta over the
+    * REAL decoded Y4M streams, cuts at τ=6.0 — integer-exact verdicts
+    * replayed by the oracle with a lag window over the closed-form
+    * frame sums.
+    */
+  private def qMmScenes(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 120)
+    val media = Multimodal.synthesizeReal(docs, "doc_id")
+    Multimodal.sceneChanges(media, threshold = 6.0)
+      .withColumn("frame_idx", col("frame_idx").cast("long"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   /** REAL resize gate: decode → nearest-neighbor resample to 6x4 →
     * re-encode → decode again for stats. The oracle replays the
     * source-pixel election (sx = x*w/6, sy = y*h/4, floor division)
@@ -2689,6 +2702,7 @@ object SparkEntry {
     "q_mm_audio" -> (qMmAudio _),
     "q_mm_afp" -> (qMmAfp _),
     "q_cms_join" -> (qCmsJoin _),
+    "q_mm_scenes" -> (qMmScenes _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
     "q_wet_read" -> (qWetRead _),
@@ -4946,6 +4960,18 @@ object SparkEntry {
         |  round(avg(CASE WHEN id % 9 = 3 THEN (11 * ((sx + sy + id) % 16)) % 256
         |            ELSE (3 * sx + 17 * sy + 7 * id) % 256 END), 6) AS mean_b
         |FROM src GROUP BY id ORDER BY media_id""".stripMargin,
+    // luma SUMS + lag window + integer micro-threshold verdicts
+    "q_mm_scenes" ->
+      """WITH vid AS (SELECT doc_id AS id, 1 + doc_id % 10 AS nf
+        |  FROM documents WHERE doc_id < 120 AND doc_id % 3 = 2),
+        |fr AS (SELECT id, unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 1)) AS f FROM vid),
+        |lm AS (SELECT id, f, unnest(generate_series(0, 63)) AS i FROM fr),
+        |s AS (SELECT id, f, sum((5 * i + 19 * f + id) % 256) AS su FROM lm GROUP BY 1, 2),
+        |d AS (SELECT id, f, su, lag(su) OVER (PARTITION BY id ORDER BY f) AS pr FROM s)
+        |SELECT id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  round(abs(su - pr) / 64.0, 6) AS delta_mean,
+        |  CAST(abs(su - pr) * 1000000 >= 6000000 * 64 AS BIGINT) AS is_cut
+        |FROM d WHERE pr IS NOT NULL ORDER BY media_id, frame_idx""".stripMargin,
     "q_mm_video" ->
       """WITH vid AS (SELECT doc_id AS id, 1 + doc_id % 10 AS nf
         |  FROM documents WHERE doc_id < 120 AND doc_id % 3 = 2),

@@ -456,6 +456,54 @@ object Multimodal {
     spark.createDataFrame(rows, videoFrameSchema)
   }
 
+  private val sceneSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("delta_mean", DoubleType, nullable = false),
+    StructField("is_cut", LongType, nullable = false)))
+
+  /** Scene-change detection over the REAL decoded Y4M stream: every
+    * consecutive frame pair's mean-luma delta, flagged as a cut when
+    * it reaches `threshold` (mean-luma units). The first hard-cut
+    * heuristic of any video curation pipeline (shot segmentation
+    * before frame sampling / per-shot dedup). Decision arithmetic is
+    * exact-integer end to end — luma SUMS compared as
+    * |s_f − s_{f−1}|·1e6 ≥ τmicro·(w·h) — so no float threshold ever
+    * decides a cut, and the q_mm_scenes oracle replays every verdict
+    * from the closed-form fixtures. Output: one row per transition
+    * (frame_idx ≥ 1), (media_id, frame_idx, delta_mean, is_cut).
+    */
+  def sceneChanges(media: DataFrame, threshold: Double = 6.0,
+      batchSize: Int = 256): DataFrame = {
+    require(threshold >= 0, s"sceneChanges: bad threshold $threshold")
+    val tMicro = math.round(threshold * 1e6)
+    val spark = media.sparkSession
+    val rows = media.filter(col("kind") === "video")
+      .select(col("media_id"), col("data")).rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { r =>
+            val (w, h, frames) = Codecs.decodeY4m(r.getAs[Array[Byte]]("data"))
+            val px = w * h
+            val sums = frames.map { luma =>
+              var s = 0L
+              var p = 0
+              while (p < px) { s += luma(p) & 0xff; p += 1 }
+              s
+            }
+            (1 until sums.length).map { i =>
+              val d = math.abs(sums(i) - sums(i - 1))
+              val mean = BigDecimal(d / px.toDouble)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              Row(r.getLong(0), i, mean,
+                if (d * 1000000L >= tMicro * px) 1L else 0L)
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rows, sceneSchema)
+  }
+
   private val frameSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("frame_idx", IntegerType, nullable = false),

@@ -2864,6 +2864,21 @@ class OpsSpec extends AnyFunSuite {
       viaSql.isNullAt(2))
   }
 
+  test("sceneChanges: integer cut verdicts incl. the exact-threshold boundary") {
+    import graft.ops.{Codecs, Multimodal}
+    // 4x2 C420: frame = 8 luma bytes + 2+2 chroma; flat-luma frames at
+    // 10, 10, 16, 116 -> deltas 0, 6 (== tau, must cut), 100
+    def frame(luma: Int) =
+      (Array.fill(8)(luma.toByte) ++ Array.fill(4)(0.toByte))
+    val y4m = Codecs.encodeY4m(4, 2, "25:1",
+      Seq(frame(10), frame(10), frame(16), frame(116)))
+    val media = Seq((5L, "video", y4m)).toDF("media_id", "kind", "data")
+    val out = Multimodal.sceneChanges(media, threshold = 6.0)
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getInt(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(out == Seq((1, 0.0, 0L), (2, 6.0, 1L), (3, 100.0, 1L)))
+  }
+
   test("cmsInnerProduct: join-size estimate one-sided, exact at wide w") {
     import graft.ops.Sketch
     val a = Seq((0L, "x x y z"), (1L, "x w")).toDF("id", "text")
