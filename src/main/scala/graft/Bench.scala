@@ -136,7 +136,7 @@ object Bench {
       "q_embed_dedup", "q_pipeline", "q_stream_counts", "q_knn_batch",
       "q_gopher", "q_decontam_ngram", "q_embed_quant",
       "q_decontam_bloom", "q_line_dedup", "q_boilerplate", "q_pii",
-      "q_html_strip",
+      "q_html_strip", "q_pseudonym",
       "q_knn_pq", "q_dup_spans", "q_url_norm", "q_bm25", "q_dedup_incr",
       "q_quality_model", "q_pack", "q_pack_write", "q_dup_remove", "q_perplexity",
       "q_dsir", "q_kl", "q_knn_compose", "q_text_norm", "q_selfline_dedup",

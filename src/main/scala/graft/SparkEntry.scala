@@ -1837,6 +1837,24 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Consistent pseudonymization gate: laced addresses include one
+    * identity repeated WITHIN docs and shared ACROSS docs — its token
+    * must come out identical everywhere (the referential-integrity
+    * property). The oracle replays extract → distinct → fold-replace →
+    * md5 tokens; the full rewritten text is hash-compared.
+    */
+  private def qPseudonym(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val laced = docs.withColumn("text",
+      when(col("doc_id") % 3 === 2, col("text")).otherwise(concat(
+        col("text"),
+        lit(" mail alice@corp.example twice alice@corp.example and user"),
+        (col("doc_id") % 20).cast("string"), lit("@example.com"))))
+    graft.ops.TextClean.pseudonymizeEmails(laced, "text")
+      .select(col("doc_id"), col("n_identities"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C4 heuristic filtering (Raffel et al. 2020 §2.2) over documents
     * laced into multi-line pages exercising every rule: kept lines, a
     * no-terminal-punct line, a short line, a javascript line, and
@@ -2703,6 +2721,7 @@ object SparkEntry {
     "q_mm_afp" -> (qMmAfp _),
     "q_cms_join" -> (qCmsJoin _),
     "q_mm_scenes" -> (qMmScenes _),
+    "q_pseudonym" -> (qPseudonym _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
     "q_wet_read" -> (qWetRead _),
@@ -4327,6 +4346,21 @@ object SparkEntry {
         |       array_to_string(list(line ORDER BY pos), chr(10)) AS text
         |FROM ranked WHERE rn = 1
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // extract -> distinct -> fold-replace with md5 tokens; fold order
+    // provably immaterial (tokens contain no @, each replace is global)
+    "q_pseudonym" ->
+      """WITH laced AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 3 = 2 THEN text ELSE
+        |    text || ' mail alice@corp.example twice alice@corp.example and user' ||
+        |    (doc_id % 20) || '@example.com' END AS text
+        |  FROM documents),
+        |m AS (SELECT doc_id, text,
+        |  list_distinct(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ms
+        |  FROM laced)
+        |SELECT doc_id, CAST(len(ms) AS BIGINT) AS n_identities,
+        |  list_reduce(list_prepend(text, ms),
+        |    (acc, e) -> replace(acc, e, '<EMAIL_' || substr(md5(lower(e)), 1, 8) || '>')) AS text
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_pii" ->
       """WITH laced AS (
         |  SELECT doc_id, CASE WHEN doc_id % 4 = 3 THEN text ELSE

@@ -66,6 +66,40 @@ object TextClean {
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
     "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
 
+  /** Consistent PSEUDONYMIZATION of emails: every occurrence of an
+    * address is replaced by a STABLE token derived from the address
+    * itself — `<EMAIL_xxxxxxxx>` with the first 8 md5 hex chars of the
+    * lowercased address — so the same identity maps to the same token
+    * in every document while the raw address leaves the corpus. The
+    * referential-integrity upgrade over [[redactPii]]'s uniform
+    * `<EMAIL>` token: coreference ("alice@… wrote to alice@…")
+    * survives anonymization, which conversation/thread training data
+    * needs.
+    *
+    * Scan-local: extract the matches (native regexp), fold the DISTINCT
+    * matches over the text with `aggregate` + `replace` — all native
+    * codegen'd HOFs, zero shuffles, and exactly replayable in SQL
+    * (list_reduce + replace + md5). Deterministic by construction:
+    * replacements apply in first-occurrence order and each `replace`
+    * rewrites every occurrence of that address, so fold order cannot
+    * produce divergent texts (a replaced token contains no `@` and can
+    * never re-match another address). Appends `n_identities` (distinct
+    * addresses pseudonymized). Tokens are 8-hex-stable ACROSS corpora —
+    * the same address pseudonymizes identically in a later ingest.
+    */
+  def pseudonymizeEmails(df: DataFrame, textCol: String): DataFrame = {
+    val matches = array_distinct(
+      regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+    df.withColumn("__m", matches)
+      .withColumn("n_identities", size(col("__m")).cast("long"))
+      .withColumn(textCol,
+        aggregate(col("__m"), col(textCol), (acc, m) =>
+          org.apache.spark.sql.functions.replace(acc, m,
+            concat(lit("<EMAIL_"),
+              substring(md5(lower(m)), 1, 8), lit(">")))))
+      .drop("__m")
+  }
+
   /** Strip HTML to visible text: drop script/style blocks and comments
     * with their content, drop all remaining tags, decode the common
     * named entities, collapse whitespace runs to single spaces, trim.

@@ -2864,6 +2864,28 @@ class OpsSpec extends AnyFunSuite {
       viaSql.isNullAt(2))
   }
 
+  test("pseudonymizeEmails: stable tokens, coreference preserved, count") {
+    import graft.ops.TextClean
+    val df = Seq(
+      (0L, "from a@x.com to b@y.org, cc a@x.com"),
+      (1L, "reply by A@x.com only"),
+      (2L, "no addresses here")).toDF("doc_id", "text")
+    val out = TextClean.pseudonymizeEmails(df, "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    def tok(e: String) = "<EMAIL_" + java.security.MessageDigest
+      .getInstance("MD5").digest(e.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString.take(8) + ">"
+    // both occurrences of a@x.com get the SAME token (coreference)
+    assert(out(0)._1 ==
+      s"from ${tok("a@x.com")} to ${tok("b@y.org")}, cc ${tok("a@x.com")}")
+    assert(out(0)._2 == 2L)
+    // case-insensitive identity: A@x.com maps to a@x.com's token
+    assert(out(1)._1 == s"reply by ${tok("a@x.com")} only")
+    // untouched doc passes through with zero identities
+    assert(out(2)._1 == "no addresses here" && out(2)._2 == 0L)
+  }
+
   test("sceneChanges: integer cut verdicts incl. the exact-threshold boundary") {
     import graft.ops.{Codecs, Multimodal}
     // 4x2 C420: frame = 8 luma bytes + 2+2 chroma; flat-luma frames at
