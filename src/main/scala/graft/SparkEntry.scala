@@ -618,6 +618,39 @@ object SparkEntry {
       .orderBy(col("purchase_id"))
   }
 
+  /** FORWARD as-of: each purchase's first click at-or-after it, per
+    * user — DuckDB's native ASOF with the inequality flipped is the
+    * oracle.
+    */
+  private def qAsofFwd(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.ops.Joins.asofJoinDirected(p, c, "user_id", "ts", "forward")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("r_event_id").as("click_id"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** NEAREST as-of: whichever click is closer in time, ties to the
+    * backward match (pandas merge_asof convention); deltas compare in
+    * exact integer micros. The oracle ranks every candidate pair by
+    * (|Δ|, backward-first) and keeps rank 1.
+    */
+  private def qAsofNear(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.ops.Joins.asofJoinDirected(p, c, "user_id", "ts", "nearest")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("r_event_id").as("click_id"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Range join: lineitems priced within ±10 of a part's retail price —
     * the binned equi-join shape (each ±10 interval explodes into ≤2
     * 50-wide bins; a point lands in exactly one), oracled against the
@@ -2722,6 +2755,8 @@ object SparkEntry {
     "q_cms_join" -> (qCmsJoin _),
     "q_mm_scenes" -> (qMmScenes _),
     "q_pseudonym" -> (qPseudonym _),
+    "q_asof_fwd" -> (qAsofFwd _),
+    "q_asof_near" -> (qAsofNear _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
     "q_wet_read" -> (qWetRead _),
@@ -3628,6 +3663,24 @@ object SparkEntry {
         |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_asof_fwd" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id AS purchase_id, p.user_id AS user_id, c.event_id AS click_id
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+        |ORDER BY purchase_id""".stripMargin,
+    // every candidate ranked by (|delta micros|, backward-first), rank 1
+    "q_asof_near" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |cand AS (SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+        |    c.event_id AS click_id,
+        |    row_number() OVER (PARTITION BY p.event_id ORDER BY
+        |      abs(epoch_us(p.ts) - epoch_us(c.ts)),
+        |      CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END) AS rn
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id)
+        |SELECT purchase_id, user_id, click_id FROM cand WHERE rn = 1
+        |ORDER BY purchase_id""".stripMargin,
     "q_asof" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')

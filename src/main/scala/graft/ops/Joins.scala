@@ -56,6 +56,82 @@ object Joins {
         right.columns.map(c => col(s"__rm.$c").as(s"$rightPrefix$c")): _*)
   }
 
+  /** Directional as-of join — [[asofJoin]] (backward) generalized:
+    * `"backward"` matches the latest right row at-or-before,
+    * `"forward"` the earliest at-or-after, `"nearest"` whichever of
+    * the two is closer in time (tie → the backward match, the pandas
+    * `merge_asof` convention). Same one-shuffle union + window shape
+    * as [[asofJoin]] — `nearest` reuses the single sorted window for
+    * BOTH directions (one exchange, two window functions over it), so
+    * direction costs nothing extra at scale. `toleranceSec` bounds
+    * |Δts| in every direction. Duplicate-timestamp determinism:
+    * backward picks the lexicographically greatest right struct,
+    * forward the smallest (the `last`/`first` duals of one ordering).
+    */
+  def asofJoinDirected(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, direction: String = "backward",
+      rightPrefix: String = "r_",
+      toleranceSec: Option[Long] = None): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"asofJoinDirected: bad direction $direction")
+    if (direction == "backward")
+      return asofJoin(left, right, keyCol, tsCol, rightPrefix, toleranceSec)
+    val lType = StructType(left.schema.fields)
+    val rType = StructType(right.schema.fields)
+    val lNorm = left.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+      lit(1).as("__src"), struct(left.columns.map(col).toIndexedSeq: _*).as("__l"),
+      lit(null).cast(rType).as("__r"))
+    val rNorm = right.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+      lit(0).as("__src"), lit(null).cast(lType).as("__l"),
+      struct(right.columns.map(col).toIndexedSeq: _*).as("__r"))
+    // two orderings over ONE partitioning (a single exchange, two
+    // in-partition sorts): backward wants equal-ts rights BEFORE the
+    // left row (src asc) so (…, current] sees them; forward wants them
+    // AFTER (src desc) so [current, …) sees them — inclusive-at-
+    // equality on both sides
+    val wB = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__src").asc, col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__src").desc, col("__r").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val both = lNorm.union(rNorm)
+      .withColumn("__rb", last(col("__r"), ignoreNulls = true).over(wB))
+      .withColumn("__rf", first(col("__r"), ignoreNulls = true).over(wF))
+      .filter(col("__src") === 1)
+    // exact time axis: integer micros for timestamp columns (a plain
+    // cast-to-long truncates to SECONDS and mis-ties sub-second races),
+    // the raw numeric value otherwise
+    val isTs = left.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+    def axis(c: Column): Column =
+      if (isTs) unix_micros(c.cast("timestamp")) else c.cast("double")
+    val matched = direction match {
+      case "forward" => both.withColumn("__rm", col("__rf"))
+      case _ /* nearest */ =>
+        val dB = axis(col("__ts")) - axis(col(s"__rb.$tsCol"))
+        val dF = axis(col(s"__rf.$tsCol")) - axis(col("__ts"))
+        both.withColumn("__rm",
+          when(col("__rb").isNull, col("__rf"))
+            .when(col("__rf").isNull, col("__rb"))
+            .when(dF < dB, col("__rf"))
+            .otherwise(col("__rb")))
+    }
+    val withTol = toleranceSec.fold(matched) { tol =>
+      val bound = if (isTs) tol * 1000000L else tol
+      matched.withColumn("__rm",
+        when(org.apache.spark.sql.functions.abs(
+          axis(col("__ts")) - axis(col(s"__rm.$tsCol"))) <= bound,
+          col("__rm")))
+    }
+    withTol.select(
+      left.columns.map(c => col(s"__l.$c").as(c)).toIndexedSeq ++
+        right.columns.map(c => col(s"__rm.$c").as(s"$rightPrefix$c")): _*)
+  }
+
   /** Range join: pair each point row with every interval row whose
     * `[startCol, endCol]` contains its `pointCol` (inclusive). The naive
     * formulation is a cross join + theta filter — quadratic and

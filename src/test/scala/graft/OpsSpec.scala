@@ -2864,6 +2864,35 @@ class OpsSpec extends AnyFunSuite {
       viaSql.isNullAt(2))
   }
 
+  test("asofJoinDirected: forward/nearest semantics, equality, ties, tolerance") {
+    import graft.ops.Joins
+    val left = Seq((1L, "u", 100L), (2L, "u", 205L), (3L, "u", 300L),
+      (4L, "v", 50L)).toDF("lid", "k", "t")
+    val right = Seq((10L, "u", 100L), (11L, "u", 210L), (12L, "u", 280L))
+      .toDF("rid", "k", "t")
+    def run(dir: String, tol: Option[Long] = None) =
+      Joins.asofJoinDirected(left, right, "k", "t", dir,
+        toleranceSec = tol)
+        .select("lid", "r_rid").orderBy("lid").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSeq
+    // forward: first right at-or-after (inclusive at equality)
+    assert(run("forward") == Seq((1L, 10L), (2L, 11L), (3L, -1L), (4L, -1L)))
+    // nearest: 205 is 5 from 210 (fwd) vs 105 from 100 (back) -> fwd;
+    // 300 has no forward -> back 280; 100 exact -> itself
+    assert(run("nearest") == Seq((1L, 10L), (2L, 11L), (3L, 12L), (4L, -1L)))
+    // tie goes backward: left 245 equidistant (35) from 210 and 280
+    val tieL = Seq((9L, "u", 245L)).toDF("lid", "k", "t")
+    val tie = Joins.asofJoinDirected(tieL, right, "k", "t", "nearest")
+      .select("r_rid").head().getLong(0)
+    assert(tie == 11L)
+    // tolerance nulls far matches (numeric axis: raw units)
+    assert(run("nearest", tol = Some(10L)) ==
+      Seq((1L, 10L), (2L, 11L), (3L, -1L), (4L, -1L)))
+    // backward direction delegates to the proven asofJoin
+    assert(run("backward") == Seq((1L, 10L), (2L, 10L), (3L, 12L), (4L, -1L)))
+  }
+
   test("pseudonymizeEmails: stable tokens, coreference preserved, count") {
     import graft.ops.TextClean
     val df = Seq(
