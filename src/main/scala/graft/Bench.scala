@@ -143,7 +143,7 @@ object Bench {
       "q_vocab", "q_pmi", "q_bpe", "q_semdedup", "q_nb_fit", "q_url_filter",
       "q_corpus_report", "q_corpus_card", "q_mm_image", "q_mm_phash",
       "q_mm_audio", "q_mm_afp",
-      "q_mm_resize", "q_mm_video", "q_mm_scenes",
+      "q_mm_resize", "q_mm_video", "q_mm_scenes", "q_mm_vfp", "q_funnel",
       "q_pipeline2", "q_sent_dedup", "q_mix_apply",
       "q_c4_filter", "q_mojibake", "q_bpe_decode", "q_mix_temp",
       "q_quantile_filter", "q_dedup_best", "q_pipeline3",

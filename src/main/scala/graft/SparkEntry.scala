@@ -618,6 +618,16 @@ object SparkEntry {
       .orderBy(col("purchase_id"))
   }
 
+  /** Funnel gate: signup → click → purchase over the events stream,
+    * strict time increase between steps. The oracle computes the same
+    * depths via the cascade of per-user minimum step timestamps —
+    * greedy-earliest is optimal for subsequences, so fold == cascade.
+    */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.funnelReport(events(s, dir), "user_id", "ts",
+        "event_type", Seq("signup", "click", "purchase"))
+      .orderBy(col("step_idx"))
+
   /** FORWARD as-of: each purchase's first click at-or-after it, per
     * user — DuckDB's native ASOF with the inequality flipped is the
     * oracle.
@@ -2566,6 +2576,17 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** Video fingerprint gate: luma-contour signatures over the REAL
+    * decoded Y4M streams; every bit replayed by the oracle from the
+    * closed-form frames.
+    */
+  private def qMmVfp(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 120)
+    val media = Multimodal.synthesizeReal(docs, "doc_id")
+    Multimodal.videoFingerprints(media)
+      .orderBy(col("media_id"))
+  }
+
   /** Scene-change gate: every consecutive-frame luma delta over the
     * REAL decoded Y4M streams, cuts at τ=6.0 — integer-exact verdicts
     * replayed by the oracle with a lag window over the closed-form
@@ -2757,6 +2778,8 @@ object SparkEntry {
     "q_pseudonym" -> (qPseudonym _),
     "q_asof_fwd" -> (qAsofFwd _),
     "q_asof_near" -> (qAsofNear _),
+    "q_funnel" -> (qFunnel _),
+    "q_mm_vfp" -> (qMmVfp _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
     "q_wet_read" -> (qWetRead _),
@@ -3663,6 +3686,21 @@ object SparkEntry {
         |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // cascade of per-user minimum step timestamps, strictly increasing
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step,
+        |  (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step_idx""".stripMargin,
     "q_asof_fwd" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
@@ -5047,6 +5085,18 @@ object SparkEntry {
         |  round(avg(CASE WHEN id % 9 = 3 THEN (11 * ((sx + sy + id) % 16)) % 256
         |            ELSE (3 * sx + 17 * sy + 7 * id) % 256 END), 6) AS mean_b
         |FROM src GROUP BY id ORDER BY media_id""".stripMargin,
+    // luma sums + lead window + power-of-two packing — every bit replayed
+    "q_mm_vfp" ->
+      """WITH vid AS (SELECT doc_id AS id, 1 + doc_id % 10 AS nf
+        |  FROM documents WHERE doc_id < 120 AND doc_id % 3 = 2),
+        |fr AS (SELECT id, nf, unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 1)) AS f FROM vid),
+        |lm AS (SELECT id, nf, f, unnest(generate_series(0, 63)) AS i FROM fr),
+        |s AS (SELECT id, nf, f, sum((5 * i + 19 * f + id) % 256) AS su FROM lm GROUP BY 1, 2, 3),
+        |d AS (SELECT id, nf, f, su, lead(su) OVER (PARTITION BY id ORDER BY f) AS nx FROM s)
+        |SELECT id AS media_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(coalesce(sum(CASE WHEN nx IS NOT NULL AND su > nx
+        |    THEN CAST(power(2, f) AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS sig
+        |FROM d GROUP BY id, nf ORDER BY media_id""".stripMargin,
     // luma SUMS + lag window + integer micro-threshold verdicts
     "q_mm_scenes" ->
       """WITH vid AS (SELECT doc_id AS id, 1 + doc_id % 10 AS nf

@@ -504,6 +504,51 @@ object Multimodal {
     spark.createDataFrame(rows, sceneSchema)
   }
 
+  private val videoFpSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("sig", LongType, nullable = false)))
+
+  /** Video FINGERPRINT: the luma-contour signature completing the
+    * per-modality family (pHash for images, [[audioFingerprints]] for
+    * audio) — bit f set iff frame f's exact luma SUM exceeds frame
+    * f+1's (same-size frames, so sum compare ≡ mean compare with zero
+    * float math), up to 63 transitions packed into one BIGINT. Robust
+    * to uniform brightness/gain shifts of the whole clip; re-encoded
+    * or trimmed-tail copies stay within a few contour bits, so video
+    * near-dup is [[graft.ops.Dedup.hammingPairs64]] over 8-byte
+    * signatures like every other modality. All-integer; the
+    * q_mm_vfp oracle replays every bit from the closed-form frames.
+    */
+  def videoFingerprints(media: DataFrame,
+      batchSize: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.filter(col("kind") === "video")
+      .select(col("media_id"), col("data")).rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val (w, h, frames) = Codecs.decodeY4m(r.getAs[Array[Byte]]("data"))
+            val px = w * h
+            val sums = frames.map { luma =>
+              var s = 0L
+              var p = 0
+              while (p < px) { s += luma(p) & 0xff; p += 1 }
+              s
+            }
+            var sig = 0L
+            var f = 0
+            while (f < sums.length - 1 && f < 63) {
+              if (sums(f) > sums(f + 1)) sig |= 1L << f
+              f += 1
+            }
+            Row(r.getLong(0), sums.length.toLong, sig)
+          }
+        }
+      }
+    spark.createDataFrame(rows, videoFpSchema)
+  }
+
   private val frameSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("frame_idx", IntegerType, nullable = false),

@@ -2864,6 +2864,64 @@ class OpsSpec extends AnyFunSuite {
       viaSql.isNullAt(2))
   }
 
+  test("videoFingerprints: luma-contour bits, brightness invariance, near-dup") {
+    import graft.ops.{Codecs, Dedup, Multimodal}
+    def frame(luma: Int) =
+      (Array.fill(8)(luma.toByte) ++ Array.fill(4)(0.toByte))
+    def y4m(lumas: Seq[Int]) =
+      Codecs.encodeY4m(4, 2, "25:1", lumas.map(frame))
+    val base = Seq(10, 60, 20, 80, 30, 90, 40, 95)
+    val brighter = base.map(_ + 20)        // uniform brightness shift
+    val tweaked = base.updated(2, 25)      // small local edit
+    val reversed = base.reverse
+    val media = Seq(
+      (0L, "video", y4m(base)), (1L, "video", y4m(brighter)),
+      (2L, "video", y4m(tweaked)), (3L, "video", y4m(reversed)))
+      .toDF("media_id", "kind", "data")
+    val fp = Multimodal.videoFingerprints(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fp(1L) == fp(0L)) // brightness invariance
+    assert(java.lang.Long.bitCount(fp(0L) ^ fp(2L)) <= 2)
+    assert(java.lang.Long.bitCount(fp(0L) ^ fp(3L)) > 3)
+    // composes with hammingPairs64: tweak found, reverse excluded
+    val sigs = Multimodal.videoFingerprints(media)
+      .filter(col("media_id").isin(0L, 2L, 3L))
+    val pairs = Dedup.hammingPairs64(sigs, "media_id", "sig", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L)) && !pairs.exists(p => p._2 == 3L))
+  }
+
+  test("funnel: ordered subsequence with strict time increase") {
+    import graft.ops.Events
+    val ev = Seq(
+      // u1 completes all three in order
+      ("u1", 10L, "signup"), ("u1", 20L, "click"), ("u1", 30L, "purchase"),
+      // u2 purchases BEFORE clicking: depth 2
+      ("u2", 10L, "signup"), ("u2", 15L, "purchase"), ("u2", 20L, "click"),
+      // u3 clicks at the SAME ts as signup: strict increase -> depth 1,
+      // but a later second click advances it to 2
+      ("u3", 10L, "signup"), ("u3", 10L, "click"), ("u3", 40L, "click"),
+      // u4 never signs up: depth 0 despite click+purchase
+      ("u4", 5L, "click"), ("u4", 6L, "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val steps = Seq("signup", "click", "purchase")
+    val per = Events.funnelSteps(ev, "user_id", "ts", "event_type", steps)
+      .orderBy("user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(per == Seq(("u1", 3L), ("u2", 2L), ("u3", 2L), ("u4", 0L)))
+    val report = Events.funnelReport(ev, "user_id", "ts", "event_type", steps)
+      .orderBy("step_idx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(report == Seq((1L, "signup", 3L), (2L, "click", 3L),
+      (3L, "purchase", 1L)))
+    // partitioning invariance
+    val rep = Events.funnelSteps(ev.repartition(7), "user_id", "ts",
+        "event_type", steps)
+      .orderBy("user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rep == per)
+  }
+
   test("asofJoinDirected: forward/nearest semantics, equality, ties, tolerance") {
     import graft.ops.Joins
     val left = Seq((1L, "u", 100L), (2L, "u", 205L), (3L, "u", 300L),
