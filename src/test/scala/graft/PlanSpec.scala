@@ -695,6 +695,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("interval overlap join: binned equi-join, no cartesian, no post-hoc distinct") {
+    import spark.implicits._
+    val l = Seq((1L, 0L, 10L)).toDF("lid", "ls", "le")
+    val r = Seq((2L, 5L, 15L)).toDF("rid", "rs", "re")
+    val out = graft.ops.Joins.intervalOverlapJoin(l, r, "ls", "le",
+      "rs", "re", binWidth = 4)
+    val plan = planOf(out)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // exactly-once is structural (canonical bin), not a dedup shuffle:
+    // no aggregate/distinct node may appear
+    assert(!plan.contains("HashAggregate"), plan)
+  }
+
+  test("funnel: only (user, ts, type) projections reach the aggregation") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val out = graft.ops.Events.funnelReport(ev, "user_id", "ts",
+      "event_type", Seq("signup", "click", "purchase"))
+    val plan = planOf(out)
+    val readSchema = plan.linesIterator
+      .find(_.trim.startsWith("ReadSchema")).get
+    // column pruning: the wide events payload (props, value) stays unread
+    assert(!readSchema.contains("props") && !readSchema.contains("value"),
+      readSchema)
+    assert(readSchema.contains("user_id") && readSchema.contains("ts") &&
+      readSchema.contains("event_type"), readSchema)
+  }
+
   test("clusters frees superseded checkpoint blocks across reruns") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     def run(): Long = {
