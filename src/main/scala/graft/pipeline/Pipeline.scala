@@ -92,8 +92,9 @@ object Pipeline {
 
   /** The known op names — [[validate]]'s vocabulary. */
   val ops: Set[String] = Set("normalize", "fix-mojibake", "strip-html",
-    "redact-pii", "c4-filter", "filter-min-words", "gopher-filter",
-    "dedup-exact", "lang-id", "filter-lang", "sample")
+    "redact-pii", "pseudonymize", "c4-filter", "filter-min-words",
+    "gopher-filter", "dedup-exact", "dedup-near", "lang-id",
+    "filter-lang", "sample")
 
   /** Static spec check, no data touched: parse + per-stage arg
     * validation (by compiling against an empty frame is overkill — the
@@ -114,6 +115,11 @@ object Pipeline {
               case "sample" =>
                 val r = reqNum(s, i, "rate")
                 if (r <= 0 || r > 1) Seq(s"stage $i: :rate out of (0,1]")
+                else Nil
+              case "dedup-near" =>
+                val t = num(s, i, "threshold").getOrElse(0.8)
+                if (t <= 0 || t > 1)
+                  Seq(s"stage $i: :threshold out of (0,1]")
                 else Nil
               case "filter-lang" => strSeq(s, i, "langs"); Nil
               case _ => Nil
@@ -153,6 +159,16 @@ object Pipeline {
       d.withColumn(textCol, TextClean.stripHtml(col(textCol)))
     case "redact-pii" =>
       pure(d.columns, TextClean.redactPii(d, textCol))
+    case "pseudonymize" =>
+      pure(d.columns, TextClean.pseudonymizeEmails(d, textCol))
+    case "dedup-near" =>
+      // n-gram jaccard pairs at :threshold (default 0.8), keep-first
+      val thr = num(s, i, "threshold").getOrElse(0.8)
+      if (!(thr > 0 && thr <= 1)) fail(i, ":threshold out of (0,1]")
+      graft.ops.Dedup.dropNearDuplicates(d,
+        graft.ops.Dedup.ngramJaccardPairs(d, textCol, idCol,
+          n = num(s, i, "n").getOrElse(3.0).toInt, threshold = thr),
+        idCol)
     case "c4-filter" =>
       // rewrite text to the kept lines AND drop pages the page-level
       // rules reject — c4Filter's keep flag applied, diagnostics dropped

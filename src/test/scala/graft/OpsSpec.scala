@@ -3197,8 +3197,16 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got == hand)
     // transform stages keep the schema pure (diagnostics dropped)
-    val norm = Pipeline.run(df, """[{:op :normalize} {:op :redact-pii}]""")
+    val norm = Pipeline.run(df,
+      """[{:op :normalize} {:op :redact-pii} {:op :pseudonymize}]""")
     assert(norm.columns.toSeq == Seq("doc_id", "text"))
+    // near-dedup stage: exact dup of doc 0 (doc 1) dropped keep-first
+    val near = Pipeline.run(df,
+      """[{:op :dedup-near :threshold 0.9}]""")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(near == Seq(0L, 2L, 3L, 4L))
+    assert(Pipeline.validate("""[{:op :dedup-near :threshold 1.5}]""")
+      .exists(_.contains(":threshold out of")))
     // validation: unknown op, missing arg, bad rate — no data touched
     assert(Pipeline.validate("""[{:op :nope}]""")
       .exists(_.contains("unknown op :nope")))
