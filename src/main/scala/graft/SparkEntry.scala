@@ -618,6 +618,23 @@ object SparkEntry {
       .orderBy(col("purchase_id"))
   }
 
+  /** Language-ID confidence gate: per doc the winning language plus
+    * how decisively it won (top vs second stopword score; script-tier
+    * rows report the script count), with the CCNet-style confident
+    * flag at margin ≥ 2. The oracle rebuilds the scores, the sorted
+    * top-2, and every branch relationally.
+    */
+  private def qLangConf(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"),
+        graft.ops.TextStats.langIdWithConfidence(col("text")).as("c"))
+      .select(col("doc_id"), col("c.lang").as("lang_pred"),
+        col("c.top").cast("long").as("top"),
+        col("c.second").cast("long").as("second"),
+        (col("c.top") - col("c.second")).cast("long").as("margin"),
+        (col("c.top") - col("c.second") >= 2).cast("long").as("confident"))
+      .orderBy(col("doc_id"))
+
   /** Funnel gate: signup → click → purchase over the events stream,
     * strict time increase between steps. The oracle computes the same
     * depths via the cascade of per-user minimum step timestamps —
@@ -2780,6 +2797,7 @@ object SparkEntry {
     "q_asof_near" -> (qAsofNear _),
     "q_funnel" -> (qFunnel _),
     "q_mm_vfp" -> (qMmVfp _),
+    "q_lang_conf" -> (qLangConf _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
     "q_wet_read" -> (qWetRead _),
@@ -3686,6 +3704,42 @@ object SparkEntry {
         |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // scores + sorted top-2 + every branch (script tier, tie, und)
+    "q_lang_conf" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+        |    len(regexp_extract_all(text, '[一-龥]')) AS cjk,
+        |    len(regexp_extract_all(lower(text), '[а-яё]')) AS cyr,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['the','a','of','to','and','is','in'])) s_en,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['el','la','de','que','y','los','una'])) s_es,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['le','la','les','et','un','des','que'])) s_fr,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['der','die','das','und','ist','ein','nicht'])) s_de,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['o','os','uma','não','com','por','são'])) s_pt,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['il','che','di','per','sono','della','gli'])) s_it,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['het','een','van','niet','zijn','met','voor'])) s_nl,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['ir','yra','kad','tai','kaip','bet','buvo'])) s_lt
+        |  FROM documents),
+        |g AS (SELECT *,
+        |    greatest(s_en, s_es, s_fr, s_de, s_pt, s_it, s_nl, s_lt) AS m,
+        |    list_reverse(list_sort([s_en, s_es, s_fr, s_de, s_pt, s_it, s_nl, s_lt])) AS ss,
+        |    (cjk * 4 >= nonspace AND cjk > 0) AS is_zh,
+        |    (NOT (cjk * 4 >= nonspace AND cjk > 0) AND cyr * 4 >= nonspace AND cyr > 0) AS is_ru
+        |  FROM s),
+        |o AS (SELECT doc_id,
+        |    CASE WHEN is_zh THEN 'zh' WHEN is_ru THEN 'ru'
+        |         WHEN m = 0 THEN 'und'
+        |         WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es'
+        |         WHEN s_fr = m THEN 'fr' WHEN s_de = m THEN 'de'
+        |         WHEN s_pt = m THEN 'pt' WHEN s_it = m THEN 'it'
+        |         WHEN s_nl = m THEN 'nl' ELSE 'lt' END AS lang_pred,
+        |    CAST(CASE WHEN is_zh THEN cjk WHEN is_ru THEN cyr ELSE ss[1] END AS BIGINT) AS top,
+        |    CAST(CASE WHEN is_zh OR is_ru THEN 0 ELSE ss[2] END AS BIGINT) AS second
+        |  FROM g)
+        |SELECT doc_id, lang_pred, top, second,
+        |  top - second AS margin,
+        |  CAST(top - second >= 2 AS BIGINT) AS confident
+        |FROM o ORDER BY doc_id""".stripMargin,
     // cascade of per-user minimum step timestamps, strictly increasing
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events

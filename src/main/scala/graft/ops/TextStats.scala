@@ -93,6 +93,45 @@ object TextStats {
       .otherwise(byStopwords)
   }
 
+  /** Language ID WITH a confidence margin — the CCNet policy needs not
+    * just an argmax but how decisively it won (fasttext-confidence
+    * thresholds; low-margin docs are the mislabel/misfilter risk).
+    * Returns struct(lang, top, second): on the stopword path `top` and
+    * `second` are the two best stopword scores (margin = top − second;
+    * 0 margin = a tie the list order broke — treat as unconfident);
+    * script-tier rows (zh/ru) report the script char count with
+    * second = 0; `und` is (0, 0). Declarative (one projection, no
+    * shuffle) — this is a reporting/threshold column, not the
+    * q_pipeline hot path, so the kernel policy doesn't apply; the
+    * entries array feeds both the argmax and the sorted score list.
+    */
+  def langIdWithConfidence(text: Column): Column = {
+    val nonSpace = length(regexp_replace(text, "\\s", ""))
+    val cjk = regexp_count(text, lit("[一-龥]")).cast("int")
+    val cyr = regexp_count(lower(text), lit("[а-яё]")).cast("int")
+    val toks = array_distinct(split(lower(text), "\\s+"))
+    val entries = array(langStopwords.zipWithIndex.map { case ((lang, words), i) =>
+      struct(
+        size(array_intersect(toks, array(words.map(lit): _*))).as("score"),
+        lit(-i).as("nord"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(entries)
+    val sorted = reverse(array_sort(transform(entries,
+      e => e.getField("score"))))
+    val s1 = element_at(sorted, 1)
+    val s2 = element_at(sorted, 2)
+    when(cjk * 4 >= nonSpace && cjk > 0,
+        struct(lit("zh").as("lang"), cjk.as("top"),
+          lit(0).cast("int").as("second")))
+      .when(cyr * 4 >= nonSpace && cyr > 0,
+        struct(lit("ru").as("lang"), cyr.as("top"),
+          lit(0).cast("int").as("second")))
+      .otherwise(struct(
+        when(s1 > 0, best.getField("lang")).otherwise(lit("und")).as("lang"),
+        s1.as("top"), s2.as("second")))
+  }
+
   // token → (language index, stopword bit) pairs; stopwords overlap
   // across languages ("la" es+fr, "que" es+fr, "und" de…) so the value
   // is a list. Built once; the kernel is a hash lookup per token.

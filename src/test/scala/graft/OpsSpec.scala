@@ -2864,6 +2864,34 @@ class OpsSpec extends AnyFunSuite {
       viaSql.isNullAt(2))
   }
 
+  test("langIdWithConfidence: margins, script tier, tie and und cases") {
+    import graft.ops.TextStats
+    val df = Seq(
+      (0L, "the cat is of the and in a to house"), // en, strong margin
+      (1L, "la de the"),                           // es 2 vs en 1 -> margin 1
+      (2L, "zz qq ww"),                            // und: 0, 0
+      (3L, "的 是 一 在 不 了 有 和"),                // zh script tier
+      (4L, "le la de")).toDF("doc_id", "text")     // es/fr tie at 2 -> margin 0
+    val out = df.select(col("doc_id"),
+        TextStats.langIdWithConfidence(col("text")).as("c"))
+      .orderBy("doc_id").collect()
+      .map(r => { val c = r.getStruct(1)
+        (c.getString(0), c.getInt(1), c.getInt(2)) })
+    assert(out(0)._1 == "en" && out(0)._2 >= 5 && out(0)._3 == 0)
+    assert(out(1) == ("es", 2, 1))
+    assert(out(2) == ("und", 0, 0))
+    assert(out(3)._1 == "zh" && out(3)._2 == 8 && out(3)._3 == 0)
+    // tie: es wins by list order but margin 0 flags it unconfident
+    assert(out(4) == ("es", 2, 2))
+    // lang agrees with the kernel langId everywhere on the real corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dis = docs.select(
+        TextStats.langId(col("text")).as("k"),
+        TextStats.langIdWithConfidence(col("text")).getField("lang").as("d"))
+      .filter(col("k") =!= col("d")).count()
+    assert(dis == 0)
+  }
+
   test("videoFingerprints: luma-contour bits, brightness invariance, near-dup") {
     import graft.ops.{Codecs, Dedup, Multimodal}
     def frame(luma: Int) =
