@@ -618,6 +618,18 @@ object SparkEntry {
       .orderBy(col("purchase_id"))
   }
 
+  /** Per-group top-k gate: each source's 5 longest documents (ties by
+    * ascending id) with their in-group rank — the two-stage shard
+    * election must equal the oracle's single row_number window exactly.
+    */
+  private def qTopk(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.topKPerGroup(
+        s.read.parquet(t(dir, "documents")), "doc_id", "source",
+        "n_chars", k = 5)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("rank_in_group"))
+      .orderBy(col("source"), col("rank_in_group"))
+
   /** Language-ID confidence gate: per doc the winning language plus
     * how decisively it won (top vs second stopword score; script-tier
     * rows report the script count), with the CCNet-style confident
@@ -2798,6 +2810,7 @@ object SparkEntry {
     "q_funnel" -> (qFunnel _),
     "q_mm_vfp" -> (qMmVfp _),
     "q_lang_conf" -> (qLangConf _),
+    "q_topk" -> (qTopk _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
     "q_wet_read" -> (qWetRead _),
@@ -3704,6 +3717,15 @@ object SparkEntry {
         |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // one global row_number window — the sharded election's contract
+    "q_topk" ->
+      """SELECT doc_id, source, n_chars, rank_in_group FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank_in_group
+        |  FROM documents)
+        |WHERE rank_in_group <= 5
+        |ORDER BY source, rank_in_group""".stripMargin,
     // scores + sorted top-2 + every branch (script tier, tie, und)
     "q_lang_conf" ->
       """WITH s AS (

@@ -125,6 +125,41 @@ object Sampling {
     df.join(picked, Seq(idCol), "left_semi")
   }
 
+  /** Generic per-group top-k by SCORE — the argmax-k primitive
+    * ([[sampleExactPerGroup]] picks k uniformly; this keeps each
+    * group's k BEST rows: highest-quality docs per domain, newest
+    * crawls per URL, longest members per cluster). Same two-stage
+    * shard election so a giant group never funnels through one
+    * reducer: stage 1 keeps k per (group, id-hash shard) — the global
+    * per-group top-k is a subset of every shard-local top-k union —
+    * stage 2 ranks the ≤ 32k survivors. Fully deterministic: ties on
+    * the score break by ascending id, so the result equals the single
+    * `row_number()` window answer exactly (the q_topk oracle). Only
+    * (id, group, score) projections shuffle; payloads rejoin by a
+    * semi-join AQE sizes.
+    */
+  def topKPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String, k: Int, descending: Boolean = true): DataFrame = {
+    require(k >= 1, s"topKPerGroup: bad k $k")
+    val score = if (descending) col(scoreCol).desc else col(scoreCol).asc
+    val shard = conv(substring(saltedHash(col(idCol), "topk"), 29, 4),
+      16, 10).cast("int") % 32
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("__s"))
+      .orderBy(score, col(idCol).asc)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(score, col(idCol).asc)
+    val picked = df.select(col(idCol), col(groupCol), col(scoreCol))
+      .withColumn("__s", shard)
+      .withColumn("__rk1", row_number().over(w1))
+      .filter(col("__rk1") <= k)
+      .withColumn("__rk", row_number().over(w2))
+      .filter(col("__rk") <= k)
+      .select(col(idCol), col("__rk").cast("long").as("rank_in_group"))
+    df.join(picked, Seq(idCol))
+  }
+
   /** Stratified deterministic sample: an independent ~`fraction` within
     * each stratum (the stratum value participates in the hash, so
     * changing one stratum's data never perturbs another's selection).

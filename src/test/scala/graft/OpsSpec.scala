@@ -2864,6 +2864,34 @@ class OpsSpec extends AnyFunSuite {
       viaSql.isNullAt(2))
   }
 
+  test("topKPerGroup: sharded election == single-window answer, ties by id") {
+    import graft.ops.Sampling
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 500).map(i =>
+      (i.toLong, s"g${i % 4}", rnd.nextInt(40))).toDF("id", "g", "score")
+    val got = Sampling.topKPerGroup(df, "id", "g", "score", k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    // reference: plain window (ties on score break by ascending id)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("score").desc, col("id").asc)
+    val ref = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 7)
+      .collect().map(r => (r.getLong(0), r.getInt(3).toLong)).sorted.toSeq
+    assert(got == ref)
+    // ascending variant + small group keeps everything
+    val tiny = Seq((1L, "a", 9), (2L, "a", 3), (3L, "b", 5))
+      .toDF("id", "g", "score")
+    val asc = Sampling.topKPerGroup(tiny, "id", "g", "score", k = 2,
+        descending = false)
+      .orderBy("g", "rank_in_group").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(asc == Seq((2L, 1L), (1L, 2L), (3L, 1L)))
+    // partitioning invariance
+    val rep = Sampling.topKPerGroup(df.repartition(13), "id", "g",
+      "score", 7).collect().map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    assert(rep == got)
+  }
+
   test("langIdWithConfidence: margins, script tier, tie and und cases") {
     import graft.ops.TextStats
     val df = Seq(
