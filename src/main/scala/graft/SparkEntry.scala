@@ -630,6 +630,38 @@ object SparkEntry {
         col("rank_in_group"))
       .orderBy(col("source"), col("rank_in_group"))
 
+  /** Weighted sampling without replacement (A-ES): 10 docs per source
+    * drawn ∝ length, deterministic in the salted md5 — the oracle
+    * replays the exact ln(u)/w key and must land on the identical draw
+    * and draw ORDER (sample_rank participates in the hash).
+    */
+  private def qWrs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.weightedSamplePerGroup(
+        s.read.parquet(t(dir, "documents")), "doc_id", "source",
+        "n_chars", k = 10)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("sample_rank"))
+      .orderBy(col("source"), col("sample_rank"))
+
+  /** SCD2 dimension history from the event stream: per user, collapse
+    * consecutive identical event_types into validity intervals. The
+    * oracle replays the same lag-filter-lead window chain.
+    */
+  private def qScd2(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.scd2(events(s, dir), "user_id", "ts", "event_id",
+        "event_type")
+      .orderBy(col("user_id"), col("version"))
+
+  /** Exponential time-decay engagement score, half-life 7 days against
+    * the corpus max timestamp. Integer-grain terms (exact 2^-n decay ×
+    * 1e-6 floor) make the float sum partition-order-proof and
+    * bit-replayable in the oracle.
+    */
+  private def qDecay(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.decayedScore(events(s, dir), "user_id", "ts",
+        "value", halfLifeDays = 7)
+      .orderBy(col("user_id"))
+
   /** Language-ID confidence gate: per doc the winning language plus
     * how decisively it won (top vs second stopword score; script-tier
     * rows report the script count), with the CCNet-style confident
@@ -2811,6 +2843,9 @@ object SparkEntry {
     "q_mm_vfp" -> (qMmVfp _),
     "q_lang_conf" -> (qLangConf _),
     "q_topk" -> (qTopk _),
+    "q_wrs" -> (qWrs _),
+    "q_scd2" -> (qScd2 _),
+    "q_decay" -> (qDecay _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
     "q_wet_read" -> (qWetRead _),
@@ -3726,6 +3761,46 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rank_in_group <= 5
         |ORDER BY source, rank_in_group""".stripMargin,
+    // the exact A-ES key ln(u)/w with u = (md5-prefix + 1) / 2^32
+    "q_wrs" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ln((('0x' || substr(md5(doc_id::VARCHAR || ':wrs'), 1, 8))::BIGINT + 1)
+        |       / 4294967296.0) / n_chars AS ky
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT doc_id, source, n_chars, rk AS sample_rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY ky DESC, doc_id ASC) AS BIGINT) AS rk FROM w)
+        |WHERE rk <= 10 ORDER BY source, sample_rank""".stripMargin,
+    // lag detects transitions; lead over survivors closes intervals
+    "q_scd2" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS prev
+        |  FROM events),
+        |tr AS (SELECT * FROM t WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version,
+        |  event_type, ts AS effective_from,
+        |  lead(ts) OVER w AS effective_to,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM tr WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY user_id, version""".stripMargin,
+    // integer epoch + integer decay exponent + 1e-6-grain terms: the
+    // float sum replays exactly (epoch_us // 1000000 = Spark's
+    // unix_timestamp floor)
+    "q_decay" ->
+      """WITH a AS (
+        |  SELECT max(epoch_us(ts) // 1000000) AS m FROM events),
+        |t AS (
+        |  SELECT user_id,
+        |    CAST(floor(value * pow(0.5, CAST(floor(
+        |      (a.m - epoch_us(ts) // 1000000) / 604800) AS INT)) * 1e6)
+        |      AS BIGINT) AS term
+        |  FROM events, a)
+        |SELECT user_id, sum(term) / 1e6 AS decayed_value,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
     // scores + sorted top-2 + every branch (script tier, tie, und)
     "q_lang_conf" ->
       """WITH s AS (

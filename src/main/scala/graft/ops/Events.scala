@@ -69,4 +69,68 @@ object Events {
       .select(col("step_idx").cast("long").as("step_idx"), col("step"),
         col("n_users"))
   }
+
+  /** Slowly-changing-dimension type-2 build from a change log: per key,
+    * collapse CONSECUTIVE identical values (ordered by `tsCol`, ties by
+    * `tieCol` so the history is total-ordered and deterministic) and
+    * emit one validity interval per surviving transition —
+    * (key, version 1-based, value, effective_from, effective_to,
+    * is_current), with `effective_to` = the next transition's
+    * `effective_from` (null on the open current row). This is the
+    * standard warehouse dimension-history op: an attribute feed with
+    * redundant re-sends becomes a compact interval table an as-of /
+    * range join ([[graft.ops.Joins]]) can probe for "value as of t".
+    *
+    * Scale shape: two windows over the SAME (key, ts, tie) sort order —
+    * Catalyst plans one Exchange + one Sort for both (lag to detect
+    * transitions, lead/row_number over the filtered transitions) — and
+    * only (key, ts, tie, value) projections shuffle. No driver state.
+    */
+  def scd2(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String): DataFrame = {
+    val byTime = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val transitions = df
+      .select(col(keyCol), col(tsCol), col(tieCol), col(valueCol))
+      .withColumn("__prev", lag(col(valueCol), 1).over(byTime))
+      // null-safe: the first row per key always opens an interval
+      .filter(col("__prev").isNull || !(col("__prev") <=> col(valueCol)))
+    val byFrom = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
+    transitions
+      .withColumn("version", row_number().over(byFrom).cast("long"))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(byFrom))
+      .select(col(keyCol), col("version"), col(valueCol),
+        col(tsCol).as("effective_from"), col("effective_to"),
+        col("effective_to").isNull.as("is_current"))
+  }
+
+  /** Exponentially time-decayed per-key score with a half-life in whole
+    * days: sum over events of `value * 0.5^floor(age_days)`, age taken
+    * against the corpus max timestamp (or an explicit `asOfEpochSec`).
+    * The freshness-weighting primitive for engagement/popularity
+    * features: yesterday's purchase counts ~2× one from `halfLifeDays`
+    * ago.
+    *
+    * Determinism at scale: the exponent is the INTEGER
+    * floor(age/halfLife·days) so `0.5^n` is an exact power of two, each
+    * term is floored to a fixed 1e-6 grain and summed as a BIGINT —
+    * float-sum partition-order nondeterminism cannot perturb the
+    * result, and an ANSI-SQL oracle replays it bit-for-bit. One
+    * aggregation; only (key, grain-term) shuffles.
+    */
+  def decayedScore(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, halfLifeDays: Int,
+      asOfEpochSec: Option[Long] = None): DataFrame = {
+    require(halfLifeDays >= 1, s"decayedScore: bad half-life $halfLifeDays")
+    val asOf: Long = asOfEpochSec.getOrElse(
+      df.agg(max(unix_timestamp(col(tsCol)))).head().getLong(0))
+    val n = floor((lit(asOf) - unix_timestamp(col(tsCol))) /
+      lit(halfLifeDays * 86400L)).cast("int")
+    val term6 = floor(col(valueCol).cast("double") *
+      pow(lit(0.5), n) * 1e6).cast("long")
+    df.groupBy(col(keyCol))
+      .agg((sum(term6) / 1e6).as("decayed_value"),
+        count(lit(1)).as("n_events"))
+  }
 }

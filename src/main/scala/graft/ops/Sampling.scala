@@ -140,24 +140,69 @@ object Sampling {
     */
   def topKPerGroup(df: DataFrame, idCol: String, groupCol: String,
       scoreCol: String, k: Int, descending: Boolean = true): DataFrame = {
-    require(k >= 1, s"topKPerGroup: bad k $k")
-    val score = if (descending) col(scoreCol).desc else col(scoreCol).asc
+    electTopK(df, idCol, groupCol, col(scoreCol), descending, k,
+      "rank_in_group")
+  }
+
+  /** Shared sharded-election core for [[topKPerGroup]] and
+    * [[weightedSamplePerGroup]]: rank rows per group by `order`
+    * (ties always broken by ascending id), keep the first k. Stage 1
+    * keeps k per (group, id-hash shard) — the global per-group top-k is
+    * a subset of every shard-local top-k union — stage 2 ranks the
+    * ≤ 32k survivors, so the result equals the single-window answer
+    * exactly while a giant group never funnels through one reducer.
+    * Only (id, group, score) shuffle; payloads rejoin by an id join
+    * AQE sizes.
+    */
+  private def electTopK(df: DataFrame, idCol: String, groupCol: String,
+      scoreExpr: Column, descending: Boolean, k: Int,
+      rankName: String): DataFrame = {
+    require(k >= 1, s"per-group election: bad k $k")
+    val order = if (descending) col("__score").desc else col("__score").asc
     val shard = conv(substring(saltedHash(col(idCol), "topk"), 29, 4),
       16, 10).cast("int") % 32
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol), col("__s"))
-      .orderBy(score, col(idCol).asc)
+      .orderBy(order, col(idCol).asc)
     val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
-      .orderBy(score, col(idCol).asc)
-    val picked = df.select(col(idCol), col(groupCol), col(scoreCol))
+      .orderBy(order, col(idCol).asc)
+    val picked = df.select(col(idCol), col(groupCol), scoreExpr.as("__score"))
       .withColumn("__s", shard)
       .withColumn("__rk1", row_number().over(w1))
       .filter(col("__rk1") <= k)
       .withColumn("__rk", row_number().over(w2))
       .filter(col("__rk") <= k)
-      .select(col(idCol), col("__rk").cast("long").as("rank_in_group"))
+      .select(col(idCol), col("__rk").cast("long").as(rankName))
     df.join(picked, Seq(idCol))
+  }
+
+  /** Weighted sampling WITHOUT replacement, k per group
+    * (Efraimidis–Spirakis A-ES): each group's draw includes a row with
+    * probability proportional to its weight, never repeats a row, and
+    * is fully deterministic in (id, salt). Rows rank by the A-ES key
+    * ln(u)/w — monotone-equivalent to the textbook u^(1/w) — where u is
+    * the salted-md5 uniform `(h32+1)/2^32 ∈ (0,1]` (the +1 keeps
+    * ln defined at the all-zero hash prefix) and w = `weightCol`. Rows
+    * with w ≤ 0 or null weight never sample. The top-k-key election is
+    * the same sharded two-stage as [[topKPerGroup]] — no giant-group
+    * reducer funnel, only (id, group, key) shuffles.
+    *
+    * This is the quality-weighted corpus subsample primitive: "draw 1M
+    * docs per domain, preferring high-quality ones, reproducibly" —
+    * fraction sampling can't fix the count, uniform exact-k ignores the
+    * weights, and rand()-based A-ES is unreproducible across retries.
+    * Emits the input row plus `sample_rank` (1 = first drawn).
+    */
+  def weightedSamplePerGroup(df: DataFrame, idCol: String, groupCol: String,
+      weightCol: String, k: Int, salt: String = ""): DataFrame = {
+    val u = (conv(substring(saltedHash(col(idCol), salt + ":wrs"), 1, 8),
+      16, 10).cast("double") + 1.0) / 4294967296.0
+    val key = log(u) / col(weightCol).cast("double")
+    val weighted = df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+    // ln(u) < 0, so larger w => key closer to 0 => rank by key DESC
+    electTopK(weighted, idCol, groupCol, key, descending = true, k,
+      "sample_rank")
   }
 
   /** Stratified deterministic sample: an independent ~`fraction` within

@@ -2892,6 +2892,83 @@ class OpsSpec extends AnyFunSuite {
     assert(rep == got)
   }
 
+  test("weightedSamplePerGroup: A-ES draw favors weight, deterministic") {
+    import graft.ops.Sampling
+    // one group: a single weight-1000 row among 60 weight-1 rows — the
+    // heavy row survives a k=5 draw with probability ~1 - tiny
+    val df = ((0 until 60).map(i => (i.toLong, "g", 1.0)) :+
+      (999L, "g", 1000.0)).toDF("id", "g", "w")
+    val got = Sampling.weightedSamplePerGroup(df, "id", "g", "w", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.length == 5)
+    assert(got.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(got.exists(_._1 == 999L), "weight-1000 row must be drawn")
+    // zero/negative/null weights never sample; small group keeps all
+    val mixed = Seq((1L, "a", 4.0), (2L, "a", 0.0), (3L, "a", -1.0),
+      (4L, "b", 2.0)).toDF("id", "g", "w")
+      .union(Seq((5L, "b", Option.empty[Double])).toDF("id", "g", "w"))
+    val kept = Sampling.weightedSamplePerGroup(mixed, "id", "g", "w", k = 3)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 4L))
+    // partitioning invariance (rank included)
+    val big = (0 until 300).map(i => (i.toLong, s"g${i % 3}",
+      1.0 + (i % 7))).toDF("id", "g", "w")
+    val a = Sampling.weightedSamplePerGroup(big, "id", "g", "w", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    val b = Sampling.weightedSamplePerGroup(big.repartition(17), "id", "g",
+      "w", k = 8).collect().map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("scd2: consecutive-identical collapse, intervals, ties by tieCol") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val log = Seq(
+      (1L, ts(1), 10L, "A"), (1L, ts(2), 11L, "A"), // resend: collapses
+      (1L, ts(3), 12L, "B"), (1L, ts(4), 13L, "A"),
+      (2L, ts(5), 14L, "X"),
+      // equal timestamps: event_id orders them (15 before 16)
+      (3L, ts(6), 16L, "Q"), (3L, ts(6), 15L, "P"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.ops.Events.scd2(log, "user_id", "ts", "event_id",
+        "event_type")
+      .orderBy("user_id", "version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"),
+        (2L, 1L, "X"), (3L, 1L, "P"), (3L, 2L, "Q")))
+    // interval chaining: A [t1, t3), B [t3, t4), A [t4, null) current
+    assert(out(0)._4 == ts(1) && out(0)._5.contains(ts(3)) && !out(0)._6)
+    assert(out(1)._5.contains(ts(4)))
+    assert(out(2)._5.isEmpty && out(2)._6)
+    // the equal-ts pair chains P -> Q by event_id order
+    assert(out(4)._5.contains(ts(6)) && out(5)._6)
+  }
+
+  test("decayedScore: exact power-of-two decay at integer grain") {
+    import java.sql.Timestamp
+    val base = 1700000000L
+    def ts(daysAgo: Double) =
+      new Timestamp((base - (daysAgo * 86400).toLong) * 1000L)
+    val ev = Seq(
+      (1L, ts(0), 10.0),   // n=0: 10.0
+      (1L, ts(8), 10.0),   // 8d, hl=7 -> n=1: 5.0
+      (1L, ts(30), 12.0),  // n=4: 0.75
+      (2L, ts(3.5), 7.0))  // n=0: 7.0
+      .toDF("user_id", "ts", "value")
+    val out = graft.ops.Events.decayedScore(ev, "user_id", "ts", "value",
+        halfLifeDays = 7, asOfEpochSec = Some(base))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out(0) == ((1L, 15.75, 3L)))
+    assert(out(1) == ((2L, 7.0, 1L)))
+    // default as-of = corpus max ts
+    val out2 = graft.ops.Events.decayedScore(ev, "user_id", "ts", "value",
+        halfLifeDays = 7).orderBy("user_id").collect()
+    assert(out2(0).getDouble(1) == 15.75)
+  }
+
   test("langIdWithConfidence: margins, script tier, tie and und cases") {
     import graft.ops.TextStats
     val df = Seq(
