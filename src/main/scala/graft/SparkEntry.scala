@@ -662,6 +662,49 @@ object SparkEntry {
         "value", halfLifeDays = 7)
       .orderBy(col("user_id"))
 
+  /** Positional inverted index over the corpus (terms with df ≥ 5):
+    * term, df, tf, and the doc-ordered postings string with 1-based
+    * token positions — the oracle assembles the identical payload with
+    * ordered string_agg.
+    */
+  private def qPostings(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.invertedIndex(
+        s.read.parquet(t(dir, "documents")), "text", "doc_id", minDf = 5)
+      .orderBy(col("term"))
+
+  /** Entity resolution over a deliberately dirtied customer dimension:
+    * every 7th customer gains a clone (key + 1,000,000) whose name has
+    * its last two characters swapped. Blocking on (nation, name minus
+    * the last 2 chars) bounds candidate pairs; Levenshtein ≤ 2 scores
+    * them. The oracle replays block + join + levenshtein relationally.
+    */
+  private def qEr(s: SparkSession, dir: String): DataFrame = {
+    val cust = s.read.parquet(t(dir, "customer"))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val typos = cust.filter(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(
+          expr("substring(c_name, 1, length(c_name) - 2)"),
+          expr("substring(c_name, length(c_name), 1)"),
+          expr("substring(c_name, length(c_name) - 1, 1)")).as("c_name"),
+        col("c_nationkey"))
+    val block = concat(col("c_nationkey").cast("string"), lit(":"),
+      expr("substring(c_name, 1, length(c_name) - 2)"))
+    graft.ops.Linkage.blockedPairs(cust.union(typos), "c_custkey",
+        "c_name", block, maxDist = 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Label-noise sweep: cosine of each embedding to its own label
+    * centroid, negatives flagged. Integer-grain centroid and cosine
+    * terms make the whole computation bit-replayable in the oracle.
+    */
+  private def qEmbedOutlier(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Embeddings.labelOutliers(
+        s.read.parquet(t(dir, "embeddings")), "embedding", "vec_id",
+        "label", threshold = 0.0)
+      .orderBy(col("id"))
+
   /** Language-ID confidence gate: per doc the winning language plus
     * how decisively it won (top vs second stopword score; script-tier
     * rows report the script count), with the CCNet-style confident
@@ -2846,6 +2889,9 @@ object SparkEntry {
     "q_wrs" -> (qWrs _),
     "q_scd2" -> (qScd2 _),
     "q_decay" -> (qDecay _),
+    "q_postings" -> (qPostings _),
+    "q_er" -> (qEr _),
+    "q_embed_outlier" -> (qEmbedOutlier _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
     "q_wet_read" -> (qWetRead _),
@@ -3801,6 +3847,64 @@ object SparkEntry {
         |SELECT user_id, sum(term) / 1e6 AS decayed_value,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // parallel unnest zips term with its 1-based subscript (= Spark's
+    // posexplode + 1)
+    "q_postings" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term,
+        |    generate_subscripts(string_split_regex(lower(trim(text)), '\s+'), 1) AS pos
+        |  FROM documents),
+        |ft AS (SELECT * FROM toks WHERE regexp_matches(term, '^[a-z0-9]+$')),
+        |pd AS (
+        |  SELECT term, doc_id, count(*) AS tf_doc,
+        |    string_agg(pos::VARCHAR, '|' ORDER BY pos) AS plist
+        |  FROM ft GROUP BY term, doc_id)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(tf_doc) AS BIGINT) AS tf,
+        |  string_agg(doc_id || ':' || plist, ';' ORDER BY doc_id) AS postings
+        |FROM pd GROUP BY term HAVING count(*) >= 5 ORDER BY term""".stripMargin,
+    "q_er" ->
+      """WITH typos AS (
+        |  SELECT c_custkey + 1000000 AS c_custkey,
+        |    substr(c_name, 1, length(c_name) - 2)
+        |      || substr(c_name, length(c_name), 1)
+        |      || substr(c_name, length(c_name) - 1, 1) AS c_name,
+        |    c_nationkey
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |dirty AS (
+        |  SELECT c_custkey, c_name, c_nationkey FROM customer
+        |  UNION ALL SELECT * FROM typos),
+        |blk AS (SELECT *, c_nationkey::VARCHAR || ':' ||
+        |    substr(c_name, 1, length(c_name) - 2) AS b FROM dirty)
+        |SELECT a.c_custkey AS id_a, c.c_custkey AS id_b,
+        |  a.c_name AS name_a, c.c_name AS name_b,
+        |  CAST(levenshtein(a.c_name, c.c_name) AS BIGINT) AS dist
+        |FROM blk a JOIN blk c ON a.b = c.b AND a.c_custkey < c.c_custkey
+        |WHERE levenshtein(a.c_name, c.c_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+    // 1e-7-grain centroid, 1e-9-grain cosine terms: bit-replay of the
+    // Spark math (sums are exact BIGINTs, divisions IEEE-identical)
+    "q_embed_outlier" ->
+      """WITH ex AS (
+        |  SELECT vec_id AS id, label, unnest(embedding::DOUBLE[]) AS v,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |cg AS (SELECT label, i, sum(CAST(floor(v * 1e7) AS BIGINT)) AS s7,
+        |    count(*) AS n FROM ex GROUP BY 1, 2),
+        |c AS (SELECT label, i, s7::DOUBLE / n / 1e7 AS cv FROM cg),
+        |j AS (
+        |  SELECT e.id, e.label,
+        |    CAST(floor(e.v * c.cv * 1e9) AS BIGINT) AS d9,
+        |    CAST(floor(e.v * e.v * 1e9) AS BIGINT) AS nv9,
+        |    CAST(floor(c.cv * c.cv * 1e9) AS BIGINT) AS nc9
+        |  FROM ex e JOIN c ON e.label = c.label AND e.i = c.i),
+        |a AS (SELECT id, label, sum(d9) AS sd, sum(nv9) AS sv,
+        |    sum(nc9) AS sc FROM j GROUP BY 1, 2)
+        |SELECT id, label,
+        |  round(sd / sqrt(sv::DOUBLE * sc::DOUBLE), 6) AS cosine,
+        |  sd / sqrt(sv::DOUBLE * sc::DOUBLE) < 0.0 AS is_outlier
+        |FROM a ORDER BY id""".stripMargin,
     // scores + sorted top-2 + every branch (script tier, tie, und)
     "q_lang_conf" ->
       """WITH s AS (

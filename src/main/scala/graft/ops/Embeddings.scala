@@ -114,6 +114,48 @@ object Embeddings {
     df.select(col(idCol), posexplode(proj).as(Seq("k", "value")))
   }
 
+  /** Per-label centroid-cosine outlier scoring: each vector's cosine to
+    * its label's mean vector, plus an `is_outlier` flag below
+    * `threshold` — the mislabeled-example / garbage-embedding sweep
+    * over a labeled corpus (low cosine to your own class centroid is
+    * the standard first-pass label-noise signal).
+    *
+    * Determinism at scale: the centroid is built from 1e-7-grain
+    * integer sums (float→double casts are exact; the BIGINT sum is
+    * partition-order-proof), and the per-vector cosine folds 1e-9-grain
+    * integer terms — so the result is bit-replayable in ANSI SQL and
+    * stable under any repartitioning. Norm products multiply as
+    * doubles (the integer product could overflow int64 at high dims).
+    *
+    * Scale shape: explode to (label, dim, grain) longs with map-side
+    * partial aggregation — the wire carries ~|labels|×dims rows — then
+    * the centroid table broadcasts back onto the exploded scan. No
+    * driver-side math.
+    */
+  def labelOutliers(df: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, threshold: Double): DataFrame = {
+    val ex = df.select(col(idCol).as("id"), col(labelCol).as("label"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "v")))
+    val cent = ex.groupBy(col("label"), col("i"))
+      .agg(sum(floor(col("v") * 1e7).cast("long")).as("s7"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("i"),
+        (col("s7").cast("double") / col("n") / 1e7).as("c"))
+    val terms = ex.join(broadcast(cent), Seq("label", "i"))
+      .select(col("id"), col("label"),
+        floor(col("v") * col("c") * 1e9).cast("long").as("d9"),
+        floor(col("v") * col("v") * 1e9).cast("long").as("nv9"),
+        floor(col("c") * col("c") * 1e9).cast("long").as("nc9"))
+    terms.groupBy(col("id"), col("label"))
+      .agg(sum(col("d9")).as("sd"), sum(col("nv9")).as("sv"),
+        sum(col("nc9")).as("sc"))
+      .select(col("id"), col("label"),
+        round(col("sd") / sqrt(col("sv").cast("double") *
+          col("sc").cast("double")), 6).as("cosine"),
+        (col("sd") / sqrt(col("sv").cast("double") *
+          col("sc").cast("double")) < threshold).as("is_outlier"))
+  }
+
   /** Pure kernel for [[truncateNormalize]]. */
   private[graft] def truncateNormalizeValue(v: Array[Double],
       dims: Int): Array[Double] = {

@@ -178,4 +178,44 @@ object Retrieval {
       .select(col("term"), col("c_pos"), col("c_neg"),
         round(col("w9") / lit(1e9), 6).as("weight"))
   }
+
+  /** Inverted-index build — the IR-side dual of [[bm25TopK]]'s
+    * query-time scan: one row per surviving term with
+    * (df, tf, postings), postings the doc-ordered list
+    * `"doc:pos|pos;doc:pos"` of 1-based token positions (the exact
+    * payload a positional index / phrase-query engine serves). Terms
+    * are `\s+` tokens of the lowercased text restricted to
+    * `[a-z0-9]+` (dropping punctuation fragments keeps both engines'
+    * split semantics aligned and the index vocabulary clean).
+    *
+    * Scale shape: two aggregations — (term, doc) collapses positions
+    * map-side, then (term) assembles the posting list; only (term, doc,
+    * pos) integers shuffle, never text. A term's postings concentrate
+    * on one reducer by design (a posting LIST is per-term state);
+    * `minDf` prunes the hapax tail BEFORE the final assembly would
+    * serialize it, and for stopword-grade terms a production deployment
+    * would shard postings by doc range — the (term, doc)-keyed first
+    * stage already holds at any scale.
+    */
+  def invertedIndex(df: DataFrame, textCol: String, idCol: String,
+      minDf: Int = 1): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+        posexplode(split(lower(trim(col(textCol))), "\\s+"))
+          .as(Seq("pos0", "term")))
+      .filter(col("term").rlike("^[a-z0-9]+$"))
+      .select(col("doc"), col("term"), (col("pos0") + 1).cast("long").as("pos"))
+    val perDoc = toks.groupBy(col("term"), col("doc"))
+      .agg(count(lit(1)).as("tf_doc"),
+        array_join(sort_array(collect_list(col("pos"))), "|").as("plist"))
+    perDoc.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df"),
+        sum(col("tf_doc")).cast("long").as("tf"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("doc"), col("plist")))),
+            e => concat(e.getField("doc").cast("string"), lit(":"),
+              e.getField("plist"))),
+          ";").as("postings"))
+      .filter(col("df") >= minDf)
+  }
 }

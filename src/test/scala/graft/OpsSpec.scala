@@ -2969,6 +2969,55 @@ class OpsSpec extends AnyFunSuite {
     assert(out2(0).getDouble(1) == 15.75)
   }
 
+  test("invertedIndex: positions, df/tf, ordered postings, minDf prune") {
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog. sat"),
+      (3L, "CAT cat")).toDF("doc_id", "text")
+    val out = graft.ops.Retrieval.invertedIndex(df, "text", "doc_id")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out("the") == ((2L, 3L, "1:1|5;2:1")))
+    assert(out("cat") == ((2L, 3L, "1:2;3:1|2"))) // case-folded
+    assert(out("sat") == ((2L, 2L, "1:3;2:3")))
+    assert(!out.contains("dog.")) // punctuation fragment dropped
+    val pruned = graft.ops.Retrieval.invertedIndex(df, "text", "doc_id",
+      minDf = 2).collect().map(_.getString(0)).sorted.toSeq
+    assert(pruned == Seq("cat", "sat", "the"))
+  }
+
+  test("blockedPairs: only in-block pairs, threshold distance, a<b") {
+    val df = Seq(
+      (1L, "smith john", "b1"), (2L, "smith jon", "b1"),
+      (3L, "smith johnny", "b1"), // dist 2 from #1, 3 from #2
+      (4L, "smith john", "b2")) // same name, other block: never paired
+      .toDF("id", "name", "blk")
+    val out = graft.ops.Linkage.blockedPairs(df, "id", "name",
+        col("blk"), maxDist = 2)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(out.toSeq == Seq((1L, 2L, 1L), (1L, 3L, 2L)))
+  }
+
+  test("labelOutliers: cosine to own centroid, flag below threshold") {
+    val df = Seq(
+      (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(1.0f, 0.1f)),
+      (3L, 0, Array(-1.0f, 0.0f)), // opposite: negative cosine
+      (4L, 1, Array(0.0f, 1.0f))).toDF("vec_id", "label", "embedding")
+    val out = graft.ops.Embeddings.labelOutliers(df, "embedding",
+        "vec_id", "label", threshold = 0.0)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+    assert(out(0)._2 > 0.9 && !out(0)._3)
+    assert(out(2)._2 < -0.9 && out(2)._3)
+    assert(math.abs(out(3)._2 - 1.0) < 1e-6 && !out(3)._3)
+    // partition invariance (integer-grain centroid)
+    val rep = graft.ops.Embeddings.labelOutliers(
+        df.repartition(7), "embedding", "vec_id", "label", 0.0)
+      .orderBy("id").collect().map(_.getDouble(2)).toSeq
+    assert(rep == out.map(_._2).toSeq)
+  }
+
   test("langIdWithConfidence: margins, script tier, tie and und cases") {
     import graft.ops.TextStats
     val df = Seq(
