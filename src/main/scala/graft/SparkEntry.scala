@@ -705,6 +705,56 @@ object SparkEntry {
         "label", threshold = 0.0)
       .orderBy(col("id"))
 
+  /** Z-order vs linear layout envelope report on lineitem
+    * (l_partkey × l_suppkey, 11 bits, 16 quadrant buckets): the Morton
+    * key arithmetic and every bucket's per-dimension (min, max)
+    * envelope replay exactly in the oracle — the relational half of
+    * [[graft.ops.Layout.clusterByZorder]]'s pruning claim.
+    */
+  private def qZorder(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Layout.zorderEnvelopeReport(
+        s.read.parquet(t(dir, "lineitem")), "l_partkey", "l_suppkey",
+        bits = 11, nBuckets = 16)
+      .orderBy(col("layout"), col("bucket"))
+
+  /** Bucketed co-located join gate: orders ⋈ customer both written
+    * bucketed on custkey, re-read, sort-merge-joined —
+    * [[graft.ops.Layout.cojoinBucketed]] `require`s the plan has ZERO
+    * shuffle exchanges before any row flows; the per-segment rollup
+    * (integer-cent grain, so the float sum replays) is the oracled
+    * output. Aggregation runs eagerly so the scratch tables can be
+    * dropped before returning.
+    */
+  private def qBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scratch = java.nio.file.Files.createTempDirectory("graft_bkt")
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val st = java.nio.file.Files.list(p)
+        try st.forEach(rm(_)) finally st.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    try {
+      val ord = s.read.parquet(t(dir, "orders"))
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val cust = s.read.parquet(t(dir, "customer"))
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      val joined = graft.ops.Layout.cojoinBucketed(s, ord, cust,
+        "custkey", nBuckets = 8, scratch.toString)
+      val agg = joined.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(floor(col("o_totalprice") * 100).cast("long")) / 100.0)
+            .as("total"))
+      val rows = agg.collect() // |segments| rows — bounded
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      Seq("graft_bkt_l", "graft_bkt_r")
+        .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
+      rows.toSeq.toDF("c_mktsegment", "n_orders", "total")
+        .orderBy(col("c_mktsegment"))
+    } finally rm(scratch)
+  }
+
   /** Language-ID confidence gate: per doc the winning language plus
     * how decisively it won (top vs second stopword score; script-tier
     * rows report the script count), with the CCNet-style confident
@@ -2892,6 +2942,8 @@ object SparkEntry {
     "q_postings" -> (qPostings _),
     "q_er" -> (qEr _),
     "q_embed_outlier" -> (qEmbedOutlier _),
+    "q_zorder" -> (qZorder _),
+    "q_bucket_join" -> (qBucketJoin _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
     "q_wet_read" -> (qWetRead _),
@@ -3905,6 +3957,38 @@ object SparkEntry {
         |  round(sd / sqrt(sv::DOUBLE * sc::DOUBLE), 6) AS cosine,
         |  sd / sqrt(sv::DOUBLE * sc::DOUBLE) < 0.0 AS is_outlier
         |FROM a ORDER BY id""".stripMargin,
+    // the Morton interleave spelled out as shift arithmetic (generated
+    // for 11 bits — must mirror Layout.zorderKey2)
+    "q_zorder" -> {
+      val z = (0 until 11).map(i =>
+        s"(((a >> $i) & 1) << ${2 * i + 1}) | (((b >> $i) & 1) << ${2 * i})")
+        .mkString(" | ")
+      s"""WITH t AS (SELECT CAST(l_partkey AS BIGINT) AS a,
+         |    CAST(l_suppkey AS BIGINT) AS b FROM lineitem),
+         |z AS (SELECT a, b, ($z) AS zv FROM t),
+         |zr AS (
+         |  SELECT 'zorder' AS layout, zv >> 18 AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n_rows,
+         |    min(a) AS min_a, max(a) AS max_a,
+         |    min(b) AS min_b, max(b) AS max_b
+         |  FROM z GROUP BY 2),
+         |lr AS (
+         |  SELECT 'linear' AS layout, a >> 7 AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n_rows,
+         |    min(a), max(a), min(b), max(b)
+         |  FROM t GROUP BY 2)
+         |SELECT layout, CAST(bucket AS BIGINT) AS bucket, n_rows,
+         |  min_a, max_a, min_b, max_b
+         |FROM (SELECT * FROM zr UNION ALL SELECT * FROM lr)
+         |ORDER BY layout, bucket""".stripMargin
+    },
+    // plain relational join — the Spark side's value-add (zero-shuffle
+    // bucketed plan) is require'd structurally inside the query
+    "q_bucket_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // scores + sorted top-2 + every branch (script tier, tie, und)
     "q_lang_conf" ->
       """WITH s AS (

@@ -3018,6 +3018,79 @@ class OpsSpec extends AnyFunSuite {
     assert(rep == out.map(_._2).toSeq)
   }
 
+  test("zorderKey2: exact Morton interleave, envelope report quadrants") {
+    import graft.ops.Layout
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L))
+      .toDF("a", "b")
+    val z = df.select(Layout.zorderKey2(col("a"), col("b"), 3).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // interleave(a=3 (011), b=5 (101)) = a1 b1 a0 b0: bits
+    // z = sum a_i<<(2i+1) | b_i<<2i = (1<<1)|(1<<3) | (1<<0)|(1<<4) = 27
+    assert(z == Seq(0L, 2L, 1L, 3L, 27L))
+    // envelope: 4 buckets over 2-bit dims -> each zorder bucket is one
+    // quadrant (half of each dim); linear buckets span all of b
+    val grid = (for (a <- 0 until 4; b <- 0 until 4) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val rep = Layout.zorderEnvelopeReport(grid, "a", "b", bits = 2,
+        nBuckets = 4)
+      .orderBy("layout", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    val zorder = rep.filter(_._1 == "zorder")
+    assert(zorder.forall(r => r._4 - r._3 == 1 && r._6 - r._5 == 1),
+      s"each zorder bucket must span half of each dim: ${zorder.toSeq}")
+    val linear = rep.filter(_._1 == "linear")
+    assert(linear.forall(r => r._5 == 0 && r._6 == 3),
+      "linear buckets span the whole b domain")
+  }
+
+  test("clusterByZorder: range partitions follow the morton key") {
+    import graft.ops.Layout
+    val grid = (for (a <- 0 until 8; b <- 0 until 8) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val parts = Layout.clusterByZorder(grid, "a", "b", bits = 3,
+        nPartitions = 4)
+      .rdd.mapPartitionsWithIndex { (i, it) =>
+        Iterator.single(i -> it.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+      }.collect().toMap
+    assert(parts.values.map(_.size).sum == 64)
+    // partitions are contiguous, non-overlapping z ranges
+    def zOf(p: (Long, Long)) = (0 until 3).map(i =>
+      (((p._1 >> i) & 1) << (2 * i + 1)) | (((p._2 >> i) & 1) << (2 * i))).sum
+    val ranges = parts.toSeq.sortBy(_._1)
+      .map { case (_, rows) => (rows.map(zOf).min, rows.map(zOf).max) }
+      .filter(_ => true)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2)
+      case _ => ()
+    }
+  }
+
+  test("cojoinBucketed: shuffle-free sort-merge join, correct rows") {
+    import graft.ops.Layout
+    val scratch = java.nio.file.Files.createTempDirectory("graft_bkt_t")
+    try {
+      val l = (0 until 100).map(i => (i.toLong % 10, i.toLong))
+        .toDF("k", "lv")
+      val r = (0 until 10).map(i => (i.toLong, s"n$i")).toDF("k", "rv")
+      val j = Layout.cojoinBucketed(spark, l, r, "k", nBuckets = 4,
+        scratch.toString, "graft_t_l", "graft_t_r")
+      assert(j.count() == 100)
+      assert(j.filter(col("k") === 3L).count() == 10)
+      Seq("graft_t_l", "graft_t_r")
+        .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val st = java.nio.file.Files.list(p)
+          try st.forEach(rm(_)) finally st.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(scratch)
+    }
+  }
+
   test("langIdWithConfidence: margins, script tier, tie and und cases") {
     import graft.ops.TextStats
     val df = Seq(
