@@ -705,6 +705,65 @@ object SparkEntry {
         "label", threshold = 0.0)
       .orderBy(col("id"))
 
+  /** Stream-stream join gate: click→purchase attribution within 30
+    * minutes per user, both sides REAL watermarked streams fed in 4
+    * chronological micro-batches
+    * ([[graft.streaming.StatefulOps.streamStreamJoin]] — range-bounded
+    * state, inner matches emitted as found). The final match set must
+    * equal the batch range join the oracle runs in DuckDB.
+    */
+  private def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // (event_id, user_id, epoch_sec) per side, fed in time order so no
+    // input is ever later than the watermark delay
+    val ev = events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("epoch"), col("event_type"))
+      .orderBy(col("epoch"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("epoch"))
+      .as[(Long, Long, Long)].collect()
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("epoch"))
+      .as[(Long, Long, Long)].collect()
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val msL = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val msR = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    def toDf(ms: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]) =
+      ms.toDF().toDF("event_id", "user_id", "epoch")
+        .withColumn("ts", timestamp_seconds(col("epoch"))).drop("epoch")
+    val joined = graft.streaming.StatefulOps.streamStreamJoin(
+      toDf(msL), toDf(msR), "user_id", "ts", windowSec = 1800L)
+    val qname = "graft_stream_join"
+    s.catalog.dropTempView(qname)
+    val q = joined.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      // time-aligned chunking: both sides advance through the same four
+      // event-time quarters so neither watermark races ahead of the
+      // other side's in-flight rows
+      val cuts = {
+        val all = (clicks ++ purchases).map(_._3)
+        val lo = all.min
+        val hi = all.max + 1
+        (1 to 3).map(i => lo + (hi - lo) * i / 4) :+ (hi + 1)
+      }
+      var prev = Long.MinValue
+      cuts.foreach { cut =>
+        msL.addData(clicks.filter(c => c._3 >= prev && c._3 < cut).toSeq)
+        msR.addData(purchases.filter(p => p._3 >= prev && p._3 < cut).toSeq)
+        q.processAllAvailable()
+        prev = cut
+      }
+      require(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "stream-join gate must process >=3 micro-batches")
+    } finally q.stop()
+    s.table(qname)
+      .select(col("event_id").as("click_id"),
+        col("r_event_id").as("purchase_id"), col("user_id"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   /** Z-order vs linear layout envelope report on lineitem
     * (l_partkey × l_suppkey, 11 bits, 16 quadrant buckets): the Morton
     * key arithmetic and every bucket's per-dimension (min, max)
@@ -2944,6 +3003,7 @@ object SparkEntry {
     "q_embed_outlier" -> (qEmbedOutlier _),
     "q_zorder" -> (qZorder _),
     "q_bucket_join" -> (qBucketJoin _),
+    "q_stream_join" -> (qStreamJoin _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
     "q_wet_read" -> (qWetRead _),
@@ -3982,6 +4042,17 @@ object SparkEntry {
          |FROM (SELECT * FROM zr UNION ALL SELECT * FROM lr)
          |ORDER BY layout, bucket""".stripMargin
     },
+    // the stream-stream join's batch equivalent: a plain range join
+    // (second-granular timestamps to match unix_timestamp's floor)
+    "q_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) // 1000000 AS sec FROM events)
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id
+        |FROM e c JOIN e p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.sec >= c.sec AND p.sec <= c.sec + 1800
+        |ORDER BY click_id, purchase_id""".stripMargin,
     // plain relational join — the Spark side's value-add (zero-shuffle
     // bucketed plan) is require'd structurally inside the query
     "q_bucket_join" ->

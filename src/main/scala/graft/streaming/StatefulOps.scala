@@ -201,4 +201,35 @@ object StatefulOps {
           }
         })
   }
+
+  /** Stream-stream INNER join with an event-time range bound — the
+    * online attribution primitive (every left event paired with the
+    * right-stream events on the same key whose timestamp falls in
+    * `[left.ts, left.ts + windowSec]`). Both sides carry watermarks and
+    * the join condition bounds event time in BOTH directions, which is
+    * exactly what lets Spark evict join state: a buffered left row can
+    * stop waiting once the right watermark passes `l_ts + windowSec`,
+    * and vice versa — state is the last `delay + windowSec` of each
+    * stream per key, not the stream's history. Inner-join matches emit
+    * as they are found (no watermark hold), so the final match SET
+    * equals the batch range join whenever no input arrives later than
+    * `delay` out of order — the q_stream_join gate replays the same
+    * join relationally in DuckDB.
+    *
+    * Right-side columns come back prefixed `r_`; the left keeps its
+    * names (mirrors [[graft.ops.Joins.asofJoin]]'s convention).
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, windowSec: Long,
+      delay: String = "1 hour"): DataFrame = {
+    require(windowSec >= 0, s"streamStreamJoin: bad window $windowSec")
+    val l = left.withWatermark(tsCol, delay)
+    val r = right.columns.foldLeft(right) { (df, c) =>
+      df.withColumnRenamed(c, s"r_$c")
+    }.withWatermark(s"r_$tsCol", delay)
+    l.join(r,
+      col(keyCol) === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(tsCol) &&
+        col(s"r_$tsCol") <= col(tsCol) + expr(s"INTERVAL $windowSec SECONDS"))
+  }
 }

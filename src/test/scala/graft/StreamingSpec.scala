@@ -426,4 +426,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.head.getLong(1) == 3L) // 3 matches
     assert(out.head.getLong(2) == 2L) // ~2 distinct docs
   }
+
+  test("streamStreamJoin: range-bounded matches across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[(Long, Long, Timestamp)]
+    val right = MemoryStream[(Long, Long, Timestamp)]
+    def toDf(ms: MemoryStream[(Long, Long, Timestamp)]) =
+      ms.toDF().toDF("id", "user_id", "ts")
+    val joined = graft.streaming.StatefulOps.streamStreamJoin(
+      toDf(left), toDf(right), "user_id", "ts", windowSec = 600L,
+      delay = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      left.addData((1L, 7L, ts(0)), (2L, 8L, ts(1)))
+      q.processAllAvailable()
+      // match from a LATER micro-batch (state buffered), in-window
+      right.addData((10L, 7L, ts(5)))
+      // out-of-window (> 10 min after left #1): no match
+      right.addData((11L, 7L, ts(12)))
+      // wrong key: no match
+      right.addData((12L, 9L, ts(2)))
+      q.processAllAvailable()
+      // right event BEFORE any left event in its window
+      left.addData((3L, 9L, ts(1)))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out")
+        .select($"id", $"r_id", $"user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // left 3 @10:01 vs right 12 @10:02: matches (arrived earlier,
+      // still buffered — stream order must not matter within the delay)
+      assert(rows == Set((1L, 10L), (3L, 12L)))
+    } finally q.stop()
+  }
 }
