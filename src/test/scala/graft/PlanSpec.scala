@@ -722,6 +722,71 @@ class PlanSpec extends AnyFunSuite {
       readSchema.contains("event_type"), readSchema)
   }
 
+  test("per-group elections shuffle only (id, group, score) projections") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for (df <- Seq(
+        graft.ops.Sampling.topKPerGroup(docs, "doc_id", "source",
+          "n_chars", k = 5),
+        graft.ops.Sampling.weightedSamplePerGroup(docs, "doc_id", "source",
+          "n_chars", k = 5))) {
+      df.collect()
+      val executed = df.queryExecution.executedPlan.toString
+      val exchanges = executed.linesIterator
+        .filter(_.contains("Exchange hashpartitioning")).toSeq
+      // election exchanges carry no text; the payload rejoin keys on id
+      assert(exchanges.nonEmpty, executed)
+      assert(!exchanges.exists(_.contains("text#")), executed)
+      // two-stage: first window partitions by (group, shard)
+      assert(executed.contains("__s"), executed)
+    }
+  }
+
+  test("labelOutliers broadcasts the centroid table, shuffles no vectors") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = graft.ops.Embeddings.labelOutliers(emb, "embedding",
+      "vec_id", "label", 0.0)
+    out.collect()
+    val executed = out.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastHashJoin"), executed)
+    // exchanges carry only grain longs / label / id — never embeddings
+    val exchanges = executed.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!exchanges.exists(_.contains("embedding#")), executed)
+  }
+
+  test("zorder envelope report is scan-local: no window, agg exchanges only") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val rep = graft.ops.Layout.zorderEnvelopeReport(li, "l_partkey",
+      "l_suppkey", bits = 11, nBuckets = 16)
+    val plan = planOf(rep)
+    assert(!plan.contains("Window"), plan) // equal-width keys, no ntile
+    // column pruning: only the two clustered dims are read
+    val readSchemas = plan.linesIterator
+      .filter(_.trim.startsWith("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty &&
+      readSchemas.forall(l => !l.contains("l_orderkey") &&
+        !l.contains("l_extendedprice")), plan)
+  }
+
+  test("invertedIndex: postings text never pre-aggregates — map-side " +
+      "partial on (term, doc), plan has exactly two exchanges") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val idx = graft.ops.Retrieval.invertedIndex(docs, "text", "doc_id",
+      minDf = 2)
+    idx.collect()
+    val full = idx.queryExecution.executedPlan.toString
+    val executed = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+    val exchanges = executed.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size == 2, executed)
+    // the raw document text itself never rides an exchange (terms do —
+    // they are the aggregation key)
+    assert(!exchanges.exists(_.contains("text#")), executed)
+  }
+
   test("clusters frees superseded checkpoint blocks across reruns") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     def run(): Long = {
