@@ -705,6 +705,64 @@ object SparkEntry {
         "label", threshold = 0.0)
       .orderBy(col("id"))
 
+  /** Daily gap-filled resample per user with forward-filled categorical
+    * state — every silent day materializes as an explicit zero row, the
+    * day's latest event_type carries forward. Oracle replays the span
+    * generate_series + IGNORE NULLS window.
+    */
+  private def qResample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.resampleDailyFfill(events(s, dir), "user_id", "ts",
+        "value", "event_type", "event_id")
+      .orderBy(col("user_id"), col("day"))
+
+  /** Hierarchical ROLLUP report (returnflag → linestatus → grand
+    * total) — Catalyst's native grouping-sets expansion, one pass over
+    * the fact table; integer-grain money and integer-valued quantities
+    * keep every level exactly replayable.
+    */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(t(dir, "lineitem"))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(floor(col("l_extendedprice") * 100).cast("long")) / 100.0)
+          .as("revenue"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Event-type pivot matrix: one row per user, one count column per
+    * event type (explicit value list — the scalable form: no
+    * distinct-values pre-pass, stable schema). Oracle = conditional
+    * FILTER aggregation.
+    */
+  private def qPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val piv = events(s, dir).groupBy(col("user_id"))
+      .pivot("event_type", types).agg(count(lit(1)))
+    piv.select(col("user_id") +:
+        types.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+      .orderBy(col("user_id"))
+  }
+
+  /** Incremental view maintenance gate: per-user additive aggregate
+    * state built separately over a base (80%) and a delta (20%) slice,
+    * merged with [[graft.ops.Snapshot.mergeAggStates]] — the oracle
+    * computes the state over the WHOLE corpus in one shot, so the row
+    * hashes pass only if merge(state(base), state(delta)) is EXACTLY
+    * state(base ∪ delta).
+    */
+  private def qAggMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val base = graft.ops.Snapshot.additiveAggState(
+      ev.filter(col("event_id") % 5 =!= 0), "user_id", "value")
+    val delta = graft.ops.Snapshot.additiveAggState(
+      ev.filter(col("event_id") % 5 === 0), "user_id", "value")
+    graft.ops.Snapshot.mergeAggStates(base, delta)
+      .select(col("key"), col("n_rows"),
+        (col("sum6") / 1e6).as("sum_value"), col("min_v"), col("max_v"))
+      .orderBy(col("key"))
+  }
+
   /** Stream-stream join gate: click→purchase attribution within 30
     * minutes per user, both sides REAL watermarked streams fed in 4
     * chronological micro-batches
@@ -3004,6 +3062,10 @@ object SparkEntry {
     "q_zorder" -> (qZorder _),
     "q_bucket_join" -> (qBucketJoin _),
     "q_stream_join" -> (qStreamJoin _),
+    "q_resample" -> (qResample _),
+    "q_rollup" -> (qRollup _),
+    "q_pivot" -> (qPivot _),
+    "q_agg_merge" -> (qAggMerge _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
     "q_wet_read" -> (qWetRead _),
@@ -4042,6 +4104,55 @@ object SparkEntry {
          |FROM (SELECT * FROM zr UNION ALL SELECT * FROM lr)
          |ORDER BY layout, bucket""".stripMargin
     },
+    // per-key day spine + IGNORE NULLS forward fill; the in-day latest
+    // picks by the unique (epoch, event_id) ordinal
+    "q_resample" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    sum(CAST(floor(value * 1e6) AS BIGINT)) AS s6,
+        |    max_by(event_type,
+        |      (epoch_us(ts) // 1000000) * 100000 + event_id) AS day_type
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(min(day), max(day),
+        |      INTERVAL 1 DAY))::DATE AS day
+        |  FROM daily GROUP BY user_id),
+        |j AS (
+        |  SELECT s.user_id, s.day,
+        |    COALESCE(d.n_events, 0) AS n_events,
+        |    COALESCE(d.s6, 0) AS s6, d.day_type
+        |  FROM span s LEFT JOIN daily d USING (user_id, day))
+        |SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events,
+        |  s6 / 1e6 AS sum_value,
+        |  last_value(day_type IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_type
+        |FROM j ORDER BY user_id, day""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) / 100.0
+        |    AS revenue,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+        |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+        |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+        |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // whole-corpus recompute: passes only if the Spark-side base+delta
+    // MERGE is exactly the monoid fold over the union
+    "q_agg_merge" ->
+      """SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_rows,
+        |  sum(CAST(floor(value * 1e6) AS BIGINT)) / 1e6 AS sum_value,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the stream-stream join's batch equivalent: a plain range join
     // (second-granular timestamps to match unix_timestamp's floor)
     "q_stream_join" ->

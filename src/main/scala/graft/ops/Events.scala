@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-sequence analytics over user streams — the funnel primitive
@@ -132,5 +133,48 @@ object Events {
     df.groupBy(col(keyCol))
       .agg((sum(term6) / 1e6).as("decayed_value"),
         count(lit(1)).as("n_events"))
+  }
+
+  /** Daily resample with forward fill: one row per (key, day) over each
+    * key's own [first, last] activity span — the gap-filling step every
+    * time-series feature pipeline needs before windowed models (a
+    * day with no events must exist as an explicit zero row, and
+    * categorical state must carry forward). Output per row:
+    * (key, day, n_events, sum_value, last_type) where `last_type` is
+    * the day's latest `typeCol` (deterministic: latest (ts, tie))
+    * forward-filled across silent days.
+    *
+    * Determinism: `sum_value` accumulates 1e-6-grain integer terms
+    * (partition-order-proof, oracle-replayable); the in-day "latest"
+    * picks by a unique (epoch, tie) ordinal via max_by.
+    *
+    * Scale shape: one aggregation to (key, day) — map-side combine
+    * collapses each day before the wire — then the span explode works
+    * on (key, 2 dates) rows only, and the forward-fill window sorts
+    * (key, day) rows, never raw events. Span length is bounded by the
+    * key's own activity range; a sleeping key costs its span, not the
+    * corpus's.
+    */
+  def resampleDailyFfill(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, typeCol: String, tieCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col(valueCol).cast("double") * 1e6).cast("long")).as("__s6"),
+        max_by(col(typeCol),
+          unix_timestamp(col(tsCol)) * 100000 + col(tieCol)).as("__day_type"))
+    val span = daily.groupBy(col(keyCol))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+      .select(col(keyCol),
+        explode(sequence(col("__d0"), col("__d1"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+    val ffill = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    span.join(daily, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        (coalesce(col("__s6"), lit(0L)) / 1e6).as("sum_value"),
+        last(col("__day_type"), ignoreNulls = true).over(ffill)
+          .as("last_type"))
   }
 }

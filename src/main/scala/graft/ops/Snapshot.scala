@@ -60,4 +60,53 @@ object Snapshot {
           .otherwise(round(col("n_shared").cast("double") / col("n_bench_windows"), 6))
           .as("overlap_frac"))
   }
+
+  /** Additive-aggregate state for one key: every field merges by a
+    * commutative monoid (count/sum add, min/max lattice), which is what
+    * makes the incremental path EXACT, not approximate.
+    */
+  private val aggStateCols = Seq("n_rows", "sum6", "min_v", "max_v")
+
+  /** Build the per-key additive-aggregate state table:
+    * (key, n_rows, sum6, min_v, max_v) with the sum at 1e-6 integer
+    * grain (exact, partition-order-proof). This is the materialized
+    * state an incrementally-maintained rollup keeps per key.
+    */
+  def additiveAggState(df: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(v * 1e6).cast("long")).as("sum6"),
+        min(v).as("min_v"), max(v).as("max_v"))
+  }
+
+  /** Incremental view maintenance: merge a base state table with the
+    * state of a new delta batch — count/sum add, min/max lattice-join —
+    * so refreshing a 100 TB rollup costs one aggregation OVER THE DELTA
+    * plus a key-keyed merge join of two state tables, never a rescan of
+    * the base. `merge(state(base), state(delta)) == state(base ∪ delta)`
+    * EXACTLY (all fields are monoid folds; the q_agg_merge oracle pins
+    * the equality relationally). Both inputs must be
+    * [[additiveAggState]]-shaped.
+    */
+  def mergeAggStates(base: DataFrame, delta: DataFrame): DataFrame = {
+    require(aggStateCols.forall(base.columns.contains) &&
+      aggStateCols.forall(delta.columns.contains),
+      s"mergeAggStates: inputs must have ${aggStateCols.mkString(", ")}")
+    val b = aggStateCols.foldLeft(base) { (df, c) =>
+      df.withColumnRenamed(c, s"b_$c")
+    }
+    val d = aggStateCols.foldLeft(delta) { (df, c) =>
+      df.withColumnRenamed(c, s"d_$c")
+    }
+    b.join(d, Seq("key"), "full_outer")
+      .select(col("key"),
+        (coalesce(col("b_n_rows"), lit(0L)) +
+          coalesce(col("d_n_rows"), lit(0L))).as("n_rows"),
+        (coalesce(col("b_sum6"), lit(0L)) +
+          coalesce(col("d_sum6"), lit(0L))).as("sum6"),
+        least(col("b_min_v"), col("d_min_v")).as("min_v"),
+        greatest(col("b_max_v"), col("d_max_v")).as("max_v"))
+  }
 }

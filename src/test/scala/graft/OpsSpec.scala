@@ -3091,6 +3091,48 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("resampleDailyFfill: gap rows, forward fill, in-day latest") {
+    import java.sql.Timestamp
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val ev = Seq(
+      (1L, ts(1, 9), 10L, 2.5, "a"), (1L, ts(1, 17), 11L, 1.0, "b"),
+      (1L, ts(4, 8), 12L, 4.0, "c"), // 2 silent days in between
+      (2L, ts(2, 1), 13L, 1.5, "x"))
+      .toDF("user_id", "ts", "event_id", "value", "event_type")
+    val out = graft.ops.Events.resampleDailyFfill(ev, "user_id", "ts",
+        "value", "event_type", "event_id")
+      .orderBy("user_id", "day").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        r.getDouble(3), r.getString(4)))
+    assert(out.length == 5) // user 1: days 1-4; user 2: day 2
+    assert(out(0) == ((1L, "2024-01-01", 2L, 3.5, "b"))) // latest-in-day
+    assert(out(1) == ((1L, "2024-01-02", 0L, 0.0, "b"))) // gap, ffilled
+    assert(out(2) == ((1L, "2024-01-03", 0L, 0.0, "b")))
+    assert(out(3) == ((1L, "2024-01-04", 1L, 4.0, "c")))
+    assert(out(4) == ((2L, "2024-01-02", 1L, 1.5, "x")))
+  }
+
+  test("mergeAggStates: merge(base, delta) == state(union), disjoint keys") {
+    import graft.ops.Snapshot
+    val all = Seq((1L, 2.0), (1L, 3.5), (1L, -1.0), (2L, 7.0), (3L, 0.5))
+      .toDF("k", "v")
+    val base = Snapshot.additiveAggState(
+      all.filter(col("v") > 0), "k", "v")
+    val delta = Snapshot.additiveAggState(
+      all.filter(col("v") <= 0), "k", "v") // key 3 only in base side? no:
+    val merged = Snapshot.mergeAggStates(base, delta)
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val full = Snapshot.additiveAggState(all, "k", "v")
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(merged.toSeq == full.toSeq)
+    // keys present on one side only must survive the full-outer merge
+    assert(merged.exists(_._1 == 2L) && merged.exists(_._1 == 3L))
+  }
+
   test("langIdWithConfidence: margins, script tier, tie and und cases") {
     import graft.ops.TextStats
     val df = Seq(
