@@ -155,7 +155,8 @@ object Bench {
       "q_order", "q_embed_trunc", "q_profile", "q_checks", "q_mix_unimax", "q_bloom", "q_decontam_fuzzy", "q_pipeline_dsl", "q_imp_sample", "q_curriculum", "q_salted_join", "q_overlap_join", "q_embed_rp",
       "q_topk", "q_wrs", "q_scd2", "q_decay", "q_postings", "q_er",
       "q_embed_outlier", "q_zorder", "q_bucket_join",
-      "q_resample", "q_rollup", "q_pivot", "q_agg_merge")
+      "q_resample", "q_rollup", "q_pivot", "q_agg_merge",
+      "q_session_window", "q_part_prune", "q_corr")
 
     // The full timed unit for an op query includes clearCache so internal
     // persist() calls can't leak cached inputs into the next round.

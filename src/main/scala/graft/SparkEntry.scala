@@ -763,6 +763,66 @@ object SparkEntry {
       .orderBy(col("key"))
   }
 
+  /** Native `session_window` sessionization (batch form of the
+    * streaming gap-session op): Catalyst's own session merge, oracled
+    * against the classic gaps-and-islands window chain. A new session
+    * starts when the gap is ≥ 30 minutes (session windows are
+    * half-open: an event landing exactly on the previous end starts a
+    * new one); session_end = last event + gap.
+    */
+  private def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Partition-pruned layout gate: documents written `partitionBy(lang)`
+    * to scratch, re-read with a lang predicate — the scan must carry
+    * the predicate as a PartitionFilter (directory pruning: non-en
+    * partitions are never opened), `require`d on the plan before any
+    * row flows. The per-source rollup is the oracled output; eager so
+    * scratch can be deleted.
+    */
+  private def qPartPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scratch = java.nio.file.Files.createTempDirectory("graft_part")
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val st = java.nio.file.Files.list(p)
+        try st.forEach(rm(_)) finally st.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    try {
+      s.read.parquet(t(dir, "documents")).write.mode("overwrite")
+        .partitionBy("lang").parquet(s"$scratch/docs")
+      val pruned = s.read.parquet(s"$scratch/docs")
+        .filter(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val plan = pruned.queryExecution.sparkPlan.toString
+      require(plan.contains("PartitionFilters") &&
+        plan.linesIterator.exists(l =>
+          l.contains("PartitionFilters") && l.contains("lang")),
+        s"lang predicate must prune partitions at the scan:\n$plan")
+      val rows = pruned.collect() // |sources| rows — bounded
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      rows.toSeq.toDF("source", "n_docs", "sum_chars")
+        .orderBy(col("source"))
+    } finally rm(scratch)
+  }
+
+  /** Exact per-group Pearson correlation (quantity vs price per
+    * returnflag) from integer-grain sufficient statistics — unlike
+    * `corr()`, bit-replayable and partition-order-proof.
+    */
+  private def qCorr(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.groupedCorr(s.read.parquet(t(dir, "lineitem")),
+        "l_returnflag", "l_quantity", "l_extendedprice")
+      .orderBy(col("l_returnflag"))
+
   /** Stream-stream join gate: click→purchase attribution within 30
     * minutes per user, both sides REAL watermarked streams fed in 4
     * chronological micro-batches
@@ -3066,6 +3126,9 @@ object SparkEntry {
     "q_rollup" -> (qRollup _),
     "q_pivot" -> (qPivot _),
     "q_agg_merge" -> (qAggMerge _),
+    "q_session_window" -> (qSessionWindow _),
+    "q_part_prune" -> (qPartPrune _),
+    "q_corr" -> (qCorr _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
     "q_wet_read" -> (qWetRead _),
@@ -4104,6 +4167,52 @@ object SparkEntry {
          |FROM (SELECT * FROM zr UNION ALL SELECT * FROM lr)
          |ORDER BY layout, bucket""".stripMargin
     },
+    // gaps-and-islands replay of session_window: break at gap >= 30min
+    // (half-open windows), end = last event + gap
+    "q_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    // the pruning is structural (require'd in-query); the rollup is
+    // the relational contract
+    "q_part_prune" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
+    // five exact integer sufficient statistics, then IEEE closed form
+    "q_corr" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(floor(l_quantity) AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |a AS (SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM t GROUP BY 1),
+        |d AS (SELECT g, n,
+        |    n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS num,
+        |    sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+        |      sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) AS den
+        |  FROM a)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round(CASE WHEN den > 0 THEN num / den END, 6) AS corr
+        |FROM d ORDER BY 1""".stripMargin,
     // per-key day spine + IGNORE NULLS forward fill; the in-day latest
     // picks by the unique (epoch, event_id) ordinal
     "q_resample" ->

@@ -175,4 +175,46 @@ object Profile {
     }
     one.select(explode(array(rows: _*)).as("c")).select(col("c.*"))
   }
+
+  /** Exact per-group Pearson correlation between two numeric columns —
+    * the cross-column profiling signal [[profileColumns]]'s per-column
+    * stats can't see. Rather than Spark's `corr` (a float-accumulating
+    * aggregate whose result depends on partition order), both columns
+    * quantize to caller-supplied integer grains (`xGrain`, `yGrain` —
+    * e.g. 1 for integer-valued doubles, 100 for cents) and the five
+    * sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) accumulate as EXACT
+    * BIGINTs in one aggregation; the closed-form correlation is then a
+    * handful of IEEE double ops on exact integers — bit-replayable in
+    * ANSI SQL and invariant under repartitioning. Null rows (either
+    * side) are excluded, groups with zero variance emit null.
+    *
+    * Scale: one map-side-combined aggregation; the wire carries five
+    * longs + a count per group. Caveat the caller owns: Σx² at grain g
+    * is bounded by n·(g·max|x|)², which must stay under 2^63 — pick the
+    * grain for the column's actual range.
+    */
+  def groupedCorr(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, xGrain: Long = 1L, yGrain: Long = 1L): DataFrame = {
+    val x = floor(col(xCol).cast("double") * xGrain).cast("long")
+    val y = floor(col(yCol).cast("double") * yGrain).cast("long")
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol), x.as("__x"), y.as("__y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("sx"),
+        sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__y")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"))
+      .select(col(groupCol), col("n"), {
+        val num = col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")
+        val den = sqrt(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+          sqrt(col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))
+        // zero variance on either side: correlation undefined -> null
+        // (the when-guard also keeps ANSI mode from raising on /0)
+        round(when(den > 0, num / den), 6).as("corr")
+      })
+  }
 }

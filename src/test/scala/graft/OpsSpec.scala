@@ -3133,6 +3133,25 @@ class OpsSpec extends AnyFunSuite {
     assert(merged.exists(_._1 == 2L) && merged.exists(_._1 == 3L))
   }
 
+  test("groupedCorr: exact signed correlation, zero-variance null") {
+    import graft.ops.Profile
+    val df = Seq(
+      ("up", 1.0, 10.0), ("up", 2.0, 20.0), ("up", 3.0, 30.0),
+      ("dn", 1.0, 5.0), ("dn", 2.0, 3.0), ("dn", 3.0, 1.0),
+      ("flat", 1.0, 7.0), ("flat", 2.0, 7.0))
+      .toDF("g", "x", "y")
+    val out = Profile.groupedCorr(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(out("up") == ((3L, Some(1.0))))
+    assert(out("dn") == ((3L, Some(-1.0))))
+    assert(out("flat")._2.isEmpty) // zero y-variance: null, not NaN crash
+    // partition invariance (exact integer sufficient statistics)
+    val rep = Profile.groupedCorr(df.repartition(5), "g", "x", "y")
+      .collect().map(r => r.getString(0) -> Option(r.get(2))).toMap
+    assert(rep == out.map { case (k, v) => k -> v._2.map(_.asInstanceOf[Any]) })
+  }
+
   test("langIdWithConfidence: margins, script tier, tie and und cases") {
     import graft.ops.TextStats
     val df = Seq(
