@@ -823,6 +823,54 @@ object SparkEntry {
         "l_returnflag", "l_quantity", "l_extendedprice")
       .orderBy(col("l_returnflag"))
 
+  /** TPC-H Q5-shaped star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+    * region, ASIA revenue per nation — declared as five plain joins and
+    * left to Catalyst: join reorder, dimension broadcasts and scan
+    * pruning are the optimizer's job (PlanSpec pins the broadcasts).
+    * Integer-cent revenue grain keeps the float sum replayable.
+    */
+  private def qStar(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(t(dir, "lineitem"))
+      .join(s.read.parquet(t(dir, "orders")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(s.read.parquet(t(dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(s.read.parquet(t(dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(s.read.parquet(t(dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100).cast("long")) / 100.0).as("revenue"))
+      .orderBy(col("n_name"))
+
+  /** Per-source percent-rank length normalization — the
+    * rank-normalized feature CCNet-style curricula feed on (a raw
+    * length means nothing across domains; its in-domain percentile
+    * does). Ties share a rank in both engines by definition.
+    */
+  private def qRankNorm(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars").asc)
+    s.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(percent_rank().over(w), 6).as("pr"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Order-independent per-source content checksum
+    * ([[graft.ops.Snapshot.contentChecksum]]): the migration/copy
+    * validation primitive — multiset-equal content gives equal sums
+    * under ANY partitioning, which the oracle's unordered SQL sum
+    * certifies.
+    */
+  private def qChecksum(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Snapshot.contentChecksum(
+        s.read.parquet(t(dir, "documents")), "text", "source")
+      .orderBy(col("source"))
+
   /** Stream-stream join gate: click→purchase attribution within 30
     * minutes per user, both sides REAL watermarked streams fed in 4
     * chronological micro-batches
@@ -3129,6 +3177,9 @@ object SparkEntry {
     "q_session_window" -> (qSessionWindow _),
     "q_part_prune" -> (qPartPrune _),
     "q_corr" -> (qCorr _),
+    "q_star" -> (qStar _),
+    "q_rank_norm" -> (qRankNorm _),
+    "q_checksum" -> (qChecksum _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
     "q_wet_read" -> (qWetRead _),
@@ -4167,6 +4218,26 @@ object SparkEntry {
          |FROM (SELECT * FROM zr UNION ALL SELECT * FROM lr)
          |ORDER BY layout, bucket""".stripMargin
     },
+    "q_star" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
+        |  sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) / 100.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_rank_norm" ->
+      """SELECT doc_id, source, n_chars,
+        |  round(percent_rank() OVER (PARTITION BY source
+        |    ORDER BY n_chars ASC), 6) AS pr
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_checksum" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS checksum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // gaps-and-islands replay of session_window: break at gap >= 30min
     // (half-open windows), end = last event + gap
     "q_session_window" ->

@@ -61,6 +61,23 @@ object Snapshot {
           .as("overlap_frac"))
   }
 
+  /** Order-independent per-group content checksum: count + the exact
+    * BIGINT sum of 32-bit md5 prefixes — equal iff the grouped content
+    * MULTISETS are equal (up to the 32-bit collision bound), no matter
+    * how either side was partitioned or ordered. The cheap
+    * anti-entropy primitive for validating a 100 TB copy/migration:
+    * one scan-local projection + one tiny aggregation per side, compare
+    * |groups| rows. (A sum of 2^32-bounded terms needs ~2^31 rows per
+    * group to overflow int64 — far past any per-group corpus here; at
+    * that scale switch the prefix to 6 hex chars.)
+    */
+  def contentChecksum(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(conv(substring(md5(col(textCol)), 1, 8), 16, 10).cast("long"))
+          .as("checksum"))
+
   /** Additive-aggregate state for one key: every field merges by a
     * commutative monoid (count/sum add, min/max lattice), which is what
     * makes the incremental path EXACT, not approximate.

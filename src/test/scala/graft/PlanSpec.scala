@@ -787,6 +787,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!exchanges.exists(_.contains("text#")), executed)
   }
 
+  test("star join broadcasts every dimension; fact table never shuffles " +
+      "for the joins") {
+    val df = SparkEntry.queries("q_star")(spark, sf)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val executed = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+    // all four dimension joins resolve as broadcasts
+    assert(executed.linesIterator.count(_.contains("BroadcastHashJoin")) == 4,
+      executed)
+    assert(!executed.contains("SortMergeJoin"), executed)
+    // the only hash exchange is the final rollup on n_name — the fact
+    // scan itself never re-partitions for a join
+    val exchanges = executed.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(_.contains("n_name")), executed)
+  }
+
   test("clusters frees superseded checkpoint blocks across reruns") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     def run(): Long = {
