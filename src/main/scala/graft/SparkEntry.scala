@@ -823,6 +823,19 @@ object SparkEntry {
         "l_returnflag", "l_quantity", "l_extendedprice")
       .orderBy(col("l_returnflag"))
 
+  /** CDC read-side compaction — "latest state per key" — expressed as
+    * the k=1 case of the sharded top-k election (score = epoch seconds,
+    * ties by ascending event_id like the oracle's row_number): the
+    * upsert-log materialization every merge-on-read table needs.
+    */
+  private def qLatest(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.topKPerGroup(
+        events(s, dir).withColumn("epoch", unix_timestamp(col("ts"))),
+        "event_id", "user_id", "epoch", k = 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("epoch"))
+      .orderBy(col("user_id"))
+
   /** TPC-H Q5-shaped star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
     * region, ASIA revenue per nation — declared as five plain joins and
     * left to Catalyst: join reorder, dimension broadcasts and scan
@@ -3180,6 +3193,7 @@ object SparkEntry {
     "q_star" -> (qStar _),
     "q_rank_norm" -> (qRankNorm _),
     "q_checksum" -> (qChecksum _),
+    "q_latest" -> (qLatest _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
     "q_wet_read" -> (qWetRead _),
@@ -4238,6 +4252,14 @@ object SparkEntry {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
         |  sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS checksum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_latest" ->
+      """SELECT user_id, event_id, event_type, epoch FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) // 1000000 AS epoch,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) // 1000000 DESC, event_id ASC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // gaps-and-islands replay of session_window: break at gap >= 30min
     // (half-open windows), end = last event + gap
     "q_session_window" ->

@@ -34,6 +34,24 @@ object Layout {
     }
   }
 
+  /** N-dimensional Morton interleave: bit i of column j lands at
+    * position `i * n + (n - 1 - j)` (round-robin, first column most
+    * significant within each round — the 2-column case reduces to
+    * [[zorderKey2]]). Total bits `cols.length * bits` must fit in a
+    * long.
+    */
+  def zorderKey(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.length
+    require(n >= 2, "zorderKey: need at least 2 columns")
+    require(bits >= 1 && n * bits <= 63, s"zorderKey: $n cols x $bits bits")
+    val terms = for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield shiftleft(
+      shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * n + (n - 1 - j))
+    terms.foldLeft(lit(0L))((acc, t) => acc.bitwiseOR(t))
+  }
+
   /** Cluster rows for writing: range-partition by the Z-order key of
     * (aCol, bCol) so each output file's (min, max) envelope covers a
     * small rectangle of BOTH dimensions — point/range predicates on

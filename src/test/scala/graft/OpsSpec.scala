@@ -3044,6 +3044,21 @@ class OpsSpec extends AnyFunSuite {
       "linear buckets span the whole b domain")
   }
 
+  test("zorderKey N-dim: 2-col case == zorderKey2, 3-col round-robin") {
+    import graft.ops.Layout
+    val df = Seq((3L, 5L, 6L)).toDF("a", "b", "c")
+    val two = df.select(
+      Layout.zorderKey(Seq(col("a"), col("b")), 3).as("zn"),
+      Layout.zorderKey2(col("a"), col("b"), 3).as("z2")).head()
+    assert(two.getLong(0) == two.getLong(1))
+    // 3 cols x 2 bits: round i holds bits (a_i b_i c_i) at 3i+2,3i+1,3i
+    // a=11b, b=01b, c=10b -> round0: a0=1,b0=1,c0=0 -> 110b at bits 2..0
+    // round1: a1=1,b1=0,c1=1 -> 101b at bits 5..3 => 101110b = 46
+    val three = df.select(
+      Layout.zorderKey(Seq(col("a"), col("b"), col("c")), 2)).head().getLong(0)
+    assert(three == 46L)
+  }
+
   test("clusterByZorder: range partitions follow the morton key") {
     import graft.ops.Layout
     val grid = (for (a <- 0 until 8; b <- 0 until 8) yield (a.toLong, b.toLong))
