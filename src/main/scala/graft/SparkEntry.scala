@@ -695,6 +695,32 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The ER pipeline re-scored with the codegen'd Jaro-Winkler kernel
+    * ([[graft.spark.JaroWinklerExpression]] — Spark has no native JW):
+    * same dirtied dimension and blocking as [[qEr]], threshold 0.985
+    * separates transposition clones (≈0.98889) from mere consecutive-id
+    * neighbors (≤0.97778). Every similarity value is oracled against
+    * DuckDB's NATIVE `jaro_winkler_similarity` — an independent
+    * implementation, not a replay of ours.
+    */
+  private def qErJw(s: SparkSession, dir: String): DataFrame = {
+    val cust = s.read.parquet(t(dir, "customer"))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val typos = cust.filter(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(
+          expr("substring(c_name, 1, length(c_name) - 2)"),
+          expr("substring(c_name, length(c_name), 1)"),
+          expr("substring(c_name, length(c_name) - 1, 1)")).as("c_name"),
+        col("c_nationkey"))
+    val block = concat(col("c_nationkey").cast("string"), lit(":"),
+      expr("substring(c_name, 1, length(c_name) - 2)"))
+    graft.ops.Linkage.blockedPairsJw(cust.union(typos), "c_custkey",
+        "c_name", block, minSim = 0.985)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Label-noise sweep: cosine of each embedding to its own label
     * centroid, negatives flagged. Integer-grain centroid and cosine
     * terms make the whole computation bit-replayable in the oracle.
@@ -3194,6 +3220,7 @@ object SparkEntry {
     "q_rank_norm" -> (qRankNorm _),
     "q_checksum" -> (qChecksum _),
     "q_latest" -> (qLatest _),
+    "q_er_jw" -> (qErJw _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
     "q_wet_read" -> (qWetRead _),
@@ -4185,6 +4212,26 @@ object SparkEntry {
         |FROM blk a JOIN blk c ON a.b = c.b AND a.c_custkey < c.c_custkey
         |WHERE levenshtein(a.c_name, c.c_name) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+    // DuckDB's NATIVE jaro_winkler_similarity as an independent oracle
+    // for our codegen'd kernel — not a replay
+    "q_er_jw" ->
+      """WITH typos AS (
+        |  SELECT c_custkey + 1000000 AS c_custkey,
+        |    substr(c_name, 1, length(c_name) - 2)
+        |      || substr(c_name, length(c_name), 1)
+        |      || substr(c_name, length(c_name) - 1, 1) AS c_name,
+        |    c_nationkey
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |dirty AS (
+        |  SELECT c_custkey, c_name, c_nationkey FROM customer
+        |  UNION ALL SELECT * FROM typos),
+        |blk AS (SELECT *, c_nationkey::VARCHAR || ':' ||
+        |    substr(c_name, 1, length(c_name) - 2) AS b FROM dirty)
+        |SELECT a.c_custkey AS id_a, c.c_custkey AS id_b,
+        |  round(jaro_winkler_similarity(a.c_name, c.c_name), 6) AS sim
+        |FROM blk a JOIN blk c ON a.b = c.b AND a.c_custkey < c.c_custkey
+        |WHERE jaro_winkler_similarity(a.c_name, c.c_name) >= 0.985
+        |ORDER BY id_a, id_b""".stripMargin,
     // 1e-7-grain centroid, 1e-9-grain cosine terms: bit-replay of the
     // Spark math (sums are exact BIGINTs, divisions IEEE-identical)
     "q_embed_outlier" ->
@@ -4313,8 +4360,8 @@ object SparkEntry {
         |  SELECT user_id, CAST(ts AS DATE) AS day,
         |    CAST(count(*) AS BIGINT) AS n_events,
         |    sum(CAST(floor(value * 1e6) AS BIGINT)) AS s6,
-        |    max_by(event_type,
-        |      (epoch_us(ts) // 1000000) * 100000 + event_id) AS day_type
+        |    max(struct_pack(e := epoch_us(ts) // 1000000, t := event_id,
+        |      v := event_type)).v AS day_type
         |  FROM events GROUP BY 1, 2),
         |span AS (
         |  SELECT user_id,

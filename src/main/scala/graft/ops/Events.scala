@@ -146,7 +146,8 @@ object Events {
     *
     * Determinism: `sum_value` accumulates 1e-6-grain integer terms
     * (partition-order-proof, oracle-replayable); the in-day "latest"
-    * picks by a unique (epoch, tie) ordinal via max_by.
+    * picks by lexicographic struct max over the unique (epoch, tie)
+    * pair — no packed ordinal, so no overflow at any id scale.
     *
     * Scale shape: one aggregation to (key, day) — map-side combine
     * collapses each day before the wire — then the span explode works
@@ -160,8 +161,10 @@ object Events {
     val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("n_events"),
         sum(floor(col(valueCol).cast("double") * 1e6).cast("long")).as("__s6"),
-        max_by(col(typeCol),
-          unix_timestamp(col(tsCol)) * 100000 + col(tieCol)).as("__day_type"))
+        // lexicographic struct max: the (epoch, tie)-latest row's type,
+        // with no packed-ordinal overflow at any id scale
+        max(struct(unix_timestamp(col(tsCol)).as("e"), col(tieCol).as("t"),
+          col(typeCol).as("v"))).getField("v").as("__day_type"))
     val span = daily.groupBy(col(keyCol))
       .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
       .select(col(keyCol),

@@ -164,6 +164,15 @@ object GraftExtensions {
       FixMojibakeExpression(children.head)
     })
 
+  val jaroWinklerFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinklerExpression].getName, "graft_jaro_winkler",
+      "graft_jaro_winkler(a, b) - Jaro-Winkler name similarity (prefix-boosted, window-matched)"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_jaro_winkler expects (a, b)")
+      JaroWinklerExpression(children.head, children(1))
+    })
+
   val langIdFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_lang_id"),
     new ExpressionInfo(classOf[LangIdExpression].getName, "graft_lang_id",
@@ -265,6 +274,7 @@ object GraftExtensions {
       shingleHashesFunction, repetitionCountsFunction,
       quantizeInt8Function, int8CosineFunction, pslDomainFunction,
       normalizeFunction, fixMojibakeFunction, langIdFunction,
+      jaroWinklerFunction,
       cdcChunksFunction, windowHashesFunction, cosineFunction,
       compressionRatioFunction, ngramRepetitionFunction,
       truncateNormFunction)

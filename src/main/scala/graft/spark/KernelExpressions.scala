@@ -168,6 +168,29 @@ private[spark] object KernelUtil {
   * the SAME left-to-right order so results stay bit-identical to the
   * SQL formulation (and to the DuckDB oracles).
   */
+/** Jaro-Winkler similarity (`graft_jaro_winkler`) — Spark ships
+  * Levenshtein but no Jaro-Winkler; see
+  * [[graft.ops.Linkage.jaroWinklerValue]] (pinned against DuckDB's
+  * native `jaro_winkler_similarity` by the q_er_jw oracle). Null
+  * input → null; codegen'd direct kernel call.
+  */
+final case class JaroWinklerExpression(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaro_winkler"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerExpression =
+    copy(left = newLeft, right = newRight)
+  def kernel(a: UTF8String, b: UTF8String): Double =
+    graft.ops.Linkage.jaroWinklerValue(a.toString, b.toString)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    kernel(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("jwExpr", this, classOf[JaroWinklerExpression].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$self.kernel($a, $b)")
+  }
+}
+
 final case class CosineExpression(left: Expression, right: Expression)
   extends BinaryExpression {
   override def dataType: DataType = DoubleType

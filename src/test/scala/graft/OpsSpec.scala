@@ -2999,6 +2999,31 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L, 1L), (1L, 3L, 2L)))
   }
 
+  test("jaroWinklerValue: published worked examples + edge cases") {
+    import graft.ops.Linkage.jaroWinklerValue
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    assert(close(jaroWinklerValue("martha", "marhta"), 0.9611111111111111))
+    assert(close(jaroWinklerValue("dixon", "dicksonx"), 0.8133333333333332))
+    // no boost when jaro <= 0.7 (CRATE/TRACE has prefix 0 anyway) and
+    // when there is no common prefix
+    assert(close(jaroWinklerValue("CRATE", "TRACE"), 0.7333333333333334))
+    assert(close(jaroWinklerValue("jellyfish", "smellyfish"),
+      0.8962962962962964))
+    // boost prefix caps at 4
+    assert(close(jaroWinklerValue("abcd", "abcd!!!!!!!!!!!!!!!!!"),
+      0.8380952380952381))
+    // either-empty and zero-match conventions (DuckDB parity)
+    assert(jaroWinklerValue("", "") == 0.0)
+    assert(jaroWinklerValue("", "abc") == 0.0)
+    assert(jaroWinklerValue("ab", "ba") == 0.0) // window 0: no matches
+    assert(jaroWinklerValue("abc", "abc") == 1.0)
+    // SQL surface registers the codegen'd expression
+    graft.spark.GraftExtensions.install(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_jaro_winkler('martha', 'marhta')").head().getDouble(0)
+    assert(close(viaSql, 0.9611111111111111))
+  }
+
   test("labelOutliers: cosine to own centroid, flag below threshold") {
     val df = Seq(
       (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(1.0f, 0.1f)),
