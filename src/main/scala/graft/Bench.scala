@@ -157,7 +157,8 @@ object Bench {
       "q_embed_outlier", "q_zorder", "q_bucket_join",
       "q_resample", "q_rollup", "q_pivot", "q_agg_merge",
       "q_session_window", "q_part_prune", "q_corr",
-      "q_star", "q_rank_norm", "q_checksum", "q_latest", "q_er_jw")
+      "q_star", "q_rank_norm", "q_checksum", "q_latest", "q_er_jw",
+      "q_ols", "q_top_terms", "q_pack_plan")
 
     // The full timed unit for an op query includes clearCache so internal
     // persist() calls can't leak cached inputs into the next round.

@@ -862,6 +862,44 @@ object SparkEntry {
         col("epoch"))
       .orderBy(col("user_id"))
 
+  /** Exact per-group OLS trend (price-per-quantity slope by
+    * returnflag) from the same integer sufficient statistics as
+    * [[qCorr]] — fit of the floor-quantized values, documented O(1/g)
+    * from the raw fit.
+    */
+  private def qOls(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.groupedOls(s.read.parquet(t(dir, "lineitem")),
+        "l_returnflag", "l_quantity", "l_extendedprice")
+      .orderBy(col("l_returnflag"))
+
+  /** Top-5 terms per source — the trending-terms rollup as a
+    * composition: token counts feed the same sharded top-k election as
+    * q_topk (composite `source:term` id keeps the rejoin exact; ties
+    * break by term within a source).
+    */
+  private def qTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val counts = s.read.parquet(t(dir, "documents"))
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .filter(col("term").rlike("^[a-z0-9]+$"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("tid", concat(col("source"), lit(":"), col("term")))
+    graft.ops.Sampling.topKPerGroup(counts, "tid", "source", "cnt", k = 5)
+      .select(col("source"), col("term"), col("cnt"),
+        col("rank_in_group"))
+      .orderBy(col("source"), col("rank_in_group"))
+  }
+
+  /** Packing decision table: pad-per-doc vs packed cost at three
+    * candidate sequence lengths ([[graft.ops.Packing.packingPlan]]) —
+    * exact integer chunk math, one corpus scan.
+    */
+  private def qPackPlan(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packingPlan(
+        s.read.parquet(t(dir, "documents")), "text", Seq(64, 256, 1024))
+      .orderBy(col("seq_len"))
+
   /** TPC-H Q5-shaped star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
     * region, ASIA revenue per nation — declared as five plain joins and
     * left to Catalyst: join reorder, dimension broadcasts and scan
@@ -3221,6 +3259,9 @@ object SparkEntry {
     "q_checksum" -> (qChecksum _),
     "q_latest" -> (qLatest _),
     "q_er_jw" -> (qErJw _),
+    "q_ols" -> (qOls _),
+    "q_top_terms" -> (qTopTerms _),
+    "q_pack_plan" -> (qPackPlan _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
     "q_wet_read" -> (qWetRead _),
@@ -4299,6 +4340,58 @@ object SparkEntry {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
         |  sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS checksum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // same sufficient statistics as q_corr minus syy; slope/intercept
+    // closed form mirrored operation-for-operation (grains are 1, so
+    // the Spark side's de-quantize factors are exact *1.0 identities)
+    "q_ols" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(floor(l_quantity) AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |a AS (SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM t GROUP BY 1),
+        |d AS (SELECT g, n,
+        |    n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS num,
+        |    n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS den,
+        |    sx::DOUBLE AS sxd, sy::DOUBLE AS syd
+        |  FROM a)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round(CASE WHEN den > 0 THEN num / den END, 6) AS slope,
+        |  round(CASE WHEN den > 0
+        |    THEN (syd - num / den * sxd) / n END, 6) AS intercept
+        |FROM d ORDER BY 1""".stripMargin,
+    "q_top_terms" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks WHERE regexp_matches(term, '^[a-z0-9]+$')
+        |  GROUP BY 1, 2)
+        |SELECT source, term, cnt, rk AS rank_in_group FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY cnt DESC, term ASC) AS BIGINT) AS rk FROM c)
+        |WHERE rk <= 5 ORDER BY source, rank_in_group""".stripMargin,
+    // exact integer ceil-division chunk math per candidate length
+    "q_pack_plan" ->
+      """WITH tt AS (
+        |  SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |base AS (SELECT count(*) AS n_docs, sum(t) AS total FROM tt),
+        |lens AS (SELECT unnest([64, 256, 1024]) AS l),
+        |chunks AS (
+        |  SELECT l, sum((t + l - 1) // l) AS ch FROM tt, lens GROUP BY l)
+        |SELECT CAST(c.l AS BIGINT) AS seq_len,
+        |  CAST(b.n_docs AS BIGINT) AS n_docs,
+        |  CAST(b.total AS BIGINT) AS total_tokens,
+        |  CAST(c.ch * c.l AS BIGINT) AS padded_slots,
+        |  round(1.0 - b.total / (c.ch * c.l), 6) AS padded_waste_frac,
+        |  CAST(((b.total + c.l - 1) // c.l) * c.l AS BIGINT) AS packed_slots,
+        |  round(1.0 - b.total / (((b.total + c.l - 1) // c.l) * c.l), 6)
+        |    AS packed_waste_frac
+        |FROM chunks c, base b ORDER BY seq_len""".stripMargin,
     "q_latest" ->
       """SELECT user_id, event_id, event_type, epoch FROM (
         |  SELECT user_id, event_id, event_type,

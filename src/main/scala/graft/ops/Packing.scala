@@ -116,4 +116,40 @@ object Packing {
           array_sort(collect_list(struct(col("__gstart"), col("__frag")))),
           s => s.getField("__frag")))).as("seq_text"))
   }
+
+  /** Packing decision-support: for each candidate sequence length,
+    * what the corpus costs under (a) PAD-PER-DOC — every doc split to
+    * ⌈t/L⌉ sequences, last one padded (the naive loader) — vs
+    * (b) PACKED — documents concatenated, one global ⌈Σt/L⌉ (what
+    * [[packSequences]] materializes). `*_waste_frac` is the padding
+    * fraction each regime burns; the gap IS the packing argument, and
+    * it shifts with L, which is why this is a per-length report and
+    * not a constant. One aggregation computes every length's exact
+    * integer chunk counts in one corpus scan (blank docs excluded);
+    * the per-length rows explode from the single aggregate row.
+    */
+  def packingPlan(df: DataFrame, textCol: String,
+      seqLens: Seq[Int]): DataFrame = {
+    require(seqLens.nonEmpty && seqLens.forall(_ >= 1),
+      s"packingPlan: bad lengths $seqLens")
+    val base = df
+      .select(graft.ops.TextStats.wsTokens(col(textCol)).cast("long").as("t"))
+      .filter(col("t") > 0)
+    val aggs = Seq(count(lit(1)).as("n_docs"), sum(col("t")).as("total")) ++
+      seqLens.map(l =>
+        sum(floor((col("t") + lit(l - 1)) / lit(l)).cast("long"))
+          .as(s"__chunks_$l"))
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val rows = seqLens.map { l =>
+      val padded = col(s"__chunks_$l") * l
+      val packed = floor((col("total") + lit(l - 1)) / lit(l)).cast("long") * l
+      struct(lit(l).cast("long").as("seq_len"), col("n_docs").as("n_docs"),
+        col("total").as("total_tokens"),
+        padded.as("padded_slots"),
+        round(lit(1.0) - col("total") / padded, 6).as("padded_waste_frac"),
+        packed.as("packed_slots"),
+        round(lit(1.0) - col("total") / packed, 6).as("packed_waste_frac"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
 }

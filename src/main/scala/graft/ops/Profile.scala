@@ -217,4 +217,45 @@ object Profile {
         round(when(den > 0, num / den), 6).as("corr")
       })
   }
+
+  /** Exact per-group simple linear regression (OLS y = a·x + b) from
+    * the same integer-grain sufficient statistics as [[groupedCorr]] —
+    * the per-domain trend fit (tokens vs quality, price vs quantity)
+    * without `corr`/`avg` float-order nondeterminism. Output per
+    * group: (n, slope, intercept), null when x has zero variance.
+    * Grains as in [[groupedCorr]] (caller owns the range bound); the
+    * fit is of the QUANTIZED values — at grain g the coefficients
+    * differ from the unquantized fit by O(1/g).
+    */
+  def groupedOls(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, xGrain: Long = 1L, yGrain: Long = 1L): DataFrame = {
+    val x = floor(col(xCol).cast("double") * xGrain).cast("long")
+    val y = floor(col(yCol).cast("double") * yGrain).cast("long")
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol), x.as("__x"), y.as("__y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("sx"),
+        sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__y")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"))
+      .select(col(groupCol), col("n"), {
+        val n = col("n").cast("double")
+        val sx = col("sx").cast("double")
+        val sy = col("sy").cast("double")
+        val den = n * col("sxx").cast("double") - sx * sx
+        val slope = (n * col("sxy").cast("double") - sx * sy) / den
+        // de-quantize: x was scaled by xGrain, y by yGrain
+        round(when(den > 0, slope * (xGrain.toDouble / yGrain)), 6)
+          .as("slope")
+      }, {
+        val n = col("n").cast("double")
+        val sx = col("sx").cast("double")
+        val sy = col("sy").cast("double")
+        val den = n * col("sxx").cast("double") - sx * sx
+        val slope = (n * col("sxy").cast("double") - sx * sy) / den
+        round(when(den > 0,
+          (sy / yGrain - slope * (xGrain.toDouble / yGrain) * (sx / xGrain)) / n), 6)
+          .as("intercept")
+      })
+  }
 }

@@ -3192,6 +3192,35 @@ class OpsSpec extends AnyFunSuite {
     assert(rep == out.map { case (k, v) => k -> v._2.map(_.asInstanceOf[Any]) })
   }
 
+  test("groupedOls: exact line recovery, grain de-quantization") {
+    import graft.ops.Profile
+    // y = 3x + 2 exactly
+    val df = (1 to 5).map(i => ("g", i.toDouble, 3.0 * i + 2))
+      .toDF("g", "x", "y")
+    val r = Profile.groupedOls(df, "g", "x", "y").head()
+    assert(r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 2.0)
+    // y in cents, x unscaled: slope de-quantizes by gx/gy
+    val cents = (1 to 5).map(i => ("g", i.toDouble, (3.0 * i + 2) / 100))
+      .toDF("g", "x", "y")
+    val rc = Profile.groupedOls(cents, "g", "x", "y", xGrain = 1, yGrain = 100)
+    assert(rc.head().getDouble(2) == 0.03 && rc.head().getDouble(3) == 0.02)
+    // zero x-variance: null fit
+    val flat = Seq(("g", 2.0, 1.0), ("g", 2.0, 9.0)).toDF("g", "x", "y")
+    assert(Profile.groupedOls(flat, "g", "x", "y").head().isNullAt(2))
+  }
+
+  test("packingPlan: exact chunk math, packed beats padded") {
+    val df = Seq("a b c d e", "a b c", "", "a").toDF("text")
+    val out = graft.ops.Packing.packingPlan(df, "text", Seq(4))
+      .head()
+    // docs: 5, 3, (blank dropped), 1 tokens; L=4:
+    // chunks: 2 + 1 + 1 = 4 -> padded 16; total 9 -> packed ceil(9/4)*4=12
+    assert(out.getLong(1) == 3L && out.getLong(2) == 9L)
+    assert(out.getLong(3) == 16L && out.getLong(5) == 12L)
+    assert(out.getDouble(4) > out.getDouble(6))
+  }
+
   test("langIdWithConfidence: margins, script tier, tie and und cases") {
     import graft.ops.TextStats
     val df = Seq(
