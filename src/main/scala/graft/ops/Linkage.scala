@@ -120,8 +120,21 @@ object Linkage {
       col("__blk"))
     val b = base.select(col("__id").as("id_b"), col("__name").as("name_b"),
       col("__blk"))
-    a.join(b, Seq("__blk"))
+    val joined = a.join(b, Seq("__blk"))
       .filter(col("id_a") < col("id_b"))
+    // conservative length-ratio guard (see JaroWinklerPrefilterRule's
+    // derivation: jw >= c forces lmin/lmax >= 3(c-0.4)/0.6 - 2) — the
+    // kernel never runs for pairs lengths alone disqualify. The
+    // optimizer rule injects the same guard for ad-hoc SQL filters;
+    // here the operator carries it itself so no extension is needed.
+    val ratio = 3 * ((minSim - 0.4) / 0.6) - 2
+    val guarded = if (ratio > 0)
+      joined.filter(
+        least(length(col("name_a")), length(col("name_b"))).cast("double") >=
+          lit(ratio) * greatest(length(col("name_a")), length(col("name_b")))
+            .cast("double"))
+    else joined
+    guarded
       .withColumn("sim", jaroWinkler(col("name_a"), col("name_b")))
       .filter(col("sim") >= minSim)
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),

@@ -22,8 +22,10 @@ import org.apache.spark.sql.types.{DataType, StringType}
   * inline dictionaries SQL users write, not 80k-entry ones.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.allFunctions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => JaroWinklerPrefilterRule)
+  }
 }
 
 object GraftExtensions {
@@ -280,11 +282,17 @@ object GraftExtensions {
       truncateNormFunction)
 
   /** Register into an already-running session. */
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     allFunctions.foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    // already-running sessions get the optimizer rule via the
+    // experimental hook (idempotent — mirrors apply()'s injection)
+    if (!spark.experimental.extraOptimizations.contains(JaroWinklerPrefilterRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ JaroWinklerPrefilterRule
+  }
 
   private[spark] def compiledFor(json: String): CompiledDictionary = compileCached(json)
 }

@@ -3024,6 +3024,26 @@ class OpsSpec extends AnyFunSuite {
     assert(close(viaSql, 0.9611111111111111))
   }
 
+  test("JW length bound is conservative: jw >= c implies the guard") {
+    import graft.ops.Linkage.jaroWinklerValue
+    val rnd = new scala.util.Random(11)
+    def randStr() = (0 until 1 + rnd.nextInt(20))
+      .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    for (c <- Seq(0.9, 0.95, 0.985)) {
+      val r = 3 * ((c - 0.4) / 0.6) - 2
+      assert(r > 0)
+      for (_ <- 0 until 2000) {
+        val (a, b) = (randStr(), randStr())
+        if (jaroWinklerValue(a, b) >= c) {
+          val (lo, hi) = (math.min(a.length, b.length),
+            math.max(a.length, b.length))
+          assert(lo >= r * hi,
+            s"bound dropped qualifying pair ($a, $b) at c=$c")
+        }
+      }
+    }
+  }
+
   test("labelOutliers: cosine to own centroid, flag below threshold") {
     val df = Seq(
       (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(1.0f, 0.1f)),

@@ -807,6 +807,32 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.forall(_.contains("n_name")), executed)
   }
 
+  test("JW prefilter rule: length guard injected before the kernel, " +
+      "results unchanged") {
+    import spark.implicits._
+    graft.spark.GraftExtensions.install(spark)
+    val names = Seq((1L, "annotation engine"), (2L, "annotation enginx"),
+      (3L, "a"), (4L, "annotation engine plus a very long suffix here"))
+      .toDF("id", "name").withColumn("blk", lit("b"))
+    val pairs = graft.ops.Linkage.blockedPairsJw(names, "id", "name",
+      col("blk"), minSim = 0.95)
+    val optimized = pairs.queryExecution.optimizedPlan.toString
+    // the guard (least/greatest of lengths) sits in the Filter condition
+    assert(optimized.contains("least(length("), optimized)
+    // idempotent: rule ran in the fixpoint batch without duplicating
+    assert("least\\(length\\(".r.findAllIn(optimized).size == 1, optimized)
+    // correctness: same pairs as the raw kernel over the cross block
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val raw = for {
+      (ia, na) <- Seq((1L, "annotation engine"), (2L, "annotation enginx"),
+        (3L, "a"), (4L, "annotation engine plus a very long suffix here"))
+      (ib, nb) <- Seq((1L, "annotation engine"), (2L, "annotation enginx"),
+        (3L, "a"), (4L, "annotation engine plus a very long suffix here"))
+      if ia < ib && graft.ops.Linkage.jaroWinklerValue(na, nb) >= 0.95
+    } yield (ia, ib)
+    assert(got == raw.toSet)
+  }
+
   test("clusters frees superseded checkpoint blocks across reruns") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     def run(): Long = {
