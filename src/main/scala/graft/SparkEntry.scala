@@ -862,6 +862,31 @@ object SparkEntry {
         col("epoch"))
       .orderBy(col("user_id"))
 
+  /** MERGE-INTO gate: a synthetic change batch (updates on id%10==1,
+    * deletes on id%10==2, inserts at id+10000) applied to the documents
+    * snapshot ([[graft.ops.Snapshot.applyChanges]]); the oracle builds
+    * the next snapshot relationally and every surviving row's content
+    * hash must agree.
+    */
+  private def qUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = s.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), col("text"), col("source"))
+    val updates = base.filter(col("doc_id") % 10 === 1)
+      .select(col("doc_id"), upper(col("text")).as("text"), col("source"),
+        lit("update").as("op"))
+    val deletes = base.filter(col("doc_id") % 10 === 2)
+      .select(col("doc_id"), col("text"), col("source"),
+        lit("delete").as("op"))
+    val inserts = base.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + 10000L).as("doc_id"),
+        concat(lit("fresh "), col("text")).as("text"), col("source"),
+        lit("insert").as("op"))
+    graft.ops.Snapshot.applyChanges(base,
+        updates.union(deletes).union(inserts), "doc_id", "op")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact per-group OLS trend (price-per-quantity slope by
     * returnflag) from the same integer sufficient statistics as
     * [[qCorr]] — fit of the floor-quantized values, documented O(1/g)
@@ -3262,6 +3287,7 @@ object SparkEntry {
     "q_ols" -> (qOls _),
     "q_top_terms" -> (qTopTerms _),
     "q_pack_plan" -> (qPackPlan _),
+    "q_upsert" -> (qUpsert _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
     "q_wet_read" -> (qWetRead _),
@@ -4340,6 +4366,25 @@ object SparkEntry {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
         |  sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS checksum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // the next snapshot rebuilt relationally: base minus touched ids,
+    // plus non-delete change payloads
+    "q_upsert" ->
+      """WITH chg AS (
+        |  SELECT doc_id, upper(text) AS text, source, 'update' AS op
+        |  FROM documents WHERE doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT doc_id, text, source, 'delete' FROM documents
+        |  WHERE doc_id % 10 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 10000, 'fresh ' || text, source, 'insert'
+        |  FROM documents WHERE doc_id % 10 = 3),
+        |next AS (
+        |  SELECT d.doc_id, d.text, d.source FROM documents d
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM chg)
+        |  UNION ALL
+        |  SELECT doc_id, text, source FROM chg WHERE op <> 'delete')
+        |SELECT doc_id, md5(text) AS text_md5, source
+        |FROM next ORDER BY doc_id""".stripMargin,
     // same sufficient statistics as q_corr minus syy; slope/intercept
     // closed form mirrored operation-for-operation (grains are 1, so
     // the Spark side's de-quantize factors are exact *1.0 identities)

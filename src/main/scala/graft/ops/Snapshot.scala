@@ -61,6 +61,29 @@ object Snapshot {
           .as("overlap_frac"))
   }
 
+  /** MERGE-INTO emulation: apply a change batch (op ∈ insert / update /
+    * delete, keyed by `idCol`) to a base snapshot — the warehouse
+    * upsert a periodically-recrawled corpus runs per ingest. Semantics:
+    * a changed id REPLACES the base row (update == delete + insert, so
+    * an "insert" for an existing id is also a replace — idempotent
+    * replays converge); `delete` removes; untouched base rows pass
+    * through unchanged. Precondition: ids unique per input (the corpus
+    * invariant).
+    *
+    * Scale shape: one left-anti join on id projections (the only
+    * shuffle; text rides only on rows that actually survive) + a
+    * union with the non-delete change payloads. The base is never
+    * rewritten in place — output is the next snapshot, which is what
+    * makes [[corpusDiff]]/time-travel possible downstream.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, idCol: String,
+      opCol: String): DataFrame = {
+    val survivors = base.join(
+      changes.select(col(idCol)), Seq(idCol), "left_anti")
+    survivors.unionByName(
+      changes.filter(col(opCol) =!= "delete").drop(opCol))
+  }
+
   /** Order-independent per-group content checksum: count + the exact
     * BIGINT sum of 32-bit md5 prefixes — equal iff the grouped content
     * MULTISETS are equal (up to the 32-bit collision bound), no matter

@@ -427,6 +427,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.head.getLong(2) == 2L) // ~2 distinct docs
   }
 
+  test("IdempotentSink: replayed batch id is a no-op, torn batch invisible") {
+    import graft.streaming.IdempotentSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b1 = Seq((3L, "c")).toDF("id", "v")
+    assert(IdempotentSink.writeBatch(b0, dir, 0L))
+    assert(IdempotentSink.writeBatch(b1, dir, 1L))
+    // engine replay of batch 1 (same id, even different data): skipped
+    assert(!IdempotentSink.writeBatch(
+      Seq((99L, "dup")).toDF("id", "v"), dir, 1L))
+    // torn write: batch dir exists but no marker -> invisible to readers
+    Seq((42L, "torn")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/batch=7")
+    val got = IdempotentSink.readCommitted(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // end-to-end through a REAL foreachBatch stream
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_sink2").toString
+    val q = ms.toDF().toDF("id", "v").writeStream
+      .foreachBatch(graft.streaming.IdempotentSink.sink(dir2))
+      .option("checkpointLocation", s"$dir2/_ckpt").start()
+    try {
+      ms.addData((1L, "x")); q.processAllAvailable()
+      ms.addData((2L, "y")); q.processAllAvailable()
+    } finally q.stop()
+    val rows = IdempotentSink.readCommitted(spark, dir2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(1L, 2L))
+  }
+
   test("streamStreamJoin: range-bounded matches across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val left = MemoryStream[(Long, Long, Timestamp)]
