@@ -789,6 +789,20 @@ object SparkEntry {
       .orderBy(col("key"))
   }
 
+  /** Sliding event-time windows (1 h window, 30 min slide — each event
+    * lands in exactly two windows): Catalyst's native `window`
+    * expansion, oracled by replaying the two epoch-aligned tumbling
+    * grids relationally.
+    */
+  private def qSliding(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"),
+        col("window.end").as("w_end"), col("event_type"), col("n_events"))
+      .orderBy(col("w_start"), col("event_type"))
+
   /** Native `session_window` sessionization (batch form of the
     * streaming gap-session op): Catalyst's own session merge, oracled
     * against the classic gaps-and-islands window chain. A new session
@@ -3277,6 +3291,7 @@ object SparkEntry {
     "q_pivot" -> (qPivot _),
     "q_agg_merge" -> (qAggMerge _),
     "q_session_window" -> (qSessionWindow _),
+    "q_sliding" -> (qSliding _),
     "q_part_prune" -> (qPartPrune _),
     "q_corr" -> (qCorr _),
     "q_star" -> (qStar _),
@@ -4445,6 +4460,19 @@ object SparkEntry {
         |      ORDER BY epoch_us(ts) // 1000000 DESC, event_id ASC) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // every event lands in exactly the two slide-grid windows
+    // ((sec//1800)-k)*1800 for k in {0,1}; epoch-aligned like Spark's
+    "q_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 AS sec FROM events),
+        |ks AS (SELECT unnest([0, 1]) AS k),
+        |w AS (
+        |  SELECT event_type, ((sec // 1800) - k) * 1800 AS ws
+        |  FROM e, ks)
+        |SELECT make_timestamp(ws * 1000000) AS w_start,
+        |  make_timestamp((ws + 3600) * 1000000) AS w_end,
+        |  event_type, CAST(count(*) AS BIGINT) AS n_events
+        |FROM w GROUP BY 1, 2, 3 ORDER BY w_start, event_type""".stripMargin,
     // gaps-and-islands replay of session_window: break at gap >= 30min
     // (half-open windows), end = last event + gap
     "q_session_window" ->
