@@ -876,6 +876,60 @@ object SparkEntry {
         col("epoch"))
       .orderBy(col("user_id"))
 
+  /** Hard-negative mining gate: for the first 10 vectors, the most
+    * similar corpus vector below the near-dup threshold
+    * ([[Similarity.hardNegatives]]) — the filter-before-argmax makes it
+    * exact, and the oracle replays the full argmax in SQL.
+    */
+  private def qHardNeg(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(t(dir, "embeddings"))
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+        "embedding", "vec_id", dupThreshold = 0.9)
+      .select(col("query_id"), col("neg_id"),
+        round(col("cosine"), 3).as("cosine"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Schema-evolution merge gate: two parquet batches with drifted
+    * schemas (v2 adds a `quality` column) written side by side, read
+    * back with `mergeSchema` — the union schema materializes, v1 rows
+    * carry null quality. Eager (scratch cleanup) like the other layout
+    * gates; the oracle rebuilds the union relationally.
+    */
+  private def qSchemaMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scratch = java.nio.file.Files.createTempDirectory("graft_schema")
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val st = java.nio.file.Files.list(p)
+        try st.forEach(rm(_)) finally st.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    try {
+      val docs = s.read.parquet(t(dir, "documents"))
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"))
+        .write.parquet(s"$scratch/b/v=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") % 100).cast("long").as("quality"))
+        .write.parquet(s"$scratch/b/v=2")
+      val merged = s.read.option("mergeSchema", "true")
+        .parquet(s"$scratch/b")
+      require(merged.columns.contains("quality"),
+        s"mergeSchema must surface the evolved column: ${merged.columns.toSeq}")
+      val agg = merged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("quality")).as("n_with_quality"),
+          coalesce(sum(col("quality")), lit(0L)).as("sum_quality"))
+      val rows = agg.collect() // |sources| rows — bounded
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      rows.toSeq.toDF("source", "n_docs", "n_with_quality", "sum_quality")
+        .orderBy(col("source"))
+    } finally rm(scratch)
+  }
+
   /** MERGE-INTO gate: a synthetic change batch (updates on id%10==1,
     * deletes on id%10==2, inserts at id+10000) applied to the documents
     * snapshot ([[graft.ops.Snapshot.applyChanges]]); the oracle builds
@@ -3303,6 +3357,8 @@ object SparkEntry {
     "q_top_terms" -> (qTopTerms _),
     "q_pack_plan" -> (qPackPlan _),
     "q_upsert" -> (qUpsert _),
+    "q_hard_neg" -> (qHardNeg _),
+    "q_schema_merge" -> (qSchemaMerge _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
     "q_wet_read" -> (qWetRead _),
@@ -4381,6 +4437,32 @@ object SparkEntry {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
         |  sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS checksum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // full argmax under the dup-threshold filter, ties by id
+    "q_hard_neg" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id AS neg_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS c
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> q.query_id
+        |    AND list_cosine_similarity(e.embedding::DOUBLE[], q.qv) < 0.9)
+        |SELECT query_id, neg_id, round(c, 3) AS cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY c DESC, neg_id ASC) AS rn FROM s)
+        |WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    // union schema with nulls where v1 lacked the evolved column
+    "q_schema_merge" ->
+      """WITH merged AS (
+        |  SELECT doc_id, source, NULL::BIGINT AS quality FROM documents
+        |  WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, source, CAST(n_chars % 100 AS BIGINT)
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(quality) AS BIGINT) AS n_with_quality,
+        |  CAST(COALESCE(sum(quality), 0) AS BIGINT) AS sum_quality
+        |FROM merged GROUP BY source ORDER BY source""".stripMargin,
     // the next snapshot rebuilt relationally: base minus touched ids,
     // plus non-delete change payloads
     "q_upsert" ->

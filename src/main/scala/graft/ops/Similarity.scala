@@ -82,6 +82,34 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the
+    * MOST similar corpus vector that is NOT a near-duplicate — the
+    * highest-value negative example (`cosine < dupThreshold` excludes
+    * the positives/near-dups that would poison the loss; self is
+    * excluded; ties break by ascending id). Exact by construction: the
+    * filter runs before the per-query argmax, so unlike a top-k cut
+    * a query surrounded by many near-dups still finds its true
+    * hardest negative. Same broadcast shape as [[knnJoin]] — the
+    * query side broadcasts, the corpus scans once, and only (query,
+    * id, cosine) rows reach the per-query election.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, dupThreshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("neg_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neg_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neg_id"))
+      .withColumn("cosine", cosine(col("cv"), col("qv")))
+      .filter(col("cosine") < dupThreshold)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("neg_id"), col("cosine"))
+  }
+
   /** IVF (inverted-file) coarse quantizer: spherical k-means centroids plus
     * per-cluster max angle (radius). Fit on a driver-side sample — standard
     * IVF practice even at 100 TB, where centroids are trained on a few
