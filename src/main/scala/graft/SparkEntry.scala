@@ -630,6 +630,19 @@ object SparkEntry {
         col("rank_in_group"))
       .orderBy(col("source"), col("rank_in_group"))
 
+  /** The aggregation-not-sort top-k ([[graft.ops.Sampling.topKPerGroupAgg]]
+    * — custom typed Aggregator, k-bounded state, no window sort):
+    * must produce byte-identical output to q_topk, so it SHARES that
+    * oracle.
+    */
+  private def qTopkAgg(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.topKPerGroupAgg(
+        s.read.parquet(t(dir, "documents")), "doc_id", "source",
+        "n_chars", k = 5)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("rank_in_group"))
+      .orderBy(col("source"), col("rank_in_group"))
+
   /** Weighted sampling without replacement (A-ES): 10 docs per source
     * drawn ∝ length, deterministic in the salted md5 — the oracle
     * replays the exact ln(u)/w key and must land on the identical draw
@@ -3331,6 +3344,7 @@ object SparkEntry {
     "q_mm_vfp" -> (qMmVfp _),
     "q_lang_conf" -> (qLangConf _),
     "q_topk" -> (qTopk _),
+    "q_topk_agg" -> (qTopkAgg _),
     "q_wrs" -> (qWrs _),
     "q_scd2" -> (qScd2 _),
     "q_decay" -> (qDecay _),
@@ -4267,6 +4281,15 @@ object SparkEntry {
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
     // one global row_number window — the sharded election's contract
     "q_topk" ->
+      """SELECT doc_id, source, n_chars, rank_in_group FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank_in_group
+        |  FROM documents)
+        |WHERE rank_in_group <= 5
+        |ORDER BY source, rank_in_group""".stripMargin,
+    // byte-identical contract with q_topk (the Aggregator formulation)
+    "q_topk_agg" ->
       """SELECT doc_id, source, n_chars, rank_in_group FROM (
         |  SELECT doc_id, source, n_chars,
         |    CAST(row_number() OVER (PARTITION BY source

@@ -205,6 +205,66 @@ object Sampling {
       "sample_rank")
   }
 
+  /** Bounded top-k as a custom typed [[org.apache.spark.sql.expressions.Aggregator]]:
+    * the aggregation-not-sort formulation of [[topKPerGroup]]. State is
+    * AT MOST k (score, id) pairs per group per partition — map-side
+    * partial aggregation trims before anything shuffles, the exchange
+    * carries k-bounded buffers instead of every row, and no window SORT
+    * ever runs. Same contract as the window version (score desc — on
+    * the caller to negate for ascending — ties by ascending id, rank =
+    * final order), so `q_topk_agg` shares `q_topk`'s oracle verbatim.
+    * Prefer this shape when k ≪ group size (the 100 TB norm); the
+    * window version when k is a large fraction of each group.
+    */
+  private[ops] class TopKAggregator(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      (Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    // better (kept earlier) = higher score, then lower id
+    private def lt(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      s.sortWith(lt).take(k)
+    override def zero: Seq[(Double, Long)] = Seq.empty
+    override def reduce(buf: Seq[(Double, Long)],
+        in: (Double, Long)): Seq[(Double, Long)] =
+      if (buf.length == k && lt(buf.last, in)) buf // common case: reject
+      else trim(buf :+ in)
+    override def merge(a: Seq[(Double, Long)],
+        b: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(a ++ b)
+    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      trim(r)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** [[topKPerGroup]] via [[TopKAggregator]]: one k-bounded aggregation,
+    * zero sorts before the payload rejoin. Output shape identical
+    * (all df columns + `rank_in_group`).
+    */
+  def topKPerGroupAgg(df: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"topKPerGroupAgg: bad k $k")
+    val idType = df.schema(idCol).dataType
+    require(idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType,
+      s"topKPerGroupAgg needs an integral id (got $idType); " +
+        "use topKPerGroup for string ids")
+    val agg = org.apache.spark.sql.functions.udaf(new TopKAggregator(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val picked = df
+      .groupBy(col(groupCol))
+      .agg(agg(col(scoreCol).cast("double"), col(idCol).cast("long"))
+        .as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__i", "__e")))
+      .select(col("__e._2").as(idCol),
+        (col("__i") + 1).cast("long").as("rank_in_group"))
+    df.join(picked, Seq(idCol))
+  }
+
   /** Stratified deterministic sample: an independent ~`fraction` within
     * each stratum (the stratum value participates in the hash, so
     * changing one stratum's data never perturbs another's selection).

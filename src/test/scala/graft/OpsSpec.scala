@@ -2892,6 +2892,27 @@ class OpsSpec extends AnyFunSuite {
     assert(rep == got)
   }
 
+  test("topKPerGroupAgg == topKPerGroup on random data, k-bounded state") {
+    import graft.ops.Sampling
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 400).map(i =>
+      (i.toLong, s"g${i % 5}", rnd.nextInt(30))).toDF("id", "g", "score")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    val win = canon(Sampling.topKPerGroup(df, "id", "g", "score", 6))
+    val agg = canon(Sampling.topKPerGroupAgg(df, "id", "g", "score", 6))
+    assert(agg == win)
+    // partition invariance
+    val rep = canon(Sampling.topKPerGroupAgg(df.repartition(13), "id", "g",
+      "score", 6))
+    assert(rep == win)
+    // string ids are rejected loudly, not silently corrupted
+    val strIds = Seq(("a", "g", 1)).toDF("id", "g", "score")
+    intercept[IllegalArgumentException] {
+      Sampling.topKPerGroupAgg(strIds, "id", "g", "score", 2)
+    }
+  }
+
   test("weightedSamplePerGroup: A-ES draw favors weight, deterministic") {
     import graft.ops.Sampling
     // one group: a single weight-1000 row among 60 weight-1 rows — the

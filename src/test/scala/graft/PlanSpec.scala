@@ -833,6 +833,26 @@ class PlanSpec extends AnyFunSuite {
     assert(got == raw.toSet)
   }
 
+  test("topKPerGroupAgg: no window sort; election is one aggregation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.ops.Sampling.topKPerGroupAgg(docs, "doc_id", "source",
+      "n_chars", k = 5)
+    out.collect()
+    val full = out.queryExecution.executedPlan.toString
+    val executed = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+    assert(!executed.contains("Window"), executed)
+    // partial aggregation trims to k BEFORE the exchange
+    assert(executed.contains("partial_topkaggregator"), executed)
+    // no text on any exchange (ids + k-bounded buffers only)
+    val exchanges = executed.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text#")),
+      executed)
+  }
+
   test("clusters frees superseded checkpoint blocks across reruns") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     def run(): Long = {
