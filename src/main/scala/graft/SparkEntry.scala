@@ -877,12 +877,12 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
 
   /** CDC read-side compaction — "latest state per key" — expressed as
-    * the k=1 case of the sharded top-k election (score = epoch seconds,
+    * the k=1 case of the Aggregator top-k election (score = epoch seconds,
     * ties by ascending event_id like the oracle's row_number): the
     * upsert-log materialization every merge-on-read table needs.
     */
   private def qLatest(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Sampling.topKPerGroup(
+    graft.ops.Sampling.topKPerGroupAgg(
         events(s, dir).withColumn("epoch", unix_timestamp(col("ts"))),
         "event_id", "user_id", "epoch", k = 1)
       .select(col("user_id"), col("event_id"), col("event_type"),
