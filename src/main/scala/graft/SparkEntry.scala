@@ -643,6 +643,47 @@ object SparkEntry {
         col("rank_in_group"))
       .orderBy(col("source"), col("rank_in_group"))
 
+  /** Streaming top-k gate: the SAME TopKAggregator running as a
+    * complete-mode streaming aggregation over a 4-chunk memory stream —
+    * the k-bounded buffer is the streaming state, merged across
+    * micro-batches. The final answer must equal the batch election,
+    * so this query SHARES q_topk's oracle (payload rejoined from the
+    * static table post-sink).
+    */
+  private def qStreamTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = s.read.parquet(t(dir, "documents"))
+    val rows = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .as[(Long, String, Long)].collect()
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val sdf = ms.toDF().toDF("doc_id", "source", "n_chars")
+    val top = sdf.groupBy(col("source"))
+      .agg(graft.ops.Sampling.topKUdaf(5)(
+        col("n_chars").cast("double"), col("doc_id")).as("__top"))
+    val qname = "graft_stream_topk"
+    s.catalog.dropTempView(qname)
+    val q = top.writeStream.format("memory").queryName(qname)
+      .outputMode("complete").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      require(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "stream-topk gate must process >=3 micro-batches")
+    } finally q.stop()
+    s.table(qname)
+      .select(col("source"), posexplode(col("__top")).as(Seq("__i", "__e")))
+      .select(col("__e._2").as("doc_id"),
+        (col("__i") + 1).cast("long").as("rank_in_group"))
+      .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("rank_in_group"))
+      .orderBy(col("source"), col("rank_in_group"))
+  }
+
   /** Weighted sampling without replacement (A-ES): 10 docs per source
     * drawn ∝ length, deterministic in the salted md5 — the oracle
     * replays the exact ln(u)/w key and must land on the identical draw
@@ -3345,6 +3386,7 @@ object SparkEntry {
     "q_lang_conf" -> (qLangConf _),
     "q_topk" -> (qTopk _),
     "q_topk_agg" -> (qTopkAgg _),
+    "q_stream_topk" -> (qStreamTopk _),
     "q_wrs" -> (qWrs _),
     "q_scd2" -> (qScd2 _),
     "q_decay" -> (qDecay _),
@@ -4281,6 +4323,15 @@ object SparkEntry {
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
     // one global row_number window — the sharded election's contract
     "q_topk" ->
+      """SELECT doc_id, source, n_chars, rank_in_group FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank_in_group
+        |  FROM documents)
+        |WHERE rank_in_group <= 5
+        |ORDER BY source, rank_in_group""".stripMargin,
+    // the STREAMED election must land on the same batch answer
+    "q_stream_topk" ->
       """SELECT doc_id, source, n_chars, rank_in_group FROM (
         |  SELECT doc_id, source, n_chars,
         |    CAST(row_number() OVER (PARTITION BY source

@@ -243,6 +243,17 @@ object Sampling {
     * zero sorts before the payload rejoin. Output shape identical
     * (all df columns + `rank_in_group`).
     */
+  /** [[TopKAggregator]] as a registrable UDAF — usable directly in any
+    * groupBy, INCLUDING streaming complete/update-mode aggregations
+    * (the k-bounded buffer is exactly the mergeable state Structured
+    * Streaming keeps per group; `q_stream_topk` pins batch ≡ stream).
+    */
+  def topKUdaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new TopKAggregator(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+
   def topKPerGroupAgg(df: DataFrame, idCol: String, groupCol: String,
       scoreCol: String, k: Int): DataFrame = {
     require(k >= 1, s"topKPerGroupAgg: bad k $k")
@@ -251,10 +262,7 @@ object Sampling {
       idType == org.apache.spark.sql.types.IntegerType,
       s"topKPerGroupAgg needs an integral id (got $idType); " +
         "use topKPerGroup for string ids")
-    val agg = org.apache.spark.sql.functions.udaf(new TopKAggregator(k),
-      org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaDouble,
-        org.apache.spark.sql.Encoders.scalaLong))
+    val agg = topKUdaf(k)
     val picked = df
       .groupBy(col(groupCol))
       .agg(agg(col(scoreCol).cast("double"), col(idCol).cast("long"))
