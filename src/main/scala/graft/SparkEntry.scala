@@ -1047,6 +1047,23 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "text", Seq(64, 256, 1024))
       .orderBy(col("seq_len"))
 
+  /** Integer-grain PageRank over the part→supplier link graph
+    * ([[graft.ops.Graph.pageRank9]], 5 damped iterations): the r9
+    * column is an exact BIGINT, so the oracle — the same arithmetic
+    * unrolled as 5 chained CTEs — must match bit-for-bit, not
+    * approximately.
+    */
+  private def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    // cyclic directed graph over a 50-node domain (rank genuinely
+    // propagates across iterations, unlike a bipartite derivation)
+    val edges = s.read.parquet(t(dir, "lineitem"))
+      .select((col("l_partkey") % 50).as("src"),
+        ((col("l_partkey") * 7 + col("l_suppkey")) % 50).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    graft.ops.Graph.pageRank9(edges, "src", "dst", iters = 5)
+      .orderBy(col("node"))
+  }
+
   /** TPC-H Q5-shaped star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
     * region, ASIA revenue per nation — declared as five plain joins and
     * left to Catalyst: join reorder, dimension broadcasts and scan
@@ -3405,6 +3422,7 @@ object SparkEntry {
     "q_part_prune" -> (qPartPrune _),
     "q_corr" -> (qCorr _),
     "q_star" -> (qStar _),
+    "q_pagerank" -> (qPagerank _),
     "q_rank_norm" -> (qRankNorm _),
     "q_checksum" -> (qChecksum _),
     "q_latest" -> (qLatest _),
@@ -4490,6 +4508,34 @@ object SparkEntry {
          |  min_a, max_a, min_b, max_b
          |FROM (SELECT * FROM zr UNION ALL SELECT * FROM lr)
          |ORDER BY layout, bucket""".stripMargin
+    },
+    // the identical integer-nano arithmetic unrolled as chained CTEs
+    "q_pagerank" -> {
+      val steps = (1 to 5).map { i =>
+        s"""pr$i AS (
+           |  SELECT n.node, (SELECT b FROM bb) +
+           |    CAST(floor(0.85 * COALESCE(s.s9, 0)) AS BIGINT) AS r9
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, sum(p.r9 // e.outdeg) AS s9
+           |    FROM pr${i - 1} p JOIN ed e ON p.node = e.src
+           |    GROUP BY 1) s ON n.node = s.node)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_partkey % 50 AS src,
+         |    (l_partkey * 7 + l_suppkey) % 50 AS dst
+         |  FROM lineitem WHERE l_partkey % 50 <> (l_partkey * 7 + l_suppkey) % 50),
+         |nodes AS (SELECT DISTINCT src AS node FROM e
+         |  UNION SELECT DISTINCT dst FROM e),
+         |cnt AS (SELECT count(*) AS n FROM nodes),
+         |bb AS (SELECT (1000000000 -
+         |  CAST(floor(0.85 * 1000000000) AS BIGINT)) // n AS b FROM cnt),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |ed AS (SELECT e.src, e.dst, d.outdeg FROM e JOIN deg d USING (src)),
+         |pr0 AS (SELECT node, 1000000000 // (SELECT n FROM cnt) AS r9 FROM nodes),
+         |$steps
+         |SELECT CAST(node AS BIGINT) AS node, CAST(r9 AS BIGINT) AS r9
+         |FROM pr5 ORDER BY node""".stripMargin
     },
     "q_star" ->
       """SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,

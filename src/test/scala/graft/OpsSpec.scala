@@ -2892,6 +2892,32 @@ class OpsSpec extends AnyFunSuite {
     assert(rep == got)
   }
 
+  test("pageRank9: cycle symmetry, sink attraction, mass bound") {
+    import graft.ops.Graph
+    // 3-cycle: perfect symmetry, each node keeps ~1/3 of the mass
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val rc = Graph.pageRank9(cyc, "src", "dst", iters = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rc.values.toSet.size == 1, s"cycle must stay uniform: $rc")
+    assert(math.abs(rc(1L) - 333333333L) < 1000000)
+    // star into a hub: the hub outranks every leaf
+    val star = Seq((1L, 9L), (2L, 9L), (3L, 9L), (9L, 1L))
+      .toDF("src", "dst")
+    val rs = Graph.pageRank9(star, "src", "dst", iters = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // 1 and 9 recirculate the mass (2-cycle, oscillating convergence);
+    // the unfed leaves decay to the damping base
+    assert(rs(9L) > 5 * rs(2L) && rs(1L) > 5 * rs(2L), s"$rs")
+    assert(rs(2L) == rs(3L), s"symmetric leaves: $rs")
+    // total mass never exceeds 1.0 (floors + no dangling redistribution
+    // only LOSE mass)
+    assert(rs.values.sum <= 1000000000L)
+    // partition invariance (exact integer arithmetic)
+    val rep = Graph.pageRank9(star.repartition(5), "src", "dst", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rep == rs)
+  }
+
   test("topKPerGroupAgg == topKPerGroup on random data, k-bounded state") {
     import graft.ops.Sampling
     val rnd = new scala.util.Random(7)
