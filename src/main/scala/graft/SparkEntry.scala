@@ -1411,6 +1411,28 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Contrastive triplets over the q_embed_dedup corpus shape
+    * (originals ∪ sign-flipped copies): near-dup pairs feed the
+    * positive election, the hardest sub-threshold neighbor is the
+    * negative ([[Similarity.contrastiveTriplets]]). Fully oracled —
+    * pairs, positive argmax, and negative argmax all replay in SQL.
+    */
+  private def qTriplets(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(t(dir, "embeddings"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val copies = emb.select((col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), (x, i) => when(i === 0, -x).otherwise(x)).as("embedding"))
+    val corpus = emb.union(copies)
+    val pairs = Dedup.embeddingPairs(corpus, "embedding", "vec_id",
+      dim = 64, planes = 256, bands = 32, threshold = 0.9)
+    Similarity.contrastiveTriplets(corpus, pairs, "embedding", "vec_id",
+        dupThreshold = 0.9)
+      .select(col("anchor_id"), col("pos_id"),
+        round(col("pos_cos"), 3).as("pos_cos"), col("neg_id"),
+        round(col("neg_cos"), 3).as("neg_cos"))
+      .orderBy(col("anchor_id"))
+  }
+
   /** Int8 max-abs quantization of the embedding corpus, element-exact:
     * scale + every code (comma-joined so the oracle pins all dims, not a
     * summary). The op itself returns the codes as array<byte>.
@@ -3432,6 +3454,7 @@ object SparkEntry {
     "q_pack_plan" -> (qPackPlan _),
     "q_upsert" -> (qUpsert _),
     "q_hard_neg" -> (qHardNeg _),
+    "q_triplets" -> (qTriplets _),
     "q_schema_merge" -> (qSchemaMerge _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
@@ -4557,6 +4580,42 @@ object SparkEntry {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
         |  sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS checksum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // pair relation, positive argmax and negative argmax all in SQL
+    "q_triplets" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |all_v AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000, list_concat([-v[1]], v[2:]) FROM base),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(a.v, b.v) AS c
+        |  FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.9),
+        |bd AS (
+        |  SELECT id_a AS anchor_id, id_b AS pos_id, c FROM pairs
+        |  UNION ALL SELECT id_b, id_a, c FROM pairs),
+        |pos AS (
+        |  SELECT anchor_id, pos_id, c AS pos_cos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY anchor_id
+        |      ORDER BY c DESC, pos_id ASC) AS rn FROM bd)
+        |  WHERE rn = 1),
+        |negs AS (
+        |  SELECT anchor_id, neg_id, c AS neg_cos FROM (
+        |    SELECT p.anchor_id, e.vec_id AS neg_id,
+        |      list_cosine_similarity(e.v, q.v) AS c,
+        |      row_number() OVER (PARTITION BY p.anchor_id
+        |        ORDER BY list_cosine_similarity(e.v, q.v) DESC,
+        |          e.vec_id ASC) AS rn
+        |    FROM pos p
+        |    JOIN all_v q ON q.vec_id = p.anchor_id
+        |    JOIN all_v e ON e.vec_id <> p.anchor_id
+        |      AND list_cosine_similarity(e.v, q.v) < 0.9)
+        |  WHERE rn = 1)
+        |SELECT p.anchor_id, p.pos_id, round(p.pos_cos, 3) AS pos_cos,
+        |  n.neg_id, round(n.neg_cos, 3) AS neg_cos
+        |FROM pos p JOIN negs n USING (anchor_id)
+        |ORDER BY anchor_id""".stripMargin,
     // full argmax under the dup-threshold filter, ties by id
     "q_hard_neg" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

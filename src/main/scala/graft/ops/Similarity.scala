@@ -82,6 +82,37 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Contrastive triplet assembly: every id appearing in the supplied
+    * near-dup `pairs` relation becomes an ANCHOR, paired with its best
+    * positive (highest-cosine partner, ties by ascending partner id)
+    * and its hardest negative ([[hardNegatives]] below `dupThreshold`).
+    * The (anchor, positive, negative) table is the training-data shape
+    * contrastive embedding fine-tunes consume.
+    *
+    * Scale shape: positives come from the caller's pair relation (the
+    * banded near-dup path — bounded, never all-pairs); only the anchor
+    * subset's vectors broadcast into the negative scan. Output:
+    * (anchor_id, pos_id, pos_cos, neg_id, neg_cos).
+    */
+  def contrastiveTriplets(corpus: DataFrame, pairs: DataFrame,
+      vecCol: String, idCol: String, dupThreshold: Double): DataFrame = {
+    val both = pairs.select(col("id_a").as("anchor_id"),
+        col("id_b").as("pos_id"), col("cosine"))
+      .union(pairs.select(col("id_b").as("anchor_id"),
+        col("id_a").as("pos_id"), col("cosine")))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("pos_id").asc)
+    val pos = both.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("anchor_id"), col("pos_id"), col("cosine").as("pos_cos"))
+    val anchors = corpus.join(
+      pos.select(col("anchor_id").as(idCol)), Seq(idCol), "left_semi")
+    val negs = hardNegatives(corpus, anchors, vecCol, idCol, dupThreshold)
+      .select(col("query_id").as("anchor_id"), col("neg_id"),
+        col("cosine").as("neg_cos"))
+    pos.join(negs, Seq("anchor_id"))
+  }
+
   /** Hard-negative mining for contrastive training: per query, the
     * MOST similar corpus vector that is NOT a near-duplicate — the
     * highest-value negative example (`cosine < dupThreshold` excludes
