@@ -2993,6 +2993,25 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4)._5.contains(ts(6)) && out(5)._6)
   }
 
+  test("scd2 and resampleDailyFfill: partition invariance") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(17)
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val log = (0 until 300).map(i =>
+      (i.toLong % 9, ts(rnd.nextInt(5000)), i.toLong,
+        s"v${rnd.nextInt(3)}", rnd.nextDouble() * 10))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    def canonScd(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Events.scd2(d, "user_id", "ts", "event_id", "event_type")
+        .collect().map(_.toString).sorted.toSeq
+    assert(canonScd(log) == canonScd(log.repartition(11)))
+    def canonRes(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Events.resampleDailyFfill(d, "user_id", "ts", "value",
+          "event_type", "event_id")
+        .collect().map(_.toString).sorted.toSeq
+    assert(canonRes(log) == canonRes(log.repartition(11)))
+  }
+
   test("decayedScore: exact power-of-two decay at integer grain") {
     import java.sql.Timestamp
     val base = 1700000000L
@@ -3184,6 +3203,13 @@ class OpsSpec extends AnyFunSuite {
         scratch.toString, "graft_t_l", "graft_t_r")
       assert(j.count() == 100)
       assert(j.filter(col("k") === 3L).count() == 10)
+      // the write-time amortization extends to aggregation: groupBy on
+      // the bucket key over the bucketed table plans NO exchange either
+      val agg = spark.table("graft_t_l").groupBy(col("k")).count()
+      assert(!agg.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        agg.queryExecution.executedPlan.toString)
+      assert(agg.count() == 10)
       Seq("graft_t_l", "graft_t_r")
         .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
     } finally {
