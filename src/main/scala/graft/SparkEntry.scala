@@ -1411,6 +1411,27 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Curation audit table: per doc the LIST of rules it fails
+    * (too_short / long_tokens / non_english) and the keep verdict —
+    * the explainability artifact a filtered corpus ships with, so a
+    * rejected document can always answer "why". Reasons compose as a
+    * null-filtered array of the SAME rule expressions the individual
+    * gates use; one scan-local projection.
+    */
+  private def qAudit(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextStats.wsTokens(col("text"))
+    val meanTok = col("n_chars").cast("double") / greatest(toks, lit(1))
+    val reasons = array_compact(array(
+      when(toks < 5, lit("too_short")),
+      when(meanTok > 15, lit("long_tokens")),
+      when(TextStats.langId(col("text")) =!= "en", lit("non_english"))))
+    s.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"),
+        concat_ws(",", reasons).as("reasons"),
+        (size(reasons) === 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Contrastive triplets over the q_embed_dedup corpus shape
     * (originals ∪ sign-flipped copies): near-dup pairs feed the
     * positive election, the hardest sub-threshold neighbor is the
@@ -3455,6 +3476,7 @@ object SparkEntry {
     "q_upsert" -> (qUpsert _),
     "q_hard_neg" -> (qHardNeg _),
     "q_triplets" -> (qTriplets _),
+    "q_audit" -> (qAudit _),
     "q_schema_merge" -> (qSchemaMerge _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
@@ -4580,6 +4602,50 @@ object SparkEntry {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
         |  sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS checksum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // the three rule expressions verbatim from q_quality / q_langid
+    "q_audit" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+        |    len(regexp_extract_all(text, '[一-龥]')) AS cjk,
+        |    len(regexp_extract_all(lower(text), '[а-яё]')) AS cyr,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['the','a','of','to','and','is','in'])) s_en,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['el','la','de','que','y','los','una'])) s_es,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['le','la','les','et','un','des','que'])) s_fr,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['der','die','das','und','ist','ein','nicht'])) s_de,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['o','os','uma','não','com','por','são'])) s_pt,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['il','che','di','per','sono','della','gli'])) s_it,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['het','een','van','niet','zijn','met','voor'])) s_nl,
+        |    len(list_intersect(list_distinct(string_split(lower(text), ' ')), ['ir','yra','kad','tai','kaip','bet','buvo'])) s_lt
+        |  FROM documents),
+        |g AS (SELECT *, greatest(s_en, s_es, s_fr, s_de, s_pt, s_it, s_nl, s_lt) AS m FROM s),
+        |lang AS (SELECT doc_id,
+        |  CASE WHEN cjk * 4 >= nonspace AND cjk > 0 THEN 'zh'
+        |       WHEN cyr * 4 >= nonspace AND cyr > 0 THEN 'ru'
+        |       WHEN m = 0 THEN 'und'
+        |       WHEN s_en = m THEN 'en'
+        |       WHEN s_es = m THEN 'es'
+        |       WHEN s_fr = m THEN 'fr'
+        |       WHEN s_de = m THEN 'de'
+        |       WHEN s_pt = m THEN 'pt'
+        |       WHEN s_it = m THEN 'it'
+        |       WHEN s_nl = m THEN 'nl'
+        |       ELSE 'lt' END AS lp
+        |  FROM g),
+        |r AS (
+        |  SELECT d.doc_id,
+        |    list_filter([
+        |      CASE WHEN len(string_split(trim(d.text), ' ')) < 5
+        |        THEN 'too_short' END,
+        |      CASE WHEN length(d.text)::DOUBLE /
+        |          greatest(len(string_split(trim(d.text), ' ')), 1) > 15
+        |        THEN 'long_tokens' END,
+        |      CASE WHEN l.lp <> 'en' THEN 'non_english' END],
+        |      x -> x IS NOT NULL) AS rs
+        |  FROM documents d JOIN lang l USING (doc_id))
+        |SELECT doc_id, COALESCE(array_to_string(rs, ','), '') AS reasons,
+        |  len(rs) = 0 AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     // pair relation, positive argmax and negative argmax all in SQL
     "q_triplets" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
