@@ -1411,6 +1411,25 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Byte-set Jaccard over blocked part-name pairs: our codegen'd
+    * kernel vs DuckDB's NATIVE `jaccard` on every pair — a second
+    * independently-oracled string-similarity kernel beside q_er_jw.
+    */
+  private def qJaccardSim(s: SparkSession, dir: String): DataFrame = {
+    val parts = s.read.parquet(t(dir, "part"))
+      .filter(col("p_partkey") < 200)
+      .select(col("p_partkey"), col("p_name"))
+    val a = parts.select(col("p_partkey").as("id_a"), col("p_name").as("n_a"),
+      (col("p_partkey") % 10).as("blk"))
+    val b = parts.select(col("p_partkey").as("id_b"), col("p_name").as("n_b"),
+      (col("p_partkey") % 10).as("blk"))
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(graft.ops.Linkage.byteJaccard(col("n_a"), col("n_b")), 6)
+          .as("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Curation audit table: per doc the LIST of rules it fails
     * (too_short / long_tokens / non_english) and the keep verdict —
     * the explainability artifact a filtered corpus ships with, so a
@@ -3477,6 +3496,7 @@ object SparkEntry {
     "q_hard_neg" -> (qHardNeg _),
     "q_triplets" -> (qTriplets _),
     "q_audit" -> (qAudit _),
+    "q_jaccard_sim" -> (qJaccardSim _),
     "q_schema_merge" -> (qSchemaMerge _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
@@ -4602,6 +4622,15 @@ object SparkEntry {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
         |  sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS checksum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // DuckDB's NATIVE byte-set jaccard as the independent oracle
+    "q_jaccard_sim" ->
+      """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 200)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  round(jaccard(a.p_name, b.p_name), 6) AS sim
+        |FROM p a JOIN p b
+        |  ON a.p_partkey % 10 = b.p_partkey % 10
+        |  AND a.p_partkey < b.p_partkey
+        |ORDER BY id_a, id_b""".stripMargin,
     // the three rule expressions verbatim from q_quality / q_langid
     "q_audit" ->
       """WITH s AS (

@@ -97,6 +97,50 @@ object Linkage {
     }
   }
 
+  /** Byte-set Jaccard similarity kernel: |bytes(a) ∩ bytes(b)| /
+    * |bytes(a) ∪ bytes(b)| over the UTF-8 encodings — pinned against
+    * DuckDB's native `jaccard` (byte-granular by construction there
+    * too; multi-byte code points contribute their individual bytes).
+    * The cheap second ER signal next to [[jaroWinklerValue]]: order-
+    * free, O(len), a 256-bit bitmap per side. Either side empty → 0
+    * (DuckDB raises there; the oracle only compares non-empty pairs).
+    */
+  def byteJaccardValue(a: Array[Byte], b: Array[Byte]): Double = {
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val sa = new Array[Long](4)
+    val sb = new Array[Long](4)
+    var i = 0
+    while (i < a.length) {
+      val v = a(i) & 0xff
+      sa(v >> 6) |= 1L << (v & 63)
+      i += 1
+    }
+    i = 0
+    while (i < b.length) {
+      val v = b(i) & 0xff
+      sb(v >> 6) |= 1L << (v & 63)
+      i += 1
+    }
+    var inter = 0
+    var union = 0
+    i = 0
+    while (i < 4) {
+      inter += java.lang.Long.bitCount(sa(i) & sb(i))
+      union += java.lang.Long.bitCount(sa(i) | sb(i))
+      i += 1
+    }
+    inter.toDouble / union
+  }
+
+  /** [[byteJaccardValue]] as a codegen'd column (SQL:
+    * `graft_byte_jaccard`).
+    */
+  def byteJaccard(l: Column, r: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.spark.ByteJaccardExpression(
+        org.apache.spark.sql.GraftBridge.expression(l),
+        org.apache.spark.sql.GraftBridge.expression(r)))
+
   /** [[jaroWinklerValue]] as a codegen'd column (Spark has no native
     * Jaro-Winkler; this is the custom-`Expression` escape hatch, also
     * registered as SQL `graft_jaro_winkler`).

@@ -175,6 +175,15 @@ object GraftExtensions {
       JaroWinklerExpression(children.head, children(1))
     })
 
+  val byteJaccardFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_byte_jaccard"),
+    new ExpressionInfo(classOf[ByteJaccardExpression].getName, "graft_byte_jaccard",
+      "graft_byte_jaccard(a, b) - byte-set Jaccard similarity over the UTF-8 encodings"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_byte_jaccard expects (a, b)")
+      ByteJaccardExpression(children.head, children(1))
+    })
+
   val langIdFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_lang_id"),
     new ExpressionInfo(classOf[LangIdExpression].getName, "graft_lang_id",
@@ -276,7 +285,7 @@ object GraftExtensions {
       shingleHashesFunction, repetitionCountsFunction,
       quantizeInt8Function, int8CosineFunction, pslDomainFunction,
       normalizeFunction, fixMojibakeFunction, langIdFunction,
-      jaroWinklerFunction,
+      jaroWinklerFunction, byteJaccardFunction,
       cdcChunksFunction, windowHashesFunction, cosineFunction,
       compressionRatioFunction, ngramRepetitionFunction,
       truncateNormFunction)

@@ -191,6 +191,27 @@ final case class JaroWinklerExpression(left: Expression, right: Expression)
   }
 }
 
+/** Byte-set Jaccard similarity (`graft_byte_jaccard`) — see
+  * [[graft.ops.Linkage.byteJaccardValue]], pinned against DuckDB's
+  * native `jaccard` by the q_jaccard_sim oracle. Null input → null.
+  */
+final case class ByteJaccardExpression(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_byte_jaccard"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ByteJaccardExpression =
+    copy(left = newLeft, right = newRight)
+  def kernel(a: UTF8String, b: UTF8String): Double =
+    graft.ops.Linkage.byteJaccardValue(a.getBytes, b.getBytes)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    kernel(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bjExpr", this, classOf[ByteJaccardExpression].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$self.kernel($a, $b)")
+  }
+}
+
 final case class CosineExpression(left: Expression, right: Expression)
   extends BinaryExpression {
   override def dataType: DataType = DoubleType

@@ -3110,6 +3110,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("byteJaccardValue: byte-set semantics incl. multi-byte, SQL surface") {
+    import graft.ops.Linkage.byteJaccardValue
+    def j(a: String, b: String) =
+      byteJaccardValue(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    assert(j("ab", "b") == 0.5)
+    assert(j("aab", "ab") == 1.0) // SET of bytes, multiplicity-free
+    assert(j("abc", "abc") == 1.0)
+    assert(j("AB", "ab") == 0.0) // case = different bytes
+    // multi-byte code points contribute individual bytes (DuckDB parity:
+    // 'héllo' vs 'hello' = {h,C3,A9,l,o} vs {h,e,l,o} = 3/6)
+    assert(j("héllo", "hello") == 0.5)
+    assert(j("", "abc") == 0.0 && j("", "") == 0.0)
+    graft.spark.GraftExtensions.install(spark)
+    assert(spark.sql("SELECT graft_byte_jaccard('ab', 'b')")
+      .head().getDouble(0) == 0.5)
+  }
+
   test("labelOutliers: cosine to own centroid, flag below threshold") {
     val df = Seq(
       (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(1.0f, 0.1f)),
