@@ -79,4 +79,31 @@ object Materialize {
       .parquet(path)
     (rowsPerFile, bpr)
   }
+
+  /** [[writeSized]] under a Z-ORDER layout: rows cluster by the Morton
+    * key of (aCol, bCol) before the sized write, so every output file's
+    * min/max envelope covers a small rectangle of BOTH dimensions —
+    * the layout [[graft.ops.Layout.zorderEnvelopeReport]] quantifies,
+    * materialized with file-size control. The interleave key is
+    * computed, used for range-partitioning + within-partition sort,
+    * and dropped; the stored schema is unchanged.
+    */
+  def writeClustered(df: DataFrame, path: String, aCol: String,
+      bCol: String, bits: Int, targetFileMB: Int = 512): (Long, Double) = {
+    require(targetFileMB > 0, s"targetFileMB must be positive: $targetFileMB")
+    val keyed = df.withColumn("__z",
+      graft.ops.Layout.zorderKey2(col(aCol), col(bCol), bits))
+    val bpr = storedBytesPerRow(df, path + "_rowsize_sample", 2000)
+    val rowsPerFile =
+      math.max(1L, (targetFileMB.toLong * 1024 * 1024 / bpr).toLong)
+    val nParts = math.max(1L,
+      math.ceil(df.count().toDouble / rowsPerFile).toLong).toInt
+    keyed.repartitionByRange(nParts, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.option("maxRecordsPerFile", rowsPerFile)
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+    (rowsPerFile, bpr)
+  }
 }

@@ -3209,6 +3209,44 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("writeClustered: per-file envelopes rectangular on both dims") {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_wc")
+    try {
+      val grid = (for (a <- 0 until 64; b <- 0 until 64)
+        yield (a.toLong, b.toLong, s"pay-$a-$b")).toDF("a", "b", "pay")
+      // ~tiny files so several materialize
+      val (rpf, _) = graft.ops.Materialize.writeClustered(grid,
+        s"$scratch/out", "a", "b", bits = 6, targetFileMB = 1)
+      assert(rpf >= 1L)
+      val back = spark.read.parquet(s"$scratch/out")
+      assert(back.count() == 64L * 64)
+      assert(back.columns.sorted.toSeq == Seq("a", "b", "pay"))
+      val envs = back
+        .select(input_file_name().as("f"), col("a"), col("b"))
+        .groupBy("f")
+        .agg((max(col("a")) - min(col("a"))).as("sa"),
+          (max(col("b")) - min(col("b"))).as("sb"))
+        .collect()
+      // with a z-ordered layout no file should span a full dimension on
+      // BOTH axes (a linear sort would give sb = 63 for every file)
+      if (envs.length >= 4) {
+        assert(envs.forall(r => r.getLong(1) < 63 || r.getLong(2) < 63),
+          envs.mkString(","))
+        assert(envs.count(_.getLong(2) < 63) * 2 >= envs.length,
+          envs.mkString(","))
+      }
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val st = java.nio.file.Files.list(p)
+          try st.forEach(rm(_)) finally st.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(scratch)
+    }
+  }
+
   test("cojoinBucketed: shuffle-free sort-merge join, correct rows") {
     import graft.ops.Layout
     val scratch = java.nio.file.Files.createTempDirectory("graft_bkt_t")
