@@ -1411,6 +1411,31 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Retention cohort matrix over the event stream
+    * ([[graft.ops.Events.retentionCohorts]]): first-activity ISO-week
+    * cohorts × week offsets, with round-6 retention fractions the
+    * oracle replays.
+    */
+  private def qRetention(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.retentionCohorts(events(s, dir), "user_id", "ts")
+      .orderBy(col("cohort_week"), col("week_offset"))
+
+  /** Group-wise z-score standardization (quantity per returnflag,
+    * grain 1): exact integer-grain statistics, every row's z replayed
+    * in SQL. Output limited to a deterministic sample slice to keep
+    * the gate small.
+    */
+  private def qZscore(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.groupedStandardize(
+        s.read.parquet(t(dir, "lineitem"))
+          .filter(col("l_orderkey") % 97 === 0)
+          .select(col("l_orderkey"), col("l_linenumber").cast("long")
+            .as("l_linenumber"), col("l_returnflag"), col("l_quantity")),
+        "l_returnflag", "l_quantity")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"), col("z"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   /** Byte-set Jaccard over blocked part-name pairs: our codegen'd
     * kernel vs DuckDB's NATIVE `jaccard` on every pair — a second
     * independently-oracled string-similarity kernel beside q_er_jw.
@@ -3497,6 +3522,8 @@ object SparkEntry {
     "q_triplets" -> (qTriplets _),
     "q_audit" -> (qAudit _),
     "q_jaccard_sim" -> (qJaccardSim _),
+    "q_retention" -> (qRetention _),
+    "q_zscore" -> (qZscore _),
     "q_schema_merge" -> (qSchemaMerge _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
@@ -4622,6 +4649,44 @@ object SparkEntry {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
         |  sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS checksum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // distinct (user, week) -> min-week cohort -> offset matrix
+    "q_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    date_trunc('week', ts)::DATE AS w FROM events),
+        |cohort AS (SELECT u, min(w) AS c FROM active GROUP BY u),
+        |sizes AS (SELECT c, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM cohort GROUP BY c),
+        |m AS (
+        |  SELECT ch.c, CAST((a.w - ch.c) // 7 AS BIGINT) AS week_offset,
+        |    CAST(count(*) AS BIGINT) AS n_users
+        |  FROM active a JOIN cohort ch USING (u)
+        |  GROUP BY 1, 2)
+        |SELECT m.c AS cohort_week, m.week_offset, m.n_users,
+        |  s.cohort_size, round(m.n_users / s.cohort_size, 6) AS retention
+        |FROM m JOIN sizes s USING (c)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    // exact integer-grain stats, per-row z replayed
+    "q_zscore" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    l_returnflag, l_quantity
+        |  FROM lineitem WHERE l_orderkey % 97 = 0),
+        |st AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(floor(l_quantity) AS BIGINT)) AS sx,
+        |    sum(CAST(floor(l_quantity) AS BIGINT) *
+        |        CAST(floor(l_quantity) AS BIGINT)) AS sxx
+        |  FROM src WHERE l_quantity IS NOT NULL GROUP BY 1),
+        |j AS (
+        |  SELECT s.*, st.n::DOUBLE AS nd, st.sx::DOUBLE AS sxd,
+        |    st.sxx::DOUBLE AS sxxd
+        |  FROM src s LEFT JOIN st USING (l_returnflag))
+        |SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  round(CASE WHEN (nd * sxxd - sxd * sxd) / (nd * nd) > 0
+        |    THEN (l_quantity - sxd / nd) /
+        |      sqrt((nd * sxxd - sxd * sxd) / (nd * nd)) END, 6) AS z
+        |FROM j ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // DuckDB's NATIVE byte-set jaccard as the independent oracle
     "q_jaccard_sim" ->
       """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 200)

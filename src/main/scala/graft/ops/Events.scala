@@ -135,6 +135,36 @@ object Events {
         count(lit(1)).as("n_events"))
   }
 
+  /** Retention cohort matrix: users grouped by first-activity ISO week
+    * (their cohort), each later week counting how many of them came
+    * back — (cohort_week, week_offset, n_users, cohort_size,
+    * retention round-6). The product-analytics staple, and the
+    * engagement-decay read on a corpus contribution stream.
+    *
+    * Scale shape: reduce to DISTINCT (user, week) first (the only
+    * all-events scan), derive per-user cohort with a min-aggregation,
+    * and the matrix is a count-distinct over (cohort, offset) keys —
+    * users never re-shuffle with payloads. Weeks are date_trunc ISO
+    * weeks (Monday), offset = day-difference / 7 (exact: both are
+    * week-aligned dates).
+    */
+  def retentionCohorts(df: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val active = df.select(col(userCol).as("u"),
+      date_trunc("week", col(tsCol)).cast("date").as("w")).distinct()
+    val cohort = active.groupBy(col("u")).agg(min(col("w")).as("c"))
+    val sizes = cohort.groupBy(col("c")).agg(count(lit(1)).as("cohort_size"))
+    active.join(cohort, Seq("u"))
+      .select(col("c"), (datediff(col("w"), col("c")) / 7).cast("long")
+        .as("week_offset"), col("u"))
+      .groupBy(col("c"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users")) // (u, week) distinct already
+      .join(sizes, Seq("c"))
+      .select(col("c").as("cohort_week"), col("week_offset"),
+        col("n_users"), col("cohort_size"),
+        round(col("n_users") / col("cohort_size"), 6).as("retention"))
+  }
+
   /** Daily resample with forward fill: one row per (key, day) over each
     * key's own [first, last] activity span — the gap-filling step every
     * time-series feature pipeline needs before windowed models (a

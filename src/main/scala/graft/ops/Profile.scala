@@ -218,6 +218,35 @@ object Profile {
       })
   }
 
+  /** Group-wise z-score standardization — the ML feature-prep step,
+    * with the group statistics from EXACT integer-grain sums (grain as
+    * in [[groupedCorr]]): mean = Σx/(g·n) and the population std from
+    * (n·Σx² − (Σx)²)/n² are deterministic under any partitioning, and
+    * every row's z replays in SQL. Output: input rows + `z` (round-6;
+    * null for zero-variance groups). Two passes: one tiny stats
+    * aggregation broadcast back onto the scan.
+    */
+  def groupedStandardize(df: DataFrame, groupCol: String, xCol: String,
+      grain: Long = 1L): DataFrame = {
+    val x = floor(col(xCol).cast("double") * grain).cast("long")
+    val stats = df.filter(col(xCol).isNotNull)
+      .select(col(groupCol), x.as("__x"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+    val joined = df.join(broadcast(stats), Seq(groupCol), "left")
+    val n = col("__n").cast("double")
+    val mean = col("__sx").cast("double") / n / grain
+    val varg = (n * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")) /
+      (n * n) / (grain.toDouble * grain)
+    joined
+      .withColumn("z", round(
+        when(varg > 0,
+          (col(xCol).cast("double") - mean) / sqrt(varg)), 6))
+      .drop("__n", "__sx", "__sxx")
+  }
+
   /** Exact per-group simple linear regression (OLS y = a·x + b) from
     * the same integer-grain sufficient statistics as [[groupedCorr]] —
     * the per-domain trend fit (tokens vs quality, price vs quantity)
