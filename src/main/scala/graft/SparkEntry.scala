@@ -1411,6 +1411,29 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Bloom-pruned join gate: lineitem joined to a 1-in-37 slice of
+    * orders through [[graft.ops.Joins.bloomPrunedJoin]] — the big side
+    * is probe-filtered at the scan (require'd on the plan) and the
+    * result must equal the plain relational join (Bloom has no false
+    * negatives; the join removes the false positives).
+    */
+  private def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(t(dir, "lineitem"))
+      .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+    val ords = s.read.parquet(t(dir, "orders"))
+      .filter(col("o_orderkey") % 37 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val joined = graft.ops.Joins.bloomPrunedJoin(li, ords, "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    require(plan.contains("graft_bloom_might_contain"),
+      s"big side must be bloom-probed at the scan:\n$plan")
+    joined.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(floor(col("l_extendedprice") * 100).cast("long")) / 100.0)
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Retention cohort matrix over the event stream
     * ([[graft.ops.Events.retentionCohorts]]): first-activity ISO-week
     * cohorts × week offsets, with round-6 retention fractions the
@@ -3523,6 +3546,7 @@ object SparkEntry {
     "q_audit" -> (qAudit _),
     "q_jaccard_sim" -> (qJaccardSim _),
     "q_retention" -> (qRetention _),
+    "q_bloom_join" -> (qBloomJoin _),
     "q_zscore" -> (qZscore _),
     "q_schema_merge" -> (qSchemaMerge _),
     "q_mm_resize" -> (qMmResize _),
@@ -4649,6 +4673,15 @@ object SparkEntry {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
         |  sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS checksum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // plain relational join — the Spark-side value-add (scan-level
+    // bloom pruning) is require'd structurally in-query
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) / 100.0
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey % 37 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // distinct (user, week) -> min-week cohort -> offset matrix
     "q_retention" ->
       """WITH active AS (

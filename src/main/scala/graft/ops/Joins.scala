@@ -228,4 +228,39 @@ object Joins {
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, keys :+ "__salt", "inner").drop("__salt")
   }
+
+  /** Bloom-pruned inner equi-join: when the small side is selective but
+    * too big (or a shuffled-hash plan is forced anyway), build a Bloom
+    * filter over its join keys and drop non-matching BIG-side rows at
+    * the SCAN, before their payloads ever reach the exchange — the
+    * runtime row-group/shuffle-volume reduction AQE's own runtime
+    * filters target, as an explicit operator. EXACT: a Bloom filter
+    * has no false negatives, so every matching row survives the
+    * prefilter and the join itself removes the ~`fpp` false
+    * positives — output == the plain join (q_bloom_join shares a plain
+    * relational oracle). The filter ships as ONE broadcast handle per
+    * executor and the probe is a codegen'd expression
+    * ([[graft.spark.BloomProbeExpression]]), so the big-side scan
+    * stays in whole-stage codegen. Integral join keys (the fact-table
+    * norm); the small side should fit a count() + bloomFilter build —
+    * its keys, not its rows, bound the filter size.
+    */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame, key: String,
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"bloomPrunedJoin: bad fpp $fpp")
+    val keyType = big.schema(key).dataType
+    require(keyType == org.apache.spark.sql.types.LongType ||
+      keyType == org.apache.spark.sql.types.IntegerType,
+      s"bloomPrunedJoin needs an integral key (got $keyType)")
+    val spark = big.sparkSession
+    val nKeys = math.max(1L, small.select(col(key)).distinct().count())
+    val bloom = small.select(col(key).cast("long").as(key))
+      .stat.bloomFilter(key, nKeys, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val probe = org.apache.spark.sql.GraftBridge.column(
+      graft.spark.BloomProbeExpression(
+        org.apache.spark.sql.GraftBridge.expression(col(key).cast("long")),
+        bc))
+    big.filter(probe).join(small, Seq(key))
+  }
 }
