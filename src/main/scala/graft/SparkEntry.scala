@@ -1411,6 +1411,28 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Subject-erasure gate ([[graft.ops.Snapshot.eraseSubjects]]):
+    * erase users with user_id % 13 == 0 from events, and customers
+    * with matching custkeys from orders — the audit table (removed /
+    * kept per table) plus a checksum of the surviving events certify
+    * the anti-join propagation exactly.
+    */
+  private def qErasure(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val ords = s.read.parquet(t(dir, "orders"))
+    val subjects = ev.select(col("user_id")).distinct()
+      .filter(col("user_id") % 13 === 0)
+    val (audit, cleaned) = graft.ops.Snapshot.eraseSubjects(
+      subjects, "user_id",
+      Seq(("events", ev, "user_id"), ("orders", ords, "o_custkey")))
+    val survivorSum = cleaned.toMap.apply("events")
+      .agg(coalesce(sum(col("event_id")), lit(0L)).as("chk")).head().getLong(0)
+    audit
+      .withColumn("surviving_event_id_sum",
+        when(col("table_name") === "events", lit(survivorSum)))
+      .orderBy(col("table_name"))
+  }
+
   /** Bloom-pruned join gate: lineitem joined to a 1-in-37 slice of
     * orders through [[graft.ops.Joins.bloomPrunedJoin]] — the big side
     * is probe-filtered at the scan (require'd on the plan) and the
@@ -3547,6 +3569,7 @@ object SparkEntry {
     "q_jaccard_sim" -> (qJaccardSim _),
     "q_retention" -> (qRetention _),
     "q_bloom_join" -> (qBloomJoin _),
+    "q_erasure" -> (qErasure _),
     "q_zscore" -> (qZscore _),
     "q_schema_merge" -> (qSchemaMerge _),
     "q_mm_resize" -> (qMmResize _),
@@ -4673,6 +4696,25 @@ object SparkEntry {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
         |  sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS checksum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // anti-join propagation + audit counts + survivor checksum
+    "q_erasure" ->
+      """WITH subj AS (
+        |  SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 0),
+        |ev AS (
+        |  SELECT 'events' AS table_name,
+        |    CAST(count(*) FILTER (WHERE user_id IN (SELECT user_id FROM subj)) AS BIGINT) AS n_removed,
+        |    CAST(count(*) FILTER (WHERE user_id NOT IN (SELECT user_id FROM subj)) AS BIGINT) AS n_kept,
+        |    CAST(COALESCE(sum(event_id) FILTER (WHERE user_id NOT IN (SELECT user_id FROM subj)), 0) AS BIGINT)
+        |      AS surviving_event_id_sum
+        |  FROM events),
+        |od AS (
+        |  SELECT 'orders',
+        |    CAST(count(*) FILTER (WHERE o_custkey IN (SELECT user_id FROM subj)) AS BIGINT),
+        |    CAST(count(*) FILTER (WHERE o_custkey NOT IN (SELECT user_id FROM subj)) AS BIGINT),
+        |    NULL::BIGINT
+        |  FROM orders)
+        |SELECT * FROM ev UNION ALL SELECT * FROM od
+        |ORDER BY table_name""".stripMargin,
     // plain relational join — the Spark-side value-add (scan-level
     // bloom pruning) is require'd structurally in-query
     "q_bloom_join" ->

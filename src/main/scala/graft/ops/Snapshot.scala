@@ -61,6 +61,35 @@ object Snapshot {
           .as("overlap_frac"))
   }
 
+  /** Subject-erasure propagation (GDPR/CCPA delete): given a table of
+    * subject keys to erase, anti-join every dependent table on its key
+    * column and report, per table, how many rows were removed and kept
+    * — the audit trail a compliance workflow must produce alongside
+    * the rewritten data. Returns (audit, cleaned tables in input
+    * order). The erase-key set stays a semi/anti-join side (broadcast
+    * or shuffled as AQE sizes it); dependent-table payloads never
+    * shuffle for the audit (counts aggregate scan-side).
+    */
+  def eraseSubjects(subjects: DataFrame, subjectKey: String,
+      tables: Seq[(String, DataFrame, String)])
+      : (DataFrame, Seq[(String, DataFrame)]) = {
+    require(tables.nonEmpty, "eraseSubjects: no tables")
+    val keys = subjects.select(col(subjectKey).as("__k")).distinct()
+    val cleaned = tables.map { case (name, df, keyCol) =>
+      name -> df.join(keys, df(keyCol) === keys("__k"), "left_anti")
+    }
+    // audit: one aggregation per table, unioned (tiny)
+    val audit = tables.map { case (name, df, keyCol) =>
+      df.join(keys, df(keyCol) === keys("__k"), "left_semi")
+        .agg(count(lit(1)).as("n_removed"))
+        .select(lit(name).as("table_name"), col("n_removed"))
+        .crossJoin(df.agg(count(lit(1)).as("n_total")))
+        .select(col("table_name"), col("n_removed"),
+          (col("n_total") - col("n_removed")).as("n_kept"))
+    }.reduce(_ union _)
+    (audit, cleaned)
+  }
+
   /** MERGE-INTO emulation: apply a change batch (op ∈ insert / update /
     * delete, keyed by `idCol`) to a base snapshot — the warehouse
     * upsert a periodically-recrawled corpus runs per ingest. Semantics:
