@@ -1411,6 +1411,22 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Volume anomaly sweep — the ops-monitoring composition: daily
+    * event counts per type, z-scored against the type's own
+    * distribution ([[graft.ops.Profile.groupedStandardize]] on the
+    * aggregated frame), |z| ≥ 2 flagged. Detects ingest spikes/outages
+    * in a pipeline's arrival stream.
+    */
+  private def qAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    graft.ops.Profile.groupedStandardize(daily, "event_type", "n_events")
+      .select(col("event_type"), col("day"), col("n_events"), col("z"),
+        (abs(col("z")) >= 2.0).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Subject-erasure gate ([[graft.ops.Snapshot.eraseSubjects]]):
     * erase users with user_id % 13 == 0 from events, and customers
     * with matching custkeys from orders — the audit table (removed /
@@ -3570,6 +3586,7 @@ object SparkEntry {
     "q_retention" -> (qRetention _),
     "q_bloom_join" -> (qBloomJoin _),
     "q_erasure" -> (qErasure _),
+    "q_anomaly" -> (qAnomaly _),
     "q_zscore" -> (qZscore _),
     "q_schema_merge" -> (qSchemaMerge _),
     "q_mm_resize" -> (qMmResize _),
@@ -4696,6 +4713,28 @@ object SparkEntry {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
         |  sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS checksum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // daily volumes z-scored per type with the exact integer stats
+    "q_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, count(*) AS n, sum(n_events) AS sx,
+        |    sum(n_events * n_events) AS sxx
+        |  FROM daily GROUP BY 1),
+        |j AS (
+        |  SELECT d.*, st.n::DOUBLE AS nd, st.sx::DOUBLE AS sxd,
+        |    st.sxx::DOUBLE AS sxxd
+        |  FROM daily d LEFT JOIN st USING (event_type)),
+        |z AS (
+        |  SELECT event_type, day, n_events,
+        |    round(CASE WHEN (nd * sxxd - sxd * sxd) / (nd * nd) > 0
+        |      THEN (n_events - sxd / nd) /
+        |        sqrt((nd * sxxd - sxd * sxd) / (nd * nd)) END, 6) AS z
+        |  FROM j)
+        |SELECT event_type, day, n_events, z, abs(z) >= 2.0 AS is_anomaly
+        |FROM z ORDER BY event_type, day""".stripMargin,
     // anti-join propagation + audit counts + survivor checksum
     "q_erasure" ->
       """WITH subj AS (
