@@ -16,6 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  /** Recursive scratch-dir delete shared by the eager file-layout
+    * gates (materialize / bucketed join / partition prune / schema
+    * merge). */
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val st = java.nio.file.Files.list(p)
+      try st.forEach(rmTree(_)) finally st.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
+
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
   /** events.ts has shipped as both parquet TIMESTAMP(NANOS) — which
@@ -882,13 +894,6 @@ object SparkEntry {
   private def qPartPrune(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val scratch = java.nio.file.Files.createTempDirectory("graft_part")
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val st = java.nio.file.Files.list(p)
-        try st.forEach(rm(_)) finally st.close()
-      }
-      java.nio.file.Files.deleteIfExists(p)
-    }
     try {
       s.read.parquet(t(dir, "documents")).write.mode("overwrite")
         .partitionBy("lang").parquet(s"$scratch/docs")
@@ -897,15 +902,17 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       val plan = pruned.queryExecution.sparkPlan.toString
-      require(plan.contains("PartitionFilters") &&
-        plan.linesIterator.exists(l =>
-          l.contains("PartitionFilters") && l.contains("lang")),
+      // the lang predicate must sit INSIDE the PartitionFilters bracket
+      // (FileScan prints its column list on the same line, so a
+      // whole-line contains() would pass even with empty filters)
+      require("PartitionFilters: \\[[^\\]]*lang[^\\]]*\\]".r
+        .findFirstIn(plan).isDefined,
         s"lang predicate must prune partitions at the scan:\n$plan")
       val rows = pruned.collect() // |sources| rows — bounded
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       rows.toSeq.toDF("source", "n_docs", "sum_chars")
         .orderBy(col("source"))
-    } finally rm(scratch)
+    } finally rmTree(scratch)
   }
 
   /** Exact per-group Pearson correlation (quantity vs price per
@@ -953,13 +960,6 @@ object SparkEntry {
   private def qSchemaMerge(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val scratch = java.nio.file.Files.createTempDirectory("graft_schema")
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val st = java.nio.file.Files.list(p)
-        try st.forEach(rm(_)) finally st.close()
-      }
-      java.nio.file.Files.deleteIfExists(p)
-    }
     try {
       val docs = s.read.parquet(t(dir, "documents"))
       docs.filter(col("doc_id") % 2 === 0)
@@ -981,7 +981,7 @@ object SparkEntry {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       rows.toSeq.toDF("source", "n_docs", "n_with_quality", "sum_quality")
         .orderBy(col("source"))
-    } finally rm(scratch)
+    } finally rmTree(scratch)
   }
 
   /** MERGE-INTO gate: a synthetic change batch (updates on id%10==1,
@@ -1179,8 +1179,13 @@ object SparkEntry {
     */
   private def qZorder(s: SparkSession, dir: String): DataFrame =
     graft.ops.Layout.zorderEnvelopeReport(
-        s.read.parquet(t(dir, "lineitem")), "l_partkey", "l_suppkey",
-        bits = 11, nBuckets = 16)
+        s.read.parquet(t(dir, "lineitem"))
+          // zorderKey2 precondition: values must FIT the bit budget —
+          // sf0.1 partkeys reach 19999, so mask both dims into the
+          // 11-bit domain explicitly (the clustering dims, not raw ids)
+          .select((col("l_partkey") % 2048).as("pk"),
+            (col("l_suppkey") % 2048).as("sk")),
+        "pk", "sk", bits = 11, nBuckets = 16)
       .orderBy(col("layout"), col("bucket"))
 
   /** Bucketed co-located join gate: orders ⋈ customer both written
@@ -1194,13 +1199,6 @@ object SparkEntry {
   private def qBucketJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val scratch = java.nio.file.Files.createTempDirectory("graft_bkt")
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val st = java.nio.file.Files.list(p)
-        try st.forEach(rm(_)) finally st.close()
-      }
-      java.nio.file.Files.deleteIfExists(p)
-    }
     try {
       val ord = s.read.parquet(t(dir, "orders"))
         .select(col("o_custkey").as("custkey"), col("o_totalprice"))
@@ -1218,7 +1216,7 @@ object SparkEntry {
         .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
       rows.toSeq.toDF("c_mktsegment", "n_orders", "total")
         .orderBy(col("c_mktsegment"))
-    } finally rm(scratch)
+    } finally rmTree(scratch)
   }
 
   /** Language-ID confidence gate: per doc the winning language plus
@@ -3176,13 +3174,6 @@ object SparkEntry {
   private def qMaterialize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val scratch = java.nio.file.Files.createTempDirectory("graft_mat_gate")
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val st = java.nio.file.Files.list(p)
-        try st.forEach(rm(_)) finally st.close()
-      }
-      java.nio.file.Files.deleteIfExists(p)
-    }
     try {
       val docs = s.read.parquet(t(dir, "documents")).repartition(8)
       val inRows = docs.count()
@@ -3213,7 +3204,7 @@ object SparkEntry {
           targetMB.toLong))
         .toDF("files_in_bounds", "overshoot_ok", "rows_roundtrip",
           "n_files", "max_file_mb", "target_mb")
-    } finally rm(scratch)
+    } finally rmTree(scratch)
   }
 
   /** WET (Common Crawl text) ingest gate: a deterministic fixture — one
@@ -4646,8 +4637,8 @@ object SparkEntry {
       val z = (0 until 11).map(i =>
         s"(((a >> $i) & 1) << ${2 * i + 1}) | (((b >> $i) & 1) << ${2 * i})")
         .mkString(" | ")
-      s"""WITH t AS (SELECT CAST(l_partkey AS BIGINT) AS a,
-         |    CAST(l_suppkey AS BIGINT) AS b FROM lineitem),
+      s"""WITH t AS (SELECT CAST(l_partkey % 2048 AS BIGINT) AS a,
+         |    CAST(l_suppkey % 2048 AS BIGINT) AS b FROM lineitem),
          |z AS (SELECT a, b, ($z) AS zv FROM t),
          |zr AS (
          |  SELECT 'zorder' AS layout, zv >> 18 AS bucket,

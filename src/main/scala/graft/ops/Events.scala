@@ -124,8 +124,13 @@ object Events {
       valueCol: String, halfLifeDays: Int,
       asOfEpochSec: Option[Long] = None): DataFrame = {
     require(halfLifeDays >= 1, s"decayedScore: bad half-life $halfLifeDays")
-    val asOf: Long = asOfEpochSec.getOrElse(
-      df.agg(max(unix_timestamp(col(tsCol)))).head().getLong(0))
+    val asOf: Long = asOfEpochSec.getOrElse {
+      val row = df.agg(max(unix_timestamp(col(tsCol)))).head()
+      require(!row.isNullAt(0),
+        "decayedScore: empty input (or all-null timestamps) and no " +
+          "asOfEpochSec — pass an explicit as-of instant")
+      row.getLong(0)
+    }
     val n = floor((lit(asOf) - unix_timestamp(col(tsCol))) /
       lit(halfLifeDays * 86400L)).cast("int")
     val term6 = floor(col(valueCol).cast("double") *

@@ -91,6 +91,15 @@ object Layout {
     val zShift = 2 * bits - (math.log(nBuckets) / math.log(2)).toInt
     val aShift = bits - (math.log(nBuckets) / math.log(2)).toInt
     require(aShift >= 0, s"nBuckets $nBuckets too large for $bits bits")
+    // enforce the interleave precondition loudly (silent aliasing would
+    // produce a green-looking but meaningless envelope report); one
+    // cheap two-column aggregate — this is a diagnostic operator
+    val mx = df.agg(max(col(aCol).cast("long")), max(col(bCol).cast("long")))
+      .head()
+    val bound = (1L << bits) - 1
+    require(mx.isNullAt(0) || (mx.getLong(0) <= bound && mx.getLong(1) <= bound),
+      s"zorderEnvelopeReport: dims exceed $bits bits " +
+        s"(max ${mx.get(0)}, ${mx.get(1)}) — mask or widen bits")
     val z = zorderKey2(col(aCol), col(bCol), bits)
     def report(layout: String, bucket: Column) =
       df.select(bucket.as("bucket"), col(aCol).cast("long").as("a"),
@@ -133,7 +142,11 @@ object Layout {
     }
     val j = s.table(leftName).join(s.table(rightName).hint("merge"), Seq(key))
     val plan = j.queryExecution.executedPlan.toString
-    require(!plan.contains("ShuffleExchange"),
+    // ShuffleExchangeExec prints as "Exchange hashpartitioning(...)" —
+    // matching "ShuffleExchange" would be vacuous (nodeName is
+    // "Exchange"); BroadcastExchange prints with its own prefix, so
+    // this string is exactly the shuffle
+    require(!plan.contains("Exchange hashpartitioning"),
       s"bucketed cojoin must plan shuffle-free, got:\n$plan")
     require(plan.contains("SortMergeJoin"),
       s"bucketed cojoin must plan a sort-merge join, got:\n$plan")

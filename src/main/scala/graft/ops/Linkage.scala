@@ -51,12 +51,17 @@ object Linkage {
     * match window ⌊max(|a|,|b|)/2⌋−1, transpositions = half the
     * misaligned match pairs, Winkler boost `+ p·0.1·(1−jaro)` for the
     * common prefix p ≤ 4 applied only when jaro > 0.7, either-empty →
-    * 0. Char granularity is UTF-16 code units (names; supplementary
-    * planes pair-compare consistently on both sides of a self-join).
+    * 0. Char granularity is Unicode CODE POINTS — the same unit
+    * Catalyst's `length()` counts, which is what makes the length-ratio
+    * prefilter ([[graft.spark.JaroWinklerPrefilterRule]] and the guard
+    * in [[blockedPairsJw]]) sound for supplementary-plane text, not
+    * just the BMP.
     */
   def jaroWinklerValue(a: String, b: String): Double = {
-    val la = a.length
-    val lb = b.length
+    val ca = a.codePoints().toArray
+    val cb = b.codePoints().toArray
+    val la = ca.length
+    val lb = cb.length
     if (la == 0 || lb == 0) return 0.0
     val w = math.max(math.max(la, lb) / 2 - 1, 0)
     val aM = new Array[Boolean](la)
@@ -68,7 +73,7 @@ object Linkage {
       var j = math.max(0, i - w)
       var found = false
       while (j <= hi && !found) {
-        if (!bM(j) && a.charAt(i) == b.charAt(j)) {
+        if (!bM(j) && ca(i) == cb(j)) {
           aM(i) = true; bM(j) = true; m += 1; found = true
         }
         j += 1
@@ -82,7 +87,7 @@ object Linkage {
     while (i < la) {
       if (aM(i)) {
         while (!bM(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) t += 1
+        if (ca(i) != cb(k)) t += 1
         k += 1
       }
       i += 1
@@ -92,7 +97,7 @@ object Linkage {
     else {
       val cap = math.min(4, math.min(la, lb))
       var p = 0
-      while (p < cap && a.charAt(p) == b.charAt(p)) p += 1
+      while (p < cap && ca(p) == cb(p)) p += 1
       jaro + p * 0.1 * (1.0 - jaro)
     }
   }

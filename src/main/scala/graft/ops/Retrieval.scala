@@ -207,7 +207,22 @@ object Retrieval {
     val perDoc = toks.groupBy(col("term"), col("doc"))
       .agg(count(lit(1)).as("tf_doc"),
         array_join(sort_array(collect_list(col("pos"))), "|").as("plist"))
-    perDoc.groupBy(col("term"))
+    // minDf prunes BEFORE postings assembly: the hapax tail (which
+    // dominates a Zipfian vocabulary) must never have its posting
+    // strings collected/sorted/serialized just to be discarded — so
+    // when minDf > 1, a (term → df) pre-aggregation semi-joins the
+    // per-doc relation first (ids-only exchange; the extra shuffle is
+    // the price of not materializing the tail)
+    val kept =
+      if (minDf <= 1) perDoc
+      else {
+        val qualifying = perDoc.groupBy(col("term"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") >= minDf)
+          .select(col("term"))
+        perDoc.join(qualifying, Seq("term"), "left_semi")
+      }
+    kept.groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("df"),
         sum(col("tf_doc")).cast("long").as("tf"),
         array_join(

@@ -3088,6 +3088,18 @@ class OpsSpec extends AnyFunSuite {
     val viaSql = spark.sql(
       "SELECT graft_jaro_winkler('martha', 'marhta')").head().getDouble(0)
     assert(close(viaSql, 0.9611111111111111))
+    // code-POINT granularity: supplementary-plane chars count once, so
+    // the kernel's unit matches Catalyst length() and the length-ratio
+    // prefilter stays sound off the BMP (review finding: the old
+    // UTF-16-unit kernel let the guard drop this qualifying pair)
+    val astral = "𝕏" * 20 // 20 code points, 40 UTF-16 units
+    val jwAstral = jaroWinklerValue(astral, astral + "abc")
+    assert(close(jwAstral, 0.9739130434782608), jwAstral.toString)
+    val pair = Seq((1L, astral), (2L, astral + "abc"))
+      .toDF("id", "name").withColumn("blk", lit("b"))
+    val kept = graft.ops.Linkage.blockedPairsJw(pair, "id", "name",
+      col("blk"), minSim = 0.97).count()
+    assert(kept == 1L, "guard must not drop the qualifying astral pair")
   }
 
   test("JW length bound is conservative: jw >= c implies the guard") {

@@ -769,22 +769,33 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("invertedIndex: postings text never pre-aggregates — map-side " +
-      "partial on (term, doc), plan has exactly two exchanges") {
+      "partial on (term, doc); minDf prunes via semi-join before assembly") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val idx = graft.ops.Retrieval.invertedIndex(docs, "text", "doc_id",
-      minDf = 2)
-    idx.collect()
-    val full = idx.queryExecution.executedPlan.toString
-    val executed = full.indexOf("== Initial Plan ==") match {
-      case -1 => full
-      case i  => full.substring(0, i)
+    // minDf=1 fast path: exactly the two aggregation exchanges
+    val idx1 = graft.ops.Retrieval.invertedIndex(docs, "text", "doc_id")
+    idx1.collect()
+    def executedOf(df: org.apache.spark.sql.DataFrame) = {
+      val full = df.queryExecution.executedPlan.toString
+      full.indexOf("== Initial Plan ==") match {
+        case -1 => full
+        case i  => full.substring(0, i)
+      }
     }
-    val exchanges = executed.linesIterator
+    val e1 = executedOf(idx1)
+    val ex1 = e1.linesIterator
       .filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(exchanges.size == 2, executed)
-    // the raw document text itself never rides an exchange (terms do —
-    // they are the aggregation key)
-    assert(!exchanges.exists(_.contains("text#")), executed)
+    assert(ex1.size == 2, e1)
+    assert(!ex1.exists(_.contains("text#")), e1)
+    // minDf>1: the hapax tail is semi-joined away BEFORE the postings
+    // assembly aggregation (never collected/sorted just to be dropped)
+    val idx2 = graft.ops.Retrieval.invertedIndex(docs, "text", "doc_id",
+      minDf = 2)
+    idx2.collect()
+    val e2 = executedOf(idx2)
+    assert(e2.contains("LeftSemi"), e2)
+    assert(!e2.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .exists(_.contains("text#")), e2)
   }
 
   test("star join broadcasts every dimension; fact table never shuffles " +
