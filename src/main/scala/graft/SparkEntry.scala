@@ -787,6 +787,34 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** ER evaluation gate ([[graft.ops.Linkage.pairEval]]): the JW
+    * pipeline's predicted pairs scored against the KNOWN gold pairs
+    * (each original ↔ its planted clone) — precision is < 1 by
+    * construction (distinct customers can share an identical name
+    * after the digit swap), which is exactly what the metric exists to
+    * expose. The oracle recomputes prediction, truth, and every
+    * metric relationally.
+    */
+  private def qErEval(s: SparkSession, dir: String): DataFrame = {
+    val cust = s.read.parquet(t(dir, "customer"))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val typos = cust.filter(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(
+          expr("substring(c_name, 1, length(c_name) - 2)"),
+          expr("substring(c_name, length(c_name), 1)"),
+          expr("substring(c_name, length(c_name) - 1, 1)")).as("c_name"),
+        col("c_nationkey"))
+    val block = concat(col("c_nationkey").cast("string"), lit(":"),
+      expr("substring(c_name, 1, length(c_name) - 2)"))
+    val predicted = graft.ops.Linkage.blockedPairsJw(cust.union(typos),
+      "c_custkey", "c_name", block, minSim = 0.985)
+    val truth = cust.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("id_a"),
+        (col("c_custkey") + 1000000L).as("id_b"))
+    graft.ops.Linkage.pairEval(predicted, truth)
+  }
+
   /** Label-noise sweep: cosine of each embedding to its own label
     * centroid, negatives flagged. Integer-grain centroid and cosine
     * terms make the whole computation bit-replayable in the oracle.
@@ -3566,6 +3594,7 @@ object SparkEntry {
     "q_checksum" -> (qChecksum _),
     "q_latest" -> (qLatest _),
     "q_er_jw" -> (qErJw _),
+    "q_er_eval" -> (qErEval _),
     "q_ols" -> (qOls _),
     "q_top_terms" -> (qTopTerms _),
     "q_pack_plan" -> (qPackPlan _),
@@ -4589,6 +4618,41 @@ object SparkEntry {
         |FROM blk a JOIN blk c ON a.b = c.b AND a.c_custkey < c.c_custkey
         |WHERE levenshtein(a.c_name, c.c_name) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+    // prediction, gold pairs, and all metrics recomputed relationally
+    "q_er_eval" ->
+      """WITH typos AS (
+        |  SELECT c_custkey + 1000000 AS c_custkey,
+        |    substr(c_name, 1, length(c_name) - 2)
+        |      || substr(c_name, length(c_name), 1)
+        |      || substr(c_name, length(c_name) - 1, 1) AS c_name,
+        |    c_nationkey
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |dirty AS (
+        |  SELECT c_custkey, c_name, c_nationkey FROM customer
+        |  UNION ALL SELECT * FROM typos),
+        |blk AS (SELECT *, c_nationkey::VARCHAR || ':' ||
+        |    substr(c_name, 1, length(c_name) - 2) AS b FROM dirty),
+        |pred AS (
+        |  SELECT DISTINCT a.c_custkey AS id_a, c.c_custkey AS id_b
+        |  FROM blk a JOIN blk c ON a.b = c.b AND a.c_custkey < c.c_custkey
+        |  WHERE jaro_winkler_similarity(a.c_name, c.c_name) >= 0.985),
+        |gold AS (
+        |  SELECT c_custkey AS id_a, c_custkey + 1000000 AS id_b
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |hit AS (SELECT p.* FROM pred p JOIN gold g USING (id_a, id_b)),
+        |c AS (SELECT (SELECT count(*) FROM pred) AS np,
+        |  (SELECT count(*) FROM gold) AS ng,
+        |  (SELECT count(*) FROM hit) AS nh)
+        |SELECT CAST(np AS BIGINT) AS n_predicted,
+        |  CAST(ng AS BIGINT) AS n_truth, CAST(nh AS BIGINT) AS n_hit,
+        |  round(CASE WHEN np = 0 THEN 0 ELSE nh::DOUBLE / np END, 6)
+        |    AS precision,
+        |  round(CASE WHEN ng = 0 THEN 0 ELSE nh::DOUBLE / ng END, 6)
+        |    AS recall,
+        |  round(CASE WHEN nh = 0 THEN 0 ELSE
+        |    2 * (nh::DOUBLE / np) * (nh::DOUBLE / ng) /
+        |      (nh::DOUBLE / np + nh::DOUBLE / ng) END, 6) AS f1
+        |FROM c""".stripMargin,
     // DuckDB's NATIVE jaro_winkler_similarity as an independent oracle
     // for our codegen'd kernel — not a replay
     "q_er_jw" ->

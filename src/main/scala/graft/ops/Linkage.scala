@@ -189,4 +189,29 @@ object Linkage {
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
         col("sim"))
   }
+
+  /** Pair-level evaluation of an ER/dedup candidate relation against a
+    * gold pair set — the metric every blocking-strategy decision needs:
+    * (n_predicted, n_truth, n_hit, precision, recall, f1). Both inputs
+    * are (id_a, id_b) with id_a < id_b (the repo-wide pair convention);
+    * the intersection is one id-keyed join, metrics are exact integer
+    * ratios rounded at 6.
+    */
+  def pairEval(predicted: DataFrame, truth: DataFrame): DataFrame = {
+    val p = predicted.select(col("id_a"), col("id_b")).distinct()
+    val g = truth.select(col("id_a"), col("id_b")).distinct()
+    val hit = p.join(g, Seq("id_a", "id_b"), "left_semi")
+    val np = p.count()
+    val ng = g.count()
+    val nh = hit.count()
+    val prec = if (np == 0) 0.0 else nh.toDouble / np
+    val rec = if (ng == 0) 0.0 else nh.toDouble / ng
+    val f1 = if (prec + rec == 0) 0.0 else 2 * prec * rec / (prec + rec)
+    val spark = predicted.sparkSession
+    import spark.implicits._
+    Seq((np, ng, nh,
+      math.rint(prec * 1e6) / 1e6, math.rint(rec * 1e6) / 1e6,
+      math.rint(f1 * 1e6) / 1e6))
+      .toDF("n_predicted", "n_truth", "n_hit", "precision", "recall", "f1")
+  }
 }

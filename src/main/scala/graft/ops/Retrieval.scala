@@ -212,7 +212,10 @@ object Retrieval {
     // strings collected/sorted/serialized just to be discarded — so
     // when minDf > 1, a (term → df) pre-aggregation semi-joins the
     // per-doc relation first (ids-only exchange; the extra shuffle is
-    // the price of not materializing the tail)
+    // the price of not materializing the tail). On a TOY corpus the
+    // extra exchange costs more than the tail it saves (~+0.3 s at
+    // sf0.1) — the tradeoff is sized for real vocabularies, where the
+    // tail is most of the terms
     val kept =
       if (minDf <= 1) perDoc
       else {

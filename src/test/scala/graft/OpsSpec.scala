@@ -5,6 +5,14 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class OpsSpec extends AnyFunSuite {
+  private def rmScratch(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val st = java.nio.file.Files.list(p)
+      try st.forEach(rmScratch(_)) finally st.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
@@ -3248,14 +3256,7 @@ class OpsSpec extends AnyFunSuite {
           envs.mkString(","))
       }
     } finally {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val st = java.nio.file.Files.list(p)
-          try st.forEach(rm(_)) finally st.close()
-        }
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      rm(scratch)
+      rmScratch(scratch)
     }
   }
 
@@ -3280,14 +3281,7 @@ class OpsSpec extends AnyFunSuite {
       Seq("graft_t_l", "graft_t_r")
         .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
     } finally {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val st = java.nio.file.Files.list(p)
-          try st.forEach(rm(_)) finally st.close()
-        }
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      rm(scratch)
+      rmScratch(scratch)
     }
   }
 
