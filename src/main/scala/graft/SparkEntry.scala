@@ -3,7 +3,7 @@ package graft
 import graft.dict.{DictionaryEntry => DE, HighlighterOpts => HO, Optimizer, Readers}
 import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
 import graft.spark.{SparkAlphaAnnotator, SparkHighlighter}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -738,13 +738,15 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "text", "doc_id", minDf = 5)
       .orderBy(col("term"))
 
-  /** Entity resolution over a deliberately dirtied customer dimension:
-    * every 7th customer gains a clone (key + 1,000,000) whose name has
-    * its last two characters swapped. Blocking on (nation, name minus
-    * the last 2 chars) bounds candidate pairs; Levenshtein ≤ 2 scores
-    * them. The oracle replays block + join + levenshtein relationally.
+  /** Shared fixture for the three ER gates (q_er / q_er_jw /
+    * q_er_eval): the customer dimension plus a clone per custkey%7==0
+    * with the name's last two characters swapped, and the
+    * (nation : name-minus-last-2) blocking key. MUST stay in lockstep
+    * with the three gates' DuckDB oracles, which replay this
+    * construction verbatim.
     */
-  private def qEr(s: SparkSession, dir: String): DataFrame = {
+  private def dirtyCustomers(s: SparkSession, dir: String)
+      : (DataFrame, Column) = {
     val cust = s.read.parquet(t(dir, "customer"))
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
     val typos = cust.filter(col("c_custkey") % 7 === 0)
@@ -756,7 +758,18 @@ object SparkEntry {
         col("c_nationkey"))
     val block = concat(col("c_nationkey").cast("string"), lit(":"),
       expr("substring(c_name, 1, length(c_name) - 2)"))
-    graft.ops.Linkage.blockedPairs(cust.union(typos), "c_custkey",
+    (cust.union(typos), block)
+  }
+
+  /** Entity resolution over a deliberately dirtied customer dimension:
+    * every 7th customer gains a clone (key + 1,000,000) whose name has
+    * its last two characters swapped. Blocking on (nation, name minus
+    * the last 2 chars) bounds candidate pairs; Levenshtein ≤ 2 scores
+    * them. The oracle replays block + join + levenshtein relationally.
+    */
+  private def qEr(s: SparkSession, dir: String): DataFrame = {
+    val (dirty, block) = dirtyCustomers(s, dir)
+    graft.ops.Linkage.blockedPairs(dirty, "c_custkey",
         "c_name", block, maxDist = 2)
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -770,18 +783,8 @@ object SparkEntry {
     * implementation, not a replay of ours.
     */
   private def qErJw(s: SparkSession, dir: String): DataFrame = {
-    val cust = s.read.parquet(t(dir, "customer"))
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-    val typos = cust.filter(col("c_custkey") % 7 === 0)
-      .select((col("c_custkey") + 1000000L).as("c_custkey"),
-        concat(
-          expr("substring(c_name, 1, length(c_name) - 2)"),
-          expr("substring(c_name, length(c_name), 1)"),
-          expr("substring(c_name, length(c_name) - 1, 1)")).as("c_name"),
-        col("c_nationkey"))
-    val block = concat(col("c_nationkey").cast("string"), lit(":"),
-      expr("substring(c_name, 1, length(c_name) - 2)"))
-    graft.ops.Linkage.blockedPairsJw(cust.union(typos), "c_custkey",
+    val (dirty, block) = dirtyCustomers(s, dir)
+    graft.ops.Linkage.blockedPairsJw(dirty, "c_custkey",
         "c_name", block, minSim = 0.985)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
       .orderBy(col("id_a"), col("id_b"))
@@ -796,20 +799,11 @@ object SparkEntry {
     * metric relationally.
     */
   private def qErEval(s: SparkSession, dir: String): DataFrame = {
-    val cust = s.read.parquet(t(dir, "customer"))
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-    val typos = cust.filter(col("c_custkey") % 7 === 0)
-      .select((col("c_custkey") + 1000000L).as("c_custkey"),
-        concat(
-          expr("substring(c_name, 1, length(c_name) - 2)"),
-          expr("substring(c_name, length(c_name), 1)"),
-          expr("substring(c_name, length(c_name) - 1, 1)")).as("c_name"),
-        col("c_nationkey"))
-    val block = concat(col("c_nationkey").cast("string"), lit(":"),
-      expr("substring(c_name, 1, length(c_name) - 2)"))
-    val predicted = graft.ops.Linkage.blockedPairsJw(cust.union(typos),
+    val (dirty, block) = dirtyCustomers(s, dir)
+    val predicted = graft.ops.Linkage.blockedPairsJw(dirty,
       "c_custkey", "c_name", block, minSim = 0.985)
-    val truth = cust.filter(col("c_custkey") % 7 === 0)
+    val truth = s.read.parquet(t(dir, "customer"))
+      .filter(col("c_custkey") % 7 === 0)
       .select(col("c_custkey").as("id_a"),
         (col("c_custkey") + 1000000L).as("id_b"))
     graft.ops.Linkage.pairEval(predicted, truth)

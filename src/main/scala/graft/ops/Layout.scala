@@ -91,15 +91,20 @@ object Layout {
     val zShift = 2 * bits - (math.log(nBuckets) / math.log(2)).toInt
     val aShift = bits - (math.log(nBuckets) / math.log(2)).toInt
     require(aShift >= 0, s"nBuckets $nBuckets too large for $bits bits")
-    // enforce the interleave precondition loudly (silent aliasing would
-    // produce a green-looking but meaningless envelope report); one
-    // cheap two-column aggregate — this is a diagnostic operator
-    val mx = df.agg(max(col(aCol).cast("long")), max(col(bCol).cast("long")))
-      .head()
+    // enforce the interleave precondition loudly (silent aliasing —
+    // including sign-extension on negatives — would produce a
+    // green-looking but meaningless envelope report); one cheap
+    // four-scalar aggregate — this is a diagnostic operator
+    val mm = df.agg(min(col(aCol).cast("long")), max(col(aCol).cast("long")),
+      min(col(bCol).cast("long")), max(col(bCol).cast("long"))).head()
+    require((0 until 4).forall(i => !mm.isNullAt(i)),
+      "zorderEnvelopeReport: empty input or all-null dimension")
     val bound = (1L << bits) - 1
-    require(mx.isNullAt(0) || (mx.getLong(0) <= bound && mx.getLong(1) <= bound),
-      s"zorderEnvelopeReport: dims exceed $bits bits " +
-        s"(max ${mx.get(0)}, ${mx.get(1)}) — mask or widen bits")
+    require(mm.getLong(0) >= 0 && mm.getLong(2) >= 0 &&
+      mm.getLong(1) <= bound && mm.getLong(3) <= bound,
+      s"zorderEnvelopeReport: dims outside [0, $bound] " +
+        s"(a in [${mm.get(0)}, ${mm.get(1)}], " +
+        s"b in [${mm.get(2)}, ${mm.get(3)}]) — mask or widen bits")
     val z = zorderKey2(col(aCol), col(bCol), bits)
     def report(layout: String, bucket: Column) =
       df.select(bucket.as("bucket"), col(aCol).cast("long").as("a"),

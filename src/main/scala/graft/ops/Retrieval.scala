@@ -219,11 +219,17 @@ object Retrieval {
     val kept =
       if (minDf <= 1) perDoc
       else {
-        val qualifying = perDoc.groupBy(col("term"))
+        // both the df count and the probe read perDoc: persist it so
+        // the tokenize + (term, doc) aggregation — the operator's
+        // dominant stage — runs once, not twice (freed by the caller's
+        // cache hygiene, same contract as Dedup's pair caches)
+        val cached = perDoc
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val qualifying = cached.groupBy(col("term"))
           .agg(count(lit(1)).as("__df"))
           .filter(col("__df") >= minDf)
           .select(col("term"))
-        perDoc.join(qualifying, Seq("term"), "left_semi")
+        cached.join(qualifying, Seq("term"), "left_semi")
       }
     kept.groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("df"),

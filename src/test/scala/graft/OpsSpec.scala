@@ -3096,10 +3096,11 @@ class OpsSpec extends AnyFunSuite {
     val viaSql = spark.sql(
       "SELECT graft_jaro_winkler('martha', 'marhta')").head().getDouble(0)
     assert(close(viaSql, 0.9611111111111111))
-    // code-POINT granularity: supplementary-plane chars count once, so
-    // the kernel's unit matches Catalyst length() and the length-ratio
-    // prefilter stays sound off the BMP (review finding: the old
-    // UTF-16-unit kernel let the guard drop this qualifying pair)
+    // code-POINT granularity pin: 20 astral chars are 20 units to this
+    // kernel (a UTF-16-unit kernel would score 40/43 = 0.98605 here);
+    // the end-to-end DataFrame path keeps the pair through the length
+    // guard (the discriminating guard-vs-kernel consistency property
+    // lives in the conservativeness test's astral alphabet)
     val astral = "𝕏" * 20 // 20 code points, 40 UTF-16 units
     val jwAstral = jaroWinklerValue(astral, astral + "abc")
     assert(close(jwAstral, 0.9739130434782608), jwAstral.toString)
@@ -3107,22 +3108,30 @@ class OpsSpec extends AnyFunSuite {
       .toDF("id", "name").withColumn("blk", lit("b"))
     val kept = graft.ops.Linkage.blockedPairsJw(pair, "id", "name",
       col("blk"), minSim = 0.97).count()
-    assert(kept == 1L, "guard must not drop the qualifying astral pair")
+    assert(kept == 1L, "astral pair must survive the guard end-to-end")
   }
 
   test("JW length bound is conservative: jw >= c implies the guard") {
     import graft.ops.Linkage.jaroWinklerValue
     val rnd = new scala.util.Random(11)
+    // alphabet includes an astral char: the guard compares code-point
+    // lengths (Catalyst length()), so the property would FAIL under a
+    // UTF-16-unit kernel — this is the discriminating regression pin
+    // for the code-point alignment fix
+    val alphabet = Seq("a", "b", "c", "d", "𝕏")
     def randStr() = (0 until 1 + rnd.nextInt(20))
-      .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
     for (c <- Seq(0.9, 0.95, 0.985)) {
       val r = 3 * ((c - 0.4) / 0.6) - 2
       assert(r > 0)
       for (_ <- 0 until 2000) {
         val (a, b) = (randStr(), randStr())
         if (jaroWinklerValue(a, b) >= c) {
-          val (lo, hi) = (math.min(a.length, b.length),
-            math.max(a.length, b.length))
+          // code-POINT lengths — the unit Catalyst length() counts and
+          // the guard compares
+          val pa = a.codePointCount(0, a.length)
+          val pb = b.codePointCount(0, b.length)
+          val (lo, hi) = (math.min(pa, pb), math.max(pa, pb))
           assert(lo >= r * hi,
             s"bound dropped qualifying pair ($a, $b) at c=$c")
         }
