@@ -243,6 +243,33 @@ object Sampling {
     * zero sorts before the payload rejoin. Output shape identical
     * (all df columns + `rank_in_group`).
     */
+  /** String-id variant of [[TopKAggregator]] (ties break by the id's
+    * LEXICOGRAPHIC order — the same order the window election's
+    * `col(id).asc` uses on a string column, so the two formulations
+    * stay byte-identical for string ids too).
+    */
+  private[ops] class TopKAggregatorStr(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      (Double, String), Seq[(Double, String)], Seq[(Double, String)]] {
+    private def lt(a: (Double, String), b: (Double, String)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def trim(s: Seq[(Double, String)]): Seq[(Double, String)] =
+      s.sortWith(lt).take(k)
+    override def zero: Seq[(Double, String)] = Seq.empty
+    override def reduce(buf: Seq[(Double, String)],
+        in: (Double, String)): Seq[(Double, String)] =
+      if (buf.length == k && lt(buf.last, in)) buf
+      else trim(buf :+ in)
+    override def merge(a: Seq[(Double, String)],
+        b: Seq[(Double, String)]): Seq[(Double, String)] = trim(a ++ b)
+    override def finish(r: Seq[(Double, String)]): Seq[(Double, String)] =
+      trim(r)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, String)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, String)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** [[TopKAggregator]] as a registrable UDAF — usable directly in any
     * groupBy, INCLUDING streaming complete/update-mode aggregations
     * (the k-bounded buffer is exactly the mergeable state Structured
@@ -258,15 +285,27 @@ object Sampling {
       scoreCol: String, k: Int): DataFrame = {
     require(k >= 1, s"topKPerGroupAgg: bad k $k")
     val idType = df.schema(idCol).dataType
-    require(idType == org.apache.spark.sql.types.LongType ||
-      idType == org.apache.spark.sql.types.IntegerType,
-      s"topKPerGroupAgg needs an integral id (got $idType); " +
-        "use topKPerGroup for string ids")
-    val agg = topKUdaf(k)
+    // ties break by id in the id's own type order, so the aggregator
+    // must be typed: numeric order for integral ids, lexicographic for
+    // strings — both identical to the window election's col(id).asc
+    val agg = idType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => topKUdaf(k)
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.functions.udaf(new TopKAggregatorStr(k),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaDouble,
+            org.apache.spark.sql.Encoders.STRING))
+      case other => throw new IllegalArgumentException(
+        s"topKPerGroupAgg: unsupported id type $other (long/int/string)")
+    }
+    val idExpr = idType match {
+      case org.apache.spark.sql.types.StringType => col(idCol)
+      case _ => col(idCol).cast("long")
+    }
     val picked = df
       .groupBy(col(groupCol))
-      .agg(agg(col(scoreCol).cast("double"), col(idCol).cast("long"))
-        .as("__top"))
+      .agg(agg(col(scoreCol).cast("double"), idExpr).as("__top"))
       .select(posexplode(col("__top")).as(Seq("__i", "__e")))
       .select(col("__e._2").as(idCol),
         (col("__i") + 1).cast("long").as("rank_in_group"))

@@ -2940,10 +2940,21 @@ class OpsSpec extends AnyFunSuite {
     val rep = canon(Sampling.topKPerGroupAgg(df.repartition(13), "id", "g",
       "score", 6))
     assert(rep == win)
-    // string ids are rejected loudly, not silently corrupted
-    val strIds = Seq(("a", "g", 1)).toDF("id", "g", "score")
+    // string ids: typed aggregator, lexicographic ties == window path
+    // (note "10" < "2" lexicographically — exactly what col(id).asc
+    // does on a string column, so the two formulations agree)
+    val strIds = Seq(("10", "g", 5), ("2", "g", 5), ("zz", "g", 9),
+      ("a", "h", 1)).toDF("id", "g", "score")
+    def canonS(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(3))).sorted.toSeq
+    val winS = canonS(Sampling.topKPerGroup(strIds, "id", "g", "score", 2))
+    val aggS = canonS(Sampling.topKPerGroupAgg(strIds, "id", "g", "score", 2))
+    assert(aggS == winS)
+    assert(aggS.contains(("10", 2L)) && !aggS.exists(_._1 == "2"))
+    // unsupported id types still rejected loudly
     intercept[IllegalArgumentException] {
-      Sampling.topKPerGroupAgg(strIds, "id", "g", "score", 2)
+      Sampling.topKPerGroupAgg(
+        Seq((1.5, "g", 1)).toDF("id", "g", "score"), "id", "g", "score", 2)
     }
   }
 
