@@ -1054,7 +1054,7 @@ object SparkEntry {
       .groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("tid", concat(col("source"), lit(":"), col("term")))
-    graft.ops.Sampling.topKPerGroup(counts, "tid", "source", "cnt", k = 5)
+    graft.ops.Sampling.topKPerGroupAgg(counts, "tid", "source", "cnt", k = 5)
       .select(col("source"), col("term"), col("cnt"),
         col("rank_in_group"))
       .orderBy(col("source"), col("rank_in_group"))

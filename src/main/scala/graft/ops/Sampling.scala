@@ -200,9 +200,22 @@ object Sampling {
       16, 10).cast("double") + 1.0) / 4294967296.0
     val key = log(u) / col(weightCol).cast("double")
     val weighted = df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
-    // ln(u) < 0, so larger w => key closer to 0 => rank by key DESC
-    electTopK(weighted, idCol, groupCol, key, descending = true, k,
-      "sample_rank")
+    // ln(u) < 0, so larger w => key closer to 0 => rank by key DESC.
+    // Election: the k-bounded Aggregator when the id type supports it
+    // (one exchange of trimmed buffers, no window sort), the sharded
+    // window election otherwise — identical results by construction.
+    val idType = df.schema(idCol).dataType
+    val aggCapable = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType ||
+      idType == org.apache.spark.sql.types.StringType
+    if (aggCapable)
+      topKPerGroupAgg(weighted.withColumn("__aes_key", key), idCol,
+          groupCol, "__aes_key", k)
+        .withColumnRenamed("rank_in_group", "sample_rank")
+        .drop("__aes_key")
+    else
+      electTopK(weighted, idCol, groupCol, key, descending = true, k,
+        "sample_rank")
   }
 
   /** Bounded top-k as a custom typed [[org.apache.spark.sql.expressions.Aggregator]]:
