@@ -229,12 +229,14 @@ object Sampling {
     * Prefer this shape when k ≪ group size (the 100 TB norm); the
     * window version when k is a large fraction of each group.
     */
-  private[ops] class TopKAggregator(k: Int)
+  private[ops] class TopKAggregator(k: Int, desc: Boolean = true)
     extends org.apache.spark.sql.expressions.Aggregator[
       (Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
-    // better (kept earlier) = higher score, then lower id
+    // better (kept earlier) = higher score (lower when !desc), then
+    // lower id
     private def lt(a: (Double, Long), b: (Double, Long)): Boolean =
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+      (if (desc) a._1 > b._1 else a._1 < b._1) ||
+        (a._1 == b._1 && a._2 < b._2)
     private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
       s.sortWith(lt).take(k)
     override def zero: Seq[(Double, Long)] = Seq.empty
@@ -261,11 +263,12 @@ object Sampling {
     * `col(id).asc` uses on a string column, so the two formulations
     * stay byte-identical for string ids too).
     */
-  private[ops] class TopKAggregatorStr(k: Int)
+  private[ops] class TopKAggregatorStr(k: Int, desc: Boolean = true)
     extends org.apache.spark.sql.expressions.Aggregator[
       (Double, String), Seq[(Double, String)], Seq[(Double, String)]] {
     private def lt(a: (Double, String), b: (Double, String)): Boolean =
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+      (if (desc) a._1 > b._1 else a._1 < b._1) ||
+        (a._1 == b._1 && a._2 < b._2)
     private def trim(s: Seq[(Double, String)]): Seq[(Double, String)] =
       s.sortWith(lt).take(k)
     override def zero: Seq[(Double, String)] = Seq.empty
@@ -295,7 +298,7 @@ object Sampling {
         org.apache.spark.sql.Encoders.scalaLong))
 
   def topKPerGroupAgg(df: DataFrame, idCol: String, groupCol: String,
-      scoreCol: String, k: Int): DataFrame = {
+      scoreCol: String, k: Int, descending: Boolean = true): DataFrame = {
     require(k >= 1, s"topKPerGroupAgg: bad k $k")
     val idType = df.schema(idCol).dataType
     // ties break by id in the id's own type order, so the aggregator
@@ -303,9 +306,15 @@ object Sampling {
     // strings — both identical to the window election's col(id).asc
     val agg = idType match {
       case org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.IntegerType => topKUdaf(k)
+           org.apache.spark.sql.types.IntegerType =>
+        org.apache.spark.sql.functions.udaf(
+          new TopKAggregator(k, descending),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaDouble,
+            org.apache.spark.sql.Encoders.scalaLong))
       case org.apache.spark.sql.types.StringType =>
-        org.apache.spark.sql.functions.udaf(new TopKAggregatorStr(k),
+        org.apache.spark.sql.functions.udaf(
+          new TopKAggregatorStr(k, descending),
           org.apache.spark.sql.Encoders.tuple(
             org.apache.spark.sql.Encoders.scalaDouble,
             org.apache.spark.sql.Encoders.STRING))

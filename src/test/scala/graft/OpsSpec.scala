@@ -2956,6 +2956,12 @@ class OpsSpec extends AnyFunSuite {
       Sampling.topKPerGroupAgg(
         Seq((1.5, "g", 1)).toDF("id", "g", "score"), "id", "g", "score", 2)
     }
+    // ascending (bottom-k) variant == ascending window election
+    val winA = canon(Sampling.topKPerGroup(df, "id", "g", "score", 6,
+      descending = false))
+    val aggA = canon(Sampling.topKPerGroupAgg(df, "id", "g", "score", 6,
+      descending = false))
+    assert(aggA == winA)
   }
 
   test("weightedSamplePerGroup: A-ES draw favors weight, deterministic") {
