@@ -724,21 +724,26 @@ class PlanSpec extends AnyFunSuite {
 
   test("per-group elections shuffle only (id, group, score) projections") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    for (df <- Seq(
-        graft.ops.Sampling.topKPerGroup(docs, "doc_id", "source",
-          "n_chars", k = 5),
-        graft.ops.Sampling.weightedSamplePerGroup(docs, "doc_id", "source",
-          "n_chars", k = 5))) {
-      df.collect()
-      val executed = df.queryExecution.executedPlan.toString
-      val exchanges = executed.linesIterator
-        .filter(_.contains("Exchange hashpartitioning")).toSeq
-      // election exchanges carry no text; the payload rejoin keys on id
-      assert(exchanges.nonEmpty, executed)
-      assert(!exchanges.exists(_.contains("text#")), executed)
-      // two-stage: first window partitions by (group, shard)
-      assert(executed.contains("__s"), executed)
-    }
+    // window election: two-stage sharded (the __s shard column)
+    val win = graft.ops.Sampling.topKPerGroup(docs, "doc_id", "source",
+      "n_chars", k = 5)
+    win.collect()
+    val winPlan = win.queryExecution.executedPlan.toString
+    val winEx = winPlan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(winEx.nonEmpty && !winEx.exists(_.contains("text#")), winPlan)
+    assert(winPlan.contains("__s"), winPlan)
+    // A-ES sampler now routes through the Aggregator election:
+    // k-bounded buffers, no window sort, still no text on exchanges
+    val wrs = graft.ops.Sampling.weightedSamplePerGroup(docs, "doc_id",
+      "source", "n_chars", k = 5)
+    wrs.collect()
+    val wrsPlan = wrs.queryExecution.executedPlan.toString
+    assert(!wrsPlan.contains("Window"), wrsPlan)
+    assert(wrsPlan.contains("partial_topkaggregator"), wrsPlan)
+    val wrsEx = wrsPlan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(wrsEx.nonEmpty && !wrsEx.exists(_.contains("text#")), wrsPlan)
   }
 
   test("labelOutliers broadcasts the centroid table, shuffles no vectors") {
