@@ -696,6 +696,18 @@ object SparkEntry {
       .orderBy(col("source"), col("rank_in_group"))
   }
 
+  /** Bottom-k gate: each source's 5 SHORTEST documents through the
+    * ascending Aggregator election — the q_topk contract mirrored with
+    * ASC ordering, so the flag's semantics get their own oracle.
+    */
+  private def qBottomK(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.topKPerGroupAgg(
+        s.read.parquet(t(dir, "documents")), "doc_id", "source",
+        "n_chars", k = 5, descending = false)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("rank_in_group"))
+      .orderBy(col("source"), col("rank_in_group"))
+
   /** Weighted sampling without replacement (A-ES): 10 docs per source
     * drawn ∝ length, deterministic in the salted md5 — the oracle
     * replays the exact ln(u)/w key and must land on the identical draw
@@ -3564,6 +3576,7 @@ object SparkEntry {
     "q_lang_conf" -> (qLangConf _),
     "q_topk" -> (qTopk _),
     "q_topk_agg" -> (qTopkAgg _),
+    "q_bottom_k" -> (qBottomK _),
     "q_stream_topk" -> (qStreamTopk _),
     "q_wrs" -> (qWrs _),
     "q_scd2" -> (qScd2 _),
@@ -4515,6 +4528,15 @@ object SparkEntry {
         |  SELECT doc_id, source, n_chars,
         |    CAST(row_number() OVER (PARTITION BY source
         |      ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank_in_group
+        |  FROM documents)
+        |WHERE rank_in_group <= 5
+        |ORDER BY source, rank_in_group""".stripMargin,
+    // the ascending flag's own oracle: ASC window, ties by id
+    "q_bottom_k" ->
+      """SELECT doc_id, source, n_chars, rank_in_group FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) AS rank_in_group
         |  FROM documents)
         |WHERE rank_in_group <= 5
         |ORDER BY source, rank_in_group""".stripMargin,
