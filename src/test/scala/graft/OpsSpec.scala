@@ -2900,6 +2900,36 @@ class OpsSpec extends AnyFunSuite {
     assert(rep == got)
   }
 
+  test("bloomPrunedJoin == plain join; probe actually prunes") {
+    import graft.ops.Joins
+    val big = (0 until 2000).map(i => (i.toLong % 500, i.toLong))
+      .toDF("k", "payload")
+    val small = Seq((7L, "a"), (450L, "b"), (499L, "c")).toDF("k", "v")
+    val pruned = Joins.bloomPrunedJoin(big, small, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    val plain = big.join(small, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    assert(pruned == plain && pruned.size == 12) // 3 keys x 4 rows each
+    // plan shape needs a non-local source (ConvertToLocalRelation
+    // evaluates the probe at optimization time on LocalRelations):
+    // parquet-backed big side keeps the codegen'd probe in the scan
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey").as("k"), col("l_extendedprice"))
+    val ords = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter(col("o_orderkey") % 31 === 0)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    val filtered = Joins.bloomPrunedJoin(li, ords, "k")
+      .queryExecution.executedPlan.toString
+    assert(filtered.contains("graft_bloom_might_contain"), filtered)
+    // non-integral key rejected loudly
+    intercept[IllegalArgumentException] {
+      Joins.bloomPrunedJoin(
+        Seq(("x", 1L)).toDF("k", "p"), Seq(("x", "v")).toDF("k", "v"), "k")
+    }
+  }
+
   test("pageRank9: cycle symmetry, sink attraction, mass bound") {
     import graft.ops.Graph
     // 3-cycle: perfect symmetry, each node keeps ~1/3 of the mass
