@@ -236,6 +236,24 @@ object SparkEntry {
     * across batches, not one giant batch — which also keeps memory-source
     * task serialization small.
     */
+  /** Start a streaming gate query with the shuffle-partition count
+    * pinned small, restoring the session setting afterwards. Structured
+    * Streaming clones the session inside `start()`, so every
+    * micro-batch of the started query keeps the pinned value — without
+    * this the gates' state-store exchanges run at the harness session's
+    * CPU count (32 state-store instances per stateful exchange, times
+    * sides, times micro-batches, of fixed per-store overhead for a few
+    * thousand rows). Harness-only sizing: the operators themselves are
+    * partition-count-agnostic and a cluster deployment sizes this to
+    * the actual load.
+    */
+  private def withStreamShuffle[T](s: SparkSession, n: Int = 4)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   private def qStreamCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rows = s.read.parquet(t(dir, "documents"))
@@ -250,8 +268,10 @@ object SparkEntry {
       .groupBy(col("dict_entry_id")).agg(count(lit(1)).as("n_matches"))
     val qname = "graft_stream_counts"
     s.catalog.dropTempView(qname) // re-runnable within one session
-    val q = counts.writeStream.format("memory").queryName(qname)
-      .outputMode("complete").start()
+    val q = withStreamShuffle(s) {
+      counts.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+    }
     try {
       rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
         ms.addData(chunk.toSeq)
@@ -293,9 +313,11 @@ object SparkEntry {
     val sdf = ms.toDF().toDF("doc_id", "text")
     val qname = "graft_stream_cms"
     s.catalog.dropTempView(qname)
-    val q = graft.ops.Sketch.cmsTable(sdf, "text", d = 3, w = 1024)
-      .writeStream.format("memory").queryName(qname)
-      .outputMode("complete").start()
+    val q = withStreamShuffle(s) {
+      graft.ops.Sketch.cmsTable(sdf, "text", d = 3, w = 1024)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+    }
     try {
       rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
         ms.addData(chunk.toSeq)
@@ -326,9 +348,11 @@ object SparkEntry {
     val toks = sdf.select(
         explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
-    val q = graft.ops.Hll.hllRegisters(toks, "tok")
-      .writeStream.format("memory").queryName(qname)
-      .outputMode("complete").start()
+    val q = withStreamShuffle(s) {
+      graft.ops.Hll.hllRegisters(toks, "tok")
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+    }
     try {
       rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
         ms.addData(chunk.toSeq)
@@ -355,8 +379,10 @@ object SparkEntry {
     val out = graft.streaming.StatefulOps.streamingDedup(sdf, "text", "ts")
     val qname = "graft_stream_dedup"
     s.catalog.dropTempView(qname)
-    val q = out.writeStream.format("memory").queryName(qname)
-      .outputMode("append").start()
+    val q = withStreamShuffle(s) {
+      out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+    }
     val t0 = 1704067200L // 2024-01-01 00:00:00 UTC
     def ts(chunkIdx: Int): Long = t0 + chunkIdx * 1800L
     try {
@@ -402,8 +428,10 @@ object SparkEntry {
       sdf, "text", "doc_id", "ts")
     val qname = "graft_stream_chunkdedup"
     s.catalog.dropTempView(qname)
-    val q = out.writeStream.format("memory").queryName(qname)
-      .outputMode("append").start()
+    val q = withStreamShuffle(s) {
+      out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+    }
     val t0 = 1704067200L
     try {
       rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
@@ -444,8 +472,10 @@ object SparkEntry {
       sdf, "text", "doc_id", "ts", n = 3, numPerms = 8, bands = 4)
     val qname = "graft_stream_neardup"
     s.catalog.dropTempView(qname)
-    val q = out.toDF().writeStream.format("memory").queryName(qname)
-      .outputMode("append").start()
+    val q = withStreamShuffle(s) {
+      out.toDF().writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+    }
     try q.processAllAvailable() finally q.stop()
     s.table(qname).select(col("docId").as("doc_id"),
         col("band").cast("long").as("band"),
@@ -675,8 +705,10 @@ object SparkEntry {
         col("n_chars").cast("double"), col("doc_id")).as("__top"))
     val qname = "graft_stream_topk"
     s.catalog.dropTempView(qname)
-    val q = top.writeStream.format("memory").queryName(qname)
-      .outputMode("complete").start()
+    val q = withStreamShuffle(s) {
+      top.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+    }
     try {
       rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
         ms.addData(chunk.toSeq)
@@ -1177,8 +1209,10 @@ object SparkEntry {
       toDf(msL), toDf(msR), "user_id", "ts", windowSec = 1800L)
     val qname = "graft_stream_join"
     s.catalog.dropTempView(qname)
-    val q = joined.writeStream.format("memory").queryName(qname)
-      .outputMode("append").start()
+    val q = withStreamShuffle(s) {
+      joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+    }
     try {
       // time-aligned chunking: both sides advance through the same four
       // event-time quarters so neither watermark races ahead of the
@@ -2347,10 +2381,12 @@ object SparkEntry {
     val sdf = ms.toDF().toDF("doc_id", "text")
     val qname = "graft_stream_bloom"
     s.catalog.dropTempView(qname)
-    val q = graft.ops.Sketch.bloomBits(sdf, "text")
-      .groupBy(col("bit")).count()
-      .writeStream.format("memory").queryName(qname)
-      .outputMode("complete").start()
+    val q = withStreamShuffle(s) {
+      graft.ops.Sketch.bloomBits(sdf, "text")
+        .groupBy(col("bit")).count()
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+    }
     try {
       rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
         ms.addData(chunk.toSeq)
@@ -4782,7 +4818,7 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_checksum" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
-        |  sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS checksum
+        |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS checksum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // daily volumes z-scored per type with the exact integer stats
     "q_anomaly" ->
@@ -5988,7 +6024,11 @@ object SparkEntry {
         |    (doc_id % 20) || '@example.com' END AS text
         |  FROM documents),
         |m AS (SELECT doc_id, text,
-        |  list_distinct(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ms
+        |  list_transform(
+        |    list_sort(list_transform(
+        |      list_distinct(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')),
+        |      e -> {k: -length(e), v: e})),
+        |    s -> s.v) AS ms
         |  FROM laced)
         |SELECT doc_id, CAST(len(ms) AS BIGINT) AS n_identities,
         |  list_reduce(list_prepend(text, ms),

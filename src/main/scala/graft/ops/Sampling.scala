@@ -259,16 +259,21 @@ object Sampling {
     * (all df columns + `rank_in_group`).
     */
   /** String-id variant of [[TopKAggregator]] (ties break by the id's
-    * LEXICOGRAPHIC order — the same order the window election's
-    * `col(id).asc` uses on a string column, so the two formulations
-    * stay byte-identical for string ids too).
+    * UTF-8 BINARY order via `UTF8String.compareTo` — the exact
+    * comparison the window election's `col(id).asc` uses on a string
+    * column, so the two formulations stay byte-identical for string
+    * ids even when they contain supplementary-plane characters, where
+    * Java's UTF-16 code-unit `<` would order differently).
     */
   private[ops] class TopKAggregatorStr(k: Int, desc: Boolean = true)
     extends org.apache.spark.sql.expressions.Aggregator[
       (Double, String), Seq[(Double, String)], Seq[(Double, String)]] {
+    private def idLt(a: String, b: String): Boolean =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
     private def lt(a: (Double, String), b: (Double, String)): Boolean =
       (if (desc) a._1 > b._1 else a._1 < b._1) ||
-        (a._1 == b._1 && a._2 < b._2)
+        (a._1 == b._1 && idLt(a._2, b._2))
     private def trim(s: Seq[(Double, String)]): Seq[(Double, String)] =
       s.sortWith(lt).take(k)
     override def zero: Seq[(Double, String)] = Seq.empty
@@ -515,10 +520,16 @@ object Sampling {
     df.crossJoin(broadcast(tot))
       // coalesce AFTER the product: a null weight must yield p = 0 —
       // both engines' `least` IGNORES nulls, so least(1.0, null) would
-      // otherwise silently keep every null-weight row at p = 1
-      .withColumn("__p", least(lit(1.0),
-        coalesce(col(weightCol).cast("double") *
-          (lit(targetRows.toDouble) / col("__sumw")), lit(0.0))))
+      // otherwise silently keep every null-weight row at p = 1. Guard
+      // Σw ≤ 0 up front: target/0 is +Inf, 0·Inf is NaN, and Spark's
+      // least treats NaN as the LARGEST double, so least(1.0, NaN)
+      // would keep every zero-weight row — with no positive mass
+      // nothing is keepable
+      .withColumn("__p", when(col("__sumw") > 0.0,
+        least(lit(1.0),
+          coalesce(col(weightCol).cast("double") *
+            (lit(targetRows.toDouble) / col("__sumw")), lit(0.0))))
+        .otherwise(lit(0.0)))
       .filter(h.cast("double") < col("__p") * 4294967296.0)
       .drop("__sumw", "__p")
   }

@@ -90,12 +90,19 @@ object Similarity {
     * contrastive embedding fine-tunes consume.
     *
     * Scale shape: positives come from the caller's pair relation (the
-    * banded near-dup path — bounded, never all-pairs); only the anchor
-    * subset's vectors broadcast into the negative scan. Output:
+    * banded near-dup path — bounded, never all-pairs). Negatives are
+    * mined through [[hardNegativesIvf]] — the anchor set GROWS with the
+    * corpus dup mass (every id in the pair relation is an anchor), so
+    * it must never broadcast and never pay a corpus×anchors
+    * nested-loop; the IVF path shuffle-joins anchors to corpus rows by
+    * cluster and prunes clusters per anchor with the exact
+    * triangle-inequality bound, so results equal the brute
+    * formulation bit-for-bit. Output:
     * (anchor_id, pos_id, pos_cos, neg_id, neg_cos).
     */
   def contrastiveTriplets(corpus: DataFrame, pairs: DataFrame,
-      vecCol: String, idCol: String, dupThreshold: Double): DataFrame = {
+      vecCol: String, idCol: String, dupThreshold: Double,
+      nClusters: Int = 16, probe: Int = 4): DataFrame = {
     val both = pairs.select(col("id_a").as("anchor_id"),
         col("id_b").as("pos_id"), col("cosine"))
       .union(pairs.select(col("id_b").as("anchor_id"),
@@ -107,7 +114,9 @@ object Similarity {
       .select(col("anchor_id"), col("pos_id"), col("cosine").as("pos_cos"))
     val anchors = corpus.join(
       pos.select(col("anchor_id").as(idCol)), Seq(idCol), "left_semi")
-    val negs = hardNegatives(corpus, anchors, vecCol, idCol, dupThreshold)
+    val model = ivfFit(corpus, vecCol, idCol, nClusters)
+    val negs = hardNegativesIvf(corpus, anchors, vecCol, idCol,
+        dupThreshold, model, probe)
       .select(col("query_id").as("anchor_id"), col("neg_id"),
         col("cosine").as("neg_cos"))
     pos.join(negs, Seq("anchor_id"))
@@ -123,6 +132,13 @@ object Similarity {
     * hardest negative. Same broadcast shape as [[knnJoin]] — the
     * query side broadcasts, the corpus scans once, and only (query,
     * id, cosine) rows reach the per-query election.
+    *
+    * CONTRACT: the query side must be broadcast-SMALL (a bounded batch
+    * of probes, not a corpus-derived set) — it is broadcast whole and
+    * every corpus row is scored against every query, so cost is
+    * O(N·|queries|). For query sets that grow with the corpus (e.g.
+    * every near-dup anchor) use [[hardNegativesIvf]], which never
+    * broadcasts the query side and prunes per query.
     */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, dupThreshold: Double): DataFrame = {
@@ -139,6 +155,86 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") === 1)
       .select(col("query_id"), col("neg_id"), col("cosine"))
+  }
+
+  /** [[hardNegatives]] semantics (per query the highest-cosine corpus
+    * vector strictly below `dupThreshold`, self excluded, ties by
+    * ascending id) at corpus-scale query sets — EXACT, bit-identical
+    * cosines (same kernel, same argument order), but with neither a
+    * query-side broadcast nor a corpus×queries nested loop:
+    *
+    *  - the corpus is assigned to the model's clusters once (persisted:
+    *    both phases scan it and the per-row assignment kernel is the
+    *    expensive part);
+    *  - queries compute their own probe/candidate cluster lists
+    *    DISTRIBUTED (native column math against the k broadcast-size
+    *    centroid literals — no collect, no broadcast of query rows) and
+    *    shuffle-join corpus rows BY CLUSTER, so each query is scored
+    *    only against the clusters that can matter for it;
+    *  - phase 1 probes the `probe` nearest clusters for a per-query
+    *    lower bound s₁ (the best sub-threshold cosine seen); phase 2
+    *    rescans exactly the clusters whose triangle-inequality upper
+    *    bound cos(max(0, θ_qc − r_j)) reaches s₁ (the
+    *    [[ivfCandidateClusters]] rule, same 1e-7 acos-conditioning
+    *    slack, replayed as column math). The true hardest negative
+    *    scores ≥ s₁, so its cluster always survives; a query whose
+    *    probed clusters held no sub-threshold row falls back to
+    *    s₁ = −1 — every cluster, the honest full scan.
+    *
+    * Both argmaxes are map-side-combinable aggregations (max of a
+    * (cosine, −id) struct), not windows — per partition only one row
+    * per query survives, so the shuffle carries |queries| rows, not the
+    * scored candidate set. Ids follow the [[ivfKnnJoin]] numeric-id
+    * contract (cast to long for the tie-break).
+    */
+  def hardNegativesIvf(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dupThreshold: Double,
+      model: IvfModel, probe: Int = 4): DataFrame = {
+    val assigned = corpus.select(col(idCol).cast("long").as("neg_id"),
+        col(vecCol).cast("array<double>").as("cv"),
+        ivfAssign(col(vecCol), model).as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val k = model.nClusters
+    // cosine(query, centroid_j) — centroids are unit vectors, so this IS
+    // dot(q̂, c_j), the quantity both cluster elections rank on
+    val centCos: IndexedSeq[Column] = (0 until k).map { j =>
+      cosine(col("qv"), array(model.centroids(j).map(lit).toIndexedSeq: _*))
+    }
+    // phase 1: the `probe` nearest clusters per query — sort (−cos, j)
+    // ascending = cos desc, ties by cluster index asc (searchAssigned's
+    // driver-side ordering, replayed as column math)
+    val probedClusters = transform(
+      slice(sort_array(array((0 until k).map { j =>
+        struct((-centCos(j)).as("nc"), lit(j).as("j"))
+      }: _*)), 1, math.min(probe, k)),
+      s => s.getField("j"))
+    def bestUnder(pairs: DataFrame): DataFrame =
+      pairs.join(assigned, "cluster")
+        .filter(col("query_id") =!= col("neg_id"))
+        .withColumn("cosine", cosine(col("cv"), col("qv")))
+        .filter(col("cosine") < dupThreshold)
+        .groupBy(col("query_id"))
+        .agg(max(struct(col("cosine"), (-col("neg_id")).as("nid"))).as("__b"))
+    val floor1 = bestUnder(
+        q.withColumn("cluster", explode(probedClusters)))
+      .select(col("query_id"), col("__b.cosine").as("__s1"))
+    // phase 2: exactly the clusters whose upper bound reaches s₁
+    val withFloor = q.join(floor1, Seq("query_id"), "left")
+      .withColumn("__floor", coalesce(col("__s1"), lit(-1.0)))
+    val candClusters = array_compact(array((0 until k).map { j =>
+      // acos clamped: the kernel's cosine can exceed 1 by fp drift and
+      // acos(>1) is NaN, which would silently drop the cluster
+      val cj = least(lit(1.0), greatest(lit(-1.0), centCos(j)))
+      val bound = cos(greatest(lit(0.0), acos(cj) - lit(model.radii(j))))
+      when(bound >= col("__floor") - lit(1e-7), lit(j))
+    }: _*))
+    bestUnder(
+        withFloor.withColumn("cluster", explode(candClusters))
+          .select(col("query_id"), col("qv"), col("cluster")))
+      .select(col("query_id"), (-col("__b.nid")).as("neg_id"),
+        col("__b.cosine").as("cosine"))
   }
 
   /** IVF (inverted-file) coarse quantizer: spherical k-means centroids plus

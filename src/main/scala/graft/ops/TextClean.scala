@@ -79,17 +79,21 @@ object TextClean {
     * Scan-local: extract the matches (native regexp), fold the DISTINCT
     * matches over the text with `aggregate` + `replace` — all native
     * codegen'd HOFs, zero shuffles, and exactly replayable in SQL
-    * (list_reduce + replace + md5). Deterministic by construction:
-    * replacements apply in first-occurrence order and each `replace`
-    * rewrites every occurrence of that address, so fold order cannot
-    * produce divergent texts (a replaced token contains no `@` and can
-    * never re-match another address). Appends `n_identities` (distinct
-    * addresses pseudonymized). Tokens are 8-hex-stable ACROSS corpora —
-    * the same address pseudonymizes identically in a later ingest.
+    * (list_reduce + replace + md5). The fold applies LONGEST address
+    * first (ties broken lexicographically): a shorter address that is a
+    * literal substring of a longer one (standalone `an@x.com` alongside
+    * `ryan@x.com`) must not rewrite the longer one's tail, and once the
+    * longer ones are tokenized (`<EMAIL_…>` contains no `@`) every
+    * remaining literal occurrence of a shorter address is a genuine
+    * standalone one. Appends `n_identities` (distinct addresses
+    * pseudonymized). Tokens are 8-hex-stable ACROSS corpora — the same
+    * address pseudonymizes identically in a later ingest.
     */
   def pseudonymizeEmails(df: DataFrame, textCol: String): DataFrame = {
-    val matches = array_distinct(
-      regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+    val matches = array_sort(
+      array_distinct(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))),
+      (l, r) => when(length(l) =!= length(r), length(r) - length(l))
+        .otherwise(when(l < r, -1).when(l > r, 1).otherwise(0)))
     df.withColumn("__m", matches)
       .withColumn("n_identities", size(col("__m")).cast("long"))
       .withColumn(textCol,
