@@ -103,15 +103,23 @@ object Similarity {
   def contrastiveTriplets(corpus: DataFrame, pairs: DataFrame,
       vecCol: String, idCol: String, dupThreshold: Double,
       nClusters: Int = 16, probe: Int = 4): DataFrame = {
-    val both = pairs.select(col("id_a").as("anchor_id"),
-        col("id_b").as("pos_id"), col("cosine"))
-      .union(pairs.select(col("id_b").as("anchor_id"),
-        col("id_a").as("pos_id"), col("cosine")))
+    // one scan of the pair relation (explode both directions), not a
+    // two-branch union — the pair relation is typically an unpersisted
+    // banded-LSH DAG, and every extra branch re-runs it end to end
+    val both = pairs.select(explode(array(
+        struct(col("id_a").as("anchor_id"), col("id_b").as("pos_id"), col("cosine")),
+        struct(col("id_b").as("anchor_id"), col("id_a").as("pos_id"), col("cosine")))).as("p"))
+      .select(col("p.anchor_id").as("anchor_id"),
+        col("p.pos_id").as("pos_id"), col("p.cosine").as("cosine"))
     val w = Window.partitionBy(col("anchor_id"))
       .orderBy(col("cosine").desc, col("pos_id").asc)
+    // persisted: consumed by the final join AND (via the anchor
+    // semi-join) both phases of the negative mining — one row per
+    // anchor, bounded by the pair relation's id set
     val pos = both.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("anchor_id"), col("pos_id"), col("cosine").as("pos_cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val anchors = corpus.join(
       pos.select(col("anchor_id").as(idCol)), Seq(idCol), "left_semi")
     val model = ivfFit(corpus, vecCol, idCol, nClusters)
@@ -181,11 +189,14 @@ object Similarity {
     *    probed clusters held no sub-threshold row falls back to
     *    s₁ = −1 — every cluster, the honest full scan.
     *
-    * Both argmaxes are map-side-combinable aggregations (max of a
-    * (cosine, −id) struct), not windows — per partition only one row
-    * per query survives, so the shuffle carries |queries| rows, not the
-    * scored candidate set. Ids follow the [[ivfKnnJoin]] numeric-id
-    * contract (cast to long for the tie-break).
+    * Both argmaxes are [[graft.spark.ArgMaxTie]] hash aggregations
+    * (primitive (double, long) buffer — HashAggregate with map-side
+    * partial combine and whole-stage codegen), not windows or struct
+    * max (both of which sort the full scored candidate set): per
+    * partition only one row per query survives, so the shuffle carries
+    * |queries| rows, not the scored candidates. Ids follow the
+    * [[ivfKnnJoin]] numeric-id contract (cast to long for the
+    * tie-break).
     */
   def hardNegativesIvf(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, dupThreshold: Double,
@@ -194,8 +205,12 @@ object Similarity {
         col(vecCol).cast("array<double>").as("cv"),
         ivfAssign(col(vecCol), model).as("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted like `assigned`: the query side feeds phase 1, the
+    // floor join, and phase 2 — queries may themselves be a join DAG
+    // (e.g. the anchor semi-join) that must not re-run per phase
     val q = queries.select(col(idCol).cast("long").as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
+        col(vecCol).cast("array<double>").as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k = model.nClusters
     // cosine(query, centroid_j) — centroids are unit vectors, so this IS
     // dot(q̂, c_j), the quantity both cluster elections rank on
@@ -210,16 +225,20 @@ object Similarity {
         struct((-centCos(j)).as("nc"), lit(j).as("j"))
       }: _*)), 1, math.min(probe, k)),
       s => s.getField("j"))
+    // argmax via the primitive-buffer aggregate (graft.spark.ArgMaxTie):
+    // max(struct(...)) would express the same election but plans as
+    // SortAggregate (struct buffers are not hash-aggregable), sorting
+    // every scored candidate row — the cost this path exists to avoid
     def bestUnder(pairs: DataFrame): DataFrame =
       pairs.join(assigned, "cluster")
         .filter(col("query_id") =!= col("neg_id"))
         .withColumn("cosine", cosine(col("cv"), col("qv")))
         .filter(col("cosine") < dupThreshold)
         .groupBy(col("query_id"))
-        .agg(max(struct(col("cosine"), (-col("neg_id")).as("nid"))).as("__b"))
+        .agg(graft.spark.ArgMaxTie(col("cosine"), -col("neg_id")).as("__b"))
     val floor1 = bestUnder(
         q.withColumn("cluster", explode(probedClusters)))
-      .select(col("query_id"), col("__b.cosine").as("__s1"))
+      .select(col("query_id"), col("__b.score").as("__s1"))
     // phase 2: exactly the clusters whose upper bound reaches s₁
     val withFloor = q.join(floor1, Seq("query_id"), "left")
       .withColumn("__floor", coalesce(col("__s1"), lit(-1.0)))
@@ -233,8 +252,8 @@ object Similarity {
     bestUnder(
         withFloor.withColumn("cluster", explode(candClusters))
           .select(col("query_id"), col("qv"), col("cluster")))
-      .select(col("query_id"), (-col("__b.nid")).as("neg_id"),
-        col("__b.cosine").as("cosine"))
+      .select(col("query_id"), (-col("__b.tie")).as("neg_id"),
+        col("__b.score").as("cosine"))
   }
 
   /** IVF (inverted-file) coarse quantizer: spherical k-means centroids plus

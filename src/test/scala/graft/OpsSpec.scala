@@ -3994,4 +3994,48 @@ class OpsSpec extends AnyFunSuite {
     // standalone &lt;tag&gt; to "<tag>", script/style content is gone
     assert(got == "T body text &lt; & <tag>")
   }
+
+  test("ArgMaxTie aggregate equals the window election, including ties") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    // scores drawn from a 5-value set so ties are common; ids unique
+    val rows = (0L until 4000L).map { i =>
+      (i % 37, (i * 2654435761L % 5).toDouble / 10.0, i)
+    }
+    val df = rows.toDF("g", "score", "id")
+    val viaAgg = df.groupBy(col("g"))
+      .agg(graft.spark.ArgMaxTie(col("score"), -col("id")).as("b"))
+      .select(col("g"), col("b.score").as("score"), (-col("b.tie")).as("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("score").desc, col("id").asc)
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("g"), col("score"), col("id"))
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
+    // empty-group path: aggregating zero rows after a filter yields no row
+    assert(df.filter(col("score") < -1).groupBy(col("g"))
+      .agg(graft.spark.ArgMaxTie(col("score"), -col("id"))).count() == 0L)
+    // plan: the argmax must hash-aggregate (primitive buffer), never sort
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && !plan.contains("SortAggregate"), plan)
+  }
+
+  test("hardNegativesIvf equals the brute-force hardNegatives bit for bit") {
+    val spark2 = SparkTestSession.spark
+    val emb = spark2.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val copies = emb.select((col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), (x, i) => when(i === 0, -x).otherwise(x)).as("embedding"))
+    val corpus = emb.union(copies)
+    // corpus-scale query set — the regime the IVF path exists for
+    val queries = corpus.filter(col("vec_id") % 3 === 0)
+    val model = Similarity.ivfFit(corpus, "embedding", "vec_id", 8)
+    val brute = Similarity.hardNegatives(corpus, queries, "embedding", "vec_id", 0.9)
+    val ivf = Similarity.hardNegativesIvf(corpus, queries, "embedding", "vec_id", 0.9, model)
+    // exactness: same (query, neg, cosine) rows — the pruning bound is a
+    // superset guarantee, so even on isotropic data (no prunable
+    // structure) the argmax must land on the identical vector
+    assert(brute.exceptAll(ivf).isEmpty && ivf.exceptAll(brute).isEmpty)
+    assert(ivf.count() == queries.count())
+    spark2.catalog.clearCache()
+  }
 }

@@ -887,4 +887,29 @@ class PlanSpec extends AnyFunSuite {
     // checkpoints and the edge caches must have been freed eagerly
     assert(after <= before + 1, s"stored RDDs grew: $before -> $after")
   }
+
+  test("q_er_jw: the JW length prefilter guards the query's own plan") {
+    // the synthetic-join test above pins the RULE; this pins that the
+    // production query actually runs under the guard (not only the
+    // operator-side one)
+    val df = SparkEntry.queries("q_er_jw")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert("least\\(length\\(".r.findAllIn(optimized).nonEmpty, optimized)
+    spark.catalog.clearCache()
+  }
+
+  test("q_triplets: negative mining joins by cluster and hash-aggregates — no corpus×anchors BNLJ, no sort-agg") {
+    val df = SparkEntry.queries("q_triplets")(spark, sf)
+    val plan = planOf(df)
+    // the r8 shape was corpus.crossJoin(broadcast(anchors)) — a
+    // BroadcastNestedLoopJoin whose broadcast side grows with corpus
+    // dup mass; the blanket QueriesSpec guard exempts BNLJ, so pin it
+    // out here specifically
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // both mining argmaxes run as the primitive-buffer hash aggregate
+    assert(plan.contains("graft_argmax_tie"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+    spark.catalog.clearCache()
+  }
 }
