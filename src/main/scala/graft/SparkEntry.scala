@@ -2971,52 +2971,37 @@ object SparkEntry {
 
   /** SemDeDup over the embeddings table with planted near-duplicates
     * (sign-flipped first coordinate, the q_embed_dedup construction —
-    * cosine ≈ 0.97 to the original): cluster semantically, drop
-    * within-cluster pairs ≥ τ keeping the min id. Approximate by
-    * construction (a copy landing in a different cluster than its
-    * original survives — the SemDeDup trade), so rows-only for the
-    * hash gate — but the query itself `require`s the soundness half:
-    * EVERY dropped vector has a smaller-id vector at cosine ≥ τ (no
-    * unjustified drop can pass), and at least one planted copy was
-    * caught. The exact drop-set contract given the model's own
-    * assignments is pinned by the OpsSpec brute-force test.
+    * cosine ≈ 0.97 to the original; copies keep their label): assign
+    * to clusters, drop within-cluster pairs ≥ τ keeping the min id.
+    *
+    * FULL hash gate (upgraded from the r8 rows-only row): the cluster
+    * model is [[graft.ops.Similarity.labelCentroidModel]] — per-label
+    * integer-grain mean vectors, the one fit an external SQL engine can
+    * rebuild bit-for-bit — fed to the real incremental operator
+    * ([[graft.ops.Dedup.semDedupAssigned]], the fit-once/dedup-every-
+    * batch path). The oracle replays the ENTIRE drop logic: grain-sum
+    * centroids, per-vector dot argmax (ties to the lowest cluster,
+    * assignValue's strict-> rule), within-cluster ≥τ pairs, min-id
+    * survivor anti-join. The self-fit [[graft.ops.Dedup.semDedup]]
+    * keeps its OpsSpec brute-force drop-set contract; the k-means fit
+    * itself is oracled through the q_knn_ivf family. Residual fp note:
+    * the oracle's dot/cosine sums may differ from the kernels' in the
+    * last bits (summation order), but assignment margins and the
+    * 0.97-vs-0.9 τ margin are ~13 orders above that.
     */
   private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
     val emb = s.read.parquet(t(dir, "embeddings"))
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("embedding"))
     val copies = emb.filter(col("vec_id") % 4 === 0)
-      .select((col("vec_id") + 10000).as("vec_id"),
+      .select((col("vec_id") + 10000).as("vec_id"), col("label"),
         transform(col("embedding"), (x, i) => when(i === 0, -x).otherwise(x)).as("embedding"))
     val all = emb.union(copies)
-    // persisted: the survivor set feeds the soundness probe AND the
-    // returned result — without it the whole semDedup pipeline executes
-    // twice
-    val surv = graft.ops.Dedup.semDedup(all, "embedding", "vec_id",
-        nClusters = 16, tau = 0.9)
+    val model = Similarity.labelCentroidModel(all, "embedding", "label")
+    graft.ops.Dedup.semDedupAssigned(all, "embedding", "vec_id",
+        model, tau = 0.9)
       .select(col("vec_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dropped = all.join(surv, Seq("vec_id"), "left_anti")
-    // soundness on a deterministic 1-in-7 sample of the drops (the
-    // all-pairs check is O(|drops|·|corpus|) cosines — sampling keeps
-    // the per-round bench cost flat while any systematic unjustified
-    // drop still trips it): a dropped vector must have a smaller-id ≥τ
-    // partner (its keeper, possibly itself dropped by an even smaller
-    // one). Broadcast NLJ, ids+vectors only.
-    val probe = dropped.filter(col("vec_id") % 7 === 0)
-    val nProbe = probe.count()
-    val partnered = probe.as("d").join(
-        broadcast(all.select(col("vec_id").as("o_id"), col("embedding").as("o_emb"))),
-        col("o_id") < col("d.vec_id") &&
-          Similarity.cosine(col("d.embedding"), col("o_emb")) >= 0.9,
-        "left_semi")
-      .count()
-    require(partnered == nProbe,
-      s"semdedup soundness: ${nProbe - partnered} of $nProbe probed drops have no >=tau smaller-id partner")
-    // drops-exist on the FULL drop set, not the probe — at tiny SFs the
-    // 1-in-7 probe can legitimately be empty while drops exist
-    require(dropped.limit(1).count() == 1,
-      "semdedup: planted copies produced no drops")
-    surv.orderBy(col("vec_id"))
+      .orderBy(col("vec_id"))
   }
 
   /** BPE tokenizer fit + encode with oracle-checked conservation

@@ -365,6 +365,42 @@ object Similarity {
     withExactRadii(df, vecCol, centroids)
   }
 
+  /** Coarse model from integer-grain LABEL centroids — the
+    * relationally-REPLAYABLE fit: centroid_j[i] = (Σ floor(v_i·1e7))
+    * ::double / n / 1e7, [[graft.ops.Embeddings.labelOutliers]]'s
+    * exact-sum technique, so the long sums are partition-order-proof
+    * and an external SQL engine rebuilds the model (and with it every
+    * [[ivfAssign]] argmax input) bit-for-bit from the same rows —
+    * which is what lets a semantic-dedup gate run under a full value
+    * hash instead of rows-only. Labels must be dense 0..k-1. Radii are
+    * zero: this model serves ASSIGNMENT-shaped consumers
+    * ([[graft.ops.Dedup.semDedupAssigned]]); exact-search pruning needs
+    * [[ivfFit]]'s measured radii.
+    *
+    * Scale shape: |labels|×dim (label, i) keys after map-side partial
+    * sums; the driver collects exactly that many summary rows.
+    */
+  def labelCentroidModel(df: DataFrame, vecCol: String,
+      labelCol: String): IvfModel = {
+    val rows = df.select(col(labelCol).cast("int").as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "v")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(floor(col("v") * 1e7).cast("long")).as("s7"),
+        count(lit(1)).as("n"))
+      .collect()
+    require(rows.nonEmpty, "labelCentroidModel: empty input")
+    val k = rows.iterator.map(_.getInt(0)).max + 1
+    val dim = rows.iterator.map(_.getInt(1)).max + 1
+    require(rows.forall(_.getInt(0) >= 0),
+      "labelCentroidModel: labels must be dense 0..k-1")
+    val cents = Array.fill(k)(new Array[Double](dim))
+    rows.foreach { r =>
+      cents(r.getInt(0))(r.getInt(1)) =
+        r.getLong(2).toDouble / r.getLong(3) / 1e7
+    }
+    IvfModel(cents, new Array[Double](k))
+  }
+
   /** Distributed Lloyd refinement of a fitted coarse quantizer — the
     * 100 TB fit path: [[ivfFit]]'s bounded sample seeds the centroids,
     * then each refinement round assigns the FULL corpus with the
