@@ -250,8 +250,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.sum
     val parity = docsPerSec4.map(v => f""","docs_per_sec_4core":$v%.0f""").getOrElse("")
+    // Key order matters for truncated-tail readers (the driver captures
+    // the END of this line): the MEDIAN map first, the headline MIN map
+    // ("queries") LAST, so a cut-off prefix never leaves the median map
+    // masquerading as the headline numbers (r9 verdict "what's wrong"
+    // #2 — a median tail read as mins faked a 4x q_pipeline3 regression).
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$qsMed,"sf":"$sfDir","docs":$nDocs,"annotations":$annCount,"docs_per_sec":$docsPerSec%.0f,"docs_per_sec_80k_dict":${nDocs / results("annotate_80k_dict")}%.0f,"docs_per_sec_1m_dict":${nDocs / results("annotate_1m_dict")}%.0f,"docs_per_sec_5k_mixed":${nDocs / results("annotate_5k_mixed")}%.0f,"docs_per_sec_80k_mixed":${nDocs / results("annotate_80k_mixed")}%.0f$parity,"cpus":$cpus,"stored_rdds":$storedRdds}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries_median":$qsMed,"sf":"$sfDir","docs":$nDocs,"annotations":$annCount,"docs_per_sec":$docsPerSec%.0f,"docs_per_sec_80k_dict":${nDocs / results("annotate_80k_dict")}%.0f,"docs_per_sec_1m_dict":${nDocs / results("annotate_1m_dict")}%.0f,"docs_per_sec_5k_mixed":${nDocs / results("annotate_5k_mixed")}%.0f,"docs_per_sec_80k_mixed":${nDocs / results("annotate_80k_mixed")}%.0f$parity,"cpus":$cpus,"stored_rdds":$storedRdds,"queries":$qs}"""
     println(json)
     // Belt and braces for harnesses that scrape a prefixed stdout: the
     // same line also goes to stderr (never sbt-prefixed when forked with

@@ -1781,14 +1781,20 @@ object SparkEntry {
       s"$name recall contract: only $recall of ${truth.size} true neighbors retrieved")
   }
 
-  /** LSH top-k — rows-only for the hash gate (bucketed candidates are
-    * approximate by construction), but the query `require`s the
-    * ≥8-of-10 recall contract in-line against brute force. The corpus
-    * gets a planted 20-vector near-dup cluster around the query (one
-    * coordinate negated each, cosine ≈ 0.97) — the clustered regime
-    * LSH is actually deployed for; on the raw isotropic embeddings no
-    * honest recall promise exists (the OpsSpec recall property makes
-    * the same distinction).
+  /** LSH top-k — FULL hash gate since r10 (upgraded from rows-only):
+    * [[graft.ops.Similarity.lshSignature]]'s planes are md5-parity ±1
+    * (`lsh:<seed>:<plane>:<component>`) over 1e-6 integer-grained
+    * components, so every sign bit is an exact integer comparison an
+    * external SQL engine replays bit-for-bit — the oracle rebuilds the
+    * signatures, the ≤4-bit hamming probe, and the cosine rerank
+    * end-to-end (the q_embed_rp matrix-replay technique, r9 verdict
+    * task #3). The in-query ≥8-of-10 recall `require` against brute
+    * force stays as a second, construction-independent contract. The
+    * corpus gets a planted 20-vector near-dup cluster around the query
+    * (one coordinate negated each, cosine ≈ 0.97) — the clustered
+    * regime LSH is actually deployed for; on the raw isotropic
+    * embeddings no honest recall promise exists (the OpsSpec recall
+    * property makes the same distinction).
     */
   private def qKnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = s.read.parquet(t(dir, "embeddings"))
@@ -2974,8 +2980,10 @@ object SparkEntry {
     * cosine ≈ 0.97 to the original; copies keep their label): assign
     * to clusters, drop within-cluster pairs ≥ τ keeping the min id.
     *
-    * FULL hash gate (upgraded from the r8 rows-only row): the cluster
-    * model is [[graft.ops.Similarity.labelCentroidModel]] — per-label
+    * FULL hash gate (registered in `oracleSql` as of r10; r9 built the
+    * machinery but shipped without the oracle — verdict r9 "what's
+    * wrong" #1): the cluster model is
+    * [[graft.ops.Similarity.labelCentroidModel]] — per-label
     * integer-grain mean vectors, the one fit an external SQL engine can
     * rebuild bit-for-bit — fed to the real incremental operator
     * ([[graft.ops.Dedup.semDedupAssigned]], the fit-once/dedup-every-
@@ -5430,6 +5438,51 @@ object SparkEntry {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    // full SemDeDup replay (the r9 verdict's prescribed gate): grain-sum
+    // label centroids (labelCentroidModel's exact BIGINT arithmetic) →
+    // per-vector dot argmax with the strict-> lowest-cluster tie rule
+    // (assignValue) → within-cluster ≥τ pairs → min-id survivor
+    // anti-join. Dividing by the vector norm is skipped: it is a
+    // positive per-vector constant, so the argmax is unchanged; the
+    // assignment and 0.97-vs-0.9 τ margins sit ~13 orders above the
+    // residual fp summation-order drift (same budget q_embed_dedup's
+    // green ≥0.9 gate already lives on).
+    "q_semdedup" ->
+      """WITH base AS (SELECT vec_id, label::INT AS label, embedding::DOUBLE[] AS v FROM embeddings),
+        |all_v AS (
+        |  SELECT vec_id, label, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id, label, list_concat([-v[1]], v[2:]) AS v
+        |  FROM base WHERE vec_id % 4 = 0),
+        |cent AS (
+        |  SELECT label, j,
+        |    sum(CAST(floor(v[j + 1] * 1e7) AS BIGINT))::DOUBLE / count(*) / 1e7 AS cv
+        |  FROM all_v, unnest(range(0, 64)) AS w(j)
+        |  GROUP BY label, j),
+        |dots AS (
+        |  SELECT a.vec_id, c.label, sum(a.v[c.j + 1] * c.cv) AS d
+        |  FROM all_v a, cent c
+        |  GROUP BY a.vec_id, c.label),
+        |assign AS (
+        |  SELECT vec_id, label AS cluster
+        |  FROM (SELECT vec_id, label,
+        |          row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, label ASC) AS rn
+        |        FROM dots)
+        |  WHERE rn = 1),
+        |capped AS (
+        |  SELECT vec_id, cluster, v FROM (
+        |    SELECT a.vec_id, s.cluster, a.v,
+        |      row_number() OVER (PARTITION BY s.cluster ORDER BY a.vec_id) AS rn2
+        |    FROM all_v a JOIN assign s USING (vec_id))
+        |  WHERE rn2 <= 10000),
+        |drops AS (
+        |  SELECT DISTINCT b.vec_id AS drop_id
+        |  FROM capped a JOIN capped b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.9)
+        |SELECT vec_id FROM all_v
+        |WHERE vec_id NOT IN (SELECT drop_id FROM drops)
+        |ORDER BY vec_id""".stripMargin,
     "q_embed_dedup" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
         |all_v AS (
@@ -5448,6 +5501,52 @@ object SparkEntry {
         |  CASE WHEN ma = 0 THEN array_to_string(list_transform(e, x -> 0), ',')
         |       ELSE array_to_string(list_transform(e, x -> CAST(round(127.0 * x / ma) AS BIGINT)), ',') END AS q_str
         |FROM m ORDER BY vec_id""".stripMargin,
+    // full LSH replay (the r9 verdict's prescribed q_embed_rp
+    // technique): the ±1 md5-parity planes regenerate from
+    // 'lsh:<seed>:<plane>:<component>' parity, every sign bit is an
+    // EXACT integer sum (1e-6 grains × ±1), the bucket probe is the
+    // same ≤4-bit hamming filter, and the rerank is plain cosine
+    // ordering — so the approximate operator sits under a full hash
+    // gate, not rows-only. The in-query ≥8-of-10 recall require stays.
+    "q_knn_lsh" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qv AS (SELECT v FROM base WHERE vec_id = 0),
+        |planted AS (
+        |  SELECT 20000 + i AS vec_id,
+        |         list(CASE WHEN j = i THEN -qv.v[j + 1] ELSE qv.v[j + 1] END ORDER BY j) AS v
+        |  FROM qv, unnest(range(1, 21)) AS u(i), unnest(range(0, 64)) AS w(j)
+        |  GROUP BY i),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base WHERE vec_id <> 0
+        |  UNION ALL SELECT vec_id, v FROM planted),
+        |cells AS (
+        |  SELECT vec_id, p, j,
+        |    CASE WHEN ('0x' || substr(md5('lsh:11:' || p || ':' || j), 1, 8))::BIGINT % 2 = 0
+        |         THEN 1 ELSE -1 END AS s,
+        |    CAST(round(v[j + 1] * 1e6, 0) AS BIGINT) AS g
+        |  FROM corpus, unnest(range(0, 16)) AS up(p), unnest(range(0, 64)) AS w(j)),
+        |sigbits AS (
+        |  SELECT vec_id, p, CASE WHEN sum(s * g) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM cells GROUP BY vec_id, p),
+        |sigs AS (SELECT vec_id, sum(bit * (1::BIGINT << (15 - p))) AS sig FROM sigbits GROUP BY vec_id),
+        |qcells AS (
+        |  SELECT p, j,
+        |    CASE WHEN ('0x' || substr(md5('lsh:11:' || p || ':' || j), 1, 8))::BIGINT % 2 = 0
+        |         THEN 1 ELSE -1 END AS s,
+        |    CAST(round(qv.v[j + 1] * 1e6, 0) AS BIGINT) AS g
+        |  FROM qv, unnest(range(0, 16)) AS up(p), unnest(range(0, 64)) AS w(j)),
+        |qbits AS (
+        |  SELECT p, CASE WHEN sum(s * g) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM qcells GROUP BY p),
+        |qsig AS (SELECT sum(bit * (1::BIGINT << (15 - p))) AS sig FROM qbits),
+        |cand AS (
+        |  SELECT s.vec_id FROM sigs s, qsig q
+        |  WHERE bit_count(xor(s.sig, q.sig)) <= 4)
+        |SELECT id, rank FROM (
+        |  SELECT c.vec_id AS id,
+        |    CAST(row_number() OVER (ORDER BY list_cosine_similarity(c.v, qv.v) DESC, c.vec_id ASC) AS BIGINT) AS rank
+        |  FROM corpus c JOIN cand USING (vec_id), qv)
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "q_knn_brute" ->
       """WITH q AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id AS id,

@@ -840,17 +840,41 @@ object Similarity {
       .select(col("id"), col("rank"), col("cosine"))
   }
 
+  /** The ±1 hyperplane matrix behind [[lshSignature]]: md5-parity
+    * Rademacher entries (Achlioptas 2003 signs preserve the random-
+    * projection LSH property like gaussians — Charikar 2002 SimHash
+    * with a sign matrix), keyed `lsh:<seed>:<plane>:<component>` so an
+    * external engine regenerates the identical matrix from md5 alone
+    * (the randomProject / q_embed_rp convention).
+    */
+  private def lshPlanes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(nPlanes)(p => Array.tabulate(dim)(j =>
+      Embeddings.rpSign(s"lsh:$seed", p, j).toDouble))
+
+  /** 1e-6 grain of one component — the exact HALF_UP snap
+    * [[graft.spark.HyperplaneBandsExpression]] applies with
+    * `grain = 1e6` (Spark `round()` semantics), for the driver-side
+    * query-signature replay.
+    */
+  private def lshGrain(x: Double): Double =
+    java.math.BigDecimal.valueOf(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** Random-hyperplane signature (nPlanes sign bits as a long) — the
     * codegen'd banding kernel with a single band.
+    *
+    * Determinism contract: ±1 md5-parity planes ([[lshPlanes]]) over
+    * 1e-6 integer-grained components, so every sign bit is a comparison
+    * of an EXACT integer sum against zero — no float summation-order
+    * sensitivity, and an external SQL engine replays the full signature
+    * bit-for-bit (q_knn_lsh's DuckDB oracle does exactly that).
     */
-  def lshSignature(vec: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
-    val rnd = new java.util.Random(seed)
-    val planes = Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  def lshSignature(vec: Column, dim: Int, nPlanes: Int, seed: Long): Column =
     org.apache.spark.sql.GraftBridge.column(
       graft.spark.HyperplaneBandsExpression(
-        org.apache.spark.sql.GraftBridge.expression(vec), planes, 1))
+        org.apache.spark.sql.GraftBridge.expression(vec),
+        lshPlanes(dim, nPlanes, seed), 1, grain = 1e6))
       .getItem(0)
-  }
 
   /** LSH-bucketed approximate top-k for one query vector: only corpus rows
     * whose signature is within `probeHamming` bits of the query signature
@@ -870,15 +894,15 @@ object Similarity {
     val v = col(vecCol).cast("array<double>")
     val withSig = df.select(col(idCol).as("id"), v.as("v"),
       lshSignature(v, dim, nPlanes, seed).as("sig"))
-    // query signature computed ONCE on the driver (same plane sequence as
-    // lshSignature), shipped as a long literal
+    // query signature computed ONCE on the driver (same planes + same
+    // 1e-6 grain as lshSignature's kernel), shipped as a long literal
     val qSig: Long = {
-      val rnd = new java.util.Random(seed)
-      val planes = Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+      val planes = lshPlanes(dim, nPlanes, seed)
+      val grained = query.map(lshGrain)
       planes.foldLeft(0L) { (acc, p) =>
         var dotv = 0.0
         var i = 0
-        while (i < dim) { dotv += p(i) * query(i); i += 1 }
+        while (i < dim) { dotv += p(i) * grained(i); i += 1 }
         acc * 2 + (if (dotv >= 0) 1L else 0L)
       }
     }

@@ -249,15 +249,34 @@ final case class CosineExpression(left: Expression, right: Expression)
   * MSB-first into `bands` keys of planes/bands bits each. Accumulates
   * each dot product left-to-right like the `zip_with`/`aggregate`
   * formulation it replaces, so bit decisions are identical.
+  *
+  * `grain > 0` snaps each component to `round(x*grain)` (Spark
+  * `round()`'s HALF_UP, the randomProject convention) before the dot.
+  * With ±1 plane entries the per-plane sum is then a sum of exact
+  * integers (|Σ| « 2^53 at any realistic dim/grain) — commutative and
+  * bit-identical on any engine — which is what lets an external SQL
+  * oracle replay the sign bits (see q_knn_lsh's DuckDB replay).
+  * `grain == 0` keeps the raw-double path (the near-dup banding user).
   */
 final case class HyperplaneBandsExpression(child: Expression,
-    planes: Array[Array[Double]], bands: Int) extends UnaryExpression {
+    planes: Array[Array[Double]], bands: Int,
+    grain: Double = 0.0) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_hyperplane_bands"
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBandsExpression =
     copy(child = newChild)
   def kernel(v: ArrayData): ArrayData = {
-    val a = KernelUtil.toDoubles(v, "graft_hyperplane_bands")
+    val raw = KernelUtil.toDoubles(v, "graft_hyperplane_bands")
+    val a = if (grain == 0.0) raw else {
+      val g = new Array[Double](raw.length)
+      var i = 0
+      while (i < raw.length) {
+        g(i) = java.math.BigDecimal.valueOf(raw(i) * grain)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+        i += 1
+      }
+      g
+    }
     require(a.length == planes(0).length,
       s"graft_hyperplane_bands: vector dim ${a.length} != plane dim ${planes(0).length}")
     val rowsPerBand = planes.length / bands
@@ -291,13 +310,14 @@ final case class HyperplaneBandsExpression(child: Expression,
   // defeats Catalyst canonicalization/CSE — compare plane VALUES instead
   override def equals(other: Any): Boolean = other match {
     case h: HyperplaneBandsExpression =>
-      h.child == child && h.bands == bands &&
+      h.child == child && h.bands == bands && h.grain == grain &&
         java.util.Arrays.deepEquals(
           h.planes.asInstanceOf[Array[AnyRef]], planes.asInstanceOf[Array[AnyRef]])
     case _ => false
   }
   override def hashCode(): Int =
     java.util.Objects.hash(child, Integer.valueOf(bands),
+      java.lang.Double.valueOf(grain),
       Integer.valueOf(java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])))
 }
 
