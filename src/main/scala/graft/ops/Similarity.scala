@@ -99,6 +99,16 @@ object Similarity {
     * triangle-inequality bound, so results equal the brute
     * formulation bit-for-bit. Output:
     * (anchor_id, pos_id, pos_cos, neg_id, neg_cos).
+    *
+    * Sizing `nClusters`: the default 16 is a small-corpus default, NOT
+    * a scale constant — per-cluster scan cost is O(|corpus|/k) per
+    * probed cluster, so at large N size k ~ √N (the usual IVF rule;
+    * ~100k clusters for 5B vectors) to keep clusters in the low
+    * thousands. Ids must be integral ([[hardNegativesIvf]]'s contract
+    * — enforced there). This function persists the positives relation
+    * and [[hardNegativesIvf]] persists its two sides; callers running
+    * repeatedly in a long-lived session should
+    * `spark.catalog.clearCache()` between runs (the ivfTopK caveat).
     */
   def contrastiveTriplets(corpus: DataFrame, pairs: DataFrame,
       vecCol: String, idCol: String, dupThreshold: Double,
@@ -196,11 +206,30 @@ object Similarity {
     * partition only one row per query survives, so the shuffle carries
     * |queries| rows, not the scored candidates. Ids follow the
     * [[ivfKnnJoin]] numeric-id contract (cast to long for the
-    * tie-break).
+    * tie-break) — ENFORCED here: a non-integral id column fails fast,
+    * because `cast("long")` on e.g. a string id yields null, the
+    * self-exclusion filter then drops every row, and the function would
+    * silently return an empty result (r9 advice).
+    *
+    * Observability: the result carries an `observe` metric
+    * `graft_hard_negatives_ivf(queries, fallback_queries)` —
+    * `fallback_queries` counts queries whose probed clusters held no
+    * sub-threshold row (s₁ = −1: exact, but an O(corpus) full scan for
+    * that query). A high fraction means the probed clusters are
+    * dominated by near-dups — raise `probe` or `model.nClusters`. Read
+    * it with a `QueryExecutionListener` (zero extra passes).
+    *
+    * Caching: both relation sides persist MEMORY_AND_DISK for the two
+    * phases (no action runs in here, so they cannot be unpersisted
+    * before the caller's); long-lived sessions invoking this repeatedly
+    * should `spark.catalog.clearCache()` between runs (the ivfTopK
+    * caveat).
     */
   def hardNegativesIvf(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, dupThreshold: Double,
       model: IvfModel, probe: Int = 4): DataFrame = {
+    requireIntegralId(corpus, idCol, "hardNegativesIvf corpus")
+    requireIntegralId(queries, idCol, "hardNegativesIvf queries")
     val assigned = corpus.select(col(idCol).cast("long").as("neg_id"),
         col(vecCol).cast("array<double>").as("cv"),
         ivfAssign(col(vecCol), model).as("cluster"))
@@ -239,9 +268,17 @@ object Similarity {
     val floor1 = bestUnder(
         q.withColumn("cluster", explode(probedClusters)))
       .select(col("query_id"), col("__b.score").as("__s1"))
-    // phase 2: exactly the clusters whose upper bound reaches s₁
+    // phase 2: exactly the clusters whose upper bound reaches s₁.
+    // The observe() is the fallback-fraction counter promised in the
+    // docstring — CollectMetricsExec aggregates during the existing
+    // pass, zero extra jobs; the name carries a counter so two
+    // invocations composed into one action don't collide (Spark
+    // rejects duplicate observation names per query).
     val withFloor = q.join(floor1, Seq("query_id"), "left")
       .withColumn("__floor", coalesce(col("__s1"), lit(-1.0)))
+      .observe(s"graft_hard_negatives_ivf_${obsCounter.incrementAndGet()}",
+        count(lit(1)).as("queries"),
+        sum(when(col("__s1").isNull, 1L).otherwise(0L)).as("fallback_queries"))
     val candClusters = array_compact(array((0 until k).map { j =>
       // acos clamped: the kernel's cosine can exceed 1 by fp drift and
       // acos(>1) is NaN, which would silently drop the cluster
@@ -281,6 +318,26 @@ object Similarity {
   /** Angle between unit vectors, clamped against fp drift. */
   private def angle(cos: Double): Double =
     math.acos(math.max(-1.0, math.min(1.0, cos)))
+
+  /** Monotonic suffix for `observe()` metric names — Spark rejects a
+    * reused observation name within one query, so composed invocations
+    * each get a distinct `graft_hard_negatives_ivf_<n>`.
+    */
+  private val obsCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Fail fast when an id column is not an integral type: the long-cast
+    * tie-break contract would turn e.g. string ids into nulls, and the
+    * self-exclusion filter would then silently drop EVERY row.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String, fn: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(idCol).dataType
+    require(dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType,
+      s"$fn: id column '$idCol' must be an integral type (byte/short/int/" +
+        s"long — the numeric-id tie-break contract), got ${dt.simpleString}; " +
+        "a lossy cast('long') would null non-numeric ids and silently " +
+        "return an empty result")
+  }
 
   /** Compiled assignment kernel: nearest centroid + angle to it, one pass
     * over the vector. A direct kernel rather than `transform`/`aggregate`
@@ -391,8 +448,14 @@ object Similarity {
     require(rows.nonEmpty, "labelCentroidModel: empty input")
     val k = rows.iterator.map(_.getInt(0)).max + 1
     val dim = rows.iterator.map(_.getInt(1)).max + 1
-    require(rows.forall(_.getInt(0) >= 0),
-      "labelCentroidModel: labels must be dense 0..k-1")
+    // true density, not just non-negativity: a gap below the max would
+    // silently leave an all-zero centroid that skews every downstream
+    // assignment (r9 advice)
+    val distinctLabels = rows.iterator.map(_.getInt(0)).toSet
+    require(rows.forall(_.getInt(0) >= 0) && distinctLabels.size == k,
+      s"labelCentroidModel: labels must be dense 0..k-1; saw " +
+        s"${distinctLabels.size} distinct labels with max ${k - 1}" +
+        (if (distinctLabels.exists(_ < 0)) " including negatives" else ""))
     val cents = Array.fill(k)(new Array[Double](dim))
     rows.foreach { r =>
       cents(r.getInt(0))(r.getInt(1)) =

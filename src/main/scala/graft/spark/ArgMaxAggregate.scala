@@ -1,6 +1,6 @@
 package graft.spark
 
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, CreateNamedStruct, EqualTo, Expression, GreaterThan, If, IsNotNull, IsNull, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Coalesce, CreateNamedStruct, EqualTo, Expression, GreaterThan, If, IsNotNull, IsNull, Literal, Or}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, StructType}
@@ -21,8 +21,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, 
   * highest score wins, ties by the LARGEST tie value (pass a negated id
   * for a min-id tie-break), matching `row_number() OVER (ORDER BY score
   * DESC, id ASC) = 1` and `max(struct(score, -id))` bit for bit. Null
-  * scores are ignored; an all-null/empty group evaluates to null.
-  * Result: struct(score double, tie long).
+  * scores are ignored; an all-null/empty group evaluates to null. A
+  * null TIE on a non-null score coalesces to Long.MinValue at update —
+  * deterministic "sorts last on equal score", the same relative order
+  * `max(struct)`'s nulls-smallest field comparison gives (without the
+  * guard, `GreaterThan(newT, curT)` would go null on score ties and
+  * silently keep the incumbent — r9 advice); the output then carries
+  * Long.MinValue, not null. Result: struct(score double, tie long).
   */
 final case class ArgMaxTie(score: Expression, tie: Expression)
   extends DeclarativeAggregate with BinaryLike[Expression] {
@@ -56,8 +61,12 @@ final case class ArgMaxTie(score: Expression, tie: Expression)
           And(EqualTo(newS, curS), GreaterThan(newT, curT)))))
 
   override lazy val updateExpressions: Seq[Expression] = {
-    val take = takeNew(bufScore, bufTie, score, tie)
-    Seq(If(take, score, bufScore), If(take, tie, bufTie))
+    // null-tie guard: buffer ties are always non-null once a score
+    // lands (this Coalesce is the only writer), so merge/compare paths
+    // never see a null tie
+    val safeTie = Coalesce(Seq(tie, Literal(Long.MinValue)))
+    val take = takeNew(bufScore, bufTie, score, safeTie)
+    Seq(If(take, score, bufScore), If(take, safeTie, bufTie))
   }
 
   override lazy val mergeExpressions: Seq[Expression] = {

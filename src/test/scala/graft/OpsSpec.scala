@@ -4038,4 +4038,114 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf.count() == queries.count())
     spark2.catalog.clearCache()
   }
+
+  test("hardNegativesIvf fails fast on non-integral id columns") {
+    val corpus = Seq(("a", Seq(1.0, 0.0)), ("b", Seq(0.0, 1.0)))
+      .toDF("id", "v")
+    val model = Similarity.IvfModel(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)), Array(0.0, 0.0))
+    // without the guard, cast('long') nulls every string id, the
+    // self-exclusion filter drops all rows, and the result is silently
+    // EMPTY — the r9-advice failure this test pins shut
+    val e = intercept[IllegalArgumentException] {
+      Similarity.hardNegativesIvf(corpus, corpus, "v", "id", 0.9, model)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
+  test("hardNegativesIvf fallback path (all-dup probed cluster) stays exact and observable") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    // cluster A: the query plus near-identical copies (all >= 0.9 to
+    // it); cluster B: an orthogonal direction (the only sub-threshold
+    // rows). probe=1 probes exactly A, which holds no sub-threshold
+    // candidate -> s1 = -1 -> the honest full scan must still find the
+    // true hardest negative in B, identically to brute force.
+    val rows = Seq(
+      (0L, Seq(1.0, 0.001, 0.0)), (1L, Seq(1.0, 0.002, 0.0)),
+      (2L, Seq(1.0, 0.003, 0.0)), (3L, Seq(1.0, 0.004, 0.0)),
+      (10L, Seq(0.0, 1.0, 0.01)), (11L, Seq(0.0, 1.0, 0.02)))
+    val corpus = rows.toDF("id", "v")
+    val queries = corpus.filter(col("id") === 0L)
+    val model = Similarity.ivfFit(corpus, "v", "id", nClusters = 2, sampleN = 6)
+    val ivf = Similarity.hardNegativesIvf(corpus, queries, "v", "id", 0.9, model, probe = 1)
+    val got = ivf.collect()
+    val brute = Similarity.hardNegatives(corpus, queries, "v", "id", 0.9).collect()
+    assert(got.toSeq == brute.toSeq)
+    assert(got.length == 1 && Set(10L, 11L).contains(got.head.getLong(1)))
+    // the observe() contract: the fallback fraction is 1/1 here
+    val m = ivf.queryExecution.observedMetrics
+      .find(_._1.startsWith("graft_hard_negatives_ivf")).map(_._2)
+    assert(m.nonEmpty, s"no graft_hard_negatives_ivf metric in ${ivf.queryExecution.observedMetrics.keys}")
+    assert(m.get.getAs[Long]("queries") == 1L &&
+      m.get.getAs[Long]("fallback_queries") == 1L, m.get.toString)
+    spark2.catalog.clearCache()
+  }
+
+  test("labelCentroidModel rejects sparse and negative labels") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    // gap below the max (labels {0, 2}): without the density check the
+    // missing cluster 1 would silently become an all-zero centroid
+    val sparse = Seq((0L, 0, Seq(1.0, 0.0)), (1L, 2, Seq(0.0, 1.0)))
+      .toDF("id", "label", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.labelCentroidModel(sparse, "v", "label")
+    }
+    assert(e1.getMessage.contains("dense"), e1.getMessage)
+    val neg = Seq((0L, -1, Seq(1.0, 0.0)), (1L, 0, Seq(0.0, 1.0)))
+      .toDF("id", "label", "v")
+    intercept[Exception] {
+      Similarity.labelCentroidModel(neg, "v", "label")
+    }
+    // dense labels still fit: centroid of each single-member label
+    val ok = Seq((0L, 0, Seq(1.0, 0.0)), (1L, 1, Seq(0.0, 1.0)))
+      .toDF("id", "label", "v")
+    val model = Similarity.labelCentroidModel(ok, "v", "label")
+    assert(model.nClusters == 2 && model.centroids(0)(0) == 1.0)
+  }
+
+  test("ArgMaxTie null ties coalesce to Long.MinValue (sort last on equal score)") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    val df = Seq[(Long, Double, java.lang.Long)](
+      (0L, 1.0, null), (0L, 1.0, 5L),   // equal score: real tie wins
+      (1L, 1.0, null),                   // only-null ties: MinValue surfaces
+      (2L, 2.0, null), (2L, 1.0, 7L))    // higher score wins even with null tie
+      .toDF("g", "score", "tie")
+    val got = df.groupBy(col("g"))
+      .agg(graft.spark.ArgMaxTie(col("score"), col("tie")).as("b"))
+      .select(col("g"), col("b.score"), col("b.tie"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got(0L) == ((1.0, 5L)), s"null tie must lose to a real tie: ${got(0L)}")
+    assert(got(1L) == ((1.0, Long.MinValue)), s"all-null ties surface MinValue: ${got(1L)}")
+    assert(got(2L) == ((2.0, Long.MinValue)), s"score dominates tie: ${got(2L)}")
+  }
+
+  test("semDedupAssigned: a tighter maxCluster cap only ever REDUCES drops") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    // one dense near-dup cluster of 6 + a far singleton; capping the
+    // cluster at 3 must keep a superset of the uncapped survivors and
+    // every capped drop must also be an uncapped drop (the cap is a
+    // recall budget, never a correctness risk — r9 verdict stretch #8)
+    def v(eps: Double) = Seq(1.0, eps, 0.0)
+    val rows = Seq((0L, v(0.00)), (1L, v(0.01)), (2L, v(0.02)),
+      (3L, v(0.03)), (4L, v(0.04)), (5L, v(0.05)), (50L, Seq(0.0, 0.0, 1.0)))
+    val df = rows.toDF("id", "v")
+    val model = Similarity.ivfFit(df, "v", "id", nClusters = 2, sampleN = 7)
+    def kept(cap: Int): Set[Long] =
+      Dedup.semDedupAssigned(df, "v", "id", model, tau = 0.999, maxCluster = cap)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val all = rows.map(_._1).toSet
+    val keptUncapped = kept(10000)
+    val keptCapped = kept(3)
+    assert(keptUncapped.subsetOf(keptCapped),
+      s"cap must only shrink drops: uncapped=$keptUncapped capped=$keptCapped")
+    assert((all -- keptCapped).subsetOf(all -- keptUncapped))
+    // the geometry actually exercises the cap: uncapped drops 1..5,
+    // capped considers only ids 0,1,2 so 3,4,5 survive the cap
+    assert(keptUncapped == Set(0L, 50L) && keptCapped == Set(0L, 3L, 4L, 5L, 50L))
+    spark2.catalog.clearCache()
+  }
 }
