@@ -211,8 +211,11 @@ object Similarity {
     * self-exclusion filter then drops every row, and the function would
     * silently return an empty result (r9 advice).
     *
-    * Observability: the result carries an `observe` metric
-    * `graft_hard_negatives_ivf(queries, fallback_queries)` —
+    * Observability: the result carries an `observe` metric named
+    * `graft_hard_negatives_ivf_<n>` (counter-suffixed — Spark rejects a
+    * reused observation name within one query, so match on the
+    * `graft_hard_negatives_ivf` PREFIX) with columns
+    * `(queries, fallback_queries)` —
     * `fallback_queries` counts queries whose probed clusters held no
     * sub-threshold row (s₁ = −1: exact, but an O(corpus) full scan for
     * that query). A high fraction means the probed clusters are
@@ -331,7 +334,14 @@ object Similarity {
     */
   private def requireIntegralId(df: DataFrame, idCol: String, fn: String): Unit = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val dt = df.schema(idCol).dataType
+    // resolve like Spark does (case-insensitive fallback) — a plain
+    // schema(idCol) lookup would reject case-mismatched callers that
+    // col(idCol) itself resolves fine
+    val field = df.schema.fields.find(_.name == idCol)
+      .orElse(df.schema.fields.find(_.name.equalsIgnoreCase(idCol)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$fn: no column '$idCol' in ${df.schema.fieldNames.mkString(", ")}"))
+    val dt = field.dataType
     require(dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType,
       s"$fn: id column '$idCol' must be an integral type (byte/short/int/" +
         s"long — the numeric-id tie-break contract), got ${dt.simpleString}; " +

@@ -271,7 +271,14 @@ final case class HyperplaneBandsExpression(child: Expression,
       val g = new Array[Double](raw.length)
       var i = 0
       while (i < raw.length) {
-        g(i) = java.math.BigDecimal.valueOf(raw(i) * grain)
+        val x = raw(i) * grain
+        // BigDecimal.valueOf throws a bare NumberFormatException on
+        // NaN/Infinity — name the offending component instead (the
+        // replayable-grain contract requires finite vectors anyway)
+        require(java.lang.Double.isFinite(x),
+          s"graft_hyperplane_bands: non-finite component ${raw(i)} at " +
+            s"index $i — the grained (replayable) path requires finite vectors")
+        g(i) = java.math.BigDecimal.valueOf(x)
           .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
         i += 1
       }
