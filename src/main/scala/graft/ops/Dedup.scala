@@ -350,7 +350,15 @@ object Dedup {
     val p = pairs.select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nPairs = p.count() // also materializes the persist up front
-    if (nPairs <= driverThreshold) {
+    // The driver shortcut decodes ids as longs; a non-integral id type
+    // (string URLs, UUIDs) would null through the cast and die inside
+    // the tuple encoder with an error naming no column. Min-label
+    // propagation itself is type-generic (min/least order strings
+    // fine), so such graphs take the distributed path at ANY size —
+    // same labels, same contract, no surprise crash at <=threshold.
+    val integralIds = Ids.isIntegral(p.schema("id_a").dataType) &&
+      Ids.isIntegral(p.schema("id_b").dataType)
+    if (nPairs <= driverThreshold && integralIds) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val edges = p.select(col("id_a").cast("long"), col("id_b").cast("long"))

@@ -27,11 +27,16 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** (node, r9) after `iters` damped iterations; nodes = src ∪ dst.
-    * `rank = r9 / 1e9`.
+    * `rank = r9 / 1e9`. Node ids must be integral (enforced): a lossy
+    * long cast would collapse e.g. every string URL to the single null
+    * node and silently rank garbage — hash or dimension-map string
+    * nodes to longs first.
     */
   def pageRank9(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, damping: Double = 0.85): DataFrame = {
     require(iters >= 1 && iters <= 100, s"pageRank9: bad iters $iters")
+    Ids.requireIntegralId(edges, srcCol, "pageRank9")
+    Ids.requireIntegralId(edges, dstCol, "pageRank9")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
     val nodes = e.select(col("src").as("node"))

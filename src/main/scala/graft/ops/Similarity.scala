@@ -330,24 +330,11 @@ object Similarity {
 
   /** Fail fast when an id column is not an integral type: the long-cast
     * tie-break contract would turn e.g. string ids into nulls, and the
-    * self-exclusion filter would then silently drop EVERY row.
+    * self-exclusion filter would then silently drop EVERY row. Shared
+    * contract: [[graft.ops.Ids.requireIntegralId]].
     */
-  private def requireIntegralId(df: DataFrame, idCol: String, fn: String): Unit = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    // resolve like Spark does (case-insensitive fallback) — a plain
-    // schema(idCol) lookup would reject case-mismatched callers that
-    // col(idCol) itself resolves fine
-    val field = df.schema.fields.find(_.name == idCol)
-      .orElse(df.schema.fields.find(_.name.equalsIgnoreCase(idCol)))
-      .getOrElse(throw new IllegalArgumentException(
-        s"$fn: no column '$idCol' in ${df.schema.fieldNames.mkString(", ")}"))
-    val dt = field.dataType
-    require(dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType,
-      s"$fn: id column '$idCol' must be an integral type (byte/short/int/" +
-        s"long — the numeric-id tie-break contract), got ${dt.simpleString}; " +
-        "a lossy cast('long') would null non-numeric ids and silently " +
-        "return an empty result")
-  }
+  private def requireIntegralId(df: DataFrame, idCol: String, fn: String): Unit =
+    Ids.requireIntegralId(df, idCol, fn)
 
   /** Compiled assignment kernel: nearest centroid + angle to it, one pass
     * over the vector. A direct kernel rather than `transform`/`aggregate`
@@ -682,6 +669,9 @@ object Similarity {
   private def searchAssignedBatch(assigned: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, model: IvfModel,
       probe: Int): DataFrame = {
+    // the driver collect below decodes query ids as longs; a lossy cast
+    // would NPE with no column named (graft.ops.Ids contract)
+    Ids.requireIntegralId(queries, idCol, "ivfKnnJoin/ivfSearchIndexBatch queries")
     val spark = assigned.sparkSession
     import spark.implicits._
     val qRows: Array[(Long, Array[Double])] = queries

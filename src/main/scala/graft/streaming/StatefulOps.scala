@@ -101,6 +101,9 @@ object StatefulOps {
       tsCol: String, n: Int = 3, numPerms: Int = 64, bands: Int = 16,
       delaySec: Long = 600): Dataset[BandHit] = {
     require(numPerms % bands == 0, s"bands must divide numPerms: $numPerms/$bands")
+    // the typed stream decodes ids as longs; fail at plan-build time,
+    // not mid-stream inside the encoder (graft.ops.Ids contract)
+    graft.ops.Ids.requireIntegralId(df, idCol, "streamingNearDupHits")
     val spark = df.sparkSession
     import spark.implicits._
     val rows = numPerms / bands
@@ -159,6 +162,9 @@ object StatefulOps {
     */
   def sessionize(df: DataFrame, userCol: String, tsCol: String,
       gapSec: Long, delay: String = "10 minutes"): Dataset[ClosedSession] = {
+    // typed state keys decode the user as long; fail at plan-build
+    // time, not mid-stream inside the encoder (graft.ops.Ids contract)
+    graft.ops.Ids.requireIntegralId(df, userCol, "sessionize")
     val spark = df.sparkSession
     import spark.implicits._
     val gapMs = gapSec * 1000L

@@ -4039,6 +4039,43 @@ class OpsSpec extends AnyFunSuite {
     spark2.catalog.clearCache()
   }
 
+  test("lossy-id-cast guards: pageRank9 and ivfKnnJoin fail fast; clusters routes strings distributed") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    // pageRank9 on string nodes used to collapse every URL to the null
+    // node and silently rank garbage
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Graph.pageRank9(
+        Seq(("a.com", "b.com")).toDF("src", "dst"), "src", "dst", iters = 2)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    // ivfKnnJoin's driver collect would NPE on null-cast query ids
+    val model = Similarity.IvfModel(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)), Array(0.0, 0.0))
+    val sCorpus = Seq(("x", Seq(1.0, 0.0)), ("y", Seq(0.0, 1.0))).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfKnnJoin(sCorpus, sCorpus, "v", "id", k = 1, model)
+    }
+    // clusters: string ids are legitimate (URL dedup graphs) — the
+    // type-generic distributed min-label path must serve them at any
+    // size instead of the long-decoding driver shortcut crashing
+    val pairs = Seq(("u1", "u2"), ("u2", "u3"), ("u9", "u8")).toDF("id_a", "id_b")
+    val labels = Dedup.clusters(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels == Map("u1" -> "u1", "u2" -> "u1", "u3" -> "u1",
+      "u8" -> "u8", "u9" -> "u8"), labels.toString)
+    // stateful streams decode typed long keys — both entry points must
+    // reject at plan-build time, not mid-stream inside the encoder
+    val sdf = Seq(("s1", "t", java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .toDF("id", "text", "ts")
+    intercept[IllegalArgumentException] {
+      graft.streaming.StatefulOps.streamingNearDupHits(sdf, "text", "id", "ts")
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.StatefulOps.sessionize(sdf, "id", "ts", gapSec = 60)
+    }
+  }
+
   test("hardNegativesIvf fails fast on non-integral id columns") {
     val corpus = Seq(("a", Seq(1.0, 0.0)), ("b", Seq(0.0, 1.0)))
       .toDF("id", "v")
