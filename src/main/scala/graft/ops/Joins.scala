@@ -48,8 +48,21 @@ object Joins {
       .withColumn("__rm", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__src") === 1)
     val withTol = toleranceSec.fold(matched) { tol =>
+      // exact time axis, same as asofJoinDirected: a plain cast-to-long
+      // truncates timestamps to SECONDS, so e.g. ts=10.1s matching
+      // rm=9.9s computed 10-9=1 > tol=0 and nulled a within-tolerance
+      // match (and backward-direction tolerance disagreed with
+      // forward/nearest at sub-second deltas)
+      val isTs = left.schema(tsCol).dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => true
+        case _ => false
+      }
+      def axis(c: Column): Column =
+        if (isTs) unix_micros(c.cast("timestamp")) else c.cast("double")
+      val bound = if (isTs) tol * 1000000L else tol
       matched.withColumn("__rm",
-        when(col("__ts").cast("long") - col(s"__rm.$tsCol").cast("long") <= tol, col("__rm")))
+        when(axis(col("__ts")) - axis(col(s"__rm.$tsCol")) <= bound, col("__rm")))
     }
     withTol.select(
       left.columns.map(c => col(s"__l.$c").as(c)).toIndexedSeq ++

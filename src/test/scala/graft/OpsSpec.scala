@@ -131,6 +131,39 @@ class OpsSpec extends AnyFunSuite {
     assert(tol.map(x => Option(x.get(5)).orNull).toSeq == Seq("x", null, null))
   }
 
+  test("asofJoin tolerance is micros-exact on timestamps (no seconds truncation)") {
+    // ts 10.1s matching rm 9.9s: true delta 0.2s <= tol 1; a plain
+    // cast-to-long computed 10 - 9 = 1 as well here, but at tol=0 it
+    // nulled within-tolerance sub-second matches and disagreed with
+    // asofJoinDirected's micros axis — pin both directions on the same
+    // sub-second fixture
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000) {
+      setNanos(((us % 1000000) * 1000).toInt)
+    }
+    val l = Seq((1L, ts(10100000L), "a")).toDF("k", "ts", "lv")
+    val r = Seq((1L, ts(9900000L), "x")).toDF("k", "ts", "rv")
+    val backward = graft.ops.Joins.asofJoin(l, r, "k", "ts", toleranceSec = Some(0))
+      .select("r_rv").head()
+    // delta 0.2s > tol 0s -> nulled; the old seconds axis said 10-9=1 too,
+    // but at tol=1 the old axis ALSO nulled (1 > ... no: 1 <= 1 kept) —
+    // the distinguishing case is tol=0 with sub-second delta in the SAME
+    // second: ts 10.9 vs rm 10.1 -> old axis 10-10=0 kept, true 0.8s > 0
+    assert(backward.isNullAt(0))
+    val l2 = Seq((1L, ts(10900000L), "a")).toDF("k", "ts", "lv")
+    val r2 = Seq((1L, ts(10100000L), "x")).toDF("k", "ts", "rv")
+    val sameSecond = graft.ops.Joins.asofJoin(l2, r2, "k", "ts", toleranceSec = Some(0))
+      .select("r_rv").head()
+    assert(sameSecond.isNullAt(0),
+      "0.8s delta within one epoch second must exceed tol=0")
+    // and the one-second tolerance keeps it, agreeing with the directed path
+    val kept = graft.ops.Joins.asofJoin(l2, r2, "k", "ts", toleranceSec = Some(1))
+      .select("r_rv").head().getString(0)
+    val keptDirected = graft.ops.Joins.asofJoinDirected(l2, r2, "k", "ts",
+        direction = "nearest", toleranceSec = Some(1))
+      .select("r_rv").head().getString(0)
+    assert(kept == "x" && keptDirected == "x")
+  }
+
   test("rangeJoin pairs points with containing intervals via binning") {
     val pts = Seq((1L, 5.0), (2L, 15.0), (3L, 25.0)).toDF("pid", "v")
     val ivs = Seq((10L, 0.0, 10.0), (11L, 14.0, 16.0), (12L, 5.0, 25.0))
