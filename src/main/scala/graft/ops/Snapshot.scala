@@ -107,10 +107,22 @@ object Snapshot {
     */
   def applyChanges(base: DataFrame, changes: DataFrame, idCol: String,
       opCol: String): DataFrame = {
+    // op validation INSIDE the plan (scan-local, no extra pass): a null
+    // or misspelled op ("Delete", "upsert") used to slip through
+    // `=!= "delete"` as null/false — the base row was already
+    // anti-joined away, so the id silently VANISHED from the snapshot.
+    // assert_true returns null (so `.isNull` keeps every row) and
+    // throws a named error on the first bad op; consumed inside the
+    // filter it cannot be pruned away.
+    val opOk = assert_true(col(opCol).isin("insert", "update", "delete"),
+      concat(lit("applyChanges: unknown op '"),
+        coalesce(col(opCol), lit("NULL")),
+        lit(s"' (expected insert/update/delete) for $idCol="),
+        coalesce(col(idCol).cast("string"), lit("NULL"))))
     val survivors = base.join(
       changes.select(col(idCol)), Seq(idCol), "left_anti")
     survivors.unionByName(
-      changes.filter(col(opCol) =!= "delete").drop(opCol))
+      changes.filter(opOk.isNull && col(opCol) =!= "delete").drop(opCol))
   }
 
   /** Order-independent per-group content checksum: count + the exact

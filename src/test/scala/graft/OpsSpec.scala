@@ -4109,6 +4109,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("applyChanges rejects unknown/null ops instead of vanishing the row") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    val base = Seq((1L, "old"), (2L, "keep")).toDF("id", "text")
+    val ok = Seq((1L, "new", "update"), (3L, "ins", "insert"))
+      .toDF("id", "text", "op")
+    val applied = graft.ops.Snapshot.applyChanges(base, ok, "id", "op")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(applied == Seq((1L, "new"), (2L, "keep"), (3L, "ins")))
+    // a misspelled op used to anti-join the base row away AND drop the
+    // change payload — id 1 silently vanished; now the job fails named
+    val bad = Seq((1L, "new", "Delete")).toDF("id", "text", "op")
+    val e = intercept[Exception] {
+      graft.ops.Snapshot.applyChanges(base, bad, "id", "op").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("unknown op"),
+      s"${e.getClass}: ${e.getMessage}")
+    val nullOp = Seq((1L, "new", null: String)).toDF("id", "text", "op")
+    intercept[Exception] {
+      graft.ops.Snapshot.applyChanges(base, nullOp, "id", "op").collect()
+    }
+  }
+
   test("hardNegativesIvf fails fast on non-integral id columns") {
     val corpus = Seq(("a", Seq(1.0, 0.0)), ("b", Seq(0.0, 1.0)))
       .toDF("id", "v")
