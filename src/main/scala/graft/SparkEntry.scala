@@ -3757,9 +3757,12 @@ object SparkEntry {
         |    ELSE 'test' END AS split
         |  FROM documents)
         |GROUP BY split ORDER BY split""".stripMargin,
+    // coalesce mirrors stratifiedSample's null-stratum sentinel (no-op
+    // on this data — lang is never null — but the replay must state the
+    // same function the operator computes)
     "q_sample_strat" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE md5(CAST(lang AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) || 's2') < '40000000'
+        |WHERE md5(coalesce(CAST(lang AS VARCHAR), '__null__') || ':' || CAST(doc_id AS VARCHAR) || 's2') < '40000000'
         |ORDER BY doc_id""".stripMargin,
     // same bucket rule, same nearest-rank + in-bucket interpolation,
     // exact percentile via quantile_cont (matches Spark percentile)

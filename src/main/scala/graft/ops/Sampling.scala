@@ -342,12 +342,17 @@ object Sampling {
   /** Stratified deterministic sample: an independent ~`fraction` within
     * each stratum (the stratum value participates in the hash, so
     * changing one stratum's data never perturbs another's selection).
+    * A NULL stratum is its own stratum (sentinel `__null__` in the
+    * hash): without the coalesce, `concat(null, …)` nulled the hash
+    * and the `<` filter silently dropped every null-strata row at ANY
+    * fraction — even 1.0. (Sentinel collision with a literal
+    * `__null__` stratum merges the two — documented convention.)
     */
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
       fraction: Double, salt: String = ""): DataFrame =
     df.filter(
-      md5(concat(col(strataCol).cast("string"), lit(":"),
-        col(idCol).cast("string"), lit(salt))) <
+      md5(concat(coalesce(col(strataCol).cast("string"), lit("__null__")),
+        lit(":"), col(idCol).cast("string"), lit(salt))) <
         lit(hexThreshold(fraction)))
 
   /** Mixture construction: per-source sampling rates applied to a union

@@ -4109,6 +4109,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stratifiedSample: null strata form their own stratum, never silently vanish") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    val ids = (0L until 200L).map(i => (i, if (i % 3 == 0) null else "a"))
+      .toDF("id", "src")
+    // fraction 1.0 must keep EVERY row — the old concat-null hash
+    // dropped all null-strata rows at any fraction
+    assert(graft.ops.Sampling.stratifiedSample(ids, "id", "src", 1.0, "z").count() == 200L)
+    // null-strata rows sample at ~fraction like any other stratum
+    val nullKept = graft.ops.Sampling.stratifiedSample(ids, "id", "src", 0.5, "z")
+      .filter(col("src").isNull).count()
+    assert(nullKept > 10 && nullKept < 57, s"null stratum kept $nullKept of 67")
+    // and non-null strata selection is unchanged by null rows' presence
+    val a1 = graft.ops.Sampling.stratifiedSample(ids, "id", "src", 0.3, "z")
+      .filter(col("src") === "a").collect().map(_.getLong(0)).toSet
+    val a2 = graft.ops.Sampling.stratifiedSample(ids.filter(col("src").isNotNull),
+      "id", "src", 0.3, "z").collect().map(_.getLong(0)).toSet
+    assert(a1 == a2)
+  }
+
   test("applyChanges rejects unknown/null ops instead of vanishing the row") {
     val spark2 = SparkTestSession.spark
     import spark2.implicits._
