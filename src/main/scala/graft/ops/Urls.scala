@@ -77,7 +77,11 @@ object Urls {
       blocked: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(blocked.nonEmpty, "empty blocklist")
     val d = registeredDomain(col(urlCol))
-    df.filter(!d.isin(blocked.map(_.toLowerCase): _*))
+    // null url → null domain → `!isin` evaluates null and used to DROP
+    // the row, violating "a blocklist removes what it names, nothing
+    // else" and disagreeing with the anti-join variant (null keys never
+    // match, so filterBlockedDomainsDf keeps them) — keep nulls here too
+    df.filter(d.isNull || !d.isin(blocked.map(_.toLowerCase): _*))
   }
 
   /** [[filterBlockedDomains]] against a blocklist TABLE — the

@@ -2686,11 +2686,12 @@ class OpsSpec extends AnyFunSuite {
       (0L, "https://a.spam.example.co.uk/x"),
       (1L, "https://sub.bad.net/y"),
       (2L, "https://good.org/z"),
-      (3L, "plain text")).toDF("id", "url")
+      (3L, "plain text"),
+      (4L, null: String)).toDF("id", "url") // null url: not named -> kept
     val kept = graft.ops.Urls.filterBlockedDomains(df, "url",
         Seq("example.co.uk", "bad.net"))
       .select("id").collect().map(_.getLong(0)).toSet
-    assert(kept == Set(2L, 3L))
+    assert(kept == Set(2L, 3L, 4L))
     val blocklist = Seq("example.co.uk", "bad.net").toDF("domain")
     val kept2 = graft.ops.Urls.filterBlockedDomainsDf(df, "url", blocklist)
       .select("id").collect().map(_.getLong(0)).toSet
