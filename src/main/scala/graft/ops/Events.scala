@@ -31,7 +31,7 @@ object Events {
   def funnelSteps(df: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnelSteps: no steps")
-    val tsType = df.schema(tsCol).dataType
+    val tsType = Ids.fieldOf(df, tsCol, "funnelSteps").dataType
     val stepsLit = typedLit(steps)
     val n = steps.length
     val evs = sort_array(collect_list(

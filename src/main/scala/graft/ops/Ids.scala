@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, IntegerType, LongType, ShortType}
 
 /** The numeric-id contract shared by every operator that casts an id
   * column to long (tie-breaks, typed stateful streams, integer graph
@@ -13,21 +13,41 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   */
 private[graft] object Ids {
 
-  def isIntegral(dt: DataType): Boolean =
-    dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
+  /** Types whose `cast("long")` is lossless: the four integrals plus
+    * scale-0 decimals that fit a long (JDBC NUMERIC keys arrive as
+    * DECIMAL(p,0); p ≤ 18 cannot exceed Long range). Float/double stay
+    * rejected — a fractional value would silently truncate, which is
+    * the exact lossy class this contract exists to stop; cast
+    * explicitly if the values are known integral.
+    */
+  def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case d: DecimalType => d.scale == 0 && d.precision <= 18
+    case _ => false
+  }
+
+  /** Resolve a user-supplied column name the way Spark's `col()` does
+    * (exact first, case-insensitive fallback) — `df.schema(name)` alone
+    * is case-SENSITIVE and rejects names the rest of the same operator
+    * happily resolves.
+    */
+  def fieldOf(df: DataFrame, name: String,
+      fn: String): org.apache.spark.sql.types.StructField =
+    df.schema.fields.find(_.name == name)
+      .orElse(df.schema.fields.find(_.name.equalsIgnoreCase(name)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$fn: no column '$name' in ${df.schema.fieldNames.mkString(", ")}"))
 
   /** Fail fast when `idCol` is not an integral type. Resolves the
     * column the way Spark does (case-insensitive fallback), so callers
     * that `col(idCol)` accepts are not rejected on case alone.
     */
   def requireIntegralId(df: DataFrame, idCol: String, fn: String): Unit = {
-    val field = df.schema.fields.find(_.name == idCol)
-      .orElse(df.schema.fields.find(_.name.equalsIgnoreCase(idCol)))
-      .getOrElse(throw new IllegalArgumentException(
-        s"$fn: no column '$idCol' in ${df.schema.fieldNames.mkString(", ")}"))
+    val field = fieldOf(df, idCol, fn)
     require(isIntegral(field.dataType),
       s"$fn: column '$idCol' must be an integral type (byte/short/int/" +
-        s"long — the numeric-id contract), got ${field.dataType.simpleString}; " +
+        s"long, or decimal(<=18,0) — the numeric-id contract), got " +
+        s"${field.dataType.simpleString}; " +
         "a lossy cast('long') would null non-numeric values and silently " +
         "corrupt or empty the result. Map ids to longs first (e.g. " +
         "xxhash64 or a dimension table) if they are strings.")

@@ -17,6 +17,44 @@ import org.apache.spark.sql.types.StructType
   */
 object Joins {
 
+  /** The one shared time axis of every as-of tolerance/nearest
+    * comparison: (axis expression, ticks per second). Field resolution
+    * is case-insensitive (like `col()` under the default caseSensitive
+    * =false). Per type:
+    *  - TIMESTAMP → `unix_micros` (a plain cast-to-long truncates to
+    *    SECONDS and mis-ties sub-second races);
+    *  - TIMESTAMP_NTZ → naive-axis micros computed from FIELDS
+    *    (days·86400e6 + time-of-day) — casting NTZ through the session
+    *    zone distorts deltas by the DST shift around gap/overlap hours;
+    *  - integral numerics → exact `long` (a double axis has 256-unit
+    *    ulps at nanos-since-epoch magnitudes ~2^60);
+    *  - fractional numerics → `double` (their native precision).
+    */
+  private def timeAxis(schema: StructType, tsCol: String,
+      fn: String): (Column => Column, Long) = {
+    import org.apache.spark.sql.types._
+    val field = schema.fields.find(_.name == tsCol)
+      .orElse(schema.fields.find(_.name.equalsIgnoreCase(tsCol)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$fn: no column '$tsCol' in ${schema.fieldNames.mkString(", ")}"))
+    field.dataType match {
+      case TimestampType =>
+        ((c: Column) => unix_micros(c.cast("timestamp")), 1000000L)
+      case TimestampNTZType =>
+        ((c: Column) =>
+          datediff(c.cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long") * lit(86400000000L) +
+            (hour(c).cast("long") * lit(3600L) +
+              minute(c).cast("long") * lit(60L) +
+              second(c).cast("long")) * lit(1000000L) +
+            date_format(c, "SSSSSS").cast("long"), 1000000L)
+      case ByteType | ShortType | IntegerType | LongType =>
+        ((c: Column) => c.cast("long"), 1L)
+      case _ =>
+        ((c: Column) => c.cast("double"), 1L)
+    }
+  }
+
   /** Backward as-of join: for every left row, attach the single right row
     * with the greatest `right.tsCol <= left.tsCol` for the same `keyCol`
     * (inclusive at equality), or nulls when no such row exists — i.e.
@@ -48,21 +86,10 @@ object Joins {
       .withColumn("__rm", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__src") === 1)
     val withTol = toleranceSec.fold(matched) { tol =>
-      // exact time axis, same as asofJoinDirected: a plain cast-to-long
-      // truncates timestamps to SECONDS, so e.g. ts=10.1s matching
-      // rm=9.9s computed 10-9=1 > tol=0 and nulled a within-tolerance
-      // match (and backward-direction tolerance disagreed with
-      // forward/nearest at sub-second deltas)
-      val isTs = left.schema(tsCol).dataType match {
-        case org.apache.spark.sql.types.TimestampType |
-             org.apache.spark.sql.types.TimestampNTZType => true
-        case _ => false
-      }
-      def axis(c: Column): Column =
-        if (isTs) unix_micros(c.cast("timestamp")) else c.cast("double")
-      val bound = if (isTs) tol * 1000000L else tol
+      val (axis, scale) = timeAxis(left.schema, tsCol, "asofJoin")
       matched.withColumn("__rm",
-        when(axis(col("__ts")) - axis(col(s"__rm.$tsCol")) <= bound, col("__rm")))
+        when(axis(col("__ts")) - axis(col(s"__rm.$tsCol")) <= tol * scale,
+          col("__rm")))
     }
     withTol.select(
       left.columns.map(c => col(s"__l.$c").as(c)).toIndexedSeq ++
@@ -112,16 +139,7 @@ object Joins {
       .withColumn("__rb", last(col("__r"), ignoreNulls = true).over(wB))
       .withColumn("__rf", first(col("__r"), ignoreNulls = true).over(wF))
       .filter(col("__src") === 1)
-    // exact time axis: integer micros for timestamp columns (a plain
-    // cast-to-long truncates to SECONDS and mis-ties sub-second races),
-    // the raw numeric value otherwise
-    val isTs = left.schema(tsCol).dataType match {
-      case org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.TimestampNTZType => true
-      case _ => false
-    }
-    def axis(c: Column): Column =
-      if (isTs) unix_micros(c.cast("timestamp")) else c.cast("double")
+    val (axis, scale) = timeAxis(left.schema, tsCol, "asofJoinDirected")
     val matched = direction match {
       case "forward" => both.withColumn("__rm", col("__rf"))
       case _ /* nearest */ =>
@@ -134,10 +152,9 @@ object Joins {
             .otherwise(col("__rb")))
     }
     val withTol = toleranceSec.fold(matched) { tol =>
-      val bound = if (isTs) tol * 1000000L else tol
       matched.withColumn("__rm",
         when(org.apache.spark.sql.functions.abs(
-          axis(col("__ts")) - axis(col(s"__rm.$tsCol"))) <= bound,
+          axis(col("__ts")) - axis(col(s"__rm.$tsCol"))) <= tol * scale,
           col("__rm")))
     }
     withTol.select(
@@ -261,7 +278,7 @@ object Joins {
   def bloomPrunedJoin(big: DataFrame, small: DataFrame, key: String,
       fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, s"bloomPrunedJoin: bad fpp $fpp")
-    val keyType = big.schema(key).dataType
+    val keyType = graft.ops.Ids.fieldOf(big, key, "bloomPrunedJoin").dataType
     require(keyType == org.apache.spark.sql.types.LongType ||
       keyType == org.apache.spark.sql.types.IntegerType,
       s"bloomPrunedJoin needs an integral key (got $keyType)")

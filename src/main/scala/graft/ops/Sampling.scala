@@ -30,8 +30,20 @@ object Sampling {
     else f"${(p * 4294967296.0).toLong}%08x"
   }
 
+  /** The id as the selection-hash string; raises on NULL. Every
+    * deterministic sample/split is a filter on `md5(id ⧺ salt)` —
+    * a null id nulls the hash and the `<`-threshold predicate, so the
+    * row silently vanished from every sample and split at ANY
+    * fraction (even 1.0). Ids are the corpus's non-null invariant;
+    * violating it now fails loudly instead of shrinking the corpus.
+    */
+  private[ops] def idStr(idCol: Column): Column =
+    when(idCol.isNotNull, idCol.cast("string"))
+      .otherwise(raise_error(lit("sampling: NULL id — selection hashes " +
+        "are deterministic in (id, salt); ids must be non-null")))
+
   private[ops] def saltedHash(idCol: Column, salt: String): Column =
-    md5(concat(idCol.cast("string"), lit(salt)))
+    md5(concat(idStr(idCol), lit(salt)))
 
   /** Adds a `split` column assigning each row to one of the named
     * fractions (which must sum to ~1; the last split absorbs rounding).
@@ -106,9 +118,12 @@ object Sampling {
     // global per-stratum top-k is a subset of every shard-local top-k
     // union, so the result is EXACTLY the single-window answer — then
     // stage 2 ranks the ≤ 32k survivors per stratum
+    // null strata form their own stratum (the stratifiedSample sentinel
+    // convention); a null ID still raises through saltedHash's idStr
     val hashed = df.select(col(idCol), col(strataCol),
-      saltedHash(concat(col(strataCol).cast("string"), lit(":"),
-        col(idCol).cast("string")), salt).as("__h"))
+      saltedHash(concat(coalesce(col(strataCol).cast("string"),
+        lit("__null__")), lit(":"),
+        idStr(col(idCol))), salt).as("__h"))
     val shard = conv(substring(col("__h"), 29, 4), 16, 10).cast("int") % 32
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol), col("__s"))
@@ -204,7 +219,7 @@ object Sampling {
     // Election: the k-bounded Aggregator when the id type supports it
     // (one exchange of trimmed buffers, no window sort), the sharded
     // window election otherwise — identical results by construction.
-    val idType = df.schema(idCol).dataType
+    val idType = Ids.fieldOf(df, idCol, "weightedSampleK").dataType
     val aggCapable = idType == org.apache.spark.sql.types.LongType ||
       idType == org.apache.spark.sql.types.IntegerType ||
       idType == org.apache.spark.sql.types.StringType
@@ -305,7 +320,7 @@ object Sampling {
   def topKPerGroupAgg(df: DataFrame, idCol: String, groupCol: String,
       scoreCol: String, k: Int, descending: Boolean = true): DataFrame = {
     require(k >= 1, s"topKPerGroupAgg: bad k $k")
-    val idType = df.schema(idCol).dataType
+    val idType = Ids.fieldOf(df, idCol, "topKPerGroupAgg").dataType
     // ties break by id in the id's own type order, so the aggregator
     // must be typed: numeric order for integral ids, lexicographic for
     // strings — both identical to the window election's col(id).asc
@@ -352,7 +367,7 @@ object Sampling {
       fraction: Double, salt: String = ""): DataFrame =
     df.filter(
       md5(concat(coalesce(col(strataCol).cast("string"), lit("__null__")),
-        lit(":"), col(idCol).cast("string"), lit(salt))) <
+        lit(":"), idStr(col(idCol)), lit(salt))) <
         lit(hexThreshold(fraction)))
 
   /** Mixture construction: per-source sampling rates applied to a union
@@ -417,7 +432,7 @@ object Sampling {
       fullRows ++ fracRow
     }.toDF("__domain", "epoch", "__thr")
     df.join(broadcast(replicas), col(domainCol) === col("__domain"))
-      .filter(md5(concat(col(idCol).cast("string"), lit(salt), lit(":"),
+      .filter(md5(concat(idStr(col(idCol)), lit(salt), lit(":"),
         col("epoch").cast("string"))) < col("__thr"))
       .drop("__domain", "__thr")
   }

@@ -581,11 +581,16 @@ object Similarity {
     * probed directories).
     */
   def ivfWriteIndex(df: DataFrame, vecCol: String, idCol: String,
-      model: IvfModel, path: String): Unit =
+      model: IvfModel, path: String): Unit = {
+    // the search side compares these ids against long-cast query ids —
+    // a non-integral id written here would null-coerce in that filter
+    // and silently empty every later search (graft.ops.Ids contract)
+    Ids.requireIntegralId(df, idCol, "ivfWriteIndex")
     df.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"),
         ivfAssign(col(vecCol), model).as("cluster"))
       .write.partitionBy("cluster").mode("overwrite").parquet(path)
+  }
 
   /** Exact top-k over an index written by [[ivfWriteIndex]]: same
     * two-phase pruning as [[ivfTopK]], but the cluster predicates prune
@@ -669,9 +674,14 @@ object Similarity {
   private def searchAssignedBatch(assigned: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, model: IvfModel,
       probe: Int): DataFrame = {
-    // the driver collect below decodes query ids as longs; a lossy cast
-    // would NPE with no column named (graft.ops.Ids contract)
+    // the driver collect below decodes query ids as longs (a lossy cast
+    // would NPE with no column named) and the self-exclusion filter
+    // compares them against the corpus/index ids (a non-integral
+    // neighbor_id would null-coerce and silently empty the result) —
+    // guard BOTH sides (graft.ops.Ids contract)
     Ids.requireIntegralId(queries, idCol, "ivfKnnJoin/ivfSearchIndexBatch queries")
+    Ids.requireIntegralId(assigned, "neighbor_id",
+      "ivfKnnJoin/ivfSearchIndexBatch corpus/index")
     val spark = assigned.sparkSession
     import spark.implicits._
     val qRows: Array[(Long, Array[Double])] = queries

@@ -276,8 +276,9 @@ final case class HyperplaneBandsExpression(child: Expression,
         // NaN/Infinity — name the offending component instead (the
         // replayable-grain contract requires finite vectors anyway)
         require(java.lang.Double.isFinite(x),
-          s"graft_hyperplane_bands: non-finite component ${raw(i)} at " +
-            s"index $i — the grained (replayable) path requires finite vectors")
+          s"graft_hyperplane_bands: component ${raw(i)} at index $i " +
+            s"grains to non-finite $x (grain=$grain) — the grained " +
+            "(replayable) path requires finite values")
         g(i) = java.math.BigDecimal.valueOf(x)
           .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
         i += 1

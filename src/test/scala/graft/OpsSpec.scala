@@ -4110,6 +4110,70 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin tolerance on integral axes is exact past 2^53 (nanos-since-epoch)") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    // double ulp at ~1.7e18 is 256: a double axis cannot tell a 300-unit
+    // delta from 256 or 512 — the long axis must
+    val base = 1700000000000000000L
+    val l = Seq((1L, base + 300L, "a")).toDF("k", "ts", "lv")
+    val r = Seq((1L, base, "x")).toDF("k", "ts", "rv")
+    assert(graft.ops.Joins.asofJoin(l, r, "k", "ts", toleranceSec = Some(100))
+      .select("r_rv").head().isNullAt(0), "delta 300 must exceed bound 100")
+    assert(graft.ops.Joins.asofJoin(l, r, "k", "ts", toleranceSec = Some(300))
+      .select("r_rv").head().getString(0) == "x")
+    val near = graft.ops.Joins.asofJoinDirected(l, r, "k", "ts",
+      direction = "nearest", toleranceSec = Some(299))
+    assert(near.select("r_rv").head().isNullAt(0), "299 < 300 exactly")
+  }
+
+  test("asofJoin tolerance on TIMESTAMP_NTZ uses the naive axis (no DST distortion)") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    val prevTz = spark2.conf.get("spark.sql.session.timeZone")
+    try {
+      // America/Los_Angeles skips 02:00-03:00 on 2026-03-08; an
+      // instant-based axis computed this 75-minute naive delta as 15
+      // minutes and passed a 60-minute tolerance
+      spark2.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val l = Seq((1L, java.time.LocalDateTime.parse("2026-03-08T03:10:00"), "a"))
+        .toDF("k", "ts", "lv")
+      val r = Seq((1L, java.time.LocalDateTime.parse("2026-03-08T01:55:00"), "x"))
+        .toDF("k", "ts", "rv")
+      assert(l.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType)
+      assert(graft.ops.Joins.asofJoin(l, r, "k", "ts", toleranceSec = Some(3600))
+        .select("r_rv").head().isNullAt(0),
+        "naive 75min delta must exceed a 60min tolerance across the DST gap")
+      assert(graft.ops.Joins.asofJoin(l, r, "k", "ts", toleranceSec = Some(4500))
+        .select("r_rv").head().getString(0) == "x")
+    } finally spark2.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("numeric-id contract: lossless DECIMAL(p<=18,0) ids accepted, null sample ids raise") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    // JDBC NUMERIC keys arrive as scale-0 decimals; their long cast is
+    // exact, so the guard must not reject them
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+      .select(col("src").cast("decimal(10,0)").as("src"),
+        col("dst").cast("decimal(10,0)").as("dst"))
+    assert(graft.ops.Graph.pageRank9(e, "src", "dst", iters = 2).count() == 3)
+    assert(!graft.ops.Ids.isIntegral(
+      org.apache.spark.sql.types.DecimalType(19, 0)), "19 digits can overflow long")
+    assert(!graft.ops.Ids.isIntegral(org.apache.spark.sql.types.DoubleType))
+    // a null id used to silently vanish from every sample/split at any
+    // fraction; now the selection hash raises naming the contract
+    val ids = Seq(Some(1L), Some(2L), None).toDF("id")
+    val err = intercept[Exception] {
+      graft.ops.Sampling.assignSplit(ids, "id").collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .flatMap(x => Option(x.getMessage)).mkString(" | "))
+    assert(rootMsg(err).contains("NULL id"), rootMsg(err))
+  }
+
   test("stratifiedSample: null strata form their own stratum, never silently vanish") {
     val spark2 = SparkTestSession.spark
     import spark2.implicits._
