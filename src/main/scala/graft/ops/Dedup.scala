@@ -356,8 +356,8 @@ object Dedup {
     // propagation itself is type-generic (min/least order strings
     // fine), so such graphs take the distributed path at ANY size —
     // same labels, same contract, no surprise crash at <=threshold.
-    val integralIds = Ids.isIntegral(p.schema("id_a").dataType) &&
-      Ids.isIntegral(p.schema("id_b").dataType)
+    val integralIds = Ids.isIntegral(Ids.fieldOf(p, "id_a", "clusters").dataType) &&
+      Ids.isIntegral(Ids.fieldOf(p, "id_b", "clusters").dataType)
     if (nPairs <= driverThreshold && integralIds) {
       val spark = pairs.sparkSession
       import spark.implicits._
@@ -390,8 +390,15 @@ object Dedup {
         val cur = minOf.getOrDefault(r, Long.MaxValue)
         if (n < cur) minOf.put(r, n)
       }
+      // cast back to the INPUT id type: without this the output schema
+      // flipped between long (driver path) and the native id type
+      // (distributed path) depending on which side of driverThreshold
+      // the corpus landed — a typed sink downstream would break
+      // nondeterministically with corpus growth
+      val idType = Ids.fieldOf(p, "id_a", "clusters").dataType
       return nodes.map(n => (n, minOf.get(find(n)))).toSeq
         .toDF("id", "label")
+        .select(col("id").cast(idType), col("label").cast(idType))
     }
     // No distinct() on the symmetric union: pair generation emits unique
     // id_a < id_b rows so the union has no duplicates, and min-label

@@ -18,26 +18,22 @@ import org.apache.spark.sql.types.StructType
 object Joins {
 
   /** The one shared time axis of every as-of tolerance/nearest
-    * comparison: (axis expression, ticks per second). Field resolution
-    * is case-insensitive (like `col()` under the default caseSensitive
-    * =false). Per type:
+    * comparison: (axis expression, ticks per second), chosen from the
+    * WIDENED type of the two sides' union (the left type alone would
+    * long-truncate a fractional right side). Per type:
     *  - TIMESTAMP → `unix_micros` (a plain cast-to-long truncates to
     *    SECONDS and mis-ties sub-second races);
     *  - TIMESTAMP_NTZ → naive-axis micros computed from FIELDS
     *    (days·86400e6 + time-of-day) — casting NTZ through the session
     *    zone distorts deltas by the DST shift around gap/overlap hours;
-    *  - integral numerics → exact `long` (a double axis has 256-unit
-    *    ulps at nanos-since-epoch magnitudes ~2^60);
+    *  - integral numerics incl. decimal(≤18,0) → exact `long` (a double
+    *    axis has 256-unit ulps at nanos-since-epoch magnitudes ~2^60);
     *  - fractional numerics → `double` (their native precision).
     */
-  private def timeAxis(schema: StructType, tsCol: String,
-      fn: String): (Column => Column, Long) = {
+  private def timeAxis(dt: org.apache.spark.sql.types.DataType)
+      : (Column => Column, Long) = {
     import org.apache.spark.sql.types._
-    val field = schema.fields.find(_.name == tsCol)
-      .orElse(schema.fields.find(_.name.equalsIgnoreCase(tsCol)))
-      .getOrElse(throw new IllegalArgumentException(
-        s"$fn: no column '$tsCol' in ${schema.fieldNames.mkString(", ")}"))
-    field.dataType match {
+    dt match {
       case TimestampType =>
         ((c: Column) => unix_micros(c.cast("timestamp")), 1000000L)
       case TimestampNTZType =>
@@ -48,7 +44,7 @@ object Joins {
               minute(c).cast("long") * lit(60L) +
               second(c).cast("long")) * lit(1000000L) +
             date_format(c, "SSSSSS").cast("long"), 1000000L)
-      case ByteType | ShortType | IntegerType | LongType =>
+      case t if Ids.isIntegral(t) =>
         ((c: Column) => c.cast("long"), 1L)
       case _ =>
         ((c: Column) => c.cast("double"), 1L)
@@ -86,7 +82,10 @@ object Joins {
       .withColumn("__rm", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__src") === 1)
     val withTol = toleranceSec.fold(matched) { tol =>
-      val (axis, scale) = timeAxis(left.schema, tsCol, "asofJoin")
+      // axis from the UNION's widened __ts type — mixed int/double
+      // sides compare on double, mixed-width integrals on long
+      val (axis, scale) = timeAxis(
+        Ids.fieldOf(matched, "__ts", "asofJoin").dataType)
       matched.withColumn("__rm",
         when(axis(col("__ts")) - axis(col(s"__rm.$tsCol")) <= tol * scale,
           col("__rm")))
@@ -139,7 +138,8 @@ object Joins {
       .withColumn("__rb", last(col("__r"), ignoreNulls = true).over(wB))
       .withColumn("__rf", first(col("__r"), ignoreNulls = true).over(wF))
       .filter(col("__src") === 1)
-    val (axis, scale) = timeAxis(left.schema, tsCol, "asofJoinDirected")
+    val (axis, scale) = timeAxis(
+      Ids.fieldOf(both, "__ts", "asofJoinDirected").dataType)
     val matched = direction match {
       case "forward" => both.withColumn("__rm", col("__rf"))
       case _ /* nearest */ =>

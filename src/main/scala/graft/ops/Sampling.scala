@@ -121,9 +121,9 @@ object Sampling {
     // null strata form their own stratum (the stratifiedSample sentinel
     // convention); a null ID still raises through saltedHash's idStr
     val hashed = df.select(col(idCol), col(strataCol),
-      saltedHash(concat(coalesce(col(strataCol).cast("string"),
+      md5(concat(coalesce(col(strataCol).cast("string"),
         lit("__null__")), lit(":"),
-        idStr(col(idCol))), salt).as("__h"))
+        idStr(col(idCol)), lit(salt))).as("__h"))
     val shard = conv(substring(col("__h"), 29, 4), 16, 10).cast("int") % 32
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol), col("__s"))
@@ -219,7 +219,7 @@ object Sampling {
     // Election: the k-bounded Aggregator when the id type supports it
     // (one exchange of trimmed buffers, no window sort), the sharded
     // window election otherwise — identical results by construction.
-    val idType = Ids.fieldOf(df, idCol, "weightedSampleK").dataType
+    val idType = Ids.fieldOf(df, idCol, "weightedSamplePerGroup").dataType
     val aggCapable = idType == org.apache.spark.sql.types.LongType ||
       idType == org.apache.spark.sql.types.IntegerType ||
       idType == org.apache.spark.sql.types.StringType
@@ -535,7 +535,7 @@ object Sampling {
       targetRows: Long, salt: String = ""): DataFrame = {
     require(targetRows > 0, s"importanceSample: bad target $targetRows")
     val tot = df.agg(sum(col(weightCol)).cast("double").as("__sumw"))
-    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))),
+    val h = conv(substring(md5(concat(idStr(col(idCol)), lit(salt))),
       1, 8), 16, 10).cast("long")
     df.crossJoin(broadcast(tot))
       // coalesce AFTER the product: a null weight must yield p = 0 —

@@ -580,17 +580,15 @@ object Similarity {
     * corpus version — the 100 TB pattern (queries then touch only the
     * probed directories).
     */
+  // No id-type guard here: single-query search (ivfSearchIndex) never
+  // compares ids against long casts, so string-id indexes are legal;
+  // the BATCH read path guards `neighbor_id` itself (searchAssignedBatch).
   def ivfWriteIndex(df: DataFrame, vecCol: String, idCol: String,
-      model: IvfModel, path: String): Unit = {
-    // the search side compares these ids against long-cast query ids —
-    // a non-integral id written here would null-coerce in that filter
-    // and silently empty every later search (graft.ops.Ids contract)
-    Ids.requireIntegralId(df, idCol, "ivfWriteIndex")
+      model: IvfModel, path: String): Unit =
     df.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"),
         ivfAssign(col(vecCol), model).as("cluster"))
       .write.partitionBy("cluster").mode("overwrite").parquet(path)
-  }
 
   /** Exact top-k over an index written by [[ivfWriteIndex]]: same
     * two-phase pruning as [[ivfTopK]], but the cluster predicates prune

@@ -4127,6 +4127,43 @@ class OpsSpec extends AnyFunSuite {
     assert(near.select("r_rv").head().isNullAt(0), "299 < 300 exactly")
   }
 
+  test("asofJoin tolerance axis follows the UNION-widened type and lossless decimals") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    // mixed int/double sides widen to double: a left-type long axis
+    // would truncate -5.5 to -5 and keep a 0.5-delta match at tol=0
+    val l = Seq((1L, -5, "a")).toDF("k", "ts", "lv")
+    val r = Seq((1L, -5.5, "x")).toDF("k", "ts", "rv")
+      .select(col("k"), col("ts").cast("double").as("ts"), col("rv"))
+    val lw = l.select(col("k"), col("ts").cast("double").as("ts"), col("lv"))
+    assert(graft.ops.Joins.asofJoin(lw, r, "k", "ts", toleranceSec = Some(0))
+      .select("r_rv").head().isNullAt(0), "0.5 delta must exceed tol 0")
+    // decimal(18,0) nanos axis is exact like long (the Ids.isIntegral rule)
+    val base = BigDecimal(900000000000000000L)
+    val ld = Seq((1L, base + 300, "a")).toDF("k", "ts", "lv")
+      .select(col("k"), col("ts").cast("decimal(18,0)").as("ts"), col("lv"))
+    val rd = Seq((1L, base, "x")).toDF("k", "ts", "rv")
+      .select(col("k"), col("ts").cast("decimal(18,0)").as("ts"), col("rv"))
+    assert(graft.ops.Joins.asofJoin(ld, rd, "k", "ts", toleranceSec = Some(100))
+      .select("r_rv").head().isNullAt(0), "delta 300 must exceed bound 100")
+    assert(graft.ops.Joins.asofJoin(ld, rd, "k", "ts", toleranceSec = Some(300))
+      .select("r_rv").head().getString(0) == "x")
+  }
+
+  test("clusters: output id/label type equals the input id type on BOTH paths") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    val pairs = Seq((1, 2), (2, 3), (9, 8)).toDF("id_a", "id_b")
+    val driver = Dedup.clusters(pairs) // 3 edges -> driver shortcut
+    val dist = Dedup.clusters(pairs, driverThreshold = 0L) // forced distributed
+    assert(driver.schema("id").dataType ==
+      org.apache.spark.sql.types.IntegerType, driver.schema.treeString)
+    assert(driver.schema.map(_.dataType) == dist.schema.map(_.dataType))
+    val a = driver.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val b = dist.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(a == b && a == Set((1, 1), (2, 1), (3, 1), (8, 8), (9, 8)))
+  }
+
   test("asofJoin tolerance on TIMESTAMP_NTZ uses the naive axis (no DST distortion)") {
     val spark2 = SparkTestSession.spark
     import spark2.implicits._
