@@ -390,12 +390,15 @@ object Dedup {
         val cur = minOf.getOrDefault(r, Long.MaxValue)
         if (n < cur) minOf.put(r, n)
       }
-      // cast back to the INPUT id type: without this the output schema
-      // flipped between long (driver path) and the native id type
-      // (distributed path) depending on which side of driverThreshold
-      // the corpus landed — a typed sink downstream would break
-      // nondeterministically with corpus growth
-      val idType = Ids.fieldOf(p, "id_a", "clusters").dataType
+      // cast back to the UNION-WIDENED id type — the type the
+      // distributed path emits: without this the output schema flipped
+      // between long (driver path) and the native id type (distributed
+      // path) depending on which side of driverThreshold the corpus
+      // landed, and an id_a-only type would overflow when id_b is the
+      // wider column
+      val idType = p.select(col("id_a").as("__t"))
+        .union(p.select(col("id_b").as("__t")))
+        .schema("__t").dataType
       return nodes.map(n => (n, minOf.get(find(n)))).toSeq
         .toDF("id", "label")
         .select(col("id").cast(idType), col("label").cast(idType))

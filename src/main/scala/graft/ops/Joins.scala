@@ -28,7 +28,8 @@ object Joins {
     *    zone distorts deltas by the DST shift around gap/overlap hours;
     *  - integral numerics incl. decimal(≤18,0) → exact `long` (a double
     *    axis has 256-unit ulps at nanos-since-epoch magnitudes ~2^60);
-    *  - fractional numerics → `double` (their native precision).
+    *  - wider/fractional decimals → exact decimal(38, scale);
+    *  - float/double → `double` (their native precision).
     */
   private def timeAxis(dt: org.apache.spark.sql.types.DataType)
       : (Column => Column, Long) = {
@@ -46,6 +47,12 @@ object Joins {
             date_format(c, "SSSSSS").cast("long"), 1000000L)
       case t if Ids.isIntegral(t) =>
         ((c: Column) => c.cast("long"), 1L)
+      case d: DecimalType =>
+        // exact decimal arithmetic at max precision — the union of a
+        // long side with a decimal(18,0) side widens to decimal(20,0),
+        // which is integral-valued but past the long range; a double
+        // axis would reintroduce the 2^53 ulp bug for it
+        ((c: Column) => c.cast(DecimalType(38, d.scale)), 1L)
       case _ =>
         ((c: Column) => c.cast("double"), 1L)
     }

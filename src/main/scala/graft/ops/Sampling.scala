@@ -45,6 +45,16 @@ object Sampling {
   private[ops] def saltedHash(idCol: Column, salt: String): Column =
     md5(concat(idStr(idCol), lit(salt)))
 
+  /** Stratum-scoped selection hash — md5(stratum ⧺ ':' ⧺ id ⧺ salt),
+    * with a NULL stratum as its own `__null__` sentinel stratum and a
+    * NULL id raising through [[idStr]]. The single definition every
+    * stratified sampler (and its oracle replay) keys on.
+    */
+  private def strataHash(strataCol: Column, idCol: Column,
+      salt: String): Column =
+    md5(concat(coalesce(strataCol.cast("string"), lit("__null__")),
+      lit(":"), idStr(idCol), lit(salt)))
+
   /** Adds a `split` column assigning each row to one of the named
     * fractions (which must sum to ~1; the last split absorbs rounding).
     * Deterministic in (id, salt): stable across runs, partitionings and
@@ -118,12 +128,8 @@ object Sampling {
     // global per-stratum top-k is a subset of every shard-local top-k
     // union, so the result is EXACTLY the single-window answer — then
     // stage 2 ranks the ≤ 32k survivors per stratum
-    // null strata form their own stratum (the stratifiedSample sentinel
-    // convention); a null ID still raises through saltedHash's idStr
     val hashed = df.select(col(idCol), col(strataCol),
-      md5(concat(coalesce(col(strataCol).cast("string"),
-        lit("__null__")), lit(":"),
-        idStr(col(idCol)), lit(salt))).as("__h"))
+      strataHash(col(strataCol), col(idCol), salt).as("__h"))
     val shard = conv(substring(col("__h"), 29, 4), 16, 10).cast("int") % 32
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol), col("__s"))
@@ -366,8 +372,7 @@ object Sampling {
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
       fraction: Double, salt: String = ""): DataFrame =
     df.filter(
-      md5(concat(coalesce(col(strataCol).cast("string"), lit("__null__")),
-        lit(":"), idStr(col(idCol)), lit(salt))) <
+      strataHash(col(strataCol), col(idCol), salt) <
         lit(hexThreshold(fraction)))
 
   /** Mixture construction: per-source sampling rates applied to a union

@@ -231,8 +231,8 @@ object Similarity {
   def hardNegativesIvf(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, dupThreshold: Double,
       model: IvfModel, probe: Int = 4): DataFrame = {
-    requireIntegralId(corpus, idCol, "hardNegativesIvf corpus")
-    requireIntegralId(queries, idCol, "hardNegativesIvf queries")
+    Ids.requireIntegralId(corpus, idCol, "hardNegativesIvf corpus")
+    Ids.requireIntegralId(queries, idCol, "hardNegativesIvf queries")
     val assigned = corpus.select(col(idCol).cast("long").as("neg_id"),
         col(vecCol).cast("array<double>").as("cv"),
         ivfAssign(col(vecCol), model).as("cluster"))
@@ -327,14 +327,6 @@ object Similarity {
     * each get a distinct `graft_hard_negatives_ivf_<n>`.
     */
   private val obsCounter = new java.util.concurrent.atomic.AtomicLong(0)
-
-  /** Fail fast when an id column is not an integral type: the long-cast
-    * tie-break contract would turn e.g. string ids into nulls, and the
-    * self-exclusion filter would then silently drop EVERY row. Shared
-    * contract: [[graft.ops.Ids.requireIntegralId]].
-    */
-  private def requireIntegralId(df: DataFrame, idCol: String, fn: String): Unit =
-    Ids.requireIntegralId(df, idCol, fn)
 
   /** Compiled assignment kernel: nearest centroid + angle to it, one pass
     * over the vector. A direct kernel rather than `transform`/`aggregate`
@@ -927,9 +919,16 @@ object Similarity {
     * `grain = 1e6` (Spark `round()` semantics), for the driver-side
     * query-signature replay.
     */
-  private def lshGrain(x: Double): Double =
-    java.math.BigDecimal.valueOf(x * 1e6)
+  private def lshGrain(x: Double): Double = {
+    val g = x * 1e6
+    // mirror the kernel's named error — BigDecimal.valueOf(NaN) would
+    // otherwise die with a bare NumberFormatException on the driver
+    require(java.lang.Double.isFinite(g),
+      s"lshTopK: query component $x grains to non-finite $g — the " +
+        "grained (replayable) signature requires finite values")
+    java.math.BigDecimal.valueOf(g)
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
 
   /** Random-hyperplane signature (nPlanes sign bits as a long) — the
     * codegen'd banding kernel with a single band.

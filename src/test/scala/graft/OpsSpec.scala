@@ -4148,6 +4148,13 @@ class OpsSpec extends AnyFunSuite {
       .select("r_rv").head().isNullAt(0), "delta 300 must exceed bound 100")
     assert(graft.ops.Joins.asofJoin(ld, rd, "k", "ts", toleranceSec = Some(300))
       .select("r_rv").head().getString(0) == "x")
+    // long ∪ decimal(18,0) widens to decimal(20,0) — past the long
+    // range, so it must take the exact decimal(38,0) axis, not double
+    val lmix = Seq((1L, 900000000000000300L, "a")).toDF("k", "ts", "lv")
+    assert(graft.ops.Joins.asofJoin(lmix, rd, "k", "ts", toleranceSec = Some(299))
+      .select("r_rv").head().isNullAt(0), "widened-decimal axis must stay exact")
+    assert(graft.ops.Joins.asofJoin(lmix, rd, "k", "ts", toleranceSec = Some(300))
+      .select("r_rv").head().getString(0) == "x")
   }
 
   test("clusters: output id/label type equals the input id type on BOTH paths") {
