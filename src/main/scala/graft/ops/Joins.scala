@@ -197,10 +197,15 @@ object Joins {
     val renamed = intervals.columns.foldLeft(i) { (df, c) =>
       df.withColumnRenamed(c, s"$rightPrefix$c")
     }
+    // Bin math may round on the double axis — harmless, the cast is
+    // monotonic so a point's bin always lies inside its interval's bin
+    // range (candidates are a superset). The containment FILTER is the
+    // correctness line and compares NATIVE values: a double-cast filter
+    // admitted points one ulp past a long boundary at >2^53 magnitudes
+    // (nanos-since-epoch), where 2^53 and 2^53+1 collapse to one double.
     p.join(renamed, Seq("__bin"))
-      .filter(col(pointCol).cast("double").between(
-        col(s"$rightPrefix$startCol").cast("double"),
-        col(s"$rightPrefix$endCol").cast("double")))
+      .filter(col(pointCol).between(
+        col(s"$rightPrefix$startCol"), col(s"$rightPrefix$endCol")))
       .drop("__bin")
   }
 

@@ -4127,6 +4127,20 @@ class OpsSpec extends AnyFunSuite {
     assert(near.select("r_rv").head().isNullAt(0), "299 < 300 exactly")
   }
 
+  test("rangeJoin containment is exact past 2^53 (native comparison, not double)") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    // 2^53 and 2^53+1 collapse to one double: a double-cast filter kept
+    // the out-of-range point; native long comparison must exclude it
+    val p = Seq((1L, 9007199254740993L), (2L, 9007199254740992L))
+      .toDF("pid", "v")
+    val ivs = Seq((10L, 0L, 9007199254740992L)).toDF("iid", "lo", "hi")
+    val got = graft.ops.Joins.rangeJoin(p, ivs, "v", "lo", "hi",
+        binWidth = 1e16)
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L), s"2^53+1 must fall outside [0, 2^53]: $got")
+  }
+
   test("asofJoin tolerance axis follows the UNION-widened type and lossless decimals") {
     val spark2 = SparkTestSession.spark
     import spark2.implicits._
