@@ -179,7 +179,10 @@ object Joins {
     * interval width each interval lands in ≤2 bins, so the join input
     * grows ~2×, not |L|×|R|; the bin key shuffles like any equi-join and
     * AQE handles residual bin skew. Point and interval columns must be
-    * numeric (cast double).
+    * numeric: the containment filter compares them NATIVELY (Spark's
+    * numeric coercion — exact for integral types at any magnitude; only
+    * the bin routing uses a double axis, which is a monotonic candidate
+    * superset). Convert timestamps to epoch numerics first.
     *
     * Output: all point columns + all interval columns prefixed
     * `rightPrefix`.
