@@ -258,14 +258,25 @@ object Bench {
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries_median":$qsMed,"sf":"$sfDir","docs":$nDocs,"annotations":$annCount,"docs_per_sec":$docsPerSec%.0f,"docs_per_sec_80k_dict":${nDocs / results("annotate_80k_dict")}%.0f,"docs_per_sec_1m_dict":${nDocs / results("annotate_1m_dict")}%.0f,"docs_per_sec_5k_mixed":${nDocs / results("annotate_5k_mixed")}%.0f,"docs_per_sec_80k_mixed":${nDocs / results("annotate_80k_mixed")}%.0f$parity,"cpus":$cpus,"stored_rdds":$storedRdds,"queries":$qs}"""
     println(json)
+    // The big line above can exceed the driver's stdout-capture window:
+    // BENCH_r10.json kept only a truncated TAIL, which (with the min map
+    // last) preserved per-query mins but lost every docs_per_sec headline
+    // that precedes the map (r10 verdict "what's wrong" #1). A compact
+    // headline-only object as the FINAL stdout line makes any tail
+    // capture self-sufficient: either the driver parses the big line, or
+    // the surviving tail ends with this complete object.
+    val headline =
+      f"""{"headline":{"docs_per_sec":$docsPerSec%.0f,"docs_per_sec_80k_dict":${nDocs / results("annotate_80k_dict")}%.0f,"docs_per_sec_1m_dict":${nDocs / results("annotate_1m_dict")}%.0f,"docs_per_sec_5k_mixed":${nDocs / results("annotate_5k_mixed")}%.0f,"docs_per_sec_80k_mixed":${nDocs / results("annotate_80k_mixed")}%.0f$parity,"q_triplets_min":${results.getOrElse("q_triplets", -1.0)}%.3f,"total_sec":$total%.3f,"docs":$nDocs,"cpus":$cpus,"stored_rdds":$storedRdds}}"""
+    println(headline)
     // Belt and braces for harnesses that scrape a prefixed stdout: the
-    // same line also goes to stderr (never sbt-prefixed when forked with
+    // same lines also go to stderr (never sbt-prefixed when forked with
     // StdoutOutput) and to SPARK_GRAFT_BENCH_OUT / BENCH_LOCAL.json.
     System.err.println(json)
+    System.err.println(headline)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (json + "\n" + headline + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     SparkSession.getActiveSession.foreach(_.stop())
     // the replicated bench corpus is multi-copy parquet — don't leak it
     // into /tmp on every run

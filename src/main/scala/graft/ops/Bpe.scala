@@ -77,6 +77,11 @@ object Bpe {
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val agg = counts.agg(count(lit(1)), sum(col("c"))).head()
     val nTypes = agg.getLong(0)
+    // sum() over zero rows is null; a bare getLong would NPE with no
+    // operator named — an empty corpus cannot seed a BPE vocabulary
+    require(nTypes > 0L,
+      "Bpe.fit: empty input — no tokens after tokenization; a BPE " +
+        "model needs a non-empty corpus to learn merges from")
     val totalTokens = agg.getLong(1)
     // deterministic truncation: count desc, word asc
     val top = counts.orderBy(col("c").desc, col("w"))

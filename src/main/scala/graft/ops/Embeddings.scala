@@ -95,7 +95,13 @@ object Embeddings {
   def randomProject(df: DataFrame, vecCol: String, idCol: String,
       outDim: Int, salt: String = "jl"): DataFrame = {
     require(outDim >= 1, s"randomProject: bad outDim $outDim")
-    val inDim = df.select(size(col(vecCol))).head().getInt(0)
+    // head(1) (not head()) so an empty relation raises a NAMED error
+    // instead of a bare NoSuchElementException deep in the iterator
+    val firstRow = df.select(size(col(vecCol))).head(1)
+    require(firstRow.nonEmpty,
+      "randomProject: empty input — the projection dimension is read " +
+        "from the first row; nothing to project")
+    val inDim = firstRow(0).getInt(0)
     require(inDim >= 1, "randomProject: empty vectors")
     val signs: Seq[Seq[Long]] = (0 until outDim).map(k =>
       (0 until inDim).map(j => rpSign(salt, k, j).toLong))

@@ -26,17 +26,25 @@ private[graft] object Ids {
     case _ => false
   }
 
-  /** Resolve a user-supplied column name the way Spark's `col()` does
-    * (exact first, case-insensitive fallback) — `df.schema(name)` alone
-    * is case-SENSITIVE and rejects names the rest of the same operator
-    * happily resolves.
+  /** Resolve a user-supplied column name the way Spark's analyzer does:
+    * exact match first, then a case-insensitive fallback ONLY when the
+    * session resolves case-insensitively (`spark.sql.caseSensitive` is
+    * false, the default) — `df.schema(name)` alone is always
+    * case-SENSITIVE and rejects names the rest of the same operator
+    * happily resolves, while an unconditional fallback would let this
+    * guard validate a DIFFERENT column than the analyzer later binds in
+    * a case-sensitive session.
     */
   def fieldOf(df: DataFrame, name: String,
-      fn: String): org.apache.spark.sql.types.StructField =
+      fn: String): org.apache.spark.sql.types.StructField = {
+    val caseSensitive = df.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
     df.schema.fields.find(_.name == name)
-      .orElse(df.schema.fields.find(_.name.equalsIgnoreCase(name)))
+      .orElse(if (caseSensitive) None
+        else df.schema.fields.find(_.name.equalsIgnoreCase(name)))
       .getOrElse(throw new IllegalArgumentException(
         s"$fn: no column '$name' in ${df.schema.fieldNames.mkString(", ")}"))
+  }
 
   /** Fail fast when `idCol` is not an integral type. Resolves the
     * column the way Spark does (case-insensitive fallback), so callers

@@ -17,6 +17,47 @@ import org.apache.spark.sql.types.StructType
   */
 object Joins {
 
+  /** Monotonic suffix for `observe()` metric names — Spark rejects a
+    * reused observation name within one query, so composed invocations
+    * (e.g. two range joins unioned into one action) each get a
+    * distinct name; consumers match on the documented prefix.
+    */
+  private val obsCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Guard for the native-comparison exactness contract of
+    * [[rangeJoin]]/[[intervalOverlapJoin]]: Spark's numeric coercion is
+    * exact within the integral/decimal family (int vs long → long,
+    * long vs decimal → decimal) and within the fractional family
+    * (float vs double → double), but a MIXED comparison (e.g. long
+    * point vs double bounds) coerces BOTH sides to double — silently
+    * reintroducing the >2^53 ulp admission the native filter exists to
+    * avoid. Fail at plan-build time with the cast named rather than
+    * admit phantom matches at nanos-since-epoch magnitudes.
+    */
+  private def requireOneNumericFamily(fn: String,
+      cols: (String, org.apache.spark.sql.types.DataType)*): Unit = {
+    import org.apache.spark.sql.types._
+    def isFractional(dt: DataType) = dt == DoubleType || dt == FloatType
+    def isExact(dt: DataType) = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    cols.foreach { case (n, dt) =>
+      require(isFractional(dt) || isExact(dt),
+        s"$fn: column '$n' must be numeric, got ${dt.simpleString} — " +
+          "convert timestamps to epoch numerics first")
+    }
+    val (frac, exact) = (cols.filter(c => isFractional(c._2)),
+      cols.filter(c => isExact(c._2)))
+    require(frac.isEmpty || exact.isEmpty,
+      s"$fn: mixed exact/fractional comparison columns (" +
+        cols.map { case (n, dt) => s"$n: ${dt.simpleString}" }.mkString(", ") +
+        ") — Spark coerces the comparison to double, which is inexact " +
+        "past 2^53 (e.g. nanos-since-epoch). Cast all sides to one " +
+        "family (long/decimal, or double) explicitly first.")
+  }
+
   /** The one shared time axis of every as-of tolerance/nearest
     * comparison: (axis expression, ticks per second), chosen from the
     * WIDENED type of the two sides' union (the left type alone would
@@ -58,6 +99,28 @@ object Joins {
     }
   }
 
+  /** Guard for the as-of time axis: when one side's ts column is
+    * TIMESTAMP and the other TIMESTAMP_NTZ, the union widens to
+    * TIMESTAMP and the NTZ side is cast THROUGH THE SESSION ZONE —
+    * silently reintroducing the DST delta distortion the NTZ axis
+    * branch exists to avoid (a tolerance window spanning a DST gap
+    * gains/loses an hour). Both sides must share the timestamp family;
+    * cast one side explicitly (choosing instant or naive semantics) to
+    * mix them.
+    */
+  private def requireSameTsFamily(fn: String, lt: org.apache.spark.sql.types.DataType,
+      rt: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val mixed = (lt == TimestampType && rt == TimestampNTZType) ||
+      (lt == TimestampNTZType && rt == TimestampType)
+    require(!mixed,
+      s"$fn: left ts is ${lt.simpleString} but right ts is " +
+        s"${rt.simpleString} — the union would cast the NTZ side through " +
+        "the session zone and distort deltas across DST. Cast both ts " +
+        "columns to one timestamp family first (cast to timestamp for " +
+        "instant semantics, to timestamp_ntz for naive wall-clock).")
+  }
+
   /** Backward as-of join: for every left row, attach the single right row
     * with the greatest `right.tsCol <= left.tsCol` for the same `keyCol`
     * (inclusive at equality), or nulls when no such row exists — i.e.
@@ -72,6 +135,9 @@ object Joins {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
       rightPrefix: String = "r_", toleranceSec: Option[Long] = None): DataFrame = {
+    requireSameTsFamily("asofJoin",
+      Ids.fieldOf(left, tsCol, "asofJoin").dataType,
+      Ids.fieldOf(right, tsCol, "asofJoin").dataType)
     val lType = StructType(left.schema.fields)
     val rType = StructType(right.schema.fields)
     val lNorm = left.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
@@ -120,6 +186,9 @@ object Joins {
       toleranceSec: Option[Long] = None): DataFrame = {
     require(Set("backward", "forward", "nearest")(direction),
       s"asofJoinDirected: bad direction $direction")
+    requireSameTsFamily("asofJoinDirected",
+      Ids.fieldOf(left, tsCol, "asofJoinDirected").dataType,
+      Ids.fieldOf(right, tsCol, "asofJoinDirected").dataType)
     if (direction == "backward")
       return asofJoin(left, right, keyCol, tsCol, rightPrefix, toleranceSec)
     val lType = StructType(left.schema.fields)
@@ -179,10 +248,25 @@ object Joins {
     * interval width each interval lands in ≤2 bins, so the join input
     * grows ~2×, not |L|×|R|; the bin key shuffles like any equi-join and
     * AQE handles residual bin skew. Point and interval columns must be
-    * numeric: the containment filter compares them NATIVELY (Spark's
-    * numeric coercion — exact for integral types at any magnitude; only
-    * the bin routing uses a double axis, which is a monotonic candidate
-    * superset). Convert timestamps to epoch numerics first.
+    * numeric AND in one numeric family (all integral/decimal, or all
+    * float/double — validated at plan build): the containment filter
+    * compares them NATIVELY, which is exact within a family at any
+    * magnitude, but a mixed long-vs-double comparison would coerce to
+    * double and readmit the >2^53 ulp matches. Only the bin routing
+    * uses a double axis, which is a monotonic candidate superset.
+    * Convert timestamps to epoch numerics first.
+    *
+    * Observability (the 100 TB hot-bin failure mode): the plan carries
+    * an `observe` metric named `graft_range_join_<n>` (counter-suffixed
+    * — match on the `graft_range_join` PREFIX) with columns
+    * `(intervals, exploded_rows, max_bins_per_interval)`, aggregated
+    * during the existing pass (zero extra jobs). When
+    * `max_bins_per_interval` reaches the thousands, one wide interval
+    * is fanning out across that many bins and its replicated payload
+    * dominates the shuffle — raise `binWidth` toward the WIDEST
+    * interval (at the cost of more candidate pairs per bin), or split
+    * outlier intervals upstream. Read it with a
+    * `QueryExecutionListener` or `df.queryExecution.observedMetrics`.
     *
     * Output: all point columns + all interval columns prefixed
     * `rightPrefix`.
@@ -191,12 +275,28 @@ object Joins {
       startCol: String, endCol: String, binWidth: Double,
       rightPrefix: String = "r_"): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    // native comparison is only exact when point and bounds stay in one
+    // numeric family — a long point vs double bounds coerces the filter
+    // to double and readmits the >2^53 ulp matches
+    requireOneNumericFamily("rangeJoin",
+      pointCol -> Ids.fieldOf(points, pointCol, "rangeJoin").dataType,
+      startCol -> Ids.fieldOf(intervals, startCol, "rangeJoin").dataType,
+      endCol -> Ids.fieldOf(intervals, endCol, "rangeJoin").dataType)
     val p = points.withColumn("__bin",
       floor(col(pointCol).cast("double") / binWidth).cast("long"))
-    val i = intervals.withColumn("__bin",
-      explode(sequence(
-        floor(col(startCol).cast("double") / binWidth).cast("long"),
-        floor(col(endCol).cast("double") / binWidth).cast("long"))))
+    // bin-skew observability (docstring contract): bins-per-interval
+    // measured BEFORE the explode so the metric costs one projection
+    val nBins = floor(col(endCol).cast("double") / binWidth).cast("long") -
+      floor(col(startCol).cast("double") / binWidth).cast("long") + lit(1L)
+    val i = intervals
+      .observe(s"graft_range_join_${obsCounter.incrementAndGet()}",
+        count(lit(1)).as("intervals"),
+        coalesce(sum(nBins), lit(0L)).as("exploded_rows"),
+        coalesce(max(nBins), lit(0L)).as("max_bins_per_interval"))
+      .withColumn("__bin",
+        explode(sequence(
+          floor(col(startCol).cast("double") / binWidth).cast("long"),
+          floor(col(endCol).cast("double") / binWidth).cast("long"))))
     val renamed = intervals.columns.foldLeft(i) { (df, c) =>
       df.withColumnRenamed(c, s"$rightPrefix$c")
     }
@@ -229,21 +329,47 @@ object Joins {
     * key. Intervals must be integral-valued (epoch micros, days);
     * bin math runs in exact long/double-on-integer arithmetic, so the
     * plan is deterministic and SQL-replayable.
+    *
+    * Observability (the 100 TB hot-bin failure mode): the plan carries
+    * TWO `observe` metrics, `graft_overlap_join_l_<n>` and
+    * `graft_overlap_join_r_<n>` (counter-suffixed — match on the
+    * prefixes), each `(intervals, exploded_rows,
+    * max_bins_per_interval)` for its side, aggregated during the
+    * existing pass. A `max_bins_per_interval` in the thousands means
+    * one wide interval is replicating across that many bins and
+    * dominating the shuffle — raise `binWidth` toward the widest
+    * interval or split outliers upstream.
     */
   def intervalOverlapJoin(left: DataFrame, right: DataFrame,
       lStart: String, lEnd: String, rStart: String, rEnd: String,
       binWidth: Long, rightPrefix: String = "r_"): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    // same native-comparison exactness contract as rangeJoin: the
+    // overlap filter compares lStart/rEnd (and rStart/lEnd) natively
+    requireOneNumericFamily("intervalOverlapJoin",
+      lStart -> Ids.fieldOf(left, lStart, "intervalOverlapJoin").dataType,
+      lEnd -> Ids.fieldOf(left, lEnd, "intervalOverlapJoin").dataType,
+      rStart -> Ids.fieldOf(right, rStart, "intervalOverlapJoin").dataType,
+      rEnd -> Ids.fieldOf(right, rEnd, "intervalOverlapJoin").dataType)
     def bin(c: org.apache.spark.sql.Column) =
       floor(c.cast("double") / binWidth).cast("long")
-    val l = left.withColumn("__bin",
+    // bin-skew observability (docstring contract), one metric per side
+    def skewObs(df: DataFrame, name: String, s: String, e: String) = {
+      val nBins = bin(col(e)) - bin(col(s)) + lit(1L)
+      df.observe(s"graft_overlap_join_${name}_${obsCounter.incrementAndGet()}",
+        count(lit(1)).as("intervals"),
+        coalesce(sum(nBins), lit(0L)).as("exploded_rows"),
+        coalesce(max(nBins), lit(0L)).as("max_bins_per_interval"))
+    }
+    val l = skewObs(left, "l", lStart, lEnd).withColumn("__bin",
       explode(sequence(bin(col(lStart)), bin(col(lEnd)))))
     val renamed = right.columns.foldLeft(right) { (df, c) =>
       df.withColumnRenamed(c, s"$rightPrefix$c")
     }
-    val r = renamed.withColumn("__bin",
-      explode(sequence(bin(col(s"$rightPrefix$rStart")),
-        bin(col(s"$rightPrefix$rEnd")))))
+    val r = skewObs(renamed, "r", s"$rightPrefix$rStart", s"$rightPrefix$rEnd")
+      .withColumn("__bin",
+        explode(sequence(bin(col(s"$rightPrefix$rStart")),
+          bin(col(s"$rightPrefix$rEnd")))))
     l.join(r, Seq("__bin"))
       .filter(col(lStart) <= col(s"$rightPrefix$rEnd") &&
         col(s"$rightPrefix$rStart") <= col(lEnd))

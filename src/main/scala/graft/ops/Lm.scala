@@ -89,6 +89,12 @@ object Lm {
     val qs = scored.filter(col("ppl").isNotNull)
       .agg(expr(s"percentile(ppl, $headQ)").as("h"),
         expr(s"percentile(ppl, $tailQ)").as("t")).head()
+    // percentile() over zero scored rows is null: with no scored doc
+    // anywhere, every row is unscored and the documented unscored→tail
+    // policy already decides the whole relation — no quantile needed
+    // (and a bare getDouble would NPE naming no operator)
+    if (qs.isNullAt(0))
+      return scored.withColumn("bucket", lit("tail"))
     val (h, t) = (qs.getDouble(0), qs.getDouble(1))
     scored.withColumn("bucket",
       when(col("ppl").isNull, "tail")

@@ -54,6 +54,10 @@ object Retrieval {
           .otherwise(0.0)).as(s"__df_$i") }
     val statRow = base.agg(statCols.head, statCols.tail: _*).head()
     val n = statRow.getDouble(0)
+    // avg() over zero rows is null; read it only after the named guard
+    require(n > 0,
+      "bm25TopK: empty corpus — BM25 statistics (avgdl, df) are " +
+        "undefined over zero documents")
     val avgdl = statRow.getDouble(1)
     val dfs = qTerms.zipWithIndex.map { case (t, i) =>
       t -> statRow.getDouble(2 + i) }.toMap
@@ -165,6 +169,10 @@ object Retrieval {
         coalesce(col("c_neg"), lit(0L)).as("c_neg"))
     val totals = joined
       .agg(sum(col("c_pos")), sum(col("c_neg")), count(lit(1))).head()
+    // sum() over zero rows is null; name the operator instead of NPEing
+    require(!totals.isNullAt(0),
+      "fitNbWeights: no tokens in either corpus — naive-Bayes weights " +
+        "are undefined without observed term counts")
     val nPos = totals.getLong(0).toDouble
     val nNeg = totals.getLong(1).toDouble
     val v = (totals.getLong(2) + 1L).toDouble

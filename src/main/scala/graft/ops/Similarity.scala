@@ -371,7 +371,9 @@ object Similarity {
       .orderBy(Sampling.saltedHash(col(idCol), "ivf-fit"), col(idCol))
       .limit(sampleN)
       .collect().map(r => normalize(r.getSeq[Double](0).toArray))
-    require(sample.length >= nClusters, s"sample ${sample.length} < k $nClusters")
+    require(sample.length >= nClusters,
+      s"ivfFit: sample ${sample.length} < k $nClusters" +
+        (if (sample.isEmpty) " — empty input, nothing to fit" else ""))
     // farthest-point seeding (deterministic, no RNG)
     val centroids = new Array[Array[Double]](nClusters)
     centroids(0) = sample(0)

@@ -27,7 +27,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, 
   * `max(struct)`'s nulls-smallest field comparison gives (without the
   * guard, `GreaterThan(newT, curT)` would go null on score ties and
   * silently keep the incumbent — r9 advice); the output then carries
-  * Long.MinValue, not null. Result: struct(score double, tie long).
+  * Long.MinValue, not null. Consequently **Long.MinValue is a RESERVED
+  * sentinel in the tie column**: an output tie of Long.MinValue cannot
+  * be distinguished from a genuine input tie of Long.MinValue (they
+  * compare and merge identically), and under the negate-id convention
+  * `-id` for id = Long.MinValue overflows back to Long.MinValue itself
+  * — callers using the full long domain as ties must avoid
+  * Long.MinValue (ids ≥ 0, the universal case, are never affected).
+  * Result: struct(score double, tie long).
   */
 final case class ArgMaxTie(score: Expression, tie: Expression)
   extends DeclarativeAggregate with BinaryLike[Expression] {

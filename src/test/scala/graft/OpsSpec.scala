@@ -4208,6 +4208,148 @@ class OpsSpec extends AnyFunSuite {
     } finally spark2.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
+  test("rangeJoin/intervalOverlapJoin reject mixed exact/fractional comparison columns") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    // a long point vs double bounds would coerce the containment filter
+    // to double and readmit >2^53 ulp matches — plan-build-time raise
+    val pLong = Seq((1L, 100L)).toDF("pid", "v")
+    val ivDouble = Seq((10L, 0.0, 200.0)).toDF("iid", "lo", "hi")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ops.Joins.rangeJoin(pLong, ivDouble, "v", "lo", "hi", binWidth = 50.0)
+    }
+    assert(e1.getMessage.contains("mixed exact/fractional"), e1.getMessage)
+    // one-family inputs keep working: all-double, and exact long+decimal
+    val pDouble = Seq((1L, 100.0)).toDF("pid", "v")
+    assert(graft.ops.Joins.rangeJoin(pDouble, ivDouble, "v", "lo", "hi",
+      binWidth = 50.0).count() == 1)
+    val ivDec = ivDouble.select(col("iid"),
+      col("lo").cast("decimal(10,0)").as("lo"),
+      col("hi").cast("decimal(10,0)").as("hi"))
+    assert(graft.ops.Joins.rangeJoin(pLong, ivDec, "v", "lo", "hi",
+      binWidth = 50.0).count() == 1)
+    // non-numeric (timestamp) columns are named too
+    val pTs = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .toDF("pid", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Joins.rangeJoin(pTs, ivDouble, "v", "lo", "hi", binWidth = 50.0)
+    }
+    assert(e2.getMessage.contains("must be numeric"), e2.getMessage)
+    // interval×interval: same contract over the four bound columns
+    val lIv = Seq((1L, 0L, 10L)).toDF("lid", "s", "e")
+    val rIvD = Seq((2L, 5.0, 15.0)).toDF("rid", "s", "e")
+    val e3 = intercept[IllegalArgumentException] {
+      graft.ops.Joins.intervalOverlapJoin(lIv, rIvD, "s", "e", "s", "e",
+        binWidth = 10L)
+    }
+    assert(e3.getMessage.contains("mixed exact/fractional"), e3.getMessage)
+  }
+
+  test("asofJoin rejects mixed TIMESTAMP/TIMESTAMP_NTZ ts columns (DST-safe)") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    // union widening would cast the NTZ side through the session zone,
+    // silently reintroducing the DST delta distortion — named raise
+    val l = Seq((1L, java.sql.Timestamp.valueOf("2026-03-08 03:10:00"), "a"))
+      .toDF("k", "ts", "lv")
+    val r = Seq((1L, java.time.LocalDateTime.parse("2026-03-08T01:55:00"), "x"))
+      .toDF("k", "ts", "rv")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ops.Joins.asofJoin(l, r, "k", "ts")
+    }
+    assert(e1.getMessage.contains("timestamp family"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Joins.asofJoinDirected(r, l, "k", "ts", direction = "forward")
+    }
+    assert(e2.getMessage.contains("timestamp family"), e2.getMessage)
+    // same-family inputs (both instant) keep working
+    val r2 = Seq((1L, java.sql.Timestamp.valueOf("2026-03-08 01:55:00"), "x"))
+      .toDF("k", "ts", "rv")
+    assert(graft.ops.Joins.asofJoin(l, r2, "k", "ts").count() == 1)
+  }
+
+  test("rangeJoin/intervalOverlapJoin expose bin-skew observe metrics") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    // one narrow interval (1 bin) + one wide outlier (11 bins): the
+    // metric must surface the outlier's fan-out, not just the average
+    val p = Seq((1L, 5L), (2L, 55L)).toDF("pid", "v")
+    val ivs = Seq((10L, 0L, 9L), (20L, 0L, 109L)).toDF("iid", "lo", "hi")
+    val rj = graft.ops.Joins.rangeJoin(p, ivs, "v", "lo", "hi", binWidth = 10.0)
+    // collect() (not count()) so the metrics land on THIS df's own
+    // queryExecution — count() plans and executes a separate one
+    assert(rj.collect().length == 3) // p1 in both, p2 in the wide one
+    val m = rj.queryExecution.observedMetrics
+      .find(_._1.startsWith("graft_range_join")).map(_._2)
+    assert(m.nonEmpty, s"no graft_range_join metric in " +
+      s"${rj.queryExecution.observedMetrics.keys}")
+    assert(m.get.getAs[Long]("intervals") == 2L, m.get.toString)
+    assert(m.get.getAs[Long]("exploded_rows") == 12L, m.get.toString)
+    assert(m.get.getAs[Long]("max_bins_per_interval") == 11L, m.get.toString)
+    val oj = graft.ops.Joins.intervalOverlapJoin(
+      ivs.toDF("lid", "s", "e"), ivs.toDF("rid", "s", "e"),
+      "s", "e", "s", "e", binWidth = 10L)
+    assert(oj.collect().length == 4)
+    val om = oj.queryExecution.observedMetrics
+    val lm = om.find(_._1.startsWith("graft_overlap_join_l")).map(_._2)
+    val rm = om.find(_._1.startsWith("graft_overlap_join_r")).map(_._2)
+    assert(lm.nonEmpty && rm.nonEmpty, om.keys.toString)
+    assert(lm.get.getAs[Long]("max_bins_per_interval") == 11L, lm.get.toString)
+    assert(rm.get.getAs[Long]("exploded_rows") == 12L, rm.get.toString)
+  }
+
+  test("fit entry points raise NAMED errors on empty input") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("id", "text")
+    val noVecs = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ops.Bpe.fit(noDocs, "text", numMerges = 5)
+    }
+    assert(e1.getMessage.contains("Bpe.fit: empty input"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Embeddings.randomProject(noVecs, "v", "id", outDim = 4)
+    }
+    assert(e2.getMessage.contains("randomProject: empty input"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      graft.ops.Retrieval.bm25TopK(noDocs, "text", "id", Seq("x"), k = 3)
+    }
+    assert(e3.getMessage.contains("bm25TopK: empty corpus"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      graft.ops.Retrieval.fitNbWeights(noDocs, noDocs, "text")
+    }
+    assert(e4.getMessage.contains("fitNbWeights: no tokens"), e4.getMessage)
+    val e5 = intercept[IllegalArgumentException] {
+      graft.ops.Similarity.ivfFit(noVecs, "v", "id", nClusters = 2)
+    }
+    assert(e5.getMessage.contains("ivfFit"), e5.getMessage)
+    // perplexityBuckets with zero SCORED rows: the documented
+    // unscored→tail policy decides everything — graceful, not a crash
+    val unscored = Seq((1L, None: Option[Double]), (2L, None: Option[Double]))
+      .toDF("id", "ppl")
+    val buckets = graft.ops.Lm.perplexityBuckets(unscored, "id")
+      .select("bucket").collect().map(_.getString(0)).toSeq
+    assert(buckets == Seq("tail", "tail"), buckets.toString)
+  }
+
+  test("Ids.fieldOf honors spark.sql.caseSensitive") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    val df = Seq((1L, "a")).toDF("DocId", "text")
+    // default (insensitive): the fallback resolves like the analyzer
+    assert(graft.ops.Ids.fieldOf(df, "docid", "t").name == "DocId")
+    val prev = spark2.conf.get("spark.sql.caseSensitive")
+    try {
+      spark2.conf.set("spark.sql.caseSensitive", "true")
+      // case-sensitive session: the guard must NOT resolve a column the
+      // analyzer would reject — a pass here would validate the wrong one
+      intercept[IllegalArgumentException] {
+        graft.ops.Ids.fieldOf(df, "docid", "t")
+      }
+      assert(graft.ops.Ids.fieldOf(df, "DocId", "t").name == "DocId")
+    } finally spark2.conf.set("spark.sql.caseSensitive", prev)
+  }
+
   test("numeric-id contract: lossless DECIMAL(p<=18,0) ids accepted, null sample ids raise") {
     val spark2 = SparkTestSession.spark
     import spark2.implicits._
