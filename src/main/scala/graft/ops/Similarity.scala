@@ -106,9 +106,11 @@ object Similarity {
     * ~100k clusters for 5B vectors) to keep clusters in the low
     * thousands. Ids must be integral ([[hardNegativesIvf]]'s contract
     * — enforced there). This function persists the positives relation
-    * and [[hardNegativesIvf]] persists its two sides; callers running
-    * repeatedly in a long-lived session should
-    * `spark.catalog.clearCache()` between runs (the ivfTopK caveat).
+    * and [[hardNegativesIvf]] persists its two sides; all three are
+    * released automatically after the caller's first action
+    * ([[graft.spark.CacheRelease]]), so repeated invocations in a
+    * long-lived session leave no stale blocks — only a DataFrame built
+    * but never executed keeps its cache pinned (then `clearCache()`).
     */
   def contrastiveTriplets(corpus: DataFrame, pairs: DataFrame,
       vecCol: String, idCol: String, dupThreshold: Double,
@@ -137,7 +139,8 @@ object Similarity {
         dupThreshold, model, probe)
       .select(col("query_id").as("anchor_id"), col("neg_id"),
         col("cosine").as("neg_cos"))
-    pos.join(negs, Seq("anchor_id"))
+    graft.spark.CacheRelease.afterFirstAction(
+      pos.join(negs, Seq("anchor_id")), Seq(pos))
   }
 
   /** Hard-negative mining for contrastive training: per query, the
@@ -224,9 +227,11 @@ object Similarity {
     *
     * Caching: both relation sides persist MEMORY_AND_DISK for the two
     * phases (no action runs in here, so they cannot be unpersisted
-    * before the caller's); long-lived sessions invoking this repeatedly
-    * should `spark.catalog.clearCache()` between runs (the ivfTopK
-    * caveat).
+    * before the caller's); the caller's FIRST action — which fills and
+    * reuses the cache across both phases — releases them automatically
+    * ([[graft.spark.CacheRelease]]), so repeated invocations leave no
+    * stale blocks. Re-executing the same returned DataFrame recomputes
+    * uncached (correct, just slower) — rebuild via a fresh call instead.
     */
   def hardNegativesIvf(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, dupThreshold: Double,
@@ -289,11 +294,13 @@ object Similarity {
       val bound = cos(greatest(lit(0.0), acos(cj) - lit(model.radii(j))))
       when(bound >= col("__floor") - lit(1e-7), lit(j))
     }: _*))
-    bestUnder(
-        withFloor.withColumn("cluster", explode(candClusters))
-          .select(col("query_id"), col("qv"), col("cluster")))
-      .select(col("query_id"), (-col("__b.tie")).as("neg_id"),
-        col("__b.score").as("cosine"))
+    graft.spark.CacheRelease.afterFirstAction(
+      bestUnder(
+          withFloor.withColumn("cluster", explode(candClusters))
+            .select(col("query_id"), col("qv"), col("cluster")))
+        .select(col("query_id"), (-col("__b.tie")).as("neg_id"),
+          col("__b.score").as("cosine")),
+      Seq(assigned, q))
   }
 
   /** IVF (inverted-file) coarse quantizer: spherical k-means centroids plus
@@ -565,7 +572,11 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v"),
       ivfAssign(col(vecCol), model).as("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    searchAssigned(assigned, query, k, model, probe)
+    // phase 1 runs (and fills the cache) inside searchAssigned; the
+    // returned plan is phase 2, so releasing after the CALLER's first
+    // action covers both phases
+    graft.spark.CacheRelease.afterFirstAction(
+      searchAssigned(assigned, query, k, model, probe), Seq(assigned))
   }
 
   /** Materialize the corpus as an on-disk IVF index: parquet partitioned
@@ -643,12 +654,14 @@ object Similarity {
       k: Int, model: IvfModel, probe: Int = 4): DataFrame = {
     // persisted: both phases join against the assigned corpus and the
     // per-row assignment kernel is the expensive part (same contract as
-    // ivfTopK — callers running repeatedly should clearCache)
+    // ivfTopK — released after the caller's first action)
     val assigned = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"),
         ivfAssign(col(vecCol), model).as("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    searchAssignedBatch(assigned, queries, vecCol, idCol, k, model, probe)
+    graft.spark.CacheRelease.afterFirstAction(
+      searchAssignedBatch(assigned, queries, vecCol, idCol, k, model, probe),
+      Seq(assigned))
   }
 
   /** Batched exact kNN over an index written by [[ivfWriteIndex]]: the

@@ -4332,6 +4332,61 @@ class OpsSpec extends AnyFunSuite {
     assert(buckets == Seq("tail", "tail"), buckets.toString)
   }
 
+  test("IVF persist lifecycle: caches release after the caller's first action") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    spark2.catalog.clearCache()
+    // baseline: RDD-level persists from earlier tests (localCheckpoint
+    // blocks awaiting GC) are outside clearCache's reach and not ours —
+    // the contract under test is that THIS operator adds nothing
+    val baseline = spark2.sparkContext.getPersistentRDDs.keySet
+    val rows = Seq(
+      (0L, Seq(1.0, 0.001, 0.0)), (1L, Seq(1.0, 0.002, 0.0)),
+      (2L, Seq(1.0, 0.003, 0.0)), (3L, Seq(1.0, 0.004, 0.0)),
+      (10L, Seq(0.0, 1.0, 0.01)), (11L, Seq(0.0, 1.0, 0.02)))
+    val corpus = rows.toDF("id", "v")
+    val queries = corpus.filter(col("id") === 0L)
+    val model = Similarity.ivfFit(corpus, "v", "id", nClusters = 2, sampleN = 6)
+    // the release listener fires on the listener-bus thread after the
+    // action returns — poll briefly instead of asserting instantly
+    def storedAfter(f: => Unit): Int = {
+      f
+      def fresh = spark2.sparkContext.getPersistentRDDs.keySet -- baseline
+      val deadline = System.currentTimeMillis + 30000
+      while (fresh.nonEmpty && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      fresh.size
+    }
+    // two back-to-back invocations with NO manual clearCache: each must
+    // leave zero tracked RDDs once its first action completes
+    for (_ <- 1 to 2) {
+      val n = storedAfter {
+        assert(Similarity.hardNegativesIvf(
+          corpus, queries, "v", "id", 0.9, model, probe = 1).count() == 1)
+      }
+      assert(n == 0, s"hardNegativesIvf left $n cached RDDs")
+    }
+    val pairs = Seq((0L, 1L, 0.99)).toDF("id_a", "id_b", "cosine")
+    for (_ <- 1 to 2) {
+      val n = storedAfter {
+        Similarity.contrastiveTriplets(
+          corpus, pairs, "v", "id", 0.9, nClusters = 2).count()
+      }
+      assert(n == 0, s"contrastiveTriplets left $n cached RDDs")
+    }
+    // the caller's transforms stack ON TOP of the marker: a filtered
+    // count still releases (and ivfTopK/ivfKnnJoin share the contract)
+    val n2 = storedAfter {
+      Similarity.ivfTopK(corpus, "v", "id",
+        Array(1.0, 0.0, 0.0), k = 2, model).filter(col("rank") === 1).count()
+    }
+    assert(n2 == 0, s"ivfTopK left $n2 cached RDDs")
+    val n3 = storedAfter {
+      Similarity.ivfKnnJoin(corpus, queries, "v", "id", k = 2, model).count()
+    }
+    assert(n3 == 0, s"ivfKnnJoin left $n3 cached RDDs")
+  }
+
   test("Ids.fieldOf honors spark.sql.caseSensitive") {
     val spark2 = SparkTestSession.spark
     import spark2.implicits._
