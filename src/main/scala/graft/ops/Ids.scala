@@ -10,6 +10,15 @@ import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, IntegerType,
   * result (a self-exclusion filter), collapses distinct keys into one,
   * or dies deep inside an encoder with an error naming no column — so
   * operators fail fast HERE with the column and the contract named.
+  *
+  * The sibling NULL-id contract for SELECTION HASHES (deterministic
+  * sample/split/top-k/fit-sample decisions keyed on `md5(id ⧺ salt)`)
+  * lives in `Sampling.idStr`: every `Sampling.saltedHash`/`strataHash`
+  * call site — including the fit samplers in `Similarity` that order
+  * by it — raises a named in-plan error on a NULL id rather than
+  * letting `concat(null, salt)` go null and silently drop the row from
+  * every sample. A null STRATUM, by contrast, is a legitimate value
+  * and keys its own `__null__` sentinel stratum (documented there).
   */
 private[graft] object Ids {
 
