@@ -4332,6 +4332,119 @@ class OpsSpec extends AnyFunSuite {
     assert(buckets == Seq("tail", "tail"), buckets.toString)
   }
 
+  test("property: as-of joins match brute force on every time-axis type " +
+      "(sub-second and >2^53 magnitudes)") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.DataFrame
+
+    // master time value is an exact BigInt of axis units (micros for the
+    // timestamp family, raw values otherwise) so ONE brute-force model
+    // covers every column type without fp in the reference itself
+    def tsOf(u: BigInt): java.sql.Timestamp = {
+      val sec = (u / 1000000).toLong
+      val micros = (u % 1000000).toLong
+      java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(sec, micros * 1000L))
+    }
+    def ldtOf(u: BigInt): java.time.LocalDateTime =
+      java.time.LocalDateTime.ofEpochSecond((u / 1000000).toLong,
+        ((u % 1000000).toLong * 1000L).toInt, java.time.ZoneOffset.UTC)
+    def mk(typ: String, rows: Seq[(Long, BigInt, Long)], idName: String): DataFrame =
+      typ match {
+        case "long" =>
+          rows.map { case (k, u, i) => (k, u.toLong, i) }.toDF("k", "ts", idName)
+        case "int" =>
+          rows.map { case (k, u, i) => (k, u.toInt, i) }.toDF("k", "ts", idName)
+        case "double" =>
+          rows.map { case (k, u, i) => (k, u.toDouble, i) }.toDF("k", "ts", idName)
+        case "decimal20" => // beyond the long range — the decimal(38) axis
+          rows.map { case (k, u, i) => (k, u.toString, i) }
+            .toDF("k", "ts", idName)
+            .select(col("k"), col("ts").cast("decimal(20,0)").as("ts"), col(idName))
+        case "timestamp" =>
+          rows.map { case (k, u, i) => (k, tsOf(u), i) }.toDF("k", "ts", idName)
+        case "ntz" =>
+          rows.map { case (k, u, i) => (k, ldtOf(u), i) }.toDF("k", "ts", idName)
+      }
+
+    def brute(left: Seq[(Long, BigInt, Long)], right: Seq[(Long, BigInt, Long)],
+        tolUnits: Option[BigInt], dir: String): Map[Long, Long] =
+      left.map { case (k, u, lid) =>
+        val rs = right.filter(_._1 == k)
+        val back = rs.filter(_._2 <= u).sortBy(t => (t._2, t._3)).lastOption
+        val fwd = rs.filter(_._2 >= u).sortBy(t => (t._2, t._3)).headOption
+        val cand = dir match {
+          case "backward" => back
+          case _ => (back, fwd) match { // nearest: tie -> backward (pandas)
+            case (Some(b), Some(f)) =>
+              if ((f._2 - u) < (u - b._2)) Some(f) else Some(b)
+            case (b, f) => b.orElse(f)
+          }
+        }
+        lid -> cand.filter(c => tolUnits.forall(t => (u - c._2).abs <= t))
+          .map(_._3).getOrElse(-1L)
+      }.toMap
+
+    val scen = for {
+      typ <- Gen.oneOf("timestamp", "ntz", "long", "int", "decimal20", "double")
+      dir <- Gen.oneOf("backward", "nearest")
+      seed <- Gen.choose(0L, 1000000L)
+      tolIdx <- Gen.choose(0, 2)
+    } yield (typ, dir, seed, tolIdx)
+
+    val prop = Prop.forAllNoShrink(scen) { case (typ, dir, seed, tolIdx) =>
+      val rnd = new scala.util.Random(seed)
+      // per-type regime: the timestamp family gets sub-second deltas
+      // (incl. exact-second boundary hits), long/decimal get >2^53
+      // magnitudes where double ulps are hundreds of units, decimal20
+      // sits past the LONG range so the decimal(38) branch engages,
+      // double sits on an exactly-representable integer grid
+      val (base, spread, tols) = typ match {
+        case "timestamp" | "ntz" =>
+          (BigInt(1700000000L) * 1000000L, 2000000, Seq(None, Some(1L), Some(2L)))
+        case "long" =>
+          (BigInt(2).pow(62), 1000, Seq(None, Some(100L), Some(300L)))
+        case "decimal20" =>
+          (BigInt(2).pow(63) + BigInt(2).pow(62), 1000,
+            Seq(None, Some(100L), Some(300L)))
+        case "int" =>
+          (BigInt(1000000000), 5000, Seq(None, Some(1000L), Some(2500L)))
+        case _ => // double
+          (BigInt(2).pow(50), 4000, Seq(None, Some(1000L), Some(2500L)))
+      }
+      def draw(): BigInt = base + BigInt(
+        if ((typ == "timestamp" || typ == "ntz") && rnd.nextBoolean())
+          (rnd.nextInt(5) - 2).toLong * 1000000L // exact-second boundary hits
+        else (rnd.nextInt(2 * spread + 1) - spread).toLong)
+      val left = (0 until 20).map(i => (rnd.nextInt(3).toLong, draw(), i.toLong))
+      val right = (0 until 20).map(i => (rnd.nextInt(3).toLong, draw(), 100L + i))
+        .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq
+      val tol = tols(tolIdx)
+      val scale = if (typ == "timestamp" || typ == "ntz") 1000000L else 1L
+      val l = mk(typ, left, "lid")
+      val r = mk(typ, right, "rid")
+      val out = if (dir == "backward")
+        graft.ops.Joins.asofJoin(l, r, "k", "ts", toleranceSec = tol)
+      else graft.ops.Joins.asofJoinDirected(l, r, "k", "ts", "nearest",
+        toleranceSec = tol)
+      val got = out.select("lid", "r_rid").collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .toMap
+      val want = brute(left, right, tol.map(t => BigInt(t) * scale), dir)
+      if (got != want) {
+        info(s"MISMATCH typ=$typ dir=$dir seed=$seed tol=$tol: " +
+          (got.toSeq.sorted zip want.toSeq.sorted)
+            .filter(p => p._1 != p._2).take(5).toString)
+      }
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(18).withInitialSeed(42L), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("IVF persist lifecycle: caches release after the caller's first action") {
     val spark2 = SparkTestSession.spark
     import spark2.implicits._
