@@ -3,10 +3,11 @@ import graft.spark.SparkHighlighter
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch A/B driver: times ONLY the annotate_80k_mixed workload
-  * (graft.Bench's thunk, reproduced verbatim) — warm + N rounds, prints
-  * min/median. Dropped into each worktree for interleaved same-host
-  * comparison.
+/** Scratch A/B driver: times ONLY one annotate workload (graft.Bench's
+  * thunk, reproduced verbatim) — warm + N rounds, prints min/median.
+  * Dropped into each worktree for interleaved same-host comparison.
+  * `SPARK_GRAFT_AB_WORKLOAD`: `mixed80` (default) or `dict80` (the
+  * plain slop-0 80k dictionary — the Aho-Corasick fast path).
   */
 object AnnotateBench {
   private def benchDict(size: Int): Seq[DE] = {
@@ -58,16 +59,20 @@ object AnnotateBench {
       .write.mode("overwrite").parquet(docsDir)
     val docs = spark.read.parquet(docsDir)
     val nDocs = docs.count()
-    val hlMixed80 = SparkHighlighter(benchDictMixed(80000))
+    val workload = sys.env.getOrElse("SPARK_GRAFT_AB_WORKLOAD", "mixed80")
+    val hl = workload match {
+      case "dict80" => SparkHighlighter(benchDict(80000))
+      case _ => SparkHighlighter(benchDictMixed(80000))
+    }
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    def one(): Double = time { hlMixed80.annotateExploded(docs, "text").count() }
+    def one(): Double = time { hl.annotateExploded(docs, "text").count() }
     one() // warm
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
     val ts = (1 to rounds).map(_ => one())
     val min = ts.min
-    println(f"ANNOTATE_80K_MIXED min=$min%.3f docs_per_sec=${nDocs / min}%.0f all=${ts.map(t => f"$t%.3f").mkString(",")}")
+    println(f"ANNOTATE_80K_${workload.toUpperCase} min=$min%.3f docs_per_sec=${nDocs / min}%.0f all=${ts.map(t => f"$t%.3f").mkString(",")}")
     spark.stop()
     def rmTree(p: java.nio.file.Path): Unit = {
       if (java.nio.file.Files.isDirectory(p)) {
