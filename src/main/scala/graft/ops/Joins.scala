@@ -267,13 +267,16 @@ object Joins {
     * interval (at the cost of more candidate pairs per bin), or split
     * outlier intervals upstream. Read it with a
     * `QueryExecutionListener` or `df.queryExecution.observedMetrics`.
+    * Measured cost ≤~10% on a sub-second join (the CollectMetrics node
+    * breaks the scan's codegen pipeline once per side — BENCH_AB_r11
+    * §2); `observeSkew = false` opts a proven-stable hot path out.
     *
     * Output: all point columns + all interval columns prefixed
     * `rightPrefix`.
     */
   def rangeJoin(points: DataFrame, intervals: DataFrame, pointCol: String,
       startCol: String, endCol: String, binWidth: Double,
-      rightPrefix: String = "r_"): DataFrame = {
+      rightPrefix: String = "r_", observeSkew: Boolean = true): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     // native comparison is only exact when point and bounds stay in one
     // numeric family — a long point vs double bounds coerces the filter
@@ -285,14 +288,18 @@ object Joins {
     val p = points.withColumn("__bin",
       floor(col(pointCol).cast("double") / binWidth).cast("long"))
     // bin-skew observability (docstring contract): bins-per-interval
-    // measured BEFORE the explode so the metric costs one projection
+    // measured BEFORE the explode, projected once in codegen so the
+    // per-row metric accumulator evaluates a plain column reference
     val nBins = floor(col(endCol).cast("double") / binWidth).cast("long") -
       floor(col(startCol).cast("double") / binWidth).cast("long") + lit(1L)
-    val i = intervals
+    val observed = if (!observeSkew) intervals else intervals
+      .withColumn("__nbins", nBins)
       .observe(s"graft_range_join_${obsCounter.incrementAndGet()}",
         count(lit(1)).as("intervals"),
-        coalesce(sum(nBins), lit(0L)).as("exploded_rows"),
-        coalesce(max(nBins), lit(0L)).as("max_bins_per_interval"))
+        coalesce(sum(col("__nbins")), lit(0L)).as("exploded_rows"),
+        coalesce(max(col("__nbins")), lit(0L)).as("max_bins_per_interval"))
+      .drop("__nbins")
+    val i = observed
       .withColumn("__bin",
         explode(sequence(
           floor(col(startCol).cast("double") / binWidth).cast("long"),
@@ -338,11 +345,13 @@ object Joins {
     * existing pass. A `max_bins_per_interval` in the thousands means
     * one wide interval is replicating across that many bins and
     * dominating the shuffle — raise `binWidth` toward the widest
-    * interval or split outliers upstream.
+    * interval or split outliers upstream. Same measured ≤~10% cost and
+    * `observeSkew = false` opt-out as [[rangeJoin]].
     */
   def intervalOverlapJoin(left: DataFrame, right: DataFrame,
       lStart: String, lEnd: String, rStart: String, rEnd: String,
-      binWidth: Long, rightPrefix: String = "r_"): DataFrame = {
+      binWidth: Long, rightPrefix: String = "r_",
+      observeSkew: Boolean = true): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     // same native-comparison exactness contract as rangeJoin: the
     // overlap filter compares lStart/rEnd (and rStart/lEnd) natively
@@ -353,14 +362,18 @@ object Joins {
       rEnd -> Ids.fieldOf(right, rEnd, "intervalOverlapJoin").dataType)
     def bin(c: org.apache.spark.sql.Column) =
       floor(c.cast("double") / binWidth).cast("long")
-    // bin-skew observability (docstring contract), one metric per side
-    def skewObs(df: DataFrame, name: String, s: String, e: String) = {
-      val nBins = bin(col(e)) - bin(col(s)) + lit(1L)
-      df.observe(s"graft_overlap_join_${name}_${obsCounter.incrementAndGet()}",
-        count(lit(1)).as("intervals"),
-        coalesce(sum(nBins), lit(0L)).as("exploded_rows"),
-        coalesce(max(nBins), lit(0L)).as("max_bins_per_interval"))
-    }
+    // bin-skew observability (docstring contract), one metric per side.
+    // The bins-per-interval expression is projected ONCE in codegen
+    // before the observe so the per-row metric accumulator evaluates a
+    // plain column reference, not interpreted floor-divisions.
+    def skewObs(df: DataFrame, name: String, s: String, e: String) =
+      if (!observeSkew) df else df
+        .withColumn("__nbins", bin(col(e)) - bin(col(s)) + lit(1L))
+        .observe(s"graft_overlap_join_${name}_${obsCounter.incrementAndGet()}",
+          count(lit(1)).as("intervals"),
+          coalesce(sum(col("__nbins")), lit(0L)).as("exploded_rows"),
+          coalesce(max(col("__nbins")), lit(0L)).as("max_bins_per_interval"))
+        .drop("__nbins")
     val l = skewObs(left, "l", lStart, lEnd).withColumn("__bin",
       explode(sequence(bin(col(lStart)), bin(col(lEnd)))))
     val renamed = right.columns.foldLeft(right) { (df, c) =>

@@ -4296,6 +4296,18 @@ class OpsSpec extends AnyFunSuite {
     assert(lm.nonEmpty && rm.nonEmpty, om.keys.toString)
     assert(lm.get.getAs[Long]("max_bins_per_interval") == 11L, lm.get.toString)
     assert(rm.get.getAs[Long]("exploded_rows") == 12L, rm.get.toString)
+    // observeSkew = false: identical rows, no CollectMetrics in the plan
+    val rjOff = graft.ops.Joins.rangeJoin(p, ivs, "v", "lo", "hi",
+      binWidth = 10.0, observeSkew = false)
+    assert(rjOff.collect().length == 3)
+    assert(rjOff.queryExecution.observedMetrics.isEmpty,
+      rjOff.queryExecution.observedMetrics.keys.toString)
+    val ojOff = graft.ops.Joins.intervalOverlapJoin(
+      ivs.toDF("lid", "s", "e"), ivs.toDF("rid", "s", "e"),
+      "s", "e", "s", "e", binWidth = 10L, observeSkew = false)
+    assert(ojOff.collect().length == 4)
+    assert(ojOff.queryExecution.observedMetrics.isEmpty,
+      ojOff.queryExecution.observedMetrics.keys.toString)
   }
 
   test("fit entry points raise NAMED errors on empty input") {
