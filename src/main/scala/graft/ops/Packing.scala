@@ -40,6 +40,12 @@ object Packing {
     val counts = df.select(col(idCol).as("id"),
         TextStats.wsTokens(col(textCol)).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
+    // CORRECTNESS pin, not a perf cache (do NOT auto-release): the
+    // collected per-partition bases below describe THIS materialization
+    // — a recompute may re-sample different range boundaries (Spark's
+    // RangePartitioner sketch seeds on the physical RDD id), and ranks
+    // against stale bases would duplicate/skip sequence ids. Freed by
+    // the caller's cache hygiene once the result is fully consumed.
     val ranged = counts.repartitionByRange(col("id"))
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

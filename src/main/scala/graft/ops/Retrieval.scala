@@ -224,22 +224,22 @@ object Retrieval {
     // extra exchange costs more than the tail it saves (~+0.3 s at
     // sf0.1) — the tradeoff is sized for real vocabularies, where the
     // tail is most of the terms
-    val kept =
-      if (minDf <= 1) perDoc
+    val (kept, caches) =
+      if (minDf <= 1) (perDoc, Seq.empty[DataFrame])
       else {
         // both the df count and the probe read perDoc: persist it so
         // the tokenize + (term, doc) aggregation — the operator's
-        // dominant stage — runs once, not twice (freed by the caller's
-        // cache hygiene, same contract as Dedup's pair caches)
+        // dominant stage — runs once, not twice (released after the
+        // caller's first action; recompute-safe, all deterministic)
         val cached = perDoc
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val qualifying = cached.groupBy(col("term"))
           .agg(count(lit(1)).as("__df"))
           .filter(col("__df") >= minDf)
           .select(col("term"))
-        cached.join(qualifying, Seq("term"), "left_semi")
+        (cached.join(qualifying, Seq("term"), "left_semi"), Seq(cached))
       }
-    kept.groupBy(col("term"))
+    val out = kept.groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("df"),
         sum(col("tf_doc")).cast("long").as("tf"),
         array_join(
@@ -249,5 +249,7 @@ object Retrieval {
               e.getField("plist"))),
           ";").as("postings"))
       .filter(col("df") >= minDf)
+    if (caches.isEmpty) out
+    else graft.spark.CacheRelease.afterFirstAction(out, caches)
   }
 }

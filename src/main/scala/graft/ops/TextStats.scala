@@ -742,16 +742,20 @@ object TextStats {
       .agg(count(lit(1)).as("__n"))
       .groupBy(col("lang"))
       .agg(sum(col("__n") - 1).as("n_exact_dups"))
-    perDoc.groupBy(col("lang"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("__tok")).as("n_tokens"),
-        sum(col("__chars")).as("n_chars"),
-        expr("percentile(__tok, 0.5)").cast("double").as("p50_tokens"),
-        expr("percentile(__tok, 0.9)").cast("double").as("p90_tokens"))
-      .join(dups, Seq("lang"))
-      .withColumn("dup_frac",
-        round(col("n_exact_dups").cast("double") / col("n_docs"), 6))
-      .orderBy(col("n_docs").desc, col("lang"))
+    // released after the caller's first action (recompute-safe: every
+    // column is a deterministic expression over the input)
+    graft.spark.CacheRelease.afterFirstAction(
+      perDoc.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__tok")).as("n_tokens"),
+          sum(col("__chars")).as("n_chars"),
+          expr("percentile(__tok, 0.5)").cast("double").as("p50_tokens"),
+          expr("percentile(__tok, 0.9)").cast("double").as("p90_tokens"))
+        .join(dups, Seq("lang"))
+        .withColumn("dup_frac",
+          round(col("n_exact_dups").cast("double") / col("n_docs"), 6))
+        .orderBy(col("n_docs").desc, col("lang")),
+      Seq(perDoc))
   }
 }

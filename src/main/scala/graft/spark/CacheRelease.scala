@@ -30,6 +30,13 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * releases just the same. If the caller never runs an action the cache
   * (and one listener) stays until `clearCache()` — unavoidable without
   * an action to observe.
+  *
+  * NOT for snapshot-dependent persists: when a collected artifact
+  * (driver-side partition bases, range boundaries) describes one
+  * specific materialization — `packingOffsets`, `trainingOrder`,
+  * `curriculumOrder` — releasing the cache makes RE-execution produce
+  * different partitioning and WRONG results, not just slow ones. Those
+  * persists are correctness pins and stay caller-managed.
   */
 private[graft] object CacheRelease {
 

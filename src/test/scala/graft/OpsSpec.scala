@@ -4510,6 +4510,18 @@ class OpsSpec extends AnyFunSuite {
       Similarity.ivfKnnJoin(corpus, queries, "v", "id", k = 2, model).count()
     }
     assert(n3 == 0, s"ivfKnnJoin left $n3 cached RDDs")
+    // the recompute-safe persists in corpusReport/invertedIndex share
+    // the contract (snapshot-dependent persists — packingOffsets,
+    // trainingOrder — deliberately do NOT; see CacheRelease scaladoc)
+    val docs = Seq((1L, "a b a"), (2L, "b c d")).toDF("id", "text")
+    val n4 = storedAfter {
+      graft.ops.TextStats.corpusReport(docs, "text", "id").count()
+    }
+    assert(n4 == 0, s"corpusReport left $n4 cached RDDs")
+    val n5 = storedAfter {
+      graft.ops.Retrieval.invertedIndex(docs, "text", "id", minDf = 2).count()
+    }
+    assert(n5 == 0, s"invertedIndex left $n5 cached RDDs")
   }
 
   test("Ids.fieldOf honors spark.sql.caseSensitive") {
