@@ -67,10 +67,15 @@ object Joins {
     *  - TIMESTAMP_NTZ → naive-axis micros computed from FIELDS
     *    (days·86400e6 + time-of-day) — casting NTZ through the session
     *    zone distorts deltas by the DST shift around gap/overlap hours;
+    *  - DATE (both sides — a mixed date/timestamp union widens first)
+    *    → naive day counts on the micros scale, DST-free;
     *  - integral numerics incl. decimal(≤18,0) → exact `long` (a double
     *    axis has 256-unit ulps at nanos-since-epoch magnitudes ~2^60);
     *  - wider/fractional decimals → exact decimal(38, scale);
-    *  - float/double → `double` (their native precision).
+    *  - float/double → `double` (their native precision);
+    *  - anything else (string, boolean, …) → NAMED plan-build error: a
+    *    `cast("double")` fallback is NULL for those, and a null axis
+    *    silently nulls every tolerance match.
     */
   private def timeAxis(dt: org.apache.spark.sql.types.DataType)
       : (Column => Column, Long) = {
@@ -86,6 +91,12 @@ object Joins {
               minute(c).cast("long") * lit(60L) +
               second(c).cast("long")) * lit(1000000L) +
             date_format(c, "SSSSSS").cast("long"), 1000000L)
+      case DateType =>
+        // both sides DATE (a mixed date/timestamp union widens before
+        // this sees it): naive day counts on a micros scale — DST-free,
+        // and a plain cast("double") on DATE would be NULL
+        ((c: Column) => datediff(c, lit("1970-01-01").cast("date"))
+          .cast("long") * lit(86400000000L), 1000000L)
       case t if Ids.isIntegral(t) =>
         ((c: Column) => c.cast("long"), 1L)
       case d: DecimalType =>
@@ -94,8 +105,16 @@ object Joins {
         // which is integral-valued but past the long range; a double
         // axis would reintroduce the 2^53 ulp bug for it
         ((c: Column) => c.cast(DecimalType(38, d.scale)), 1L)
-      case _ =>
+      case FloatType | DoubleType =>
         ((c: Column) => c.cast("double"), 1L)
+      case other =>
+        // fail fast: cast("double") on e.g. a STRING ts is NULL, and a
+        // null axis silently nulls EVERY tolerance match (and breaks
+        // every `nearest` delta comparison) instead of erroring
+        throw new IllegalArgumentException(
+          "as-of time axis: unsupported ts type " + other.simpleString +
+            " — ts must be timestamp/timestamp_ntz/date or numeric; " +
+            "cast string timestamps explicitly first")
     }
   }
 
@@ -138,6 +157,11 @@ object Joins {
     requireSameTsFamily("asofJoin",
       Ids.fieldOf(left, tsCol, "asofJoin").dataType,
       Ids.fieldOf(right, tsCol, "asofJoin").dataType)
+    // validate BOTH ts types up front (discarding the axes): without
+    // this, a string ts "works" lexicographically untolerated but
+    // silently nulls every match the moment a tolerance is added
+    timeAxis(Ids.fieldOf(left, tsCol, "asofJoin").dataType)
+    timeAxis(Ids.fieldOf(right, tsCol, "asofJoin").dataType)
     val lType = StructType(left.schema.fields)
     val rType = StructType(right.schema.fields)
     val lNorm = left.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
@@ -189,6 +213,8 @@ object Joins {
     requireSameTsFamily("asofJoinDirected",
       Ids.fieldOf(left, tsCol, "asofJoinDirected").dataType,
       Ids.fieldOf(right, tsCol, "asofJoinDirected").dataType)
+    timeAxis(Ids.fieldOf(left, tsCol, "asofJoinDirected").dataType)
+    timeAxis(Ids.fieldOf(right, tsCol, "asofJoinDirected").dataType)
     if (direction == "backward")
       return asofJoin(left, right, keyCol, tsCol, rightPrefix, toleranceSec)
     val lType = StructType(left.schema.fields)

@@ -4245,6 +4245,33 @@ class OpsSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("mixed exact/fractional"), e3.getMessage)
   }
 
+  test("asofJoin: string ts raises at plan build; DATE axis is exact naive days") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    // a string ts "worked" lexicographically untolerated but the double
+    // axis cast is NULL, so a tolerance silently nulled EVERY match —
+    // now a named plan-build error in every direction
+    val lS = Seq((1L, "2026-01-02", "a")).toDF("k", "ts", "lv")
+    val rS = Seq((1L, "2026-01-01", "x")).toDF("k", "ts", "rv")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ops.Joins.asofJoin(lS, rS, "k", "ts")
+    }
+    assert(e1.getMessage.contains("unsupported ts type string"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Joins.asofJoinDirected(lS, rS, "k", "ts", direction = "forward")
+    }
+    assert(e2.getMessage.contains("unsupported ts type"), e2.getMessage)
+    // DATE both sides: tolerance compares exact naive day deltas
+    val lD = lS.select(col("k"), col("ts").cast("date").as("ts"), col("lv"))
+    val rD = rS.select(col("k"), col("ts").cast("date").as("ts"), col("rv"))
+    assert(graft.ops.Joins.asofJoin(lD, rD, "k", "ts",
+        toleranceSec = Some(86400L)) // exactly one day — inclusive
+      .select("r_rv").head().getString(0) == "x")
+    assert(graft.ops.Joins.asofJoin(lD, rD, "k", "ts",
+        toleranceSec = Some(86399L))
+      .select("r_rv").head().isNullAt(0), "86399s < 1 day delta")
+  }
+
   test("asofJoin rejects mixed TIMESTAMP/TIMESTAMP_NTZ ts columns (DST-safe)") {
     val spark2 = SparkTestSession.spark
     import spark2.implicits._
