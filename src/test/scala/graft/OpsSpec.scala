@@ -4402,6 +4402,11 @@ class OpsSpec extends AnyFunSuite {
           rows.map { case (k, u, i) => (k, u.toString, i) }
             .toDF("k", "ts", idName)
             .select(col("k"), col("ts").cast("decimal(20,0)").as("ts"), col(idName))
+        case "date" => // u is micros at day granularity
+          rows.map { case (k, u, i) =>
+            (k, java.sql.Date.valueOf(
+              java.time.LocalDate.ofEpochDay((u / 86400000000L).toLong)), i)
+          }.toDF("k", "ts", idName)
         case "timestamp" =>
           rows.map { case (k, u, i) => (k, tsOf(u), i) }.toDF("k", "ts", idName)
         case "ntz" =>
@@ -4427,7 +4432,8 @@ class OpsSpec extends AnyFunSuite {
       }.toMap
 
     val scen = for {
-      typ <- Gen.oneOf("timestamp", "ntz", "long", "int", "decimal20", "double")
+      typ <- Gen.oneOf("timestamp", "ntz", "long", "int", "decimal20",
+        "double", "date")
       dir <- Gen.oneOf("backward", "nearest")
       seed <- Gen.choose(0L, 1000000L)
       tolIdx <- Gen.choose(0, 2)
@@ -4450,18 +4456,25 @@ class OpsSpec extends AnyFunSuite {
             Seq(None, Some(100L), Some(300L)))
         case "int" =>
           (BigInt(1000000000), 5000, Seq(None, Some(1000L), Some(2500L)))
+        case "date" => // day-granular micros; tolerances straddle whole days
+          (BigInt(20000L) * 86400000000L, 6,
+            Seq(None, Some(86400L), Some(2 * 86400L)))
         case _ => // double
           (BigInt(2).pow(50), 4000, Seq(None, Some(1000L), Some(2500L)))
       }
       def draw(): BigInt = base + BigInt(
         if ((typ == "timestamp" || typ == "ntz") && rnd.nextBoolean())
           (rnd.nextInt(5) - 2).toLong * 1000000L // exact-second boundary hits
-        else (rnd.nextInt(2 * spread + 1) - spread).toLong)
+        else (rnd.nextInt(2 * spread + 1) - spread).toLong) *
+        (if (typ == "date") BigInt(86400000000L) else BigInt(1))
       val left = (0 until 20).map(i => (rnd.nextInt(3).toLong, draw(), i.toLong))
       val right = (0 until 20).map(i => (rnd.nextInt(3).toLong, draw(), 100L + i))
         .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq
       val tol = tols(tolIdx)
-      val scale = if (typ == "timestamp" || typ == "ntz") 1000000L else 1L
+      // master units are micros for the calendar family, raw otherwise
+      val scale =
+        if (typ == "timestamp" || typ == "ntz" || typ == "date") 1000000L
+        else 1L
       val l = mk(typ, left, "lid")
       val r = mk(typ, right, "rid")
       val out = if (dir == "backward")
