@@ -296,6 +296,10 @@ object Joins {
     * Measured cost ≤~10% on a sub-second join (the CollectMetrics node
     * breaks the scan's codegen pipeline once per side — BENCH_AB_r11
     * §2); `observeSkew = false` opts a proven-stable hot path out.
+    * Catalyst deliberately does not push caller-side filters THROUGH a
+    * CollectMetrics node (it would change the observed values), so
+    * filter the interval relation BEFORE the join — the repo-wide
+    * pattern anyway — or the scan reads unfiltered.
     *
     * Output: all point columns + all interval columns prefixed
     * `rightPrefix`.
