@@ -80,6 +80,8 @@ object Retrieval {
     pivoted
       .withColumn("score", round(score, 6))
       .orderBy(col("score").desc, col("id").asc).limit(k)
+      // single-partition rank window BY DESIGN (Spark warns): its
+      // input is the ≤k limit survivors, never the corpus
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score").desc, col("id").asc)).cast("long"))
       .select(col("id"), col("rank"), col("score"))

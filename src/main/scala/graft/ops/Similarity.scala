@@ -56,11 +56,23 @@ object Similarity {
     val q = array(query.map(lit).toIndexedSeq: _*)
     val v = col(vecCol).cast("array<double>")
     val scored = df.select(col(idCol).as("id"), cosine(v, q).as("cosine"))
+    rankTopK(scored, k)
+  }
+
+  /** Shared single-query top-k finisher: a distributed
+    * TakeOrdered(k) (`orderBy.limit` — per-partition top-k, k-row
+    * merge on the driver side of the exchange) followed by a rank
+    * window over the survivors. That rank window is SINGLE-PARTITION
+    * BY DESIGN — Spark logs a WindowExec "no partition defined"
+    * warning for it — but its input is the limit's ≤k rows, never the
+    * corpus, so the single partition holds k rows at any corpus scale;
+    * the corpus-sized work all happens in the TakeOrdered below it.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.orderBy(col("cosine").desc, col("id").asc).limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cosine").desc, col("id").asc)))
       .select(col("id"), col("rank"), col("cosine"))
-  }
 
   /** For each query row (small set — broadcast), the top-k corpus
     * neighbors by cosine. Output: (query_id, neighbor_id, rank, cosine).
@@ -622,11 +634,7 @@ object Similarity {
       .select(col("cosine")).collect()
     val sk = if (phase1.length < k) -1.0 else phase1.map(_.getDouble(0)).min
     val cands = ivfCandidateClusters(model, query, sk)
-    scoreClusters(cands)
-      .orderBy(col("cosine").desc, col("id").asc).limit(k)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cosine").desc, col("id").asc)))
-      .select(col("id"), col("rank"), col("cosine"))
+    rankTopK(scoreClusters(cands), k)
   }
 
   /** Batched EXACT kNN via IVF pruning: [[knnJoin]] semantics (top-k
@@ -909,13 +917,10 @@ object Similarity {
       .orderBy(col("adc").desc, col("id").asc).limit(rerank)
       .select(col("id"))
     val qLit = array(query.map(lit).toIndexedSeq: _*)
-    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .join(broadcast(cands), "id")
-      .withColumn("cosine", cosine(col("v"), qLit))
-      .orderBy(col("cosine").desc, col("id").asc).limit(k)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cosine").desc, col("id").asc)))
-      .select(col("id"), col("rank"), col("cosine"))
+    rankTopK(
+      df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+        .join(broadcast(cands), "id")
+        .withColumn("cosine", cosine(col("v"), qLit)), k)
   }
 
   /** The ±1 hyperplane matrix behind [[lshSignature]]: md5-parity
@@ -994,10 +999,6 @@ object Similarity {
     val cands = withSig
       .filter(bit_count(col("sig").bitwiseXOR(lit(qSig))) <= probeHamming)
     val qLit = array(query.map(lit).toIndexedSeq: _*)
-    cands.withColumn("cosine", cosine(col("v"), qLit))
-      .orderBy(col("cosine").desc, col("id").asc).limit(k)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cosine").desc, col("id").asc)))
-      .select(col("id"), col("rank"), col("cosine"))
+    rankTopK(cands.withColumn("cosine", cosine(col("v"), qLit)), k)
   }
 }

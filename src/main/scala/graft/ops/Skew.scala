@@ -46,6 +46,8 @@ object Skew {
     val heavy = counts
       .orderBy(col("c").desc, col("key"))
       .limit(topK)
+      // single-partition rank window BY DESIGN (Spark warns): its
+      // input is the ≤topK limit survivors, never the key table
       .withColumn("rank",
         row_number().over(Window.orderBy(col("c").desc, col("key"))))
     heavy.crossJoin(stats)
