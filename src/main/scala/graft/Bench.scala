@@ -131,7 +131,7 @@ object Bench {
 
     val opQueries = Seq("q_dedup_minhash", "q_dedup_exact", "q_knn_brute",
       "q_knn_ivf", "q1_agg", "q_events_window", "q_ann_counts",
-      "q_dedup_simhash", "q_langid", "q_lang_conf", "q_asof", "q_asof_fwd", "q_asof_near", "q_range_join",
+      "q_dedup_simhash", "q_langid", "q_lang_conf", "q_asof", "q_asof_fwd", "q_asof_near", "q_asof_date", "q_range_join",
       "q_tfidf", "q_dedup_jaccard", "q_dedup_cluster", "q_alpha_bool",
       "q_embed_dedup", "q_pipeline", "q_stream_counts", "q_knn_batch",
       "q_gopher", "q_decontam_ngram", "q_embed_quant",

@@ -660,6 +660,27 @@ object SparkEntry {
       .orderBy(col("purchase_id"))
   }
 
+  /** DATE-axis as-of gate: purchases matched to the user's most recent
+    * click DAY at or before the purchase day, nulled when more than two
+    * days older — exercises [[graft.ops.Joins]] timeAxis's naive-day
+    * DATE branch end-to-end (a plain double cast of DATE is NULL and
+    * would silently null every tolerance match; the day axis compares
+    * exact integer day counts). Tie on equal day → greatest right
+    * struct = max click event_id, replayed in the oracle's rank.
+    */
+  private def qAsofDate(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").cast("date").as("d"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts").cast("date").as("d"))
+    graft.ops.Joins.asofJoin(p, c, "user_id", "d",
+        toleranceSec = Some(2L * 86400L))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("r_event_id").as("click_id"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Per-group top-k gate: each source's 5 longest documents (ties by
     * ascending id) with their in-group rank — the two-stage shard
     * election must equal the oracle's single row_number window exactly.
@@ -3517,6 +3538,7 @@ object SparkEntry {
     "q_json_props" -> (qJsonProps _),
     "q_sessions" -> (qSessions _),
     "q_asof" -> (qAsof _),
+    "q_asof_date" -> (qAsofDate _),
     "q_range_join" -> (qRangeJoin _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -5298,6 +5320,20 @@ object SparkEntry {
         |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
         |SELECT p.event_id AS purchase_id, p.user_id AS user_id, c.event_id AS click_id
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
+    // match first (greatest day, then greatest click id — the right-
+    // struct tiebreak), THEN null matches older than the 2-day
+    // tolerance: tolerance filters the match, it does not re-elect
+    "q_asof_date" ->
+      """WITH p AS (SELECT event_id, user_id, ts::DATE AS d FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts::DATE AS d FROM events WHERE event_type = 'click'),
+        |cand AS (SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.d AS pd,
+        |    c.event_id AS cid, c.d AS cd,
+        |    row_number() OVER (PARTITION BY p.event_id ORDER BY c.d DESC, c.event_id DESC) AS rn
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.d <= p.d)
+        |SELECT purchase_id, user_id,
+        |  CASE WHEN pd - cd <= 2 THEN cid END AS click_id
+        |FROM cand WHERE rn = 1
         |ORDER BY purchase_id""".stripMargin,
     "q_range_join" ->
       """SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber, p.p_partkey
