@@ -118,26 +118,28 @@ object Joins {
     }
   }
 
-  /** Guard for the as-of time axis: when one side's ts column is
-    * TIMESTAMP and the other TIMESTAMP_NTZ, the union widens to
-    * TIMESTAMP and the NTZ side is cast THROUGH THE SESSION ZONE —
-    * silently reintroducing the DST delta distortion the NTZ axis
-    * branch exists to avoid (a tolerance window spanning a DST gap
-    * gains/loses an hour). Both sides must share the timestamp family;
-    * cast one side explicitly (choosing instant or naive semantics) to
-    * mix them.
+  /** Guard for the as-of time axis: when one side's ts column is an
+    * INSTANT (TIMESTAMP) and the other NAIVE (TIMESTAMP_NTZ or DATE),
+    * the union widens to TIMESTAMP and the naive side is cast THROUGH
+    * THE SESSION ZONE — silently reintroducing the DST delta
+    * distortion the NTZ axis branch exists to avoid (a tolerance
+    * window spanning a DST gap gains/loses an hour; a DATE side's
+    * midnight shifts the same way). Both sides must share a family
+    * (naive DATE + NTZ widens to NTZ, staying naive — allowed); cast
+    * one side explicitly (choosing instant or naive semantics) to mix.
     */
   private def requireSameTsFamily(fn: String, lt: org.apache.spark.sql.types.DataType,
       rt: org.apache.spark.sql.types.DataType): Unit = {
-    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    val mixed = (lt == TimestampType && rt == TimestampNTZType) ||
-      (lt == TimestampNTZType && rt == TimestampType)
+    import org.apache.spark.sql.types.{DataType, DateType, TimestampNTZType, TimestampType}
+    def naive(dt: DataType) = dt == TimestampNTZType || dt == DateType
+    val mixed = (lt == TimestampType && naive(rt)) ||
+      (naive(lt) && rt == TimestampType)
     require(!mixed,
       s"$fn: left ts is ${lt.simpleString} but right ts is " +
-        s"${rt.simpleString} — the union would cast the NTZ side through " +
-        "the session zone and distort deltas across DST. Cast both ts " +
-        "columns to one timestamp family first (cast to timestamp for " +
-        "instant semantics, to timestamp_ntz for naive wall-clock).")
+        s"${rt.simpleString} — the union would cast the naive side " +
+        "through the session zone and distort deltas across DST. Cast " +
+        "both ts columns to one family first (cast to timestamp for " +
+        "instant semantics, to timestamp_ntz/date for naive wall-clock).")
   }
 
   /** Backward as-of join: for every left row, attach the single right row

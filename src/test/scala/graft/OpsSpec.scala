@@ -4284,15 +4284,25 @@ class OpsSpec extends AnyFunSuite {
     val e1 = intercept[IllegalArgumentException] {
       graft.ops.Joins.asofJoin(l, r, "k", "ts")
     }
-    assert(e1.getMessage.contains("timestamp family"), e1.getMessage)
+    assert(e1.getMessage.contains("naive side"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException] {
       graft.ops.Joins.asofJoinDirected(r, l, "k", "ts", direction = "forward")
     }
-    assert(e2.getMessage.contains("timestamp family"), e2.getMessage)
+    assert(e2.getMessage.contains("naive side"), e2.getMessage)
     // same-family inputs (both instant) keep working
     val r2 = Seq((1L, java.sql.Timestamp.valueOf("2026-03-08 01:55:00"), "x"))
       .toDF("k", "ts", "rv")
     assert(graft.ops.Joins.asofJoin(l, r2, "k", "ts").count() == 1)
+    // DATE is naive like NTZ: date x TIMESTAMP rejected the same way...
+    val rDate = r2.select(col("k"), col("ts").cast("date").as("ts"), col("rv"))
+    val e3 = intercept[IllegalArgumentException] {
+      graft.ops.Joins.asofJoin(l, rDate, "k", "ts")
+    }
+    assert(e3.getMessage.contains("naive side"), e3.getMessage)
+    // ...while DATE x NTZ (both naive — union widens to NTZ) is allowed
+    val lNtz = Seq((1L, java.time.LocalDateTime.parse("2026-03-08T03:10:00"), "a"))
+      .toDF("k", "ts", "lv")
+    assert(graft.ops.Joins.asofJoin(lNtz, rDate, "k", "ts").count() == 1)
   }
 
   test("rangeJoin/intervalOverlapJoin expose bin-skew observe metrics") {
