@@ -4572,6 +4572,20 @@ class OpsSpec extends AnyFunSuite {
       graft.ops.Retrieval.invertedIndex(docs, "text", "id", minDf = 2).count()
     }
     assert(n5 == 0, s"invertedIndex left $n5 cached RDDs")
+    // release must fire on a FAILED first action too (the onFailure
+    // path): a cache pinned by a crashed job would otherwise leak
+    val cached = Seq(1L, 2L).toDF("id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count() // materialize
+    val marked = graft.spark.CacheRelease.afterFirstAction(
+      cached.withColumn("boom",
+        when(col("id") > 0, expr("raise_error('intentional test failure')"))
+          .otherwise(lit("x"))),
+      Seq(cached))
+    val n6 = storedAfter {
+      intercept[Exception] { marked.collect() }
+    }
+    assert(n6 == 0, s"failed action left $n6 cached RDDs")
   }
 
   test("Ids.fieldOf honors spark.sql.caseSensitive") {
