@@ -19,6 +19,14 @@ import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, IntegerType,
   * letting `concat(null, salt)` go null and silently drop the row from
   * every sample. A null STRATUM, by contrast, is a legitimate value
   * and keys its own `__null__` sentinel stratum (documented there).
+  *
+  * NULL ids elsewhere are a documented CORPUS INVARIANT, not guarded
+  * per row: the kNN/hard-negative self-exclusion filters
+  * (`query_id =!= neighbor_id`) evaluate null for a null id, so such a
+  * row is silently never a candidate — guarding would put a null
+  * branch in the hottest cosine scans for a row the id contract
+  * already declares malformed. Validate ids upstream (the sampling
+  * raise catches them in any pipeline that samples or splits first).
   */
 private[graft] object Ids {
 
