@@ -4408,10 +4408,16 @@ class OpsSpec extends AnyFunSuite {
           rows.map { case (k, u, i) => (k, u.toInt, i) }.toDF("k", "ts", idName)
         case "double" =>
           rows.map { case (k, u, i) => (k, u.toDouble, i) }.toDF("k", "ts", idName)
+        case "float" => // values kept on a float-exact integer grid
+          rows.map { case (k, u, i) => (k, u.toFloat, i) }.toDF("k", "ts", idName)
         case "decimal20" => // beyond the long range — the decimal(38) axis
           rows.map { case (k, u, i) => (k, u.toString, i) }
             .toDF("k", "ts", idName)
             .select(col("k"), col("ts").cast("decimal(20,0)").as("ts"), col(idName))
+        case "decimal18" => // in-long-range JDBC NUMERIC keys
+          rows.map { case (k, u, i) => (k, u.toString, i) }
+            .toDF("k", "ts", idName)
+            .select(col("k"), col("ts").cast("decimal(18,0)").as("ts"), col(idName))
         case "date" => // u is micros at day granularity
           rows.map { case (k, u, i) =>
             (k, java.sql.Date.valueOf(
@@ -4441,52 +4447,80 @@ class OpsSpec extends AnyFunSuite {
           .map(_._3).getOrElse(-1L)
       }.toMap
 
+    // per-side type pairs: same-type rows plus the UNION-WIDENING mixes
+    // the axis chooses from (int∪long → long, long∪decimal(18,0) →
+    // decimal(20,0) — integral-valued but past the long range at these
+    // magnitudes, float∪double → double, naive date∪ntz → ntz)
+    val typePairs = Seq(
+      ("timestamp", "timestamp"), ("ntz", "ntz"), ("date", "date"),
+      ("ntz", "date"), ("date", "ntz"),
+      ("long", "long"), ("int", "int"), ("int", "long"), ("long", "int"),
+      ("decimal20", "decimal20"), ("long", "decimal18"), ("decimal18", "long"),
+      ("double", "double"), ("float", "double"), ("double", "float"))
     val scen = for {
-      typ <- Gen.oneOf("timestamp", "ntz", "long", "int", "decimal20",
-        "double", "date")
+      pairIdx <- Gen.choose(0, typePairs.length - 1)
       dir <- Gen.oneOf("backward", "nearest")
       seed <- Gen.choose(0L, 1000000L)
       tolIdx <- Gen.choose(0, 2)
-    } yield (typ, dir, seed, tolIdx)
+    } yield (typePairs(pairIdx), dir, seed, tolIdx)
 
-    val prop = Prop.forAllNoShrink(scen) { case (typ, dir, seed, tolIdx) =>
+    val prop = Prop.forAllNoShrink(scen) { case ((lTyp, rTyp), dir, seed, tolIdx) =>
       val rnd = new scala.util.Random(seed)
-      // per-type regime: the timestamp family gets sub-second deltas
+      val typs = Set(lTyp, rTyp)
+      val calendar = typs.exists(Set("timestamp", "ntz", "date"))
+      // per-pair regime: the timestamp family gets sub-second deltas
       // (incl. exact-second boundary hits), long/decimal get >2^53
-      // magnitudes where double ulps are hundreds of units, decimal20
-      // sits past the LONG range so the decimal(38) branch engages,
-      // double sits on an exactly-representable integer grid
-      val (base, spread, tols) = typ match {
-        case "timestamp" | "ntz" =>
-          (BigInt(1700000000L) * 1000000L, 2000000, Seq(None, Some(1L), Some(2L)))
-        case "long" =>
-          (BigInt(2).pow(62), 1000, Seq(None, Some(100L), Some(300L)))
-        case "decimal20" =>
-          (BigInt(2).pow(63) + BigInt(2).pow(62), 1000,
-            Seq(None, Some(100L), Some(300L)))
-        case "int" =>
-          (BigInt(1000000000), 5000, Seq(None, Some(1000L), Some(2500L)))
-        case "date" => // day-granular micros; tolerances straddle whole days
+      // magnitudes where double ulps are hundreds of units (bounded by
+      // the NARROWEST side's range: decimal(18,0) caps at <1e18, int at
+      // ~2.1e9, float-exact ints at 2^24), decimal20-only pairs sit
+      // past the LONG range so the decimal(38) branch engages
+      val (base, spread, tols) =
+        if (calendar && typs.forall(_ == "date"))
           (BigInt(20000L) * 86400000000L, 6,
             Seq(None, Some(86400L), Some(2 * 86400L)))
-        case _ => // double
+        else if (calendar && typs("date")) // mixed date/ntz
+          (BigInt(20000L) * 86400000000L, 4,
+            Seq(None, Some(86400L), Some(3 * 86400L)))
+        else if (calendar)
+          (BigInt(1700000000L) * 1000000L, 2000000, Seq(None, Some(1L), Some(2L)))
+        else if (typs("int"))
+          (BigInt(1000000000), 5000, Seq(None, Some(1000L), Some(2500L)))
+        else if (typs("float"))
+          (BigInt(2).pow(20), 4000, Seq(None, Some(1000L), Some(2500L)))
+        else if (typs("decimal18"))
+          (BigInt(10).pow(17) * 9, 1000, Seq(None, Some(100L), Some(300L)))
+        else if (typs("decimal20"))
+          (BigInt(2).pow(63) + BigInt(2).pow(62), 1000,
+            Seq(None, Some(100L), Some(300L)))
+        else if (typs("long"))
+          (BigInt(2).pow(62), 1000, Seq(None, Some(100L), Some(300L)))
+        else // double-only
           (BigInt(2).pow(50), 4000, Seq(None, Some(1000L), Some(2500L)))
+      // a DATE side only holds day-granular values (floored); when any
+      // date participates, deltas span whole days plus sub-day noise so
+      // the day-scale tolerances actually discriminate
+      def draw(typ: String): BigInt = {
+        val u =
+          if (typs("date"))
+            base +
+              BigInt((rnd.nextInt(2 * spread + 1) - spread).toLong) * 86400000000L +
+              BigInt(rnd.nextLong(86400000000L))
+          else if (calendar)
+            base + BigInt(
+              if (rnd.nextBoolean())
+                (rnd.nextInt(5) - 2).toLong * 1000000L // exact-second hits
+              else (rnd.nextInt(2 * spread + 1) - spread).toLong)
+          else base + BigInt((rnd.nextInt(2 * spread + 1) - spread).toLong)
+        if (typ == "date") (u / 86400000000L) * 86400000000L else u
       }
-      def draw(): BigInt = base + BigInt(
-        if ((typ == "timestamp" || typ == "ntz") && rnd.nextBoolean())
-          (rnd.nextInt(5) - 2).toLong * 1000000L // exact-second boundary hits
-        else (rnd.nextInt(2 * spread + 1) - spread).toLong) *
-        (if (typ == "date") BigInt(86400000000L) else BigInt(1))
-      val left = (0 until 20).map(i => (rnd.nextInt(3).toLong, draw(), i.toLong))
-      val right = (0 until 20).map(i => (rnd.nextInt(3).toLong, draw(), 100L + i))
+      val left = (0 until 20).map(i => (rnd.nextInt(3).toLong, draw(lTyp), i.toLong))
+      val right = (0 until 20).map(i => (rnd.nextInt(3).toLong, draw(rTyp), 100L + i))
         .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq
       val tol = tols(tolIdx)
       // master units are micros for the calendar family, raw otherwise
-      val scale =
-        if (typ == "timestamp" || typ == "ntz" || typ == "date") 1000000L
-        else 1L
-      val l = mk(typ, left, "lid")
-      val r = mk(typ, right, "rid")
+      val scale = if (calendar) 1000000L else 1L
+      val l = mk(lTyp, left, "lid")
+      val r = mk(rTyp, right, "rid")
       val out = if (dir == "backward")
         graft.ops.Joins.asofJoin(l, r, "k", "ts", toleranceSec = tol)
       else graft.ops.Joins.asofJoinDirected(l, r, "k", "ts", "nearest",
@@ -4496,14 +4530,14 @@ class OpsSpec extends AnyFunSuite {
         .toMap
       val want = brute(left, right, tol.map(t => BigInt(t) * scale), dir)
       if (got != want) {
-        info(s"MISMATCH typ=$typ dir=$dir seed=$seed tol=$tol: " +
+        info(s"MISMATCH typ=$lTyp/$rTyp dir=$dir seed=$seed tol=$tol: " +
           (got.toSeq.sorted zip want.toSeq.sorted)
             .filter(p => p._1 != p._2).take(5).toString)
       }
       got == want
     }
     val res = SCTest.check(SCTest.Parameters.default
-      .withMinSuccessfulTests(18).withInitialSeed(42L), prop)
+      .withMinSuccessfulTests(30).withInitialSeed(42L), prop)
     assert(res.passed, res.status.toString)
   }
 
