@@ -295,9 +295,11 @@ object Joins {
     * interval (at the cost of more candidate pairs per bin), or split
     * outlier intervals upstream. Read it with a
     * `QueryExecutionListener` or `df.queryExecution.observedMetrics`.
-    * Measured cost ≤~10% on a sub-second join (the CollectMetrics node
-    * breaks the scan's codegen pipeline once per side — BENCH_AB_r11
-    * §2); `observeSkew = false` opts a proven-stable hot path out.
+    * Measured cost ~6–13% on a sub-second join (the CollectMetrics
+    * node breaks the scan's codegen pipeline once per side — the
+    * interleaved A/Bs in BENCH_AB_r11 §2 bound one metric at ~6.5% and
+    * two at ≤13%); `observeSkew = false` opts a proven-stable hot path
+    * out.
     * Catalyst deliberately does not push caller-side filters THROUGH a
     * CollectMetrics node (it would change the observed values), so
     * filter the interval relation BEFORE the join — the repo-wide
@@ -377,8 +379,8 @@ object Joins {
     * existing pass. A `max_bins_per_interval` in the thousands means
     * one wide interval is replicating across that many bins and
     * dominating the shuffle — raise `binWidth` toward the widest
-    * interval or split outliers upstream. Same measured ≤~10% cost and
-    * `observeSkew = false` opt-out as [[rangeJoin]].
+    * interval or split outliers upstream. Same measured ~6–13% cost
+    * and `observeSkew = false` opt-out as [[rangeJoin]].
     */
   def intervalOverlapJoin(left: DataFrame, right: DataFrame,
       lStart: String, lEnd: String, rStart: String, rEnd: String,
