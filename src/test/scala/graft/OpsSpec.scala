@@ -3757,7 +3757,7 @@ class OpsSpec extends AnyFunSuite {
       .map(b => f"${b & 0xff}%02x").mkString
     val phase1 = out.filter(_._2 == 1L).sortBy(_._3).map(_._1).toSeq
     val expect = (0 until 300).filter(_ % 3 == 1).map(_.toLong)
-      .sortBy(id => (md5hex(id + "curriculum"), id))
+      .sortBy(id => (md5hex(s"${id}curriculum"), id))
     assert(phase1 == expect)
     // partitioning invariance
     val rep = Sampling.curriculumOrder(df.repartition(17), "id", "phase")
@@ -4560,7 +4560,7 @@ class OpsSpec extends AnyFunSuite {
     // action returns — poll briefly instead of asserting instantly
     def storedAfter(f: => Unit): Int = {
       f
-      def fresh = spark2.sparkContext.getPersistentRDDs.keySet -- baseline
+      def fresh = spark2.sparkContext.getPersistentRDDs.keySet.toSet -- baseline
       val deadline = System.currentTimeMillis + 30000
       while (fresh.nonEmpty && System.currentTimeMillis < deadline)
         Thread.sleep(50)
