@@ -24,6 +24,24 @@ object Joins {
     */
   private val obsCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Output-name collision guard shared by the prefixing joins: when
+    * the LEFT side already carries a column named like a prefixed
+    * right column (left has `r_v`, right has `v`), the output would
+    * silently hold two identically-named columns — legal to construct,
+    * broken on first reference ("ambiguous column") or, worse, quietly
+    * resolved to the wrong one by positional consumers. Fail at plan
+    * build with the rename named. (Prefixing is injective over the
+    * right side itself, so intra-right collisions cannot happen.)
+    */
+  private def requireNoPrefixCollision(fn: String, leftCols: Seq[String],
+      rightCols: Seq[String], rightPrefix: String): Unit = {
+    val clash = leftCols.toSet.intersect(rightCols.map(rightPrefix + _).toSet)
+    require(clash.isEmpty,
+      s"$fn: left column(s) ${clash.mkString(", ")} collide with the " +
+        s"prefixed right columns — pass a different rightPrefix or " +
+        "rename the left column(s) first")
+  }
+
   /** Guard for the native-comparison exactness contract of
     * [[rangeJoin]]/[[intervalOverlapJoin]]: Spark's numeric coercion is
     * exact within the integral/decimal family (int vs long → long,
@@ -159,6 +177,8 @@ object Joins {
     requireSameTsFamily("asofJoin",
       Ids.fieldOf(left, tsCol, "asofJoin").dataType,
       Ids.fieldOf(right, tsCol, "asofJoin").dataType)
+    requireNoPrefixCollision("asofJoin", left.columns.toSeq,
+      right.columns.toSeq, rightPrefix)
     // validate BOTH ts types up front (discarding the axes): without
     // this, a string ts "works" lexicographically untolerated but
     // silently nulls every match the moment a tolerance is added
@@ -215,6 +235,8 @@ object Joins {
     requireSameTsFamily("asofJoinDirected",
       Ids.fieldOf(left, tsCol, "asofJoinDirected").dataType,
       Ids.fieldOf(right, tsCol, "asofJoinDirected").dataType)
+    requireNoPrefixCollision("asofJoinDirected", left.columns.toSeq,
+      right.columns.toSeq, rightPrefix)
     timeAxis(Ids.fieldOf(left, tsCol, "asofJoinDirected").dataType)
     timeAxis(Ids.fieldOf(right, tsCol, "asofJoinDirected").dataType)
     if (direction == "backward")
@@ -319,6 +341,8 @@ object Joins {
       pointCol -> Ids.fieldOf(points, pointCol, "rangeJoin").dataType,
       startCol -> Ids.fieldOf(intervals, startCol, "rangeJoin").dataType,
       endCol -> Ids.fieldOf(intervals, endCol, "rangeJoin").dataType)
+    requireNoPrefixCollision("rangeJoin", points.columns.toSeq,
+      intervals.columns.toSeq, rightPrefix)
     val p = points.withColumn("__bin",
       floor(col(pointCol).cast("double") / binWidth).cast("long"))
     // bin-skew observability (docstring contract): bins-per-interval
@@ -394,6 +418,8 @@ object Joins {
       lEnd -> Ids.fieldOf(left, lEnd, "intervalOverlapJoin").dataType,
       rStart -> Ids.fieldOf(right, rStart, "intervalOverlapJoin").dataType,
       rEnd -> Ids.fieldOf(right, rEnd, "intervalOverlapJoin").dataType)
+    requireNoPrefixCollision("intervalOverlapJoin", left.columns.toSeq,
+      right.columns.toSeq, rightPrefix)
     def bin(c: org.apache.spark.sql.Column) =
       floor(c.cast("double") / binWidth).cast("long")
     // bin-skew observability (docstring contract), one metric per side.

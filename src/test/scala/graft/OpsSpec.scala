@@ -4245,6 +4245,34 @@ class OpsSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("mixed exact/fractional"), e3.getMessage)
   }
 
+  test("prefixing joins reject output-name collisions at plan build") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    // left already carries r_rv: the output would silently hold two
+    // r_rv columns, ambiguous on first reference
+    val l = Seq((1L, 10L, "x")).toDF("k", "ts", "r_rv")
+    val r = Seq((1L, 9L, "y")).toDF("k", "ts", "rv")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ops.Joins.asofJoin(l, r, "k", "ts")
+    }
+    assert(e1.getMessage.contains("collide"), e1.getMessage)
+    // a different prefix resolves it
+    assert(graft.ops.Joins.asofJoin(l, r, "k", "ts", rightPrefix = "c_")
+      .columns.count(_ == "c_rv") == 1)
+    val p = Seq((1L, 5L, 7L)).toDF("pid", "v", "r_iid")
+    val ivs = Seq((10L, 0L, 9L)).toDF("iid", "lo", "hi")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Joins.rangeJoin(p, ivs, "v", "lo", "hi", binWidth = 10.0)
+    }
+    assert(e2.getMessage.contains("collide"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      graft.ops.Joins.intervalOverlapJoin(
+        ivs.toDF("r_rid", "s", "e"), ivs.toDF("rid", "s", "e"),
+        "s", "e", "s", "e", binWidth = 10L)
+    }
+    assert(e3.getMessage.contains("collide"), e3.getMessage)
+  }
+
   test("asofJoin: string ts raises at plan build; DATE axis is exact naive days") {
     val spark2 = SparkTestSession.spark
     import spark2.implicits._
