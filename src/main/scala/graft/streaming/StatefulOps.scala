@@ -229,6 +229,13 @@ object StatefulOps {
       tsCol: String, windowSec: Long,
       delay: String = "1 hour"): DataFrame = {
     require(windowSec >= 0, s"streamStreamJoin: bad window $windowSec")
+    // same output-name collision guard as the batch prefixing joins: a
+    // left column already named r_<x> would silently duplicate in the
+    // join output (or mis-bind the join condition's r_ references)
+    val clash = left.columns.toSet.intersect(right.columns.map("r_" + _).toSet)
+    require(clash.isEmpty,
+      s"streamStreamJoin: left column(s) ${clash.mkString(", ")} collide " +
+        "with the r_-prefixed right columns — rename them first")
     val l = left.withWatermark(tsCol, delay)
     val r = right.columns.foldLeft(right) { (df, c) =>
       df.withColumnRenamed(c, s"r_$c")
