@@ -4271,6 +4271,15 @@ class OpsSpec extends AnyFunSuite {
         "s", "e", "s", "e", binWidth = 10L)
     }
     assert(e3.getMessage.contains("collide"), e3.getMessage)
+    // the streaming range join shares the guard (fires at plan build,
+    // before any watermark/stream machinery)
+    val e4 = intercept[IllegalArgumentException] {
+      graft.streaming.StatefulOps.streamStreamJoin(
+        l.withColumn("ts2", col("ts").cast("timestamp")),
+        r.withColumn("ts2", col("ts").cast("timestamp")),
+        "k", "ts2", windowSec = 60L)
+    }
+    assert(e4.getMessage.contains("collide"), e4.getMessage)
   }
 
   test("asofJoin: string ts raises at plan build; DATE axis is exact naive days") {
