@@ -4382,6 +4382,17 @@ class OpsSpec extends AnyFunSuite {
     assert(ojOff.collect().length == 4)
     assert(ojOff.queryExecution.observedMetrics.isEmpty,
       ojOff.queryExecution.observedMetrics.keys.toString)
+    // composition: two range joins unioned into ONE action must carry
+    // two distinct counter-suffixed metrics (Spark rejects duplicate
+    // observation names per query — the counter exists for this)
+    val twice = graft.ops.Joins.rangeJoin(p, ivs, "v", "lo", "hi", binWidth = 10.0)
+      .select("pid")
+      .unionByName(graft.ops.Joins
+        .rangeJoin(p, ivs, "v", "lo", "hi", binWidth = 10.0).select("pid"))
+    assert(twice.collect().length == 6)
+    val names = twice.queryExecution.observedMetrics.keys
+      .filter(_.startsWith("graft_range_join")).toSeq
+    assert(names.size == 2 && names.distinct.size == 2, names.toString)
   }
 
   test("fit entry points raise NAMED errors on empty input") {
