@@ -42,6 +42,48 @@ object Joins {
         "rename the left column(s) first")
   }
 
+  /** Internal temp-column reservation guard: the binned/salted joins
+    * stage their routing state in `withColumn`s (`__bin`, `__nbins`,
+    * `__salt`) that are dropped before returning — a user column with
+    * one of those literal names is silently OVERWRITTEN and then
+    * dropped from the output (silent column loss), or, for
+    * `rangeJoin`'s interval side, mis-renamed into a broken plan. The
+    * as-of joins stage through a fresh `select` (`__k`/`__ts`/`__src`/
+    * `__l`/`__r`/`__rm`/`__rb`/`__rf`), which today resolves
+    * unambiguously — reserved there too so a future refactor can't
+    * silently change which column wins. Fail at plan build with the
+    * rename named.
+    */
+  private def requireNoReservedNames(fn: String, side: String,
+      cols: Seq[String], reserved: Set[String]): Unit = {
+    val clash = cols.filter(reserved)
+    require(clash.isEmpty,
+      s"$fn: $side column(s) ${clash.mkString(", ")} collide with " +
+        s"reserved internal temp names (${reserved.toSeq.sorted.mkString(", ")})" +
+        " — rename them before the join")
+  }
+
+  /** Reserved staging names of the as-of family (see
+    * [[requireNoReservedNames]]). */
+  private val asofReserved =
+    Set("__k", "__ts", "__src", "__l", "__r", "__rm", "__rb", "__rf")
+
+  /** ADVICE r11 parity with [[requireOneNumericFamily]] for the as-of
+    * joins: when BOTH ts columns are numeric, the tolerance/nearest
+    * axis comes from the union-WIDENED type — a long left vs double
+    * right widens to double and silently reintroduces the >2^53 ulp
+    * inexactness the range-join guard rejects. Non-numeric (temporal)
+    * axes are validated by [[timeAxis]]/[[requireSameTsFamily]]
+    * instead.
+    */
+  private def requireTsOneFamilyIfNumeric(fn: String,
+      lt: org.apache.spark.sql.types.DataType,
+      rt: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types.NumericType
+    if (lt.isInstanceOf[NumericType] && rt.isInstanceOf[NumericType])
+      requireOneNumericFamily(fn, "ts (left side)" -> lt, "ts (right side)" -> rt)
+  }
+
   /** Guard for the native-comparison exactness contract of
     * [[rangeJoin]]/[[intervalOverlapJoin]]: Spark's numeric coercion is
     * exact within the integral/decimal family (int vs long → long,
@@ -179,6 +221,11 @@ object Joins {
       Ids.fieldOf(right, tsCol, "asofJoin").dataType)
     requireNoPrefixCollision("asofJoin", left.columns.toSeq,
       right.columns.toSeq, rightPrefix)
+    requireNoReservedNames("asofJoin", "left", left.columns.toSeq, asofReserved)
+    requireNoReservedNames("asofJoin", "right", right.columns.toSeq, asofReserved)
+    requireTsOneFamilyIfNumeric("asofJoin",
+      Ids.fieldOf(left, tsCol, "asofJoin").dataType,
+      Ids.fieldOf(right, tsCol, "asofJoin").dataType)
     // validate BOTH ts types up front (discarding the axes): without
     // this, a string ts "works" lexicographically untolerated but
     // silently nulls every match the moment a tolerance is added
@@ -237,6 +284,13 @@ object Joins {
       Ids.fieldOf(right, tsCol, "asofJoinDirected").dataType)
     requireNoPrefixCollision("asofJoinDirected", left.columns.toSeq,
       right.columns.toSeq, rightPrefix)
+    requireNoReservedNames("asofJoinDirected", "left", left.columns.toSeq,
+      asofReserved)
+    requireNoReservedNames("asofJoinDirected", "right", right.columns.toSeq,
+      asofReserved)
+    requireTsOneFamilyIfNumeric("asofJoinDirected",
+      Ids.fieldOf(left, tsCol, "asofJoinDirected").dataType,
+      Ids.fieldOf(right, tsCol, "asofJoinDirected").dataType)
     timeAxis(Ids.fieldOf(left, tsCol, "asofJoinDirected").dataType)
     timeAxis(Ids.fieldOf(right, tsCol, "asofJoinDirected").dataType)
     if (direction == "backward")
@@ -343,6 +397,13 @@ object Joins {
       endCol -> Ids.fieldOf(intervals, endCol, "rangeJoin").dataType)
     requireNoPrefixCollision("rangeJoin", points.columns.toSeq,
       intervals.columns.toSeq, rightPrefix)
+    // `withColumn("__bin", …)` on the points side silently OVERWRITES a
+    // user column of that name and then drops it from the output; the
+    // interval side's `__bin`/`__nbins` staging would mis-rename
+    requireNoReservedNames("rangeJoin", "points", points.columns.toSeq,
+      Set("__bin"))
+    requireNoReservedNames("rangeJoin", "intervals", intervals.columns.toSeq,
+      Set("__bin", "__nbins"))
     val p = points.withColumn("__bin",
       floor(col(pointCol).cast("double") / binWidth).cast("long"))
     // bin-skew observability (docstring contract): bins-per-interval
@@ -420,6 +481,14 @@ object Joins {
       rEnd -> Ids.fieldOf(right, rEnd, "intervalOverlapJoin").dataType)
     requireNoPrefixCollision("intervalOverlapJoin", left.columns.toSeq,
       right.columns.toSeq, rightPrefix)
+    // left side stages `__bin`/`__nbins` on the raw names; the right
+    // side stages them AFTER prefixing, so check the prefixed names
+    // (with the default "r_" prefix a right `__bin` is safe, but an
+    // empty prefix would re-expose the collision)
+    requireNoReservedNames("intervalOverlapJoin", "left", left.columns.toSeq,
+      Set("__bin", "__nbins"))
+    requireNoReservedNames("intervalOverlapJoin", "right (prefixed)",
+      right.columns.map(rightPrefix + _).toSeq, Set("__bin", "__nbins"))
     def bin(c: org.apache.spark.sql.Column) =
       floor(c.cast("double") / binWidth).cast("long")
     // bin-skew observability (docstring contract), one metric per side.
@@ -462,6 +531,12 @@ object Joins {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       buckets: Int = 16): DataFrame = {
+    // same silent-overwrite class as rangeJoin's __bin: a user __salt
+    // on either side would be replaced and then dropped
+    requireNoReservedNames("saltedJoin", "left", left.columns.toSeq,
+      Set("__salt"))
+    requireNoReservedNames("saltedJoin", "right", right.columns.toSeq,
+      Set("__salt"))
     // Salt must be uniform per-row regardless of partition layout;
     // rand(seed) draws per-row from a seeded stream (layout-independent in
     // distribution), unlike salting off monotonically_increasing_id whose

@@ -1,7 +1,7 @@
 package graft.spark
 
 import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions.{count, lit}
@@ -27,16 +27,32 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *
   * The marker survives caller-side transforms (projections/joins stack
   * ON TOP of the CollectMetrics node), so `op(...).filter(...).count()`
-  * releases just the same. If the caller never runs an action the cache
-  * (and one listener) stays until `clearCache()` — unavoidable without
-  * an action to observe.
+  * releases just the same.
+  *
+  * Leak bound + observability: if the caller never runs an action the
+  * cache and its listener stay pinned — unavoidable without an action
+  * to observe — and each pending listener adds one analyzed-plan
+  * traversal (the marker scan) to EVERY subsequent action's
+  * listener-bus callback, so unbounded accumulation would degrade all
+  * later queries in a long-lived session. Two mitigations: (1)
+  * [[CacheRelease.pending]] reports the number of still-armed hooks
+  * (drains to 0 once their actions run) so a service can watch the
+  * leak; (2) the number of simultaneously-armed hooks is CAPPED at
+  * [[CacheRelease.maxPending]] — arming one past the cap force-releases
+  * the OLDEST pending hook (unpersist + unregister). Force-release is
+  * always safe here because every wrapped persist is recompute-safe by
+  * contract (see below): the abandoned plan still computes correctly if
+  * later executed, just without the cache. The per-action overhead is
+  * therefore bounded by `maxPending` marker scans, each a cheap
+  * short-circuiting tree walk.
   *
   * NOT for snapshot-dependent persists: when a collected artifact
   * (driver-side partition bases, range boundaries) describes one
   * specific materialization — `packingOffsets`, `trainingOrder`,
   * `curriculumOrder` — releasing the cache makes RE-execution produce
   * different partitioning and WRONG results, not just slow ones. Those
-  * persists are correctness pins and stay caller-managed.
+  * persists are correctness pins and stay caller-managed (and must
+  * never ride this hook, whose cap may release early).
   */
 private[graft] object CacheRelease {
 
@@ -46,35 +62,68 @@ private[graft] object CacheRelease {
     */
   private val counter = new AtomicLong(0)
 
+  /** Armed hooks awaiting their first action, oldest first. */
+  private val registry = new java.util.concurrent.ConcurrentLinkedQueue[Hook]
+
+  /** Number of armed hooks whose first action has not yet completed.
+    * Drains to 0 as actions run (or as the [[maxPending]] cap evicts);
+    * a long-lived service building speculative never-executed plans can
+    * watch this instead of discovering the leak via heap growth.
+    */
+  def pending: Int = registry.size
+
+  /** Cap on simultaneously-armed hooks: arming past it force-releases
+    * the oldest (recompute-safe by contract — the abandoned plan just
+    * loses its cache). Bounds both the pinned-cache leak and the
+    * per-action marker-scan overhead of abandoned plans.
+    */
+  val maxPending: Int = 64
+
+  /** One armed release hook: listener + its caches + one-shot state. */
+  private final class Hook(spark: SparkSession, name: String,
+      cached: Seq[DataFrame]) extends QueryExecutionListener {
+    private val released = new AtomicBoolean(false)
+
+    /** Unpersist + unregister + deregister, exactly once; called from
+      * the listener bus (marker seen) or from the cap eviction.
+      */
+    def release(): Unit = if (released.compareAndSet(false, true)) {
+      cached.foreach { df =>
+        try df.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      }
+      try spark.listenerManager.unregister(this)
+      catch { case _: Throwable => () }
+      registry.remove(this)
+    }
+
+    // plan-based detection (not observedMetrics) so a FAILED action
+    // still releases — metrics are unavailable on failure
+    private def marked(qe: QueryExecution): Boolean =
+      try qe.analyzed.exists {
+        case c: CollectMetrics => c.name == name
+        case _ => false
+      } catch { case _: Throwable => false }
+
+    override def onSuccess(funcName: String, qe: QueryExecution,
+        durationNs: Long): Unit = if (marked(qe)) release()
+
+    override def onFailure(funcName: String, qe: QueryExecution,
+        exception: Exception): Unit = if (marked(qe)) release()
+  }
+
   /** Return `result` tagged so that the first completed action over it
     * unpersists every DataFrame in `cached`, then drops the hook.
     */
   def afterFirstAction(result: DataFrame, cached: Seq[DataFrame]): DataFrame = {
     val name = s"graft_cache_release_${counter.incrementAndGet()}"
-    val spark = result.sparkSession
-    val released = new AtomicBoolean(false)
-    val listener = new QueryExecutionListener {
-      // plan-based detection (not observedMetrics) so a FAILED action
-      // still releases — metrics are unavailable on failure
-      private def marked(qe: QueryExecution): Boolean =
-        try qe.analyzed.exists {
-          case c: CollectMetrics => c.name == name
-          case _ => false
-        } catch { case _: Throwable => false }
-      private def maybeRelease(qe: QueryExecution): Unit =
-        if (marked(qe) && released.compareAndSet(false, true)) {
-          cached.foreach { df =>
-            try df.unpersist(blocking = false)
-            catch { case _: Throwable => () }
-          }
-          spark.listenerManager.unregister(this)
-        }
-      override def onSuccess(funcName: String, qe: QueryExecution,
-          durationNs: Long): Unit = maybeRelease(qe)
-      override def onFailure(funcName: String, qe: QueryExecution,
-          exception: Exception): Unit = maybeRelease(qe)
+    val hook = new Hook(result.sparkSession, name, cached)
+    result.sparkSession.listenerManager.register(hook)
+    registry.add(hook)
+    while (registry.size > maxPending) {
+      val oldest = registry.poll()
+      if (oldest != null) oldest.release()
     }
-    spark.listenerManager.register(listener)
     result.observe(name, count(lit(1)).as("rows"))
   }
 }

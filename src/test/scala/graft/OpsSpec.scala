@@ -4282,6 +4282,89 @@ class OpsSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("collide"), e4.getMessage)
   }
 
+  test("joins reject reserved internal temp-column names at plan build") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    // rangeJoin's points-side __bin was silently overwritten by the bin
+    // routing withColumn and then dropped from the output — silent
+    // column loss; now a named plan-build error
+    val p = Seq((1L, 5L, 9L)).toDF("pid", "v", "__bin")
+    val ivs = Seq((10L, 0L, 9L)).toDF("iid", "lo", "hi")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ops.Joins.rangeJoin(p, ivs, "v", "lo", "hi", binWidth = 10.0)
+    }
+    assert(e1.getMessage.contains("reserved internal temp names") &&
+      e1.getMessage.contains("__bin"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Joins.rangeJoin(p.drop("__bin"),
+        ivs.withColumn("__nbins", lit(1L)), "v", "lo", "hi", binWidth = 10.0)
+    }
+    assert(e2.getMessage.contains("__nbins"), e2.getMessage)
+    // overlap join: left raw names; right checked AFTER prefixing — the
+    // default r_ prefix shields a right __bin, an empty prefix doesn't
+    val lIv = Seq((1L, 0L, 10L)).toDF("lid", "s", "e")
+    val e3 = intercept[IllegalArgumentException] {
+      graft.ops.Joins.intervalOverlapJoin(lIv.withColumn("__bin", lit(0L)),
+        ivs.toDF("rid", "s", "e"), "s", "e", "s", "e", binWidth = 10L)
+    }
+    assert(e3.getMessage.contains("__bin"), e3.getMessage)
+    assert(graft.ops.Joins.intervalOverlapJoin(lIv,
+      Seq((2L, 5L, 15L, 0L)).toDF("rid", "s", "e", "__bin"),
+      "s", "e", "s", "e", binWidth = 10L).columns.contains("r___bin"),
+      "a prefixed right __bin is shielded and must survive into the output")
+    val e4 = intercept[IllegalArgumentException] {
+      graft.ops.Joins.intervalOverlapJoin(lIv,
+        Seq((2L, 5L, 15L, 0L)).toDF("rid", "rs", "re", "__bin"),
+        "s", "e", "rs", "re", binWidth = 10L, rightPrefix = "")
+    }
+    assert(e4.getMessage.contains("__bin"), e4.getMessage)
+    // as-of family: staging names reserved on both sides
+    val al = Seq((1L, 10L, "x")).toDF("k", "ts", "__rm")
+    val ar = Seq((1L, 9L, "y")).toDF("k", "ts", "rv")
+    val e5 = intercept[IllegalArgumentException] {
+      graft.ops.Joins.asofJoin(al, ar, "k", "ts")
+    }
+    assert(e5.getMessage.contains("__rm"), e5.getMessage)
+    val e6 = intercept[IllegalArgumentException] {
+      graft.ops.Joins.asofJoinDirected(al.toDF("k", "ts", "lv"),
+        ar.toDF("__rf", "ts", "rv"), "ts", "ts", direction = "nearest")
+    }
+    assert(e6.getMessage.contains("__rf"), e6.getMessage)
+    // saltedJoin: a user __salt on either side was replaced then dropped
+    val e7 = intercept[IllegalArgumentException] {
+      graft.ops.Joins.saltedJoin(
+        Seq((1L, 2L)).toDF("pk", "__salt"), ivs.toDF("pk", "lo", "hi"), Seq("pk"))
+    }
+    assert(e7.getMessage.contains("__salt"), e7.getMessage)
+  }
+
+  test("asofJoin family rejects mixed exact/fractional numeric ts sides") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    // ADVICE r11: a long left ts vs double right ts union-widens the
+    // axis to double, readmitting >2^53 ulp inexactness — now the same
+    // plan-build raise as the range-join family
+    val l = Seq((1L, 100L, "a")).toDF("k", "ts", "lv")
+    val rD = Seq((1L, 99.0, "x")).toDF("k", "ts", "rv")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ops.Joins.asofJoin(l, rD, "k", "ts")
+    }
+    assert(e1.getMessage.contains("mixed exact/fractional"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Joins.asofJoinDirected(l, rD, "k", "ts", direction = "nearest")
+    }
+    assert(e2.getMessage.contains("mixed exact/fractional"), e2.getMessage)
+    // one-family mixes keep working: long vs decimal(18,0) (exact), and
+    // both-double (fractional)
+    val rDec = rD.select(col("k"), col("ts").cast("decimal(18,0)").as("ts"),
+      col("rv"))
+    assert(graft.ops.Joins.asofJoin(l, rDec, "k", "ts")
+      .select("r_rv").head().getString(0) == "x")
+    val lD = Seq((1L, 100.0, "a")).toDF("k", "ts", "lv")
+    assert(graft.ops.Joins.asofJoinDirected(lD, rD, "k", "ts",
+      direction = "nearest").select("r_rv").head().getString(0) == "x")
+  }
+
   test("asofJoin: string ts raises at plan build; DATE axis is exact naive days") {
     val spark2 = SparkTestSession.spark
     import spark2.implicits._
@@ -4668,6 +4751,49 @@ class OpsSpec extends AnyFunSuite {
       intercept[Exception] { marked.collect() }
     }
     assert(n6 == 0, s"failed action left $n6 cached RDDs")
+  }
+
+  test("CacheRelease: pending introspection and the maxPending cap") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    val CR = graft.spark.CacheRelease
+    val base = CR.pending
+    // armed-but-abandoned plans are visible in pending (registration is
+    // synchronous on the arming thread)
+    val c1 = Seq(1L).toDF("id").persist(); c1.count()
+    val c2 = Seq(2L).toDF("id").persist(); c2.count()
+    val m1 = CR.afterFirstAction(c1.select("id"), Seq(c1))
+    val m2 = CR.afterFirstAction(c2.select("id"), Seq(c2))
+    assert(CR.pending == base + 2, s"expected ${base + 2}, got ${CR.pending}")
+    // first actions drain them (the release rides the async listener
+    // bus — poll instead of asserting instantly)
+    m1.count(); m2.count()
+    def drainTo(target: Int): Unit = {
+      val deadline = System.currentTimeMillis + 30000
+      while (CR.pending > target && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(CR.pending == target, s"pending ${CR.pending} != $target")
+    }
+    drainTo(base)
+    // the cap: arming past maxPending force-releases the OLDEST hook —
+    // its materialized cache must actually drop, not just the counter
+    val before = spark2.sparkContext.getPersistentRDDs.keySet.toSet
+    val old = Seq(9L).toDF("id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    old.count()
+    assert(spark2.sparkContext.getPersistentRDDs.keySet.toSet != before)
+    CR.afterFirstAction(old.select("id"), Seq(old))
+    val armed = (1 to CR.maxPending).map { i =>
+      CR.afterFirstAction(Seq(i.toLong).toDF("id"), Seq.empty)
+    }
+    assert(CR.pending <= CR.maxPending,
+      s"cap ${CR.maxPending} exceeded: ${CR.pending}")
+    // eviction unpersists synchronously on the arming thread
+    assert(spark2.sparkContext.getPersistentRDDs.keySet.toSet == before,
+      "evicted hook must unpersist its cache")
+    // drain the armed hooks so they don't shadow later tests' counters
+    armed.foreach(_.count())
+    drainTo(base)
   }
 
   test("Ids.fieldOf honors spark.sql.caseSensitive") {
