@@ -4672,6 +4672,101 @@ class OpsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: binned joins match brute-force cross filter across " +
+      "numeric families and bin widths") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.DataFrame
+
+    // families: all-long at >2^53 magnitudes (double ulps are hundreds
+    // of units — the native-filter regime), decimal(20,0) past the LONG
+    // range, all-double on an exact integer grid, and the allowed
+    // exact-family mix (long one side, decimal(18,0) the other). The
+    // bin ROUTING always runs on the rounded double axis; the property
+    // verifies the documented monotonic-superset argument empirically:
+    // rounding may add candidates but the native filter's output equals
+    // exact BigInt brute force.
+    def sqlType(fam: String): String = fam match {
+      case "long" => "long"
+      case "double" => "double"
+      case "decimal20" => "decimal(20,0)"
+      case "decimal18" => "decimal(18,0)"
+    }
+    def mk(fam: String, rows: Seq[(Long, Seq[BigInt])], idName: String,
+        valNames: Seq[String]): DataFrame = {
+      val wide = rows.map { case (id, vs) =>
+        (id, vs.map(_.toString).mkString(","))
+      }.toDF(idName, "__vs")
+      valNames.zipWithIndex.foldLeft(wide) { case (df, (n, i)) =>
+        df.withColumn(n,
+          split(col("__vs"), ",").getItem(i).cast(sqlType(fam)))
+      }.drop("__vs")
+    }
+
+    val scen = for {
+      fam <- Gen.oneOf("long", "decimal20", "double", "mixed_exact")
+      bwIdx <- Gen.choose(0, 3)
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (fam, bwIdx, seed)
+
+    val prop = Prop.forAllNoShrink(scen) { case (fam, bwIdx, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val (base, famL, famR) = fam match {
+        case "long" => (BigInt(2).pow(62), "long", "long")
+        case "decimal20" =>
+          (BigInt(2).pow(63) + BigInt(2).pow(62), "decimal20", "decimal20")
+        case "double" => (BigInt(2).pow(50), "double", "double")
+        case _ => (BigInt(10).pow(17) * 9, "long", "decimal18")
+      }
+      // non-divisor odd widths, a power of two, and (rangeJoin only) a
+      // fractional width — bin math tolerates any positive double
+      val bwDouble = Seq(7.0, 64.0, 501.0, 63.5)(bwIdx)
+      val bwLong = Seq(7L, 64L, 501L, 63L)(bwIdx)
+      def draw(): BigInt = base + BigInt((rnd.nextInt(2001) - 1000).toLong)
+      val pts = (0 until 15).map(i => (i.toLong, draw()))
+      val ivs = (0 until 10).map { i =>
+        val a = draw(); (100L + i.toLong, a, a + BigInt(rnd.nextInt(51)))
+      }
+      val pDf = mk(famL, pts.map { case (id, v) => (id, Seq(v)) }, "pid", Seq("v"))
+      val iDf = mk(famR, ivs.map { case (id, a, b) => (id, Seq(a, b)) },
+        "iid", Seq("lo", "hi"))
+      val gotR = graft.ops.Joins.rangeJoin(pDf, iDf, "v", "lo", "hi", bwDouble)
+        .select("pid", "r_iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val wantR = for {
+        (pid, v) <- pts; (iid, lo, hi) <- ivs if lo <= v && v <= hi
+      } yield (pid, iid)
+      val rOk = gotR.sorted == wantR.sorted // bag equality: also no dups
+      if (!rOk) info(s"rangeJoin MISMATCH fam=$fam bw=$bwDouble seed=$seed: " +
+        s"got=${gotR.size} want=${wantR.size}")
+
+      val lIvs = (0 until 10).map { i =>
+        val a = draw(); (i.toLong, a, a + BigInt(rnd.nextInt(51)))
+      }
+      val lDf = mk(famL, lIvs.map { case (id, a, b) => (id, Seq(a, b)) },
+        "lid", Seq("s", "e"))
+      val gotO = graft.ops.Joins.intervalOverlapJoin(lDf,
+          mk(famR, ivs.map { case (id, a, b) => (id, Seq(a, b)) },
+            "rid", Seq("s", "e")),
+          "s", "e", "s", "e", bwLong)
+        .select("lid", "r_rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val wantO = for {
+        (lid, ls, le) <- lIvs; (rid, rs, re) <- ivs if ls <= re && rs <= le
+      } yield (lid, rid)
+      // sorted-bag equality doubles as the exactly-once check: a pair
+      // surfacing at two bins would break it even with set equality
+      val oOk = gotO.sorted == wantO.sorted
+      if (!oOk) info(s"overlap MISMATCH fam=$fam bw=$bwLong seed=$seed: " +
+        s"got=${gotO.size} want=${wantO.size} dups=${gotO.size - gotO.distinct.size}")
+      rOk && oOk
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(30).withInitialSeed(43L), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("IVF persist lifecycle: caches release after the caller's first action") {
     val spark2 = SparkTestSession.spark
     import spark2.implicits._
