@@ -681,6 +681,29 @@ object SparkEntry {
       .orderBy(col("purchase_id"))
   }
 
+  /** NEAREST×DATE as-of gate (r11 verdict stretch #7): purchases
+    * matched to the closest click DAY in either direction, tie →
+    * backward (pandas merge_asof), nulled past a one-day tolerance —
+    * exercises asofJoinDirected's nearest election on the naive-day
+    * axis end-to-end (q_asof_date covers only backward). Day ties are
+    * common (many clicks share a day), so the struct tiebreaks are
+    * load-bearing: backward elects the GREATEST right struct (max
+    * click id on the day), forward the SMALLEST — both replayed in the
+    * oracle's rank.
+    */
+  private def qAsofNearDate(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").cast("date").as("d"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts").cast("date").as("d"))
+    graft.ops.Joins.asofJoinDirected(p, c, "user_id", "d", "nearest",
+        toleranceSec = Some(86400L))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("r_event_id").as("click_id"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Per-group top-k gate: each source's 5 longest documents (ties by
     * ascending id) with their in-group rank — the two-stage shard
     * election must equal the oracle's single row_number window exactly.
@@ -3539,6 +3562,7 @@ object SparkEntry {
     "q_sessions" -> (qSessions _),
     "q_asof" -> (qAsof _),
     "q_asof_date" -> (qAsofDate _),
+    "q_asof_near_date" -> (qAsofNearDate _),
     "q_range_join" -> (qRangeJoin _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -5333,6 +5357,24 @@ object SparkEntry {
         |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.d <= p.d)
         |SELECT purchase_id, user_id,
         |  CASE WHEN pd - cd <= 2 THEN cid END AS click_id
+        |FROM cand WHERE rn = 1
+        |ORDER BY purchase_id""".stripMargin,
+    // nearest on the day axis: rank every candidate by (|Δdays|,
+    // backward-first, then the struct tiebreak — max click id on the
+    // backward side, min on the forward side); tolerance (1 day) nulls
+    // the elected match, it does not re-elect
+    "q_asof_near_date" ->
+      """WITH p AS (SELECT event_id, user_id, ts::DATE AS d FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts::DATE AS d FROM events WHERE event_type = 'click'),
+        |cand AS (SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.d AS pd,
+        |    c.event_id AS cid, c.d AS cd,
+        |    row_number() OVER (PARTITION BY p.event_id ORDER BY
+        |      abs(p.d - c.d),
+        |      CASE WHEN c.d <= p.d THEN 0 ELSE 1 END,
+        |      CASE WHEN c.d <= p.d THEN -c.event_id ELSE c.event_id END) AS rn
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id)
+        |SELECT purchase_id, user_id,
+        |  CASE WHEN abs(pd - cd) <= 1 THEN cid END AS click_id
         |FROM cand WHERE rn = 1
         |ORDER BY purchase_id""".stripMargin,
     "q_range_join" ->

@@ -24,6 +24,23 @@ object Joins {
     */
   private val obsCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** One-time (per JVM) heads-up that the default `observeSkew = true`
+    * inserts a CollectMetrics node: Catalyst deliberately does NOT push
+    * caller-side filters through it (that would change the observed
+    * values), so filtering the interval relation BEFORE the join is
+    * load-bearing for interval-scan pruning — a caller that filters
+    * AFTER the join reads the full scan. Logged once, not per call:
+    * the behavior is documented at both operators and a per-plan-build
+    * warning would drown real logs at 100-query scale.
+    */
+  private lazy val warnedObserveSkew: Unit =
+    org.slf4j.LoggerFactory.getLogger("graft.ops.Joins").warn(
+      "rangeJoin/intervalOverlapJoin carry observe() bin-skew metrics " +
+        "(observeSkew=true, default): Catalyst does not push filters " +
+        "through the CollectMetrics node, so filter inputs BEFORE the " +
+        "join for scan pruning; pass observeSkew=false to opt a " +
+        "proven-stable hot path out. [logged once per JVM]")
+
   /** Output-name collision guard shared by the prefixing joins: when
     * the LEFT side already carries a column named like a prefixed
     * right column (left has `r_v`, right has `v`), the output would
@@ -411,6 +428,7 @@ object Joins {
     // per-row metric accumulator evaluates a plain column reference
     val nBins = floor(col(endCol).cast("double") / binWidth).cast("long") -
       floor(col(startCol).cast("double") / binWidth).cast("long") + lit(1L)
+    if (observeSkew) warnedObserveSkew
     val observed = if (!observeSkew) intervals else intervals
       .withColumn("__nbins", nBins)
       .observe(s"graft_range_join_${obsCounter.incrementAndGet()}",
@@ -495,6 +513,7 @@ object Joins {
     // The bins-per-interval expression is projected ONCE in codegen
     // before the observe so the per-row metric accumulator evaluates a
     // plain column reference, not interpreted floor-divisions.
+    if (observeSkew) warnedObserveSkew
     def skewObs(df: DataFrame, name: String, s: String, e: String) =
       if (!observeSkew) df else df
         .withColumn("__nbins", bin(col(e)) - bin(col(s)) + lit(1L))

@@ -4705,15 +4705,22 @@ class OpsSpec extends AnyFunSuite {
     }
 
     val scen = for {
-      fam <- Gen.oneOf("long", "decimal20", "double", "mixed_exact")
+      fam <- Gen.oneOf("long", "decimal20", "double", "mixed_exact",
+        "long_neg", "zero_cross")
       bwIdx <- Gen.choose(0, 3)
       seed <- Gen.choose(0L, 1000000L)
     } yield (fam, bwIdx, seed)
 
     val prop = Prop.forAllNoShrink(scen) { case (fam, bwIdx, seed) =>
       val rnd = new scala.util.Random(seed)
+      // long_neg and zero_cross pin the negative-coordinate corner:
+      // floor-division bins must be TRUE floors there (a
+      // truncate-toward-zero bin would shift every negative bin by one
+      // and route boundary points to the wrong bin)
       val (base, famL, famR) = fam match {
         case "long" => (BigInt(2).pow(62), "long", "long")
+        case "long_neg" => (-BigInt(2).pow(62), "long", "long")
+        case "zero_cross" => (BigInt(0), "long", "long")
         case "decimal20" =>
           (BigInt(2).pow(63) + BigInt(2).pow(62), "decimal20", "decimal20")
         case "double" => (BigInt(2).pow(50), "double", "double")
