@@ -470,9 +470,13 @@ object Joins {
     * Scale shape: shuffle volume is rows × (interval length /
     * `binWidth`) per side — pick `binWidth` near the typical interval
     * length so the explode factor stays O(1) and no bin becomes a hot
-    * key. Intervals must be integral-valued (epoch micros, days);
-    * bin math runs in exact long/double-on-integer arithmetic, so the
-    * plan is deterministic and SQL-replayable.
+    * key. Bounds must be numeric and in ONE numeric family (all
+    * integral/decimal, or all float/double — same plan-build guard as
+    * [[rangeJoin]]): the overlap filter compares natively, exact
+    * within a family at any magnitude. Typical use is integral epochs
+    * (micros, days); bin routing runs on the rounded double axis,
+    * which is a monotonic candidate superset, so the plan stays
+    * deterministic and SQL-replayable either way.
     *
     * Observability (the 100 TB hot-bin failure mode): the plan carries
     * TWO `observe` metrics, `graft_overlap_join_l_<n>` and

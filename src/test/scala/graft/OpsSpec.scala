@@ -219,6 +219,39 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("property: saltedJoin equals plain inner join under n:m dup " +
+      "fan-out, null keys, and multi-column keys") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // the docstring claims EXACT equality to left.join(right, keys,
+    // "inner") — that is a bag contract: duplicate keys on both sides
+    // fan out n×m, and null keys drop (null != null) in both forms
+    val scen = for {
+      buckets <- Gen.oneOf(1, 2, 7, 16)
+      twoKeys <- Gen.oneOf(false, true)
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (buckets, twoKeys, seed)
+    val prop = Prop.forAllNoShrink(scen) { case (buckets, twoKeys, seed) =>
+      val rnd = new scala.util.Random(seed)
+      def key(): Option[Long] =
+        if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(5).toLong)
+      val l = (0 until 40).map(i => (key(), key(), i.toLong))
+        .toDF("k1", "k2", "lv")
+      val r = (0 until 25).map(i => (key(), key(), 1000L + i))
+        .toDF("k1", "k2", "rv")
+      val keys = if (twoKeys) Seq("k1", "k2") else Seq("k1")
+      def bag(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      val got = bag(graft.ops.Joins.saltedJoin(l, r, keys, buckets))
+      val want = bag(l.join(r, keys, "inner"))
+      if (got != want) info(s"saltedJoin MISMATCH buckets=$buckets " +
+        s"keys=$keys seed=$seed: got=${got.size} want=${want.size}")
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(20).withInitialSeed(44L), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("clusters computes exact transitive connected components") {
     // chain 0-1-2-3 (3 never pairs with 0 directly) + separate pair 10-11
     val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L))
