@@ -77,4 +77,23 @@ private[graft] object Ids {
         "corrupt or empty the result. Map ids to longs first (e.g. " +
         "xxhash64 or a dimension table) if they are strings.")
   }
+
+  /** Internal temp-column reservation guard (shared by the joins and
+    * every pass-through operator that stages state in `withColumn`s it
+    * drops before returning): a user column with a staged name is
+    * silently OVERWRITTEN and then dropped from the output (silent
+    * column loss) — or, when the clashing name is the operator's id or
+    * group column, the staging withColumn REPLACES the key mid-plan
+    * and the result is silently WRONG rows, not a missing column. Fail
+    * at plan build with the rename named. See COVERAGE.md's r12
+    * staging-name audit for the per-site dispositions.
+    */
+  def requireNoReservedNames(fn: String, side: String,
+      cols: Seq[String], reserved: Set[String]): Unit = {
+    val clash = cols.filter(reserved)
+    require(clash.isEmpty,
+      s"$fn: $side column(s) ${clash.mkString(", ")} collide with " +
+        s"reserved internal temp names (${reserved.toSeq.sorted.mkString(", ")})" +
+        " — rename them before calling")
+  }
 }

@@ -72,13 +72,8 @@ object Joins {
     * rename named.
     */
   private def requireNoReservedNames(fn: String, side: String,
-      cols: Seq[String], reserved: Set[String]): Unit = {
-    val clash = cols.filter(reserved)
-    require(clash.isEmpty,
-      s"$fn: $side column(s) ${clash.mkString(", ")} collide with " +
-        s"reserved internal temp names (${reserved.toSeq.sorted.mkString(", ")})" +
-        " — rename them before the join")
-  }
+      cols: Seq[String], reserved: Set[String]): Unit =
+    Ids.requireNoReservedNames(fn, side, cols, reserved)
 
   /** Reserved staging names of the as-of family (see
     * [[requireNoReservedNames]]). */

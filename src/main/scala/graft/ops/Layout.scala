@@ -61,6 +61,10 @@ object Layout {
     */
   def clusterByZorder(df: DataFrame, aCol: String, bCol: String,
       bits: Int, nPartitions: Int): DataFrame = {
+    // a user __z would be overwritten by the interleave-key staging and
+    // dropped from the pass-through output — silent column loss
+    Ids.requireNoReservedNames("clusterByZorder", "input",
+      df.columns.toSeq, Set("__z"))
     val z = zorderKey2(col(aCol), col(bCol), bits).as("__z")
     df.withColumn("__z", z)
       .repartitionByRange(nPartitions, col("__z"))

@@ -91,6 +91,10 @@ object Materialize {
   def writeClustered(df: DataFrame, path: String, aCol: String,
       bCol: String, bits: Int, targetFileMB: Int = 512): (Long, Double) = {
     require(targetFileMB > 0, s"targetFileMB must be positive: $targetFileMB")
+    // a user __z would be overwritten by the interleave-key staging and
+    // dropped from the STORED schema — silent column loss in the files
+    graft.ops.Ids.requireNoReservedNames("writeClustered", "input",
+      df.columns.toSeq, Set("__z"))
     val keyed = df.withColumn("__z",
       graft.ops.Layout.zorderKey2(col(aCol), col(bCol), bits))
     val bpr = storedBytesPerRow(df, path + "_rowsize_sample", 2000)

@@ -101,6 +101,11 @@ object Sampling {
       weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1,
         "test" -> 0.1),
       salt: String = ""): DataFrame = {
+    // a user __rep would be overwritten by the representative staging
+    // and dropped from the pass-through output; __rep0 would duplicate
+    // in the label join — both named here instead
+    Ids.requireNoReservedNames("leakageSafeSplit", "input",
+      df.columns.toSeq, Set("__rep", "__rep0"))
     val labels = Dedup.clusters(pairs)
       .select(col("id").as(idCol), col("label").as("__rep0"))
     val keyed = df.join(labels, Seq(idCol), "left")
@@ -123,6 +128,13 @@ object Sampling {
   def sampleExactPerGroup(df: DataFrame, idCol: String, strataCol: String,
       k: Int, salt: String = ""): DataFrame = {
     require(k >= 1, s"sampleExactPerGroup: bad k $k")
+    // the staging runs on a fresh (id, stratum, hash) projection, so
+    // OTHER user columns are safe — but an id/stratum column ITSELF
+    // named like a staged temp would be REPLACED mid-election (the
+    // final semi-join would then key on shard numbers or ranks:
+    // silently WRONG rows, not a lost column)
+    Ids.requireNoReservedNames("sampleExactPerGroup", "idCol/strataCol",
+      Seq(idCol, strataCol), Set("__h", "__s", "__rk1", "__rk"))
     // two-stage election so a giant stratum never funnels through one
     // reducer: stage 1 keeps k per (stratum, hash-derived shard) — the
     // global per-stratum top-k is a subset of every shard-local top-k
@@ -179,6 +191,14 @@ object Sampling {
       scoreExpr: Column, descending: Boolean, k: Int,
       rankName: String): DataFrame = {
     require(k >= 1, s"per-group election: bad k $k")
+    // same key-replacement hazard as sampleExactPerGroup, plus the
+    // rank output name: a pre-existing rankName column would silently
+    // duplicate in the rejoin (ambiguous on first reference)
+    Ids.requireNoReservedNames("per-group election", "idCol/groupCol",
+      Seq(idCol, groupCol), Set("__score", "__s", "__rk1", "__rk"))
+    require(!df.columns.contains(rankName),
+      s"per-group election: input already has a '$rankName' column — " +
+        "the rank output would duplicate it; rename the input column")
     val order = if (descending) col("__score").desc else col("__score").asc
     val shard = conv(substring(saltedHash(col(idCol), "topk"), 29, 4),
       16, 10).cast("int") % 32
@@ -217,6 +237,16 @@ object Sampling {
     */
   def weightedSamplePerGroup(df: DataFrame, idCol: String, groupCol: String,
       weightCol: String, k: Int, salt: String = ""): DataFrame = {
+    // the Aggregator path stages the A-ES key as a withColumn on the
+    // pass-through frame: a user __aes_key would be overwritten and
+    // dropped; a pre-existing sample_rank would duplicate in the output
+    Ids.requireNoReservedNames("weightedSamplePerGroup", "input",
+      df.columns.toSeq, Set("__aes_key"))
+    require(!df.columns.contains("sample_rank") &&
+      !df.columns.contains("rank_in_group"),
+      "weightedSamplePerGroup: input already has a 'sample_rank' or " +
+        "'rank_in_group' column — the rank output would duplicate it; " +
+        "rename the input column first")
     val u = (conv(substring(saltedHash(col(idCol), salt + ":wrs"), 1, 8),
       16, 10).cast("double") + 1.0) / 4294967296.0
     val key = log(u) / col(weightCol).cast("double")
@@ -326,6 +356,13 @@ object Sampling {
   def topKPerGroupAgg(df: DataFrame, idCol: String, groupCol: String,
       scoreCol: String, k: Int, descending: Boolean = true): DataFrame = {
     require(k >= 1, s"topKPerGroupAgg: bad k $k")
+    // same plan-build guards as the window election: staged names on
+    // the key columns, and the rank output duplicating a user column
+    Ids.requireNoReservedNames("topKPerGroupAgg", "idCol/groupCol",
+      Seq(idCol, groupCol), Set("__top", "__i", "__e"))
+    require(!df.columns.contains("rank_in_group"),
+      "topKPerGroupAgg: input already has a 'rank_in_group' column — " +
+        "the rank output would duplicate it; rename the input column")
     val idType = Ids.fieldOf(df, idCol, "topKPerGroupAgg").dataType
     // ties break by id in the id's own type order, so the aggregator
     // must be typed: numeric order for integral ids, lexicographic for
@@ -539,6 +576,10 @@ object Sampling {
   def importanceSample(df: DataFrame, idCol: String, weightCol: String,
       targetRows: Long, salt: String = ""): DataFrame = {
     require(targetRows > 0, s"importanceSample: bad target $targetRows")
+    // a user __p would be overwritten by the keep-probability staging
+    // and dropped; __sumw would duplicate in the Σw cross join
+    Ids.requireNoReservedNames("importanceSample", "input",
+      df.columns.toSeq, Set("__sumw", "__p"))
     val tot = df.agg(sum(col(weightCol)).cast("double").as("__sumw"))
     val h = conv(substring(md5(concat(idStr(col(idCol)), lit(salt))),
       1, 8), 16, 10).cast("long")

@@ -94,6 +94,10 @@ object TextClean {
       array_distinct(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))),
       (l, r) => when(length(l) =!= length(r), length(r) - length(l))
         .otherwise(when(l < r, -1).when(l > r, 1).otherwise(0)))
+    // a user __m would be overwritten by the staging withColumn and
+    // dropped from the pass-through output — silent column loss
+    Ids.requireNoReservedNames("pseudonymizeEmails", "input",
+      df.columns.toSeq, Set("__m"))
     df.withColumn("__m", matches)
       .withColumn("n_identities", size(col("__m")).cast("long"))
       .withColumn(textCol,
@@ -315,6 +319,9 @@ object TextClean {
       trim(l).rlike("[.!?\"]$") &&
         (size(split(trim(l), "\\s+")) >= minLineWords) &&
         !lower(l).contains("javascript"))
+    // same silent-loss class as pseudonymizeEmails' __m
+    Ids.requireNoReservedNames("c4Filter", "input",
+      df.columns.toSeq, Set("__kept"))
     df.withColumn("__kept", keptLines)
       .withColumn("n_lines_dropped",
         (size(split(col(textCol), "\n")) - size(col("__kept"))).cast("long"))

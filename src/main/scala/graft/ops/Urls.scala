@@ -91,10 +91,15 @@ object Urls {
     * `blocklist` must expose a `domain` column, pre-lowercased.
     */
   def filterBlockedDomainsDf(df: org.apache.spark.sql.DataFrame, urlCol: String,
-      blocklist: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      blocklist: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // a user __rd would be overwritten by the staging withColumn and
+    // then dropped from the pass-through output — silent column loss
+    Ids.requireNoReservedNames("filterBlockedDomainsDf", "input",
+      df.columns.toSeq, Set("__rd"))
     df.withColumn("__rd", registeredDomain(col(urlCol)))
       .join(blocklist.select(col("domain").as("__rd")), Seq("__rd"), "left_anti")
       .drop("__rd")
+  }
 
   /** Per-registered-domain corpus rollup — the table domain blocklists
     * and per-domain mixture weights are curated FROM: doc count, token

@@ -176,6 +176,11 @@ object SparkHighlighter {
       endCol: String = "end_offset",
       idCol: String = "dict_entry_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the sweep stages cluster state on the pass-through annotation
+    // relation: a user column with a staged name would be overwritten
+    // and dropped from the output — silent column loss
+    graft.ops.Ids.requireNoReservedNames("mergeSameTypeRelational",
+      "input", anns.columns.toSeq, Set("__nc", "__cluster", "__rn"))
     val w1 = Window.partitionBy(col(docCol), col(typeCol))
       .orderBy(col(beginCol), col(idCol))
     // running max of end over STRICTLY PRIOR rows: a row starts a new

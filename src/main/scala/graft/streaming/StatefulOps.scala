@@ -43,11 +43,16 @@ object StatefulOps {
     * (On a batch frame use [[graft.ops.Dedup.exact]] instead.)
     */
   def streamingDedup(df: DataFrame, textCol: String, tsCol: String,
-      delay: String = "10 minutes"): DataFrame =
+      delay: String = "10 minutes"): DataFrame = {
+    // a user __text_md5 would be overwritten by the content-hash
+    // staging and dropped from the pass-through output — silent loss
+    graft.ops.Ids.requireNoReservedNames("streamingDedup", "input",
+      df.columns.toSeq, Set("__text_md5"))
     df.withWatermark(tsCol, delay)
       .withColumn("__text_md5", md5(col(textCol)))
       .dropDuplicatesWithinWatermark("__text_md5")
       .drop("__text_md5")
+  }
 
   /** Streaming chunk-granular dedup: the online counterpart of
     * [[graft.ops.Dedup.cdcDedupDocs]]'s ownership election. The stream
@@ -65,7 +70,14 @@ object StatefulOps {
     */
   def streamingChunkDedup(df: DataFrame, textCol: String, idCol: String,
       tsCol: String, window: Int = 5, divisor: Long = 64,
-      delay: String = "10 minutes"): DataFrame =
+      delay: String = "10 minutes"): DataFrame = {
+    // the staging runs on a fresh (id, ts, chunks) projection, so other
+    // user columns are safe — but an id/ts column ITSELF named __h
+    // would be REPLACED by the chunk hash (and then dropped), and one
+    // named like the chunk output columns would duplicate on rename
+    graft.ops.Ids.requireNoReservedNames("streamingChunkDedup",
+      "idCol/tsCol", Seq(idCol, tsCol),
+      Set("__h", "chunk_id", "chunk_text"))
     df.withWatermark(tsCol, delay)
       .select(col(idCol), col(tsCol),
         posexplode(graft.ops.TextStats.cdcChunks(col(textCol), window, divisor)))
@@ -73,6 +85,7 @@ object StatefulOps {
       .withColumn("__h", md5(col("chunk_text")))
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
+  }
 
   /** Streaming NEAR-duplicate candidates: the online counterpart of
     * [[graft.ops.Dedup.minhashPairs]]. Each document's minhash signature

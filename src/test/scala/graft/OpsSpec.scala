@@ -4371,6 +4371,76 @@ class OpsSpec extends AnyFunSuite {
     assert(e7.getMessage.contains("__salt"), e7.getMessage)
   }
 
+  test("pass-through operators reject reserved staging names at plan build") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    def named(e: Exception, token: String): Unit =
+      assert(e.getMessage.contains(token), e.getMessage)
+    // silent-LOSS sites: user column overwritten by staging, dropped
+    named(intercept[IllegalArgumentException] {
+      graft.ops.Urls.filterBlockedDomainsDf(
+        Seq(("http://a.com/x", 1L)).toDF("url", "__rd"), "url",
+        Seq("a.com").toDF("domain"))
+    }, "__rd")
+    named(intercept[IllegalArgumentException] {
+      graft.ops.TextClean.pseudonymizeEmails(
+        Seq(("a@b.com", 1L)).toDF("text", "__m"), "text")
+    }, "__m")
+    named(intercept[IllegalArgumentException] {
+      graft.ops.TextClean.c4Filter(
+        Seq(("Good line here.", 1L)).toDF("text", "__kept"), "text")
+    }, "__kept")
+    named(intercept[IllegalArgumentException] {
+      graft.ops.Layout.clusterByZorder(
+        Seq((1L, 2L, 3L)).toDF("a", "b", "__z"), "a", "b", 8, 2)
+    }, "__z")
+    named(intercept[IllegalArgumentException] {
+      graft.ops.Sampling.importanceSample(
+        Seq((1L, 0.5, 0.1)).toDF("id", "w", "__p"), "id", "w", 10L)
+    }, "__p")
+    named(intercept[IllegalArgumentException] {
+      graft.ops.Sampling.weightedSamplePerGroup(
+        Seq((1L, "g", 0.5, 0.1)).toDF("id", "g", "w", "__aes_key"),
+        "id", "g", "w", 1)
+    }, "__aes_key")
+    named(intercept[IllegalArgumentException] {
+      graft.ops.Sampling.leakageSafeSplit(
+        Seq((1L, "x")).toDF("id", "__rep"),
+        Seq((1L, 2L)).toDF("id_a", "id_b"), "id")
+    }, "__rep")
+    named(intercept[IllegalArgumentException] {
+      graft.spark.SparkHighlighter.mergeSameTypeRelational(
+        Seq((1L, "T", 0L, 5L, "e1", 9L)).toDF("doc_id", "ann_type",
+          "begin_offset", "end_offset", "dict_entry_id", "__cluster"))
+    }, "__cluster")
+    named(intercept[IllegalArgumentException] {
+      graft.streaming.StatefulOps.streamingDedup(
+        Seq(("t", java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "h"))
+          .toDF("text", "ts", "__text_md5"), "text", "ts")
+    }, "__text_md5")
+    // silent-CORRUPTION site: an id column named like a staged temp is
+    // REPLACED mid-election — the semi-join would key on shard numbers
+    named(intercept[IllegalArgumentException] {
+      graft.ops.Sampling.sampleExactPerGroup(
+        Seq((1L, "g")).toDF("__s", "g"), "__s", "g", k = 1)
+    }, "__s")
+    // rank-output duplication: a named error, not an ambiguous column
+    named(intercept[IllegalArgumentException] {
+      graft.ops.Sampling.topKPerGroup(
+        Seq((1L, "g", 2.0, 1L)).toDF("id", "g", "s", "rank_in_group"),
+        "id", "g", "s", k = 1)
+    }, "rank_in_group")
+    named(intercept[IllegalArgumentException] {
+      graft.ops.Sampling.topKPerGroupAgg(
+        Seq((1L, "g", 2.0, 1L)).toDF("id", "g", "s", "rank_in_group"),
+        "id", "g", "s", k = 1)
+    }, "rank_in_group")
+    // clean inputs keep working through a guarded op
+    assert(graft.ops.Urls.filterBlockedDomainsDf(
+      Seq(("http://a.com/x", 1L)).toDF("url", "v"), "url",
+      Seq("b.com").toDF("domain")).count() == 1)
+  }
+
   test("asofJoin family rejects mixed exact/fractional numeric ts sides") {
     val spark2 = SparkTestSession.spark
     import spark2.implicits._
