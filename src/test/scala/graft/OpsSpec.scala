@@ -2997,6 +2997,37 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: bloomPrunedJoin equals the plain join for any keys and fpp") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.ops.Joins
+    // the exactness claim rests on Bloom filters having no false
+    // NEGATIVES: whatever the fpp (even an absurd 0.9), the prefilter
+    // may pass extra rows but the join itself removes them — output is
+    // bag-identical to the plain inner join, duplicates included
+    val scen = for {
+      fpp <- Gen.oneOf(0.9, 0.5, 0.01, 1e-6)
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (fpp, seed)
+    val prop = Prop.forAllNoShrink(scen) { case (fpp, seed) =>
+      val rnd = new scala.util.Random(seed)
+      // negative keys, dup keys on both sides, and disjoint tails
+      val big = (0 until 300).map(i =>
+        (rnd.nextInt(80).toLong - 40L, i.toLong)).toDF("k", "payload")
+      val small = (0 until 12).map(i =>
+        (rnd.nextInt(120).toLong - 60L, s"v$i")).toDF("k", "v")
+      def bag(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      val got = bag(Joins.bloomPrunedJoin(big, small, "k", fpp))
+      val want = bag(big.join(small, Seq("k")))
+      if (got != want) info(s"bloomPrunedJoin MISMATCH fpp=$fpp seed=$seed: " +
+        s"got=${got.size} want=${want.size}")
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(20).withInitialSeed(45L), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("pageRank9: cycle symmetry, sink attraction, mass bound") {
     import graft.ops.Graph
     // 3-cycle: perfect symmetry, each node keeps ~1/3 of the mass
