@@ -114,6 +114,12 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(SparkEntry.queries("q_asof")(spark, sf))
     val hashEx = plan.linesIterator.count(_.trim.startsWith("Arguments: hashpartitioning"))
     assert(hashEx == 1, s"expected exactly 1 hash exchange:\n$plan")
+    // the NEAREST direction reuses the single sorted exchange for BOTH
+    // window passes (the asofJoinDirected docstring's one-exchange
+    // claim) — direction must not add a shuffle
+    val near = planOf(SparkEntry.queries("q_asof_near_date")(spark, sf))
+    val nearEx = near.linesIterator.count(_.trim.startsWith("Arguments: hashpartitioning"))
+    assert(nearEx == 1, s"expected exactly 1 hash exchange for nearest:\n$near")
   }
 
   test("fingerprint window kernel stays inside whole-stage codegen") {
