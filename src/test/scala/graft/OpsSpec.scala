@@ -5032,6 +5032,37 @@ class OpsSpec extends AnyFunSuite {
     drainTo(base)
   }
 
+  test("CacheRelease: concurrent arming never exceeds the cap and drains clean") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    val CR = graft.spark.CacheRelease
+    val base = CR.pending
+    // 4 threads arming 20 hooks each races the registry add against
+    // the eviction loop; the cap may transiently over-evict (harmless,
+    // recompute-safe) but must never be exceeded at rest, and every
+    // armed frame must still be runnable afterwards
+    val armed = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.sql.DataFrame]())
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        (0 until 20).foreach { i =>
+          armed.add(CR.afterFirstAction(
+            Seq((t * 100 + i).toLong).toDF("id"), Seq.empty))
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(CR.pending <= CR.maxPending,
+      s"cap ${CR.maxPending} exceeded after concurrent arming: ${CR.pending}")
+    // surviving hooks drain on their actions; evicted frames still run
+    // (they just lost nothing — empty cache lists here)
+    armed.forEach(df => assert(df.count() == 1))
+    val deadline = System.currentTimeMillis + 30000
+    while (CR.pending > base && System.currentTimeMillis < deadline)
+      Thread.sleep(50)
+    assert(CR.pending == base, s"pending ${CR.pending} != $base after drain")
+  }
+
   test("Ids.fieldOf honors spark.sql.caseSensitive") {
     val spark2 = SparkTestSession.spark
     import spark2.implicits._
