@@ -90,7 +90,17 @@ private[graft] object Ids {
     */
   def requireNoReservedNames(fn: String, side: String,
       cols: Seq[String], reserved: Set[String]): Unit = {
-    val clash = cols.filter(reserved)
+    // `withColumn` REPLACES case-insensitively under the default
+    // spark.sql.caseSensitive=false, so a user '__Bin' is overwritten
+    // exactly like '__bin' — match the session's resolution mode (the
+    // same conf check fieldOf makes); in a case-sensitive session
+    // '__Bin' really is a different, safe column and stays accepted.
+    // No active session (plan built off-session) defaults to the
+    // case-INsensitive check, Spark's default resolution.
+    val caseSensitive = org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.conf.get("spark.sql.caseSensitive", "false").toBoolean)
+    val clash = cols.filter(c => reserved(c) ||
+      (!caseSensitive && reserved.exists(_.equalsIgnoreCase(c))))
     require(clash.isEmpty,
       s"$fn: $side column(s) ${clash.mkString(", ")} collide with " +
         s"reserved internal temp names (${reserved.toSeq.sorted.mkString(", ")})" +

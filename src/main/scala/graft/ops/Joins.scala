@@ -416,6 +416,14 @@ object Joins {
       Set("__bin"))
     requireNoReservedNames("rangeJoin", "intervals", intervals.columns.toSeq,
       Set("__bin", "__nbins"))
+    // the interval side is renamed AFTER its __bin staging, so the
+    // PREFIXED names must also stay clear: with a non-default prefix
+    // like "__" an intervals column 'bin' renames onto the staged
+    // __bin — a duplicate column and a confusing AnalysisException on
+    // the USING join instead of this named plan-build error (same
+    // post-prefix check intervalOverlapJoin makes)
+    requireNoReservedNames("rangeJoin", "intervals (prefixed)",
+      intervals.columns.map(rightPrefix + _).toSeq, Set("__bin", "__nbins"))
     val p = points.withColumn("__bin",
       floor(col(pointCol).cast("double") / binWidth).cast("long"))
     // bin-skew observability (docstring contract): bins-per-interval

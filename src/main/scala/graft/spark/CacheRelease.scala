@@ -72,15 +72,45 @@ private[graft] object CacheRelease {
     */
   def pending: Int = registry.size
 
+  /** Conf key for the armed-hook cap, read at each arming so a running
+    * service can retune it: `spark.conf.set(maxPendingKey, "256")`.
+    */
+  val maxPendingKey = "spark.graft.cacheRelease.maxPending"
+
+  private val maxPendingDefault = 64
+
   /** Cap on simultaneously-armed hooks: arming past it force-releases
     * the oldest (recompute-safe by contract — the abandoned plan just
-    * loses its cache). Bounds both the pinned-cache leak and the
-    * per-action marker-scan overhead of abandoned plans.
+    * loses its cache, and the eviction logs one WARN line naming the
+    * evicted marker). Bounds both the pinned-cache leak and the
+    * per-action marker-scan overhead of abandoned plans. Tunable per
+    * session via [[maxPendingKey]] (default 64) — a service that
+    * legitimately arms more concurrent plans raises it instead of
+    * eating surprise recomputes. Reads the ACTIVE session's conf here
+    * (introspection convenience); [[afterFirstAction]] reads the conf
+    * of the session it arms on.
     */
-  val maxPending: Int = 64
+  def maxPending: Int =
+    maxPendingFor(SparkSession.getActiveSession)
+
+  private def maxPendingFor(spark: Option[SparkSession]): Int =
+    spark.map { s =>
+      val raw = s.conf.get(maxPendingKey, maxPendingDefault.toString)
+      val cap =
+        try raw.toInt
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"CacheRelease: $maxPendingKey must be a positive int, got '$raw'")
+        }
+      require(cap > 0,
+        s"CacheRelease: $maxPendingKey must be a positive int, got '$raw'")
+      cap
+    }.getOrElse(maxPendingDefault)
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.spark.CacheRelease")
 
   /** One armed release hook: listener + its caches + one-shot state. */
-  private final class Hook(spark: SparkSession, name: String,
+  private final class Hook(spark: SparkSession, val name: String,
       cached: Seq[DataFrame]) extends QueryExecutionListener {
     private val released = new AtomicBoolean(false)
 
@@ -118,11 +148,21 @@ private[graft] object CacheRelease {
   def afterFirstAction(result: DataFrame, cached: Seq[DataFrame]): DataFrame = {
     val name = s"graft_cache_release_${counter.incrementAndGet()}"
     val hook = new Hook(result.sparkSession, name, cached)
+    val cap = maxPendingFor(Some(result.sparkSession))
     result.sparkSession.listenerManager.register(hook)
     registry.add(hook)
-    while (registry.size > maxPending) {
+    while (registry.size > cap) {
       val oldest = registry.poll()
-      if (oldest != null) oldest.release()
+      if (oldest != null) {
+        // loud, one line per eviction: a service that legitimately arms
+        // more than the cap sees WHY its plan recomputed and which knob
+        // to turn, instead of a silent slowdown
+        log.warn(s"force-releasing oldest pending hook '${oldest.name}': " +
+          s"armed hooks exceeded $maxPendingKey=$cap — the abandoned plan " +
+          "recomputes without its cache if executed later (recompute-safe " +
+          "by contract); raise the conf if this arming rate is intended")
+        oldest.release()
+      }
     }
     result.observe(name, count(lit(1)).as("rows"))
   }

@@ -3010,11 +3010,17 @@ class OpsSpec extends AnyFunSuite {
     } yield (fpp, seed)
     val prop = Prop.forAllNoShrink(scen) { case (fpp, seed) =>
       val rnd = new scala.util.Random(seed)
-      // negative keys, dup keys on both sides, and disjoint tails
+      // negative keys, dup keys on both sides, disjoint tails, and NULL
+      // keys on BOTH sides (r12 verdict #4): the inner join drops a
+      // null key (null != null) and the prefilter must agree — the
+      // probe's null-propagating eval turns filter(null) into a drop,
+      // never a crash in the bloom build or a spurious survivor
+      def key(span: Int, off: Int): Option[Long] =
+        if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(span).toLong - off)
       val big = (0 until 300).map(i =>
-        (rnd.nextInt(80).toLong - 40L, i.toLong)).toDF("k", "payload")
+        (key(80, 40), i.toLong)).toDF("k", "payload")
       val small = (0 until 12).map(i =>
-        (rnd.nextInt(120).toLong - 60L, s"v$i")).toDF("k", "v")
+        (key(120, 60), s"v$i")).toDF("k", "v")
       def bag(df: org.apache.spark.sql.DataFrame): Seq[String] =
         df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
       val got = bag(Joins.bloomPrunedJoin(big, small, "k", fpp))
@@ -5061,6 +5067,101 @@ class OpsSpec extends AnyFunSuite {
     while (CR.pending > base && System.currentTimeMillis < deadline)
       Thread.sleep(50)
     assert(CR.pending == base, s"pending ${CR.pending} != $base after drain")
+  }
+
+  test("CacheRelease: maxPending conf honored, eviction logs the marker") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    val CR = graft.spark.CacheRelease
+    // earlier suites' hooks ride the async listener bus — wait them out
+    // so the cap-of-3 arithmetic below starts from a clean registry
+    val startDeadline = System.currentTimeMillis + 30000
+    while (CR.pending > 0 && System.currentTimeMillis < startDeadline)
+      Thread.sleep(50)
+    assert(CR.pending == 0, s"stale pending hooks from earlier tests: ${CR.pending}")
+    // capture the eviction WARN via a log4j2 appender on the exact
+    // logger CacheRelease writes to (the conf contract says evictions
+    // are LOUD — a silent force-release is the bug this test pins)
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graft-cr-capture", null, null, false,
+        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        captured.add(e.getMessage.getFormattedMessage)
+    }
+    appender.start()
+    val coreLogger = org.apache.logging.log4j.LogManager
+      .getLogger("graft.spark.CacheRelease")
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    val prevLevel = coreLogger.getLevel
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "graft.spark.CacheRelease", org.apache.logging.log4j.Level.WARN)
+    coreLogger.addAppender(appender)
+    try {
+      spark2.conf.set(CR.maxPendingKey, "3")
+      assert(CR.maxPending == 3, "introspection must read the session conf")
+      val armed = (1 to 5).map { i =>
+        CR.afterFirstAction(Seq(i.toLong).toDF("id"), Seq.empty)
+      }
+      assert(CR.pending <= 3, s"conf cap 3 exceeded: ${CR.pending}")
+      val msgs = captured.toArray.map(_.toString)
+      assert(msgs.exists(m => m.contains("graft_cache_release_") &&
+          m.contains(CR.maxPendingKey)),
+        s"eviction must log the evicted marker and the conf knob; got: " +
+          msgs.mkString(" | "))
+      // a bad value fails loudly at arming, never a silent default
+      spark2.conf.set(CR.maxPendingKey, "0")
+      intercept[IllegalArgumentException] {
+        CR.afterFirstAction(Seq(9L).toDF("id"), Seq.empty)
+      }
+      spark2.conf.set(CR.maxPendingKey, "banana")
+      intercept[IllegalArgumentException] { CR.maxPending }
+      spark2.conf.unset(CR.maxPendingKey)
+      assert(CR.maxPending == 64, "unset conf falls back to the default")
+      armed.foreach(_.count())
+      val deadline = System.currentTimeMillis + 30000
+      while (CR.pending > 0 && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(CR.pending == 0, s"pending ${CR.pending} != 0 after drain")
+    } finally {
+      spark2.conf.unset(CR.maxPendingKey)
+      coreLogger.removeAppender(appender)
+      appender.stop()
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "graft.spark.CacheRelease", prevLevel)
+    }
+  }
+
+  test("reserved-name guard matches the session's case resolution") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    // default caseSensitive=false: withColumn("__bin", ...) REPLACES a
+    // user '__Bin' case-insensitively, so the guard must reject it too
+    val pts = Seq((1L, 2.0, "x")).toDF("pid", "v", "__Bin")
+    val ivs = Seq((1L, 0.0, 5.0)).toDF("iid", "lo", "hi")
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.Joins.rangeJoin(pts, ivs, "v", "lo", "hi", binWidth = 1.0)
+    }
+    assert(err.getMessage.contains("__Bin"), err.getMessage)
+    // case-SENSITIVE session: '__Bin' is a genuinely different column,
+    // never overwritten — rejecting it would be a false positive
+    val prev = spark2.conf.get("spark.sql.caseSensitive")
+    try {
+      spark2.conf.set("spark.sql.caseSensitive", "true")
+      assert(graft.ops.Joins.rangeJoin(pts, ivs, "v", "lo", "hi",
+        binWidth = 1.0).count() == 1L)
+    } finally spark2.conf.set("spark.sql.caseSensitive", prev)
+    // ADVICE r12 #3: the interval side renames AFTER staging __bin, so
+    // PREFIXED names must stay clear — prefix "__" + column 'bin' used
+    // to die in a confusing AnalysisException on the USING join
+    val err2 = intercept[IllegalArgumentException] {
+      graft.ops.Joins.rangeJoin(
+        Seq((1L, 2.0)).toDF("pid", "v"),
+        Seq((1L, 0.0, 5.0, "z")).toDF("iid", "lo", "hi", "bin"),
+        "v", "lo", "hi", binWidth = 1.0, rightPrefix = "__")
+    }
+    assert(err2.getMessage.contains("rangeJoin") &&
+      err2.getMessage.contains("prefixed"), err2.getMessage)
   }
 
   test("Ids.fieldOf honors spark.sql.caseSensitive") {
