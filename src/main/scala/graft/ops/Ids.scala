@@ -89,15 +89,22 @@ private[graft] object Ids {
     * staging-name audit for the per-site dispositions.
     */
   def requireNoReservedNames(fn: String, side: String,
-      cols: Seq[String], reserved: Set[String]): Unit = {
+      cols: Seq[String], reserved: Set[String],
+      session: Option[org.apache.spark.sql.SparkSession] = None): Unit = {
     // `withColumn` REPLACES case-insensitively under the default
     // spark.sql.caseSensitive=false, so a user '__Bin' is overwritten
-    // exactly like '__bin' — match the session's resolution mode (the
-    // same conf check fieldOf makes); in a case-sensitive session
-    // '__Bin' really is a different, safe column and stays accepted.
-    // No active session (plan built off-session) defaults to the
+    // exactly like '__bin' — match the resolution mode of the session
+    // that OWNS the DataFrame whose columns we check (the staging
+    // withColumn resolves against df.sparkSession, not whichever
+    // session happens to be thread-active — they differ in a
+    // multi-session JVM with divergent spark.sql.caseSensitive, and
+    // following the wrong one re-opens the silent-overwrite path this
+    // guard exists to close). Callers pass `df.sparkSession`; the
+    // active-session fallback only covers plan-build helpers with no
+    // df in hand, and no session at all defaults to the
     // case-INsensitive check, Spark's default resolution.
-    val caseSensitive = org.apache.spark.sql.SparkSession.getActiveSession
+    val caseSensitive = session
+      .orElse(org.apache.spark.sql.SparkSession.getActiveSession)
       .exists(_.conf.get("spark.sql.caseSensitive", "false").toBoolean)
     val clash = cols.filter(c => reserved(c) ||
       (!caseSensitive && reserved.exists(_.equalsIgnoreCase(c))))

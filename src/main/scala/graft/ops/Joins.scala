@@ -72,8 +72,9 @@ object Joins {
     * rename named.
     */
   private def requireNoReservedNames(fn: String, side: String,
-      cols: Seq[String], reserved: Set[String]): Unit =
-    Ids.requireNoReservedNames(fn, side, cols, reserved)
+      df: DataFrame, cols: Seq[String], reserved: Set[String]): Unit =
+    Ids.requireNoReservedNames(fn, side, cols, reserved,
+      Some(df.sparkSession))
 
   /** Reserved staging names of the as-of family (see
     * [[requireNoReservedNames]]). */
@@ -233,8 +234,10 @@ object Joins {
       Ids.fieldOf(right, tsCol, "asofJoin").dataType)
     requireNoPrefixCollision("asofJoin", left.columns.toSeq,
       right.columns.toSeq, rightPrefix)
-    requireNoReservedNames("asofJoin", "left", left.columns.toSeq, asofReserved)
-    requireNoReservedNames("asofJoin", "right", right.columns.toSeq, asofReserved)
+    requireNoReservedNames("asofJoin", "left", left, left.columns.toSeq,
+      asofReserved)
+    requireNoReservedNames("asofJoin", "right", right, right.columns.toSeq,
+      asofReserved)
     requireTsOneFamilyIfNumeric("asofJoin",
       Ids.fieldOf(left, tsCol, "asofJoin").dataType,
       Ids.fieldOf(right, tsCol, "asofJoin").dataType)
@@ -296,10 +299,10 @@ object Joins {
       Ids.fieldOf(right, tsCol, "asofJoinDirected").dataType)
     requireNoPrefixCollision("asofJoinDirected", left.columns.toSeq,
       right.columns.toSeq, rightPrefix)
-    requireNoReservedNames("asofJoinDirected", "left", left.columns.toSeq,
-      asofReserved)
-    requireNoReservedNames("asofJoinDirected", "right", right.columns.toSeq,
-      asofReserved)
+    requireNoReservedNames("asofJoinDirected", "left", left,
+      left.columns.toSeq, asofReserved)
+    requireNoReservedNames("asofJoinDirected", "right", right,
+      right.columns.toSeq, asofReserved)
     requireTsOneFamilyIfNumeric("asofJoinDirected",
       Ids.fieldOf(left, tsCol, "asofJoinDirected").dataType,
       Ids.fieldOf(right, tsCol, "asofJoinDirected").dataType)
@@ -412,18 +415,21 @@ object Joins {
     // `withColumn("__bin", …)` on the points side silently OVERWRITES a
     // user column of that name and then drops it from the output; the
     // interval side's `__bin`/`__nbins` staging would mis-rename
-    requireNoReservedNames("rangeJoin", "points", points.columns.toSeq,
-      Set("__bin"))
-    requireNoReservedNames("rangeJoin", "intervals", intervals.columns.toSeq,
-      Set("__bin", "__nbins"))
+    requireNoReservedNames("rangeJoin", "points", points,
+      points.columns.toSeq, Set("__bin"))
+    requireNoReservedNames("rangeJoin", "intervals", intervals,
+      intervals.columns.toSeq, Set("__bin", "__nbins"))
     // the interval side is renamed AFTER its __bin staging, so the
     // PREFIXED names must also stay clear: with a non-default prefix
     // like "__" an intervals column 'bin' renames onto the staged
     // __bin — a duplicate column and a confusing AnalysisException on
     // the USING join instead of this named plan-build error (same
-    // post-prefix check intervalOverlapJoin makes)
-    requireNoReservedNames("rangeJoin", "intervals (prefixed)",
-      intervals.columns.map(rightPrefix + _).toSeq, Set("__bin", "__nbins"))
+    // post-prefix check intervalOverlapJoin makes). Only __bin here:
+    // unlike intervalOverlapJoin, rangeJoin drops __nbins BEFORE the
+    // rename fold, so a prefixed name equal to __nbins is safe
+    // (ADVICE r13 — reserving it was an over-strict false positive)
+    requireNoReservedNames("rangeJoin", "intervals (prefixed)", intervals,
+      intervals.columns.map(rightPrefix + _).toSeq, Set("__bin"))
     val p = points.withColumn("__bin",
       floor(col(pointCol).cast("double") / binWidth).cast("long"))
     // bin-skew observability (docstring contract): bins-per-interval
@@ -510,9 +516,9 @@ object Joins {
     // side stages them AFTER prefixing, so check the prefixed names
     // (with the default "r_" prefix a right `__bin` is safe, but an
     // empty prefix would re-expose the collision)
-    requireNoReservedNames("intervalOverlapJoin", "left", left.columns.toSeq,
-      Set("__bin", "__nbins"))
-    requireNoReservedNames("intervalOverlapJoin", "right (prefixed)",
+    requireNoReservedNames("intervalOverlapJoin", "left", left,
+      left.columns.toSeq, Set("__bin", "__nbins"))
+    requireNoReservedNames("intervalOverlapJoin", "right (prefixed)", right,
       right.columns.map(rightPrefix + _).toSeq, Set("__bin", "__nbins"))
     def bin(c: org.apache.spark.sql.Column) =
       floor(c.cast("double") / binWidth).cast("long")
@@ -559,9 +565,9 @@ object Joins {
       buckets: Int = 16): DataFrame = {
     // same silent-overwrite class as rangeJoin's __bin: a user __salt
     // on either side would be replaced and then dropped
-    requireNoReservedNames("saltedJoin", "left", left.columns.toSeq,
+    requireNoReservedNames("saltedJoin", "left", left, left.columns.toSeq,
       Set("__salt"))
-    requireNoReservedNames("saltedJoin", "right", right.columns.toSeq,
+    requireNoReservedNames("saltedJoin", "right", right, right.columns.toSeq,
       Set("__salt"))
     // Salt must be uniform per-row regardless of partition layout;
     // rand(seed) draws per-row from a seeded stream (layout-independent in

@@ -105,7 +105,7 @@ object Sampling {
     // and dropped from the pass-through output; __rep0 would duplicate
     // in the label join — both named here instead
     Ids.requireNoReservedNames("leakageSafeSplit", "input",
-      df.columns.toSeq, Set("__rep", "__rep0"))
+      df.columns.toSeq, Set("__rep", "__rep0"), Some(df.sparkSession))
     val labels = Dedup.clusters(pairs)
       .select(col("id").as(idCol), col("label").as("__rep0"))
     val keyed = df.join(labels, Seq(idCol), "left")
@@ -134,7 +134,8 @@ object Sampling {
     // final semi-join would then key on shard numbers or ranks:
     // silently WRONG rows, not a lost column)
     Ids.requireNoReservedNames("sampleExactPerGroup", "idCol/strataCol",
-      Seq(idCol, strataCol), Set("__h", "__s", "__rk1", "__rk"))
+      Seq(idCol, strataCol), Set("__h", "__s", "__rk1", "__rk"),
+      Some(df.sparkSession))
     // two-stage election so a giant stratum never funnels through one
     // reducer: stage 1 keeps k per (stratum, hash-derived shard) — the
     // global per-stratum top-k is a subset of every shard-local top-k
@@ -195,7 +196,8 @@ object Sampling {
     // rank output name: a pre-existing rankName column would silently
     // duplicate in the rejoin (ambiguous on first reference)
     Ids.requireNoReservedNames("per-group election", "idCol/groupCol",
-      Seq(idCol, groupCol), Set("__score", "__s", "__rk1", "__rk"))
+      Seq(idCol, groupCol), Set("__score", "__s", "__rk1", "__rk"),
+      Some(df.sparkSession))
     require(!df.columns.contains(rankName),
       s"per-group election: input already has a '$rankName' column — " +
         "the rank output would duplicate it; rename the input column")
@@ -241,7 +243,7 @@ object Sampling {
     // pass-through frame: a user __aes_key would be overwritten and
     // dropped; a pre-existing sample_rank would duplicate in the output
     Ids.requireNoReservedNames("weightedSamplePerGroup", "input",
-      df.columns.toSeq, Set("__aes_key"))
+      df.columns.toSeq, Set("__aes_key"), Some(df.sparkSession))
     require(!df.columns.contains("sample_rank") &&
       !df.columns.contains("rank_in_group"),
       "weightedSamplePerGroup: input already has a 'sample_rank' or " +
@@ -359,7 +361,8 @@ object Sampling {
     // same plan-build guards as the window election: staged names on
     // the key columns, and the rank output duplicating a user column
     Ids.requireNoReservedNames("topKPerGroupAgg", "idCol/groupCol",
-      Seq(idCol, groupCol), Set("__top", "__i", "__e"))
+      Seq(idCol, groupCol), Set("__top", "__i", "__e"),
+      Some(df.sparkSession))
     require(!df.columns.contains("rank_in_group"),
       "topKPerGroupAgg: input already has a 'rank_in_group' column — " +
         "the rank output would duplicate it; rename the input column")
@@ -579,7 +582,7 @@ object Sampling {
     // a user __p would be overwritten by the keep-probability staging
     // and dropped; __sumw would duplicate in the Σw cross join
     Ids.requireNoReservedNames("importanceSample", "input",
-      df.columns.toSeq, Set("__sumw", "__p"))
+      df.columns.toSeq, Set("__sumw", "__p"), Some(df.sparkSession))
     val tot = df.agg(sum(col(weightCol)).cast("double").as("__sumw"))
     val h = conv(substring(md5(concat(idStr(col(idCol)), lit(salt))),
       1, 8), 16, 10).cast("long")

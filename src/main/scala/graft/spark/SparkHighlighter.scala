@@ -180,7 +180,8 @@ object SparkHighlighter {
     // relation: a user column with a staged name would be overwritten
     // and dropped from the output — silent column loss
     graft.ops.Ids.requireNoReservedNames("mergeSameTypeRelational",
-      "input", anns.columns.toSeq, Set("__nc", "__cluster", "__rn"))
+      "input", anns.columns.toSeq, Set("__nc", "__cluster", "__rn"),
+      Some(anns.sparkSession))
     val w1 = Window.partitionBy(col(docCol), col(typeCol))
       .orderBy(col(beginCol), col(idCol))
     // running max of end over STRICTLY PRIOR rows: a row starts a new

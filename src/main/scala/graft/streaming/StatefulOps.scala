@@ -47,7 +47,7 @@ object StatefulOps {
     // a user __text_md5 would be overwritten by the content-hash
     // staging and dropped from the pass-through output — silent loss
     graft.ops.Ids.requireNoReservedNames("streamingDedup", "input",
-      df.columns.toSeq, Set("__text_md5"))
+      df.columns.toSeq, Set("__text_md5"), Some(df.sparkSession))
     df.withWatermark(tsCol, delay)
       .withColumn("__text_md5", md5(col(textCol)))
       .dropDuplicatesWithinWatermark("__text_md5")
@@ -77,7 +77,7 @@ object StatefulOps {
     // named like the chunk output columns would duplicate on rename
     graft.ops.Ids.requireNoReservedNames("streamingChunkDedup",
       "idCol/tsCol", Seq(idCol, tsCol),
-      Set("__h", "chunk_id", "chunk_text"))
+      Set("__h", "chunk_id", "chunk_text"), Some(df.sparkSession))
     df.withWatermark(tsCol, delay)
       .select(col(idCol), col(tsCol),
         posexplode(graft.ops.TextStats.cdcChunks(col(textCol), window, divisor)))

@@ -5162,6 +5162,49 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(err2.getMessage.contains("rangeJoin") &&
       err2.getMessage.contains("prefixed"), err2.getMessage)
+    // ADVICE r13: a prefixed name equal to '__nbins' IS safe in
+    // rangeJoin (it drops __nbins before the rename fold, unlike
+    // intervalOverlapJoin) — rejecting it was a false positive
+    assert(graft.ops.Joins.rangeJoin(
+      Seq((1L, 2.0)).toDF("pid", "v"),
+      Seq((1L, 0.0, 5.0, "z")).toDF("iid", "lo", "hi", "nbins"),
+      "v", "lo", "hi", binWidth = 1.0, rightPrefix = "__").count() == 1L)
+  }
+
+  test("reserved-name guard follows the DataFrame's session, not the " +
+      "thread-active one") {
+    // r13 board #5: in a multi-session JVM with divergent
+    // spark.sql.caseSensitive the staging withColumn resolves against
+    // the DataFrame's OWN session — a guard reading getActiveSession
+    // follows the wrong mode and re-opens the silent-overwrite path.
+    val base = SparkTestSession.spark // case-INsensitive (default)
+    import base.implicits._
+    val caseSens = base.newSession()
+    caseSens.conf.set("spark.sql.caseSensitive", "true")
+    val pts = Seq((1L, 2.0, "x")).toDF("pid", "v", "__Bin")
+    val ivs = Seq((1L, 0.0, 5.0)).toDF("iid", "lo", "hi")
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    try {
+      // df owned by the case-insensitive session ('__Bin' WILL be
+      // overwritten by withColumn("__bin", ...)) while a case-sensitive
+      // session is thread-active: must still reject
+      org.apache.spark.sql.SparkSession.setActiveSession(caseSens)
+      val err = intercept[IllegalArgumentException] {
+        graft.ops.Joins.rangeJoin(pts, ivs, "v", "lo", "hi", binWidth = 1.0)
+      }
+      assert(err.getMessage.contains("__Bin"), err.getMessage)
+      // converse: df owned by the case-SENSITIVE session ('__Bin' is a
+      // genuinely different, safe column) while the insensitive session
+      // is active: must still accept
+      val ptsCs = { import caseSens.implicits._
+        Seq((1L, 2.0, "x")).toDF("pid", "v", "__Bin") }
+      val ivsCs = { import caseSens.implicits._
+        Seq((1L, 0.0, 5.0)).toDF("iid", "lo", "hi") }
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+      assert(graft.ops.Joins.rangeJoin(ptsCs, ivsCs, "v", "lo", "hi",
+        binWidth = 1.0).count() == 1L)
+    } finally prevActive.foreach(
+      org.apache.spark.sql.SparkSession.setActiveSession)
   }
 
   test("Ids.fieldOf honors spark.sql.caseSensitive") {
