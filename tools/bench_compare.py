@@ -1,8 +1,15 @@
 #!/usr/bin/env python3
-"""Compare two BENCH_LOCAL*.json snapshots on their shared per-query
-MIN maps: geomean ratio (new/old), worst movers, and headline rows.
+"""Compare two bench snapshots on their shared per-query MIN maps:
+geomean ratio (new/old), worst movers, and headline rows.
 
 Usage: python3 tools/bench_compare.py NEW.json OLD.json [threshold]
+
+Accepts all three artifact shapes:
+  - BENCH_LOCAL_r*.json        — one JSON doc, "queries" + "headline";
+  - driver BENCH_r*.json       — pretty-printed doc with the headline
+    under "parsed.headline" and the query-min map only inside the raw
+    (possibly front-truncated) "tail" stdout string;
+  - a bare tail capture        — first line is the {"queries": ...} doc.
 
 Windows on this host drift uniformly 1.05-1.2x, so the geomean over all
 shared keys is the window-drift estimate; per-query ratios are only
@@ -11,13 +18,54 @@ method that settles absolute questions).
 """
 import json
 import math
+import re
 import sys
 
 
 def load(path):
+    # json.load, not readline(): driver BENCH_r*.json is pretty-printed
+    # over many lines (ADVICE r13). Line-oriented fallback covers a raw
+    # multi-line stdout tail whose FIRST line is the queries doc.
     with open(path) as f:
-        doc = json.loads(f.readline())
-    return doc
+        text = f.read()
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        for line in text.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    return json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+        raise SystemExit(f"{path}: no parseable JSON document found")
+
+
+def query_mins(doc):
+    """Per-query min map from any artifact shape."""
+    for q in (doc.get("queries"),
+              doc.get("parsed", {}).get("queries")):
+        if q:
+            return q
+    # driver artifact: the min map lives inside the raw "tail" stdout
+    # string, often truncated at the FRONT (capture window), so a plain
+    # json parse of the queries line can't work — regex the pairs out,
+    # after dropping the headline line (its q_*_min keys aren't mins of
+    # queries named that way).
+    tail = doc.get("tail", "")
+    body = "\n".join(l for l in tail.splitlines()
+                     if not l.lstrip().startswith('{"headline"'))
+    pairs = re.findall(r'"(q[0-9A-Za-z_]*)"\s*:\s*([0-9.]+)', body)
+    return {k: float(v) for k, v in pairs}
+
+
+def headline(doc):
+    """Headline rows may sit top-level (full artifact), under
+    "headline" (one-doc local artifact), or under "parsed.headline"
+    (driver tail capture)."""
+    return {**doc.get("parsed", {}).get("headline", {}),
+            **doc.get("headline", {}),
+            **doc}
 
 
 def main():
@@ -25,8 +73,8 @@ def main():
     old_doc = load(sys.argv[2])
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.2
     # degrade, don't crash: a headline-only tail artifact has no
-    # "queries" map, and two disjoint snapshots share no keys
-    new_q, old_q = new_doc.get("queries", {}), old_doc.get("queries", {})
+    # query-min map, and two disjoint snapshots share no keys
+    new_q, old_q = query_mins(new_doc), query_mins(old_doc)
     shared = sorted(set(new_q) & set(old_q))
     ratios = {k: new_q[k] / old_q[k] for k in shared
               if old_q[k] > 0 and new_q[k] > 0}
@@ -44,10 +92,7 @@ def main():
     else:
         print("no shared positive-min query keys between the two "
               "snapshots (headline-only artifact?) — headline rows only:")
-    # headline rows may sit top-level (full artifact) or nested under
-    # "headline" (driver tail capture of the final stdout line)
-    new_h = {**new_doc.get("headline", {}), **new_doc}
-    old_h = {**old_doc.get("headline", {}), **old_doc}
+    new_h, old_h = headline(new_doc), headline(old_doc)
     for key in ("docs_per_sec", "docs_per_sec_80k_dict", "docs_per_sec_1m_dict",
                 "docs_per_sec_5k_mixed", "docs_per_sec_80k_mixed",
                 "docs_per_sec_4core", "stored_rdds", "suspect"):
