@@ -26,6 +26,38 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
+  private[graft] def median(v: Vector[Double]): Double = {
+    val s = v.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  /** Per-thunk sample dispersion: median/min over the K+1 samples. ~1
+    * on a quiet host (all samples agree); >>1 when some samples hit
+    * neighbor contention. The MIN is still the headline estimate — this
+    * ratio measures how much the window had to discard to get it.
+    */
+  private[graft] def dispersion(v: Vector[Double]): Double =
+    if (v.isEmpty || v.min <= 0) Double.NaN else median(v) / v.min
+
+  /** Self-adjudication flag for the headline annotate rows (r12 board
+    * #1): when ANY headline thunk's median/min dispersion exceeds the
+    * threshold, the window itself was contended and the row's min may
+    * STILL be poisoned (the r12 episode: round-boundary-aligned host
+    * bursts hit all K samples of exactly the headline rows, and only
+    * an isolated re-run minutes later showed the artifact was 3.5×
+    * low). The flag makes that machine-detectable in the permanent
+    * record instead of round lore; the consumer side
+    * (tools/bench_compare.py) already prints `suspect` when present.
+    * Threshold 2.0: quiet-window dispersions here run 1.0–1.3 (round
+    * K+1 is time-displaced, not cache-displaced), while the r12
+    * contamination was ≥3.5 — 2 splits the bands with margin.
+    */
+  private[graft] def suspect(samples: collection.Map[String, Vector[Double]],
+      threshold: Double = 2.0): Boolean =
+    samples.exists { case (name, v) =>
+      name.startsWith("annotate_") && dispersion(v) > threshold
+    }
+
   /** Deterministic 5k-entry dictionary: 250 vocab bigrams that really
     * occur in the corpus (~5% of entries match, like city names in news)
     * + 4750 synthetic phrases that never match (prunes via presearcher).
@@ -222,10 +254,6 @@ object Bench {
     // mask a real trend across rounds (r4 verdict: uniform ~1.34×
     // inflation on untouched queries was indistinguishable from drift)
     val results = samples.map { case (k, v) => k -> v.min }
-    def median(v: Vector[Double]): Double = {
-      val s = v.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
     val medians = samples.map { case (k, v) => k -> median(v) }
 
     val annotateSec = results("annotate_5k_dict")
@@ -241,7 +269,7 @@ object Bench {
     // requiring arithmetic: restart at local[4] and re-time the
     // headline annotate workload. Skipped when the whole run is already
     // pinned to a custom core count.
-    val docsPerSec4: Option[Double] = if (cpus != "32") None else {
+    val parity4: Option[(Double, Vector[Double])] = if (cpus != "32") None else {
       spark.stop()
       val s4 = SparkSession.builder()
         .master("local[4]")
@@ -255,9 +283,10 @@ object Bench {
       val n4 = docs4.count()
       def one(): Double = time { hl.annotateExploded(docs4, "text").count() }
       one() // warm
-      val best = (1 to 3).map(_ => one()).min
-      Some(n4 / best)
+      val v = (1 to 3).map(_ => one()).toVector
+      Some((n4 / v.min, v))
     }
+    val docsPerSec4: Option[Double] = parity4.map(_._1)
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val qsMed = medians.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
@@ -279,8 +308,25 @@ object Bench {
     // headline-only object as the FINAL stdout line makes any tail
     // capture self-sufficient: either the driver parses the big line, or
     // the surviving tail ends with this complete object.
+    // Self-adjudication (r12 board #1): per-thunk sample min/med/max +
+    // median/min dispersion for every headline annotate row, and one
+    // `suspect` flag, INSIDE the headline object — so a window like
+    // BENCH_r12's (round-aligned host bursts poisoning all K samples of
+    // only the headline rows, artifact 3.5× low forever) flags itself
+    // in the permanent record instead of needing an adjudication
+    // session. Keys are appended after the existing ones: consumers of
+    // the r13-and-earlier shape are untouched, and bench_compare.py
+    // already prints `suspect` when present.
+    val headlineSamples: Seq[(String, Vector[Double])] =
+      samples.toSeq.filter(_._1.startsWith("annotate_")) ++
+        parity4.map { case (_, v) => "annotate_4core" -> v }
+    val samplesJson = headlineSamples.map { case (k, v) =>
+      "\"" + k + "\":" +
+        f"""{"min":${v.min}%.3f,"med":${median(v)}%.3f,"max":${v.max}%.3f,"disp":${dispersion(v)}%.2f}"""
+    }.mkString("{", ",", "}")
+    val isSuspect = suspect(headlineSamples.toMap)
     val headlineObj =
-      f"""{"docs_per_sec":$docsPerSec%.0f,"docs_per_sec_80k_dict":${nDocs / results("annotate_80k_dict")}%.0f,"docs_per_sec_1m_dict":${nDocs / results("annotate_1m_dict")}%.0f,"docs_per_sec_5k_mixed":${nDocs / results("annotate_5k_mixed")}%.0f,"docs_per_sec_80k_mixed":${nDocs / results("annotate_80k_mixed")}%.0f$parity,"q_triplets_min":${results.getOrElse("q_triplets", -1.0)}%.3f,"total_sec":$total%.3f,"docs":$nDocs,"cpus":$cpus,"stored_rdds":$storedRdds}"""
+      f"""{"docs_per_sec":$docsPerSec%.0f,"docs_per_sec_80k_dict":${nDocs / results("annotate_80k_dict")}%.0f,"docs_per_sec_1m_dict":${nDocs / results("annotate_1m_dict")}%.0f,"docs_per_sec_5k_mixed":${nDocs / results("annotate_5k_mixed")}%.0f,"docs_per_sec_80k_mixed":${nDocs / results("annotate_80k_mixed")}%.0f$parity,"q_triplets_min":${results.getOrElse("q_triplets", -1.0)}%.3f,"total_sec":$total%.3f,"docs":$nDocs,"cpus":$cpus,"stored_rdds":$storedRdds,"samples":$samplesJson,"suspect":$isSuspect}"""
     val headline = s"""{"headline":$headlineObj}"""
     println(headline)
     // Belt and braces for harnesses that scrape a prefixed stdout: the

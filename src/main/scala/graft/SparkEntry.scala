@@ -994,35 +994,50 @@ object SparkEntry {
         col("sw.end").as("session_end"), col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Scratch layout for [[qPartPrune]], written ONCE per input dir and
+    * reused across calls in the JVM (r12 board #2: the bench's timed
+    * unit must cover the prune-gate READ path, not a scratch parquet
+    * write — the partitioned layout is table preparation a real
+    * warehouse pays once at write time, and paying it per timed round
+    * made the row measure host disk; it cost two prior rounds'
+    * adjudication time). The bench's warmup pass triggers the write;
+    * the K timed rounds then hit the cached layout. Deleted on JVM
+    * exit, not per call.
+    */
+  private val partPruneScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Partition-pruned layout gate: documents written `partitionBy(lang)`
-    * to scratch, re-read with a lang predicate — the scan must carry
-    * the predicate as a PartitionFilter (directory pruning: non-en
-    * partitions are never opened), `require`d on the plan before any
-    * row flows. The per-source rollup is the oracled output; eager so
-    * scratch can be deleted.
+    * to scratch (once per dir, see [[partPruneScratch]]), re-read with
+    * a lang predicate — the scan must carry the predicate as a
+    * PartitionFilter (directory pruning: non-en partitions are never
+    * opened), `require`d on the plan before any row flows. The
+    * per-source rollup is the oracled output.
     */
   private def qPartPrune(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val scratch = java.nio.file.Files.createTempDirectory("graft_part")
-    try {
+    val docsPath = partPruneScratch.computeIfAbsent(dir, _ => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft_part")
+      sys.addShutdownHook(rmTree(scratch))
       s.read.parquet(t(dir, "documents")).write.mode("overwrite")
         .partitionBy("lang").parquet(s"$scratch/docs")
-      val pruned = s.read.parquet(s"$scratch/docs")
-        .filter(col("lang") === "en")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-      val plan = pruned.queryExecution.sparkPlan.toString
-      // the lang predicate must sit INSIDE the PartitionFilters bracket
-      // (FileScan prints its column list on the same line, so a
-      // whole-line contains() would pass even with empty filters)
-      require("PartitionFilters: \\[[^\\]]*lang[^\\]]*\\]".r
-        .findFirstIn(plan).isDefined,
-        s"lang predicate must prune partitions at the scan:\n$plan")
-      val rows = pruned.collect() // |sources| rows — bounded
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      rows.toSeq.toDF("source", "n_docs", "sum_chars")
-        .orderBy(col("source"))
-    } finally rmTree(scratch)
+      s"$scratch/docs"
+    })
+    val pruned = s.read.parquet(docsPath)
+      .filter(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val plan = pruned.queryExecution.sparkPlan.toString
+    // the lang predicate must sit INSIDE the PartitionFilters bracket
+    // (FileScan prints its column list on the same line, so a
+    // whole-line contains() would pass even with empty filters)
+    require("PartitionFilters: \\[[^\\]]*lang[^\\]]*\\]".r
+      .findFirstIn(plan).isDefined,
+      s"lang predicate must prune partitions at the scan:\n$plan")
+    val rows = pruned.collect() // |sources| rows — bounded
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.toSeq.toDF("source", "n_docs", "sum_chars")
+      .orderBy(col("source"))
   }
 
   /** Exact per-group Pearson correlation (quantity vs price per
@@ -1281,6 +1296,61 @@ object SparkEntry {
       .select(col("event_id").as("click_id"),
         col("r_event_id").as("purchase_id"), col("user_id"))
       .orderBy(col("click_id"), col("purchase_id"))
+  }
+
+  /** Stream-batch as-of enrichment gate (r12 board #6): the events
+    * STREAM, fed in 4 chronological micro-batches, enriched against the
+    * batch-built SCD2 dimension of [[qScd2]] — each event picks the
+    * dimension version valid AT ITS TIMESTAMP
+    * ([[graft.streaming.StatefulOps.streamAsofScd2]]: stateless
+    * stream-static broadcast join, no join state to watermark-bound —
+    * see the operator doc). Timestamps round-trip the stream as epoch
+    * MICROS (parquet's own grain), so boundary events compare exactly.
+    * The oracle rebuilds the SCD2 chain and the validity-interval join
+    * in SQL: every event must land on exactly the version a batch
+    * as-of join assigns.
+    */
+  private def qStreamAsof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = graft.ops.Events.scd2(events(s, dir), "user_id", "ts",
+      "event_id", "event_type")
+    val ev = events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .orderBy(col("us"), col("event_id"))
+      .as[(Long, Long, Long)].collect()
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val streamDf = ms.toDF().toDF("event_id", "user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val enriched = graft.streaming.StatefulOps.streamAsofScd2(
+      streamDf, dim, "user_id", "ts", Seq("version", "event_type"))
+    val qname = "graft_stream_asof"
+    s.catalog.dropTempView(qname)
+    val q = withStreamShuffle(s) {
+      enriched.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+    }
+    try {
+      // chronological quarters, same harness shape as q_stream_join
+      val cuts = {
+        val all = ev.map(_._3)
+        val lo = all.min
+        val hi = all.max + 1
+        (1 to 3).map(i => lo + (hi - lo) * i / 4) :+ (hi + 1)
+      }
+      var prev = Long.MinValue
+      cuts.foreach { cut =>
+        ms.addData(ev.filter(e => e._3 >= prev && e._3 < cut).toSeq)
+        q.processAllAvailable()
+        prev = cut
+      }
+      require(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "stream-asof gate must process >=3 micro-batches")
+    } finally q.stop()
+    s.table(qname)
+      .select(col("event_id"), col("user_id"), col("dim_version"),
+        col("dim_event_type"))
+      .orderBy(col("event_id"))
   }
 
   /** Z-order vs linear layout envelope report on lineitem
@@ -3662,6 +3732,7 @@ object SparkEntry {
     "q_zorder" -> (qZorder _),
     "q_bucket_join" -> (qBucketJoin _),
     "q_stream_join" -> (qStreamJoin _),
+    "q_stream_asof" -> (qStreamAsof _),
     "q_resample" -> (qResample _),
     "q_rollup" -> (qRollup _),
     "q_pivot" -> (qPivot _),
@@ -5263,6 +5334,26 @@ object SparkEntry {
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.sec >= c.sec AND p.sec <= c.sec + 1800
         |ORDER BY click_id, purchase_id""".stripMargin,
+    // SCD2 chain (same as q_scd2) + validity-interval membership = the
+    // version a backward as-of join assigns to each event
+    "q_stream_asof" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS prev
+        |  FROM events),
+        |tr AS (SELECT * FROM t WHERE prev IS NULL OR prev <> event_type),
+        |d AS (
+        |  SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version,
+        |    event_type, ts AS effective_from, lead(ts) OVER w AS effective_to
+        |  FROM tr WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC))
+        |SELECT e.event_id, e.user_id, d.version AS dim_version,
+        |  d.event_type AS dim_event_type
+        |FROM events e LEFT JOIN d ON e.user_id = d.user_id
+        |  AND e.ts >= d.effective_from
+        |  AND (d.effective_to IS NULL OR e.ts < d.effective_to)
+        |ORDER BY e.event_id""".stripMargin,
     // plain relational join — the Spark side's value-add (zero-shuffle
     // bucketed plan) is require'd structurally inside the query
     "q_bucket_join" ->

@@ -258,4 +258,61 @@ object StatefulOps {
         col(s"r_$tsCol") >= col(tsCol) &&
         col(s"r_$tsCol") <= col(tsCol) + expr(s"INTERVAL $windowSec SECONDS"))
   }
+
+  /** Stream-batch SCD2 as-of enrichment: each streaming event joins the
+    * ONE dimension version valid at its event time — equi-join on the
+    * key plus the half-open validity interval
+    * (`fromCol <= ts < toCol`, a null `toCol` marking the open current
+    * version). The daily pipeline shape: a batch-maintained SCD2
+    * dimension (e.g. [[graft.ops.Events.scd2]]'s output) enriching a
+    * live event stream with the attributes that were true WHEN the
+    * event happened, not the attributes of right now.
+    *
+    * State and plan shape at 100 TB/day: this is a stream-STATIC join,
+    * which Structured Streaming executes STATELESSLY — every
+    * micro-batch joins against the static side and nothing is buffered
+    * between batches, so unlike a stream-stream join there is NO join
+    * state for a watermark to bound (the `delay` watermark is applied
+    * for downstream stateful operators and sinks, not for this join).
+    * The dimension is broadcast-pinned: SCD2 collapses consecutive
+    * duplicates so versions-per-key stays dimension-sized, and a
+    * shuffled join would re-exchange every micro-batch.
+    *
+    * As-of equivalence (the correctness gate lands on the batch
+    * rebuild): SCD2 validity intervals partition the time axis per key
+    * from the first version onward, so interval membership selects
+    * exactly the row a backward as-of join on `fromCol` selects;
+    * events before a key's first version, or with keys the dimension
+    * lacks, pass through with null `dim_*` columns (left join) — the
+    * same rows a backward [[graft.ops.Joins.asofJoin]] leaves unmatched.
+    *
+    * Output: every stream column unchanged, plus `dim_<c>` for each
+    * requested dimension attribute `c`.
+    */
+  def streamAsofScd2(stream: DataFrame, dim: DataFrame, keyCol: String,
+      tsCol: String, dimCols: Seq[String],
+      fromCol: String = "effective_from", toCol: String = "effective_to",
+      delay: String = "1 hour"): DataFrame = {
+    require(dimCols.nonEmpty, "streamAsofScd2: no dimension columns requested")
+    val outNames = dimCols.map("dim_" + _)
+    // a stream column named like an output dim_<c> would duplicate in
+    // the join output; __dk/__df/__dt are staged on the dim side only
+    // (fresh select, never pass-through) but reserved on the stream too
+    // so the post-join drop can't eat a user column
+    graft.ops.Ids.requireNoReservedNames("streamAsofScd2", "stream",
+      stream.columns.toSeq, outNames.toSet ++ Set("__dk", "__df", "__dt"),
+      Some(stream.sparkSession))
+    (Seq(keyCol, fromCol, toCol) ++ dimCols).foreach(c =>
+      graft.ops.Ids.fieldOf(dim, c, "streamAsofScd2"))
+    val d = dim.select(
+      Seq(col(keyCol).as("__dk"), col(fromCol).as("__df"),
+        col(toCol).as("__dt")) ++
+        dimCols.zip(outNames).map { case (c, o) => col(c).as(o) }: _*)
+    stream.withWatermark(tsCol, delay)
+      .join(broadcast(d),
+        col(keyCol) === col("__dk") && col(tsCol) >= col("__df") &&
+          (col("__dt").isNull || col(tsCol) < col("__dt")),
+        "left_outer")
+      .drop("__dk", "__df", "__dt")
+  }
 }

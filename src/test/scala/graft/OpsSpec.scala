@@ -5401,4 +5401,25 @@ class OpsSpec extends AnyFunSuite {
     assert(keptUncapped == Set(0L, 50L) && keptCapped == Set(0L, 3L, 4L, 5L, 50L))
     spark2.catalog.clearCache()
   }
+
+  test("Bench self-adjudication: suspect flags headline-row dispersion >2") {
+    import graft.Bench.{dispersion, median, suspect}
+    assert(median(Vector(1.0, 2.0, 3.0, 4.0)) == 2.5)
+    assert(math.abs(dispersion(Vector(2.0, 7.0, 7.2, 6.9)) - 3.475) < 1e-9)
+    // quiet window: K+1 samples agree (disp 1.0-1.3) -- not suspect
+    val quiet = Map(
+      "annotate_5k_dict" -> Vector(1.00, 1.05, 1.10, 0.98),
+      "annotate_80k_mixed" -> Vector(2.0, 2.1, 2.2, 2.05))
+    assert(!suspect(quiet))
+    // the r12 contamination shape: all K round-aligned samples poisoned,
+    // only the time-displaced K+1th clean -- median/min 3.5, must flag
+    val poisoned = quiet + ("annotate_5k_mixed" -> Vector(7.0, 7.2, 6.9, 2.0))
+    assert(suspect(poisoned))
+    // headline rows only: an op-query blip never flags the artifact
+    // (op mins already self-defend via K interleaved rounds)
+    assert(!suspect(quiet + ("q_triplets" -> Vector(30.0, 3.0, 3.1, 3.0))))
+    // threshold is a parameter: the same quiet window flags under a
+    // hair-trigger threshold, pinning that the comparison is med/min
+    assert(suspect(quiet, threshold = 1.01))
+  }
 }

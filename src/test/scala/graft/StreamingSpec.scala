@@ -493,4 +493,59 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows == Set((1L, 10L), (3L, 12L)))
     } finally q.stop()
   }
+
+  test("streamAsofScd2 equals the batch asofJoin rebuild across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // event history with several versions per user, plus boundary hits
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val hist = Seq(
+      (1L, 7L, ts(0), "free"), (2L, 7L, ts(10), "pro"),
+      (3L, 7L, ts(20), "free"),
+      (4L, 8L, ts(5), "pro"),
+      (5L, 9L, ts(1), "free"), (6L, 9L, ts(1), "free")) // dup collapses
+    val histDf = hist.toDF("event_id", "user_id", "ts", "plan")
+    val dim = graft.ops.Events.scd2(histDf, "user_id", "ts", "event_id", "plan")
+    // probes: mid-interval, EXACT boundary (must take the NEW version:
+    // half-open intervals), before first version (null), unknown key
+    val probes = Seq(
+      (100L, 7L, ts(5)),   // free
+      (101L, 7L, ts(10)),  // boundary -> pro
+      (102L, 7L, ts(25)),  // open current interval -> free (v3)
+      (103L, 8L, ts(4)),   // before first version -> null
+      (104L, 42L, ts(5)))  // unknown key -> null
+    val ms = MemoryStream[(Long, Long, Timestamp)]
+    val streamDf = ms.toDF().toDF("event_id", "user_id", "ts")
+    val enriched = graft.streaming.StatefulOps.streamAsofScd2(
+      streamDf, dim, "user_id", "ts", Seq("version", "plan"))
+    val q = enriched.writeStream.format("memory").queryName("sasof_out")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: stream-static is stateless, every batch must
+      // see the same dimension
+      ms.addData(probes.take(2))
+      q.processAllAvailable()
+      ms.addData(probes.drop(2))
+      q.processAllAvailable()
+      val got = spark.table("sasof_out")
+        .select($"event_id", $"dim_version", $"dim_plan").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) "" else r.getString(2))).toSet
+      // batch rebuild: backward as-of join of the same probes against
+      // the dimension keyed on effective_from — must agree row for row
+      val dimAsTs = dim.select($"user_id", $"effective_from".as("ts"),
+        $"version", $"plan")
+      val batch = graft.ops.Joins.asofJoin(
+          probes.toDF("event_id", "user_id", "ts"), dimAsTs,
+          "user_id", "ts")
+        .select($"event_id", $"r_version", $"r_plan").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) "" else r.getString(2))).toSet
+      assert(got == batch, s"stream $got != batch rebuild $batch")
+      assert(got == Set(
+        (100L, 1L, "free"), (101L, 2L, "pro"), (102L, 3L, "free"),
+        (103L, -1L, ""), (104L, -1L, "")))
+    } finally q.stop()
+  }
 }
