@@ -48,7 +48,7 @@ object Bench {
     * low). The flag makes that machine-detectable in the permanent
     * record instead of round lore; the consumer side
     * (tools/bench_compare.py) already prints `suspect` when present.
-    * Threshold 2.0: quiet-window dispersions here run 1.0–1.3 (round
+    * Threshold 2.0: quiet-window dispersions here run 1.0–1.4 (round
     * K+1 is time-displaced, not cache-displaced), while the r12
     * contamination was ≥3.5 — 2 splits the bands with margin.
     */
@@ -196,11 +196,11 @@ object Bench {
       "q_hard_neg", "q_schema_merge", "q_topk_agg", "q_pagerank",
       "q_triplets", "q_stream_topk", "q_audit", "q_jaccard_sim",
       "q_retention", "q_zscore", "q_bloom_join", "q_erasure", "q_anomaly",
-      "q_stream_join", "q_er_eval", "q_bottom_k")
+      "q_stream_join", "q_stream_asof", "q_er_eval", "q_bottom_k")
 
     // The full timed unit for an op query includes clearCache so internal
     // persist() calls can't leak cached inputs into the next round.
-    val thunks: Seq[(String, () => Unit)] = Seq[(String, () => Unit)](
+    val allThunks: Seq[(String, () => Unit)] = Seq[(String, () => Unit)](
       "annotate_5k_dict" ->
         (() => { annCount = hl.annotateExploded(docs, "text").count(); () }),
       "annotate_80k_dict" ->
@@ -225,17 +225,35 @@ object Bench {
       })
     )
 
+    // Isolation filter for adjudication re-runs (COVERAGE.md protocol):
+    // SPARK_GRAFT_BENCH_ONLY=<regex> keeps only matching OP thunks; the
+    // headline annotate rows always run (the artifact's docs_per_sec
+    // keys must stay computable). BENCH_ONLY='^$' = headline rows only,
+    // with the real artifact format — samples, dispersion, suspect.
+    val thunks: Seq[(String, () => Unit)] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .fold(allThunks) { pat =>
+        allThunks.filter { case (n, _) =>
+          n.startsWith("annotate_") || pat.r.findFirstIn(n).isDefined }
+      }
+
     // Warm each query once ON THE REAL DATA: AQE picks size-dependent
     // physical plans, so a small-slice warmup leaves the full-size plan's
     // codegen cold (measured: q_dedup_minhash 10.7s cold vs 1.8s steady).
     thunks.foreach { case (_, f) => f() }
     spark.catalog.clearCache()
+    System.err.println("[bench] warmup done")
 
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
-    for (_ <- 1 to rounds; (name, f) <- thunks) {
-      val t = time(f())
-      samples(name) = samples.getOrElse(name, Vector.empty) :+ t
+    for (r <- 1 to rounds) {
+      for ((name, f) <- thunks) {
+        val t = time(f())
+        samples(name) = samples.getOrElse(name, Vector.empty) :+ t
+      }
+      // progress markers (stderr only — the stdout tail contract is the
+      // two JSON lines): lets an external adjudication harness align a
+      // deliberate load window with round boundaries (COVERAGE.md)
+      System.err.println(s"[bench] round $r/$rounds done")
     }
     // One extra TIME-DISPLACED sample of the headline annotate thunks:
     // they run adjacently at the START of every round, so host
