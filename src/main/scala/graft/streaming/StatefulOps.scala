@@ -276,7 +276,13 @@ object StatefulOps {
     * for downstream stateful operators and sinks, not for this join).
     * The dimension is broadcast-pinned: SCD2 collapses consecutive
     * duplicates so versions-per-key stays dimension-sized, and a
-    * shuffled join would re-exchange every micro-batch.
+    * shuffled join would re-exchange every micro-batch. One cost to
+    * know about: Structured Streaming RE-EVALUATES the static side's
+    * plan each micro-batch, so pass a materialized dimension (a table/
+    * parquet read, or a persisted frame) — handing this a live
+    * window-function pipeline like [[graft.ops.Events.scd2]]'s output
+    * re-runs that pipeline per batch. The gate does exactly that
+    * knowingly (4 micro-batches over a test-scale dim).
     *
     * As-of equivalence (the correctness gate lands on the batch
     * rebuild): SCD2 validity intervals partition the time axis per key

@@ -99,6 +99,15 @@ def main():
         a, b = new_h.get(key), old_h.get(key)
         if a is not None or b is not None:
             print(f"{key:26s} new {a!s:>10}  old {b!s:>10}")
+    # self-adjudication detail (r14 artifacts): per-headline-row
+    # median/min dispersion — >2 on any row sets suspect
+    ns, os_ = new_h.get("samples", {}), old_h.get("samples", {})
+    if ns or os_:
+        print("\nheadline sample dispersion (med/min; >2 => suspect):")
+        for row in sorted(set(ns) | set(os_)):
+            a = ns.get(row, {}).get("disp")
+            b = os_.get(row, {}).get("disp")
+            print(f"  {row:24s} new {a!s:>6}  old {b!s:>6}")
 
 
 if __name__ == "__main__":
