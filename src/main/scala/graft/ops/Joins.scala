@@ -220,6 +220,13 @@ object Joins {
     * (inclusive at equality), or nulls when no such row exists — i.e.
     * ANSI/DuckDB `ASOF LEFT JOIN ... ON l.key = r.key AND l.ts >= r.ts`.
     *
+    * Null keys and null timestamps follow the same SQL semantics (a
+    * null never satisfies the equality or the inequality): right rows
+    * with a null key/ts are never matches, left rows with a null key/ts
+    * pass through unmatched with null right columns — NOT matched to
+    * each other, which is what the underlying window shape would do if
+    * left alone (partitionBy groups null keys like a value).
+    *
     * Right columns are emitted as `rightPrefix + name`. When several right
     * rows share the match timestamp the lexicographically greatest right
     * struct wins (deterministic; order right's columns accordingly).
@@ -259,9 +266,21 @@ object Joins {
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts").asc, col("__src").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = lNorm.union(rNorm)
+    // SQL equality/inequality semantics on key and ts (the docstring's
+    // DuckDB ASOF LEFT JOIN contract: `l.key = r.key AND l.ts >= r.ts`
+    // is never true through a null) — but the merge-window shape treats
+    // nulls like values: partitionBy collects null keys into ONE
+    // partition and a null ts sorts FIRST and is carried forward as a
+    // "match", silently diverging on exactly the rows production data
+    // has. Null-key/null-ts RIGHT rows can never be matches — drop
+    // them before the union; null-key/null-ts LEFT rows pass through
+    // unmatched — null their carried match after.
+    val matched = lNorm.union(
+        rNorm.filter(col("__k").isNotNull && col("__ts").isNotNull))
       .withColumn("__rm", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__src") === 1)
+      .withColumn("__rm",
+        when(col("__k").isNotNull && col("__ts").isNotNull, col("__rm")))
     val withTol = toleranceSec.fold(matched) { tol =>
       // axis from the UNION's widened __ts type — mixed int/double
       // sides compare on double, mixed-width integrals on long
@@ -284,7 +303,9 @@ object Joins {
     * as [[asofJoin]] — `nearest` reuses the single sorted window for
     * BOTH directions (one exchange, two window functions over it), so
     * direction costs nothing extra at scale. `toleranceSec` bounds
-    * |Δts| in every direction. Duplicate-timestamp determinism:
+    * |Δts| in every direction. Null keys/timestamps follow SQL
+    * semantics in every direction (see [[asofJoin]]): never matched,
+    * left rows kept unmatched. Duplicate-timestamp determinism:
     * backward picks the lexicographically greatest right struct,
     * forward the smallest (the `last`/`first` duals of one ordering).
     */
@@ -329,10 +350,20 @@ object Joins {
     val wF = Window.partitionBy(col("__k"))
       .orderBy(col("__ts").asc, col("__src").desc, col("__r").asc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val both = lNorm.union(rNorm)
+    // same null semantics as [[asofJoin]]: null-key/null-ts right rows
+    // are never matches (dropped pre-union), null-key/null-ts left rows
+    // pass through unmatched (both direction candidates nulled) — the
+    // forward window otherwise hands a null-ts left row (sorts FIRST)
+    // the earliest right row of its partition as a spurious match
+    val both = lNorm.union(
+        rNorm.filter(col("__k").isNotNull && col("__ts").isNotNull))
       .withColumn("__rb", last(col("__r"), ignoreNulls = true).over(wB))
       .withColumn("__rf", first(col("__r"), ignoreNulls = true).over(wF))
       .filter(col("__src") === 1)
+      .withColumn("__rb",
+        when(col("__k").isNotNull && col("__ts").isNotNull, col("__rb")))
+      .withColumn("__rf",
+        when(col("__k").isNotNull && col("__ts").isNotNull, col("__rf")))
     val (axis, scale) = timeAxis(
       Ids.fieldOf(both, "__ts", "asofJoinDirected").dataType)
     val matched = direction match {

@@ -252,6 +252,43 @@ class OpsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("asof joins: null keys and null timestamps never match (SQL)") {
+    // The docstring contract is DuckDB ASOF LEFT JOIN
+    // (ON l.key = r.key AND l.ts >= r.ts): a null never satisfies the
+    // equality or the inequality. The merge-window shape, left alone,
+    // diverges silently — partitionBy groups null KEYS into one
+    // partition (null left keys "match" null-key right rows) and a
+    // null TS sorts first, so backward carries it and forward hands a
+    // null-ts left row the partition's earliest right row. Pinned for
+    // all three directions plus the tolerance path.
+    val l = Seq(
+      (Some(1L), Some(10L), "a"),          // real match both directions
+      (None: Option[Long], Some(11L), "b"), // null left key
+      (Some(1L), None: Option[Long], "c"))  // null left ts
+      .toDF("k", "ts", "lv")
+    val r = Seq(
+      (Some(1L), Some(5L), "x"),            // backward/nearest match
+      (Some(1L), Some(20L), "w"),           // forward match
+      (None: Option[Long], Some(4L), "y"),  // null-key right: never a match
+      (Some(1L), None: Option[Long], "z"))  // null-ts right: never a match
+      .toDF("k", "ts", "rv")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val got = graft.ops.Joins.asofJoinDirected(l, r, "k", "ts", dir)
+        .select("lv", "r_rv").collect()
+        .map(row => row.getString(0) ->
+          (if (row.isNullAt(1)) null else row.getString(1))).toMap
+      val wantA = if (dir == "forward") "w" else "x"
+      assert(got == Map("a" -> wantA, "b" -> null, "c" -> null),
+        s"$dir: $got")
+    }
+    val tol = graft.ops.Joins
+      .asofJoin(l, r, "k", "ts", toleranceSec = Some(100))
+      .select("lv", "r_rv").collect()
+      .map(row => row.getString(0) ->
+        (if (row.isNullAt(1)) null else row.getString(1))).toMap
+    assert(tol == Map("a" -> "x", "b" -> null, "c" -> null), tol.toString)
+  }
+
   test("clusters computes exact transitive connected components") {
     // chain 0-1-2-3 (3 never pairs with 0 directly) + separate pair 10-11
     val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L))
