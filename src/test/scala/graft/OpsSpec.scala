@@ -4849,6 +4849,69 @@ class OpsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: asof null keys/timestamps follow SQL semantics under " +
+      "random null mixes, all directions") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // complements the six-axis property (which generates dense non-null
+    // rows): here ~1/6 of keys AND timestamps are null on both sides,
+    // and the reference model is the SQL one — a null never satisfies
+    // the key equality or the ts inequality (r14 fix; the raw window
+    // shape instead matched null keys to each other and carried
+    // null-first timestamps)
+    val scen = for {
+      dir <- Gen.oneOf("backward", "forward", "nearest")
+      seed <- Gen.choose(0L, 1000000L)
+      tolIdx <- Gen.oneOf(0, 1)
+    } yield (dir, seed, tolIdx)
+    val prop = Prop.forAllNoShrink(scen) { case (dir, seed, tolIdx) =>
+      val rnd = new scala.util.Random(seed)
+      def key(): Option[Long] =
+        if (rnd.nextInt(6) == 0) None else Some(rnd.nextInt(3).toLong)
+      def ts(): Option[Long] =
+        if (rnd.nextInt(6) == 0) None else Some(1000L + rnd.nextInt(200))
+      val left = (0 until 25).map(i => (key(), ts(), i.toLong))
+      // dedup right (k, ts) so duplicate-timestamp tiebreaks (which
+      // differ by direction and are covered elsewhere) can't fire
+      val right = (0 until 25).map(i => (key(), ts(), 100L + i))
+        .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+      val tol = Seq(None, Some(30L))(tolIdx)
+      val want: Map[Long, Long] = left.map {
+        case (Some(k), Some(u), lid) =>
+          val rs = right.collect {
+            case (Some(rk), Some(ru), rid) if rk == k => (ru, rid) }
+          val back = rs.filter(_._1 <= u).sortBy(_._1).lastOption
+          val fwd = rs.filter(_._1 >= u).sortBy(_._1).headOption
+          val cand = dir match {
+            case "backward" => back
+            case "forward"  => fwd
+            case _ => (back, fwd) match {
+              case (Some(b), Some(f)) =>
+                if ((f._1 - u) < (u - b._1)) Some(f) else Some(b)
+              case (b, f) => b.orElse(f)
+            }
+          }
+          lid -> cand.filter(c => tol.forall(t => (u - c._1).abs <= t))
+            .map(_._2).getOrElse(-1L)
+        case (_, _, lid) => lid -> -1L // null key or ts: never matches
+      }.toMap
+      val out = graft.ops.Joins.asofJoinDirected(
+        left.toDF("k", "ts", "lid"), right.toDF("k", "ts", "rid"),
+        "k", "ts", dir, toleranceSec = tol)
+      val got = out.select("lid", "r_rid").collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .toMap
+      if (got != want) info(s"MISMATCH dir=$dir seed=$seed tol=$tol: " +
+        got.toSeq.sorted.zip(want.toSeq.sorted).filter(p => p._1 != p._2)
+          .take(5).toString)
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(25).withInitialSeed(47L), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: binned joins match brute-force cross filter across " +
       "numeric families and bin widths") {
     val spark2 = SparkTestSession.spark
