@@ -339,8 +339,13 @@ object Bench {
       samples.toSeq.filter(_._1.startsWith("annotate_")) ++
         parity4.map { case (_, v) => "annotate_4core" -> v }
     val samplesJson = headlineSamples.map { case (k, v) =>
+      // a NaN dispersion (empty/zero vector — dispersion()'s own guard
+      // path) would render as the bare token NaN and corrupt the whole
+      // artifact's JSON; emit -1 as the "not computable" sentinel
+      val d = dispersion(v)
+      val dj = if (d.isNaN) -1.0 else d
       "\"" + k + "\":" +
-        f"""{"min":${v.min}%.3f,"med":${median(v)}%.3f,"max":${v.max}%.3f,"disp":${dispersion(v)}%.2f}"""
+        f"""{"min":${v.min}%.3f,"med":${median(v)}%.3f,"max":${v.max}%.3f,"disp":$dj%.2f}"""
     }.mkString("{", ",", "}")
     val isSuspect = suspect(headlineSamples.toMap)
     val headlineObj =

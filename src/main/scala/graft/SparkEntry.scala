@@ -1002,7 +1002,10 @@ object SparkEntry {
     * made the row measure host disk; it cost two prior rounds'
     * adjudication time). The bench's warmup pass triggers the write;
     * the K timed rounds then hit the cached layout. Deleted on JVM
-    * exit, not per call.
+    * exit, not per call. The input dir is treated as IMMUTABLE for the
+    * JVM lifetime (true of the read-only test data): rewriting
+    * documents under a cached dir in one JVM would keep serving the
+    * first layout.
     */
   private val partPruneScratch =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1019,8 +1022,12 @@ object SparkEntry {
     val docsPath = partPruneScratch.computeIfAbsent(dir, _ => {
       val scratch = java.nio.file.Files.createTempDirectory("graft_part")
       sys.addShutdownHook(rmTree(scratch))
-      s.read.parquet(t(dir, "documents")).write.mode("overwrite")
-        .partitionBy("lang").parquet(s"$scratch/docs")
+      try {
+        s.read.parquet(t(dir, "documents")).write.mode("overwrite")
+          .partitionBy("lang").parquet(s"$scratch/docs")
+      } catch { // no half-written layout lingering until JVM exit
+        case e: Throwable => rmTree(scratch); throw e
+      }
       s"$scratch/docs"
     })
     val pruned = s.read.parquet(docsPath)

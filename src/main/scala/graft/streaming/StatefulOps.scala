@@ -300,6 +300,10 @@ object StatefulOps {
       fromCol: String = "effective_from", toCol: String = "effective_to",
       delay: String = "1 hour"): DataFrame = {
     require(dimCols.nonEmpty, "streamAsofScd2: no dimension columns requested")
+    require(dimCols.distinct.size == dimCols.size,
+      s"streamAsofScd2: duplicate dimension columns ${dimCols.mkString(", ")}" +
+        " — the output would carry ambiguous dim_<c> twins that fail " +
+        "only on first downstream reference")
     val outNames = dimCols.map("dim_" + _)
     // a stream column named like an output dim_<c> would duplicate in
     // the join output; __dk/__df/__dt are staged on the dim side only

@@ -44,7 +44,7 @@ def load(path):
 def query_mins(doc):
     """Per-query min map from any artifact shape."""
     for q in (doc.get("queries"),
-              doc.get("parsed", {}).get("queries")):
+              (doc.get("parsed") or {}).get("queries")):
         if q:
             return q
     # driver artifact: the min map lives inside the raw "tail" stdout
@@ -55,7 +55,10 @@ def query_mins(doc):
     tail = doc.get("tail", "")
     body = "\n".join(l for l in tail.splitlines()
                      if not l.lstrip().startswith('{"headline"'))
-    pairs = re.findall(r'"(q[0-9A-Za-z_]*)"\s*:\s*([0-9.]+)', body)
+    # annotate_* rows are first-class members of the queries map — a
+    # q-only pattern would silently change the geomean's composition
+    # versus a parsed-artifact comparison of the same runs
+    pairs = re.findall(r'"((?:q|annotate_)[0-9A-Za-z_]*)"\s*:\s*([0-9.]+)', body)
     return {k: float(v) for k, v in pairs}
 
 
@@ -63,7 +66,7 @@ def headline(doc):
     """Headline rows may sit top-level (full artifact), under
     "headline" (one-doc local artifact), or under "parsed.headline"
     (driver tail capture)."""
-    return {**doc.get("parsed", {}).get("headline", {}),
+    return {**(doc.get("parsed") or {}).get("headline", {}),
             **doc.get("headline", {}),
             **doc}
 
