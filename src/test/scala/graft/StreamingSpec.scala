@@ -494,6 +494,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("property: streamAsofScd2 equals the batch asofJoin rebuild on " +
+      "random SCD2 histories, nulls included") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // the operator docstring's as-of equivalence claim, generator-pinned:
+    // interval membership against an Events.scd2 dimension selects
+    // exactly the row a backward asofJoin on effective_from selects —
+    // including null/unknown probe keys and null probe timestamps
+    // (both unmatched under SQL semantics on both sides since r14),
+    // duplicate-timestamp transitions (degenerate empty intervals),
+    // and probes before a key's first version. Batch withWatermark is
+    // a no-op, so no streaming query per generated case is needed; the
+    // micro-batch behavior itself is pinned by the fixed-case test.
+    val prop = Prop.forAllNoShrink(Gen.choose(0L, 1000000L)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      def k(): Option[Long] =
+        if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(3).toLong)
+      def t(): Option[Long] =
+        if (rnd.nextInt(8) == 0) None else Some(1000L + rnd.nextInt(50))
+      val hist = (0 until 30).map(i =>
+        (k(), t(), i.toLong, Seq("p", "q", "r")(rnd.nextInt(3))))
+        .toDF("user_id", "ts", "event_id", "plan")
+      val dim = graft.ops.Events.scd2(hist, "user_id", "ts", "event_id",
+        "plan")
+      // unknown key 42 and null keys/ts among the probes
+      val probes = (0 until 25).map { i =>
+        val pk = if (rnd.nextInt(8) == 0) Some(42L) else k()
+        (pk, t(), i.toLong)
+      }.toDF("user_id", "ts", "event_id")
+      def m(df: org.apache.spark.sql.DataFrame, v: String, p: String) =
+        df.select(col("event_id"), col(v), col(p)).collect()
+          .map(r => r.getLong(0) ->
+            ((if (r.isNullAt(1)) -1L else r.getLong(1)),
+              (if (r.isNullAt(2)) "" else r.getString(2)))).toMap
+      val stream = m(graft.streaming.StatefulOps.streamAsofScd2(
+        probes, dim, "user_id", "ts", Seq("version", "plan")),
+        "dim_version", "dim_plan")
+      val batch = m(graft.ops.Joins.asofJoin(
+        probes,
+        dim.select(col("user_id"), col("effective_from").as("ts"),
+          col("version"), col("plan")),
+        "user_id", "ts"), "r_version", "r_plan")
+      if (stream != batch) info(s"MISMATCH seed=$seed: " +
+        stream.toSeq.sorted.zip(batch.toSeq.sorted)
+          .filter(x => x._1 != x._2).take(5).toString)
+      stream == batch
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(15).withInitialSeed(48L), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("streamAsofScd2 equals the batch asofJoin rebuild across batches") {
     implicit val sqlCtx = spark.sqlContext
     // event history with several versions per user, plus boundary hits
