@@ -252,6 +252,34 @@ class OpsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("binned joins: null points and null interval bounds join nothing") {
+    // rangeJoin/intervalOverlapJoin compile to bin-equi-joins, and SQL
+    // inner inequality semantics must survive the binning: a null value
+    // makes the bin (or the explode's sequence) null, so the row joins
+    // NOTHING — same as `p.v BETWEEN i.lo AND i.hi` through a null.
+    // Pinned so a binning refactor (e.g. coalescing null bins to a
+    // sentinel) can't silently admit phantom pairs.
+    val pts = Seq((1L, Some(2.0)), (2L, None: Option[Double]))
+      .toDF("pid", "v")
+    val ivs = Seq(
+      (10L, Some(0.0), Some(5.0)),                      // catches pid 1
+      (11L, None: Option[Double], Some(5.0)),           // null start
+      (12L, Some(0.0), None: Option[Double]))           // null end
+      .toDF("iid", "lo", "hi")
+    val rj = graft.ops.Joins.rangeJoin(pts, ivs, "v", "lo", "hi",
+        binWidth = 1.0)
+      .select("pid", "r_iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rj == Set((1L, 10L)), rj.toString)
+    val oj = graft.ops.Joins.intervalOverlapJoin(
+        Seq((1L, Some(1.0), Some(3.0)), (2L, None: Option[Double], Some(3.0)))
+          .toDF("lid", "ls", "le"),
+        ivs, "ls", "le", "lo", "hi", binWidth = 8L)
+      .select("lid", "r_iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oj == Set((1L, 10L)), oj.toString)
+  }
+
   test("asof joins: null keys and null timestamps never match (SQL)") {
     // The docstring contract is DuckDB ASOF LEFT JOIN
     // (ON l.key = r.key AND l.ts >= r.ts): a null never satisfies the
