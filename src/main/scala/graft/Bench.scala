@@ -51,12 +51,63 @@ object Bench {
     * Threshold 2.0: quiet-window dispersions here run 1.0–1.4 (round
     * K+1 is time-displaced, not cache-displaced), while the r12
     * contamination was ≥3.5 — 2 splits the bands with margin.
+    * The canary row is deliberately NOT consulted: a high canary with
+    * quiet dispersion means UNIFORM load — the mins are comparable to
+    * each other but the whole window is slow, which is a
+    * normalization question (bench_compare's canary-normalized
+    * geomean), not a discard-the-row question.
     */
   private[graft] def suspect(samples: collection.Map[String, Vector[Double]],
       threshold: Double = 2.0): Boolean =
     samples.exists { case (name, v) =>
       name.startsWith("annotate_") && dispersion(v) > threshold
     }
+
+  /** Host-speed canary (r14 board → r15 #1): one fixed-work,
+    * CODE-INDEPENDENT, CPU-bound thunk — an FNV-1a hash loop over a
+    * constant 64 KiB buffer, zero Spark, zero allocation in the loop —
+    * timed with the same K+1 schedule as the headline rows and emitted
+    * in the headline `samples` map. The dispersion detector is blind
+    * to UNIFORM contention (every sample equally slow reads as a quiet
+    * window — BENCH_AB_r14 §3 needed a manual isolated re-run); the
+    * canary closes that: its true cost never changes across rounds or
+    * code versions, so an elevated canary MIN is host load by
+    * construction, and bench_compare can print a canary-normalized
+    * geomean. Single-threaded on purpose: it measures cycles available
+    * to one runnable thread — exactly what uniform neighbor load
+    * steals — without itself perturbing the suite. ~0.25 s quiet.
+    * Returns the checksum so the JIT can't dead-code the loop; the
+    * value is deterministic (pinned in OpsSpec) — any change means the
+    * canary's work changed and its numbers start a new band.
+    */
+  private[graft] val canaryBuf: Array[Byte] = {
+    val b = new Array[Byte](65536)
+    var i = 0
+    var x = 0x9e3779b97f4a7c15L
+    while (i < b.length) { // splitmix64-ish fill, constant across runs
+      x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+      x ^= x >>> 27; x *= 0x94d049bb133111ebL
+      x ^= x >>> 31
+      b(i) = x.toByte
+      i += 1
+    }
+    b
+  }
+
+  private[graft] def canaryOnce(passes: Int = 1500): Long = {
+    var h = 0xcbf29ce484222325L // FNV-1a offset basis
+    var p = 0
+    while (p < passes) {
+      var i = 0
+      while (i < canaryBuf.length) {
+        h ^= canaryBuf(i)
+        h *= 0x100000001b3L
+        i += 1
+      }
+      p += 1
+    }
+    h
+  }
 
   /** Deterministic 5k-entry dictionary: 250 vocab bigrams that really
     * occur in the corpus (~5% of entries match, like city names in news)
@@ -105,6 +156,9 @@ object Bench {
       }
     }
   }
+
+  // JIT blackhole for the canary checksum — written, never read
+  @volatile private var canarySink: Long = 0L
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -239,13 +293,21 @@ object Bench {
     // Warm each query once ON THE REAL DATA: AQE picks size-dependent
     // physical plans, so a small-slice warmup leaves the full-size plan's
     // codegen cold (measured: q_dedup_minhash 10.7s cold vs 1.8s steady).
+    canarySink = canaryOnce() // JIT-warm the canary loop too
     thunks.foreach { case (_, f) => f() }
     spark.catalog.clearCache()
     System.err.println("[bench] warmup done")
 
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    // Canary samples live OUTSIDE the samples map: the per-query
+    // "queries" min map carries only real workloads (a code-independent
+    // constant would dilute every window geomean), but the canary IS a
+    // headline samples row — see canaryOnce's doc. Sampled at round
+    // start, adjacent to the annotate rows it normalizes.
+    var canary = Vector.empty[Double]
     for (r <- 1 to rounds) {
+      canary = canary :+ time { canarySink = canaryOnce() }
       for ((name, f) <- thunks) {
         val t = time(f())
         samples(name) = samples.getOrElse(name, Vector.empty) :+ t
@@ -263,6 +325,8 @@ object Bench {
     // geomean 1.098 and an in-band isolated re-run minutes later).
     // Sampling them once more at the END of the suite breaks that
     // alignment; min across K+1 keeps the artifact keys unchanged.
+    // The canary takes its displaced K+1 sample on the same schedule.
+    canary = canary :+ time { canarySink = canaryOnce() }
     for ((name, f) <- thunks if name.startsWith("annotate_")) {
       val t = time(f())
       samples(name) = samples(name) :+ t
@@ -300,7 +364,12 @@ object Bench {
       val docs4 = s4.read.parquet(docsDir)
       val n4 = docs4.count()
       def one(): Double = time { hl.annotateExploded(docs4, "text").count() }
-      one() // warm
+      // TWO warm runs: the 3 timed samples run back-to-back right after
+      // a full SparkSession restart, so a single warm call leaves a
+      // first-sample JIT/page-cache outlier that can push med/min past
+      // the suspect threshold on a clean host (ADVICE r14) — unlike the
+      // round-interleaved annotate rows the threshold was calibrated on.
+      one(); one()
       val v = (1 to 3).map(_ => one()).toVector
       Some((n4 / v.min, v))
     }
@@ -309,6 +378,16 @@ object Bench {
       .mkString("{", ",", "}")
     val qsMed = medians.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    // Per-OP-row dispersion (r15 board #2): the judge adjudicates op
+    // movers every round with min+median only — emit med/min per op row
+    // (same statistic as the headline samples' `disp`; -1 = not
+    // computable) so an op mover carries its own contention evidence.
+    // Placed BEFORE the min map: "queries" stays LAST for the
+    // truncated-tail contract below.
+    val qsDisp = samples.map { case (k, v) =>
+      val d = dispersion(v)
+      "\"" + k + f"""\":${if (d.isNaN) -1.0 else d}%.2f"""
+    }.mkString("{", ",", "}")
     val total = results.values.sum
     val parity = docsPerSec4.map(v => f""","docs_per_sec_4core":$v%.0f""").getOrElse("")
     // Key order matters for truncated-tail readers (the driver captures
@@ -317,7 +396,7 @@ object Bench {
     // masquerading as the headline numbers (r9 verdict "what's wrong"
     // #2 — a median tail read as mins faked a 4x q_pipeline3 regression).
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries_median":$qsMed,"sf":"$sfDir","docs":$nDocs,"annotations":$annCount,"docs_per_sec":$docsPerSec%.0f,"docs_per_sec_80k_dict":${nDocs / results("annotate_80k_dict")}%.0f,"docs_per_sec_1m_dict":${nDocs / results("annotate_1m_dict")}%.0f,"docs_per_sec_5k_mixed":${nDocs / results("annotate_5k_mixed")}%.0f,"docs_per_sec_80k_mixed":${nDocs / results("annotate_80k_mixed")}%.0f$parity,"cpus":$cpus,"stored_rdds":$storedRdds,"queries":$qs}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries_median":$qsMed,"queries_disp":$qsDisp,"sf":"$sfDir","docs":$nDocs,"annotations":$annCount,"docs_per_sec":$docsPerSec%.0f,"docs_per_sec_80k_dict":${nDocs / results("annotate_80k_dict")}%.0f,"docs_per_sec_1m_dict":${nDocs / results("annotate_1m_dict")}%.0f,"docs_per_sec_5k_mixed":${nDocs / results("annotate_5k_mixed")}%.0f,"docs_per_sec_80k_mixed":${nDocs / results("annotate_80k_mixed")}%.0f$parity,"cpus":$cpus,"stored_rdds":$storedRdds,"queries":$qs}"""
     println(json)
     // The big line above can exceed the driver's stdout-capture window:
     // BENCH_r10.json kept only a truncated TAIL, which (with the min map
@@ -335,9 +414,14 @@ object Bench {
     // session. Keys are appended after the existing ones: consumers of
     // the r13-and-earlier shape are untouched, and bench_compare.py
     // already prints `suspect` when present.
+    // canary_cpu row (r15 board #1): host-speed reference, same K+1
+    // schedule — see canaryOnce. Uniform contention shows as an
+    // elevated canary MIN with quiet dispersion everywhere; suspect()
+    // deliberately ignores it (normalization signal, not a discard).
     val headlineSamples: Seq[(String, Vector[Double])] =
       samples.toSeq.filter(_._1.startsWith("annotate_")) ++
-        parity4.map { case (_, v) => "annotate_4core" -> v }
+        parity4.map { case (_, v) => "annotate_4core" -> v } ++
+        Seq("canary_cpu" -> canary)
     val samplesJson = headlineSamples.map { case (k, v) =>
       // a NaN dispersion (empty/zero vector — dispersion()'s own guard
       // path) would render as the bare token NaN and corrupt the whole

@@ -5549,5 +5549,23 @@ class OpsSpec extends AnyFunSuite {
     // threshold is a parameter: the same quiet window flags under a
     // hair-trigger threshold, pinning that the comparison is med/min
     assert(suspect(quiet, threshold = 1.01))
+    // canary row (r15 board #1): a uniformly-loaded window elevates the
+    // canary's every sample EQUALLY — tight dispersion, so it must NOT
+    // flip suspect (it is a normalization signal for bench_compare's
+    // canary-normalized geomean, not a discard-the-row signal)
+    assert(!suspect(quiet + ("canary_cpu" -> Vector(0.9, 0.95, 0.92, 0.91))))
+  }
+
+  test("Bench canary: deterministic, code-independent fixed work") {
+    // the canary's work must never change (its numbers form a cross-
+    // round band): pin the checksum of the constant buffer + FNV loop.
+    // If this assertion ever fails, the canary changed and BENCH bands
+    // before/after are incomparable — bump deliberately, note in
+    // COVERAGE.md.
+    val h = graft.Bench.canaryOnce(passes = 3)
+    assert(h == graft.Bench.canaryOnce(passes = 3))
+    assert(graft.Bench.canaryOnce(passes = 1500) == -4665232685988848699L)
+    // scaling sanity: more passes = different (more) work
+    assert(graft.Bench.canaryOnce(passes = 2) != h)
   }
 }

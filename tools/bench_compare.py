@@ -1,8 +1,20 @@
 #!/usr/bin/env python3
-"""Compare two bench snapshots on their shared per-query MIN maps:
+"""Compare bench snapshots on their shared per-query MIN maps:
 geomean ratio (new/old), worst movers, and headline rows.
 
-Usage: python3 tools/bench_compare.py NEW.json OLD.json [threshold]
+Usage:
+  python3 tools/bench_compare.py NEW.json OLD.json [threshold]
+  python3 tools/bench_compare.py NEW.json OLD1.json OLD2.json ... [slack]
+      Band mode (>=2 olds): per-query (min-max) band over the old
+      windows; a mover is flagged only when it falls OUTSIDE the band
+      AND beyond what the window geomean (uniform drift) explains —
+      the COVERAGE.md protocol step 2, as one command. The trailing
+      number (default 1.2 — the same per-query noise threshold the
+      two-way mode prints at; quiet-host mins jitter up to ~1.2x)
+      widens the drift bound multiplicatively.
+  python3 tools/bench_compare.py --write-bands BENCH_BANDS.json A.json B.json ...
+      Regenerate the committed per-query band file from the listed
+      clean windows (min/max over ALL listed artifacts).
 
 Accepts all three artifact shapes:
   - BENCH_LOCAL_r*.json        — one JSON doc, "queries" + "headline";
@@ -14,7 +26,12 @@ Accepts all three artifact shapes:
 Windows on this host drift uniformly 1.05-1.2x, so the geomean over all
 shared keys is the window-drift estimate; per-query ratios are only
 meaningful RELATIVE to it (see BENCH_AB_r0*.md for the interleaved A/B
-method that settles absolute questions).
+method that settles absolute questions). When both sides carry the
+canary_cpu headline row (r15+ artifacts: a fixed-work, code-independent
+CPU loop), its min ratio is pure host speed — the canary-normalized
+geomean divides it out, so "1.1x slower everywhere INCL. the canary"
+reads HOST at a glance (the dispersion detector is blind to uniform
+contention).
 """
 import json
 import math
@@ -41,6 +58,14 @@ def load(path):
         raise SystemExit(f"{path}: no parseable JSON document found")
 
 
+# headline-only keys that must never be harvested as query mins: the
+# headline object's q_triplets_min is not a min of a query named that
+# way, and its samples sub-objects carry min/med/max floats keyed by
+# annotate_* names (ADVICE r14: a tail window that begins MID-headline-
+# line defeats a startswith() filter).
+_HEADLINE_MARKERS = ('"q_triplets_min"', '"samples":', '"headline"')
+
+
 def query_mins(doc):
     """Per-query min map from any artifact shape."""
     for q in (doc.get("queries"),
@@ -50,16 +75,33 @@ def query_mins(doc):
     # driver artifact: the min map lives inside the raw "tail" stdout
     # string, often truncated at the FRONT (capture window), so a plain
     # json parse of the queries line can't work — regex the pairs out,
-    # after dropping the headline line (its q_*_min keys aren't mins of
-    # queries named that way).
+    # after dropping headline lines. A PARTIAL headline line (window
+    # begins mid-line) no longer startswith '{"headline"' — drop any
+    # line carrying a headline-only marker key instead (ADVICE r14).
     tail = doc.get("tail", "")
     body = "\n".join(l for l in tail.splitlines()
-                     if not l.lstrip().startswith('{"headline"'))
+                     if not any(m in l for m in _HEADLINE_MARKERS))
+    # the big line carries three per-query maps — queries_median,
+    # queries_disp (r15+), and the MIN map "queries" LAST. When the min
+    # map's opener survived the front-truncation, harvest only after it
+    # so a cut INSIDE the min map can't fall back to median/disp values
+    # for the missing keys (a disp ~1.0 reads as a plausible 1-second
+    # min). Without the opener the surviving text IS the min-map tail.
+    idx = body.rfind('"queries":')
+    if idx >= 0:
+        body = body[idx:]
     # annotate_* rows are first-class members of the queries map — a
     # q-only pattern would silently change the geomean's composition
     # versus a parsed-artifact comparison of the same runs
     pairs = re.findall(r'"((?:q|annotate_)[0-9A-Za-z_]*)"\s*:\s*([0-9.]+)', body)
     return {k: float(v) for k, v in pairs}
+
+
+def query_disps(doc):
+    """Per-query dispersion map (r15+ artifacts), {} when absent."""
+    return (doc.get("queries_disp")
+            or (doc.get("parsed") or {}).get("queries_disp")
+            or {})
 
 
 def headline(doc):
@@ -71,30 +113,21 @@ def headline(doc):
             **doc}
 
 
-def main():
-    new_doc = load(sys.argv[1])
-    old_doc = load(sys.argv[2])
-    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.2
-    # degrade, don't crash: a headline-only tail artifact has no
-    # query-min map, and two disjoint snapshots share no keys
-    new_q, old_q = query_mins(new_doc), query_mins(old_doc)
-    shared = sorted(set(new_q) & set(old_q))
-    ratios = {k: new_q[k] / old_q[k] for k in shared
-              if old_q[k] > 0 and new_q[k] > 0}
-    if ratios:
-        geo = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
-        print(f"shared mins: {len(ratios)}   geomean new/old: {geo:.3f}")
-        print(f"\nper-query ratios above {thr} (raw, not drift-normalized):")
-        for k, r in sorted(ratios.items(), key=lambda kv: -kv[1]):
-            if r > thr:
-                print(f"  {k:28s} {r:.2f}  ({old_q[k]:.3f}s -> {new_q[k]:.3f}s)")
-        print(f"\nbest improvements (< 1/{thr:.2f}):")
-        for k, r in sorted(ratios.items(), key=lambda kv: kv[1]):
-            if r < 1 / thr:
-                print(f"  {k:28s} {r:.2f}  ({old_q[k]:.3f}s -> {new_q[k]:.3f}s)")
-    else:
-        print("no shared positive-min query keys between the two "
-              "snapshots (headline-only artifact?) — headline rows only:")
+def canary_min(doc):
+    s = headline(doc).get("samples", {})
+    return (s.get("canary_cpu") or {}).get("min")
+
+
+def geomean(ratios):
+    return math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+
+
+def fmt_disp(d, key):
+    v = d.get(key)
+    return f"  disp {v:.2f}" if isinstance(v, (int, float)) and v > 0 else ""
+
+
+def print_headlines(new_doc, old_doc):
     new_h, old_h = headline(new_doc), headline(old_doc)
     for key in ("docs_per_sec", "docs_per_sec_80k_dict", "docs_per_sec_1m_dict",
                 "docs_per_sec_5k_mixed", "docs_per_sec_80k_mixed",
@@ -103,14 +136,149 @@ def main():
         if a is not None or b is not None:
             print(f"{key:26s} new {a!s:>10}  old {b!s:>10}")
     # self-adjudication detail (r14 artifacts): per-headline-row
-    # median/min dispersion — >2 on any row sets suspect
+    # median/min dispersion — >2 on any annotate row sets suspect;
+    # canary_cpu (r15) is the host-speed row, never consulted by suspect
     ns, os_ = new_h.get("samples", {}), old_h.get("samples", {})
     if ns or os_:
-        print("\nheadline sample dispersion (med/min; >2 => suspect):")
+        print("\nheadline sample dispersion (med/min; >2 on an annotate "
+              "row => suspect; canary_cpu min = host speed):")
         for row in sorted(set(ns) | set(os_)):
             a = ns.get(row, {}).get("disp")
             b = os_.get(row, {}).get("disp")
             print(f"  {row:24s} new {a!s:>6}  old {b!s:>6}")
+
+
+def compare_two(new_doc, old_doc, thr):
+    # degrade, don't crash: a headline-only tail artifact has no
+    # query-min map, and two disjoint snapshots share no keys
+    new_q, old_q = query_mins(new_doc), query_mins(old_doc)
+    new_d = query_disps(new_doc)
+    shared = sorted(set(new_q) & set(old_q))
+    ratios = {k: new_q[k] / old_q[k] for k in shared
+              if old_q[k] > 0 and new_q[k] > 0}
+    if ratios:
+        geo = geomean(ratios.values())
+        print(f"shared mins: {len(ratios)}   geomean new/old: {geo:.3f}")
+        cn, co = canary_min(new_doc), canary_min(old_doc)
+        if cn and co:
+            print(f"canary min new/old: {cn / co:.3f}   "
+                  f"canary-normalized geomean: {geo / (cn / co):.3f}")
+        print(f"\nper-query ratios above {thr} (raw, not drift-normalized):")
+        for k, r in sorted(ratios.items(), key=lambda kv: -kv[1]):
+            if r > thr:
+                print(f"  {k:28s} {r:.2f}  ({old_q[k]:.3f}s -> "
+                      f"{new_q[k]:.3f}s){fmt_disp(new_d, k)}")
+        print(f"\nbest improvements (< 1/{thr:.2f}):")
+        for k, r in sorted(ratios.items(), key=lambda kv: kv[1]):
+            if r < 1 / thr:
+                print(f"  {k:28s} {r:.2f}  ({old_q[k]:.3f}s -> "
+                      f"{new_q[k]:.3f}s){fmt_disp(new_d, k)}")
+    else:
+        print("no shared positive-min query keys between the two "
+              "snapshots (headline-only artifact?) — headline rows only:")
+    print_headlines(new_doc, old_doc)
+
+
+def band_over(paths):
+    """Per-query (min, max, n) band over the artifacts at `paths`,
+    keyed over every query any of them carries."""
+    maps = [(p, query_mins(load(p))) for p in paths]
+    band = {}
+    for _, q in maps:
+        for k, v in q.items():
+            if v <= 0:
+                continue
+            lo, hi, n = band.get(k, (v, v, 0))
+            band[k] = (min(lo, v), max(hi, v), n + 1)
+    return band, [p for p, _ in maps]
+
+
+def compare_band(new_doc, old_paths, slack):
+    new_q = {k: v for k, v in query_mins(new_doc).items() if v > 0}
+    new_d = query_disps(new_doc)
+    band, _ = band_over(old_paths)
+    shared = sorted(set(new_q) & set(band))
+    if not shared:
+        print("no shared query keys with any old window")
+        return
+    # window drift estimate: geomean of new vs the band MIDPOINT of the
+    # olds' mins (robust to one outlier-low/high old window)
+    ratios = {k: new_q[k] / ((band[k][0] + band[k][1]) / 2) for k in shared}
+    geo = geomean(ratios.values())
+    print(f"band mode: {len(old_paths)} old windows, {len(shared)} shared keys"
+          f"   geomean new/band-mid: {geo:.3f}")
+    cn = canary_min(new_doc)
+    cos = [canary_min(load(p)) for p in old_paths]
+    cos = [c for c in cos if c]
+    if cn and cos:
+        cr = cn / (sum(cos) / len(cos))
+        print(f"canary min new/old-mean: {cr:.3f}   "
+              f"canary-normalized geomean: {geo / cr:.3f}")
+    # a mover must be OUTSIDE the old band AND beyond what uniform
+    # window drift (the geomean) explains — per-query blips inside the
+    # historical band, or a uniformly slow/fast window, flag nothing.
+    # slack (optional trailing arg, default 1.2 = the per-query noise
+    # threshold) widens the drift bound: a lone min just past the band
+    # edge is within what quiet-host jitter produces (r13 verdict:
+    # movers vs an outlier-LOW old window are not regressions).
+    up = max(geo, 1.0) * slack
+    down = min(geo, 1.0) / slack
+    regress = [(k, new_q[k] / band[k][1]) for k in shared
+               if new_q[k] / band[k][1] > up]
+    improve = [(k, new_q[k] / band[k][0]) for k in shared
+               if new_q[k] / band[k][0] < down]
+    print(f"\nregressions outside the band and beyond drift "
+          f"(new/band-max > {up:.2f}):")
+    for k, r in sorted(regress, key=lambda kv: -kv[1]):
+        lo, hi, n = band[k]
+        print(f"  {k:28s} {r:.2f} over band-max  "
+              f"(band {lo:.3f}-{hi:.3f} over {n} -> {new_q[k]:.3f}s)"
+              f"{fmt_disp(new_d, k)}")
+    if not regress:
+        print("  (none)")
+    print(f"\nimprovements outside the band and beyond drift:")
+    for k, r in sorted(improve, key=lambda kv: kv[1]):
+        lo, hi, n = band[k]
+        print(f"  {k:28s} {r:.2f} under band-min  "
+              f"(band {lo:.3f}-{hi:.3f} over {n} -> {new_q[k]:.3f}s)")
+    if not improve:
+        print("  (none)")
+    print_headlines(new_doc, load(old_paths[0]))
+
+
+def write_bands(out_path, paths):
+    band, sources = band_over(paths)
+    doc = {
+        "sources": sources,
+        "bands": {k: {"min": round(lo, 3), "max": round(hi, 3), "n": n}
+                  for k, (lo, hi, n) in sorted(band.items())},
+    }
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {len(band)} query bands over {len(paths)} windows "
+          f"to {out_path}")
+
+
+def main():
+    args = sys.argv[1:]
+    if args and args[0] == "--write-bands":
+        if len(args) < 3:
+            raise SystemExit("usage: --write-bands OUT.json A.json B.json ...")
+        write_bands(args[1], args[2:])
+        return
+    trailing = None
+    if args and re.fullmatch(r"[0-9.]+", args[-1]):
+        trailing = float(args.pop())
+    if len(args) < 2:
+        raise SystemExit(__doc__)
+    new_doc = load(args[0])
+    if len(args) == 2:
+        # trailing number = raw-ratio print threshold (default 1.2)
+        compare_two(new_doc, load(args[1]), trailing or 1.2)
+    else:
+        # trailing number = drift-bound slack multiplier (default 1.2)
+        compare_band(new_doc, args[1:], trailing or 1.2)
 
 
 if __name__ == "__main__":
