@@ -1280,24 +1280,35 @@ object SparkEntry {
         .outputMode("append").start()
     }
     try {
-      // time-aligned chunking: both sides advance through the same four
+      // time-aligned chunking: both sides advance through the same
       // event-time quarters so neither watermark races ahead of the
-      // other side's in-flight rows
+      // other side's in-flight rows. Quarters come from timestamp
+      // QUANTILES of the combined event set, not the span (ADVICE r14,
+      // same fix as q_stream_asof): span division under skew yields
+      // duplicate cuts and empty batches; the gate counts processed
+      // batches against the non-empty chunk feeds.
       val cuts = {
-        val all = (clicks ++ purchases).map(_._3)
-        val lo = all.min
-        val hi = all.max + 1
-        (1 to 3).map(i => lo + (hi - lo) * i / 4) :+ (hi + 1)
+        val all = (clicks ++ purchases).map(_._3).sorted
+        ((1 to 3).map(i =>
+            all(((all.length.toLong * i) / 4).toInt.min(all.length - 1)))
+          :+ (all.last + 1)).distinct
       }
       var prev = Long.MinValue
+      var nFed = 0
       cuts.foreach { cut =>
-        msL.addData(clicks.filter(c => c._3 >= prev && c._3 < cut).toSeq)
-        msR.addData(purchases.filter(p => p._3 >= prev && p._3 < cut).toSeq)
-        q.processAllAvailable()
+        val cl = clicks.filter(c => c._3 >= prev && c._3 < cut)
+        val pu = purchases.filter(p => p._3 >= prev && p._3 < cut)
+        if (cl.nonEmpty || pu.nonEmpty) {
+          msL.addData(cl.toSeq)
+          msR.addData(pu.toSeq)
+          q.processAllAvailable()
+          nFed += 1
+        }
         prev = cut
       }
-      require(q.recentProgress.count(_.numInputRows > 0) >= 3,
-        "stream-join gate must process >=3 micro-batches")
+      require(q.recentProgress.count(_.numInputRows > 0) >= nFed,
+        s"stream-join gate fed $nFed non-empty chunk pairs but processed " +
+          s"fewer row-bearing micro-batches")
     } finally q.stop()
     s.table(qname)
       .select(col("event_id").as("click_id"),
@@ -1338,21 +1349,31 @@ object SparkEntry {
         .outputMode("append").start()
     }
     try {
-      // chronological quarters, same harness shape as q_stream_join
-      val cuts = {
-        val all = ev.map(_._3)
-        val lo = all.min
-        val hi = all.max + 1
-        (1 to 3).map(i => lo + (hi - lo) * i / 4) :+ (hi + 1)
-      }
+      // chronological quarters from timestamp QUANTILES, not the span:
+      // integer division over a skewed (or < 4-micro) span yields
+      // duplicate cuts and empty micro-batches that spuriously failed
+      // a fixed >=3 gate (ADVICE r14). Quantile positions put ~n/4
+      // events in each chunk regardless of the time distribution;
+      // `distinct` collapses duplicate-value cuts, and the gate counts
+      // processed batches against the non-empty chunks actually FED.
+      val times = ev.map(_._3) // ev is ordered by (us, event_id)
+      val cuts = ((1 to 3).map(i =>
+          times(((times.length.toLong * i) / 4).toInt.min(times.length - 1)))
+        :+ (times.last + 1)).distinct
       var prev = Long.MinValue
+      var nFed = 0
       cuts.foreach { cut =>
-        ms.addData(ev.filter(e => e._3 >= prev && e._3 < cut).toSeq)
-        q.processAllAvailable()
+        val chunk = ev.filter(e => e._3 >= prev && e._3 < cut)
+        if (chunk.nonEmpty) {
+          ms.addData(chunk.toSeq)
+          q.processAllAvailable()
+          nFed += 1
+        }
         prev = cut
       }
-      require(q.recentProgress.count(_.numInputRows > 0) >= 3,
-        "stream-asof gate must process >=3 micro-batches")
+      require(q.recentProgress.count(_.numInputRows > 0) >= nFed,
+        s"stream-asof gate fed $nFed non-empty chunks but processed " +
+          s"fewer row-bearing micro-batches")
     } finally q.stop()
     s.table(qname)
       .select(col("event_id"), col("user_id"), col("dim_version"),

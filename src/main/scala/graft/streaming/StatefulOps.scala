@@ -278,11 +278,21 @@ object StatefulOps {
     * duplicates so versions-per-key stays dimension-sized, and a
     * shuffled join would re-exchange every micro-batch. One cost to
     * know about: Structured Streaming RE-EVALUATES the static side's
-    * plan each micro-batch, so pass a materialized dimension (a table/
-    * parquet read, or a persisted frame) — handing this a live
-    * window-function pipeline like [[graft.ops.Events.scd2]]'s output
-    * re-runs that pipeline per batch. The gate does exactly that
-    * knowingly (4 micro-batches over a test-scale dim).
+    * plan each micro-batch — so when the input is streaming,
+    * `materializeDim` (default ON) persists the projected dimension
+    * for the lifetime of the streaming query: the first micro-batch
+    * computes and caches it, every later batch broadcasts from the
+    * cache, and a `StreamingQueryListener` releases it once the
+    * session's last streaming query terminates (recompute-safe — this
+    * is a plain cache of a deterministic plan, NOT a
+    * snapshot-dependent persist, so an early release costs recompute,
+    * never correctness; with several concurrent streaming queries the
+    * release is deferred until all are quiet). Pass
+    * `materializeDim = false` to manage the dimension's lifecycle
+    * yourself (e.g. a plain parquet read that needs no cache, or a
+    * dimension you refresh by restarting the query). In batch mode
+    * (the as-of equivalence property) the plan executes once and
+    * nothing is persisted.
     *
     * As-of equivalence (the correctness gate lands on the batch
     * rebuild): SCD2 validity intervals partition the time axis per key
@@ -298,7 +308,7 @@ object StatefulOps {
   def streamAsofScd2(stream: DataFrame, dim: DataFrame, keyCol: String,
       tsCol: String, dimCols: Seq[String],
       fromCol: String = "effective_from", toCol: String = "effective_to",
-      delay: String = "1 hour"): DataFrame = {
+      delay: String = "1 hour", materializeDim: Boolean = true): DataFrame = {
     require(dimCols.nonEmpty, "streamAsofScd2: no dimension columns requested")
     require(dimCols.distinct.size == dimCols.size,
       s"streamAsofScd2: duplicate dimension columns ${dimCols.mkString(", ")}" +
@@ -314,15 +324,51 @@ object StatefulOps {
       Some(stream.sparkSession))
     (Seq(keyCol, fromCol, toCol) ++ dimCols).foreach(c =>
       graft.ops.Ids.fieldOf(dim, c, "streamAsofScd2"))
-    val d = dim.select(
+    val projected = dim.select(
       Seq(col(keyCol).as("__dk"), col(fromCol).as("__df"),
         col(toCol).as("__dt")) ++
         dimCols.zip(outNames).map { case (c, o) => col(c).as(o) }: _*)
+    // persist the static side for the query's lifetime (see the
+    // docstring): streaming-input only — a batch caller's plan runs
+    // once and a persist would just leak
+    val d = if (materializeDim && stream.isStreaming) {
+      projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      releaseWhenStreamsQuiet(stream.sparkSession, projected)
+      projected
+    } else projected
     stream.withWatermark(tsCol, delay)
       .join(broadcast(d),
         col(keyCol) === col("__dk") && col(tsCol) >= col("__df") &&
           (col("__dt").isNull || col(tsCol) < col("__dt")),
         "left_outer")
       .drop("__dk", "__df", "__dt")
+  }
+
+  /** Unpersist `frame` once the session's LAST streaming query
+    * terminates. The plan is built before any query starts, so the
+    * consuming query's id is unknowable here — releasing when
+    * `spark.streams.active` drains is the conservative mapping: while
+    * ANY streaming query runs the cache is held (ours might be the one
+    * running), and the first termination that leaves the session quiet
+    * releases it and retires the listener. Deliberately NOT
+    * [[graft.spark.CacheRelease.afterFirstAction]]: the whole point is
+    * surviving PAST the first action (micro-batch 1) to the query's
+    * end, and this cache must not count against the CacheRelease
+    * pending cap. Recompute-safe: a released-then-reused frame
+    * recomputes, never returns wrong rows.
+    */
+  private def releaseWhenStreamsQuiet(
+      spark: org.apache.spark.sql.SparkSession, frame: DataFrame): Unit = {
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (spark.streams.active.isEmpty) {
+          frame.unpersist(blocking = false)
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
   }
 }

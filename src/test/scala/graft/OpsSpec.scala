@@ -4861,14 +4861,17 @@ class OpsSpec extends AnyFunSuite {
         graft.ops.Joins.asofJoin(l, r, "k", "ts", toleranceSec = tol)
       else graft.ops.Joins.asofJoinDirected(l, r, "k", "ts", "nearest",
         toleranceSec = tol)
+      // sorted-Seq MULTISET compare (ADVICE r14): a Map keyed by lid
+      // would collapse a fan-out duplicate (two output rows for one
+      // left row) to one arbitrary entry and could still pass
       val got = out.select("lid", "r_rid").collect()
         .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
-        .toMap
+        .toSeq.sorted
       val want = brute(left, right, tol.map(t => BigInt(t) * scale), dir)
+        .toSeq.sorted
       if (got != want) {
         info(s"MISMATCH typ=$lTyp/$rTyp dir=$dir seed=$seed tol=$tol: " +
-          (got.toSeq.sorted zip want.toSeq.sorted)
-            .filter(p => p._1 != p._2).take(5).toString)
+          got.zip(want).filter(p => p._1 != p._2).take(5).toString)
       }
       got == want
     }
@@ -4927,13 +4930,15 @@ class OpsSpec extends AnyFunSuite {
       val out = graft.ops.Joins.asofJoinDirected(
         left.toDF("k", "ts", "lid"), right.toDF("k", "ts", "rid"),
         "k", "ts", dir, toleranceSec = tol)
+      // sorted-Seq MULTISET compare (ADVICE r14): catches fan-out
+      // duplicates the former Map-by-lid collapse would have masked
       val got = out.select("lid", "r_rid").collect()
         .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
-        .toMap
-      if (got != want) info(s"MISMATCH dir=$dir seed=$seed tol=$tol: " +
-        got.toSeq.sorted.zip(want.toSeq.sorted).filter(p => p._1 != p._2)
-          .take(5).toString)
-      got == want
+        .toSeq.sorted
+      val wantSeq = want.toSeq.sorted
+      if (got != wantSeq) info(s"MISMATCH dir=$dir seed=$seed tol=$tol: " +
+        got.zip(wantSeq).filter(p => p._1 != p._2).take(5).toString)
+      got == wantSeq
     }
     val res = SCTest.check(SCTest.Parameters.default
       .withMinSuccessfulTests(25).withInitialSeed(47L), prop)

@@ -522,11 +522,18 @@ class StreamingSpec extends AnyFunSuite {
         val pk = if (rnd.nextInt(8) == 0) Some(42L) else k()
         (pk, t(), i.toLong)
       }.toDF("user_id", "ts", "event_id")
+      // MULTISET comparison (ADVICE r14): collapsing into a Map keyed
+      // by event_id would mask a fan-out bug (duplicate output rows for
+      // one probe — e.g. a dim version-overlap regression) on both
+      // sides at once. Sorted tuple Seqs preserve duplicates, and the
+      // row count must equal the probe count exactly (left join: one
+      // output row per probe, matched or not).
       def m(df: org.apache.spark.sql.DataFrame, v: String, p: String) =
         df.select(col("event_id"), col(v), col(p)).collect()
-          .map(r => r.getLong(0) ->
-            ((if (r.isNullAt(1)) -1L else r.getLong(1)),
-              (if (r.isNullAt(2)) "" else r.getString(2)))).toMap
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(1)) -1L else r.getLong(1),
+            if (r.isNullAt(2)) "" else r.getString(2)))
+          .sortBy(t => (t._1, t._2, t._3)).toSeq
       val stream = m(graft.streaming.StatefulOps.streamAsofScd2(
         probes, dim, "user_id", "ts", Seq("version", "plan")),
         "dim_version", "dim_plan")
@@ -536,9 +543,8 @@ class StreamingSpec extends AnyFunSuite {
           col("version"), col("plan")),
         "user_id", "ts"), "r_version", "r_plan")
       if (stream != batch) info(s"MISMATCH seed=$seed: " +
-        stream.toSeq.sorted.zip(batch.toSeq.sorted)
-          .filter(x => x._1 != x._2).take(5).toString)
-      stream == batch
+        stream.zip(batch).filter(x => x._1 != x._2).take(5).toString)
+      stream.size == 25 && batch.size == 25 && stream == batch
     }
     val res = SCTest.check(SCTest.Parameters.default
       .withMinSuccessfulTests(15).withInitialSeed(48L), prop)
@@ -577,26 +583,134 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       ms.addData(probes.drop(2))
       q.processAllAvailable()
-      val got = spark.table("sasof_out")
-        .select($"event_id", $"dim_version", $"dim_plan").collect()
-        .map(r => (r.getLong(0),
-          if (r.isNullAt(1)) -1L else r.getLong(1),
-          if (r.isNullAt(2)) "" else r.getString(2))).toSet
+      // sorted-Seq MULTISET compare + exact row count (ADVICE r14): a
+      // Set would collapse a fan-out duplicate and still pass
+      def rows(df: org.apache.spark.sql.DataFrame, v: String, p: String) =
+        df.select(col("event_id"), col(v), col(p)).collect()
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(1)) -1L else r.getLong(1),
+            if (r.isNullAt(2)) "" else r.getString(2)))
+          .sortBy(t => (t._1, t._2, t._3)).toSeq
+      val got = rows(spark.table("sasof_out"), "dim_version", "dim_plan")
+      assert(got.size == probes.size,
+        s"one output row per probe expected, got ${got.size}: $got")
       // batch rebuild: backward as-of join of the same probes against
       // the dimension keyed on effective_from — must agree row for row
       val dimAsTs = dim.select($"user_id", $"effective_from".as("ts"),
         $"version", $"plan")
-      val batch = graft.ops.Joins.asofJoin(
+      val batch = rows(graft.ops.Joins.asofJoin(
           probes.toDF("event_id", "user_id", "ts"), dimAsTs,
-          "user_id", "ts")
-        .select($"event_id", $"r_version", $"r_plan").collect()
-        .map(r => (r.getLong(0),
-          if (r.isNullAt(1)) -1L else r.getLong(1),
-          if (r.isNullAt(2)) "" else r.getString(2))).toSet
+          "user_id", "ts"), "r_version", "r_plan")
       assert(got == batch, s"stream $got != batch rebuild $batch")
-      assert(got == Set(
+      assert(got == Seq(
         (100L, 1L, "free"), (101L, 2L, "pro"), (102L, 3L, "free"),
         (103L, -1L, ""), (104L, -1L, "")))
     } finally q.stop()
+  }
+
+  test("streamAsofScd2 materializes the dimension once across " +
+      "micro-batches and releases it on query termination") {
+    implicit val sqlCtx = spark.sqlContext
+    // Structured Streaming re-evaluates the static side's plan every
+    // micro-batch; materializeDim (default ON) must confine the
+    // dimension pipeline to exactly ONE execution. Counted with an
+    // accumulator inside the pipeline: with the persist, only the
+    // first micro-batch's cache build pays it; without, 4 micro-batches
+    // would add 4 x nDim.
+    val acc = spark.sparkContext.longAccumulator("dim_evals_r15")
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val hist = Seq(
+      (1L, 7L, ts(0), "free"), (2L, 7L, ts(10), "pro"),
+      (3L, 8L, ts(5), "pro"))
+      .toDF("event_id", "user_id", "ts", "plan")
+    val tick = udf((v: Long) => { acc.add(1L); v })
+    val dim = graft.ops.Events.scd2(hist, "user_id", "ts", "event_id", "plan")
+      .withColumn("version", tick(col("version")))
+    val nDim = hist.count() // scd2 keeps all 3 (no consecutive dups)
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.size
+    val ms = MemoryStream[(Long, Long, Timestamp)]
+    val streamDf = ms.toDF().toDF("event_id", "user_id", "ts")
+    val enriched = graft.streaming.StatefulOps.streamAsofScd2(
+      streamDf, dim, "user_id", "ts", Seq("version", "plan"))
+    val q = enriched.writeStream.format("memory").queryName("sasof_once")
+      .outputMode("append").start()
+    try {
+      for (i <- 0 until 4) {
+        ms.addData((100L + i, 7L, ts(i * 3 + 1)))
+        q.processAllAvailable()
+      }
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4)
+      assert(spark.table("sasof_once").count() == 4)
+      assert(acc.value == nDim,
+        s"dimension pipeline row-evals: ${acc.value}, want $nDim — the " +
+          "static side must execute exactly once across 4 micro-batches")
+    } finally q.stop()
+    // the listener releases the cache once the session's last
+    // streaming query terminates (fires async on the listener bus)
+    val deadline = System.nanoTime + 10000000000L
+    while (spark.sparkContext.getPersistentRDDs.size > rddsBefore &&
+        System.nanoTime < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.size <= rddsBefore,
+      "dimension cache must release after the streaming query terminates")
+  }
+
+  test("streamAsofScd2: enriched output is invariant to micro-batch " +
+      "cuts (1/2/4 chunks, 2 random cut seeds)") {
+    implicit val sqlCtx = spark.sqlContext
+    // the stateless-join claim implies the result cannot depend on
+    // where the stream is chopped into micro-batches — pin it by
+    // running the SAME probe set through 1, 2 and 4 random
+    // chronological cuts and demanding identical multisets
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val hist = Seq(
+      (1L, 7L, ts(0), "free"), (2L, 7L, ts(10), "pro"),
+      (3L, 7L, ts(20), "free"), (4L, 8L, ts(5), "pro"))
+      .toDF("event_id", "user_id", "ts", "plan")
+    val dim = graft.ops.Events.scd2(hist, "user_id", "ts", "event_id", "plan")
+    val probes = Seq(
+      (200L, 7L, ts(1)), (201L, 7L, ts(10)), (202L, 7L, ts(15)),
+      (203L, 7L, ts(25)), (204L, 8L, ts(4)), (205L, 8L, ts(6)),
+      (206L, 42L, ts(8)), (207L, 7L, ts(0)), (208L, 8L, ts(30)),
+      (209L, 7L, ts(19)), (210L, 7L, ts(20)), (211L, 42L, ts(2)))
+      .sortBy(_._3.getTime)
+    var runId = 0
+    def run(chunks: Seq[Seq[(Long, Long, Timestamp)]]): Seq[(Long, Long, String)] = {
+      runId += 1
+      val name = s"sasof_cuts_$runId"
+      val ms = MemoryStream[(Long, Long, Timestamp)]
+      val enriched = graft.streaming.StatefulOps.streamAsofScd2(
+        ms.toDF().toDF("event_id", "user_id", "ts"), dim,
+        "user_id", "ts", Seq("version", "plan"))
+      val q = enriched.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c =>
+          if (c.nonEmpty) { ms.addData(c); q.processAllAvailable() }
+        }
+      } finally q.stop()
+      val out = spark.table(name)
+        .select($"event_id", $"dim_version", $"dim_plan").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) "" else r.getString(2)))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+      spark.catalog.dropTempView(name)
+      out
+    }
+    for (seed <- Seq(11L, 23L)) {
+      val rnd = new scala.util.Random(seed)
+      val outs = Seq(1, 2, 4).map { n =>
+        // n-1 distinct random cut POSITIONS in the chronological order
+        val pos = rnd.shuffle((1 until probes.size).toList).take(n - 1).sorted
+        val bounds = 0 +: pos :+ probes.size
+        val chunks = bounds.zip(bounds.tail)
+          .map { case (a, b) => probes.slice(a, b) }
+        run(chunks)
+      }
+      outs.foreach(o => assert(o.size == probes.size,
+        s"seed $seed: one output row per probe, got ${o.size}"))
+      assert(outs.distinct.size == 1,
+        s"seed $seed: outputs differ across micro-batch cuts: $outs")
+    }
   }
 }
