@@ -73,9 +73,14 @@ object Bench {
     * canary closes that: its true cost never changes across rounds or
     * code versions, so an elevated canary MIN is host load by
     * construction, and bench_compare can print a canary-normalized
-    * geomean. Single-threaded on purpose: it measures cycles available
-    * to one runnable thread — exactly what uniform neighbor load
-    * steals — without itself perturbing the suite. ~0.25 s quiet.
+    * geomean. The timed row ([[canaryWall]]) runs the loop on 32
+    * threads — the local[32] contract — because the suite saturates
+    * every core: a single probe thread among N spinners on ≥N cores
+    * can still find a mostly-free slot and under-reads uniform load
+    * ~2× (measured: burner window, suite 2.4× slow, 1-thread canary
+    * min only 1.25× up; the 32-thread wall tracks the suite's own
+    * slowdown). Fixed 32 threads, NOT availableProcessors, so the work
+    * is identical across hosts and rounds. Wall ≈0.15 s quiet.
     * Returns the checksum so the JIT can't dead-code the loop; the
     * value is deterministic (pinned in OpsSpec) — any change means the
     * canary's work changed and its numbers start a new band.
@@ -107,6 +112,22 @@ object Bench {
       p += 1
     }
     h
+  }
+
+  /** The timed canary unit: [[canaryOnce]] on each of 32 threads over
+    * the shared read-only buffer, wall-clocked by the caller. The
+    * per-thread checksums (all the same known constant) fold by
+    * commutative addition — thread-order-independent, so the result
+    * stays deterministic for the JIT blackhole.
+    */
+  private[graft] def canaryWall(threads: Int = 32): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val ts = (0 until threads).map { _ =>
+      new Thread(() => { acc.getAndAdd(canaryOnce()) })
+    }
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    acc.get()
   }
 
   /** Deterministic 5k-entry dictionary: 250 vocab bigrams that really
@@ -293,7 +314,7 @@ object Bench {
     // Warm each query once ON THE REAL DATA: AQE picks size-dependent
     // physical plans, so a small-slice warmup leaves the full-size plan's
     // codegen cold (measured: q_dedup_minhash 10.7s cold vs 1.8s steady).
-    canarySink = canaryOnce() // JIT-warm the canary loop too
+    canarySink = canaryWall() // JIT-warm the canary loop too
     thunks.foreach { case (_, f) => f() }
     spark.catalog.clearCache()
     System.err.println("[bench] warmup done")
@@ -307,7 +328,7 @@ object Bench {
     // start, adjacent to the annotate rows it normalizes.
     var canary = Vector.empty[Double]
     for (r <- 1 to rounds) {
-      canary = canary :+ time { canarySink = canaryOnce() }
+      canary = canary :+ time { canarySink = canaryWall() }
       for ((name, f) <- thunks) {
         val t = time(f())
         samples(name) = samples.getOrElse(name, Vector.empty) :+ t
@@ -326,7 +347,7 @@ object Bench {
     // Sampling them once more at the END of the suite breaks that
     // alignment; min across K+1 keeps the artifact keys unchanged.
     // The canary takes its displaced K+1 sample on the same schedule.
-    canary = canary :+ time { canarySink = canaryOnce() }
+    canary = canary :+ time { canarySink = canaryWall() }
     for ((name, f) <- thunks if name.startsWith("annotate_")) {
       val t = time(f())
       samples(name) = samples(name) :+ t

@@ -5572,5 +5572,9 @@ class OpsSpec extends AnyFunSuite {
     assert(graft.Bench.canaryOnce(passes = 1500) == -4665232685988848699L)
     // scaling sanity: more passes = different (more) work
     assert(graft.Bench.canaryOnce(passes = 2) != h)
+    // the timed unit: 32 identical per-thread checksums folded by
+    // commutative addition — deterministic regardless of thread order
+    assert(graft.Bench.canaryWall(threads = 2) ==
+      graft.Bench.canaryOnce() * 2)
   }
 }
