@@ -1306,9 +1306,12 @@ object SparkEntry {
         }
         prev = cut
       }
-      require(q.recentProgress.count(_.numInputRows > 0) >= nFed,
-        s"stream-join gate fed $nFed non-empty chunk pairs but processed " +
-          s"fewer row-bearing micro-batches")
+      // >=3: same multi-micro-batch invariant as the stream-asof gate
+      // (processed>=nFed is vacuous by construction; quantile cuts
+      // only collapse below 3 on degenerate timestamp mass)
+      require(nFed >= 3,
+        s"stream-join gate fed only $nFed non-empty chunk pairs — needs " +
+          ">=3 micro-batches; events timestamp distribution is degenerate")
     } finally q.stop()
     s.table(qname)
       .select(col("event_id").as("click_id"),
@@ -1371,9 +1374,16 @@ object SparkEntry {
         }
         prev = cut
       }
-      require(q.recentProgress.count(_.numInputRows > 0) >= nFed,
-        s"stream-asof gate fed $nFed non-empty chunks but processed " +
-          s"fewer row-bearing micro-batches")
+      // >=3 restores the multi-micro-batch invariant the old fixed
+      // gate carried (a processed>=nFed check is vacuous: each fed
+      // chunk's processAllAvailable yields >=1 row-bearing batch by
+      // construction). With QUANTILE cuts, nFed<3 needs >50% of the
+      // probability mass on <=2 timestamp values — genuinely
+      // degenerate data worth failing loudly on, unlike the
+      // span-division cuts that went empty under mere skew.
+      require(nFed >= 3,
+        s"stream-asof gate fed only $nFed non-empty chunks — needs >=3 " +
+          "micro-batches; events timestamp distribution is degenerate")
     } finally q.stop()
     s.table(qname)
       .select(col("event_id"), col("user_id"), col("dim_version"),

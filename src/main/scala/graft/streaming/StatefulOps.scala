@@ -282,12 +282,14 @@ object StatefulOps {
     * `materializeDim` (default ON) persists the projected dimension
     * for the lifetime of the streaming query: the first micro-batch
     * computes and caches it, every later batch broadcasts from the
-    * cache, and a `StreamingQueryListener` releases it once the
-    * session's last streaming query terminates (recompute-safe — this
-    * is a plain cache of a deterministic plan, NOT a
-    * snapshot-dependent persist, so an early release costs recompute,
-    * never correctness; with several concurrent streaming queries the
-    * release is deferred until all are quiet). Pass
+    * cache, and a `StreamingQueryListener` releases it whenever the
+    * session's last streaming query terminates and re-arms it on the
+    * next query start (see [[releaseWhenStreamsQuiet]] — recompute-safe
+    * plain cache of a deterministic plan, NOT a snapshot-dependent
+    * persist, so an early release costs recompute, never correctness;
+    * with several concurrent streaming queries the release is deferred
+    * until all are quiet; armed pins are bounded by [[maxDimPinsKey]]).
+    * Pass
     * `materializeDim = false` to manage the dimension's lifecycle
     * yourself (e.g. a plain parquet read that needs no cache, or a
     * dimension you refresh by restarting the query). In batch mode
@@ -344,30 +346,81 @@ object StatefulOps {
       .drop("__dk", "__df", "__dt")
   }
 
-  /** Unpersist `frame` once the session's LAST streaming query
-    * terminates. The plan is built before any query starts, so the
-    * consuming query's id is unknowable here — releasing when
-    * `spark.streams.active` drains is the conservative mapping: while
-    * ANY streaming query runs the cache is held (ours might be the one
-    * running), and the first termination that leaves the session quiet
-    * releases it and retires the listener. Deliberately NOT
-    * [[graft.spark.CacheRelease.afterFirstAction]]: the whole point is
-    * surviving PAST the first action (micro-batch 1) to the query's
-    * end, and this cache must not count against the CacheRelease
-    * pending cap. Recompute-safe: a released-then-reused frame
+  /** Conf key bounding armed dim-pin listeners per JVM (below). */
+  val maxDimPinsKey = "spark.graft.streamAsof.maxDimPins"
+
+  private val dimPinLog =
+    org.slf4j.LoggerFactory.getLogger("graft.streaming.StatefulOps")
+  private case class DimPin(
+      spark: org.apache.spark.sql.SparkSession, frame: DataFrame,
+      listener: org.apache.spark.sql.streaming.StreamingQueryListener)
+  private val dimPins = new java.util.ArrayDeque[DimPin]()
+
+  /** Keep `frame` persisted while streaming queries run; unpersist
+    * when the session goes quiet. The plan is built before any query
+    * starts and termination events carry no plan, so the consuming
+    * query is unknowable — the lifecycle is driven by session-level
+    * events instead:
+    *
+    *  - every `onQueryStarted` RE-PERSISTS the frame if a quiet-session
+    *    release dropped it (an unrelated query terminating between this
+    *    plan's build and its query's start must not silently revert the
+    *    optimization to per-micro-batch recompute — the cache re-arms
+    *    the moment any query, ours included, starts; a batch-1 race
+    *    with the async listener bus costs at most ONE extra dim
+    *    evaluation). `persist` registration is LAZY, so re-pinning a
+    *    frame whose query is long gone costs a CacheManager entry, not
+    *    memory — only a plan that executes again materializes anything;
+    *  - every `onQueryTerminated` that leaves `spark.streams.active`
+    *    empty unpersists (while ANY query runs the cache is held — ours
+    *    might be the one running). The listener is NOT retired on
+    *    release: there is no event that distinguishes "our consumer
+    *    finished" from "some other query finished", and retiring on the
+    *    latter is exactly the premature-release bug this design closes.
+    *
+    * Armed listeners are instead bounded by [[maxDimPinsKey]] (default
+    * 64, session-tunable, validated at arming): arming one past the cap
+    * evicts the OLDEST pin — removeListener + unpersist + one loud WARN
+    * naming the knob — mirroring [[graft.spark.CacheRelease]]'s pending
+    * cap. Deliberately NOT CacheRelease.afterFirstAction itself: the
+    * whole point is surviving PAST the first action (micro-batch 1) to
+    * the query's end, and this cache must not count against that cap.
+    * Recompute-safe throughout: a released-then-reused frame
     * recomputes, never returns wrong rows.
     */
   private def releaseWhenStreamsQuiet(
       spark: org.apache.spark.sql.SparkSession, frame: DataFrame): Unit = {
+    val capRaw = spark.conf.get(maxDimPinsKey, "64")
+    val cap = try capRaw.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"streamAsofScd2: $maxDimPinsKey must be a positive integer, got " +
+          s"'$capRaw'")
+    }
+    require(cap >= 1,
+      s"streamAsofScd2: $maxDimPinsKey must be >= 1, got $cap")
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryStarted(e: QueryStartedEvent): Unit =
+        // storageLevel == NONE means a quiet-session release already
+        // dropped the cache entry — re-register it (the guard also
+        // silences the "already cached" warning on the common path)
+        if (frame.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       override def onQueryProgress(e: QueryProgressEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-        if (spark.streams.active.isEmpty) {
-          frame.unpersist(blocking = false)
-          spark.streams.removeListener(this)
-        }
+        if (spark.streams.active.isEmpty) frame.unpersist(blocking = false)
+    }
+    dimPins.synchronized {
+      dimPins.addLast(DimPin(spark, frame, listener))
+      while (dimPins.size > cap) {
+        val oldest = dimPins.removeFirst()
+        oldest.spark.streams.removeListener(oldest.listener)
+        oldest.frame.unpersist(blocking = false)
+        dimPinLog.warn(s"evicting oldest streamAsofScd2 dimension pin: " +
+          s"armed pins exceeded $maxDimPinsKey=$cap — that query's static " +
+          "side recomputes per micro-batch from here on (recompute-safe " +
+          "by contract); raise the conf if this arming rate is intended")
+      }
     }
     spark.streams.addListener(listener)
   }

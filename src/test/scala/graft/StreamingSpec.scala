@@ -654,6 +654,58 @@ class StreamingSpec extends AnyFunSuite {
       "dimension cache must release after the streaming query terminates")
   }
 
+  test("streamAsofScd2 dim cache survives an unrelated query's " +
+      "quiet-session release before the consumer starts") {
+    implicit val sqlCtx = spark.sqlContext
+    // the hole the r15 review found: the release listener arms at plan
+    // BUILD time, so an unrelated query terminating (session quiet)
+    // between build and our query's start used to unpersist the dim
+    // and retire the listener — the consumer then recomputed the whole
+    // dimension pipeline EVERY micro-batch for its whole life, with no
+    // signal. The listener now re-persists on any query start and only
+    // retires after a start was observed since arming.
+    val acc = spark.sparkContext.longAccumulator("dim_evals_r15b")
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val hist = Seq(
+      (1L, 7L, ts(0), "free"), (2L, 7L, ts(10), "pro"))
+      .toDF("event_id", "user_id", "ts", "plan")
+    val tick = udf((v: Long) => { acc.add(1L); v })
+    val dim = graft.ops.Events.scd2(hist, "user_id", "ts", "event_id", "plan")
+      .withColumn("version", tick(col("version")))
+    val nDim = hist.count()
+    val ms = MemoryStream[(Long, Long, Timestamp)]
+    val enriched = graft.streaming.StatefulOps.streamAsofScd2(
+      ms.toDF().toDF("event_id", "user_id", "ts"), dim,
+      "user_id", "ts", Seq("version", "plan")) // plan built, listener armed
+    // unrelated query starts and stops -> session quiet -> old code
+    // unpersisted the dim here and retired the listener
+    val msOther = MemoryStream[Long]
+    val qOther = msOther.toDF().writeStream.format("memory")
+      .queryName("sasof_unrelated").outputMode("append").start()
+    msOther.addData(1L)
+    qOther.processAllAvailable()
+    qOther.stop()
+    qOther.awaitTermination()
+    // drain the listener bus so the quiet-session release definitely
+    // happened before the consumer starts (the worst-case ordering)
+    Thread.sleep(500)
+    val q = enriched.writeStream.format("memory").queryName("sasof_revive")
+      .outputMode("append").start()
+    try {
+      for (i <- 0 until 4) {
+        ms.addData((300L + i, 7L, ts(i * 3 + 1)))
+        q.processAllAvailable()
+      }
+      assert(spark.table("sasof_revive").count() == 4)
+      // fixed: <= 2 evaluations (one from the pre-release build path or
+      // a first batch racing the async re-persist, one cache build).
+      // The old behavior recomputes per batch: 4 x nDim minimum.
+      assert(acc.value <= 2 * nDim,
+        s"dimension pipeline row-evals: ${acc.value} for nDim=$nDim — " +
+          "the dim cache did not survive the unrelated query's release")
+    } finally q.stop()
+  }
+
   test("streamAsofScd2: enriched output is invariant to micro-batch " +
       "cuts (1/2/4 chunks, 2 random cut seeds)") {
     implicit val sqlCtx = spark.sqlContext

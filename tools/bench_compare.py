@@ -66,6 +66,19 @@ def load(path):
 _HEADLINE_MARKERS = ('"q_triplets_min"', '"samples":', '"headline"')
 
 
+def _tail_body(doc):
+    """The raw stdout tail with headline lines dropped. A PARTIAL
+    headline line (window begins mid-line) no longer startswith
+    '{"headline"' — drop any line carrying a headline-only marker key
+    instead (ADVICE r14)."""
+    tail = doc.get("tail", "")
+    return "\n".join(l for l in tail.splitlines()
+                     if not any(m in l for m in _HEADLINE_MARKERS))
+
+
+_PAIR_RE = r'"((?:q|annotate_)[0-9A-Za-z_]*)"\s*:\s*([0-9.]+)'
+
+
 def query_mins(doc):
     """Per-query min map from any artifact shape."""
     for q in (doc.get("queries"),
@@ -74,34 +87,41 @@ def query_mins(doc):
             return q
     # driver artifact: the min map lives inside the raw "tail" stdout
     # string, often truncated at the FRONT (capture window), so a plain
-    # json parse of the queries line can't work — regex the pairs out,
-    # after dropping headline lines. A PARTIAL headline line (window
-    # begins mid-line) no longer startswith '{"headline"' — drop any
-    # line carrying a headline-only marker key instead (ADVICE r14).
-    tail = doc.get("tail", "")
-    body = "\n".join(l for l in tail.splitlines()
-                     if not any(m in l for m in _HEADLINE_MARKERS))
-    # the big line carries three per-query maps — queries_median,
+    # json parse of the queries line can't work — regex the pairs out.
+    # The big line carries three per-query maps — queries_median,
     # queries_disp (r15+), and the MIN map "queries" LAST. When the min
     # map's opener survived the front-truncation, harvest only after it
     # so a cut INSIDE the min map can't fall back to median/disp values
     # for the missing keys (a disp ~1.0 reads as a plausible 1-second
     # min). Without the opener the surviving text IS the min-map tail.
+    body = _tail_body(doc)
     idx = body.rfind('"queries":')
     if idx >= 0:
         body = body[idx:]
     # annotate_* rows are first-class members of the queries map — a
     # q-only pattern would silently change the geomean's composition
     # versus a parsed-artifact comparison of the same runs
-    pairs = re.findall(r'"((?:q|annotate_)[0-9A-Za-z_]*)"\s*:\s*([0-9.]+)', body)
+    pairs = re.findall(_PAIR_RE, body)
     return {k: float(v) for k, v in pairs}
 
 
 def query_disps(doc):
-    """Per-query dispersion map (r15+ artifacts), {} when absent."""
-    return (doc.get("queries_disp")
-            or (doc.get("parsed") or {}).get("queries_disp")
-            or {})
+    """Per-query dispersion map (r15+ artifacts), {} when absent.
+    Driver tail artifacts carry it only inside the raw tail text —
+    harvest the span between its opener and the min map's opener, so
+    the mover disp annotation works on exactly the artifact shape used
+    for round adjudication."""
+    parsed = (doc.get("queries_disp")
+              or (doc.get("parsed") or {}).get("queries_disp"))
+    if parsed:
+        return parsed
+    body = _tail_body(doc)
+    i = body.find('"queries_disp":')
+    if i < 0:
+        return {}
+    j = body.find('"queries":', i)
+    seg = body[i:j if j >= 0 else len(body)]
+    return {k: float(v) for k, v in re.findall(_PAIR_RE, seg)}
 
 
 def headline(doc):
@@ -179,40 +199,48 @@ def compare_two(new_doc, old_doc, thr):
     print_headlines(new_doc, old_doc)
 
 
-def band_over(paths):
-    """Per-query (min, max, n) band over the artifacts at `paths`,
+def band_over(docs):
+    """Per-query (values list) over preloaded `(path, doc)` pairs,
     keyed over every query any of them carries."""
-    maps = [(p, query_mins(load(p))) for p in paths]
-    band = {}
-    for _, q in maps:
-        for k, v in q.items():
-            if v <= 0:
-                continue
-            lo, hi, n = band.get(k, (v, v, 0))
-            band[k] = (min(lo, v), max(hi, v), n + 1)
-    return band, [p for p, _ in maps]
+    vals = {}
+    for _, doc in docs:
+        for k, v in query_mins(doc).items():
+            if v > 0:
+                vals.setdefault(k, []).append(v)
+    return vals
+
+
+def median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
 
 
 def compare_band(new_doc, old_paths, slack):
     new_q = {k: v for k, v in query_mins(new_doc).items() if v > 0}
     new_d = query_disps(new_doc)
-    band, _ = band_over(old_paths)
+    old_docs = [(p, load(p)) for p in old_paths]
+    vals = band_over(old_docs)
+    band = {k: (min(v), max(v), len(v)) for k, v in vals.items()}
     shared = sorted(set(new_q) & set(band))
     if not shared:
         print("no shared query keys with any old window")
         return
-    # window drift estimate: geomean of new vs the band MIDPOINT of the
-    # olds' mins (robust to one outlier-low/high old window)
-    ratios = {k: new_q[k] / ((band[k][0] + band[k][1]) / 2) for k in shared}
+    # window drift estimate: geomean of new vs the per-query MEDIAN of
+    # the olds' mins — the (min+max)/2 midpoint moves by half of any
+    # single contaminated window's displacement, which is exactly the
+    # episode this tool adjudicates; the median ignores one outlier
+    # window entirely
+    ratios = {k: new_q[k] / median(vals[k]) for k in shared}
     geo = geomean(ratios.values())
     print(f"band mode: {len(old_paths)} old windows, {len(shared)} shared keys"
-          f"   geomean new/band-mid: {geo:.3f}")
+          f"   geomean new/old-median: {geo:.3f}")
     cn = canary_min(new_doc)
-    cos = [canary_min(load(p)) for p in old_paths]
+    cos = [canary_min(d) for _, d in old_docs]
     cos = [c for c in cos if c]
     if cn and cos:
-        cr = cn / (sum(cos) / len(cos))
-        print(f"canary min new/old-mean: {cr:.3f}   "
+        cr = cn / median(cos)
+        print(f"canary min new/old-median: {cr:.3f}   "
               f"canary-normalized geomean: {geo / cr:.3f}")
     # a mover must be OUTSIDE the old band AND beyond what uniform
     # window drift (the geomean) explains — per-query blips inside the
@@ -243,20 +271,28 @@ def compare_band(new_doc, old_paths, slack):
               f"(band {lo:.3f}-{hi:.3f} over {n} -> {new_q[k]:.3f}s)")
     if not improve:
         print("  (none)")
-    print_headlines(new_doc, load(old_paths[0]))
+    print(f"\nheadline table's old column = {old_paths[0]} (first old "
+          "window); per-old suspect/canary:")
+    for p, d in old_docs:
+        h = headline(d)
+        cm = canary_min(d)
+        print(f"  {p:32s} suspect {h.get('suspect')!s:>5}  canary_min "
+              f"{cm if cm is not None else '-'}")
+    print_headlines(new_doc, old_docs[0][1])
 
 
 def write_bands(out_path, paths):
-    band, sources = band_over(paths)
+    vals = band_over([(p, load(p)) for p in paths])
     doc = {
-        "sources": sources,
-        "bands": {k: {"min": round(lo, 3), "max": round(hi, 3), "n": n}
-                  for k, (lo, hi, n) in sorted(band.items())},
+        "sources": list(paths),
+        "bands": {k: {"min": round(min(v), 3), "max": round(max(v), 3),
+                      "n": len(v)}
+                  for k, v in sorted(vals.items())},
     }
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(f"wrote {len(band)} query bands over {len(paths)} windows "
+    print(f"wrote {len(vals)} query bands over {len(paths)} windows "
           f"to {out_path}")
 
 
