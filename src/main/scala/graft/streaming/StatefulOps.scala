@@ -356,6 +356,11 @@ object StatefulOps {
       listener: org.apache.spark.sql.streaming.StreamingQueryListener)
   private val dimPins = new java.util.ArrayDeque[DimPin]()
 
+  /** Armed dimension pins right now (introspection for tests and
+    * service dashboards — the lifecycle itself is event-driven).
+    */
+  def dimPinCount: Int = dimPins.synchronized(dimPins.size)
+
   /** Keep `frame` persisted while streaming queries run; unpersist
     * when the session goes quiet. The plan is built before any query
     * starts and termination events carry no plan, so the consuming

@@ -706,6 +706,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamAsofScd2: maxDimPins conf honored, eviction logs the knob") {
+    implicit val sqlCtx = spark.sqlContext
+    val SO = graft.streaming.StatefulOps
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val dim = Seq((7L, ts(0), null.asInstanceOf[Timestamp], 1L, "free"))
+      .toDF("user_id", "effective_from", "effective_to", "version", "plan")
+    def plan(): Unit = {
+      val ms = MemoryStream[(Long, Long, Timestamp)]
+      SO.streamAsofScd2(ms.toDF().toDF("event_id", "user_id", "ts"), dim,
+        "user_id", "ts", Seq("version", "plan"))
+      ()
+    }
+    // capture the eviction WARN via a log4j2 appender on the exact
+    // logger the pin registry writes to (the operability contract says
+    // evictions are LOUD — same technique as the CacheRelease cap test)
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graft-dimpin-capture", null, null, false,
+        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        captured.add(e.getMessage.getFormattedMessage)
+    }
+    appender.start()
+    val coreLogger = org.apache.logging.log4j.LogManager
+      .getLogger("graft.streaming.StatefulOps")
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    val prevLevel = coreLogger.getLevel
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "graft.streaming.StatefulOps", org.apache.logging.log4j.Level.WARN)
+    coreLogger.addAppender(appender)
+    try {
+      spark.conf.set(SO.maxDimPinsKey, "1")
+      plan() // may already evict pins armed by earlier tests
+      plan() // definitely evicts the pin armed one line up
+      assert(SO.dimPinCount == 1,
+        s"cap 1 must hold: ${SO.dimPinCount} pins armed")
+      val msgs = captured.toArray.map(_.toString)
+      assert(msgs.exists(_.contains(SO.maxDimPinsKey)),
+        s"eviction must log the conf knob; got: ${msgs.mkString(" | ")}")
+      // bad values fail loudly at plan build, never a silent default
+      spark.conf.set(SO.maxDimPinsKey, "0")
+      intercept[IllegalArgumentException] { plan() }
+      spark.conf.set(SO.maxDimPinsKey, "banana")
+      intercept[IllegalArgumentException] { plan() }
+      spark.conf.unset(SO.maxDimPinsKey)
+      plan() // default 64 accepted
+      assert(SO.dimPinCount == 2)
+    } finally {
+      spark.conf.unset(SO.maxDimPinsKey)
+      coreLogger.removeAppender(appender)
+      appender.stop()
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "graft.streaming.StatefulOps", prevLevel)
+    }
+  }
+
   test("streamAsofScd2: enriched output is invariant to micro-batch " +
       "cuts (1/2/4 chunks, 2 random cut seeds)") {
     implicit val sqlCtx = spark.sqlContext
