@@ -416,11 +416,22 @@ object StatefulOps {
         if (spark.streams.active.isEmpty) frame.unpersist(blocking = false)
     }
     dimPins.synchronized {
+      // pins from STOPPED sessions are dead weight (their caches died
+      // with the context, their listeners can never fire again) — drop
+      // them silently before the cap arithmetic so a session restart
+      // (Bench's local[4] parity block does exactly that) can't occupy
+      // cap slots or blow up in the eviction below
+      dimPins.removeIf(pin => pin.spark.sparkContext.isStopped)
       dimPins.addLast(DimPin(spark, frame, listener))
       while (dimPins.size > cap) {
         val oldest = dimPins.removeFirst()
-        oldest.spark.streams.removeListener(oldest.listener)
-        oldest.frame.unpersist(blocking = false)
+        // best-effort: eviction touches ANOTHER plan's session, which
+        // may stop concurrently — a dead pin must never fail the
+        // innocent caller arming the new one
+        try {
+          oldest.spark.streams.removeListener(oldest.listener)
+          oldest.frame.unpersist(blocking = false)
+        } catch { case scala.util.control.NonFatal(_) => () }
         dimPinLog.warn(s"evicting oldest streamAsofScd2 dimension pin: " +
           s"armed pins exceeded $maxDimPinsKey=$cap — that query's static " +
           "side recomputes per micro-batch from here on (recompute-safe " +
