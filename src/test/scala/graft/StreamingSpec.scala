@@ -821,4 +821,78 @@ class StreamingSpec extends AnyFunSuite {
         s"seed $seed: outputs differ across micro-batch cuts: $outs")
     }
   }
+
+  test("streamingDedup state survives a checkpoint restart; sink stays " +
+      "exactly-once across the stop") {
+    // the production lifecycle no other test exercises: a stateful
+    // query STOPS (deploy, crash, rebalance) and a NEW query resumes
+    // from the checkpoint — dedup state must carry over (a text seen
+    // before the stop stays suppressed after it) and the idempotent
+    // sink must not double-write any replayed batch
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val ms = MemoryStream[(Timestamp, String)]
+    def start() = graft.streaming.StatefulOps.streamingDedup(
+        ms.toDF().toDF("ts", "text"), "text", "ts", delay = "1 hour")
+      .writeStream.foreachBatch(graft.streaming.IdempotentSink.sink(s"$root/out"))
+      .option("checkpointLocation", s"$root/_ckpt").start()
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val q1 = start()
+    try {
+      ms.addData((ts(0), "alpha"), (ts(1), "beta"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    q1.awaitTermination()
+    val q2 = start() // same checkpoint, fresh query
+    try {
+      // "alpha" is a dup ONLY if the dropDuplicatesWithinWatermark
+      // state store recovered; "gamma" proves the resumed query flows
+      ms.addData((ts(5), "alpha"), (ts(5), "gamma"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val texts = graft.streaming.IdempotentSink.readCommitted(spark, s"$root/out")
+      .select($"text").collect().map(_.getString(0)).sorted.toSeq
+    assert(texts == Seq("alpha", "beta", "gamma"),
+      s"expected exactly-once texts across the restart, got $texts")
+  }
+
+  test("streamingNearDupHits custom state survives a checkpoint restart: " +
+      "pre-stop bucket owner still triggers hits") {
+    // pins the CUSTOM state class (BucketState: priorId + sig array +
+    // lastMs) through a state-store round trip — an encoder/schema
+    // regression would silently forget every bucket owner on restart
+    // and near-dups arriving after a deploy would sail through
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_restart_nd").toString
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    // the memory sink refuses checkpoint recovery; foreachBatch (the
+    // production sink shape) supports it
+    def start() = graft.streaming.StatefulOps.streamingNearDupHits(
+        ms.toDF().toDF("doc_id", "ts", "text"), "text", "doc_id", "ts",
+        n = 3, numPerms = 64, bands = 16, delaySec = 3600)
+      .toDF()
+      .writeStream.foreachBatch(graft.streaming.IdempotentSink.sink(s"$root/out"))
+      .option("checkpointLocation", s"$root/_ckpt").start()
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val q1 = start()
+    try {
+      ms.addData((1L, ts(0), textA)) // doc 1 claims every band bucket
+      q1.processAllAvailable()
+    } finally q1.stop()
+    q1.awaitTermination()
+    val preStop = graft.streaming.IdempotentSink.readCommitted(spark, s"$root/out")
+    assert(preStop.isEmpty) // first owner: no hits
+    val q2 = start()
+    try {
+      ms.addData((2L, ts(5), textA)) // identical text, post-restart
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val hits = graft.streaming.IdempotentSink.readCommitted(spark, s"$root/out")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // all 16 bands hit, each remembering the PRE-RESTART owner
+    assert(hits.length == 16, s"expected 16 band hits, got ${hits.mkString(", ")}")
+    assert(hits.forall { case (docId, priorId, agree) =>
+      docId == 2L && priorId == 1L && agree == 1.0 }, hits.mkString(", "))
+  }
 }
