@@ -1391,6 +1391,84 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Stream-STREAM temporal as-of gate: dimension updates arrive as
+    * their own stream (every third event, collapsed to one max-type
+    * update per (user, instant)), events as another, both fed in the
+    * same chronological quantile chunks —
+    * [[graft.streaming.StatefulOps.streamAsofTemporal]] buffers each
+    * event until the joint watermark seals it, then resolves the
+    * version in force at its event time from per-key state. Sentinel
+    * rows on BOTH streams push the joint watermark past the last real
+    * event (min-of-inputs semantics: one silent side would hold every
+    * seal back). The oracle rebuilds the update stream's validity
+    * intervals and the interval join in SQL; events before a user's
+    * first sampled update must come back null.
+    */
+  private def qStreamTemporal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .orderBy(col("us"), col("event_id"))
+      .as[(Long, Long, Long)].collect()
+    val upd = events(s, dir)
+      .filter(col("event_id") % 3 === 0)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_type")).as("etype"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("etype"))
+      .orderBy(col("us"), col("user_id"))
+      .as[(Long, Long, String)].collect()
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val msE = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val msU = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+    val streamDf = msE.toDF().toDF("event_id", "user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val dimDf = msU.toDF().toDF("user_id", "us", "event_type")
+      .withColumn("effective_from", timestamp_micros(col("us"))).drop("us")
+    val enriched = graft.streaming.StatefulOps.streamAsofTemporal(
+      streamDf, dimDf, "user_id", "ts", Seq("event_type"))
+    val qname = "graft_stream_temporal"
+    s.catalog.dropTempView(qname)
+    val q = withStreamShuffle(s) {
+      enriched.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+    }
+    try {
+      // chronological quarters from event-time QUANTILES (the same
+      // shape as qStreamAsof); each chunk feeds BOTH streams so the
+      // joint watermark advances together
+      val times = ev.map(_._3)
+      val cuts = ((1 to 3).map(i =>
+          times(((times.length.toLong * i) / 4).toInt.min(times.length - 1)))
+        :+ (times.last + 1)).distinct
+      var prev = Long.MinValue
+      var nFed = 0
+      cuts.foreach { cut =>
+        val evChunk = ev.filter(e => e._3 >= prev && e._3 < cut)
+        val updChunk = upd.filter(u => u._2 >= prev && u._2 < cut)
+        if (evChunk.nonEmpty || updChunk.nonEmpty) {
+          if (evChunk.nonEmpty) msE.addData(evChunk.toSeq)
+          if (updChunk.nonEmpty) msU.addData(updChunk.toSeq)
+          q.processAllAvailable()
+          if (evChunk.nonEmpty) nFed += 1
+        }
+        prev = cut
+      }
+      require(nFed >= 3,
+        s"stream-temporal gate fed only $nFed non-empty event chunks — " +
+          "needs >=3 micro-batches; events timestamp distribution is degenerate")
+      // sentinels a day past the last event on BOTH inputs: the joint
+      // watermark passes every real event, sealing all buffered rows
+      val flushUs = times.last + 86400L * 1000000L
+      msE.addData((-1L, -10L, flushUs))
+      msU.addData((-10L, flushUs, "zz"))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(qname)
+      .filter(col("event_id") >= 0)
+      .select(col("event_id"), col("user_id"), col("dim_event_type"))
+      .orderBy(col("event_id"))
+  }
+
   /** Z-order vs linear layout envelope report on lineitem
     * (l_partkey × l_suppkey, 11 bits, 16 quadrant buckets): the Morton
     * key arithmetic and every bucket's per-dimension (min, max)
@@ -3771,6 +3849,7 @@ object SparkEntry {
     "q_bucket_join" -> (qBucketJoin _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_asof" -> (qStreamAsof _),
+    "q_stream_temporal" -> (qStreamTemporal _),
     "q_resample" -> (qResample _),
     "q_rollup" -> (qRollup _),
     "q_pivot" -> (qPivot _),
@@ -5391,6 +5470,24 @@ object SparkEntry {
         |FROM events e LEFT JOIN d ON e.user_id = d.user_id
         |  AND e.ts >= d.effective_from
         |  AND (d.effective_to IS NULL OR e.ts < d.effective_to)
+        |ORDER BY e.event_id""".stripMargin,
+    // the update stream's validity intervals (every third event,
+    // collapsed to one max-type update per (user, instant)) + interval
+    // membership = the version streamAsofTemporal's per-key state
+    // resolves for each sealed event
+    "q_stream_temporal" ->
+      """WITH upd AS (
+        |  SELECT user_id, ts AS effective_from, max(event_type) AS etype
+        |  FROM events WHERE event_id % 3 = 0 GROUP BY 1, 2),
+        |v AS (
+        |  SELECT user_id, effective_from, etype,
+        |    lead(effective_from) OVER (PARTITION BY user_id
+        |      ORDER BY effective_from ASC) AS effective_to
+        |  FROM upd)
+        |SELECT e.event_id, e.user_id, v.etype AS dim_event_type
+        |FROM events e LEFT JOIN v ON e.user_id = v.user_id
+        |  AND e.ts >= v.effective_from
+        |  AND (v.effective_to IS NULL OR e.ts < v.effective_to)
         |ORDER BY e.event_id""".stripMargin,
     // plain relational join — the Spark side's value-add (zero-shuffle
     // bucketed plan) is require'd structurally inside the query

@@ -22,6 +22,31 @@ final case class BandHit(docId: Long, band: Int, priorId: Long, sigAgreement: Do
   */
 final case class BucketState(priorId: Long, sig: Array[Long], lastMs: Long)
 
+/** One dimension version in [[StatefulOps.streamAsofTemporal]] state:
+  * attributes (JSON at the state boundary) valid from `fromMs` until
+  * the next version's `fromMs`.
+  */
+final case class DimVersion(fromMs: Long, dimJson: String)
+
+/** An event buffered in [[StatefulOps.streamAsofTemporal]] state until
+  * the watermark seals its as-of lookup.
+  */
+final case class PendingEv(tsMs: Long, eventJson: String)
+
+/** Per-key [[StatefulOps.streamAsofTemporal]] state: the dim version
+  * history (pruned to one at-or-before the watermark) plus the events
+  * awaiting their watermark; `lastMs` is the key's newest seen event
+  * time (either side), the idle-TTL anchor.
+  */
+final case class TemporalAsofState(versions: Array[DimVersion],
+    pending: Array[PendingEv], lastMs: Long)
+
+/** A resolved [[StatefulOps.streamAsofTemporal]] event: the original
+  * event row and its matched dim version (null JSON = no version at or
+  * before the event time), both re-inflated by `from_json` downstream.
+  */
+final case class TemporalResolved(eventJson: String, dimJson: String)
+
 /** Stateful Structured-Streaming operators. The annotate matcher itself is
   * stateless, so custom state appears only in the analytics around the
   * stream — exactly two shapes a 100 TB/day pipeline needs:
@@ -439,5 +464,233 @@ object StatefulOps {
       }
     }
     spark.streams.addListener(listener)
+  }
+
+  /** JSON options pinning the state-boundary round trip of
+    * [[streamAsofTemporal]]: Spark's default `to_json` timestamp
+    * format keeps milliseconds only, so a microsecond event time would
+    * come back truncated — both directions use an explicit 6-digit
+    * fraction (and the NTZ variant for naive nested timestamps).
+    */
+  private val temporalJsonOpts = Map(
+    "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+
+  /** Greatest version with `fromMs <= tsMs` in an ascending-sorted
+    * history, or null JSON when the event predates every version.
+    */
+  private def asofLookup(versions: Array[DimVersion], tsMs: Long): String = {
+    var lo = 0
+    var hi = versions.length - 1
+    var best = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (versions(mid).fromMs <= tsMs) { best = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (best < 0) null else versions(best).dimJson
+  }
+
+  /** Stream-STREAM event-time temporal as-of join (the Flink
+    * "event-time temporal join" shape, which Spark's built-in
+    * stream-stream joins cannot express): dimension UPDATES arrive as
+    * their own stream — each `(key, dimTsCol, attrs)` row meaning "from
+    * this instant until the key's next update, the attributes are X" —
+    * and every event joins the version in force AT ITS EVENT TIME,
+    * exactly [[graft.ops.Joins.asofJoin]]'s backward semantics
+    * (inclusive at equality; events before a key's first version, or
+    * with keys the dimension never updated, pass through with null
+    * `dim_*`). Use this instead of [[streamAsofScd2]] when the
+    * dimension cannot be a maintained batch table — the updates ARE the
+    * stream (CDC feed, price ticks, config pushes).
+    *
+    * Correct under out-of-order arrival on BOTH sides, which is the
+    * whole point: an event must not resolve until no older-stamped dim
+    * update can still arrive, so each event is buffered until the
+    * joint watermark (min across the two inputs, both delayed by
+    * `delay`) passes its event time, then resolved against the version
+    * history and emitted — output latency is therefore ~`delay`, the
+    * price of event-time correctness (Flink's temporal join pays the
+    * same). Late stragglers degrade gracefully rather than silently
+    * diverging: a dim update older than the watermark still merges into
+    * the history and applies PROSPECTIVELY (already-emitted events
+    * stand), and a late event resolves immediately against the current
+    * history — both are best-effort beyond the watermark contract.
+    * Duplicate updates for the same (key, instant) resolve
+    * deterministically (greatest serialized attributes win, stable
+    * across arrival orders and micro-batch cuts).
+    *
+    * State and plan shape at 100 TB/day: per key, the version history
+    * prunes to ONE version at-or-before the watermark (the one future
+    * events may still need) plus any not-yet-effective future versions
+    * — i.e. steady-state dim-table-sized, the stream-stream analogue of
+    * [[streamAsofScd2]]'s broadcast — plus the events inside the
+    * `delay` horizon. Keys that stop receiving events keep their
+    * current version forever by default (a dimension does not expire);
+    * pass `idleTtlSec > 0` to evict a key's state once the watermark
+    * runs that far past its last activity — events arriving after an
+    * eviction re-enrich as null until the next update (the documented
+    * trade). Row payloads cross the state boundary as JSON against the
+    * plan-time schema (timestamps pinned to microsecond precision —
+    * see `temporalJsonOpts`); this keeps checkpointed state stable
+    * across library upgrades, where a Java/Kryo-serialized Row would
+    * not be. Watermark floor note: Spark's initial watermark is 0, so
+    * pre-1970 event times resolve in their arrival batch rather than
+    * waiting out the delay. In BATCH execution (equivalence rebuilds,
+    * backfills) no watermark exists and all input is present, so every
+    * event seals immediately — the operator degenerates to exactly
+    * [[graft.ops.Joins.asofJoin]].
+    *
+    * Null semantics match the batch asof family (r14 contract): null
+    * key/ts events pass through with null `dim_*` (emitted immediately
+    * — they wait on nothing); null key/ts dim updates can never match
+    * and are dropped. Both ts columns must already be TIMESTAMP
+    * (instant semantics): the watermark needs it, and a silent cast
+    * from date/ntz would shift naive wall-clock through the session
+    * zone.
+    *
+    * Output: every stream column unchanged, plus `dim_<c>` for each
+    * requested dimension attribute `c`.
+    */
+  def streamAsofTemporal(stream: DataFrame, dim: DataFrame, keyCol: String,
+      tsCol: String, dimCols: Seq[String], dimTsCol: String = "effective_from",
+      delay: String = "10 minutes", idleTtlSec: Long = 0L): DataFrame = {
+    require(dimCols.nonEmpty, "streamAsofTemporal: no dimension columns requested")
+    require(dimCols.distinct.size == dimCols.size,
+      s"streamAsofTemporal: duplicate dimension columns ${dimCols.mkString(", ")}" +
+        " — the output would carry ambiguous dim_<c> twins that fail " +
+        "only on first downstream reference")
+    require(idleTtlSec >= 0L,
+      s"streamAsofTemporal: idleTtlSec must be >= 0, got $idleTtlSec")
+    val outNames = dimCols.map("dim_" + _)
+    graft.ops.Ids.requireNoReservedNames("streamAsofTemporal", "stream",
+      stream.columns.toSeq, outNames.toSet, Some(stream.sparkSession))
+    (Seq(keyCol, dimTsCol) ++ dimCols).foreach(c =>
+      graft.ops.Ids.fieldOf(dim, c, "streamAsofTemporal"))
+    graft.ops.Ids.requireIntegralId(stream, keyCol, "streamAsofTemporal")
+    graft.ops.Ids.requireIntegralId(dim, keyCol, "streamAsofTemporal")
+    Seq((stream, tsCol, "stream"), (dim, dimTsCol, "dim")).foreach {
+      case (df, c, side) =>
+        val dt = graft.ops.Ids.fieldOf(df, c, "streamAsofTemporal").dataType
+        require(dt == org.apache.spark.sql.types.TimestampType,
+          s"streamAsofTemporal: $side ts column `$c` is ${dt.simpleString} " +
+            "— the watermark needs TIMESTAMP, and an implicit cast would " +
+            "shift naive date/ntz wall-clock through the session zone; " +
+            "cast explicitly to choose the instant semantics")
+    }
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val eventSchema = stream.schema
+    val dimStruct = org.apache.spark.sql.types.StructType(
+      dimCols.map(c => dim.schema(dim.schema.fieldIndex(c))))
+    val ttlMs = idleTtlSec * 1000L
+    // tagged union: dim updates and events share (key, ts, isDim, json)
+    val evIn = stream
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).cast("long").as("__k"), col(tsCol).as("__ts"),
+        lit(false).as("__isDim"),
+        to_json(struct(stream.columns.map(col).toIndexedSeq: _*),
+          temporalJsonOpts).as("__json"))
+      .withWatermark("__ts", delay)
+    val dimIn = dim
+      .filter(col(keyCol).isNotNull && col(dimTsCol).isNotNull)
+      .select(col(keyCol).cast("long").as("__k"), col(dimTsCol).as("__ts"),
+        lit(true).as("__isDim"),
+        to_json(struct(dimCols.map(col).toIndexedSeq: _*),
+          temporalJsonOpts).as("__json"))
+      .withWatermark("__ts", delay)
+    val resolved = evIn.union(dimIn)
+      .as[(Long, java.sql.Timestamp, Boolean, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (_: Long, rows: Iterator[(Long, java.sql.Timestamp, Boolean, String)],
+            state: GroupState[TemporalAsofState]) => {
+          // batch execution erases withWatermark, and GroupState then
+          // refuses watermark reads — in batch EVERYTHING is sealed
+          // (all input is present), so the operator degenerates to
+          // exactly the backward as-of join, enabling batch-mode
+          // equivalence rebuilds; the sealed sentinel also skips the
+          // timeout arming below (batch GroupState refuses that too)
+          val wm = try state.getCurrentWatermarkMs() catch {
+            case _: UnsupportedOperationException => Long.MaxValue
+          }
+          var st = state.getOption.getOrElse(
+            TemporalAsofState(Array.empty, Array.empty, 0L))
+          if (rows.nonEmpty) {
+            val rs = rows.toArray
+            st = st.copy(lastMs = math.max(st.lastMs,
+              rs.iterator.map(_._2.getTime).max))
+            val newDims = rs.filter(_._3)
+            if (newDims.nonEmpty) {
+              // upsert by instant; at a duplicate instant the greatest
+              // serialized attributes win — the SAME rule within a batch
+              // and across batches, so arrival order and micro-batch
+              // cuts cannot change the surviving version
+              val m = scala.collection.mutable.LongMap.empty[String]
+              st.versions.foreach(v => m(v.fromMs) = v.dimJson)
+              newDims.foreach { r =>
+                val fm = r._2.getTime
+                if (!m.get(fm).exists(_ >= r._4)) m(fm) = r._4
+              }
+              st = st.copy(versions = m.toArray
+                .map { case (f, j) => DimVersion(f, j) }.sortBy(_.fromMs))
+            }
+            val newEvs = rs.filter(!_._3)
+              .map(r => PendingEv(r._2.getTime, r._4))
+            if (newEvs.nonEmpty) st = st.copy(pending = st.pending ++ newEvs)
+          }
+          // the watermark seals every event at-or-before it: no dim
+          // update with an older instant can arrive anymore (beyond the
+          // documented late-straggler best effort)
+          val (ready, wait) = st.pending.partition(_.tsMs <= wm)
+          val out = ready.sortBy(p => (p.tsMs, p.eventJson)).iterator
+            .map(p => TemporalResolved(p.eventJson, asofLookup(st.versions, p.tsMs)))
+            .toVector
+          st = st.copy(pending = wait)
+          // prune history: future events all have ts > wm, so only the
+          // LATEST version at-or-before wm (plus every later one) can
+          // still win an as-of lookup
+          if (st.versions.length > 1) {
+            var floor = -1
+            var i = 0
+            while (i < st.versions.length && st.versions(i).fromMs <= wm) {
+              floor = i; i += 1
+            }
+            if (floor > 0) st = st.copy(versions = st.versions.drop(floor))
+          }
+          if (wm == Long.MaxValue) {
+            // batch: state dies with the (single) invocation anyway
+          } else {
+            // idle anchored on the key's own last EVENT-TIME activity,
+            // not the (possibly lagging) watermark at arming time — a
+            // fresh version must get its full ttl of quiet first
+            val idleExpired = state.hasTimedOut && st.pending.isEmpty &&
+              ttlMs > 0L && wm >= st.lastMs + ttlMs
+            if (idleExpired || (st.versions.isEmpty && st.pending.isEmpty)) {
+              state.remove()
+            } else {
+              state.update(st)
+              if (st.pending.nonEmpty)
+                state.setTimeoutTimestamp(
+                  math.max(wm + 1L, st.pending.iterator.map(_.tsMs).min + 1L))
+              else if (ttlMs > 0L)
+                state.setTimeoutTimestamp(math.max(wm + 1L, st.lastMs + ttlMs))
+            }
+          }
+          out.iterator
+        })
+    val enriched = resolved
+      .select(from_json(col("eventJson"), eventSchema, temporalJsonOpts).as("__e"),
+        from_json(col("dimJson"), dimStruct, temporalJsonOpts).as("__d"))
+      .select(stream.columns.map(c => col(s"__e.$c").as(c)).toIndexedSeq ++
+        dimCols.map(c => col(s"__d.$c").as(s"dim_$c")): _*)
+    // SQL null semantics: null key/ts events can match nothing — they
+    // bypass the stateful path (nothing to wait for) with null dim_*
+    val bypass = stream
+      .filter(col(keyCol).isNull || col(tsCol).isNull)
+      .select(stream.columns.map(col).toIndexedSeq ++
+        dimCols.map(c => lit(null).cast(dim.schema(dim.schema.fieldIndex(c))
+          .dataType).as(s"dim_$c")): _*)
+    enriched.unionByName(bypass)
   }
 }

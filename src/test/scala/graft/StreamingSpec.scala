@@ -895,4 +895,273 @@ class StreamingSpec extends AnyFunSuite {
     assert(hits.forall { case (docId, priorId, agree) =>
       docId == 2L && priorId == 1L && agree == 1.0 }, hits.mkString(", "))
   }
+
+  test("streamAsofTemporal: out-of-order dim update wins once the joint " +
+      "watermark seals the event") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = MemoryStream[(Long, Long, Timestamp)] // event_id, user_id, ts
+    val dm = MemoryStream[(Long, Timestamp, String)] // user_id, from, plan
+    val out = graft.streaming.StatefulOps.streamAsofTemporal(
+      ev.toDF().toDF("event_id", "user_id", "ts"),
+      dm.toDF().toDF("user_id", "effective_from", "plan"),
+      "user_id", "ts", Seq("plan"))
+    val q = out.writeStream.format("memory").queryName("satemp_out")
+      .outputMode("append").start()
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    try {
+      // batch 1: v1 bronze@10:00; events BEFORE any version (e0@9:00),
+      // mid (e1@10:30), and a key the dim never updates (e5)
+      dm.addData((7L, ts(10, 0), "bronze"))
+      ev.addData((0L, 7L, ts(9, 0)), (1L, 7L, ts(10, 30)), (5L, 8L, ts(10, 40)))
+      q.processAllAvailable()
+      // the joint watermark (min of both inputs, here dim's 09:50)
+      // already seals e0@9:00 — null, no version that early — but NOT
+      // e1@10:30: the out-of-order silver update can still win it
+      assert(spark.table("satemp_out").select($"event_id")
+        .collect().map(_.getLong(0)).toSeq == Seq(0L))
+      // batch 2: the OUT-OF-ORDER dim update — silver@10:25 arrives
+      // AFTER e1@10:30 did; a stream-static join would have missed it
+      dm.addData((7L, ts(10, 25), "silver"))
+      q.processAllAvailable()
+      // batch 3: sentinels push BOTH watermarks past every event
+      ev.addData((99L, 999L, ts(12, 0)))
+      dm.addData((999L, ts(12, 0), "x"))
+      q.processAllAvailable()
+      val got = spark.table("satemp_out")
+        .filter($"event_id" < 90).select($"event_id", $"dim_plan")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) "" else r.getString(1)))
+        .sortBy(_._1).toSeq
+      assert(got == Seq((0L, ""), (1L, "silver"), (5L, "")),
+        s"got $got — e1 must enrich with the out-of-order silver version")
+    } finally q.stop()
+    spark.catalog.dropTempView("satemp_out")
+  }
+
+  test("property: streamAsofTemporal in batch mode equals asofJoin on " +
+      "random update streams, nulls included") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // batch execution seals every event immediately (no watermark), so
+    // the operator must BE the backward as-of join — generator-pinned
+    // against Joins.asofJoin, including null/unknown event keys, null
+    // event timestamps (both pass through unmatched under SQL
+    // semantics), null-key/null-ts dim updates (never matches), and
+    // events before a key's first version
+    val prop = Prop.forAllNoShrink(Gen.choose(0L, 1000000L)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      def k(): Option[Long] =
+        if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(3).toLong)
+      def t(): Option[Timestamp] =
+        if (rnd.nextInt(8) == 0) None
+        else Some(new Timestamp(1700000000000L + rnd.nextInt(50) * 60000L))
+      // distinct (key, instant) pairs: the duplicate-instant tie-break
+      // is deterministic but deliberately not bitwise the batch rule
+      val upd = rnd.shuffle((0L to 2L).flatMap(kk => (0 until 50).map(i =>
+          (kk, 1700000000000L + i * 60000L))).toList).take(20)
+        .map { case (kk, ms) =>
+          val key: Option[Long] = if (rnd.nextInt(10) == 0) None else Some(kk)
+          val ts: Option[Timestamp] =
+            if (rnd.nextInt(10) == 0) None else Some(new Timestamp(ms))
+          (key, ts, Seq("p", "q", "r")(rnd.nextInt(3)))
+        }.toDF("user_id", "effective_from", "plan")
+      val probes = (0 until 25).map { i =>
+        val pk = if (rnd.nextInt(8) == 0) Some(42L) else k()
+        (pk, t(), i.toLong)
+      }.toDF("user_id", "ts", "event_id")
+      def m(df: org.apache.spark.sql.DataFrame, p: String) =
+        df.select(col("event_id"), col(p)).collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) "" else r.getString(1)))
+          .sortBy(identity).toSeq
+      val stream = m(graft.streaming.StatefulOps.streamAsofTemporal(
+        probes, upd, "user_id", "ts", Seq("plan"),
+        dimTsCol = "effective_from"), "dim_plan")
+      val batch = m(graft.ops.Joins.asofJoin(
+        probes, upd.select(col("user_id"), col("effective_from").as("ts"),
+          col("plan")), "user_id", "ts"), "r_plan")
+      if (stream != batch) info(s"MISMATCH seed=$seed: " +
+        stream.zip(batch).filter(x => x._1 != x._2).take(5).toString)
+      stream.size == 25 && batch.size == 25 && stream == batch
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(15).withInitialSeed(52L), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("streamAsofTemporal: micro-batch cut invariance, duplicate-instant " +
+      "updates deterministic across arrival orders") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // one chronological timeline of events and updates (the watermark
+    // contract: invariance is guaranteed for in-order feeds — an
+    // out-of-order straggler is the documented best-effort case) with
+    // two updates at the SAME instant, whose tie must resolve to the
+    // greatest serialized attributes regardless of which cut or
+    // within-instant order they arrive in
+    type Upd = (Long, Timestamp, String)
+    type Ev = (Long, Long, Timestamp)
+    def timeline(swapTie: Boolean): Seq[Either[Ev, Upd]] = {
+      val tie: Seq[Either[Ev, Upd]] =
+        if (swapTie) Seq(Right((7L, ts(10, 20), "silver")), Right((7L, ts(10, 20), "gold")))
+        else Seq(Right((7L, ts(10, 20), "gold")), Right((7L, ts(10, 20), "silver")))
+      Seq[Either[Ev, Upd]](
+        Right((7L, ts(10, 0), "bronze")),
+        Left((4L, 8L, ts(10, 4))), // before key 8's first version
+        Right((8L, ts(10, 5), "pro")),
+        Left((5L, 8L, ts(10, 6))),
+        Left((1L, 7L, ts(10, 10)))) ++ tie ++ Seq[Either[Ev, Upd]](
+        Left((2L, 7L, ts(10, 20))), // exactly at the tie instant
+        Left((3L, 7L, ts(10, 45))))
+    }
+    var runId = 0
+    def run(tl: Seq[Either[Ev, Upd]], cutAt: Seq[Int]): Seq[(Long, String)] = {
+      runId += 1
+      val name = s"satemp_cuts_$runId"
+      val ev = MemoryStream[(Long, Long, Timestamp)]
+      val dm = MemoryStream[(Long, Timestamp, String)]
+      val out = graft.streaming.StatefulOps.streamAsofTemporal(
+        ev.toDF().toDF("event_id", "user_id", "ts"),
+        dm.toDF().toDF("user_id", "effective_from", "plan"),
+        "user_id", "ts", Seq("plan"))
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        val bounds = 0 +: cutAt.distinct.sorted :+ tl.size
+        bounds.zip(bounds.tail).foreach { case (a, b) =>
+          val seg = tl.slice(a, b)
+          val es = seg.collect { case Left(e) => e }
+          val us = seg.collect { case Right(u) => u }
+          if (es.nonEmpty) ev.addData(es)
+          if (us.nonEmpty) dm.addData(us)
+          if (es.nonEmpty || us.nonEmpty) q.processAllAvailable()
+        }
+        ev.addData((99L, 999L, ts(12, 0)))
+        dm.addData((999L, ts(12, 0), "zz"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(name).filter($"event_id" < 90)
+        .select($"event_id", $"dim_plan").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) "" else r.getString(1)))
+        .sortBy(identity).toSeq
+      spark.catalog.dropTempView(name)
+      got
+    }
+    val outs = Seq(
+      run(timeline(false), Nil), // one batch
+      run(timeline(false), Seq(3, 6)), // cut inside the tie pair
+      run(timeline(true), Seq(5)), // tie arrives swapped
+      run(timeline(true), Seq(1, 2, 4, 7))) // near row-at-a-time
+    outs.foreach(o => assert(o.size == 5, s"one row per event, got $o"))
+    assert(outs.distinct.size == 1,
+      s"outputs differ across cuts/arrival orders: $outs")
+    // and the tie at 10:20 resolved to the greatest attributes (silver)
+    assert(outs.head == Seq((1L, "bronze"), (2L, "silver"), (3L, "silver"),
+      (4L, ""), (5L, "pro")), outs.head.toString)
+  }
+
+  test("streamAsofTemporal: dim history survives a checkpoint restart; " +
+      "idleTtl evicts a quiet key's state") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // --- restart: versions learned before the stop enrich events after
+    val root = java.nio.file.Files.createTempDirectory("graft_satemp").toString
+    val ev = MemoryStream[(Long, Long, Timestamp)]
+    val dm = MemoryStream[(Long, Timestamp, String)]
+    def start() = graft.streaming.StatefulOps.streamAsofTemporal(
+        ev.toDF().toDF("event_id", "user_id", "ts"),
+        dm.toDF().toDF("user_id", "effective_from", "plan"),
+        "user_id", "ts", Seq("plan"))
+      .writeStream.foreachBatch(graft.streaming.IdempotentSink.sink(s"$root/out"))
+      .option("checkpointLocation", s"$root/_ckpt").start()
+    val q1 = start()
+    try {
+      dm.addData((7L, ts(10, 0), "bronze"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    q1.awaitTermination()
+    val q2 = start()
+    try {
+      ev.addData((1L, 7L, ts(10, 30)))
+      q2.processAllAvailable()
+      ev.addData((99L, 999L, ts(12, 0)))
+      dm.addData((999L, ts(12, 0), "zz"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = graft.streaming.IdempotentSink.readCommitted(spark, s"$root/out")
+      .filter($"event_id" === 1L).select($"dim_plan")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("bronze"),
+      s"pre-restart dim version must enrich post-restart events: $got")
+
+    // --- idleTtl: same feed, ttl=60s — the version is evicted once the
+    // watermark runs 60s past the key's last activity, so a much later
+    // event re-enriches as null; with the default (no ttl, the restart
+    // query above) it would have enriched
+    val ev2 = MemoryStream[(Long, Long, Timestamp)]
+    val dm2 = MemoryStream[(Long, Timestamp, String)]
+    val out2 = graft.streaming.StatefulOps.streamAsofTemporal(
+      ev2.toDF().toDF("event_id", "user_id", "ts"),
+      dm2.toDF().toDF("user_id", "effective_from", "plan"),
+      "user_id", "ts", Seq("plan"), delay = "1 minute", idleTtlSec = 60L)
+    val q3 = out2.writeStream.format("memory").queryName("satemp_ttl")
+      .outputMode("append").start()
+    try {
+      dm2.addData((7L, ts(10, 0), "bronze"))
+      q3.processAllAvailable()
+      // sentinels drive the watermark far past 10:00 + ttl, firing the
+      // idle timeout that evicts key 7's state
+      ev2.addData((98L, 999L, ts(11, 0)))
+      dm2.addData((999L, ts(11, 0), "zz"))
+      q3.processAllAvailable()
+      ev2.addData((97L, 999L, ts(11, 30)))
+      dm2.addData((999L, ts(11, 30), "zz"))
+      q3.processAllAvailable()
+      // an event for the evicted key, then seal it
+      ev2.addData((1L, 7L, ts(11, 40)))
+      q3.processAllAvailable()
+      ev2.addData((96L, 999L, ts(13, 0)))
+      dm2.addData((999L, ts(13, 0), "zz"))
+      q3.processAllAvailable()
+      val ttlGot = spark.table("satemp_ttl").filter($"event_id" === 1L)
+        .select($"dim_plan").collect().map(r =>
+          if (r.isNullAt(0)) "" else r.getString(0)).toSeq
+      assert(ttlGot == Seq(""),
+        s"evicted key must re-enrich as null under idleTtl: $ttlGot")
+    } finally q3.stop()
+    spark.catalog.dropTempView("satemp_ttl")
+  }
+
+  test("streamAsofTemporal: payloads round-trip the JSON state boundary " +
+      "exactly — microsecond timestamps, doubles, arrays, binary") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val microTs = Timestamp.valueOf("2024-01-01 10:30:00.123456")
+    val ev = MemoryStream[(Long, Long, Timestamp, Timestamp, Double, Seq[String], Array[Byte])]
+    val dm = MemoryStream[(Long, Timestamp, String, Double)]
+    val out = graft.streaming.StatefulOps.streamAsofTemporal(
+      ev.toDF().toDF("event_id", "user_id", "ts", "seen_at", "score", "tags", "blob"),
+      dm.toDF().toDF("user_id", "effective_from", "plan", "rate"),
+      "user_id", "ts", Seq("plan", "rate"))
+    val q = out.writeStream.format("memory").queryName("satemp_rt")
+      .outputMode("append").start()
+    try {
+      dm.addData((7L, ts(10, 0), "bronze", 0.25))
+      ev.addData((1L, 7L, microTs, microTs, 2.5, Seq("a", "b"),
+        Array[Byte](1, 2, -3)))
+      q.processAllAvailable()
+      ev.addData((99L, 999L, ts(12, 0), ts(12, 0), 0.0, Nil, Array[Byte]()))
+      dm.addData((999L, ts(12, 0), "zz", 0.0))
+      q.processAllAvailable()
+      val r = spark.table("satemp_rt").filter($"event_id" === 1L).collect()
+      assert(r.length == 1, s"expected one sealed row, got ${r.length}")
+      val row = r.head
+      assert(row.getAs[Timestamp]("ts") == microTs, "event ts micros lost")
+      assert(row.getAs[Timestamp]("seen_at") == microTs, "payload ts micros lost")
+      assert(row.getAs[Double]("score") == 2.5)
+      assert(row.getAs[scala.collection.Seq[String]]("tags").toSeq == Seq("a", "b"))
+      assert(row.getAs[Array[Byte]]("blob").toSeq == Seq[Byte](1, 2, -3))
+      assert(row.getAs[String]("dim_plan") == "bronze")
+      assert(row.getAs[Double]("dim_rate") == 0.25)
+    } finally q.stop()
+    spark.catalog.dropTempView("satemp_rt")
+  }
 }
