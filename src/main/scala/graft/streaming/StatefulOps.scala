@@ -23,23 +23,25 @@ final case class BandHit(docId: Long, band: Int, priorId: Long, sigAgreement: Do
 final case class BucketState(priorId: Long, sig: Array[Long], lastMs: Long)
 
 /** One dimension version in [[StatefulOps.streamAsofTemporal]] state:
-  * attributes (JSON at the state boundary) valid from `fromMs` until
-  * the next version's `fromMs`.
+  * attributes (JSON at the state boundary) valid from `fromUs` (epoch
+  * MICROS — TimestampType's own grain, so the as-of compare is exact
+  * where the millis watermark clock is not) until the next version's
+  * `fromUs`.
   */
-final case class DimVersion(fromMs: Long, dimJson: String)
+final case class DimVersion(fromUs: Long, dimJson: String)
 
 /** An event buffered in [[StatefulOps.streamAsofTemporal]] state until
-  * the watermark seals its as-of lookup.
+  * the watermark seals its as-of lookup; `tsUs` in epoch micros.
   */
-final case class PendingEv(tsMs: Long, eventJson: String)
+final case class PendingEv(tsUs: Long, eventJson: String)
 
 /** Per-key [[StatefulOps.streamAsofTemporal]] state: the dim version
   * history (pruned to one at-or-before the watermark) plus the events
-  * awaiting their watermark; `lastMs` is the key's newest seen event
-  * time (either side), the idle-TTL anchor.
+  * awaiting their watermark; `lastUs` is the key's newest seen event
+  * time (either side, epoch micros), the idle-TTL anchor.
   */
 final case class TemporalAsofState(versions: Array[DimVersion],
-    pending: Array[PendingEv], lastMs: Long)
+    pending: Array[PendingEv], lastUs: Long)
 
 /** A resolved [[StatefulOps.streamAsofTemporal]] event: the original
   * event row and its matched dim version (null JSON = no version at or
@@ -476,20 +478,28 @@ object StatefulOps {
     "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
     "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
 
-  /** Greatest version with `fromMs <= tsMs` in an ascending-sorted
+  /** Greatest version with `fromUs <= tsUs` in an ascending-sorted
     * history, or null JSON when the event predates every version.
     */
-  private def asofLookup(versions: Array[DimVersion], tsMs: Long): String = {
+  private def asofLookup(versions: Array[DimVersion], tsUs: Long): String = {
     var lo = 0
     var hi = versions.length - 1
     var best = -1
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
-      if (versions(mid).fromMs <= tsMs) { best = mid; lo = mid + 1 }
+      if (versions(mid).fromUs <= tsUs) { best = mid; lo = mid + 1 }
       else hi = mid - 1
     }
     if (best < 0) null else versions(best).dimJson
   }
+
+  /** Epoch MICROS of a java.sql.Timestamp — getTime() alone is millis
+    * and would round two sub-millisecond neighbors onto one instant,
+    * silently diverging from the batch as-of compare (TimestampType is
+    * micros); the sub-ms micros live in the nanos field.
+    */
+  private def usOf(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
 
   /** Stream-STREAM event-time temporal as-of join (the Flink
     * "event-time temporal join" shape, which Spark's built-in
@@ -610,16 +620,20 @@ object StatefulOps {
           // (all input is present), so the operator degenerates to
           // exactly the backward as-of join, enabling batch-mode
           // equivalence rebuilds; the sealed sentinel also skips the
-          // timeout arming below (batch GroupState refuses that too)
-          val wm = try state.getCurrentWatermarkMs() catch {
+          // timeout arming below (batch GroupState refuses that too).
+          // The watermark clock is MILLIS; state times are MICROS
+          // (TimestampType's grain, exact for the as-of compare), so
+          // the seal threshold scales the clock down conservatively.
+          val wmMs = try state.getCurrentWatermarkMs() catch {
             case _: UnsupportedOperationException => Long.MaxValue
           }
+          val wmUs = if (wmMs == Long.MaxValue) Long.MaxValue else wmMs * 1000L
           var st = state.getOption.getOrElse(
             TemporalAsofState(Array.empty, Array.empty, 0L))
           if (rows.nonEmpty) {
             val rs = rows.toArray
-            st = st.copy(lastMs = math.max(st.lastMs,
-              rs.iterator.map(_._2.getTime).max))
+            st = st.copy(lastUs = math.max(st.lastUs,
+              rs.iterator.map(r => usOf(r._2)).max))
             val newDims = rs.filter(_._3)
             if (newDims.nonEmpty) {
               // upsert by instant; at a duplicate instant the greatest
@@ -627,24 +641,24 @@ object StatefulOps {
               // and across batches, so arrival order and micro-batch
               // cuts cannot change the surviving version
               val m = scala.collection.mutable.LongMap.empty[String]
-              st.versions.foreach(v => m(v.fromMs) = v.dimJson)
+              st.versions.foreach(v => m(v.fromUs) = v.dimJson)
               newDims.foreach { r =>
-                val fm = r._2.getTime
+                val fm = usOf(r._2)
                 if (!m.get(fm).exists(_ >= r._4)) m(fm) = r._4
               }
               st = st.copy(versions = m.toArray
-                .map { case (f, j) => DimVersion(f, j) }.sortBy(_.fromMs))
+                .map { case (f, j) => DimVersion(f, j) }.sortBy(_.fromUs))
             }
             val newEvs = rs.filter(!_._3)
-              .map(r => PendingEv(r._2.getTime, r._4))
+              .map(r => PendingEv(usOf(r._2), r._4))
             if (newEvs.nonEmpty) st = st.copy(pending = st.pending ++ newEvs)
           }
           // the watermark seals every event at-or-before it: no dim
           // update with an older instant can arrive anymore (beyond the
           // documented late-straggler best effort)
-          val (ready, wait) = st.pending.partition(_.tsMs <= wm)
-          val out = ready.sortBy(p => (p.tsMs, p.eventJson)).iterator
-            .map(p => TemporalResolved(p.eventJson, asofLookup(st.versions, p.tsMs)))
+          val (ready, wait) = st.pending.partition(_.tsUs <= wmUs)
+          val out = ready.sortBy(p => (p.tsUs, p.eventJson)).iterator
+            .map(p => TemporalResolved(p.eventJson, asofLookup(st.versions, p.tsUs)))
             .toVector
           st = st.copy(pending = wait)
           // prune history: future events all have ts > wm, so only the
@@ -653,28 +667,29 @@ object StatefulOps {
           if (st.versions.length > 1) {
             var floor = -1
             var i = 0
-            while (i < st.versions.length && st.versions(i).fromMs <= wm) {
+            while (i < st.versions.length && st.versions(i).fromUs <= wmUs) {
               floor = i; i += 1
             }
             if (floor > 0) st = st.copy(versions = st.versions.drop(floor))
           }
-          if (wm == Long.MaxValue) {
+          if (wmMs == Long.MaxValue) {
             // batch: state dies with the (single) invocation anyway
           } else {
             // idle anchored on the key's own last EVENT-TIME activity,
             // not the (possibly lagging) watermark at arming time — a
             // fresh version must get its full ttl of quiet first
             val idleExpired = state.hasTimedOut && st.pending.isEmpty &&
-              ttlMs > 0L && wm >= st.lastMs + ttlMs
+              ttlMs > 0L && wmUs >= st.lastUs + ttlMs * 1000L
             if (idleExpired || (st.versions.isEmpty && st.pending.isEmpty)) {
               state.remove()
             } else {
               state.update(st)
               if (st.pending.nonEmpty)
-                state.setTimeoutTimestamp(
-                  math.max(wm + 1L, st.pending.iterator.map(_.tsMs).min + 1L))
+                state.setTimeoutTimestamp(math.max(wmMs + 1L,
+                  st.pending.iterator.map(_.tsUs).min / 1000L + 1L))
               else if (ttlMs > 0L)
-                state.setTimeoutTimestamp(math.max(wm + 1L, st.lastMs + ttlMs))
+                state.setTimeoutTimestamp(
+                  math.max(wmMs + 1L, st.lastUs / 1000L + ttlMs))
             }
           }
           out.iterator

@@ -1144,7 +1144,13 @@ class StreamingSpec extends AnyFunSuite {
     val q = out.writeStream.format("memory").queryName("satemp_rt")
       .outputMode("append").start()
     try {
-      dm.addData((7L, ts(10, 0), "bronze", 0.25))
+      // sub-MILLISECOND as-of discrimination: silver is 56µs before
+      // the event, gold 44µs after — the micros state grain must pick
+      // silver (a millis grain would see all three at .123 and hand
+      // the event to gold, diverging from the batch asofJoin compare)
+      dm.addData((7L, ts(10, 0), "bronze", 0.25),
+        (7L, Timestamp.valueOf("2024-01-01 10:30:00.123400"), "silver", 0.5),
+        (7L, Timestamp.valueOf("2024-01-01 10:30:00.123500"), "gold", 0.75))
       ev.addData((1L, 7L, microTs, microTs, 2.5, Seq("a", "b"),
         Array[Byte](1, 2, -3)))
       q.processAllAvailable()
@@ -1159,8 +1165,10 @@ class StreamingSpec extends AnyFunSuite {
       assert(row.getAs[Double]("score") == 2.5)
       assert(row.getAs[scala.collection.Seq[String]]("tags").toSeq == Seq("a", "b"))
       assert(row.getAs[Array[Byte]]("blob").toSeq == Seq[Byte](1, 2, -3))
-      assert(row.getAs[String]("dim_plan") == "bronze")
-      assert(row.getAs[Double]("dim_rate") == 0.25)
+      assert(row.getAs[String]("dim_plan") == "silver",
+        s"sub-ms as-of must pick the 56µs-earlier version, got " +
+          row.getAs[String]("dim_plan"))
+      assert(row.getAs[Double]("dim_rate") == 0.5)
     } finally q.stop()
     spark.catalog.dropTempView("satemp_rt")
   }
