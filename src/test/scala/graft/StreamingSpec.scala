@@ -1130,6 +1130,58 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.dropTempView("satemp_ttl")
   }
 
+  test("streamAsofTemporal state survives under the RocksDB state store " +
+      "provider, checkpoint restart included") {
+    // the default HDFSBackedStateStoreProvider keeps state in executor
+    // HEAP — at production state sizes the RocksDB provider is the
+    // deployment reality, and it serializes state through an entirely
+    // different path (changelog + SST files, not heap maps): pin that
+    // the custom TemporalAsofState round-trips it, across a restart
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      val root = java.nio.file.Files.createTempDirectory("graft_rocks").toString
+      val ev = MemoryStream[(Long, Long, Timestamp)]
+      val dm = MemoryStream[(Long, Timestamp, String)]
+      def start() = graft.streaming.StatefulOps.streamAsofTemporal(
+          ev.toDF().toDF("event_id", "user_id", "ts"),
+          dm.toDF().toDF("user_id", "effective_from", "plan"),
+          "user_id", "ts", Seq("plan"))
+        .writeStream.foreachBatch(graft.streaming.IdempotentSink.sink(s"$root/out"))
+        .option("checkpointLocation", s"$root/_ckpt").start()
+      val q1 = start()
+      try {
+        dm.addData((7L, ts(10, 0), "bronze"))
+        ev.addData((1L, 7L, ts(10, 30))) // buffers in RocksDB state
+        q1.processAllAvailable()
+      } finally q1.stop()
+      q1.awaitTermination()
+      val q2 = start()
+      try {
+        // out-of-order update arriving AFTER the restart must still win
+        // the pre-restart buffered event
+        dm.addData((7L, ts(10, 20), "silver"))
+        q2.processAllAvailable()
+        ev.addData((99L, 999L, ts(12, 0)))
+        dm.addData((999L, ts(12, 0), "zz"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val got = graft.streaming.IdempotentSink.readCommitted(spark, s"$root/out")
+        .filter($"event_id" === 1L).select($"dim_plan")
+        .collect().map(_.getString(0)).toSeq
+      assert(got == Seq("silver"),
+        s"RocksDB-backed state must carry the buffered event and version " +
+          s"history across the restart: $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streamAsofTemporal: payloads round-trip the JSON state boundary " +
       "exactly — microsecond timestamps, doubles, arrays, binary") {
     implicit val sqlCtx = spark.sqlContext
