@@ -226,6 +226,12 @@ def compare_band(new_doc, old_paths, slack):
     if not shared:
         print("no shared query keys with any old window")
         return
+    fresh = sorted(set(new_q) - set(band))
+    if fresh:
+        # no silent drops: a first-round row has no band to adjudicate
+        # against — name it so the reader knows it was skipped, not clean
+        print("new keys without a band (not adjudicated this window): " +
+              ", ".join(f"{k} ({new_q[k]:.3f}s)" for k in fresh))
     # window drift estimate: geomean of new vs the per-query MEDIAN of
     # the olds' mins — the (min+max)/2 midpoint moves by half of any
     # single contaminated window's displacement, which is exactly the
