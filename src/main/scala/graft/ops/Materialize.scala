@@ -65,8 +65,16 @@ object Materialize {
     val arranged =
       if (!compact) df
       else {
-        val nParts = math.max(1L,
-          math.ceil(df.count().toDouble / rowsPerFile).toLong).toInt
+        val nPartsL = math.max(1L,
+          math.ceil(df.count().toDouble / rowsPerFile).toLong)
+        // a silent .toInt here would wrap negative and surface as an
+        // anonymous repartition failure; this only trips when bytes/row
+        // approaches the file target (rowsPerFile ~ 1)
+        require(nPartsL <= Int.MaxValue,
+          s"writeSized: $nPartsL output files needed (rows/file=" +
+            s"$rowsPerFile at $bpr bytes/row) exceeds Int.MaxValue — " +
+            "raise targetFileMB")
+        val nParts = nPartsL.toInt
         if (sortCols.nonEmpty) df.repartitionByRange(nParts, sortCols.map(col): _*)
         else df.repartition(nParts)
       }
@@ -100,8 +108,15 @@ object Materialize {
     val bpr = storedBytesPerRow(df, path + "_rowsize_sample", 2000)
     val rowsPerFile =
       math.max(1L, (targetFileMB.toLong * 1024 * 1024 / bpr).toLong)
-    val nParts = math.max(1L,
-      math.ceil(df.count().toDouble / rowsPerFile).toLong).toInt
+    val nPartsL = math.max(1L,
+      math.ceil(df.count().toDouble / rowsPerFile).toLong)
+    // same wrap guard as writeSized: fail with the cause, not an
+    // anonymous negative-partition-count error
+    require(nPartsL <= Int.MaxValue,
+      s"writeClustered: $nPartsL output files needed (rows/file=" +
+        s"$rowsPerFile at $bpr bytes/row) exceeds Int.MaxValue — " +
+        "raise targetFileMB")
+    val nParts = nPartsL.toInt
     keyed.repartitionByRange(nParts, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
