@@ -987,6 +987,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("streamAsofTemporal STREAMING equals the batch asofJoin on random " +
+      "histories fed in random chronological cuts") {
+    // the batch-mode property pins the resolution logic; this pins the
+    // STREAMING path — watermark sealing, per-key state carry across
+    // micro-batches, timeout-driven emission — against the same batch
+    // asofJoin oracle, on randomized histories and randomized cuts
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    var runId = 0
+    for (seed <- Seq(7L, 19L, 31L)) {
+      val rnd = new scala.util.Random(seed)
+      // distinct (key, instant) update pairs; events free to collide
+      val upd = rnd.shuffle((0L to 2L).flatMap(k => (0 until 40).map(i =>
+          (k, base + i * 60000L))).toList).take(12)
+        .map { case (k, ms) => (k, new Timestamp(ms),
+          Seq("p", "q", "r")(rnd.nextInt(3))) }
+      val evs = (0 until 20).map { i =>
+        val k = if (rnd.nextInt(6) == 0) 42L else rnd.nextInt(3).toLong
+        (i.toLong, k, new Timestamp(base + rnd.nextInt(40) * 60000L))
+      }
+      // one chronological timeline, cut at random positions (in-order
+      // feed = the watermark contract under which results are exact)
+      val timeline: Seq[Either[(Long, Long, Timestamp), (Long, Timestamp, String)]] =
+        (evs.map(Left(_)) ++ upd.map(Right(_))).sortBy {
+          case Left(e) => (e._3.getTime, 0, e._1)
+          case Right(u) => (u._2.getTime, 1, u._1)
+        }
+      val nCuts = 1 + rnd.nextInt(4)
+      val pos = rnd.shuffle((1 until timeline.size).toList).take(nCuts).sorted
+      val bounds = 0 +: pos :+ timeline.size
+      runId += 1
+      val name = s"satemp_prop_$runId"
+      val msE = MemoryStream[(Long, Long, Timestamp)]
+      val msU = MemoryStream[(Long, Timestamp, String)]
+      val out = graft.streaming.StatefulOps.streamAsofTemporal(
+        msE.toDF().toDF("event_id", "user_id", "ts"),
+        msU.toDF().toDF("user_id", "effective_from", "plan"),
+        "user_id", "ts", Seq("plan"))
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        bounds.zip(bounds.tail).foreach { case (a, b) =>
+          val seg = timeline.slice(a, b)
+          val es = seg.collect { case Left(e) => e }
+          val us = seg.collect { case Right(u) => u }
+          if (es.nonEmpty) msE.addData(es)
+          if (us.nonEmpty) msU.addData(us)
+          if (es.nonEmpty || us.nonEmpty) q.processAllAvailable()
+        }
+        val flush = new Timestamp(base + 86400000L)
+        msE.addData((-1L, -10L, flush))
+        msU.addData((-10L, flush, "zz"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(name).filter($"event_id" >= 0)
+        .select($"event_id", $"dim_plan").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) "" else r.getString(1)))
+        .sortBy(identity).toSeq
+      spark.catalog.dropTempView(name)
+      val batch = graft.ops.Joins.asofJoin(
+          evs.toDF("event_id", "user_id", "ts"),
+          upd.toDF("user_id", "ts", "plan"), "user_id", "ts")
+        .select($"event_id", $"r_plan").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) "" else r.getString(1)))
+        .sortBy(identity).toSeq
+      assert(got.size == evs.size,
+        s"seed $seed: one row per event, got ${got.size}")
+      assert(got == batch, s"seed $seed cuts $pos: stream $got != batch $batch")
+    }
+  }
+
   test("streamAsofTemporal: micro-batch cut invariance, duplicate-instant " +
       "updates deterministic across arrival orders") {
     implicit val sqlCtx = spark.sqlContext
