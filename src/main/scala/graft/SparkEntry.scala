@@ -1319,6 +1319,79 @@ object SparkEntry {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** LEFT-OUTER attribution gate: [[qStreamJoin]]'s click→purchase
+    * range join with `joinType = "left_outer"` — the never-converted
+    * clicks (the rows the inner gate silently omits) must emit exactly
+    * once with a null purchase. Unmatched rows release only when the
+    * watermark closes their window, so sentinel rows on BOTH streams
+    * push it past every real click before the query stops. Oracle: the
+    * same relational range join made LEFT.
+    */
+  private def qStreamJoinLeft(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("epoch"), col("event_type"))
+      .orderBy(col("epoch"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("epoch"))
+      .as[(Long, Long, Long)].collect()
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("epoch"))
+      .as[(Long, Long, Long)].collect()
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val msL = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val msR = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    def toDf(ms: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]) =
+      ms.toDF().toDF("event_id", "user_id", "epoch")
+        .withColumn("ts", timestamp_seconds(col("epoch"))).drop("epoch")
+    val joined = graft.streaming.StatefulOps.streamStreamJoin(
+      toDf(msL), toDf(msR), "user_id", "ts", windowSec = 1800L,
+      joinType = "left_outer")
+    val qname = "graft_stream_join_left"
+    s.catalog.dropTempView(qname)
+    val q = withStreamShuffle(s) {
+      joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+    }
+    try {
+      val cuts = {
+        val all = (clicks ++ purchases).map(_._3).sorted
+        ((1 to 3).map(i =>
+            all(((all.length.toLong * i) / 4).toInt.min(all.length - 1)))
+          :+ (all.last + 1)).distinct
+      }
+      var prev = Long.MinValue
+      var nFed = 0
+      cuts.foreach { cut =>
+        val cl = clicks.filter(c => c._3 >= prev && c._3 < cut)
+        val pu = purchases.filter(p => p._3 >= prev && p._3 < cut)
+        if (cl.nonEmpty || pu.nonEmpty) {
+          msL.addData(cl.toSeq)
+          msR.addData(pu.toSeq)
+          q.processAllAvailable()
+          nFed += 1
+        }
+        prev = cut
+      }
+      require(nFed >= 3,
+        s"stream-join-left gate fed only $nFed non-empty chunk pairs — " +
+          "needs >=3 micro-batches; events timestamp distribution is degenerate")
+      // watermark flush: both streams two days past the last event so
+      // every real click's window closes and its unmatched row (if any)
+      // is released before stop
+      val flush = (clicks ++ purchases).map(_._3).max + 2 * 86400L
+      msL.addData((-1L, -10L, flush))
+      msR.addData((-2L, -10L, flush))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(qname)
+      .filter(col("event_id") >= 0)
+      .select(col("event_id").as("click_id"),
+        col("r_event_id").as("purchase_id"), col("user_id"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   /** Stream-batch as-of enrichment gate (r12 board #6): the events
     * STREAM, fed in 4 chronological micro-batches, enriched against the
     * batch-built SCD2 dimension of [[qScd2]] — each event picks the
@@ -3850,6 +3923,7 @@ object SparkEntry {
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_asof" -> (qStreamAsof _),
     "q_stream_temporal" -> (qStreamTemporal _),
+    "q_stream_join_left" -> (qStreamJoinLeft _),
     "q_resample" -> (qResample _),
     "q_rollup" -> (qRollup _),
     "q_pivot" -> (qPivot _),
@@ -5449,6 +5523,18 @@ object SparkEntry {
         |  c.user_id
         |FROM e c JOIN e p ON c.user_id = p.user_id
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.sec >= c.sec AND p.sec <= c.sec + 1800
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    // the LEFT range join: q_stream_join's matches plus one null row
+    // per never-converted click
+    "q_stream_join_left" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) // 1000000 AS sec FROM events),
+        |c AS (SELECT * FROM e WHERE event_type = 'click'),
+        |p AS (SELECT * FROM e WHERE event_type = 'purchase')
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
         |  AND p.sec >= c.sec AND p.sec <= c.sec + 1800
         |ORDER BY click_id, purchase_id""".stripMargin,
     // SCD2 chain (same as q_scd2) + validity-interval membership = the

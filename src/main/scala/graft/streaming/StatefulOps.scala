@@ -248,8 +248,8 @@ object StatefulOps {
         })
   }
 
-  /** Stream-stream INNER join with an event-time range bound — the
-    * online attribution primitive (every left event paired with the
+  /** Stream-stream join with an event-time range bound — the online
+    * attribution primitive (every left event paired with the
     * right-stream events on the same key whose timestamp falls in
     * `[left.ts, left.ts + windowSec]`). Both sides carry watermarks and
     * the join condition bounds event time in BOTH directions, which is
@@ -262,13 +262,28 @@ object StatefulOps {
     * `delay` out of order — the q_stream_join gate replays the same
     * join relationally in DuckDB.
     *
+    * `joinType = "left_outer"` keeps the same matches and ADDITIONALLY
+    * emits every left event that found no partner, with null `r_*`
+    * columns — the "clicks that never converted" half of attribution,
+    * which the inner join silently omits. Unmatched rows cannot emit
+    * eagerly (a partner may still arrive), so Spark holds them until
+    * the watermark closes their window — expect them ~`delay` late,
+    * the same price the temporal join pays for event-time correctness.
+    * The match set is unchanged; only null-padded rows are added, so
+    * the batch equivalent is the same range join made LEFT.
+    *
     * Right-side columns come back prefixed `r_`; the left keeps its
     * names (mirrors [[graft.ops.Joins.asofJoin]]'s convention).
     */
   def streamStreamJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, windowSec: Long,
-      delay: String = "1 hour"): DataFrame = {
+      delay: String = "1 hour", joinType: String = "inner"): DataFrame = {
     require(windowSec >= 0, s"streamStreamJoin: bad window $windowSec")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"streamStreamJoin: joinType must be inner or left_outer, got " +
+        s"'$joinType' — stream-stream state eviction bounds only these " +
+        "two here (right_outer is the mirrored call; full_outer doubles " +
+        "the unmatched hold and is deliberately not exposed)")
     // same output-name collision guard as the batch prefixing joins: a
     // left column already named r_<x> would silently duplicate in the
     // join output (or mis-bind the join condition's r_ references)
@@ -283,7 +298,8 @@ object StatefulOps {
     l.join(r,
       col(keyCol) === col(s"r_$keyCol") &&
         col(s"r_$tsCol") >= col(tsCol) &&
-        col(s"r_$tsCol") <= col(tsCol) + expr(s"INTERVAL $windowSec SECONDS"))
+        col(s"r_$tsCol") <= col(tsCol) + expr(s"INTERVAL $windowSec SECONDS"),
+      joinType)
   }
 
   /** Stream-batch SCD2 as-of enrichment: each streaming event joins the

@@ -494,6 +494,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamStreamJoin left_outer: unmatched lefts emit null-padded " +
+      "once the watermark closes their window") {
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[(Long, Long, Timestamp)]
+    val right = MemoryStream[(Long, Long, Timestamp)]
+    def toDf(ms: MemoryStream[(Long, Long, Timestamp)]) =
+      ms.toDF().toDF("id", "user_id", "ts")
+    val joined = graft.streaming.StatefulOps.streamStreamJoin(
+      toDf(left), toDf(right), "user_id", "ts", windowSec = 600L,
+      delay = "10 minutes", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_lo_out")
+      .outputMode("append").start()
+    try {
+      def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      // click 1 converts (right in window); click 2 NEVER converts —
+      // the row the inner join silently omits
+      left.addData((1L, 7L, ts(10, 0)), (2L, 8L, ts(10, 1)))
+      right.addData((10L, 7L, ts(10, 5)))
+      q.processAllAvailable()
+      // push both watermarks far past click 2's window so its
+      // unmatched row is released
+      left.addData((99L, 999L, ts(12, 0)))
+      right.addData((98L, 999L, ts(12, 0)))
+      q.processAllAvailable()
+      left.addData((97L, 998L, ts(13, 0)))
+      right.addData((96L, 998L, ts(13, 0)))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_lo_out")
+        .filter($"id" < 90).select($"id", $"r_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .sortBy(identity).toSeq
+      // exact multiset: the matched pair once, the unmatched left once
+      // with null right — same match set as inner, plus the null row
+      assert(rows == Seq((1L, 10L), (2L, -1L)), rows.toString)
+    } finally q.stop()
+    spark.catalog.dropTempView("ssj_lo_out")
+  }
+
   test("property: streamAsofScd2 equals the batch asofJoin rebuild on " +
       "random SCD2 histories, nulls included") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
