@@ -199,6 +199,13 @@ object StatefulOps {
     * emitted once, when the watermark passes session end + gap (or when a
     * later in-stream event proves the gap). Equivalent batch semantics:
     * the lag + cumulative-sum sessionization of `SparkEntry.q_sessions`.
+    *
+    * Decision grain is MILLISECONDS (`ClosedSession` carries epoch-ms
+    * bounds): two events whose true gap straddles the boundary by less
+    * than 1ms may be split/merged differently than a micros-grain batch
+    * rebuild — irrelevant at human session scales (gapSec >= 1), stated
+    * here because the as-of family deliberately pays for micros
+    * ([[streamAsofTemporal]]) where sub-ms order changes JOIN results.
     */
   def sessionize(df: DataFrame, userCol: String, tsCol: String,
       gapSec: Long, delay: String = "10 minutes"): Dataset[ClosedSession] = {
