@@ -1542,6 +1542,103 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** [[qStreamTemporal]] with a CHECKPOINT RESTART between chunks (r15
+    * board #5): the unit suite pins restart + RocksDB recovery, but the
+    * driver-checked gate ran one uninterrupted query — here the query
+    * STOPS after the second fed chunk and a fresh `start()` resumes
+    * from the same checkpoint, so buffered events and the version
+    * history must round-trip the state store on the driver-verified
+    * path too. The memory sink refuses checkpoint recovery, so output
+    * goes through foreachBatch + [[graft.streaming.IdempotentSink]]
+    * (exactly-once by batch-id marker); the oracle is identical to
+    * [[qStreamTemporal]] — a restart must not change a single row.
+    */
+  private def qStreamTemporalRestart(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .orderBy(col("us"), col("event_id"))
+      .as[(Long, Long, Long)].collect()
+    val upd = events(s, dir)
+      .filter(col("event_id") % 3 === 0)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_type")).as("etype"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("etype"))
+      .orderBy(col("us"), col("user_id"))
+      .as[(Long, Long, String)].collect()
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val msE = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val msU = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+    val streamDf = msE.toDF().toDF("event_id", "user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val dimDf = msU.toDF().toDF("user_id", "us", "event_type")
+      .withColumn("effective_from", timestamp_micros(col("us"))).drop("us")
+    val enriched = graft.streaming.StatefulOps.streamAsofTemporal(
+      streamDf, dimDf, "user_id", "ts", Seq("event_type"))
+    val root = java.nio.file.Files.createTempDirectory("graft_satemp_restart")
+    def start() = withStreamShuffle(s) {
+      enriched.writeStream
+        .foreachBatch(graft.streaming.IdempotentSink.sink(s"$root/out"))
+        .option("checkpointLocation", s"$root/_ckpt").start()
+    }
+    var q = start()
+    try {
+      val times = ev.map(_._3)
+      val cuts = ((1 to 3).map(i =>
+          times(((times.length.toLong * i) / 4).toInt.min(times.length - 1)))
+        :+ (times.last + 1)).distinct
+      var prev = Long.MinValue
+      var nFed = 0
+      var restarted = false
+      cuts.foreach { cut =>
+        val evChunk = ev.filter(e => e._3 >= prev && e._3 < cut)
+        val updChunk = upd.filter(u => u._2 >= prev && u._2 < cut)
+        if (evChunk.nonEmpty || updChunk.nonEmpty) {
+          if (evChunk.nonEmpty) msE.addData(evChunk.toSeq)
+          if (updChunk.nonEmpty) msU.addData(updChunk.toSeq)
+          q.processAllAvailable()
+          if (evChunk.nonEmpty) nFed += 1
+          if (nFed == 2 && !restarted) {
+            // mid-feed stop/restart: per-key buffered events + version
+            // history recover from the checkpointed state store
+            q.stop()
+            q.awaitTermination()
+            q = start()
+            restarted = true
+          }
+        }
+        prev = cut
+      }
+      require(nFed >= 3,
+        s"stream-temporal-restart gate fed only $nFed non-empty event " +
+          "chunks — needs >=3 micro-batches; events timestamp " +
+          "distribution is degenerate")
+      require(restarted,
+        "stream-temporal-restart gate never restarted — the gate exists " +
+          "to drive the recovery path; fewer than 2 fed chunks?")
+      val flushUs = times.last + 86400L * 1000000L
+      msE.addData((-1L, -10L, flushUs))
+      msU.addData((-10L, flushUs, "zz"))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      ()
+    }
+    try {
+      // bounded (one row per event at sf0.01) driver materialization so
+      // the scratch sink can be deleted before returning — the same
+      // collect-then-toDF shape as q_bucket_join
+      val rows = graft.streaming.IdempotentSink.readCommitted(s, s"$root/out")
+        .filter(col("event_id") >= 0)
+        .select(col("event_id"), col("user_id"), col("dim_event_type"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getString(2)))
+      rows.toSeq.toDF("event_id", "user_id", "dim_event_type")
+        .orderBy(col("event_id"))
+    } finally rmTree(root)
+  }
+
   /** Z-order vs linear layout envelope report on lineitem
     * (l_partkey × l_suppkey, 11 bits, 16 quadrant buckets): the Morton
     * key arithmetic and every bucket's per-dimension (min, max)
@@ -3923,6 +4020,7 @@ object SparkEntry {
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_asof" -> (qStreamAsof _),
     "q_stream_temporal" -> (qStreamTemporal _),
+    "q_stream_temporal_restart" -> (qStreamTemporalRestart _),
     "q_stream_join_left" -> (qStreamJoinLeft _),
     "q_resample" -> (qResample _),
     "q_rollup" -> (qRollup _),
@@ -5562,6 +5660,22 @@ object SparkEntry {
     // membership = the version streamAsofTemporal's per-key state
     // resolves for each sealed event
     "q_stream_temporal" ->
+      """WITH upd AS (
+        |  SELECT user_id, ts AS effective_from, max(event_type) AS etype
+        |  FROM events WHERE event_id % 3 = 0 GROUP BY 1, 2),
+        |v AS (
+        |  SELECT user_id, effective_from, etype,
+        |    lead(effective_from) OVER (PARTITION BY user_id
+        |      ORDER BY effective_from ASC) AS effective_to
+        |  FROM upd)
+        |SELECT e.event_id, e.user_id, v.etype AS dim_event_type
+        |FROM events e LEFT JOIN v ON e.user_id = v.user_id
+        |  AND e.ts >= v.effective_from
+        |  AND (v.effective_to IS NULL OR e.ts < v.effective_to)
+        |ORDER BY e.event_id""".stripMargin,
+    // identical oracle to q_stream_temporal: a checkpoint restart
+    // mid-feed must not change a single row
+    "q_stream_temporal_restart" ->
       """WITH upd AS (
         |  SELECT user_id, ts AS effective_from, max(event_type) AS etype
         |  FROM events WHERE event_id % 3 = 0 GROUP BY 1, 2),

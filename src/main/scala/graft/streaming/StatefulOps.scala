@@ -274,10 +274,22 @@ object StatefulOps {
     * columns — the "clicks that never converted" half of attribution,
     * which the inner join silently omits. Unmatched rows cannot emit
     * eagerly (a partner may still arrive), so Spark holds them until
-    * the watermark closes their window — expect them ~`delay` late,
-    * the same price the temporal join pays for event-time correctness.
-    * The match set is unchanged; only null-padded rows are added, so
-    * the batch equivalent is the same range join made LEFT.
+    * the watermark closes their window — expect them
+    * ~`(delay + windowSec)` late (the watermark must pass
+    * `left.ts + windowSec` before "no partner" is final; with
+    * multi-hour windows that dominates the latency budget), the same
+    * event-time-correctness price the temporal join pays. The match
+    * set is unchanged; only null-padded rows are added, so the batch
+    * equivalent is the same range join made LEFT.
+    *
+    * `joinType = "right_outer"` is the mirror — every right event that
+    * no left event's window covers emits once with null LEFT columns,
+    * ~`delay` late (a right row is unmatched-final as soon as the
+    * watermark passes its own timestamp: its candidate partners all
+    * have `l_ts >= r_ts - windowSec` and `l_ts <= r_ts`). Same
+    * condition, same eviction bounds — callers keep the unprefixed
+    * left / `r_`-prefixed right naming instead of hand-mirroring
+    * columns through a swapped left_outer call.
     *
     * Right-side columns come back prefixed `r_`; the left keeps its
     * names (mirrors [[graft.ops.Joins.asofJoin]]'s convention).
@@ -286,11 +298,11 @@ object StatefulOps {
       tsCol: String, windowSec: Long,
       delay: String = "1 hour", joinType: String = "inner"): DataFrame = {
     require(windowSec >= 0, s"streamStreamJoin: bad window $windowSec")
-    require(joinType == "inner" || joinType == "left_outer",
-      s"streamStreamJoin: joinType must be inner or left_outer, got " +
-        s"'$joinType' — stream-stream state eviction bounds only these " +
-        "two here (right_outer is the mirrored call; full_outer doubles " +
-        "the unmatched hold and is deliberately not exposed)")
+    require(Set("inner", "left_outer", "right_outer")(joinType),
+      s"streamStreamJoin: joinType must be inner, left_outer or " +
+        s"right_outer, got '$joinType' — stream-stream state eviction " +
+        "bounds only these three here (full_outer doubles the unmatched " +
+        "hold and is deliberately not exposed)")
     // same output-name collision guard as the batch prefixing joins: a
     // left column already named r_<x> would silently duplicate in the
     // join output (or mis-bind the join condition's r_ references)
@@ -544,11 +556,17 @@ object StatefulOps {
     * `delay`) passes its event time, then resolved against the version
     * history and emitted — output latency is therefore ~`delay`, the
     * price of event-time correctness (Flink's temporal join pays the
-    * same). Late stragglers degrade gracefully rather than silently
-    * diverging: a dim update older than the watermark still merges into
-    * the history and applies PROSPECTIVELY (already-emitted events
-    * stand), and a late event resolves immediately against the current
-    * history — both are best-effort beyond the watermark contract.
+    * same). Rows LATER than the watermark are DROPPED by the engine
+    * before this operator sees them — Spark's
+    * `FlatMapGroupsWithStateExec` filters input older than the
+    * event-time watermark ahead of the user function, the same
+    * contract as every built-in stateful operator — so a
+    * watermark-late event emits NOTHING (not a null-enriched row) and
+    * a watermark-late dim update never merges. Size `delay` to the
+    * real out-of-orderness; there is no in-operator grace path in
+    * streaming. (In BATCH execution no watermark exists, nothing is
+    * ever late, and every row participates — the degeneration note
+    * below.)
     * Duplicate updates for the same (key, instant) resolve
     * deterministically (greatest serialized attributes win, stable
     * across arrival orders and micro-batch cuts).
@@ -582,12 +600,24 @@ object StatefulOps {
     * from date/ntz would shift naive wall-clock through the session
     * zone.
     *
+    * Observability (r15 board #3): pass a
+    * [[TemporalAsofMetrics.register]]ed bundle as `metrics` to surface
+    * the state-size claims per trigger — max versions kept per key
+    * AFTER pruning (≈ 1 + futures when pruning works), max pending
+    * events per key, sealed-event and TTL-eviction counts — as named
+    * accumulators, without touching the state store; total keys held
+    * is already on `lastProgress.stateOperators`. When `idleTtlSec`
+    * is 0 on a streaming input, a session-wide [[StateGrowthWatch]] is
+    * armed (idempotently) to WARN if any query's state grows
+    * monotonically — the unbounded-key-space misuse.
+    *
     * Output: every stream column unchanged, plus `dim_<c>` for each
     * requested dimension attribute `c`.
     */
   def streamAsofTemporal(stream: DataFrame, dim: DataFrame, keyCol: String,
       tsCol: String, dimCols: Seq[String], dimTsCol: String = "effective_from",
-      delay: String = "10 minutes", idleTtlSec: Long = 0L): DataFrame = {
+      delay: String = "10 minutes", idleTtlSec: Long = 0L,
+      metrics: Option[TemporalAsofMetrics] = None): DataFrame = {
     require(dimCols.nonEmpty, "streamAsofTemporal: no dimension columns requested")
     require(dimCols.distinct.size == dimCols.size,
       s"streamAsofTemporal: duplicate dimension columns ${dimCols.mkString(", ")}" +
@@ -613,6 +643,8 @@ object StatefulOps {
     }
     val spark = stream.sparkSession
     import spark.implicits._
+    if (idleTtlSec == 0L && stream.isStreaming)
+      StateGrowthWatch.armOnce(spark)
     val eventSchema = stream.schema
     val dimStruct = org.apache.spark.sql.types.StructType(
       dimCols.map(c => dim.schema(dim.schema.fieldIndex(c))))
@@ -651,6 +683,8 @@ object StatefulOps {
             case _: UnsupportedOperationException => Long.MaxValue
           }
           val wmUs = if (wmMs == Long.MaxValue) Long.MaxValue else wmMs * 1000L
+          val firstSeen = state.getOption.isEmpty
+          val hadInput = rows.nonEmpty
           var st = state.getOption.getOrElse(
             TemporalAsofState(Array.empty, Array.empty, 0L))
           if (rows.nonEmpty) {
@@ -677,8 +711,8 @@ object StatefulOps {
             if (newEvs.nonEmpty) st = st.copy(pending = st.pending ++ newEvs)
           }
           // the watermark seals every event at-or-before it: no dim
-          // update with an older instant can arrive anymore (beyond the
-          // documented late-straggler best effort)
+          // update with an older instant can reach this function
+          // anymore (the engine drops watermark-late input upstream)
           val (ready, wait) = st.pending.partition(_.tsUs <= wmUs)
           val out = ready.sortBy(p => (p.tsUs, p.eventJson)).iterator
             .map(p => TemporalResolved(p.eventJson, asofLookup(st.versions, p.tsUs)))
@@ -695,6 +729,7 @@ object StatefulOps {
             }
             if (floor > 0) st = st.copy(versions = st.versions.drop(floor))
           }
+          var ttlEvicted = false
           if (wmMs == Long.MaxValue) {
             // batch: state dies with the (single) invocation anyway
           } else {
@@ -703,6 +738,7 @@ object StatefulOps {
             // fresh version must get its full ttl of quiet first
             val idleExpired = state.hasTimedOut && st.pending.isEmpty &&
               ttlMs > 0L && wmUs >= st.lastUs + ttlMs * 1000L
+            ttlEvicted = idleExpired
             if (idleExpired || (st.versions.isEmpty && st.pending.isEmpty)) {
               state.remove()
             } else {
@@ -714,6 +750,15 @@ object StatefulOps {
                 state.setTimeoutTimestamp(
                   math.max(wmMs + 1L, st.lastUs / 1000L + ttlMs))
             }
+          }
+          // observability (see TemporalAsofMetrics): the maxes read the
+          // POST-prune state — exactly the bound the design claims
+          metrics.foreach { m =>
+            if (hadInput && firstSeen) m.newKeys.add(1L)
+            m.sealedEvents.add(out.size.toLong)
+            m.versionsKeptMax.add(st.versions.length.toLong)
+            m.pendingMax.add(st.pending.length.toLong)
+            if (ttlEvicted) m.ttlEvictions.add(1L)
           }
           out.iterator
         })

@@ -532,6 +532,116 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.dropTempView("ssj_lo_out")
   }
 
+  test("streamStreamJoin right_outer: unmatched rights emit null-padded " +
+      "once the watermark passes their timestamp") {
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[(Long, Long, Timestamp)]
+    val right = MemoryStream[(Long, Long, Timestamp)]
+    def toDf(ms: MemoryStream[(Long, Long, Timestamp)]) =
+      ms.toDF().toDF("id", "user_id", "ts")
+    val joined = graft.streaming.StatefulOps.streamStreamJoin(
+      toDf(left), toDf(right), "user_id", "ts", windowSec = 600L,
+      delay = "10 minutes", joinType = "right_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_ro_out")
+      .outputMode("append").start()
+    try {
+      def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      // purchase 10 attributes to click 1; purchase 11 has NO click in
+      // the 10 minutes before it — the row the inner join omits
+      left.addData((1L, 7L, ts(10, 0)))
+      right.addData((10L, 7L, ts(10, 5)), (11L, 8L, ts(10, 1)))
+      q.processAllAvailable()
+      // two sentinel rounds push both watermarks far past purchase 11
+      left.addData((99L, 999L, ts(12, 0)))
+      right.addData((98L, 999L, ts(12, 0)))
+      q.processAllAvailable()
+      left.addData((97L, 998L, ts(13, 0)))
+      right.addData((96L, 998L, ts(13, 0)))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_ro_out")
+        .filter($"r_id" < 90).select($"id", $"r_id").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1)))
+        .sortBy(identity).toSeq
+      // exact multiset: the matched pair once, the unmatched right once
+      // with null LEFT columns — the caller keeps the r_ naming instead
+      // of hand-mirroring a swapped left_outer
+      assert(rows == Seq((-1L, 11L), (1L, 10L)), rows.toString)
+    } finally q.stop()
+    spark.catalog.dropTempView("ssj_ro_out")
+  }
+
+  test("property: streamStreamJoin right_outer equals the batch RIGHT " +
+      "range join on random feeds and chunk cuts") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    implicit val sqlCtx = spark.sqlContext
+    // the r15 verdict's mirror property, stated against the ground
+    // truth instead of a hand-mirrored call (the window is directional
+    // — r.ts ∈ [l.ts, l.ts+w] — so left_outer-with-swapped-inputs is a
+    // DIFFERENT predicate; the batch rebuild through the same operator
+    // is the honest oracle, and batch withWatermark is a no-op)
+    val prop = Prop.forAllNoShrink(Gen.choose(0L, 1000000L)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      def rows(idBase: Long, n: Int): Seq[(Long, Long, Timestamp)] =
+        (0 until n).map { i =>
+          (idBase + i, rnd.nextInt(3).toLong + 1L,
+            Timestamp.valueOf(f"2024-01-01 10:${rnd.nextInt(50)}%02d:00"))
+        }
+      val lRows = rows(100L, 10)
+      val rRows = rows(200L, 10)
+      val left = MemoryStream[(Long, Long, Timestamp)]
+      val right = MemoryStream[(Long, Long, Timestamp)]
+      def toDf(ms: MemoryStream[(Long, Long, Timestamp)]) =
+        ms.toDF().toDF("id", "user_id", "ts")
+      val joined = graft.streaming.StatefulOps.streamStreamJoin(
+        toDf(left), toDf(right), "user_id", "ts", windowSec = 600L,
+        delay = "10 minutes", joinType = "right_outer")
+      val name = "ssj_ro_prop"
+      spark.catalog.dropTempView(name)
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // random chronological cut: both sides advance together so the
+        // joint watermark moves — the unmatched-release path must hold
+        // across micro-batch boundaries, not just in one batch
+        val cutMs = Timestamp.valueOf(
+          f"2024-01-01 10:${rnd.nextInt(50)}%02d:00").getTime
+        Seq(
+          (lRows.filter(_._3.getTime < cutMs), rRows.filter(_._3.getTime < cutMs)),
+          (lRows.filter(_._3.getTime >= cutMs), rRows.filter(_._3.getTime >= cutMs))
+        ).foreach { case (ls, rs) =>
+          if (ls.nonEmpty) left.addData(ls)
+          if (rs.nonEmpty) right.addData(rs)
+          if (ls.nonEmpty || rs.nonEmpty) q.processAllAvailable()
+        }
+        def ts(h: Int) = Timestamp.valueOf(f"2024-01-02 $h%02d:00:00")
+        Seq(12, 13).foreach { h =>
+          left.addData((999L, 999L, ts(h)))
+          right.addData((998L, 999L, ts(h)))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      def multiset(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+        df.select(
+            coalesce(col("user_id"), col("r_user_id")).as("k"),
+            col("id"), col("r_id"))
+          .filter(col("k") < 900)
+          .collect()
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2)))
+          .sortBy(identity).toSeq
+      val got = multiset(spark.table(name))
+      val want = multiset(graft.streaming.StatefulOps.streamStreamJoin(
+        lRows.toDF("id", "user_id", "ts"), rRows.toDF("id", "user_id", "ts"),
+        "user_id", "ts", windowSec = 600L, joinType = "right_outer"))
+      spark.catalog.dropTempView(name)
+      if (got != want) info(s"MISMATCH seed=$seed got=$got want=$want")
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(6).withInitialSeed(16L), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: streamAsofScd2 equals the batch asofJoin rebuild on " +
       "random SCD2 histories, nulls included") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
@@ -1207,10 +1317,12 @@ class StreamingSpec extends AnyFunSuite {
     // query above) it would have enriched
     val ev2 = MemoryStream[(Long, Long, Timestamp)]
     val dm2 = MemoryStream[(Long, Timestamp, String)]
+    val ttlMetrics = graft.streaming.TemporalAsofMetrics.register(spark, "ttl_test")
     val out2 = graft.streaming.StatefulOps.streamAsofTemporal(
       ev2.toDF().toDF("event_id", "user_id", "ts"),
       dm2.toDF().toDF("user_id", "effective_from", "plan"),
-      "user_id", "ts", Seq("plan"), delay = "1 minute", idleTtlSec = 60L)
+      "user_id", "ts", Seq("plan"), delay = "1 minute", idleTtlSec = 60L,
+      metrics = Some(ttlMetrics))
     val q3 = out2.writeStream.format("memory").queryName("satemp_ttl")
       .outputMode("append").start()
     try {
@@ -1235,8 +1347,85 @@ class StreamingSpec extends AnyFunSuite {
           if (r.isNullAt(0)) "" else r.getString(0)).toSeq
       assert(ttlGot == Seq(""),
         s"evicted key must re-enrich as null under idleTtl: $ttlGot")
+      // the eviction above must be visible in the metrics (r15 board
+      // #3): key 7's removal is a TTL eviction, not a drain
+      assert(ttlMetrics.ttlEvictions.value >= 1L,
+        s"idle-TTL eviction not counted: ${ttlMetrics.ttlEvictions.value}")
     } finally q3.stop()
     spark.catalog.dropTempView("satemp_ttl")
+  }
+
+  test("streamAsofTemporal metrics: version state stays ≤ 1 + futures " +
+      "per key on a history that would grow unbounded without pruning") {
+    implicit val sqlCtx = spark.sqlContext
+    // one key, 100 dim updates + 100 events at minute grain, delay 5
+    // minutes, fed in 10-minute chronological chunks. Without the
+    // history prune the key's version array would reach 100; with it,
+    // after trigger k the watermark sits at (chunk k-1 end) - 5min, so
+    // versions kept = 1 floor + futures in (wm, chunk-k end] — at most
+    // 1 + (5 + 10) = 16. Read from the NAMED ACCUMULATORS, not the
+    // state store — the production observability path under test.
+    val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ts(min: Int) = new Timestamp(base + min * 60000L)
+    val ev = MemoryStream[(Long, Long, Timestamp)]
+    val dm = MemoryStream[(Long, Timestamp, String)]
+    val m = graft.streaming.TemporalAsofMetrics.register(spark, "prune_test")
+    val out = graft.streaming.StatefulOps.streamAsofTemporal(
+      ev.toDF().toDF("event_id", "user_id", "ts"),
+      dm.toDF().toDF("user_id", "effective_from", "plan"),
+      "user_id", "ts", Seq("plan"), delay = "5 minutes",
+      metrics = Some(m))
+    val q = out.writeStream.format("memory").queryName("satemp_metrics")
+      .outputMode("append").start()
+    try {
+      (0 until 10).foreach { chunk =>
+        val minutes = (chunk * 10) until (chunk * 10 + 10)
+        dm.addData(minutes.map(i => (7L, ts(i), s"plan$i")))
+        ev.addData(minutes.map(i => (i.toLong, 7L, ts(i))))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(m.maxVersionsKept >= 2L,
+      s"metrics observed nothing: maxVersionsKept=${m.maxVersionsKept}")
+    assert(m.maxVersionsKept <= 16L,
+      s"history prune bound violated: ${m.maxVersionsKept} versions " +
+        "kept for one key (100 updates fed) — ≤ 1 + futures expected")
+    // pending events obey the same horizon: ≤ those not yet sealed
+    assert(m.maxPending <= 16L,
+      s"pending-event bound violated: ${m.maxPending}")
+    // exactly-once emission of sealed events would be 100 minus the
+    // tail still buffered at stop; at least the first 8 chunks' events
+    // must have sealed (wm reached minute 84 by the last trigger)
+    assert(m.sealedEvents.value >= 80L,
+      s"sealedEvents=${m.sealedEvents.value}")
+    assert(m.ttlEvictions.value == 0L, "no TTL configured, none expected")
+    assert(m.newKeys.value == 1L,
+      s"one state key fed, newKeys=${m.newKeys.value}")
+    spark.catalog.dropTempView("satemp_metrics")
+  }
+
+  test("StateGrowthWatch.observe: warns once after N consecutive " +
+      "strict growths; plateaus and dips reset the streak") {
+    val w = new graft.streaming.StateGrowthWatch(nTriggers = 3)
+    val qid = java.util.UUID.randomUUID()
+    // growth but interrupted by a plateau: never fires
+    assert(!w.observe(qid, 10L)) // first sight: no prior, streak 0
+    assert(!w.observe(qid, 11L)) // streak 1
+    assert(!w.observe(qid, 12L)) // streak 2
+    assert(!w.observe(qid, 12L)) // plateau: streak resets
+    assert(!w.observe(qid, 13L)) // streak 1
+    assert(!w.observe(qid, 11L)) // dip: reset
+    // clean run of 3 strict growths fires exactly once
+    assert(!w.observe(qid, 12L))
+    assert(!w.observe(qid, 13L))
+    assert(w.observe(qid, 14L), "3rd consecutive growth must warn")
+    assert(!w.observe(qid, 15L), "warned already: silent forever after")
+    // an independent query has its own streak
+    val qid2 = java.util.UUID.randomUUID()
+    assert(!w.observe(qid2, 1L))
+    assert(!w.observe(qid2, 2L))
+    assert(!w.observe(qid2, 3L))
+    assert(w.observe(qid2, 4L))
   }
 
   test("streamAsofTemporal state survives under the RocksDB state store " +
