@@ -130,6 +130,57 @@ object Bench {
     acc.get()
   }
 
+  /** (1, 5, 15)-minute load averages from a /proc/loadavg-shaped line;
+    * None when the line doesn't parse (non-Linux, truncated read).
+    */
+  private[graft] def parseLoadavg(line: String): Option[(Double, Double, Double)] = {
+    val a = line.trim.split("\\s+")
+    if (a.length < 3) None
+    else try Some((a(0).toDouble, a(1).toDouble, a(2).toDouble))
+    catch { case _: NumberFormatException => None }
+  }
+
+  /** Host load right now, or None off-Linux. Recorded at window start
+    * and end in the headline artifact (r15 board #2): the r15
+    * six-window contamination episode adjudicated against out-of-band
+    * `/proc/loadavg` reads that never made it into the JSON — these
+    * keys make an episode record self-contained.
+    */
+  private[graft] def readLoadavg(): Option[(Double, Double, Double)] =
+    try {
+      val p = java.nio.file.Paths.get("/proc/loadavg")
+      if (!java.nio.file.Files.isReadable(p)) None
+      else parseLoadavg(new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private[graft] def loadavgJson(v: Option[(Double, Double, Double)]): String =
+    v.map { case (a, b, c) => f"[$a%.2f,$b%.2f,$c%.2f]" }.getOrElse("null")
+
+  /** Pre-window load gate (r15 board #1): this host's co-tenant bursts
+    * for tens of minutes at a time (BENCH_AB_r15 §5 — three consecutive
+    * suspect windows one night), so starting a 15-minute measurement
+    * into a visible burst just burns the round's retry budget. Poll the
+    * 1-minute loadavg every `pollSec` until it drops to `threshold` or
+    * the `budgetSec` budget runs out; returns whether the host was
+    * quiet at go time. Injected reader/sleeper/logger keep the decision
+    * loop unit-testable without a clock.
+    */
+  private[graft] def waitForQuiet(threshold: Double, budgetSec: Int,
+      pollSec: Int, read: () => Option[Double], sleep: Long => Unit,
+      log: String => Unit): Boolean = {
+    var waited = 0
+    var l = read()
+    while (l.exists(_ > threshold) && waited < budgetSec) {
+      log(f"[bench] 1-min loadavg ${l.get}%.2f > gate $threshold%.2f — " +
+        s"waiting ${pollSec}s (${waited}s of ${budgetSec}s budget)")
+      sleep(pollSec * 1000L)
+      waited += pollSec
+      l = read()
+    }
+    l.forall(_ <= threshold)
+  }
+
   /** Deterministic 5k-entry dictionary: 250 vocab bigrams that really
     * occur in the corpus (~5% of entries match, like city names in news)
     * + 4750 synthetic phrases that never match (prunes via presearcher).
@@ -181,11 +232,78 @@ object Bench {
   // JIT blackhole for the canary checksum — written, never read
   @volatile private var canarySink: Long = 0L
 
+  /** One measured window: the full artifact line, the compact headline
+    * object (attempt count appended by the caller), and the
+    * self-adjudication flag.
+    */
+  private final case class Window(json: String, headlineObj: String,
+      isSuspect: Boolean)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // driver contract: local[32]; SPARK_GRAFT_CPUS=4 reproduces the
     // BASELINE.md per-core parity configuration
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // Retry-on-suspect (r15 board #1): BENCH_r15.json entered the
+    // permanent record suspect:true — the archive's first contaminated
+    // driver artifact — because the bench path measured exactly once,
+    // burst or no burst. Now: wait for a quiet loadavg before starting,
+    // and when a finished window still self-flags, keep its artifact as
+    // evidence (<out>.rejectedN), pause past the burst, and re-measure —
+    // up to SPARK_GRAFT_BENCH_MAX_ATTEMPTS (default 2) windows. The
+    // driver slot gets the first clean window, or the last window with
+    // its suspect flag and rejected siblings intact ("≥2 spaced attempts
+    // that both flagged, evidence attached" — the r16 done-bar).
+    val maxAttempts = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ATTEMPTS", "2").toInt)
+    val retryPauseSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_PAUSE_SEC", "240").toInt
+    val loadGate =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_GATE", "4.0").toDouble
+    val loadWaitSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT_SEC", "300").toInt
+    def withAttempts(h: String, n: Int): String =
+      h.dropRight(1) + s""","attempts":$n}"""
+    // FILE form stays ONE JSON document (headline embedded)
+    def fileJson(w: Window, attempts: Int): String =
+      w.json.dropRight(1) +
+        s""","headline":${withAttempts(w.headlineObj, attempts)}}"""
+    def writeDoc(path: String, doc: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (doc + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var attempt = 1
+    var win: Window = null
+    var accepted = false
+    while (!accepted) {
+      if (!waitForQuiet(loadGate, loadWaitSec, pollSec = 15,
+          () => readLoadavg().map(_._1), Thread.sleep, System.err.println))
+        System.err.println(f"[bench] load-gate budget exhausted at loadavg " +
+          f"${readLoadavg().map(_._1).getOrElse(-1.0)}%.2f — measuring anyway")
+      win = runWindow(sfDir, cpus)
+      if (win.isSuspect && attempt < maxAttempts) {
+        val rejPath = s"$outPath.rejected$attempt"
+        writeDoc(rejPath, fileJson(win, attempt))
+        System.err.println(s"[bench] window came back suspect (attempt " +
+          s"$attempt/$maxAttempts): artifact kept at $rejPath; retrying " +
+          s"after a ${retryPauseSec}s pause")
+        Thread.sleep(retryPauseSec * 1000L)
+        attempt += 1
+      } else accepted = true
+    }
+    val headlineObj = withAttempts(win.headlineObj, attempt)
+    val headline = s"""{"headline":$headlineObj}"""
+    // stdout tail contract: the big line, then the compact headline LAST
+    println(win.json)
+    println(headline)
+    // belt and braces for harnesses that scrape a prefixed stdout
+    System.err.println(win.json)
+    System.err.println(headline)
+    writeDoc(outPath, fileJson(win, attempt))
+  }
+
+  private def runWindow(sfDir: String, cpus: String): Window = {
+    val loadStart = readLoadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -419,8 +537,7 @@ object Bench {
     // #2 — a median tail read as mins faked a 4x q_pipeline3 regression).
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries_median":$qsMed,"queries_disp":$qsDisp,"sf":"$sfDir","docs":$nDocs,"annotations":$annCount,"docs_per_sec":$docsPerSec%.0f,"docs_per_sec_80k_dict":${nDocs / results("annotate_80k_dict")}%.0f,"docs_per_sec_1m_dict":${nDocs / results("annotate_1m_dict")}%.0f,"docs_per_sec_5k_mixed":${nDocs / results("annotate_5k_mixed")}%.0f,"docs_per_sec_80k_mixed":${nDocs / results("annotate_80k_mixed")}%.0f$parity,"cpus":$cpus,"stored_rdds":$storedRdds,"queries":$qs}"""
-    println(json)
-    // The big line above can exceed the driver's stdout-capture window:
+    // The big line can exceed the driver's stdout-capture window:
     // BENCH_r10.json kept only a truncated TAIL, which (with the min map
     // last) preserved per-query mins but lost every docs_per_sec headline
     // that precedes the map (r10 verdict "what's wrong" #1). A compact
@@ -453,27 +570,21 @@ object Bench {
       "\"" + k + "\":" +
         f"""{"min":${v.min}%.3f,"med":${median(v)}%.3f,"max":${v.max}%.3f,"disp":$dj%.2f}"""
     }.mkString("{", ",", "}")
-    val isSuspect = suspect(headlineSamples.toMap)
+    // FORCE_SUSPECT=1 is a drill hook: flags the window regardless of
+    // its real dispersions so the retry/rejected-artifact path can be
+    // exercised on demand (COVERAGE.md protocol) — the samples map
+    // still records the true measurements
+    val isSuspect = suspect(headlineSamples.toMap) ||
+      sys.env.get("SPARK_GRAFT_BENCH_FORCE_SUSPECT").contains("1")
+    // loadavg_start/loadavg_end (r15 board #2): host load bracketing the
+    // window, in the artifact — the r15 episode's out-of-band
+    // /proc/loadavg reads, made self-contained
+    val loadEnd = readLoadavg()
     val headlineObj =
-      f"""{"docs_per_sec":$docsPerSec%.0f,"docs_per_sec_80k_dict":${nDocs / results("annotate_80k_dict")}%.0f,"docs_per_sec_1m_dict":${nDocs / results("annotate_1m_dict")}%.0f,"docs_per_sec_5k_mixed":${nDocs / results("annotate_5k_mixed")}%.0f,"docs_per_sec_80k_mixed":${nDocs / results("annotate_80k_mixed")}%.0f$parity,"q_triplets_min":${results.getOrElse("q_triplets", -1.0)}%.3f,"total_sec":$total%.3f,"docs":$nDocs,"cpus":$cpus,"stored_rdds":$storedRdds,"samples":$samplesJson,"suspect":$isSuspect}"""
-    val headline = s"""{"headline":$headlineObj}"""
-    println(headline)
-    // Belt and braces for harnesses that scrape a prefixed stdout: the
-    // same lines also go to stderr (never sbt-prefixed when forked with
-    // StdoutOutput). The FILE output stays ONE JSON document (the big
-    // object with the headline embedded under a "headline" key) so
-    // single-document parsers keep working — the two-line form is a
-    // stdout-only tail-capture convention.
-    System.err.println(json)
-    System.err.println(headline)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    val fileJson = json.dropRight(1) + s""","headline":$headlineObj}"""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(outPath),
-      (fileJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f"""{"docs_per_sec":$docsPerSec%.0f,"docs_per_sec_80k_dict":${nDocs / results("annotate_80k_dict")}%.0f,"docs_per_sec_1m_dict":${nDocs / results("annotate_1m_dict")}%.0f,"docs_per_sec_5k_mixed":${nDocs / results("annotate_5k_mixed")}%.0f,"docs_per_sec_80k_mixed":${nDocs / results("annotate_80k_mixed")}%.0f$parity,"q_triplets_min":${results.getOrElse("q_triplets", -1.0)}%.3f,"total_sec":$total%.3f,"docs":$nDocs,"cpus":$cpus,"stored_rdds":$storedRdds,"loadavg_start":${loadavgJson(loadStart)},"loadavg_end":${loadavgJson(loadEnd)},"samples":$samplesJson,"suspect":$isSuspect}"""
     SparkSession.getActiveSession.foreach(_.stop())
     // the replicated bench corpus is multi-copy parquet — don't leak it
-    // into /tmp on every run
+    // into /tmp on every run (nor across retry attempts)
     def rmTree(p: java.nio.file.Path): Unit = {
       if (java.nio.file.Files.isDirectory(p)) {
         val s = java.nio.file.Files.list(p)
@@ -483,5 +594,6 @@ object Bench {
     }
     rmTree(java.nio.file.Paths.get(docsDir))
     rmTree(java.nio.file.Paths.get(pairsDir))
+    Window(json, headlineObj, isSuspect)
   }
 }

@@ -5577,4 +5577,37 @@ class OpsSpec extends AnyFunSuite {
     assert(graft.Bench.canaryWall(threads = 2) ==
       graft.Bench.canaryOnce() * 2)
   }
+
+  test("Bench loadavg: parse, JSON form, and the pre-window quiet gate") {
+    import graft.Bench.{loadavgJson, parseLoadavg, readLoadavg, waitForQuiet}
+    // /proc/loadavg line shape: three averages then scheduler fields
+    assert(parseLoadavg("0.52 1.10 2.75 2/1136 12345") ==
+      Some((0.52, 1.10, 2.75)))
+    assert(parseLoadavg("") == None)
+    assert(parseLoadavg("a b c") == None)
+    assert(loadavgJson(Some((0.5, 1.0, 2.0))) == "[0.50,1.00,2.00]")
+    assert(loadavgJson(None) == "null")
+    // this test host IS Linux: the artifact keys must be real numbers
+    val live = readLoadavg()
+    assert(live.exists(l => l._1 >= 0 && l._2 >= 0 && l._3 >= 0), live.toString)
+
+    // quiet gate decision loop, with an injected clock (no sleeping):
+    // load above the gate drains the budget then reports NOT quiet
+    var slept = 0L
+    val logs = scala.collection.mutable.Buffer.empty[String]
+    assert(!waitForQuiet(threshold = 4.0, budgetSec = 60, pollSec = 15,
+      read = () => Some(9.9), sleep = ms => slept += ms, log = logs.append(_)))
+    assert(slept == 4 * 15000L, s"4 polls of 15s expected, slept $slept ms")
+    assert(logs.size == 4 && logs.forall(_.contains("loadavg 9.90")))
+    // a burst that ends mid-budget: gate opens as soon as load drops
+    val seq = Iterator(Some(8.0), Some(5.0), Some(1.2))
+    slept = 0L
+    assert(waitForQuiet(4.0, 600, 15, () => seq.next(), ms => slept += ms,
+      _ => ()))
+    assert(slept == 2 * 15000L, s"gate must open on the 3rd read: $slept")
+    // already quiet: zero sleeps; unreadable loadavg (None): fail open —
+    // a non-Linux host must measure rather than spin forever
+    assert(waitForQuiet(4.0, 600, 15, () => Some(0.3), _ => fail(), _ => ()))
+    assert(waitForQuiet(4.0, 600, 15, () => None, _ => fail(), _ => ()))
+  }
 }

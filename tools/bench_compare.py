@@ -138,6 +138,52 @@ def canary_min(doc):
     return (s.get("canary_cpu") or {}).get("min")
 
 
+def committed_canary_band(path="BENCH_BANDS.json"):
+    """The committed canary_cpu quiet band (r15 board #2: previously it
+    lived only in BENCH_AB prose, so the first branch of every
+    adjudication — "is the canary elevated?" — needed a human to recall
+    the band). Looks next to the cwd first, then next to the repo root
+    this tool lives in."""
+    import os
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in (path, os.path.join(here, "..", path)):
+        try:
+            with open(p) as f:
+                doc = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        band = (doc.get("bands") or {}).get("canary_cpu")
+        if band:
+            return band
+    return None
+
+
+def print_canary_vs_band(cn):
+    """One line adjudicating the new window's canary against the
+    COMMITTED quiet band — meaningful even when the old windows are
+    themselves suspect (the r15 trap: 'vs old-window median' inherits
+    the old windows' contamination)."""
+    band = committed_canary_band()
+    if cn is None or band is None:
+        return
+    lo, hi = band["min"], band["max"]
+    if cn <= hi:
+        verdict = "QUIET (host comparable to the committed clean windows)"
+    elif cn <= hi * 1.4:
+        # documented quiet-host canary jitter: BENCH_AB_r15 §1 observed
+        # quiet readings up to ~1.4x the full-suite band (0.205 vs
+        # 0.148 on short headline-only runs); the real burner landed at
+        # 1.63x — the gray zone defers to the dispersion evidence
+        verdict = (f"MILDLY ELEVATED {cn / hi:.2f}x over band-max — within "
+                   "documented quiet-host jitter (<=1.4x); corroborate "
+                   "with the dispersion rows before calling HOST")
+    else:
+        verdict = (f"ELEVATED {cn / hi:.2f}x over band-max — HOST load; "
+                   "read the canary-normalized geomean, not raw ratios")
+    print(f"canary min {cn:.3f} vs committed quiet band {lo:.3f}-{hi:.3f} "
+          f"(n={band['n']}): {verdict}")
+
+
 def geomean(ratios):
     return math.exp(sum(math.log(r) for r in ratios) / len(ratios))
 
@@ -183,6 +229,7 @@ def compare_two(new_doc, old_doc, thr):
         if cn and co:
             print(f"canary min new/old: {cn / co:.3f}   "
                   f"canary-normalized geomean: {geo / (cn / co):.3f}")
+        print_canary_vs_band(cn)
         print(f"\nper-query ratios above {thr} (raw, not drift-normalized):")
         for k, r in sorted(ratios.items(), key=lambda kv: -kv[1]):
             if r > thr:
@@ -248,6 +295,7 @@ def compare_band(new_doc, old_paths, slack):
         cr = cn / median(cos)
         print(f"canary min new/old-median: {cr:.3f}   "
               f"canary-normalized geomean: {geo / cr:.3f}")
+    print_canary_vs_band(cn)
     # a mover must be OUTSIDE the old band AND beyond what uniform
     # window drift (the geomean) explains — per-query blips inside the
     # historical band, or a uniformly slow/fast window, flag nothing.
@@ -288,7 +336,15 @@ def compare_band(new_doc, old_paths, slack):
 
 
 def write_bands(out_path, paths):
-    vals = band_over([(p, load(p)) for p in paths])
+    docs = [(p, load(p)) for p in paths]
+    vals = band_over(docs)
+    # the canary lives in the headline samples, not the query-min map —
+    # harvest it separately so the committed file carries the quiet band
+    # (r15 board #2); windows predating the canary (r14-) contribute
+    # nothing, so n records how many windows actually back the band
+    canaries = [c for c in (canary_min(d) for _, d in docs) if c]
+    if canaries:
+        vals["canary_cpu"] = canaries
     doc = {
         "sources": list(paths),
         "bands": {k: {"min": round(min(v), 3), "max": round(max(v), 3),
