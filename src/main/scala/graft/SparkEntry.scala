@@ -1392,6 +1392,169 @@ object SparkEntry {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** RIGHT-OUTER mirror of [[qStreamJoinLeft]] through the operator's
+    * native `joinType = "right_outer"` (not a hand-mirrored call):
+    * never-attributed purchases emit exactly once with a null click.
+    * Within one purchase_id the click_id set is either all non-null
+    * (matched) or the single null row, so the (purchase_id, click_id)
+    * order is engine-unambiguous despite null-placement defaults
+    * differing between Spark and DuckDB.
+    */
+  private def qStreamJoinRight(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("epoch"), col("event_type"))
+      .orderBy(col("epoch"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("epoch"))
+      .as[(Long, Long, Long)].collect()
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("epoch"))
+      .as[(Long, Long, Long)].collect()
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val msL = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val msR = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    def toDf(ms: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]) =
+      ms.toDF().toDF("event_id", "user_id", "epoch")
+        .withColumn("ts", timestamp_seconds(col("epoch"))).drop("epoch")
+    val joined = graft.streaming.StatefulOps.streamStreamJoin(
+      toDf(msL), toDf(msR), "user_id", "ts", windowSec = 1800L,
+      joinType = "right_outer")
+    val qname = "graft_stream_join_right"
+    s.catalog.dropTempView(qname)
+    val q = withStreamShuffle(s) {
+      joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+    }
+    try {
+      val cuts = {
+        val all = (clicks ++ purchases).map(_._3).sorted
+        ((1 to 3).map(i =>
+            all(((all.length.toLong * i) / 4).toInt.min(all.length - 1)))
+          :+ (all.last + 1)).distinct
+      }
+      var prev = Long.MinValue
+      var nFed = 0
+      cuts.foreach { cut =>
+        val cl = clicks.filter(c => c._3 >= prev && c._3 < cut)
+        val pu = purchases.filter(p => p._3 >= prev && p._3 < cut)
+        if (cl.nonEmpty || pu.nonEmpty) {
+          msL.addData(cl.toSeq)
+          msR.addData(pu.toSeq)
+          q.processAllAvailable()
+          nFed += 1
+        }
+        prev = cut
+      }
+      require(nFed >= 3,
+        s"stream-join-right gate fed only $nFed non-empty chunk pairs — " +
+          "needs >=3 micro-batches; events timestamp distribution is degenerate")
+      // watermark flush: unmatched PURCHASES release when the watermark
+      // closes the earliest window that could still produce their click
+      val flush = (clicks ++ purchases).map(_._3).max + 2 * 86400L
+      msL.addData((-1L, -10L, flush))
+      msR.addData((-2L, -10L, flush))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(qname)
+      .filter(col("r_event_id") >= 0)
+      .select(col("event_id").as("click_id"),
+        col("r_event_id").as("purchase_id"),
+        col("r_user_id").as("user_id"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  /** Streaming histogram sketch gate: [[graft.ops.Sketch.histTable]]
+    * run UNCHANGED over a 4-chunk memory stream in complete mode —
+    * state is the ≤258-row bucket table, never the values — then the
+    * same p50 estimate + under/overflow readout as `q_hist`, plus the
+    * exact batch p50. The stream's counters must land exactly on the
+    * batch histogram's (the oracle is `q_hist`'s SQL verbatim, modulo
+    * the gate's single-build vs q_hist's split+merge — identical
+    * counters by [[graft.ops.Sketch.histMerge]]'s exactness), making
+    * this the streaming quantile-monitoring shape: percentiles of an
+    * unbounded stream with fixed-size state and no sort.
+    */
+  private def qStreamHist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.Sketch
+    val docs = s.read.parquet(t(dir, "documents"))
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val sdf = ms.toDF().toDF("doc_id", "text")
+    val toks = sdf.select(
+      graft.ops.TextStats.wsTokens(col("text")).cast("double").as("v"))
+    val qname = "graft_stream_hist"
+    s.catalog.dropTempView(qname)
+    val q = withStreamShuffle(s) {
+      Sketch.histTable(toks, "v", 0, 4096, 256)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+    }
+    try {
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      require(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "streaming-hist gate must process >=3 micro-batches")
+    } finally q.stop()
+    val hist = s.table(qname)
+    val est = Sketch.histQuantile(hist, 0.5, 0, 4096, 256)
+      .select(col("n_in_range"), col("est").as("est_p50"))
+    val uo = hist.agg(
+      coalesce(sum(when(col("bucket") === -1, col("c"))), lit(0L)).as("n_under"),
+      coalesce(sum(when(col("bucket") === 256, col("c"))), lit(0L)).as("n_over"))
+    val exact = docs.select(
+        graft.ops.TextStats.wsTokens(col("text")).cast("double").as("v"))
+      .agg(round(percentile(col("v"), lit(0.5)), 6).as("exact_p50"))
+    est.crossJoin(uo).crossJoin(exact)
+  }
+
+  /** Streaming weighted reservoir gate:
+    * [[graft.ops.Sampling.weightedSampleIdsPerGroup]] over a 4-chunk
+    * memory stream in complete mode — per-source state is exactly the
+    * k-bounded (key, id) reservoir of the typed aggregator, and the
+    * deterministic A-ES priorities make the stream's final reservoir
+    * equal the batch draw over the same rows: the oracle is `q_wrs`'s
+    * relational replay (ids + draw ORDER), minus the hydrated columns
+    * the streaming form deliberately does not carry.
+    */
+  private def qStreamSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // null weights never sample (operator contract, OpsSpec-pinned) —
+    // dropped pre-feed only for the primitive tuple encoder's sake
+    val rows = s.read.parquet(t(dir, "documents"))
+      .filter(col("n_chars").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long"))
+      .as[(Long, String, Long)].collect()
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val sdf = ms.toDF().toDF("doc_id", "source", "n_chars")
+    val picked = graft.ops.Sampling.weightedSampleIdsPerGroup(
+      sdf, "doc_id", "source", "n_chars", k = 10)
+    val qname = "graft_stream_sample"
+    s.catalog.dropTempView(qname)
+    val q = withStreamShuffle(s) {
+      picked.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+    }
+    try {
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      require(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "streaming-sample gate must process >=3 micro-batches")
+    } finally q.stop()
+    s.table(qname)
+      .select(col("source"), col("doc_id"), col("sample_rank"))
+      .orderBy(col("source"), col("sample_rank"))
+  }
+
   /** Stream-batch as-of enrichment gate (r12 board #6): the events
     * STREAM, fed in 4 chronological micro-batches, enriched against the
     * batch-built SCD2 dimension of [[qScd2]] — each event picks the
@@ -2425,6 +2588,37 @@ object SparkEntry {
       coalesce(sum(when(col("bucket") === 256, col("c"))), lit(0L)).as("n_over"))
     val exact = toks.agg(round(percentile(col("v"), lit(0.5)), 6).as("exact_p50"))
     est.crossJoin(uo).crossJoin(exact)
+  }
+
+  /** Distribution-drift gate: PSI + two-sample KS between the
+    * token-length distributions of two corpus "snapshots" (even vs odd
+    * doc_id — same bucketing as `q_hist`). The oracle replays the
+    * shared bucketing, the eps-substituted grained PSI sum and the
+    * cdf-max exactly.
+    */
+  private def qDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val toks = docs.select(col("doc_id"),
+      graft.ops.TextStats.wsTokens(col("text")).cast("double").as("v"))
+    graft.ops.Drift.driftStats(
+      toks.filter(col("doc_id") % 2 === 0),
+      toks.filter(col("doc_id") % 2 === 1),
+      "v", 0, 4096, 256)
+  }
+
+  /** Per-language drift gate: [[qDrift]]'s split stratified by `lang` —
+    * a language present on only one side reports (n, 0, null, null)
+    * rather than raising (the appearance/disappearance IS the finding).
+    */
+  private def qDriftGroup(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val toks = docs.select(col("doc_id"), col("lang"),
+      graft.ops.TextStats.wsTokens(col("text")).cast("double").as("v"))
+    graft.ops.Drift.driftByGroup(
+      toks.filter(col("doc_id") % 2 === 0),
+      toks.filter(col("doc_id") % 2 === 1),
+      "lang", "v", 0, 4096, 256)
+      .orderBy(col("lang"))
   }
 
   /** Column profiler over the documents table — every per-column
@@ -3877,6 +4071,8 @@ object SparkEntry {
     "q_corpus_card" -> (qCorpusCard _),
     "q_lang_agree" -> (qLangAgree _),
     "q_hist" -> (qHist _),
+    "q_drift" -> (qDrift _),
+    "q_drift_group" -> (qDriftGroup _),
     "q_skew" -> (qSkew _),
     "q_profile" -> (qProfile _),
     "q_checks" -> (qChecks _),
@@ -4022,6 +4218,9 @@ object SparkEntry {
     "q_stream_temporal" -> (qStreamTemporal _),
     "q_stream_temporal_restart" -> (qStreamTemporalRestart _),
     "q_stream_join_left" -> (qStreamJoinLeft _),
+    "q_stream_join_right" -> (qStreamJoinRight _),
+    "q_stream_hist" -> (qStreamHist _),
+    "q_stream_sample" -> (qStreamSample _),
     "q_resample" -> (qResample _),
     "q_rollup" -> (qRollup _),
     "q_pivot" -> (qPivot _),
@@ -4409,6 +4608,75 @@ object SparkEntry {
         |ex AS (SELECT round(quantile_cont(v, 0.5), 6) AS exact_p50 FROM v)
         |SELECT q.n_in_range, uo.n_under, uo.n_over, q.est_p50, ex.exact_p50
         |FROM q, uo, ex""".stripMargin,
+    // shared bucketing + eps-substituted grained PSI sum + cdf-max KS
+    "q_drift" ->
+      """WITH v AS (SELECT doc_id, (CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE AS v
+        |  FROM documents),
+        |bk AS (SELECT doc_id, CASE WHEN v < 0 THEN -1 WHEN v >= 4096 THEN 256
+        |    ELSE CAST(floor((v - 0.0) / 16.0) AS INT) END AS bucket FROM v),
+        |ha AS (SELECT bucket, count(*) AS c_a FROM bk
+        |  WHERE doc_id % 2 = 0 GROUP BY bucket),
+        |hb AS (SELECT bucket, count(*) AS c_b FROM bk
+        |  WHERE doc_id % 2 = 1 GROUP BY bucket),
+        |j AS (SELECT coalesce(ha.bucket, hb.bucket) AS bucket,
+        |    coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+        |  FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+        |t AS (SELECT bucket, c_a, c_b,
+        |    CAST(sum(c_a) OVER () AS BIGINT) AS n_a,
+        |    CAST(sum(c_b) OVER () AS BIGINT) AS n_b,
+        |    CAST(sum(c_a) OVER (ORDER BY bucket) AS BIGINT) AS cum_a,
+        |    CAST(sum(c_b) OVER (ORDER BY bucket) AS BIGINT) AS cum_b
+        |  FROM j),
+        |x AS (SELECT n_a, n_b,
+        |    CAST(floor(((CASE WHEN c_a = 0 THEN 1e-6 ELSE c_a::DOUBLE / n_a END)
+        |      - (CASE WHEN c_b = 0 THEN 1e-6 ELSE c_b::DOUBLE / n_b END))
+        |      * ln((CASE WHEN c_a = 0 THEN 1e-6 ELSE c_a::DOUBLE / n_a END)
+        |         / (CASE WHEN c_b = 0 THEN 1e-6 ELSE c_b::DOUBLE / n_b END))
+        |      * 1e9) AS BIGINT) AS psi9,
+        |    abs(cum_a::DOUBLE / n_a - cum_b::DOUBLE / n_b) AS ksterm
+        |  FROM t)
+        |SELECT n_a, n_b, round(sum(psi9)::DOUBLE / 1e9, 6) AS psi,
+        |  round(max(ksterm), 6) AS ks
+        |FROM x GROUP BY n_a, n_b""".stripMargin,
+    // the same replay stratified per language; a one-sided language
+    // keeps its row with null psi/ks (SQL sum/max over all-NULL)
+    "q_drift_group" ->
+      """WITH v AS (SELECT doc_id, lang,
+        |    (CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE AS v
+        |  FROM documents),
+        |bk AS (SELECT doc_id, lang,
+        |    CASE WHEN v < 0 THEN -1 WHEN v >= 4096 THEN 256
+        |    ELSE CAST(floor((v - 0.0) / 16.0) AS INT) END AS bucket FROM v),
+        |ha AS (SELECT lang, bucket, count(*) AS c_a FROM bk
+        |  WHERE doc_id % 2 = 0 GROUP BY lang, bucket),
+        |hb AS (SELECT lang, bucket, count(*) AS c_b FROM bk
+        |  WHERE doc_id % 2 = 1 GROUP BY lang, bucket),
+        |j AS (SELECT coalesce(ha.lang, hb.lang) AS lang,
+        |    coalesce(ha.bucket, hb.bucket) AS bucket,
+        |    coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+        |  FROM ha FULL OUTER JOIN hb
+        |    ON ha.lang = hb.lang AND ha.bucket = hb.bucket),
+        |t AS (SELECT lang, bucket, c_a, c_b,
+        |    CAST(sum(c_a) OVER (PARTITION BY lang) AS BIGINT) AS n_a,
+        |    CAST(sum(c_b) OVER (PARTITION BY lang) AS BIGINT) AS n_b,
+        |    CAST(sum(c_a) OVER (PARTITION BY lang ORDER BY bucket) AS BIGINT) AS cum_a,
+        |    CAST(sum(c_b) OVER (PARTITION BY lang ORDER BY bucket) AS BIGINT) AS cum_b
+        |  FROM j),
+        |x AS (SELECT lang, n_a, n_b,
+        |    CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE
+        |    CAST(floor(((CASE WHEN c_a = 0 THEN 1e-6 ELSE c_a::DOUBLE / n_a END)
+        |      - (CASE WHEN c_b = 0 THEN 1e-6 ELSE c_b::DOUBLE / n_b END))
+        |      * ln((CASE WHEN c_a = 0 THEN 1e-6 ELSE c_a::DOUBLE / n_a END)
+        |         / (CASE WHEN c_b = 0 THEN 1e-6 ELSE c_b::DOUBLE / n_b END))
+        |      * 1e9) AS BIGINT) END AS psi9,
+        |    CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE
+        |      abs(cum_a::DOUBLE / n_a - cum_b::DOUBLE / n_b) END AS ksterm
+        |  FROM t)
+        |SELECT lang, n_a, n_b, round(sum(psi9)::DOUBLE / 1e9, 6) AS psi,
+        |  round(max(ksterm), 6) AS ks
+        |FROM x GROUP BY lang, n_a, n_b ORDER BY lang""".stripMargin,
     // chunk replay both sides + corpus semi-join + intra-delta election
     // + ordered rebuild, md5-certified
     "q_cdc_delta" ->
@@ -5635,6 +5903,51 @@ object SparkEntry {
         |FROM c LEFT JOIN p ON c.user_id = p.user_id
         |  AND p.sec >= c.sec AND p.sec <= c.sec + 1800
         |ORDER BY click_id, purchase_id""".stripMargin,
+    // the mirrored attribution: every purchase exactly once, null click
+    // when nothing converted it
+    "q_stream_join_right" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) // 1000000 AS sec FROM events),
+        |c AS (SELECT * FROM e WHERE event_type = 'click'),
+        |p AS (SELECT * FROM e WHERE event_type = 'purchase')
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  p.user_id
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |  AND p.sec >= c.sec AND p.sec <= c.sec + 1800
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    // q_hist's replay verbatim: the streamed histogram must land on
+    // the batch counters exactly
+    "q_stream_hist" ->
+      """WITH v AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END::DOUBLE AS v
+        |  FROM documents),
+        |b AS (SELECT CASE WHEN v < 0 THEN -1 WHEN v >= 4096 THEN 256
+        |    ELSE CAST(floor((v - 0.0) / 16.0) AS INT) END AS bucket FROM v),
+        |h AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
+        |inr AS (SELECT bucket, c,
+        |    coalesce(sum(c) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+        |    sum(c) OVER () AS n
+        |  FROM h WHERE bucket >= 0 AND bucket < 256),
+        |q AS (SELECT CAST(n AS BIGINT) AS n_in_range,
+        |    round(0.0 + 16.0 * (bucket + (CAST(ceil(0.5 * n) AS BIGINT) - cum_before)::DOUBLE / c), 6) AS est_p50
+        |  FROM inr
+        |  WHERE cum_before < ceil(0.5 * n) AND cum_before + c >= ceil(0.5 * n)),
+        |uo AS (SELECT CAST(coalesce(sum(CASE WHEN bucket = -1 THEN c END), 0) AS BIGINT) AS n_under,
+        |       CAST(coalesce(sum(CASE WHEN bucket = 256 THEN c END), 0) AS BIGINT) AS n_over FROM h),
+        |ex AS (SELECT round(quantile_cont(v, 0.5), 6) AS exact_p50 FROM v)
+        |SELECT q.n_in_range, uo.n_under, uo.n_over, q.est_p50, ex.exact_p50
+        |FROM q, uo, ex""".stripMargin,
+    // q_wrs's replay minus the hydrated columns: ids + draw order only
+    "q_stream_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    ln((('0x' || substr(md5(doc_id::VARCHAR || ':wrs'), 1, 8))::BIGINT + 1)
+        |       / 4294967296.0) / n_chars AS ky
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT source, doc_id, rk AS sample_rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY ky DESC, doc_id ASC) AS BIGINT) AS rk FROM w)
+        |WHERE rk <= 10 ORDER BY source, sample_rank""".stripMargin,
     // SCD2 chain (same as q_scd2) + validity-interval membership = the
     // version a backward as-of join assigns to each event
     "q_stream_asof" ->

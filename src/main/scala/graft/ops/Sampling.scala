@@ -271,6 +271,36 @@ object Sampling {
         "sample_rank")
   }
 
+  /** [[weightedSamplePerGroup]]'s draw WITHOUT the row-hydrating join:
+    * only `(groupCol, idCol, sample_rank)` comes back — identical ids
+    * and draw order (same salted-md5 A-ES key), via
+    * [[topKIdsPerGroupAgg]]. This is the STREAMING form of the
+    * quality-weighted corpus subsample: run it over an unbounded
+    * document stream in complete/update mode and the state per stratum
+    * is exactly the current k-row reservoir (the aggregator's k-bounded
+    * buffer), never the stream — "keep the 1M best-weighted docs per
+    * domain of everything ever seen", maintained incrementally. Because
+    * the priorities are deterministic in (id, salt), the stream's
+    * reservoir after n rows equals the batch draw over the same n rows
+    * (`q_stream_sample` pins that against the batch oracle); hydrate
+    * the winning ids against the corpus store batch-side. Requires a
+    * long/int/string id (the typed-aggregator election; there is no
+    * window fallback in streaming).
+    */
+  def weightedSampleIdsPerGroup(df: DataFrame, idCol: String,
+      groupCol: String, weightCol: String, k: Int,
+      salt: String = ""): DataFrame = {
+    Ids.requireNoReservedNames("weightedSampleIdsPerGroup", "input",
+      df.columns.toSeq, Set("__aes_key"), Some(df.sparkSession))
+    val u = (conv(substring(saltedHash(col(idCol), salt + ":wrs"), 1, 8),
+      16, 10).cast("double") + 1.0) / 4294967296.0
+    val key = log(u) / col(weightCol).cast("double")
+    val weighted = df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+    topKIdsPerGroupAgg(weighted.withColumn("__aes_key", key), idCol,
+        groupCol, "__aes_key", k)
+      .withColumnRenamed("rank_in_group", "sample_rank")
+  }
+
   /** Bounded top-k as a custom typed [[org.apache.spark.sql.expressions.Aggregator]]:
     * the aggregation-not-sort formulation of [[topKPerGroup]]. State is
     * AT MOST k (score, id) pairs per group per partition — map-side
@@ -356,6 +386,24 @@ object Sampling {
         org.apache.spark.sql.Encoders.scalaLong))
 
   def topKPerGroupAgg(df: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String, k: Int, descending: Boolean = true): DataFrame =
+    df.join(
+      topKIdsPerGroupAgg(df, idCol, groupCol, scoreCol, k, descending)
+        .drop(groupCol),
+      Seq(idCol))
+
+  /** [[topKPerGroupAgg]]'s election WITHOUT the row-hydrating join:
+    * only `(groupCol, idCol, rank_in_group)` comes back. Two reasons to
+    * prefer this form. (1) It is the scale-correct shape when the
+    * caller only needs the winning ids — the exchange carries k-bounded
+    * aggregator buffers and nothing is ever joined back against the
+    * full input. (2) It is STREAMING-capable: a pure groupBy
+    * aggregation (complete/update mode) with at most k (score, id)
+    * pairs of state per group, whereas the hydrating join above is a
+    * stream-to-derived-stream join Structured Streaming refuses.
+    * `q_stream_sample` pins batch ≡ stream on top of this.
+    */
+  def topKIdsPerGroupAgg(df: DataFrame, idCol: String, groupCol: String,
       scoreCol: String, k: Int, descending: Boolean = true): DataFrame = {
     require(k >= 1, s"topKPerGroupAgg: bad k $k")
     // same plan-build guards as the window election: staged names on
@@ -391,13 +439,11 @@ object Sampling {
       case org.apache.spark.sql.types.StringType => col(idCol)
       case _ => col(idCol).cast("long")
     }
-    val picked = df
-      .groupBy(col(groupCol))
+    df.groupBy(col(groupCol))
       .agg(agg(col(scoreCol).cast("double"), idExpr).as("__top"))
-      .select(posexplode(col("__top")).as(Seq("__i", "__e")))
-      .select(col("__e._2").as(idCol),
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("__i", "__e")))
+      .select(col(groupCol), col("__e._2").as(idCol),
         (col("__i") + 1).cast("long").as("rank_in_group"))
-    df.join(picked, Seq(idCol))
   }
 
   /** Stratified deterministic sample: an independent ~`fraction` within

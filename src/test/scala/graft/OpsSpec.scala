@@ -3191,6 +3191,97 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("driftStats: identical==0/0, disjoint KS==1, shift ordering, " +
+      "partition invariance, empty side raises") {
+    import graft.ops.Drift
+    val a = (0 until 200).map(i => (i % 50).toDouble).toDF("v")
+    // identical distributions: PSI and KS exactly zero (p==q cell-wise
+    // → the grained term is exactly 0, the cdfs coincide)
+    val same = Drift.driftStats(a, a, "v", 0, 100, 10).head()
+    assert((same.getLong(0), same.getLong(1)) == (200L, 200L))
+    assert(same.getDouble(2) == 0.0 && same.getDouble(3) == 0.0)
+    // disjoint supports: KS hits exactly 1.0, PSI blows past the 0.25
+    // "major drift" bar by an order of magnitude
+    val b = (0 until 200).map(i => 50.0 + (i % 50)).toDF("v")
+    val dis = Drift.driftStats(a, b, "v", 0, 100, 10).head()
+    assert(dis.getDouble(3) == 1.0, s"disjoint KS: $dis")
+    assert(dis.getDouble(2) > 10, s"disjoint PSI: $dis")
+    // a mild shift sits strictly between the two
+    val c = (0 until 200).map(i => (i % 50) + 10.0).toDF("v")
+    val mid = Drift.driftStats(a, c, "v", 0, 100, 10).head()
+    assert(mid.getDouble(2) > 0.0 && mid.getDouble(2) < dis.getDouble(2))
+    assert(mid.getDouble(3) > 0.0 && mid.getDouble(3) < 1.0)
+    // partition invariance (grained PSI sum is order-proof)
+    val rep = Drift.driftStats(a.repartition(13), c.repartition(7),
+      "v", 0, 100, 10).head()
+    assert(rep == mid)
+    // an empty side raises in-plan, not a silent zero
+    val err = intercept[Exception] {
+      Drift.driftStats(a.filter(col("v") < -1), a, "v", 0, 100, 10).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("driftByGroup: per-group stats, one-sided group reports nulls") {
+    import graft.ops.Drift
+    val a = ((0 until 100).map(i => ("en", (i % 50).toDouble)) ++
+      (0 until 60).map(i => ("de", (i % 30).toDouble)) ++
+      (0 until 20).map(i => ("fr", i.toDouble))).toDF("lang", "v")
+    val b = ((0 until 100).map(i => ("en", (i % 50).toDouble)) ++
+      (0 until 60).map(i => ("de", 50.0 + (i % 30)))).toDF("lang", "v")
+    val got = Drift.driftByGroup(a, b, "lang", "v", 0, 100, 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // en identical, de disjoint, fr one-sided
+    assert(got("en").getDouble(3) == 0.0 && got("en").getDouble(4) == 0.0)
+    assert(got("de").getDouble(4) == 1.0 && got("de").getDouble(3) > 5)
+    assert(got("fr").getLong(2) == 0L)
+    assert(got("fr").isNullAt(3) && got("fr").isNullAt(4),
+      "a group with an empty opposite side reports null psi/ks")
+    // per-group == one-shot on the same stratum
+    val en = Drift.driftStats(
+      a.filter(col("lang") === "en").select(col("v")),
+      b.filter(col("lang") === "en").select(col("v")),
+      "v", 0, 100, 10).head()
+    assert(got("en").getLong(1) == en.getLong(0) &&
+      got("en").getDouble(3) == en.getDouble(2) &&
+      got("en").getDouble(4) == en.getDouble(3))
+  }
+
+  test("topKIdsPerGroupAgg / weightedSampleIdsPerGroup == hydrated forms") {
+    import graft.ops.Sampling
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 400).map(i =>
+      (i.toLong, s"g${i % 5}", rnd.nextInt(30))).toDF("id", "g", "score")
+    // ids-only election == (group, id, rank) projection of the join form
+    val ids = Sampling.topKIdsPerGroupAgg(df, "id", "g", "score", 6)
+    assert(ids.columns.toSeq == Seq("g", "id", "rank_in_group"))
+    val got = ids.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val hyd = Sampling.topKPerGroupAgg(df, "id", "g", "score", 6)
+      .select(col("g"), col("id"), col("rank_in_group")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == hyd)
+    // same for the A-ES draw: identical ids AND draw order, no join in
+    // the ids-only plan (streaming-capable shape)
+    val wdf = (0 until 300).map(i => (i.toLong, s"g${i % 3}",
+      1.0 + (i % 7))).toDF("id", "g", "w")
+    val sIds = Sampling.weightedSampleIdsPerGroup(wdf, "id", "g", "w", k = 8)
+    assert(sIds.columns.toSeq == Seq("g", "id", "sample_rank"))
+    val sGot = sIds.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val sHyd = Sampling.weightedSamplePerGroup(wdf, "id", "g", "w", k = 8)
+      .select(col("g"), col("id"), col("sample_rank")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(sGot == sHyd)
+    assert(!sIds.queryExecution.executedPlan.toString.contains("Join"),
+      "ids-only election must not join back to the input")
+    // partition invariance
+    val rep = Sampling.weightedSampleIdsPerGroup(wdf.repartition(17),
+        "id", "g", "w", k = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(rep == sGot)
+  }
+
   test("scd2: consecutive-identical collapse, intervals, ties by tieCol") {
     import java.sql.Timestamp
     def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
