@@ -41,12 +41,24 @@ object Drift {
     */
   def driftStats(a: DataFrame, b: DataFrame, valueCol: String,
       lo: Double, hi: Double, buckets: Int,
+      eps: Double = 1e-6): DataFrame =
+    driftFromHistTables(
+      Sketch.histTable(a, valueCol, lo, hi, buckets),
+      Sketch.histTable(b, valueCol, lo, hi, buckets), eps)
+
+  /** [[driftStats]] over two ALREADY-BUILT `(bucket, c)` histogram
+    * tables (the [[Sketch.histTable]] shape — same lo/hi/buckets on
+    * both sides is the caller's contract, as for [[Sketch.histMerge]]).
+    * This is the day-over-day path: persist each day's ≤buckets+2-row
+    * bucket table and diff today against yesterday without rescanning
+    * yesterday's corpus. Also accepts a streaming sink's complete-mode
+    * histogram output batch-side.
+    */
+  def driftFromHistTables(histA: DataFrame, histB: DataFrame,
       eps: Double = 1e-6): DataFrame = {
     require(eps > 0 && eps < 1, s"driftStats: eps out of (0,1): $eps")
-    val ha = Sketch.histTable(a, valueCol, lo, hi, buckets)
-      .withColumnRenamed("c", "c_a")
-    val hb = Sketch.histTable(b, valueCol, lo, hi, buckets)
-      .withColumnRenamed("c", "c_b")
+    val ha = histA.withColumnRenamed("c", "c_a")
+    val hb = histB.withColumnRenamed("c", "c_b")
     val joined = ha.join(hb, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("c_a"), lit(0L)).as("c_a"),

@@ -3220,6 +3220,13 @@ class OpsSpec extends AnyFunSuite {
       Drift.driftStats(a.filter(col("v") < -1), a, "v", 0, 100, 10).collect()
     }
     assert(err.getMessage != null)
+    // the day-over-day path: drift over persisted bucket tables equals
+    // drift over the raw frames
+    import graft.ops.Sketch
+    val fromHists = Drift.driftFromHistTables(
+      Sketch.histTable(a, "v", 0, 100, 10),
+      Sketch.histTable(c, "v", 0, 100, 10)).head()
+    assert(fromHists == mid)
   }
 
   test("driftByGroup: per-group stats, one-sided group reports nulls") {
