@@ -1514,6 +1514,47 @@ object SparkEntry {
     est.crossJoin(uo).crossJoin(exact)
   }
 
+  /** Streaming drift-monitoring gate — the composition the family
+    * exists for: the live stream's histogram (even doc_ids through the
+    * complete-mode bucket aggregation, state ≤258 rows) diffed against
+    * the batch reference corpus's histogram (odd doc_ids) with
+    * [[graft.ops.Drift.driftFromHistTables]]. Lands on exactly
+    * `q_drift`'s numbers (oracle shared verbatim): streaming the A side
+    * changes nothing because the bucket counters are exact.
+    */
+  private def qStreamDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.{Drift, Sketch}
+    val docs = s.read.parquet(t(dir, "documents"))
+    val rows = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val sdf = ms.toDF().toDF("doc_id", "text")
+    val toks = sdf.select(
+      graft.ops.TextStats.wsTokens(col("text")).cast("double").as("v"))
+    val qname = "graft_stream_drift"
+    s.catalog.dropTempView(qname)
+    val q = withStreamShuffle(s) {
+      Sketch.histTable(toks, "v", 0, 4096, 256)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+    }
+    try {
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      require(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "streaming-drift gate must process >=3 micro-batches")
+    } finally q.stop()
+    val refHist = Sketch.histTable(
+      docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"),
+        graft.ops.TextStats.wsTokens(col("text")).cast("double").as("v")),
+      "v", 0, 4096, 256)
+    Drift.driftFromHistTables(s.table(qname), refHist)
+  }
+
   /** Streaming weighted reservoir gate:
     * [[graft.ops.Sampling.weightedSampleIdsPerGroup]] over a 4-chunk
     * memory stream in complete mode — per-source state is exactly the
@@ -4220,6 +4261,7 @@ object SparkEntry {
     "q_stream_join_left" -> (qStreamJoinLeft _),
     "q_stream_join_right" -> (qStreamJoinRight _),
     "q_stream_hist" -> (qStreamHist _),
+    "q_stream_drift" -> (qStreamDrift _),
     "q_stream_sample" -> (qStreamSample _),
     "q_resample" -> (qResample _),
     "q_rollup" -> (qRollup _),
@@ -4677,6 +4719,38 @@ object SparkEntry {
         |SELECT lang, n_a, n_b, round(sum(psi9)::DOUBLE / 1e9, 6) AS psi,
         |  round(max(ksterm), 6) AS ks
         |FROM x GROUP BY lang, n_a, n_b ORDER BY lang""".stripMargin,
+    // q_drift's replay verbatim: streaming the A-side histogram changes
+    // nothing — the bucket counters are exact
+    "q_stream_drift" ->
+      """WITH v AS (SELECT doc_id, (CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE AS v
+        |  FROM documents),
+        |bk AS (SELECT doc_id, CASE WHEN v < 0 THEN -1 WHEN v >= 4096 THEN 256
+        |    ELSE CAST(floor((v - 0.0) / 16.0) AS INT) END AS bucket FROM v),
+        |ha AS (SELECT bucket, count(*) AS c_a FROM bk
+        |  WHERE doc_id % 2 = 0 GROUP BY bucket),
+        |hb AS (SELECT bucket, count(*) AS c_b FROM bk
+        |  WHERE doc_id % 2 = 1 GROUP BY bucket),
+        |j AS (SELECT coalesce(ha.bucket, hb.bucket) AS bucket,
+        |    coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+        |  FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+        |t AS (SELECT bucket, c_a, c_b,
+        |    CAST(sum(c_a) OVER () AS BIGINT) AS n_a,
+        |    CAST(sum(c_b) OVER () AS BIGINT) AS n_b,
+        |    CAST(sum(c_a) OVER (ORDER BY bucket) AS BIGINT) AS cum_a,
+        |    CAST(sum(c_b) OVER (ORDER BY bucket) AS BIGINT) AS cum_b
+        |  FROM j),
+        |x AS (SELECT n_a, n_b,
+        |    CAST(floor(((CASE WHEN c_a = 0 THEN 1e-6 ELSE c_a::DOUBLE / n_a END)
+        |      - (CASE WHEN c_b = 0 THEN 1e-6 ELSE c_b::DOUBLE / n_b END))
+        |      * ln((CASE WHEN c_a = 0 THEN 1e-6 ELSE c_a::DOUBLE / n_a END)
+        |         / (CASE WHEN c_b = 0 THEN 1e-6 ELSE c_b::DOUBLE / n_b END))
+        |      * 1e9) AS BIGINT) AS psi9,
+        |    abs(cum_a::DOUBLE / n_a - cum_b::DOUBLE / n_b) AS ksterm
+        |  FROM t)
+        |SELECT n_a, n_b, round(sum(psi9)::DOUBLE / 1e9, 6) AS psi,
+        |  round(max(ksterm), 6) AS ks
+        |FROM x GROUP BY n_a, n_b""".stripMargin,
     // chunk replay both sides + corpus semi-join + intra-delta election
     // + ordered rebuild, md5-certified
     "q_cdc_delta" ->
