@@ -390,7 +390,8 @@ object Bench {
       "q_triplets", "q_stream_topk", "q_audit", "q_jaccard_sim",
       "q_retention", "q_zscore", "q_bloom_join", "q_erasure", "q_anomaly",
       "q_stream_join", "q_stream_asof", "q_stream_temporal", "q_er_eval",
-      "q_bottom_k", "q_drift", "q_drift_group")
+      "q_bottom_k", "q_drift", "q_drift_group", "q_interval_union",
+      "q_coverage", "q_interval_gaps")
 
     // The full timed unit for an op query includes clearCache so internal
     // persist() calls can't leak cached inputs into the next round.

@@ -994,6 +994,43 @@ object SparkEntry {
         col("sw.end").as("session_end"), col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Events as variable-DURATION activity intervals: each event opens
+    * `[ts, ts + (event_id % 7 + 1) minutes)` — durations the inter-event
+    * gap rule of sessionization cannot see (a long-running interval
+    * bridges a quiet stretch). Shared input of the three interval
+    * gates.
+    */
+  private def eventIntervals(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(col("user_id"), col("ts").as("iv_start"),
+      timestamp_micros(unix_micros(col("ts")) +
+        (col("event_id") % 7 + 1) * lit(60000000L)).as("iv_end"))
+
+  /** Interval-union gate: overlapping/touching activity intervals
+    * coalesce into maximal spans per user. The oracle replays the
+    * island chain (running max of ends → break flags → island ids →
+    * span aggregation) window-for-window in epoch micros.
+    */
+  private def qIntervalUnion(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Intervals.coalesceIntervals(
+        eventIntervals(s, dir), "user_id", "iv_start", "iv_end")
+      .orderBy(col("user_id"), col("span_start"))
+
+  /** Per-user coverage rollup over the same intervals: union-exact
+    * covered micros (double counting collapsed), span count, extent.
+    */
+  private def qCoverage(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Intervals.intervalCoverage(
+        eventIntervals(s, dir), "user_id", "iv_start", "iv_end")
+      .orderBy(col("user_id"))
+
+  /** Downtime gate: the interior silences between a user's merged
+    * activity spans — nothing before the first or after the last span.
+    */
+  private def qIntervalGaps(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Intervals.intervalGaps(
+        eventIntervals(s, dir), "user_id", "iv_start", "iv_end")
+      .orderBy(col("user_id"), col("gap_start"))
+
   /** Scratch layout for [[qPartPrune]], written ONCE per input dir and
     * reused across calls in the JVM (r12 board #2: the bench's timed
     * unit must cover the prune-gate READ path, not a scratch parquet
@@ -4114,6 +4151,9 @@ object SparkEntry {
     "q_hist" -> (qHist _),
     "q_drift" -> (qDrift _),
     "q_drift_group" -> (qDriftGroup _),
+    "q_interval_union" -> (qIntervalUnion _),
+    "q_coverage" -> (qCoverage _),
+    "q_interval_gaps" -> (qIntervalGaps _),
     "q_skew" -> (qSkew _),
     "q_profile" -> (qProfile _),
     "q_checks" -> (qChecks _),
@@ -4719,6 +4759,58 @@ object SparkEntry {
         |SELECT lang, n_a, n_b, round(sum(psi9)::DOUBLE / 1e9, 6) AS psi,
         |  round(max(ksterm), 6) AS ks
         |FROM x GROUP BY lang, n_a, n_b ORDER BY lang""".stripMargin,
+    // the island chain replayed window-for-window in epoch micros:
+    // running max of ends -> break flags -> island ids -> span agg
+    "q_interval_union" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e FROM events),
+        |o AS (SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv),
+        |fl AS (SELECT *, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk FROM o),
+        |isl AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl),
+        |sp AS (SELECT user_id, island, min(s) AS ss, max(e) AS se,
+        |    count(*) AS n FROM isl GROUP BY user_id, island)
+        |SELECT user_id, make_timestamp(ss) AS span_start,
+        |  make_timestamp(se) AS span_end, CAST(n AS BIGINT) AS n_merged,
+        |  CAST(se - ss AS BIGINT) AS covered_us
+        |FROM sp ORDER BY user_id, span_start""".stripMargin,
+    // per-user rollup of the same islands
+    "q_coverage" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e FROM events),
+        |o AS (SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv),
+        |fl AS (SELECT *, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk FROM o),
+        |isl AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl),
+        |sp AS (SELECT user_id, island, min(s) AS ss, max(e) AS se,
+        |    count(*) AS n FROM isl GROUP BY user_id, island)
+        |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(se - ss) AS BIGINT) AS covered_us,
+        |  make_timestamp(min(ss)) AS first_start,
+        |  make_timestamp(max(se)) AS last_end
+        |FROM sp GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // interior silences between consecutive spans
+    "q_interval_gaps" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e FROM events),
+        |o AS (SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv),
+        |fl AS (SELECT *, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk FROM o),
+        |isl AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl),
+        |sp AS (SELECT user_id, island, min(s) AS ss, max(e) AS se FROM isl
+        |  GROUP BY user_id, island),
+        |g AS (SELECT user_id, ss,
+        |    lag(se) OVER (PARTITION BY user_id ORDER BY ss) AS pe FROM sp)
+        |SELECT user_id, make_timestamp(pe) AS gap_start,
+        |  make_timestamp(ss) AS gap_end, CAST(ss - pe AS BIGINT) AS gap_us
+        |FROM g WHERE pe IS NOT NULL ORDER BY user_id, gap_start""".stripMargin,
     // q_drift's replay verbatim: streaming the A-side histogram changes
     // nothing — the bucket counters are exact
     "q_stream_drift" ->

@@ -3191,6 +3191,79 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("coalesceIntervals: overlap/touch/contain merge, gap bridging, " +
+      "reversed raises, partition invariance") {
+    import graft.ops.Intervals
+    // numeric axis: overlapping [1,5)+[3,7) merge; touching [7,9)
+    // merges too (half-open union); contained [10,12)⊂[9,15) collapses;
+    // disjoint [20,21) stands alone; zero-length [30,30) is a point span
+    val df = Seq(("a", 1L, 5L), ("a", 3L, 7L), ("a", 7L, 9L),
+      ("a", 9L, 15L), ("a", 10L, 12L), ("a", 20L, 21L), ("a", 30L, 30L),
+      ("b", 2L, 4L)).toDF("k", "s", "e")
+    val got = Intervals.coalesceIntervals(df, "k", "s", "e")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    assert(got == Seq(("a", 1L, 15L, 5L, 14L), ("a", 20L, 21L, 1L, 1L),
+      ("a", 30L, 30L, 1L, 0L), ("b", 2L, 4L, 1L, 2L)), s"$got")
+    // gap=5 bridges the 15→20 silence but not the 9-wide 21→30 one;
+    // gap=9 bridges both
+    val bridged5 = Intervals.coalesceIntervals(df.filter(col("k") === "a"),
+        "k", "s", "e", gap = 5L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(bridged5 == Seq((1L, 21L), (30L, 30L)), s"$bridged5")
+    val bridged9 = Intervals.coalesceIntervals(df.filter(col("k") === "a"),
+        "k", "s", "e", gap = 9L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(bridged9 == Seq((1L, 30L)), s"$bridged9")
+    // partition invariance
+    val rep = Intervals.coalesceIntervals(df.repartition(7), "k", "s", "e")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    assert(rep == got)
+    // reversed interval raises in-plan
+    val err = intercept[Exception] {
+      Intervals.coalesceIntervals(
+        Seq(("a", 5L, 3L)).toDF("k", "s", "e"), "k", "s", "e").collect()
+    }
+    assert(err.getMessage != null)
+    // unsupported axis fails fast
+    intercept[IllegalArgumentException] {
+      Intervals.coalesceIntervals(
+        Seq(("a", "x", "y")).toDF("k", "s", "e"), "k", "s", "e")
+    }
+  }
+
+  test("intervalCoverage / intervalGaps: union-exact coverage, " +
+      "interior-only gaps, timestamp axis round-trip") {
+    import graft.ops.Intervals
+    val df = Seq(("a", 1L, 5L), ("a", 3L, 7L), ("a", 9L, 15L),
+      ("a", 20L, 21L), ("b", 2L, 4L)).toDF("k", "s", "e")
+    val cov = Intervals.intervalCoverage(df, "k", "s", "e")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sorted.toSeq
+    // a: union [1,7)+[9,15)+[20,21) = 6+6+1 = 13 over 3 spans, 4 inputs
+    assert(cov == Seq(("a", 4L, 3L, 13L, 1L, 21L), ("b", 1L, 1L, 2L, 2L, 4L)),
+      s"$cov")
+    val gaps = Intervals.intervalGaps(df, "k", "s", "e")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted.toSeq
+    // interior silences only: [7,9) and [15,20); b has one span → none
+    assert(gaps == Seq(("a", 7L, 9L, 2L), ("a", 15L, 20L, 5L)), s"$gaps")
+    // timestamp axis: micros-exact round trip, gap in SECONDS
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val tdf = Seq(("a", ts(0), ts(60)), ("a", ts(100), ts(160)))
+      .toDF("k", "s", "e")
+    val spans = Intervals.coalesceIntervals(tdf, "k", "s", "e", gap = 40L)
+      .collect()
+    assert(spans.length == 1)
+    assert(spans.head.getAs[java.sql.Timestamp]("span_start") == ts(0) &&
+      spans.head.getAs[java.sql.Timestamp]("span_end") == ts(160) &&
+      spans.head.getAs[Long]("covered_us") == 160000000L, spans.head.toString)
+    val tgaps = Intervals.intervalGaps(tdf, "k", "s", "e")
+      .collect().map(r => r.getAs[Long]("gap_us")).toSeq
+    assert(tgaps == Seq(40000000L), s"$tgaps")
+  }
+
   test("driftStats: identical==0/0, disjoint KS==1, shift ordering, " +
       "partition invariance, empty side raises") {
     import graft.ops.Drift
