@@ -3264,6 +3264,62 @@ class OpsSpec extends AnyFunSuite {
     assert(tgaps == Seq(40000000L), s"$tgaps")
   }
 
+  test("property: coalesceIntervals == brute-force union over random " +
+      "interval sets; coverage and gaps consistent") {
+    import graft.ops.Intervals
+    val rnd = new scala.util.Random(42)
+    // brute force: mark covered points on a small integer axis
+    def bruteSpans(iv: Seq[(Long, Long)], gap: Long): Seq[(Long, Long)] = {
+      if (iv.isEmpty) return Nil
+      val sorted = iv.sortBy(x => (x._1, x._2))
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var (cs, ce) = sorted.head
+      for ((s, e) <- sorted.tail) {
+        if (s <= ce + gap) ce = math.max(ce, e)
+        else { out += ((cs, ce)); cs = s; ce = e }
+      }
+      out += ((cs, ce))
+      out.toSeq
+    }
+    for (trial <- 0 until 8) {
+      val gap = Seq(0L, 0L, 1L, 3L)(trial % 4)
+      val data = (0 until 120).map { _ =>
+        val k = s"k${rnd.nextInt(4)}"
+        val s = rnd.nextInt(200).toLong
+        (k, s, s + rnd.nextInt(12).toLong)
+      }
+      val df = data.toDF("k", "s", "e")
+      val got = Intervals.coalesceIntervals(df, "k", "s", "e", gap)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).sorted.toSeq)
+        .toMap
+      val want = data.groupBy(_._1).view
+        .mapValues(v => bruteSpans(v.map(x => (x._2, x._3)), gap).sorted)
+        .toMap
+      assert(got == want, s"trial $trial gap $gap")
+      // coverage rollup consistent with the spans
+      val cov = Intervals.intervalCoverage(df, "k", "s", "e", gap)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      for ((k, spans) <- want) {
+        assert(cov(k)._1 == spans.length.toLong, s"n_spans $k")
+        assert(cov(k)._2 == spans.map(x => x._2 - x._1).sum, s"covered $k")
+      }
+      // gaps are exactly the complement between consecutive spans
+      val gaps = Intervals.intervalGaps(df, "k", "s", "e", gap)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).sorted.toSeq)
+        .toMap.withDefaultValue(Seq.empty)
+      for ((k, spans) <- want) {
+        val expect = spans.sliding(2).collect {
+          case Seq((_, e1), (s2, _)) => (e1, s2)
+        }.toSeq
+        assert(gaps(k) == expect, s"gaps $k")
+      }
+    }
+  }
+
   test("driftStats: identical==0/0, disjoint KS==1, shift ordering, " +
       "partition invariance, empty side raises") {
     import graft.ops.Drift

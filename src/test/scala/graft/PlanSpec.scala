@@ -939,4 +939,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortAggregate"), plan)
     spark.catalog.clearCache()
   }
+
+  test("coalesceIntervals: ONE exchange — both windows share the sort, " +
+      "island agg reuses the partitioning map-side") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 5L), ("a", 3L, 7L), ("b", 2L, 4L))
+      .toDF("k", "s", "e")
+    val executed = graft.ops.Intervals.coalesceIntervals(df, "k", "s", "e")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(executed).length == 1, executed)
+    // the aggregation is a hash agg with a map-side partial, not a sort
+    assert(!executed.contains("SortAggregate"), executed)
+    assert(executed.contains("partial_min"), executed)
+  }
 }
