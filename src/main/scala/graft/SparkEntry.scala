@@ -1031,6 +1031,15 @@ object SparkEntry {
         eventIntervals(s, dir), "user_id", "iv_start", "iv_end")
       .orderBy(col("user_id"), col("gap_start"))
 
+  /** Time-weighted average gate: each user's `value` as a step function
+    * held until their next event — exact micros durations, decimal term
+    * sums. The oracle replays the lead window + decimal accumulation.
+    */
+  private def qTwap(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.timeWeightedAvg(events(s, dir), "user_id", "ts",
+        "value", "event_id")
+      .orderBy(col("user_id"))
+
   /** Scratch layout for [[qPartPrune]], written ONCE per input dir and
     * reused across calls in the JVM (r12 board #2: the bench's timed
     * unit must cover the prune-gate READ path, not a scratch parquet
@@ -4154,6 +4163,7 @@ object SparkEntry {
     "q_interval_union" -> (qIntervalUnion _),
     "q_coverage" -> (qCoverage _),
     "q_interval_gaps" -> (qIntervalGaps _),
+    "q_twap" -> (qTwap _),
     "q_skew" -> (qSkew _),
     "q_profile" -> (qProfile _),
     "q_checks" -> (qChecks _),
@@ -4759,6 +4769,22 @@ object SparkEntry {
         |SELECT lang, n_a, n_b, round(sum(psi9)::DOUBLE / 1e9, 6) AS psi,
         |  round(max(ksterm), 6) AS ks
         |FROM x GROUP BY lang, n_a, n_b ORDER BY lang""".stripMargin,
+    // lead window + exact decimal term accumulation; the one float step
+    // is the final division, round-6
+    "q_twap" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(floor(value * 1e6) AS BIGINT) AS v6,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT user_id, count(*) AS n_samples, min(us) AS f,
+        |    max(us) AS l,
+        |    sum(CAST(v6 AS HUGEINT) * CAST(nxt - us AS HUGEINT)) AS st
+        |  FROM s GROUP BY user_id)
+        |SELECT user_id, n_samples, make_timestamp(f) AS from_ts,
+        |  make_timestamp(l) AS to_ts,
+        |  CASE WHEN l > f THEN round((st::DOUBLE / 1e6) / (l - f), 6) END AS twa
+        |FROM a ORDER BY user_id""".stripMargin,
     // the island chain replayed window-for-window in epoch micros:
     // running max of ends -> break flags -> island ids -> span agg
     "q_interval_union" ->

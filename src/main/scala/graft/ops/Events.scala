@@ -140,6 +140,51 @@ object Events {
         count(lit(1)).as("n_events"))
   }
 
+  /** Time-weighted average — the step-function aggregate telemetry and
+    * pricing need where a plain AVG lies: each sample's value holds
+    * until the key's NEXT sample, so sparse-but-stable stretches weigh
+    * by their true duration instead of their sample count. Per key:
+    * twa = Σ vᵢ·(tsᵢ₊₁ − tsᵢ) / (ts_last − ts_first) over the samples
+    * ordered by (ts, tieCol). Output `(keyCol, n_samples, from_ts,
+    * to_ts, twa)`; a key whose samples span zero time (one sample, or
+    * all at one instant) reports a null twa — there is no duration to
+    * weight, and inventing the plain mean there would silently change
+    * semantics. Null values are dropped up front (a null sample has no
+    * step value to hold).
+    *
+    * Determinism/oracle contract: durations are exact epoch-micros
+    * longs; values enter as 1e-6-grain longs and each term
+    * v₆·Δus accumulates in DECIMAL(38,0) — exact, partition-order-proof
+    * (a double sum would be order-sensitive), and replayable in any
+    * engine with decimal arithmetic. The one float step is the final
+    * division, round-6.
+    *
+    * Scale shape: one exchange on the key for the lead() window; the
+    * aggregation reuses that partitioning with map-side partials.
+    * Payloads never move — only (key, us, value) projections.
+    */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("us"), col("__tie"))
+    df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("g"), unix_micros(col(tsCol)).as("us"),
+        floor(col(valueCol).cast("double") * 1e6).cast("long").as("v6"),
+        col(tieCol).as("__tie"))
+      .withColumn("__nxt", lead(col("us"), 1).over(w))
+      .withColumn("__term",
+        col("v6").cast("decimal(18,0)") *
+          (col("__nxt") - col("us")).cast("decimal(18,0)"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_samples"), min(col("us")).as("__f"),
+        max(col("us")).as("__l"), sum(col("__term")).as("__st"))
+      .select(col("g").as(keyCol), col("n_samples"),
+        timestamp_micros(col("__f")).as("from_ts"),
+        timestamp_micros(col("__l")).as("to_ts"),
+        when(col("__l") > col("__f"),
+          round(col("__st").cast("double") / 1e6 /
+            (col("__l") - col("__f")), 6)).as("twa"))
+  }
+
   /** Retention cohort matrix: users grouped by first-activity ISO week
     * (their cohort), each later week counting how many of them came
     * back — (cohort_week, week_offset, n_users, cohort_size,

@@ -3418,6 +3418,42 @@ class OpsSpec extends AnyFunSuite {
     assert(rep == sGot)
   }
 
+  test("timeWeightedAvg: duration weighting, zero-span null, null drop, " +
+      "partition invariance") {
+    import graft.ops.Events
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // 10 held for 10s, 20 held for 20s, final sample holds nothing:
+    // twa = (10*10 + 20*20)/30 = 16.666667 — the plain mean says 10
+    val df = Seq((1L, ts(0), 10.0, 1L), (1L, ts(10), 20.0, 2L),
+      (1L, ts(30), 0.0, 3L),
+      (2L, ts(5), 7.0, 4L), // single sample: no duration
+      (3L, ts(1), 1.0, 5L), (3L, ts(1), 9.0, 6L)) // all at one instant
+      .toDF("k", "ts", "v", "tie")
+    val got = Events.timeWeightedAvg(df, "k", "ts", "v", "tie")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+    assert(got(1L) == ((3L, Some(16.666667))), s"${got(1L)}")
+    assert(got(2L) == ((1L, None)))
+    assert(got(3L) == ((2L, None)), "zero-span key must report null twa")
+    // null values drop before weighting
+    val withNull = Seq((1L, ts(0), Some(10.0), 1L),
+      (1L, ts(5), Option.empty[Double], 2L), (1L, ts(10), Some(20.0), 3L),
+      (1L, ts(30), Some(0.0), 4L)).toDF("k", "ts", "v", "tie")
+    val g2 = Events.timeWeightedAvg(withNull, "k", "ts", "v", "tie")
+      .head()
+    assert(g2.getLong(1) == 3L && g2.getDouble(4) == 16.666667, g2.toString)
+    // partition invariance (decimal term sum is order-proof)
+    val big = (0 until 500).map(i =>
+      ((i % 7).toLong, ts(i * 13L % 997), (i % 23).toDouble - 5, i.toLong))
+      .toDF("k", "ts", "v", "tie")
+    val a = Events.timeWeightedAvg(big, "k", "ts", "v", "tie")
+      .collect().map(_.toString).sorted.toSeq
+    val b = Events.timeWeightedAvg(big.repartition(17), "k", "ts", "v", "tie")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("scd2: consecutive-identical collapse, intervals, ties by tieCol") {
     import java.sql.Timestamp
     def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
