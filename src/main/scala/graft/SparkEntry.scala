@@ -1040,6 +1040,16 @@ object SparkEntry {
         "value", "event_id")
       .orderBy(col("user_id"))
 
+  /** OHLC gate: hourly candlesticks of each user's `value` series —
+    * open/close decided by (ts, event_id), values pass through
+    * untouched so the oracle's date_trunc + row_number replay is
+    * bit-identical.
+    */
+  private def qOhlc(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.ohlcResample(events(s, dir), "user_id", "ts",
+        "value", "event_id", "1 hour")
+      .orderBy(col("user_id"), col("bucket_start"))
+
   /** Scratch layout for [[qPartPrune]], written ONCE per input dir and
     * reused across calls in the JVM (r12 board #2: the bench's timed
     * unit must cover the prune-gate READ path, not a scratch parquet
@@ -4164,6 +4174,7 @@ object SparkEntry {
     "q_coverage" -> (qCoverage _),
     "q_interval_gaps" -> (qIntervalGaps _),
     "q_twap" -> (qTwap _),
+    "q_ohlc" -> (qOhlc _),
     "q_skew" -> (qSkew _),
     "q_profile" -> (qProfile _),
     "q_checks" -> (qChecks _),
@@ -4769,6 +4780,21 @@ object SparkEntry {
         |SELECT lang, n_a, n_b, round(sum(psi9)::DOUBLE / 1e9, 6) AS psi,
         |  round(max(ksterm), 6) AS ks
         |FROM x GROUP BY lang, n_a, n_b ORDER BY lang""".stripMargin,
+    // date_trunc-aligned buckets + row_number endpoints; values pass
+    // through untouched so the replay is bit-identical
+    "q_ohlc" ->
+      """WITH r AS (SELECT user_id, date_trunc('hour', ts) AS b, value,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT user_id, b AS bucket_start,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  count(*) AS n_samples
+        |FROM r GROUP BY user_id, b ORDER BY user_id, bucket_start""".stripMargin,
     // lead window + exact decimal term accumulation; the one float step
     // is the final division, round-6
     "q_twap" ->

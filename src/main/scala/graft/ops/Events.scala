@@ -185,6 +185,35 @@ object Events {
             (col("__l") - col("__f")), 6)).as("twa"))
   }
 
+  /** OHLC bucket resampling — the candlestick read of any sampled
+    * series (prices, queue depths, temperatures): per key per aligned
+    * time bucket, the first (open), max (high), min (low) and last
+    * (close) value, with first/last decided by `(ts, tieCol)` so
+    * equal-timestamp samples resolve deterministically. Null values
+    * drop (no sample). Values pass through untouched — no arithmetic,
+    * so the output is bit-identical to any engine's replay.
+    *
+    * Output: `(keyCol, bucket_start, open, high, low, close,
+    * n_samples)`. `bucket` is a Spark window duration (e.g. "1 hour");
+    * buckets align to the epoch, so whole-unit durations match
+    * `date_trunc` replays.
+    *
+    * Scale shape: one aggregation exchange on (key, bucket) — min_by/
+    * max_by/min/max all partial map-side; no window sort anywhere.
+    */
+  def ohlcResample(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieCol: String, bucket: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), window(col(tsCol), bucket))
+      .agg(
+        min_by(col(valueCol), struct(col(tsCol), col(tieCol))).as("open"),
+        max(col(valueCol)).as("high"), min(col(valueCol)).as("low"),
+        max_by(col(valueCol), struct(col(tsCol), col(tieCol))).as("close"),
+        count(lit(1)).as("n_samples"))
+      .select(col(keyCol), col("window.start").as("bucket_start"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_samples"))
+
   /** Retention cohort matrix: users grouped by first-activity ISO week
     * (their cohort), each later week counting how many of them came
     * back — (cohort_week, week_offset, n_users, cohort_size,

@@ -3454,6 +3454,30 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("ohlcResample: endpoint determinism on ts ties, epoch-aligned " +
+      "buckets, null drop") {
+    import graft.ops.Events
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // one hour bucket: ts-tied openers resolve by tie asc — open is the
+    // tie-1 sample, not the tie-2 one; close is the last by (ts, tie)
+    val df = Seq((1L, ts(10), Some(5.0), 1L), (1L, ts(10), Some(9.0), 2L),
+      (1L, ts(20), Some(1.0), 3L), (1L, ts(30), Option.empty[Double], 4L),
+      (1L, ts(3700), Some(7.0), 5L)) // next hour
+      .toDF("k", "ts", "v", "tie")
+    val got = Events.ohlcResample(df, "k", "ts", "v", "tie", "1 hour")
+      .collect().map(r => (r.getTimestamp(1).getTime / 1000,
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getLong(6))).sortBy(_._1).toSeq
+    assert(got == Seq((0L, 5.0, 9.0, 1.0, 1.0, 3L),
+      (3600L, 7.0, 7.0, 7.0, 7.0, 1L)), s"$got")
+    // partition invariance (endpoint elections are tie-total)
+    val rep = Events.ohlcResample(df.repartition(5), "k", "ts", "v", "tie",
+        "1 hour")
+      .collect().map(r => (r.getTimestamp(1).getTime / 1000,
+        r.getDouble(2), r.getDouble(5))).sortBy(_._1).toSeq
+    assert(rep == got.map(x => (x._1, x._2, x._5)))
+  }
+
   test("scd2: consecutive-identical collapse, intervals, ties by tieCol") {
     import java.sql.Timestamp
     def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
