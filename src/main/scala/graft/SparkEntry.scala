@@ -1652,6 +1652,43 @@ object SparkEntry {
       .orderBy(col("source"), col("sample_rank"))
   }
 
+  /** Streaming OHLC gate: [[graft.ops.Events.ohlcResample]] run
+    * UNCHANGED over a 4-chunk event stream in complete mode — state is
+    * one (open, high, low, close, n) row per (user, hour) bucket, and
+    * min_by/max_by merge incrementally, so the stream's final
+    * candlesticks equal the batch ones (oracle: `q_ohlc`'s replay
+    * verbatim).
+    */
+  private def qStreamOhlc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")),
+        col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long, Double)]
+    val sdf = ms.toDF().toDF("event_id", "user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val ohlc = graft.ops.Events.ohlcResample(sdf, "user_id", "ts",
+      "value", "event_id", "1 hour")
+    val qname = "graft_stream_ohlc"
+    s.catalog.dropTempView(qname)
+    val q = withStreamShuffle(s) {
+      ohlc.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+    }
+    try {
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      require(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "streaming-ohlc gate must process >=3 micro-batches")
+    } finally q.stop()
+    s.table(qname).orderBy(col("user_id"), col("bucket_start"))
+  }
+
   /** Stream-batch as-of enrichment gate (r12 board #6): the events
     * STREAM, fed in 4 chronological micro-batches, enriched against the
     * batch-built SCD2 dimension of [[qScd2]] — each event picks the
@@ -4323,6 +4360,7 @@ object SparkEntry {
     "q_stream_join_right" -> (qStreamJoinRight _),
     "q_stream_hist" -> (qStreamHist _),
     "q_stream_drift" -> (qStreamDrift _),
+    "q_stream_ohlc" -> (qStreamOhlc _),
     "q_stream_sample" -> (qStreamSample _),
     "q_resample" -> (qResample _),
     "q_rollup" -> (qRollup _),
@@ -4780,6 +4818,21 @@ object SparkEntry {
         |SELECT lang, n_a, n_b, round(sum(psi9)::DOUBLE / 1e9, 6) AS psi,
         |  round(max(ksterm), 6) AS ks
         |FROM x GROUP BY lang, n_a, n_b ORDER BY lang""".stripMargin,
+    // q_ohlc's replay verbatim: the complete-mode stream aggregation
+    // must land on identical candlesticks
+    "q_stream_ohlc" ->
+      """WITH r AS (SELECT user_id, date_trunc('hour', ts) AS b, value,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT user_id, b AS bucket_start,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  count(*) AS n_samples
+        |FROM r GROUP BY user_id, b ORDER BY user_id, bucket_start""".stripMargin,
     // date_trunc-aligned buckets + row_number endpoints; values pass
     // through untouched so the replay is bit-identical
     "q_ohlc" ->
