@@ -391,7 +391,8 @@ object Bench {
       "q_retention", "q_zscore", "q_bloom_join", "q_erasure", "q_anomaly",
       "q_stream_join", "q_stream_asof", "q_stream_temporal", "q_er_eval",
       "q_bottom_k", "q_drift", "q_drift_group", "q_interval_union",
-      "q_coverage", "q_interval_gaps", "q_twap", "q_ohlc")
+      "q_coverage", "q_interval_gaps", "q_twap", "q_ohlc", "q_winsor",
+      "q_robust_z")
 
     // The full timed unit for an op query includes clearCache so internal
     // persist() calls can't leak cached inputs into the next round.

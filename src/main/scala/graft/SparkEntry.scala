@@ -2260,6 +2260,33 @@ object SparkEntry {
         col("l_quantity"), col("z"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Winsorization gate: per-returnflag [p5, p95] clipping of
+    * l_quantity — bounds from Spark's exact interpolating percentile,
+    * the clip itself least/greatest with no arithmetic on surviving
+    * values; oracle replays with quantile_cont.
+    */
+  private def qWinsor(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.winsorize(
+        s.read.parquet(t(dir, "lineitem"))
+          .filter(col("l_orderkey") % 97 === 0)
+          .select(col("l_orderkey"), col("l_linenumber").cast("long")
+            .as("l_linenumber"), col("l_returnflag"), col("l_quantity")),
+        "l_returnflag", "l_quantity", pLo = 0.05, pHi = 0.95)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Robust z-score gate: the median/MAD twin of q_zscore over the
+    * same projection — rz = (x − median)/(1.4826·MAD), null on
+    * zero-MAD groups.
+    */
+  private def qRobustZ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.robustStandardize(
+        s.read.parquet(t(dir, "lineitem"))
+          .filter(col("l_orderkey") % 97 === 0)
+          .select(col("l_orderkey"), col("l_linenumber").cast("long")
+            .as("l_linenumber"), col("l_returnflag"), col("l_quantity")),
+        "l_returnflag", "l_quantity")
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   /** Byte-set Jaccard over blocked part-name pairs: our codegen'd
     * kernel vs DuckDB's NATIVE `jaccard` on every pair — a second
     * independently-oracled string-similarity kernel beside q_er_jw.
@@ -4390,6 +4417,8 @@ object SparkEntry {
     "q_erasure" -> (qErasure _),
     "q_anomaly" -> (qAnomaly _),
     "q_zscore" -> (qZscore _),
+    "q_winsor" -> (qWinsor _),
+    "q_robust_z" -> (qRobustZ _),
     "q_schema_merge" -> (qSchemaMerge _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
@@ -5829,6 +5858,42 @@ object SparkEntry {
         |FROM m JOIN sizes s USING (c)
         |ORDER BY cohort_week, week_offset""".stripMargin,
     // exact integer-grain stats, per-row z replayed
+    // interpolated p5/p95 band + least/greatest clip, round-6
+    "q_winsor" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    l_returnflag, l_quantity
+        |  FROM lineitem WHERE l_orderkey % 97 = 0),
+        |b AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_quantity::DOUBLE, 0.05) AS lo,
+        |    quantile_cont(l_quantity::DOUBLE, 0.95) AS hi
+        |  FROM src WHERE l_quantity IS NOT NULL GROUP BY 1)
+        |SELECT s.l_orderkey, s.l_linenumber, s.l_returnflag, s.l_quantity,
+        |  CASE WHEN s.l_quantity IS NULL THEN NULL
+        |    ELSE round(least(greatest(s.l_quantity::DOUBLE, b.lo), b.hi), 6)
+        |  END AS x_wins
+        |FROM src s LEFT JOIN b USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // median + MAD via quantile_cont; zero-MAD groups null out
+    "q_robust_z" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    l_returnflag, l_quantity
+        |  FROM lineitem WHERE l_orderkey % 97 = 0),
+        |m AS (
+        |  SELECT l_returnflag, quantile_cont(l_quantity::DOUBLE, 0.5) AS med
+        |  FROM src WHERE l_quantity IS NOT NULL GROUP BY 1),
+        |wm AS (SELECT s.*, m.med FROM src s LEFT JOIN m USING (l_returnflag)),
+        |d AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(abs(l_quantity::DOUBLE - med), 0.5) AS mad
+        |  FROM wm WHERE l_quantity IS NOT NULL GROUP BY 1)
+        |SELECT wm.l_orderkey, wm.l_linenumber, wm.l_returnflag, wm.l_quantity,
+        |  round(CASE WHEN d.mad > 0
+        |    THEN (wm.l_quantity::DOUBLE - wm.med) / (1.4826 * d.mad) END, 6) AS rz
+        |FROM wm LEFT JOIN d USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_zscore" ->
       """WITH src AS (
         |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

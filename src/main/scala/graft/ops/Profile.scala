@@ -247,6 +247,64 @@ object Profile {
       .drop("__n", "__sx", "__sxx")
   }
 
+  /** Per-group winsorization — clip `xCol` into its own group's
+    * [pLo, pHi] interpolated percentile band (the outlier-taming pass
+    * quality scores get before a quantile cut or a model fit; clipping
+    * beats dropping when the row itself must survive). Output: the
+    * input plus `x_wins` round-6 (null x stays null). Percentiles are
+    * Spark's exact interpolating `percentile` — the same arithmetic as
+    * DuckDB's `quantile_cont`, the `q_quantiles` contract — computed
+    * once per group and broadcast back; the clip itself is
+    * least/greatest, no arithmetic on the surviving values.
+    */
+  def winsorize(df: DataFrame, groupCol: String, xCol: String,
+      pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pLo < pHi && pHi <= 1,
+      s"winsorize: bad percentile band [$pLo, $pHi]")
+    val x = col(xCol).cast("double")
+    val bounds = df.filter(col(xCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(percentile(x, lit(pLo)).as("__wlo"),
+        percentile(x, lit(pHi)).as("__whi"))
+    // Spark's greatest/least IGNORE nulls (they return the extreme of
+    // the non-null operands), so an unguarded clip would snap a null x
+    // to the lower bound instead of passing it through
+    df.join(broadcast(bounds), Seq(groupCol), "left")
+      .withColumn("x_wins", when(col(xCol).isNotNull,
+        round(least(greatest(x, col("__wlo")), col("__whi")), 6)))
+      .drop("__wlo", "__whi")
+  }
+
+  /** Robust (median/MAD) standardization — [[groupedStandardize]]'s
+    * outlier-immune twin: rz = (x − median) / (1.4826·MAD), where MAD
+    * is the median absolute deviation from the group median and 1.4826
+    * the consistency constant that makes MAD estimate σ under
+    * normality. A single wild value moves a mean/std z-score for the
+    * whole group; it barely moves this one — the robust scoring pass
+    * quality filtering wants when the corpus has heavy tails. Groups
+    * with zero MAD (over half the values identical) report null rz,
+    * like the zero-variance guard in the classic version. Two
+    * percentile aggregations, both broadcast back; no order-sensitive
+    * float sums anywhere (percentiles are sort-selections plus one
+    * interpolation).
+    */
+  def robustStandardize(df: DataFrame, groupCol: String,
+      xCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val med = df.filter(col(xCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(percentile(x, lit(0.5)).as("__med"))
+    val withMed = df.join(broadcast(med), Seq(groupCol), "left")
+    val mad = withMed.filter(col(xCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(percentile(abs(x - col("__med")), lit(0.5)).as("__mad"))
+    withMed.join(broadcast(mad), Seq(groupCol), "left")
+      .withColumn("rz", round(
+        when(col("__mad") > 0,
+          (x - col("__med")) / (lit(1.4826) * col("__mad"))), 6))
+      .drop("__med", "__mad")
+  }
+
   /** Exact per-group simple linear regression (OLS y = a·x + b) from
     * the same integer-grain sufficient statistics as [[groupedCorr]] —
     * the per-domain trend fit (tokens vs quality, price vs quantity)

@@ -3454,6 +3454,37 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("winsorize / robustStandardize: clip band, outlier immunity, " +
+      "zero-MAD null, null passthrough") {
+    import graft.ops.Profile
+    // one wild value among 1..9: winsorize at [0.1, 0.9] tames it
+    val df = ((1 to 9).map(i => ("g", Some(i.toDouble))) :+
+      (("g", Some(1000.0))) :+ (("g", Option.empty[Double])))
+      .toDF("k", "v")
+    val w = Profile.winsorize(df, "k", "v", pLo = 0.1, pHi = 0.9)
+      .collect().map(r =>
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+         if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    // p90 rank = 0.9·(10−1) = 8.1 → 9 + 0.1·(1000−9) = 108.1; p10 → 1.9
+    assert(w.contains((Some(1000.0), Some(108.1))), s"$w")
+    assert(w.contains((Some(1.0), Some(1.9))), s"$w")
+    assert(w.contains((None, None)), "null x stays null")
+    assert(w.contains((Some(5.0), Some(5.0))), "in-band values unchanged")
+    // robust z: the wild value barely moves everyone else's score
+    val rz = Profile.robustStandardize(df, "k", "v")
+      .collect().filter(!_.isNullAt(1))
+      .map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    // median of 1..9,1000 = 5.5; |x−5.5| sorted =
+    // 0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5 → MAD = 2.5
+    assert(math.abs(rz(5.0) - (-0.5 / (1.4826 * 2.5))) < 1e-5, s"$rz")
+    assert(rz(1000.0) > 100, "the outlier itself scores huge")
+    // zero-MAD group (constant majority) nulls out
+    val const = (1 to 9).map(_ => ("g", 4.0)).toDF("k", "v")
+      .union(Seq(("g", 99.0)).toDF("k", "v"))
+    val z0 = Profile.robustStandardize(const, "k", "v").collect()
+    assert(z0.forall(_.isNullAt(2)), "zero MAD must null rz")
+  }
+
   test("ohlcResample: endpoint determinism on ts ties, epoch-aligned " +
       "buckets, null drop") {
     import graft.ops.Events
