@@ -3485,6 +3485,39 @@ class OpsSpec extends AnyFunSuite {
     assert(z0.forall(_.isNullAt(2)), "zero MAD must null rz")
   }
 
+  test("property: timeWeightedAvg == brute-force step integral on " +
+      "random series") {
+    import graft.ops.Events
+    val rnd = new scala.util.Random(99)
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val data = (0 until 300).map { i =>
+      ((i % 5).toLong, rnd.nextInt(5000).toLong,
+        math.floor(rnd.nextDouble() * 200 - 100) / 10, i.toLong)
+    }
+    val df = data.map(x => (x._1, ts(x._2), x._3, x._4))
+      .toDF("k", "ts", "v", "tie")
+    val got = Events.timeWeightedAvg(df, "k", "ts", "v", "tie")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    for ((k, rows) <- data.groupBy(_._1)) {
+      val sorted = rows.sortBy(x => (x._2, x._4))
+      val span = (sorted.last._2 - sorted.head._2) * 1000000L
+      val want =
+        if (span == 0) None
+        else {
+          // exact replication of the op's grain arithmetic: v6·Δus
+          // summed exactly, one final double division
+          val st = sorted.sliding(2).collect {
+            case Seq((_, t1, v, _), (_, t2, _, _)) =>
+              BigInt(math.floor(v * 1e6).toLong) * BigInt((t2 - t1) * 1000000L)
+          }.sum
+          Some(BigDecimal(st.toDouble / 1e6 / span)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      assert(got(k) == want, s"key $k: got ${got(k)} want $want")
+    }
+  }
+
   test("ohlcResample: endpoint determinism on ts ties, epoch-aligned " +
       "buckets, null drop") {
     import graft.ops.Events

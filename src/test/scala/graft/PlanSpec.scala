@@ -952,4 +952,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!executed.contains("SortAggregate"), executed)
     assert(executed.contains("partial_min"), executed)
   }
+
+  test("timeWeightedAvg / ohlcResample: one exchange each, partial " +
+      "map-side aggregation") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val df = Seq((1L, ts(0), 10.0, 1L), (1L, ts(10), 20.0, 2L),
+      (2L, ts(5), 7.0, 3L)).toDF("k", "ts", "v", "tie")
+    val twap = graft.ops.Events.timeWeightedAvg(df, "k", "ts", "v", "tie")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(twap).length == 1, twap)
+    val ohlc = graft.ops.Events.ohlcResample(df, "k", "ts", "v", "tie",
+        "1 hour")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(ohlc).length == 1, ohlc)
+    assert(ohlc.contains("partial_min"), ohlc)
+    assert(!ohlc.contains("Window"), "ohlc must not plan a window sort")
+  }
 }
