@@ -392,7 +392,7 @@ object Bench {
       "q_stream_join", "q_stream_asof", "q_stream_temporal", "q_er_eval",
       "q_bottom_k", "q_drift", "q_drift_group", "q_interval_union",
       "q_coverage", "q_interval_gaps", "q_twap", "q_ohlc", "q_winsor",
-      "q_robust_z")
+      "q_robust_z", "q_cramers_v")
 
     // The full timed unit for an op query includes clearCache so internal
     // persist() calls can't leak cached inputs into the next round.

@@ -2287,6 +2287,15 @@ object SparkEntry {
         "l_returnflag", "l_quantity")
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Cramér's V gate: is `lang` a proxy for `source` in the corpus?
+    * χ² over the full lang×source grid (absent combos included),
+    * grained term sums; the oracle replays grid, expected counts and
+    * grains cell-for-cell.
+    */
+  private def qCramersV(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.cramersV(
+      s.read.parquet(t(dir, "documents")), "lang", "source")
+
   /** Byte-set Jaccard over blocked part-name pairs: our codegen'd
     * kernel vs DuckDB's NATIVE `jaccard` on every pair — a second
     * independently-oracled string-similarity kernel beside q_er_jw.
@@ -4419,6 +4428,7 @@ object SparkEntry {
     "q_zscore" -> (qZscore _),
     "q_winsor" -> (qWinsor _),
     "q_robust_z" -> (qRobustZ _),
+    "q_cramers_v" -> (qCramersV _),
     "q_schema_merge" -> (qSchemaMerge _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_video" -> (qMmVideo _),
@@ -5858,6 +5868,30 @@ object SparkEntry {
         |FROM m JOIN sizes s USING (c)
         |ORDER BY cohort_week, week_offset""".stripMargin,
     // exact integer-grain stats, per-row z replayed
+    // full grid + expected counts + 1e-9-grain chi2 terms, cell-exact
+    "q_cramers_v" ->
+      """WITH cells AS (SELECT coalesce(lang, '__null__') AS a,
+        |    coalesce(source, '__null__') AS b, count(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+        |ct AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
+        |grid AS (SELECT rt.a, ct.b, rt.ra, ct.cb, coalesce(cells.o, 0) AS o
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT a) AS BIGINT) AS r,
+        |    CAST(count(DISTINCT b) AS BIGINT) AS c FROM grid),
+        |t AS (SELECT CAST(floor(
+        |    (o::DOUBLE - ra::DOUBLE * cb::DOUBLE / tot.n::DOUBLE)
+        |    * (o::DOUBLE - ra::DOUBLE * cb::DOUBLE / tot.n::DOUBLE)
+        |    / (ra::DOUBLE * cb::DOUBLE / tot.n::DOUBLE) * 1e9) AS BIGINT) AS t9
+        |  FROM grid, tot)
+        |SELECT tot.n, tot.r, tot.c,
+        |  round(x.st / 1e9, 6) AS chi2,
+        |  round(CASE WHEN least(tot.r, tot.c) > 1
+        |    THEN sqrt((x.st / 1e9) /
+        |      (tot.n::DOUBLE * (least(tot.r, tot.c) - 1))) END, 6) AS v
+        |FROM tot, (SELECT sum(t9)::DOUBLE AS st FROM t) x""".stripMargin,
     // interpolated p5/p95 band + least/greatest clip, round-6
     "q_winsor" ->
       """WITH src AS (

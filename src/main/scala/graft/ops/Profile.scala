@@ -305,6 +305,57 @@ object Profile {
       .drop("__med", "__mad")
   }
 
+  /** Cramér's V — association strength between two categorical columns
+    * (0 = independent, 1 = one determines the other): the profiling
+    * read for "is `lang` just a proxy for `source`?" before stratifying
+    * or deduplicating on either. χ² over the FULL r×c contingency grid
+    * (absent combinations contribute their expected count — dropping
+    * them biases χ² low), V = √(χ² / (n·(min(r,c)−1))); a single
+    * category on either axis reports null (no association to measure).
+    * Null categories are their own `__null__` level, the
+    * [[graft.ops]] sentinel convention.
+    *
+    * Determinism: cell counts are exact longs; each cell's (o−e)²/e
+    * term is floored to a 1e-9 grain and summed as exact BIGINTs —
+    * partition-order-proof and SQL-replayable. Output one row:
+    * `(n, r, c, chi2, v)` round-6.
+    *
+    * Scale shape: the corpus reduces to the (a, b) cell table
+    * immediately (the only all-rows aggregation); the full grid is
+    * distinct(a) × distinct(b) — r·c rows, broadcast-joined. Nothing
+    * downstream sees corpus size.
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = coalesce(col(aCol).cast("string"), lit("__null__"))
+    val b = coalesce(col(bCol).cast("string"), lit("__null__"))
+    val cells = df.select(a.as("a"), b.as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col("a")).agg(sum(col("o")).as("ra"))
+    val colT = cells.groupBy(col("b")).agg(sum(col("o")).as("cb"))
+    val grid = rowT.crossJoin(broadcast(colT))
+      .join(cells, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("ra"), col("cb"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    val e = col("ra").cast("double") * col("cb").cast("double") /
+      col("n").cast("double")
+    grid
+      .withColumn("n", sum(col("o")).over(wAll))
+      .withColumn("r", size(collect_set(col("a")).over(wAll)).cast("long"))
+      .withColumn("c", size(collect_set(col("b")).over(wAll)).cast("long"))
+      .withColumn("t9", floor((col("o").cast("double") - e) *
+        (col("o").cast("double") - e) / e * 1e9).cast("long"))
+      .groupBy(col("n"), col("r"), col("c"))
+      .agg((sum(col("t9")).cast("double") / 1e9).as("__chi2"))
+      .select(col("n"), col("r"), col("c"),
+        round(col("__chi2"), 6).as("chi2"),
+        round(when(least(col("r"), col("c")) > 1,
+          sqrt(col("__chi2") /
+            (col("n").cast("double") *
+              (least(col("r"), col("c")) - 1).cast("double")))), 6).as("v"))
+  }
+
   /** Exact per-group simple linear regression (OLS y = a·x + b) from
     * the same integer-grain sufficient statistics as [[groupedCorr]] —
     * the per-domain trend fit (tokens vs quality, price vs quantity)

@@ -3454,6 +3454,39 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("cramersV: perfect association == 1, independence == 0, " +
+      "single-level null, null category sentinel") {
+    import graft.ops.Profile
+    // perfect: a determines b
+    val perfect = ((1 to 5).map(_ => ("x", "p")) ++
+      (1 to 5).map(_ => ("y", "q"))).toDF("a", "b")
+    val p = Profile.cramersV(perfect, "a", "b").head()
+    assert((p.getLong(0), p.getLong(1), p.getLong(2)) == ((10L, 2L, 2L)))
+    assert(p.getDouble(4) == 1.0, p.toString)
+    // chi2 by hand: 4 cells, e = 2.5 each, (o−e)²/e = 2.5 each → 10
+    assert(p.getDouble(3) == 10.0, p.toString)
+    // independence: uniform 2×2
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .flatMap(Seq.fill(3)(_)).toDF("a", "b")
+    val i = Profile.cramersV(indep, "a", "b").head()
+    assert(i.getDouble(3) == 0.0 && i.getDouble(4) == 0.0, i.toString)
+    // single level on one axis: no association to measure
+    val single = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val s = Profile.cramersV(single, "a", "b").head()
+    assert(s.isNullAt(4), s.toString)
+    // nulls are their own level
+    val withNull = Seq((Some("x"), "p"), (Option.empty[String], "q"))
+      .toDF("a", "b")
+    val n = Profile.cramersV(withNull, "a", "b").head()
+    assert(n.getLong(1) == 2L, "null category must count as a level")
+    // partition invariance (grained term sum)
+    val big = (0 until 400).map(i =>
+      (s"a${i % 3}", s"b${(i * 7) % 5}")).toDF("a", "b")
+    val x = Profile.cramersV(big, "a", "b").head()
+    val y = Profile.cramersV(big.repartition(13), "a", "b").head()
+    assert(x == y)
+  }
+
   test("winsorize / robustStandardize: clip band, outlier immunity, " +
       "zero-MAD null, null passthrough") {
     import graft.ops.Profile
