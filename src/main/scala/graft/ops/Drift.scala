@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift detection between two corpus snapshots — the
@@ -11,7 +12,8 @@ import org.apache.spark.sql.functions._
   * Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) over buckets — conventional read: <0.1 stable,
   * 0.1–0.25 moderate, >0.25 major drift) and the two-sample
   * Kolmogorov–Smirnov statistic (max |cdf_a − cdf_b|) over a shared
-  * equi-width bucketing.
+  * equi-width bucketing; the categorical twin ([[driftCategorical]])
+  * reads PSI over category shares plus the two-sample χ² statistic.
   *
   * Scale shape: each side reduces to its [[Sketch.histTable]] bucket
   * relation (≤ buckets+2 rows — the only shuffled key space; values
@@ -19,7 +21,19 @@ import org.apache.spark.sql.functions._
   * Works unchanged on 100 TB a side because everything after the two
   * scans is O(buckets). The bucket tables are also exactly what you'd
   * persist per day, so day-over-day drift needs no rescan of
-  * yesterday.
+  * yesterday — and [[driftSeries]] turns an N-day stack of persisted
+  * bucket tables into the full "when did it start drifting" series in
+  * one query.
+  *
+  * Null contract: [[driftStats]]/[[driftByGroup]] DROP null values
+  * before bucketing (a null has no position in a numeric
+  * distribution); [[catTable]] instead keeps nulls as the `__null__`
+  * sentinel level — for categories the null share IS part of the mix
+  * being monitored. The PERSISTED-table entry points raise on a NULL
+  * bucket row: two null buckets never equi-join (null != null), so
+  * identical null-bearing inputs would read as drifted, and the null
+  * bucket's sort position differs between Spark and SQL replays — a
+  * silently wrong KS (ADVICE r16).
   *
   * Determinism/oracle contract: bucket counts are exact longs; the
   * per-bucket PSI terms are floored to a 1e-9 grain and summed as
@@ -36,15 +50,20 @@ object Drift {
     * distributions of `valueCol` in `a` and `b` over the equi-width
     * bucketing `[lo, hi) / buckets` (under/overflow kept as their own
     * ordered buckets, exactly as [[Sketch.histTable]] emits them).
-    * Raises on an empty side — drift against nothing is a pipeline
-    * bug, not a zero.
+    * Null values are dropped on both sides before bucketing (a null
+    * has no position in the distribution; the sibling ops'
+    * convention — see the object doc for why a null BUCKET would
+    * corrupt both stats). Raises on an empty side — drift against
+    * nothing is a pipeline bug, not a zero.
     */
   def driftStats(a: DataFrame, b: DataFrame, valueCol: String,
       lo: Double, hi: Double, buckets: Int,
       eps: Double = 1e-6): DataFrame =
     driftFromHistTables(
-      Sketch.histTable(a, valueCol, lo, hi, buckets),
-      Sketch.histTable(b, valueCol, lo, hi, buckets), eps)
+      Sketch.histTable(a.filter(col(valueCol).isNotNull), valueCol,
+        lo, hi, buckets),
+      Sketch.histTable(b.filter(col(valueCol).isNotNull), valueCol,
+        lo, hi, buckets), eps)
 
   /** [[driftStats]] over two ALREADY-BUILT `(bucket, c)` histogram
     * tables (the [[Sketch.histTable]] shape — same lo/hi/buckets on
@@ -52,44 +71,23 @@ object Drift {
     * This is the day-over-day path: persist each day's ≤buckets+2-row
     * bucket table and diff today against yesterday without rescanning
     * yesterday's corpus. Also accepts a streaming sink's complete-mode
-    * histogram output batch-side.
+    * histogram output batch-side. A NULL bucket row on either side
+    * raises (see the object doc); an empty side raises too — including
+    * BOTH sides empty (the final aggregation is global, so the guard
+    * row exists even over zero input rows).
     */
   def driftFromHistTables(histA: DataFrame, histB: DataFrame,
       eps: Double = 1e-6): DataFrame = {
     require(eps > 0 && eps < 1, s"driftStats: eps out of (0,1): $eps")
-    val ha = histA.withColumnRenamed("c", "c_a")
-    val hb = histB.withColumnRenamed("c", "c_b")
+    val ha = requireKeyNotNull(histA, "bucket", "A")
+      .withColumnRenamed("c", "c_a")
+    val hb = requireKeyNotNull(histB, "bucket", "B")
+      .withColumnRenamed("c", "c_b")
     val joined = ha.join(hb, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("c_a"), lit(0L)).as("c_a"),
         coalesce(col("c_b"), lit(0L)).as("c_b"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1)).orderBy(col("bucket"))
-      .rowsBetween(Long.MinValue, 0)
-    val tot = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
-    val perBucket = joined
-      .withColumn("n_a", sum(col("c_a")).over(tot))
-      .withColumn("n_b", sum(col("c_b")).over(tot))
-      // shares; the PSI log substitutes eps for an empty bucket so a
-      // category seen on only one side contributes a finite penalty
-      .withColumn("p", col("c_a").cast("double") / col("n_a"))
-      .withColumn("q", col("c_b").cast("double") / col("n_b"))
-      .withColumn("p_adj", when(col("c_a") === 0, lit(eps)).otherwise(col("p")))
-      .withColumn("q_adj", when(col("c_b") === 0, lit(eps)).otherwise(col("q")))
-      // 1e-9-grain PSI term as an exact long: partition-order-proof sum
-      .withColumn("psi9",
-        floor((col("p_adj") - col("q_adj")) * log(col("p_adj") / col("q_adj"))
-          * 1e9).cast("long"))
-      .withColumn("cum_a", sum(col("c_a")).over(w))
-      .withColumn("cum_b", sum(col("c_b")).over(w))
-      .withColumn("ksterm",
-        abs(col("cum_a").cast("double") / col("n_a") -
-          col("cum_b").cast("double") / col("n_b")))
-    perBucket
-      .groupBy(col("n_a"), col("n_b"))
-      .agg(round(sum(col("psi9")).cast("double") / 1e9, 6).as("psi"),
-        round(max(col("ksterm")), 6).as("ks"))
+    psiKsOverBuckets(joined, Nil, eps)
       .select(
         when(col("n_a").isNull || col("n_a") === 0,
           raise_error(lit("driftStats: empty side A"))).otherwise(col("n_a"))
@@ -105,6 +103,7 @@ object Drift {
     * (a group with an empty opposite side reports null psi/ks rather
     * than raising: at per-language grain, a language appearing or
     * vanishing IS the finding, and the n_a/n_b zeros carry it).
+    * Null values drop before bucketing, as in [[driftStats]].
     * Same O(groups × buckets) post-scan cost.
     */
   def driftByGroup(a: DataFrame, b: DataFrame, groupCol: String,
@@ -116,7 +115,8 @@ object Drift {
     val width = (hi - lo) / buckets
     def hist(df: DataFrame, cName: String) = {
       val v = col(valueCol).cast("double")
-      df.select(col(groupCol).as("g"),
+      df.filter(col(valueCol).isNotNull)
+        .select(col(groupCol).as("g"),
           when(v < lo, lit(-1)).when(v >= hi, lit(buckets))
             .otherwise(floor((v - lit(lo)) / lit(width)).cast("int"))
             .as("bucket"))
@@ -128,18 +128,196 @@ object Drift {
       .select(col("g"), col("bucket"),
         coalesce(col("c_a"), lit(0L)).as("c_a"),
         coalesce(col("c_b"), lit(0L)).as("c_b"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("g")).orderBy(col("bucket"))
-      .rowsBetween(Long.MinValue, 0)
-    val tot = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("g")).rowsBetween(Long.MinValue, Long.MaxValue)
+    psiKsOverBuckets(joined, Seq("g"), eps)
+      .select(col("g").as(groupCol), col("n_a"), col("n_b"),
+        col("psi"), col("ks"))
+  }
+
+  /** Day-over-day drift SERIES over a persisted bucket-table stack —
+    * the "when did it start drifting" read. Input: one relation
+    * `(dayCol, bucket, c)` (each day's [[Sketch.histTable]] output,
+    * same lo/hi/buckets every day, stacked — exactly what the
+    * persisted-table convention accumulates). Output: one
+    * `(dayCol, prev_<dayCol>, n_a, n_b, psi, ks)` row per CONSECUTIVE
+    * pair of distinct days present (a = the earlier day), ordered
+    * pairing by `dayCol`'s natural order; the first day has no
+    * predecessor and emits nothing. Null buckets raise, as in
+    * [[driftFromHistTables]].
+    *
+    * Scale shape: the day-pairing lag window runs over the DISTINCT
+    * days only (one row per day — a single task over N rows, like the
+    * accepted `partitionBy(lit(1))` windows here, because the input is
+    * already the reduced bucket relation, never the corpus); the
+    * per-pair stats are O(days × buckets) with per-day parallelism.
+    */
+  def driftSeries(hists: DataFrame, dayCol: String,
+      eps: Double = 1e-6): DataFrame = {
+    require(eps > 0 && eps < 1, s"driftSeries: eps out of (0,1): $eps")
+    val h = requireKeyNotNull(hists, "bucket", "series")
+    val days = h.select(col(dayCol).as("__d")).distinct()
+    val pairs = days
+      .withColumn("__p", lag(col("__d"), 1).over(Window.orderBy(col("__d"))))
+      .filter(col("__p").isNotNull)
+    val ha = pairs.join(
+      h.select(col(dayCol).as("__p"), col("bucket"), col("c").as("c_a")),
+      Seq("__p"))
+    val hb = pairs.join(
+      h.select(col(dayCol).as("__d"), col("bucket"), col("c").as("c_b")),
+      Seq("__d"))
+    val joined = ha.join(hb, Seq("__d", "__p", "bucket"), "full_outer")
+      .select(col("__d"), col("__p"), col("bucket"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    psiKsOverBuckets(joined, Seq("__d", "__p"), eps)
+      .select(col("__d").as(dayCol), col("__p").as(s"prev_$dayCol"),
+        col("n_a"), col("n_b"), col("psi"), col("ks"))
+  }
+
+  /** Category share table `(cat, c)` — the categorical analogue of
+    * [[Sketch.histTable]], and the per-day relation the
+    * [[driftFromCatTables]] day-over-day path persists. Null
+    * categories become the `__null__` sentinel level (the
+    * [[graft.ops]] convention, as in [[Profile.cramersV]]): for a
+    * categorical mix the null share is part of what drift monitoring
+    * watches, unlike a null VALUE which has no distribution position.
+    */
+  def catTable(df: DataFrame, catCol: String): DataFrame =
+    df.select(coalesce(col(catCol).cast("string"), lit("__null__"))
+        .as("cat"))
+      .groupBy(col("cat"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Categorical drift — the language/source/license-mix twin of
+    * [[driftStats]]: one row `(n_a, n_b, k, psi, chi2)` between the
+    * category mixes of `catCol` in `a` and `b`, where `k` is the
+    * number of distinct categories across both sides, `psi` is the
+    * PSI over category shares (eps-substituted for a category absent
+    * on one side — the one-sided category contributes a finite
+    * penalty), and `chi2` the two-sample χ² statistic over the FULL
+    * 2×k grid on the [[Profile.cramersV]] convention: an absent
+    * category's cell contributes its expected count — dropping it
+    * biases χ² low. There is no KS here: categories have no order, so
+    * a cdf statistic would be an artifact of the sort.
+    * Raises on an empty side.
+    */
+  def driftCategorical(a: DataFrame, b: DataFrame, catCol: String,
+      eps: Double = 1e-6): DataFrame =
+    driftFromCatTables(catTable(a, catCol), catTable(b, catCol), eps)
+
+  /** [[driftCategorical]] over two ALREADY-BUILT `(cat, c)` category
+    * tables (the [[catTable]] shape) — the persisted day-over-day
+    * path: keep each day's k-row category table and diff today
+    * against yesterday without rescanning yesterday's corpus. A NULL
+    * cat row raises (build the tables with [[catTable]], whose
+    * sentinel keeps nulls representable); an empty side raises —
+    * including both-empty (global final aggregation, so the guard row
+    * exists even over zero input rows).
+    *
+    * Determinism: category counts are exact longs; the per-category
+    * PSI term and each side's χ² cell term (o−e)²/e are floored to a
+    * 1e-9 grain and summed as exact BIGINTs — partition-order-proof
+    * and SQL-replayable. Output rounds to 6dp.
+    *
+    * Scale shape: each 100 TB side reduces to its k-row category
+    * table before the (full-outer, tiny) join; everything after the
+    * two scans is O(k).
+    */
+  def driftFromCatTables(catA: DataFrame, catB: DataFrame,
+      eps: Double = 1e-6): DataFrame = {
+    require(eps > 0 && eps < 1, s"driftCategorical: eps out of (0,1): $eps")
+    val ha = requireKeyNotNull(catA, "cat", "A").withColumnRenamed("c", "c_a")
+    val hb = requireKeyNotNull(catB, "cat", "B").withColumnRenamed("c", "c_b")
+    val joined = ha.join(hb, Seq("cat"), "full_outer")
+      .select(col("cat"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val tot = Window.partitionBy(lit(1))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val ck = (col("c_a") + col("c_b")).cast("double")
+    val eA = col("n_a").cast("double") * ck / n
+    val eB = col("n_b").cast("double") * ck / n
     joined
       .withColumn("n_a", sum(col("c_a")).over(tot))
       .withColumn("n_b", sum(col("c_b")).over(tot))
+      .withColumn("k", count(lit(1)).over(tot))
       .withColumn("p", col("c_a").cast("double") / col("n_a"))
       .withColumn("q", col("c_b").cast("double") / col("n_b"))
       .withColumn("p_adj", when(col("c_a") === 0, lit(eps)).otherwise(col("p")))
       .withColumn("q_adj", when(col("c_b") === 0, lit(eps)).otherwise(col("q")))
+      .withColumn("psi9",
+        floor((col("p_adj") - col("q_adj")) * log(col("p_adj") / col("q_adj"))
+          * 1e9).cast("long"))
+      // per-CELL 1e-9 grains, the cramersV convention: each side's
+      // (o−e)²/e floors separately so any SQL replay lands cell-for-cell
+      .withColumn("chi9",
+        floor((col("c_a").cast("double") - eA) *
+          (col("c_a").cast("double") - eA) / eA * 1e9).cast("long") +
+        floor((col("c_b").cast("double") - eB) *
+          (col("c_b").cast("double") - eB) / eB * 1e9).cast("long"))
+      .groupBy()
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("k")).as("k"),
+        round(sum(col("psi9")).cast("double") / 1e9, 6).as("psi"),
+        round(sum(col("chi9")).cast("double") / 1e9, 6).as("chi2"))
+      .select(
+        when(col("n_a").isNull || col("n_a") === 0,
+          raise_error(lit("driftCategorical: empty side A")))
+          .otherwise(col("n_a")).as("n_a"),
+        when(col("n_b").isNull || col("n_b") === 0,
+          raise_error(lit("driftCategorical: empty side B")))
+          .otherwise(col("n_b")).as("n_b"),
+        col("k"), col("psi"), col("chi2"))
+  }
+
+  /** Raise on a NULL `keyCol` row in a persisted bucket/category
+    * table: two SQL nulls never equi-join, so a null key would split
+    * into two unmatched rows — a spurious nonzero PSI between
+    * identical inputs — and its sort position differs across engines
+    * (corrupting KS). The raise is a per-row projection over a
+    * ≤buckets+2-row relation.
+    */
+  private def requireKeyNotNull(t: DataFrame, keyCol: String,
+      side: String): DataFrame =
+    t.withColumn(keyCol,
+      when(col(keyCol).isNull, raise_error(lit(
+        s"drift: side $side has a NULL `$keyCol` row — build bucket " +
+          "tables from null-free values (filter the value column IS " +
+          "NOT NULL before Sketch.histTable; catTable keeps nulls as " +
+          "the __null__ sentinel)")))
+        .otherwise(col(keyCol)))
+
+  /** The shared PSI/KS reduction over a joined
+    * `(parts..., bucket, c_a, c_b)` bucket relation — the arithmetic
+    * core of every numeric drift variant: per-partition totals via a
+    * window, eps-substituted shares, 1e-9-grain PSI terms summed as
+    * exact BIGINTs, KS as the running-cdf max. Empty `parts` = one
+    * whole-relation partition and a GLOBAL final aggregation — one
+    * output row even over an empty input, so the caller's empty-side
+    * raise guard has a row to fire on (ADVICE r16: the old groupBy
+    * emitted nothing when BOTH sides were empty, silently skipping
+    * the raise). A partition with either side empty reports null
+    * psi/ks (the per-group "appearance IS the finding" contract; the
+    * whole-relation callers raise on it instead).
+    */
+  private def psiKsOverBuckets(joined: DataFrame, parts: Seq[String],
+      eps: Double): DataFrame = {
+    val pcols = parts.map(col)
+    val pspec = if (pcols.isEmpty) Seq(lit(1)) else pcols
+    val w = Window.partitionBy(pspec: _*).orderBy(col("bucket"))
+      .rowsBetween(Long.MinValue, 0)
+    val tot = Window.partitionBy(pspec: _*)
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    joined
+      .withColumn("n_a", sum(col("c_a")).over(tot))
+      .withColumn("n_b", sum(col("c_b")).over(tot))
+      // shares; the PSI log substitutes eps for an empty bucket so a
+      // category seen on only one side contributes a finite penalty
+      .withColumn("p", col("c_a").cast("double") / col("n_a"))
+      .withColumn("q", col("c_b").cast("double") / col("n_b"))
+      .withColumn("p_adj", when(col("c_a") === 0, lit(eps)).otherwise(col("p")))
+      .withColumn("q_adj", when(col("c_b") === 0, lit(eps)).otherwise(col("q")))
+      // 1e-9-grain PSI term as an exact long: partition-order-proof sum
       .withColumn("psi9",
         when(col("n_a") === 0 || col("n_b") === 0, lit(null))
           .otherwise(floor((col("p_adj") - col("q_adj"))
@@ -150,9 +328,9 @@ object Drift {
         when(col("n_a") === 0 || col("n_b") === 0, lit(null))
           .otherwise(abs(col("cum_a").cast("double") / col("n_a") -
             col("cum_b").cast("double") / col("n_b"))))
-      .groupBy(col("g").as(groupCol), col("n_a"), col("n_b"))
-      .agg(round(sum(col("psi9")).cast("double") / 1e9, 6).as("psi"),
+      .groupBy(pcols: _*)
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        round(sum(col("psi9")).cast("double") / 1e9, 6).as("psi"),
         round(max(col("ksterm")), 6).as("ks"))
-      .select(col(groupCol), col("n_a"), col("n_b"), col("psi"), col("ks"))
   }
 }

@@ -56,6 +56,128 @@ object Events {
       .agg(reached.as("reached"))
   }
 
+  /** [[funnelSteps]] with a per-transition DEADLINE and the matched
+    * timestamps kept: step k+1 must occur STRICTLY after the matched
+    * step-k event and within `maxGapSec` seconds of it ("click within
+    * 24h of signup"). Output per user: `(userCol, reached,
+    * step_ts)` where `step_ts` is the array of matched event
+    * timestamps (length = reached) — the raw material for
+    * time-to-convert distributions ([[funnelTimes]]).
+    *
+    * Semantics — greedy earliest-match, the anchored cascade: step 1
+    * binds to the user's FIRST step-1 event, each later step to the
+    * first qualifying event after the previous match. This equals the
+    * cascade-of-min-timestamps a SQL replay computes (each step's
+    * predicate depends only on the previous matched timestamp), which
+    * is what makes the op oracle-checkable. It is deliberately NOT
+    * max-reach matching: with deadlines, greedy is no longer optimal
+    * (events A@0s, A@10s, B@11s with gap 5s reach depth 1 here — the
+    * A@10s anchor would reach 2), and max-reach requires trying every
+    * anchor (quadratic, and no longer replayable as a min cascade).
+    * Product-analytics funnels conventionally anchor at first touch;
+    * documenting the choice beats silently computing either.
+    *
+    * `tsCol` must be TIMESTAMP — the deadline is wall-clock arithmetic
+    * (micros grain), and an implicit cast would shift naive types
+    * through the session zone.
+    *
+    * Scale shape: identical to [[funnelSteps]] — one shuffle of
+    * (user, ts, type) projections, per-user linear fold; the state
+    * adds only the ≤|steps| matched timestamps.
+    */
+  def funnelStepsWithin(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], maxGapSec: Long): DataFrame = {
+    require(steps.nonEmpty, "funnelStepsWithin: no steps")
+    require(maxGapSec > 0, s"funnelStepsWithin: bad deadline $maxGapSec")
+    val tsType = Ids.fieldOf(df, tsCol, "funnelStepsWithin").dataType
+    require(tsType == org.apache.spark.sql.types.TimestampType,
+      s"funnelStepsWithin: ts column `$tsCol` is ${tsType.simpleString} — " +
+        "the deadline needs TIMESTAMP; cast explicitly to choose the " +
+        "instant semantics")
+    val stepsLit = typedLit(steps)
+    val n = steps.length
+    val gapUs = maxGapSec * 1000000L
+    val evs = sort_array(collect_list(
+      struct(col(tsCol).as("ts"), col(typeCol).as("t"))))
+    val folded = aggregate(
+      evs,
+      struct(lit(0).as("i"), lit(null).cast("timestamp").as("last"),
+        array().cast("array<timestamp>").as("ml")),
+      (acc, e) => {
+        val stepName = element_at(stepsLit,
+          least(acc.getField("i") + 1, lit(n)))
+        // null `last` (i==0) makes both time conjuncts NULL; the OR's
+        // left arm is then TRUE — three-valued logic, no null error
+        val advance = acc.getField("i") < n &&
+          e.getField("t") === stepName &&
+          (acc.getField("i") === 0 ||
+            (e.getField("ts") > acc.getField("last") &&
+              unix_micros(e.getField("ts")) -
+                unix_micros(acc.getField("last")) <= lit(gapUs)))
+        when(advance, struct((acc.getField("i") + 1).as("i"),
+          e.getField("ts").as("last"),
+          concat(acc.getField("ml"), array(e.getField("ts"))).as("ml")))
+          .otherwise(acc)
+      },
+      acc => struct(acc.getField("i").cast("long").as("reached"),
+        acc.getField("ml").as("step_ts")))
+    df.groupBy(col(userCol))
+      .agg(folded.getField("reached").as("reached"),
+        folded.getField("step_ts").as("step_ts"))
+  }
+
+  /** Per-step time-to-reach rows from [[funnelStepsWithin]]: one row
+    * per (user, matched step) — `(userCol, step_idx 1-based, step,
+    * step_ts, gap_us)` where `gap_us` is the exact epoch-micros gap
+    * from the previous matched step (null for step 1 — there is no
+    * previous transition). This is the feed for the quantile
+    * machinery: time-to-convert distributions are quantiles of
+    * `gap_us` per `step_idx`.
+    */
+  def funnelTimes(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], maxGapSec: Long): DataFrame =
+    funnelStepsWithin(df, userCol, tsCol, typeCol, steps, maxGapSec)
+      .select(col(userCol), col("step_ts").as("__all"),
+        posexplode(col("step_ts")).as(Seq("__pos", "__ts")))
+      .select(col(userCol),
+        (col("__pos") + 1).cast("long").as("step_idx"),
+        element_at(typedLit(steps), (col("__pos") + 1).cast("int"))
+          .as("step"),
+        col("__ts").as("step_ts"),
+        when(col("__pos") > 0, unix_micros(col("__ts")) -
+          unix_micros(element_at(col("__all"), col("__pos"))))
+          .as("gap_us"))
+
+  /** The deadline funnel chart: one row per step — `(step_idx, step,
+    * n_users, p50_gap_us)` where `n_users` counts users whose greedy
+    * match reached at least the step under the `maxGapSec` deadline
+    * and `p50_gap_us` is the median time-to-reach from the previous
+    * step (exact interpolating `percentile` over the exact micro
+    * gaps — the q_quantiles contract; null for step 1 and for steps
+    * nobody reached). Steps with zero users keep their row.
+    *
+    * Scale note: the median rides exact `percentile` — O(distinct
+    * gaps) buffer per step. At per-domain 100 TB grain swap in the
+    * bucket-quantile sketch ([[Profile.groupQuantileSketch]]) over
+    * the [[funnelTimes]] rows; the exact form is the oracle contract.
+    */
+  def funnelReportWithin(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], maxGapSec: Long): DataFrame = {
+    val times = funnelTimes(df, userCol, tsCol, typeCol, steps, maxGapSec)
+    // a user reaching depth r emits match rows 1..r, so the per-step
+    // row count IS "reached at least this step"
+    val agg = times.groupBy(col("step_idx"))
+      .agg(count(lit(1)).as("n_users"),
+        round(percentile(col("gap_us"), lit(0.5)), 6).as("p50_gap_us"))
+    df.sparkSession.range(1, steps.length + 1L)
+      .select(col("id").as("step_idx"))
+      .join(agg, Seq("step_idx"), "left")
+      .select(col("step_idx"),
+        element_at(typedLit(steps), col("step_idx").cast("int")).as("step"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"),
+        col("p50_gap_us"))
+  }
+
   /** The funnel chart table: one row per step,
     * (step_idx 1-based, step, n_users who reached at least it). */
   def funnelReport(df: DataFrame, userCol: String, tsCol: String,
@@ -156,8 +278,12 @@ object Events {
     * longs; values enter as 1e-6-grain longs and each term
     * v₆·Δus accumulates in DECIMAL(38,0) — exact, partition-order-proof
     * (a double sum would be order-sensitive), and replayable in any
-    * engine with decimal arithmetic. The one float step is the final
-    * division, round-6.
+    * engine with decimal arithmetic. The factors are cast to
+    * DECIMAL(20,0) — ANY long fits (19 digits), so the cast can never
+    * overflow and the term product (≤ 1.7e38) stays inside the 38-digit
+    * product type; DECIMAL(18,0) would overflow for |value| ≳ 1e12
+    * while the HUGEINT oracle stayed exact (ADVICE r16). The one float
+    * step is the final division, round-6.
     *
     * Scale shape: one exchange on the key for the lead() window; the
     * aggregation reuses that partitioning with map-side partials.
@@ -172,8 +298,8 @@ object Events {
         col(tieCol).as("__tie"))
       .withColumn("__nxt", lead(col("us"), 1).over(w))
       .withColumn("__term",
-        col("v6").cast("decimal(18,0)") *
-          (col("__nxt") - col("us")).cast("decimal(18,0)"))
+        col("v6").cast("decimal(20,0)") *
+          (col("__nxt") - col("us")).cast("decimal(20,0)"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n_samples"), min(col("us")).as("__f"),
         max(col("us")).as("__l"), sum(col("__term")).as("__st"))

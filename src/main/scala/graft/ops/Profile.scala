@@ -256,6 +256,10 @@ object Profile {
     * DuckDB's `quantile_cont`, the `q_quantiles` contract — computed
     * once per group and broadcast back; the clip itself is
     * least/greatest, no arithmetic on the surviving values.
+    * Scale note: exact `percentile` buffers O(distinct values) per
+    * group — the documented convention; per-domain billion-row groups
+    * should use [[winsorizeSketch]] (bounded state, grain-bounded
+    * error), keeping this form as the oracle contract.
     */
   def winsorize(df: DataFrame, groupCol: String, xCol: String,
       pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
@@ -286,7 +290,9 @@ object Profile {
     * like the zero-variance guard in the classic version. Two
     * percentile aggregations, both broadcast back; no order-sensitive
     * float sums anywhere (percentiles are sort-selections plus one
-    * interpolation).
+    * interpolation). Scale note: as for [[winsorize]], the exact
+    * percentiles buffer O(values) per group — at per-domain 100 TB
+    * grain use [[robustStandardizeSketch]].
     */
   def robustStandardize(df: DataFrame, groupCol: String,
       xCol: String): DataFrame = {
@@ -302,6 +308,155 @@ object Profile {
       .withColumn("rz", round(
         when(col("__mad") > 0,
           (x - col("__med")) / (lit(1.4826) * col("__mad"))), 6))
+      .drop("__med", "__mad")
+  }
+
+  /** Per-group bucket-quantile SKETCH — the fixed-grain,
+    * bounded-state quantile path the exact-`percentile` ops
+    * ([[winsorize]], [[robustStandardize]]) name as their 100 TB
+    * escape hatch: exact `percentile` buffers O(distinct values) per
+    * group (on continuous scores, O(group rows)), while this reduces
+    * each group to ≤ buckets+2 count rows (the [[Sketch.histTable]]
+    * grain) before anything but a count shuffles.
+    *
+    * Output: one `(groupCol, p, n, q_lo, q_hi)` row per (group,
+    * requested probability). Contract: the group's DISCRETE
+    * p-quantile — the value at 1-indexed rank max(1, ceil(p·n)) of
+    * its sorted non-null values — lies in `[q_lo, q_hi]`, and
+    * `q_hi − q_lo` is exactly one bucket width `(hi−lo)/buckets` (the
+    * sketch's grain) for quantiles inside `[lo, hi)`. A quantile
+    * landing in the underflow/overflow bucket saturates: `q_lo` is
+    * null for underflow (unbounded below), `q_hi` null for overflow —
+    * callers treat a null edge as "outside the sketched range".
+    * Rank arithmetic is IEEE `ceil(p·n)` — bit-identical in any
+    * engine, so the sketch is SQL-replayable.
+    *
+    * Scale shape: one aggregation to (group, bucket) counts with
+    * map-side combine — values never shuffle — then O(groups ×
+    * buckets × |probs|) arithmetic; per-group aggregation state is
+    * one long per occupied bucket, never a value buffer.
+    */
+  def groupQuantileSketch(df: DataFrame, groupCol: String, xCol: String,
+      probs: Seq[Double], lo: Double, hi: Double,
+      buckets: Int): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"groupQuantileSketch: probabilities out of [0,1]: $probs")
+    require(probs.distinct.size == probs.size,
+      s"groupQuantileSketch: duplicate probabilities $probs")
+    require(buckets >= 1 && hi > lo,
+      s"groupQuantileSketch: bad range/buckets $lo/$hi/$buckets")
+    val width = (hi - lo) / buckets
+    val v = col(xCol).cast("double")
+    val counts = df.filter(col(xCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        when(v < lo, lit(-1)).when(v >= hi, lit(buckets))
+          .otherwise(floor((v - lit(lo)) / lit(width)).cast("int"))
+          .as("bucket"))
+      .groupBy(col("g"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("bucket"))
+      .rowsBetween(Long.MinValue, 0)
+    val wtot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).rowsBetween(Long.MinValue, Long.MaxValue)
+    counts
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("n", sum(col("c")).over(wtot))
+      .select(col("g"), col("bucket"), col("cum"), col("n"),
+        explode(typedLit(probs)).as("p"))
+      .withColumn("rank", greatest(lit(1L), ceil(col("p") * col("n"))))
+      .groupBy(col("g"), col("p"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= col("rank"), col("bucket"))).as("__b"))
+      .select(col("g").as(groupCol), col("p"), col("n"),
+        when(col("__b") >= 0, lit(lo) + col("__b") * lit(width))
+          .as("q_lo"),
+        when(col("__b") < buckets, lit(lo) + (col("__b") + 1) * lit(width))
+          .as("q_hi"))
+  }
+
+  /** [[winsorize]]'s sketch-grain variant for per-domain 100 TB
+    * groups: clip bounds from [[groupQuantileSketch]] instead of
+    * exact per-group `percentile`. The lower bound is the pLo
+    * bucket's LOWER edge, the upper the pHi bucket's UPPER edge —
+    * both within one bucket width of the discrete quantiles, and
+    * outward-conservative (the sketch never clips a value the exact
+    * discrete bounds would keep). A bound whose quantile lands in the
+    * under/overflow bucket disables that side's clip (greatest/least
+    * ignore nulls) — size `[lo, hi)` to cover the band of interest.
+    * Output: the input plus `x_wins` round-6 (null x stays null), the
+    * [[winsorize]] shape. The exact path remains the oracle contract;
+    * this is the documented `approx`-grain swap
+    * ([[graft.ops.Sampling]] / [[graft.ops.TextStats]] convention).
+    */
+  def winsorizeSketch(df: DataFrame, groupCol: String, xCol: String,
+      lo: Double, hi: Double, buckets: Int,
+      pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pLo < pHi && pHi <= 1,
+      s"winsorizeSketch: bad percentile band [$pLo, $pHi]")
+    val qs = groupQuantileSketch(df, groupCol, xCol, Seq(pLo, pHi),
+      lo, hi, buckets)
+    val bounds = qs.groupBy(col(groupCol))
+      .agg(min(when(col("p") === pLo, col("q_lo"))).as("__wlo"),
+        max(when(col("p") === pHi, col("q_hi"))).as("__whi"))
+    val x = col(xCol).cast("double")
+    df.join(broadcast(bounds), Seq(groupCol), "left")
+      .withColumn("x_wins", when(col(xCol).isNotNull,
+        round(least(greatest(x, col("__wlo")), col("__whi")), 6)))
+      .drop("__wlo", "__whi")
+  }
+
+  /** Per-group robust statistics at sketch grain: `(groupCol, n,
+    * med_sketch, mad_sketch)` where `med_sketch` is the MIDPOINT of
+    * the bucket holding the discrete median (within width/2 of it)
+    * and `mad_sketch` the midpoint of the bucket holding the median
+    * absolute deviation FROM `med_sketch` (deviations bucketed over
+    * `[0, hi−lo)` at the same width — within one width of the true
+    * discrete MAD: width/2 midpoint error + width/2 from measuring
+    * deviations against the sketched median). Null med/mad when the
+    * quantile saturates outside `[lo, hi)`.
+    */
+  def robustStatsSketch(df: DataFrame, groupCol: String, xCol: String,
+      lo: Double, hi: Double, buckets: Int): DataFrame = {
+    val mid = (c: String) => when(col("q_lo").isNotNull &&
+      col("q_hi").isNotNull, (col("q_lo") + col("q_hi")) / 2).as(c)
+    val med = groupQuantileSketch(df, groupCol, xCol, Seq(0.5),
+        lo, hi, buckets)
+      .select(col(groupCol), col("n"), mid("med_sketch"))
+    val devs = df.filter(col(xCol).isNotNull)
+      .join(broadcast(med.select(col(groupCol), col("med_sketch"))),
+        Seq(groupCol), "left")
+      .select(col(groupCol),
+        abs(col(xCol).cast("double") - col("med_sketch")).as("__dev"))
+    val mad = groupQuantileSketch(devs, groupCol, "__dev", Seq(0.5),
+        0.0, hi - lo, buckets)
+      .select(col(groupCol), mid("mad_sketch"))
+    med.join(mad, Seq(groupCol), "left")
+      .select(col(groupCol), col("n"), col("med_sketch"),
+        col("mad_sketch"))
+  }
+
+  /** [[robustStandardize]]'s sketch-grain variant:
+    * rz = (x − med_sketch) / (1.4826·mad_sketch) with both statistics
+    * from [[robustStatsSketch]] — two bounded-state bucket passes,
+    * no per-group value buffer anywhere. Honesty note: zero-MAD
+    * detection sits BELOW the sketch's resolution — a group whose
+    * true MAD is 0 (over half the values identical) reports a
+    * grain-floored `mad_sketch` in (0, width], not the exact path's
+    * null rz; callers needing that null must use
+    * [[robustStandardize]]. rz is null when the sketch saturates
+    * (med/mad outside the sketched range) or mad_sketch is 0.
+    */
+  def robustStandardizeSketch(df: DataFrame, groupCol: String,
+      xCol: String, lo: Double, hi: Double, buckets: Int): DataFrame = {
+    val stats = robustStatsSketch(df, groupCol, xCol, lo, hi, buckets)
+      .select(col(groupCol), col("med_sketch").as("__med"),
+        col("mad_sketch").as("__mad"))
+    df.join(broadcast(stats), Seq(groupCol), "left")
+      .withColumn("rz", round(
+        when(col("__mad") > 0,
+          (col(xCol).cast("double") - col("__med")) /
+            (lit(1.4826) * col("__mad"))), 6))
       .drop("__med", "__mad")
   }
 

@@ -3383,6 +3383,229 @@ class OpsSpec extends AnyFunSuite {
       got("en").getDouble(4) == en.getDouble(3))
   }
 
+  test("drift null contract: values drop, null bucket rows raise, " +
+      "both-empty raises") {
+    import graft.ops.{Drift, Sketch}
+    val a = ((0 until 100).map(i => Option((i % 50).toDouble)) ++
+      Seq.fill(7)(Option.empty[Double])).toDF("v")
+    // identical inputs WITH nulls: zero drift and the null rows are
+    // NOT counted (before the r16 ADVICE fix they became a null
+    // bucket that never matched itself — spurious PSI on identical
+    // null-bearing inputs)
+    val same = Drift.driftStats(a, a, "v", 0, 100, 10).head()
+    assert((same.getLong(0), same.getLong(1)) == (100L, 100L), same.toString)
+    assert(same.getDouble(2) == 0.0 && same.getDouble(3) == 0.0)
+    // per-group path drops nulls too; an all-null group vanishes
+    val ga = ((0 until 40).map(i => ("en", Option((i % 20).toDouble))) ++
+      (0 until 5).map(_ => ("xx", Option.empty[Double])))
+      .toDF("lang", "v")
+    val gs = Drift.driftByGroup(ga, ga, "lang", "v", 0, 100, 10).collect()
+    assert(gs.map(_.getString(0)).toSet == Set("en"), gs.mkString(","))
+    // a PERSISTED table carrying a NULL bucket row raises (either side)
+    val hist = Sketch.histTable(a.filter(col("v").isNotNull), "v", 0, 100, 10)
+    val bad = hist.unionByName(
+      Seq((Option.empty[Int], 7L)).toDF("bucket", "c"))
+    intercept[Exception] { Drift.driftFromHistTables(bad, hist).collect() }
+    intercept[Exception] { Drift.driftFromHistTables(hist, bad).collect() }
+    // BOTH sides empty raises instead of silently returning an empty
+    // relation (the r16 ADVICE hole: the old groupBy emitted no row
+    // for the raise guard to fire on)
+    val empty = hist.filter(lit(false))
+    intercept[Exception] { Drift.driftFromHistTables(empty, empty).collect() }
+  }
+
+  test("driftCategorical: identical==0, one-sided category golden, " +
+      "persisted path, sentinel nulls, empty raises") {
+    import graft.ops.Drift
+    val a = (Seq.fill(8)("x") ++ Seq.fill(2)("y")).toDF("lang")
+    val b = Seq.fill(5)("x").toDF("lang")
+    // identical mixes: psi and chi2 exactly zero
+    val same = Drift.driftCategorical(a, a, "lang").head()
+    assert((same.getLong(0), same.getLong(1), same.getLong(2)) ==
+      (10L, 10L, 2L))
+    assert(same.getDouble(3) == 0.0 && same.getDouble(4) == 0.0)
+    // one-sided category golden, replicated with independent plain-
+    // Scala arithmetic over the known counts (x: 8 vs 5, y: 2 vs 0)
+    val got = Drift.driftCategorical(a, b, "lang").head()
+    def psi9(p: Double, q: Double) =
+      math.floor((p - q) * math.log(p / q) * 1e9).toLong
+    def chi9(o: Double, e: Double) =
+      math.floor((o - e) * (o - e) / e * 1e9).toLong
+    val wantPsi = BigDecimal((psi9(0.8, 1.0) + psi9(0.2, 1e-6)).toDouble / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // expected counts on the 2×k grid: e = n_side · (c_a+c_b) / (n_a+n_b);
+    // the absent (y, B) cell still contributes its expected count
+    val wantChi = BigDecimal((
+      chi9(8, 10.0 * 13.0 / 15.0) + chi9(5, 5.0 * 13.0 / 15.0) +
+      chi9(2, 10.0 * 2.0 / 15.0) + chi9(0, 5.0 * 2.0 / 15.0)).toDouble / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == (10L, 5L, 2L))
+    assert(got.getDouble(3) == wantPsi, s"psi ${got.getDouble(3)} != $wantPsi")
+    assert(got.getDouble(4) == wantChi, s"chi2 ${got.getDouble(4)} != $wantChi")
+    assert(got.getDouble(3) > 0 && got.getDouble(4) > 1.0)
+    // day-over-day persisted path == raw path
+    val viaTables = Drift.driftFromCatTables(
+      Drift.catTable(a, "lang"), Drift.catTable(b, "lang")).head()
+    assert(viaTables == got)
+    // null categories are the sentinel level, not dropped
+    val withNull = (Seq.fill(8)(Some("x")) ++ Seq.fill(2)(Option.empty[String]))
+      .toDF("lang")
+    val ct = Drift.catTable(withNull, "lang").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ct == Map("x" -> 8L, "__null__" -> 2L))
+    // empty sides raise — including both-empty
+    intercept[Exception] {
+      Drift.driftCategorical(a.filter(lit(false)), a, "lang").collect()
+    }
+    intercept[Exception] {
+      val e = Drift.catTable(a, "lang").filter(lit(false))
+      Drift.driftFromCatTables(e, e).collect()
+    }
+  }
+
+  test("driftSeries: consecutive-day pairs over a persisted stack") {
+    import graft.ops.{Drift, Sketch}
+    val d1 = (0 until 200).map(i => (i % 50).toDouble).toDF("v")
+    val d2 = d1 // identical day
+    val d3 = (0 until 200).map(i => (i % 50) + 10.0).toDF("v")
+    val stack = Seq(d1 -> 1, d2 -> 2, d3 -> 3).map { case (df, day) =>
+      Sketch.histTable(df, "v", 0, 100, 10).withColumn("day", lit(day))
+    }.reduce(_ unionByName _)
+    val got = Drift.driftSeries(stack, "day")
+      .orderBy(col("day")).collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(2, 3))
+    assert(got.map(_.getInt(1)).toSeq == Seq(1, 2))
+    // day 2 vs 1: identical; day 3 vs 2: the shift
+    assert(got(0).getDouble(4) == 0.0 && got(0).getDouble(5) == 0.0)
+    assert(got(1).getDouble(4) > 0.0 && got(1).getDouble(5) > 0.0)
+    // each pair row equals the two-table diff of the same days
+    val pair = Drift.driftFromHistTables(
+      Sketch.histTable(d2, "v", 0, 100, 10),
+      Sketch.histTable(d3, "v", 0, 100, 10)).head()
+    assert(got(1).getLong(2) == pair.getLong(0) &&
+      got(1).getDouble(4) == pair.getDouble(2) &&
+      got(1).getDouble(5) == pair.getDouble(3))
+  }
+
+  test("timeWeightedAvg: |value| >= 1e12 stays exact — decimal(20,0) " +
+      "terms cannot overflow on long-grain inputs") {
+    import graft.ops.Events
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // v6 = 2e18 and 4e18: a decimal(18,0) cast overflows (ADVICE r16);
+    // decimal(20,0) holds any long
+    val df = Seq((1L, ts(0), 2.0e12, 1L), (1L, ts(10), 4.0e12, 2L),
+      (1L, ts(40), 0.0, 3L)).toDF("k", "ts", "v", "tie")
+    val got = Events.timeWeightedAvg(df, "k", "ts", "v", "tie").head()
+    // twa = (2e12·10s + 4e12·30s) / 40s = 3.5e12, exactly
+    assert(got.getLong(1) == 3L)
+    assert(got.getDouble(4) == 3.5e12, got.toString)
+  }
+
+  test("funnel deadline: greedy anchored cascade pinned, times, report " +
+      "with zero-user steps") {
+    import graft.ops.Events
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val steps = Seq("A", "B", "C")
+    val df = Seq(
+      // u1: the documented greedy counterexample — the deadline kills
+      // the anchored match even though a later anchor would convert
+      (1L, ts(0), "A"), (1L, ts(10), "A"), (1L, ts(11), "B"),
+      // u2: converts A→B in-window, C outside it
+      (2L, ts(0), "A"), (2L, ts(3), "B"), (2L, ts(100), "C"),
+      // u3: full conversion, gaps 4s and 4s
+      (3L, ts(0), "A"), (3L, ts(4), "B"), (3L, ts(8), "C"))
+      .toDF("user_id", "ts", "event_type")
+    val per = Events.funnelStepsWithin(df, "user_id", "ts", "event_type",
+        steps, maxGapSec = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(per == Map(1L -> 1L, 2L -> 2L, 3L -> 3L), per.toString)
+    // without the deadline the same users reach 2 / 3 / 3
+    val free = Events.funnelSteps(df, "user_id", "ts", "event_type", steps)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(free == Map(1L -> 2L, 2L -> 3L, 3L -> 3L), free.toString)
+    // per-step time-to-reach rows: step 1 has no gap; exact micros
+    val times = Events.funnelTimes(df, "user_id", "ts", "event_type",
+        steps, maxGapSec = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    assert(times == Set((1L, 1L, -1L), (2L, 1L, -1L), (2L, 2L, 3000000L),
+      (3L, 1L, -1L), (3L, 2L, 4000000L), (3L, 3L, 4000000L)), times.toString)
+    // report: counts + median gap; a step nobody reaches keeps its row
+    val rep = Events.funnelReportWithin(df, "user_id", "ts", "event_type",
+        steps, maxGapSec = 5)
+      .orderBy(col("step_idx")).collect()
+    assert(rep.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "A", 3L), (2L, "B", 2L), (3L, "C", 1L)))
+    assert(rep(0).isNullAt(3)) // step 1: no transition to time
+    assert(rep(1).getDouble(3) == 3500000.0) // median of 3s, 4s
+    assert(rep(2).getDouble(3) == 4000000.0)
+    val rep0 = Events.funnelReportWithin(df, "user_id", "ts", "event_type",
+        Seq("A", "B", "Z"), maxGapSec = 5)
+      .orderBy(col("step_idx")).collect()
+    assert(rep0.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "A", 3L), (2L, "B", 2L), (3L, "Z", 0L)))
+    assert(rep0(2).isNullAt(3))
+  }
+
+  test("groupQuantileSketch: discrete quantile inside a one-width band; " +
+      "winsorizeSketch within grain of the discrete-exact clip; " +
+      "robustStatsSketch error bounds") {
+    import graft.ops.Profile
+    val rnd = new scala.util.Random(42)
+    // heavy-tailed (lognormal, σ=2): the shape that breaks per-group
+    // exact-percentile buffers at scale
+    val rows = for (g <- 0 until 3; _ <- 0 until 300)
+      yield (s"g$g", math.exp(rnd.nextGaussian() * 2))
+    val df = rows.toDF("g", "x")
+    val hi = Math.nextUp(rows.map(_._2).max)
+    val buckets = 64
+    val width = (hi - 0.0) / buckets
+    val byG = rows.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    def disc(vs: IndexedSeq[Double], p: Double): Double =
+      vs((math.max(1L, math.ceil(p * vs.size).toLong) - 1).toInt)
+    val probs = Seq(0.1, 0.5, 0.9, 0.99)
+    val sk = Profile.groupQuantileSketch(df, "g", "x", probs, 0.0, hi, buckets)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    for (g <- byG.keys; p <- probs) {
+      val d = disc(byG(g), p)
+      val (qlo, qhi) = sk((g, p))
+      assert(qlo <= d && d <= qhi, s"$g p=$p disc=$d not in [$qlo,$qhi]")
+      assert(math.abs(qhi - qlo - width) < 1e-9, s"band width $g $p")
+    }
+    // winsorizeSketch: every clipped value within one grain of the
+    // clip by the exact DISCRETE bounds
+    val ws = Profile.winsorizeSketch(df, "g", "x", 0.0, hi, buckets,
+        pLo = 0.05, pHi = 0.95)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(ws.length == rows.length)
+    ws.foreach { case (g, x, w) =>
+      val lo = disc(byG(g), 0.05)
+      val hi95 = disc(byG(g), 0.95)
+      val want = math.min(math.max(x, lo), hi95)
+      assert(math.abs(w - want) <= width + 1e-6, s"$g $x: $w vs $want")
+    }
+    // robust stats: median within width/2, MAD within one width of
+    // the discrete-exact statistics
+    val rs = Profile.robustStatsSketch(df, "g", "x", 0.0, hi, buckets)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    for ((g, vs) <- byG) {
+      val (n, medS, madS) = rs(g)
+      assert(n == vs.size.toLong)
+      val med = disc(vs, 0.5)
+      val mad = disc(vs.map(v => math.abs(v - med)).sorted.toIndexedSeq, 0.5)
+      assert(math.abs(medS - med) <= width / 2 + 1e-9, s"$g med $medS vs $med")
+      assert(math.abs(madS - mad) <= width + 1e-9, s"$g mad $madS vs $mad")
+    }
+    // rz sanity: inliers small, the tail large, null never for this
+    // null-free in-range input
+    val rz = Profile.robustStandardizeSketch(df, "g", "x", 0.0, hi, buckets)
+      .collect()
+    assert(rz.length == rows.length && rz.forall(!_.isNullAt(2)))
+  }
+
   test("topKIdsPerGroupAgg / weightedSampleIdsPerGroup == hydrated forms") {
     import graft.ops.Sampling
     val rnd = new scala.util.Random(11)

@@ -953,6 +953,25 @@ class PlanSpec extends AnyFunSuite {
     assert(executed.contains("partial_min"), executed)
   }
 
+  test("winsorizeSketch / robustStandardizeSketch: no per-group value " +
+      "buffer — the sketch path must not plan a percentile aggregate") {
+    import spark.implicits._
+    val df = (0 until 50).map(i => (s"g${i % 3}", i.toDouble))
+      .toDF("g", "x")
+    val ws = graft.ops.Profile.winsorizeSketch(df, "g", "x", 0.0, 100.0, 10)
+      .queryExecution.executedPlan.toString
+    assert(!ws.toLowerCase.contains("percentile"), ws)
+    val rz = graft.ops.Profile
+      .robustStandardizeSketch(df, "g", "x", 0.0, 100.0, 10)
+      .queryExecution.executedPlan.toString
+    assert(!rz.toLowerCase.contains("percentile"), rz)
+    // contrast: the exact forms DO buffer via percentile — proves the
+    // assertion above distinguishes the paths
+    val exact = graft.ops.Profile.winsorize(df, "g", "x")
+      .queryExecution.executedPlan.toString
+    assert(exact.toLowerCase.contains("percentile"), exact)
+  }
+
   test("timeWeightedAvg / ohlcResample: one exchange each, partial " +
       "map-side aggregation") {
     import spark.implicits._
