@@ -63,6 +63,70 @@ object Bench {
       name.startsWith("annotate_") && dispersion(v) > threshold
     }
 
+  /** A committed per-query quiet band (BENCH_BANDS.json shape). */
+  private[graft] final case class Band(min: Double, max: Double)
+
+  /** Parse the committed quiet bands (`{"bands": {name: {min, max,
+    * n}}}`) — the op-row suspect rule's reference. Empty map on a
+    * missing or unparsable file: the rule then never fires (a fresh
+    * checkout measures without bands and builds them).
+    */
+  private[graft] def loadBands(path: String): Map[String, Band] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.isReadable(p)) Map.empty
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readAllBytes(p))
+        val bands = root.get("bands")
+        if (bands == null) Map.empty
+        else {
+          val b = Map.newBuilder[String, Band]
+          val it = bands.fields()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue.has("min") && e.getValue.has("max"))
+              b += e.getKey -> Band(e.getValue.get("min").asDouble,
+                e.getValue.get("max").asDouble)
+          }
+          b.result()
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** Mid-window-burst detector over the OP rows (r16 board #1): the
+    * headline-dispersion heuristic and the canary both sample at round
+    * START, so a co-tenant burst that begins mid-op-list leaves them
+    * quiet while poisoning op medians — the exact shape the r16 driver
+    * artifact carried clean-flagged (six rows with medians 1.4–1.9×
+    * over their committed band-max, dispersions 1.46–2.18, all in-band
+    * on the same binary hours earlier). Returns the op rows whose
+    * MEDIAN exceeds `residualFactor ×` the committed band-max AND
+    * whose med/min dispersion exceeds `dispMin` — both conditions,
+    * because a high residual with QUIET dispersion is a real
+    * regression (report it, don't discard it), and high dispersion
+    * alone already keeps an in-band min trustworthy. `rows` maps op
+    * name → (median, dispersion); unbanded rows never count (new
+    * queries band as evidence accumulates).
+    */
+  private[graft] def opRowsOverBand(rows: Map[String, (Double, Double)],
+      bands: Map[String, Band], residualFactor: Double = 1.4,
+      dispMin: Double = 1.5): Seq[String] =
+    rows.collect { case (name, (med, disp))
+      if name.startsWith("q_") && bands.get(name).exists(b =>
+        med > b.max * residualFactor && disp > dispMin) => name
+    }.toSeq.sorted
+
+  /** ≥ `minRows` op rows over band with burst-grade dispersion → the
+    * window is suspect (retry-on-suspect fires). 3 rows: a single
+    * genuine regression or an unlucky row can't discard a window, a
+    * burst wide enough to matter poisons many (r16: six).
+    */
+  private[graft] def opRowsSuspect(rows: Map[String, (Double, Double)],
+      bands: Map[String, Band], residualFactor: Double = 1.4,
+      dispMin: Double = 1.5, minRows: Int = 3): Boolean =
+    opRowsOverBand(rows, bands, residualFactor, dispMin).size >= minRows
+
   /** Host-speed canary (r14 board → r15 #1): one fixed-work,
     * CODE-INDEPENDENT, CPU-bound thunk — an FNV-1a hash loop over a
     * constant 64 KiB buffer, zero Spark, zero allocation in the loop —
@@ -392,7 +456,8 @@ object Bench {
       "q_stream_join", "q_stream_asof", "q_stream_temporal", "q_er_eval",
       "q_bottom_k", "q_drift", "q_drift_group", "q_interval_union",
       "q_coverage", "q_interval_gaps", "q_twap", "q_ohlc", "q_winsor",
-      "q_robust_z", "q_cramers_v")
+      "q_robust_z", "q_cramers_v", "q_drift_cat", "q_funnel_window",
+      "q_winsor_sketch")
 
     // The full timed unit for an op query includes clearCache so internal
     // persist() calls can't leak cached inputs into the next round.
@@ -576,14 +641,33 @@ object Bench {
     // its real dispersions so the retry/rejected-artifact path can be
     // exercised on demand (COVERAGE.md protocol) — the samples map
     // still records the true measurements
-    val isSuspect = suspect(headlineSamples.toMap) ||
+    // op-row band residuals (r16 board #1): grade each op MEDIAN
+    // against the committed quiet band — a burst that starts after the
+    // canary/annotate samples were taken (mid-op-list) is invisible to
+    // the headline heuristic but poisons op medians with burst-grade
+    // dispersion; ≥3 such rows flag the window so retry-on-suspect
+    // fires. The offending names ship in the artifact.
+    val bands = loadBands(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BANDS", "BENCH_BANDS.json"))
+    val opRows = samples.collect { case (k, v) if k.startsWith("q_") =>
+      val d = dispersion(v)
+      k -> (median(v), if (d.isNaN) -1.0 else d)
+    }.toMap
+    val overBand = opRowsOverBand(opRows, bands)
+    val opSuspect = overBand.size >= 3
+    if (opSuspect) System.err.println("[bench] op-row burst: " +
+      s"${overBand.mkString(",")} — medians over committed band-max " +
+      "with burst-grade dispersion")
+    val overBandJson = overBand.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val isSuspect = suspect(headlineSamples.toMap) || opSuspect ||
       sys.env.get("SPARK_GRAFT_BENCH_FORCE_SUSPECT").contains("1")
     // loadavg_start/loadavg_end (r15 board #2): host load bracketing the
     // window, in the artifact — the r15 episode's out-of-band
     // /proc/loadavg reads, made self-contained
     val loadEnd = readLoadavg()
     val headlineObj =
-      f"""{"docs_per_sec":$docsPerSec%.0f,"docs_per_sec_80k_dict":${nDocs / results("annotate_80k_dict")}%.0f,"docs_per_sec_1m_dict":${nDocs / results("annotate_1m_dict")}%.0f,"docs_per_sec_5k_mixed":${nDocs / results("annotate_5k_mixed")}%.0f,"docs_per_sec_80k_mixed":${nDocs / results("annotate_80k_mixed")}%.0f$parity,"q_triplets_min":${results.getOrElse("q_triplets", -1.0)}%.3f,"total_sec":$total%.3f,"docs":$nDocs,"cpus":$cpus,"stored_rdds":$storedRdds,"loadavg_start":${loadavgJson(loadStart)},"loadavg_end":${loadavgJson(loadEnd)},"samples":$samplesJson,"suspect":$isSuspect}"""
+      f"""{"docs_per_sec":$docsPerSec%.0f,"docs_per_sec_80k_dict":${nDocs / results("annotate_80k_dict")}%.0f,"docs_per_sec_1m_dict":${nDocs / results("annotate_1m_dict")}%.0f,"docs_per_sec_5k_mixed":${nDocs / results("annotate_5k_mixed")}%.0f,"docs_per_sec_80k_mixed":${nDocs / results("annotate_80k_mixed")}%.0f$parity,"q_triplets_min":${results.getOrElse("q_triplets", -1.0)}%.3f,"total_sec":$total%.3f,"docs":$nDocs,"cpus":$cpus,"stored_rdds":$storedRdds,"loadavg_start":${loadavgJson(loadStart)},"loadavg_end":${loadavgJson(loadEnd)},"samples":$samplesJson,"op_over_band":$overBandJson,"suspect":$isSuspect}"""
     SparkSession.getActiveSession.foreach(_.stop())
     // the replicated bench corpus is multi-copy parquet — don't leak it
     // into /tmp on every run (nor across retry attempts)

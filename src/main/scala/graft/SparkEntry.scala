@@ -1774,6 +1774,53 @@ object SparkEntry {
     * intervals and the interval join in SQL; events before a user's
     * first sampled update must come back null.
     */
+  /** Driver-side replay of the watermark schedule the temporal gates
+    * feed, yielding the per-trigger version-state bound the operator
+    * claims: versions kept per (key, trigger) ≤ 1 floor (the version
+    * in force at the watermark) + that key's FUTURES — updates already
+    * ingested whose effective_from exceeds the trigger's watermark.
+    * The watermark during trigger k derives from data through trigger
+    * k−1 (Spark publishes it between batches) and is the MIN over both
+    * inputs' max event time, minus the delay; the extra empty batch
+    * `processAllAvailable` may run after a chunk only ADVANCES the
+    * watermark, shrinking the true futures below this bound. Returns
+    * `1 + max` over triggers/keys — the number the gates `require`
+    * the metrics bundle's `versionsKeptMax` to stay within, re-proving
+    * the state-pruning claim on the driver-checked path every round.
+    */
+  private def temporalVersionBound(ev: Array[(Long, Long, Long)],
+      upd: Array[(Long, Long, String)], cuts: Seq[Long],
+      delayUs: Long): Long = {
+    var maxFut = 0
+    var prev = Long.MinValue
+    var maxEv = Long.MinValue
+    var maxUpd = Long.MinValue
+    def wm: Long =
+      if (maxEv == Long.MinValue || maxUpd == Long.MinValue) Long.MinValue
+      else math.min(maxEv, maxUpd) - delayUs
+    cuts.foreach { cut =>
+      val evChunk = ev.filter(e => e._3 >= prev && e._3 < cut)
+      val updChunk = upd.filter(u => u._2 >= prev && u._2 < cut)
+      if (evChunk.nonEmpty || updChunk.nonEmpty) {
+        val w = wm
+        val fut = upd.filter(u => u._2 > w && u._2 < cut)
+          .groupBy(_._1).valuesIterator.map(_.length)
+          .maxOption.getOrElse(0)
+        maxFut = math.max(maxFut, fut)
+        if (evChunk.nonEmpty) maxEv = math.max(maxEv, evChunk.map(_._3).max)
+        if (updChunk.nonEmpty) maxUpd = math.max(maxUpd, updChunk.map(_._2).max)
+      }
+      prev = cut
+    }
+    // the sentinel trigger ingests everything; its watermark still
+    // derives from the last REAL chunk. The sentinel update key itself
+    // holds one future — the max(_, 1) floor covers it.
+    val w = wm
+    val futSentinel = upd.filter(_._2 > w)
+      .groupBy(_._1).valuesIterator.map(_.length).maxOption.getOrElse(0)
+    1L + math.max(maxFut, math.max(futSentinel, 1))
+  }
+
   private def qStreamTemporal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = events(s, dir)
@@ -1794,22 +1841,28 @@ object SparkEntry {
       .withColumn("ts", timestamp_micros(col("us"))).drop("us")
     val dimDf = msU.toDF().toDF("user_id", "us", "event_type")
       .withColumn("effective_from", timestamp_micros(col("us"))).drop("us")
+    // production observability under the driver gate (r16 board #5):
+    // the named-accumulator bundle rides the query, and the gate
+    // re-proves the state bound below
+    val metrics = graft.streaming.TemporalAsofMetrics.register(
+      s, "q_stream_temporal")
     val enriched = graft.streaming.StatefulOps.streamAsofTemporal(
-      streamDf, dimDf, "user_id", "ts", Seq("event_type"))
+      streamDf, dimDf, "user_id", "ts", Seq("event_type"),
+      metrics = Some(metrics))
     val qname = "graft_stream_temporal"
     s.catalog.dropTempView(qname)
+    // chronological quarters from event-time QUANTILES (the same
+    // shape as qStreamAsof); each chunk feeds BOTH streams so the
+    // joint watermark advances together
+    val times = ev.map(_._3)
+    val cuts = ((1 to 3).map(i =>
+        times(((times.length.toLong * i) / 4).toInt.min(times.length - 1)))
+      :+ (times.last + 1)).distinct
     val q = withStreamShuffle(s) {
       enriched.writeStream.format("memory").queryName(qname)
         .outputMode("append").start()
     }
     try {
-      // chronological quarters from event-time QUANTILES (the same
-      // shape as qStreamAsof); each chunk feeds BOTH streams so the
-      // joint watermark advances together
-      val times = ev.map(_._3)
-      val cuts = ((1 to 3).map(i =>
-          times(((times.length.toLong * i) / 4).toInt.min(times.length - 1)))
-        :+ (times.last + 1)).distinct
       var prev = Long.MinValue
       var nFed = 0
       cuts.foreach { cut =>
@@ -1833,6 +1886,19 @@ object SparkEntry {
       msU.addData((-10L, flushUs, "zz"))
       q.processAllAvailable()
     } finally q.stop()
+    // re-prove the state-pruning claim from the NAMED ACCUMULATORS on
+    // the driver-checked path (r16 board #5): per key, versions kept
+    // must stay within 1 + futures under the replayed watermark
+    // schedule — unbounded history growth fails the gate, not just the
+    // unit suite
+    val bound = temporalVersionBound(ev, upd, cuts, 600L * 1000000L)
+    require(metrics.maxVersionsKept >= 1,
+      "stream-temporal gate: metrics bundle observed nothing — the " +
+        "accumulators are not wired through the operator")
+    require(metrics.maxVersionsKept <= bound,
+      s"stream-temporal gate: versionsKeptMax=${metrics.maxVersionsKept} " +
+        s"exceeds the 1+futures bound $bound — version-history pruning " +
+        "regressed")
     s.table(qname)
       .filter(col("event_id") >= 0)
       .select(col("event_id"), col("user_id"), col("dim_event_type"))
@@ -1870,20 +1936,27 @@ object SparkEntry {
       .withColumn("ts", timestamp_micros(col("us"))).drop("us")
     val dimDf = msU.toDF().toDF("user_id", "us", "event_type")
       .withColumn("effective_from", timestamp_micros(col("us"))).drop("us")
+    // the metrics bundle spans BOTH query incarnations (it is
+    // registered on the session, not the query): versionsKeptMax must
+    // hold across the checkpoint restart too — recovery must not
+    // resurrect pruned history
+    val metrics = graft.streaming.TemporalAsofMetrics.register(
+      s, "q_stream_temporal_restart")
     val enriched = graft.streaming.StatefulOps.streamAsofTemporal(
-      streamDf, dimDf, "user_id", "ts", Seq("event_type"))
+      streamDf, dimDf, "user_id", "ts", Seq("event_type"),
+      metrics = Some(metrics))
     val root = java.nio.file.Files.createTempDirectory("graft_satemp_restart")
     def start() = withStreamShuffle(s) {
       enriched.writeStream
         .foreachBatch(graft.streaming.IdempotentSink.sink(s"$root/out"))
         .option("checkpointLocation", s"$root/_ckpt").start()
     }
+    val times = ev.map(_._3)
+    val cuts = ((1 to 3).map(i =>
+        times(((times.length.toLong * i) / 4).toInt.min(times.length - 1)))
+      :+ (times.last + 1)).distinct
     var q = start()
     try {
-      val times = ev.map(_._3)
-      val cuts = ((1 to 3).map(i =>
-          times(((times.length.toLong * i) / 4).toInt.min(times.length - 1)))
-        :+ (times.last + 1)).distinct
       var prev = Long.MinValue
       var nFed = 0
       var restarted = false
@@ -1921,6 +1994,16 @@ object SparkEntry {
       q.stop()
       ()
     }
+    // the 1+futures bound holds across the restart: a replayed batch
+    // re-adds the same observations (max is retry-exact), and recovery
+    // must not rehydrate more history than pruning left behind
+    val bound = temporalVersionBound(ev, upd, cuts, 600L * 1000000L)
+    require(metrics.maxVersionsKept >= 1,
+      "stream-temporal-restart gate: metrics bundle observed nothing")
+    require(metrics.maxVersionsKept <= bound,
+      s"stream-temporal-restart gate: versionsKeptMax=" +
+        s"${metrics.maxVersionsKept} exceeds the 1+futures bound $bound " +
+        "across the checkpoint restart")
     try {
       // bounded (one row per event at sf0.01) driver materialization so
       // the scratch sink can be deleted before returning — the same
@@ -2009,6 +2092,20 @@ object SparkEntry {
   private def qFunnel(s: SparkSession, dir: String): DataFrame =
     graft.ops.Events.funnelReport(events(s, dir), "user_id", "ts",
         "event_type", Seq("signup", "click", "purchase"))
+      .orderBy(col("step_idx"))
+
+  /** Deadline funnel gate: [[qFunnel]] with each transition required
+    * within 7 days of the previous matched step, plus the median
+    * time-to-convert per step in exact epoch micros. The oracle is the
+    * same cascade of per-user minimum step timestamps extended by the
+    * deadline predicate (greedy earliest-match == the anchored
+    * cascade — each step's qualifying set depends only on the previous
+    * matched timestamp), with quantile_cont for the medians.
+    */
+  private def qFunnelWindow(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.funnelReportWithin(events(s, dir), "user_id", "ts",
+        "event_type", Seq("signup", "click", "purchase"),
+        maxGapSec = 7L * 86400L)
       .orderBy(col("step_idx"))
 
   /** FORWARD as-of: each purchase's first click at-or-after it, per
@@ -2272,6 +2369,23 @@ object SparkEntry {
           .select(col("l_orderkey"), col("l_linenumber").cast("long")
             .as("l_linenumber"), col("l_returnflag"), col("l_quantity")),
         "l_returnflag", "l_quantity", pLo = 0.05, pHi = 0.95)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Sketch-grain winsorization gate: [[qWinsor]]'s bounded-state
+    * twin — clip bounds from per-group BUCKET-COUNT quantiles
+    * (64 unit-width buckets over [0, 64), covering l_quantity's 1..50
+    * domain) instead of the exact percentile buffer. Deterministic and
+    * fully SQL-replayable: the oracle rebuilds bucket counts,
+    * cumulative ranks (IEEE ceil(p·n)), bucket edges and the clip.
+    */
+  private def qWinsorSketch(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.winsorizeSketch(
+        s.read.parquet(t(dir, "lineitem"))
+          .filter(col("l_orderkey") % 97 === 0)
+          .select(col("l_orderkey"), col("l_linenumber").cast("long")
+            .as("l_linenumber"), col("l_returnflag"), col("l_quantity")),
+        "l_returnflag", "l_quantity", lo = 0.0, hi = 64.0, buckets = 64,
+        pLo = 0.05, pHi = 0.95)
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** Robust z-score gate: the median/MAD twin of q_zscore over the
@@ -2789,6 +2903,21 @@ object SparkEntry {
       toks.filter(col("doc_id") % 2 === 1),
       "lang", "v", 0, 4096, 256)
       .orderBy(col("lang"))
+  }
+
+  /** Categorical drift gate: did the LANGUAGE MIX move between the two
+    * halves of the corpus? PSI over per-language shares plus the
+    * two-sample χ² on the full 2×k grid (absent categories contribute
+    * their expected counts, the q_cramers_v convention). The oracle
+    * replays the category tables, the eps-substituted grained PSI sum
+    * and the per-cell grained χ² terms exactly.
+    */
+  private def qDriftCat(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    graft.ops.Drift.driftCategorical(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "lang")
   }
 
   /** Column profiler over the documents table — every per-column
@@ -4243,6 +4372,7 @@ object SparkEntry {
     "q_hist" -> (qHist _),
     "q_drift" -> (qDrift _),
     "q_drift_group" -> (qDriftGroup _),
+    "q_drift_cat" -> (qDriftCat _),
     "q_interval_union" -> (qIntervalUnion _),
     "q_coverage" -> (qCoverage _),
     "q_interval_gaps" -> (qIntervalGaps _),
@@ -4374,6 +4504,7 @@ object SparkEntry {
     "q_asof_fwd" -> (qAsofFwd _),
     "q_asof_near" -> (qAsofNear _),
     "q_funnel" -> (qFunnel _),
+    "q_funnel_window" -> (qFunnelWindow _),
     "q_mm_vfp" -> (qMmVfp _),
     "q_lang_conf" -> (qLangConf _),
     "q_topk" -> (qTopk _),
@@ -4427,6 +4558,7 @@ object SparkEntry {
     "q_anomaly" -> (qAnomaly _),
     "q_zscore" -> (qZscore _),
     "q_winsor" -> (qWinsor _),
+    "q_winsor_sketch" -> (qWinsorSketch _),
     "q_robust_z" -> (qRobustZ _),
     "q_cramers_v" -> (qCramersV _),
     "q_schema_merge" -> (qSchemaMerge _),
@@ -4857,6 +4989,40 @@ object SparkEntry {
         |SELECT lang, n_a, n_b, round(sum(psi9)::DOUBLE / 1e9, 6) AS psi,
         |  round(max(ksterm), 6) AS ks
         |FROM x GROUP BY lang, n_a, n_b ORDER BY lang""".stripMargin,
+    // the categorical drift replay: per-side category tables (null →
+    // the __null__ sentinel), the eps-substituted grained PSI over
+    // shares, and the 2×k-grid χ² with per-CELL 1e-9 grains — expected
+    // counts multiply before dividing, matching the engine's
+    // (n_side · ck) / n evaluation order bit-for-bit
+    "q_drift_cat" ->
+      """WITH ha AS (SELECT coalesce(CAST(lang AS VARCHAR), '__null__') AS cat,
+        |    count(*) AS c_a FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |hb AS (SELECT coalesce(CAST(lang AS VARCHAR), '__null__') AS cat,
+        |    count(*) AS c_b FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT coalesce(ha.cat, hb.cat) AS cat,
+        |    coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+        |  FROM ha FULL OUTER JOIN hb ON ha.cat = hb.cat),
+        |t AS (SELECT cat, c_a, c_b,
+        |    CAST(sum(c_a) OVER () AS BIGINT) AS n_a,
+        |    CAST(sum(c_b) OVER () AS BIGINT) AS n_b,
+        |    CAST(count(*) OVER () AS BIGINT) AS k
+        |  FROM j),
+        |x AS (SELECT n_a, n_b, k,
+        |    CAST(floor(((CASE WHEN c_a = 0 THEN 1e-6 ELSE c_a::DOUBLE / n_a END)
+        |      - (CASE WHEN c_b = 0 THEN 1e-6 ELSE c_b::DOUBLE / n_b END))
+        |      * ln((CASE WHEN c_a = 0 THEN 1e-6 ELSE c_a::DOUBLE / n_a END)
+        |         / (CASE WHEN c_b = 0 THEN 1e-6 ELSE c_b::DOUBLE / n_b END))
+        |      * 1e9) AS BIGINT) AS psi9,
+        |    CAST(floor((c_a::DOUBLE - CAST(n_a AS DOUBLE) * CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      * (c_a::DOUBLE - CAST(n_a AS DOUBLE) * CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) * CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * 1e9) AS BIGINT)
+        |    + CAST(floor((c_b::DOUBLE - CAST(n_b AS DOUBLE) * CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      * (c_b::DOUBLE - CAST(n_b AS DOUBLE) * CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      / (CAST(n_b AS DOUBLE) * CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * 1e9) AS BIGINT) AS chi9
+        |  FROM t)
+        |SELECT n_a, n_b, k, round(sum(psi9)::DOUBLE / 1e9, 6) AS psi,
+        |  round(sum(chi9)::DOUBLE / 1e9, 6) AS chi2
+        |FROM x GROUP BY n_a, n_b, k""".stripMargin,
     // q_ohlc's replay verbatim: the complete-mode stream aggregation
     // must land on identical candlesticks
     "q_stream_ohlc" ->
@@ -5909,6 +6075,44 @@ object SparkEntry {
         |  END AS x_wins
         |FROM src s LEFT JOIN b USING (l_returnflag)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // the sketch path replayed exactly: bucket counts, cumulative
+    // ranks (IEEE ceil(p·n) — bit-identical across engines), bucket
+    // edges, and the clip; both quantile bounds select via min(CASE)
+    "q_winsor_sketch" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    l_returnflag, l_quantity
+        |  FROM lineitem WHERE l_orderkey % 97 = 0),
+        |b AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN l_quantity::DOUBLE < 0.0 THEN -1
+        |         WHEN l_quantity::DOUBLE >= 64.0 THEN 64
+        |         ELSE CAST(floor((l_quantity::DOUBLE - 0.0) / 1.0) AS INT)
+        |    END AS bucket, count(*) AS c
+        |  FROM src WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+        |t AS (
+        |  SELECT l_returnflag, bucket, c,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM b),
+        |bounds AS (
+        |  SELECT l_returnflag,
+        |    min(CASE WHEN cum >= greatest(1, CAST(ceil(0.05 * n) AS BIGINT))
+        |      THEN bucket END) AS blo,
+        |    min(CASE WHEN cum >= greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+        |      THEN bucket END) AS bhi
+        |  FROM t GROUP BY 1),
+        |e AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN blo >= 0 THEN 0.0 + blo * 1.0 END AS wlo,
+        |    CASE WHEN bhi < 64 THEN 0.0 + (bhi + 1) * 1.0 END AS whi
+        |  FROM bounds)
+        |SELECT s.l_orderkey, s.l_linenumber, s.l_returnflag, s.l_quantity,
+        |  CASE WHEN s.l_quantity IS NULL THEN NULL
+        |    ELSE round(least(greatest(s.l_quantity::DOUBLE, e.wlo), e.whi), 6)
+        |  END AS x_wins
+        |FROM src s LEFT JOIN e USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // median + MAD via quantile_cont; zero-MAD groups null out
     "q_robust_z" ->
       """WITH src AS (
@@ -6429,6 +6633,32 @@ object SparkEntry {
         |  (SELECT count(*) FROM s1) AS n_users
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step_idx""".stripMargin,
+    // q_funnel's cascade extended by the 7-day deadline predicate
+    // (greedy earliest-match == anchored min cascade: each step's
+    // qualifying set depends only on the previous matched timestamp),
+    // plus interpolated medians of the exact micro gaps per step
+    "q_funnel_window" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND epoch_us(e.ts) - epoch_us(s1.t1) <= 604800000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND epoch_us(e.ts) - epoch_us(s2.t2) <= 604800000000 GROUP BY 1),
+        |g2 AS (SELECT epoch_us(t2) - epoch_us(t1) AS gap_us
+        |  FROM s2 JOIN s1 USING (user_id)),
+        |g3 AS (SELECT epoch_us(t3) - epoch_us(t2) AS gap_us
+        |  FROM s3 JOIN s2 USING (user_id))
+        |SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step,
+        |  (SELECT count(*) FROM s1) AS n_users, CAST(NULL AS DOUBLE) AS p50_gap_us
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2),
+        |  (SELECT round(quantile_cont(gap_us, 0.5), 6) FROM g2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3),
+        |  (SELECT round(quantile_cont(gap_us, 0.5), 6) FROM g3)
         |ORDER BY step_idx""".stripMargin,
     "q_asof_fwd" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

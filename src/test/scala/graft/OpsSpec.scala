@@ -6168,6 +6168,62 @@ class OpsSpec extends AnyFunSuite {
     assert(!suspect(quiet + ("canary_cpu" -> Vector(0.9, 0.95, 0.92, 0.91))))
   }
 
+  test("Bench op-row band residuals: the recorded r16 driver window " +
+      "flags, the quiet r16a window does not") {
+    import graft.Bench.{Band, loadBands, opRowsOverBand, opRowsSuspect}
+    // decision unit first: median over 1.4×band-max AND disp > 1.5,
+    // three rows needed
+    val b = Map("q_a" -> Band(0.1, 0.2), "q_b" -> Band(0.1, 0.2),
+      "q_c" -> Band(0.1, 0.2))
+    val hot = Map("q_a" -> (0.3, 2.0), "q_b" -> (0.29, 1.6),
+      "q_c" -> (0.5, 1.8))
+    assert(opRowsSuspect(hot, b))
+    assert(opRowsOverBand(hot, b) == Seq("q_a", "q_b", "q_c"))
+    // two rows are not enough — one regression or unlucky row must not
+    // discard a window
+    assert(!opRowsSuspect(hot - "q_c", b))
+    // a high residual with QUIET dispersion is a real regression, not
+    // a burst: report it, never auto-discard it
+    assert(!opRowsSuspect(hot.map { case (k, (m, _)) => k -> (m, 1.1) }, b))
+    // unbanded rows and non-op rows never count
+    assert(!opRowsSuspect(Map("q_new1" -> (9.0, 9.0), "q_new2" -> (9.0, 9.0),
+      "q_new3" -> (9.0, 9.0)), b))
+    assert(!opRowsSuspect(Map("annotate_5k_dict" -> (9.0, 9.0),
+      "canary_cpu" -> (9.0, 9.0), "q_a" -> (0.3, 2.0)), b))
+    // a missing bands file disables the rule (fresh checkout)
+    assert(loadBands("/nonexistent/bands.json").isEmpty)
+    assert(!opRowsSuspect(hot, Map.empty))
+
+    // the PERMANENT-RECORD shapes: BENCH_LOCAL_r16driver.json is the
+    // r16 driver window (suspect:false with a quiet canary yet six op
+    // medians 1.4–1.9× over band, disp 1.46–2.18 — the blind spot);
+    // BENCH_LOCAL_r16a.json is the same round's clean builder window
+    val bands = loadBands("BENCH_BANDS.json")
+    assert(bands.nonEmpty && bands.contains("q_vocab"), bands.size.toString)
+    def rowsOf(path: String): Map[String, (Double, Double)] = {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)))
+      val med = root.get("queries_median")
+      val disp = root.get("queries_disp")
+      val out = Map.newBuilder[String, (Double, Double)]
+      val it = med.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        val d = disp.get(e.getKey)
+        if (d != null) out += e.getKey -> (e.getValue.asDouble, d.asDouble)
+      }
+      out.result()
+    }
+    val driver = rowsOf("BENCH_LOCAL_r16driver.json")
+    assert(opRowsSuspect(driver, bands),
+      s"r16 driver shape must flag: over=${opRowsOverBand(driver, bands)}")
+    assert(opRowsOverBand(driver, bands).size >= 3)
+    val quiet = rowsOf("BENCH_LOCAL_r16a.json")
+    assert(!opRowsSuspect(quiet, bands),
+      s"r16a quiet window must stay clean: ${opRowsOverBand(quiet, bands)}")
+  }
+
   test("Bench canary: deterministic, code-independent fixed work") {
     // the canary's work must never change (its numbers form a cross-
     // round band): pin the checksum of the constant buffer + FNV loop.

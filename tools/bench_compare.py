@@ -197,7 +197,7 @@ def print_headlines(new_doc, old_doc):
     new_h, old_h = headline(new_doc), headline(old_doc)
     for key in ("docs_per_sec", "docs_per_sec_80k_dict", "docs_per_sec_1m_dict",
                 "docs_per_sec_5k_mixed", "docs_per_sec_80k_mixed",
-                "docs_per_sec_4core", "stored_rdds", "suspect"):
+                "docs_per_sec_4core", "stored_rdds", "op_over_band", "suspect"):
         a, b = new_h.get(key), old_h.get(key)
         if a is not None or b is not None:
             print(f"{key:26s} new {a!s:>10}  old {b!s:>10}")
