@@ -1611,6 +1611,42 @@ object SparkEntry {
     Drift.driftFromHistTables(s.table(qname), refHist)
   }
 
+  /** Streaming CATEGORICAL drift gate — [[qStreamDrift]]'s mix twin:
+    * the live stream's k-row category table ([[graft.ops.Drift.catTable]]
+    * in complete mode, state = one count per language) diffed against
+    * the batch reference's with
+    * [[graft.ops.Drift.driftFromCatTables]]. Lands on exactly
+    * `q_drift_cat`'s numbers (oracle shared verbatim): category
+    * counters are exact, so streaming the A side changes nothing.
+    */
+  private def qStreamDriftCat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.Drift
+    val docs = s.read.parquet(t(dir, "documents"))
+    val rows = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect()
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val sdf = ms.toDF().toDF("doc_id", "lang")
+    val qname = "graft_stream_drift_cat"
+    s.catalog.dropTempView(qname)
+    val q = withStreamShuffle(s) {
+      Drift.catTable(sdf, "lang")
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+    }
+    try {
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      require(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "streaming-drift-cat gate must process >=3 micro-batches")
+    } finally q.stop()
+    val refCat = Drift.catTable(docs.filter(col("doc_id") % 2 === 1), "lang")
+    Drift.driftFromCatTables(s.table(qname), refCat)
+  }
+
   /** Streaming weighted reservoir gate:
     * [[graft.ops.Sampling.weightedSampleIdsPerGroup]] over a 4-chunk
     * memory stream in complete mode — per-source state is exactly the
@@ -2388,6 +2424,22 @@ object SparkEntry {
         pLo = 0.05, pHi = 0.95)
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Sketch-grain robust z gate: [[qRobustZ]]'s bounded-state twin —
+    * median and MAD as bucket MIDPOINTS from two bucket-count passes
+    * (the second bucketing the absolute deviations from the sketched
+    * median), no per-group value buffer. The oracle replays both
+    * passes: counts → cumulative rank-ceil(n/2) bucket → midpoint,
+    * then the same over the deviations, then the score arithmetic.
+    */
+  private def qRobustZSketch(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.robustStandardizeSketch(
+        s.read.parquet(t(dir, "lineitem"))
+          .filter(col("l_orderkey") % 97 === 0)
+          .select(col("l_orderkey"), col("l_linenumber").cast("long")
+            .as("l_linenumber"), col("l_returnflag"), col("l_quantity")),
+        "l_returnflag", "l_quantity", lo = 0.0, hi = 64.0, buckets = 64)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   /** Robust z-score gate: the median/MAD twin of q_zscore over the
     * same projection — rz = (x − median)/(1.4826·MAD), null on
     * zero-MAD groups.
@@ -2918,6 +2970,24 @@ object SparkEntry {
       docs.filter(col("doc_id") % 2 === 0),
       docs.filter(col("doc_id") % 2 === 1),
       "lang")
+  }
+
+  /** Drift-series gate: the "when did it start drifting" read — three
+    * pseudo-days (doc_id % 3) of persisted bucket tables stacked, one
+    * PSI/KS row per consecutive-day pair. The oracle rebuilds the
+    * stack, the lag pairing (hardcoded — days 0,1,2 are consecutive)
+    * and the per-pair grained PSI / cdf-max exactly.
+    */
+  private def qDriftSeries(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val toks = docs.select(col("doc_id"),
+      graft.ops.TextStats.wsTokens(col("text")).cast("double").as("v"))
+    val stack = (0 to 2).map { d =>
+      graft.ops.Sketch.histTable(toks.filter(col("doc_id") % 3 === d),
+          "v", 0, 4096, 256)
+        .withColumn("day", lit(d.toLong))
+    }.reduce(_ unionByName _)
+    graft.ops.Drift.driftSeries(stack, "day").orderBy(col("day"))
   }
 
   /** Column profiler over the documents table — every per-column
@@ -4373,6 +4443,7 @@ object SparkEntry {
     "q_drift" -> (qDrift _),
     "q_drift_group" -> (qDriftGroup _),
     "q_drift_cat" -> (qDriftCat _),
+    "q_drift_series" -> (qDriftSeries _),
     "q_interval_union" -> (qIntervalUnion _),
     "q_coverage" -> (qCoverage _),
     "q_interval_gaps" -> (qIntervalGaps _),
@@ -4527,6 +4598,7 @@ object SparkEntry {
     "q_stream_join_right" -> (qStreamJoinRight _),
     "q_stream_hist" -> (qStreamHist _),
     "q_stream_drift" -> (qStreamDrift _),
+    "q_stream_drift_cat" -> (qStreamDriftCat _),
     "q_stream_ohlc" -> (qStreamOhlc _),
     "q_stream_sample" -> (qStreamSample _),
     "q_resample" -> (qResample _),
@@ -4560,6 +4632,7 @@ object SparkEntry {
     "q_winsor" -> (qWinsor _),
     "q_winsor_sketch" -> (qWinsorSketch _),
     "q_robust_z" -> (qRobustZ _),
+    "q_robust_z_sketch" -> (qRobustZSketch _),
     "q_cramers_v" -> (qCramersV _),
     "q_schema_merge" -> (qSchemaMerge _),
     "q_mm_resize" -> (qMmResize _),
@@ -5023,6 +5096,50 @@ object SparkEntry {
         |SELECT n_a, n_b, k, round(sum(psi9)::DOUBLE / 1e9, 6) AS psi,
         |  round(sum(chi9)::DOUBLE / 1e9, 6) AS chi2
         |FROM x GROUP BY n_a, n_b, k""".stripMargin,
+    // the drift SERIES replay: per-pseudo-day bucket tables, the
+    // consecutive-day pairing (days 0,1,2 — the lag over distinct days
+    // hardcodes to (1,0),(2,1)), then q_drift's grained PSI + cdf-max
+    // per pair
+    "q_drift_series" ->
+      """WITH v AS (SELECT doc_id, (CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE AS v
+        |  FROM documents),
+        |bk AS (SELECT doc_id % 3 AS day, CASE WHEN v < 0 THEN -1
+        |    WHEN v >= 4096 THEN 256
+        |    ELSE CAST(floor((v - 0.0) / 16.0) AS INT) END AS bucket FROM v),
+        |h AS (SELECT day, bucket, count(*) AS c FROM bk GROUP BY 1, 2),
+        |pairs AS (SELECT CAST(1 AS BIGINT) AS day, CAST(0 AS BIGINT) AS prev_day
+        |  UNION ALL SELECT 2, 1),
+        |ha AS (SELECT p.day, p.prev_day, h.bucket, h.c AS c_a
+        |  FROM pairs p JOIN h ON h.day = p.prev_day),
+        |hb AS (SELECT p.day, p.prev_day, h.bucket, h.c AS c_b
+        |  FROM pairs p JOIN h ON h.day = p.day),
+        |j AS (SELECT coalesce(ha.day, hb.day) AS day,
+        |    coalesce(ha.prev_day, hb.prev_day) AS prev_day,
+        |    coalesce(ha.bucket, hb.bucket) AS bucket,
+        |    coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+        |  FROM ha FULL OUTER JOIN hb ON ha.day = hb.day
+        |    AND ha.prev_day = hb.prev_day AND ha.bucket = hb.bucket),
+        |t AS (SELECT day, prev_day, bucket, c_a, c_b,
+        |    CAST(sum(c_a) OVER (PARTITION BY day, prev_day) AS BIGINT) AS n_a,
+        |    CAST(sum(c_b) OVER (PARTITION BY day, prev_day) AS BIGINT) AS n_b,
+        |    CAST(sum(c_a) OVER (PARTITION BY day, prev_day ORDER BY bucket) AS BIGINT) AS cum_a,
+        |    CAST(sum(c_b) OVER (PARTITION BY day, prev_day ORDER BY bucket) AS BIGINT) AS cum_b
+        |  FROM j),
+        |x AS (SELECT day, prev_day, n_a, n_b,
+        |    CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE
+        |    CAST(floor(((CASE WHEN c_a = 0 THEN 1e-6 ELSE c_a::DOUBLE / n_a END)
+        |      - (CASE WHEN c_b = 0 THEN 1e-6 ELSE c_b::DOUBLE / n_b END))
+        |      * ln((CASE WHEN c_a = 0 THEN 1e-6 ELSE c_a::DOUBLE / n_a END)
+        |         / (CASE WHEN c_b = 0 THEN 1e-6 ELSE c_b::DOUBLE / n_b END))
+        |      * 1e9) AS BIGINT) END AS psi9,
+        |    CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE
+        |      abs(cum_a::DOUBLE / n_a - cum_b::DOUBLE / n_b) END AS ksterm
+        |  FROM t)
+        |SELECT day, prev_day, n_a, n_b,
+        |  round(sum(psi9)::DOUBLE / 1e9, 6) AS psi,
+        |  round(max(ksterm), 6) AS ks
+        |FROM x GROUP BY day, prev_day, n_a, n_b ORDER BY day""".stripMargin,
     // q_ohlc's replay verbatim: the complete-mode stream aggregation
     // must land on identical candlesticks
     "q_stream_ohlc" ->
@@ -5153,6 +5270,37 @@ object SparkEntry {
         |SELECT n_a, n_b, round(sum(psi9)::DOUBLE / 1e9, 6) AS psi,
         |  round(max(ksterm), 6) AS ks
         |FROM x GROUP BY n_a, n_b""".stripMargin,
+    // q_drift_cat's replay verbatim: streaming the A-side category
+    // table changes nothing — the counters are exact
+    "q_stream_drift_cat" ->
+      """WITH ha AS (SELECT coalesce(CAST(lang AS VARCHAR), '__null__') AS cat,
+        |    count(*) AS c_a FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |hb AS (SELECT coalesce(CAST(lang AS VARCHAR), '__null__') AS cat,
+        |    count(*) AS c_b FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT coalesce(ha.cat, hb.cat) AS cat,
+        |    coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+        |  FROM ha FULL OUTER JOIN hb ON ha.cat = hb.cat),
+        |t AS (SELECT cat, c_a, c_b,
+        |    CAST(sum(c_a) OVER () AS BIGINT) AS n_a,
+        |    CAST(sum(c_b) OVER () AS BIGINT) AS n_b,
+        |    CAST(count(*) OVER () AS BIGINT) AS k
+        |  FROM j),
+        |x AS (SELECT n_a, n_b, k,
+        |    CAST(floor(((CASE WHEN c_a = 0 THEN 1e-6 ELSE c_a::DOUBLE / n_a END)
+        |      - (CASE WHEN c_b = 0 THEN 1e-6 ELSE c_b::DOUBLE / n_b END))
+        |      * ln((CASE WHEN c_a = 0 THEN 1e-6 ELSE c_a::DOUBLE / n_a END)
+        |         / (CASE WHEN c_b = 0 THEN 1e-6 ELSE c_b::DOUBLE / n_b END))
+        |      * 1e9) AS BIGINT) AS psi9,
+        |    CAST(floor((c_a::DOUBLE - CAST(n_a AS DOUBLE) * CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      * (c_a::DOUBLE - CAST(n_a AS DOUBLE) * CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) * CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * 1e9) AS BIGINT)
+        |    + CAST(floor((c_b::DOUBLE - CAST(n_b AS DOUBLE) * CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      * (c_b::DOUBLE - CAST(n_b AS DOUBLE) * CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      / (CAST(n_b AS DOUBLE) * CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * 1e9) AS BIGINT) AS chi9
+        |  FROM t)
+        |SELECT n_a, n_b, k, round(sum(psi9)::DOUBLE / 1e9, 6) AS psi,
+        |  round(sum(chi9)::DOUBLE / 1e9, 6) AS chi2
+        |FROM x GROUP BY n_a, n_b, k""".stripMargin,
     // chunk replay both sides + corpus semi-join + intra-delta election
     // + ordered rebuild, md5-certified
     "q_cdc_delta" ->
@@ -6112,6 +6260,67 @@ object SparkEntry {
         |    ELSE round(least(greatest(s.l_quantity::DOUBLE, e.wlo), e.whi), 6)
         |  END AS x_wins
         |FROM src s LEFT JOIN e USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // the sketch robust-z replayed pass-for-pass: median bucket →
+    // midpoint, deviations from the SKETCHED median re-bucketed at the
+    // same width → MAD midpoint, then the score arithmetic
+    "q_robust_z_sketch" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    l_returnflag, l_quantity
+        |  FROM lineitem WHERE l_orderkey % 97 = 0),
+        |b1 AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN l_quantity::DOUBLE < 0.0 THEN -1
+        |         WHEN l_quantity::DOUBLE >= 64.0 THEN 64
+        |         ELSE CAST(floor((l_quantity::DOUBLE - 0.0) / 1.0) AS INT)
+        |    END AS bucket, count(*) AS c
+        |  FROM src WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+        |t1 AS (
+        |  SELECT l_returnflag, bucket, c,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM b1),
+        |m1 AS (
+        |  SELECT l_returnflag,
+        |    min(CASE WHEN cum >= greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+        |      THEN bucket END) AS bm
+        |  FROM t1 GROUP BY 1),
+        |med AS (
+        |  SELECT l_returnflag, CASE WHEN bm >= 0 AND bm < 64 THEN
+        |    ((0.0 + bm * 1.0) + (0.0 + (bm + 1) * 1.0)) / 2 END AS med
+        |  FROM m1),
+        |dv AS (
+        |  SELECT s.l_returnflag, abs(s.l_quantity::DOUBLE - med.med) AS dev
+        |  FROM src s JOIN med USING (l_returnflag)
+        |  WHERE s.l_quantity IS NOT NULL),
+        |b2 AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN dev < 0.0 THEN -1
+        |         WHEN dev >= 64.0 THEN 64
+        |         ELSE CAST(floor((dev - 0.0) / 1.0) AS INT)
+        |    END AS bucket, count(*) AS c
+        |  FROM dv WHERE dev IS NOT NULL GROUP BY 1, 2),
+        |t2 AS (
+        |  SELECT l_returnflag, bucket, c,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM b2),
+        |m2 AS (
+        |  SELECT l_returnflag,
+        |    min(CASE WHEN cum >= greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+        |      THEN bucket END) AS bm
+        |  FROM t2 GROUP BY 1),
+        |mad AS (
+        |  SELECT l_returnflag, CASE WHEN bm >= 0 AND bm < 64 THEN
+        |    ((0.0 + bm * 1.0) + (0.0 + (bm + 1) * 1.0)) / 2 END AS mad
+        |  FROM m2)
+        |SELECT s.l_orderkey, s.l_linenumber, s.l_returnflag, s.l_quantity,
+        |  CASE WHEN mad.mad > 0 THEN
+        |    round((s.l_quantity::DOUBLE - med.med) / (1.4826 * mad.mad), 6)
+        |  END AS rz
+        |FROM src s LEFT JOIN med USING (l_returnflag)
+        |  LEFT JOIN mad USING (l_returnflag)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // median + MAD via quantile_cont; zero-MAD groups null out
     "q_robust_z" ->
