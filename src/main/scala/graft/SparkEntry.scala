@@ -1824,7 +1824,7 @@ object SparkEntry {
     * the metrics bundle's `versionsKeptMax` to stay within, re-proving
     * the state-pruning claim on the driver-checked path every round.
     */
-  private def temporalVersionBound(ev: Array[(Long, Long, Long)],
+  private[graft] def temporalVersionBound(ev: Array[(Long, Long, Long)],
       upd: Array[(Long, Long, String)], cuts: Seq[Long],
       delayUs: Long): Long = {
     var maxFut = 0
@@ -6245,9 +6245,9 @@ object SparkEntry {
         |  FROM b),
         |bounds AS (
         |  SELECT l_returnflag,
-        |    min(CASE WHEN cum >= greatest(1, CAST(ceil(0.05 * n) AS BIGINT))
+        |    min(CASE WHEN cum >= greatest(1, CAST(ceil(0.05::DOUBLE * n) AS BIGINT))
         |      THEN bucket END) AS blo,
-        |    min(CASE WHEN cum >= greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+        |    min(CASE WHEN cum >= greatest(1, CAST(ceil(0.95::DOUBLE * n) AS BIGINT))
         |      THEN bucket END) AS bhi
         |  FROM t GROUP BY 1),
         |e AS (
@@ -6283,7 +6283,7 @@ object SparkEntry {
         |  FROM b1),
         |m1 AS (
         |  SELECT l_returnflag,
-        |    min(CASE WHEN cum >= greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+        |    min(CASE WHEN cum >= greatest(1, CAST(ceil(0.5::DOUBLE * n) AS BIGINT))
         |      THEN bucket END) AS bm
         |  FROM t1 GROUP BY 1),
         |med AS (
@@ -6308,7 +6308,7 @@ object SparkEntry {
         |  FROM b2),
         |m2 AS (
         |  SELECT l_returnflag,
-        |    min(CASE WHEN cum >= greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+        |    min(CASE WHEN cum >= greatest(1, CAST(ceil(0.5::DOUBLE * n) AS BIGINT))
         |      THEN bucket END) AS bm
         |  FROM t2 GROUP BY 1),
         |mad AS (

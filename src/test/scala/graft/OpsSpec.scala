@@ -6224,6 +6224,28 @@ class OpsSpec extends AnyFunSuite {
       s"r16a quiet window must stay clean: ${opRowsOverBand(quiet, bands)}")
   }
 
+  test("temporalVersionBound: watermark-schedule replay on a synthetic " +
+      "feed") {
+    // delay 10us; cuts at 10/20/31; updates key 7 at us {5,15,25,28},
+    // key 8 at {18}; events make every chunk non-empty.
+    val ev = Array((1L, 7L, 5L), (2L, 7L, 15L), (3L, 7L, 25L), (4L, 7L, 30L))
+    val upd = Array((7L, 5L, "a"), (7L, 15L, "b"), (7L, 25L, "c"),
+      (7L, 28L, "d"), (8L, 18L, "e"))
+    // trigger 1: no wm yet → futures = upd in (−∞,10) = 1
+    // trigger 2: wm = min(5,5)−10 = −5 → key 7 has {5,15} = 2
+    // trigger 3: wm = min(15,18)−10 = 5 → key 7 has {15,25,28} = 3
+    // sentinel:  wm = min(30,28)−10 = 18 → key 7 has {25,28} = 2
+    // bound = 1 + max(3, max(2, 1)) = 4
+    assert(SparkEntry.temporalVersionBound(ev, upd, Seq(10L, 20L, 31L),
+      delayUs = 10L) == 4L)
+    // no updates at all: the sentinel-key floor keeps the bound ≥ 2
+    assert(SparkEntry.temporalVersionBound(ev, Array.empty,
+      Seq(10L, 20L, 31L), delayUs = 10L) == 2L)
+    // a huge delay never prunes: every ingested update is a future
+    assert(SparkEntry.temporalVersionBound(ev, upd, Seq(10L, 20L, 31L),
+      delayUs = 1000000L) == 5L)
+  }
+
   test("Bench canary: deterministic, code-independent fixed work") {
     // the canary's work must never change (its numbers form a cross-
     // round band): pin the checksum of the constant buffer + FNV loop.
