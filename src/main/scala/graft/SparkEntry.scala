@@ -2972,6 +2972,21 @@ object SparkEntry {
       "lang")
   }
 
+  /** Embedding-drift gate: did the corpus move in EMBEDDING space
+    * between the two halves? Per-row cosine to the even half's
+    * centroid, PSI/KS over the cosine distributions on a [-1,1)/40
+    * bucketing, plus the centroid-vs-centroid cosine. The oracle
+    * replays the 1e7-grain centroid, every 1e9-grain cosine term, the
+    * shared bucketing and the drift arithmetic.
+    */
+  private def qEmbedDrift(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(t(dir, "embeddings"))
+    graft.ops.Drift.embeddingDrift(
+      emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 1),
+      "embedding", buckets = 40)
+  }
+
   /** Drift-series gate: the "when did it start drifting" read — three
     * pseudo-days (doc_id % 3) of persisted bucket tables stacked, one
     * PSI/KS row per consecutive-day pair. The oracle rebuilds the
@@ -4444,6 +4459,7 @@ object SparkEntry {
     "q_drift_group" -> (qDriftGroup _),
     "q_drift_cat" -> (qDriftCat _),
     "q_drift_series" -> (qDriftSeries _),
+    "q_embed_drift" -> (qEmbedDrift _),
     "q_interval_union" -> (qIntervalUnion _),
     "q_coverage" -> (qCoverage _),
     "q_interval_gaps" -> (qIntervalGaps _),
@@ -5096,6 +5112,75 @@ object SparkEntry {
         |SELECT n_a, n_b, k, round(sum(psi9)::DOUBLE / 1e9, 6) AS psi,
         |  round(sum(chi9)::DOUBLE / 1e9, 6) AS chi2
         |FROM x GROUP BY n_a, n_b, k""".stripMargin,
+    // the embedding-drift replay: 1e7-grain reference centroid, every
+    // 1e9-grain cosine term, the shared [-1,1)/40 bucketing, q_drift's
+    // PSI/KS arithmetic, and the centroid-vs-centroid cosine
+    "q_embed_drift" ->
+      """WITH exa AS (SELECT unnest(embedding::DOUBLE[]) AS v,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |cga AS (SELECT i, sum(CAST(floor(v * 1e7) AS BIGINT)) AS s7,
+        |    count(*) AS n FROM exa GROUP BY 1),
+        |ca AS (SELECT i, s7::DOUBLE / n / 1e7 AS c FROM cga),
+        |ex AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |tm AS (SELECT e.vec_id,
+        |    CAST(floor(e.v * ca.c * 1e9) AS BIGINT) AS d9,
+        |    CAST(floor(e.v * e.v * 1e9) AS BIGINT) AS nv9,
+        |    CAST(floor(ca.c * ca.c * 1e9) AS BIGINT) AS nc9
+        |  FROM ex e JOIN ca ON e.i = ca.i),
+        |sc AS (SELECT vec_id, sum(d9) AS sd, sum(nv9) AS sv,
+        |    sum(nc9) AS scc FROM tm GROUP BY 1),
+        |cosv AS (SELECT vec_id,
+        |    CASE WHEN sv > 0 AND scc > 0
+        |      THEN sd::DOUBLE / sqrt(sv::DOUBLE * scc::DOUBLE) END AS cos
+        |  FROM sc),
+        |bk AS (SELECT vec_id,
+        |    CASE WHEN cos < -1.0 THEN -1 WHEN cos >= 1.0 THEN 40
+        |    ELSE CAST(floor((cos - (-1.0)) / 0.05) AS INT) END AS bucket
+        |  FROM cosv WHERE cos IS NOT NULL),
+        |ha AS (SELECT bucket, count(*) AS c_a FROM bk
+        |  WHERE vec_id % 2 = 0 GROUP BY bucket),
+        |hb AS (SELECT bucket, count(*) AS c_b FROM bk
+        |  WHERE vec_id % 2 = 1 GROUP BY bucket),
+        |j AS (SELECT coalesce(ha.bucket, hb.bucket) AS bucket,
+        |    coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+        |  FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+        |t AS (SELECT bucket, c_a, c_b,
+        |    CAST(sum(c_a) OVER () AS BIGINT) AS n_a,
+        |    CAST(sum(c_b) OVER () AS BIGINT) AS n_b,
+        |    CAST(sum(c_a) OVER (ORDER BY bucket) AS BIGINT) AS cum_a,
+        |    CAST(sum(c_b) OVER (ORDER BY bucket) AS BIGINT) AS cum_b
+        |  FROM j),
+        |x AS (SELECT n_a, n_b,
+        |    CAST(floor(((CASE WHEN c_a = 0 THEN 1e-6 ELSE c_a::DOUBLE / n_a END)
+        |      - (CASE WHEN c_b = 0 THEN 1e-6 ELSE c_b::DOUBLE / n_b END))
+        |      * ln((CASE WHEN c_a = 0 THEN 1e-6 ELSE c_a::DOUBLE / n_a END)
+        |         / (CASE WHEN c_b = 0 THEN 1e-6 ELSE c_b::DOUBLE / n_b END))
+        |      * 1e9) AS BIGINT) AS psi9,
+        |    abs(cum_a::DOUBLE / n_a - cum_b::DOUBLE / n_b) AS ksterm
+        |  FROM t),
+        |drift AS (SELECT n_a, n_b,
+        |    round(sum(psi9)::DOUBLE / 1e9, 6) AS psi,
+        |    round(max(ksterm), 6) AS ks
+        |  FROM x GROUP BY n_a, n_b),
+        |exb AS (SELECT unnest(embedding::DOUBLE[]) AS v,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |cgb AS (SELECT i, sum(CAST(floor(v * 1e7) AS BIGINT)) AS s7,
+        |    count(*) AS n FROM exb GROUP BY 1),
+        |cb AS (SELECT i, s7::DOUBLE / n / 1e7 AS c FROM cgb),
+        |ccj AS (SELECT
+        |    sum(CAST(floor(ca.c * cb.c * 1e9) AS BIGINT)) AS sdc,
+        |    sum(CAST(floor(ca.c * ca.c * 1e9) AS BIGINT)) AS sca,
+        |    sum(CAST(floor(cb.c * cb.c * 1e9) AS BIGINT)) AS scb
+        |  FROM ca JOIN cb ON ca.i = cb.i),
+        |ccos AS (SELECT round(CASE WHEN sca > 0 AND scb > 0
+        |    THEN sdc::DOUBLE / sqrt(sca::DOUBLE * scb::DOUBLE) END, 6)
+        |    AS centroid_cos FROM ccj)
+        |SELECT drift.n_a, drift.n_b, drift.psi, drift.ks,
+        |  ccos.centroid_cos FROM drift, ccos""".stripMargin,
     // the drift SERIES replay: per-pseudo-day bucket tables, the
     // consecutive-day pairing (days 0,1,2 — the lag over distinct days
     // hardcodes to (1,0),(2,1)), then q_drift's grained PSI + cdf-max

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -268,6 +268,80 @@ object Drift {
           raise_error(lit("driftCategorical: empty side B")))
           .otherwise(col("n_b")).as("n_b"),
         col("k"), col("psi"), col("chi2"))
+  }
+
+  /** Embedding-distribution drift — the semantic twin of
+    * [[driftStats]]: did the corpus MOVE in embedding space between
+    * snapshot `a` (the reference) and snapshot `b`? Each row scores as
+    * its cosine to the REFERENCE side's centroid, the two cosine
+    * distributions diff through the standard PSI/KS machinery over a
+    * `[-1, 1)` equi-width bucketing, and `centroid_cos` reports how
+    * far the mean embedding itself rotated (cos(centroid_a,
+    * centroid_b), 1 = no shift). One row: `(n_a, n_b, psi, ks,
+    * centroid_cos)`, round-6.
+    *
+    * Determinism ([[Embeddings.labelOutliers]]'s convention): the
+    * centroid is the per-dimension mean of 1e7-grain integer sums;
+    * cosine terms floor to a 1e9 grain and sum as exact longs —
+    * partition-order-proof and replayable in any engine with integer
+    * arithmetic. Zero-norm vectors (and length-mismatched ones — the
+    * zip pads with null) score null and drop, like null values in
+    * [[driftStats]].
+    *
+    * Scale shape: the centroid pass is posexplode + groupBy(dim) with
+    * map-side partials — the wire carries partitions × d grained
+    * longs, not rows; the scoring pass is SCAN-LOCAL (zip_with /
+    * aggregate against the broadcast centroid array — no shuffle, no
+    * per-row join), and everything after the two scans is the
+    * ≤buckets+2-row drift machinery. Works unchanged on 100 TB of
+    * embeddings a side.
+    */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String,
+      buckets: Int = 40, eps: Double = 1e-6): DataFrame = {
+    require(buckets >= 1, s"embeddingDrift: bad buckets $buckets")
+    def centroid(df: DataFrame): DataFrame =
+      df.select(posexplode(col(vecCol).cast("array<double>"))
+          .as(Seq("i", "v")))
+        .groupBy(col("i"))
+        .agg(sum(floor(col("v") * 1e7).cast("long")).as("s7"),
+          count(lit(1)).as("n"))
+        .select(col("i"),
+          (col("s7").cast("double") / col("n") / 1e7).as("c"))
+    val centA = centroid(a)
+    // deterministic dim order: sort the collected (i, c) structs, not
+    // the relation (collect_list order is not shuffle-stable)
+    val centArr = centA
+      .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("sc"))
+      .select(transform(col("sc"), s => s.getField("c")).as("__cent"))
+    def cosTo(vc: Column, cc: Column): Column = {
+      val sd = aggregate(
+        zip_with(vc, cc, (x, y) => floor(x * y * 1e9).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      val sv = aggregate(
+        transform(vc, x => floor(x * x * 1e9).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      val sc = aggregate(
+        transform(cc, x => floor(x * x * 1e9).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      when(sv > 0 && sc > 0,
+        sd.cast("double") / sqrt(sv.cast("double") * sc.cast("double")))
+    }
+    def scored(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(centArr))
+        .select(cosTo(col(vecCol).cast("array<double>"), col("__cent"))
+          .as("cos"))
+    val drift = driftStats(scored(a), scored(b), "cos",
+      -1.0, 1.0, buckets, eps)
+    val centB = centroid(b).withColumnRenamed("c", "cb")
+    val cc = centA.join(centB, Seq("i"))
+      .agg(sum(floor(col("c") * col("cb") * 1e9).cast("long")).as("sdc"),
+        sum(floor(col("c") * col("c") * 1e9).cast("long")).as("sca"),
+        sum(floor(col("cb") * col("cb") * 1e9).cast("long")).as("scb"))
+      .select(round(when(col("sca") > 0 && col("scb") > 0,
+        col("sdc").cast("double") /
+          sqrt(col("sca").cast("double") * col("scb").cast("double"))), 6)
+        .as("centroid_cos"))
+    drift.crossJoin(broadcast(cc))
   }
 
   /** Raise on a NULL `keyCol` row in a persisted bucket/category

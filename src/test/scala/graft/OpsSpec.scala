@@ -3487,6 +3487,32 @@ class OpsSpec extends AnyFunSuite {
       got(1).getDouble(5) == pair.getDouble(3))
   }
 
+  test("embeddingDrift: identical==0 with centroid_cos 1, shifted side " +
+      "drifts, zero-norm drops") {
+    import graft.ops.Drift
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 100).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian())))
+    val a = base.toDF("id", "embedding")
+    val same = Drift.embeddingDrift(a, a, "embedding", buckets = 20).head()
+    assert((same.getLong(0), same.getLong(1)) == (100L, 100L))
+    assert(same.getDouble(2) == 0.0 && same.getDouble(3) == 0.0)
+    // cos(c, c): the grained sums coincide term-for-term → exactly 1
+    assert(same.getDouble(4) == 1.0)
+    // a constant shift on one dimension moves both the per-row cosine
+    // distribution and the centroid
+    val b = base.map { case (id, v) => (id, v.updated(0, v(0) + 3.0)) }
+      .toDF("id", "embedding")
+    val mov = Drift.embeddingDrift(a, b, "embedding", buckets = 20).head()
+    assert(mov.getDouble(2) > 0.0, mov.toString)
+    assert(mov.getDouble(4) < 1.0, mov.toString)
+    // a zero-norm vector has no cosine: scores null and drops
+    val withZero = (base :+ (999L, Array.fill(8)(0.0)))
+      .toDF("id", "embedding")
+    val z = Drift.embeddingDrift(withZero, a, "embedding", buckets = 20).head()
+    assert(z.getLong(0) == 100L, z.toString)
+  }
+
   test("timeWeightedAvg: |value| >= 1e12 stays exact — decimal(20,0) " +
       "terms cannot overflow on long-grain inputs") {
     import graft.ops.Events
