@@ -2972,6 +2972,28 @@ object SparkEntry {
       "lang")
   }
 
+  /** Rank-biased-overlap gate: per source, how much do the top-10
+    * documents BY CHARACTERS agree with the top-10 BY TOKENS (two
+    * length notions — the ranking-stability read before trusting
+    * either as a quality proxy)? Ties break on doc_id so both engines
+    * rank identically; p = 0.5 keeps the depth weights exact powers of
+    * two (cross-engine bit-parity, see the op doc). The oracle replays
+    * both rankings, the prefix-overlap counts and the grained
+    * geometric sum.
+    */
+  private def qRbo(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    def ranked(score: Column) = docs.select(col("source"), col("doc_id"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(score.desc_nulls_last, col("doc_id").asc)).as("rank"))
+    graft.ops.Retrieval.rankBiasedOverlap(
+        ranked(col("n_chars")),
+        ranked(graft.ops.TextStats.wsTokens(col("text"))),
+        "source", "doc_id", "rank", k = 10, p = 0.5)
+      .orderBy(col("source"))
+  }
+
   /** Embedding-drift gate: did the corpus move in EMBEDDING space
     * between the two halves? Per-row cosine to the even half's
     * centroid, PSI/KS over the cosine distributions on a [-1,1)/40
@@ -4460,6 +4482,7 @@ object SparkEntry {
     "q_drift_cat" -> (qDriftCat _),
     "q_drift_series" -> (qDriftSeries _),
     "q_embed_drift" -> (qEmbedDrift _),
+    "q_rbo" -> (qRbo _),
     "q_interval_union" -> (qIntervalUnion _),
     "q_coverage" -> (qCoverage _),
     "q_interval_gaps" -> (qIntervalGaps _),
@@ -5112,6 +5135,34 @@ object SparkEntry {
         |SELECT n_a, n_b, k, round(sum(psi9)::DOUBLE / 1e9, 6) AS psi,
         |  round(sum(chi9)::DOUBLE / 1e9, 6) AS chi2
         |FROM x GROUP BY n_a, n_b, k""".stripMargin,
+    // both rankings replayed with the doc_id tiebreak, prefix-overlap
+    // counts from the max-rank of each matched pair, and the grained
+    // geometric sum with exact p=0.5 powers
+    "q_rbo" ->
+      """WITH ra AS (SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC NULLS LAST,
+        |    doc_id ASC) AS r FROM documents),
+        |rb AS (SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source ORDER BY (CASE WHEN length(trim(text)) = 0
+        |      THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END)
+        |      DESC NULLS LAST, doc_id ASC) AS r FROM documents),
+        |pa AS (SELECT source, doc_id, r FROM ra WHERE r <= 10),
+        |pb AS (SELECT source, doc_id, r FROM rb WHERE r <= 10),
+        |pr AS (SELECT pa.source, greatest(pa.r, pb.r) AS m
+        |  FROM pa JOIN pb USING (source, doc_id)),
+        |qs AS (SELECT DISTINCT source FROM
+        |  (SELECT source FROM pa UNION ALL SELECT source FROM pb)),
+        |grid AS (SELECT source, d FROM qs CROSS JOIN
+        |  (SELECT unnest(generate_series(1, 10)) AS d)),
+        |nd AS (SELECT source, m, count(*) AS c FROM pr GROUP BY 1, 2),
+        |gv AS (SELECT g.source, g.d, coalesce(nd.c, 0) AS c
+        |  FROM grid g LEFT JOIN nd ON g.source = nd.source AND g.d = nd.m),
+        |ov AS (SELECT source, d, CAST(sum(c) OVER (PARTITION BY source
+        |    ORDER BY d) AS BIGINT) AS ov FROM gv),
+        |tt AS (SELECT source, CAST(floor(power(0.5::DOUBLE, d - 1)
+        |    * ov::DOUBLE / d * 1e9) AS BIGINT) AS t9 FROM ov)
+        |SELECT source, round(0.5 * sum(t9)::DOUBLE / 1e9, 6) AS rbo
+        |FROM tt GROUP BY source ORDER BY source""".stripMargin,
     // the embedding-drift replay: 1e7-grain reference centroid, every
     // 1e9-grain cosine term, the shared [-1,1)/40 bucketing, q_drift's
     // PSI/KS arithmetic, and the centroid-vs-centroid cosine

@@ -254,4 +254,60 @@ object Retrieval {
     if (caches.isEmpty) out
     else graft.spark.CacheRelease.afterFirstAction(out, caches)
   }
+
+  /** Rank-biased overlap (Webber/Moffat/Zobel 2010) between two
+    * per-query top-k rankings — the ranking-comparison metric
+    * retrieval and ANN evaluation use when plain recall@k over-rewards
+    * tail agreement: prefix overlaps weight geometrically, so two
+    * lists that agree at the TOP score high even if their tails
+    * diverge. Inputs are two `(qid, id, rank)` relations (1-based
+    * ranks, e.g. [[graft.ops.Similarity]] top-k outputs or any
+    * `row_number` ranking); output one `(qidCol, rbo)` row per qid on
+    * EITHER side, rbo = (1−p) · Σ_{d=1..k} p^{d−1} · |A:d ∩ B:d| / d,
+    * round-6 — the TRUNCATED (depth-k) RBO, a lower bound of the
+    * infinite form; a qid missing one side scores 0 (no agreement).
+    *
+    * Determinism/oracle contract: the overlap-at-depth counts are
+    * exact longs (a pair contributes from depth max(rank_a, rank_b));
+    * each depth term floors to a 1e-9 grain and sums as exact BIGINTs
+    * (partition-order-proof, SQL-replayable). `p` powers are IEEE
+    * `pow` — use p = 0.5 when cross-engine bit-parity matters (exact
+    * powers of two); the conventional 0.9 is fine within the grain.
+    *
+    * Scale shape: one equi-join of the two rank relations on
+    * (qid, id) — ≤k rows per qid a side — then O(qids × k) depth
+    * arithmetic; nothing sees corpus size, only the rankings.
+    */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, qidCol: String,
+      idCol: String, rankCol: String, k: Int,
+      p: Double = 0.9): DataFrame = {
+    require(k >= 1, s"rankBiasedOverlap: bad depth $k")
+    require(p > 0 && p < 1, s"rankBiasedOverlap: p out of (0,1): $p")
+    def side(df: DataFrame, rn: String) = df
+      .filter(col(rankCol) <= k)
+      .select(col(qidCol).as("q"), col(idCol).as("i"),
+        col(rankCol).cast("long").as(rn))
+    val pairs = side(a, "ra").join(side(b, "rb"), Seq("q", "i"))
+      .select(col("q"), greatest(col("ra"), col("rb")).as("m"))
+    val qids = side(a, "ra").select(col("q"))
+      .union(side(b, "rb").select(col("q"))).distinct()
+    val grid = qids.select(col("q"),
+      explode(sequence(lit(1L), lit(k.toLong))).as("d"))
+    val newAtDepth = pairs.groupBy(col("q"), col("m"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q")).orderBy(col("d"))
+      .rowsBetween(Long.MinValue, 0)
+    grid.join(newAtDepth,
+        grid("q") === newAtDepth("q") && col("d") === col("m"), "left")
+      .select(grid("q").as("q"), col("d"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("ov", sum(col("c")).over(w))
+      .withColumn("t9",
+        floor(pow(lit(p), col("d") - 1) * col("ov").cast("double") /
+          col("d") * 1e9).cast("long"))
+      .groupBy(col("q").as(qidCol))
+      .agg(round(lit(1.0 - p) * sum(col("t9")).cast("double") / 1e9, 6)
+        .as("rbo"))
+  }
 }

@@ -3487,6 +3487,35 @@ class OpsSpec extends AnyFunSuite {
       got(1).getDouble(5) == pair.getDouble(3))
   }
 
+  test("rankBiasedOverlap: identical lists = 1-p^k, hand-computed " +
+      "prefix overlap, one-sided qid scores 0") {
+    import graft.ops.Retrieval
+    val a = Seq((1L, "x1", 1L), (1L, "x2", 2L), (1L, "x3", 3L),
+      (2L, "y1", 1L)).toDF("qid", "id", "rank")
+    val b = Seq((1L, "x2", 1L), (1L, "x1", 2L), (1L, "x9", 3L))
+      .toDF("qid", "id", "rank")
+    // qid 1: overlaps at depths (0, 2, 2) → terms 0, p·1, p²·(2/3);
+    // grained: (0 + 500000000 + 166666666)/1e9 × (1−p) = 0.333333
+    // qid 2: only on side A → no agreement → 0
+    val got = Retrieval.rankBiasedOverlap(a, b, "qid", "id", "rank",
+        k = 3, p = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.333333, 2L -> 0.0), got.toString)
+    // identical FULL lists (qid 1): ov_d = d, so rbo = (1−p)·Σ p^{d−1}
+    // = 1 − p^k = 0.875; qid 2 self-compares its single item: ov = 1 at
+    // every depth → grained (1e9 + 250000000 + 83333333)/1e9 × 0.5 =
+    // 0.666667 (< 1: truncated RBO penalizes lists shorter than k)
+    val self = Retrieval.rankBiasedOverlap(a, a, "qid", "id", "rank",
+        k = 3, p = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(self == Map(1L -> 0.875, 2L -> 0.666667), self.toString)
+    // partition invariance: grained term sums are order-proof
+    val rep = Retrieval.rankBiasedOverlap(a.repartition(7),
+        b.repartition(13), "qid", "id", "rank", k = 3, p = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rep == got)
+  }
+
   test("embeddingDrift: identical==0 with centroid_cos 1, shifted side " +
       "drifts, zero-norm drops") {
     import graft.ops.Drift
