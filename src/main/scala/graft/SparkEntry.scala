@@ -1810,6 +1810,66 @@ object SparkEntry {
     * intervals and the interval join in SQL; events before a user's
     * first sampled update must come back null.
     */
+  /** Streaming funnel gate: the deadline funnel
+    * ([[graft.ops.Events.funnelStepsWithin]]'s semantics) run LIVE —
+    * events fed in chronological quantile chunks, per-user state
+    * folding the greedy cascade as the watermark seals events, one
+    * append-mode row per step reached. The oracle is q_funnel_window's
+    * per-user cascade emitting the matched (step, timestamp, gap)
+    * rows — a micro-batch cut must not change a single conversion.
+    */
+  private def qStreamFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .orderBy(col("us"), col("user_id"), col("event_type"))
+      .as[(Long, Long, String)].collect()
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+    val sdf = ms.toDF().toDF("user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val out = graft.streaming.StatefulOps.streamFunnel(sdf, "user_id",
+      "ts", "event_type", Seq("signup", "click", "purchase"),
+      maxGapSec = Some(7L * 86400L))
+    val qname = "graft_stream_funnel"
+    s.catalog.dropTempView(qname)
+    val q = withStreamShuffle(s) {
+      out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+    }
+    try {
+      val times = ev.map(_._2)
+      val cuts = ((1 to 3).map(i =>
+          times(((times.length.toLong * i) / 4).toInt.min(times.length - 1)))
+        :+ (times.last + 1)).distinct
+      var prev = Long.MinValue
+      var nFed = 0
+      cuts.foreach { cut =>
+        val chunk = ev.filter(e => e._2 >= prev && e._2 < cut)
+        if (chunk.nonEmpty) {
+          ms.addData(chunk.toSeq)
+          q.processAllAvailable()
+          nFed += 1
+        }
+        prev = cut
+      }
+      require(nFed >= 3,
+        s"stream-funnel gate fed only $nFed non-empty chunks — needs >=3 " +
+          "micro-batches; events timestamp distribution is degenerate")
+      // a step-typed sentinel far past the last event seals everything
+      // (non-step types drop before the watermark column)
+      ms.addData((-10L, times.last + 86400L * 1000000L, "signup"))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(qname)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("step_idx"), col("step"),
+        col("step_ts"), col("gap_us"))
+      .orderBy(col("user_id"), col("step_idx"))
+  }
+
   /** Driver-side replay of the watermark schedule the temporal gates
     * feed, yielding the per-trigger version-state bound the operator
     * claims: versions kept per (key, trigger) ≤ 1 floor (the version
@@ -4638,6 +4698,7 @@ object SparkEntry {
     "q_stream_hist" -> (qStreamHist _),
     "q_stream_drift" -> (qStreamDrift _),
     "q_stream_drift_cat" -> (qStreamDriftCat _),
+    "q_stream_funnel" -> (qStreamFunnel _),
     "q_stream_ohlc" -> (qStreamOhlc _),
     "q_stream_sample" -> (qStreamSample _),
     "q_resample" -> (qResample _),
@@ -6979,6 +7040,26 @@ object SparkEntry {
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
         |ORDER BY step_idx""".stripMargin,
+    // the live funnel lands on the batch cascade's per-user rows: the
+    // same deadline cascade, emitting (step, timestamp, gap) per match
+    "q_stream_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND epoch_us(e.ts) - epoch_us(s1.t1) <= 604800000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND epoch_us(e.ts) - epoch_us(s2.t2) <= 604800000000 GROUP BY 1)
+        |SELECT user_id, CAST(1 AS BIGINT) AS step_idx, 'signup' AS step,
+        |  t1 AS step_ts, CAST(NULL AS BIGINT) AS gap_us FROM s1
+        |UNION ALL SELECT s2.user_id, 2, 'click', t2,
+        |  epoch_us(t2) - epoch_us(s1.t1) FROM s2 JOIN s1 USING (user_id)
+        |UNION ALL SELECT s3.user_id, 3, 'purchase', t3,
+        |  epoch_us(t3) - epoch_us(s2.t2) FROM s3 JOIN s2 USING (user_id)
+        |ORDER BY user_id, step_idx""".stripMargin,
     // q_funnel's cascade extended by the 7-day deadline predicate
     // (greedy earliest-match == anchored min cascade: each step's
     // qualifying set depends only on the previous matched timestamp),
