@@ -1766,9 +1766,7 @@ object SparkEntry {
       // `distinct` collapses duplicate-value cuts, and the gate counts
       // processed batches against the non-empty chunks actually FED.
       val times = ev.map(_._3) // ev is ordered by (us, event_id)
-      val cuts = ((1 to 3).map(i =>
-          times(((times.length.toLong * i) / 4).toInt.min(times.length - 1)))
-        :+ (times.last + 1)).distinct
+      val cuts = quantileCuts(times)
       var prev = Long.MinValue
       var nFed = 0
       cuts.foreach { cut =>
@@ -1841,9 +1839,7 @@ object SparkEntry {
     }
     try {
       val times = ev.map(_._2)
-      val cuts = ((1 to 3).map(i =>
-          times(((times.length.toLong * i) / 4).toInt.min(times.length - 1)))
-        :+ (times.last + 1)).distinct
+      val cuts = quantileCuts(times)
       var prev = Long.MinValue
       var nFed = 0
       cuts.foreach { cut =>
@@ -1869,6 +1865,19 @@ object SparkEntry {
         col("step_ts"), col("gap_us"))
       .orderBy(col("user_id"), col("step_idx"))
   }
+
+  /** Chronological quantile cuts for the stream gates' chunk feeding:
+    * three cuts at the 25/50/75% timestamp QUANTILES plus an
+    * everything-after cut, `distinct` collapsing duplicate-value cuts —
+    * quantile positions put ~n/4 events per chunk regardless of the
+    * time distribution, where span division went empty under mere skew
+    * (ADVICE r14). Shared by every multi-chunk stream gate so a fix to
+    * the cut arithmetic cannot drift between them.
+    */
+  private def quantileCuts(times: Array[Long]): Seq[Long] =
+    ((1 to 3).map(i =>
+        times(((times.length.toLong * i) / 4).toInt.min(times.length - 1)))
+      :+ (times.last + 1)).distinct
 
   /** Driver-side replay of the watermark schedule the temporal gates
     * feed, yielding the per-trigger version-state bound the operator
@@ -1951,9 +1960,7 @@ object SparkEntry {
     // shape as qStreamAsof); each chunk feeds BOTH streams so the
     // joint watermark advances together
     val times = ev.map(_._3)
-    val cuts = ((1 to 3).map(i =>
-        times(((times.length.toLong * i) / 4).toInt.min(times.length - 1)))
-      :+ (times.last + 1)).distinct
+    val cuts = quantileCuts(times)
     val q = withStreamShuffle(s) {
       enriched.writeStream.format("memory").queryName(qname)
         .outputMode("append").start()
@@ -2048,9 +2055,7 @@ object SparkEntry {
         .option("checkpointLocation", s"$root/_ckpt").start()
     }
     val times = ev.map(_._3)
-    val cuts = ((1 to 3).map(i =>
-        times(((times.length.toLong * i) / 4).toInt.min(times.length - 1)))
-      :+ (times.last + 1)).distinct
+    val cuts = quantileCuts(times)
     var q = start()
     try {
       var prev = Long.MinValue
@@ -5196,9 +5201,9 @@ object SparkEntry {
         |SELECT n_a, n_b, k, round(sum(psi9)::DOUBLE / 1e9, 6) AS psi,
         |  round(sum(chi9)::DOUBLE / 1e9, 6) AS chi2
         |FROM x GROUP BY n_a, n_b, k""".stripMargin,
-    // both rankings replayed with the doc_id tiebreak, prefix-overlap
-    // counts from the max-rank of each matched pair, and the grained
-    // geometric sum with exact p=0.5 powers
+    // both rankings replayed with the doc_id tiebreak, the grained
+    // tail-weight table (exact p=0.5 powers), and one full-outer pair
+    // relation carrying the one-sided qids
     "q_rbo" ->
       """WITH ra AS (SELECT source, doc_id, row_number() OVER (
         |    PARTITION BY source ORDER BY n_chars DESC NULLS LAST,
@@ -5209,21 +5214,18 @@ object SparkEntry {
         |      DESC NULLS LAST, doc_id ASC) AS r FROM documents),
         |pa AS (SELECT source, doc_id, r FROM ra WHERE r <= 10),
         |pb AS (SELECT source, doc_id, r FROM rb WHERE r <= 10),
-        |pr AS (SELECT pa.source, greatest(pa.r, pb.r) AS m
-        |  FROM pa JOIN pb USING (source, doc_id)),
-        |qs AS (SELECT DISTINCT source FROM
-        |  (SELECT source FROM pa UNION ALL SELECT source FROM pb)),
-        |grid AS (SELECT source, d FROM qs CROSS JOIN
-        |  (SELECT unnest(generate_series(1, 10)) AS d)),
-        |nd AS (SELECT source, m, count(*) AS c FROM pr GROUP BY 1, 2),
-        |gv AS (SELECT g.source, g.d, coalesce(nd.c, 0) AS c
-        |  FROM grid g LEFT JOIN nd ON g.source = nd.source AND g.d = nd.m),
-        |ov AS (SELECT source, d, CAST(sum(c) OVER (PARTITION BY source
-        |    ORDER BY d) AS BIGINT) AS ov FROM gv),
-        |tt AS (SELECT source, CAST(floor(power(0.5::DOUBLE, d - 1)
-        |    * ov::DOUBLE / d * 1e9) AS BIGINT) AS t9 FROM ov)
-        |SELECT source, round(0.5 * sum(t9)::DOUBLE / 1e9, 6) AS rbo
-        |FROM tt GROUP BY source ORDER BY source""".stripMargin,
+        |w AS (SELECT d, CAST(floor(power(0.5::DOUBLE, d - 1) / d * 1e9)
+        |    AS BIGINT) AS t9
+        |  FROM (SELECT unnest(generate_series(1, 10)) AS d)),
+        |wk AS (SELECT d AS m,
+        |    (SELECT sum(t9) FROM w w2 WHERE w2.d >= w.d) AS w9 FROM w),
+        |pr AS (SELECT source, CASE WHEN pa.r IS NOT NULL
+        |      AND pb.r IS NOT NULL THEN greatest(pa.r, pb.r) END AS m
+        |  FROM pa FULL OUTER JOIN pb USING (source, doc_id)),
+        |pj AS (SELECT pr.source, wk.w9 FROM pr LEFT JOIN wk ON pr.m = wk.m)
+        |SELECT source,
+        |  round(0.5 * coalesce(sum(w9), 0)::DOUBLE / 1e9, 6) AS rbo
+        |FROM pj GROUP BY source ORDER BY source""".stripMargin,
     // the embedding-drift replay: 1e7-grain reference centroid, every
     // 1e9-grain cosine term, the shared [-1,1)/40 bucketing, q_drift's
     // PSI/KS arithmetic, and the centroid-vs-centroid cosine

@@ -153,7 +153,10 @@ object Drift {
   def driftSeries(hists: DataFrame, dayCol: String,
       eps: Double = 1e-6): DataFrame = {
     require(eps > 0 && eps < 1, s"driftSeries: eps out of (0,1): $eps")
-    val h = requireKeyNotNull(hists, "bucket", "series")
+    // a NULL day would silently vanish from the lag pairing (null never
+    // equi-joins and sorts engine-dependently) — raise, like null buckets
+    val h = requireKeyNotNull(
+      requireKeyNotNull(hists, "bucket", "series"), dayCol, "series")
     val days = h.select(col(dayCol).as("__d")).distinct()
     val pairs = days
       .withColumn("__p", lag(col("__d"), 1).over(Window.orderBy(col("__d"))))
@@ -288,60 +291,70 @@ object Drift {
     * zip pads with null) score null and drop, like null values in
     * [[driftStats]].
     *
-    * Scale shape: the centroid pass is posexplode + groupBy(dim) with
-    * map-side partials — the wire carries partitions × d grained
-    * longs, not rows; the scoring pass is SCAN-LOCAL (zip_with /
-    * aggregate against the broadcast centroid array — no shuffle, no
-    * per-row join), and everything after the two scans is the
-    * ≤buckets+2-row drift machinery. Works unchanged on 100 TB of
-    * embeddings a side.
+    * Scale shape: TWO passes per side, period. Pass 1 per side is the
+    * centroid — posexplode + groupBy(dim) with map-side partials (the
+    * wire carries partitions × d grained longs, not rows) — collected
+    * to the driver as the d-element vector it is (the one driver-side
+    * materialization, the [[Events.decayedScore]] convention). Pass 2
+    * is the scoring scan, fully SCAN-LOCAL: zip_with / aggregate
+    * against the LITERAL centroid array — no shuffle, no per-row join,
+    * and the centroid's self-norm is a precomputed constant rather
+    * than O(d) work per row. Everything after is the ≤buckets+2-row
+    * drift machinery plus driver arithmetic over two d-vectors. Works
+    * unchanged on 100 TB of embeddings a side.
     */
   def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String,
       buckets: Int = 40, eps: Double = 1e-6): DataFrame = {
     require(buckets >= 1, s"embeddingDrift: bad buckets $buckets")
-    def centroid(df: DataFrame): DataFrame =
-      df.select(posexplode(col(vecCol).cast("array<double>"))
+    def centroid(df: DataFrame, side: String): Array[Double] = {
+      val rows = df
+        .select(posexplode(col(vecCol).cast("array<double>"))
           .as(Seq("i", "v")))
         .groupBy(col("i"))
         .agg(sum(floor(col("v") * 1e7).cast("long")).as("s7"),
           count(lit(1)).as("n"))
         .select(col("i"),
           (col("s7").cast("double") / col("n") / 1e7).as("c"))
-    val centA = centroid(a)
-    // deterministic dim order: sort the collected (i, c) structs, not
-    // the relation (collect_list order is not shuffle-stable)
-    val centArr = centA
-      .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("sc"))
-      .select(transform(col("sc"), s => s.getField("c")).as("__cent"))
-    def cosTo(vc: Column, cc: Column): Column = {
+        .collect()
+      require(rows.nonEmpty,
+        s"embeddingDrift: empty side $side (no non-null vectors)")
+      val out = new Array[Double](rows.map(_.getInt(0)).max + 1)
+      rows.foreach(r => out(r.getInt(0)) = r.getDouble(1))
+      out
+    }
+    val ca = centroid(a, "A")
+    val cb = centroid(b, "B")
+    // the same 1e9-grain arithmetic the oracle replays, driver-side
+    def g9(x: Double, y: Double): Long = math.floor(x * y * 1e9).toLong
+    val scA = ca.map(c => g9(c, c)).sum
+    val centLit = array(ca.map(lit).toIndexedSeq: _*)
+    def scored(df: DataFrame): DataFrame = {
+      val vc = col(vecCol).cast("array<double>")
       val sd = aggregate(
-        zip_with(vc, cc, (x, y) => floor(x * y * 1e9).cast("long")),
+        zip_with(vc, centLit, (x, y) => floor(x * y * 1e9).cast("long")),
         lit(0L), (acc, x) => acc + x)
       val sv = aggregate(
         transform(vc, x => floor(x * x * 1e9).cast("long")),
         lit(0L), (acc, x) => acc + x)
-      val sc = aggregate(
-        transform(cc, x => floor(x * x * 1e9).cast("long")),
-        lit(0L), (acc, x) => acc + x)
-      when(sv > 0 && sc > 0,
-        sd.cast("double") / sqrt(sv.cast("double") * sc.cast("double")))
+      df.select(when(sv > 0 && lit(scA) > 0,
+        sd.cast("double") /
+          sqrt(sv.cast("double") * lit(scA).cast("double"))).as("cos"))
     }
-    def scored(df: DataFrame): DataFrame =
-      df.crossJoin(broadcast(centArr))
-        .select(cosTo(col(vecCol).cast("array<double>"), col("__cent"))
-          .as("cos"))
     val drift = driftStats(scored(a), scored(b), "cos",
       -1.0, 1.0, buckets, eps)
-    val centB = centroid(b).withColumnRenamed("c", "cb")
-    val cc = centA.join(centB, Seq("i"))
-      .agg(sum(floor(col("c") * col("cb") * 1e9).cast("long")).as("sdc"),
-        sum(floor(col("c") * col("c") * 1e9).cast("long")).as("sca"),
-        sum(floor(col("cb") * col("cb") * 1e9).cast("long")).as("scb"))
-      .select(round(when(col("sca") > 0 && col("scb") > 0,
-        col("sdc").cast("double") /
-          sqrt(col("sca").cast("double") * col("scb").cast("double"))), 6)
-        .as("centroid_cos"))
-    drift.crossJoin(broadcast(cc))
+    // centroid-vs-centroid cosine over the shared dims (the inner-join
+    // semantics of the relational form, now two d-vectors on the driver)
+    val minD = math.min(ca.length, cb.length)
+    val sdc = (0 until minD).iterator.map(i => g9(ca(i), cb(i))).sum
+    val sca = (0 until minD).iterator.map(i => g9(ca(i), ca(i))).sum
+    val scb = (0 until minD).iterator.map(i => g9(cb(i), cb(i))).sum
+    // rounding stays Spark's own round() so the oracle contract is
+    // untouched — only the tiny join moved driver-side
+    val ccCol =
+      if (sca > 0 && scb > 0)
+        round(lit(sdc.toDouble / math.sqrt(sca.toDouble * scb.toDouble)), 6)
+      else lit(null).cast("double")
+    drift.withColumn("centroid_cos", ccCol)
   }
 
   /** Raise on a NULL `keyCol` row in a persisted bucket/category

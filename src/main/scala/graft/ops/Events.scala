@@ -79,7 +79,11 @@ object Events {
     *
     * `tsCol` must be TIMESTAMP — the deadline is wall-clock arithmetic
     * (micros grain), and an implicit cast would shift naive types
-    * through the session zone.
+    * through the session zone. Null-timestamp events DROP before the
+    * fold (a null instant cannot anchor a deadline — left in, it would
+    * match step 1 and then NULL-freeze every later comparison); a user
+    * left with no events is absent, matching
+    * [[graft.streaming.StatefulOps.streamFunnel]].
     *
     * Scale shape: identical to [[funnelSteps]] — one shuffle of
     * (user, ts, type) projections, per-user linear fold; the state
@@ -121,7 +125,8 @@ object Events {
       },
       acc => struct(acc.getField("i").cast("long").as("reached"),
         acc.getField("ml").as("step_ts")))
-    df.groupBy(col(userCol))
+    df.filter(col(tsCol).isNotNull)
+      .groupBy(col(userCol))
       .agg(folded.getField("reached").as("reached"),
         folded.getField("step_ts").as("step_ts"))
   }

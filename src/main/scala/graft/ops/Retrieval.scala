@@ -267,47 +267,45 @@ object Retrieval {
     * round-6 — the TRUNCATED (depth-k) RBO, a lower bound of the
     * infinite form; a qid missing one side scores 0 (no agreement).
     *
-    * Determinism/oracle contract: the overlap-at-depth counts are
-    * exact longs (a pair contributes from depth max(rank_a, rank_b));
-    * each depth term floors to a 1e-9 grain and sums as exact BIGINTs
-    * (partition-order-proof, SQL-replayable). `p` powers are IEEE
-    * `pow` — use p = 0.5 when cross-engine bit-parity matters (exact
-    * powers of two); the conventional 0.9 is fine within the grain.
+    * Determinism/oracle contract: a pair matched on both sides
+    * contributes from depth m = max(rank_a, rank_b), i.e. the exact
+    * tail weight W(m) = Σ_{d=m..k} p^{d−1}/d — precomputed driver-side
+    * per possible m as 1e-9-grain longs (each depth term floors, the
+    * tail sums exactly), so the per-qid score is one exact-long sum:
+    * partition-order-proof and SQL-replayable as a k-row weight-table
+    * join. `p` powers are IEEE `pow` — use p = 0.5 when cross-engine
+    * bit-parity matters (exact powers of two); the conventional 0.9 is
+    * fine within the grain.
     *
-    * Scale shape: one equi-join of the two rank relations on
-    * (qid, id) — ≤k rows per qid a side — then O(qids × k) depth
-    * arithmetic; nothing sees corpus size, only the rankings.
+    * Scale shape: ONE full-outer equi-join of the two rank relations
+    * on (qid, id) — ≤k rows per qid a side, and the join also carries
+    * the one-sided qids so each input ranking's plan executes exactly
+    * once — then a single aggregation; nothing sees corpus size, only
+    * the rankings.
     */
   def rankBiasedOverlap(a: DataFrame, b: DataFrame, qidCol: String,
       idCol: String, rankCol: String, k: Int,
       p: Double = 0.9): DataFrame = {
     require(k >= 1, s"rankBiasedOverlap: bad depth $k")
     require(p > 0 && p < 1, s"rankBiasedOverlap: p out of (0,1): $p")
+    // t9(d) = the grained depth-d term; w9(m) = the exact tail sum a
+    // pair matched at depth m earns
+    val t9 = (1 to k).map(d => math.floor(math.pow(p, d - 1) / d * 1e9).toLong)
+    val w9 = t9.scanRight(0L)(_ + _).init
     def side(df: DataFrame, rn: String) = df
       .filter(col(rankCol) <= k)
       .select(col(qidCol).as("q"), col(idCol).as("i"),
         col(rankCol).cast("long").as(rn))
-    val pairs = side(a, "ra").join(side(b, "rb"), Seq("q", "i"))
-      .select(col("q"), greatest(col("ra"), col("rb")).as("m"))
-    val qids = side(a, "ra").select(col("q"))
-      .union(side(b, "rb").select(col("q"))).distinct()
-    val grid = qids.select(col("q"),
-      explode(sequence(lit(1L), lit(k.toLong))).as("d"))
-    val newAtDepth = pairs.groupBy(col("q"), col("m"))
-      .agg(count(lit(1)).as("c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q")).orderBy(col("d"))
-      .rowsBetween(Long.MinValue, 0)
-    grid.join(newAtDepth,
-        grid("q") === newAtDepth("q") && col("d") === col("m"), "left")
-      .select(grid("q").as("q"), col("d"),
-        coalesce(col("c"), lit(0L)).as("c"))
-      .withColumn("ov", sum(col("c")).over(w))
-      .withColumn("t9",
-        floor(pow(lit(p), col("d") - 1) * col("ov").cast("double") /
-          col("d") * 1e9).cast("long"))
+    side(a, "ra").join(side(b, "rb"), Seq("q", "i"), "full_outer")
+      // greatest IGNORES nulls, so a one-sided row must null out
+      // explicitly — it carries its qid but no overlap
+      .select(col("q"),
+        when(col("ra").isNotNull && col("rb").isNotNull,
+          greatest(col("ra"), col("rb"))).as("m"))
       .groupBy(col("q").as(qidCol))
-      .agg(round(lit(1.0 - p) * sum(col("t9")).cast("double") / 1e9, 6)
-        .as("rbo"))
+      .agg(round(lit(1.0 - p) *
+        coalesce(sum(when(col("m").isNotNull,
+          element_at(typedLit(w9), col("m").cast("int")))), lit(0L))
+          .cast("double") / 1e9, 6).as("rbo"))
   }
 }

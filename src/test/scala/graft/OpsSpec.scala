@@ -3600,6 +3600,18 @@ class OpsSpec extends AnyFunSuite {
     assert(rep0.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
       Seq((1L, "A", 3L), (2L, "B", 2L), (3L, "Z", 0L)))
     assert(rep0(2).isNullAt(3))
+    // null timestamps DROP before the fold: left in, a null-ts step-1
+    // match would NULL-freeze every later comparison (review r17); a
+    // user whose events are all null-ts is absent
+    val withNulls = df.union(Seq(
+      (6L, null.asInstanceOf[java.sql.Timestamp], "A"),
+      (6L, ts(0), "A"), (6L, ts(4), "B"),
+      (7L, null.asInstanceOf[java.sql.Timestamp], "A"))
+      .toDF("user_id", "ts", "event_type"))
+    val pn = Events.funnelStepsWithin(withNulls, "user_id", "ts",
+        "event_type", steps, maxGapSec = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pn == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 6L -> 2L), pn.toString)
   }
 
   test("groupQuantileSketch: discrete quantile inside a one-width band; " +

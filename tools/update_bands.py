@@ -38,11 +38,17 @@ def mins_of(path):
 
 
 def main(sources):
+    if not sources:
+        sys.exit("update_bands: no sources given — refusing to clobber "
+                 "BENCH_BANDS.json (the op-row suspect rule would go blind)")
     bands = {}
     for p in sources:
         for k, v in mins_of(p).items():
             lo, hi, n = bands.get(k, (v, v, 0))
             bands[k] = (min(lo, v), max(hi, v), n + 1)
+    if not bands:
+        sys.exit("update_bands: sources yielded 0 bands — refusing to write "
+                 "an empty BENCH_BANDS.json")
     doc = {
         "bands": {k: {"min": round(lo, 3), "max": round(hi, 3), "n": n}
                   for k, (lo, hi, n) in sorted(bands.items())},
