@@ -3059,6 +3059,21 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Categorical drift-series gate: the language-mix "when did it
+    * start moving" read — three pseudo-days of persisted category
+    * tables stacked, one PSI/χ² row per consecutive-day pair. The
+    * oracle rebuilds the stack, the hardcoded consecutive pairing and
+    * the per-pair grained PSI + per-cell grained χ² exactly.
+    */
+  private def qDriftCatSeries(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val stack = (0 to 2).map { d =>
+      graft.ops.Drift.catTable(docs.filter(col("doc_id") % 3 === d), "lang")
+        .withColumn("day", lit(d.toLong))
+    }.reduce(_ unionByName _)
+    graft.ops.Drift.driftCatSeries(stack, "day").orderBy(col("day"))
+  }
+
   /** Embedding-drift gate: did the corpus move in EMBEDDING space
     * between the two halves? Per-row cosine to the even half's
     * centroid, PSI/KS over the cosine distributions on a [-1,1)/40
@@ -4546,6 +4561,7 @@ object SparkEntry {
     "q_drift_group" -> (qDriftGroup _),
     "q_drift_cat" -> (qDriftCat _),
     "q_drift_series" -> (qDriftSeries _),
+    "q_drift_cat_series" -> (qDriftCatSeries _),
     "q_embed_drift" -> (qEmbedDrift _),
     "q_rbo" -> (qRbo _),
     "q_interval_union" -> (qIntervalUnion _),
@@ -5295,6 +5311,48 @@ object SparkEntry {
         |    AS centroid_cos FROM ccj)
         |SELECT drift.n_a, drift.n_b, drift.psi, drift.ks,
         |  ccos.centroid_cos FROM drift, ccos""".stripMargin,
+    // the categorical drift series replay: per-pseudo-day category
+    // tables, the hardcoded consecutive pairing, then q_drift_cat's
+    // grained PSI + per-cell grained χ² per pair
+    "q_drift_cat_series" ->
+      """WITH h AS (SELECT doc_id % 3 AS day,
+        |    coalesce(CAST(lang AS VARCHAR), '__null__') AS cat,
+        |    count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |pairs AS (SELECT CAST(1 AS BIGINT) AS day, CAST(0 AS BIGINT) AS prev_day
+        |  UNION ALL SELECT 2, 1),
+        |ha AS (SELECT p.day, p.prev_day, h.cat, h.c AS c_a
+        |  FROM pairs p JOIN h ON h.day = p.prev_day),
+        |hb AS (SELECT p.day, p.prev_day, h.cat, h.c AS c_b
+        |  FROM pairs p JOIN h ON h.day = p.day),
+        |j AS (SELECT coalesce(ha.day, hb.day) AS day,
+        |    coalesce(ha.prev_day, hb.prev_day) AS prev_day,
+        |    coalesce(ha.cat, hb.cat) AS cat,
+        |    coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+        |  FROM ha FULL OUTER JOIN hb ON ha.day = hb.day
+        |    AND ha.prev_day = hb.prev_day AND ha.cat = hb.cat),
+        |t AS (SELECT day, prev_day, c_a, c_b,
+        |    CAST(sum(c_a) OVER (PARTITION BY day, prev_day) AS BIGINT) AS n_a,
+        |    CAST(sum(c_b) OVER (PARTITION BY day, prev_day) AS BIGINT) AS n_b,
+        |    CAST(count(*) OVER (PARTITION BY day, prev_day) AS BIGINT) AS k
+        |  FROM j),
+        |x AS (SELECT day, prev_day, n_a, n_b, k,
+        |    CAST(floor(((CASE WHEN c_a = 0 THEN 1e-6 ELSE c_a::DOUBLE / n_a END)
+        |      - (CASE WHEN c_b = 0 THEN 1e-6 ELSE c_b::DOUBLE / n_b END))
+        |      * ln((CASE WHEN c_a = 0 THEN 1e-6 ELSE c_a::DOUBLE / n_a END)
+        |         / (CASE WHEN c_b = 0 THEN 1e-6 ELSE c_b::DOUBLE / n_b END))
+        |      * 1e9) AS BIGINT) AS psi9,
+        |    CAST(floor((c_a::DOUBLE - CAST(n_a AS DOUBLE) * CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      * (c_a::DOUBLE - CAST(n_a AS DOUBLE) * CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) * CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * 1e9) AS BIGINT)
+        |    + CAST(floor((c_b::DOUBLE - CAST(n_b AS DOUBLE) * CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      * (c_b::DOUBLE - CAST(n_b AS DOUBLE) * CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      / (CAST(n_b AS DOUBLE) * CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * 1e9) AS BIGINT) AS chi9
+        |  FROM t)
+        |SELECT day, prev_day, n_a, n_b, k,
+        |  round(sum(psi9)::DOUBLE / 1e9, 6) AS psi,
+        |  round(sum(chi9)::DOUBLE / 1e9, 6) AS chi2
+        |FROM x GROUP BY day, prev_day, n_a, n_b, k ORDER BY day""".stripMargin,
     // the drift SERIES replay: per-pseudo-day bucket tables, the
     // consecutive-day pairing (days 0,1,2 — the lag over distinct days
     // hardcodes to (1,0),(2,1)), then q_drift's grained PSI + cdf-max

@@ -234,7 +234,67 @@ object Drift {
       .select(col("cat"),
         coalesce(col("c_a"), lit(0L)).as("c_a"),
         coalesce(col("c_b"), lit(0L)).as("c_b"))
-    val tot = Window.partitionBy(lit(1))
+    psiChiOverCats(joined, Nil, eps)
+      .select(
+        when(col("n_a").isNull || col("n_a") === 0,
+          raise_error(lit("driftCategorical: empty side A")))
+          .otherwise(col("n_a")).as("n_a"),
+        when(col("n_b").isNull || col("n_b") === 0,
+          raise_error(lit("driftCategorical: empty side B")))
+          .otherwise(col("n_b")).as("n_b"),
+        col("k"), col("psi"), col("chi2"))
+  }
+
+  /** Day-over-day CATEGORICAL drift series — [[driftSeries]]'s mix
+    * twin over a persisted [[catTable]] stack `(dayCol, cat, c)`: one
+    * `(dayCol, prev_<dayCol>, n_a, n_b, k, psi, chi2)` row per
+    * consecutive pair of distinct days (a = the earlier day), the
+    * "when did the language/source mix start moving" read. Null cats
+    * and null days raise, as everywhere in the persisted-table family;
+    * a one-sided day cannot occur (days come from the stack itself).
+    * Same shape as [[driftSeries]]: the day pairing lags over the
+    * distinct days only, then O(days × k) arithmetic.
+    */
+  def driftCatSeries(cats: DataFrame, dayCol: String,
+      eps: Double = 1e-6): DataFrame = {
+    require(eps > 0 && eps < 1, s"driftCatSeries: eps out of (0,1): $eps")
+    val h = requireKeyNotNull(
+      requireKeyNotNull(cats, "cat", "series"), dayCol, "series")
+    val days = h.select(col(dayCol).as("__d")).distinct()
+    val pairs = days
+      .withColumn("__p", lag(col("__d"), 1).over(Window.orderBy(col("__d"))))
+      .filter(col("__p").isNotNull)
+    val ha = pairs.join(
+      h.select(col(dayCol).as("__p"), col("cat"), col("c").as("c_a")),
+      Seq("__p"))
+    val hb = pairs.join(
+      h.select(col(dayCol).as("__d"), col("cat"), col("c").as("c_b")),
+      Seq("__d"))
+    val joined = ha.join(hb, Seq("__d", "__p", "cat"), "full_outer")
+      .select(col("__d"), col("__p"), col("cat"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    psiChiOverCats(joined, Seq("__d", "__p"), eps)
+      .select(col("__d").as(dayCol), col("__p").as(s"prev_$dayCol"),
+        col("n_a"), col("n_b"), col("k"), col("psi"), col("chi2"))
+  }
+
+  /** The shared PSI/χ² reduction over a joined
+    * `(parts..., cat, c_a, c_b)` category relation — the categorical
+    * core, as [[psiKsOverBuckets]] is the numeric one: per-partition
+    * totals and the category count k via windows, eps-substituted
+    * share PSI, and the two-sample χ² on the full 2×k grid with
+    * per-CELL 1e-9 grains (each side's (o−e)²/e floors separately —
+    * the [[Profile.cramersV]] convention, so any SQL replay lands
+    * cell-for-cell). Empty `parts` = one whole-relation partition and
+    * a GLOBAL final aggregation (a row exists even over empty input,
+    * for the caller's raise guard).
+    */
+  private def psiChiOverCats(joined: DataFrame, parts: Seq[String],
+      eps: Double): DataFrame = {
+    val pcols = parts.map(col)
+    val pspec = if (pcols.isEmpty) Seq(lit(1)) else pcols
+    val tot = Window.partitionBy(pspec: _*)
       .rowsBetween(Long.MinValue, Long.MaxValue)
     val n = (col("n_a") + col("n_b")).cast("double")
     val ck = (col("c_a") + col("c_b")).cast("double")
@@ -251,26 +311,16 @@ object Drift {
       .withColumn("psi9",
         floor((col("p_adj") - col("q_adj")) * log(col("p_adj") / col("q_adj"))
           * 1e9).cast("long"))
-      // per-CELL 1e-9 grains, the cramersV convention: each side's
-      // (o−e)²/e floors separately so any SQL replay lands cell-for-cell
       .withColumn("chi9",
         floor((col("c_a").cast("double") - eA) *
           (col("c_a").cast("double") - eA) / eA * 1e9).cast("long") +
         floor((col("c_b").cast("double") - eB) *
           (col("c_b").cast("double") - eB) / eB * 1e9).cast("long"))
-      .groupBy()
+      .groupBy(pcols: _*)
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
         max(col("k")).as("k"),
         round(sum(col("psi9")).cast("double") / 1e9, 6).as("psi"),
         round(sum(col("chi9")).cast("double") / 1e9, 6).as("chi2"))
-      .select(
-        when(col("n_a").isNull || col("n_a") === 0,
-          raise_error(lit("driftCategorical: empty side A")))
-          .otherwise(col("n_a")).as("n_a"),
-        when(col("n_b").isNull || col("n_b") === 0,
-          raise_error(lit("driftCategorical: empty side B")))
-          .otherwise(col("n_b")).as("n_b"),
-        col("k"), col("psi"), col("chi2"))
   }
 
   /** Embedding-distribution drift — the semantic twin of

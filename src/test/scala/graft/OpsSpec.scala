@@ -3542,6 +3542,75 @@ class OpsSpec extends AnyFunSuite {
     assert(z.getLong(0) == 100L, z.toString)
   }
 
+  test("driftCatSeries: consecutive-day pairs over a persisted " +
+      "category stack") {
+    import graft.ops.Drift
+    val d1 = (Seq.fill(8)("x") ++ Seq.fill(2)("y")).toDF("lang")
+    val d2 = d1
+    val d3 = (Seq.fill(2)("x") ++ Seq.fill(8)("y")).toDF("lang")
+    val stack = Seq(d1 -> 1L, d2 -> 2L, d3 -> 3L).map { case (df, day) =>
+      Drift.catTable(df, "lang").withColumn("day", lit(day))
+    }.reduce(_ unionByName _)
+    val got = Drift.driftCatSeries(stack, "day")
+      .orderBy(col("day")).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 1L), (3L, 2L)))
+    // day 2 vs 1 identical; day 3 vs 2 the mix flip
+    assert(got(0).getDouble(5) == 0.0 && got(0).getDouble(6) == 0.0)
+    assert(got(1).getDouble(5) > 0.0 && got(1).getDouble(6) > 0.0)
+    // each pair row equals the two-table categorical diff
+    val pair = Drift.driftFromCatTables(
+      Drift.catTable(d2, "lang"), Drift.catTable(d3, "lang")).head()
+    assert(got(1).getLong(2) == pair.getLong(0) &&
+      got(1).getLong(4) == pair.getLong(2) &&
+      got(1).getDouble(5) == pair.getDouble(3) &&
+      got(1).getDouble(6) == pair.getDouble(4))
+    // a null day in the stack raises, like a null cat
+    intercept[Exception] {
+      Drift.driftCatSeries(stack.withColumn("day",
+        when(col("day") === 2L, lit(null)).otherwise(col("day"))),
+        "day").collect()
+    }
+  }
+
+  test("property: rankBiasedOverlap == brute-force truncated RBO on " +
+      "random rankings") {
+    import graft.ops.Retrieval
+    val rnd = new scala.util.Random(31)
+    val k = 8
+    val p = 0.5
+    // per qid: two rankings over overlapping id pools (some ids shared,
+    // some one-sided, some qids on one side only)
+    def ranking(qid: Long): Seq[(Long, String, Long)] = {
+      val ids = rnd.shuffle((0 until 14).map(i => s"id$i")).take(k)
+      ids.zipWithIndex.map { case (id, r) => (qid, id, (r + 1).toLong) }
+    }
+    val aRows = (0L until 12L).flatMap(ranking)
+    val bRows = (4L until 16L).flatMap(ranking)
+    val a = aRows.toDF("qid", "id", "rank")
+    val b = bRows.toDF("qid", "id", "rank")
+    val got = Retrieval.rankBiasedOverlap(a, b, "qid", "id", "rank", k, p)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // brute force from the definition, with the op's grain convention
+    val t9 = (1 to k).map(d => math.floor(math.pow(p, d - 1) / d * 1e9).toLong)
+    val byQ = (aRows.map(_._1) ++ bRows.map(_._1)).distinct
+    val aM = aRows.groupBy(_._1); val bM = bRows.groupBy(_._1)
+    byQ.foreach { q =>
+      val ra = aM.getOrElse(q, Nil).map(r => r._2 -> r._3).toMap
+      val rb = bM.getOrElse(q, Nil).map(r => r._2 -> r._3).toMap
+      val sum9 = (1 to k).map { d =>
+        // |A:d ∩ B:d| straight from the definition
+        val ov = ra.count { case (id, r) =>
+          r <= d && rb.get(id).exists(_ <= d) }
+        ov.toLong * t9(d - 1)
+      }.sum
+      val want = BigDecimal((1 - p) * sum9.toDouble / 1e9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(q) == want, s"qid $q: ${got(q)} vs $want")
+    }
+    assert(got.size == byQ.size)
+  }
+
   test("timeWeightedAvg: |value| >= 1e12 stays exact — decimal(20,0) " +
       "terms cannot overflow on long-grain inputs") {
     import graft.ops.Events
