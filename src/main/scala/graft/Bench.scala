@@ -655,7 +655,9 @@ object Bench {
       k -> (median(v), if (d.isNaN) -1.0 else d)
     }.toMap
     val overBand = opRowsOverBand(opRows, bands)
-    val opSuspect = overBand.size >= 3
+    // the helper owns the minRows threshold (ADVICE r17: an inlined
+    // `>= 3` here could drift from what the unit tests pin)
+    val opSuspect = opRowsSuspect(opRows, bands)
     if (opSuspect) System.err.println("[bench] op-row burst: " +
       s"${overBand.mkString(",")} — medians over committed band-max " +
       "with burst-grade dispersion")

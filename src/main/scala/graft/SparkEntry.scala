@@ -1866,6 +1866,92 @@ object SparkEntry {
       .orderBy(col("user_id"), col("step_idx"))
   }
 
+  /** Checkpoint-RESTART pin for the streaming funnel: [[qStreamFunnel]]
+    * with the query stopped and restarted from its checkpoint mid-feed
+    * (after the second non-empty chunk) — the funnel state (fold
+    * position, pending buffer, completed-funnel tombstone) must
+    * recover so the restart neither re-emits a conversion (the
+    * exactly-once sink would surface a duplicate step row) nor loses
+    * the cascade position (a later event would re-match an earlier
+    * step). Same oracle as q_stream_funnel: the batch deadline
+    * cascade's per-user (step, timestamp, gap) rows, which a restart
+    * must not change by a single row.
+    */
+  private def qStreamFunnelRestart(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .orderBy(col("us"), col("user_id"), col("event_type"))
+      .as[(Long, Long, String)].collect()
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+    val sdf = ms.toDF().toDF("user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val out = graft.streaming.StatefulOps.streamFunnel(sdf, "user_id",
+      "ts", "event_type", Seq("signup", "click", "purchase"),
+      maxGapSec = Some(7L * 86400L))
+    val root = java.nio.file.Files.createTempDirectory("graft_sfunnel_restart")
+    def start() = withStreamShuffle(s) {
+      out.writeStream
+        .foreachBatch(graft.streaming.IdempotentSink.sink(s"$root/out"))
+        .option("checkpointLocation", s"$root/_ckpt").start()
+    }
+    val times = ev.map(_._2)
+    val cuts = quantileCuts(times)
+    var q = start()
+    try {
+      var prev = Long.MinValue
+      var nFed = 0
+      var restarted = false
+      cuts.foreach { cut =>
+        val chunk = ev.filter(e => e._2 >= prev && e._2 < cut)
+        if (chunk.nonEmpty) {
+          ms.addData(chunk.toSeq)
+          q.processAllAvailable()
+          nFed += 1
+          if (nFed == 2 && !restarted) {
+            // mid-feed stop/restart: fold position + pending buffer +
+            // completed tombstones recover from the state store
+            q.stop()
+            q.awaitTermination()
+            q = start()
+            restarted = true
+          }
+        }
+        prev = cut
+      }
+      require(nFed >= 3,
+        s"stream-funnel-restart gate fed only $nFed non-empty chunks — " +
+          "needs >=3 micro-batches; events timestamp distribution is " +
+          "degenerate")
+      require(restarted,
+        "stream-funnel-restart gate never restarted — the gate exists " +
+          "to drive the recovery path; fewer than 2 fed chunks?")
+      ms.addData((-10L, times.last + 86400L * 1000000L, "signup"))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      ()
+    }
+    try {
+      // bounded (≤3 rows per user) driver materialization so the
+      // scratch sink can be deleted before returning — the
+      // q_stream_temporal_restart shape
+      val rows = graft.streaming.IdempotentSink.readCommitted(s, s"$root/out")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("step_idx"), col("step"),
+          col("step_ts"), col("gap_us"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getTimestamp(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      rows.toSeq.toDF("user_id", "step_idx", "step", "step_ts", "gap_us")
+        .orderBy(col("user_id"), col("step_idx"))
+    } finally rmTree(root)
+  }
+
   /** Chronological quantile cuts for the stream gates' chunk feeding:
     * three cuts at the 25/50/75% timestamp QUANTILES plus an
     * everything-after cut, `distinct` collapsing duplicate-value cuts —
@@ -2207,6 +2293,22 @@ object SparkEntry {
     graft.ops.Events.funnelReportWithin(events(s, dir), "user_id", "ts",
         "event_type", Seq("signup", "click", "purchase"),
         maxGapSec = 7L * 86400L)
+      .orderBy(col("step_idx"))
+
+  /** Sketch-grain deadline-funnel gate: [[qFunnelWindow]]'s
+    * bounded-state twin — the per-step median time-to-convert as a
+    * one-bucket-wide [lo, hi] band from (step, bucket) counts over
+    * [0, 7 days) in micros at 64 buckets (width 9.45e9 µs — exact
+    * integer-valued, so every edge is SQL-replayable bit-for-bit),
+    * no per-step gap buffer anywhere (PlanSpec pins the plan
+    * percentile-free). The oracle replays the q_funnel_window cascade,
+    * then the bucket counts, IEEE ceil(n/2) rank, and the band edges.
+    */
+  private def qFunnelSketch(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.funnelReportSketch(events(s, dir), "user_id", "ts",
+        "event_type", Seq("signup", "click", "purchase"),
+        maxGapSec = 7L * 86400L,
+        lo = 0.0, hi = 604800000000.0, buckets = 64)
       .orderBy(col("step_idx"))
 
   /** FORWARD as-of: each purchase's first click at-or-after it, per
@@ -3007,6 +3109,26 @@ object SparkEntry {
       "v", 0, 4096, 256)
   }
 
+  /** WEIGHTED drift gate: [[qDrift]]'s split with each document
+    * weighted by its character count (the token-budget-monitoring
+    * read: the distribution of interest is Σ chars per length bucket,
+    * not document count) — and every 13th document's weight nulled so
+    * the null-weight DROP path executes. Counters are exact-long
+    * 1e6-grain weight sums ([[graft.ops.Sketch.countOrWeight]]); the
+    * PSI/KS arithmetic downstream is byte-identical to q_drift's. The
+    * oracle replays the grained weight sums in place of count(*).
+    */
+  private def qDriftWeighted(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val toks = docs.select(col("doc_id"),
+      graft.ops.TextStats.wsTokens(col("text")).cast("double").as("v"),
+      when(col("doc_id") % 13 =!= 0, col("n_chars").cast("double")).as("w"))
+    graft.ops.Drift.driftStats(
+      toks.filter(col("doc_id") % 2 === 0),
+      toks.filter(col("doc_id") % 2 === 1),
+      "v", 0, 4096, 256, weightCol = Some("w"))
+  }
+
   /** Per-language drift gate: [[qDrift]]'s split stratified by `lang` —
     * a language present on only one side reports (n, 0, null, null)
     * rather than raising (the appearance/disappearance IS the finding).
@@ -3087,6 +3209,24 @@ object SparkEntry {
       emb.filter(col("vec_id") % 2 === 0),
       emb.filter(col("vec_id") % 2 === 1),
       "embedding", buckets = 40)
+  }
+
+  /** Per-group embedding-drift gate: [[qEmbedDrift]] stratified by the
+    * embeddings' `label` — "did only one label's subset move?" Each
+    * label's rows score against that label's even-half reference
+    * centroid via a broadcast (label, centroid, self-norm) relation;
+    * per-label PSI/KS over the same [-1,1)/40 bucketing plus the
+    * per-label centroid rotation over shared dims. The oracle replays
+    * the whole thing GROUP BY label — grained per-label centroids,
+    * every cosine term, the bucketing, and the drift arithmetic.
+    */
+  private def qEmbedDriftGroup(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(t(dir, "embeddings"))
+    graft.ops.Drift.embeddingDriftByGroup(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        "label", "embedding", buckets = 40)
+      .orderBy(col("label"))
   }
 
   /** Drift-series gate: the "when did it start drifting" read — three
@@ -4563,6 +4703,8 @@ object SparkEntry {
     "q_drift_series" -> (qDriftSeries _),
     "q_drift_cat_series" -> (qDriftCatSeries _),
     "q_embed_drift" -> (qEmbedDrift _),
+    "q_embed_drift_group" -> (qEmbedDriftGroup _),
+    "q_drift_weighted" -> (qDriftWeighted _),
     "q_rbo" -> (qRbo _),
     "q_interval_union" -> (qIntervalUnion _),
     "q_coverage" -> (qCoverage _),
@@ -4696,6 +4838,7 @@ object SparkEntry {
     "q_asof_near" -> (qAsofNear _),
     "q_funnel" -> (qFunnel _),
     "q_funnel_window" -> (qFunnelWindow _),
+    "q_funnel_sketch" -> (qFunnelSketch _),
     "q_mm_vfp" -> (qMmVfp _),
     "q_lang_conf" -> (qLangConf _),
     "q_topk" -> (qTopk _),
@@ -4720,6 +4863,7 @@ object SparkEntry {
     "q_stream_drift" -> (qStreamDrift _),
     "q_stream_drift_cat" -> (qStreamDriftCat _),
     "q_stream_funnel" -> (qStreamFunnel _),
+    "q_stream_funnel_restart" -> (qStreamFunnelRestart _),
     "q_stream_ohlc" -> (qStreamOhlc _),
     "q_stream_sample" -> (qStreamSample _),
     "q_resample" -> (qResample _),
@@ -5145,6 +5289,41 @@ object SparkEntry {
         |SELECT n_a, n_b, round(sum(psi9)::DOUBLE / 1e9, 6) AS psi,
         |  round(max(ksterm), 6) AS ks
         |FROM x GROUP BY n_a, n_b""".stripMargin,
+    // q_drift's replay with 1e6-grain weight sums (n_chars, every
+    // 13th doc's weight nulled → dropped) in place of count(*) — the
+    // PSI/KS arithmetic downstream is byte-identical
+    "q_drift_weighted" ->
+      """WITH v AS (SELECT doc_id, (CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE AS v,
+        |    CASE WHEN doc_id % 13 <> 0 THEN n_chars::DOUBLE END AS w
+        |  FROM documents),
+        |bk AS (SELECT doc_id, w, CASE WHEN v < 0 THEN -1 WHEN v >= 4096 THEN 256
+        |    ELSE CAST(floor((v - 0.0) / 16.0) AS INT) END AS bucket
+        |  FROM v WHERE w IS NOT NULL),
+        |ha AS (SELECT bucket, sum(CAST(floor(w * 1e6) AS BIGINT)) AS c_a
+        |  FROM bk WHERE doc_id % 2 = 0 GROUP BY bucket),
+        |hb AS (SELECT bucket, sum(CAST(floor(w * 1e6) AS BIGINT)) AS c_b
+        |  FROM bk WHERE doc_id % 2 = 1 GROUP BY bucket),
+        |j AS (SELECT coalesce(ha.bucket, hb.bucket) AS bucket,
+        |    coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+        |  FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+        |t AS (SELECT bucket, c_a, c_b,
+        |    CAST(sum(c_a) OVER () AS BIGINT) AS n_a,
+        |    CAST(sum(c_b) OVER () AS BIGINT) AS n_b,
+        |    CAST(sum(c_a) OVER (ORDER BY bucket) AS BIGINT) AS cum_a,
+        |    CAST(sum(c_b) OVER (ORDER BY bucket) AS BIGINT) AS cum_b
+        |  FROM j),
+        |x AS (SELECT n_a, n_b,
+        |    CAST(floor(((CASE WHEN c_a = 0 THEN 1e-6 ELSE c_a::DOUBLE / n_a END)
+        |      - (CASE WHEN c_b = 0 THEN 1e-6 ELSE c_b::DOUBLE / n_b END))
+        |      * ln((CASE WHEN c_a = 0 THEN 1e-6 ELSE c_a::DOUBLE / n_a END)
+        |         / (CASE WHEN c_b = 0 THEN 1e-6 ELSE c_b::DOUBLE / n_b END))
+        |      * 1e9) AS BIGINT) AS psi9,
+        |    abs(cum_a::DOUBLE / n_a - cum_b::DOUBLE / n_b) AS ksterm
+        |  FROM t)
+        |SELECT n_a, n_b, round(sum(psi9)::DOUBLE / 1e9, 6) AS psi,
+        |  round(max(ksterm), 6) AS ks
+        |FROM x GROUP BY n_a, n_b""".stripMargin,
     // the same replay stratified per language; a one-sided language
     // keeps its row with null psi/ks (SQL sum/max over all-NULL)
     "q_drift_group" ->
@@ -5218,8 +5397,9 @@ object SparkEntry {
         |  round(sum(chi9)::DOUBLE / 1e9, 6) AS chi2
         |FROM x GROUP BY n_a, n_b, k""".stripMargin,
     // both rankings replayed with the doc_id tiebreak, the grained
-    // tail-weight table (exact p=0.5 powers), and one full-outer pair
-    // relation carrying the one-sided qids
+    // tail-weight table (exact p=0.5 powers), one full-outer pair
+    // relation carrying the one-sided qids, and the Webber §4.5
+    // extrapolation (rbo + X_k·floor(p^k/k·1e9), X_k = count(m))
     "q_rbo" ->
       """WITH ra AS (SELECT source, doc_id, row_number() OVER (
         |    PARTITION BY source ORDER BY n_chars DESC NULLS LAST,
@@ -5238,9 +5418,11 @@ object SparkEntry {
         |pr AS (SELECT source, CASE WHEN pa.r IS NOT NULL
         |      AND pb.r IS NOT NULL THEN greatest(pa.r, pb.r) END AS m
         |  FROM pa FULL OUTER JOIN pb USING (source, doc_id)),
-        |pj AS (SELECT pr.source, wk.w9 FROM pr LEFT JOIN wk ON pr.m = wk.m)
+        |pj AS (SELECT pr.source, pr.m, wk.w9 FROM pr LEFT JOIN wk ON pr.m = wk.m)
         |SELECT source,
-        |  round(0.5 * coalesce(sum(w9), 0)::DOUBLE / 1e9, 6) AS rbo
+        |  round(0.5 * coalesce(sum(w9), 0)::DOUBLE / 1e9, 6) AS rbo,
+        |  round((0.5 * coalesce(sum(w9), 0)::DOUBLE + count(m)::DOUBLE
+        |    * floor(power(0.5::DOUBLE, 10) / 10 * 1e9)) / 1e9, 6) AS rbo_ext
         |FROM pj GROUP BY source ORDER BY source""".stripMargin,
     // the embedding-drift replay: 1e7-grain reference centroid, every
     // 1e9-grain cosine term, the shared [-1,1)/40 bucketing, q_drift's
@@ -5254,7 +5436,8 @@ object SparkEntry {
         |ca AS (SELECT i, s7::DOUBLE / n / 1e7 AS c FROM cga),
         |ex AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
         |    generate_subscripts(embedding, 1) AS i
-        |  FROM embeddings),
+        |  FROM embeddings
+        |  WHERE len(embedding) = (SELECT count(*) FROM ca)),
         |tm AS (SELECT e.vec_id,
         |    CAST(floor(e.v * ca.c * 1e9) AS BIGINT) AS d9,
         |    CAST(floor(e.v * e.v * 1e9) AS BIGINT) AS nv9,
@@ -5311,6 +5494,91 @@ object SparkEntry {
         |    AS centroid_cos FROM ccj)
         |SELECT drift.n_a, drift.n_b, drift.psi, drift.ks,
         |  ccos.centroid_cos FROM drift, ccos""".stripMargin,
+    // the per-label embedding-drift replay: grained per-label
+    // reference centroids, the length-match scoring filter, per-label
+    // PSI/KS (null when a scored side is empty), and the per-label
+    // centroid rotation over shared dims (the dim inner join ==
+    // slice-to-shorter)
+    "q_embed_drift_group" ->
+      """WITH exa AS (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings WHERE vec_id % 2 = 0 AND label IS NOT NULL),
+        |cga AS (SELECT label, i, sum(CAST(floor(v * 1e7) AS BIGINT)) AS s7,
+        |    count(*) AS n FROM exa GROUP BY 1, 2),
+        |ca AS (SELECT label, i, s7::DOUBLE / n / 1e7 AS c FROM cga),
+        |cal AS (SELECT label, count(*) AS d,
+        |    sum(CAST(floor(c * c * 1e9) AS BIGINT)) AS sc9
+        |  FROM ca GROUP BY 1),
+        |ex AS (SELECT e.vec_id, e.label, unnest(e.embedding::DOUBLE[]) AS v,
+        |    generate_subscripts(e.embedding, 1) AS i
+        |  FROM embeddings e JOIN cal ON e.label = cal.label
+        |  WHERE len(e.embedding) = cal.d),
+        |tm AS (SELECT e.vec_id, e.label,
+        |    CAST(floor(e.v * ca.c * 1e9) AS BIGINT) AS d9,
+        |    CAST(floor(e.v * e.v * 1e9) AS BIGINT) AS nv9
+        |  FROM ex e JOIN ca ON e.label = ca.label AND e.i = ca.i),
+        |sc AS (SELECT vec_id, label, sum(d9) AS sd, sum(nv9) AS sv
+        |  FROM tm GROUP BY 1, 2),
+        |cosv AS (SELECT sc.vec_id, sc.label,
+        |    CASE WHEN sc.sv > 0 AND cal.sc9 > 0
+        |      THEN sc.sd::DOUBLE / sqrt(sc.sv::DOUBLE * cal.sc9::DOUBLE)
+        |    END AS cos
+        |  FROM sc JOIN cal ON sc.label = cal.label),
+        |bk AS (SELECT vec_id, label,
+        |    CASE WHEN cos < -1.0 THEN -1 WHEN cos >= 1.0 THEN 40
+        |    ELSE CAST(floor((cos - (-1.0)) / 0.05) AS INT) END AS bucket
+        |  FROM cosv WHERE cos IS NOT NULL),
+        |ha AS (SELECT label, bucket, count(*) AS c_a FROM bk
+        |  WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+        |hb AS (SELECT label, bucket, count(*) AS c_b FROM bk
+        |  WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+        |j AS (SELECT coalesce(ha.label, hb.label) AS label,
+        |    coalesce(ha.bucket, hb.bucket) AS bucket,
+        |    coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+        |  FROM ha FULL OUTER JOIN hb
+        |    ON ha.label = hb.label AND ha.bucket = hb.bucket),
+        |t AS (SELECT label, bucket, c_a, c_b,
+        |    CAST(sum(c_a) OVER (PARTITION BY label) AS BIGINT) AS n_a,
+        |    CAST(sum(c_b) OVER (PARTITION BY label) AS BIGINT) AS n_b,
+        |    CAST(sum(c_a) OVER (PARTITION BY label ORDER BY bucket) AS BIGINT) AS cum_a,
+        |    CAST(sum(c_b) OVER (PARTITION BY label ORDER BY bucket) AS BIGINT) AS cum_b
+        |  FROM j),
+        |x AS (SELECT label, n_a, n_b,
+        |    CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE
+        |    CAST(floor(((CASE WHEN c_a = 0 THEN 1e-6 ELSE c_a::DOUBLE / n_a END)
+        |      - (CASE WHEN c_b = 0 THEN 1e-6 ELSE c_b::DOUBLE / n_b END))
+        |      * ln((CASE WHEN c_a = 0 THEN 1e-6 ELSE c_a::DOUBLE / n_a END)
+        |         / (CASE WHEN c_b = 0 THEN 1e-6 ELSE c_b::DOUBLE / n_b END))
+        |      * 1e9) AS BIGINT) END AS psi9,
+        |    CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE
+        |      abs(cum_a::DOUBLE / n_a - cum_b::DOUBLE / n_b) END AS ksterm
+        |  FROM t),
+        |drift AS (SELECT label, n_a, n_b,
+        |    round(sum(psi9)::DOUBLE / 1e9, 6) AS psi,
+        |    round(max(ksterm), 6) AS ks
+        |  FROM x GROUP BY label, n_a, n_b),
+        |exb AS (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings WHERE vec_id % 2 = 1 AND label IS NOT NULL),
+        |cgb AS (SELECT label, i, sum(CAST(floor(v * 1e7) AS BIGINT)) AS s7,
+        |    count(*) AS n FROM exb GROUP BY 1, 2),
+        |cbt AS (SELECT label, i, s7::DOUBLE / n / 1e7 AS c FROM cgb),
+        |ccj AS (SELECT ca.label,
+        |    sum(CAST(floor(ca.c * cbt.c * 1e9) AS BIGINT)) AS sdc,
+        |    sum(CAST(floor(ca.c * ca.c * 1e9) AS BIGINT)) AS sca,
+        |    sum(CAST(floor(cbt.c * cbt.c * 1e9) AS BIGINT)) AS scb
+        |  FROM ca JOIN cbt ON ca.label = cbt.label AND ca.i = cbt.i
+        |  GROUP BY 1),
+        |labels AS (SELECT DISTINCT label FROM ca
+        |  UNION SELECT DISTINCT label FROM cbt),
+        |cc AS (SELECT labels.label, round(CASE WHEN sca > 0 AND scb > 0
+        |    THEN sdc::DOUBLE / sqrt(sca::DOUBLE * scb::DOUBLE) END, 6)
+        |    AS centroid_cos
+        |  FROM labels LEFT JOIN ccj USING (label))
+        |SELECT cc.label, coalesce(drift.n_a, 0) AS n_a,
+        |  coalesce(drift.n_b, 0) AS n_b, drift.psi, drift.ks,
+        |  cc.centroid_cos
+        |FROM cc LEFT JOIN drift USING (label) ORDER BY cc.label""".stripMargin,
     // the categorical drift series replay: per-pseudo-day category
     // tables, the hardcoded consecutive pairing, then q_drift_cat's
     // grained PSI + per-cell grained χ² per pair
@@ -7120,6 +7388,26 @@ object SparkEntry {
         |UNION ALL SELECT s3.user_id, 3, 'purchase', t3,
         |  epoch_us(t3) - epoch_us(s2.t2) FROM s3 JOIN s2 USING (user_id)
         |ORDER BY user_id, step_idx""".stripMargin,
+    // identical oracle to q_stream_funnel: a checkpoint restart
+    // mid-feed must not change a single conversion row
+    "q_stream_funnel_restart" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND epoch_us(e.ts) - epoch_us(s1.t1) <= 604800000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND epoch_us(e.ts) - epoch_us(s2.t2) <= 604800000000 GROUP BY 1)
+        |SELECT user_id, CAST(1 AS BIGINT) AS step_idx, 'signup' AS step,
+        |  t1 AS step_ts, CAST(NULL AS BIGINT) AS gap_us FROM s1
+        |UNION ALL SELECT s2.user_id, 2, 'click', t2,
+        |  epoch_us(t2) - epoch_us(s1.t1) FROM s2 JOIN s1 USING (user_id)
+        |UNION ALL SELECT s3.user_id, 3, 'purchase', t3,
+        |  epoch_us(t3) - epoch_us(s2.t2) FROM s3 JOIN s2 USING (user_id)
+        |ORDER BY user_id, step_idx""".stripMargin,
     // q_funnel's cascade extended by the 7-day deadline predicate
     // (greedy earliest-match == anchored min cascade: each step's
     // qualifying set depends only on the previous matched timestamp),
@@ -7145,6 +7433,55 @@ object SparkEntry {
         |  (SELECT round(quantile_cont(gap_us, 0.5), 6) FROM g2)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3),
         |  (SELECT round(quantile_cont(gap_us, 0.5), 6) FROM g3)
+        |ORDER BY step_idx""".stripMargin,
+    // the sketch funnel report replayed: the same deadline cascade,
+    // then per-step bucket counts over [0, 7d)µs at width 9.45e9
+    // (exact integer-valued), the IEEE ceil(n/2) rank, and the
+    // one-width band edges
+    "q_funnel_sketch" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND epoch_us(e.ts) - epoch_us(s1.t1) <= 604800000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND epoch_us(e.ts) - epoch_us(s2.t2) <= 604800000000 GROUP BY 1),
+        |g2 AS (SELECT epoch_us(t2) - epoch_us(t1) AS gap_us
+        |  FROM s2 JOIN s1 USING (user_id)),
+        |g3 AS (SELECT epoch_us(t3) - epoch_us(t2) AS gap_us
+        |  FROM s3 JOIN s2 USING (user_id)),
+        |g AS (SELECT 2 AS step_idx, gap_us FROM g2
+        |  UNION ALL SELECT 3, gap_us FROM g3),
+        |b AS (SELECT step_idx,
+        |    CASE WHEN gap_us::DOUBLE < 0.0 THEN -1
+        |         WHEN gap_us::DOUBLE >= 604800000000.0 THEN 64
+        |         ELSE CAST(floor((gap_us::DOUBLE - 0.0) / 9450000000.0) AS INT)
+        |    END AS bucket, count(*) AS c
+        |  FROM g WHERE gap_us IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT step_idx, bucket, c,
+        |    CAST(sum(c) OVER (PARTITION BY step_idx ORDER BY bucket) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY step_idx) AS BIGINT) AS n
+        |  FROM b),
+        |m AS (SELECT step_idx,
+        |    min(CASE WHEN cum >= greatest(1, CAST(ceil(0.5::DOUBLE * n) AS BIGINT))
+        |      THEN bucket END) AS bm
+        |  FROM t GROUP BY 1),
+        |e AS (SELECT step_idx,
+        |    CASE WHEN bm >= 0 THEN 0.0 + bm * 9450000000.0 END AS p50_lo_us,
+        |    CASE WHEN bm < 64 THEN 0.0 + (bm + 1) * 9450000000.0 END AS p50_hi_us
+        |  FROM m)
+        |SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step,
+        |  (SELECT count(*) FROM s1) AS n_users,
+        |  CAST(NULL AS DOUBLE) AS p50_lo_us, CAST(NULL AS DOUBLE) AS p50_hi_us
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2),
+        |  (SELECT p50_lo_us FROM e WHERE step_idx = 2),
+        |  (SELECT p50_hi_us FROM e WHERE step_idx = 2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3),
+        |  (SELECT p50_lo_us FROM e WHERE step_idx = 3),
+        |  (SELECT p50_hi_us FROM e WHERE step_idx = 3)
         |ORDER BY step_idx""".stripMargin,
     "q_asof_fwd" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

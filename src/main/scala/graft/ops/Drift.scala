@@ -25,6 +25,16 @@ import org.apache.spark.sql.functions._
   * bucket tables into the full "when did it start drifting" series in
   * one query.
   *
+  * Weighted mode: [[driftStats]]/[[driftCategorical]]/[[catTable]]
+  * take a `weightCol` — the mixture-monitoring read where each record
+  * carries an importance weight (q_dsir/q_imp_sample outputs) or a
+  * token count and the watched distribution is Σ weight, not record
+  * count. Counters become exact-long 1e6-grain weight sums
+  * ([[Sketch.countOrWeight]]); the PSI/KS/χ² cores consume them
+  * UNCHANGED (they only ever see counts), and integer weights are
+  * provably identical to row replication (shares scale by exactly
+  * 10⁶, which cancels). Null weights drop; negative weights raise.
+  *
   * Null contract: [[driftStats]]/[[driftByGroup]] DROP null values
   * before bucketing (a null has no position in a numeric
   * distribution); [[catTable]] instead keeps nulls as the `__null__`
@@ -58,12 +68,12 @@ object Drift {
     */
   def driftStats(a: DataFrame, b: DataFrame, valueCol: String,
       lo: Double, hi: Double, buckets: Int,
-      eps: Double = 1e-6): DataFrame =
+      eps: Double = 1e-6, weightCol: Option[String] = None): DataFrame =
     driftFromHistTables(
       Sketch.histTable(a.filter(col(valueCol).isNotNull), valueCol,
-        lo, hi, buckets),
+        lo, hi, buckets, weightCol),
       Sketch.histTable(b.filter(col(valueCol).isNotNull), valueCol,
-        lo, hi, buckets), eps)
+        lo, hi, buckets, weightCol), eps)
 
   /** [[driftStats]] over two ALREADY-BUILT `(bucket, c)` histogram
     * tables (the [[Sketch.histTable]] shape — same lo/hi/buckets on
@@ -184,11 +194,13 @@ object Drift {
     * categorical mix the null share is part of what drift monitoring
     * watches, unlike a null VALUE which has no distribution position.
     */
-  def catTable(df: DataFrame, catCol: String): DataFrame =
-    df.select(coalesce(col(catCol).cast("string"), lit("__null__"))
-        .as("cat"))
+  def catTable(df: DataFrame, catCol: String,
+      weightCol: Option[String] = None): DataFrame =
+    Sketch.weightDropNull(df, weightCol)
+      .select(coalesce(col(catCol).cast("string"), lit("__null__"))
+        .as("cat") +: weightCol.map(col).toSeq: _*)
       .groupBy(col("cat"))
-      .agg(count(lit(1)).as("c"))
+      .agg(Sketch.countOrWeight(weightCol).as("c"))
 
   /** Categorical drift — the language/source/license-mix twin of
     * [[driftStats]]: one row `(n_a, n_b, k, psi, chi2)` between the
@@ -204,8 +216,9 @@ object Drift {
     * Raises on an empty side.
     */
   def driftCategorical(a: DataFrame, b: DataFrame, catCol: String,
-      eps: Double = 1e-6): DataFrame =
-    driftFromCatTables(catTable(a, catCol), catTable(b, catCol), eps)
+      eps: Double = 1e-6, weightCol: Option[String] = None): DataFrame =
+    driftFromCatTables(catTable(a, catCol, weightCol),
+      catTable(b, catCol, weightCol), eps)
 
   /** [[driftCategorical]] over two ALREADY-BUILT `(cat, c)` category
     * tables (the [[catTable]] shape) — the persisted day-over-day
@@ -386,7 +399,12 @@ object Drift {
       val sv = aggregate(
         transform(vc, x => floor(x * x * 1e9).cast("long")),
         lit(0L), (acc, x) => acc + x)
-      df.select(when(sv > 0 && lit(scA) > 0,
+      // explicit length guard (ADVICE r17): zip_with already null-pads
+      // a ragged vector into a null cosine, but the guard makes the
+      // drop-ragged contract visible in the plan AND is what the SQL
+      // replay mirrors (an oracle scoring ragged vectors over the
+      // common dims would silently diverge)
+      df.select(when(size(vc) === lit(ca.length) && sv > 0 && lit(scA) > 0,
         sd.cast("double") /
           sqrt(sv.cast("double") * lit(scA).cast("double"))).as("cos"))
     }
@@ -405,6 +423,127 @@ object Drift {
         round(lit(sdc.toDouble / math.sqrt(sca.toDouble * scb.toDouble)), 6)
       else lit(null).cast("double")
     drift.withColumn("centroid_cos", ccCol)
+  }
+
+  /** Per-group embedding drift — [[embeddingDrift]] stratified by
+    * `groupCol`, the "did ONLY the code subset move?" monitoring read
+    * at per-language/source grain: each group's rows score as their
+    * cosine to THAT group's side-A (reference) centroid, the
+    * per-group cosine distributions diff through the shared PSI/KS
+    * machinery over the same `[-1, 1)` bucketing, and `centroid_cos`
+    * reports each group's own centroid rotation. One row per group
+    * present on either side: `(groupCol, n_a, n_b, psi, ks,
+    * centroid_cos)`. A group with an empty scored opposite side
+    * reports null psi/ks (the [[driftByGroup]] "appearance IS the
+    * finding" contract); a group absent from the REFERENCE side has
+    * nothing to score against and reports (0, 0, null, null, null) —
+    * the row itself carries the finding. Null groups drop (no
+    * stratum — sentinel upstream if the null level matters); n_a/n_b
+    * count SCORED vectors (length matching the group centroid,
+    * positive norm), the bucketed population as in [[driftStats]].
+    *
+    * Determinism: identical grains to [[embeddingDrift]] — 1e7
+    * centroids, 1e9 cosine/centroid-product terms summed as exact
+    * longs, round-6 — with the centroid-vs-centroid cosine taken over
+    * the SHARED leading dims (slice to the shorter length, the
+    * relational inner-join-on-dim semantics).
+    *
+    * Scale shape: the literal-centroid trick can't carry G groups, so
+    * the reference centroids become a (group, dim-array, self-norm)
+    * RELATION — G·d grained longs out of one posexplode aggregation
+    * per side — and scoring BROADCAST-joins that ≤G-row relation
+    * against each scan: still scan-local, still no shuffle of
+    * vectors, two passes per side total. Everything downstream is the
+    * O(groups × buckets) drift machinery plus G-row centroid joins.
+    */
+  def embeddingDriftByGroup(a: DataFrame, b: DataFrame, groupCol: String,
+      vecCol: String, buckets: Int = 40, eps: Double = 1e-6): DataFrame = {
+    require(buckets >= 1, s"embeddingDriftByGroup: bad buckets $buckets")
+    require(eps > 0 && eps < 1,
+      s"embeddingDriftByGroup: eps out of (0,1): $eps")
+    val width = 2.0 / buckets
+    def selfNorm9(arr: Column): Column =
+      aggregate(transform(arr, x => floor(x * x * 1e9).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    // pass 1 per side: per-(group, dim) grained means assembled into
+    // the group's centroid array (dims are contiguous posexplode
+    // indexes, so the i-sorted collect is the vector)
+    def cents(df: DataFrame): DataFrame =
+      df.filter(col(groupCol).isNotNull)
+        .select(col(groupCol).as("g"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "v")))
+        .groupBy(col("g"), col("i"))
+        .agg(sum(floor(col("v") * 1e7).cast("long")).as("s7"),
+          count(lit(1)).as("n"))
+        .groupBy(col("g"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("i"),
+            (col("s7").cast("double") / col("n") / 1e7).as("c")))),
+          e => e.getField("c")).as("cent"))
+    val centA = cents(a)
+    val centB = cents(b)
+    val refs = centA.select(col("g"), col("cent"),
+      selfNorm9(col("cent")).as("sc9"))
+    // pass 2 per side: broadcast the reference centroids, score
+    // scan-local, reduce straight to (group, bucket) counts
+    def hist(df: DataFrame, cName: String): DataFrame = {
+      val sd = aggregate(
+        zip_with(col("__v"), col("cent"),
+          (x, y) => floor(x * y * 1e9).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      val sv = aggregate(
+        transform(col("__v"), x => floor(x * x * 1e9).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      df.filter(col(groupCol).isNotNull)
+        .select(col(groupCol).as("g"), col(vecCol).cast("array<double>")
+          .as("__v"))
+        .join(broadcast(refs), Seq("g"))
+        .select(col("g"),
+          when(size(col("__v")) === size(col("cent")) &&
+            sv > 0 && col("sc9") > 0,
+            sd.cast("double") /
+              sqrt(sv.cast("double") * col("sc9").cast("double")))
+            .as("cos"))
+        .filter(col("cos").isNotNull)
+        .select(col("g"),
+          when(col("cos") < -1.0, lit(-1))
+            .when(col("cos") >= 1.0, lit(buckets))
+            .otherwise(floor((col("cos") - lit(-1.0)) / lit(width))
+              .cast("int")).as("bucket"))
+        .groupBy(col("g"), col("bucket"))
+        .agg(count(lit(1)).as(cName))
+    }
+    val joined = hist(a, "c_a")
+      .join(hist(b, "c_b"), Seq("g", "bucket"), "full_outer")
+      .select(col("g"), col("bucket"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val stats = psiKsOverBuckets(joined, Seq("g"), eps)
+    // per-group centroid rotation over the shared leading dims — the
+    // relational twin of embeddingDrift's driver arithmetic
+    val ccs = centA.select(col("g"), col("cent").as("__ca"))
+      .join(centB.select(col("g"), col("cent").as("__cb")),
+        Seq("g"), "full_outer")
+      .select(col("g"), {
+        val m = least(size(col("__ca")), size(col("__cb")))
+        val sa = slice(col("__ca"), lit(1), m)
+        val sb = slice(col("__cb"), lit(1), m)
+        val sdc = aggregate(
+          zip_with(sa, sb, (x, y) => floor(x * y * 1e9).cast("long")),
+          lit(0L), (acc, x) => acc + x)
+        val sca = selfNorm9(sa)
+        val scb = selfNorm9(sb)
+        when(col("__ca").isNotNull && col("__cb").isNotNull &&
+          sca > 0 && scb > 0,
+          round(sdc.cast("double") /
+            sqrt(sca.cast("double") * scb.cast("double")), 6))
+          .as("centroid_cos")
+      })
+    ccs.join(stats, Seq("g"), "left")
+      .select(col("g").as(groupCol),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        col("psi"), col("ks"), col("centroid_cos"))
   }
 
   /** Raise on a NULL `keyCol` row in a persisted bucket/category

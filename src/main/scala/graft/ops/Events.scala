@@ -162,9 +162,10 @@ object Events {
     * nobody reached). Steps with zero users keep their row.
     *
     * Scale note: the median rides exact `percentile` — O(distinct
-    * gaps) buffer per step. At per-domain 100 TB grain swap in the
-    * bucket-quantile sketch ([[Profile.groupQuantileSketch]]) over
-    * the [[funnelTimes]] rows; the exact form is the oracle contract.
+    * gaps) buffer per step. At per-domain 100 TB grain use
+    * [[funnelReportSketch]], the bounded-state swap (bucket-count
+    * quantile bands, no value buffer); the exact form here stays the
+    * oracle contract.
     */
   def funnelReportWithin(df: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String], maxGapSec: Long): DataFrame = {
@@ -181,6 +182,53 @@ object Events {
         element_at(typedLit(steps), col("step_idx").cast("int")).as("step"),
         coalesce(col("n_users"), lit(0L)).as("n_users"),
         col("p50_gap_us"))
+  }
+
+  /** [[funnelReportWithin]]'s bounded-state variant — the median
+    * time-to-convert at SKETCH grain: the per-step gap median comes
+    * from [[Profile.groupQuantileSketch]] over the [[funnelTimes]]
+    * rows instead of the exact interpolating `percentile`, so no
+    * per-step O(distinct gaps) buffer exists anywhere in the plan
+    * (PlanSpec pins it percentile-free). Output per step: `(step_idx,
+    * step, n_users, p50_lo_us, p50_hi_us)` — the DISCRETE median gap
+    * (the value at rank ceil(n/2) of the step's sorted gaps) lies in
+    * `[p50_lo_us, p50_hi_us]` and the band is exactly one bucket width
+    * `(hi−lo)/buckets` inside the sketched range (the
+    * [[Profile.groupQuantileSketch]] contract; a median outside
+    * `[lo, hi)` saturates that edge to null). Note the contract names
+    * the DISCRETE median, not [[funnelReportWithin]]'s interpolating
+    * one — with an even gap count the interpolated value can sit
+    * between two buckets, so only the discrete statistic is
+    * band-bracketable. Step 1 keeps null bounds (no previous
+    * transition), zero-user steps keep their row, and `n_users`
+    * matches [[funnelReportWithin]] exactly.
+    *
+    * Scale shape: the funnel fold runs ONCE — the [[funnelTimes]]
+    * relation persists across its two tiny consumers (the ≤|steps|-row
+    * count and the (step, bucket) sketch, the [[Retrieval.invertedIndex]]
+    * cache convention, released after the caller's first action) — and
+    * only (step, bucket) counts aggregate; gap values never buffer.
+    */
+  def funnelReportSketch(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], maxGapSec: Long,
+      lo: Double, hi: Double, buckets: Int): DataFrame = {
+    val times = funnelTimes(df, userCol, tsCol, typeCol, steps, maxGapSec)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val agg = times.groupBy(col("step_idx"))
+      .agg(count(lit(1)).as("n_users"))
+    val qs = Profile.groupQuantileSketch(times, "step_idx", "gap_us",
+        Seq(0.5), lo, hi, buckets)
+      .select(col("step_idx"), col("q_lo").as("p50_lo_us"),
+        col("q_hi").as("p50_hi_us"))
+    val out = df.sparkSession.range(1, steps.length + 1L)
+      .select(col("id").as("step_idx"))
+      .join(agg, Seq("step_idx"), "left")
+      .join(qs, Seq("step_idx"), "left")
+      .select(col("step_idx"),
+        element_at(typedLit(steps), col("step_idx").cast("int")).as("step"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"),
+        col("p50_lo_us"), col("p50_hi_us"))
+    graft.spark.CacheRelease.afterFirstAction(out, Seq(times))
   }
 
   /** The funnel chart table: one row per step,

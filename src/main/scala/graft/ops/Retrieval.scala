@@ -262,10 +262,16 @@ object Retrieval {
     * lists that agree at the TOP score high even if their tails
     * diverge. Inputs are two `(qid, id, rank)` relations (1-based
     * ranks, e.g. [[graft.ops.Similarity]] top-k outputs or any
-    * `row_number` ranking); output one `(qidCol, rbo)` row per qid on
-    * EITHER side, rbo = (1−p) · Σ_{d=1..k} p^{d−1} · |A:d ∩ B:d| / d,
-    * round-6 — the TRUNCATED (depth-k) RBO, a lower bound of the
-    * infinite form; a qid missing one side scores 0 (no agreement).
+    * `row_number` ranking); output one `(qidCol, rbo, rbo_ext)` row
+    * per qid on EITHER side,
+    * rbo = (1−p) · Σ_{d=1..k} p^{d−1} · |A:d ∩ B:d| / d, round-6 —
+    * the TRUNCATED (depth-k) RBO, a lower bound of the infinite form —
+    * and `rbo_ext` the EXTRAPOLATED form (Webber §4.5: assume the
+    * depth-k agreement A_k = |A:k ∩ B:k|/k persists through the
+    * infinite tail), which with the tail-weight algebra collapses to
+    * rbo_ext = rbo + (|A:k ∩ B:k|/k) · pᵏ — the literature's headline
+    * number, ≥ rbo always, = rbo exactly when the prefixes share
+    * nothing. A qid missing one side scores 0 on both (no agreement).
     *
     * Determinism/oracle contract: a pair matched on both sides
     * contributes from depth m = max(rank_a, rank_b), i.e. the exact
@@ -273,7 +279,9 @@ object Retrieval {
     * per possible m as 1e-9-grain longs (each depth term floors, the
     * tail sums exactly), so the per-qid score is one exact-long sum:
     * partition-order-proof and SQL-replayable as a k-row weight-table
-    * join. `p` powers are IEEE `pow` — use p = 0.5 when cross-engine
+    * join; `rbo_ext` adds X_k · floor(pᵏ/k·1e9) — an exact conditional
+    * count times a grained constant, the same contract.
+    * `p` powers are IEEE `pow` — use p = 0.5 when cross-engine
     * bit-parity matters (exact powers of two); the conventional 0.9 is
     * fine within the grain.
     *
@@ -289,13 +297,19 @@ object Retrieval {
     require(k >= 1, s"rankBiasedOverlap: bad depth $k")
     require(p > 0 && p < 1, s"rankBiasedOverlap: p out of (0,1): $p")
     // t9(d) = the grained depth-d term; w9(m) = the exact tail sum a
-    // pair matched at depth m earns
+    // pair matched at depth m earns; ext9 = the grained pᵏ/k
+    // extrapolation unit each depth-k-matched pair earns on top
+    // (X_k · ext9 — a conditional count in the same aggregation)
     val t9 = (1 to k).map(d => math.floor(math.pow(p, d - 1) / d * 1e9).toLong)
     val w9 = t9.scanRight(0L)(_ + _).init
+    val ext9 = math.floor(math.pow(p, k) / k * 1e9).toLong
     def side(df: DataFrame, rn: String) = df
       .filter(col(rankCol) <= k)
       .select(col(qidCol).as("q"), col(idCol).as("i"),
         col(rankCol).cast("long").as(rn))
+    val sumW9 = coalesce(sum(when(col("m").isNotNull,
+      element_at(typedLit(w9), col("m").cast("int")))), lit(0L))
+      .cast("double")
     side(a, "ra").join(side(b, "rb"), Seq("q", "i"), "full_outer")
       // greatest IGNORES nulls, so a one-sided row must null out
       // explicitly — it carries its qid but no overlap
@@ -303,9 +317,10 @@ object Retrieval {
         when(col("ra").isNotNull && col("rb").isNotNull,
           greatest(col("ra"), col("rb"))).as("m"))
       .groupBy(col("q").as(qidCol))
-      .agg(round(lit(1.0 - p) *
-        coalesce(sum(when(col("m").isNotNull,
-          element_at(typedLit(w9), col("m").cast("int")))), lit(0L))
-          .cast("double") / 1e9, 6).as("rbo"))
+      .agg(round(lit(1.0 - p) * sumW9 / 1e9, 6).as("rbo"),
+        // count(m) = X_k: rows matched on BOTH sides (both ranks ≤ k)
+        round((lit(1.0 - p) * sumW9 +
+          count(col("m")).cast("double") * lit(ext9.toDouble)) / 1e9, 6)
+          .as("rbo_ext"))
   }
 }

@@ -878,7 +878,14 @@ object StatefulOps {
               st = st.copy(pending = st.pending ++
                 rs.map(r => PendingStep(usOf(r._2), r._3)))
           }
-          val (ready, wait) = st.pending.partition(_.tsUs <= wmUs)
+          // STRICTLY below the watermark (ADVICE r17): the engine's
+          // late-row filter drops only strictly-older rows, so an event
+          // at EXACTLY the watermark can still be admitted by a later
+          // micro-batch — sealing it now would fold it apart from an
+          // equal-ts sibling and break the bit-exact (ts,type) order.
+          // It still flushes when the watermark next advances or the
+          // sentinel/timeout fires (batch wmUs = MaxValue seals all).
+          val (ready, wait) = st.pending.partition(_.tsUs < wmUs)
           val out = Vector.newBuilder[FunnelHit]
           if (ready.nonEmpty) {
             // the batch fold's order: collect_list sorted by (ts, type)

@@ -3497,18 +3497,28 @@ class OpsSpec extends AnyFunSuite {
     // qid 1: overlaps at depths (0, 2, 2) → terms 0, p·1, p²·(2/3);
     // grained: (0 + 500000000 + 166666666)/1e9 × (1−p) = 0.333333
     // qid 2: only on side A → no agreement → 0
-    val got = Retrieval.rankBiasedOverlap(a, b, "qid", "id", "rank",
-        k = 3, p = 0.5)
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gotRows = Retrieval.rankBiasedOverlap(a, b, "qid", "id", "rank",
+        k = 3, p = 0.5).collect()
+    val got = gotRows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got == Map(1L -> 0.333333, 2L -> 0.0), got.toString)
+    // rbo_ext = rbo + X_k/k·p^k: qid 1 has X_3 = 2 (x1, x2) →
+    // grained + 2·41666666 → 0.416667; a one-sided qid stays 0
+    val gotE = gotRows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(gotE == Map(1L -> 0.416667, 2L -> 0.0), gotE.toString)
     // identical FULL lists (qid 1): ov_d = d, so rbo = (1−p)·Σ p^{d−1}
     // = 1 − p^k = 0.875; qid 2 self-compares its single item: ov = 1 at
     // every depth → grained (1e9 + 250000000 + 83333333)/1e9 × 0.5 =
     // 0.666667 (< 1: truncated RBO penalizes lists shorter than k)
-    val self = Retrieval.rankBiasedOverlap(a, a, "qid", "id", "rank",
-        k = 3, p = 0.5)
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val selfRows = Retrieval.rankBiasedOverlap(a, a, "qid", "id", "rank",
+        k = 3, p = 0.5).collect()
+    val self = selfRows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(self == Map(1L -> 0.875, 2L -> 0.666667), self.toString)
+    // the extrapolation closes the truncation gap: an identical FULL
+    // list extrapolates to exactly 1.0 (X_k = k recovers the p^k tail
+    // within the grain, round-6 lands on 1); the short self-list gains
+    // only its single pair's tail share
+    val selfE = selfRows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(selfE == Map(1L -> 1.0, 2L -> 0.708333), selfE.toString)
     // partition invariance: grained term sums are order-proof
     val rep = Retrieval.rankBiasedOverlap(a.repartition(7),
         b.repartition(13), "qid", "id", "rank", k = 3, p = 0.5)
@@ -3540,6 +3550,145 @@ class OpsSpec extends AnyFunSuite {
       .toDF("id", "embedding")
     val z = Drift.embeddingDrift(withZero, a, "embedding", buckets = 20).head()
     assert(z.getLong(0) == 100L, z.toString)
+  }
+
+  test("embeddingDriftByGroup: stable group reads exact zero, only the " +
+      "shifted group moves, reference-absent group keeps its row, and " +
+      "the per-group row == whole-corpus embeddingDrift on that group") {
+    import graft.ops.Drift
+    val rnd = new scala.util.Random(13)
+    val base = (0 until 60).map(_ => Array.fill(6)(rnd.nextGaussian()))
+    // g0 stable (same rows both sides); g1's side B shifted on dim 0;
+    // g2 present only on side B (no reference centroid to score against)
+    val a = (base.map(v => ("g0", v)) ++ base.map(v => ("g1", v)))
+      .toDF("g", "embedding")
+    val b = (base.map(v => ("g0", v)) ++
+      base.map(v => ("g1", v.updated(0, v(0) + 3.0))) ++
+      base.take(5).map(v => ("g2", v))).toDF("g", "embedding")
+    val got = Drift.embeddingDriftByGroup(a, b, "g", "embedding",
+        buckets = 20)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("g0", "g1", "g2"), got.keySet.toString)
+    val g0 = got("g0")
+    assert((g0.getLong(1), g0.getLong(2)) == (60L, 60L), g0.toString)
+    assert(g0.getDouble(3) == 0.0 && g0.getDouble(4) == 0.0, g0.toString)
+    assert(g0.getDouble(5) == 1.0, g0.toString)
+    val g1 = got("g1")
+    assert(g1.getDouble(3) > 0.0 && g1.getDouble(5) < 1.0, g1.toString)
+    // the appeared group: its row IS the finding — nothing scoreable
+    // against a missing reference, so zero counts and null stats
+    val g2 = got("g2")
+    assert((g2.getLong(1), g2.getLong(2)) == (0L, 0L), g2.toString)
+    assert(g2.isNullAt(3) && g2.isNullAt(4) && g2.isNullAt(5), g2.toString)
+    // the per-group machinery (broadcast centroid relation, relational
+    // shared-dim rotation) lands on the whole-corpus op's exact numbers
+    val whole = Drift.embeddingDrift(
+      a.filter(col("g") === "g1").select(col("embedding")),
+      b.filter(col("g") === "g1").select(col("embedding")),
+      "embedding", buckets = 20).head()
+    assert(g1.getLong(1) == whole.getLong(0) &&
+      g1.getLong(2) == whole.getLong(1) &&
+      g1.getDouble(3) == whole.getDouble(2) &&
+      g1.getDouble(4) == whole.getDouble(3) &&
+      g1.getDouble(5) == whole.getDouble(4), s"$g1 vs $whole")
+  }
+
+  test("weighted drift: integer weights == row replication (psi/ks " +
+      "identical, totals scale by the 1e6 grain); null weight drops; " +
+      "negative weight raises; categorical twin") {
+    import graft.ops.Drift
+    val rnd = new scala.util.Random(19)
+    val rowsA = (0 until 120).map(_ => (rnd.nextInt(50).toDouble,
+      (rnd.nextInt(4) + 1).toLong))
+    val rowsB = (0 until 120).map(_ => (rnd.nextInt(50) + 8.0,
+      (rnd.nextInt(4) + 1).toLong))
+    val a = rowsA.toDF("v", "w")
+    val b = rowsB.toDF("v", "w")
+    val wd = Drift.driftStats(a, b, "v", 0, 100, 10,
+      weightCol = Some("w")).head()
+    def rep(rows: Seq[(Double, Long)]) =
+      rows.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }.toDF("v")
+    val rd = Drift.driftStats(rep(rowsA), rep(rowsB), "v", 0, 100, 10).head()
+    // shares are identical (every counter scales by exactly 1e6), so
+    // the grained PSI terms and the cdf KS coincide bit-for-bit
+    assert(wd.getDouble(2) == rd.getDouble(2) &&
+      wd.getDouble(3) == rd.getDouble(3), s"$wd vs $rd")
+    assert(wd.getLong(0) == rd.getLong(0) * 1000000L &&
+      wd.getLong(1) == rd.getLong(1) * 1000000L, s"$wd vs $rd")
+    // a null weight has no mass: the row drops entirely (999 would
+    // otherwise land in the overflow bucket and move KS)
+    val rowsAN = rowsA.map { case (v, w) => (v, Some(w): Option[Long]) } :+
+      ((999.0, Option.empty[Long]))
+    val wdN = Drift.driftStats(rowsAN.toDF("v", "w"), b, "v", 0, 100, 10,
+      weightCol = Some("w")).head()
+    assert(wdN == wd, s"$wdN vs $wd")
+    // negative mass is a pipeline bug: raise, don't corrupt shares
+    intercept[Exception] {
+      Drift.driftStats(Seq((1.0, -1L)).toDF("v", "w"), b, "v", 0, 100, 10,
+        weightCol = Some("w")).collect()
+    }
+    // categorical twin: psi exact under replication; χ² scales by the
+    // grain (per-cell flooring keeps the ratio within tolerance)
+    val ca = rowsA.map { case (v, w) => (s"c${v.toInt % 5}", w) }
+      .toDF("cat", "w")
+    val cb = rowsB.map { case (v, w) => (s"c${v.toInt % 7}", w) }
+      .toDF("cat", "w")
+    val cw = Drift.driftCategorical(ca, cb, "cat",
+      weightCol = Some("w")).head()
+    def repC(rows: Seq[(Double, Long)], m: Int) =
+      rows.flatMap { case (v, w) =>
+        Seq.fill(w.toInt)(s"c${v.toInt % m}") }.toDF("cat")
+    val cr = Drift.driftCategorical(repC(rowsA, 5), repC(rowsB, 7),
+      "cat").head()
+    assert(cw.getLong(2) == cr.getLong(2), s"$cw vs $cr") // k
+    assert(cw.getDouble(3) == cr.getDouble(3), s"$cw vs $cr") // psi
+    assert(math.abs(cw.getDouble(4) / 1e6 - cr.getDouble(4)) < 1e-4,
+      s"$cw vs $cr") // chi2 scales linearly with total mass
+  }
+
+  test("funnelReportSketch: n_users == the exact report's, discrete " +
+      "median gap inside the one-width band, no-gap steps null") {
+    import graft.ops.Events
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val steps = Seq("A", "B", "C")
+    val rnd = new scala.util.Random(23)
+    val rows = (1L to 40L).flatMap { u =>
+      val t0 = rnd.nextInt(1000).toLong
+      val g1 = 1L + rnd.nextInt(200)
+      val g2 = 1L + rnd.nextInt(200)
+      Seq((u, ts(t0), "A"), (u, ts(t0 + g1), "B"),
+        (u, ts(t0 + g1 + g2), "C"))
+    }
+    val df = rows.toDF("user_id", "ts", "event_type")
+    val maxGap = 100L // kills roughly half the transitions
+    val exact = Events.funnelReportWithin(df, "user_id", "ts",
+        "event_type", steps, maxGap)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val width = 5.0e6
+    val sk = Events.funnelReportSketch(df, "user_id", "ts", "event_type",
+        steps, maxGap, lo = 0.0, hi = 2.0e8, buckets = 40)
+      .orderBy(col("step_idx")).collect()
+    assert(sk.map(r => r.getLong(0) -> r.getLong(2)).toMap == exact)
+    // the DISCRETE median (rank ceil(n/2)) of the exact micro gaps is
+    // bracketed by a band of exactly one bucket width
+    val gaps = Events.funnelTimes(df, "user_id", "ts", "event_type",
+        steps, maxGap).collect()
+      .filter(!_.isNullAt(4)).map(r => r.getLong(1) -> r.getLong(4))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    sk.foreach { r =>
+      val si = r.getLong(0)
+      gaps.get(si) match {
+        case Some(vs) =>
+          val d = vs((math.max(1L,
+            math.ceil(0.5 * vs.size).toLong) - 1).toInt).toDouble
+          val qlo = r.getDouble(3)
+          val qhi = r.getDouble(4)
+          assert(qlo <= d && d <= qhi, s"step $si: $d not in [$qlo,$qhi]")
+          assert(math.abs(qhi - qlo - width) < 1e-9, s"step $si band")
+        case None =>
+          assert(r.isNullAt(3) && r.isNullAt(4), s"step $si expected nulls")
+      }
+    }
   }
 
   test("driftCatSeries: consecutive-day pairs over a persisted " +
@@ -3589,24 +3738,33 @@ class OpsSpec extends AnyFunSuite {
     val bRows = (4L until 16L).flatMap(ranking)
     val a = aRows.toDF("qid", "id", "rank")
     val b = bRows.toDF("qid", "id", "rank")
-    val got = Retrieval.rankBiasedOverlap(a, b, "qid", "id", "rank", k, p)
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gotRows = Retrieval.rankBiasedOverlap(a, b, "qid", "id", "rank",
+      k, p).collect()
+    val got = gotRows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gotE = gotRows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
     // brute force from the definition, with the op's grain convention
     val t9 = (1 to k).map(d => math.floor(math.pow(p, d - 1) / d * 1e9).toLong)
+    val ext9 = math.floor(math.pow(p, k) / k * 1e9).toLong
     val byQ = (aRows.map(_._1) ++ bRows.map(_._1)).distinct
     val aM = aRows.groupBy(_._1); val bM = bRows.groupBy(_._1)
     byQ.foreach { q =>
       val ra = aM.getOrElse(q, Nil).map(r => r._2 -> r._3).toMap
       val rb = bM.getOrElse(q, Nil).map(r => r._2 -> r._3).toMap
+      def ov(d: Int): Int = ra.count { case (id, r) =>
+        r <= d && rb.get(id).exists(_ <= d) }
       val sum9 = (1 to k).map { d =>
         // |A:d ∩ B:d| straight from the definition
-        val ov = ra.count { case (id, r) =>
-          r <= d && rb.get(id).exists(_ <= d) }
-        ov.toLong * t9(d - 1)
+        ov(d).toLong * t9(d - 1)
       }.sum
       val want = BigDecimal((1 - p) * sum9.toDouble / 1e9)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(got(q) == want, s"qid $q: ${got(q)} vs $want")
+      // Webber §4.5 extrapolation, brute: rbo + X_k·ext9 at the grain
+      val wantE = BigDecimal(
+          ((1 - p) * sum9.toDouble + ov(k).toLong * ext9) / 1e9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(gotE(q) == wantE, s"qid $q ext: ${gotE(q)} vs $wantE")
+      assert(gotE(q) >= got(q), s"qid $q: ext below truncated")
     }
     assert(got.size == byQ.size)
   }

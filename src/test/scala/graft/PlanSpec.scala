@@ -972,6 +972,24 @@ class PlanSpec extends AnyFunSuite {
     assert(exact.toLowerCase.contains("percentile"), exact)
   }
 
+  test("funnelReportSketch: no per-step gap buffer — percentile-free " +
+      "plan, while the exact report does plan percentile") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val df = Seq((1L, ts(0), "A"), (1L, ts(5), "B"), (2L, ts(1), "A"))
+      .toDF("user_id", "ts", "event_type")
+    val sk = graft.ops.Events.funnelReportSketch(df, "user_id", "ts",
+        "event_type", Seq("A", "B"), maxGapSec = 100L,
+        lo = 0.0, hi = 1.0e9, buckets = 16)
+      .queryExecution.executedPlan.toString
+    assert(!sk.toLowerCase.contains("percentile"), sk)
+    val exact = graft.ops.Events.funnelReportWithin(df, "user_id", "ts",
+        "event_type", Seq("A", "B"), maxGapSec = 100L)
+      .queryExecution.executedPlan.toString
+    assert(exact.toLowerCase.contains("percentile"), exact)
+    spark.catalog.clearCache()
+  }
+
   test("timeWeightedAvg / ohlcResample: one exchange each, partial " +
       "map-side aggregation") {
     import spark.implicits._

@@ -30,8 +30,11 @@ def mins_of(path):
         return out
     tail = doc.get("tail")
     if tail:
-        # recover whatever the truncated tail kept of the final min map
-        m = re.findall(r'"(q[\w]+|annotate_\w+|canary_cpu)":([0-9.]+)', tail)
+        # recover whatever the truncated tail kept of the final min map;
+        # require a terminator after the number so a float whose trailing
+        # digits were cut off by the truncation can never band (it would
+        # feed a silently-low min into the suspect rule)
+        m = re.findall(r'"(q[\w]+|annotate_\w+|canary_cpu)":([0-9.]+)[,}]', tail)
         return {k: float(v) for k, v in m
                 if k not in ("annotate_4core", "q_triplets_min")}
     return {}
