@@ -303,58 +303,118 @@ object Bench {
   private final case class Window(json: String, headlineObj: String,
       isSuspect: Boolean)
 
+  /** Escalating post-rejection pause (r17 board #1): a fixed short
+    * pause cannot outlast the documented 10–20 min co-tenant bursts —
+    * BENCH_r17.json entered the archive suspect because BOTH attempts
+    * (one retry, 240 s apart) landed inside the same evening burst.
+    * Attempt i's pause quadruples from `baseSec` and caps at `capSec`:
+    * 240 s, then 900 s, then 900 s — so a 3-attempt schedule spans
+    * ~19 min of pauses plus two full windows, longer than any burst
+    * the episode record has seen.
+    */
+  private[graft] def retryPauseSec(attempt: Int, baseSec: Int = 240,
+      capSec: Int = 900): Int = {
+    require(attempt >= 1 && baseSec >= 1 && capSec >= baseSec,
+      s"retryPauseSec: bad attempt/base/cap $attempt/$baseSec/$capSec")
+    val shift = math.min(2 * (attempt - 1), 30)
+    math.min(capSec.toLong, baseSec.toLong << shift).toInt
+  }
+
+  /** The attempt scheduler, pure and injectable so a unit test can
+    * replay a burst against it with a fake clock: up to `maxAttempts`
+    * measured windows; a suspect window (when retries remain) is
+    * handed to `onReject` — its evidence is KEPT, not discarded — then
+    * the escalating pause sleeps and the next attempt measures.
+    * Returns (the accepted — or final, still-suspect — window, the
+    * attempt count, every rejected window in attempt order) so the
+    * final artifact can embed the full rejection history.
+    */
+  private[graft] def runAttempts[W](maxAttempts: Int, pauseSec: Int => Int,
+      waitQuiet: () => Unit, measure: () => W, isSuspect: W => Boolean,
+      onReject: (W, Int) => Unit, sleep: Long => Unit): (W, Int, Seq[W]) = {
+    require(maxAttempts >= 1, s"runAttempts: bad maxAttempts $maxAttempts")
+    val rejected = Seq.newBuilder[W]
+    var attempt = 1
+    while (true) {
+      waitQuiet()
+      val w = measure()
+      if (isSuspect(w) && attempt < maxAttempts) {
+        rejected += w
+        onReject(w, attempt)
+        sleep(pauseSec(attempt) * 1000L)
+        attempt += 1
+      } else return (w, attempt, rejected.result())
+    }
+    sys.error("unreachable")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // driver contract: local[32]; SPARK_GRAFT_CPUS=4 reproduces the
     // BASELINE.md per-core parity configuration
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    // Retry-on-suspect (r15 board #1): BENCH_r15.json entered the
-    // permanent record suspect:true — the archive's first contaminated
-    // driver artifact — because the bench path measured exactly once,
-    // burst or no burst. Now: wait for a quiet loadavg before starting,
-    // and when a finished window still self-flags, keep its artifact as
-    // evidence (<out>.rejectedN), pause past the burst, and re-measure —
-    // up to SPARK_GRAFT_BENCH_MAX_ATTEMPTS (default 2) windows. The
-    // driver slot gets the first clean window, or the last window with
-    // its suspect flag and rejected siblings intact ("≥2 spaced attempts
-    // that both flagged, evidence attached" — the r16 done-bar).
+    // Retry-on-suspect (r15 board #1, escalated r17 board #1):
+    // BENCH_r15.json entered the permanent record suspect:true because
+    // the bench path measured exactly once; BENCH_r17.json regressed to
+    // suspect because ONE retry with a fixed 240 s pause cannot bridge
+    // a 10–20 min burst — both attempts landed inside the same one.
+    // Now: wait for a quiet loadavg before every attempt, and when a
+    // finished window still self-flags, keep its artifact as evidence
+    // (<out>.rejectedN), sleep the ESCALATING pause (retryPauseSec:
+    // 240 s → 900 s → 900 s), and re-measure — up to
+    // SPARK_GRAFT_BENCH_MAX_ATTEMPTS (default 3) windows. The driver
+    // slot gets the first clean window, or the last window with its
+    // suspect flag AND every rejected attempt's headline embedded
+    // under "rejected_attempts" — proof the host never quieted.
     val maxAttempts = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ATTEMPTS", "2").toInt)
-    val retryPauseSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ATTEMPTS", "3").toInt)
+    val retryBaseSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_PAUSE_SEC", "240").toInt
+    val retryCapSec = math.max(retryBaseSec,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_CAP_SEC", "900").toInt)
     val loadGate =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_GATE", "4.0").toDouble
     val loadWaitSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT_SEC", "300").toInt
     def withAttempts(h: String, n: Int): String =
       h.dropRight(1) + s""","attempts":$n}"""
-    // FILE form stays ONE JSON document (headline embedded)
-    def fileJson(w: Window, attempts: Int): String =
+    // FILE form stays ONE JSON document (headline embedded); the final
+    // accepted document additionally carries every rejected attempt's
+    // headline object so the episode record is self-contained even if
+    // the .rejectedN siblings are lost
+    def fileJson(w: Window, attempts: Int, rejected: Seq[Window]): String = {
+      val rej =
+        if (rejected.isEmpty) ""
+        else rejected.zipWithIndex.map { case (r, i) =>
+          withAttempts(r.headlineObj, i + 1)
+        }.mkString(""","rejected_attempts":[""", ",", "]")
       w.json.dropRight(1) +
-        s""","headline":${withAttempts(w.headlineObj, attempts)}}"""
+        s""","headline":${withAttempts(w.headlineObj, attempts)}$rej}"""
+    }
     def writeDoc(path: String, doc: String): Unit =
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         (doc + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    var attempt = 1
-    var win: Window = null
-    var accepted = false
-    while (!accepted) {
-      if (!waitForQuiet(loadGate, loadWaitSec, pollSec = 15,
-          () => readLoadavg().map(_._1), Thread.sleep, System.err.println))
-        System.err.println(f"[bench] load-gate budget exhausted at loadavg " +
-          f"${readLoadavg().map(_._1).getOrElse(-1.0)}%.2f — measuring anyway")
-      win = runWindow(sfDir, cpus)
-      if (win.isSuspect && attempt < maxAttempts) {
-        val rejPath = s"$outPath.rejected$attempt"
-        writeDoc(rejPath, fileJson(win, attempt))
+    val (win, attempt, rejectedWins) = runAttempts[Window](
+      maxAttempts,
+      a => retryPauseSec(a, retryBaseSec, retryCapSec),
+      () => {
+        if (!waitForQuiet(loadGate, loadWaitSec, pollSec = 15,
+            () => readLoadavg().map(_._1), Thread.sleep, System.err.println))
+          System.err.println(f"[bench] load-gate budget exhausted at " +
+            f"loadavg ${readLoadavg().map(_._1).getOrElse(-1.0)}%.2f — " +
+            "measuring anyway")
+      },
+      () => runWindow(sfDir, cpus),
+      (w: Window) => w.isSuspect,
+      (w: Window, a: Int) => {
+        val rejPath = s"$outPath.rejected$a"
+        writeDoc(rejPath, fileJson(w, a, Nil))
         System.err.println(s"[bench] window came back suspect (attempt " +
-          s"$attempt/$maxAttempts): artifact kept at $rejPath; retrying " +
-          s"after a ${retryPauseSec}s pause")
-        Thread.sleep(retryPauseSec * 1000L)
-        attempt += 1
-      } else accepted = true
-    }
+          s"$a/$maxAttempts): artifact kept at $rejPath; retrying after " +
+          s"a ${retryPauseSec(a, retryBaseSec, retryCapSec)}s pause")
+      },
+      Thread.sleep)
     val headlineObj = withAttempts(win.headlineObj, attempt)
     val headline = s"""{"headline":$headlineObj}"""
     // stdout tail contract: the big line, then the compact headline LAST
@@ -363,7 +423,7 @@ object Bench {
     // belt and braces for harnesses that scrape a prefixed stdout
     System.err.println(win.json)
     System.err.println(headline)
-    writeDoc(outPath, fileJson(win, attempt))
+    writeDoc(outPath, fileJson(win, attempt, rejectedWins))
   }
 
   private def runWindow(sfDir: String, cpus: String): Window = {

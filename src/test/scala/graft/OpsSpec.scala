@@ -6518,6 +6518,48 @@ class OpsSpec extends AnyFunSuite {
       s"r16a quiet window must stay clean: ${opRowsOverBand(quiet, bands)}")
   }
 
+  test("Bench attempt scheduler: escalating pauses outlast a burst " +
+      "longer than attempts 1+2's span; rejection evidence kept; a " +
+      "never-quiet host returns the last window with full history") {
+    import graft.Bench.{retryPauseSec, runAttempts}
+    // the documented escalation: 240 s, then capped at 900 s
+    assert(retryPauseSec(1) == 240)
+    assert(retryPauseSec(2) == 900)
+    assert(retryPauseSec(3) == 900)
+    assert(retryPauseSec(9) == 900) // no overflow at silly depths
+    // fake clock: a window takes 900 s of wall time; the burst covers
+    // t ∈ [0, burstEnd). A window is suspect iff it STARTS inside it.
+    def run(burstEndSec: Long, maxAttempts: Int) = {
+      var now = 0L
+      val evidence = Seq.newBuilder[(Long, Int)]
+      val (win, attempts, rejected) = runAttempts[(Long, Boolean)](
+        maxAttempts,
+        a => retryPauseSec(a),
+        () => (),
+        () => { val start = now; now += 900; (start, start < burstEndSec) },
+        (w: (Long, Boolean)) => w._2,
+        (w: (Long, Boolean), a: Int) => evidence += ((w._1, a)),
+        ms => now += ms / 1000)
+      (win, attempts, rejected, evidence.result())
+    }
+    // burst 2100 s > window1 + pause1 + window2 = 2040 s: attempts 1
+    // (t=0) and 2 (t=1140) both land inside it; the 900 s escalation
+    // puts attempt 3 at t=2940 — quiet, accepted
+    val (win, attempts, rejected, evidence) = run(2100L, 3)
+    assert(!win._2 && attempts == 3 && win._1 == 2940L, s"$win $attempts")
+    assert(evidence == Seq((0L, 1), (1140L, 2)), evidence.toString)
+    assert(rejected.map(_._1) == Seq(0L, 1140L), rejected.toString)
+    // the r17 policy (2 attempts, no escalation past the first pause)
+    // provably could not have escaped the same burst
+    val (w17, a17, rej17, _) = run(2100L, 2)
+    assert(w17._2 && a17 == 2 && rej17.size == 1, s"$w17 $a17")
+    // a burst outlasting every attempt: the final window comes back
+    // suspect WITH both prior rejections attached — the "host never
+    // quieted" proof the archive embeds
+    val (wAll, aAll, rejAll, _) = run(Long.MaxValue / 2, 3)
+    assert(wAll._2 && aAll == 3 && rejAll.size == 2, s"$wAll $aAll")
+  }
+
   test("temporalVersionBound: watermark-schedule replay on a synthetic " +
       "feed") {
     // delay 10us; cuts at 10/20/31; updates key 7 at us {5,15,25,28},
