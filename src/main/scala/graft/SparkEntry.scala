@@ -3144,6 +3144,42 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** WEIGHTED per-language drift gate: [[qDriftGroup]] with the
+    * char-count weights (and the same every-13th null-weight drop) of
+    * [[qDriftWeighted]] — per-language Σ chars distributions instead
+    * of document counts, through the unchanged per-group PSI/KS core.
+    */
+  private def qDriftGroupWeighted(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val toks = docs.select(col("doc_id"), col("lang"),
+      graft.ops.TextStats.wsTokens(col("text")).cast("double").as("v"),
+      when(col("doc_id") % 13 =!= 0, col("n_chars").cast("double")).as("w"))
+    graft.ops.Drift.driftByGroup(
+        toks.filter(col("doc_id") % 2 === 0),
+        toks.filter(col("doc_id") % 2 === 1),
+        "lang", "v", 0, 4096, 256, weightCol = Some("w"))
+      .orderBy(col("lang"))
+  }
+
+  /** WEIGHTED bucket-quantile gate: per-language token-count quantiles
+    * where each document carries its char count as mass (the "median
+    * length of the data by VOLUME, not by document" read) — the
+    * weighted discrete quantile (smallest value whose cumulative
+    * weight reaches ceil(p·W)) at sketch grain, values never
+    * shuffling. Null weights (every 13th doc) drop. The oracle
+    * replays mass sums, cumulative ranks (::DOUBLE-forced IEEE
+    * ceil — the DuckDB decimal-literal trap) and band edges.
+    */
+  private def qQuantileWeighted(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val toks = docs.select(col("lang"),
+      graft.ops.TextStats.wsTokens(col("text")).cast("double").as("v"),
+      when(col("doc_id") % 13 =!= 0, col("n_chars").cast("double")).as("w"))
+    graft.ops.Profile.groupQuantileSketch(toks, "lang", "v",
+        Seq(0.25, 0.5, 0.9), 0, 4096, 256, weightCol = Some("w"))
+      .orderBy(col("lang"), col("p"))
+  }
+
   /** Categorical drift gate: did the LANGUAGE MIX move between the two
     * halves of the corpus? PSI over per-language shares plus the
     * two-sample χ² on the full 2×k grid (absent categories contribute
@@ -4705,6 +4741,8 @@ object SparkEntry {
     "q_embed_drift" -> (qEmbedDrift _),
     "q_embed_drift_group" -> (qEmbedDriftGroup _),
     "q_drift_weighted" -> (qDriftWeighted _),
+    "q_drift_group_weighted" -> (qDriftGroupWeighted _),
+    "q_quantile_weighted" -> (qQuantileWeighted _),
     "q_rbo" -> (qRbo _),
     "q_interval_union" -> (qIntervalUnion _),
     "q_coverage" -> (qCoverage _),
@@ -5362,6 +5400,76 @@ object SparkEntry {
         |SELECT lang, n_a, n_b, round(sum(psi9)::DOUBLE / 1e9, 6) AS psi,
         |  round(max(ksterm), 6) AS ks
         |FROM x GROUP BY lang, n_a, n_b ORDER BY lang""".stripMargin,
+    // q_drift_group's replay with grained weight sums (q_drift_weighted's
+    // weight expression) in place of count(*)
+    "q_drift_group_weighted" ->
+      """WITH v AS (SELECT doc_id, lang,
+        |    (CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE AS v,
+        |    CASE WHEN doc_id % 13 <> 0 THEN n_chars::DOUBLE END AS w
+        |  FROM documents),
+        |bk AS (SELECT doc_id, lang, w,
+        |    CASE WHEN v < 0 THEN -1 WHEN v >= 4096 THEN 256
+        |    ELSE CAST(floor((v - 0.0) / 16.0) AS INT) END AS bucket
+        |  FROM v WHERE w IS NOT NULL),
+        |ha AS (SELECT lang, bucket, sum(CAST(floor(w * 1e6) AS BIGINT)) AS c_a
+        |  FROM bk WHERE doc_id % 2 = 0 GROUP BY lang, bucket),
+        |hb AS (SELECT lang, bucket, sum(CAST(floor(w * 1e6) AS BIGINT)) AS c_b
+        |  FROM bk WHERE doc_id % 2 = 1 GROUP BY lang, bucket),
+        |j AS (SELECT coalesce(ha.lang, hb.lang) AS lang,
+        |    coalesce(ha.bucket, hb.bucket) AS bucket,
+        |    coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+        |  FROM ha FULL OUTER JOIN hb
+        |    ON ha.lang = hb.lang AND ha.bucket = hb.bucket),
+        |t AS (SELECT lang, bucket, c_a, c_b,
+        |    CAST(sum(c_a) OVER (PARTITION BY lang) AS BIGINT) AS n_a,
+        |    CAST(sum(c_b) OVER (PARTITION BY lang) AS BIGINT) AS n_b,
+        |    CAST(sum(c_a) OVER (PARTITION BY lang ORDER BY bucket) AS BIGINT) AS cum_a,
+        |    CAST(sum(c_b) OVER (PARTITION BY lang ORDER BY bucket) AS BIGINT) AS cum_b
+        |  FROM j),
+        |x AS (SELECT lang, n_a, n_b,
+        |    CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE
+        |    CAST(floor(((CASE WHEN c_a = 0 THEN 1e-6 ELSE c_a::DOUBLE / n_a END)
+        |      - (CASE WHEN c_b = 0 THEN 1e-6 ELSE c_b::DOUBLE / n_b END))
+        |      * ln((CASE WHEN c_a = 0 THEN 1e-6 ELSE c_a::DOUBLE / n_a END)
+        |         / (CASE WHEN c_b = 0 THEN 1e-6 ELSE c_b::DOUBLE / n_b END))
+        |      * 1e9) AS BIGINT) END AS psi9,
+        |    CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE
+        |      abs(cum_a::DOUBLE / n_a - cum_b::DOUBLE / n_b) END AS ksterm
+        |  FROM t)
+        |SELECT lang, n_a, n_b, round(sum(psi9)::DOUBLE / 1e9, 6) AS psi,
+        |  round(max(ksterm), 6) AS ks
+        |FROM x GROUP BY lang, n_a, n_b ORDER BY lang""".stripMargin,
+    // the weighted bucket-quantile replay: 1e6-grain mass sums,
+    // per-(lang, p) cumulative-mass rank with ::DOUBLE-forced IEEE
+    // ceil, then the one-width band edges
+    "q_quantile_weighted" ->
+      """WITH v AS (SELECT doc_id, lang,
+        |    (CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE AS v,
+        |    CASE WHEN doc_id % 13 <> 0 THEN n_chars::DOUBLE END AS w
+        |  FROM documents),
+        |bk AS (SELECT lang, w,
+        |    CASE WHEN v < 0 THEN -1 WHEN v >= 4096 THEN 256
+        |    ELSE CAST(floor((v - 0.0) / 16.0) AS INT) END AS bucket
+        |  FROM v WHERE w IS NOT NULL),
+        |h AS (SELECT lang, bucket, sum(CAST(floor(w * 1e6) AS BIGINT)) AS c
+        |  FROM bk GROUP BY 1, 2),
+        |t AS (SELECT lang, bucket, c,
+        |    CAST(sum(c) OVER (PARTITION BY lang ORDER BY bucket) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM h),
+        |pr AS (SELECT t.*, p.p FROM t
+        |  CROSS JOIN (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE,
+        |    0.9::DOUBLE]) AS p) p),
+        |m AS (SELECT lang, p, max(n) AS n,
+        |    min(CASE WHEN cum >= greatest(1, CAST(ceil(p * n) AS BIGINT))
+        |      THEN bucket END) AS bm
+        |  FROM pr GROUP BY 1, 2)
+        |SELECT lang, p, n,
+        |  CASE WHEN bm >= 0 THEN 0.0::DOUBLE + bm * 16.0::DOUBLE END AS q_lo,
+        |  CASE WHEN bm < 256 THEN 0.0::DOUBLE + (bm + 1) * 16.0::DOUBLE END AS q_hi
+        |FROM m ORDER BY lang, p""".stripMargin,
     // the categorical drift replay: per-side category tables (null →
     // the __null__ sentinel), the eps-substituted grained PSI over
     // shares, and the 2×k-grid χ² with per-CELL 1e-9 grains — expected

@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions._
   * bucket tables into the full "when did it start drifting" series in
   * one query.
   *
-  * Weighted mode: [[driftStats]]/[[driftCategorical]]/[[catTable]]
-  * take a `weightCol` — the mixture-monitoring read where each record
+  * Weighted mode: [[driftStats]]/[[driftByGroup]]/[[driftCategorical]]
+  * /[[catTable]] (and [[Profile.groupQuantileSketch]] on the quantile
+  * side) take a `weightCol` — the mixture-monitoring read where each record
   * carries an importance weight (q_dsir/q_imp_sample outputs) or a
   * token count and the watched distribution is Σ weight, not record
   * count. Counters become exact-long 1e6-grain weight sums
@@ -118,20 +119,20 @@ object Drift {
     */
   def driftByGroup(a: DataFrame, b: DataFrame, groupCol: String,
       valueCol: String, lo: Double, hi: Double, buckets: Int,
-      eps: Double = 1e-6): DataFrame = {
+      eps: Double = 1e-6, weightCol: Option[String] = None): DataFrame = {
     require(eps > 0 && eps < 1, s"driftByGroup: eps out of (0,1): $eps")
     require(buckets >= 1 && hi > lo,
       s"driftByGroup: bad range/buckets $lo/$hi/$buckets")
     val width = (hi - lo) / buckets
     def hist(df: DataFrame, cName: String) = {
       val v = col(valueCol).cast("double")
-      df.filter(col(valueCol).isNotNull)
-        .select(col(groupCol).as("g"),
+      Sketch.weightDropNull(df.filter(col(valueCol).isNotNull), weightCol)
+        .select(Seq(col(groupCol).as("g"),
           when(v < lo, lit(-1)).when(v >= hi, lit(buckets))
             .otherwise(floor((v - lit(lo)) / lit(width)).cast("int"))
-            .as("bucket"))
+            .as("bucket")) ++ weightCol.map(col): _*)
         .groupBy(col("g"), col("bucket"))
-        .agg(count(lit(1)).as(cName))
+        .agg(Sketch.countOrWeight(weightCol).as(cName))
     }
     val joined = hist(a, "c_a").join(hist(b, "c_b"),
         Seq("g", "bucket"), "full_outer")

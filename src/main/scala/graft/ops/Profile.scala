@@ -338,7 +338,7 @@ object Profile {
     */
   def groupQuantileSketch(df: DataFrame, groupCol: String, xCol: String,
       probs: Seq[Double], lo: Double, hi: Double,
-      buckets: Int): DataFrame = {
+      buckets: Int, weightCol: Option[String] = None): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
       s"groupQuantileSketch: probabilities out of [0,1]: $probs")
     require(probs.distinct.size == probs.size,
@@ -347,13 +347,21 @@ object Profile {
       s"groupQuantileSketch: bad range/buckets $lo/$hi/$buckets")
     val width = (hi - lo) / buckets
     val v = col(xCol).cast("double")
-    val counts = df.filter(col(xCol).isNotNull)
-      .select(col(groupCol).as("g"),
+    // weighted mode ([[Sketch.countOrWeight]]'s 1e6-grain contract):
+    // counters become mass, `n` total mass, and the rank-ceil(p·n)
+    // quantile becomes the smallest value whose cumulative WEIGHT
+    // reaches ceil(p·W) — the standard weighted discrete quantile.
+    // Integer weights ≡ row replication exactly: the 1e6 scale
+    // cancels through the nested-ceiling identity
+    // ⌈⌈10⁶·p·n⌉/10⁶⌉ = ⌈p·n⌉, so the selected bucket cannot move.
+    val counts = Sketch.weightDropNull(df.filter(col(xCol).isNotNull),
+        weightCol)
+      .select(Seq(col(groupCol).as("g"),
         when(v < lo, lit(-1)).when(v >= hi, lit(buckets))
           .otherwise(floor((v - lit(lo)) / lit(width)).cast("int"))
-          .as("bucket"))
+          .as("bucket")) ++ weightCol.map(col): _*)
       .groupBy(col("g"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
+      .agg(Sketch.countOrWeight(weightCol).as("c"))
     val wcum = org.apache.spark.sql.expressions.Window
       .partitionBy(col("g")).orderBy(col("bucket"))
       .rowsBetween(Long.MinValue, 0)

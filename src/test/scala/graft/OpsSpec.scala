@@ -3644,6 +3644,38 @@ class OpsSpec extends AnyFunSuite {
     assert(cw.getDouble(3) == cr.getDouble(3), s"$cw vs $cr") // psi
     assert(math.abs(cw.getDouble(4) / 1e6 - cr.getDouble(4)) < 1e-4,
       s"$cw vs $cr") // chi2 scales linearly with total mass
+    // the weighted bucket-quantile rides the same grain: weighted
+    // bands == replicated bands (the nested-ceiling identity
+    // ⌈⌈10⁶pn⌉/10⁶⌉ = ⌈pn⌉ keeps the selected bucket fixed)
+    import graft.ops.Profile
+    val probs = Seq(0.25, 0.5, 0.9)
+    def bands(df: org.apache.spark.sql.DataFrame, w: Option[String]) =
+      Profile.groupQuantileSketch(df, "g", "v", probs, 0, 100, 10, w)
+        .collect().map(r => r.getDouble(1) ->
+          (r.getDouble(3), r.getDouble(4))).toMap
+    val qw = bands(rowsA.map { case (v, w) => ("g", v, w) }
+      .toDF("g", "v", "w"), Some("w"))
+    val qr = bands(rep(rowsA).select(lit("g").as("g"), col("v")), None)
+    assert(qw == qr, s"$qw vs $qr")
+    // and the per-group numeric drift: psi/ks identical, totals scale
+    def grouped(rows: Seq[(Double, Long)]) =
+      rows.map { case (v, w) => (s"s${v.toInt % 3}", v, w) }
+        .toDF("g", "v", "w")
+    val gw = Drift.driftByGroup(grouped(rowsA), grouped(rowsB),
+        "g", "v", 0, 100, 10, weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    def groupedRep(rows: Seq[(Double, Long)]) =
+      rows.flatMap { case (v, w) =>
+        Seq.fill(w.toInt)((s"s${v.toInt % 3}", v)) }.toDF("g", "v")
+    val gr = Drift.driftByGroup(groupedRep(rowsA), groupedRep(rowsB),
+        "g", "v", 0, 100, 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(gw.keySet == gr.keySet)
+    gw.keySet.foreach { g =>
+      assert(gw(g).getLong(1) == gr(g).getLong(1) * 1000000L &&
+        gw(g).getDouble(3) == gr(g).getDouble(3) &&
+        gw(g).getDouble(4) == gr(g).getDouble(4), s"$g: ${gw(g)} vs ${gr(g)}")
+    }
   }
 
   test("funnelReportSketch: n_users == the exact report's, discrete " +
