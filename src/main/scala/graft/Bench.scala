@@ -314,7 +314,9 @@ object Bench {
     */
   private[graft] def retryPauseSec(attempt: Int, baseSec: Int = 240,
       capSec: Int = 900): Int = {
-    require(attempt >= 1 && baseSec >= 1 && capSec >= baseSec,
+    // baseSec 0 stays valid: SPARK_GRAFT_BENCH_RETRY_PAUSE_SEC=0 is
+    // the documented "no pause" drill configuration (pre-r18 behavior)
+    require(attempt >= 1 && baseSec >= 0 && capSec >= baseSec,
       s"retryPauseSec: bad attempt/base/cap $attempt/$baseSec/$capSec")
     val shift = math.min(2 * (attempt - 1), 30)
     math.min(capSec.toLong, baseSec.toLong << shift).toInt

@@ -481,7 +481,14 @@ object Drift {
           sort_array(collect_list(struct(col("i"),
             (col("s7").cast("double") / col("n") / 1e7).as("c")))),
           e => e.getField("c")).as("cent"))
+    // side A's centroid relation feeds THREE consumers (the broadcast
+    // refs under each side's scoring pass and the rotation join) —
+    // persist it so the posexplode aggregation over the reference
+    // corpus runs once, not three times (≤G×d rows; the
+    // [[Retrieval.invertedIndex]] cache convention, released after the
+    // caller's first action). centB has a single consumer.
     val centA = cents(a)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centB = cents(b)
     val refs = centA.select(col("g"), col("cent"),
       selfNorm9(col("cent")).as("sc9"))
@@ -540,11 +547,12 @@ object Drift {
             sqrt(sca.cast("double") * scb.cast("double")), 6))
           .as("centroid_cos")
       })
-    ccs.join(stats, Seq("g"), "left")
+    val out = ccs.join(stats, Seq("g"), "left")
       .select(col("g").as(groupCol),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"),
         col("psi"), col("ks"), col("centroid_cos"))
+    graft.spark.CacheRelease.afterFirstAction(out, Seq(centA))
   }
 
   /** Raise on a NULL `keyCol` row in a persisted bucket/category

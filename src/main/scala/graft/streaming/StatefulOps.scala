@@ -732,17 +732,24 @@ object StatefulOps {
               .map(r => PendingEv(usOf(r._2), r._4))
             if (newEvs.nonEmpty) st = st.copy(pending = st.pending ++ newEvs)
           }
-          // the watermark seals every event at-or-before it: no dim
-          // update with an older instant can reach this function
-          // anymore (the engine drops watermark-late input upstream)
-          val (ready, wait) = st.pending.partition(_.tsUs <= wmUs)
+          // the watermark seals every event STRICTLY before it: the
+          // engine's late-row filter drops only strictly-older input,
+          // so a dim update with effective_from EXACTLY at the
+          // watermark can still be admitted by a later micro-batch —
+          // sealing an equal-ts event now would resolve it against a
+          // version floor that update should have joined, diverging
+          // from the batch cascade (the streamFunnel r17-ADVICE edge,
+          // same invariant). An exactly-at-watermark event re-seals at
+          // the next watermark advance or the pending-min timeout.
+          val (ready, wait) = st.pending.partition(_.tsUs < wmUs)
           val out = ready.sortBy(p => (p.tsUs, p.eventJson)).iterator
             .map(p => TemporalResolved(p.eventJson, asofLookup(st.versions, p.tsUs)))
             .toVector
           st = st.copy(pending = wait)
-          // prune history: future events all have ts > wm, so only the
-          // LATEST version at-or-before wm (plus every later one) can
-          // still win an as-of lookup
+          // prune history: unsealed events all have ts >= wm, so only
+          // the LATEST version at-or-before wm (plus every later one)
+          // can still win an as-of lookup — for any ts >= wm that
+          // floor version dominates every earlier one
           if (st.versions.length > 1) {
             var floor = -1
             var i = 0

@@ -6559,6 +6559,7 @@ class OpsSpec extends AnyFunSuite {
     assert(retryPauseSec(2) == 900)
     assert(retryPauseSec(3) == 900)
     assert(retryPauseSec(9) == 900) // no overflow at silly depths
+    assert(retryPauseSec(2, 0, 900) == 0) // PAUSE_SEC=0 = no-pause drill
     // fake clock: a window takes 900 s of wall time; the burst covers
     // t ∈ [0, burstEnd). A window is suspect iff it STARTS inside it.
     def run(burstEndSec: Long, maxAttempts: Int) = {
