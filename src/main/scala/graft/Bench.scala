@@ -521,7 +521,8 @@ object Bench {
       "q_robust_z", "q_cramers_v", "q_drift_cat", "q_funnel_window",
       "q_winsor_sketch", "q_robust_z_sketch", "q_drift_series",
       "q_embed_drift", "q_rbo", "q_drift_cat_series",
-      "q_drift_weighted", "q_embed_drift_group", "q_funnel_sketch")
+      "q_drift_weighted", "q_embed_drift_group", "q_funnel_sketch",
+      "q_drift_group_weighted", "q_quantile_weighted")
 
     // The full timed unit for an op query includes clearCache so internal
     // persist() calls can't leak cached inputs into the next round.
