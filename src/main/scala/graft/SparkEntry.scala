@@ -2794,12 +2794,26 @@ object SparkEntry {
     // codebook luck; surfaced when the r8 uniform pqFit sample changed
     // the codebooks)
     val rerankN = math.max(100, (emb.count() / 16).toInt)
-    val pqTop1 = qvecs.map { case (qid, qv) =>
-      val top = Similarity.pqTopK(withCodes.filter(col("vec_id") =!= qid),
-        "embedding", "vec_id", qv, k = 1, pq, rerank = rerankN,
-        codesCol = Some("codes")).select(col("id")).head().getLong(0)
-      qid -> top
-    }.toMap
+    // The 8 per-query PQ jobs are independent and each underfills 32
+    // cores (an ADC scan + a rerank of ~rerankN rows) — submit them
+    // concurrently from driver threads so each job's straggler tail is
+    // back-filled by the next job's tasks (guide-standard overlap of
+    // independent actions). Results are keyed by qid, so completion
+    // order cannot change the map. Spark job submission is thread-safe;
+    // the shared `withCodes` cache is materialized by whichever job
+    // touches a partition first and reused by the rest.
+    val pqTop1 = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.sequence(qvecs.toSeq.map { case (qid, qv) => Future {
+          val top = Similarity.pqTopK(withCodes.filter(col("vec_id") =!= qid),
+            "embedding", "vec_id", qv, k = 1, pq, rerank = rerankN,
+            codesCol = Some("codes")).select(col("id")).head().getLong(0)
+          qid -> top
+        }}),
+        scala.concurrent.duration.Duration.Inf).toMap
+    }
     val exactTop1 = exact.filter(col("rank") === 1)
       .select(col("query_id"), col("neighbor_id")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   * cross join — the shapes survive a 100 TB corpus on a real cluster:
   *  - exact: shuffle on a 128-bit content hash, not the text itself.
   *  - minhash LSH: per-row signature (scan-local) → explode 16 band keys
-  *    → self-join on (band, key) → exact-verify only the candidates.
+  *    → capped posting lists per (band, key) expanded into ordered
+  *    candidate pairs → exact-verify only the candidates.
   *  - simhash: per-row 64-bit signature → 4×16-bit band join →
   *    hamming-distance verify via xor/bit_count.
   *  - ngram jaccard: inverted-index join on shingle (no O(n²) pairing).
@@ -29,6 +30,35 @@ object Dedup {
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Ordered candidate pairs (`id_a < id_b` by the column's own
+    * ordering) within each bucket of an already-CAPPED (id, keyCols…)
+    * relation, via posting lists instead of a bucket self-join: one
+    * `collect_list` aggregation on the bucket key — which reuses the
+    * partitioning the upstream cap join already established, so NO new
+    * exchange — then a two-level generator expands each sorted list
+    * into its ordered pairs. The self-join formulation it replaces paid
+    * two more exchanges of the banded relation plus a sort-merge join
+    * to produce the identical rows (same pairs, same multiplicity: each
+    * bucket's ids are distinct, `collect_list` skips nulls exactly like
+    * the join's null-rejecting `<` predicate).
+    *
+    * CONTRACT: `capped` must already be bucket-size-capped (every
+    * caller filters `__bucket_n`/`__df` <= maxBucket first) — the
+    * collected list buffer is then bounded at cap×8 bytes, never the
+    * raw bucket. The pair expansion itself streams row-by-row through
+    * the two generators (peak state = one posting list), so a full
+    * cap-sized bucket expands without materializing its cap²/2 pairs.
+    */
+  private def bucketPairs(capped: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val postings = capped.groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    postings
+      .select(posexplode(col("ids")).as(Seq("__i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("__i") + lit(2), size(col("ids"))))
+          .as("id_b"))
+  }
 
   /** Distinct word n-gram shingles of `textCol` as an array column.
     * Documents with fewer than n words produce an empty array.
@@ -119,8 +149,14 @@ object Dedup {
     val sh = if (persist)
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sh0
-    val inv = sh.select(col("id"), explode(col("sh")).as("sh_hash"))
-    val dfCounts = inv.groupBy(col("sh_hash")).agg(count(lit(1)).as("__df"))
+    // __sz (the doc's distinct-shingle count) rides the inverted rows —
+    // 8 bytes/row through the df-count exchange — so the per-doc stats
+    // below fold out of invCapped alone instead of paying a second join
+    // back to `sh` (one fewer exchange + join per call; r18 opt round)
+    val inv = sh.select(col("id"), explode(col("sh")).as("sh_hash"),
+      size(col("sh")).as("__sz"))
+    val dfCounts = inv.select(col("sh_hash"))
+      .groupBy(col("sh_hash")).agg(count(lit(1)).as("__df"))
     // Persisted because it feeds BOTH self-join sides and the per-doc
     // stats — without it the explode + df-count join replays three times.
     // Same cache contract as `sh` (see the minhashPairs persist note).
@@ -132,8 +168,9 @@ object Dedup {
     else invCapped0
     // Per-doc bookkeeping: distinct-shingle count and how many of them the
     // df cap removed from the index (observable recall budget per doc).
-    val stats = invCapped.groupBy(col("id")).agg(count(lit(1)).as("__kept"))
-      .join(sh.select(col("id"), size(col("sh")).as("sz")), Seq("id"))
+    // max(__sz) == the doc's constant __sz (one value per id).
+    val stats = invCapped.groupBy(col("id"))
+      .agg(count(lit(1)).as("__kept"), max(col("__sz")).as("sz"))
       .select(col("id"), col("sz"), (col("sz") - col("__kept")).as("dropped"))
     // A df=1 shingle appears in exactly one document and can't emit a
     // pair row — exclude those (typically the MAJORITY of a natural
@@ -141,10 +178,17 @@ object Dedup {
     // the join's shuffle and build sides shrink by the unique-shingle
     // mass. They still count as "kept" above: only df > cap shingles
     // weaken the upper bound.
-    val invPairable = invCapped.filter(col("__df") >= 2).drop("__df")
+    val invPairable = invCapped.filter(col("__df") >= 2)
+      .drop("__df", "__sz")
     // Shared-capped-shingle count per candidate pair. Each (id, sh_hash)
     // is unique (shingle sets are distinct), so count(*) == |capped
-    // intersection| exactly.
+    // intersection| exactly. Deliberately NOT the [[bucketPairs]]
+    // posting-list shape the banded LSH paths use: here EVERY shared
+    // shingle of every candidate pair flows through this aggregation
+    // (not just bucket membership), and the codegen'd
+    // join → partial-count HashAggregate pipeline measured faster than
+    // collect_list's ObjectHashAggregate + generate expansion at that
+    // row volume (r18 opt round: 1.98 s vs 2.23 s for q_dedup_jaccard).
     val commonCapped = invPairable.as("x").join(invPairable.as("y"),
         col("x.sh_hash") === col("y.sh_hash") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -252,12 +296,12 @@ object Dedup {
     * and only recall depends on the banding (P[catch] = 1-(1-j^r)^b;
     * at j=0.8, r=4, b=16: ~0.9998).
     */
-  /* Note on persist: the shingle/signature relation feeds both sides of
-   * the candidate self-join AND both sides of the verify join; without
-   * persisting, Spark replays the scan + hashing once per use (4x the
-   * corpus reads at scale). The cache is left to Spark's LRU eviction;
-   * long-running services calling this repeatedly should pass
-   * persist=false or clear via spark.catalog.clearCache(). */
+  /* Note on persist: the shingle/signature relation feeds the banding
+   * pass AND both sides of the verify join; without persisting, Spark
+   * replays the scan + hashing once per use (3x the corpus reads at
+   * scale). The cache is left to Spark's LRU eviction; long-running
+   * services calling this repeatedly should pass persist=false or clear
+   * via spark.catalog.clearCache(). */
   def minhashPairs(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, numPerms: Int = 64, bands: Int = 16,
@@ -297,11 +341,7 @@ object Dedup {
     val bandedCapped = banded.join(bucketSizes, Seq("band", "band_key"))
       .filter(col("__bucket_n") <= maxBucket && col("__bucket_n") >= 2)
       .drop("__bucket_n")
-    val cand = bandedCapped.as("x").join(bandedCapped.as("y"),
-        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
+    val cand = bucketPairs(bandedCapped, Seq("band", "band_key")).distinct()
     // exact verification of candidates only
     val withSets = cand
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
@@ -667,11 +707,7 @@ object Dedup {
     val bandedCapped = banded.join(bucketSizes, Seq("band", "band_key"))
       .filter(col("__bucket_n") <= maxBucket && col("__bucket_n") >= 2)
       .drop("__bucket_n")
-    val cand = bandedCapped.as("x").join(bandedCapped.as("y"),
-        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
+    val cand = bucketPairs(bandedCapped, Seq("band", "band_key")).distinct()
     // vectors rejoin only for surviving candidates
     val vecs = base.select(col("id"), col("v"))
     cand

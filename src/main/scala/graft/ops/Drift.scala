@@ -166,8 +166,16 @@ object Drift {
     require(eps > 0 && eps < 1, s"driftSeries: eps out of (0,1): $eps")
     // a NULL day would silently vanish from the lag pairing (null never
     // equi-joins and sorts engine-dependently) — raise, like null buckets
+    // Persisted: consumed THREE times below (the day list and both join
+    // sides), and the input is frequently a lazily-stacked pile of
+    // per-day histogram DAGs rather than an already-materialized table —
+    // unpersisted, every consumer replays the whole stack (measured at
+    // the gate: the 3-day union's scans ran ~3x). The cached relation is
+    // days × (buckets+2) rows by construction; released after the
+    // caller's first action.
     val h = requireKeyNotNull(
       requireKeyNotNull(hists, "bucket", "series"), dayCol, "series")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val days = h.select(col(dayCol).as("__d")).distinct()
     val pairs = days
       .withColumn("__p", lag(col("__d"), 1).over(Window.orderBy(col("__d"))))
@@ -182,9 +190,11 @@ object Drift {
       .select(col("__d"), col("__p"), col("bucket"),
         coalesce(col("c_a"), lit(0L)).as("c_a"),
         coalesce(col("c_b"), lit(0L)).as("c_b"))
-    psiKsOverBuckets(joined, Seq("__d", "__p"), eps)
-      .select(col("__d").as(dayCol), col("__p").as(s"prev_$dayCol"),
-        col("n_a"), col("n_b"), col("psi"), col("ks"))
+    graft.spark.CacheRelease.afterFirstAction(
+      psiKsOverBuckets(joined, Seq("__d", "__p"), eps)
+        .select(col("__d").as(dayCol), col("__p").as(s"prev_$dayCol"),
+          col("n_a"), col("n_b"), col("psi"), col("ks")),
+      Seq(h))
   }
 
   /** Category share table `(cat, c)` — the categorical analogue of
@@ -272,8 +282,11 @@ object Drift {
   def driftCatSeries(cats: DataFrame, dayCol: String,
       eps: Double = 1e-6): DataFrame = {
     require(eps > 0 && eps < 1, s"driftCatSeries: eps out of (0,1): $eps")
+    // persisted for the same three-consumer reason as [[driftSeries]];
+    // days × k rows, released after the caller's first action
     val h = requireKeyNotNull(
       requireKeyNotNull(cats, "cat", "series"), dayCol, "series")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val days = h.select(col(dayCol).as("__d")).distinct()
     val pairs = days
       .withColumn("__p", lag(col("__d"), 1).over(Window.orderBy(col("__d"))))
@@ -288,9 +301,11 @@ object Drift {
       .select(col("__d"), col("__p"), col("cat"),
         coalesce(col("c_a"), lit(0L)).as("c_a"),
         coalesce(col("c_b"), lit(0L)).as("c_b"))
-    psiChiOverCats(joined, Seq("__d", "__p"), eps)
-      .select(col("__d").as(dayCol), col("__p").as(s"prev_$dayCol"),
-        col("n_a"), col("n_b"), col("k"), col("psi"), col("chi2"))
+    graft.spark.CacheRelease.afterFirstAction(
+      psiChiOverCats(joined, Seq("__d", "__p"), eps)
+        .select(col("__d").as(dayCol), col("__p").as(s"prev_$dayCol"),
+          col("n_a"), col("n_b"), col("k"), col("psi"), col("chi2")),
+      Seq(h))
   }
 
   /** The shared PSI/χ² reduction over a joined

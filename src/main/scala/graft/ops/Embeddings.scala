@@ -103,20 +103,21 @@ object Embeddings {
         "from the first row; nothing to project")
     val inDim = firstRow(0).getInt(0)
     require(inDim >= 1, "randomProject: empty vectors")
-    val signs: Seq[Seq[Long]] = (0 until outDim).map(k =>
-      (0 until inDim).map(j => rpSign(salt, k, j).toLong))
-    val signsLit = typedLit(signs)
-    val grains = transform(col(vecCol),
-      v => round(v.cast("double") * lit(1e6), 0).cast("long"))
+    val signs: Array[Array[Long]] = Array.tabulate(outDim)(k =>
+      Array.tabulate(inDim)(j => rpSign(salt, k, j).toLong))
     val scale = 1e6 * math.sqrt(outDim.toDouble)
     // no final rounding: the sum is an exact integer (< 2^53), so the
     // single IEEE division is bit-identical on any engine — rounding
-    // would only reintroduce half-point representation disagreements
-    val proj = transform(sequence(lit(1), lit(outDim)), k =>
-      aggregate(
-        zip_with(grains, element_at(signsLit, k), (g, s) => g * s),
-        lit(0L), (acc, x) => acc + x)
-        .cast("double") / lit(scale))
+    // would only reintroduce half-point representation disagreements.
+    // Codegen'd kernel ([[graft.spark.RandomProjectExpression]]): same
+    // grain/sum/divide math as the aggregate/zip_with SQL formulation
+    // it replaces (which evaluated interpreted — outDim × inDim lambda
+    // calls per row — as Spark HOFs are CodegenFallback), bit-identical
+    // by construction and pinned by an OpsSpec parity test.
+    val proj = org.apache.spark.sql.GraftBridge.column(
+      graft.spark.RandomProjectExpression(
+        org.apache.spark.sql.GraftBridge.expression(
+          col(vecCol).cast("array<double>")), signs, scale))
     df.select(col(idCol), posexplode(proj).as(Seq("k", "value")))
   }
 

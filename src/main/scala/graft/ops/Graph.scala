@@ -39,8 +39,14 @@ object Graph {
     Ids.requireIntegralId(edges, dstCol, "pageRank9")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
+    // persisted: the node set is joined against EVERY iteration's inflow
+    // (plus the count below and the initial ranks) — unpersisted, each
+    // iteration re-runs the edge scan + two distincts behind it. Released
+    // by the caller's first action (the returned plan is checkpoint-
+    // truncated, so the final ranks never recompute through this).
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     require(n > 0, "pageRank9: empty graph")
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -66,8 +72,11 @@ object Graph {
             .as("r9"))
         .localCheckpoint(eager = false) // truncate the growing lineage
     }
-    val out = ranks
-    withDeg.unpersist()
-    out
+    // Both caches must outlive plan construction: the caller's FIRST
+    // action is what materializes the iteration chain (the checkpoints
+    // are lazy), and an eager unpersist() here would silently drop the
+    // caches before they were ever used — every iteration then re-scans
+    // the edge source. CacheRelease frees them right after that action.
+    graft.spark.CacheRelease.afterFirstAction(ranks, Seq(withDeg, nodes))
   }
 }

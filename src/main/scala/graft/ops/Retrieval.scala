@@ -220,27 +220,21 @@ object Retrieval {
     // minDf prunes BEFORE postings assembly: the hapax tail (which
     // dominates a Zipfian vocabulary) must never have its posting
     // strings collected/sorted/serialized just to be discarded — so
-    // when minDf > 1, a (term → df) pre-aggregation semi-joins the
-    // per-doc relation first (ids-only exchange; the extra shuffle is
-    // the price of not materializing the tail). On a TOY corpus the
-    // extra exchange costs more than the tail it saves (~+0.3 s at
-    // sf0.1) — the tradeoff is sized for real vocabularies, where the
-    // tail is most of the terms
-    val (kept, caches) =
-      if (minDf <= 1) (perDoc, Seq.empty[DataFrame])
-      else {
-        // both the df count and the probe read perDoc: persist it so
-        // the tokenize + (term, doc) aggregation — the operator's
-        // dominant stage — runs once, not twice (released after the
-        // caller's first action; recompute-safe, all deterministic)
-        val cached = perDoc
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val qualifying = cached.groupBy(col("term"))
-          .agg(count(lit(1)).as("__df"))
-          .filter(col("__df") >= minDf)
-          .select(col("term"))
-        (cached.join(qualifying, Seq("term"), "left_semi"), Seq(cached))
-      }
+    // when minDf > 1 a window count over `term` filters the per-doc
+    // relation first. The window's partitioning IS the final
+    // aggregation's grouping key, so the exchange it introduces is the
+    // one the groupBy below needed anyway — pruning costs no extra
+    // shuffle and no persist (the earlier df-pre-aggregation + semi-join
+    // formulation paid two more term-keyed exchanges plus a cache of
+    // the whole per-doc relation for the same rows). A stopword term's
+    // window group is large, but those identical rows were always
+    // funneled into ONE collect_list group below — no new skew class.
+    val kept =
+      if (minDf <= 1) perDoc
+      else perDoc
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("term"))))
+        .filter(col("__df") >= minDf)
+        .drop("__df")
     val out = kept.groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("df"),
         sum(col("tf_doc")).cast("long").as("tf"),
@@ -251,8 +245,7 @@ object Retrieval {
               e.getField("plist"))),
           ";").as("postings"))
       .filter(col("df") >= minDf)
-    if (caches.isEmpty) out
-    else graft.spark.CacheRelease.afterFirstAction(out, caches)
+    out
   }
 
   /** Rank-biased overlap (Webber/Moffat/Zobel 2010) between two

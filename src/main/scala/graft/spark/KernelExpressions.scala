@@ -329,6 +329,91 @@ final case class HyperplaneBandsExpression(child: Expression,
       Integer.valueOf(java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])))
 }
 
+/** Johnson–Lindenstrauss ±1 random projection (`graft_random_project`)
+  * — the codegen'd kernel behind [[graft.ops.Embeddings.randomProject]].
+  * Replicates the grained HOF formulation it replaces BIT-FOR-BIT:
+  * component grains are Spark `round(x*1e6, 0)` (BigDecimal HALF_UP;
+  * NaN/Inf pass through the round and saturate/zero on the long cast,
+  * exactly Spark's non-ANSI double→long), each output component is the
+  * exact-long Σ grain_j · sign_kj cast to double and divided once by
+  * `scale` — so the swap is invisible to the q_embed_rp oracle. Null
+  * element or a vector whose length differs from the sign matrix's
+  * inDim yields that row's components all-null (the zip_with null-pad
+  * semantics of the SQL form). The interpreted form paid
+  * outDim × inDim lambda evaluations per row (aggregate/zip_with are
+  * CodegenFallback); this is one kernel call inside whole-stage
+  * codegen.
+  */
+final case class RandomProjectExpression(child: Expression,
+    signs: Array[Array[Long]], scale: Double) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "graft_random_project"
+  override protected def withNewChildInternal(newChild: Expression): RandomProjectExpression =
+    copy(child = newChild)
+  private def grain(x: Double): Long = {
+    val m = x * 1e6
+    // Spark round(double, 0): NaN/Infinity pass through unchanged,
+    // finite values go through BigDecimal HALF_UP; the long cast then
+    // zeroes NaN and saturates ±Inf (Scala/Java double→long semantics,
+    // which Spark's non-ANSI cast shares)
+    val r = if (java.lang.Double.isNaN(m) || java.lang.Double.isInfinite(m)) m
+    else java.math.BigDecimal.valueOf(m)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+    r.toLong
+  }
+  def kernel(v: ArrayData): ArrayData = {
+    val outDim = signs.length
+    val inDim = signs(0).length
+    val nulls = v.numElements() != inDim || {
+      var i = 0
+      var hasNull = false
+      while (i < v.numElements() && !hasNull) {
+        hasNull = v.isNullAt(i); i += 1
+      }
+      hasNull
+    }
+    if (nulls) {
+      // every component's sum touches every element, so one bad/ragged
+      // element nulls ALL components — the zip_with null-pad contract
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](outDim))
+    } else {
+      val g = new Array[Long](inDim)
+      var j = 0
+      while (j < inDim) { g(j) = grain(v.getDouble(j)); j += 1 }
+      val out = new Array[Double](outDim)
+      var k = 0
+      while (k < outDim) {
+        val row = signs(k)
+        var s = 0L
+        var i = 0
+        while (i < inDim) { s += g(i) * row(i); i += 1 }
+        out(k) = s.toDouble / scale
+        k += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("rpExpr", this, classOf[RandomProjectExpression].getName)
+    defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
+  }
+  // array fields default to reference equality — compare values so
+  // Catalyst canonicalization/CSE sees identical kernels as equal
+  override def equals(other: Any): Boolean = other match {
+    case r: RandomProjectExpression =>
+      r.child == child && r.scale == scale &&
+        java.util.Arrays.deepEquals(
+          r.signs.asInstanceOf[Array[AnyRef]], signs.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, java.lang.Double.valueOf(scale),
+      Integer.valueOf(java.util.Arrays.deepHashCode(signs.asInstanceOf[Array[AnyRef]])))
+}
+
 /** IVF coarse-quantizer assignment — struct(cluster, angle) of the
   * nearest centroid. Reads the vector as a primitive double array
   * (`ArrayData.toDoubleArray`), avoiding the per-element boxing a

@@ -22,4 +22,11 @@ object GraftBridge {
     df.queryExecution.logical.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
+
+  /** `explain("formatted")` as a string (Dataset.explain only prints),
+    * for the committed plan-evidence artifacts (graft.PlanDump).
+    */
+  def explainString(df: Dataset[_]): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
 }

@@ -4773,6 +4773,52 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("randomProject kernel == interpreted HOF formulation (r18 opt)") {
+    import graft.ops.Embeddings
+    import org.apache.spark.sql.functions._
+    // the exact SQL/HOF formulation the codegen'd kernel replaced —
+    // kept here as the parity reference (bit-identical contract)
+    def hofProject(df: org.apache.spark.sql.DataFrame, outDim: Int,
+        inDim: Int, salt: String): org.apache.spark.sql.DataFrame = {
+      val signs: Seq[Seq[Long]] = (0 until outDim).map(k =>
+        (0 until inDim).map(j => Embeddings.rpSign(salt, k, j).toLong))
+      val signsLit = typedLit(signs)
+      val grains = transform(col("embedding"),
+        v => round(v.cast("double") * lit(1e6), 0).cast("long"))
+      val scale = 1e6 * math.sqrt(outDim.toDouble)
+      val proj = transform(sequence(lit(1), lit(outDim)), k =>
+        aggregate(
+          zip_with(grains, element_at(signsLit, k), (g, s) => g * s),
+          lit(0L), (acc, x) => acc + x)
+          .cast("double") / lit(scale))
+      df.select(col("vec_id"), posexplode(proj).as(Seq("k", "value")))
+    }
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 30).map(i =>
+      (i.toLong, Array.fill(12)(rnd.nextGaussian()))) :+
+      (100L, Array.fill(12)(0.0)) // zero vector
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Embeddings.randomProject(df, "embedding", "vec_id", 5, "pk")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val want = hofProject(df, 5, 12, "pk")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got == want) // bit-identical, no tolerance
+    // ragged vector: HOF null-pads into all-null components; kernel must
+    // agree (rows present, values null)
+    val ragged = Seq((7L, Array(1.0, 2.0, 3.0))).toDF("vec_id", "embedding")
+    val gr = Embeddings.randomProject(ragged, "embedding", "vec_id", 4, "pk")
+    // inDim is read from the FIRST row, so feed the mismatch via a
+    // second frame projected with the same salt/dims as a 12-dim fit:
+    val both = df.limit(1).unionByName(ragged)
+    val g2 = Embeddings.randomProject(both, "embedding", "vec_id", 4, "pk")
+      .filter(col("vec_id") === 7L).collect()
+    val w2 = hofProject(both, 4, 12, "pk")
+      .filter(col("vec_id") === 7L).collect()
+    assert(g2.length == 4 && w2.length == 4)
+    assert(g2.forall(_.isNullAt(2)) && w2.forall(_.isNullAt(2)))
+    assert(gr.count() == 4) // 3-dim fit of itself: plain rows
+  }
+
   test("intervalOverlapJoin: exactly-once pairs == cross-join filter") {
     import graft.ops.Joins
     val left = Seq((1L, 0L, 100L), (2L, 50L, 250L), (3L, 400L, 410L))

@@ -801,7 +801,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("invertedIndex: postings text never pre-aggregates — map-side " +
-      "partial on (term, doc); minDf prunes via semi-join before assembly") {
+      "partial on (term, doc); minDf prunes via a window that shares " +
+      "the assembly exchange") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     // minDf=1 fast path: exactly the two aggregation exchanges
     val idx1 = graft.ops.Retrieval.invertedIndex(docs, "text", "doc_id")
@@ -818,16 +819,25 @@ class PlanSpec extends AnyFunSuite {
       .filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(ex1.size == 2, e1)
     assert(!ex1.exists(_.contains("text#")), e1)
-    // minDf>1: the hapax tail is semi-joined away BEFORE the postings
+    // minDf>1 (r18 opt): the hapax tail is dropped BEFORE the postings
     // assembly aggregation (never collected/sorted just to be dropped)
+    // by a df window whose term partitioning IS the assembly groupBy's —
+    // so the prune costs NO extra exchange (still exactly two, same as
+    // the fast path; the earlier semi-join formulation paid two more)
+    // and no persist
     val idx2 = graft.ops.Retrieval.invertedIndex(docs, "text", "doc_id",
       minDf = 2)
     idx2.collect()
     val e2 = executedOf(idx2)
-    assert(e2.contains("LeftSemi"), e2)
-    assert(!e2.linesIterator
-      .filter(_.contains("Exchange hashpartitioning"))
-      .exists(_.contains("text#")), e2)
+    val ex2 = e2.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex2.size == 2, e2)
+    assert(!e2.contains("LeftSemi"), e2)
+    // the window prune sits BELOW the term-level assembly aggregate
+    val winIdx = e2.indexOf("Window")
+    val asmIdx = e2.indexOf("collect_list(struct(doc")
+    assert(winIdx >= 0 && asmIdx >= 0 && asmIdx < winIdx, e2)
+    assert(!ex2.exists(_.contains("text#")), e2)
   }
 
   test("star join broadcasts every dimension; fact table never shuffles " +
