@@ -166,16 +166,15 @@ object Drift {
     require(eps > 0 && eps < 1, s"driftSeries: eps out of (0,1): $eps")
     // a NULL day would silently vanish from the lag pairing (null never
     // equi-joins and sorts engine-dependently) — raise, like null buckets
-    // Persisted: consumed THREE times below (the day list and both join
-    // sides), and the input is frequently a lazily-stacked pile of
-    // per-day histogram DAGs rather than an already-materialized table —
-    // unpersisted, every consumer replays the whole stack (measured at
-    // the gate: the 3-day union's scans ran ~3x). The cached relation is
-    // days × (buckets+2) rows by construction; released after the
-    // caller's first action.
+    // Deliberately NOT persisted (r18 opt round, measured): the three
+    // consumers below (day list + both join sides) reference identical
+    // aggregation/exchange subtrees of the day-stack, which Spark's
+    // exchange reuse dedupes within the caller's single action — the
+    // pass-1 persist replaced that free reuse with a cache round-trip
+    // and measured a paired-interleaved 1.30x REGRESSION on
+    // q_drift_series (reverted; see OPTIMIZATION_r18.md).
     val h = requireKeyNotNull(
       requireKeyNotNull(hists, "bucket", "series"), dayCol, "series")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val days = h.select(col(dayCol).as("__d")).distinct()
     val pairs = days
       .withColumn("__p", lag(col("__d"), 1).over(Window.orderBy(col("__d"))))
@@ -190,11 +189,9 @@ object Drift {
       .select(col("__d"), col("__p"), col("bucket"),
         coalesce(col("c_a"), lit(0L)).as("c_a"),
         coalesce(col("c_b"), lit(0L)).as("c_b"))
-    graft.spark.CacheRelease.afterFirstAction(
-      psiKsOverBuckets(joined, Seq("__d", "__p"), eps)
-        .select(col("__d").as(dayCol), col("__p").as(s"prev_$dayCol"),
-          col("n_a"), col("n_b"), col("psi"), col("ks")),
-      Seq(h))
+    psiKsOverBuckets(joined, Seq("__d", "__p"), eps)
+      .select(col("__d").as(dayCol), col("__p").as(s"prev_$dayCol"),
+        col("n_a"), col("n_b"), col("psi"), col("ks"))
   }
 
   /** Category share table `(cat, c)` — the categorical analogue of
@@ -282,11 +279,9 @@ object Drift {
   def driftCatSeries(cats: DataFrame, dayCol: String,
       eps: Double = 1e-6): DataFrame = {
     require(eps > 0 && eps < 1, s"driftCatSeries: eps out of (0,1): $eps")
-    // persisted for the same three-consumer reason as [[driftSeries]];
-    // days × k rows, released after the caller's first action
+    // unpersisted for the same exchange-reuse reason as [[driftSeries]]
     val h = requireKeyNotNull(
       requireKeyNotNull(cats, "cat", "series"), dayCol, "series")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val days = h.select(col(dayCol).as("__d")).distinct()
     val pairs = days
       .withColumn("__p", lag(col("__d"), 1).over(Window.orderBy(col("__d"))))
@@ -301,11 +296,9 @@ object Drift {
       .select(col("__d"), col("__p"), col("cat"),
         coalesce(col("c_a"), lit(0L)).as("c_a"),
         coalesce(col("c_b"), lit(0L)).as("c_b"))
-    graft.spark.CacheRelease.afterFirstAction(
-      psiChiOverCats(joined, Seq("__d", "__p"), eps)
-        .select(col("__d").as(dayCol), col("__p").as(s"prev_$dayCol"),
-          col("n_a"), col("n_b"), col("k"), col("psi"), col("chi2")),
-      Seq(h))
+    psiChiOverCats(joined, Seq("__d", "__p"), eps)
+      .select(col("__d").as(dayCol), col("__p").as(s"prev_$dayCol"),
+        col("n_a"), col("n_b"), col("k"), col("psi"), col("chi2"))
   }
 
   /** The shared PSI/χ² reduction over a joined
@@ -406,23 +399,21 @@ object Drift {
     // the same 1e9-grain arithmetic the oracle replays, driver-side
     def g9(x: Double, y: Double): Long = math.floor(x * y * 1e9).toLong
     val scA = ca.map(c => g9(c, c)).sum
-    val centLit = array(ca.map(lit).toIndexedSeq: _*)
     def scored(df: DataFrame): DataFrame = {
       val vc = col(vecCol).cast("array<double>")
-      val sd = aggregate(
-        zip_with(vc, centLit, (x, y) => floor(x * y * 1e9).cast("long")),
-        lit(0L), (acc, x) => acc + x)
-      val sv = aggregate(
-        transform(vc, x => floor(x * x * 1e9).cast("long")),
-        lit(0L), (acc, x) => acc + x)
-      // explicit length guard (ADVICE r17): zip_with already null-pads
-      // a ragged vector into a null cosine, but the guard makes the
-      // drop-ragged contract visible in the plan AND is what the SQL
-      // replay mirrors (an oracle scoring ragged vectors over the
-      // common dims would silently diverge)
-      df.select(when(size(vc) === lit(ca.length) && sv > 0 && lit(scA) > 0,
-        sd.cast("double") /
-          sqrt(sv.cast("double") * lit(scA).cast("double"))).as("cos"))
+      // Codegen'd kernel ([[graft.spark.GrainedCosineConstExpression]]):
+      // same floor(·*1e9) grains, same left-to-right exact-long sums,
+      // same sd/sqrt(sv*scA) IEEE order as the zip_with/aggregate
+      // formulation it replaces (which evaluated interpreted — ~4·d
+      // boxed lambda calls per row, HOFs are CodegenFallback) — and the
+      // same null contract: ragged length (the ADVICE r17 guard), null
+      // element, sv<=0 or scA<=0 all score null. Bit-identical by
+      // construction, pinned by an OpsSpec parity test; the q_embed_drift
+      // oracle replays it unchanged.
+      df.select(org.apache.spark.sql.GraftBridge.column(
+        graft.spark.GrainedCosineConstExpression(
+          org.apache.spark.sql.GraftBridge.expression(vc), ca, scA))
+        .as("cos"))
     }
     val drift = driftStats(scored(a), scored(b), "cos",
       -1.0, 1.0, buckets, eps)
@@ -510,22 +501,22 @@ object Drift {
     // pass 2 per side: broadcast the reference centroids, score
     // scan-local, reduce straight to (group, bucket) counts
     def hist(df: DataFrame, cName: String): DataFrame = {
-      val sd = aggregate(
-        zip_with(col("__v"), col("cent"),
-          (x, y) => floor(x * y * 1e9).cast("long")),
-        lit(0L), (acc, x) => acc + x)
-      val sv = aggregate(
-        transform(col("__v"), x => floor(x * x * 1e9).cast("long")),
-        lit(0L), (acc, x) => acc + x)
+      // Codegen'd kernel ([[graft.spark.GrainedCosineExpression]]) —
+      // the per-row-centroid twin of embeddingDrift's const kernel:
+      // identical grain/sum/guard math to the zip_with/aggregate
+      // formulation it replaces (interpreted, CodegenFallback), same
+      // null contract (ragged length, null element, sv<=0, sc9<=0 →
+      // null). Parity-pinned in OpsSpec.
       df.filter(col(groupCol).isNotNull)
         .select(col(groupCol).as("g"), col(vecCol).cast("array<double>")
           .as("__v"))
         .join(broadcast(refs), Seq("g"))
         .select(col("g"),
-          when(size(col("__v")) === size(col("cent")) &&
-            sv > 0 && col("sc9") > 0,
-            sd.cast("double") /
-              sqrt(sv.cast("double") * col("sc9").cast("double")))
+          org.apache.spark.sql.GraftBridge.column(
+            graft.spark.GrainedCosineExpression(
+              org.apache.spark.sql.GraftBridge.expression(col("__v")),
+              org.apache.spark.sql.GraftBridge.expression(col("cent")),
+              org.apache.spark.sql.GraftBridge.expression(col("sc9"))))
             .as("cos"))
         .filter(col("cos").isNotNull)
         .select(col("g"),

@@ -39,14 +39,16 @@ object Graph {
     Ids.requireIntegralId(edges, dstCol, "pageRank9")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
-    // persisted: the node set is joined against EVERY iteration's inflow
-    // (plus the count below and the initial ranks) — unpersisted, each
-    // iteration re-runs the edge scan + two distincts behind it. Released
-    // by the caller's first action (the returned plan is checkpoint-
-    // truncated, so the final ranks never recompute through this).
+    // Deliberately NOT persisted (r18 opt round, measured): the node
+    // set is referenced by the count below, the initial ranks, and every
+    // iteration's left join, but those references compile to IDENTICAL
+    // exchange subtrees that Spark's exchange reuse dedupes within the
+    // caller's action for free — a persist here replaced that reuse
+    // with cache write + per-use InMemoryTableScan reads and measured
+    // a paired-interleaved 1.36x REGRESSION on q_pagerank (the pass-1
+    // persist, reverted; see OPTIMIZATION_r18.md).
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     require(n > 0, "pageRank9: empty graph")
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -72,11 +74,14 @@ object Graph {
             .as("r9"))
         .localCheckpoint(eager = false) // truncate the growing lineage
     }
-    // Both caches must outlive plan construction: the caller's FIRST
-    // action is what materializes the iteration chain (the checkpoints
-    // are lazy), and an eager unpersist() here would silently drop the
-    // caches before they were ever used — every iteration then re-scans
-    // the edge source. CacheRelease frees them right after that action.
-    graft.spark.CacheRelease.afterFirstAction(ranks, Seq(withDeg, nodes))
+    // The withDeg cache must outlive plan construction: the caller's
+    // FIRST action is what materializes the iteration chain (the
+    // checkpoints are lazy), and the pre-r18 eager unpersist() here
+    // silently dropped it before it was ever used — every iteration
+    // then re-derived edges+outdegree from the source. CacheRelease
+    // frees it right after that action (paired A/B: keeping it costs
+    // nothing locally; at cluster scale it is what bounds the job to
+    // ONE edge scan instead of one per iteration).
+    graft.spark.CacheRelease.afterFirstAction(ranks, Seq(withDeg))
   }
 }

@@ -4819,6 +4819,77 @@ class OpsSpec extends AnyFunSuite {
     assert(gr.count() == 4) // 3-dim fit of itself: plain rows
   }
 
+  test("grained-cosine kernels == interpreted HOF formulation (r18 opt)") {
+    import org.apache.spark.sql.GraftBridge
+    // the exact HOF scoring the codegen'd kernels replaced in
+    // Drift.embeddingDrift / embeddingDriftByGroup — kept as the parity
+    // reference (bit-identical contract, same null/ragged/zero guards)
+    def g9(x: Double, y: Double): Long = math.floor(x * y * 1e9).toLong
+    val rnd = new scala.util.Random(31)
+    val ca = Array.fill(6)(rnd.nextGaussian())
+    val scA = ca.map(c => g9(c, c)).sum
+    val centLit = array(ca.map(lit).toIndexedSeq: _*)
+    // rows: random, zero vector, ragged (short + long), null element, NaN
+    val vecs = spark.range(1).select(
+      concat(
+        typedLit((0 until 20).map(_ =>
+          Seq.fill(6)(rnd.nextGaussian()))).cast("array<array<double>>"),
+        typedLit(Seq(Seq.fill(6)(0.0))).cast("array<array<double>>"),
+        typedLit(Seq(Seq(1.0, 2.0))).cast("array<array<double>>"),
+        typedLit(Seq(Seq.fill(9)(1.5))).cast("array<array<double>>"),
+        array(array(lit(1.0), lit(null).cast("double"), lit(2.0),
+          lit(3.0), lit(4.0), lit(5.0))),
+        array(array(lit(Double.NaN), lit(Double.NaN), lit(Double.NaN),
+          lit(Double.NaN), lit(Double.NaN), lit(Double.NaN)))
+      ).as("vv"))
+      .select(explode(col("vv")).as("v"))
+    val vc = col("v").cast("array<double>")
+    val sd = aggregate(
+      zip_with(vc, centLit, (x, y) => floor(x * y * 1e9).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val sv = aggregate(
+      transform(vc, x => floor(x * x * 1e9).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val want = vecs.select(
+      when(size(vc) === lit(ca.length) && sv > 0 && lit(scA) > 0,
+        sd.cast("double") /
+          sqrt(sv.cast("double") * lit(scA).cast("double"))).as("cos"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val got = vecs.select(GraftBridge.column(
+        graft.spark.GrainedCosineConstExpression(
+          GraftBridge.expression(vc), ca, scA)).as("cos"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == want.toSeq) // bit-identical, no tolerance
+    // zero vector (sv=0), short, long, null element, NaN (sv=0)
+    assert(got.count(_.isEmpty) == 5, got.mkString(","))
+    // per-row-centroid twin: same rows, centroid + grained self-norm on
+    // the row (the embeddingDriftByGroup broadcast-join shape)
+    val withCent = vecs.select(col("v"), centLit.as("cent"),
+      lit(scA).as("sc9"))
+    val sdR = aggregate(
+      zip_with(vc, col("cent"), (x, y) => floor(x * y * 1e9).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val wantR = withCent.select(
+      when(size(vc) === size(col("cent")) && sv > 0 && col("sc9") > 0,
+        sdR.cast("double") /
+          sqrt(sv.cast("double") * col("sc9").cast("double"))).as("cos"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val gotR = withCent.select(GraftBridge.column(
+        graft.spark.GrainedCosineExpression(
+          GraftBridge.expression(vc),
+          GraftBridge.expression(col("cent")),
+          GraftBridge.expression(col("sc9")))).as("cos"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(gotR.toSeq == wantR.toSeq)
+    assert(gotR.toSeq == got.toSeq) // const and per-row kernels agree
+    // sc9 <= 0 nulls every row in both kernels
+    val zeroRef = vecs.select(GraftBridge.column(
+        graft.spark.GrainedCosineConstExpression(
+          GraftBridge.expression(vc), ca, 0L)).as("cos"))
+      .collect()
+    assert(zeroRef.forall(_.isNullAt(0)))
+  }
+
   test("intervalOverlapJoin: exactly-once pairs == cross-join filter") {
     import graft.ops.Joins
     val left = Seq((1L, 0L, 100L), (2L, 50L, 250L), (3L, 400L, 410L))
