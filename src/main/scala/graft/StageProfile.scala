@@ -37,8 +37,13 @@ object StageProfile {
         val m = si.taskMetrics
         val wall = (for {s <- si.submissionTime; c <- si.completionTime}
           yield c - s).getOrElse(-1L)
+        // the RDD scope chain names the operators the stage pipelines —
+        // far more telling than the AQE-era uniform callsite name
+        val ops = si.rddInfos.sortBy(_.id).map(r =>
+          r.scope.map(_.name).getOrElse(r.name))
+          .distinct.mkString(">").take(140)
         stages.synchronized {
-          stages += St(si.stageId, si.name.takeWhile(_ != '\n').take(90),
+          stages += St(si.stageId, ops,
             wall, m.executorRunTime, m.executorCpuTime / 1000000,
             m.shuffleReadMetrics.totalBytesRead, m.shuffleReadMetrics.recordsRead,
             m.shuffleWriteMetrics.bytesWritten, si.numTasks)
