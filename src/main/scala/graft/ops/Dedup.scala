@@ -51,6 +51,12 @@ object Dedup {
     * cap-sized bucket expands without materializing its cap²/2 pairs.
     */
   private def bucketPairs(capped: DataFrame, keyCols: Seq[String]): DataFrame = {
+    if (sys.props.get("graft.abtmp").contains("old")) { // AB-TMP
+      val joinCond = keyCols.map(k => col(s"x.$k") === col(s"y.$k"))
+        .reduce(_ && _) && col("x.id") < col("y.id")
+      return capped.as("x").join(capped.as("y"), joinCond)
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    }
     val postings = capped.groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(col("id"))).as("ids"))
     postings
