@@ -50,13 +50,61 @@ object Dedup {
     * the two generators (peak state = one posting list), so a full
     * cap-sized bucket expands without materializing its cap²/2 pairs.
     */
+  /** Per-row group size over `keyCols` as `countCol`, computed with ONE
+    * window aggregate over the bucket key instead of a pre-aggregation
+    * joined back on it. Effects (guide §2.4/§3.1):
+    *  - the window's exchange establishes the bucket-key hash
+    *    partitioning that the downstream bucket aggregation
+    *    ([[bucketPairs]]) or bucket self-join then REUSES, and the
+    *    grouped relation is derived ONCE (the join formulation
+    *    re-derived it a second time for its count branch);
+    *  - the plan is deterministic: AQE planned the count join
+    *    broadcast-vs-shuffle run to run depending on its size estimate
+    *    of the count side (the r18 "AQE-bimodal" observation on
+    *    q_dedup_jaccard), and the broadcast choice is scale-WRONG —
+    *    bucket counts grow with the corpus (billions of distinct
+    *    shingles/band keys at 100 TB) while a window never collects.
+    * The trade: the window SORTS every input row by the bucket key
+    * where the join only aggregates. Paired A/B (r18 opt round) split
+    * the call sites — the window won where the input relation is
+    * moderate and feeds bucket-keyed consumers (minhash/simhash bands,
+    * CDC chunk tables, line hashes: 0.85–1.00×) and LOST where the
+    * input is huge relative to its aggregated count side
+    * ([[ngramJaccardPairs]]' inverted index 1.45×, [[embeddingPairs]]'
+    * multi-member byte-band buckets 1.14–1.20×, [[duplicateSpans]]'
+    * semi-join 1.25×) — those keep the aggregate + join, each with its
+    * measurement note inline.
+    * Skew note: the window buffers one bucket-key group at a time
+    * (spillable); the join formulation shuffled the same skewed rows to
+    * the same partition, so exposure on a degenerate hot key is
+    * unchanged, and the cap filter drops it immediately downstream.
+    * Count-over-window groups NULL keys together where the equi-join
+    * dropped them; every caller's key is a non-null hash/band value.
+    */
+  private def withGroupCount(df: DataFrame, keyCols: Seq[String],
+      countCol: String): DataFrame =
+    df.withColumn(countCol, count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)))
+
+  /** Rows of `tbl` (`id`, `posCol`, `__h`) whose hash occurs more than
+    * once corpus-wide, with the group's frequency `__c` and
+    * first-occurrence `owner` struct (min (id, posCol)) attached — the
+    * ownership-election input of the span/chunk removal ops, computed
+    * in ONE hash-partitioned window pass instead of the
+    * frequency/owner aggregate joined back (same rationale as
+    * [[withGroupCount]]).
+    */
+  private def dupOwnerOccurrences(tbl: DataFrame, posCol: String,
+      hashCol: String = "__h"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(hashCol))
+    tbl
+      .withColumn("__c", count(lit(1)).over(w))
+      .withColumn("owner", min(struct(col("id"), col(posCol))).over(w))
+      .filter(col("__c") > 1)
+  }
+
   private def bucketPairs(capped: DataFrame, keyCols: Seq[String]): DataFrame = {
-    if (sys.props.get("graft.abtmp").contains("old")) { // AB-TMP
-      val joinCond = keyCols.map(k => col(s"x.$k") === col(s"y.$k"))
-        .reduce(_ && _) && col("x.id") < col("y.id")
-      return capped.as("x").join(capped.as("y"), joinCond)
-        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-    }
     val postings = capped.groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(col("id"))).as("ids"))
     postings
@@ -167,6 +215,12 @@ object Dedup {
     // stats — without it the explode + df-count join replays three times.
     // Same cache contract as `sh` (see the minhashPairs persist note).
     // __df rides along so the self-join sides can also drop df=1 rows.
+    // Deliberately NOT the [[withGroupCount]] window shape: paired A/B
+    // (r18 opt, 2×5 pairs) measured the window at med 1.45× the join
+    // here — the inverted index is large (≈10²–10³ rows/doc) while the
+    // df-count side aggregates it ~2 orders down before the join, so
+    // the window's full sort of `inv` costs more than the count
+    // join ever does.
     val invCapped0 = inv.join(dfCounts, Seq("sh_hash"))
       .filter(col("__df") <= maxShingleDf)
     val invCapped = if (persist)
@@ -339,12 +393,10 @@ object Dedup {
     // are near-identical to MANY others and still pair up through their
     // other 15 bands, while the join stays skew-free.
     val maxBucket = 10000
-    val bucketSizes = banded.groupBy(col("band"), col("band_key"))
-      .agg(count(lit(1)).as("__bucket_n"))
     // lower bound 2: a singleton bucket (the common case — most docs are
-    // not near-dups) can't emit a pair; dropping it shrinks both
-    // self-join sides with provably identical output
-    val bandedCapped = banded.join(bucketSizes, Seq("band", "band_key"))
+    // not near-dups) can't emit a pair; dropping it shrinks the
+    // candidate aggregation with provably identical output
+    val bandedCapped = withGroupCount(banded, Seq("band", "band_key"), "__bucket_n")
       .filter(col("__bucket_n") <= maxBucket && col("__bucket_n") >= 2)
       .drop("__bucket_n")
     val cand = bucketPairs(bandedCapped, Seq("band", "band_key")).distinct()
@@ -630,10 +682,8 @@ object Dedup {
         posexplode(expr("transform(sequence(0, 3), " +
           "b -> (sig >> (b * 16)) & 65535)")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
-    val bucketSizes = banded.groupBy(col("band"), col("band_key"))
-      .agg(count(lit(1)).as("__bucket_n"))
     // lower bound 2: singleton buckets can't pair (see minhashPairs)
-    val bandedCapped = banded.join(bucketSizes, Seq("band", "band_key"))
+    val bandedCapped = withGroupCount(banded, Seq("band", "band_key"), "__bucket_n")
       .filter(col("__bucket_n") <= maxBucket && col("__bucket_n") >= 2)
       .drop("__bucket_n")
     bandedCapped.as("x").join(bandedCapped.as("y"),
@@ -709,7 +759,11 @@ object Dedup {
       .agg(count(lit(1)).as("__bucket_n"))
     // lower bound 2: singleton buckets can't pair in a SELF-join (the
     // bipartite minhashPairsAgainst must NOT do this — a corpus-side
-    // singleton still pairs with the delta side)
+    // singleton still pairs with the delta side). Count-aggregate +
+    // join, not [[withGroupCount]]: paired A/B (r18 opt, 2×5–7 pairs)
+    // had the window at med 1.14–1.20× here — the 8-bit band keys make
+    // every bucket multi-member, so the window buffers the whole banded
+    // relation while the count side shrinks 2 orders before the join.
     val bandedCapped = banded.join(bucketSizes, Seq("band", "band_key"))
       .filter(col("__bucket_n") <= maxBucket && col("__bucket_n") >= 2)
       .drop("__bucket_n")
@@ -761,9 +815,7 @@ object Dedup {
           posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
             s"b -> xxhash64(slice(sig, b * $rows + 1, $rows)))")))
         .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
-      val sizes = b.groupBy(col("band"), col("band_key"))
-        .agg(count(lit(1)).as("__bucket_n"))
-      b.join(sizes, Seq("band", "band_key"))
+      withGroupCount(b, Seq("band", "band_key"), "__bucket_n")
         .filter(col("__bucket_n") <= maxBucket)
         .drop("__bucket_n")
     }
@@ -817,6 +869,10 @@ object Dedup {
     val totals = base.select(col("id"),
       coalesce(size(col("__wh")), lit(0)).cast("long").as("n_windows"))
     val exploded = base.select(col("id"), explode(col("__wh")).as("__h"))
+    // frequency aggregate + semi-join, not [[withGroupCount]]: paired
+    // A/B (r18 opt, 5 pairs) had the window at med 1.25× here — this op
+    // only needs the duplicated MINORITY of occurrences back, so the
+    // semi-join probe beats sorting every exploded hash into a window
     val dupHashes = exploded.groupBy(col("__h"))
       .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
       .select(col("__h"))
@@ -868,10 +924,10 @@ object Dedup {
     else base0
     val exploded = base.select(col("id"), posexplode(col("__wh")))
       .withColumnsRenamed(Map("pos" -> "pos", "col" -> "__h"))
-    val dupHashes = exploded.groupBy(col("__h"))
-      .agg(count(lit(1)).as("__c"), min(struct(col("id"), col("pos"))).as("owner"))
-      .filter(col("__c") > 1)
-    val cuts = exploded.join(dupHashes, Seq("__h"))
+    // frequency + first-occurrence owner (min (id, pos) struct) both
+    // computed over ONE hash-partitioned window pass instead of the
+    // aggregate + join-back ([[dupOwnerOccurrences]])
+    val cuts = dupOwnerOccurrences(exploded, "pos")
       .filter(!(col("owner.id") === col("id") && col("owner.pos") === col("pos")))
       .groupBy(col("id")).agg(collect_list(col("pos")).as("__cut_pos"))
       .withColumnRenamed("id", "__cut_id")
@@ -1003,10 +1059,12 @@ object Dedup {
       .select(col("id"), md5(col("__c")).as("__h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = tbl.groupBy(col("id")).agg(count(lit(1)).as("__n"))
-    val sizes = tbl.groupBy(col("__h")).agg(count(lit(1)).as("__bn"))
+    // bucket-size cap via count-over-window ([[withGroupCount]]): the
+    // hash-partitioned window replaces the size aggregate + semi-join
+    // and pre-partitions both self-join sides by __h
+    val inBucket = withGroupCount(tbl, Seq("__h"), "__bn")
       .filter(col("__bn") > 1 && col("__bn") <= maxBucket)
-      .select(col("__h"))
-    val inBucket = tbl.join(sizes, Seq("__h"), "left_semi")
+      .drop("__bn")
     val shared = inBucket.as("x").join(inBucket.as("y"),
         col("x.__h") === col("y.__h") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -1041,11 +1099,9 @@ object Dedup {
         posexplode(TextStats.cdcChunks(col(textCol), window, divisor)))
       .withColumnsRenamed(Map("pos" -> "chunk_id", "col" -> "chunk_text"))
       .select(col("id"), col("chunk_id"), md5(col("chunk_text")).as("__h"))
-    val owners = tbl.groupBy(col("__h"))
-      .agg(count(lit(1)).as("__c"),
-        min(struct(col("id"), col("chunk_id"))).as("owner"))
-      .filter(col("__c") > 1)
-    val drops = tbl.join(owners, Seq("__h"))
+    // frequency + first-occurrence owner over ONE hash-partitioned
+    // window pass (the [[removeDuplicateSpans]] shape)
+    val drops = dupOwnerOccurrences(tbl, "chunk_id")
       .filter(!(col("owner.id") === col("id") &&
         col("owner.chunk_id") === col("chunk_id")))
       .groupBy(col("id")).agg(collect_list(col("chunk_id")).as("__drop"))
@@ -1090,6 +1146,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inCorpus = deltaTbl.join(corpusH, Seq("__h"), "left_semi")
       .select(col("id"), col("chunk_id"))
+    // aggregate + join-back, not [[dupOwnerOccurrences]]: paired A/B
+    // (r18 opt, 2×5–7 pairs) had the window at med 1.17–1.20× here —
+    // unlike [[cdcDedupDocs]] the cached delta table feeds TWO
+    // consumers (corpus semi-join + this election), so the window's
+    // sort of every delta chunk row buys no reuse
     val intraDup = {
       val owners = deltaTbl.groupBy(col("__h"))
         .agg(count(lit(1)).as("__c"),
@@ -1175,9 +1236,11 @@ object Dedup {
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim))))
       .withColumnsRenamed(Map("pos" -> "pos", "col" -> "line"))
       .select(col("id"), col("pos"), xxhash64(col("line")).as("lh"))
-    val firstOwner = lines.groupBy(col("lh"))
-      .agg(min(struct(col("id"), col("pos"))).as("owner"))
-    val dropped = lines.join(firstOwner, Seq("lh"))
+    // first-owner election over ONE hash-partitioned window pass
+    // ([[dupOwnerOccurrences]]); its __c > 1 pre-filter is a no-op
+    // refinement here — a singleton line is always its own owner and
+    // was dropped by the owner check anyway
+    val dropped = dupOwnerOccurrences(lines, "pos", hashCol = "lh")
       .filter(!(col("owner.id") === col("id") && col("owner.pos") === col("pos")))
       .select(col("id"), col("pos"))
     val dropLists = dropped.groupBy(col("id"))

@@ -291,7 +291,7 @@ class PlanSpec extends AnyFunSuite {
     val df = graft.ops.Dedup.embeddingPairs(vecs, "embedding", "vec_id",
       dim = 8, persist = false)
     val opt = df.queryExecution.optimizedPlan
-    // the banded candidate self-join must move (id, band, band_key) rows
+    // the banded bucket-cap join must move (id, band, band_key) rows
     // only — full vectors (~6 KB at dim=768) never enter the band shuffle
     val candJoins = opt.collect {
       case j: Join if j.condition.exists(_.references.exists(_.name == "band_key")) => j
@@ -303,6 +303,16 @@ class PlanSpec extends AnyFunSuite {
           s"vector array crosses the candidate join:\n$opt")
       }
     }
+    // the posting-list aggregation groups on (band, band_key) and its
+    // input is vector-free too
+    val postingAgg = opt.collect {
+      case a: Aggregate
+          if a.groupingExpressions.exists(_.references.exists(_.name == "band_key")) => a
+    }
+    assert(postingAgg.nonEmpty, opt.toString)
+    postingAgg.foreach(a =>
+      assert(!a.child.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"vector array below the posting aggregation:\n$opt"))
     // the pair distinct() shuffles 16-byte (id_a, id_b) keys only
     val pairDistinct = opt.collect {
       case a: Aggregate
@@ -313,13 +323,6 @@ class PlanSpec extends AnyFunSuite {
     pairDistinct.foreach(a =>
       assert(!a.child.output.exists(_.dataType.isInstanceOf[ArrayType]),
         s"vector array below the pair distinct:\n$opt"))
-    // the skew cap's bucket-size aggregate is present
-    val bucketAgg = opt.collect {
-      case a: Aggregate
-          if a.groupingExpressions.exists(_.references.exists(_.name == "band_key")) &&
-            a.aggregateExpressions.length > a.groupingExpressions.length => a
-    }
-    assert(bucketAgg.nonEmpty, opt.toString)
   }
 
   test("bloom decontamination: codegen'd probe, no bench broadcast in confirm join") {
@@ -353,24 +356,49 @@ class PlanSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = graft.ops.Dedup.lineDedup(docs, "text", "doc_id")
     val opt = df.queryExecution.optimizedPlan
-    // owner election groups on the 8-byte hash with line strings already
-    // projected away below it
-    val ownerAgg = opt.collect {
-      case a: Aggregate
-          if a.groupingExpressions.exists(_.references.exists(_.name == "lh")) => a
+    // owner election is ONE count/min window pass partitioned on the
+    // 8-byte hash (r18 shape: no owner aggregate + join-back), with
+    // line strings already projected away below the window's shuffle
+    val ownerWindows = opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.exists(_.references.exists(_.name == "lh")) => w
     }
-    assert(ownerAgg.nonEmpty, opt.toString)
-    ownerAgg.foreach(a =>
-      assert(!a.child.output.exists(_.dataType == StringType),
-        s"line text below the owner election:\n$opt"))
-    // the dropped-occurrence join moves (id, pos, lh) triples only
+    assert(ownerWindows.nonEmpty, opt.toString)
+    ownerWindows.foreach(w =>
+      assert(!w.child.output.exists(_.dataType == StringType),
+        s"line text enters the owner-election window shuffle:\n$opt"))
+    // and no lh-keyed join remains to sneak the text back in
     val dropJoins = opt.collect {
       case j: Join if j.condition.exists(_.references.exists(_.name == "lh")) => j
     }
-    assert(dropJoins.nonEmpty, opt.toString)
-    dropJoins.foreach(j => j.children.foreach(c =>
-      assert(!c.output.exists(_.dataType == StringType),
-        s"line text crosses the dedup-decision join:\n$opt")))
+    assert(dropJoins.isEmpty, s"lh-keyed join reappeared:\n$opt")
+  }
+
+  test("minhash bucket cap is a count-over-window, not a size join") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.types.ArrayType
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.ops.Dedup.minhashPairs(docs, "text", "doc_id",
+      persist = false)
+    val opt = df.queryExecution.optimizedPlan
+    // the skew cap attaches bucket sizes with ONE window over
+    // (band, band_key) — the r18 shape: its exchange is the same one the
+    // posting-list aggregation needs, and no bucket-size join exists to
+    // go AQE-bimodal (broadcast vs shuffle) run to run
+    val capWindows = opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.exists(_.references.exists(_.name == "band_key")) => w
+    }
+    assert(capWindows.nonEmpty, opt.toString)
+    // only (id, band, band_key) rows enter that shuffle — the shingle
+    // and signature arrays stay out of the banding path entirely
+    capWindows.foreach(w =>
+      assert(!w.child.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"array column enters the bucket-cap window shuffle:\n$opt"))
+    val bandJoins = opt.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "band_key")) => j
+    }
+    assert(bandJoins.isEmpty, s"band-keyed join reappeared:\n$opt")
   }
 
   test("cleaning and url ops are scan-local: zero exchanges, codegen'd") {
