@@ -139,7 +139,13 @@ object Dedup {
     if (text == null) return Array.empty[Long]
     val toks = text.split(" ")
     if (toks.length < n) return Array.empty[Long]
-    val set = new java.util.TreeSet[java.lang.Long]()
+    // primitive array + sort + in-place dedup, NOT a TreeSet[JLong]:
+    // the boxed tree cost one allocation and a pointer-chasing O(log w)
+    // insert per window hash in the hottest per-row kernel of the
+    // jaccard family; the dual-pivot primitive sort produces the
+    // identical sorted-distinct array (r18 opt round, guide §4)
+    val wins = toks.length - n + 1
+    val arr = new Array[Long](wins)
     var i = 0
     while (i + n <= toks.length) {
       var h = 0xcbf29ce484222325L
@@ -151,14 +157,17 @@ object Dedup {
         if (k < i + n - 1) { h ^= ' '; h *= 0x100000001b3L }
         k += 1
       }
-      set.add(h)
+      arr(i) = h
       i += 1
     }
-    val out = new Array[Long](set.size())
-    val it = set.iterator()
+    java.util.Arrays.sort(arr)
     var m = 0
-    while (it.hasNext) { out(m) = it.next(); m += 1 }
-    out
+    var p = 0
+    while (p < wins) {
+      if (m == 0 || arr(p) != arr(m - 1)) { arr(m) = arr(p); m += 1 }
+      p += 1
+    }
+    if (m == wins) arr else java.util.Arrays.copyOf(arr, m)
   }
 
   private def shingleHashes(c: Column, n: Int): Column =
@@ -315,8 +324,13 @@ object Dedup {
     if (text == null) return (Array.empty, Array.empty)
     val toks = text.split(" ")
     if (toks.length < n) return (Array.empty, Array.empty)
-    val sig = Array.fill(numPerms)(Long.MaxValue)
-    val set = new java.util.TreeSet[java.lang.Long]()
+    // primitive array + sort + in-place dedup instead of a boxed
+    // TreeSet (the [[shingleHashesValue]] note); the per-distinct
+    // permutation fold runs over the deduped prefix — min is
+    // commutative, so folding in sorted rather than first-encounter
+    // order leaves every signature value identical
+    val wins = toks.length - n + 1
+    val arr = new Array[Long](wins)
     var i = 0
     while (i + n <= toks.length) {
       var h = 0xcbf29ce484222325L
@@ -328,23 +342,31 @@ object Dedup {
         if (k < i + n - 1) { h ^= ' '; h *= 0x100000001b3L }
         k += 1
       }
-      if (set.add(h)) { // distinct shingles only, like list_distinct
-        var p = 0
-        while (p < numPerms) {
-          var z = h ^ seeds(p)
+      arr(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(arr)
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    var m = 0
+    var p = 0
+    while (p < wins) {
+      if (m == 0 || arr(p) != arr(m - 1)) {
+        arr(m) = arr(p)
+        m += 1
+        val h = arr(p)
+        var q = 0
+        while (q < numPerms) {
+          var z = h ^ seeds(q)
           z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
           z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
           z = z ^ (z >>> 31)
-          if (z < sig(p)) sig(p) = z
-          p += 1
+          if (z < sig(q)) sig(q) = z
+          q += 1
         }
       }
-      i += 1
+      p += 1
     }
-    val sh = new Array[Long](set.size())
-    val it = set.iterator()
-    var m = 0
-    while (it.hasNext) { sh(m) = it.next(); m += 1 }
+    val sh = if (m == wins) arr else java.util.Arrays.copyOf(arr, m)
     (sh, sig)
   }
 
@@ -586,6 +608,10 @@ object Dedup {
     */
   def keepBestInClusters(df: DataFrame, pairs: DataFrame, idCol: String,
       rank: Column): DataFrame = {
+    // the single-scan election joins its flags onto the user's frame,
+    // so a user column with a staging name would be silently replaced
+    Ids.requireNoReservedNames("keepBestInClusters", "input",
+      df.columns.toSeq, Set("__lab", "__win"), Some(df.sparkSession))
     val labels = clusters(pairs)
     val ranked = df.select(col(idCol).as("id"), rank.as("__r"))
       .join(labels, Seq("id"))
@@ -593,9 +619,17 @@ object Dedup {
       .partitionBy(col("label")).orderBy(col("__r").desc, col("id").asc)
     val winners = ranked.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).select(col("id").as(idCol))
-    val unlabeled =
-      df.join(labels.select(col("id").as(idCol)), Seq(idCol), "left_anti")
-    unlabeled.unionByName(df.join(winners, Seq(idCol), "left_semi"))
+    // ONE corpus scan with two id-keyed left joins (labels and winners
+    // have unique ids, so neither join multiplies rows), instead of the
+    // anti-join + semi-join UNION that scanned `df` twice — at corpus
+    // scale that union was a second full read of the payload columns
+    // for the same output rows (r18 opt round, guide §2.4)
+    val labIds = labels.select(col("id").as(idCol), lit(true).as("__lab"))
+    val winIds = winners.withColumn("__win", lit(true))
+    df.join(labIds, Seq(idCol), "left")
+      .join(winIds, Seq(idCol), "left")
+      .filter(col("__lab").isNull || col("__win").isNotNull)
+      .drop("__lab", "__win")
   }
 
   /** Pure text → 64-bit SimHash kernel (uniform token weights, FNV-1a
