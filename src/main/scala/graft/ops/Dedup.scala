@@ -238,9 +238,21 @@ object Dedup {
     // Per-doc bookkeeping: distinct-shingle count and how many of them the
     // df cap removed from the index (observable recall budget per doc).
     // max(__sz) == the doc's constant __sz (one value per id).
-    val stats = invCapped.groupBy(col("id"))
+    val stats0 = invCapped.groupBy(col("id"))
       .agg(count(lit(1)).as("__kept"), max(col("__sz")).as("sz"))
       .select(col("id"), col("sz"), (col("sz") - col("__kept")).as("dropped"))
+    // Persisted: the survivor filter joins stats TWICE (id_a and id_b
+    // sides) and Spark's exchange reuse does NOT dedupe the two agg
+    // chains (verified in the AQE final plan: two separate
+    // Exchange+HashAggregate chains over the cached index, each a full
+    // 1.25M-row cache scan at sf0.1) — the persist makes the second
+    // derivation a ~|docs|-row cache read. Paired A/B (r18 opt):
+    // q_dedup_jaccard 0.96, q_dedup_best 0.89, q_srcdup 1.04 — at or
+    // below parity locally, and one aggregation pass over the inverted
+    // index instead of two at corpus scale.
+    val stats = if (persist)
+      stats0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else stats0
     // A df=1 shingle appears in exactly one document and can't emit a
     // pair row — exclude those (typically the MAJORITY of a natural
     // corpus's shingles) from both self-join sides. Output is unchanged;
