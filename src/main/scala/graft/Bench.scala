@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * baseline workload shape: large dictionary, few-percent match rate —
   * `README.md:161-214`, BASELINE.md). Plus wall-times for the heavier
   * pipeline operators. Stdout: the full JSON line, then a compact
-  * headline-only object as the FINAL line (tail-capture contract).
+  * headline-only object, then (FINAL line) a tail-budget-sized
+  * headline+top-queries superset — see [[compactTailLine]].
   * File (`SPARK_GRAFT_BENCH_OUT`, default `BENCH_LOCAL.json`): ONE
   * JSON document — the full object with the headline embedded under a
   * `"headline"` key — so single-document parsers don't choke on a
@@ -297,11 +298,56 @@ object Bench {
   @volatile private var canarySink: Long = 0L
 
   /** One measured window: the full artifact line, the compact headline
-    * object (attempt count appended by the caller), and the
-    * self-adjudication flag.
+    * object (attempt count appended by the caller), the
+    * self-adjudication flag, the suite total, and the per-OP-query mins
+    * (annotate rows excluded — their mins are recoverable from the
+    * headline's docs_per_sec fields) for the truncation-proof tail line.
     */
   private final case class Window(json: String, headlineObj: String,
-      isSuspect: Boolean)
+      isSuspect: Boolean, total: Double, opMins: Seq[(String, Double)])
+
+  /** Truncation-proof FINAL stdout line (r18 verdict #1): the driver
+    * keeps only a ~2000-byte stdout tail of the bench run, so the full
+    * metric line — whose per-query map alone is ~3.6 KB at 182 keys —
+    * has been truncated mid-line two rounds running and PERF_r17/r18
+    * carried no per-query table at all. This line packs the COMPLETE
+    * headline object plus as many per-query mins as fit (most expensive
+    * first, first-fit) into `budgetBytes` (2000-byte tail minus sbt's
+    * trailing "[success] ..." line minus margin), so the one complete
+    * JSON line a tail capture retains carries both the headline and
+    * real per-query numbers, whether the tail parser takes the first,
+    * the last, or every parseable line. The full 182-key map still
+    * ships unchanged on the metric line (stdout line 1) and in the file
+    * artifact — this is an ADDITION, no key removed or renamed;
+    * `queries_omitted` records how many keys did not fit. Values print
+    * at the same 1 ms resolution with trailing zeros trimmed.
+    */
+  private[graft] def compactTailLine(headlineObj: String, total: Double,
+      sfDir: String, mins: Seq[(String, Double)],
+      budgetBytes: Int): String = {
+    def num(v: Double): String = {
+      val s = f"$v%.3f"
+      val t = s.reverse.dropWhile(_ == '0').reverse
+      if (t.endsWith(".")) t + "0" else t
+    }
+    val prefixBase = s"""{"headline":$headlineObj,"metric":"total"""" +
+      s""","value":${num(total)},"unit":"sec","sf":"$sfDir""""
+    def prefix(omitted: Int): String =
+      s"""$prefixBase,"queries_omitted":$omitted,"queries":{"""
+    val close = "}}"
+    val entries = mins.sortBy { case (k, v) => (-v, k) }
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
+    // reserve the widest possible queries_omitted rendering so the
+    // greedy fill can never overflow the budget when the count shrinks
+    var used = prefix(mins.size).length + close.length
+    val taken = Seq.newBuilder[String]
+    var n = 0
+    entries.foreach { e =>
+      val add = e.length + (if (n > 0) 1 else 0)
+      if (used + add <= budgetBytes) { used += add; taken += e; n += 1 }
+    }
+    prefix(mins.size - n) + taken.result().mkString(",") + close
+  }
 
   /** Escalating post-rejection pause (r17 board #1): a fixed short
     * pause cannot outlast the documented 10–20 min co-tenant bursts —
@@ -419,12 +465,22 @@ object Bench {
       Thread.sleep)
     val headlineObj = withAttempts(win.headlineObj, attempt)
     val headline = s"""{"headline":$headlineObj}"""
-    // stdout tail contract: the big line, then the compact headline LAST
+    // 2000-byte driver tail minus sbt's "[success] Total time ..."
+    // trailer (~75 B) minus margin — see compactTailLine
+    val tailBudget = math.max(200,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_TAIL_BUDGET", "1870").toInt)
+    val compact =
+      compactTailLine(headlineObj, win.total, sfDir, win.opMins, tailBudget)
+    // stdout tail contract: the big line, the compact headline, then the
+    // budget-sized headline+queries superset as the TRUE last line (the
+    // only complete JSON line a 2000-byte tail retains)
     println(win.json)
     println(headline)
+    println(compact)
     // belt and braces for harnesses that scrape a prefixed stdout
     System.err.println(win.json)
     System.err.println(headline)
+    System.err.println(compact)
     writeDoc(outPath, fileJson(win, attempt, rejectedWins))
   }
 
@@ -747,6 +803,7 @@ object Bench {
     }
     rmTree(java.nio.file.Paths.get(docsDir))
     rmTree(java.nio.file.Paths.get(pairsDir))
-    Window(json, headlineObj, isSuspect)
+    Window(json, headlineObj, isSuspect, total,
+      results.toSeq.filterNot(_._1.startsWith("annotate_")))
   }
 }

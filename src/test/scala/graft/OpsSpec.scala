@@ -6611,6 +6611,58 @@ class OpsSpec extends AnyFunSuite {
     assert(!suspect(quiet + ("canary_cpu" -> Vector(0.9, 0.95, 0.92, 0.91))))
   }
 
+  test("Bench compactTailLine: budget-bounded, valid JSON, headline " +
+      "intact, most-expensive queries first, omission count honest") {
+    import graft.Bench.compactTailLine
+    val headline = """{"docs_per_sec":248834,"cpus":32,"suspect":false,""" +
+      """"attempts":1}"""
+    val mins = Seq("q_small" -> 0.099, "q_triplets" -> 4.340,
+      "q_stream_join" -> 4.626, "q_mid" -> 0.590, "q_tiny" -> 0.012,
+      "q_exact_one" -> 1.0)
+    val line = compactTailLine(headline, 92.391, "/root/testdata/sf0.1",
+      mins, budgetBytes = 1870)
+    assert(line.length <= 1870, s"over budget: ${line.length}")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(line) // throws on invalid JSON
+    assert(root.get("headline").get("docs_per_sec").asLong == 248834L)
+    assert(root.get("metric").asText == "total")
+    assert(math.abs(root.get("value").asDouble - 92.391) < 1e-9)
+    assert(root.get("sf").asText == "/root/testdata/sf0.1")
+    // generous budget: every key fits, values at 1ms resolution
+    val q = root.get("queries")
+    assert(q.size == 6 && root.get("queries_omitted").asInt == 0)
+    assert(math.abs(q.get("q_triplets").asDouble - 4.34) < 1e-9)
+    assert(math.abs(q.get("q_tiny").asDouble - 0.012) < 1e-9)
+    assert(math.abs(q.get("q_exact_one").asDouble - 1.0) < 1e-9)
+    // tight budget: the expensive keys win the slots, count is honest,
+    // line still parses and never exceeds the budget (the budget
+    // guarantee holds whenever it covers the fixed headline+metric
+    // prefix, here ~163 bytes; below that the prefix prints regardless)
+    val sizes = (165 to 320 by 7)
+    sizes.foreach { b =>
+      val l = compactTailLine(headline, 92.391, "sf", mins, budgetBytes = b)
+      assert(l.length <= b, s"budget $b overflowed: ${l.length}")
+      val r = om.readTree(l)
+      val got = r.get("queries")
+      assert(got.size + r.get("queries_omitted").asInt == mins.size)
+      if (got.size > 0 && got.size < mins.size) {
+        // first-fit by descending time: q_triplets/q_stream_join take
+        // priority over the sub-second keys whenever one of them fits
+        assert(got.has("q_stream_join") || got.has("q_triplets") ||
+          !got.has("q_tiny"))
+      }
+    }
+    // the real-shape sanity check: a 182-key map at realistic key
+    // lengths must deliver ≥40 keys within the r18-measured tail budget
+    val big = (1 to 182).map(i => f"q_realistic_key_$i%03d" -> (0.05 + i * 0.02))
+    val real = compactTailLine(headline, 120.0, "/root/testdata/sf0.1",
+      big, budgetBytes = 1870)
+    assert(real.length <= 1870)
+    val rb = om.readTree(real)
+    assert(rb.get("queries").size >= 40,
+      s"only ${rb.get("queries").size} keys fit")
+  }
+
   test("Bench op-row band residuals: the recorded r16 driver window " +
       "flags, the quiet r16a window does not") {
     import graft.Bench.{Band, loadBands, opRowsOverBand, opRowsSuspect}
