@@ -274,12 +274,19 @@ class PlanSpec extends AnyFunSuite {
     assert(executed.contains("partial_count"), executed)
     assert(!executed.contains("CartesianProduct"), executed)
     // every array intersection (Catalyst may clone it into the verify
-    // join's condition) must sit DOWNSTREAM of the pair-count aggregate —
-    // the tree prints root-first, so all occurrences must appear before
-    // the first partial_count line: arrays never enter candidate scoring
-    val lastIntersect = executed.lastIndexOf("array_intersect")
-    val firstPartial = executed.indexOf("partial_count")
-    assert(lastIntersect >= 0 && lastIntersect < firstPartial, executed)
+    // join's condition) must apply to already-pruned survivor pairs
+    // only, never inside candidate scoring: no whole-stage-codegen
+    // pipeline may contain BOTH an array_intersect and the
+    // candidate-count partial aggregation (the stage that processes
+    // one row per shared shingle of every candidate)
+    def spans(needle: String): Set[String] =
+      executed.linesIterator.filter(_.contains(needle))
+        .flatMap("""\*\((\d+)\)""".r.findFirstMatchIn(_).map(_.group(1)))
+        .toSet
+    val verify = spans("array_intersect")
+    val scoring = spans("partial_count")
+    assert(verify.nonEmpty && scoring.nonEmpty, executed)
+    assert(verify.intersect(scoring).isEmpty, executed)
   }
 
   test("embedding candidate join and distinct carry no vector arrays") {
