@@ -484,6 +484,108 @@ object Bench {
     writeDoc(outPath, fileJson(win, attempt, rejectedWins))
   }
 
+  /** One-micro-batch floor twin of a q_stream_* gate (see the floor
+    * thunks): same operator, same events input, one addData +
+    * processAllAvailable per stream. Timed end to end including query
+    * start/stop — exactly the region the gate keys time.
+    */
+  private def streamFloor(spark: SparkSession, sfDir: String,
+      which: String): Unit = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val qname = s"graft_stream_floor_$which"
+    spark.catalog.dropTempView(qname)
+    def setShuffle(n: Int): String = {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, n.toString)
+      prev
+    }
+    which match {
+      case "join" =>
+        val ev = SparkEntry.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"),
+            unix_timestamp(col("ts")).as("epoch"), col("event_type"))
+          .orderBy(col("epoch"), col("event_id"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("epoch"))
+          .as[(Long, Long, Long)].collect()
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("epoch"))
+          .as[(Long, Long, Long)].collect()
+        val msL = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+        val msR = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+        def toDf(ms: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]) =
+          ms.toDF().toDF("event_id", "user_id", "epoch")
+            .withColumn("ts", timestamp_seconds(col("epoch"))).drop("epoch")
+        val joined = graft.streaming.StatefulOps.streamStreamJoin(
+          toDf(msL), toDf(msR), "user_id", "ts", windowSec = 1800L)
+        val prev = setShuffle(4)
+        val q = try joined.writeStream.format("memory").queryName(qname)
+          .outputMode("append").start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        try {
+          msL.addData(clicks.toSeq)
+          msR.addData(purchases.toSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+      case "asof" =>
+        val dim = graft.ops.Events.scd2(SparkEntry.events(spark, sfDir),
+          "user_id", "ts", "event_id", "event_type")
+        val ev = SparkEntry.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"))
+          .orderBy(col("us"), col("event_id"))
+          .as[(Long, Long, Long)].collect()
+        val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+        val streamDf = ms.toDF().toDF("event_id", "user_id", "us")
+          .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+        val enriched = graft.streaming.StatefulOps.streamAsofScd2(
+          streamDf, dim, "user_id", "ts", Seq("version", "event_type"))
+        val prev = setShuffle(4)
+        val q = try enriched.writeStream.format("memory").queryName(qname)
+          .outputMode("append").start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        try {
+          ms.addData(ev.toSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+      case "temporal" =>
+        val ev = SparkEntry.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"))
+          .orderBy(col("us"), col("event_id"))
+          .as[(Long, Long, Long)].collect()
+        val upd = SparkEntry.events(spark, sfDir)
+          .filter(col("event_id") % 3 === 0)
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_type")).as("etype"))
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("etype"))
+          .orderBy(col("us"), col("user_id"))
+          .as[(Long, Long, String)].collect()
+        val msE = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+        val msU = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+        val streamDf = msE.toDF().toDF("event_id", "user_id", "us")
+          .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+        val dimDf = msU.toDF().toDF("user_id", "us", "event_type")
+          .withColumn("effective_from", timestamp_micros(col("us"))).drop("us")
+        val enriched = graft.streaming.StatefulOps.streamAsofTemporal(
+          streamDf, dimDf, "user_id", "ts", Seq("event_type"))
+        val prev = setShuffle(4)
+        val q = try enriched.writeStream.format("memory").queryName(qname)
+          .outputMode("append").start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        try {
+          msE.addData(ev.toSeq)
+          msU.addData(upd.toSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+      case other => sys.error(s"streamFloor: unknown variant $other")
+    }
+    spark.table(qname).count()
+    spark.catalog.clearCache()
+  }
+
   private def runWindow(sfDir: String, cpus: String): Window = {
     val loadStart = readLoadavg()
     val spark = SparkSession.builder()
@@ -604,7 +706,24 @@ object Bench {
             spark.read.parquet(pairsDir),
             "doc_id", length(col("text"))).count()
         spark.catalog.clearCache()
-      })
+      }),
+      // MemoryStream HARNESS-FLOOR rows (r18 verdict board #5; ADDITIONS
+      // ONLY — the q_stream_* gate keys above are untouched): the same
+      // stateful operators on the same events data, fed in ONE
+      // micro-batch instead of the gates' >=3 quantile-cut chunks. The
+      // gate key minus its floor twin attributes how much of the gate's
+      // wall is multi-micro-batch harness overhead (state commits,
+      // per-batch planning) rather than operator cost. Single-batch
+      // emission is watermark-bounded (rows above the final watermark
+      // stay in state at stop) — these rows are timing-only, not
+      // oracle-checked; all input rows still flow through ingest,
+      // shuffle and state machinery.
+      "q_stream_join_floor" -> (() =>
+        streamFloor(spark, sfDir, "join")),
+      "q_stream_asof_floor" -> (() =>
+        streamFloor(spark, sfDir, "asof")),
+      "q_stream_temporal_floor" -> (() =>
+        streamFloor(spark, sfDir, "temporal"))
     )
 
     // Isolation filter for adjudication re-runs (COVERAGE.md protocol):

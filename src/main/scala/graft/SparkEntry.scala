@@ -37,7 +37,7 @@ object SparkEntry {
     * as TIMESTAMP_NTZ. Adapt to whichever the parquet footer declares and
     * normalize to session-local TimestampType either way.
     */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(t(dir, "events"))
     val tsCol = raw.schema("ts").dataType match {
