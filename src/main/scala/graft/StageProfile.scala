@@ -29,7 +29,8 @@ object StageProfile {
     fn(spark, sfDir).count(); spark.catalog.clearCache()
 
     case class St(id: Int, name: String, wallMs: Long, taskMs: Long,
-        cpuMs: Long, srBytes: Long, srRows: Long, swBytes: Long, tasks: Int)
+        cpuMs: Long, srBytes: Long, srRows: Long, swBytes: Long,
+        spillMem: Long, spillDisk: Long, tasks: Int)
     val stages = scala.collection.mutable.ArrayBuffer[St]()
     val listener = new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -46,7 +47,8 @@ object StageProfile {
           stages += St(si.stageId, ops,
             wall, m.executorRunTime, m.executorCpuTime / 1000000,
             m.shuffleReadMetrics.totalBytesRead, m.shuffleReadMetrics.recordsRead,
-            m.shuffleWriteMetrics.bytesWritten, si.numTasks)
+            m.shuffleWriteMetrics.bytesWritten,
+            m.memoryBytesSpilled, m.diskBytesSpilled, si.numTasks)
         }
       }
       override def onJobStart(js: SparkListenerJobStart): Unit = ()
@@ -60,11 +62,16 @@ object StageProfile {
     Thread.sleep(500) // let the listener bus drain
     println(f"[stageprofile] $name total=$total%.3f s, ${stages.size} stages")
     println(f"${"stage"}%6s ${"wall_ms"}%8s ${"task_ms"}%8s ${"cpu_ms"}%8s " +
-      f"${"sh_read"}%10s ${"sr_rows"}%9s ${"sh_write"}%10s ${"tasks"}%5s  name")
+      f"${"sh_read"}%10s ${"sr_rows"}%9s ${"sh_write"}%10s " +
+      f"${"spill_mem"}%10s ${"spill_dsk"}%10s ${"tasks"}%5s  name")
     stages.sortBy(-_.wallMs).foreach { s =>
       println(f"${s.id}%6d ${s.wallMs}%8d ${s.taskMs}%8d ${s.cpuMs}%8d " +
-        f"${s.srBytes}%10d ${s.srRows}%9d ${s.swBytes}%10d ${s.tasks}%5d  ${s.name}")
+        f"${s.srBytes}%10d ${s.srRows}%9d ${s.swBytes}%10d " +
+        f"${s.spillMem}%10d ${s.spillDisk}%10d ${s.tasks}%5d  ${s.name}")
     }
+    val totSpill = stages.map(_.spillDisk).sum
+    if (totSpill > 0)
+      println(f"[stageprofile] total disk spill: ${totSpill / 1048576.0}%.1f MiB")
     val sumWall = stages.map(_.wallMs).sum
     println(f"[stageprofile] stage wall sum=${sumWall / 1000.0}%.3f s " +
       f"(gaps = driver/plan/commit time: ${total - sumWall / 1000.0}%.3f s)")
