@@ -31,27 +31,18 @@ object Events {
   def funnelSteps(df: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnelSteps: no steps")
-    val tsType = Ids.fieldOf(df, tsCol, "funnelSteps").dataType
-    val stepsLit = typedLit(steps)
-    val n = steps.length
+    Ids.fieldOf(df, tsCol, "funnelSteps") // column-presence check
     val evs = sort_array(collect_list(
       struct(col(tsCol).as("ts"), col(typeCol).as("t"))))
-    val reached = aggregate(
-      evs,
-      struct(lit(0).as("i"), lit(null).cast(tsType).as("last")),
-      (acc, e) => {
-        // least() keeps the lookup in bounds once the funnel completes
-        // (ANSI mode errors on out-of-range element_at)
-        val stepName = element_at(stepsLit,
-          least(acc.getField("i") + 1, lit(n)))
-        val advance = acc.getField("i") < n &&
-          e.getField("t") === stepName &&
-          (acc.getField("i") === 0 ||
-            e.getField("ts") > acc.getField("last"))
-        when(advance, struct((acc.getField("i") + 1).as("i"),
-          e.getField("ts").as("last"))).otherwise(acc)
-      },
-      acc => acc.getField("i").cast("long"))
+    // the fold is the graft_funnel_reach kernel (r19 opt round): the
+    // previous aggregate(...) HOF formulation — whose exact advance
+    // rule, SQL null corners included, the kernel replicates and
+    // OpsSpec pins kernel ≡ HOF — evaluated interpreted
+    // (ArrayAggregate is CodegenFallback, ~8 boxed expression
+    // evaluations per EVENT); the kernel is one call per user
+    val reached = org.apache.spark.sql.GraftBridge.column(
+      graft.spark.FunnelReachExpression(
+        org.apache.spark.sql.GraftBridge.expression(evs), steps))
     df.groupBy(col(userCol))
       .agg(reached.as("reached"))
   }
@@ -98,33 +89,16 @@ object Events {
       s"funnelStepsWithin: ts column `$tsCol` is ${tsType.simpleString} — " +
         "the deadline needs TIMESTAMP; cast explicitly to choose the " +
         "instant semantics")
-    val stepsLit = typedLit(steps)
-    val n = steps.length
     val gapUs = maxGapSec * 1000000L
     val evs = sort_array(collect_list(
       struct(col(tsCol).as("ts"), col(typeCol).as("t"))))
-    val folded = aggregate(
-      evs,
-      struct(lit(0).as("i"), lit(null).cast("timestamp").as("last"),
-        array().cast("array<timestamp>").as("ml")),
-      (acc, e) => {
-        val stepName = element_at(stepsLit,
-          least(acc.getField("i") + 1, lit(n)))
-        // null `last` (i==0) makes both time conjuncts NULL; the OR's
-        // left arm is then TRUE — three-valued logic, no null error
-        val advance = acc.getField("i") < n &&
-          e.getField("t") === stepName &&
-          (acc.getField("i") === 0 ||
-            (e.getField("ts") > acc.getField("last") &&
-              unix_micros(e.getField("ts")) -
-                unix_micros(acc.getField("last")) <= lit(gapUs)))
-        when(advance, struct((acc.getField("i") + 1).as("i"),
-          e.getField("ts").as("last"),
-          concat(acc.getField("ml"), array(e.getField("ts"))).as("ml")))
-          .otherwise(acc)
-      },
-      acc => struct(acc.getField("i").cast("long").as("reached"),
-        acc.getField("ml").as("step_ts")))
+    // the fold is the graft_funnel_within kernel (r19 opt round): the
+    // previous aggregate(...) HOF formulation — whose advance rule the
+    // kernel replicates exactly, with OpsSpec pinning kernel ≡ HOF —
+    // evaluated interpreted per event; the kernel is one call per user
+    val folded = org.apache.spark.sql.GraftBridge.column(
+      graft.spark.FunnelWithinExpression(
+        org.apache.spark.sql.GraftBridge.expression(evs), steps, gapUs))
     df.filter(col(tsCol).isNotNull)
       .groupBy(col(userCol))
       .agg(folded.getField("reached").as("reached"),

@@ -3873,6 +3873,91 @@ class OpsSpec extends AnyFunSuite {
     assert(pn == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 6L -> 2L), pn.toString)
   }
 
+  test("funnel fold kernels == the HOF folds they replaced, exactly " +
+      "(randomized events incl. null types, null ts, dup ts, deadlines)") {
+    import graft.ops.Events
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val steps = Seq("A", "B", "C")
+    val n = steps.length
+    val stepsLit = typedLit(steps)
+    val rnd = new scala.util.Random(7)
+    val types = Array("A", "B", "C", "X", null)
+    // 60 users x up to 14 events: random types (nulls included), random
+    // seconds in [0, 20] (plenty of duplicate instants), plus a few
+    // hand-built corner users
+    val rows = (for {
+      u <- 0L until 60L
+      _ <- 0 until (1 + rnd.nextInt(14))
+    } yield (u, ts(rnd.nextInt(21).toLong),
+        types(rnd.nextInt(types.length)))) ++ Seq(
+      (100L, null.asInstanceOf[java.sql.Timestamp], "A"), // null-ts anchor
+      (100L, ts(1), "A"), (100L, ts(2), "B"), (100L, ts(3), "C"),
+      (101L, ts(0), "A"), (101L, ts(0), "B"),             // non-strict ts
+      (102L, ts(0), "A"), (102L, ts(5), "B"), (102L, ts(6), "C"), // gap==5
+      (103L, ts(0), "A"), (103L, ts(6), "B"))              // gap==6 > 5
+    val df = rows.toDF("user_id", "ts", "event_type")
+    val evs = sort_array(collect_list(
+      struct(col("ts").as("ts"), col("event_type").as("t"))))
+    // === funnelSteps (no deadline): kernel vs the replaced HOF fold
+    val hofReach = aggregate(
+      evs,
+      struct(lit(0).as("i"), lit(null).cast("timestamp").as("last")),
+      (acc, e) => {
+        val stepName = element_at(stepsLit,
+          least(acc.getField("i") + 1, lit(n)))
+        val advance = acc.getField("i") < n &&
+          e.getField("t") === stepName &&
+          (acc.getField("i") === 0 ||
+            e.getField("ts") > acc.getField("last"))
+        when(advance, struct((acc.getField("i") + 1).as("i"),
+          e.getField("ts").as("last"))).otherwise(acc)
+      },
+      acc => acc.getField("i").cast("long"))
+    val viaHof = df.groupBy(col("user_id")).agg(hofReach.as("reached"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaKernel = Events.funnelSteps(df, "user_id", "ts", "event_type",
+        steps).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaKernel == viaHof)
+    // the null-ts anchor corner actually bites: user 100 anchors on the
+    // null-ts A and freezes at depth 1 under BOTH implementations
+    assert(viaKernel(100L) == 1L)
+    assert(viaKernel(101L) == 1L) // equal instants never advance
+    // === funnelStepsWithin (deadline): kernel vs the replaced HOF fold
+    val gapUs = 5000000L
+    val hofWithin = aggregate(
+      evs,
+      struct(lit(0).as("i"), lit(null).cast("timestamp").as("last"),
+        array().cast("array<timestamp>").as("ml")),
+      (acc, e) => {
+        val stepName = element_at(stepsLit,
+          least(acc.getField("i") + 1, lit(n)))
+        val advance = acc.getField("i") < n &&
+          e.getField("t") === stepName &&
+          (acc.getField("i") === 0 ||
+            (e.getField("ts") > acc.getField("last") &&
+              unix_micros(e.getField("ts")) -
+                unix_micros(acc.getField("last")) <= lit(gapUs)))
+        when(advance, struct((acc.getField("i") + 1).as("i"),
+          e.getField("ts").as("last"),
+          concat(acc.getField("ml"), array(e.getField("ts"))).as("ml")))
+          .otherwise(acc)
+      },
+      acc => struct(acc.getField("i").cast("long").as("reached"),
+        acc.getField("ml").as("step_ts")))
+    val hofW = df.filter(col("ts").isNotNull).groupBy(col("user_id"))
+      .agg(hofWithin.getField("reached").as("reached"),
+        hofWithin.getField("step_ts").as("step_ts"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[java.sql.Timestamp](2).toList))).toMap
+    val kerW = Events.funnelStepsWithin(df, "user_id", "ts", "event_type",
+        steps, maxGapSec = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[java.sql.Timestamp](2).toList))).toMap
+    assert(kerW == hofW)
+    // deadline boundary: gap exactly 5 s advances, 6 s does not
+    assert(kerW(102L)._1 == 3L && kerW(103L)._1 == 1L)
+  }
+
   test("groupQuantileSketch: discrete quantile inside a one-width band; " +
       "winsorizeSketch within grain of the discrete-exact clip; " +
       "robustStatsSketch error bounds") {
